@@ -1,24 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"queries":{...}}. The headline
+  * set covers each workload family of BASELINE.md: scans, point
+  * lookups, pattern joins, aggregation/views, traversal, spatial,
+  * dedup (exact + LSH), similarity, and event analytics.
+  */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    "q01_scan_vertices",    // scan-vertices
+    "q02_lookup_vertex",    // lookup-by-id
+    "q10_pattern_flagship", // prolog-edge-join analog
+    "q11_two_hop_join",
+    "q20_agg_pricing",
+    "q21_view_group",       // view maintenance/regeneration analog
+    "q26_topk",
+    "q31_bfs",
+    "q41_spatial_knn",
+    "q54_dedup_exact",
+    "q56_minhash_lsh",
+    "q58_cosine_topk",
+    "q60_window_agg",
+    "q61_sessionize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.get(cpus)
+    // JVM + parquet-footer warm-up so per-query times measure the plan,
+    // not first-touch class loading
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

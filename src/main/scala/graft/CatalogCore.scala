@@ -1,0 +1,372 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tpch
+import graft.operators.{Fixpoint, Traverse}
+import graft.query._
+
+/** Core operator catalog: scans, point lookups, edge joins, the pattern
+  * query surface, aggregations, sets, sorts/limits, traversal and
+  * recursion — each row of SURVEY.md §2.1-2.7/2.9 as a runnable query
+  * with a DuckDB oracle.
+  */
+object CatalogCore {
+  import QueryDef._
+
+  /** knows-edge formula shared by Spark (Tpch.knowsEdges) and oracles. */
+  private val knowsSql =
+    """SELECT c_custkey AS src, (c_custkey*3+7) % (SELECT count(*) FROM customer) AS dst FROM customer
+      |UNION ALL
+      |SELECT c_custkey, (c_custkey*5+3) % (SELECT count(*) FROM customer) FROM customer""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- 2.1 scans / lookups ------------------------------------------
+    QueryDef("q01_scan_vertices",
+      (s, d) => Tpch.graph(s, d).vertexFrame("customer")
+        .select(col("id"), col("c_name").as("name"), col("c_mktsegment").as("segment"))
+        .orderBy("id"),
+      Some("""SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+             |FROM customer ORDER BY id""".stripMargin)),
+
+    QueryDef("q02_lookup_vertex",
+      (s, d) => Tpch.graph(s, d).lookupVertex("customer", 42L)
+        .select(col("id"), col("c_name").as("name"), col("c_acctbal").as("acctbal")),
+      Some("SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal FROM customer WHERE c_custkey = 42")),
+
+    QueryDef("q03_scan_edges",
+      (s, d) => Tpch.graph(s, d).edgeFrame("placed")
+        .select(col("src"), col("dst"), col("weight")).orderBy("dst"),
+      Some("SELECT o_custkey AS src, o_orderkey AS dst, o_totalprice AS weight FROM orders ORDER BY dst")),
+
+    QueryDef("q04_outgoing_edges",
+      (s, d) => Tpch.graph(s, d).outgoingEdges("placed", 7L)
+        .select(col("dst"), col("weight"), col("o_orderstatus").as("status")).orderBy("dst"),
+      Some("""SELECT o_orderkey AS dst, o_totalprice AS weight, o_orderstatus AS status
+             |FROM orders WHERE o_custkey = 7 ORDER BY dst""".stripMargin)),
+
+    QueryDef("q05_incoming_edges",
+      (s, d) => Tpch.graph(s, d).incomingEdges("contains", 10L)
+        .select(col("src"), col("weight"), col("l_linenumber").as("linenumber"))
+        .orderBy("src", "linenumber"),
+      Some("""SELECT l_orderkey AS src, l_quantity AS weight, l_linenumber AS linenumber
+             |FROM lineitem WHERE l_partkey = 10 ORDER BY src, linenumber""".stripMargin)),
+
+    QueryDef("q06_subclass_scan",
+      // `person` is abstract; scanning it includes the customer subtype
+      // (reference node-class.lisp:108-122 subclass walk)
+      (s, d) => Tpch.graph(s, d).vertices("person").groupBy("label")
+        .agg(count(lit(1)).as("n")).orderBy("label"),
+      Some("SELECT 'customer' AS label, count(*) AS n FROM customer")),
+
+    // ---- 2.2/2.3 pattern queries: filters, slots, joins ----------------
+    QueryDef("q10_pattern_flagship",
+      // select (?name ?o ?price) (is-a ?a customer)(c_mktsegment ?a 'BUILDING')
+      //   (placed ?a ?o ?price)(> ?price 150000)  — the §3.1 hot path
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(
+          IsA("a", "customer"),
+          Slot("a", "c_mktsegment", "seg"),
+          Filter(col("seg") === "BUILDING"),
+          EdgeGoal("placed", "a", "o", weightVar = Some("price")),
+          Filter(col("price") > 150000.0),
+          Slot("a", "c_name", "name")),
+        select = Seq("a" -> "custkey", "o" -> "orderkey", "name" -> "name", "price" -> "totalprice"),
+        orderBy = Seq(col("orderkey")))),
+      Some("""SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey, c.c_name AS name,
+             |       o.o_totalprice AS totalprice
+             |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 150000
+             |ORDER BY orderkey""".stripMargin)),
+
+    QueryDef("q11_two_hop_join",
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"), EdgeGoal("placed", "a", "o"), EdgeGoal("contains", "o", "p")),
+        select = Seq("a" -> "custkey", "p" -> "partkey")))
+        .groupBy("custkey").agg(countDistinct("partkey").as("n_parts"))
+        .orderBy("custkey"),
+      Some("""SELECT c.c_custkey AS custkey, count(DISTINCT l.l_partkey) AS n_parts
+             |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |GROUP BY 1 ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q12_anti_join",
+      // (not (placed ?a ?o)) — negation as failure
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"), Not(Seq(EdgeGoal("placed", "a", "o"))),
+          Slot("a", "c_name", "name")),
+        select = Seq("a" -> "custkey", "name" -> "name"),
+        orderBy = Seq(col("custkey")))),
+      Some("""SELECT c_custkey AS custkey, c_name AS name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q13_semi_join",
+      // edge-exists-p: customers with at least one 'F' order
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val f = g.edgeFrame("placed").filter(col("o_orderstatus") === "F")
+          .select(col("src").as("id")).distinct()
+        g.vertexFrame("customer").join(f, Seq("id"), "left_semi")
+          .select(col("id").as("custkey"), col("c_acctbal").as("acctbal"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q14_filter_cmp",
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"),
+          Slot("a", "c_acctbal", "bal"),
+          Filter(col("bal") >= 1000.0 && col("bal") < 5000.0),
+          Slot("a", "c_nationkey", "nationkey")),
+        select = Seq("a" -> "custkey", "bal" -> "acctbal", "nationkey" -> "nationkey"),
+        orderBy = Seq(col("custkey")))),
+      Some("""SELECT c_custkey AS custkey, c_acctbal AS acctbal, c_nationkey AS nationkey
+             |FROM customer WHERE c_acctbal >= 1000 AND c_acctbal < 5000 ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q15_regex_match",
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"), Slot("a", "c_name", "name"), Regex("name", ".*00[0-4]$")),
+        select = Seq("a" -> "custkey", "name" -> "name"),
+        orderBy = Seq(col("custkey")))),
+      Some("""SELECT c_custkey AS custkey, c_name AS name FROM customer
+             |WHERE regexp_matches(c_name, '.*00[0-4]$') ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q16_is_computed",
+      // (is ?rev (* price (- 1 discount))) — per-row arithmetic is
+      // bit-identical across engines, no rounding needed
+      (s, d) => Tpch.graph(s, d).edgeFrame("contains")
+        .select(col("src").as("orderkey"), col("l_linenumber").as("linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("orderkey", "linenumber"),
+      Some("""SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+             |       l_extendedprice * (1.0 - l_discount) AS revenue
+             |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin)),
+
+    QueryDef("q17_param_query",
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"), Slot("a", "c_mktsegment", "seg"),
+          Param("wanted", "segment"), Filter(col("seg") === col("wanted"))),
+        select = Seq("a" -> "custkey"),
+        orderBy = Seq(col("custkey")),
+        params = Map("segment" -> "MACHINERY"))),
+      Some("SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY' ORDER BY custkey")),
+
+    QueryDef("q18_or_union",
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"),
+          Slot("a", "c_mktsegment", "seg"), Slot("a", "c_acctbal", "bal"),
+          Or(Seq(Seq(Filter(col("seg") === "AUTOMOBILE")), Seq(Filter(col("bal") < 0))))),
+        select = Seq("a" -> "custkey"),
+        orderBy = Seq(col("custkey")))),
+      // or/2 is bag union (prologc.lisp:432-447): both-branch matches
+      // appear twice, exactly like UNION ALL
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |UNION ALL
+             |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+             |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q19_not_in_list",
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"), Slot("a", "c_mktsegment", "seg"),
+          Filter(!col("seg").isin("BUILDING", "MACHINERY"))),
+        select = Seq("a" -> "custkey", "seg" -> "segment"),
+        orderBy = Seq(col("custkey")))),
+      Some("""SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer
+             |WHERE c_mktsegment NOT IN ('BUILDING','MACHINERY') ORDER BY custkey""".stripMargin)),
+
+    // ---- 2.4 aggregations ---------------------------------------------
+    QueryDef("q20_agg_pricing",
+      // TPC-H Q1 shape over the `contains` edge frame; money in cents
+      (s, d) => Tpch.graph(s, d).edgeFrame("contains")
+        .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+        .agg(
+          sum(col("weight").cast("long")).as("sum_qty"),
+          centsToDollars(sum(cents(col("l_extendedprice")))).as("sum_base"),
+          centsToDollars(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+            .as("sum_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base,
+             |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_disc,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY 1, 2 ORDER BY returnflag, linestatus""".stripMargin)),
+
+    QueryDef("q21_view_group",
+      // def-view map+reduce analog: per-key aggregate plus the grand
+      // :gagg row (views.lisp master key) via ROLLUP
+      (s, d) => Tpch.graph(s, d).edgeFrame("placed")
+        .select(col("src").as("k"), cents(col("weight")).as("w"))
+        .rollup("k")
+        .agg(count(lit(1)).as("n_orders"), centsToDollars(sum(col("w"))).as("total"))
+        .select(coalesce(col("k"), lit(-1L)).as("custkey"), col("n_orders"), col("total"))
+        .orderBy("custkey"),
+      Some("""SELECT COALESCE(o_custkey, -1) AS custkey, count(*) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+             |FROM orders GROUP BY ROLLUP(o_custkey) ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q22_findall",
+      // findall/3: collect order keys per customer, sorted
+      (s, d) => Tpch.graph(s, d).edgeFrame("placed")
+        .groupBy(col("src").as("custkey"))
+        .agg(sort_array(collect_list(col("dst"))).as("orderkeys"))
+        .orderBy("custkey"),
+      Some("""SELECT o_custkey AS custkey, list_sort(list(o_orderkey)) AS orderkeys
+             |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q23_bagof_group",
+      // bagof/3 with witness var = group-by nation
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"), EdgeGoal("located_in", "a", "n"),
+          Slot("n", "n_name", "nation"), Slot("a", "c_acctbal", "bal")),
+        select = Seq("nation" -> "nation", "bal" -> "bal")))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_customers"), min("bal").as("min_bal"), max("bal").as("max_bal"))
+        .orderBy("nation"),
+      Some("""SELECT n.n_name AS nation, count(*) AS n_customers,
+             |  min(c.c_acctbal) AS min_bal, max(c.c_acctbal) AS max_bal
+             |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    QueryDef("q24_setof_distinct",
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"), Slot("a", "c_mktsegment", "seg")),
+        select = Seq("seg" -> "segment"), distinct = true,
+        orderBy = Seq(col("segment")))),
+      Some("SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment")),
+
+    QueryDef("q25_select_count",
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"), Slot("a", "c_acctbal", "bal"), Filter(col("bal") > 0)),
+        select = Seq("a" -> "n_customers"), countOnly = true)),
+      Some("SELECT count(*) AS n_customers FROM customer WHERE c_acctbal > 0")),
+
+    // ---- 2.6 sorts / limits / top-k -----------------------------------
+    QueryDef("q26_topk",
+      (s, d) => Tpch.graph(s, d).edgeFrame("placed")
+        .select(col("dst").as("orderkey"), col("weight").as("totalprice"))
+        .orderBy(col("totalprice").desc, col("orderkey").asc).limit(10),
+      Some("""SELECT o_orderkey AS orderkey, o_totalprice AS totalprice FROM orders
+             |ORDER BY totalprice DESC, orderkey LIMIT 10""".stripMargin)),
+
+    QueryDef("q27_range_scan",
+      // view range read: :start-key/:end-key + :skip/:count
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("o", "order"), Slot("o", "o_totalprice", "price"),
+          Filter(col("price").between(100000.0, 200000.0))),
+        select = Seq("o" -> "orderkey", "price" -> "price"),
+        orderBy = Seq(col("price").asc, col("orderkey").asc),
+        limit = Some(50), skip = Some(10))),
+      Some("""SELECT o_orderkey AS orderkey, o_totalprice AS price FROM orders
+             |WHERE o_totalprice BETWEEN 100000 AND 200000
+             |ORDER BY price, orderkey LIMIT 50 OFFSET 10""".stripMargin)),
+
+    QueryDef("q28_select_first",
+      (s, d) => PatternCompiler.run(Tpch.graph(s, d), PatternQuery(
+        goals = Seq(IsA("a", "customer"), Filter(col("a") === 3L),
+          EdgeGoal("placed", "a", "o", edgeProps = Map("o_orderdate" -> "odate"))),
+        select = Seq("o" -> "orderkey", "odate" -> "orderdate"),
+        orderBy = Seq(col("orderdate").asc, col("orderkey").asc),
+        limit = Some(1))),
+      Some("""SELECT o_orderkey AS orderkey, o_orderdate AS orderdate FROM orders
+             |WHERE o_custkey = 3 ORDER BY orderdate, orderkey LIMIT 1""".stripMargin)),
+
+    // ---- 2.7 set operations -------------------------------------------
+    QueryDef("q29_intersect",
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val building = g.vertexFrame("customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("id").as("custkey"))
+        val bigSpenders = g.edgeFrame("placed").filter(col("weight") > 200000.0)
+          .select(col("src").as("custkey")).distinct()
+        building.intersect(bigSpenders).orderBy("custkey")
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+             |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q30_except",
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val all = g.vertexFrame("customer").select(col("id").as("custkey"))
+        val withF = g.edgeFrame("placed").filter(col("o_orderstatus") === "F")
+          .select(col("src").as("custkey"))
+        all.except(withF).orderBy("custkey")
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- 2.9 traversal / recursion ------------------------------------
+    QueryDef("q31_bfs",
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val start = s.range(1, 2).select(col("id"))
+        Traverse.bfs(g.edgeFrame("knows"), start, maxDepth = 4)
+          .select(col("id"), col("depth").cast("int").as("depth")).orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE e AS ($knowsSql),
+              |r AS (
+              |  SELECT CAST(1 AS BIGINT) AS id, 0 AS depth
+              |  UNION ALL
+              |  SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.id WHERE r.depth < 4)
+              |SELECT id, CAST(min(depth) AS INTEGER) AS depth FROM r GROUP BY id ORDER BY id""".stripMargin)),
+
+    QueryDef("q32_transitive_closure",
+      // recursive <- rule: (reach ?x) <- (reach ?y),(knows ?y ?x);
+      // semi-naive fixpoint with budgets (SURVEY §2.9)
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val edges = g.edgeFrame("knows").select(col("src"), col("dst"))
+        val base = s.range(1, 2).select(col("id"))
+        Fixpoint.semiNaive(base, Seq("id")) { delta =>
+          delta.join(edges, delta("id") === edges("src")).select(col("dst").as("id"))
+        }.orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE e AS ($knowsSql),
+              |r AS (
+              |  SELECT CAST(1 AS BIGINT) AS id
+              |  UNION
+              |  SELECT e.dst FROM r JOIN e ON e.src = r.id)
+              |SELECT id FROM r ORDER BY id""".stripMargin)),
+
+    QueryDef("q33_hetero_traverse",
+      // customer −placed→ order −contains→ part: the reachable part set
+      // at exactly depth 2 from customers 0-4 (traverse with edge-type
+      // filters, traverse.lisp:30-81)
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val placed = g.edgeFrame("placed").filter(col("src") < 5)
+        val contains = g.edgeFrame("contains")
+        placed.join(contains, placed("dst") === contains("src"))
+          .select(contains("dst").as("partkey")).distinct()
+          .orderBy("partkey")
+      },
+      Some("""SELECT DISTINCT l.l_partkey AS partkey
+             |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_custkey < 5 ORDER BY partkey""".stripMargin)),
+
+    // ---- 2.11 soft delete visibility ----------------------------------
+    QueryDef("q34_soft_delete_scan",
+      // mark-deleted semantics: deleted rows are invisible to scans but
+      // available with include-deleted-p (interface.lisp:15-25)
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val orders = g.vertexFrame("order")
+          .withColumn("deleted", col("o_orderstatus") === "F")
+        import graft.model.{GraphSchema, PropertyGraph}
+        val g2 = new PropertyGraph(Tpch.schema, Map("order" -> orders), Map.empty)
+        g2.vertexFrame("order").select(col("id").as("orderkey"),
+          col("o_orderstatus").as("status")).orderBy("orderkey")
+      },
+      Some("""SELECT o_orderkey AS orderkey, o_orderstatus AS status FROM orders
+             |WHERE o_orderstatus <> 'F' ORDER BY orderkey""".stripMargin)))
+}

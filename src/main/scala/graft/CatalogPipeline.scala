@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.Tpch
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.spatial.{Geohash, SpatialOps}
+
+/** Pipeline operator catalog: spatial queries (SURVEY.md §2.8), text
+  * analysis, deduplication, similarity search, and event/stream-shaped
+  * analytics over the documents/embeddings/events tables.
+  */
+object CatalogPipeline {
+  import QueryDef._
+
+  /** Deterministic synthetic coordinates for customers, shared verbatim
+    * with the oracles (integer arithmetic → exact in both engines).
+    */
+  private def withCoords(customers: DataFrame): DataFrame = customers
+    .withColumn("lon", ((col("id") * 7 % 360) - 180).cast("double") + 0.5)
+    .withColumn("lat", ((col("id") * 13 % 180) - 90).cast("double") + 0.5)
+  private val coordsSql =
+    """SELECT c_custkey AS id,
+      |  CAST((c_custkey*7 % 360) - 180 AS DOUBLE) + 0.5 AS lon,
+      |  CAST((c_custkey*13 % 180) - 90 AS DOUBLE) + 0.5 AS lat
+      |FROM customer""".stripMargin
+  private val haversineSql =
+    // identical formula shape to SpatialOps.haversineM
+    "2*6371000.0*asin(least(1.0, sqrt(power(sin(radians(lat-(LAT0))/2),2) + " +
+      "cos(radians(LAT0))*cos(radians(lat))*power(sin(radians(lon-(LON0))/2),2))))"
+  private def hav(lon0: Double, lat0: Double): String =
+    haversineSql.replace("LAT0", lat0.toString).replace("LON0", lon0.toString)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- 2.8 spatial ---------------------------------------------------
+    QueryDef("q40_spatial_bbox",
+      (s, d) => SpatialOps.withinBBox(
+        withCoords(Tpch.graph(s, d).vertexFrame("customer")),
+        "lon", "lat", Geohash.BBox(-60, -40, 60, 40), precision = 2)
+        .select(col("id"), col("lon"), col("lat")).orderBy("id"),
+      Some(s"""SELECT id, lon, lat FROM ($coordsSql)
+              |WHERE lon BETWEEN -60 AND 60 AND lat BETWEEN -40 AND 40 ORDER BY id""".stripMargin)),
+
+    QueryDef("q41_spatial_knn",
+      (s, d) => SpatialOps.nearestK(
+        withCoords(Tpch.graph(s, d).vertexFrame("customer")),
+        "lon", "lat", "id", lon = 10.0, lat = 20.0, k = 15)
+        .select(col("id"), col("dist_m")),
+      Some(s"""SELECT id, round(${hav(10.0, 20.0)}, 3) AS dist_m FROM ($coordsSql)
+              |ORDER BY dist_m, id LIMIT 15""".stripMargin)),
+
+    QueryDef("q42_spatial_radius",
+      (s, d) => SpatialOps.near(
+        withCoords(Tpch.graph(s, d).vertexFrame("customer")),
+        "lon", "lat", lon = 0.0, lat = 0.0, radiusM = 3000000.0, precision = 2)
+        .select(col("id"), round(col("dist_m"), 3).as("dist_m")).orderBy("id"),
+      Some(s"""SELECT id, round(${hav(0.0, 0.0)}, 3) AS dist_m FROM ($coordsSql)
+              |WHERE ${hav(0.0, 0.0)} <= 3000000.0 ORDER BY id""".stripMargin)),
+
+    QueryDef("q43_geohash_cells",
+      // geohash encode has no SQL equivalent → rows-only check here;
+      // exactness is covered by GeohashSpec against published vectors
+      (s, d) => SpatialOps.withCell(
+        withCoords(Tpch.graph(s, d).vertexFrame("customer")), "lon", "lat", 6)
+        .select(col("id"), col("cell")).orderBy("id"),
+      None),
+
+    // ---- text analysis -------------------------------------------------
+    QueryDef("q50_token_count",
+      (s, d) => Tpch.table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+             |  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q51_quality_score",
+      (s, d) => Tpch.table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
+        val stopHits = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($toks, " +
+          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
+        val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+          "CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)/length(text) END"
+        s"""SELECT doc_id, round(
+           |  least(CAST($nTok AS DOUBLE)/50.0, 1.0) * 0.4 +
+           |  least((CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST($stopHits AS DOUBLE)/$nTok END) * 5.0, 1.0) * 0.4 +
+           |  greatest(1.0 - ($punct) * 10.0, 0.0) * 0.2, 4) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("q52_lang_id",
+      (s, d) => Tpch.table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        def hits(words: Seq[String]) =
+          s"len(list_filter($toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+        val en = hits(Seq("the", "and", "of", "is"))
+        val de = hits(Seq("der", "und", "das", "ist"))
+        val es = hits(Seq("el", "la", "que", "es"))
+        s"""SELECT doc_id, CASE
+           |  WHEN greatest($en,$de,$es) = 0 THEN 'und'
+           |  WHEN $en >= greatest($de,$es) THEN 'en'
+           |  WHEN $de >= $es THEN 'de'
+           |  ELSE 'es' END AS lang_pred
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("q53_fingerprint",
+      (s, d) => Tpch.table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup ---------------------------------------------------------
+    QueryDef("q54_dedup_exact",
+      (s, d) => Dedup.exactDupGroups(Tpch.table(s, d, "documents"), "text", "doc_id")
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    QueryDef("q55_ngram_jaccard",
+      // exact 3-gram Jaccard for a bounded pairing (near-id pairs);
+      // the unbounded/scalable variant is q56 (LSH)
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        Dedup.jaccardForPairs(docs, "doc_id", "text", 3,
+            Dedup.nearIdPairs(docs, "doc_id", 3))
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val sh = """SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                   |  ELSE list_distinct(list_transform(range(1, len(w)-1),
+                   |         i -> array_to_string(w[i:i+2], ' '))) END AS sh
+                   |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
+        s"""WITH s AS ($sh)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    QueryDef("q56_minhash_lsh",
+      // MinHash+LSH near-dup candidates (xxhash64 signatures — not SQL
+      // expressible; correctness via DedupSpec, scale via bench)
+      (s, d) => Dedup.minhashNearDups(Tpch.table(s, d, "documents"), "doc_id", "text",
+          k = 3, numHashes = 12, bands = 4, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      None),
+
+    QueryDef("q57_simhash",
+      (s, d) => Tpch.table(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      None),
+
+    // ---- similarity search --------------------------------------------
+    QueryDef("q58_cosine_topk",
+      // brute-force cosine top-k against embedding of vec_id=0
+      (s, d) => {
+        val emb = Tpch.table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id AS id, round(
+             |  list_aggregate(list_transform(list_zip(embedding, qe),
+             |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |  (sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) *
+             |   sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+             |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
+
+    QueryDef("q59_ann_lsh",
+      // LSH-bucketed ANN (scale path; driver rows-only + SimilaritySpec)
+      (s, d) => {
+        val emb = Tpch.table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        Similarity.annTopK(emb, "embedding", "vec_id", q, k = 10, nBits = 4)
+      },
+      None),
+
+    // ---- events / sessionization --------------------------------------
+    QueryDef("q60_window_agg",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          centsToDollars(sum(cents(col("value")))).as("total_value"))
+        .orderBy("bucket", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)),
+
+    QueryDef("q61_sessionize",
+      // gap-based sessionization (30 min): session count + mean length
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+             |FROM (
+             |  SELECT user_id, CASE WHEN prev_ts IS NULL
+             |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+             |  FROM (SELECT user_id, ts, event_id,
+             |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events))
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q62_event_stats",
+      (s, d) => events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+             |  min(event_id) AS first_id, max(event_id) AS last_id
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)))
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Local mode is a stand-in for a real cluster: shuffle partitions are
+  * sized to cores (not the 200 default), AQE is on so skewed joins and
+  * small post-shuffle partitions are re-planned at runtime, and the
+  * broadcast threshold is generous because the graph's dimension tables
+  * (region/nation/supplier at any SF) are tiny relative to fact tables.
+  */
+object GraftSession {
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

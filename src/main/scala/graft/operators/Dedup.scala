@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: everything before the final candidate verification is
+  * a narrow map (signature computation, codegen'd column expressions)
+  * followed by ONE shuffle on (band, bandHash) — the classic
+  * shingle → minhash → band → bucket-join shape. No all-pairs work ever
+  * happens: candidate pairs only materialize inside an LSH bucket.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: returns one row per
+    * distinct hash with its count (hash-groupBy; one shuffle).
+    */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Word k-shingles of a text column as an array of strings. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** MinHash signature: for seed i, sig(i) = min over shingles of
+    * xxhash64(shingle, i). Pure column expressions → codegen'd.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(array_distinct(shingleCol), s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** LSH banding: (docId, band, bandHash) rows, one per band. Docs
+    * agreeing on any full band land in the same bucket.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = minhashSignature(shingles(col(textCol), k), numHashes)
+    val banded = df.select(col(idCol).as("doc"), sig.as("sig"))
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    banded
+  }
+
+  /** Near-duplicate candidate pairs via MinHash LSH, verified with exact
+    * shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b
+    * and jaccard >= threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val buckets = lshBuckets(df, idCol, textCol, k, numHashes, bands)
+    val a = buckets.withColumnsRenamed(Map("doc" -> "id_a"))
+    val b = buckets.withColumnsRenamed(Map("doc" -> "id_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard for an explicit candidate-pair frame
+    * (id_a, id_b) — two hash joins, linear in |pairs|. Pairs can come
+    * from LSH buckets, blocking keys, or id windows; pairs whose ids
+    * are absent from `df` drop out via the inner joins.
+    */
+  def jaccardForPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      pairs: DataFrame): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), array_distinct(shingles(col(textCol), k)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Near-id blocking pairs: (id, id+1..id+maxOffset) — generated with
+    * an explode + equi-join, never a quadratic theta-join.
+    */
+  def nearIdPairs(df: DataFrame, idCol: String, maxOffset: Int): DataFrame =
+    df.select(col(idCol).as("id_a"))
+      .select(col("id_a"), explode(sequence(lit(1), lit(maxOffset))).as("off"))
+      .select(col("id_a"), (col("id_a") + col("off")).as("id_b"))
+
+  /** 64-bit SimHash over whitespace tokens. Columnar bit-counting: for
+    * each bit position the signed token-hash contributions are summed
+    * via aggregate(); stays in codegen (no Scala closures at runtime).
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, lit(1L)).otherwise(lit(-1L)))
+      when(contrib > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash values (near-dup test). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus processing: token
+  * counting, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All are pure column expressions (`org.apache.spark.sql.functions`),
+  * so they stay inside whole-stage codegen — no UDFs in the hot path,
+  * which matters when scoring billions of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty string => empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0))
+      // ASCII-explicit class (not \p{Alnum}) so external RE2-based
+      // oracles agree with Java regex semantics
+      .otherwise((len - length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))).cast("double") / len)
+  }
+
+  // deliberately small + stable: these sets are part of the operator's
+  // contract (the DuckDB oracle re-states them verbatim)
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords (language-quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(n === 0, lit(0.0)).otherwise(hits.cast("double") / n)
+  }
+
+  /** Composite heuristic quality score in [0,1]: favors medium-length
+    * documents with some stopword mass and little punctuation noise.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+    round((lenScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2), 4)
+  }
+
+  /** Per-language marker sets for the n-gram/stopword language-ID
+    * heuristic. Tiny by design (contract shared with the oracle).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "que", "es"))
+
+  /** Majority-marker language ID; 'und' (undetermined) when no marker
+    * hits at all. Ties break by the order of [[langMarkers]].
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = langMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = langMarkers.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+      val cnt = counts.find(_._1 == lang).get._2
+      when(cnt === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    chain
+  }
+
+  /** Content fingerprint over normalized text (case-folded,
+    * non-alphanumerics stripped) — stable under formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BFS traversal — the `traverse` operator (reference traverse.lisp:30-81:
+  * BFS with a global visited set, direction in/out/both, max-depth).
+  *
+  * Implemented as an iterative frontier-join loop over DataFrames
+  * (SURVEY.md §7.2 step 5): each round joins the frontier to the edge
+  * table, anti-joins the accumulated visited set, and unions the new
+  * ring in at depth d. The visited set carries each node's *first*
+  * (minimum) depth, matching BFS discovery order semantics; tuple order
+  * within a ring is undefined (set semantics, SURVEY.md §7.4).
+  *
+  * Scale notes: `localCheckpoint` truncates lineage each round so plans
+  * don't grow exponentially with depth; the frontier is the only thing
+  * recomputed per round and both frontier and visited stay partitioned
+  * by id through the joins.
+  */
+object Traverse {
+
+  sealed trait Direction
+  case object Out extends Direction
+  case object In extends Direction
+  case object Both extends Direction
+
+  /** @param edges  frame with `src`, `dst` columns
+    * @param start  frame with an `id` column (the root set, depth 0)
+    * @return frame (id, depth) — every node reachable within maxDepth,
+    *         at its minimum depth.
+    */
+  def bfs(edges: DataFrame, start: DataFrame, maxDepth: Int, direction: Direction = Out): DataFrame = {
+    val step = direction match {
+      case Out  => edges.select(col("src").as("from"), col("dst").as("to"))
+      case In   => edges.select(col("dst").as("from"), col("src").as("to"))
+      case Both => edges.select(col("src").as("from"), col("dst").as("to"))
+        .union(edges.select(col("dst").as("from"), col("src").as("to")))
+    }
+    var visited = start.select(col("id"), lit(0).as("depth")).localCheckpoint(eager = true)
+    var frontier = visited.select("id")
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val next = frontier.join(step, frontier("id") === step("from"), "inner")
+        .select(col("to").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+      visited = visited.union(next.select(col("id"), lit(d).as("depth")))
+        .localCheckpoint(eager = true)
+      frontier = next
+    }
+    visited
+  }
+}

@@ -1,0 +1,171 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.PropertyGraph
+
+/** Compiles a [[PatternQuery]] into a DataFrame plan.
+  *
+  * Where the reference compiled each goal list to a native closure of
+  * nested index scans with unification (reference prologc.lisp:611-734,
+  * SURVEY.md §3.1), we declare the equivalent joins/filters and let
+  * Catalyst do access-path selection: the binding-pattern dispatch of
+  * the reference's edge functors (schema.lisp:316-361 — VEV vs VE vs
+  * type-index) falls out of predicate pushdown + join planning, and
+  * join *order* is chosen by the optimizer instead of the user
+  * (a deliberate upgrade, SURVEY.md §4.1).
+  *
+  * Variable binding model: a bound variable `v` is a column named `v`
+  * holding the vertex id; its properties are attached lazily (only when
+  * a goal references them) as columns `v__<prop>`, so endpoint
+  * resolution joins — the reference's `lookup-vertex` per solution —
+  * only happen for variables whose properties the query actually uses.
+  */
+final class PatternCompiler(graph: PropertyGraph, params: Map[String, Any]) {
+  import PatternCompiler.VarState
+
+  private var df: DataFrame = _
+  private var vars = Map.empty[String, VarState]
+
+  private def bound(v: String): Boolean = vars.contains(v)
+
+  private def prefixed(label: String, v: String): DataFrame = {
+    graph.schema.requireVertex(label)
+    val descendants = graph.schema.descendants(label)
+      .filter(l => graph.vertexLabels.contains(l))
+    require(descendants.nonEmpty, s"vertex type $label has no concrete frames")
+    val frames = descendants.map { l =>
+      val f = graph.vertexFrame(l)
+      f.select(
+        (col("id").as(v) +: graph.schema.requireVertex(l).props
+          .filter(f.columns.contains).map(p => col(p).as(s"${v}__$p"))): _*)
+        .withColumn(s"${v}__label", lit(l))
+    }
+    val unioned =
+      if (frames.size == 1) frames.head
+      else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    graph.maybeBroadcast(label, unioned)
+  }
+
+  /** Attach property columns for an id-only bound variable. */
+  private def ensureProps(v: String): Unit = {
+    val st = vars(v)
+    if (!st.hasProps) {
+      val vframe = prefixed(st.label, s"__p_$v")
+      df = df.join(vframe, col(v) === col(s"__p_$v"), "inner")
+        .drop(s"__p_$v")
+      // rename __p_v__prop -> v__prop
+      df.columns.filter(_.startsWith(s"__p_${v}__")).foreach { c =>
+        df = df.withColumnRenamed(c, c.replaceFirst(s"__p_", ""))
+      }
+      vars += v -> st.copy(hasProps = true)
+    }
+  }
+
+  private def addFrame(frame: DataFrame): Unit =
+    df = if (df == null) frame else df.crossJoin(frame)
+
+  private def compileGoal(g: Goal): Unit = g match {
+    case IsA(v, label) =>
+      if (!bound(v)) {
+        addFrame(prefixed(label, v))
+        vars += v -> VarState(label, hasProps = true)
+      } else {
+        val st = vars(v)
+        if (!graph.schema.ancestors(st.label).contains(label)) {
+          // type test against a non-ancestor: semi-join on that type's ids
+          val ids = graph.vertices(label).select(col("id").as(s"__t_$v"))
+          df = df.join(graph.maybeBroadcast(label, ids), col(v) === col(s"__t_$v"), "left_semi")
+        }
+      }
+
+    case EdgeGoal(label, from, to, weightVar, edgeProps) =>
+      val et = graph.schema.requireEdge(label)
+      val e0 = graph.edgeFrame(label)
+      val renames: Seq[(String, String)] =
+        Seq("src" -> "__src", "dst" -> "__dst", "weight" -> "__w") ++
+          edgeProps.keys.map(p => p -> s"__e_$p").toSeq
+      val e = graph.maybeBroadcast(label,
+        e0.select(renames.map { case (c, a) => col(c).as(a) }: _*))
+      (bound(from), bound(to)) match {
+        case (false, false) =>
+          addFrame(e)
+          df = df.withColumn(from, col("__src")).withColumn(to, col("__dst"))
+          vars += from -> VarState(et.srcLabel, hasProps = false)
+          vars += to -> VarState(et.dstLabel, hasProps = false)
+        case (true, false) =>
+          df = df.join(e, col(from) === col("__src"), "inner").withColumn(to, col("__dst"))
+          vars += to -> VarState(et.dstLabel, hasProps = false)
+        case (false, true) =>
+          df = df.join(e, col(to) === col("__dst"), "inner").withColumn(from, col("__src"))
+          vars += from -> VarState(et.srcLabel, hasProps = false)
+        case (true, true) =>
+          df = df.join(e, col(from) === col("__src") && col(to) === col("__dst"), "inner")
+      }
+      weightVar.foreach(w => df = df.withColumn(w, col("__w")))
+      edgeProps.foreach { case (p, v) => df = df.withColumn(v, col(s"__e_$p")) }
+      df = df.drop("__src", "__dst", "__w").drop(edgeProps.keys.map(p => s"__e_$p").toSeq: _*)
+
+    case Slot(v, name, bindAs) =>
+      require(bound(v), s"slot access on unbound var ?$v")
+      ensureProps(v)
+      df = df.withColumn(bindAs, col(s"${v}__$name"))
+
+    case Filter(cond) => df = df.filter(cond)
+
+    case Regex(v, pat) => df = df.filter(col(v).rlike(pat))
+
+    case Bind(v, expr) => df = df.withColumn(v, expr)
+
+    case Param(v, name) =>
+      require(df != null, "param goal before any generator")
+      val value = params.getOrElse(name, throw new IllegalArgumentException(s"missing param: $name"))
+      df = df.withColumn(v, lit(value))
+
+    case Not(goals) =>
+      val sub = new PatternCompiler(graph, params)
+      goals.foreach(sub.compileGoal)
+      val shared = sub.vars.keySet.intersect(vars.keySet).toSeq.sorted
+      require(shared.nonEmpty, "negated pattern shares no variables with the outer query")
+      val subDf = sub.df.select(shared.map(col): _*).distinct()
+      df = df.join(subDf, shared, "left_anti")
+
+    case Or(branches) =>
+      val compiled = branches.map { goals =>
+        val b = new PatternCompiler(graph, params)
+        b.df = df
+        b.vars = vars
+        goals.foreach(b.compileGoal)
+        b
+      }
+      val newVars = compiled.head.vars.keySet -- vars.keySet
+      require(compiled.forall(c => (c.vars.keySet -- vars.keySet) == newVars),
+        "or-branches must bind the same variables")
+      val keep = (vars.keySet ++ newVars).toSeq.sorted
+      df = compiled.map(_.df.select(keep.map(col): _*)).reduce(_ unionAll _)
+      vars = vars ++ newVars.map(v => v -> compiled.head.vars(v).copy(hasProps = false))
+  }
+
+  def compile(q: PatternQuery): DataFrame = {
+    q.goals.foreach(compileGoal)
+    require(df != null, "query has no generator goal")
+    if (q.countOnly) {
+      val outName = q.select.headOption.map(_._2).getOrElse("count")
+      return df.select(count(lit(1)).as(outName))
+    }
+    var out = df.select(q.select.map { case (v, as) => col(v).as(as) }: _*)
+    if (q.distinct) out = out.distinct()
+    if (q.orderBy.nonEmpty) out = out.orderBy(q.orderBy: _*)
+    q.skip.foreach(n => out = out.offset(n))
+    q.limit.foreach(n => out = out.limit(n))
+    out
+  }
+}
+
+object PatternCompiler {
+  private[query] final case class VarState(label: String, hasProps: Boolean)
+
+  def run(graph: PropertyGraph, q: PatternQuery): DataFrame =
+    new PatternCompiler(graph, q.params).compile(q)
+}

@@ -1,0 +1,95 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-side spatial operators (reference spatial-query.lisp:41-148:
+  * find-nodes-within / find-nodes-near / find-nearest-k, and the
+  * spatial index of spatial-index.lisp).
+  *
+  * Scale design (SURVEY.md §2.8): each row gets a `cells` column — the
+  * geohash cells covering its geometry. Queries compute the covering
+  * cells of their search area on the driver (cheap grid math), prune
+  * candidates with an `isin`/`array_contains` filter — which becomes a
+  * partition filter when the table is written partitioned by cell —
+  * then refine exactly (haversine / point-in-polygon). Empty space
+  * costs nothing, exactly like the reference's per-cell range scans.
+  *
+  * Haversine is expressed with built-in column functions so it
+  * whole-stage-codegens and matches an external SQL oracle bit-for-bit
+  * in formula shape.
+  */
+object SpatialOps {
+
+  /** Haversine distance in meters as a pure column expression. */
+  def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * 6371000.0) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** Geohash cell of a point, as a column (Scala UDF — grid math has no
+    * functions._ equivalent; still JVM-codegen adjacent and cheap).
+    */
+  def geohashUdf(precision: Int) =
+    udf((lon: Double, lat: Double) => Geohash.encode(lon, lat, precision))
+
+  /** Attach the spatial-index cell column (write-path maintenance
+    * analog, reference transactions.lisp:800-876).
+    */
+  def withCell(df: DataFrame, lonCol: String, latCol: String, precision: Int): DataFrame =
+    df.withColumn("cell", geohashUdf(precision)(col(lonCol), col(latCol)))
+
+  /** Candidate pruning for a bbox query: covering cells computed on the
+    * driver, then a cell membership filter (partition-prunable).
+    */
+  def bboxCandidates(df: DataFrame, lonCol: String, latCol: String,
+      box: Geohash.BBox, precision: Int): DataFrame = {
+    val cells = Geohash.covering(box, precision)
+    // covering may have auto-dropped precision to bound the cell count —
+    // row cells must be computed at the precision actually used
+    val actualPrecision = cells.head.length
+    withCell(df, lonCol, latCol, actualPrecision)
+      .filter(col("cell").isin(cells: _*))
+  }
+
+  /** find-nodes-within (bbox): prune by cells then refine exactly. */
+  def withinBBox(df: DataFrame, lonCol: String, latCol: String,
+      box: Geohash.BBox, precision: Int = 5): DataFrame =
+    bboxCandidates(df, lonCol, latCol, box, precision)
+      .filter(col(lonCol) >= box.minLon && col(lonCol) <= box.maxLon &&
+        col(latCol) >= box.minLat && col(latCol) <= box.maxLat)
+
+  /** find-nodes-near: radius query = bbox prune + haversine refine,
+    * with the reference's lat-aware lon-degree bbox derivation
+    * (spatial-index.lisp:145-168).
+    */
+  def near(df: DataFrame, lonCol: String, latCol: String,
+      lon: Double, lat: Double, radiusM: Double, precision: Int = 5): DataFrame = {
+    val dLat = radiusM / 111320.0
+    val dLon = radiusM / (111320.0 * math.max(0.01, math.cos(math.toRadians(lat))))
+    val box = Geohash.BBox(
+      math.max(-180, lon - dLon), math.max(-90, lat - dLat),
+      math.min(180, lon + dLon), math.min(90, lat + dLat))
+    bboxCandidates(df, lonCol, latCol, box, precision)
+      .withColumn("dist_m", haversineM(col(lonCol), col(latCol), lit(lon), lit(lat)))
+      .filter(col("dist_m") <= radiusM)
+  }
+
+  /** find-nearest-k: kNN by distance. The reference expands a geohash
+    * radius until k hits (spatial-query.lisp:122-148); on Spark a
+    * global TakeOrdered over the (possibly cell-pruned) candidates is a
+    * single pass with no expanding re-scans — start from `near` with a
+    * radius guess when an index bound is known, else full scan.
+    */
+  def nearestK(df: DataFrame, lonCol: String, latCol: String, idCol: String,
+      lon: Double, lat: Double, k: Int): DataFrame =
+    df.withColumn("dist_m", round(haversineM(col(lonCol), col(latCol), lit(lon), lit(lat)), 3))
+      .orderBy(col("dist_m").asc, col(idCol).asc)
+      .limit(k)
+
+  /** Point-in-polygon refine (UDF over the pure ray-casting test). */
+  def pointInPolygonUdf(rings: Seq[Seq[(Double, Double)]]) =
+    udf((lon: Double, lat: Double) => Geohash.pointInPolygon(lon, lat, rings))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Specs for the non-SQL-expressible pipeline operators (the driver
+  * only rows-checks these): MinHash/LSH near-dup, SimHash, ANN.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsWithPlants = {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // plant two near-duplicates of doc 0 and one exact duplicate
+    val d0 = base.filter($"doc_id" === 0).head().getString(1)
+    val planted = Seq(
+      (100000L, d0),                             // exact dup
+      (100001L, d0 + " extra tail words here"),  // near dup
+      (100002L, "completely unrelated tiny doc") // unrelated
+    ).toDF("doc_id", "text")
+    base.union(planted)
+  }
+
+  test("exact dedup groups catch the planted duplicate") {
+    val groups = Dedup.exactDupGroups(docsWithPlants, "text", "doc_id")
+      .filter($"n_docs" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_docs") == 2)
+    assert(groups.head.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val dups = Dedup.minhashNearDups(docsWithPlants, "doc_id", "text",
+      k = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    val pairs = dups.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100000L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((0L, 100001L)), s"near dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 100002L || p._2 == 100002L))
+  }
+
+  test("minhash jaccard of exact dup is 1.0") {
+    val j = Dedup.minhashNearDups(docsWithPlants, "doc_id", "text")
+      .filter($"id_a" === 0 && $"id_b" === 100000L)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical texts equal, near texts close in hamming") {
+    val df = docsWithPlants.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(0L) == m(100000L))
+    assert(java.lang.Long.bitCount(m(0L) ^ m(100001L)) <= 12,
+      "near-dup simhash should be within 12 bits")
+    assert(java.lang.Long.bitCount(m(0L) ^ m(100002L)) > 12,
+      "unrelated doc simhash should be far")
+  }
+
+  test("simhash is deterministic across runs") {
+    val a = docsWithPlants.select(Dedup.simhash64($"text")).as[Long].collect()
+    val b = docsWithPlants.select(Dedup.simhash64($"text")).as[Long].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("brute-force cosine topk: self-similarity is 1 for identical vector") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 1).collect()
+    assert(top.head.getAs[Long]("id") == 0L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+  }
+
+  test("ann lsh topk is a subset of brute-force ranking universe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val ann = Similarity.annTopK(emb, "embedding", "vec_id", q, k = 10, nBits = 4)
+      .select("id").as[Long].collect().toSet
+    assert(ann.contains(0L), "query vector's own id must be in its LSH bucket")
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 500)
+      .select("id").as[Long].collect().toSet
+    assert(ann.subsetOf(brute + 0L))
+  }
+
+  test("language id picks the language with most markers") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "der hund und das haus ist gross"),
+      (3L, "el gato la casa que es grande"),
+      (4L, "xyzzy plugh")).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text").as("l")).as[(Long, String)].collect().toMap
+    assert(got(1L) == "en"); assert(got(2L) == "de")
+    assert(got(3L) == "es"); assert(got(4L) == "und")
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tpch
+import graft.operators.{Fixpoint, Traverse}
+import graft.query._
+
+/** Pattern-query compiler semantics: binding cases, negation, union,
+  * subclass scans, params — mirroring the reference's
+  * prolog-functor-tests / query-tests contracts (SURVEY.md §5).
+  */
+class PatternSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val g = Tpch.graph(spark, sf)
+
+  test("is-a generator binds ids and props") {
+    val df = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(IsA("a", "customer"), Slot("a", "c_name", "n")),
+      select = Seq("a" -> "id", "n" -> "name")))
+    assert(df.count() == 150)
+    assert(df.columns.toSet == Set("id", "name"))
+  }
+
+  test("edge goal with from bound = VE access path") {
+    val df = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(IsA("a", "customer"), Filter(col("a") === 7L), EdgeGoal("placed", "a", "o")),
+      select = Seq("o" -> "orderkey")))
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_custkey" === 7).count()
+    assert(df.count() == expected)
+  }
+
+  test("edge goal with both bound = VEV existence scan") {
+    val anyEdge = g.edgeFrame("placed").select("src", "dst").head()
+    val df = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(
+        IsA("a", "customer"), Filter(col("a") === anyEdge.getLong(0)),
+        IsA("o", "order"), Filter(col("o") === anyEdge.getLong(1)),
+        EdgeGoal("placed", "a", "o")),
+      select = Seq("a" -> "c", "o" -> "o")))
+    assert(df.count() == 1)
+  }
+
+  test("negation is anti-join over shared vars") {
+    val withO = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(IsA("a", "customer"), EdgeGoal("placed", "a", "o")),
+      select = Seq("a" -> "id"), distinct = true)).count()
+    val without = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(IsA("a", "customer"), Not(Seq(EdgeGoal("placed", "a", "o")))),
+      select = Seq("a" -> "id"))).count()
+    assert(withO + without == 150)
+  }
+
+  test("or is bag union: both-branch rows appear twice") {
+    val df = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(IsA("a", "customer"), Slot("a", "c_acctbal", "b"),
+        Or(Seq(Seq(Filter(col("b") > -1e9)), Seq(Filter(col("b") > -1e9))))),
+      select = Seq("a" -> "id")))
+    assert(df.count() == 300)
+  }
+
+  test("unknown type / unbound slot fail fast") {
+    intercept[IllegalArgumentException] {
+      PatternCompiler.run(g, PatternQuery(Seq(IsA("a", "nope")), Seq("a" -> "id")))
+    }
+    intercept[IllegalArgumentException] {
+      PatternCompiler.run(g, PatternQuery(Seq(Slot("a", "c_name", "n")), Seq("n" -> "n")))
+    }
+  }
+
+  test("param binds a runtime literal") {
+    val df = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(IsA("a", "customer"), Slot("a", "c_mktsegment", "s"),
+        Param("w", "seg"), Filter(col("s") === col("w"))),
+      select = Seq("a" -> "id"), params = Map("seg" -> "BUILDING")))
+    val expected = g.vertexFrame("customer").filter($"c_mktsegment" === "BUILDING").count()
+    assert(df.count() == expected)
+  }
+
+  test("limit/skip/count options") {
+    val q = PatternQuery(
+      goals = Seq(IsA("o", "order")),
+      select = Seq("o" -> "id"), orderBy = Seq(col("id")), limit = Some(10), skip = Some(5))
+    val ids = PatternCompiler.run(g, q).as[Long].collect()
+    assert(ids.sameElements(5L until 15L))
+    val cnt = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(IsA("o", "order")), select = Seq("o" -> "n"), countOnly = true))
+      .as[Long].head()
+    assert(cnt == 1500)
+  }
+
+  test("bfs depth-0 and unreachable") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (9L, 9L)).toDF("src", "dst")
+    val start = Seq(1L).toDF("id")
+    val got = Traverse.bfs(edges, start, maxDepth = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfs both-direction") {
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val got = Traverse.bfs(edges, Seq(1L).toDF("id"), 5, Traverse.Both)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("fixpoint converges on cyclic graph and respects budgets") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val base = Seq(1L).toDF("id")
+    val closure = Fixpoint.semiNaive(base, Seq("id")) { delta =>
+      delta.join(edges, delta("id") === edges("src")).select($"dst".as("id"))
+    }
+    assert(closure.as[Long].collect().toSet == Set(1L, 2L, 3L))
+    intercept[Fixpoint.BudgetExceeded] {
+      Fixpoint.semiNaive(base, Seq("id"), Fixpoint.Budget(maxIterations = 1)) { delta =>
+        delta.join(edges, delta("id") === edges("src")).select($"dst".as("id"))
+      }
+    }
+  }
+}

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate: run Verify output
+vs DuckDB oracles, compare values exactly (columns sorted by name)."""
+import sys, json, glob, os
+import duckdb, pandas as pd, numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails, passes, rows_only = [], [], []
+for qdir in sorted(glob.glob(f"{out_dir}/q*")):
+    name = os.path.basename(qdir)
+    try:
+        got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
+    except Exception as e:
+        fails.append((name, f"spark output unreadable: {e}")); continue
+    if name not in oracle:
+        rows_only.append((name, len(got))); continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}")); continue
+    got = got[sorted(got.columns)]; exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        fails.append((name, f"columns differ: {list(got.columns)} vs {list(exp.columns)}")); continue
+    if len(got) != len(exp):
+        fails.append((name, f"row count: {len(got)} vs {len(exp)}")); continue
+    ok = True
+    for c in got.columns:
+        a, b = got[c].values, exp[c].values
+        try:
+            if a.dtype == object or b.dtype == object:
+                eq = all(str(x) == str(y) for x, y in zip(a, b))
+            else:
+                eq = (pd.Series(a).astype('float64').equals(pd.Series(b).astype('float64'))
+                      if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating)
+                      else list(a) == list(b))
+        except Exception as e:
+            eq = False
+        if not eq:
+            mism = [(i, a[i], b[i]) for i in range(len(a)) if str(a[i]) != str(b[i])][:3]
+            fails.append((name, f"col {c} differs, e.g. {mism}")); ok = False; break
+    if ok: passes.append(name)
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+print(f"ROWS-ONLY {len(rows_only)}: {rows_only}")
+print(f"FAIL {len(fails)}:")
+for n, msg in fails: print(f"  {n}: {msg}")
+sys.exit(1 if fails else 0)
