@@ -1,0 +1,137 @@
+package graft.model
+
+import java.io.RandomAccessFile
+import java.nio.channels.FileLock
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Versioned, snapshot-readable graph storage — the Spark rebuild of
+  * the reference's MVCC + OCC transaction machinery (reference
+  * transactions.lisp: archive/resolve 410-468, validate 236-246, apply
+  * 958-1003; node revision fields node-class.lisp:176-182).
+  *
+  * Model (SURVEY.md §1.4/§7.2 step 7): each table is an append-only set
+  * of row *versions* `(id, rev, deleted, props…)` laid out as
+  * `dir/<label>/commit_epoch=<e>/part-*.parquet`. A single pointer file
+  * `_epoch` holds the last committed epoch:
+  *
+  *   - **Atomic multi-table commits**: data files land first, the
+  *     pointer bump is last (temp file + atomic rename). Readers filter
+  *     `commit_epoch <= pointer`, so a crashed half-written commit is
+  *     never visible — the all-indexes-in-one-commit guarantee of
+  *     transactions.lisp:958-1003.
+  *   - **Snapshot reads**: `read(label, asOf = Some(e))` pins an epoch,
+  *     like `:snapshot t` queries (prologc.lisp:1024-1031). Epoch dirs
+  *     are partition dirs, so old snapshots prune newer commits at the
+  *     file level.
+  *   - **OCC**: a commit declares each row's `rev`; validation joins
+  *     against the current latest revisions and rejects the commit on
+  *     any mismatch (first-committer-wins, the validate step of
+  *     transactions.lisp:236-246). Single-writer via a file lock.
+  *   - **Soft delete**: a new version with `deleted = true`
+  *     (mark-deleted, interface.lisp:15-25).
+  *   - **keep-revisions** (schema.lisp:49) → [[vacuum]].
+  */
+final class VersionedStore(spark: SparkSession, dir: String) {
+
+  Files.createDirectories(Paths.get(dir))
+  private val epochPath = Paths.get(dir, "_epoch")
+
+  final class ConflictException(msg: String) extends RuntimeException(msg)
+
+  def currentEpoch: Long =
+    if (Files.exists(epochPath)) Files.readString(epochPath).trim.toLong else 0L
+
+  private def withWriteLock[T](body: => T): T = {
+    val raf = new RandomAccessFile(Paths.get(dir, "_lock").toFile, "rw")
+    val lock: FileLock = raf.getChannel.lock()
+    try body finally { lock.release(); raf.close() }
+  }
+
+  private def labelDir(label: String) = s"$dir/$label"
+
+  /** All visible row versions of a table as of an epoch. */
+  private def versions(label: String, asOf: Long): DataFrame = {
+    val p = labelDir(label)
+    if (!Files.exists(Paths.get(p))) return spark.emptyDataFrame
+    spark.read.parquet(p).filter(col("commit_epoch") <= asOf)
+  }
+
+  /** Latest visible (non-deleted) version of each row — the default
+    * read view. `asOf` pins a snapshot epoch (time travel).
+    */
+  def read(label: String, asOf: Option[Long] = None): DataFrame = {
+    if (!Files.exists(Paths.get(labelDir(label)))) return spark.emptyDataFrame
+    val epoch = asOf.getOrElse(currentEpoch)
+    val w = Window.partitionBy("id").orderBy(col("rev").desc)
+    versions(label, epoch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("deleted"))
+      .drop("__rn")
+  }
+
+  /** Full version history (the MVCC chain; mvcc-tests analog). */
+  def history(label: String): DataFrame = versions(label, currentEpoch)
+
+  /** Atomically commit one batch of row versions across any number of
+    * tables. Each frame must have (id: Long, rev: Long, deleted:
+    * Boolean, props…). Rev contract: 1 for a new id, latest+1 for an
+    * update/delete of an existing id; anything else → ConflictException
+    * (OCC validation). Returns the new epoch.
+    */
+  def commit(writes: Map[String, DataFrame]): Long = withWriteLock {
+    val base = currentEpoch
+    val next = base + 1
+    // validate all tables before writing any (atomicity of the commit)
+    writes.foreach { case (label, df) =>
+      require(Set("id", "rev", "deleted").subsetOf(df.columns.toSet),
+        s"$label commit frame needs (id, rev, deleted)")
+      val latest =
+        if (!Files.exists(Paths.get(labelDir(label))))
+          spark.range(0).select(col("id"), lit(0L).as("cur_rev"))
+        else versions(label, base).groupBy("id").agg(max("rev").as("cur_rev"))
+      val bad = df.select(col("id"), col("rev"))
+        .join(latest, Seq("id"), "left")
+        .filter(!(col("cur_rev").isNull && col("rev") === 1L) &&
+          !(col("cur_rev").isNotNull && col("rev") === col("cur_rev") + 1L))
+      val nBad = bad.count()
+      if (nBad > 0) {
+        val sample = bad.limit(5).collect().map(r => s"id=${r.get(0)} rev=${r.get(1)}").mkString(", ")
+        throw new ConflictException(s"$label: $nBad stale/invalid revisions ($sample)")
+      }
+    }
+    writes.foreach { case (label, df) =>
+      df.write.mode("append").parquet(s"${labelDir(label)}/commit_epoch=$next")
+    }
+    // pointer bump last: temp + atomic rename makes the commit visible
+    val tmp = Paths.get(dir, s"_epoch.tmp.$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, epochPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Retention: rewrite a table keeping only the newest `keep`
+    * revisions per id (the keep-revisions reaper; MVCC archiving
+    * transactions.lisp:408-599). Runs as a compaction commit.
+    */
+  def vacuum(label: String, keep: Int): Unit = withWriteLock {
+    val epoch = currentEpoch
+    val w = Window.partitionBy("id").orderBy(col("rev").desc)
+    val kept = versions(label, epoch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= keep)
+      .drop("__rn", "commit_epoch")
+      .localCheckpoint(true) // materialize before deleting source files
+    val p = Paths.get(labelDir(label))
+    def rm(f: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(f)) Files.list(f).forEach(rm)
+      Files.delete(f)
+    }
+    rm(p)
+    kept.write.mode("overwrite").parquet(s"${labelDir(label)}/commit_epoch=$epoch")
+  }
+}

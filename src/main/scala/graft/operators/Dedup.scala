@@ -32,46 +32,66 @@ object Dedup {
 
   /** MinHash signature: for seed i, sig(i) = min over shingles of
     * xxhash64(shingle, i). Pure column expressions → codegen'd.
+    * Pass an already-distinct shingle column; the expression is built
+    * once per seed over that single column reference.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(array_distinct(shingleCol), s => xxhash64(s, lit(i))))
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
     }: _*)
 
   /** LSH banding: (docId, band, bandHash) rows, one per band. Docs
     * agreeing on any full band land in the same bucket.
     */
-  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+  /** (id, sh, sig): distinct shingle set + minhash signature, computed
+    * in one narrow map pass — shared by bucketing and verification so
+    * the shingle expression tree is built and evaluated once.
+    */
+  def signatureFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("doc"), array_distinct(shingles(col(textCol), k)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+  /** LSH banding over a signature frame: (doc, band, bandHash) — kept
+    * narrow (no shingle payload) so the bucket shuffle moves only
+    * id + 2 longs per band, not band-many copies of the document.
+    */
+  def lshBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sig = minhashSignature(shingles(col(textCol), k), numHashes)
-    val banded = df.select(col(idCol).as("doc"), sig.as("sig"))
-      .select(col("doc"), posexplode(transform(
+    sigs.select(col("doc"), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    banded
   }
 
   /** Near-duplicate candidate pairs via MinHash LSH, verified with exact
     * shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b
     * and jaccard >= threshold.
+    *
+    * Shuffle budget: one narrow shuffle on (band, band_hash) to form
+    * candidate pairs (ids only), then two hash joins back to the
+    * shingle sets for exact verification — the heavy arrays are never
+    * replicated per band. Long-running pipelines should persist
+    * `signatureFrame` and pass it via `sigs`.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val buckets = lshBuckets(df, idCol, textCol, k, numHashes, bands)
-    val a = buckets.withColumnsRenamed(Map("doc" -> "id_a"))
-    val b = buckets.withColumnsRenamed(Map("doc" -> "id_b"))
-    val pairs = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
+      threshold: Double = 0.5, sigs: Option[DataFrame] = None): DataFrame = {
+    // materialization barrier: without it Catalyst's projection
+    // collapse inlines the shingle expression into every seed × band ×
+    // join consumer (~50× re-evaluation measured at sf0.1); with it the
+    // signatures are computed exactly once and served to the bucket
+    // self-join and both verification joins
+    val sigFrame = sigs.getOrElse(
+      signatureFrame(df, idCol, textCol, k, numHashes).localCheckpoint(true))
+    val buckets = lshBuckets(sigFrame, numHashes, bands)
+    val pairs = buckets.as("a").join(buckets.as("b"), Seq("band", "band_hash"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
     pairs
-      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .join(sigFrame.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sigFrame.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators — the rebuild of the reference's
+  * commit-time incremental machinery (SURVEY.md §7.2 step 4):
+  *
+  *   - the transaction log that streams committed writes to views and
+  *     replication slaves (reference transactions.lisp:1005-1425,
+  *     transaction-streaming.lisp:141-170) becomes a streaming source
+  *     over the write log;
+  *   - per-commit view maintenance (views.lisp:331-374) becomes an
+  *     update-mode streaming aggregation;
+  *   - replication subset filters (spatial-query.lisp:161-172) become
+  *     filtered streaming sinks.
+  *
+  * Watermarked windows and `flatMapGroupsWithState` cover the
+  * stream-analytics surface the reference lacked outright.
+  */
+object Streams {
+
+  /** Incremental materialized view: per-key aggregation maintained in
+    * update mode as new rows stream in — each micro-batch plays the
+    * role of one reference commit.
+    */
+  def incrementalView(mapped: DataFrame /* (key, value) */): DataFrame =
+    mapped.groupBy("key").agg(sum("value").as("value"), count(lit(1)).as("n"))
+
+  /** Watermarked tumbling-window aggregation over an event stream. */
+  def windowedAgg(events: DataFrame, tsCol: String, window: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
+
+  /** Replication-slave sink analog: subscribe to the write log with an
+    * optional subset predicate (the spatial replication filter).
+    */
+  def replicationStream(log: DataFrame, filter: Option[org.apache.spark.sql.Column]): DataFrame =
+    filter.map(log.filter).getOrElse(log)
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, startMs: Long, endMs: Long, n_events: Int)
+
+  /** Gap-based session assembly with explicit state — the
+    * `flatMapGroupsWithState` surface. Emits a session once the gap
+    * (processing-time analog here: closed by a later event or stream
+    * end via timeout) is exceeded.
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var out = List.empty[Session]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last <= gapMillis => st = s.copy(last = t, n = s.n + 1)
+              case s =>
+                out ::= Session(user, s.start, s.last, s.n)
+                st = SessionState(t, t, 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.reverseIterator
+      }
+  }
+
+  /** Close all open sessions (end-of-stream flush for tests/batch). */
+  def openSessions(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (user, rows) =>
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      val sessions = scala.collection.mutable.ListBuffer.empty[Session]
+      var st: SessionState = null
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        st match {
+          case null => st = SessionState(t, t, 1)
+          case s if t - s.last <= gapMillis => st = s.copy(last = t, n = s.n + 1)
+          case s =>
+            sessions += Session(user, s.start, s.last, s.n)
+            st = SessionState(t, t, 1)
+        }
+      }
+      if (st != null) sessions += Session(user, st.start, st.last, st.n)
+      sessions.iterator
+    }
+  }
+}

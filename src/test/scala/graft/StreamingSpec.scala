@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Streaming semantics: incremental view maintenance in update mode,
+  * watermarked windows, stateful sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("incremental view updates per-key aggregates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val mapped = input.toDF().toDF("key", "value")
+    val q = Streams.incrementalView(mapped)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("iv").start()
+
+    input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+    q.processAllAvailable()
+    val after1 = spark.sql("select * from iv").as[(Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    assert(after1(1L)._2 == 15.0 && after1(1L)._3 == 2)
+
+    input.addData((1L, 1.0))
+    q.processAllAvailable()
+    val after2 = spark.sql("select * from iv").as[(Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    assert(after2(1L)._2 == 16.0 && after2(1L)._3 == 3)
+    assert(after2(2L)._2 == 1.0)
+    q.stop()
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = Streams.windowedAgg(
+      input.toDF(), "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("wa").start()
+    input.addData(
+      Event(1, ts(0), "click", 1.0), Event(1, ts(1), "click", 2.0),
+      Event(2, ts(11), "click", 3.0), Event(2, ts(12), "buy", 4.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select bucket, event_type, n, total_value from wa")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.exists(r => r._2 == "click" && r._3 == 2 && r._4 == 3.0))
+    assert(rows.exists(r => r._2 == "click" && r._3 == 1 && r._4 == 3.0))
+    assert(rows.exists(r => r._2 == "buy" && r._3 == 1 && r._4 == 4.0))
+  }
+
+  test("stateful sessionize emits closed sessions; flush closes the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sess = Streams.sessionize(input.toDS(), gapMillis = 5 * 60000L)
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sess").start()
+    // one batch: user 1 has two bursts separated by > gap
+    input.addData(
+      Event(1, ts(0), "a", 0), Event(1, ts(2), "a", 0),
+      Event(1, ts(30), "a", 0), Event(1, ts(31), "a", 0),
+      Event(2, ts(0), "a", 0))
+    q.processAllAvailable()
+    val closed = spark.sql("select user_id, n_events from sess")
+      .as[(Long, Int)].collect().toSet
+    q.stop()
+    // the first burst of user 1 closed when the second burst arrived
+    assert(closed.contains((1L, 2)))
+
+    // batch flush variant sees all sessions
+    val all = Streams.openSessions(Seq(
+      Event(1, ts(0), "a", 0), Event(1, ts(2), "a", 0),
+      Event(1, ts(30), "a", 0), Event(2, ts(0), "a", 0)).toDS(), 5 * 60000L)
+      .collect().map(s => (s.user_id, s.n_events)).toSet
+    assert(all == Set((1L, 2), (1L, 1), (2L, 1)))
+  }
+
+  test("replication stream subset filter") {
+    val log = Seq((1L, "a", 10.0), (2L, "b", -5.0)).toDF("id", "kind", "v")
+    val filtered = Streams.replicationStream(log, Some(col("v") > 0))
+    assert(filtered.count() == 1)
+    assert(Streams.replicationStream(log, None).count() == 2)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.VersionedStore
+
+/** MVCC / transaction semantics (mvcc-tests + acid suite analog):
+  * atomic multi-table visibility, snapshot reads, OCC conflicts,
+  * soft delete, retention vacuum.
+  */
+class VersionedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore = new VersionedStore(spark,
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "vstore").toString)
+
+  test("insert/read round trip and epoch bump") {
+    val st = freshStore
+    assert(st.currentEpoch == 0)
+    val e1 = st.commit(Map("v" ->
+      Seq((1L, 1L, false, "alice"), (2L, 1L, false, "bob"))
+        .toDF("id", "rev", "deleted", "name")))
+    assert(e1 == 1)
+    val got = st.read("v").select("id", "name").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "alice", 2L -> "bob"))
+  }
+
+  test("update creates new revision; snapshot read sees the old one") {
+    val st = freshStore
+    val e1 = st.commit(Map("v" -> Seq((1L, 1L, false, "alice")).toDF("id", "rev", "deleted", "name")))
+    val e2 = st.commit(Map("v" -> Seq((1L, 2L, false, "alicia")).toDF("id", "rev", "deleted", "name")))
+    assert(st.read("v").select("name").as[String].head() == "alicia")
+    assert(st.read("v", asOf = Some(e1)).select("name").as[String].head() == "alice")
+    assert(st.history("v").count() == 2)
+    assert(e2 == 2)
+  }
+
+  test("soft delete hides the row; old snapshot still sees it") {
+    val st = freshStore
+    val e1 = st.commit(Map("v" -> Seq((1L, 1L, false, "x")).toDF("id", "rev", "deleted", "name")))
+    st.commit(Map("v" -> Seq((1L, 2L, true, "x")).toDF("id", "rev", "deleted", "name")))
+    assert(st.read("v").count() == 0)
+    assert(st.read("v", asOf = Some(e1)).count() == 1)
+  }
+
+  test("OCC: stale revision and duplicate insert are rejected, nothing committed") {
+    val st = freshStore
+    st.commit(Map("v" -> Seq((1L, 1L, false, "x")).toDF("id", "rev", "deleted", "name")))
+    // stale update (rev must be 2)
+    intercept[st.ConflictException] {
+      st.commit(Map("v" -> Seq((1L, 1L, false, "y")).toDF("id", "rev", "deleted", "name")))
+    }
+    // duplicate insert of existing id
+    intercept[st.ConflictException] {
+      st.commit(Map("v" -> Seq((1L, 1L, false, "z")).toDF("id", "rev", "deleted", "name")))
+    }
+    // wild rev for new id
+    intercept[st.ConflictException] {
+      st.commit(Map("v" -> Seq((9L, 5L, false, "w")).toDF("id", "rev", "deleted", "name")))
+    }
+    assert(st.currentEpoch == 1)
+    assert(st.read("v").select("name").as[String].head() == "x")
+  }
+
+  test("multi-table commit is atomic: a conflict in one table blocks all") {
+    val st = freshStore
+    st.commit(Map("v" -> Seq((1L, 1L, false, "x")).toDF("id", "rev", "deleted", "name")))
+    intercept[st.ConflictException] {
+      st.commit(Map(
+        "e" -> Seq((10L, 1L, false, "edge")).toDF("id", "rev", "deleted", "kind"),
+        "v" -> Seq((1L, 9L, false, "bad")).toDF("id", "rev", "deleted", "name")))
+    }
+    // neither table advanced
+    assert(st.read("e").count() == 0)
+    assert(st.currentEpoch == 1)
+  }
+
+  test("vacuum keeps only newest revisions") {
+    val st = freshStore
+    st.commit(Map("v" -> Seq((1L, 1L, false, "a")).toDF("id", "rev", "deleted", "name")))
+    st.commit(Map("v" -> Seq((1L, 2L, false, "b")).toDF("id", "rev", "deleted", "name")))
+    st.commit(Map("v" -> Seq((1L, 3L, false, "c")).toDF("id", "rev", "deleted", "name")))
+    assert(st.history("v").count() == 3)
+    st.vacuum("v", keep = 1)
+    assert(st.history("v").count() == 1)
+    assert(st.read("v").select("name").as[String].head() == "c")
+    // further commits still validate against the kept revision
+    st.commit(Map("v" -> Seq((1L, 4L, false, "d")).toDF("id", "rev", "deleted", "name")))
+    assert(st.read("v").select("name").as[String].head() == "d")
+  }
+}
