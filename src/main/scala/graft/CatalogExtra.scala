@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.Tpch
+import graft.operators.AsOf
+import graft.spatial.SpatialOps
+
+/** Control constructs (SURVEY.md §2.10), analytic window functions and
+  * as-of joins (capabilities the reference lacked — §2.5 — exposed
+  * because the rebuild gets them for free), sketches, and the
+  * point-in-polygon refine.
+  */
+object CatalogExtra {
+  import QueryDef._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q35_forall",
+      // forall/2 (prolog-functors.lisp:305-347): customers ALL of whose
+      // orders are status 'O' = anti-join of the violating set;
+      // vacuously true for customers with no orders
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val violating = g.edgeFrame("placed").filter(col("o_orderstatus") =!= "O")
+          .select(col("src").as("id")).distinct()
+        g.vertexFrame("customer").join(violating, Seq("id"), "left_anti")
+          .select(col("id").as("custkey")).orderBy("custkey")
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'O')
+             |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q36_if_else",
+      // if/3 soft cut (prologc.lisp:520-582): per customer, order count
+      // when any orders exist, else the else-branch constant
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val counts = g.edgeFrame("placed").groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("n"))
+        g.vertexFrame("customer").join(counts, Seq("id"), "left")
+          .select(col("id").as("custkey"),
+            coalesce(col("n"), lit(-1L)).as("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT c_custkey AS custkey, COALESCE(n, -1) AS n_orders
+             |FROM customer c LEFT JOIN (
+             |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+             |  ON o.o_custkey = c.c_custkey
+             |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q37_approx_distinct",
+      // HLL sketch (absent in reference, SURVEY §2.4): rows-only check —
+      // sketch estimates differ engine to engine by construction
+      (s, d) => Tpch.graph(s, d).edgeFrame("contains")
+        .agg(approx_count_distinct(col("dst")).as("approx_parts"),
+          count(lit(1)).as("n_rows")),
+      None),
+
+    QueryDef("q44_point_in_polygon",
+      // ray-casting refine (geometry-ops.lisp:32-66). Polygon chosen
+      // with no data point on an edge; the oracle states the equivalent
+      // half-plane form of the same diamond
+      (s, d) => {
+        val diamond = Seq(Seq((30.5, 0.0), (0.0, 30.5), (-30.5, 0.0), (0.0, -30.5)))
+        val cust = Tpch.graph(s, d).vertexFrame("customer")
+          .withColumn("lon", ((col("id") * 7 % 360) - 180).cast("double") + 0.5)
+          .withColumn("lat", ((col("id") * 13 % 180) - 90).cast("double") + 0.5)
+        cust.filter(SpatialOps.pointInPolygonUdf(diamond)(col("lon"), col("lat")))
+          .select(col("id"), col("lon"), col("lat")).orderBy("id")
+      },
+      Some("""SELECT id, lon, lat FROM (
+             |  SELECT c_custkey AS id,
+             |    CAST((c_custkey*7 % 360) - 180 AS DOUBLE) + 0.5 AS lon,
+             |    CAST((c_custkey*13 % 180) - 90 AS DOUBLE) + 0.5 AS lat
+             |  FROM customer)
+             |WHERE abs(lon) + abs(lat) <= 30 ORDER BY id""".stripMargin)),
+
+    QueryDef("q63_window_rank",
+      // ranking/lag analytics (reference has none — SURVEY §2.5)
+      (s, d) => {
+        val w = Window.partitionBy("custkey")
+          .orderBy(col("totalprice").desc, col("orderkey").asc)
+        Tpch.graph(s, d).edgeFrame("placed")
+          .select(col("src").as("custkey"), col("dst").as("orderkey"),
+            col("weight").as("totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("prev_price", lag("totalprice", 1).over(w))
+          .filter(col("rn") <= 3)
+          .select(col("custkey"), col("orderkey"), col("rn"), col("rnk"),
+            coalesce(col("prev_price"), lit(-1.0)).as("prev_price"))
+          .orderBy("custkey", "rn")
+      },
+      Some("""SELECT custkey, orderkey, rn, rnk, COALESCE(prev_price, -1.0) AS prev_price
+             |FROM (
+             |  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+             |    lag(o_totalprice, 1) OVER w AS prev_price
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+             |WHERE rn <= 3 ORDER BY custkey, rn""".stripMargin)),
+
+    QueryDef("q64_asof_join",
+      // as-of join: each purchase enriched with the user's most recent
+      // click at-or-before it (union + running-last — no range join)
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        AsOf.join(purchases, clicks, keys = Seq("user_id"), tsCol = "ts",
+            payload = Seq("click_id"))
+          .select(col("event_id"), col("user_id"), col("asof_click_id").as("click_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)))
+}

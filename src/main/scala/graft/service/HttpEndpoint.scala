@@ -1,0 +1,110 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** REST façade over [[QueryService]] — the transport tier of the
+  * reference's REST API (reference rest.lisp:620-763 CRUD+query
+  * routes; 203-211 auth; 101-147 row→JSON).
+  *
+  * Routes:
+  *   - `POST /query/{name}`  body `{"params": {"k": "v"}}` → JSON rows
+  *     (registered-query tier)
+  *   - `POST /pattern`       body = the JSON pattern DSL → JSON rows;
+  *     `?stream=1` → ndjson, one row per line (the :callback contract)
+  *
+  * Status mapping (rest.lisp:420-433): BadRequest → 400, Forbidden →
+  * 403, bad token → 401, unknown route → 404, other errors → 500.
+  *
+  * Uses the JDK's built-in HttpServer — the transport is deliberately
+  * minimal; the engine-facing semantics live in QueryService.
+  */
+final class HttpEndpoint(service: QueryService, authToken: Option[String] = None) {
+
+  private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", handle _)
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit =
+    try route(ex)
+    catch {
+      case e: QueryService.BadRequestException => reply(ex, 400, err(e.getMessage))
+      case e: QueryService.ForbiddenException => reply(ex, 403, err(e.getMessage))
+      case e: Throwable => reply(ex, 500, err(e.getMessage))
+    } finally ex.close()
+
+  private def route(ex: HttpExchange): Unit = {
+    if (authToken.exists(t => ex.getRequestHeaders.getFirst("X-Auth-Token") != t)) {
+      reply(ex, 401, err("missing or invalid auth token")); return
+    }
+    if (ex.getRequestMethod != "POST") { reply(ex, 404, err("POST only")); return }
+    val path = ex.getRequestURI.getPath
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val stream = Option(ex.getRequestURI.getQuery).exists(_.contains("stream=1"))
+
+    path match {
+      case p if p.startsWith("/query/") =>
+        val name = p.stripPrefix("/query/")
+        val params = parseParams(body)
+        val df = service.runRegistered(name, params)
+        respondRows(ex, df, stream)
+      case "/pattern" =>
+        val df = service.runAdHoc(body)
+        respondRows(ex, df, stream)
+      case _ => reply(ex, 404, err(s"no such route: $path"))
+    }
+  }
+
+  private def parseParams(body: String): Map[String, String] = {
+    if (body.isBlank) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception =>
+        throw new QueryService.BadRequestException(s"malformed JSON body: ${e.getMessage}") }
+    Option(root.get("params")).map { p =>
+      if (!p.isObject) throw new QueryService.BadRequestException("'params' must be an object")
+      val it = p.properties().iterator()
+      var m = Map.empty[String, String]
+      while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asText() }
+      m
+    }.getOrElse(Map.empty)
+  }
+
+  private def respondRows(ex: HttpExchange, df: org.apache.spark.sql.DataFrame,
+      stream: Boolean): Unit =
+    if (stream) {
+      ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+      ex.sendResponseHeaders(200, 0)
+      val os = ex.getResponseBody
+      service.ndjson(df).foreach { line =>
+        os.write(line.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+      }
+      os.close()
+    } else {
+      val rows = df.toJSON.collect().mkString("[", ",", "]")
+      reply(ex, 200, rows)
+    }
+
+  private def err(msg: String): String =
+    "{\"error\": \"" + Option(msg).getOrElse("unknown").replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", " ") + "\"}"
+
+  private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+}

@@ -1,0 +1,106 @@
+package graft.service
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model.PropertyGraph
+import graft.query.{JsonQuery, PatternCompiler, PatternQuery}
+
+/** The service tier over the engine — the analog of the reference's two
+  * REST query tiers (reference rest.lisp):
+  *
+  *   - **Registered queries** = `def-query` (rest.lisp:367-433):
+  *     server-authored patterns with typed parameter coercion (400 on
+  *     mismatch), enforced result bounds and a read-only effects policy.
+  *   - **Ad-hoc queries** = the JSON pattern DSL (rest.lisp:448-618),
+  *     compiled through the same closed goal set.
+  *
+  * Error taxonomy maps intent exactly: [[BadRequestException]] → 400,
+  * [[ForbiddenException]] → 403 (rest.lisp:420-433); resource budgets
+  * (`:limit`/`:timeout` defaults, rest.lisp:31-36) are clamps applied
+  * to every query before execution.
+  */
+object QueryService {
+  final class BadRequestException(msg: String) extends RuntimeException(msg)
+  final class ForbiddenException(msg: String) extends RuntimeException(msg)
+
+  final case class ParamSpec(
+      name: String,
+      typ: String, // long | double | string | boolean
+      required: Boolean = true,
+      default: Option[Any] = None)
+
+  final case class RegisteredQuery(
+      name: String,
+      params: Seq[ParamSpec],
+      build: Map[String, Any] => PatternQuery,
+      /** queries that mutate need the :write effect — denied unless the
+        * service allows writes (the :effects policy, prologc.lisp:902-943) */
+      writes: Boolean = false)
+}
+
+final class QueryService(
+    graph: PropertyGraph,
+    maxLimit: Int = 1000,
+    allowWrites: Boolean = false) {
+  import QueryService._
+
+  private var registry = Map.empty[String, RegisteredQuery]
+
+  def register(q: RegisteredQuery): Unit = registry += q.name -> q
+
+  def coerce(spec: ParamSpec, raw: Option[String]): Option[(String, Any)] = raw match {
+    case None =>
+      spec.default.map(spec.name -> _).orElse(
+        if (spec.required) throw new BadRequestException(s"missing required param: ${spec.name}")
+        else None)
+    case Some(v) =>
+      val parsed =
+        try spec.typ match {
+          case "long" => v.toLong
+          case "double" => v.toDouble
+          case "boolean" => v.toBoolean
+          case "string" => v
+          case other => throw new BadRequestException(s"unknown param type: $other")
+        } catch {
+          case _: NumberFormatException | _: IllegalArgumentException =>
+            throw new BadRequestException(s"param ${spec.name} must be ${spec.typ}, got: $v")
+        }
+      Some(spec.name -> parsed)
+  }
+
+  /** Clamp every query to the service bounds (rest.lisp:31-36, 571-573). */
+  private def bounded(q: PatternQuery): PatternQuery =
+    q.copy(limit = Some(math.min(q.limit.getOrElse(maxLimit), maxLimit)))
+
+  def runRegistered(name: String, rawParams: Map[String, String]): DataFrame = {
+    val rq = registry.getOrElse(name,
+      throw new BadRequestException(s"unknown query: $name"))
+    if (rq.writes && !allowWrites)
+      throw new ForbiddenException(s"query $name requires the write effect")
+    val coerced = rq.params.flatMap(p => coerce(p, rawParams.get(p.name))).toMap
+    rawParams.keys.find(k => !rq.params.exists(_.name == k)).foreach(k =>
+      throw new BadRequestException(s"unexpected param: $k"))
+    PatternCompiler.run(graph, bounded(rq.build(coerced)))
+  }
+
+  def runAdHoc(json: String, params: Map[String, Any] = Map.empty): DataFrame = {
+    val q =
+      try JsonQuery.parse(json, params)
+      catch { case e: JsonQuery.BadQueryException => throw new BadRequestException(e.getMessage) }
+    try PatternCompiler.run(graph, bounded(q))
+    catch { case e: IllegalArgumentException => throw new BadRequestException(e.getMessage) }
+  }
+
+  /** Streaming row delivery — the `:callback` / ndjson contract
+    * (rest.lisp:564-589): rows as an iterator of JSON lines without
+    * materializing the full result on the driver beyond the enforced
+    * limit.
+    */
+  def ndjson(df: DataFrame): Iterator[String] = df.toJSON.toLocalIterator().asScala
+
+  private implicit class IterConv[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+}

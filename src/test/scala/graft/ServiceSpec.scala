@@ -1,0 +1,131 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tpch
+import graft.query._
+import graft.service.QueryService
+import graft.service.QueryService._
+
+/** Service-tier semantics: JSON DSL parsing, param coercion, bounds,
+  * effects policy, HTTP status mapping (rest-tests analog).
+  */
+class ServiceSpec extends SparkSpec {
+
+  private lazy val g = Tpch.graph(spark, sf)
+  private lazy val service = {
+    val s = new QueryService(g, maxLimit = 100)
+    s.register(RegisteredQuery(
+      name = "customers_by_segment",
+      params = Seq(ParamSpec("segment", "string"), ParamSpec("min_bal", "double", required = false, default = Some(0.0))),
+      build = p => PatternQuery(
+        goals = Seq(IsA("a", "customer"),
+          Slot("a", "c_mktsegment", "seg"), Slot("a", "c_acctbal", "bal"),
+          Filter(col("seg") === lit(p("segment")) && col("bal") >= lit(p("min_bal")))),
+        select = Seq("a" -> "custkey"),
+        orderBy = Seq(col("custkey")))))
+    s.register(RegisteredQuery("danger_write", Seq.empty,
+      _ => PatternQuery(Seq(IsA("a", "customer")), Seq("a" -> "id")), writes = true))
+    s
+  }
+
+  test("registered query with coerced params") {
+    val df = service.runRegistered("customers_by_segment",
+      Map("segment" -> "BUILDING", "min_bal" -> "100.5"))
+    assert(df.count() > 0)
+    assert(df.columns.sameElements(Array("custkey")))
+  }
+
+  test("param coercion failures are client errors") {
+    intercept[BadRequestException] {
+      service.runRegistered("customers_by_segment", Map("segment" -> "B", "min_bal" -> "abc"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("customers_by_segment", Map.empty) // missing required
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("customers_by_segment",
+        Map("segment" -> "B", "rogue" -> "1")) // unexpected param
+    }
+    intercept[BadRequestException] { service.runRegistered("nope", Map.empty) }
+  }
+
+  test("write effect denied in read-only service") {
+    intercept[ForbiddenException] { service.runRegistered("danger_write", Map.empty) }
+  }
+
+  test("ad-hoc JSON DSL compiles and runs") {
+    val json =
+      """{"match":[{"vertex":"a","type":"customer"},
+        |          {"edge":"placed","from":"a","to":"o","weight":"price"}],
+        | "where":[{"slot":["a","c_mktsegment","seg"]},
+        |          {"cmp":["seg","=","BUILDING"]},
+        |          {"cmp":["price",">",150000]}],
+        | "select":["a","o","price"],
+        | "orderBy":["o"],
+        | "limit": 20}""".stripMargin
+    val df = service.runAdHoc(json)
+    assert(df.count() > 0 && df.count() <= 20)
+    assert(df.columns.sameElements(Array("a", "o", "price")))
+  }
+
+  test("limit clamped to service max") {
+    val df = service.runAdHoc(
+      """{"match":[{"vertex":"o","type":"order"}],"select":["o"],"limit":100000}""")
+    assert(df.count() == 100) // maxLimit
+  }
+
+  test("DSL error paths are 400-shaped") {
+    val bad = Seq(
+      """not json at all""",
+      """{"select":["a"]}""", // no match
+      """{"match":[{"vertex":"a","type":"nosuchtype"}],"select":["a"]}""",
+      """{"match":[{"vertex":"a","type":"customer"}],"where":[{"cmp":["a","~","x"]}],"select":["a"]}""",
+      """{"match":[{"vertex":"a","type":"customer"}],"where":[{"frobnicate":1}],"select":["a"]}""",
+      """{"match":[{"vertex":"a","type":"customer"}],"select":[]}""")
+    bad.foreach { j =>
+      intercept[BadRequestException] { service.runAdHoc(j) }
+    }
+  }
+
+  test("negation via DSL") {
+    val json =
+      """{"match":[{"vertex":"a","type":"customer"}],
+        | "where":[{"not":{"match":[{"edge":"placed","from":"a","to":"o"}],"select":["a"]}}],
+        | "select":["a"]}""".stripMargin
+    val noOrders = service.runAdHoc(json).count()
+    val total = g.vertexFrame("customer").count()
+    val withOrders = g.edgeFrame("placed").select("src").distinct().count()
+    assert(noOrders == total - withOrders)
+  }
+
+  test("HTTP endpoint: 200/400/403/401/404 + ndjson streaming") {
+    val ep = new graft.service.HttpEndpoint(service, authToken = Some("sesame"))
+    val port = ep.start()
+    val client = HttpClient.newHttpClient()
+    def post(path: String, body: String, token: Option[String] = Some("sesame"),
+        query: String = ""): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path$query"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+      token.foreach(t => b.header("X-Auth-Token", t))
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      val ok = post("/query/customers_by_segment", """{"params":{"segment":"BUILDING"}}""")
+      assert(ok.statusCode() == 200 && ok.body().startsWith("[{"))
+      val ndj = post("/pattern",
+        """{"match":[{"vertex":"a","type":"customer"}],"select":["a"],"limit":5}""",
+        query = "?stream=1")
+      assert(ndj.statusCode() == 200)
+      assert(ndj.body().linesIterator.size == 5)
+      assert(post("/query/customers_by_segment", """{"params":{}}""").statusCode() == 400)
+      assert(post("/query/danger_write", "{}").statusCode() == 403)
+      assert(post("/query/x", "{}", token = Some("wrong")).statusCode() == 401)
+      assert(post("/nope", "{}").statusCode() == 404)
+      assert(post("/pattern", "garbage").statusCode() == 400)
+    } finally ep.stop()
+  }
+}
