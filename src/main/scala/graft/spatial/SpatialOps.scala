@@ -29,17 +29,13 @@ object SpatialOps {
     lit(2 * 6371000.0) * asin(least(lit(1.0), sqrt(a)))
   }
 
-  /** Geohash cell of a point, as a column (Scala UDF — grid math has no
-    * functions._ equivalent; still JVM-codegen adjacent and cheap).
-    */
-  def geohashUdf(precision: Int) =
-    udf((lon: Double, lat: Double) => Geohash.encode(lon, lat, precision))
-
   /** Attach the spatial-index cell column (write-path maintenance
-    * analog, reference transactions.lisp:800-876).
+    * analog, reference transactions.lisp:800-876) via the native
+    * codegen'd expression — no UDF in the scan path.
     */
   def withCell(df: DataFrame, lonCol: String, latCol: String, precision: Int): DataFrame =
-    df.withColumn("cell", geohashUdf(precision)(col(lonCol), col(latCol)))
+    df.withColumn("cell", graft.functions.GeohashExpression.geohash_encode(
+      col(lonCol), col(latCol), lit(precision)))
 
   /** Candidate pruning for a bbox query: covering cells computed on the
     * driver, then a cell membership filter (partition-prunable).
