@@ -59,6 +59,57 @@ object CatalogExtra {
           count(lit(1)).as("n_rows")),
       None),
 
+    QueryDef("q38_rule_query",
+      // <- rule with two clauses (disjunction), invoked from a pattern
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val rs = new graft.query.RuleSet(g)
+        rs.define("high_value", Seq("c")) { g =>
+          g.edgeFrame("placed").filter(col("weight") > 400000.0)
+            .select(col("src").as("c"))
+        }
+        rs.define("high_value", Seq("c")) { g =>
+          g.vertexFrame("customer").filter(col("c_acctbal") > 9000.0)
+            .select(col("id").as("c"))
+        }
+        graft.query.PatternCompiler.run(g, graft.query.PatternQuery(
+          goals = Seq(graft.query.IsA("c", "customer"),
+            graft.query.RuleGoal("high_value", Seq("c")),
+            graft.query.Slot("c", "c_name", "n")),
+          select = Seq("c" -> "custkey", "n" -> "name"),
+          orderBy = Seq(col("custkey"))), rules = Some(rs))
+      },
+      Some("""SELECT c_custkey AS custkey, c_name AS name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+             |   OR c.c_acctbal > 9000
+             |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("q39_recursive_rule",
+      // recursive <- rule evaluated by semi-naive fixpoint: 2-step
+      // closure over knows from two seeds
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val rs = new graft.query.RuleSet(g)
+        rs.defineRecursive("reach2", Seq("id"),
+            graft.operators.Fixpoint.Budget(maxIterations = 1000)) { _ =>
+          s.range(1, 3).toDF("id")
+        } { (g, delta) =>
+          val e = g.edgeFrame("knows")
+          delta.join(e, delta("id") === e("src")).select(col("dst").as("id"))
+        }
+        rs.relation("reach2").orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT c_custkey AS src, (c_custkey*3+7) % (SELECT count(*) FROM customer) AS dst FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, (c_custkey*5+3) % (SELECT count(*) FROM customer) FROM customer),
+             |r AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS id FROM customer WHERE c_custkey IN (1, 2)
+             |  UNION
+             |  SELECT e.dst FROM r JOIN e ON e.src = r.id)
+             |SELECT id FROM r ORDER BY id""".stripMargin)),
+
     QueryDef("q44_point_in_polygon",
       // ray-casting refine (geometry-ops.lisp:32-66). Polygon chosen
       // with no data point on an edge; the oracle states the equivalent

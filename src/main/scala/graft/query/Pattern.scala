@@ -58,6 +58,20 @@ final case class Or(branches: Seq[Seq[Goal]]) extends Goal
 /** `(param ?v name)` — runtime query parameter (prolog-functors.lisp:144-152). */
 final case class Param(v: String, name: String) extends Goal
 
+/** `(invoke-view class view ?key ?id ?value)` — join the solution
+  * stream against a materialized view's rows by key (reference
+  * prolog-functors.lisp:734-789). `key` must be bound; `id`/`value`
+  * bind the view row's payload. Requires a ViewCatalog at compile time.
+  */
+final case class ViewGoal(view: String, key: String, id: String, value: String) extends Goal
+
+/** Invocation of a named rule (the `<-` functor surface,
+  * prologc.lisp:744-746): the rule produces a relation over its head
+  * variables, joined into the stream on the already-bound ones.
+  * Requires a RuleSet at compile time.
+  */
+final case class RuleGoal(rule: String, bindings: Seq[String]) extends Goal
+
 /** Query options — mirrors the option plist of `select`
   * (prologc.lisp:951-1037: :limit :skip :count :flat) plus explicit
   * ordering (the set-semantics deviation documented in SURVEY.md §7.4:

@@ -22,7 +22,11 @@ import graft.model.PropertyGraph
   * resolution joins — the reference's `lookup-vertex` per solution —
   * only happen for variables whose properties the query actually uses.
   */
-final class PatternCompiler(graph: PropertyGraph, params: Map[String, Any]) {
+final class PatternCompiler(
+    graph: PropertyGraph,
+    params: Map[String, Any],
+    views: Option[graft.views.ViewCatalog] = None,
+    rules: Option[RuleSet] = None) {
   import PatternCompiler.VarState
 
   private var df: DataFrame = _
@@ -123,8 +127,33 @@ final class PatternCompiler(graph: PropertyGraph, params: Map[String, Any]) {
       val value = params.getOrElse(name, throw new IllegalArgumentException(s"missing param: $name"))
       df = df.withColumn(v, lit(value))
 
+    case ViewGoal(view, key, id, value) =>
+      val cat = views.getOrElse(throw new IllegalArgumentException(
+        "view goal requires a ViewCatalog"))
+      require(bound(key), s"view key ?$key must be bound")
+      val v = cat.mapView(view)
+        .select(col("key").as(s"__vk_$key"), col("id").as(id), col("value").as(value))
+      df = df.join(v, col(key) === col(s"__vk_$key"), "inner").drop(s"__vk_$key")
+      vars += id -> VarState("", hasProps = false)
+      vars += value -> VarState("", hasProps = false)
+
+    case RuleGoal(rule, bindings) =>
+      val rs = rules.getOrElse(throw new IllegalArgumentException(
+        "rule goal requires a RuleSet"))
+      val head = rs.head(rule)
+      require(head.size == bindings.size,
+        s"rule $rule has head $head, got ${bindings.size} bindings")
+      val rel = rs.relation(rule).toDF(bindings: _*)
+      val shared = bindings.filter(bound)
+      if (df == null) { df = rel }
+      else if (shared.isEmpty) df = df.crossJoin(rel)
+      else df = df.join(rel, shared)
+      bindings.filterNot(bound).foreach { b =>
+        vars += b -> VarState("", hasProps = false)
+      }
+
     case Not(goals) =>
-      val sub = new PatternCompiler(graph, params)
+      val sub = new PatternCompiler(graph, params, views, rules)
       goals.foreach(sub.compileGoal)
       val shared = sub.vars.keySet.intersect(vars.keySet).toSeq.sorted
       require(shared.nonEmpty, "negated pattern shares no variables with the outer query")
@@ -133,7 +162,7 @@ final class PatternCompiler(graph: PropertyGraph, params: Map[String, Any]) {
 
     case Or(branches) =>
       val compiled = branches.map { goals =>
-        val b = new PatternCompiler(graph, params)
+        val b = new PatternCompiler(graph, params, views, rules)
         b.df = df
         b.vars = vars
         goals.foreach(b.compileGoal)
@@ -166,6 +195,8 @@ final class PatternCompiler(graph: PropertyGraph, params: Map[String, Any]) {
 object PatternCompiler {
   private[query] final case class VarState(label: String, hasProps: Boolean)
 
-  def run(graph: PropertyGraph, q: PatternQuery): DataFrame =
-    new PatternCompiler(graph, q.params).compile(q)
+  def run(graph: PropertyGraph, q: PatternQuery,
+      views: Option[graft.views.ViewCatalog] = None,
+      rules: Option[RuleSet] = None): DataFrame =
+    new PatternCompiler(graph, q.params, views, rules).compile(q)
 }
