@@ -19,12 +19,16 @@ object Bench {
     "q21_view_group",       // view maintenance/regeneration analog
     "q26_topk",
     "q31_bfs",
+    "q32_transitive_closure",
     "q41_spatial_knn",
     "q54_dedup_exact",
+    "q55_ngram_jaccard",
     "q56_minhash_lsh",
     "q58_cosine_topk",
+    "q59_ann_lsh",
     "q60_window_agg",
-    "q61_sessionize")
+    "q61_sessionize",
+    "q64_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -310,7 +310,8 @@ object CatalogCore {
       (s, d) => {
         val g = Tpch.graph(s, d)
         val start = s.range(1, 2).select(col("id"))
-        Traverse.bfs(g.edgeFrame("knows"), start, maxDepth = 4)
+        val knows = g.edgeFrame("knows").select(col("src"), col("dst")).localCheckpoint(true)
+        Traverse.bfs(knows, start, maxDepth = 4)
           .select(col("id"), col("depth").cast("int").as("depth")).orderBy("id")
       },
       Some(s"""WITH RECURSIVE e AS ($knowsSql),
@@ -325,7 +326,10 @@ object CatalogCore {
       // semi-naive fixpoint with budgets (SURVEY §2.9)
       (s, d) => {
         val g = Tpch.graph(s, d)
+        // materialize the edge relation once: the synthetic knows frame
+        // embeds a count subquery that would otherwise re-run per round
         val edges = g.edgeFrame("knows").select(col("src"), col("dst"))
+          .localCheckpoint(true)
         val base = s.range(1, 2).select(col("id"))
         Fixpoint.semiNaive(base, Seq("id")) { delta =>
           delta.join(edges, delta("id") === edges("src")).select(col("dst").as("id"))

@@ -91,12 +91,12 @@ object CatalogExtra {
       (s, d) => {
         val g = Tpch.graph(s, d)
         val rs = new graft.query.RuleSet(g)
+        val knows = g.edgeFrame("knows").select(col("src"), col("dst")).localCheckpoint(true)
         rs.defineRecursive("reach2", Seq("id"),
             graft.operators.Fixpoint.Budget(maxIterations = 1000)) { _ =>
           s.range(1, 3).toDF("id")
-        } { (g, delta) =>
-          val e = g.edgeFrame("knows")
-          delta.join(e, delta("id") === e("src")).select(col("dst").as("id"))
+        } { (_, delta) =>
+          delta.join(knows, delta("id") === knows("src")).select(col("dst").as("id"))
         }
         rs.relation("reach2").orderBy("id")
       },

@@ -68,6 +68,25 @@ object CatalogPipeline {
         .select(col("id"), col("cell")).orderBy("id"),
       None),
 
+    QueryDef("q45_spatial_graph",
+      // spatial predicate composed with graph pattern (the find-near +
+      // edge-goal composition of spatial-query.lisp:88-120): customers
+      // within 2500 km of the origin, with their count of big orders
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val nearCust = SpatialOps.near(withCoords(g.vertexFrame("customer")),
+          "lon", "lat", lon = 0.0, lat = 0.0, radiusM = 2500000.0, precision = 2)
+        val bigOrders = g.edgeFrame("placed").filter(col("weight") > 300000.0)
+        nearCust.join(bigOrders, nearCust("id") === bigOrders("src"))
+          .groupBy(nearCust("id").as("custkey"))
+          .agg(count(lit(1)).as("n_big"))
+          .orderBy("custkey")
+      },
+      Some(s"""SELECT id AS custkey, count(*) AS n_big
+              |FROM ($coordsSql) c JOIN orders o ON o.o_custkey = c.id
+              |WHERE ${hav(0.0, 0.0)} <= 2500000.0 AND o.o_totalprice > 300000
+              |GROUP BY 1 ORDER BY custkey""".stripMargin)),
+
     // ---- text analysis -------------------------------------------------
     QueryDef("q50_token_count",
       (s, d) => Tpch.table(s, d, "documents")

@@ -31,22 +31,38 @@ object Fixpoint {
   def semiNaive(base: DataFrame, keyCols: Seq[String], budget: Budget = Budget())(
       step: DataFrame => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
-    var all = base.dropDuplicates(keyCols).localCheckpoint(eager = true)
-    var delta = all
+    // deltas are checkpointed once each; the accumulated set is a lazy
+    // union over those materialized deltas — re-checkpointing the whole
+    // set every round would make each round O(total) instead of O(delta)
+    var rings = List(base.dropDuplicates(keyCols).localCheckpoint(eager = true))
+    var delta = rings.head
+    var total = delta.count()
     var iters = 0
-    while (!delta.isEmpty) {
+    var done = false
+    while (!done) {
       iters += 1
       if (iters > budget.maxIterations)
         throw new BudgetExceeded(s"fixpoint exceeded ${budget.maxIterations} iterations")
       if ((System.nanoTime() - t0) / 1000000 > budget.timeoutMillis)
         throw new BudgetExceeded(s"fixpoint exceeded ${budget.timeoutMillis} ms")
+      val all = rings.reduce(_ union _)
       delta = step(delta).dropDuplicates(keyCols)
         .join(all, keyCols, "left_anti")
         .localCheckpoint(eager = true)
-      all = all.union(delta).localCheckpoint(eager = true)
-      if (all.count() > budget.maxRows)
-        throw new BudgetExceeded(s"fixpoint exceeded ${budget.maxRows} rows")
+      val n = delta.count() // cheap: counts the materialized checkpoint
+      if (n == 0) done = true
+      else {
+        total += n
+        if (total > budget.maxRows)
+          throw new BudgetExceeded(s"fixpoint exceeded ${budget.maxRows} rows")
+        rings ::= delta
+        // compact occasionally: anti-joining against k separate rings
+        // costs k input scans per round; fold them into one
+        // materialization every 8 rounds to keep that bounded
+        if (rings.size >= 8)
+          rings = List(rings.reduce(_ union _).localCheckpoint(eager = true))
+      }
     }
-    all
+    rings.reduce(_ union _)
   }
 }

@@ -37,18 +37,57 @@ object Traverse {
       case Both => edges.select(col("src").as("from"), col("dst").as("to"))
         .union(edges.select(col("dst").as("from"), col("src").as("to")))
     }
-    var visited = start.select(col("id"), lit(0).as("depth")).localCheckpoint(eager = true)
-    var frontier = visited.select("id")
+    // each ring is checkpointed once; `visited` is a cheap union over
+    // already-materialized rings, so no re-checkpoint per round
+    var rings = List(start.select(col("id"), lit(0).as("depth")).localCheckpoint(eager = true))
+    var frontier = rings.head.select("id")
     var d = 0
     while (d < maxDepth && !frontier.isEmpty) {
       d += 1
+      val visited = rings.reduce(_ union _)
       val next = frontier.join(step, frontier("id") === step("from"), "inner")
         .select(col("to").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(d).as("depth"))
         .localCheckpoint(eager = true)
-      visited = visited.union(next.select(col("id"), lit(d).as("depth")))
+      rings ::= next
+      frontier = next.select("id")
+    }
+    rings.reduce(_ union _)
+  }
+
+  /** BFS with full path accumulation — `traverse` with `:paths t`
+    * (traverse.lisp:3-28 keeps the reverse edge path per traversal).
+    * Returns (id, depth, path: Array[id]) where path is the vertex
+    * sequence of ONE shortest path (first discovered per BFS round).
+    *
+    * The path column makes rows as wide as their depth — fine for the
+    * bounded depths traversals use; unbounded transitive closure should
+    * use [[bfs]]/Fixpoint instead.
+    */
+  def bfsPaths(edges: DataFrame, start: DataFrame, maxDepth: Int,
+      direction: Direction = Out): DataFrame = {
+    val step = direction match {
+      case Out  => edges.select(col("src").as("from"), col("dst").as("to"))
+      case In   => edges.select(col("dst").as("from"), col("src").as("to"))
+      case Both => edges.select(col("src").as("from"), col("dst").as("to"))
+        .union(edges.select(col("dst").as("from"), col("src").as("to")))
+    }
+    var visited = start.select(col("id"), lit(0).as("depth"),
+      array(col("id")).as("path")).localCheckpoint(eager = true)
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      // one (arbitrary deterministic: min path) shortest path per node
+      val expanded = frontier.join(step, frontier("id") === step("from"), "inner")
+        .select(col("to").as("id"), concat(col("path"), array(col("to"))).as("path"))
+        .groupBy("id").agg(min(col("path")).as("path"))
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(d).as("depth"), col("path"))
         .localCheckpoint(eager = true)
-      frontier = next
+      visited = visited.union(expanded).localCheckpoint(eager = true)
+      frontier = expanded
     }
     visited
   }

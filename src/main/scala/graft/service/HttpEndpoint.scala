@@ -21,7 +21,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * Uses the JDK's built-in HttpServer — the transport is deliberately
   * minimal; the engine-facing semantics live in QueryService.
   */
-final class HttpEndpoint(service: QueryService, authToken: Option[String] = None) {
+final class HttpEndpoint(
+    service: QueryService,
+    authToken: Option[String] = None,
+    /** write tier: CRUD routes exist only when a store is supplied AND
+      * writes are allowed (the :effects gate, rest.lisp:402-411) */
+    store: Option[graft.model.GraphStore] = None,
+    allowWrites: Boolean = false) {
 
   private var server: HttpServer = _
 
@@ -40,6 +46,9 @@ final class HttpEndpoint(service: QueryService, authToken: Option[String] = None
     catch {
       case e: QueryService.BadRequestException => reply(ex, 400, err(e.getMessage))
       case e: QueryService.ForbiddenException => reply(ex, 403, err(e.getMessage))
+      case e: IllegalArgumentException => reply(ex, 400, err(e.getMessage))
+      case e: RuntimeException if e.getClass.getSimpleName == "ConflictException" =>
+        reply(ex, 409, err(e.getMessage))
       case e: Throwable => reply(ex, 500, err(e.getMessage))
     } finally ex.close()
 
@@ -61,7 +70,46 @@ final class HttpEndpoint(service: QueryService, authToken: Option[String] = None
       case "/pattern" =>
         val df = service.runAdHoc(body)
         respondRows(ex, df, stream)
+      case p if p.startsWith("/mutate/") =>
+        mutate(ex, p.stripPrefix("/mutate/"), body)
       case _ => reply(ex, 404, err(s"no such route: $path"))
+    }
+  }
+
+  /** CRUD tier (rest.lisp:620-763): POST /mutate/{vertex|delete}/{label}
+    * with `{"rows":[{...}]}` / `{"ids":[...]}`. Each request is one
+    * atomic transaction; OCC conflicts surface as 409.
+    */
+  private def mutate(ex: HttpExchange, op: String, body: String): Unit = {
+    val gs = store.filter(_ => allowWrites).getOrElse {
+      reply(ex, 403, err("write effect not allowed on this endpoint")); return
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception =>
+        throw new QueryService.BadRequestException(s"malformed JSON body: ${e.getMessage}") }
+    val spark = gs.spark
+    import spark.implicits._
+    op.split("/", 2) match {
+      case Array("vertex", label) =>
+        val rowsNode = Option(root.get("rows")).filter(_.isArray).getOrElse(
+          throw new QueryService.BadRequestException("'rows' array required"))
+        val lines = (0 until rowsNode.size()).map(i => rowsNode.get(i).toString)
+        if (lines.isEmpty) throw new QueryService.BadRequestException("'rows' is empty")
+        val df = spark.read.json(spark.createDataset(lines))
+        if (!df.columns.contains("id"))
+          throw new QueryService.BadRequestException("each row needs an 'id'")
+        val epoch = gs.txn().createVertices(label, df).commit()
+        reply(ex, 200, s"""{"epoch": $epoch, "created": ${lines.size}}""")
+      case Array("delete", label) =>
+        val idsNode = Option(root.get("ids")).filter(_.isArray).getOrElse(
+          throw new QueryService.BadRequestException("'ids' array required"))
+        val ids = (0 until idsNode.size()).map(i => idsNode.get(i).asLong()).toDF("id")
+        val epoch = gs.txn().deleteVertices(label, ids).commit()
+        reply(ex, 200, s"""{"epoch": $epoch}""")
+      case other =>
+        reply(ex, 404, err(s"no such mutation route: ${other.mkString("/")}"))
     }
   }
 

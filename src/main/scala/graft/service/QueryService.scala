@@ -91,6 +91,35 @@ final class QueryService(
     catch { case e: IllegalArgumentException => throw new BadRequestException(e.getMessage) }
   }
 
+  /** Collect with a wall-clock deadline — the `:timeout` budget of the
+    * reference (prologc.lisp:859-900 %tick deadline; resource breach is
+    * a client-visible error, rest.lisp:420-433). The query's Spark jobs
+    * run under a job group that is cancelled on expiry, so executors
+    * stop working rather than racing on after the caller gave up.
+    */
+  def collectBounded(df: DataFrame, timeoutMillis: Long): Array[org.apache.spark.sql.Row] = {
+    val sc = df.sparkSession.sparkContext
+    val group = "graft-" + java.util.UUID.randomUUID().toString
+    var result: Either[Throwable, Array[org.apache.spark.sql.Row]] = null
+    val worker = new Thread(() => {
+      sc.setJobGroup(group, "bounded query", interruptOnCancel = true)
+      result =
+        try Right(df.collect())
+        catch { case t: Throwable => Left(t) }
+    })
+    worker.start()
+    worker.join(timeoutMillis)
+    if (worker.isAlive) {
+      sc.cancelJobGroup(group)
+      worker.join(10000)
+      throw new BadRequestException(s"query exceeded ${timeoutMillis} ms budget")
+    }
+    result match {
+      case Right(rows) => rows
+      case Left(t) => throw t
+    }
+  }
+
   /** Streaming row delivery — the `:callback` / ndjson contract
     * (rest.lisp:564-589): rows as an iterator of JSON lines without
     * materializing the full result on the driver beyond the enforced

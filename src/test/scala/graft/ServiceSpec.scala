@@ -102,6 +102,42 @@ class ServiceSpec extends SparkSpec {
     assert(noOrders == total - withOrders)
   }
 
+  test("HTTP write tier: create/delete vertices, effects gate, conflict=409") {
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("item", "id", Seq("name")).build()
+    val gs = new graft.model.GraphStore(spark, schema,
+      java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get("target"), "http-gs").toString)
+    val writable = new graft.service.HttpEndpoint(service, store = Some(gs), allowWrites = true)
+    val readOnly = new graft.service.HttpEndpoint(service, store = Some(gs), allowWrites = false)
+    val wPort = writable.start(); val rPort = readOnly.start()
+    val client = HttpClient.newHttpClient()
+    def post(port: Int, path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val created = post(wPort, "/mutate/vertex/item",
+        """{"rows":[{"id":1,"name":"a"},{"id":2,"name":"b"}]}""")
+      assert(created.statusCode() == 200 && created.body().contains("\"created\": 2"))
+      assert(gs.graph().vertexFrame("item").count() == 2)
+      // duplicate insert -> OCC conflict -> 409
+      assert(post(wPort, "/mutate/vertex/item",
+        """{"rows":[{"id":1,"name":"dup"}]}""").statusCode() == 409)
+      // delete
+      assert(post(wPort, "/mutate/delete/item", """{"ids":[2]}""").statusCode() == 200)
+      assert(gs.graph().vertexFrame("item").count() == 1)
+      // read-only endpoint refuses the write effect
+      assert(post(rPort, "/mutate/vertex/item",
+        """{"rows":[{"id":9,"name":"x"}]}""").statusCode() == 403)
+      // malformed bodies
+      assert(post(wPort, "/mutate/vertex/item", """{"rows":[]}""").statusCode() == 400)
+      assert(post(wPort, "/mutate/vertex/item", """{"rows":[{"name":"noid"}]}""").statusCode() == 400)
+      assert(post(wPort, "/mutate/vertex/nosuchlabel",
+        """{"rows":[{"id":5}]}""").statusCode() == 400)
+      assert(post(wPort, "/mutate/frobnicate/item", "{}").statusCode() == 404)
+    } finally { writable.stop(); readOnly.stop() }
+  }
+
   test("HTTP endpoint: 200/400/403/401/404 + ndjson streaming") {
     val ep = new graft.service.HttpEndpoint(service, authToken = Some("sesame"))
     val port = ep.start()

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Traverse
+import graft.service.QueryService
+
+/** BFS path accumulation and query wall-clock budget enforcement. */
+class TraversePathsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bfsPaths returns one shortest path per node") {
+    //    1 → 2 → 4
+    //    1 → 3 → 4   (two shortest paths to 4; min() picks 1,2,4)
+    //    4 → 5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Traverse.bfsPaths(edges, Seq(1L).toDF("id"), maxDepth = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("depth"),
+        r.getAs[scala.collection.Seq[Long]]("path").toList)).toList.sortBy(_._1)
+    assert(got == List(
+      (1L, 0, List(1L)),
+      (2L, 1, List(1L, 2L)),
+      (3L, 1, List(1L, 3L)),
+      (4L, 2, List(1L, 2L, 4L)),
+      (5L, 3, List(1L, 2L, 4L, 5L))))
+  }
+
+  test("bfsPaths handles cycles without path explosion") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val got = Traverse.bfsPaths(edges, Seq(1L).toDF("id"), maxDepth = 50)
+    assert(got.count() == 3)
+  }
+
+  test("collectBounded returns fast queries, kills slow ones") {
+    val g = graft.model.Tpch.graph(spark, sf)
+    val svc = new QueryService(g)
+    val quick = svc.collectBounded(g.vertexFrame("customer").limit(5), 60000)
+    assert(quick.length == 5)
+    // a deliberately expensive single-stage plan (NOT a broadcast join:
+    // broadcast builds run outside the job group and would survive the
+    // cancel, hogging executors for later queries)
+    val slow = spark.range(5000000000000L)
+      .agg(org.apache.spark.sql.functions.avg($"id"))
+    val t0 = System.nanoTime()
+    intercept[QueryService.BadRequestException] {
+      svc.collectBounded(slow, timeoutMillis = 1500)
+    }
+    val tookMs = (System.nanoTime() - t0) / 1000000
+    assert(tookMs < 30000, s"cancellation should be prompt, took ${tookMs}ms")
+  }
+}
