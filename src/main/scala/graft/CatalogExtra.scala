@@ -154,6 +154,30 @@ object CatalogExtra {
              |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
              |WHERE rn <= 3 ORDER BY custkey, rn""".stripMargin)),
 
+    QueryDef("q65_json_props",
+      // semi-structured property access: the reference's heterogeneous
+      // property alists arrive in modern pipelines as JSON columns
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    QueryDef("q66_date_parts",
+      // temporal bucketing over order dates (timestamp value-type
+      // coverage, SURVEY §1.3 tag 101)
+      (s, d) => Tpch.graph(s, d).edgeFrame("placed")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          centsToDollars(sum(cents(col("weight")))).as("total"))
+        .orderBy("y", "m"),
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
+             |  count(*) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+             |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin)),
+
     QueryDef("q64_asof_join",
       // as-of join: each purchase enriched with the user's most recent
       // click at-or-before it (union + running-last — no range join)
