@@ -34,7 +34,9 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
     val es = schema.edgeTypes.keys.map { l =>
       l -> store.read(eTable(l), asOf)
     }.filter { case (_, df) => nonEmpty(df) }.toMap
-      .map { case (l, df) => l -> df.drop("id", "rev", "deleted", "commit_epoch") }
+      // edge `id` stays visible so callers can address edges in
+      // update/delete transactions
+      .map { case (l, df) => l -> df.drop("rev", "deleted", "commit_epoch") }
     new PropertyGraph(schema, vs, es)
   }
 
@@ -88,6 +90,28 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
           xxhash64(lit(label), col("src"), col("dst"), monotonically_increasing_id())))
         .withColumn("rev", lit(1L)).withColumn("deleted", lit(false))
       stage(eTable(label), withId)
+      this
+    }
+
+    /** Update edges by id (full replacement rows: id, src, dst, weight,
+      * props…) — copy-modify-save for edges (edge.lisp:258-268 analog).
+      */
+    def updateEdges(label: String, rows: DataFrame): Txn = {
+      require(rows.columns.contains("id"), "edge updates need the edge id")
+      val cur = store.read(eTable(label)).select(col("id"), col("rev").as("__cur"))
+      stage(eTable(label), rows.join(cur, Seq("id"), "left")
+        .withColumn("rev", coalesce(col("__cur") + 1, lit(1L)))
+        .withColumn("deleted", lit(false))
+        .drop("__cur"))
+      this
+    }
+
+    /** Tombstone edges by id (delete-edge, edge.lisp:269-273). */
+    def deleteEdges(label: String, ids: DataFrame): Txn = {
+      val cur = store.read(eTable(label))
+      stage(eTable(label), cur.join(ids.select(col("id")), Seq("id"), "left_semi")
+        .withColumn("rev", col("rev") + 1)
+        .withColumn("deleted", lit(true)))
       this
     }
 

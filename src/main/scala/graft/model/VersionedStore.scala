@@ -89,6 +89,13 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     writes.foreach { case (label, df) =>
       require(Set("id", "rev", "deleted").subsetOf(df.columns.toSet),
         s"$label commit frame needs (id, rev, deleted)")
+      // a txn may touch each row once: two staged versions of one id
+      // would both pass rev validation and commit duplicate revisions
+      val dups = df.groupBy("id").count().filter(col("count") > 1)
+      if (!dups.isEmpty) {
+        val sample = dups.limit(5).collect().map(_.get(0)).mkString(", ")
+        throw new ConflictException(s"$label: same id staged twice in one commit ($sample)")
+      }
       val latest =
         if (!Files.exists(Paths.get(labelDir(label))))
           spark.range(0).select(col("id"), lit(0L).as("cur_rev"))

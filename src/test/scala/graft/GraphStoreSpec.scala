@@ -49,6 +49,22 @@ class GraphStoreSpec extends SparkSpec {
     assert(old.vertexFrame("person").filter($"id" === 2).select("name").as[String].head() == "bo")
   }
 
+  test("edge update and delete round trip") {
+    val gs = new GraphStore(spark, schema, tmp("ge"))
+    gs.txn()
+      .createVertices("person", Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "name", "age"))
+      .createEdges("knows", Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight"))
+      .commit()
+    val eid = gs.graph().edgeFrame("knows").select("id").as[Long].head()
+    gs.txn().updateEdges("knows",
+      Seq((eid, 1L, 2L, 9.5)).toDF("id", "src", "dst", "weight")).commit()
+    assert(gs.graph().edgeFrame("knows").select("weight").as[Double].head() == 9.5)
+    gs.txn().deleteEdges("knows", Seq(Tuple1(eid)).toDF("id")).commit()
+    assert(gs.graph().edgeFrame("knows").count() == 0)
+    // vertices untouched
+    assert(gs.graph().vertexFrame("person").count() == 2)
+  }
+
   test("backup and restore round trip") {
     val g = Tpch.graph(spark, sf)
     val dir = tmp("bak")

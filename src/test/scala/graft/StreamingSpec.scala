@@ -84,6 +84,28 @@ class StreamingSpec extends SparkSpec {
     assert(all == Set((1L, 2), (1L, 1), (2L, 1)))
   }
 
+  test("file-source stream: windowed agg over the real events table") {
+    // drive the actual parquet events table as a file stream (ns
+    // timestamps -> read as long, converted like QueryDef.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source wants a directory; stage the single file
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "evstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = Streams.windowedAgg(stream, "ts", "1 hour", "1 hour")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("filewa").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("select sum(n) from filewa").first().getLong(0)
+    q.stop()
+    val batch = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(streamed == batch, "every event lands in exactly one window")
+  }
+
   test("replication stream subset filter") {
     val log = Seq((1L, "a", 10.0), (2L, "b", -5.0)).toDF("id", "kind", "v")
     val filtered = Streams.replicationStream(log, Some(col("v") > 0))

@@ -60,6 +60,11 @@ class VersionedStoreSpec extends SparkSpec {
     intercept[st.ConflictException] {
       st.commit(Map("v" -> Seq((9L, 5L, false, "w")).toDF("id", "rev", "deleted", "name")))
     }
+    // same id staged twice in one commit (would create duplicate revs)
+    intercept[st.ConflictException] {
+      st.commit(Map("v" -> Seq((1L, 2L, false, "y"), (1L, 2L, false, "z"))
+        .toDF("id", "rev", "deleted", "name")))
+    }
     assert(st.currentEpoch == 1)
     assert(st.read("v").select("name").as[String].head() == "x")
   }
