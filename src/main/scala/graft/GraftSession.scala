@@ -21,6 +21,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "target/warehouse")
       .config("spark.ui.enabled", "false")
 
   def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

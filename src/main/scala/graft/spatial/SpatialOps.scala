@@ -31,11 +31,20 @@ object SpatialOps {
 
   /** Attach the spatial-index cell column (write-path maintenance
     * analog, reference transactions.lisp:800-876) via the native
-    * codegen'd expression — no UDF in the scan path.
+    * codegen'd expression — no UDF in the scan path. The column carries
+    * metadata (precision + source columns) that
+    * [[graft.plans.SpatialCellPruning]] uses to inject cell-pruning
+    * predicates into bbox queries.
     */
-  def withCell(df: DataFrame, lonCol: String, latCol: String, precision: Int): DataFrame =
-    df.withColumn("cell", graft.functions.GeohashExpression.geohash_encode(
-      col(lonCol), col(latCol), lit(precision)))
+  def withCell(df: DataFrame, lonCol: String, latCol: String, precision: Int): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("geohash_precision", precision.toLong)
+      .putString("geohash_lon", lonCol)
+      .putString("geohash_lat", latCol)
+      .build()
+    df.select(col("*"), graft.functions.GeohashExpression.geohash_encode(
+      col(lonCol), col(latCol), lit(precision)).as("cell", md))
+  }
 
   /** Candidate pruning for a bbox query: covering cells computed on the
     * driver, then a cell membership filter (partition-prunable).
