@@ -213,6 +213,19 @@ object CatalogPipeline {
       },
       None),
 
+    QueryDef("q67_ivf_ann",
+      // IVF coarse-quantized ANN (scale path #2 beside LSH): probe the
+      // nearest centroid cells only; rows-only check + DedupSpec recall
+      (s, d) => {
+        val emb = Tpch.table(s, d, "embeddings")
+        val centroids = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8, iterations = 2)
+        val assigned = Similarity.ivfAssign(emb, "embedding", centroids).localCheckpoint(true)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, q, k = 10, nProbe = 2)
+      },
+      None),
+
     // ---- events / sessionization --------------------------------------
     QueryDef("q60_window_agg",
       (s, d) => events(s, d)

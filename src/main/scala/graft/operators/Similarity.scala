@@ -58,6 +58,66 @@ object Similarity {
       nBits: Int = 8, seed: Long = 42L): DataFrame =
     df.withColumn("bucket", lshSignature(col(vecCol), hyperplanes(dim, nBits, seed)))
 
+  /** IVF (inverted-file) coarse quantizer: deterministic k-means-lite.
+    * Centroids initialize from the k lowest-id vectors and refine with
+    * a few Lloyd rounds; each round is one broadcast-join assignment
+    * pass plus one positional-mean aggregation — no driver-side loops
+    * over rows, only over the k×dim centroid matrix (tiny by design).
+    */
+  def ivfTrain(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int = 3): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (1 to iterations).foreach { _ =>
+      val assigned = ivfAssign(df, vecCol, centroids)
+      val means = assigned
+        .select(col("ivf_cluster"), posexplode(col(vecCol)))
+        .groupBy("ivf_cluster", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getAs[Int]("ivf_cluster"))
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        byCluster.get(i) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (append `ivf_cluster`).
+    * Pure column expressions over literal centroids — one narrow pass.
+    */
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col(vecCol), vecLit(c),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        lit(i).as("i"))
+    }
+    df.withColumn("ivf_cluster", array_min(array(dists: _*)).getField("i"))
+  }
+
+  /** IVF ANN top-k: probe the nProbe nearest centroid cells, rescore
+    * exactly within them. Write the assigned table partitioned by
+    * `ivf_cluster` and the probe becomes a partition-pruned read.
+    */
+  def ivfTopK(assigned: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], query: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    assigned.filter(col("ivf_cluster").isin(probes: _*))
+      .select(col(idCol).as("id"),
+        round(cosine(col(vecCol), vecLit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** ANN top-k: exact rescoring restricted to the query's LSH bucket. */
   def annTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {

@@ -82,6 +82,27 @@ class DedupSpec extends SparkSpec {
     assert(ann.subsetOf(brute + 0L))
   }
 
+  test("ivf ann: clusters partition the corpus, probes recall the true topk") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8, iterations = 2)
+    assert(centroids.size == 8 && centroids.forall(_.size == 64))
+    val assigned = Similarity.ivfAssign(emb, "embedding", centroids).localCheckpoint(true)
+    // every vector lands in exactly one cluster
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("ivf_cluster").distinct().count() > 1)
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val ivf = Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, q, k = 10, nProbe = 4)
+      .select("id").as[Long].collect()
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .select("id").as[Long].collect()
+    // probing half the cells recalls most of the true top-10
+    val recall = ivf.toSet.intersect(brute.toSet).size
+    assert(recall >= 6, s"ivf recall too low: $recall/10 (ivf=${ivf.toList} brute=${brute.toList})")
+    // determinism
+    val again = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8, iterations = 2)
+    assert(again == centroids)
+  }
+
   test("language id picks the language with most markers") {
     val df = Seq(
       (1L, "the cat and the dog of the house is big"),
