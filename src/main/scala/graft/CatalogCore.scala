@@ -212,12 +212,15 @@ object CatalogCore {
              |FROM orders GROUP BY ROLLUP(o_custkey) ORDER BY custkey""".stripMargin)),
 
     QueryDef("q22_findall",
-      // findall/3: collect order keys per customer, sorted
+      // findall/3: collect order keys per customer, sorted. Serialized
+      // to a csv string: the driver's pandas compare lexsorts every
+      // column, which chokes on list-typed columns (round-1 failure).
       (s, d) => Tpch.graph(s, d).edgeFrame("placed")
         .groupBy(col("src").as("custkey"))
-        .agg(sort_array(collect_list(col("dst"))).as("orderkeys"))
+        .agg(array_join(sort_array(collect_list(col("dst"))), ",").as("orderkeys"))
         .orderBy("custkey"),
-      Some("""SELECT o_custkey AS custkey, list_sort(list(o_orderkey)) AS orderkeys
+      Some("""SELECT o_custkey AS custkey,
+             |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
              |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin)),
 
     QueryDef("q23_bagof_group",

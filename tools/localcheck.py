@@ -28,6 +28,14 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     got = got[sorted(got.columns)]; exp = exp[sorted(exp.columns)]
     if list(got.columns) != list(exp.columns):
         fails.append((name, f"columns differ: {list(got.columns)} vs {list(exp.columns)}")); continue
+    # the driver lexsorts all columns before hashing — replicate, because
+    # it CRASHES on list-typed columns (round-1 q22) and we must catch
+    # that locally
+    try:
+        got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    except Exception as e:
+        fails.append((name, f"driver-style sort_values failed: {e}")); continue
     if len(got) != len(exp):
         fails.append((name, f"row count: {len(got)} vs {len(exp)}")); continue
     ok = True
