@@ -40,6 +40,47 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
     new PropertyGraph(schema, vs, es)
   }
 
+  /** Validate + conform externally-supplied vertex rows (the REST
+    * tier's JSON, rest.lisp:620-763) against the declared schema and
+    * the stored table's types. Untrusted input must not be able to
+    * append a conflicting parquet schema: a type-mismatched column
+    * (e.g. a string id) would otherwise poison every subsequent read
+    * of the table. Throws IllegalArgumentException (→ HTTP 400) on
+    * unknown columns, a missing id, or values that do not cast.
+    */
+  def conformVertices(label: String, rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val vt = schema.requireVertex(label)
+    val allowed = vt.props.toSet + "id"
+    val unknown = rows.columns.filterNot(allowed)
+    require(unknown.isEmpty, s"unknown columns for vertex '$label': ${unknown.mkString(", ")}")
+    require(rows.columns.contains("id"), "each row needs an 'id'")
+    val stored = store.read(vTable(label))
+    val target: Map[String, DataType] =
+      if (stored.columns.nonEmpty)
+        stored.schema.fields.map(f => f.name -> f.dataType).toMap
+      else Map("id" -> LongType)
+    val castCols = rows.columns.filter(target.contains).toSeq
+    // try_cast (null on failure, even under ANSI) so bad values surface
+    // as a 400, not a runtime SparkException mid-write
+    val badRow = castCols
+      .map(c => col(c).isNotNull && col(c).try_cast(target(c)).isNull)
+      .reduceOption(_ || _)
+    badRow.foreach { cond =>
+      val bad = rows.filter(cond)
+      if (!bad.isEmpty) {
+        val sample = bad.limit(3).collect().map(_.json).mkString("; ")
+        throw new IllegalArgumentException(
+          s"rows do not conform to stored schema of '$label': $sample")
+      }
+    }
+    val meta = Set("rev", "deleted", "commit_epoch")
+    val missing = target.keys.filterNot(meta).filterNot(rows.columns.contains).toSeq.sorted
+    val out = rows.select(rows.columns.toSeq.map(c =>
+      if (target.contains(c)) col(c).cast(target(c)).as(c) else col(c)): _*)
+    missing.foldLeft(out)((df, c) => df.withColumn(c, lit(null).cast(target(c))))
+  }
+
   /** One transaction: stage creates/updates/deletes across labels, then
     * commit atomically. Rev bookkeeping is handled here (lookup of
     * current revisions); OCC conflicts surface as ConflictException.
@@ -50,23 +91,42 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
     private def stage(table: String, rows: DataFrame): Unit =
       writes += table -> writes.get(table).map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows)
 
-    /** Insert new vertices: frame of (id, props…) at rev 1. */
+    /** Successor revision for new/replacement rows, derived from the
+      * latest revision INCLUDING tombstones: a deleted id's next
+      * version is tombstone-rev+1 (recreate-after-delete), a never-seen
+      * id starts at 1. `conflictOnLive` makes a live id stage rev=1,
+      * which OCC validation then rejects — create-over-existing must
+      * conflict, not silently overwrite.
+      */
+    private def withNextRev(table: String, rows: DataFrame, conflictOnLive: Boolean): DataFrame = {
+      val cur = store.latestRevisions(table)
+        .select(col("id"), col("rev").as("__cur"), col("deleted").as("__del"))
+      val next =
+        if (conflictOnLive)
+          when(col("__cur").isNull, 1L).when(col("__del"), col("__cur") + 1).otherwise(1L)
+        else coalesce(col("__cur") + 1, lit(1L))
+      rows.join(cur, Seq("id"), "left")
+        .withColumn("rev", next)
+        .withColumn("deleted", lit(false))
+        .drop("__cur", "__del")
+    }
+
+    /** Insert new vertices: frame of (id, props…). Rev 1 for fresh ids,
+      * tombstone+1 when recreating a deleted id; a live id conflicts.
+      */
     def createVertices(label: String, rows: DataFrame): Txn = {
       schema.requireVertex(label)
-      stage(vTable(label), rows.withColumn("rev", lit(1L)).withColumn("deleted", lit(false)))
+      stage(vTable(label), withNextRev(vTable(label), rows, conflictOnLive = true))
       this
     }
 
     /** copy → mutate → save: new revision per updated row. The caller
       * passes full replacement rows (id, props…); revisions are
-      * current+1, so a concurrent bump fails validation (OCC).
+      * current+1, so a concurrent bump fails validation (OCC). An
+      * update of a deleted id resurrects it (succeeds the tombstone).
       */
     def updateVertices(label: String, rows: DataFrame): Txn = {
-      val cur = store.read(vTable(label)).select(col("id"), col("rev").as("__cur"))
-      stage(vTable(label), rows.join(cur, Seq("id"), "left")
-        .withColumn("rev", coalesce(col("__cur") + 1, lit(1L)))
-        .withColumn("deleted", lit(false))
-        .drop("__cur"))
+      stage(vTable(label), withNextRev(vTable(label), rows, conflictOnLive = false))
       this
     }
 
@@ -85,24 +145,20 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       */
     def createEdges(label: String, rows: DataFrame): Txn = {
       schema.requireEdge(label)
-      val withId = (if (rows.columns.contains("id")) rows
+      val withId = if (rows.columns.contains("id")) rows
         else rows.withColumn("id",
-          xxhash64(lit(label), col("src"), col("dst"), monotonically_increasing_id())))
-        .withColumn("rev", lit(1L)).withColumn("deleted", lit(false))
-      stage(eTable(label), withId)
+          xxhash64(lit(label), col("src"), col("dst"), monotonically_increasing_id()))
+      stage(eTable(label), withNextRev(eTable(label), withId, conflictOnLive = true))
       this
     }
 
     /** Update edges by id (full replacement rows: id, src, dst, weight,
       * props…) — copy-modify-save for edges (edge.lisp:258-268 analog).
+      * Like vertices, an update of a deleted edge id resurrects it.
       */
     def updateEdges(label: String, rows: DataFrame): Txn = {
       require(rows.columns.contains("id"), "edge updates need the edge id")
-      val cur = store.read(eTable(label)).select(col("id"), col("rev").as("__cur"))
-      stage(eTable(label), rows.join(cur, Seq("id"), "left")
-        .withColumn("rev", coalesce(col("__cur") + 1, lit(1L)))
-        .withColumn("deleted", lit(false))
-        .drop("__cur"))
+      stage(eTable(label), withNextRev(eTable(label), rows, conflictOnLive = false))
       this
     }
 

@@ -45,26 +45,68 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   def currentEpoch: Long =
     if (Files.exists(epochPath)) Files.readString(epochPath).trim.toLong else 0L
 
-  private def withWriteLock[T](body: => T): T = {
-    val raf = new RandomAccessFile(Paths.get(dir, "_lock").toFile, "rw")
-    val lock: FileLock = raf.getChannel.lock()
-    try body finally { lock.release(); raf.close() }
-  }
+  // reentrant per thread: healVacuum may run under commit's lock, and a
+  // second FileLock.lock() from the same JVM throws Overlapping…
+  private val holdsLock = ThreadLocal.withInitial[Boolean](() => false)
+  private def withWriteLock[T](body: => T): T =
+    if (holdsLock.get()) body
+    else {
+      val raf = new RandomAccessFile(Paths.get(dir, "_lock").toFile, "rw")
+      val lock: FileLock = raf.getChannel.lock()
+      holdsLock.set(true)
+      try body finally { holdsLock.set(false); lock.release(); raf.close() }
+    }
 
   private def labelDir(label: String) = s"$dir/$label"
 
-  /** All visible row versions of a table as of an epoch. */
+  /** All visible row versions of a table as of an epoch. mergeSchema:
+    * epoch dirs may carry evolved prop sets (schema.lisp:86-99 allows
+    * adding slots); without it the reader would pick one footer's
+    * schema and silently drop later columns.
+    */
   private def versions(label: String, asOf: Long): DataFrame = {
-    val p = labelDir(label)
-    if (!Files.exists(Paths.get(p))) return spark.emptyDataFrame
-    spark.read.parquet(p).filter(col("commit_epoch") <= asOf)
+    if (!tableExists(label)) return spark.emptyDataFrame
+    spark.read.option("mergeSchema", "true").parquet(labelDir(label))
+      .filter(col("commit_epoch") <= asOf)
+  }
+
+  /** Existence check that first completes any interrupted vacuum swap —
+    * mid-swap the table dir is briefly absent though the data is safe.
+    */
+  private def tableExists(label: String): Boolean = {
+    healVacuum(label)
+    Files.exists(Paths.get(labelDir(label)))
+  }
+
+  private def rmTree(f: java.nio.file.Path): Unit = if (Files.exists(f)) {
+    if (Files.isDirectory(f)) Files.list(f).forEach(rmTree)
+    Files.delete(f)
+  }
+
+  /** Epoch dirs above the committed pointer are invisible garbage by
+    * construction (crashed/failed commits: data landed, pointer never
+    * bumped). They MUST be removed before a new commit writes, or the
+    * new commit's epoch dir would adopt the orphan rows the moment the
+    * pointer bumps — and a retry of the failed commit would append
+    * duplicate versions.
+    */
+  private def dropOrphanEpochs(label: String, committed: Long): Unit = {
+    val p = Paths.get(labelDir(label))
+    if (Files.exists(p)) {
+      Files.list(p).forEach { d =>
+        val n = d.getFileName.toString
+        if (n.startsWith("commit_epoch=") &&
+            scala.util.Try(n.stripPrefix("commit_epoch=").toLong).toOption.exists(_ > committed))
+          rmTree(d)
+      }
+    }
   }
 
   /** Latest visible (non-deleted) version of each row — the default
     * read view. `asOf` pins a snapshot epoch (time travel).
     */
   def read(label: String, asOf: Option[Long] = None): DataFrame = {
-    if (!Files.exists(Paths.get(labelDir(label)))) return spark.emptyDataFrame
+    if (!tableExists(label)) return spark.emptyDataFrame
     val epoch = asOf.getOrElse(currentEpoch)
     val w = Window.partitionBy("id").orderBy(col("rev").desc)
     versions(label, epoch)
@@ -75,6 +117,19 @@ final class VersionedStore(spark: SparkSession, dir: String) {
 
   /** Full version history (the MVCC chain; mvcc-tests analog). */
   def history(label: String): DataFrame = versions(label, currentEpoch)
+
+  /** Latest (id, rev, deleted) per id INCLUDING tombstones — the
+    * revision a successor version must build on. read() hides deleted
+    * rows, so rev derivation through it would dead-end a deleted id
+    * (recreate-after-delete, interface.lisp:15-25 + vertex.lisp:105).
+    */
+  def latestRevisions(label: String): DataFrame = {
+    if (!tableExists(label))
+      return spark.range(0).select(col("id"), lit(0L).as("rev"), lit(false).as("deleted"))
+    val w = Window.partitionBy("id").orderBy(col("rev").desc)
+    versions(label, currentEpoch).select("id", "rev", "deleted")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** Atomically commit one batch of row versions across any number of
     * tables. Each frame must have (id: Long, rev: Long, deleted:
@@ -111,6 +166,9 @@ final class VersionedStore(spark: SparkSession, dir: String) {
       }
     }
     writes.foreach { case (label, df) =>
+      // clear any half-written epoch dirs from crashed commits first:
+      // we hold the write lock, and anything above `base` is invisible
+      dropOrphanEpochs(label, base)
       df.write.mode("append").parquet(s"${labelDir(label)}/commit_epoch=$next")
     }
     // pointer bump last: temp + atomic rename makes the commit visible
@@ -121,24 +179,49 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     next
   }
 
+  private def vacuumTmp(label: String) = Paths.get(s"${labelDir(label)}__vacuum_tmp")
+  private def vacuumOld(label: String) = Paths.get(s"${labelDir(label)}__vacuum_old")
+
+  /** Finish or roll back an interrupted [[vacuum]] swap. States:
+    *   - label dir present            → nothing mid-swap; drop leftovers
+    *   - label dir gone, _old present → crashed between the two renames;
+    *     restore the original (both copies are complete, original is
+    *     the conservative choice)
+    */
+  private def healVacuum(label: String): Unit = {
+    val lab = Paths.get(labelDir(label))
+    if (!Files.exists(lab) && Files.exists(vacuumOld(label))) withWriteLock {
+      if (!Files.exists(lab) && Files.exists(vacuumOld(label)))
+        Files.move(vacuumOld(label), lab, StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (Files.exists(lab)) { rmTree(vacuumOld(label)); rmTree(vacuumTmp(label)) }
+  }
+
   /** Retention: rewrite a table keeping only the newest `keep`
     * revisions per id (the keep-revisions reaper; MVCC archiving
-    * transactions.lisp:408-599). Runs as a compaction commit.
+    * transactions.lisp:408-599).
+    *
+    * Fault tolerance: the compacted copy is fully written to a sibling
+    * temp dir first, then swapped in with two renames; a crash at any
+    * point leaves either the original or the compacted table intact
+    * ([[healVacuum]] completes the swap on next access). Kept rows
+    * retain their original `commit_epoch`, so `asOf` snapshot reads of
+    * surviving versions still resolve after compaction.
     */
   def vacuum(label: String, keep: Int): Unit = withWriteLock {
+    if (!tableExists(label)) return
     val epoch = currentEpoch
     val w = Window.partitionBy("id").orderBy(col("rev").desc)
     val kept = versions(label, epoch)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= keep)
-      .drop("__rn", "commit_epoch")
-      .localCheckpoint(true) // materialize before deleting source files
-    val p = Paths.get(labelDir(label))
-    def rm(f: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(f)) Files.list(f).forEach(rm)
-      Files.delete(f)
-    }
-    rm(p)
-    kept.write.mode("overwrite").parquet(s"${labelDir(label)}/commit_epoch=$epoch")
+      .drop("__rn")
+    rmTree(vacuumTmp(label)); rmTree(vacuumOld(label))
+    kept.write.mode("overwrite").partitionBy("commit_epoch")
+      .parquet(vacuumTmp(label).toString)
+    val lab = Paths.get(labelDir(label))
+    Files.move(lab, vacuumOld(label), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(vacuumTmp(label), lab, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(vacuumOld(label))
   }
 }

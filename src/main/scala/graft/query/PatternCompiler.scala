@@ -161,6 +161,7 @@ final class PatternCompiler(
       df = df.join(subDf, shared, "left_anti")
 
     case Or(branches) =>
+      val outerCols = if (df == null) Seq.empty[String] else df.columns.toSeq
       val compiled = branches.map { goals =>
         val b = new PatternCompiler(graph, params, views, rules)
         b.df = df
@@ -171,9 +172,24 @@ final class PatternCompiler(
       val newVars = compiled.head.vars.keySet -- vars.keySet
       require(compiled.forall(c => (c.vars.keySet -- vars.keySet) == newVars),
         "or-branches must bind the same variables")
-      val keep = (vars.keySet ++ newVars).toSeq.sorted
+      // keep EVERYTHING later goals can see — outer bound columns
+      // (Slot/Bind/Param/weight bindings and attached v__prop columns
+      // included, not just var ids) plus branch-bound vars — restricted
+      // to columns every branch produced, so the union is well-formed
+      val common = compiled.map(_.df.columns.toSet).reduce(_ intersect _)
+      val branchPropCols = common.filter(c =>
+        newVars.exists(v => c.startsWith(s"${v}__"))).toSeq.sorted
+      val keep = (outerCols ++ newVars.toSeq.sorted ++ branchPropCols)
+        .distinct.filter(common)
       df = compiled.map(_.df.select(keep.map(col): _*)).reduce(_ unionAll _)
-      vars = vars ++ newVars.map(v => v -> compiled.head.vars(v).copy(hasProps = false))
+      // prop columns attached in only some branches did not survive;
+      // ensureProps re-attaches on demand iff the full set is gone
+      // (props are attached atomically, so v__label tracks the set)
+      val survivors = keep.toSet
+      vars = (vars ++ newVars.map(v => v -> compiled.head.vars(v))).map {
+        case (v, st) => v -> st.copy(hasProps =
+          st.hasProps && survivors.contains(s"${v}__label"))
+      }
   }
 
   def compile(q: PatternQuery): DataFrame = {

@@ -98,9 +98,13 @@ final class HttpEndpoint(
         val lines = (0 until rowsNode.size()).map(i => rowsNode.get(i).toString)
         if (lines.isEmpty) throw new QueryService.BadRequestException("'rows' is empty")
         val df = spark.read.json(spark.createDataset(lines))
-        if (!df.columns.contains("id"))
-          throw new QueryService.BadRequestException("each row needs an 'id'")
-        val epoch = gs.txn().createVertices(label, df).commit()
+        // schema gate: unknown columns / wrong types → 400, never an
+        // appended conflicting parquet schema (ADVICE r1)
+        val conformed =
+          try gs.conformVertices(label, df)
+          catch { case e: IllegalArgumentException =>
+            throw new QueryService.BadRequestException(e.getMessage) }
+        val epoch = gs.txn().createVertices(label, conformed).commit()
         reply(ex, 200, s"""{"epoch": $epoch, "created": ${lines.size}}""")
       case Array("delete", label) =>
         val idsNode = Option(root.get("ids")).filter(_.isArray).getOrElse(

@@ -91,4 +91,41 @@ class GraphStoreSpec extends SparkSpec {
       subsetFilter = Some(col("id") < 10))
     assert(sub.read("v_person").select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("recreate after delete: tombstoned ids accept a new life") {
+    val gs = new GraphStore(spark, schema, tmp("gs"))
+    gs.txn().createVertices("person", Seq((7L, "gil", 20)).toDF("id", "name", "age")).commit()
+    gs.txn().deleteVertices("person", Seq(Tuple1(7L)).toDF("id")).commit()
+    assert(gs.graph().vertexFrame("person").filter(col("id") === 7L).count() == 0)
+    // create again: must succeed the tombstone, not conflict forever
+    gs.txn().createVertices("person", Seq((7L, "gil2", 21)).toDF("id", "name", "age")).commit()
+    val row = gs.graph().vertexFrame("person").filter(col("id") === 7L)
+      .select("name").as[String].head()
+    assert(row == "gil2")
+    // update of a deleted id resurrects it too
+    gs.txn().deleteVertices("person", Seq(Tuple1(7L)).toDF("id")).commit()
+    gs.txn().updateVertices("person", Seq((7L, "gil3", 22)).toDF("id", "name", "age")).commit()
+    assert(gs.graph().vertexFrame("person").filter(col("id") === 7L).count() == 1)
+    // but create over a LIVE id still conflicts
+    intercept[gs.store.ConflictException] {
+      gs.txn().createVertices("person", Seq((7L, "dup", 1)).toDF("id", "name", "age")).commit()
+    }
+  }
+
+  test("conformVertices: unknown columns and uncastable values rejected, gaps null-filled") {
+    val gs = new GraphStore(spark, schema, tmp("gs"))
+    gs.txn().createVertices("person", Seq((1L, "ann", 30)).toDF("id", "name", "age")).commit()
+    intercept[IllegalArgumentException] {
+      gs.conformVertices("person", Seq((2L, "x")).toDF("id", "not_a_slot"))
+    }
+    intercept[IllegalArgumentException] { // string id does not cast
+      gs.conformVertices("person", Seq(("abc", "bo")).toDF("id", "name"))
+    }
+    // numeric-as-string casts fine; missing age arrives as typed null
+    val ok = gs.conformVertices("person", Seq(("2", "bo")).toDF("id", "name"))
+    assert(ok.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(ok.columns.toSet == Set("id", "name", "age"))
+    gs.txn().createVertices("person", ok).commit()
+    assert(gs.graph().vertexFrame("person").count() == 2)
+  }
 }

@@ -61,6 +61,36 @@ class PatternSpec extends SparkSpec {
     assert(df.count() == 300)
   }
 
+  test("or keeps earlier Slot/Bind bindings and allows Slot after the union") {
+    // ADVICE r1: the union's keep-set must carry non-var columns bound
+    // before the Or (Slot/Bind), and props must remain attachable after
+    val df = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(
+        IsA("a", "customer"),
+        Slot("a", "c_acctbal", "bal"),          // bound before the Or
+        Bind("flag", lit(1)),                    // computed before the Or
+        Or(Seq(Seq(Filter(col("bal") > 5000)), Seq(Filter(col("bal") < 0)))),
+        Slot("a", "c_mktsegment", "seg")),       // prop attach AFTER the Or
+      select = Seq("a" -> "id", "bal" -> "bal", "flag" -> "flag", "seg" -> "seg")))
+    val expected = spark.read.parquet(s"$sf/customer.parquet")
+      .filter($"c_acctbal" > 5000 || $"c_acctbal" < 0).count()
+    assert(df.count() == expected)
+    assert(df.columns.toSet == Set("id", "bal", "flag", "seg"))
+  }
+
+  test("or branches binding a fresh var keep its props when all branches attach them") {
+    val df = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(
+        Or(Seq(
+          Seq(IsA("a", "customer"), Filter(col("a__c_acctbal") > 5000)),
+          Seq(IsA("a", "customer"), Filter(col("a__c_acctbal") < 0)))),
+        Slot("a", "c_name", "n")),
+      select = Seq("a" -> "id", "n" -> "name")))
+    val expected = spark.read.parquet(s"$sf/customer.parquet")
+      .filter($"c_acctbal" > 5000 || $"c_acctbal" < 0).count()
+    assert(df.count() == expected)
+  }
+
   test("unknown type / unbound slot fail fast") {
     intercept[IllegalArgumentException] {
       PatternCompiler.run(g, PatternQuery(Seq(IsA("a", "nope")), Seq("a" -> "id")))

@@ -135,6 +135,17 @@ class ServiceSpec extends SparkSpec {
       assert(post(wPort, "/mutate/vertex/nosuchlabel",
         """{"rows":[{"id":5}]}""").statusCode() == 400)
       assert(post(wPort, "/mutate/frobnicate/item", "{}").statusCode() == 404)
+      // schema gate (ADVICE r1): string id / unknown column → 400, and
+      // the rejected rows never reach the stored table's parquet schema
+      assert(post(wPort, "/mutate/vertex/item",
+        """{"rows":[{"id":"not-a-number","name":"x"}]}""").statusCode() == 400)
+      assert(post(wPort, "/mutate/vertex/item",
+        """{"rows":[{"id":10,"wat":"x"}]}""").statusCode() == 400)
+      assert(gs.graph().vertexFrame("item").count() == 1)
+      // recreate a deleted id through the REST tier (tombstone + 1)
+      assert(post(wPort, "/mutate/vertex/item",
+        """{"rows":[{"id":2,"name":"b2"}]}""").statusCode() == 200)
+      assert(gs.graph().vertexFrame("item").count() == 2)
     } finally { writable.stop(); readOnly.stop() }
   }
 

@@ -95,4 +95,51 @@ class VersionedStoreSpec extends SparkSpec {
     st.commit(Map("v" -> Seq((1L, 4L, false, "d")).toDF("id", "rev", "deleted", "name")))
     assert(st.read("v").select("name").as[String].head() == "d")
   }
+
+  test("crashed commit leaves no trace: orphan epoch dirs are cleared before writing") {
+    import java.nio.file.{Files => F, Paths}
+    val dir = F.createTempDirectory(java.nio.file.Paths.get("target"), "vstore").toString
+    val st = new VersionedStore(spark, dir)
+    st.commit(Map("v" -> Seq((1L, 1L, false, "a")).toDF("id", "rev", "deleted", "name")))
+    // simulate a crashed commit: epoch-2 data landed, pointer never bumped
+    Seq((99L, 1L, false, "ghost")).toDF("id", "rev", "deleted", "name")
+      .write.parquet(s"$dir/v/commit_epoch=2")
+    assert(st.read("v").count() == 1) // invisible, as documented
+    // the NEXT commit also computes epoch 2: must not adopt the orphans
+    st.commit(Map("v" -> Seq((2L, 1L, false, "b")).toDF("id", "rev", "deleted", "name")))
+    val names = st.read("v").select("name").as[String].collect().toSet
+    assert(names == Set("a", "b"))
+    assert(st.history("v").filter(col("id") === 99L).count() == 0)
+  }
+
+  test("vacuum preserves original commit epochs so asOf snapshots survive") {
+    val st = freshStore
+    val e1 = st.commit(Map("v" -> Seq((1L, 1L, false, "a"), (2L, 1L, false, "x"))
+      .toDF("id", "rev", "deleted", "name")))
+    val e2 = st.commit(Map("v" -> Seq((1L, 2L, false, "b")).toDF("id", "rev", "deleted", "name")))
+    st.vacuum("v", keep = 2) // keeps everything; must not re-stamp epochs
+    assert(st.read("v", asOf = Some(e1)).select("name").as[String].collect().toSet == Set("a", "x"))
+    assert(st.read("v", asOf = Some(e2)).select("name").as[String].collect().toSet == Set("b", "x"))
+  }
+
+  test("interrupted vacuum swap heals on next read") {
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    val dir = F.createTempDirectory(java.nio.file.Paths.get("target"), "vstore").toString
+    val st = new VersionedStore(spark, dir)
+    st.commit(Map("v" -> Seq((1L, 1L, false, "a")).toDF("id", "rev", "deleted", "name")))
+    // simulate a crash between vacuum's two renames: table dir moved
+    // aside, replacement never moved in
+    F.move(Paths.get(s"$dir/v"), Paths.get(s"$dir/v__vacuum_old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(st.read("v").select("name").as[String].head() == "a") // healed
+    assert(!F.exists(Paths.get(s"$dir/v__vacuum_old")))
+  }
+
+  test("latestRevisions includes tombstones") {
+    val st = freshStore
+    st.commit(Map("v" -> Seq((1L, 1L, false, "a")).toDF("id", "rev", "deleted", "name")))
+    st.commit(Map("v" -> Seq((1L, 2L, true, "a")).toDF("id", "rev", "deleted", "name")))
+    val r = st.latestRevisions("v").as[(Long, Long, Boolean)].head()
+    assert(r == ((1L, 2L, true)))
+  }
 }
