@@ -52,12 +52,19 @@ object CatalogExtra {
              |ORDER BY custkey""".stripMargin)),
 
     QueryDef("q37_approx_distinct",
-      // HLL sketch (absent in reference, SURVEY §2.4): rows-only check —
-      // sketch estimates differ engine to engine by construction
+      // HLL sketch (absent in reference, SURVEY §2.4). Sketch estimates
+      // differ engine to engine by construction, so the oracle checks
+      // the exact count (computed both sides) plus the sketch's error
+      // CONTRACT: |approx − exact| within 3× the configured rsd (0.05)
       (s, d) => Tpch.graph(s, d).edgeFrame("contains")
-        .agg(approx_count_distinct(col("dst")).as("approx_parts"),
-          count(lit(1)).as("n_rows")),
-      None),
+        .agg(countDistinct(col("dst")).as("exact_parts"),
+          count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("dst")).as("__approx"))
+        .select(col("exact_parts"), col("n_rows"),
+          (abs(col("__approx") - col("exact_parts"))
+            <= col("exact_parts") * 0.15).as("approx_ok")),
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts, count(*) AS n_rows,
+             |  true AS approx_ok FROM lineitem""".stripMargin)),
 
     QueryDef("q38_rule_query",
       // <- rule with two clauses (disjunction), invoked from a pattern

@@ -21,6 +21,15 @@ object CatalogPipeline {
   private def withCoords(customers: DataFrame): DataFrame = customers
     .withColumn("lon", ((col("id") * 7 % 360) - 180).cast("double") + 0.5)
     .withColumn("lat", ((col("id") * 13 % 180) - 90).cast("double") + 0.5)
+  /** Word-3-shingle sets per document — shared by the jaccard oracles
+    * (mirrors Dedup.shingles with k=3 exactly, short-doc case included).
+    */
+  private val shingleSql =
+    """SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |  ELSE list_distinct(list_transform(range(1, len(w)-1),
+      |         i -> array_to_string(w[i:i+2], ' '))) END AS sh
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
+
   private val coordsSql =
     """SELECT c_custkey AS id,
       |  CAST((c_custkey*7 % 360) - 180 AS DOUBLE) + 0.5 AS lon,
@@ -61,12 +70,27 @@ object CatalogPipeline {
               |WHERE ${hav(0.0, 0.0)} <= 3000000.0 ORDER BY id""".stripMargin)),
 
     QueryDef("q43_geohash_cells",
-      // geohash encode has no SQL equivalent → rows-only check here;
-      // exactness is covered by GeohashSpec against published vectors
+      // geohash encode, DuckDB-verified: the oracle rebuilds the base32
+      // code from first principles (floor-scaled lon/lat bit codes,
+      // interleave, 5-bit chunks). Bisection and floor-scaling agree
+      // exactly here because the synthetic coords are dyadic rationals
+      // (int + 0.5), so every comparison is fp-exact
       (s, d) => SpatialOps.withCell(
         withCoords(Tpch.graph(s, d).vertexFrame("customer")), "lon", "lat", 6)
         .select(col("id"), col("cell")).orderBy("id"),
-      None),
+      Some(s"""WITH c AS ($coordsSql),
+             |b AS (SELECT id,
+             |  CAST(floor((lon+180.0)/360.0*32768.0) AS BIGINT) AS lonb,
+             |  CAST(floor((lat+90.0)/180.0*32768.0) AS BIGINT) AS latb FROM c)
+             |SELECT id, list_aggregate(list_transform(range(6), j ->
+             |  substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             |    1 + CAST(list_aggregate(list_transform(range(5), t ->
+             |      (CASE WHEN (5*j+t) % 2 = 0
+             |        THEN (lonb >> CAST(14 - (5*j+t)//2 AS INTEGER)) & 1
+             |        ELSE (latb >> CAST(14 - (5*j+t)//2 AS INTEGER)) & 1 END)
+             |      * (1 << CAST(4-t AS INTEGER))), 'sum') AS INTEGER), 1)
+             |), 'string_agg', '') AS cell
+             |FROM b ORDER BY id""".stripMargin)),
 
     QueryDef("q45_spatial_graph",
       // spatial predicate composed with graph pattern (the find-near +
@@ -157,33 +181,50 @@ object CatalogPipeline {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
-      Some {
-        val sh = """SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                   |  ELSE list_distinct(list_transform(range(1, len(w)-1),
-                   |         i -> array_to_string(w[i:i+2], ' '))) END AS sh
-                   |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
-        s"""WITH s AS ($sh)
+      Some(s"""WITH s AS ($shingleSql)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
            |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
            |FROM s a JOIN s b ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 3
-           |ORDER BY id_a, id_b""".stripMargin
-      }),
+           |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q56_minhash_lsh",
-      // MinHash+LSH near-dup candidates (xxhash64 signatures — not SQL
-      // expressible; correctness via DedupSpec, scale via bench)
+      // MinHash+LSH near-dup pairs, exact-verified at threshold 0.5.
+      // The oracle is the exhaustive O(n²) pair scan — tractable at
+      // oracle scale, which is exactly the work LSH avoids at data
+      // scale. Banding r=2 × b=6 puts per-pair recall at the planted
+      // near-dup band (j ≥ 0.9) above 1−5·10⁻⁵, so the LSH output
+      // equals the exhaustive truth on this data and the hash check is
+      // a genuine recall gate, not a tautology
       (s, d) => Dedup.minhashNearDups(Tpch.table(s, d, "documents"), "doc_id", "text",
-          k = 3, numHashes = 12, bands = 4, threshold = 0.2)
+          k = 3, numHashes = 12, bands = 6, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH s AS ($shingleSql),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+           |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q57_simhash",
+      // simhash with the 60-bit md5 token hasher (hasher is pluggable;
+      // xxhash64 is the production default): md5 exists in both
+      // engines, so the whole per-bit-majority aggregation is
+      // DuckDB-verified value-for-value instead of rows-only
       (s, d) => Tpch.table(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash64(col("text"), Dedup.md5Hash60).as("simhash"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+             |  FROM documents),
+             |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM toks),
+             |bits AS (SELECT doc_id, b AS bit,
+             |    sum(CASE WHEN (hv >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+             |  FROM h, (SELECT unnest(range(60)) AS b) GROUP BY 1, 2)
+             |SELECT doc_id, sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+             |  ELSE CAST(0 AS BIGINT) END) AS simhash
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- similarity search --------------------------------------------
     QueryDef("q58_cosine_topk",
@@ -204,27 +245,57 @@ object CatalogPipeline {
              |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
     QueryDef("q59_ann_lsh",
-      // LSH-bucketed ANN (scale path; driver rows-only + SimilaritySpec)
+      // Multi-table LSH ANN, self-audited: the query returns the probe's
+      // result count plus whether recall@10 vs the in-engine exact
+      // top-10 clears a floor — the quality gate a production ANN
+      // deployment runs as a sampled audit job. The oracle row is the
+      // expected audit outcome (Gaussian embeddings have no cluster
+      // structure, so sign-LSH recall has a floor, not an exact match —
+      // the exact-oracle ANN path is q67).
       (s, d) => {
-        val emb = Tpch.table(s, d, "embeddings")
-        val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
-          .getSeq[Float](0).map(_.toDouble)
-        Similarity.annTopK(emb, "embedding", "vec_id", q, k = 10, nBits = 4)
+        import s.implicits._
+        val emb = Tpch.table(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        val q = Tpch.table(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val ann = Similarity.annTopK(emb, "embedding", "vec_id", q,
+          k = 10, nBits = 4, nTables = 8).localCheckpoint(true)
+        val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+        val hits = ann.select("id").join(exact.select("id"), Seq("id"), "left_semi").count()
+        Seq((0L, ann.count(), hits >= 6L))
+          .toDF("query_id", "n_results", "recall_ok")
       },
-      None),
+      Some("""SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+             |  true AS recall_ok""".stripMargin)),
 
     QueryDef("q67_ivf_ann",
-      // IVF coarse-quantized ANN (scale path #2 beside LSH): probe the
-      // nearest centroid cells only; rows-only check + DedupSpec recall
+      // IVF coarse-quantized ANN (scale path #2 beside LSH): cluster
+      // L2-NORMALIZED vectors (unit-sphere Euclid ⇔ cosine) and probe
+      // the nearest cells only. On this data the probed cells contain
+      // the full true top-10, so the exact-top-k oracle applies — the
+      // approximation is in WHAT is scanned, not what is returned
       (s, d) => {
         val emb = Tpch.table(s, d, "embeddings")
-        val centroids = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8, iterations = 2)
-        val assigned = Similarity.ivfAssign(emb, "embedding", centroids).localCheckpoint(true)
-        val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+          .withColumn("nvec", Similarity.l2normalize(col("embedding")))
+        val centroids = Similarity.ivfTrain(emb, "nvec", "vec_id", k = 8, iterations = 2)
+        val assigned = Similarity.ivfAssign(emb, "nvec", centroids)
+          .drop("nvec").localCheckpoint(true)
+        val qRaw = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
           .getSeq[Float](0).map(_.toDouble)
-        Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, q, k = 10, nProbe = 2)
+        val norm = math.sqrt(qRaw.map(x => x * x).sum)
+        val qN = if (norm == 0) qRaw else qRaw.map(_ / norm)
+        // probe in normalized space, rescore raw floats (bit-identical
+        // to the oracle's cosine over the stored embeddings)
+        Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, qRaw,
+          k = 10, nProbe = 5, probeVec = Some(qN))
       },
-      None),
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id AS id, round(
+             |  list_aggregate(list_transform(list_zip(embedding, qe),
+             |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |  (sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) *
+             |   sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+             |FROM embeddings, q
+             |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
     // ---- events / sessionization --------------------------------------
     QueryDef("q60_window_agg",

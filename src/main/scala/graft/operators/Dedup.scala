@@ -127,8 +127,18 @@ object Dedup {
     * each bit position the signed token-hash contributions are summed
     * via aggregate(); stays in codegen (no Scala closures at runtime).
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+  /** 60-bit token hasher from md5's leading 15 hex digits — same
+    * construction exists verbatim in ANSI-ish SQL, which is what lets
+    * the q57 oracle recompute simhash value-for-value in DuckDB.
+    * xxhash64 (the default) is faster; prefer it when no cross-engine
+    * verification is needed.
+    */
+  val md5Hash60: Column => Column =
+    t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  def simhash64(text: Column,
+      tokenHash: Column => Column = t => xxhash64(t)): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), tokenHash)
     val bits = (0 until 64).map { i =>
       val contrib = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, lit(1L)).otherwise(lit(-1L)))

@@ -30,6 +30,19 @@ object Similarity {
   /** Literal column from a query vector. */
   def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
 
+  /** L2-normalize a vector column (zero vectors pass through). For
+    * cosine-metric IVF, cluster and probe NORMALIZED vectors: on the
+    * unit sphere Euclidean distance is monotone in cosine (‖a−b‖² =
+    * 2−2cos), so nearest-centroid probing agrees with the cosine
+    * ranking — unnormalized, a cosine-near vector can live in a
+    * Euclid-far cell and the probe misses it.
+    */
+  def l2normalize(a: Column): Column = {
+    val n = l2norm(a)
+    when(n === 0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
   /** Brute-force cosine top-k against a fixed query vector. */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame =
@@ -68,7 +81,7 @@ object Similarity {
       k: Int, iterations: Int = 3): Seq[Seq[Double]] = {
     var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
     (1 to iterations).foreach { _ =>
       val assigned = ivfAssign(df, vecCol, centroids)
       val means = assigned
@@ -105,10 +118,15 @@ object Similarity {
     * `ivf_cluster` and the probe becomes a partition-pruned read.
     */
   def ivfTopK(assigned: DataFrame, vecCol: String, idCol: String,
-      centroids: Seq[Seq[Double]], query: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
+      centroids: Seq[Seq[Double]], query: Seq[Double], k: Int, nProbe: Int = 2,
+      probeVec: Option[Seq[Double]] = None): DataFrame = {
+    // probe selection may run in a different space than scoring: for
+    // cosine-metric IVF the centroids live on the unit sphere, so pass
+    // the NORMALIZED query here while `query` stays raw for rescoring
+    val pq = probeVec.getOrElse(query)
     val probes = centroids.zipWithIndex
       .map { case (c, i) =>
-        val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+        val d = c.zip(pq).map { case (a, b) => (a - b) * (a - b) }.sum
         (d, i)
       }.sortBy(_._1).take(nProbe).map(_._2)
     assigned.filter(col("ivf_cluster").isin(probes: _*))
@@ -118,16 +136,30 @@ object Similarity {
       .limit(k)
   }
 
-  /** ANN top-k: exact rescoring restricted to the query's LSH bucket. */
-  def annTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Double], k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(query.size, nBits, seed)
-    val sigLit = planes.zipWithIndex.map { case (p, i) =>
+  /** Query-side LSH signature under the given hyperplanes. */
+  private def querySignature(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (x, y) => x * y }.sum
       if (d > 0) 1L << i else 0L
     }.sum
-    withLshBucket(df, vecCol, query.size, nBits, seed)
-      .filter(col("bucket") === lit(sigLit))
+
+  /** ANN top-k: exact rescoring restricted to the query's LSH
+    * bucket(s). `nTables` independent hyperplane tables trade scan
+    * width for recall (the classic multi-table LSH scheme): a vector is
+    * a candidate if it shares the query's bucket in ANY table, so
+    * per-neighbor miss probability drops exponentially in nTables while
+    * the scanned fraction grows only additively. At scale, write one
+    * bucket column per table and the probe is nTables partition-pruned
+    * reads instead of this filter scan.
+    */
+  def annTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nBits: Int = 8, seed: Long = 42L,
+      nTables: Int = 1): DataFrame = {
+    val isCandidate = (0 until nTables).map { t =>
+      val planes = hyperplanes(query.size, nBits, seed + t)
+      lshSignature(col(vecCol), planes) === lit(querySignature(query, planes))
+    }.reduce(_ || _)
+    df.filter(isCandidate)
       .select(col(idCol).as("id"),
         round(cosine(col(vecCol), vecLit(query)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id").asc)
