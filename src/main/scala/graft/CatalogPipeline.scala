@@ -192,12 +192,14 @@ object CatalogPipeline {
       // MinHash+LSH near-dup pairs, exact-verified at threshold 0.5.
       // The oracle is the exhaustive O(n²) pair scan — tractable at
       // oracle scale, which is exactly the work LSH avoids at data
-      // scale. Banding r=2 × b=6 puts per-pair recall at the planted
-      // near-dup band (j ≥ 0.9) above 1−5·10⁻⁵, so the LSH output
-      // equals the exhaustive truth on this data and the hash check is
-      // a genuine recall gate, not a tautology
+      // scale. Banding r=3 × b=8 puts per-pair recall at the planted
+      // near-dup band (j ≥ 0.9) above 1−3·10⁻⁵ while keeping the
+      // false-candidate rate ~j³ per band (this corpus's tiny shared
+      // vocabulary makes r=2 banding collide far too often), so the LSH
+      // output equals the exhaustive truth and the hash check is a
+      // genuine recall gate, not a tautology
       (s, d) => Dedup.minhashNearDups(Tpch.table(s, d, "documents"), "doc_id", "text",
-          k = 3, numHashes = 12, bands = 6, threshold = 0.5)
+          k = 3, numHashes = 24, bands = 8, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
       Some(s"""WITH s AS ($shingleSql),

@@ -21,36 +21,62 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
-  /** Word k-shingles of a text column as an array of strings. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word k-shingles of a text column as an array of strings.
+    *
+    * PERF: pass an already-materialized token ARRAY column via
+    * [[shinglesOfTokens]] wherever possible. This convenience overload
+    * embeds the tokenizer inside the per-position lambda, and Catalyst
+    * evaluates the lambda body per element — the regex split would run
+    * once per shingle position (measured ~10µs × positions per doc).
+    */
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfTokens(TextAnalysis.tokens(text), k)
+
+  /** Word k-shingles from a token-array column (ideally a bound
+    * attribute, so per-position slices are cheap in-memory array ops).
+    */
+  def shinglesOfTokens(toks: Column, k: Int): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
-  }
 
-  /** MinHash signature: for seed i, sig(i) = min over shingles of
-    * xxhash64(shingle, i). Pure column expressions → codegen'd.
-    * Pass an already-distinct shingle column; the expression is built
-    * once per seed over that single column reference.
+  /** MinHash signature over already-hashed shingles: the per-seed
+    * family re-hashes 8-byte longs, so the strings are hashed exactly
+    * once upstream. Pure column expressions → codegen'd.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  def minhashSignature(hashedShingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+      array_min(transform(hashedShingles, h => xxhash64(h, lit(i))))
     }: _*)
 
   /** LSH banding: (docId, band, bandHash) rows, one per band. Docs
     * agreeing on any full band land in the same bucket.
     */
-  /** (id, sh, sig): distinct shingle set + minhash signature, computed
-    * in one narrow map pass — shared by bucketing and verification so
-    * the shingle expression tree is built and evaluated once.
+  /** (id, hsh, sig): distinct HASHED shingle set + minhash signature,
+    * computed in one narrow map pass — shared by bucketing and
+    * verification. Shingle strings are hashed to longs immediately and
+    * never carried further: exact verification intersects long arrays
+    * (cheap, fixed-width) instead of string arrays, and 64-bit
+    * collisions are negligible at any realistic shingle-set size.
     */
   def signatureFrame(df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).as("doc"), array_distinct(shingles(col(textCol), k)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      k: Int, numHashes: Int): DataFrame = {
+    // two materialization barriers: (1) tokens — the per-position
+    // shingle lambda re-evaluates its operand per element, so the regex
+    // split must be a materialized array, not an expression; (2) hashed
+    // shingles — projection collapse would inline the shingle tree into
+    // every one of the numHashes signature expressions (the round-1
+    // ~50× re-evaluation trap). Past both barriers each seed is an
+    // array_min over a materialized long array.
+    val toksDf = df.select(col(idCol).as("doc"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(eager = true)
+    val hashed = toksDf.select(col("doc"),
+        array_distinct(transform(shinglesOfTokens(col("toks"), k), s => xxhash64(s))).as("hsh"))
+      .localCheckpoint(eager = true)
+    hashed.withColumn("sig", minhashSignature(col("hsh"), numHashes))
+  }
 
   /** LSH banding over a signature frame: (doc, band, bandHash) — kept
     * narrow (no shingle payload) so the bucket shuffle moves only
@@ -76,7 +102,7 @@ object Dedup {
     * `signatureFrame` and pass it via `sigs`.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      k: Int = 3, numHashes: Int = 24, bands: Int = 8,
       threshold: Double = 0.5, sigs: Option[DataFrame] = None): DataFrame = {
     // materialization barrier: without it Catalyst's projection
     // collapse inlines the shingle expression into every seed × band ×
@@ -90,8 +116,8 @@ object Dedup {
       .filter(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
     pairs
-      .join(sigFrame.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sigFrame.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sigFrame.select(col("doc").as("id_a"), col("hsh").as("sh_a")), Seq("id_a"))
+      .join(sigFrame.select(col("doc").as("id_b"), col("hsh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
