@@ -299,6 +299,27 @@ object CatalogPipeline {
              |FROM embeddings, q
              |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
+    QueryDef("q68_embedding_neardup",
+      // embedding-cosine near-dup pairs (the embedding analog of q56):
+      // multi-table sign-LSH candidates + exact cosine verify at 0.9.
+      // The oracle is the exhaustive O(n²) cosine scan, so a hash match
+      // proves the LSH path emits no false positives and misses no
+      // true near-dup (this corpus has none — max pairwise cosine
+      // ≈0.51 — which the exhaustive oracle confirms; recall on
+      // PLANTED near-dups is DedupSpec's job)
+      (s, d) => Similarity.cosineNearDups(Tpch.table(s, d, "embeddings"),
+          "vec_id", "embedding", threshold = 0.9)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
+             |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |    (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) *
+             |     sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- events / sessionization --------------------------------------
     QueryDef("q60_window_agg",
       (s, d) => events(s, d)

@@ -136,6 +136,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: multi-table sign-LSH
+    * candidate generation + exact cosine verification — the embedding
+    * analog of [[Dedup.minhashNearDups]]. Returns (id_a, id_b, cos_sim)
+    * with id_a < id_b and cos_sim >= threshold.
+    *
+    * Shuffle budget: the bucket self-join moves only (table, bucket,
+    * id) triples — vectors never fan out per table; verification joins
+    * the candidate ids back to the vectors. Near-duplicates (cosine ≥
+    * ~0.9, i.e. angle ≤ ~25°) collide in some table with probability
+    * ≥ 1−(1−(1−θ/π)^nBits)^nTables ≈ 1−2·10⁻⁴ at the defaults; recall
+    * for MODERATE similarities is poor by construction — sign-LSH is a
+    * near-dup detector, not a mid-range similarity join.
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, nBits: Int = 4, nTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
+    val sigCols = (0 until nTables).map { t =>
+      lshSignature(col("v"), hyperplanes(dim, nBits, seed + t))
+    }
+    val buckets = vecs.select(col("id"), posexplode(array(sigCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+    val pairs = buckets.as("a").join(buckets.as("b"), Seq("table", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cos_sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Query-side LSH signature under the given hyperplanes. */
   private def querySignature(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
     planes.zipWithIndex.map { case (p, i) =>

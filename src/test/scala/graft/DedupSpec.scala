@@ -113,4 +113,23 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == "en"); assert(got(2L) == "de")
     assert(got(3L) == "es"); assert(got(4L) == "und")
   }
+
+  test("cosineNearDups finds planted near-dup embeddings, no false positives") {
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // plant: an exact copy of vec 0 and a lightly-perturbed copy
+    val v0 = base.filter($"vec_id" === 0).head().getSeq[Float](1)
+    val near = v0.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) 0.01f else -0.005f) }
+    val planted = Seq((900000L, v0), (900001L, near))
+      .toDF("vec_id", "embedding")
+    val all = base.union(planted)
+    val pairs = graft.operators.Similarity
+      .cosineNearDups(all, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 900000L)), s"exact-copy pair missing from $pairs")
+    assert(pairs.contains((0L, 900001L)), s"perturbed pair missing from $pairs")
+    assert(pairs.contains((900000L, 900001L)))
+    // the corpus itself has no pairs at 0.9 (max pairwise cosine ~0.51)
+    assert(pairs.size == 3, s"unexpected extra pairs: $pairs")
+  }
 }
