@@ -97,4 +97,46 @@ object SpatialOps {
   /** Point-in-polygon refine (UDF over the pure ray-casting test). */
   def pointInPolygonUdf(rings: Seq[Seq[(Double, Double)]]) =
     udf((lon: Double, lat: Double) => Geohash.pointInPolygon(lon, lat, rings))
+
+  /** Morton (Z-order) key: interleaved bits of floor-scaled lon/lat
+    * codes, `bitsPerDim` bits each (≤ 31). Points close on the Z-curve
+    * are close in space, so range-partitioning + sorting by this key
+    * clusters spatially-near rows into the same files — parquet min/max
+    * stats then prune file reads for bbox queries, the columnar analog
+    * of the reference's cell-keyed skip list (spatial-index.lisp:79-110)
+    * at petabyte layout scale. Geohash cells (withCell) answer
+    * "which rows", the Z-layout answers "which FILES hold them".
+    */
+  def zOrderKey(lon: Column, lat: Column, bitsPerDim: Int = 16): Column = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31, "bitsPerDim in [1,31]")
+    val scale = 1L << bitsPerDim
+    val lonB = least(floor((lon + 180.0) / 360.0 * scale), lit(scale - 1)).cast("long")
+    val latB = least(floor((lat + 90.0) / 180.0 * scale), lit(scale - 1)).cast("long")
+    (0 until bitsPerDim).map { i =>
+      shiftleft(shiftright(lonB, i).bitwiseAND(1L), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(latB, i).bitwiseAND(1L), 2 * i))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Driver-side reference Morton encoder (same formula; spec anchor). */
+  def zOrderKeyLocal(lon: Double, lat: Double, bitsPerDim: Int = 16): Long = {
+    val scale = 1L << bitsPerDim
+    val lonB = math.min(math.floor((lon + 180.0) / 360.0 * scale).toLong, scale - 1)
+    val latB = math.min(math.floor((lat + 90.0) / 180.0 * scale).toLong, scale - 1)
+    (0 until bitsPerDim).map { i =>
+      (((lonB >> i) & 1L) << (2 * i + 1)) | (((latB >> i) & 1L) << (2 * i))
+    }.reduce(_ | _)
+  }
+
+  /** Cluster a frame for spatial file pruning: range-partition on the
+    * Z-key and sort within partitions, so each output file owns a
+    * compact Z-range (write with .write.parquet and bbox scans touch
+    * only the files whose zkey min/max intersect the query's range).
+    */
+  def clusterByZOrder(df: DataFrame, lonCol: String, latCol: String,
+      numPartitions: Int, bitsPerDim: Int = 16): DataFrame = {
+    val keyed = df.withColumn("zkey", zOrderKey(col(lonCol), col(latCol), bitsPerDim))
+    keyed.repartitionByRange(numPartitions, col("zkey"))
+      .sortWithinPartitions("zkey")
+  }
 }
