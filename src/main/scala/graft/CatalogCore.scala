@@ -338,7 +338,7 @@ object CatalogCore {
         // path-doubled relation — the knows graph has out-degree 2, so
         // the compressed relation stays small while the round count
         // (the latency term at any scale) drops ~8×
-        Fixpoint.reachable(edges, base, hopPower = 2).orderBy("id")
+        Fixpoint.reachable(edges, base, hopPower = 2, shufflePartitions = Some(4)).orderBy("id")
       },
       Some(s"""WITH RECURSIVE e AS ($knowsSql),
               |r AS (

@@ -29,7 +29,24 @@ object Fixpoint {
     * @param keyCols columns forming fact identity for dedup
     * @return the fixpoint (base ∪ all derived facts)
     */
-  def semiNaive(base: DataFrame, keyCols: Seq[String], budget: Budget = Budget())(
+  def semiNaive(base: DataFrame, keyCols: Seq[String], budget: Budget = Budget(),
+      shufflePartitions: Option[Int] = None)(
+      step: DataFrame => DataFrame): DataFrame = {
+    // iterative rounds move delta-sized data — orders of magnitude less
+    // than the session default sized for full-table shuffles. Sizing
+    // shuffle partitions to the round's volume removes per-round task
+    // overhead AQE can't (AQE coalesces reads, but the map side still
+    // launches default-many tasks). Restored after the loop; the knob
+    // is per-driver-loop, exactly how an iterative job on a real
+    // cluster would set it.
+    val spark = base.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try semiNaiveLoop(base, keyCols, budget)(step)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def semiNaiveLoop(base: DataFrame, keyCols: Seq[String], budget: Budget)(
       step: DataFrame => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     // deltas are checkpointed once each; the accumulated set is a lazy
@@ -77,13 +94,20 @@ object Fixpoint {
     * bounded-fan-out graphs; keep 0 for power-law graphs at scale.
     */
   def reachable(edges: DataFrame, sources: DataFrame, hopPower: Int = 0,
-      budget: Budget = Budget()): DataFrame = {
-    val oriented = edges.select(col("src").as("from"), col("dst").as("to"))
-    val step =
-      if (hopPower == 0) oriented
-      else Traverse.hopCompressedEdges(oriented, hopPower).select("from", "to")
-    semiNaive(sources.select("id"), Seq("id"), budget) { delta =>
-      delta.join(step, delta("id") === step("from")).select(col("to").as("id"))
-    }
+      budget: Budget = Budget(), shufflePartitions: Option[Int] = None): DataFrame = {
+    // the partitions knob must cover the hop-compression builds too —
+    // they materialize eagerly here, before the semi-naive loop
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val oriented = edges.select(col("src").as("from"), col("dst").as("to"))
+      val step =
+        if (hopPower == 0) oriented
+        else Traverse.hopCompressedEdges(oriented, hopPower).select("from", "to")
+      semiNaive(sources.select("id"), Seq("id"), budget, shufflePartitions) { delta =>
+        delta.join(step, delta("id") === step("from")).select(col("to").as("id"))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }
