@@ -1,0 +1,98 @@
+package graft.spatial
+
+/** Exact geometry×geometry predicates — the capability the reference
+  * only gets through its optional GEOS FFI add-on (reference
+  * geometry-ops.lisp:94-190, geos/): intersects, contains, planar
+  * area. Pure Scala (no native kernel): segment-intersection plus
+  * ray-cast containment over simple polygons with holes, the same
+  * polygon model as [[Geohash.pointInPolygon]] (rings.head = outer
+  * ring, tail = holes).
+  *
+  * Constructive operations (union/intersection geometry, buffer) need
+  * a full geometry kernel and stay out of scope, exactly like the
+  * reference without its GEOS add-on — there the bbox-overlap fallback
+  * ([[Geohash.BBox.intersects]]) applies.
+  *
+  * Scale shape: these are driver-usable pure functions AND UDF-able
+  * per-row predicates; the intended plan is always cell/bbox pruning
+  * first (SpatialOps / SpatialCellPruning), exact refine second, so
+  * the O(edges²) test runs on candidates only.
+  */
+object GeometryOps {
+
+  type Ring = Seq[(Double, Double)]
+  type Polygon = Seq[Ring] // head = outer, tail = holes
+
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Int = {
+    val v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    if (v > 0) 1 else if (v < 0) -1 else 0
+  }
+
+  private def onSegment(ax: Double, ay: Double, bx: Double, by: Double,
+      px: Double, py: Double): Boolean =
+    math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+      math.min(ay, by) <= py && py <= math.max(ay, by)
+
+  /** Proper or improper (touching/collinear-overlap) intersection. */
+  def segmentsIntersect(a1: (Double, Double), a2: (Double, Double),
+      b1: (Double, Double), b2: (Double, Double)): Boolean = {
+    val o1 = orient(a1._1, a1._2, a2._1, a2._2, b1._1, b1._2)
+    val o2 = orient(a1._1, a1._2, a2._1, a2._2, b2._1, b2._2)
+    val o3 = orient(b1._1, b1._2, b2._1, b2._2, a1._1, a1._2)
+    val o4 = orient(b1._1, b1._2, b2._1, b2._2, a2._1, a2._2)
+    if (o1 != o2 && o3 != o4) true
+    else (o1 == 0 && onSegment(a1._1, a1._2, a2._1, a2._2, b1._1, b1._2)) ||
+      (o2 == 0 && onSegment(a1._1, a1._2, a2._1, a2._2, b2._1, b2._2)) ||
+      (o3 == 0 && onSegment(b1._1, b1._2, b2._1, b2._2, a1._1, a1._2)) ||
+      (o4 == 0 && onSegment(b1._1, b1._2, b2._1, b2._2, a2._1, a2._2))
+  }
+
+  private def ringEdges(r: Ring): Iterator[((Double, Double), (Double, Double))] =
+    if (r.size < 2) Iterator.empty
+    else (r :+ r.head).sliding(2).map(p => (p(0), p(1)))
+
+  def ringsCross(a: Ring, b: Ring): Boolean =
+    ringEdges(a).exists { case (p1, p2) =>
+      ringEdges(b).exists { case (q1, q2) => segmentsIntersect(p1, p2, q1, q2) }
+    }
+
+  /** Do two polygons (with holes) share any point? True on boundary
+    * contact too (GEOS `intersects` semantics, geometry-ops.lisp:110).
+    */
+  def polygonIntersects(a: Polygon, b: Polygon): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    // any outer-ring edge crossing, or full containment one way or the
+    // other (containment with holes: a vertex inside counts unless a
+    // hole swallows the whole other polygon — hole crossings are edge
+    // crossings and are caught above)
+    ringsCross(a.head, b.head) ||
+      b.head.exists(p => Geohash.pointInPolygon(p._1, p._2, a)) ||
+      a.head.exists(p => Geohash.pointInPolygon(p._1, p._2, b))
+  }
+
+  /** Is every point of `b` inside `a`? (geometry-ops.lisp:130
+    * contains-geometry): all of b's outer vertices inside a, no edge
+    * of b crossing a's outer ring or any hole of a, and no hole of a
+    * inside b's outer ring.
+    */
+  def polygonContains(a: Polygon, b: Polygon): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    b.head.forall(p => Geohash.pointInPolygon(p._1, p._2, a)) &&
+      !a.exists(ringA => ringsCross(ringA, b.head)) &&
+      !a.tail.exists(h => h.nonEmpty &&
+        h.forall(p => Geohash.pointInRing(p._1, p._2, b.head)))
+  }
+
+  /** Planar (coordinate-space) signed shoelace area of a ring; polygon
+    * area = |outer| − Σ|holes| (the reference's GEOS area is likewise
+    * planar over raw coordinates).
+    */
+  def ringArea(r: Ring): Double =
+    if (r.size < 3) 0.0
+    else math.abs(ringEdges(r).map { case ((x1, y1), (x2, y2)) =>
+      x1 * y2 - x2 * y1 }.sum) / 2.0
+
+  def polygonArea(p: Polygon): Double =
+    if (p.isEmpty) 0.0 else ringArea(p.head) - p.tail.map(ringArea).sum
+}
