@@ -81,6 +81,46 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
     missing.foldLeft(out)((df, c) => df.withColumn(c, lit(null).cast(target(c))))
   }
 
+  /** Edge-row analog of [[conformVertices]]: allowed columns are the
+    * declared props plus (src, dst, weight, id); src/dst are required
+    * and must cast to long. Same 400-on-mismatch contract.
+    */
+  def conformEdges(label: String, rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val et = schema.requireEdge(label)
+    val allowed = et.props.toSet ++ Set("src", "dst", "weight", "id")
+    val unknown = rows.columns.filterNot(allowed)
+    require(unknown.isEmpty, s"unknown columns for edge '$label': ${unknown.mkString(", ")}")
+    require(Set("src", "dst").subsetOf(rows.columns.toSet), "each edge row needs src and dst")
+    val stored = store.read(eTable(label))
+    val target: Map[String, DataType] =
+      if (stored.columns.nonEmpty)
+        stored.schema.fields.map(f => f.name -> f.dataType).toMap
+      else Map("src" -> LongType, "dst" -> LongType, "id" -> LongType,
+        "weight" -> DoubleType)
+    val castCols = rows.columns.filter(target.contains).toSeq
+    val badRow = castCols
+      .map(c => col(c).isNotNull && col(c).try_cast(target(c)).isNull)
+      .reduceOption(_ || _)
+    badRow.foreach { cond =>
+      val bad = rows.filter(cond)
+      if (!bad.isEmpty) {
+        val sample = bad.limit(3).collect().map(_.json).mkString("; ")
+        throw new IllegalArgumentException(
+          s"rows do not conform to stored schema of edge '$label': $sample")
+      }
+    }
+    val meta = Set("rev", "deleted", "commit_epoch")
+    val missing = target.keys.filterNot(meta).filterNot(_ == "id")
+      .filterNot(rows.columns.contains).toSeq.sorted
+    val out = rows.select(rows.columns.toSeq.map(c =>
+      if (target.contains(c)) col(c).cast(target(c)).as(c) else col(c)): _*)
+    missing.foldLeft(out)((df, c) =>
+      // absent weight defaults to 1.0 (the unweighted-edge convention
+      // everywhere else in the engine); absent props arrive as nulls
+      df.withColumn(c, (if (c == "weight") lit(1.0) else lit(null)).cast(target(c))))
+  }
+
   /** One transaction: stage creates/updates/deletes across labels, then
     * commit atomically. Rev bookkeeping is handled here (lookup of
     * current revisions); OCC conflicts surface as ConflictException.

@@ -106,11 +106,29 @@ final class HttpEndpoint(
             throw new QueryService.BadRequestException(e.getMessage) }
         val epoch = gs.txn().createVertices(label, conformed).commit()
         reply(ex, 200, s"""{"epoch": $epoch, "created": ${lines.size}}""")
+      case Array("edge", label) =>
+        val rowsNode = Option(root.get("rows")).filter(_.isArray).getOrElse(
+          throw new QueryService.BadRequestException("'rows' array required"))
+        val lines = (0 until rowsNode.size()).map(i => rowsNode.get(i).toString)
+        if (lines.isEmpty) throw new QueryService.BadRequestException("'rows' is empty")
+        val df = spark.read.json(spark.createDataset(lines))
+        val conformed =
+          try gs.conformEdges(label, df)
+          catch { case e: IllegalArgumentException =>
+            throw new QueryService.BadRequestException(e.getMessage) }
+        val epoch = gs.txn().createEdges(label, conformed).commit()
+        reply(ex, 200, s"""{"epoch": $epoch, "created": ${lines.size}}""")
       case Array("delete", label) =>
         val idsNode = Option(root.get("ids")).filter(_.isArray).getOrElse(
           throw new QueryService.BadRequestException("'ids' array required"))
         val ids = (0 until idsNode.size()).map(i => idsNode.get(i).asLong()).toDF("id")
         val epoch = gs.txn().deleteVertices(label, ids).commit()
+        reply(ex, 200, s"""{"epoch": $epoch}""")
+      case Array("delete_edge", label) =>
+        val idsNode = Option(root.get("ids")).filter(_.isArray).getOrElse(
+          throw new QueryService.BadRequestException("'ids' array required"))
+        val ids = (0 until idsNode.size()).map(i => idsNode.get(i).asLong()).toDF("id")
+        val epoch = gs.txn().deleteEdges(label, ids).commit()
         reply(ex, 200, s"""{"epoch": $epoch}""")
       case other =>
         reply(ex, 404, err(s"no such mutation route: ${other.mkString("/")}"))

@@ -104,7 +104,7 @@ class ServiceSpec extends SparkSpec {
 
   test("HTTP write tier: create/delete vertices, effects gate, conflict=409") {
     val schema = graft.model.GraphSchema.builder()
-      .vertex("item", "id", Seq("name")).build()
+      .vertex("item", "id", Seq("name")).edge("rel", "item", "item").build()
     val gs = new graft.model.GraphStore(spark, schema,
       java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get("target"), "http-gs").toString)
     val writable = new graft.service.HttpEndpoint(service, store = Some(gs), allowWrites = true)
@@ -146,6 +146,19 @@ class ServiceSpec extends SparkSpec {
       assert(post(wPort, "/mutate/vertex/item",
         """{"rows":[{"id":2,"name":"b2"}]}""").statusCode() == 200)
       assert(gs.graph().vertexFrame("item").count() == 2)
+      // edge CRUD tier: create (weight defaults to 1.0), bad type → 400,
+      // delete by id
+      assert(post(wPort, "/mutate/edge/rel",
+        """{"rows":[{"src":1,"dst":2}]}""").statusCode() == 200)
+      val e = gs.graph().edgeFrame("rel").select("id", "weight").head()
+      assert(e.getDouble(1) == 1.0)
+      assert(post(wPort, "/mutate/edge/rel",
+        """{"rows":[{"src":"oops","dst":2}]}""").statusCode() == 400)
+      assert(post(wPort, "/mutate/edge/rel",
+        """{"rows":[{"src":1}]}""").statusCode() == 400)
+      assert(post(wPort, s"/mutate/delete_edge/rel",
+        s"""{"ids":[${e.getLong(0)}]}""").statusCode() == 200)
+      assert(gs.graph().edgeFrame("rel").count() == 0)
     } finally { writable.stop(); readOnly.stop() }
   }
 
