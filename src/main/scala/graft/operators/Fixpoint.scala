@@ -94,17 +94,21 @@ object Fixpoint {
     * bounded-fan-out graphs; keep 0 for power-law graphs at scale.
     */
   def reachable(edges: DataFrame, sources: DataFrame, hopPower: Int = 0,
-      budget: Budget = Budget(), shufflePartitions: Option[Int] = None): DataFrame = {
+      budget: Budget = Budget(), shufflePartitions: Option[Int] = None,
+      compressedStep: Option[DataFrame] = None): DataFrame = {
     // the partitions knob must cover the hop-compression builds too —
-    // they materialize eagerly here, before the semi-naive loop
+    // they materialize eagerly here, before the semi-naive loop.
+    // compressedStep: pre-built (from, to) hop relation (persistent-
+    // index analog) — supplying it skips the per-query build.
     val spark = edges.sparkSession
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
-      val oriented = edges.select(col("src").as("from"), col("dst").as("to"))
-      val step =
+      val step = compressedStep.map(_.select("from", "to")).getOrElse {
+        val oriented = edges.select(col("src").as("from"), col("dst").as("to"))
         if (hopPower == 0) oriented
         else Traverse.hopCompressedEdges(oriented, hopPower).select("from", "to")
+      }
       semiNaive(sources.select("id"), Seq("id"), budget, shufflePartitions) { delta =>
         delta.join(step, delta("id") === step("from")).select(col("to").as("id"))
       }

@@ -67,11 +67,17 @@ object Traverse {
     *         at its minimum depth.
     */
   def bfs(edges: DataFrame, start: DataFrame, maxDepth: Int,
-      direction: Direction = Out, hopPower: Int = 0): DataFrame = {
+      direction: Direction = Out, hopPower: Int = 0,
+      compressedStep: Option[DataFrame] = None): DataFrame = {
     val k = 1 << hopPower
-    val step =
+    // compressedStep: a pre-built (from, to, len) hop relation — the
+    // persistent-index analog (reference VE/VEV indexes are maintained
+    // at write time and queried pre-built); when supplied, traversals
+    // skip the per-query compression build entirely
+    val step = compressedStep.getOrElse {
       if (hopPower == 0) oriented(edges, direction).withColumn("len", lit(1))
       else hopCompressedEdges(oriented(edges, direction), hopPower)
+    }
     // each ring is checkpointed once; `visited` is a cheap union over
     // already-materialized rings, so no re-checkpoint per round.
     // Invariant: after round r, rings hold every node with min depth
