@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-quality gates: the properties BENCHNOTES argues for a 100 TB
+  * cluster, asserted on the actual physical plans so a regression
+  * (lost pushdown, dropped broadcast, accidental cartesian) fails CI
+  * instead of surfacing in a fleet bill. Checks run on plan STRINGS
+  * (AQE hides materialized stages behind leaf nodes, so treeString is
+  * the reliable cross-stage view — see the AQE introspection gotcha).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def executedString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes its plan
+    val p: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    p.toString
+  }
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("no cartesian products or nested-loop joins in any catalog query plan") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val s = executedString(q(name))
+      assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ")
+    }
+  }
+
+  test("filters reach the parquet scan (pushdown) on the flagship pattern") {
+    val s = q("q10_pattern_flagship").queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters: ["), s"no pushed filters in:\n$s")
+    assert(s.contains("BUILDING"), s"segment filter not pushed in:\n$s")
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val df = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"scan not pruned to the projection:\n$s")
+  }
+
+  test("dimension joins broadcast on the flagship pattern") {
+    assert(executedString(q("q10_pattern_flagship")).contains("BroadcastHashJoin"))
+  }
+
+  test("aggregation is partial-then-final (map-side combine)") {
+    val s = executedString(q("q20_agg_pricing"))
+    assert(s.contains("partial_"), s"no partial aggregation in:\n$s")
+  }
+}
