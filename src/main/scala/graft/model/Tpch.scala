@@ -60,7 +60,18 @@ object Tpch {
       .withColumn("weight", lit(1.0))
   }
 
-  def graph(spark: SparkSession, sfDir: String): PropertyGraph = {
+  // one PropertyGraph per (session, dataset): construction reads eight
+  // parquet footers for schema inference, which a session catalog would
+  // cache as table metadata — rebuilding it per query re-paid that on
+  // every call. Frames inside are lazy and immutable, so sharing is safe.
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[String, PropertyGraph]
+
+  def graph(spark: SparkSession, sfDir: String): PropertyGraph =
+    graphCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$sfDir",
+      buildGraph(spark, sfDir))
+
+  private def buildGraph(spark: SparkSession, sfDir: String): PropertyGraph = {
     val customer = table(spark, sfDir, "customer")
     val orders = table(spark, sfDir, "orders")
     val lineitem = table(spark, sfDir, "lineitem")
