@@ -273,11 +273,13 @@ object CatalogPipeline {
         val emb = Tpch.table(s, d, "embeddings").filter(col("vec_id") =!= 0)
         val q = Tpch.table(s, d, "embeddings").filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        // two top-k result sets of k=10 rows: collect both and compare
+        // driver-side, as any client consuming a top-k would
         val ann = Similarity.annTopK(emb, "embedding", "vec_id", q,
-          k = 10, nBits = 4, nTables = 8).localCheckpoint(true)
+          k = 10, nBits = 4, nTables = 8).select("id").collect().map(_.getLong(0)).toSet
         val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
-        val hits = ann.select("id").join(exact.select("id"), Seq("id"), "left_semi").count()
-        Seq((0L, ann.count(), hits >= 6L))
+          .select("id").collect().map(_.getLong(0)).toSet
+        Seq((0L, ann.size.toLong, (ann & exact).size >= 6))
           .toDF("query_id", "n_results", "recall_ok")
       },
       Some("""SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
