@@ -203,5 +203,39 @@ object CatalogExtra {
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
              |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY p.event_id""".stripMargin)))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    QueryDef("q69_salted_join",
+      // skew-mitigated join (SURVEY §2.3 skewed-joins row): the salted
+      // plan — hot keys spread over salt buckets, the small side
+      // broadcast-replicated per bucket — must produce EXACTLY the
+      // plain-join result; the oracle is that plain join
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val orders = g.edgeFrame("placed")
+          .select(col("src").as("custkey"), col("dst").as("orderkey"))
+        val cust = g.vertexFrame("customer")
+          .select(col("id").as("custkey"), col("c_nationkey").as("nationkey"))
+        graft.operators.Skew.saltedJoin(orders, cust, "custkey", salt = 8)
+          .groupBy("nationkey").agg(count(lit(1)).as("n_orders"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT c.c_nationkey AS nationkey, count(*) AS n_orders
+             |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |GROUP BY 1 ORDER BY nationkey""".stripMargin)),
+
+    QueryDef("q70_cube",
+      // CUBE grouping (SURVEY §2.4: grouping sets absent in the
+      // reference, free here) — order counts by (status, priority) with
+      // all subtotal planes
+      (s, d) => Tpch.graph(s, d).edgeFrame("placed")
+        .cube(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("status"), lit("ALL")).as("status"),
+          coalesce(col("priority"), lit("ALL")).as("priority"), col("n"))
+        .orderBy("status", "priority"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |  COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)))
 }
