@@ -13,7 +13,13 @@ final case class VertexType(
     label: String,
     parent: Option[String],
     idCol: String,
-    props: Seq[String])
+    props: Seq[String],
+    /** satisfies-type predicate (reference example.lisp:9-13 `:satisfies
+      * email-p`): a boolean Column over the row's props, enforced by the
+      * write path — validation lives in the writer, not the type system
+      * (SURVEY §7.4).
+      */
+    check: Option[org.apache.spark.sql.Column] = None)
 
 final case class EdgeType(
     label: String,
@@ -49,9 +55,10 @@ object GraphSchema {
   final class Builder {
     private var vts = Map.empty[String, VertexType]
     private var ets = Map.empty[String, EdgeType]
-    def vertex(label: String, idCol: String, props: Seq[String], parent: Option[String] = None): Builder = {
+    def vertex(label: String, idCol: String, props: Seq[String], parent: Option[String] = None,
+        check: Option[org.apache.spark.sql.Column] = None): Builder = {
       require(parent.forall(vts.contains), s"parent of $label must be declared first")
-      vts += label -> VertexType(label, parent, idCol, props); this
+      vts += label -> VertexType(label, parent, idCol, props, check); this
     }
     def edge(label: String, src: String, dst: String, props: Seq[String] = Nil): Builder = {
       ets += label -> EdgeType(label, src, dst, props); this

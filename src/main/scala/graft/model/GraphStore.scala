@@ -151,12 +151,28 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
         .drop("__cur", "__del")
     }
 
+    /** satisfies-type enforcement (example.lisp:9-13; SURVEY §7.4:
+      * validation lives in the writer): rows violating the declared
+      * check predicate reject the whole transaction.
+      */
+    private def enforceCheck(label: String, rows: DataFrame): DataFrame = {
+      schema.requireVertex(label).check.foreach { pred =>
+        val bad = rows.filter(!coalesce(pred, lit(false)))
+        if (!bad.isEmpty) {
+          val sample = bad.limit(3).collect().map(_.json).mkString("; ")
+          throw new IllegalArgumentException(
+            s"rows violate the '$label' satisfies-check: $sample")
+        }
+      }
+      rows
+    }
+
     /** Insert new vertices: frame of (id, props…). Rev 1 for fresh ids,
       * tombstone+1 when recreating a deleted id; a live id conflicts.
       */
     def createVertices(label: String, rows: DataFrame): Txn = {
       schema.requireVertex(label)
-      stage(vTable(label), withNextRev(vTable(label), rows, conflictOnLive = true))
+      stage(vTable(label), withNextRev(vTable(label), enforceCheck(label, rows), conflictOnLive = true))
       this
     }
 
@@ -166,7 +182,8 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       * update of a deleted id resurrects it (succeeds the tombstone).
       */
     def updateVertices(label: String, rows: DataFrame): Txn = {
-      stage(vTable(label), withNextRev(vTable(label), rows, conflictOnLive = false))
+      schema.requireVertex(label)
+      stage(vTable(label), withNextRev(vTable(label), enforceCheck(label, rows), conflictOnLive = false))
       this
     }
 
@@ -212,6 +229,39 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
     }
 
     def commit(): Long = store.commit(writes)
+
+    /** Read-your-writes overlay (SURVEY §7.4): the graph as this
+      * transaction sees it — committed state with staged creates/
+      * updates/deletes applied, before commit. Mirrors the reference's
+      * in-txn visibility (transactions.lisp:185-220 resolves lookups
+      * through the txn's write set first).
+      */
+    def graphView(): PropertyGraph = {
+      def overlay(table: String, committed: DataFrame): DataFrame =
+        writes.get(table) match {
+          case None => committed
+          case Some(staged) =>
+            // latest staged version per id wins; tombstones hide rows
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("id").orderBy(col("rev").desc)
+            val latest = staged.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+            val live = latest.filter(!col("deleted")).drop("rev", "deleted")
+            val base =
+              if (committed.columns.isEmpty) committed
+              else committed.join(latest.select("id"), Seq("id"), "left_anti")
+            if (base.columns.isEmpty) live
+            else base.unionByName(live, allowMissingColumns = true)
+        }
+      def frames(labels: Iterable[String], table: String => String) = labels.map { l =>
+        val committed = store.read(table(l))
+          .drop("rev", "deleted", "commit_epoch")
+        l -> overlay(table(l), committed)
+      }.filter(_._2.columns.nonEmpty).toMap
+      new PropertyGraph(schema,
+        frames(schema.vertexTypes.keys, vTable),
+        frames(schema.edgeTypes.keys, eTable))
+    }
   }
 
   def txn(): Txn = new Txn

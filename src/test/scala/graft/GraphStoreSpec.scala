@@ -128,4 +128,43 @@ class GraphStoreSpec extends SparkSpec {
     gs.txn().createVertices("person", ok).commit()
     assert(gs.graph().vertexFrame("person").count() == 2)
   }
+
+  test("satisfies-type check rejects violating rows at the writer") {
+    val checked = GraphSchema.builder()
+      .vertex("user", "id", Seq("email", "age"),
+        check = Some(col("email").rlike("^[^@\\s]+@[^@\\s]+$") && col("age") >= 0))
+      .build()
+    val gs = new GraphStore(spark, checked, tmp("gs-check"))
+    gs.txn().createVertices("user",
+      Seq((1L, "a@b.com", 30)).toDF("id", "email", "age")).commit()
+    intercept[IllegalArgumentException] {
+      gs.txn().createVertices("user",
+        Seq((2L, "not-an-email", 30)).toDF("id", "email", "age"))
+    }
+    intercept[IllegalArgumentException] {
+      gs.txn().updateVertices("user",
+        Seq((1L, "a@b.com", -5)).toDF("id", "email", "age"))
+    }
+    assert(gs.graph().vertexFrame("user").count() == 1)
+  }
+
+  test("read-your-writes: a txn's graphView sees staged rows before commit") {
+    val gs = new GraphStore(spark, schema, tmp("gs-ryw"))
+    gs.txn().createVertices("person", Seq((1L, "ann", 30)).toDF("id", "name", "age")).commit()
+    val txn = gs.txn()
+      .createVertices("person", Seq((2L, "bo", 41)).toDF("id", "name", "age"))
+      .updateVertices("person", Seq((1L, "ann2", 31)).toDF("id", "name", "age"))
+      .deleteVertices("person", Seq(Tuple1(99L)).toDF("id")) // no-op id
+      .createEdges("knows", Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight"))
+    val view = txn.graphView()
+    val names = view.vertexFrame("person").select("id", "name")
+      .as[(Long, String)].collect().toMap
+    assert(names == Map(1L -> "ann2", 2L -> "bo")) // staged create + update visible
+    assert(view.edgeFrame("knows").count() == 1)   // staged edge visible
+    // committed state unchanged until commit
+    assert(gs.graph().vertexFrame("person").count() == 1)
+    assert(gs.graph().vertexFrame("person").select("name").as[String].head() == "ann")
+    txn.commit()
+    assert(gs.graph().vertexFrame("person").count() == 2)
+  }
 }
