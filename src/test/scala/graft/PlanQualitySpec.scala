@@ -24,7 +24,11 @@ class PlanQualitySpec extends SparkSpec {
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
 
   test("no cartesian products or nested-loop joins in any catalog query plan") {
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    // q69's salt-table replication is a DELIBERATE broadcast cross join
+    // against a literal 8-row range — the mechanism of salting, not a
+    // planner accident; everything else must stay BNLJ/cartesian-free
+    val salted = Set("q69_salted_join")
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ")
