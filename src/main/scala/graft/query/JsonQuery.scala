@@ -46,8 +46,19 @@ object JsonQuery {
 
     val goals = Seq.newBuilder[Goal]
 
-    val matches = Option(root.get("match")).getOrElse(bad("missing 'match'"))
-    if (!matches.isArray || matches.isEmpty) bad("'match' must be a non-empty array")
+    // "motif": the compact string notation, alternative to (or combined
+    // with, motif first) the structured "match" array
+    val motif = Option(root.get("motif")).map { m =>
+      if (!m.isTextual) bad("'motif' must be a string")
+      try Motif.goals(m.asText())
+      catch { case e: IllegalArgumentException => bad(e.getMessage) }
+    }
+    motif.foreach(goals ++= _)
+
+    val matches = Option(root.get("match")).getOrElse(
+      if (motif.isDefined) mapper.createArrayNode() else bad("missing 'match' (or 'motif')"))
+    if (!matches.isArray || (matches.isEmpty && motif.isEmpty))
+      bad("'match' must be a non-empty array")
     matches.elements().asScala.foreach { m =>
       if (m.has("vertex")) {
         goals += IsA(str(m, "vertex"), str(m, "type"))

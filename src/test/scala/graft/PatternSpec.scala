@@ -149,4 +149,40 @@ class PatternSpec extends SparkSpec {
       }
     }
   }
+
+  test("motif sugar compiles to the same results as the explicit AST") {
+    val sugar = PatternCompiler.run(g, PatternQuery(
+      goals = Motif.goals("(a:customer)-[placed price]->(o)") ++ Seq(
+        Slot("a", "c_mktsegment", "seg"),
+        Filter(col("seg") === "BUILDING"),
+        Filter(col("price") > 150000.0)),
+      select = Seq("a" -> "custkey", "o" -> "orderkey", "price" -> "totalprice"),
+      orderBy = Seq(col("orderkey"))))
+    val ast = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(
+        IsA("a", "customer"),
+        Slot("a", "c_mktsegment", "seg"),
+        Filter(col("seg") === "BUILDING"),
+        EdgeGoal("placed", "a", "o", weightVar = Some("price")),
+        Filter(col("price") > 150000.0)),
+      select = Seq("a" -> "custkey", "o" -> "orderkey", "price" -> "totalprice"),
+      orderBy = Seq(col("orderkey"))))
+    assert(sugar.collect().toSeq == ast.collect().toSeq)
+  }
+
+  test("motif: chains, reversed edges, multiple clauses") {
+    // (n)<-[located_in]-(a) == (a)-[located_in]->(n)
+    val rev = PatternCompiler.run(g, PatternQuery(
+      goals = Motif.goals("(n:nation)<-[located_in]-(a:customer)"),
+      select = Seq("a" -> "custkey", "n" -> "nationkey")))
+    assert(rev.count() == 150)
+    // chain + extra clause share the middle var
+    val chain = PatternCompiler.run(g, PatternQuery(
+      goals = Motif.goals("(a:customer)-[placed]->(o)-[contains]->(p), (p)-[supplied_by]->(s:supplier)"),
+      select = Seq("a" -> "custkey", "p" -> "partkey", "s" -> "suppkey")))
+    assert(chain.count() > 0)
+    // malformed motifs fail fast
+    intercept[IllegalArgumentException] { Motif.goals("a-[placed]->(o)") }
+    intercept[IllegalArgumentException] { Motif.goals("(a)-[placed->(o)") }
+  }
 }

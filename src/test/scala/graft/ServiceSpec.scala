@@ -188,4 +188,18 @@ class ServiceSpec extends SparkSpec {
       assert(post("/pattern", "garbage").statusCode() == 400)
     } finally ep.stop()
   }
+
+  test("motif string accepted by the JSON DSL") {
+    val viaMotif = service.runAdHoc(
+      """{"motif": "(a:customer)-[placed price]->(o)",
+        | "where":[{"cmp":["price",">",150000]}],
+        | "select":["a","o","price"], "orderBy":["o"]}""".stripMargin)
+    val viaMatch = service.runAdHoc(
+      """{"match":[{"vertex":"a","type":"customer"},
+        |          {"edge":"placed","from":"a","to":"o","weight":"price"}],
+        | "where":[{"cmp":["price",">",150000]}],
+        | "select":["a","o","price"], "orderBy":["o"]}""".stripMargin)
+    assert(viaMotif.collect().toSeq == viaMatch.collect().toSeq)
+    intercept[BadRequestException] { service.runAdHoc("""{"motif": "(a-bad", "select":["a"]}""") }
+  }
 }
