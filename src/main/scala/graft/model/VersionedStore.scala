@@ -45,16 +45,22 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   def currentEpoch: Long =
     if (Files.exists(epochPath)) Files.readString(epochPath).trim.toLong else 0L
 
-  // reentrant per thread: healVacuum may run under commit's lock, and a
-  // second FileLock.lock() from the same JVM throws Overlapping…
-  private val holdsLock = ThreadLocal.withInitial[Boolean](() => false)
+  // Two lock tiers, both reentrant: a JVM ReentrantLock serializes
+  // writer THREADS (FileLock is process-scoped — a second lock() from
+  // another thread of the same JVM throws OverlappingFileLockException
+  // instead of blocking), and the file lock serializes writer
+  // PROCESSES. Reentrancy matters because healVacuum may run under
+  // commit's lock.
+  private val processLock = new java.util.concurrent.locks.ReentrantLock()
   private def withWriteLock[T](body: => T): T =
-    if (holdsLock.get()) body
+    if (processLock.isHeldByCurrentThread) body
     else {
-      val raf = new RandomAccessFile(Paths.get(dir, "_lock").toFile, "rw")
-      val lock: FileLock = raf.getChannel.lock()
-      holdsLock.set(true)
-      try body finally { holdsLock.set(false); lock.release(); raf.close() }
+      processLock.lock()
+      try {
+        val raf = new RandomAccessFile(Paths.get(dir, "_lock").toFile, "rw")
+        val lock: FileLock = raf.getChannel.lock()
+        try body finally { lock.release(); raf.close() }
+      } finally processLock.unlock()
     }
 
   private def labelDir(label: String) = s"$dir/$label"

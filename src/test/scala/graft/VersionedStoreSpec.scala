@@ -142,4 +142,30 @@ class VersionedStoreSpec extends SparkSpec {
     val r = st.latestRevisions("v").as[(Long, Long, Boolean)].head()
     assert(r == ((1L, 2L, true)))
   }
+
+  test("concurrent writers serialize: 8 threads, every commit lands exactly once") {
+    // the concurrent-rw shape of the baseline (8 threads × mixed ops):
+    // OCC + the two-tier write lock must serialize same-JVM threads
+    // (bare FileLock would throw OverlappingFileLockException)
+    val st = freshStore
+    val threads = 8; val perThread = 4
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    (0 until threads).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          (0 until perThread).foreach { i =>
+            val id = (t * perThread + i).toLong
+            st.commit(Map("v" -> Seq((id, 1L, false, s"w$t-$i"))
+              .toDF("id", "rev", "deleted", "name")))
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errors.isEmpty, s"concurrent commit failed: ${errors.peek()}")
+    assert(st.currentEpoch == threads * perThread) // every commit got its own epoch
+    assert(st.read("v").count() == threads * perThread)
+  }
 }
