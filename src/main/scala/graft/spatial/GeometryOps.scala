@@ -57,6 +57,32 @@ object GeometryOps {
       ringEdges(b).exists { case (q1, q2) => segmentsIntersect(p1, p2, q1, q2) }
     }
 
+  /** PROPER crossing only: segment interiors pass through each other.
+    * Touching endpoints and collinear overlaps do not count — the
+    * distinction `contains` needs (a shared boundary edge is still
+    * containment under closed-set semantics).
+    */
+  private def properCross(a1: (Double, Double), a2: (Double, Double),
+      b1: (Double, Double), b2: (Double, Double)): Boolean = {
+    val o1 = orient(a1._1, a1._2, a2._1, a2._2, b1._1, b1._2)
+    val o2 = orient(a1._1, a1._2, a2._1, a2._2, b2._1, b2._2)
+    val o3 = orient(b1._1, b1._2, b2._1, b2._2, a1._1, a1._2)
+    val o4 = orient(b1._1, b1._2, b2._1, b2._2, a2._1, a2._2)
+    o1 * o2 < 0 && o3 * o4 < 0
+  }
+
+  private def ringsProperlyCross(a: Ring, b: Ring): Boolean =
+    ringEdges(a).exists { case (p1, p2) =>
+      ringEdges(b).exists { case (q1, q2) => properCross(p1, p2, q1, q2) }
+    }
+
+  /** Is the point ON the ring's boundary (some edge passes through it)? */
+  def pointOnRing(lon: Double, lat: Double, ring: Ring): Boolean =
+    ringEdges(ring).exists { case (p1, p2) =>
+      orient(p1._1, p1._2, p2._1, p2._2, lon, lat) == 0 &&
+        onSegment(p1._1, p1._2, p2._1, p2._2, lon, lat)
+    }
+
   /** Do two polygons (with holes) share any point? True on boundary
     * contact too (GEOS `intersects` semantics, geometry-ops.lisp:110).
     */
@@ -71,17 +97,23 @@ object GeometryOps {
       a.head.exists(p => Geohash.pointInPolygon(p._1, p._2, b))
   }
 
-  /** Is every point of `b` inside `a`? (geometry-ops.lisp:130
-    * contains-geometry): all of b's outer vertices inside a, no edge
-    * of b crossing a's outer ring or any hole of a, and no hole of a
-    * inside b's outer ring.
+  /** Is every point of `b` inside-or-on `a`? (geometry-ops.lisp:130
+    * contains-geometry, closed-set semantics: a shared boundary still
+    * counts as contained). Conditions: every outer vertex of b inside
+    * or on a's outer ring and not strictly inside a hole; no PROPER
+    * edge crossing between b and any ring of a (touching/collinear
+    * boundary contact is fine); no hole of a strictly inside b.
     */
   def polygonContains(a: Polygon, b: Polygon): Boolean = {
     if (a.isEmpty || b.isEmpty) return false
-    b.head.forall(p => Geohash.pointInPolygon(p._1, p._2, a)) &&
-      !a.exists(ringA => ringsCross(ringA, b.head)) &&
-      !a.tail.exists(h => h.nonEmpty &&
-        h.forall(p => Geohash.pointInRing(p._1, p._2, b.head)))
+    def inOrOn(p: (Double, Double), ring: Ring): Boolean =
+      Geohash.pointInRing(p._1, p._2, ring) || pointOnRing(p._1, p._2, ring)
+    def strictlyIn(p: (Double, Double), ring: Ring): Boolean =
+      Geohash.pointInRing(p._1, p._2, ring) && !pointOnRing(p._1, p._2, ring)
+    b.head.forall(p => inOrOn(p, a.head)) &&
+      b.head.forall(p => !a.tail.exists(h => strictlyIn(p, h))) &&
+      !a.exists(ringA => ringsProperlyCross(ringA, b.head)) &&
+      !a.tail.exists(h => h.nonEmpty && h.forall(p => strictlyIn(p, b.head)))
   }
 
   /** Planar (coordinate-space) signed shoelace area of a ring; polygon
