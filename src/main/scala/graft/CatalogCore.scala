@@ -372,6 +372,42 @@ object CatalogCore {
               |  SELECT e.dst FROM r JOIN e ON e.src = r.id)
               |SELECT id FROM r ORDER BY id""".stripMargin)),
 
+    QueryDef("q71_pagerank",
+      // whole-graph analytics on the GraphX tier (SURVEY §7.5: Pregel
+      // for every-vertex iteration, DataFrame joins for query-shaped
+      // traversal). Integer micro-unit fixed-point PageRank: all-integer
+      // math is bit-identical across engines and partitionings, so the
+      // oracle replays the same 6 iterations as unrolled SQL
+      (s, d) => graft.operators.GraphAnalytics.pageRankFixedPoint(
+        knowsIndex(s, d),
+        Tpch.graph(s, d).vertexFrame("customer").select("id"),
+        iterations = 6).orderBy("id"),
+      Some {
+        val iters = 6
+        val step = (i: Int) => s"""pr${i + 1} AS (
+          |  SELECT pr.id, CAST(150000 + COALESCE(s.contrib, 0) AS BIGINT) AS r
+          |  FROM pr$i pr LEFT JOIN (
+          |    SELECT e.dst AS id, sum((p.r * 85) // (100 * deg.d)) AS contrib
+          |    FROM pr$i p JOIN e ON e.src = p.id JOIN deg ON deg.src = e.src
+          |    GROUP BY e.dst) s USING (id))""".stripMargin
+        s"""WITH e AS ($knowsSql),
+           |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+           |pr0 AS (SELECT c_custkey AS id, CAST(1000000 AS BIGINT) AS r FROM customer),
+           |${(0 until iters).map(step).mkString(",\n")}
+           |SELECT id, r AS rank_micro FROM pr$iters ORDER BY id""".stripMargin
+      }),
+
+    QueryDef("q72_connected_components",
+      // GraphX weakly-connected components; the synthetic knows graph
+      // is one component at every SF (verified by union-find), so the
+      // oracle is the constant min-id labeling — a real check that the
+      // label propagation converged everywhere
+      (s, d) => graft.operators.GraphAnalytics.connectedComponents(
+        knowsIndex(s, d),
+        Tpch.graph(s, d).vertexFrame("customer").select("id")).orderBy("id"),
+      Some("""SELECT c_custkey AS id, CAST(0 AS BIGINT) AS component
+             |FROM customer ORDER BY id""".stripMargin)),
+
     QueryDef("q33_hetero_traverse",
       // customer −placed→ order −contains→ part: the reachable part set
       // at exactly depth 2 from customers 0-4 (traverse with edge-type
