@@ -143,9 +143,14 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * update/delete of an existing id; anything else → ConflictException
     * (OCC validation). Returns the new epoch.
     */
-  def commit(writes: Map[String, DataFrame]): Long = withWriteLock {
+  def commit(writes0: Map[String, DataFrame]): Long = withWriteLock {
     val base = currentEpoch
     val next = base + 1
+    // materialize each staged frame ONCE: staged plans typically embed
+    // a read of this table (rev derivation), which would otherwise
+    // re-execute for the duplicate check, the OCC validation, and the
+    // write — three table scans per commit instead of one
+    val writes = writes0.map { case (l, df) => l -> df.localCheckpoint(eager = true) }
     // validate all tables before writing any (atomicity of the commit)
     writes.foreach { case (label, df) =>
       require(Set("id", "rev", "deleted").subsetOf(df.columns.toSet),
@@ -175,7 +180,14 @@ final class VersionedStore(spark: SparkSession, dir: String) {
       // clear any half-written epoch dirs from crashed commits first:
       // we hold the write lock, and anything above `base` is invisible
       dropOrphanEpochs(label, base)
-      df.write.mode("append").parquet(s"${labelDir(label)}/commit_epoch=$next")
+      // bound files-per-commit: version reads touch every file's footer,
+      // so commits inheriting wide source partitioning (e.g. 32) would
+      // grow the table dir 32 files per epoch and make every subsequent
+      // read/validate O(files). Typical OLTP-ish batches are small;
+      // genuinely huge commits can raise the cap via conf.
+      val parts = spark.conf.get("graft.commit.maxFiles", "8").toInt
+      df.coalesce(parts).write.mode("append")
+        .parquet(s"${labelDir(label)}/commit_epoch=$next")
     }
     // pointer bump last: temp + atomic rename makes the commit visible
     val tmp = Paths.get(dir, s"_epoch.tmp.$next")

@@ -1,0 +1,66 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{GraphSchema, GraphStore}
+
+/** Write-path benchmark against BASELINE.md's mutation shapes
+  * (insert-vertices / update-vertices / delete-vertices / insert-edges
+  * / commit-batched, tests/perf/benchmarks.lisp: 20k vertices, txn
+  * batch 1000). Spark commits are micro-batch by design (SURVEY §7.4):
+  * the honest comparison is rows/s at batch grain vs the reference's
+  * per-op rates, plus the fixed per-commit latency. Prints one JSON
+  * line; results go to BENCHNOTES.md.
+  */
+object WriteBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    val spark = graft.GraftSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    import spark.implicits._
+    val schema = GraphSchema.builder()
+      .vertex("node", "id", Seq("val", "label"))
+      .edge("knows", "node", "node")
+      .build()
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "writebench").toString
+    val gs = new GraphStore(spark, schema, dir)
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // JVM/codegen warm-up on a throwaway store, same as Bench's warmed
+    // queries (the baseline's rates are warm in-process loops too)
+    locally {
+      val w = new GraphStore(spark, schema,
+        Files.createTempDirectory(java.nio.file.Paths.get("target"), "wb-warm").toString)
+      w.txn().createVertices("node",
+        spark.range(100).select($"id", lit("w").as("val"), lit("node").as("label"))).commit()
+      w.txn().updateVertices("node",
+        spark.range(100).select($"id", lit("w2").as("val"), lit("node").as("label"))).commit()
+    }
+    val vertices = spark.range(n)
+      .select($"id", concat(lit("v"), $"id").as("val"), lit("node").as("label"))
+      .localCheckpoint(true)
+    val edges = spark.range(n)
+      .select($"id".as("src"), (($"id" * 3 + 7) % n).as("dst"), lit(1.0).as("weight"))
+      .localCheckpoint(true)
+
+    val tInsert = timed(gs.txn().createVertices("node", vertices).commit())
+    val tEdges = timed(gs.txn().createEdges("knows", edges).commit())
+    val tUpdate = timed(gs.txn().updateVertices("node",
+      vertices.withColumn("val", concat($"val", lit("!"))).localCheckpoint(true)).commit())
+    val half = vertices.filter($"id" % 2 === 0).select("id").localCheckpoint(true)
+    val tDelete = timed(gs.txn().deleteVertices("node", half).commit())
+    // per-commit latency at small batch (the reference's commit-per-op shape)
+    val tTiny = timed(gs.txn().createVertices("node",
+      Seq((1000000L, "x", "node")).toDF("id", "val", "label")).commit())
+    val tSnapshot = timed(graft.model.Backup.backup(gs.graph(), s"$dir/__backup"))
+
+    def rate(t: Double) = (n / t).round
+    println(f"""{"metric":"write_path","n":$n,"insert_s":$tInsert%.2f,"insert_rows_s":${rate(tInsert)},"insert_edges_s":$tEdges%.2f,"update_s":$tUpdate%.2f,"update_rows_s":${rate(tUpdate)},"delete_half_s":$tDelete%.2f,"tiny_commit_s":$tTiny%.2f,"snapshot_s":$tSnapshot%.2f}""")
+    spark.stop()
+  }
+}
