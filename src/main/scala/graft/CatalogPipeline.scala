@@ -133,6 +133,19 @@ object CatalogPipeline {
              |  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q73_bpe_tokens",
+      // BPE-ish pre-tokenization (lookahead-free GPT-2-style pattern,
+      // identical under Java regex and DuckDB's RE2): count per doc of
+      // non-whitespace pre-tokens — the LLM corpus budgeting unit
+      (s, d) => Tpch.table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeIshTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(len(list_filter(
+             |    regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}'),
+             |    t -> NOT regexp_matches(t, '^\\s+$$'))) AS INTEGER) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q51_quality_score",
       (s, d) => Tpch.table(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))

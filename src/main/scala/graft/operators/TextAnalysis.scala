@@ -19,6 +19,23 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization (the GPT-2 pattern family, simplified
+    * to lookahead-free so it runs identically under Java regex and
+    * RE2-based engines): runs of letters / digits / other-symbols, each
+    * optionally taking one preceding space, plus whitespace runs.
+    * This is the unit a byte-pair tokenizer would merge within — the
+    * right token count proxy for LLM-corpus budgeting, where
+    * whitespace-split counts undercount punctuation-heavy text.
+    */
+  val bpeIshPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeIshPattern), lit(0))
+
+  /** Token count excluding pure-whitespace matches (those only glue). */
+  def bpeIshTokenCount(text: Column): Column =
+    size(filter(bpeIshTokens(text), t => !t.rlike("^\\s+$")))
+
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val len = length(text)
