@@ -38,6 +38,22 @@ final class ViewCatalog(spark: SparkSession, graph: PropertyGraph, storageDir: S
   private var defs = Map.empty[String, ViewDef]
   private def path(name: String) = s"$storageDir/views/$name"
 
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  private def rmTree(f: java.nio.file.Path): Unit = if (Files.exists(f)) {
+    if (Files.isDirectory(f)) Files.list(f).forEach(rmTree)
+    Files.delete(f)
+  }
+  /** Complete an interrupted [[regenerate]] swap: mid-swap the view dir
+    * is briefly absent while the previous materialization sits in
+    * `__old` — restore it (same discipline as VersionedStore.vacuum).
+    */
+  private def heal(name: String): Unit = {
+    val p = Paths.get(path(name)); val old = Paths.get(path(name) + "__old")
+    if (!Files.exists(p) && Files.exists(old))
+      Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(p)) { rmTree(Paths.get(path(name) + "__old")); rmTree(Paths.get(path(name) + "__tmp")) }
+  }
+
   def register(v: ViewDef): Unit = {
     require(graph.vertexLabels.contains(v.sourceLabel) || graph.edgeLabels.contains(v.sourceLabel),
       s"unknown source label ${v.sourceLabel}")
@@ -66,14 +82,27 @@ final class ViewCatalog(spark: SparkSession, graph: PropertyGraph, storageDir: S
     val mapped = compute(name)
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // write the full replacement aside, then swap: a crash at any point
+    // leaves either the previous or the new materialization intact —
+    // overwrite-in-place would destroy the view on failure
+    heal(name)
+    val tmp = path(name) + "__tmp"
+    rmTree(Paths.get(tmp))
     mapped
       .repartitionByRange(n, col("key"))
       .sortWithinPartitions("key", "id")
-      .write.mode("overwrite").parquet(path(name))
+      .write.mode("overwrite").parquet(tmp)
+    val p = Paths.get(path(name))
+    Files.createDirectories(p.getParent)
+    if (Files.exists(p))
+      Files.move(p, Paths.get(path(name) + "__old"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(Paths.get(path(name) + "__old"))
   }
 
   private def materialized(name: String): DataFrame = {
     definition(name)
+    heal(name)
     spark.read.parquet(path(name))
   }
 

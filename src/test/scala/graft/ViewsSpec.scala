@@ -82,4 +82,25 @@ class ViewsSpec extends SparkSpec {
       cat.reducedView("customers_by_balance_desc") // no reduce fn
     }
   }
+
+  test("interrupted regenerate swap heals on next read") {
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "views-heal").toString
+    val cat = new graft.views.ViewCatalog(spark, g, dir)
+    cat.register(graft.views.ViewDef("bal", "customer",
+      df => df.select(col("c_mktsegment").as("key"), col("id"), col("c_acctbal").as("value")),
+      reduceAgg = Some(sum(col("value")))))
+    cat.regenerate("bal")
+    val before = cat.grandTotal("bal").collect().head
+    // simulate a crash between regenerate's two renames
+    F.move(Paths.get(s"$dir/views/bal"), Paths.get(s"$dir/views/bal__old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val after = cat.grandTotal("bal").collect().head // heals
+    assert(before == after)
+    assert(!F.exists(Paths.get(s"$dir/views/bal__old")))
+    // regenerate over the healed state still works
+    cat.regenerate("bal")
+    assert(cat.grandTotal("bal").collect().head == before)
+  }
 }
