@@ -167,4 +167,27 @@ class GraphStoreSpec extends SparkSpec {
     txn.commit()
     assert(gs.graph().vertexFrame("person").count() == 2)
   }
+
+  test("restore refuses an interrupted (manifest-less or partial) backup") {
+    val gs = new GraphStore(spark, schema, tmp("gs-bk"))
+    gs.txn().createVertices("person", Seq((1L, "ann", 30)).toDF("id", "name", "age"))
+      .createEdges("knows", Seq((1L, 1L, 1.0)).toDF("src", "dst", "weight")).commit()
+    val dir = tmp("bk-dump")
+    Backup.backup(gs.graph(), dir)
+    // complete dump restores
+    assert(Backup.restore(spark, schema, dir).vertexFrame("person").count() == 1)
+    // no manifest (crash before the commit record) → refused
+    val mf = java.nio.file.Paths.get(dir, "_manifest.json")
+    val saved = java.nio.file.Files.readString(mf)
+    java.nio.file.Files.delete(mf)
+    intercept[IllegalArgumentException] { Backup.restore(spark, schema, dir) }
+    // manifest present but a listed frame missing → refused, not dropped
+    java.nio.file.Files.writeString(mf, saved)
+    def rm(f: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(f)) java.nio.file.Files.list(f).forEach(rm)
+      java.nio.file.Files.delete(f)
+    }
+    rm(java.nio.file.Paths.get(dir, "edges", "knows"))
+    intercept[IllegalArgumentException] { Backup.restore(spark, schema, dir) }
+  }
 }
