@@ -65,6 +65,13 @@ final case class Param(v: String, name: String) extends Goal
   */
 final case class ViewGoal(view: String, key: String, id: String, value: String) extends Goal
 
+/** `invoke-reduced-view` as a goal (prolog-functors.lisp:767-789): join
+  * the solution stream against a view's PER-KEY AGGREGATE rows,
+  * binding the reduced value (and the group row count).
+  */
+final case class ReducedViewGoal(view: String, key: String, value: String,
+    n: Option[String] = None) extends Goal
+
 /** Invocation of a named rule (the `<-` functor surface,
   * prologc.lisp:744-746): the rule produces a relation over its head
   * variables, joined into the stream on the already-bound ones.

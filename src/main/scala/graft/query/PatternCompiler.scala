@@ -137,6 +137,18 @@ final class PatternCompiler(
       vars += id -> VarState("", hasProps = false)
       vars += value -> VarState("", hasProps = false)
 
+    case ReducedViewGoal(view, key, value, nVar) =>
+      val cat = views.getOrElse(throw new IllegalArgumentException(
+        "reduced view goal requires a ViewCatalog"))
+      require(bound(key), s"view key ?$key must be bound")
+      val v = cat.reducedView(view)
+        .select(col("key").as(s"__vk_$key"), col("value").as(value), col("n").as(s"__vn_$key"))
+      df = df.join(v, col(key) === col(s"__vk_$key"), "inner").drop(s"__vk_$key")
+      nVar.foreach(nv => df = df.withColumn(nv, col(s"__vn_$key")))
+      df = df.drop(s"__vn_$key")
+      vars += value -> VarState("", hasProps = false)
+      nVar.foreach(nv => vars += nv -> VarState("", hasProps = false))
+
     case RuleGoal(rule, bindings) =>
       val rs = rules.getOrElse(throw new IllegalArgumentException(
         "rule goal requires a RuleSet"))

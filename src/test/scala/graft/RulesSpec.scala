@@ -95,4 +95,24 @@ class RulesSpec extends SparkSpec {
     val hot = Skew.hotKeys(big, "k", 3).collect()
     assert(hot.length == 3 && hot.head.getAs[Long]("n") >= hot.last.getAs[Long]("n"))
   }
+
+  test("reduced view goal binds the per-key aggregate (invoke-reduced-view)") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "rvg").toString
+    val cat = new ViewCatalog(spark, g, dir)
+    cat.register(ViewDef("order_totals", "placed",
+      df => df.select(col("src").as("key"), col("dst").as("id"), col("weight").as("value")),
+      reduceAgg = Some(sum(col("value")))))
+    cat.regenerate("order_totals")
+    val got = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(IsA("a", "customer"),
+        ReducedViewGoal("order_totals", "a", "total", n = Some("n_orders"))),
+      select = Seq("a" -> "custkey", "total" -> "total", "n_orders" -> "n_orders")),
+      views = Some(cat))
+    val direct = g.edgeFrame("placed").groupBy($"src".as("custkey"))
+      .agg(sum($"weight").as("total"), count(lit(1)).as("n_orders"))
+    assert(got.count() == direct.count() && got.count() > 0)
+    val gm = got.select("custkey", "n_orders").as[(Long, Long)].collect().toMap
+    val dm = direct.select("custkey", "n_orders").as[(Long, Long)].collect().toMap
+    assert(gm == dm)
+  }
 }
