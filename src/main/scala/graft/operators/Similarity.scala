@@ -82,6 +82,7 @@ object Similarity {
     var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
+    require(centroids.nonEmpty, "ivfTrain needs a non-empty vector table")
     (1 to iterations).foreach { _ =>
       val assigned = ivfAssign(df, vecCol, centroids)
       val means = assigned
@@ -152,7 +153,11 @@ object Similarity {
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, nBits: Int = 4, nTables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val probe = df.select(size(col(vecCol))).limit(1).collect()
+    if (probe.isEmpty) // empty corpus → empty pair set, not a crash
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cos_sim")).limit(0)
+    val dim = probe.head.getInt(0)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
     val sigCols = (0 until nTables).map { t =>
       lshSignature(col("v"), hyperplanes(dim, nBits, seed + t))

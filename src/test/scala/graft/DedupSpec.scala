@@ -132,4 +132,13 @@ class DedupSpec extends SparkSpec {
     // the corpus itself has no pairs at 0.9 (max pairwise cosine ~0.51)
     assert(pairs.size == 3, s"unexpected extra pairs: $pairs")
   }
+
+  test("similarity operators handle empty input") {
+    val empty = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 0)
+    assert(graft.operators.Similarity
+      .cosineNearDups(empty, "vec_id", "embedding").count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.ivfTrain(empty, "embedding", "vec_id", k = 4)
+    }
+  }
 }
