@@ -224,6 +224,24 @@ object CatalogExtra {
              |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
              |GROUP BY 1 ORDER BY nationkey""".stripMargin)),
 
+    QueryDef("q74_sql_surface",
+      // the graph exposed to plain Spark SQL (temp views per label):
+      // the same pattern as q10's compiled plan, written as SQL by a
+      // user who never touches the DSL — API-surface parity check
+      (s, d) => {
+        Tpch.graph(s, d).createTempViews(s)
+        s.sql("""SELECT c.id AS custkey, e.dst AS orderkey, c.c_name AS name,
+                 |       e.weight AS totalprice
+                 |FROM g_v_customer c JOIN g_e_placed e ON e.src = c.id
+                 |WHERE c.c_mktsegment = 'BUILDING' AND e.weight > 150000
+                 |ORDER BY orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey, c.c_name AS name,
+             |       o.o_totalprice AS totalprice
+             |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 150000
+             |ORDER BY orderkey""".stripMargin)),
+
     QueryDef("q70_cube",
       // CUBE grouping (SURVEY §2.4: grouping sets absent in the
       // reference, free here) — order counts by (status, priority) with

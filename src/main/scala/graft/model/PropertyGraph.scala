@@ -80,4 +80,15 @@ final class PropertyGraph(
 
   def vertexLabels: Seq[String] = vertexFrames.keys.toSeq.sorted
   def edgeLabels: Seq[String] = edgeFrames.keys.toSeq.sorted
+
+  /** Expose the graph to plain Spark SQL: one temp view per label —
+    * `<prefix>v_<label>` / `<prefix>e_<label>` (live rows only). The
+    * whole engine stays usable from `spark.sql(...)`, and Catalyst
+    * treats the views exactly like the DataFrames they wrap (pushdown,
+    * pruning, broadcast all apply).
+    */
+  def createTempViews(spark: org.apache.spark.sql.SparkSession, prefix: String = "g_"): Unit = {
+    vertexLabels.foreach(l => vertexFrame(l).createOrReplaceTempView(s"${prefix}v_$l"))
+    edgeLabels.foreach(l => edgeFrame(l).createOrReplaceTempView(s"${prefix}e_$l"))
+  }
 }

@@ -45,6 +45,19 @@ object Streams {
   def replicationStream(log: DataFrame, filter: Option[org.apache.spark.sql.Column]): DataFrame =
     filter.map(log.filter).getOrElse(log)
 
+  /** Streaming exact dedup for ingestion pipelines: drop rows whose
+    * content hash was already seen, with the dedup state bounded by the
+    * watermark (Spark evicts state older than the horizon — unbounded
+    * state is the classic streaming-dedup failure at corpus scale).
+    * The batch analog is [[graft.operators.Dedup.exactDupGroups]].
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, startMs: Long, endMs: Long, n_events: Int)

@@ -112,4 +112,21 @@ class StreamingSpec extends SparkSpec {
     assert(filtered.count() == 1)
     assert(Streams.replicationStream(log, None).count() == 2)
   }
+
+  test("streaming dedup drops repeated content within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = Streams.dedupStream(docs, "ts", "text", watermark = "10 minutes")
+      .select("text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup").start()
+    input.addData((ts(0), "alpha"), (ts(1), "beta"), (ts(2), "alpha"))
+    q.processAllAvailable()
+    input.addData((ts(3), "alpha"), (ts(4), "gamma"))
+    q.processAllAvailable()
+    val got = spark.sql("select text from dedup").as[String].collect().sorted
+    assert(got.sameElements(Array("alpha", "beta", "gamma")), got.mkString(","))
+    q.stop()
+  }
 }
