@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions.col
   *
   * Shape:
   * {{{
-  * { "match": [ {"vertex":"a","type":"customer"},
+  * { "motif": "(a:customer)-[placed price]->(o)",   // optional terse form
+  *   "match": [ {"vertex":"a","type":"customer"},
   *              {"edge":"placed","from":"a","to":"o","weight":"price"} ],
   *   "where": [ {"slot":["a","c_mktsegment","seg"]},
   *              {"cmp":["seg","=","BUILDING"]},

@@ -185,4 +185,19 @@ class PatternSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Motif.goals("a-[placed]->(o)") }
     intercept[IllegalArgumentException] { Motif.goals("(a)-[placed->(o)") }
   }
+
+  test("fixpoint row and wall-clock budgets trip") {
+    val edges = spark.range(0, 2000).select($"id".as("src"), ($"id" + 1).as("dst"))
+    val base = Seq(0L).toDF("id")
+    intercept[Fixpoint.BudgetExceeded] { // row cap
+      Fixpoint.semiNaive(base, Seq("id"), Fixpoint.Budget(maxRows = 10)) { delta =>
+        delta.join(edges, delta("id") === edges("src")).select($"dst".as("id"))
+      }
+    }
+    intercept[Fixpoint.BudgetExceeded] { // wall-clock cap
+      Fixpoint.semiNaive(base, Seq("id"), Fixpoint.Budget(timeoutMillis = 1)) { delta =>
+        delta.join(edges, delta("id") === edges("src")).select($"dst".as("id"))
+      }
+    }
+  }
 }
