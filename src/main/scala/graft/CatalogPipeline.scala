@@ -251,8 +251,8 @@ object CatalogPipeline {
              |bits AS (SELECT doc_id, b AS bit,
              |    sum(CASE WHEN (hv >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
              |  FROM h, (SELECT unnest(range(60)) AS b) GROUP BY 1, 2)
-             |SELECT doc_id, sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
-             |  ELSE CAST(0 AS BIGINT) END) AS simhash
+             |SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+             |  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- similarity search --------------------------------------------

@@ -22,6 +22,21 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
   private def vTable(label: String) = s"v_$label"
   private def eTable(label: String) = s"e_$label"
 
+  /** Storage table name for a schema label (vertex or edge). */
+  def tableFor(label: String): String =
+    if (schema.vertexTypes.contains(label)) vTable(label)
+    else if (schema.edgeTypes.contains(label)) eTable(label)
+    else throw new IllegalArgumentException(s"unknown label: $label")
+
+  // Commit hooks — the reference runs view maintenance and the
+  // replication stream inside the transaction's apply phase
+  // (transactions.lisp:601-744, 1005-1425); here subscribers get the
+  // committed epoch plus the materialized staged frames per table.
+  private val commitListeners =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, DataFrame]) => Unit]
+  def onCommit(f: (Long, Map[String, DataFrame]) => Unit): Unit =
+    commitListeners.synchronized { commitListeners += f }
+
   /** Graph view at the latest (or a pinned) epoch. Frames arrive
     * already versioned-resolved; `deleted` is filtered by read().
     */
@@ -228,7 +243,11 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       this
     }
 
-    def commit(): Long = store.commit(writes)
+    def commit(): Long = {
+      val (epoch, frames) = store.commitWithFrames(writes)
+      commitListeners.synchronized { commitListeners.toSeq }.foreach(f => f(epoch, frames))
+      epoch
+    }
 
     /** Read-your-writes overlay (SURVEY §7.4): the graph as this
       * transaction sees it — committed state with staged creates/

@@ -143,7 +143,16 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * update/delete of an existing id; anything else → ConflictException
     * (OCC validation). Returns the new epoch.
     */
-  def commit(writes0: Map[String, DataFrame]): Long = withWriteLock {
+  def commit(writes0: Map[String, DataFrame]): Long = commitWithFrames(writes0)._1
+
+  /** [[commit]], also returning the materialized staged frames — the
+    * per-table `(id, rev, deleted, props…)` versions exactly as
+    * written. Commit hooks (incremental view maintenance, replication)
+    * consume these instead of re-executing the staged plans, whose
+    * rev-derivation reads would resolve against the NEW epoch after
+    * the pointer bump and recompute different revisions.
+    */
+  def commitWithFrames(writes0: Map[String, DataFrame]): (Long, Map[String, DataFrame]) = withWriteLock {
     val base = currentEpoch
     val next = base + 1
     // materialize each staged frame ONCE: staged plans typically embed
@@ -194,7 +203,7 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     Files.writeString(tmp, next.toString)
     Files.move(tmp, epochPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    next
+    (next, writes)
   }
 
   private def vacuumTmp(label: String) = Paths.get(s"${labelDir(label)}__vacuum_tmp")

@@ -1,14 +1,17 @@
 package graft.views
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.model.PropertyGraph
+import graft.model.{GraphStore, PropertyGraph}
 
 /** CouchDB-style materialized map/(reduce) views — the reference's
   * `def-view` subsystem (reference views.lisp:750-793 macro; 331-374
-  * incremental add; 544-622 range reads; 674-727 keyed/grand
-  * aggregates).
+  * incremental add; 400-427 recompute-on-delete; 544-622 range reads;
+  * 674-727 keyed/grand aggregates).
   *
   * A view is declared per node class with a map function (rows →
   * (key, id, value)) and an optional reduce aggregation. `regenerate`
@@ -18,11 +21,26 @@ import graft.model.PropertyGraph
   *   - reducedView: per-key aggregates (`invoke-view :group-p t`)
   *   - grandTotal: the master `:gagg` row (globals.lisp:93)
   *
-  * Scale design: materialized views are written range-partitioned and
-  * sorted by key (`repartitionByRange` + `sortWithinPartitions`), so
-  * parquet row-group min/max stats give the same key-range pruning the
-  * reference's skip-list gave — a range read touches only the files
-  * whose key span intersects.
+  * Storage layout per view (`<storageDir>/views/<name>/`):
+  *   - `base/` — the full materialization, range-partitioned and
+  *     sorted by key (`repartitionByRange` + `sortWithinPartitions`),
+  *     so parquet row-group min/max stats give the same key-range
+  *     pruning the reference's skip-list gave.
+  *   - `delta/commit_epoch=<e>/` — one small partition per store
+  *     commit that touched the view's source, written by the
+  *     write-path maintenance hook ([[bindTo]]). Each holds the fresh
+  *     map rows for every touched source id plus an id tombstone
+  *     marker; reads supersede at id granularity (newest epoch wins),
+  *     so updates replace their old map rows and deletes vanish —
+  *     views.lisp:331-374 / 400-427 semantics without rewriting base.
+  *
+  * Scale design: per-commit deltas are tiny appends (no base
+  * rewrite, no source rescan beyond the commit's own staged rows);
+  * reads merge base with an anti-join against the (small, broadcast)
+  * delta id set. `regenerate` doubles as compaction — it folds all
+  * deltas back into a pruned, sorted base and clears them, bounding
+  * merge cost between compactions exactly like the reference's
+  * periodic view regeneration.
   */
 final case class ViewDef(
     name: String,
@@ -33,50 +51,82 @@ final case class ViewDef(
     reduceAgg: Option[Column] = None,
     descending: Boolean = false)
 
-final class ViewCatalog(spark: SparkSession, graph: PropertyGraph, storageDir: String) {
+/** Where a catalog's views read their source rows from: a static
+  * [[PropertyGraph]] (file-backed graphs) or a live [[GraphStore]]
+  * (always the latest committed epoch).
+  */
+trait ViewSources {
+  def knows(label: String): Boolean
+  def frame(label: String): DataFrame
+}
+
+object ViewSources {
+  def apply(g: PropertyGraph): ViewSources = new ViewSources {
+    def knows(l: String): Boolean = g.vertexLabels.contains(l) || g.edgeLabels.contains(l)
+    def frame(l: String): DataFrame =
+      if (g.vertexLabels.contains(l)) g.vertices(l) else g.edgeFrame(l)
+  }
+  def apply(gs: GraphStore): ViewSources = new ViewSources {
+    def knows(l: String): Boolean =
+      gs.schema.vertexTypes.contains(l) || gs.schema.edgeTypes.contains(l)
+    def frame(l: String): DataFrame = {
+      val g = gs.graph()
+      if (gs.schema.vertexTypes.contains(l)) g.vertices(l) else g.edgeFrame(l)
+    }
+  }
+}
+
+final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: String) {
+
+  def this(spark: SparkSession, graph: PropertyGraph, storageDir: String) =
+    this(spark, ViewSources(graph), storageDir)
+  def this(spark: SparkSession, store: GraphStore, storageDir: String) =
+    this(spark, ViewSources(store), storageDir)
 
   private var defs = Map.empty[String, ViewDef]
   private def path(name: String) = s"$storageDir/views/$name"
+  private def basePath(name: String) = Paths.get(path(name), "base")
+  private def deltaPath(name: String) = Paths.get(path(name), "delta")
 
-  import java.nio.file.{Files, Paths, StandardCopyOption}
   private def rmTree(f: java.nio.file.Path): Unit = if (Files.exists(f)) {
     if (Files.isDirectory(f)) Files.list(f).forEach(rmTree)
     Files.delete(f)
   }
-  /** Complete an interrupted [[regenerate]] swap: mid-swap the view dir
+  /** Complete an interrupted [[regenerate]] swap: mid-swap the base dir
     * is briefly absent while the previous materialization sits in
     * `__old` — restore it (same discipline as VersionedStore.vacuum).
     */
   private def heal(name: String): Unit = {
-    val p = Paths.get(path(name)); val old = Paths.get(path(name) + "__old")
+    val p = basePath(name); val old = Paths.get(path(name), "base__old")
     if (!Files.exists(p) && Files.exists(old))
       Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(p)) { rmTree(Paths.get(path(name) + "__old")); rmTree(Paths.get(path(name) + "__tmp")) }
+    if (Files.exists(p)) {
+      rmTree(Paths.get(path(name), "base__old")); rmTree(Paths.get(path(name), "base__tmp"))
+    }
   }
 
   def register(v: ViewDef): Unit = {
-    require(graph.vertexLabels.contains(v.sourceLabel) || graph.edgeLabels.contains(v.sourceLabel),
-      s"unknown source label ${v.sourceLabel}")
+    require(sources.knows(v.sourceLabel), s"unknown source label ${v.sourceLabel}")
     defs += v.name -> v
   }
 
   def definition(name: String): ViewDef =
     defs.getOrElse(name, throw new IllegalArgumentException(s"unknown view: $name"))
 
-  /** Compute the view's map output from the current graph state. */
+  /** Compute the view's map output from the current source state. */
   def compute(name: String): DataFrame = {
     val v = definition(name)
-    val source =
-      if (graph.vertexLabels.contains(v.sourceLabel)) graph.vertices(v.sourceLabel)
-      else graph.edgeFrame(v.sourceLabel)
-    val mapped = v.mapFn(source)
+    val mapped = v.mapFn(sources.frame(v.sourceLabel))
     require(Set("key", "id", "value").subsetOf(mapped.columns.toSet),
       s"view ${v.name} map output must have (key, id, value), got ${mapped.columns.mkString(",")}")
     mapped.select("key", "id", "value")
   }
 
   /** Full (re)materialization — `regenerate-view` (views.lisp:487-535).
-    * Range-partitioned + sorted by key for pruned range reads.
+    * Range-partitioned + sorted by key for pruned range reads. Also the
+    * delta-compaction step: the fresh base reflects every committed
+    * delta (it reads the live source), so accumulated delta partitions
+    * are cleared afterwards.
     */
   def regenerate(name: String, numPartitions: Int = 0): Unit = {
     val mapped = compute(name)
@@ -86,24 +136,50 @@ final class ViewCatalog(spark: SparkSession, graph: PropertyGraph, storageDir: S
     // leaves either the previous or the new materialization intact —
     // overwrite-in-place would destroy the view on failure
     heal(name)
-    val tmp = path(name) + "__tmp"
-    rmTree(Paths.get(tmp))
+    val tmp = Paths.get(path(name), "base__tmp")
+    rmTree(tmp)
     mapped
       .repartitionByRange(n, col("key"))
       .sortWithinPartitions("key", "id")
-      .write.mode("overwrite").parquet(tmp)
-    val p = Paths.get(path(name))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val p = basePath(name)
     Files.createDirectories(p.getParent)
     if (Files.exists(p))
-      Files.move(p, Paths.get(path(name) + "__old"), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
-    rmTree(Paths.get(path(name) + "__old"))
+      Files.move(p, Paths.get(path(name), "base__old"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(Paths.get(path(name), "base__old"))
+    // compaction: deltas are folded into the new base. A crash here is
+    // benign — leftover deltas re-assert by-id what base already holds.
+    rmTree(deltaPath(name))
   }
 
+  private def hasDeltas(name: String): Boolean = {
+    val d = deltaPath(name)
+    Files.exists(d) && Files.list(d).anyMatch(f =>
+      f.getFileName.toString.startsWith("commit_epoch="))
+  }
+
+  /** The merged view: base plus any post-base commit deltas, superseded
+    * at id granularity (newest delta epoch per id wins; tombstone-only
+    * ids disappear). With no deltas this is a plain pruned base read.
+    */
   private def materialized(name: String): DataFrame = {
     definition(name)
     heal(name)
-    spark.read.parquet(path(name))
+    require(Files.exists(basePath(name)),
+      s"view $name is not materialized — call regenerate first")
+    val base = spark.read.parquet(basePath(name).toString)
+    if (!hasDeltas(name)) base
+    else {
+      val deltas = spark.read.parquet(deltaPath(name).toString)
+      val latest = deltas
+        .withColumn("__me", max("commit_epoch").over(Window.partitionBy("id")))
+        .filter(col("commit_epoch") === col("__me") && !col("__tomb"))
+        .select("key", "id", "value")
+      base.join(deltas.select("id").distinct(), Seq("id"), "left_anti")
+        .select("key", "id", "value")
+        .unionByName(latest)
+    }
   }
 
   /** Ordered range scan with paging — `map-view` (views.lisp:544-622). */
@@ -144,14 +220,78 @@ final class ViewCatalog(spark: SparkSession, graph: PropertyGraph, storageDir: S
     materialized(name).agg(agg.as("value"), count(lit(1)).as("n"))
   }
 
-  /** Incremental maintenance for an appended delta — the on-commit
-    * update path (views.lisp:331-374): new map rows are merged into the
-    * materialized table. Removals trigger key-group recompute upstream
-    * (SURVEY.md §7.4) — handled by regenerate of affected keys.
+  /** Wire this catalog into a store's write path: after every committed
+    * transaction, each registered view whose source table the commit
+    * touched gets a delta partition in the same call stack — a read
+    * after the commit returns sees fresh view rows, the reference's
+    * all-views-updated-in-the-commit guarantee (views.lisp:331-374,
+    * transactions.lisp:601-744 apply phase).
+    */
+  def bindTo(gs: GraphStore): Unit =
+    gs.onCommit { (epoch, frames) =>
+      defs.values.foreach { v =>
+        frames.get(gs.tableFor(v.sourceLabel)).foreach { staged =>
+          applyCommitDelta(v.name, staged, epoch)
+        }
+      }
+    }
+
+  /** Incremental maintenance for one commit's staged frame of the
+    * view's source table (`(id, rev, deleted, props…)`, already
+    * materialized by the store). Unmaterialized views are skipped —
+    * their first `regenerate` reads the committed state anyway.
+    */
+  private def applyCommitDelta(name: String, staged: DataFrame, epoch: Long): Unit = {
+    val v = definition(name)
+    if (!Files.exists(basePath(name))) return
+    val baseSchema = spark.read.parquet(basePath(name).toString).schema
+    val kT = baseSchema("key").dataType
+    val iT = baseSchema("id").dataType
+    val vT = baseSchema("value").dataType
+    val live = staged.filter(!col("deleted")).drop("rev", "deleted", "commit_epoch")
+    val mapped = v.mapFn(live)
+    require(Set("key", "id", "value").subsetOf(mapped.columns.toSet),
+      s"view $name map output must have (key, id, value)")
+    val rows = mapped.select(col("key").cast(kT).as("key"), col("id").cast(iT).as("id"),
+      col("value").cast(vT).as("value"), lit(false).as("__tomb"))
+    // a tombstone per touched id: supersedes the id's old map rows even
+    // when the new version maps to zero rows (delete / filtering map)
+    val tombs = staged.select(col("id").cast(iT).as("id")).distinct()
+      .select(lit(null).cast(kT).as("key"), col("id"), lit(null).cast(vT).as("value"),
+        lit(true).as("__tomb"))
+    rows.unionByName(tombs).coalesce(1).write.mode("append")
+      .parquet(s"${deltaPath(name)}/commit_epoch=$epoch")
+  }
+
+  /** Standalone append/replace delta for graph-backed catalogs (no
+    * store in the loop): maps `deltaSource` rows and writes them as the
+    * next delta partition. Ids already in the view are replaced (id
+    * supersession), new ids appended.
     */
   def appendDelta(name: String, deltaSource: DataFrame): Unit = {
     val v = definition(name)
-    val mapped = v.mapFn(deltaSource).select("key", "id", "value")
-    mapped.write.mode("append").parquet(path(name))
+    require(Files.exists(basePath(name)),
+      s"view $name is not materialized — call regenerate first")
+    val d = deltaPath(name)
+    val next = (if (!Files.exists(d)) 0L else {
+      val it = Files.list(d).iterator()
+      var m = 0L
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("commit_epoch="))
+          m = math.max(m, n.stripPrefix("commit_epoch=").toLong)
+      }
+      m
+    }) + 1L
+    val baseSchema = spark.read.parquet(basePath(name).toString).schema
+    val mapped = v.mapFn(deltaSource)
+    require(Set("key", "id", "value").subsetOf(mapped.columns.toSet),
+      s"view $name map output must have (key, id, value)")
+    mapped.select(
+      col("key").cast(baseSchema("key").dataType).as("key"),
+      col("id").cast(baseSchema("id").dataType).as("id"),
+      col("value").cast(baseSchema("value").dataType).as("value"),
+      lit(false).as("__tomb"))
+      .coalesce(1).write.mode("append").parquet(s"$d/commit_epoch=$next")
   }
 }

@@ -94,11 +94,11 @@ class ViewsSpec extends SparkSpec {
     cat.regenerate("bal")
     val before = cat.grandTotal("bal").collect().head
     // simulate a crash between regenerate's two renames
-    F.move(Paths.get(s"$dir/views/bal"), Paths.get(s"$dir/views/bal__old"),
+    F.move(Paths.get(s"$dir/views/bal/base"), Paths.get(s"$dir/views/bal/base__old"),
       StandardCopyOption.ATOMIC_MOVE)
     val after = cat.grandTotal("bal").collect().head // heals
     assert(before == after)
-    assert(!F.exists(Paths.get(s"$dir/views/bal__old")))
+    assert(!F.exists(Paths.get(s"$dir/views/bal/base__old")))
     // regenerate over the healed state still works
     cat.regenerate("bal")
     assert(cat.grandTotal("bal").collect().head == before)
