@@ -206,6 +206,47 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     (next, writes)
   }
 
+  /** The commit-log tail for one table: every version row committed in
+    * epochs `(fromExclusive, toInclusive]`, commit_epoch column
+    * retained. Epoch dirs are partition dirs, so the range filter
+    * prunes at the file level — tailing a replica reads only the new
+    * commits' files, not the table.
+    */
+  def changesSince(label: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
+    if (!tableExists(label)) return spark.emptyDataFrame
+    spark.read.option("mergeSchema", "true").parquet(labelDir(label))
+      .filter(col("commit_epoch") > fromExclusive && col("commit_epoch") <= toInclusive)
+  }
+
+  /** Replica apply: install already-committed version rows verbatim at
+    * their original epochs and advance the pointer to `toEpoch` — the
+    * slave side of the reference's transaction streaming
+    * (transactions.lisp:884-1003; transaction-streaming.lisp:141-170).
+    * No OCC validation and no new epoch assignment: the master already
+    * validated, and preserving epochs keeps `asOf` snapshots aligned
+    * across replicas. Frames must carry a `commit_epoch` column inside
+    * the applied range.
+    */
+  def applyReplicated(toEpoch: Long, writes: Map[String, DataFrame]): Unit = withWriteLock {
+    val base = currentEpoch
+    require(toEpoch >= base, s"replica pointer would move backwards ($base -> $toEpoch)")
+    if (toEpoch > base) {
+    writes.foreach { case (label, df) =>
+      require(Set("id", "rev", "deleted", "commit_epoch").subsetOf(df.columns.toSet),
+        s"$label replica frame needs (id, rev, deleted, commit_epoch)")
+      dropOrphanEpochs(label, base)
+      val parts = spark.conf.get("graft.commit.maxFiles", "8").toInt
+      df.filter(col("commit_epoch") > base && col("commit_epoch") <= toEpoch)
+        .coalesce(parts)
+        .write.mode("append").partitionBy("commit_epoch").parquet(labelDir(label))
+    }
+    val tmp = Paths.get(dir, s"_epoch.tmp.$toEpoch")
+    Files.writeString(tmp, toEpoch.toString)
+    Files.move(tmp, epochPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   private def vacuumTmp(label: String) = Paths.get(s"${labelDir(label)}__vacuum_tmp")
   private def vacuumOld(label: String) = Paths.get(s"${labelDir(label)}__vacuum_old")
 
