@@ -31,20 +31,38 @@ object Fixpoint {
     */
   def semiNaive(base: DataFrame, keyCols: Seq[String], budget: Budget = Budget(),
       shufflePartitions: Option[Int] = None)(
-      step: DataFrame => DataFrame): DataFrame = {
-    // iterative rounds move delta-sized data — orders of magnitude less
-    // than the session default sized for full-table shuffles. Sizing
-    // shuffle partitions to the round's volume removes per-round task
-    // overhead AQE can't (AQE coalesces reads, but the map side still
-    // launches default-many tasks). Restored after the loop; the knob
-    // is per-driver-loop, exactly how an iterative job on a real
-    // cluster would set it.
-    val spark = base.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try semiNaiveLoop(base, keyCols, budget)(step)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+      step: DataFrame => DataFrame): DataFrame =
+    shufflePartitions match {
+      case None => semiNaiveLoop(base, keyCols, budget)(step)
+      case Some(n) =>
+        // iterative rounds move delta-sized data — orders of magnitude
+        // less than the session default sized for full-table shuffles.
+        // Sizing shuffle partitions to the round's volume removes
+        // per-round task overhead AQE can't (AQE coalesces reads, but
+        // the map side still launches default-many tasks). The knob
+        // lives in a CHILD session (own SQLConf, shared context and
+        // cache), so concurrent queries on the caller's session never
+        // see it — mutating the shared conf would race against them.
+        val caller = base.sparkSession
+        val loop = loopSession(caller, n)
+        val result = semiNaiveLoop(
+          org.apache.spark.sql.graftbridge.Bridge.inSession(loop, base), keyCols, budget)(step)
+        // hand the (already materialized) result back under the
+        // caller's conf so downstream plans are unaffected
+        org.apache.spark.sql.graftbridge.Bridge.inSession(caller, result)
+    }
+
+  // one loop session per (app, partition count), reused across calls:
+  // a child session carries its own SessionState (analyzer/optimizer),
+  // which is not free to rebuild per query
+  private val loopSessions =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), org.apache.spark.sql.SparkSession]
+  private def loopSession(caller: org.apache.spark.sql.SparkSession, parts: Int) =
+    loopSessions.getOrElseUpdate((caller.sparkContext.applicationId, parts), {
+      val s = caller.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s
+    })
 
   private def semiNaiveLoop(base: DataFrame, keyCols: Seq[String], budget: Budget)(
       step: DataFrame => DataFrame): DataFrame = {
@@ -96,22 +114,25 @@ object Fixpoint {
   def reachable(edges: DataFrame, sources: DataFrame, hopPower: Int = 0,
       budget: Budget = Budget(), shufflePartitions: Option[Int] = None,
       compressedStep: Option[DataFrame] = None): DataFrame = {
-    // the partitions knob must cover the hop-compression builds too —
-    // they materialize eagerly here, before the semi-naive loop.
     // compressedStep: pre-built (from, to) hop relation (persistent-
-    // index analog) — supplying it skips the per-query build.
-    val spark = edges.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
-      val step = compressedStep.map(_.select("from", "to")).getOrElse {
-        val oriented = edges.select(col("src").as("from"), col("dst").as("to"))
-        if (hopPower == 0) oriented
-        else Traverse.hopCompressedEdges(oriented, hopPower).select("from", "to")
-      }
-      semiNaive(sources.select("id"), Seq("id"), budget, shufflePartitions) { delta =>
-        delta.join(step, delta("id") === step("from")).select(col("to").as("id"))
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // index analog) — supplying it skips the per-query build. The
+    // partitions knob covers the hop-compression build too (it
+    // materializes eagerly, before the loop) — both run in one child
+    // session so the caller's conf is never touched.
+    val caller = sources.sparkSession
+    val loop = shufflePartitions.map(loopSession(caller, _))
+    def reroot(df: DataFrame) =
+      loop.map(org.apache.spark.sql.graftbridge.Bridge.inSession(_, df)).getOrElse(df)
+    val step = reroot(compressedStep.map(_.select("from", "to")).getOrElse {
+      val oriented = reroot(edges).select(col("src").as("from"), col("dst").as("to"))
+      if (hopPower == 0) oriented
+      else Traverse.hopCompressedEdges(oriented, hopPower).select("from", "to")
+    })
+    val result = semiNaiveLoop(reroot(sources.select("id")), Seq("id"), budget) { delta =>
+      delta.join(step, delta("id") === step("from")).select(col("to").as("id"))
+    }
+    if (loop.isDefined)
+      org.apache.spark.sql.graftbridge.Bridge.inSession(caller, result)
+    else result
   }
 }

@@ -13,4 +13,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-root a DataFrame's logical plan into another session of the
+    * same SparkContext. Execution then plans under THAT session's
+    * SQLConf — the supported way to give an iterative job its own
+    * `spark.sql.shuffle.partitions` (sized to delta volume) without
+    * mutating the shared session's conf, which would race against
+    * concurrent queries.
+    */
+  def inSession(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+    org.apache.spark.sql.classic.Dataset.ofRows(cs, plan)
+  }
 }

@@ -200,4 +200,36 @@ class PatternSpec extends SparkSpec {
       }
     }
   }
+
+  test("fixpoint partitions knob is loop-local: caller session conf untouched mid-loop") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val base = Seq(1L).toDF("id")
+    val callerConf = scala.collection.mutable.Buffer.empty[String]
+    val callerPlanParts = scala.collection.mutable.Buffer.empty[String]
+    val loopPlanParts = scala.collection.mutable.Buffer.empty[String]
+    val hashParts = "hashpartitioning\\([^)]*?(\\d+)\\)".r
+    def plannedShuffle(df: org.apache.spark.sql.DataFrame): String =
+      hashParts.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString).map(_.group(1)).getOrElse("?")
+    // range-backed (a local Seq would be constant-folded away and show
+    // no exchange at all); the test session default is 4, so the loop
+    // knob must differ to prove isolation
+    val probe = spark.range(100).select(($"id" % 3).as("k"))
+    val closure = Fixpoint.semiNaive(base, Seq("id"), shufflePartitions = Some(2)) { delta =>
+      // a concurrent query planned on the CALLER's session mid-loop
+      // must shuffle with the session default, not the loop's 2
+      callerConf += spark.conf.get("spark.sql.shuffle.partitions")
+      callerPlanParts += plannedShuffle(probe.groupBy("k").count())
+      loopPlanParts += plannedShuffle(delta.groupBy("id").count())
+      delta.join(edges, delta("id") === edges("src")).select($"dst".as("id"))
+    }
+    assert(closure.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L))
+    val default = spark.conf.get("spark.sql.shuffle.partitions")
+    assert(callerConf.nonEmpty && callerConf.forall(_ == default))
+    assert(callerPlanParts.forall(_ == default), s"planned=$callerPlanParts default=$default")
+    // while the loop's own frames really did plan at the knob's size
+    assert(loopPlanParts.forall(_ == "2"), s"loop planned=$loopPlanParts")
+    // the returned frame is re-rooted: downstream plans use caller conf
+    assert(plannedShuffle(closure.groupBy("id").count()) == default)
+  }
 }
