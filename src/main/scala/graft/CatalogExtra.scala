@@ -255,5 +255,33 @@ object CatalogExtra {
       Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
              |  COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-             |ORDER BY status, priority""".stripMargin)))
+             |ORDER BY status, priority""".stripMargin)),
+
+    QueryDef("q75_all_edges",
+      // label-agnostic edge scan (type-id-0 scans, edge.lisp:208-222,
+      // 429-440): ALL edge tables unioned under a label discriminator,
+      // then aggregated per (label, src). sum(dst) pins the unioned
+      // rows' identities (incl. the synthetic knows dsts), cents pins
+      // the heterogeneous weights exactly
+      (s, d) => Tpch.graph(s, d).allEdges()
+        .groupBy(col("label"), col("src"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(QueryDef.cents(col("weight"))).as("w_cents"),
+          sum(col("dst")).as("d_sum"))
+        .orderBy("label", "src"),
+      Some("""WITH n AS (SELECT count(*) AS n FROM customer),
+             |all_edges AS (
+             |  SELECT 'in_region' AS label, n_nationkey AS src, n_regionkey AS dst, 1.0 AS weight FROM nation
+             |  UNION ALL SELECT 'located_in', c_custkey, c_nationkey, 1.0 FROM customer
+             |  UNION ALL SELECT 'sup_located_in', s_suppkey, s_nationkey, 1.0 FROM supplier
+             |  UNION ALL SELECT 'placed', o_custkey, o_orderkey, o_totalprice FROM orders
+             |  UNION ALL SELECT 'contains', l_orderkey, l_partkey, l_quantity FROM lineitem
+             |  UNION ALL SELECT 'supplied_by', l_partkey, l_suppkey, 1.0 FROM lineitem
+             |  UNION ALL SELECT 'knows', c_custkey, (c_custkey*3+7) % n.n, 1.0 FROM customer, n
+             |  UNION ALL SELECT 'knows', c_custkey, (c_custkey*5+3) % n.n, 1.0 FROM customer, n
+             |)
+             |SELECT label, src, CAST(count(*) AS BIGINT) AS n_edges,
+             |  CAST(sum(CAST(round(weight*100, 0) AS BIGINT)) AS BIGINT) AS w_cents,
+             |  CAST(sum(dst) AS BIGINT) AS d_sum
+             |FROM all_edges GROUP BY 1, 2 ORDER BY label, src""".stripMargin)))
 }
