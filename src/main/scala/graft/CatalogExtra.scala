@@ -126,7 +126,8 @@ object CatalogExtra {
         val cust = Tpch.graph(s, d).vertexFrame("customer")
           .withColumn("lon", ((col("id") * 7 % 360) - 180).cast("double") + 0.5)
           .withColumn("lat", ((col("id") * 13 % 180) - 90).cast("double") + 0.5)
-        cust.filter(SpatialOps.pointInPolygonUdf(diamond)(col("lon"), col("lat")))
+        cust.filter(graft.functions.PointInPolygonExpression
+            .point_in_polygon(col("lon"), col("lat"), diamond))
           .select(col("id"), col("lon"), col("lat")).orderBy("id")
       },
       Some("""SELECT id, lon, lat FROM (

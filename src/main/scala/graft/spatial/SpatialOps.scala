@@ -94,9 +94,11 @@ object SpatialOps {
       .orderBy(col("dist_m").asc, col(idCol).asc)
       .limit(k)
 
-  /** Point-in-polygon refine (UDF over the pure ray-casting test). */
-  def pointInPolygonUdf(rings: Seq[Seq[(Double, Double)]]) =
-    udf((lon: Double, lat: Double) => Geohash.pointInPolygon(lon, lat, rings))
+  /** Point-in-polygon refine — a codegen'd Catalyst expression, not a
+    * closure UDF ([[graft.functions.PointInPolygonExpression]]).
+    */
+  def pointInPolygon(lon: Column, lat: Column, rings: Seq[Seq[(Double, Double)]]): Column =
+    graft.functions.PointInPolygonExpression.point_in_polygon(lon, lat, rings)
 
   /** Morton (Z-order) key: interleaved bits of floor-scaled lon/lat
     * codes, `bitsPerDim` bits each (≤ 31). Points close on the Z-curve

@@ -51,4 +51,29 @@ class GeohashExpressionSpec extends SparkSpec {
       .withColumn("h", GeohashExpression.geohash_encode($"lon", $"lat", lit(5)))
     assert(df.filter($"h".isNull).count() == 2)
   }
+
+  test("point_in_polygon expression matches the pure function incl. holes, codegen, no UDF") {
+    import graft.functions.PointInPolygonExpression
+    val rings = Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+      Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0))) // hole
+    val rng = new scala.util.Random(11)
+    val pts = Seq.fill(500)((rng.nextDouble() * 14 - 2, rng.nextDouble() * 14 - 2))
+    val got = pts.toDF("lon", "lat")
+      .withColumn("in", PointInPolygonExpression.point_in_polygon($"lon", $"lat", rings))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+    got.foreach { case (lon, lat, in) =>
+      assert(in == Geohash.pointInPolygon(lon, lat, rings), s"($lon, $lat)")
+    }
+    // the q44 refine runs as a codegen'd filter, not a ScalaUDF
+    val df = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("lon", ($"c_custkey" % 20).cast("double"))
+      .withColumn("lat", ($"c_custkey" % 17).cast("double"))
+      .filter(PointInPolygonExpression.point_in_polygon($"lon", $"lat", rings))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("point_in_polygon"), physical)
+    assert(!physical.contains("ScalaUDF") && !physical.contains("BatchEvalPython"), physical)
+    assert(physical.contains("*(1)"), s"expected whole-stage codegen in:\n$physical")
+    assert(df.count() > 0)
+  }
 }
