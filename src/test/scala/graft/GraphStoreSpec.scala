@@ -92,6 +92,43 @@ class GraphStoreSpec extends SparkSpec {
     assert(sub.read("v_person").select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("schema evolution: add a slot to a live table, mixed-epoch reads/writes/snapshots") {
+    // node-type-diff (schema.lisp:453-493): a redefinition with a new
+    // slot updates the type; old versions keep their narrower layout
+    val dir = tmp("evolve")
+    val v1 = GraphSchema.builder().vertex("person", "id", Seq("name")).build()
+    val gs1 = new GraphStore(spark, v1, dir)
+    gs1.txn().createVertices("person", Seq((1L, "ann"), (2L, "bo")).toDF("id", "name")).commit()
+    val preEvolution = gs1.store.currentEpoch
+    // v1 rejects the not-yet-declared slot (the diff gate)
+    intercept[IllegalArgumentException] {
+      gs1.conformVertices("person", Seq((3L, "cy", 50)).toDF("id", "name", "age"))
+    }
+
+    // redeclare with the extra slot over the SAME storage
+    val v2 = GraphSchema.builder().vertex("person", "id", Seq("name", "age")).build()
+    val gs2 = new GraphStore(spark, v2, dir)
+    // writes: conform accepts the new slot, absent values land as typed nulls
+    gs2.txn().createVertices("person",
+      gs2.conformVertices("person", Seq((3L, "cy", 50)).toDF("id", "name", "age"))).commit()
+    gs2.txn().updateVertices("person",
+      gs2.conformVertices("person", Seq((1L, "ann2", 31)).toDF("id", "name", "age"))).commit()
+
+    // reads: mixed epochs merge; pre-evolution rows carry null age
+    val now = gs2.graph().vertexFrame("person")
+      .select("id", "name", "age").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(now == Set((1L, "ann2", 31), (2L, "bo", -1), (3L, "cy", 50)))
+
+    // snapshots pinned before the evolution still resolve
+    val old = gs2.graph(asOf = Some(preEvolution)).vertexFrame("person")
+    assert(old.select("id", "name").as[(Long, String)].collect().toSet ==
+      Set((1L, "ann"), (2L, "bo")))
+    // and the pre-evolution store handle keeps working for v1 columns
+    assert(gs1.graph().vertexFrame("person").select("name").as[String].collect().toSet ==
+      Set("ann2", "bo", "cy"))
+  }
+
   test("recreate after delete: tombstoned ids accept a new life") {
     val gs = new GraphStore(spark, schema, tmp("gs"))
     gs.txn().createVertices("person", Seq((7L, "gil", 20)).toDF("id", "name", "age")).commit()
