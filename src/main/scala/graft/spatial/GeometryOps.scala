@@ -127,4 +127,70 @@ object GeometryOps {
 
   def polygonArea(p: Polygon): Double =
     if (p.isEmpty) 0.0 else ringArea(p.head) - p.tail.map(ringArea).sum
+
+  /** Signed shoelace area (positive = counter-clockwise). */
+  def signedArea(r: Ring): Double =
+    if (r.size < 3) 0.0
+    else ringEdges(r).map { case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum / 2.0
+
+  /** Sutherland–Hodgman: clip `subject` by a CONVEX `clip` ring.
+    * Returns the clipped ring (possibly empty). With both rings convex
+    * this yields the exact intersection polygon — the pure-Scala slice
+    * of the constructive overlay the reference only gets through its
+    * GEOS FFI add-on (reference geometry-ops.lisp:94-190; the full
+    * non-convex overlay needs a geometry kernel and stays out, like
+    * the reference without the add-on).
+    */
+  def convexClip(subject: Ring, clip: Ring): Ring = {
+    require(clip.size >= 3, "clip ring needs >= 3 vertices")
+    // normalize the clip ring to CCW so "inside" is a fixed orientation
+    val c = if (signedArea(clip) < 0) clip.reverse else clip
+    var out = subject.toVector
+    val clipEdges = ringEdges(c).toVector
+    for (((ex1, ey1), (ex2, ey2)) <- clipEdges if out.nonEmpty) {
+      val in = out
+      out = Vector.empty
+      val n = in.size
+      var i = 0
+      while (i < n) {
+        val cur = in(i)
+        val prev = in((i + n - 1) % n)
+        val curIn = orient(ex1, ey1, ex2, ey2, cur._1, cur._2) >= 0
+        val prevIn = orient(ex1, ey1, ex2, ey2, prev._1, prev._2) >= 0
+        if (curIn) {
+          if (!prevIn) out :+= lineIntersect(prev, cur, (ex1, ey1), (ex2, ey2))
+          out :+= cur
+        } else if (prevIn) {
+          out :+= lineIntersect(prev, cur, (ex1, ey1), (ex2, ey2))
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Intersection point of segment pq with the INFINITE line through ab
+    * (callers guarantee pq crosses it — the clipping invariant).
+    */
+  private def lineIntersect(p: (Double, Double), q: (Double, Double),
+      a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+    val (px, py) = p; val (qx, qy) = q; val (ax, ay) = a; val (bx, by) = b
+    // signed distances of p and q to line ab; the crossing divides pq
+    // in their ratio
+    val dp = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    val dq = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+    val t = dp / (dp - dq)
+    (px + t * (qx - px), py + t * (qy - py))
+  }
+
+  /** Exact intersection area of two CONVEX rings (constructive overlay
+    * reduced to its scalar — geometry-ops.lisp:141 intersection +
+    * area composition).
+    */
+  def convexIntersectionArea(a: Ring, b: Ring): Double =
+    ringArea(convexClip(a, b))
+
+  /** Union area of two CONVEX rings by inclusion–exclusion. */
+  def convexUnionArea(a: Ring, b: Ring): Double =
+    ringArea(a) + ringArea(b) - convexIntersectionArea(a, b)
 }

@@ -1,0 +1,193 @@
+package graft
+
+import graft.spatial.GeometryOps
+
+/** Independent-oracle corpus for the geometry predicates and the
+  * constructive area ops — the reference's shapely cross-check
+  * (tests/geos/oracle.py + oracle-tests.lisp) ported to pure-Scala
+  * independent algorithms, since no geometry kernel ships here:
+  *
+  *   - intersects  vs the separating-axis theorem (convex-exact,
+  *     closed-set: touching counts)
+  *   - contains    vs all-vertices-inside-by-orientation-signs
+  *     (exact for convex containers)
+  *   - areas       vs a deterministic grid-sampling integrator and
+  *     exact algebraic identities
+  *
+  * Each check pits a DIFFERENT algorithm against the implementation
+  * over a seeded random corpus — agreement cross-validates both, the
+  * same idea as shapely's independently-bundled GEOS.
+  */
+class GeometryOracleSpec extends SparkSpec {
+
+  type Pt = (Double, Double)
+  type Ring = Seq[Pt]
+
+  // --- corpus: seeded random convex polygons (Andrew monotone chain) ---
+
+  private def convexHull(pts: Seq[Pt]): Ring = {
+    val sorted = pts.distinct.sortBy(identity)
+    if (sorted.size < 3) return sorted
+    def cross(o: Pt, a: Pt, b: Pt) =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def half(ps: Seq[Pt]): List[Pt] =
+      ps.foldLeft(List.empty[Pt]) { (acc, p) =>
+        var h = acc
+        while (h.size >= 2 && cross(h(1), h.head, p) <= 0) h = h.tail
+        p :: h
+      }
+    val lower = half(sorted).tail.reverse
+    val upper = half(sorted.reverse).tail.reverse
+    lower ++ upper
+  }
+
+  private val rng = new scala.util.Random(20260812)
+
+  private def randomConvex(cx: Double, cy: Double, r: Double): Ring =
+    convexHull(Seq.fill(12)((cx + (rng.nextDouble() * 2 - 1) * r,
+      cy + (rng.nextDouble() * 2 - 1) * r)))
+
+  private val corpus: Seq[(Ring, Ring)] = {
+    val rand = Seq.fill(120) {
+      // mix of disjoint, overlapping and nested placements
+      val a = randomConvex(0, 0, 10)
+      val b = rng.nextInt(3) match {
+        case 0 => randomConvex(rng.nextDouble() * 40 - 20, rng.nextDouble() * 40 - 20, 8)
+        case 1 => randomConvex(rng.nextDouble() * 6 - 3, rng.nextDouble() * 6 - 3, 4)
+        case _ => randomConvex(0, 0, 3) // likely contained
+      }
+      (a, b)
+    }
+    val crafted: Seq[(Ring, Ring)] = Seq(
+      // identical
+      (Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+        Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))),
+      // shared full edge (touching, zero-area overlap)
+      (Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+        Seq((4.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0))),
+      // single shared vertex
+      (Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+        Seq((4.0, 4.0), (8.0, 4.0), (8.0, 8.0), (4.0, 8.0))),
+      // clearly disjoint
+      (Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)),
+        Seq((10.0, 10.0), (14.0, 10.0), (14.0, 14.0), (10.0, 14.0))),
+      // strict containment
+      (Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+        Seq((2.0, 2.0), (5.0, 2.0), (5.0, 5.0), (2.0, 5.0))),
+      // containment touching the boundary (closed-set: still contained)
+      (Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+        Seq((0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0))))
+    rand ++ crafted
+  }
+
+  // --- independent algorithms ---
+
+  /** Convex intersects via separating axis: disjoint iff some edge
+    * normal of either polygon strictly separates the vertex sets.
+    */
+  private def satIntersects(a: Ring, b: Ring): Boolean = {
+    def axes(r: Ring) = (r :+ r.head).sliding(2).map { e =>
+      (-(e(1)._2 - e(0)._2), e(1)._1 - e(0)._1)
+    }.toSeq
+    def proj(r: Ring, ax: (Double, Double)) = {
+      val ds = r.map(p => p._1 * ax._1 + p._2 * ax._2)
+      (ds.min, ds.max)
+    }
+    (axes(a) ++ axes(b)).forall { ax =>
+      val (amin, amax) = proj(a, ax); val (bmin, bmax) = proj(b, ax)
+      amax >= bmin && bmax >= amin // closed sets: touching = intersecting
+    }
+  }
+
+  /** Convex containment: every vertex of b on the inner side (or on)
+    * of every edge of CCW-normalized a.
+    */
+  private def vertexContains(a: Ring, b: Ring): Boolean = {
+    val ccw = if (GeometryOps.signedArea(a) < 0) a.reverse else a
+    (ccw :+ ccw.head).sliding(2).forall { e =>
+      b.forall { p =>
+        (e(1)._1 - e(0)._1) * (p._2 - e(0)._2) -
+          (e(1)._2 - e(0)._2) * (p._1 - e(0)._1) >= -1e-9
+      }
+    }
+  }
+
+  /** Deterministic grid integrator over the joint bbox. */
+  private def gridArea(inside: Pt => Boolean, rings: Seq[Ring], steps: Int = 400): Double = {
+    val pts = rings.flatten
+    val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+    val (x0, x1, y0, y1) = (xs.min, xs.max, ys.min, ys.max)
+    val (dx, dy) = ((x1 - x0) / steps, (y1 - y0) / steps)
+    if (dx == 0 || dy == 0) return 0.0
+    var n = 0L
+    var i = 0
+    while (i < steps) {
+      var j = 0
+      while (j < steps) {
+        if (inside((x0 + (i + 0.5) * dx, y0 + (j + 0.5) * dy))) n += 1
+        j += 1
+      }
+      i += 1
+    }
+    n * dx * dy
+  }
+
+  private def inConvex(r: Ring)(p: Pt): Boolean = vertexContains(r, Seq(p))
+
+  // --- the oracle gates ---
+
+  test("polygonIntersects agrees with the separating-axis oracle on the corpus") {
+    var checked = 0
+    corpus.foreach { case (a, b) =>
+      if (a.size >= 3 && b.size >= 3) {
+        assert(GeometryOps.polygonIntersects(Seq(a), Seq(b)) == satIntersects(a, b),
+          s"intersects mismatch:\nA=$a\nB=$b")
+        checked += 1
+      }
+    }
+    assert(checked > 100)
+  }
+
+  test("polygonContains agrees with the vertex-sign oracle on the corpus") {
+    corpus.foreach { case (a, b) =>
+      if (a.size >= 3 && b.size >= 3) {
+        assert(GeometryOps.polygonContains(Seq(a), Seq(b)) == vertexContains(a, b),
+          s"contains mismatch:\nA=$a\nB=$b")
+      }
+    }
+  }
+
+  test("constructive intersection/union area: identities and grid-integrator agreement") {
+    // identities, exact
+    val sq = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    assert(math.abs(GeometryOps.convexIntersectionArea(sq, sq) - 16.0) < 1e-9)
+    val inner = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0))
+    assert(math.abs(GeometryOps.convexIntersectionArea(sq, inner) - 1.0) < 1e-9)
+    assert(math.abs(GeometryOps.convexUnionArea(sq, inner) - 16.0) < 1e-9)
+    val far = Seq((100.0, 100.0), (101.0, 100.0), (101.0, 101.0), (100.0, 101.0))
+    assert(GeometryOps.convexIntersectionArea(sq, far) == 0.0)
+    assert(math.abs(GeometryOps.convexUnionArea(sq, far) - 17.0) < 1e-9)
+    // half-overlapping unit squares
+    val s1 = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+    val s2 = Seq((1.0, 0.0), (3.0, 0.0), (3.0, 2.0), (1.0, 2.0))
+    assert(math.abs(GeometryOps.convexIntersectionArea(s1, s2) - 2.0) < 1e-9)
+    assert(math.abs(GeometryOps.convexUnionArea(s1, s2) - 6.0) < 1e-9)
+
+    // corpus vs the grid integrator (independent numeric method)
+    var nonTrivial = 0
+    corpus.take(60).foreach { case (a, b) =>
+      if (a.size >= 3 && b.size >= 3) {
+        val exact = GeometryOps.convexIntersectionArea(a, b)
+        val approx = gridArea(p => inConvex(a)(p) && inConvex(b)(p), Seq(a, b))
+        val scale = math.max(1.0, math.max(GeometryOps.ringArea(a), GeometryOps.ringArea(b)))
+        assert(math.abs(exact - approx) / scale < 0.02,
+          s"area mismatch exact=$exact grid=$approx\nA=$a\nB=$b")
+        if (exact > 0) nonTrivial += 1
+        // inclusion–exclusion always holds
+        val u = GeometryOps.convexUnionArea(a, b)
+        assert(math.abs(u - (GeometryOps.ringArea(a) + GeometryOps.ringArea(b) - exact)) < 1e-9)
+      }
+    }
+    assert(nonTrivial > 10)
+  }
+}
