@@ -128,8 +128,12 @@ object Fixpoint {
       if (hopPower == 0) oriented
       else Traverse.hopCompressedEdges(oriented, hopPower).select("from", "to")
     })
+    // broadcast the DELTA into the step join: the frontier is rounds-
+    // small while the (pre-built, materialized) step relation is the
+    // big side — a broadcast join streams the step relation in place
+    // instead of re-shuffling it every round
     val result = semiNaiveLoop(reroot(sources.select("id")), Seq("id"), budget) { delta =>
-      delta.join(step, delta("id") === step("from")).select(col("to").as("id"))
+      broadcast(delta).join(step, delta("id") === step("from")).select(col("to").as("id"))
     }
     if (loop.isDefined)
       org.apache.spark.sql.graftbridge.Bridge.inSession(caller, result)

@@ -26,8 +26,11 @@ class PlanQualitySpec extends SparkSpec {
   test("no cartesian products or nested-loop joins in any catalog query plan") {
     // q69's salt-table replication is a DELIBERATE broadcast cross join
     // against a literal 8-row range — the mechanism of salting, not a
-    // planner accident; everything else must stay BNLJ/cartesian-free
-    val salted = Set("q69_salted_join")
+    // planner accident. q75 scans the synthetic knows edges, whose
+    // build broadcast-cross-joins the 1-row customer count (Tpch
+    // .knowsEdges) — same deliberate scalar-broadcast shape.
+    // Everything else must stay BNLJ/cartesian-free
+    val salted = Set("q69_salted_join", "q75_all_edges")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")
