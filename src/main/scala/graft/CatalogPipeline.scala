@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.model.Tpch
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, GraphAnalytics, Similarity, TextAnalysis}
 import graft.spatial.{Geohash, SpatialOps}
 
 /** Pipeline operator catalog: spatial queries (SURVEY.md §2.8), text
@@ -236,6 +236,42 @@ object CatalogPipeline {
            |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
            |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
            |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q76_dedup_clusters",
+      // the canonical fuzzy-dedup pipeline end-to-end: LSH candidate
+      // pairs → connected components → one representative per cluster
+      // (keep = doc is its cluster's min id). The oracle recomputes the
+      // truth exhaustively: O(n²) jaccard pairs, then min-id label
+      // propagation as a recursive CTE — so both the pair recall AND
+      // the transitive clustering are value-checked. At corpus scale
+      // the pair step is the bucketed LSH (never all-pairs) and the
+      // component step is the same iterative min-propagation, both
+      // shuffle-bounded
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 3, numHashes = 24, bands = 8, threshold = 0.5,
+          sigs = Some(docSignatures(s, d, 3, 24)))
+        val comps = GraphAnalytics.connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          docs.select(col("doc_id").as("id")))
+        comps.select(col("id").as("doc_id"), col("component").as("cluster_rep"),
+          (col("id") === col("component")).as("keep")).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS ($shingleSql),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p
+           |  UNION ALL SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+           |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep,
+           |  (id = min(r)) AS keep
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q57_simhash",
       // simhash with the 60-bit md5 token hasher (hasher is pluggable;

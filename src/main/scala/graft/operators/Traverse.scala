@@ -89,7 +89,11 @@ object Traverse {
     while (d < maxDepth && !frontier.isEmpty) {
       d += k
       val visited = rings.reduce(_ union _)
-      val next = frontier.join(step, frontier("id") === step("from"), "inner")
+      // broadcast the frontier: it is rounds-small relative to the edge
+      // relation, so the big side streams in place instead of being
+      // re-shuffled every round (for frontiers that outgrow the
+      // broadcast threshold Spark falls back to a shuffled join)
+      val next = broadcast(frontier).join(step, frontier("id") === step("from"), "inner")
         .select(col("to").as("id"), (col("depth") + col("len")).as("depth"))
         .filter(col("depth") <= maxDepth)
         .groupBy("id").agg(min("depth").as("depth"))
