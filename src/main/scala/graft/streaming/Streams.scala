@@ -45,6 +45,28 @@ object Streams {
   def replicationStream(log: DataFrame, filter: Option[org.apache.spark.sql.Column]): DataFrame =
     filter.map(log.filter).getOrElse(log)
 
+  /** Live tail of a [[graft.model.VersionedStore]] table's commit log
+    * as a Structured-Streaming source: epoch dirs are partition dirs,
+    * so every commit lands as new files the file stream picks up —
+    * the always-connected slave socket of the reference
+    * (transaction-streaming.lisp:141-170) as `readStream`. Rows carry
+    * `commit_epoch`; compose with [[replicationStream]] for subset
+    * replicas, or `foreachBatch` into `VersionedStore.applyReplicated`
+    * for a continuously-converging slave store.
+    *
+    * Visibility caveat (documented, same as the reference's tail): the
+    * file source discovers files at write time, so a crashed commit's
+    * orphan files would stream before the writer's cleanup — consumers
+    * needing committed-only rows should filter
+    * `commit_epoch <= master.currentEpoch` in `foreachBatch`.
+    */
+  def commitLogStream(spark: SparkSession, storeDir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("basePath", s"$storeDir/$table")
+      .parquet(s"$storeDir/$table/commit_epoch=*")
+
   /** Streaming exact dedup for ingestion pipelines: drop rows whose
     * content hash was already seen, with the dedup state bounded by the
     * watermark (Spark evicts state older than the horizon — unbounded

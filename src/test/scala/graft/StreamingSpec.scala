@@ -106,6 +106,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "every event lands in exactly one window")
   }
 
+  test("commit-log stream tails a live store into a converging slave") {
+    import graft.model.{GraphSchema, GraphStore, VersionedStore}
+    val schema2 = GraphSchema.builder().vertex("site", "id", Seq("name", "lat")).build()
+    val masterDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "clstream-m").toString
+    val master = new GraphStore(spark, schema2, masterDir)
+    master.txn().createVertices("site",
+      Seq((1L, "a", 10.0), (2L, "b", 60.0)).toDF("id", "name", "lat")).commit()
+
+    val tableSchema = spark.read.parquet(s"$masterDir/v_site").schema
+    val tail = Streams.commitLogStream(spark, masterDir, "v_site", tableSchema)
+    assert(tail.isStreaming)
+    // slave applies each micro-batch through the replica path, with the
+    // spatial subset filter (lat <= 50)
+    val slaveDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "clstream-s").toString
+    val slave = new VersionedStore(spark, slaveDir)
+    val q = tail.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val upTo = master.store.currentEpoch // committed-only visibility
+        val rows = batch.filter(col("commit_epoch") <= upTo && col("lat") <= 50.0)
+        if (!rows.isEmpty)
+          slave.applyReplicated(upTo, Map("v_site" -> rows))
+        ()
+    }.start()
+    q.processAllAvailable()
+    // live commits keep flowing into the slave
+    master.txn().createVertices("site",
+      Seq((3L, "c", 20.0)).toDF("id", "name", "lat")).commit()
+    master.txn().updateVertices("site",
+      Seq((1L, "a2", 11.0)).toDF("id", "name", "lat")).commit()
+    q.processAllAvailable()
+    q.stop()
+    val got = slave.read("v_site").select("id", "name")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (3L, "c"))) // 2L filtered out by the subset
+    assert(slave.currentEpoch == master.store.currentEpoch)
+  }
+
   test("replication stream subset filter") {
     val log = Seq((1L, "a", 10.0), (2L, "b", -5.0)).toDF("id", "kind", "v")
     val filtered = Streams.replicationStream(log, Some(col("v") > 0))
