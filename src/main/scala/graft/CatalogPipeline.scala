@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.model.Tpch
-import graft.operators.{Dedup, GraphAnalytics, Similarity, TextAnalysis}
+import graft.operators.{Dedup, GraphAnalytics, Sampling, Similarity, TextAnalysis}
 import graft.spatial.{Geohash, SpatialOps}
 
 /** Pipeline operator catalog: spatial queries (SURVEY.md §2.8), text
@@ -272,6 +272,26 @@ object CatalogPipeline {
            |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep,
            |  (id = min(r)) AS keep
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q77_hash_split",
+      // deterministic train/val/test carving by key hash — the
+      // reproducible alternative to rand(seed): assignment is a pure
+      // function of the data (stable across engines, partitionings and
+      // incremental appends), which is why the oracle can recompute
+      // every row's split bit-for-bit in SQL
+      (s, d) => Tpch.table(s, d, "documents")
+        .select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id"), 1000).as("bucket"),
+          Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05), rest = "test").as("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, b AS bucket,
+             |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q57_simhash",
       // simhash with the 60-bit md5 token hasher (hasher is pluggable;

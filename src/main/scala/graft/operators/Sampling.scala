@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling & splitting — the reproducibility
+  * primitive a training-data pipeline needs that `rand(seed)` cannot
+  * give: `rand` is engine- and partitioning-dependent, while a hash of
+  * the row's key is a pure function of the data. The same document
+  * lands in the same split on any engine, any cluster size, any run —
+  * and the assignment survives re-partitioning, backfills and
+  * incremental appends (new docs don't reshuffle old ones, unlike
+  * reservoir or percentile sampling).
+  *
+  * md5 is the hash because both Spark and DuckDB (and effectively
+  * every engine) produce bit-identical md5, so splits are auditable
+  * end-to-end (q77's oracle recomputes the assignment in SQL).
+  * Columns only — stays inside whole-stage codegen, no UDFs, no state.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column: the first 8 md5
+    * hex digits as an unsigned 32-bit int, mod buckets.
+    */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets > 0, "buckets must be positive")
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+  }
+
+  /** Keep a deterministic `fraction` of rows by key hash. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+      buckets: Int = 1000000): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(hashBucket(key, buckets) < (fraction * buckets).toLong)
+  }
+
+  /** Named split label from ordered (name, weight) fractions summing
+    * to ≤ 1 (remainder falls into `rest`): train/val/test carving.
+    */
+  def hashSplit(key: Column, weights: Seq[(String, Double)],
+      rest: String = "rest", buckets: Int = 1000): Column = {
+    require(weights.map(_._2).sum <= 1.0 + 1e-9, "weights must sum to <= 1")
+    val b = hashBucket(key, buckets)
+    var acc = 0.0
+    var expr: Column = null
+    weights.foreach { case (name, w) =>
+      acc += w
+      val cond = b < math.round(acc * buckets)
+      expr = if (expr == null) when(cond, name) else expr.when(cond, name)
+    }
+    if (expr == null) lit(rest) else expr.otherwise(rest)
+  }
+}

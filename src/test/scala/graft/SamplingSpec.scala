@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic hash sampling/splitting contracts. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0, 20000).toDF("id")
+
+  test("buckets are stable, uniform-ish, and partitioning-independent") {
+    val a = ids.select($"id", Sampling.hashBucket($"id", 100).as("b"))
+    val b = ids.repartition(13).select($"id", Sampling.hashBucket($"id", 100).as("b"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty) // pure function of the key
+    val counts = a.groupBy("b").count().select("count").as[Long].collect()
+    assert(counts.length == 100)
+    assert(counts.min > 100 && counts.max < 300) // ~200 ± sampling noise
+  }
+
+  test("hashSample keeps ~fraction and is a subset under growth") {
+    val s = Sampling.hashSample(ids, $"id", 0.1)
+    val n = s.count()
+    assert(n > 1600 && n < 2400)
+    // appending new rows never reshuffles old assignments
+    val grown = Sampling.hashSample(spark.range(0, 40000).toDF("id"), $"id", 0.1)
+    assert(s.except(grown).isEmpty)
+  }
+
+  test("hashSplit is disjoint, exhaustive, and weight-proportional") {
+    val split = ids.select($"id",
+      Sampling.hashSplit($"id", Seq("train" -> 0.8, "val" -> 0.1), rest = "test").as("s"))
+    val byLabel = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.sum == 20000) // exhaustive, one label per row
+    assert(byLabel("train") > 15000 && byLabel("val") < 3000)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit($"id", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
+}
