@@ -193,4 +193,68 @@ object GeometryOps {
   /** Union area of two CONVEX rings by inclusion–exclusion. */
   def convexUnionArea(a: Ring, b: Ring): Double =
     ringArea(a) + ringArea(b) - convexIntersectionArea(a, b)
+
+  // --- the remaining geometry kinds of the reference's struct
+  // (geometry.lisp:22-27: :point :linestring :polygon :multipolygon) ---
+
+  type LineString = Ring          // open point sequence
+  type MultiPolygon = Seq[Polygon]
+
+  /** Multi-polygon area: disjoint-parts sum (geometry.lisp kind
+    * :multipolygon; GEOS area over a collection).
+    */
+  def multiPolygonArea(mp: MultiPolygon): Double = mp.map(polygonArea).sum
+
+  def multiPolygonContainsPoint(lon: Double, lat: Double, mp: MultiPolygon): Boolean =
+    mp.exists(p => Geohash.pointInPolygon(lon, lat, p))
+
+  def multiPolygonIntersects(a: MultiPolygon, b: MultiPolygon): Boolean =
+    a.exists(pa => b.exists(pb => polygonIntersects(pa, pb)))
+
+  /** Planar length of a linestring (open: no closing segment). */
+  def lineLength(line: LineString): Double =
+    if (line.size < 2) 0.0
+    else line.sliding(2).map { p =>
+      math.hypot(p(1)._1 - p(0)._1, p(1)._2 - p(0)._2)
+    }.sum
+
+  /** Geodesic (haversine, meters) length of a lon/lat linestring —
+    * the same formula shape as SpatialOps.haversineM, driver-side.
+    */
+  def geodesicLineLengthM(line: LineString): Double = {
+    def hav(a: (Double, Double), b: (Double, Double)): Double = {
+      val dLat = math.toRadians(b._2 - a._2); val dLon = math.toRadians(b._1 - a._1)
+      val s = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(a._2)) * math.cos(math.toRadians(b._2)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2 * 6371000.0 * math.asin(math.min(1.0, math.sqrt(s)))
+    }
+    if (line.size < 2) 0.0 else line.sliding(2).map(p => hav(p(0), p(1))).sum
+  }
+
+  /** Planar distance from a point to a segment (clamped projection). */
+  def pointToSegmentDistance(lon: Double, lat: Double,
+      a: (Double, Double), b: (Double, Double)): Double = {
+    val (ax, ay) = a; val (bx, by) = b
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val t = if (len2 == 0) 0.0
+      else math.max(0.0, math.min(1.0, ((lon - ax) * dx + (lat - ay) * dy) / len2))
+    math.hypot(lon - (ax + t * dx), lat - (ay + t * dy))
+  }
+
+  /** Planar distance from a point to a linestring (0 on it). */
+  def pointToLineDistance(lon: Double, lat: Double, line: LineString): Double =
+    if (line.isEmpty) Double.PositiveInfinity
+    else if (line.size == 1) math.hypot(lon - line.head._1, lat - line.head._2)
+    else line.sliding(2).map(p => pointToSegmentDistance(lon, lat, p(0), p(1))).min
+
+  /** Does a linestring touch/cross a polygon? Any segment crossing any
+    * ring, or any point of the line inside the polygon.
+    */
+  def lineIntersectsPolygon(line: LineString, poly: Polygon): Boolean =
+    line.exists(p => Geohash.pointInPolygon(p._1, p._2, poly)) ||
+      (line.size >= 2 && poly.exists(ring =>
+        line.sliding(2).exists(s => ringEdges(ring).exists { case (q1, q2) =>
+          segmentsIntersect(s(0), s(1), q1, q2) })))
 }

@@ -190,4 +190,50 @@ class GeometryOracleSpec extends SparkSpec {
     }
     assert(nonTrivial > 10)
   }
+
+  test("linestring and multipolygon kinds: lengths, distances, containment") {
+    import GeometryOps._
+    // multipolygon = disjoint parts; area sums, containment is any-part
+    val sq1: GeometryOps.Ring = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+    val sq2: GeometryOps.Ring = Seq((10.0, 0.0), (13.0, 0.0), (13.0, 3.0), (10.0, 3.0))
+    val mp = Seq(Seq(sq1), Seq(sq2))
+    assert(math.abs(multiPolygonArea(mp) - 13.0) < 1e-9)
+    assert(multiPolygonContainsPoint(1.0, 1.0, mp))
+    assert(multiPolygonContainsPoint(11.0, 1.0, mp))
+    assert(!multiPolygonContainsPoint(5.0, 1.0, mp))
+    assert(multiPolygonIntersects(mp, Seq(Seq(Seq((1.0, 1.0), (12.0, 1.0), (12.0, 1.5), (1.0, 1.5))))))
+    assert(!multiPolygonIntersects(Seq(Seq(sq1)), Seq(Seq(sq2))))
+
+    // linestring: planar length exact; geodesic length matches a
+    // 1-degree equatorial segment (~111.19 km per great-circle degree)
+    val line: LineString = Seq((0.0, 0.0), (3.0, 4.0), (3.0, 10.0))
+    assert(math.abs(lineLength(line) - 11.0) < 1e-9)
+    val equator1deg = geodesicLineLengthM(Seq((0.0, 0.0), (1.0, 0.0)))
+    assert(math.abs(equator1deg - 2 * math.Pi * 6371000.0 / 360.0) < 1.0)
+
+    // point-segment distance: projection interior, clamped ends, on-line
+    assert(math.abs(pointToSegmentDistance(1.0, 1.0, (0.0, 0.0), (2.0, 0.0)) - 1.0) < 1e-9)
+    assert(math.abs(pointToSegmentDistance(5.0, 4.0, (0.0, 0.0), (2.0, 0.0)) - 5.0) < 1e-9)
+    assert(pointToLineDistance(3.0, 7.0, line) == 0.0)
+    // vs a brute-force sampled oracle over the segments
+    val rng2 = new scala.util.Random(5)
+    (1 to 50).foreach { _ =>
+      val (px, py) = (rng2.nextDouble() * 12 - 1, rng2.nextDouble() * 12 - 1)
+      val brute = line.sliding(2).flatMap { s =>
+        (0 to 1000).map { i =>
+          val t = i / 1000.0
+          math.hypot(px - (s(0)._1 + t * (s(1)._1 - s(0)._1)),
+            py - (s(0)._2 + t * (s(1)._2 - s(0)._2)))
+        }
+      }.min
+      // sampled oracle resolution: up to segLen/(2*1000) ~ 3e-3
+      assert(math.abs(pointToLineDistance(px, py, line) - brute) < 5e-3)
+    }
+
+    // line × polygon: crossing, inside, touching, disjoint
+    assert(lineIntersectsPolygon(Seq((-1.0, 1.0), (3.0, 1.0)), Seq(sq1))) // crosses
+    assert(lineIntersectsPolygon(Seq((0.5, 0.5), (1.5, 1.5)), Seq(sq1))) // inside
+    assert(lineIntersectsPolygon(Seq((2.0, -1.0), (2.0, 3.0)), Seq(sq1))) // edge touch
+    assert(!lineIntersectsPolygon(Seq((5.0, 5.0), (8.0, 8.0)), Seq(sq1)))
+  }
 }
