@@ -110,10 +110,24 @@ final class VersionedStore(spark: SparkSession, dir: String) {
 
   /** Latest visible (non-deleted) version of each row — the default
     * read view. `asOf` pins a snapshot epoch (time travel).
+    *
+    * Latest-state reads go through the [[current-state index|currentRead]]
+    * when it exists: cost is O(current + recent deltas) instead of a
+    * window over the FULL version history — at scale, a table with a
+    * long MVCC past must not pay for it on every read. The reference
+    * maintains its indexes at write time for the same reason
+    * (transactions.lisp apply phase); snapshot (`asOf`) reads keep the
+    * history path, which epoch-dir pruning already bounds.
     */
-  def read(label: String, asOf: Option[Long] = None): DataFrame = {
+  def read(label: String, asOf: Option[Long] = None): DataFrame = asOf match {
+    case Some(e) => historyRead(label, e)
+    case None if curEnabled && Files.exists(curRoot(label)) && tableExists(label) =>
+      currentRead(label)
+    case None => historyRead(label, currentEpoch)
+  }
+
+  private def historyRead(label: String, epoch: Long): DataFrame = {
     if (!tableExists(label)) return spark.emptyDataFrame
-    val epoch = asOf.getOrElse(currentEpoch)
     val w = Window.partitionBy("id").orderBy(col("rev").desc)
     versions(label, epoch)
       .withColumn("__rn", row_number().over(w))
@@ -123,6 +137,142 @@ final class VersionedStore(spark: SparkSession, dir: String) {
 
   /** Full version history (the MVCC chain; mvcc-tests analog). */
   def history(label: String): DataFrame = versions(label, currentEpoch)
+
+  // ---- current-state index --------------------------------------------
+  //
+  // Layout per table (sibling of the table dir):
+  //   <label>__cur/_epoch                   marker: epochs folded in
+  //   <label>__cur/base/                    latest version per id as of
+  //                                         the last compaction (incl.
+  //                                         tombstones), epoch-partitioned
+  //   <label>__cur/delta/commit_epoch=N/    per-commit latest rows
+  //
+  // The index is OPT-IN per table — [[compactCurrent]] bootstraps it —
+  // so write-heavy tables that never read latest state pay nothing.
+  // Maintenance happens AFTER the pointer bump, under the write lock —
+  // so index rows never describe an uncommitted epoch. A crash between
+  // bump and index append just leaves the marker behind; readers heal
+  // by overlaying changesSince(marker, epoch) (delta-sized), and the
+  // next commit persists the catch-up. Reads merge base + overlays at
+  // id granularity (newest (epoch, rev) wins), so the per-read window
+  // runs over delta-sized data only. Deltas auto-compact into base
+  // when they accumulate.
+
+  private def curEnabled: Boolean =
+    spark.conf.get("graft.store.currentIndex", "true").toBoolean
+  private def curRoot(label: String) = Paths.get(s"${labelDir(label)}__cur")
+  private def curBase(label: String) = curRoot(label).resolve("base")
+  private def curDelta(label: String) = curRoot(label).resolve("delta")
+  private def curMarkerPath(label: String) = curRoot(label).resolve("_epoch")
+  private def curMarker(label: String): Long =
+    if (Files.exists(curMarkerPath(label))) Files.readString(curMarkerPath(label)).trim.toLong
+    else 0L
+
+  private def writeCurMarker(label: String, e: Long): Unit = {
+    val tmp = curRoot(label).resolve(s"_epoch.tmp.$e")
+    Files.writeString(tmp, e.toString)
+    Files.move(tmp, curMarkerPath(label), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Persist one commit's rows (plus any crash-missed epochs) into the
+    * index. `rows` must carry a commit_epoch column. Caller holds the
+    * write lock.
+    */
+  private def appendCurrentDelta(label: String, toEpoch: Long): Unit = {
+    val marker = curMarker(label)
+    if (marker >= toEpoch) return
+    Files.createDirectories(curRoot(label))
+    val parts = spark.conf.get("graft.commit.maxFiles", "8").toInt
+    changesSince(label, marker, toEpoch)
+      .coalesce(parts)
+      .write.mode("append").partitionBy("commit_epoch")
+      .parquet(curDelta(label).toString)
+    writeCurMarker(label, toEpoch)
+    // bound the read-side merge: fold deltas into base when they pile up
+    val deltaDirs = if (!Files.exists(curDelta(label))) 0L
+      else Files.list(curDelta(label)).filter(_.getFileName.toString.startsWith("commit_epoch=")).count()
+    if (deltaDirs >= 32) compactCurrent(label)
+  }
+
+  private def hasCurDeltas(label: String): Boolean =
+    Files.exists(curDelta(label)) && Files.list(curDelta(label)).anyMatch(
+      _.getFileName.toString.startsWith("commit_epoch="))
+
+  /** Latest version per id INCLUDING tombstones, from the index plus a
+    * non-persistent catch-up overlay for epochs past the marker.
+    */
+  private def currentVersions(label: String): DataFrame = {
+    curHeal(label)
+    val epoch = currentEpoch
+    val marker = curMarker(label)
+    val base: Option[DataFrame] =
+      if (Files.exists(curBase(label)))
+        Some(spark.read.option("mergeSchema", "true").parquet(curBase(label).toString))
+      else None
+    val deltas: Option[DataFrame] =
+      if (hasCurDeltas(label))
+        Some(spark.read.option("mergeSchema", "true").parquet(curDelta(label).toString))
+      else None
+    val catchUp: Option[DataFrame] =
+      if (marker < epoch) Some(changesSince(label, marker, epoch)) else None
+    val overlay = (deltas.toSeq ++ catchUp.toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    (base, overlay) match {
+      case (None, None) => spark.emptyDataFrame
+      case (Some(b), None) => b
+      case (bOpt, Some(o)) =>
+        val w = Window.partitionBy("id")
+          .orderBy(col("commit_epoch").desc, col("rev").desc)
+        val latestOverlay = o.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        bOpt match {
+          case None => latestOverlay
+          case Some(b) =>
+            b.join(o.select("id").distinct(), Seq("id"), "left_anti")
+              .unionByName(latestOverlay, allowMissingColumns = true)
+        }
+    }
+  }
+
+  private def currentRead(label: String): DataFrame = {
+    val cur = currentVersions(label)
+    if (cur.columns.isEmpty) cur else cur.filter(!col("deleted"))
+  }
+
+  /** Complete an interrupted compaction swap (vacuum discipline). */
+  private def curHeal(label: String): Unit = {
+    val b = curBase(label); val old = curRoot(label).resolve("base__old")
+    if (!Files.exists(b) && Files.exists(old)) withWriteLock {
+      if (!Files.exists(b) && Files.exists(old))
+        Files.move(old, b, StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (Files.exists(b)) {
+      rmTree(curRoot(label).resolve("base__old"))
+      rmTree(curRoot(label).resolve("base__tmp"))
+    }
+  }
+
+  /** Bootstrap the index for a table, or fold accumulated index deltas
+    * into the base materialization.
+    */
+  def compactCurrent(label: String): Unit = withWriteLock {
+    curHeal(label)
+    val epoch = currentEpoch
+    val merged = currentVersions(label)
+    if (merged.columns.isEmpty) return
+    Files.createDirectories(curRoot(label))
+    val tmp = curRoot(label).resolve("base__tmp")
+    rmTree(tmp)
+    merged.write.mode("overwrite").partitionBy("commit_epoch").parquet(tmp.toString)
+    val b = curBase(label)
+    if (Files.exists(b))
+      Files.move(b, curRoot(label).resolve("base__old"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, b, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(curRoot(label).resolve("base__old"))
+    rmTree(curDelta(label))
+    writeCurMarker(label, epoch)
+  }
 
   /** Latest (id, rev, deleted) per id INCLUDING tombstones — the
     * revision a successor version must build on. read() hides deleted
@@ -159,7 +309,10 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     // a read of this table (rev derivation), which would otherwise
     // re-execute for the duplicate check, the OCC validation, and the
     // write — three table scans per commit instead of one
-    val writes = writes0.map { case (l, df) => l -> df.localCheckpoint(eager = true) }
+    // strip any stale commit_epoch data column (delete/update staging
+    // reads carry it): the partition dir is the one source of truth
+    val writes = writes0.map { case (l, df) =>
+      l -> df.drop("commit_epoch").localCheckpoint(eager = true) }
     // validate all tables before writing any (atomicity of the commit)
     writes.foreach { case (label, df) =>
       require(Set("id", "rev", "deleted").subsetOf(df.columns.toSet),
@@ -203,6 +356,11 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     Files.writeString(tmp, next.toString)
     Files.move(tmp, epochPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // current-state index maintenance for opted-in tables (post-bump:
+    // index rows never describe an uncommitted epoch; a crash here only
+    // leaves the marker behind, which readers overlay-heal)
+    if (curEnabled)
+      writes.keys.foreach(l => if (Files.exists(curRoot(l))) appendCurrentDelta(l, next))
     (next, writes)
   }
 
@@ -244,6 +402,8 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     Files.writeString(tmp, toEpoch.toString)
     Files.move(tmp, epochPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    if (curEnabled)
+      writes.keys.foreach(l => if (Files.exists(curRoot(l))) appendCurrentDelta(l, toEpoch))
     }
   }
 
