@@ -363,12 +363,14 @@ object CatalogCore {
       // semi-naive fixpoint with budgets (SURVEY §2.9)
       (s, d) => {
         val base = s.range(1, 2).select(col("id"))
-        // semi-naive rounds advance 4 depths over the pre-built 4-hop
-        // relation (out-degree 2 keeps it small); delta-sized shuffle
+        // semi-naive rounds advance 8 depths over the pre-built 8-hop
+        // relation (out-degree 2 keeps it small; with the delta
+        // broadcast the denser relation is streamed, not re-shuffled,
+        // so p=3's fewer rounds now win); delta-sized shuffle
         // partitions cut per-round task overhead
-        Fixpoint.reachable(knowsIndex(s, d), base, hopPower = 2,
+        Fixpoint.reachable(knowsIndex(s, d), base, hopPower = 3,
           shufflePartitions = Some(4),
-          compressedStep = Some(knowsCompressed(s, d, 2))).orderBy("id")
+          compressedStep = Some(knowsCompressed(s, d, 3))).orderBy("id")
       },
       Some(s"""WITH RECURSIVE e AS ($knowsSql),
               |r AS (
