@@ -293,6 +293,40 @@ object CatalogPipeline {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q78_stored_geometry",
+      // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
+      // per-nation diamond polygons stored as array<array<double>>
+      // rings, customers tested against them with the row-level codegen
+      // expression. The 25-polygon side broadcasts — the right plan for
+      // a small region set; a large one becomes a cell-covering
+      // equi-join (SpatialOps.withCell / SpatialCellPruning). Radius
+      // 20.25 keeps every synthetic point off the diamond boundary, so
+      // the ray-cast agrees exactly with the oracle's manhattan form
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val r = 20.25
+        val nations = g.vertexFrame("nation")
+          .select(col("id").as("nid"),
+            (col("id") * 12 - 144).cast("double").as("cx"),
+            (col("id") * 6 - 72).cast("double").as("cy"))
+          .withColumn("rings", array(array(
+            col("cx") + r, col("cy"), col("cx"), col("cy") + r,
+            col("cx") - r, col("cy"), col("cx"), col("cy") - r)))
+        val cust = withCoords(g.vertexFrame("customer"))
+        broadcast(nations)
+          .join(cust, graft.functions.PointInStoredPolygonExpression
+            .point_in_stored_polygon(col("rings"), col("lon"), col("lat")))
+          .groupBy("nid").agg(count(lit(1)).as("n_inside"))
+          .orderBy("nid")
+      },
+      Some(s"""WITH n AS (SELECT n_nationkey AS nid,
+             |    CAST(n_nationkey*12 - 144 AS DOUBLE) AS cx,
+             |    CAST(n_nationkey*6 - 72 AS DOUBLE) AS cy FROM nation),
+             |c AS ($coordsSql)
+             |SELECT nid, count(*) AS n_inside
+             |FROM n JOIN c ON abs(c.lon - n.cx) + abs(c.lat - n.cy) < 20.25
+             |GROUP BY 1 ORDER BY nid""".stripMargin)),
+
     QueryDef("q57_simhash",
       // simhash with the 60-bit md5 token hasher (hasher is pluggable;
       // xxhash64 is the production default): md5 exists in both

@@ -77,3 +77,56 @@ object PointInPolygonExpression {
       Cast(Bridge.expression(lat), DoubleType), flat))
   }
 }
+
+/** Row-level variant: the polygon comes from a COLUMN, not a query
+  * constant — the reference stores geometry as a slot value on nodes
+  * (geometry.lisp:22-27; `:index t` geometry slots), so containment
+  * against per-row polygons must be an expression over the stored
+  * representation. Encoding: `array<array<double>>` — one inner array
+  * per ring, coordinates interleaved `[lon0, lat0, lon1, lat1, …]`,
+  * ring 0 the outer ring, rest holes (the same flattened layout the
+  * constant-polygon expression uses internally).
+  */
+case class PointInStoredPolygonExpression(first: Expression, second: Expression,
+    third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_stored_polygon"
+
+  override protected def nullSafeEval(rings: Any, lon: Any, lat: Any): Any =
+    PointInStoredPolygonExpression.containsCatalyst(
+      rings.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (rings, lon, lat) =>
+      s"graft.functions.PointInStoredPolygonExpression.containsCatalyst($rings, $lon, $lat)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PointInStoredPolygonExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def containsCatalyst(rings: ArrayData, lon: Double, lat: Double): Boolean = {
+    val n = rings.numElements()
+    if (n == 0) return false
+    val flat = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) { flat(i) = rings.getArray(i).toDoubleArray(); i += 1 }
+    PointInPolygonExpression.contains(lon, lat, flat)
+  }
+
+  /** Column API: polygon rings column (array<array<double>>, coords
+    * interleaved per ring) tested against lon/lat columns.
+    */
+  def point_in_stored_polygon(rings: Column, lon: Column, lat: Column): Column =
+    Bridge.column(PointInStoredPolygonExpression(
+      Bridge.expression(rings),
+      Cast(Bridge.expression(lon), DoubleType),
+      Cast(Bridge.expression(lat), DoubleType)))
+}

@@ -76,4 +76,28 @@ class GeohashExpressionSpec extends SparkSpec {
     assert(physical.contains("*(1)"), s"expected whole-stage codegen in:\n$physical")
     assert(df.count() > 0)
   }
+
+  test("stored-polygon (column) variant matches the constant-polygon expression") {
+    import graft.functions.{PointInPolygonExpression, PointInStoredPolygonExpression}
+    val rings = Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+      Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)))
+    // the same polygon stored as an array<array<double>> column value
+    val storedRings = array(rings.map(r =>
+      array(r.flatMap(p => Seq(lit(p._1), lit(p._2))): _*)): _*)
+    val rng = new scala.util.Random(13)
+    val pts = Seq.fill(300)((rng.nextDouble() * 14 - 2, rng.nextDouble() * 14 - 2))
+    val both = pts.toDF("lon", "lat")
+      .withColumn("rings", storedRings)
+      .withColumn("const_in", PointInPolygonExpression.point_in_polygon($"lon", $"lat", rings))
+      .withColumn("stored_in", PointInStoredPolygonExpression
+        .point_in_stored_polygon($"rings", $"lon", $"lat"))
+    assert(both.filter($"const_in" =!= $"stored_in").count() == 0)
+    // null polygon → null result, not an error
+    val nulls = pts.take(5).toDF("lon", "lat")
+      .withColumn("rings", lit(null).cast("array<array<double>>"))
+      .withColumn("in", PointInStoredPolygonExpression
+        .point_in_stored_polygon($"rings", $"lon", $"lat"))
+    assert(nulls.filter($"in".isNull).count() == 5)
+  }
 }

@@ -28,9 +28,12 @@ class PlanQualitySpec extends SparkSpec {
     // against a literal 8-row range — the mechanism of salting, not a
     // planner accident. q75 scans the synthetic knows edges, whose
     // build broadcast-cross-joins the 1-row customer count (Tpch
-    // .knowsEdges) — same deliberate scalar-broadcast shape.
+    // .knowsEdges) — same deliberate scalar-broadcast shape. q78 is a
+    // broadcast spatial join: 25 stored polygons against the point
+    // table under a non-equi containment predicate — the correct plan
+    // for a small region set (a large one would cell-cover + equi-join).
     // Everything else must stay BNLJ/cartesian-free
-    val salted = Set("q69_salted_join", "q75_all_edges")
+    val salted = Set("q69_salted_join", "q75_all_edges", "q78_stored_geometry")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")
