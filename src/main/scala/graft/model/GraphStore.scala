@@ -22,6 +22,15 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
   private def vTable(label: String) = s"v_$label"
   private def eTable(label: String) = s"e_$label"
 
+  /** Opt every existing schema table into the store's current-state
+    * index: latest-state graph() reads then cost O(current + recent
+    * deltas) instead of windowing the full MVCC history. Tables created
+    * by later commits can be opted in by calling this again.
+    */
+  def enableCurrentIndex(): Unit =
+    (schema.vertexTypes.keys.map(vTable) ++ schema.edgeTypes.keys.map(eTable))
+      .foreach(store.compactCurrent)
+
   /** Storage table name for a schema label (vertex or edge). */
   def tableFor(label: String): String =
     if (schema.vertexTypes.contains(label)) vTable(label)

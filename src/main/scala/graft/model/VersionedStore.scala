@@ -215,7 +215,8 @@ final class VersionedStore(spark: SparkSession, dir: String) {
         Some(spark.read.option("mergeSchema", "true").parquet(curDelta(label).toString))
       else None
     val catchUp: Option[DataFrame] =
-      if (marker < epoch) Some(changesSince(label, marker, epoch)) else None
+      if (marker < epoch && tableExists(label)) Some(changesSince(label, marker, epoch))
+      else None
     val overlay = (deltas.toSeq ++ catchUp.toSeq)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
     (base, overlay) match {
@@ -257,6 +258,7 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * into the base materialization.
     */
   def compactCurrent(label: String): Unit = withWriteLock {
+    if (!tableExists(label)) return
     curHeal(label)
     val epoch = currentEpoch
     val merged = currentVersions(label)

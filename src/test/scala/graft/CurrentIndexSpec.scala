@@ -45,6 +45,21 @@ class CurrentIndexSpec extends SparkSpec {
     assert(gs.store.read("v_person", asOf = Some(1L)).count() == 2)
   }
 
+  test("GraphStore.enableCurrentIndex opts in existing tables, skips absent ones") {
+    val dir = tmp("cur-gs")
+    val gs = new GraphStore(spark, GraphSchema.builder()
+      .vertex("person", "id", Seq("name", "age"))
+      .edge("knows", "person", "person")
+      .build(), dir)
+    gs.txn().createVertices("person", Seq((1L, "a", 1)).toDF("id", "name", "age")).commit()
+    gs.enableCurrentIndex() // e_knows has no table yet: must be a no-op
+    assert(Files.exists(Paths.get(s"$dir/v_person__cur")))
+    assert(!Files.exists(Paths.get(s"$dir/e_knows__cur")))
+    gs.txn().updateVertices("person", Seq((1L, "a2", 2)).toDF("id", "name", "age")).commit()
+    assert(gs.graph().vertexFrame("person").select("name").as[String].collect().toSeq ==
+      Seq("a2"))
+  }
+
   test("reader overlay-heals a stale marker; next commit persists the catch-up") {
     val dir = tmp("cur-heal")
     val gs = new GraphStore(spark, schema, dir)
