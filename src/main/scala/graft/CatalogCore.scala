@@ -41,12 +41,12 @@ object CatalogCore {
   /** (from, to, len) pairs within 2^power hops over the knows index. */
   private def knowsCompressed(s: SparkSession, d: String, power: Int): org.apache.spark.sql.DataFrame =
     adjacencyIndex.getOrElseUpdate(cacheKey(s, s"knows-p$power", d), {
-      // the doubling joins move delta-sized data: build them in a child
-      // session with small shuffle partitioning (own SQLConf — shared
-      // conf mutation would race concurrent queries), then re-root the
-      // materialized result back under the caller's conf
-      val loop = s.newSession()
-      loop.conf.set("spark.sql.shuffle.partitions", "4")
+      // the doubling joins move delta-sized data: build them in the
+      // shared cached child session with small shuffle partitioning
+      // (own SQLConf — shared conf mutation would race concurrent
+      // queries), then re-root the materialized result back under the
+      // caller's conf
+      val loop = Fixpoint.loopSession(s, 4)
       import org.apache.spark.sql.graftbridge.Bridge
       Bridge.inSession(s, Traverse.hopCompressedEdges(
         Bridge.inSession(loop,

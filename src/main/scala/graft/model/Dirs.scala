@@ -1,0 +1,30 @@
+package graft.model
+
+import java.nio.file.{Files, Path}
+
+/** Directory helpers with correct stream hygiene: `Files.list` opens a
+  * DirectoryStream whose file descriptor is released only on close —
+  * leaking one per call on a hot read path exhausts fds in a
+  * long-lived process.
+  */
+private[graft] object Dirs {
+
+  def withList[T](p: Path)(f: java.util.stream.Stream[Path] => T): T = {
+    val s = Files.list(p)
+    try f(s) finally s.close()
+  }
+
+  def childNames(p: Path): Seq[String] =
+    if (!Files.exists(p)) Seq.empty
+    else withList(p) { s =>
+      val b = Seq.newBuilder[String]
+      s.forEach(c => b += c.getFileName.toString)
+      b.result()
+    }
+
+  def rmTree(f: Path): Unit = if (Files.exists(f)) {
+    if (Files.isDirectory(f))
+      withList(f)(s => s.forEach(rmTree))
+    Files.delete(f)
+  }
+}

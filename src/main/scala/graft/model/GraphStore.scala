@@ -46,6 +46,19 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
   def onCommit(f: (Long, Map[String, DataFrame]) => Unit): Unit =
     commitListeners.synchronized { commitListeners += f }
 
+  /** A commit hook failed AFTER the transaction became durable: the
+    * data IS committed (retrying the transaction would conflict); only
+    * the listed side effects (view deltas, replication sync) did not
+    * run for this epoch. Views self-correct on their next regenerate or
+    * maintained commit; a replica converges on its next sync.
+    */
+  final class CommitHookException(val epoch: Long, causes: Seq[Throwable])
+    extends RuntimeException(
+      s"commit epoch $epoch is durable, but ${causes.size} commit hook(s) failed: " +
+        causes.map(_.toString).mkString("; ")) {
+    causes.foreach(addSuppressed)
+  }
+
   /** Graph view at the latest (or a pinned) epoch. Frames arrive
     * already versioned-resolved; `deleted` is filtered by read().
     */
@@ -254,7 +267,12 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
 
     def commit(): Long = {
       val (epoch, frames) = store.commitWithFrames(writes)
-      commitListeners.synchronized { commitListeners.toSeq }.foreach(f => f(epoch, frames))
+      // every listener runs even if an earlier one fails — a broken
+      // view hook must not starve the replication hook of an epoch
+      val failures = commitListeners.synchronized { commitListeners.toSeq }.flatMap { f =>
+        try { f(epoch, frames); None } catch { case e: Exception => Some(e) }
+      }
+      if (failures.nonEmpty) throw new CommitHookException(epoch, failures)
       epoch
     }
 

@@ -84,10 +84,7 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     Files.exists(Paths.get(labelDir(label)))
   }
 
-  private def rmTree(f: java.nio.file.Path): Unit = if (Files.exists(f)) {
-    if (Files.isDirectory(f)) Files.list(f).forEach(rmTree)
-    Files.delete(f)
-  }
+  private def rmTree(f: java.nio.file.Path): Unit = Dirs.rmTree(f)
 
   /** Epoch dirs above the committed pointer are invisible garbage by
     * construction (crashed/failed commits: data landed, pointer never
@@ -98,13 +95,10 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     */
   private def dropOrphanEpochs(label: String, committed: Long): Unit = {
     val p = Paths.get(labelDir(label))
-    if (Files.exists(p)) {
-      Files.list(p).forEach { d =>
-        val n = d.getFileName.toString
-        if (n.startsWith("commit_epoch=") &&
-            scala.util.Try(n.stripPrefix("commit_epoch=").toLong).toOption.exists(_ > committed))
-          rmTree(d)
-      }
+    Dirs.childNames(p).foreach { n =>
+      if (n.startsWith("commit_epoch=") &&
+          scala.util.Try(n.stripPrefix("commit_epoch=").toLong).toOption.exists(_ > committed))
+        rmTree(p.resolve(n))
     }
   }
 
@@ -163,21 +157,29 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   private def curRoot(label: String) = Paths.get(s"${labelDir(label)}__cur")
   private def curBase(label: String) = curRoot(label).resolve("base")
   private def curDelta(label: String) = curRoot(label).resolve("delta")
-  private def curMarkerPath(label: String) = curRoot(label).resolve("_epoch")
-  private def curMarker(label: String): Long =
-    if (Files.exists(curMarkerPath(label))) Files.readString(curMarkerPath(label)).trim.toLong
-    else 0L
 
-  private def writeCurMarker(label: String, e: Long): Unit = {
-    val tmp = curRoot(label).resolve(s"_epoch.tmp.$e")
+  private def readMarker(p: java.nio.file.Path): Long =
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  private def writeMarker(p: java.nio.file.Path, e: Long): Unit = {
+    val tmp = p.resolveSibling(s"${p.getFileName}.tmp.$e")
     Files.writeString(tmp, e.toString)
-    Files.move(tmp, curMarkerPath(label), StandardCopyOption.ATOMIC_MOVE,
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+  /** Highest epoch persisted into the index (base or delta). */
+  private def curMarker(label: String): Long =
+    readMarker(curRoot(label).resolve("_epoch"))
+  /** Epochs folded into base/ by the last compaction. */
+  private def curBaseEpoch(label: String): Long =
+    readMarker(curRoot(label).resolve("_base_epoch"))
+
+  private def curDeltaEpochs(label: String): Seq[Long] =
+    Dirs.childNames(curDelta(label))
+      .filter(_.startsWith("commit_epoch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("commit_epoch=").toLong).toOption)
 
   /** Persist one commit's rows (plus any crash-missed epochs) into the
-    * index. `rows` must carry a commit_epoch column. Caller holds the
-    * write lock.
+    * index. Caller holds the write lock.
     */
   private def appendCurrentDelta(label: String, toEpoch: Long): Unit = {
     val marker = curMarker(label)
@@ -188,31 +190,31 @@ final class VersionedStore(spark: SparkSession, dir: String) {
       .coalesce(parts)
       .write.mode("append").partitionBy("commit_epoch")
       .parquet(curDelta(label).toString)
-    writeCurMarker(label, toEpoch)
+    writeMarker(curRoot(label).resolve("_epoch"), toEpoch)
     // bound the read-side merge: fold deltas into base when they pile up
-    val deltaDirs = if (!Files.exists(curDelta(label))) 0L
-      else Files.list(curDelta(label)).filter(_.getFileName.toString.startsWith("commit_epoch=")).count()
-    if (deltaDirs >= 32) compactCurrent(label)
+    if (curDeltaEpochs(label).count(_ > curBaseEpoch(label)) >= 32) compactCurrent(label)
   }
 
-  private def hasCurDeltas(label: String): Boolean =
-    Files.exists(curDelta(label)) && Files.list(curDelta(label)).anyMatch(
-      _.getFileName.toString.startsWith("commit_epoch="))
-
   /** Latest version per id INCLUDING tombstones, from the index plus a
-    * non-persistent catch-up overlay for epochs past the marker.
+    * non-persistent catch-up overlay for epochs past the marker. Deltas
+    * at or below the base coverage epoch are redundant with base and
+    * filtered out — they are retained on disk for one compaction cycle
+    * so lazy reader plans built before a compaction still find their
+    * files (see [[compactCurrent]]).
     */
   private def currentVersions(label: String): DataFrame = {
     curHeal(label)
     val epoch = currentEpoch
     val marker = curMarker(label)
+    val baseEpoch = curBaseEpoch(label)
     val base: Option[DataFrame] =
       if (Files.exists(curBase(label)))
         Some(spark.read.option("mergeSchema", "true").parquet(curBase(label).toString))
       else None
     val deltas: Option[DataFrame] =
-      if (hasCurDeltas(label))
-        Some(spark.read.option("mergeSchema", "true").parquet(curDelta(label).toString))
+      if (curDeltaEpochs(label).exists(_ > baseEpoch))
+        Some(spark.read.option("mergeSchema", "true").parquet(curDelta(label).toString)
+          .filter(col("commit_epoch") > baseEpoch))
       else None
     val catchUp: Option[DataFrame] =
       if (marker < epoch && tableExists(label)) Some(changesSince(label, marker, epoch))
@@ -256,24 +258,37 @@ final class VersionedStore(spark: SparkSession, dir: String) {
 
   /** Bootstrap the index for a table, or fold accumulated index deltas
     * into the base materialization.
+    *
+    * Reader-safety of cleanup: only delta dirs already folded into the
+    * PREVIOUS base (epoch ≤ previous `_base_epoch`) are deleted — dirs
+    * this compaction folds stay on disk (readers filter them out via
+    * the new base epoch) until the NEXT compaction. Lazy plans built
+    * against them before the swap therefore keep their files for a
+    * full compaction cycle, instead of hitting FileNotFoundException
+    * the moment an auto-compaction fires on the write path.
     */
   def compactCurrent(label: String): Unit = withWriteLock {
     if (!tableExists(label)) return
     curHeal(label)
     val epoch = currentEpoch
+    val prevBaseEpoch = curBaseEpoch(label)
     val merged = currentVersions(label)
     if (merged.columns.isEmpty) return
     Files.createDirectories(curRoot(label))
     val tmp = curRoot(label).resolve("base__tmp")
-    rmTree(tmp)
+    Dirs.rmTree(tmp)
     merged.write.mode("overwrite").partitionBy("commit_epoch").parquet(tmp.toString)
     val b = curBase(label)
     if (Files.exists(b))
       Files.move(b, curRoot(label).resolve("base__old"), StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, b, StandardCopyOption.ATOMIC_MOVE)
-    rmTree(curRoot(label).resolve("base__old"))
-    rmTree(curDelta(label))
-    writeCurMarker(label, epoch)
+    Dirs.rmTree(curRoot(label).resolve("base__old"))
+    writeMarker(curRoot(label).resolve("_base_epoch"), epoch)
+    writeMarker(curRoot(label).resolve("_epoch"), epoch)
+    // grace-window cleanup: drop only deltas the PREVIOUS base covered
+    curDeltaEpochs(label).filter(_ <= prevBaseEpoch).foreach { e =>
+      Dirs.rmTree(curDelta(label).resolve(s"commit_epoch=$e"))
+    }
   }
 
   /** Latest (id, rev, deleted) per id INCLUDING tombstones — the
@@ -396,9 +411,13 @@ final class VersionedStore(spark: SparkSession, dir: String) {
         s"$label replica frame needs (id, rev, deleted, commit_epoch)")
       dropOrphanEpochs(label, base)
       val parts = spark.conf.get("graft.commit.maxFiles", "8").toInt
-      df.filter(col("commit_epoch") > base && col("commit_epoch") <= toEpoch)
-        .coalesce(parts)
-        .write.mode("append").partitionBy("commit_epoch").parquet(labelDir(label))
+      val rows = df.filter(col("commit_epoch") > base && col("commit_epoch") <= toEpoch)
+      // a frame emptied by the range (or a subset filter upstream) must
+      // not create the table dir: a parquet dir with zero data files
+      // poisons every later read with UNABLE_TO_INFER_SCHEMA
+      if (!rows.isEmpty)
+        rows.coalesce(parts)
+          .write.mode("append").partitionBy("commit_epoch").parquet(labelDir(label))
     }
     val tmp = Paths.get(dir, s"_epoch.tmp.$toEpoch")
     Files.writeString(tmp, toEpoch.toString)

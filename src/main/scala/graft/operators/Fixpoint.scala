@@ -54,15 +54,38 @@ object Fixpoint {
 
   // one loop session per (app, partition count), reused across calls:
   // a child session carries its own SessionState (analyzer/optimizer),
-  // which is not free to rebuild per query
+  // which is not free to rebuild per query. newSession() snapshots the
+  // conf at creation, so semantics-bearing runtime settings are
+  // re-mirrored from the caller on every fetch — a cached session must
+  // not freeze the caller's timezone/ANSI mode as of first use.
+  private val mirroredConfs = Seq(
+    "spark.sql.session.timeZone", "spark.sql.ansi.enabled",
+    "spark.sql.autoBroadcastJoinThreshold")
   private val loopSessions =
     scala.collection.concurrent.TrieMap.empty[(String, Int), org.apache.spark.sql.SparkSession]
-  private def loopSession(caller: org.apache.spark.sql.SparkSession, parts: Int) =
-    loopSessions.getOrElseUpdate((caller.sparkContext.applicationId, parts), {
-      val s = caller.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      s
+  private[graft] def loopSession(caller: org.apache.spark.sql.SparkSession, parts: Int) = {
+    val s = loopSessions.getOrElseUpdate((caller.sparkContext.applicationId, parts), {
+      val ns = caller.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      ns
     })
+    mirroredConfs.foreach { k =>
+      caller.conf.getOption(k).foreach { v =>
+        if (!s.conf.getOption(k).contains(v)) s.conf.set(k, v)
+      }
+    }
+    s
+  }
+
+  /** Broadcast a rounds-small frame into its next join, falling back to
+    * a shuffled join when it outgrows the row cap — an unconditional
+    * broadcast() hint would override the size threshold entirely and
+    * OOM the driver on a multi-million-row frontier.
+    */
+  private[operators] def maybeBroadcast(df: DataFrame, rows: Long): DataFrame = {
+    val cap = df.sparkSession.conf.get("graft.fixpoint.broadcastRows", "1000000").toLong
+    if (rows <= cap) broadcast(df) else df
+  }
 
   private def semiNaiveLoop(base: DataFrame, keyCols: Seq[String], budget: Budget)(
       step: DataFrame => DataFrame): DataFrame = {
@@ -72,7 +95,8 @@ object Fixpoint {
     // set every round would make each round O(total) instead of O(delta)
     var rings = List(base.dropDuplicates(keyCols).localCheckpoint(eager = true))
     var delta = rings.head
-    var total = delta.count()
+    var deltaRows = delta.count()
+    var total = deltaRows
     var iters = 0
     var done = false
     while (!done) {
@@ -82,10 +106,14 @@ object Fixpoint {
       if ((System.nanoTime() - t0) / 1000000 > budget.timeoutMillis)
         throw new BudgetExceeded(s"fixpoint exceeded ${budget.timeoutMillis} ms")
       val all = rings.reduce(_ union _)
-      delta = step(delta).dropDuplicates(keyCols)
+      // the delta is broadcast into the step join while it stays small
+      // (the step relation then streams in place instead of being
+      // re-shuffled every round); big deltas fall back to a shuffle
+      delta = step(maybeBroadcast(delta, deltaRows)).dropDuplicates(keyCols)
         .join(all, keyCols, "left_anti")
         .localCheckpoint(eager = true)
       val n = delta.count() // cheap: counts the materialized checkpoint
+      deltaRows = n
       if (n == 0) done = true
       else {
         total += n
@@ -133,7 +161,8 @@ object Fixpoint {
     // big side — a broadcast join streams the step relation in place
     // instead of re-shuffling it every round
     val result = semiNaiveLoop(reroot(sources.select("id")), Seq("id"), budget) { delta =>
-      broadcast(delta).join(step, delta("id") === step("from")).select(col("to").as("id"))
+      // delta arrives pre-hinted by the loop (broadcast while small)
+      delta.join(step, delta("id") === step("from")).select(col("to").as("id"))
     }
     if (loop.isDefined)
       org.apache.spark.sql.graftbridge.Bridge.inSession(caller, result)

@@ -85,15 +85,18 @@ object Traverse {
     // the previous frontier with its correct depth).
     var rings = List(start.select(col("id"), lit(0).as("depth")).localCheckpoint(eager = true))
     var frontier = rings.head
+    var frontierRows = frontier.count()
     var d = 0
-    while (d < maxDepth && !frontier.isEmpty) {
+    while (d < maxDepth && frontierRows > 0) {
       d += k
       val visited = rings.reduce(_ union _)
-      // broadcast the frontier: it is rounds-small relative to the edge
-      // relation, so the big side streams in place instead of being
-      // re-shuffled every round (for frontiers that outgrow the
-      // broadcast threshold Spark falls back to a shuffled join)
-      val next = broadcast(frontier).join(step, frontier("id") === step("from"), "inner")
+      // broadcast the frontier while it is small relative to the edge
+      // relation (the big side then streams in place instead of being
+      // re-shuffled every round); a frontier past the row cap falls
+      // back to a shuffled join — an unconditional hint would override
+      // the size threshold and OOM the driver on wide graphs
+      val hinted = Fixpoint.maybeBroadcast(frontier, frontierRows)
+      val next = hinted.join(step, frontier("id") === step("from"), "inner")
         .select(col("to").as("id"), (col("depth") + col("len")).as("depth"))
         .filter(col("depth") <= maxDepth)
         .groupBy("id").agg(min("depth").as("depth"))
@@ -101,6 +104,7 @@ object Traverse {
         .localCheckpoint(eager = true)
       rings ::= next
       frontier = next
+      frontierRows = next.count()
     }
     rings.reduce(_ union _)
   }

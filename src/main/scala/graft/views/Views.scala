@@ -84,14 +84,12 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     this(spark, ViewSources(store), storageDir)
 
   private var defs = Map.empty[String, ViewDef]
+  private var bound = false
   private def path(name: String) = s"$storageDir/views/$name"
   private def basePath(name: String) = Paths.get(path(name), "base")
   private def deltaPath(name: String) = Paths.get(path(name), "delta")
 
-  private def rmTree(f: java.nio.file.Path): Unit = if (Files.exists(f)) {
-    if (Files.isDirectory(f)) Files.list(f).forEach(rmTree)
-    Files.delete(f)
-  }
+  private def rmTree(f: java.nio.file.Path): Unit = graft.model.Dirs.rmTree(f)
   /** Complete an interrupted [[regenerate]] swap: mid-swap the base dir
     * is briefly absent while the previous materialization sits in
     * `__old` — restore it (same discipline as VersionedStore.vacuum).
@@ -153,11 +151,8 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     rmTree(deltaPath(name))
   }
 
-  private def hasDeltas(name: String): Boolean = {
-    val d = deltaPath(name)
-    Files.exists(d) && Files.list(d).anyMatch(f =>
-      f.getFileName.toString.startsWith("commit_epoch="))
-  }
+  private def hasDeltas(name: String): Boolean =
+    graft.model.Dirs.childNames(deltaPath(name)).exists(_.startsWith("commit_epoch="))
 
   /** The merged view: base plus any post-base commit deltas, superseded
     * at id granularity (newest delta epoch per id wins; tombstone-only
@@ -227,28 +222,50 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     * all-views-updated-in-the-commit guarantee (views.lisp:331-374,
     * transactions.lisp:601-744 apply phase).
     */
-  def bindTo(gs: GraphStore): Unit =
+  def bindTo(gs: GraphStore): Unit = {
+    bound = true
     gs.onCommit { (epoch, frames) =>
       defs.values.foreach { v =>
-        frames.get(gs.tableFor(v.sourceLabel)).foreach { staged =>
-          applyCommitDelta(v.name, staged, epoch)
+        // a view on a parent vertex type indexes all subclasses
+        // (views.lisp:256-287 ancestor-class lookup), so commits to any
+        // concrete descendant table must maintain it. Caveat (reference
+        // UUID semantics): id-granularity supersession assumes ids are
+        // unique ACROSS the descendant tables.
+        val labels =
+          if (gs.schema.vertexTypes.contains(v.sourceLabel))
+            gs.schema.descendants(v.sourceLabel)
+          else Seq(v.sourceLabel)
+        labels.foreach { l =>
+          frames.get(gs.tableFor(l)).foreach { staged =>
+            applyCommitDelta(v.name, staged, epoch,
+              vertexLabel = if (gs.schema.vertexTypes.contains(l)) Some(l) else None)
+          }
         }
       }
     }
+  }
 
   /** Incremental maintenance for one commit's staged frame of the
     * view's source table (`(id, rev, deleted, props…)`, already
     * materialized by the store). Unmaterialized views are skipped —
     * their first `regenerate` reads the committed state anyway.
     */
-  private def applyCommitDelta(name: String, staged: DataFrame, epoch: Long): Unit = {
+  private def applyCommitDelta(name: String, staged: DataFrame, epoch: Long,
+      vertexLabel: Option[String] = None): Unit = {
     val v = definition(name)
     if (!Files.exists(basePath(name))) return
     val baseSchema = spark.read.parquet(basePath(name).toString).schema
     val kT = baseSchema("key").dataType
     val iT = baseSchema("id").dataType
     val vT = baseSchema("value").dataType
-    val live = staged.filter(!col("deleted")).drop("rev", "deleted", "commit_epoch")
+    // present the rows in the same shape compute()/regenerate feed the
+    // map function: PropertyGraph.vertices attaches a `label` column,
+    // so a mapFn referencing it must work on both paths
+    val live0 = staged.filter(!col("deleted")).drop("rev", "deleted", "commit_epoch")
+    val live = vertexLabel match {
+      case Some(l) if !live0.columns.contains("label") => live0.withColumn("label", lit(l))
+      case _ => live0
+    }
     val mapped = v.mapFn(live)
     require(Set("key", "id", "value").subsetOf(mapped.columns.toSet),
       s"view $name map output must have (key, id, value)")
@@ -270,19 +287,18 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     */
   def appendDelta(name: String, deltaSource: DataFrame): Unit = {
     val v = definition(name)
+    // a bound catalog numbers delta partitions by STORE epoch; a
+    // self-numbered append would collide with the store's next commit
+    // epoch and merge two logical commits into one supersession unit
+    require(!bound,
+      s"catalog is bound to a store — mutate through store commits, not appendDelta")
     require(Files.exists(basePath(name)),
       s"view $name is not materialized — call regenerate first")
     val d = deltaPath(name)
-    val next = (if (!Files.exists(d)) 0L else {
-      val it = Files.list(d).iterator()
-      var m = 0L
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.startsWith("commit_epoch="))
-          m = math.max(m, n.stripPrefix("commit_epoch=").toLong)
-      }
-      m
-    }) + 1L
+    val next = graft.model.Dirs.childNames(d)
+      .filter(_.startsWith("commit_epoch="))
+      .map(_.stripPrefix("commit_epoch=").toLong)
+      .foldLeft(0L)(math.max) + 1L
     val baseSchema = spark.read.parquet(basePath(name).toString).schema
     val mapped = v.mapFn(deltaSource)
     require(Set("key", "id", "value").subsetOf(mapped.columns.toSet),

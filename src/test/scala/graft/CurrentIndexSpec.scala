@@ -90,10 +90,20 @@ class CurrentIndexSpec extends SparkSpec {
     }
     gs.txn().deleteVertices("person", Seq(Tuple1(3L)).toDF("id")).commit()
     val before = names(gs.store)
+    val deltasBefore = java.nio.file.Files.list(
+      Paths.get(s"$dir/v_person__cur/delta")).count()
     gs.store.compactCurrent("v_person")
     assert(Files.exists(Paths.get(s"$dir/v_person__cur/base")))
-    assert(!Files.exists(Paths.get(s"$dir/v_person__cur/delta")))
+    // grace window: this cycle's folded deltas stay on disk (reader
+    // plans built pre-swap keep their files) but are filtered out
     assert(names(gs.store) == before && !before.exists(_._1 == 3L))
+    // ...and the NEXT compaction clears them
+    gs.store.compactCurrent("v_person")
+    val deltasAfter =
+      if (!Files.exists(Paths.get(s"$dir/v_person__cur/delta"))) 0L
+      else java.nio.file.Files.list(Paths.get(s"$dir/v_person__cur/delta")).count()
+    assert(deltasAfter < deltasBefore)
+    assert(names(gs.store) == before)
     // post-compaction commits keep working through the delta path
     gs.txn().updateVertices("person", Seq((1L, "p1x", 9)).toDF("id", "name", "age")).commit()
     assert(names(gs.store).contains((1L, "p1x")))

@@ -106,4 +106,51 @@ class ReplicationSpec extends SparkSpec {
     // pointer still tracks the master even when rows were filtered out
     assert(slaveStore.currentEpoch == master.store.currentEpoch)
   }
+
+  test("a batch fully removed by the subset filter must not poison the slave table") {
+    val master = new GraphStore(spark, schema, tmp("replz-m"))
+    val slaveDir = tmp("replz-s")
+    val slaveStore = new VersionedStore(spark, slaveDir)
+    val repl = Replicator.forGraph(master, slaveStore,
+      subset = Map("site" -> col("lat").between(0.0, 50.0)))
+    // first commit: ONLY out-of-area rows — the filtered frame is empty
+    master.txn().createVertices("site",
+      Seq((1L, "out1", 60.0, 1.0), (2L, "out2", 70.0, 2.0))
+        .toDF("id", "name", "lat", "lon")).commit()
+    repl.sync()
+    // the slave table dir was not created with zero files: reads work
+    val slaveGs = new GraphStore(spark, schema, slaveDir)
+    assert(slaveGs.graph().vertexLabels.isEmpty ||
+      slaveGs.graph().vertexFrame("site").count() == 0)
+    assert(slaveStore.currentEpoch == master.store.currentEpoch)
+    // later in-area rows still arrive
+    master.txn().createVertices("site",
+      Seq((3L, "in", 10.0, 3.0)).toDF("id", "name", "lat", "lon")).commit()
+    repl.sync()
+    assert(new GraphStore(spark, schema, slaveDir).graph()
+      .vertexFrame("site").select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("a failing commit hook leaves the commit durable and other hooks run") {
+    val master = new GraphStore(spark, schema, tmp("replh-m"))
+    val slaveStore = new VersionedStore(spark, tmp("replh-s"))
+    var secondHookRan = false
+    master.onCommit { (_, _) => throw new RuntimeException("boom") }
+    Replicator.forGraph(master, slaveStore).followCommits(master)
+    master.onCommit { (_, _) => secondHookRan = true }
+    val e = intercept[master.CommitHookException] {
+      master.txn().createVertices("site",
+        Seq((1L, "a", 1.0, 1.0)).toDF("id", "name", "lat", "lon")).commit()
+    }
+    assert(e.epoch == 1L)
+    // durable despite the hook failure; later hooks still ran
+    assert(master.graph().vertexFrame("site").count() == 1)
+    assert(secondHookRan)
+    assert(slaveStore.currentEpoch == 1L) // replication hook was not starved
+    // and the natural "retry" correctly conflicts instead of duplicating
+    intercept[master.store.ConflictException] {
+      master.txn().createVertices("site",
+        Seq((1L, "a", 1.0, 1.0)).toDF("id", "name", "lat", "lon")).commit()
+    }
+  }
 }

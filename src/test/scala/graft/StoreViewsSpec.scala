@@ -100,6 +100,35 @@ class StoreViewsSpec extends SparkSpec {
     assert(grand._2 == 19L && grand._1 == (1L to 21L).map(_.toDouble).sum - 2.0 - 4.0)
   }
 
+  test("a view on a parent type is maintained by commits to subclass tables") {
+    val dir = tmp("svw4")
+    val hier = GraphSchema.builder()
+      .vertex("acct", "id", Seq("seg", "bal"))
+      .vertex("vip", "id", Seq("seg", "bal"), parent = Some("acct"))
+      .build()
+    val gs = new GraphStore(spark, hier, dir)
+    gs.txn().createVertices("acct", Seq((1L, "a", 1.0)).toDF("id", "seg", "bal")).commit()
+    gs.txn().createVertices("vip", Seq((100L, "a", 9.0)).toDF("id", "seg", "bal")).commit()
+    val cat = new ViewCatalog(spark, gs, dir)
+    // mapFn uses the `label` column vertices() attaches — the delta
+    // path must present the same shape
+    cat.register(ViewDef("by_label", "acct",
+      df => df.select(col("label").as("key"), col("id"), col("id").cast("double").as("value")),
+      reduceAgg = Some(count(lit(1)).cast("double"))))
+    cat.regenerate("by_label")
+    cat.bindTo(gs)
+    // a commit to the SUBCLASS table refreshes the parent view
+    gs.txn().createVertices("vip", Seq((101L, "b", 8.0)).toDF("id", "seg", "bal")).commit()
+    val got = cat.mapView("by_label").select("key", "id")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("acct", 1L), ("vip", 100L), ("vip", 101L)))
+    // appendDelta is rejected on a bound catalog (would collide with
+    // store commit epochs)
+    intercept[IllegalArgumentException] {
+      cat.appendDelta("by_label", Seq((5L, "x", 1.0)).toDF("id", "seg", "bal"))
+    }
+  }
+
   test("views registered but never regenerated are skipped by commits, then regenerate catches up") {
     val dir = tmp("svw3")
     val gs = new GraphStore(spark, schema, dir)
