@@ -299,6 +299,11 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   def latestRevisions(label: String): DataFrame = {
     if (!tableExists(label))
       return spark.range(0).select(col("id"), lit(0L).as("rev"), lit(false).as("deleted"))
+    // the current-state index IS (latest version per id incl.
+    // tombstones), so rev derivation — which runs on every write —
+    // rides it too for opted-in tables
+    if (curEnabled && Files.exists(curRoot(label)))
+      return currentVersions(label).select("id", "rev", "deleted")
     val w = Window.partitionBy("id").orderBy(col("rev").desc)
     versions(label, currentEpoch).select("id", "rev", "deleted")
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
@@ -341,9 +346,13 @@ final class VersionedStore(spark: SparkSession, dir: String) {
         val sample = dups.limit(5).collect().map(_.get(0)).mkString(", ")
         throw new ConflictException(s"$label: same id staged twice in one commit ($sample)")
       }
+      // OCC validation needs the latest rev per id — index-backed when
+      // opted in (O(current+delta)), else a full-history aggregate
       val latest =
         if (!Files.exists(Paths.get(labelDir(label))))
           spark.range(0).select(col("id"), lit(0L).as("cur_rev"))
+        else if (curEnabled && Files.exists(curRoot(label)))
+          currentVersions(label).select(col("id"), col("rev").as("cur_rev"))
         else versions(label, base).groupBy("id").agg(max("rev").as("cur_rev"))
       val bad = df.select(col("id"), col("rev"))
         .join(latest, Seq("id"), "left")
