@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.model.Tpch
-import graft.operators.{Dedup, GraphAnalytics, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, GraphAnalytics, Sampling, Similarity, TextAnalysis}
 import graft.spatial.{Geohash, SpatialOps}
 
 /** Pipeline operator catalog: spatial queries (SURVEY.md §2.8), text
@@ -438,6 +438,69 @@ object CatalogPipeline {
              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
              |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q79_decontaminate",
+      // train/eval benchmark-leakage check: carve the corpus with the
+      // deterministic hash split (q77), then count each train doc's
+      // distinct 5-grams that appear anywhere in the eval slice. The
+      // eval n-gram hash set broadcasts (benchmarks are tiny vs the
+      // corpus); verdicts are integer arithmetic — bit-exact oracle
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents").withColumn("split",
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05),
+            rest = "test"))
+        Decontaminate.evalOverlap(
+          docs.filter(col("split") === "train"),
+          docs.filter(col("split") === "test"),
+          "doc_id", "text", n = 5, flagAtPct = 20)
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, text,
+             |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, text,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |    FROM documents)),
+             |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok
+             |  FROM s WHERE split = 'train'),
+             |e AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS tok
+             |  FROM s WHERE split = 'test'),
+             |tg AS (SELECT doc_id, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+             |  ELSE list_distinct(list_transform(range(len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' '))) END) AS g FROM t),
+             |eg AS (SELECT DISTINCT unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+             |  ELSE list_distinct(list_transform(range(len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' '))) END) AS g FROM e)
+             |SELECT tg.doc_id, count(*) AS n_grams, count(eg.g) AS n_hit,
+             |  (count(eg.g) * 100 >= count(*) * 20) AS contaminated
+             |FROM tg LEFT JOIN eg ON tg.g = eg.g
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q80_repetition",
+      // Gopher-rule repetition filters at token granularity; exact
+      // per-myriad integers (10000 div) — no floating point on either
+      // engine, so the flags are bit-stable
+      (s, d) => TextAnalysis.repetitionMetrics(
+          Tpch.table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok
+             |  FROM documents),
+             |uni AS (SELECT doc_id, tk, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(tok) AS tk FROM t) GROUP BY 1, 2),
+             |us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    count(*) AS n_distinct, max(c) AS top_c FROM uni GROUP BY 1),
+             |bg AS (SELECT doc_id, g, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(CASE WHEN len(tok) < 2 THEN [array_to_string(tok, ' ')]
+             |    ELSE list_transform(range(len(tok)-1),
+             |      i -> array_to_string(tok[i+1:i+2], ' ')) END) AS g FROM t) GROUP BY 1, 2),
+             |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |    count(*) AS n_distinct_bi FROM bg GROUP BY 1)
+             |SELECT us.doc_id, n_tokens,
+             |  (n_tokens - n_distinct) * 10000 // n_tokens AS dup_token_pm,
+             |  top_c * 10000 // n_tokens AS top_token_pm,
+             |  (n_bigrams - n_distinct_bi) * 10000 // n_bigrams AS dup_bigram_pm,
+             |  ((n_tokens - n_distinct) * 10000 // n_tokens > 3000
+             |    OR (n_bigrams - n_distinct_bi) * 10000 // n_bigrams > 1000) AS flagged
+             |FROM us JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // ---- events / sessionization --------------------------------------
     QueryDef("q60_window_agg",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale corpus processing: token
@@ -97,4 +97,41 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  /** Gopher-style repetition metrics per document — the
+    * repetitious-text filters of the Gopher/MassiveText quality rules
+    * (Rae et al. 2021 §A1.1), at token granularity: duplicate-token
+    * fraction, top-token fraction, duplicate-bigram fraction. Emitted
+    * as exact per-myriad integers (`x * 10000 div total`, integer
+    * division) — no floating point anywhere, so verdicts are bit-exact
+    * across engines and re-runs.
+    *
+    * Shape at scale: explode → two-level aggregation (partial map-side
+    * combine on (doc, token) then (doc)) — one shuffle keyed by doc
+    * id, no driver involvement, no UDFs.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+      dupTokenFlagPm: Int = 3000, dupBigramFlagPm: Int = 1000): DataFrame = {
+    // tokenize once per doc: the bigram lambda re-evaluates its operand
+    // per element (HOF semantics), so the split must be materialized
+    val toks = df.select(col(idCol).as("__id"),
+        tokens(lower(col(textCol))).as("__toks"))
+      .localCheckpoint(eager = true)
+    val uni = toks.select(col("__id"), explode(col("__toks")).as("t"))
+      .groupBy("__id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("__id").agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+    val bi = toks.select(col("__id"),
+        explode(Dedup.shinglesOfTokens(col("__toks"), 2)).as("g"))
+      .groupBy("__id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("__id").agg(sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bi"))
+    uni.join(bi, Seq("__id"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        expr("(n_tokens - n_distinct) * 10000 div n_tokens").as("dup_token_pm"),
+        expr("top_c * 10000 div n_tokens").as("top_token_pm"),
+        expr("(n_bigrams - n_distinct_bi) * 10000 div n_bigrams").as("dup_bigram_pm"))
+      .withColumn("flagged",
+        col("dup_token_pm") > dupTokenFlagPm || col("dup_bigram_pm") > dupBigramFlagPm)
+  }
 }

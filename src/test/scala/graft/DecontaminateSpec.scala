@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, TextAnalysis}
+
+/** Decontamination + repetition-filter contracts on a hand-built
+  * corpus where the expected overlaps are computable by eye.
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6-token docs → 5-grams are (w1..w5, w2..w6): 2 per doc
+  private lazy val train = Seq(
+    (1L, "a b c d e f"), // shares 5-gram "b c d e f" with eval doc 10
+    (2L, "a a a a a a"), // repeated token, no eval overlap
+    (3L, "p q r s t u")  // disjoint from eval
+  ).toDF("doc_id", "text")
+  private lazy val eval_ = Seq(
+    (10L, "b c d e f g")
+  ).toDF("doc_id", "text")
+
+  test("evalOverlap counts shared distinct n-grams and flags at pct") {
+    val out = Decontaminate.evalOverlap(train, eval_, "doc_id", "text",
+      n = 5, flagAtPct = 20).orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (1L, 2L, 1L, true),   // 1/2 grams hit ≥ 20%
+      (2L, 1L, 0L, false),  // "a a a a a" ≠ any eval gram (distinct → 1 gram)
+      (3L, 2L, 0L, false)))
+  }
+
+  test("evalOverlap is caseless and stable under repartitioning") {
+    val shouty = train.withColumn("text", upper($"text"))
+    val a = Decontaminate.evalOverlap(shouty, eval_, "doc_id", "text", n = 5)
+    val b = Decontaminate.evalOverlap(train.repartition(7), eval_, "doc_id", "text", n = 5)
+    assert(a.orderBy("doc_id").collect() === b.orderBy("doc_id").collect())
+  }
+
+  test("short docs act as a single whole-run n-gram") {
+    val shortTrain = Seq((7L, "b c d")).toDF("doc_id", "text")
+    val shortEval = Seq((8L, "b c d")).toDF("doc_id", "text")
+    val hit = Decontaminate.evalOverlap(shortTrain, shortEval, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(hit === ((7L, 1L, 1L, true)))
+  }
+
+  test("repetitionMetrics: exact per-myriad integers") {
+    val docs = Seq(
+      (1L, "x x x x"),     // 4 tokens, 1 distinct; bigrams: 3×"x x" → 1 distinct
+      (2L, "a b c d")      // all distinct
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_token_pm", "top_token_pm", "dup_bigram_pm", "flagged")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    // doc 1: dup = (4-1)*10000 div 4 = 7500; top = 4*10000 div 4 = 10000;
+    //        bigram dup = (3-1)*10000 div 3 = 6666
+    assert(m(0) === ((1L, 4L, 7500L, 10000L, 6666L, true)))
+    // doc 2: no repetition anywhere; top token frac = 1/4
+    assert(m(1) === ((2L, 4L, 0L, 2500L, 0L, false)))
+  }
+}
