@@ -27,7 +27,11 @@ final class HttpEndpoint(
     /** write tier: CRUD routes exist only when a store is supplied AND
       * writes are allowed (the :effects gate, rest.lisp:402-411) */
     store: Option[graft.model.GraphStore] = None,
-    allowWrites: Boolean = false) {
+    allowWrites: Boolean = false,
+    /** admin tier: maintenance verbs exist only when the artifact they
+      * operate on is attached (and writes are allowed) */
+    views: Option[graft.views.ViewCatalog] = None,
+    replicator: Option[graft.model.Replicator] = None) {
 
   private var server: HttpServer = _
 
@@ -72,6 +76,8 @@ final class HttpEndpoint(
         respondRows(ex, df, stream)
       case p if p.startsWith("/mutate/") =>
         mutate(ex, p.stripPrefix("/mutate/"), body)
+      case p if p.startsWith("/admin/") =>
+        admin(ex, p.stripPrefix("/admin/"), body)
       case _ => reply(ex, 404, err(s"no such route: $path"))
     }
   }
@@ -132,6 +138,57 @@ final class HttpEndpoint(
         reply(ex, 200, s"""{"epoch": $epoch}""")
       case other =>
         reply(ex, 404, err(s"no such mutation route: ${other.mkString("/")}"))
+    }
+  }
+
+  /** Maintenance tier, gated by the same write-effects policy as
+    * /mutate (the operational verbs the reference exposes through its
+    * admin REPL — regenerate-view views.lisp:487, snapshot/vacuum
+    * schema.lisp:49 keep-revisions, slave catch-up
+    * transaction-streaming.lisp:141):
+    *   - `POST /admin/regenerate` `{"view": "name"}` (omit view → all)
+    *   - `POST /admin/sync`       replica catch-up → new epoch
+    *   - `POST /admin/vacuum`     `{"label": "customer", "keep": 2}`
+    *   - `POST /admin/compact`    `{"label": "customer"}` current-index
+    */
+  private def admin(ex: HttpExchange, op: String, body: String): Unit = {
+    if (!allowWrites) {
+      reply(ex, 403, err("write effect not allowed on this endpoint")); return
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      try { if (body.isBlank) mapper.createObjectNode() else mapper.readTree(body) }
+      catch { case e: Exception =>
+        throw new QueryService.BadRequestException(s"malformed JSON body: ${e.getMessage}") }
+    def field(k: String): Option[String] =
+      Option(root.get(k)).filterNot(_.isNull).map(_.asText())
+    op match {
+      case "regenerate" =>
+        val vc = views.getOrElse {
+          reply(ex, 404, err("no view catalog attached")); return }
+        val targets = field("view").map(Seq(_)).getOrElse(vc.names)
+        targets.foreach(vc.regenerate(_))
+        reply(ex, 200, s"""{"regenerated": [${targets.map("\"" + _ + "\"").mkString(",")}]}""")
+      case "sync" =>
+        val r = replicator.getOrElse {
+          reply(ex, 404, err("no replicator attached")); return }
+        val epoch = r.sync()
+        reply(ex, 200, s"""{"epoch": $epoch}""")
+      case "vacuum" =>
+        val gs = store.getOrElse { reply(ex, 404, err("no store attached")); return }
+        val label = field("label").getOrElse(
+          throw new QueryService.BadRequestException("'label' required"))
+        val keep = field("keep").map(_.toInt).getOrElse(1)
+        if (keep < 1) throw new QueryService.BadRequestException("'keep' must be >= 1")
+        gs.store.vacuum(gs.tableFor(label), keep)
+        reply(ex, 200, s"""{"vacuumed": "$label", "keep": $keep}""")
+      case "compact" =>
+        val gs = store.getOrElse { reply(ex, 404, err("no store attached")); return }
+        val label = field("label").getOrElse(
+          throw new QueryService.BadRequestException("'label' required"))
+        gs.store.compactCurrent(gs.tableFor(label))
+        reply(ex, 200, s"""{"compacted": "$label"}""")
+      case other => reply(ex, 404, err(s"no such admin route: $other"))
     }
   }
 

@@ -111,6 +111,9 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
   def definition(name: String): ViewDef =
     defs.getOrElse(name, throw new IllegalArgumentException(s"unknown view: $name"))
 
+  /** Registered view names (stable order). */
+  def names: Seq[String] = defs.keys.toSeq.sorted
+
   /** Compute the view's map output from the current source state. */
   def compute(name: String): DataFrame = {
     val v = definition(name)

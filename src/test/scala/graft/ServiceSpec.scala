@@ -189,6 +189,58 @@ class ServiceSpec extends SparkSpec {
     } finally ep.stop()
   }
 
+  test("HTTP admin tier: regenerate/sync/vacuum/compact, gates") {
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("acct", "id", Seq("seg", "bal")).build()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "http-admin").toString
+    val gs = new graft.model.GraphStore(spark, schema, dir)
+    gs.txn().createVertices("acct",
+      Seq((1L, "gold", 10.0), (2L, "iron", 5.0)).toDF("id", "seg", "bal")).commit()
+    val cat = new graft.views.ViewCatalog(spark, gs, dir)
+    cat.register(graft.views.ViewDef("by_seg", "acct",
+      df => df.select(col("seg").as("key"), col("id"), col("bal").as("value")),
+      reduceAgg = Some(sum(col("value")))))
+    val slave = new graft.model.VersionedStore(spark,
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "http-admin-slave").toString)
+    val repl = graft.model.Replicator.forGraph(gs, slave)
+    val ep = new graft.service.HttpEndpoint(service, store = Some(gs),
+      allowWrites = true, views = Some(cat), replicator = Some(repl))
+    val bare = new graft.service.HttpEndpoint(service, allowWrites = true)
+    val readOnly = new graft.service.HttpEndpoint(service, store = Some(gs))
+    val port = ep.start(); val barePort = bare.start(); val roPort = readOnly.start()
+    val client = HttpClient.newHttpClient()
+    def post(p: Int, path: String, body: String = ""): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // regenerate all views, then a keyed read works
+      val reg = post(port, "/admin/regenerate")
+      assert(reg.statusCode() == 200 && reg.body().contains("by_seg"))
+      assert(cat.lookup("by_seg", "gold").count() == 1)
+      assert(post(port, "/admin/regenerate", """{"view":"nope"}""").statusCode() == 400)
+      // sync converges the replica to the master's epoch
+      val sync = post(port, "/admin/sync")
+      assert(sync.statusCode() == 200)
+      assert(slave.currentEpoch == gs.store.currentEpoch)
+      assert(slave.read("v_acct").count() == 2)
+      // vacuum + compact succeed on a live table
+      assert(post(port, "/admin/vacuum", """{"label":"acct","keep":1}""").statusCode() == 200)
+      assert(post(port, "/admin/vacuum", """{"label":"acct","keep":0}""").statusCode() == 400)
+      assert(post(port, "/admin/compact", """{"label":"acct"}""").statusCode() == 200)
+      assert(gs.graph().vertexFrame("acct").count() == 2)
+      // gates: read-only → 403; artifact not attached → 404
+      assert(post(roPort, "/admin/regenerate").statusCode() == 403)
+      assert(post(barePort, "/admin/regenerate").statusCode() == 404)
+      assert(post(barePort, "/admin/sync").statusCode() == 404)
+      assert(post(barePort, "/admin/vacuum", """{"label":"acct"}""").statusCode() == 404)
+      assert(post(port, "/admin/frobnicate").statusCode() == 404)
+    } finally { ep.stop(); bare.stop(); readOnly.stop() }
+  }
+
   test("motif string accepted by the JSON DSL") {
     val viaMotif = service.runAdHoc(
       """{"motif": "(a:customer)-[placed price]->(o)",
