@@ -346,6 +346,30 @@ object CatalogPipeline {
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- similarity search --------------------------------------------
+    QueryDef("q81_quantize_int8",
+      // SQ8 embedding compression (Similarity.quantizeInt8): per-vector
+      // absmax int8 codes. Output is integer code statistics — exact
+      // across engines (float→double casts and double ×/÷ are IEEE-
+      // identical; both engines round half away from zero)
+      (s, d) => Similarity.quantizeInt8(
+          Tpch.table(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c.cast("long")).as("code_sum"),
+          array_min(col("codes")).cast("int").as("code_min"),
+          array_max(col("codes")).cast("int").as("code_max"),
+          size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"))
+        .orderBy("vec_id"),
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+             |      list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS INTEGER)) AS codes
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+             |  CAST(list_min(codes) AS INTEGER) AS code_min,
+             |  CAST(list_max(codes) AS INTEGER) AS code_max,
+             |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS INTEGER) AS n_sat
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     QueryDef("q58_cosine_topk",
       // brute-force cosine top-k against embedding of vec_id=0
       (s, d) => {
