@@ -415,6 +415,45 @@ object CatalogCore {
       Some("""SELECT c_custkey AS id, CAST(0 AS BIGINT) AS component
              |FROM customer ORDER BY id""".stripMargin)),
 
+    QueryDef("q82_triangles",
+      // per-node triangle counts via degree-oriented wedge enumeration
+      // (O(m^1.5) bound under skew); counts are orientation-independent,
+      // so the oracle enumerates by id order and lands on the same sets
+      (s, d) => graft.operators.GraphAnalytics.triangleCounts(
+        knowsIndex(s, d),
+        Tpch.graph(s, d).vertexFrame("customer").select("id")).orderBy("id"),
+      Some(s"""WITH e AS ($knowsSql),
+              |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst),
+              |tri AS (SELECT xy.a AS x, xy.b AS y, yz.b AS z
+              |  FROM und xy JOIN und yz ON xy.b = yz.a
+              |  WHERE EXISTS (SELECT 1 FROM und xz WHERE xz.a = xy.a AND xz.b = yz.b)),
+              |n AS (SELECT unnest([x, y, z]) AS id FROM tri)
+              |SELECT c.c_custkey AS id,
+              |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
+              |FROM customer c LEFT JOIN (SELECT id, count(*) AS n FROM n GROUP BY 1) cnt
+              |  ON cnt.id = c.c_custkey
+              |ORDER BY id""".stripMargin)),
+
+    QueryDef("q83_cheapest_paths",
+      // bounded-hop weighted shortest paths (min-plus Bellman-Ford,
+      // delta relaxation) from customer 1 over knows edges carrying a
+      // deterministic integer weight — all-integer costs, so the
+      // bounded path enumeration in SQL reproduces the exact minima
+      (s, d) => Traverse.cheapestPaths(
+        knowsIndex(s, d).withColumn("w", (col("src") + col("dst")) % 97 + 1),
+        s.range(1, 2).select(col("id")), maxHops = 4)
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE e AS (
+              |  SELECT src, dst, (src + dst) % 97 + 1 AS w FROM ($knowsSql)),
+              |p AS (
+              |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS cost, 0 AS d
+              |  UNION ALL
+              |  SELECT e.dst, p.cost + e.w, p.d + 1 FROM p JOIN e ON e.src = p.id
+              |  WHERE p.d < 4)
+              |SELECT id, CAST(min(cost) AS BIGINT) AS cost
+              |FROM p GROUP BY id ORDER BY id""".stripMargin)),
+
     QueryDef("q33_hetero_traverse",
       // customer −placed→ order −contains→ part: the reachable part set
       // at exactly depth 2 from customers 0-4 (traverse with edge-type

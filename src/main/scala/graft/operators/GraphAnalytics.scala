@@ -58,6 +58,48 @@ object GraphAnalytics {
       StructField("rank_micro", LongType, nullable = false))))
   }
 
+  /** Per-node triangle participation counts over the undirected graph.
+    * Returns (id, triangles) for every vertex (0 when in none).
+    *
+    * DataFrame joins, not GraphX: triangle enumeration is join-shaped
+    * (wedge join + closing semi-join), so Catalyst should see it.
+    * Degree orientation — each undirected edge points from its
+    * lower-(degree, id) endpoint to the higher — bounds the wedge set
+    * by O(m^1.5) regardless of skew (the hub of a star graph generates
+    * ZERO wedges instead of deg² of them), the standard
+    * enumeration-hardening at scale. Each triangle is emitted exactly
+    * once; the count per vertex is orientation-independent, so an
+    * id-ordered SQL oracle reproduces it verbatim.
+    */
+  def triangleCounts(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): u -> v iff (deg(u), u) < (deg(v), v)
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges out of each low vertex; close v->w along the orientation
+    val w1 = oriented.select(col("u"), col("v").as("x"))
+    val w2 = oriented.select(col("u"), col("v").as("y"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("x") < col("y"))
+    // the closing edge is oriented x->y or y->x; check both
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(oriented.select(col("v").as("x"), col("u").as("y")))
+    val tri = wedges.join(closing, Seq("x", "y"), "left_semi")
+    val counts = tri.select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    vertices.select(col("id")).join(counts, Seq("id"), "left")
+      .na.fill(0L, Seq("triangles"))
+  }
+
   /** Weakly connected components (GraphX label propagation to the
     * minimum vertex id). Returns (id, component).
     */

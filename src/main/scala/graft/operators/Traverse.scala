@@ -109,6 +109,50 @@ object Traverse {
     rings.reduce(_ union _)
   }
 
+  /** Bounded-hop weighted shortest paths — Bellman-Ford over the
+    * min-plus semiring, delta-relaxation form: each round relaxes only
+    * from vertices whose best cost improved last round (classic
+    * delta-stepping correctness: after round k, `best` holds the exact
+    * minimum over all ≤k-hop paths, because a shortest ≤k-hop path's
+    * prefix improved its endpoint by round k-1). The same frontier
+    * loop as [[bfs]] with (min, +) in place of (min-depth, +1) —
+    * traversal as path algebra.
+    *
+    * @param edges (src, dst, w) — w must be non-negative
+    * @param start frame with an `id` column (cost 0 sources)
+    * @return (id, cost): minimum path cost over ≤ maxHops edges
+    *
+    * Scale: per round one shuffled (or broadcast, while the delta is
+    * small) join against the edge relation plus a min-aggregate; the
+    * running `best` set is ≤ |reachable| rows, checkpointed per round
+    * (bounded by maxHops — unbounded closures belong in [[Fixpoint]]).
+    */
+  def cheapestPaths(edges: DataFrame, start: DataFrame, maxHops: Int): DataFrame = {
+    val step = edges.select(col("src").as("from"), col("dst").as("to"),
+      col("w").cast("long").as("w"))
+    var best = start.select(col("id"), lit(0L).as("cost")).localCheckpoint(eager = true)
+    var delta = best
+    var deltaRows = delta.count()
+    var hop = 0
+    while (hop < maxHops && deltaRows > 0) {
+      hop += 1
+      val relaxed = Fixpoint.maybeBroadcast(delta, deltaRows)
+        .join(step, delta("id") === step("from"))
+        .select(col("to").as("id"), (col("cost") + col("w")).as("cost"))
+        .groupBy("id").agg(min("cost").as("cost"))
+      val improved = relaxed
+        .join(best.select(col("id"), col("cost").as("__old")), Seq("id"), "left")
+        .filter(col("__old").isNull || col("cost") < col("__old"))
+        .select("id", "cost").localCheckpoint(eager = true)
+      best = improved
+        .unionByName(best.join(improved.select("id"), Seq("id"), "left_anti"))
+        .localCheckpoint(eager = true)
+      delta = improved
+      deltaRows = improved.count()
+    }
+    best
+  }
+
   /** BFS with full path accumulation — `traverse` with `:paths t`
     * (traverse.lisp:3-28 keeps the reverse edge path per traversal).
     * Returns (id, depth, path: Array[id]) where path is the vertex

@@ -23,6 +23,38 @@ class TraversePathsSpec extends SparkSpec {
       (5L, 3, List(1L, 2L, 4L, 5L))))
   }
 
+  test("cheapestPaths: weighted minimum beats the hop-shortest route") {
+    // 1 →(10) 4 direct, but 1 →(1) 2 →(1) 3 →(1) 4 costs 3
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Traverse.cheapestPaths(edges, Seq(1L).toDF("id"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // hop bound binds: with one hop only, the direct edge wins
+    val oneHop = Traverse.cheapestPaths(edges, Seq(1L).toDF("id"), maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneHop == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+  }
+
+  test("cheapestPaths terminates on weighted cycles") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+    val got = Traverse.cheapestPaths(edges, Seq(1L).toDF("id"), maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 6L))
+  }
+
+  test("triangleCounts: square with a diagonal, orientation-independent") {
+    import graft.operators.GraphAnalytics
+    // square 1-2-3-4 plus diagonal 1-3 → triangles {1,2,3} and {1,3,4};
+    // edges deliberately in mixed directions + a duplicate + self loop
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (4L, 1L), (1L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val got = GraphAnalytics.triangleCounts(edges, verts)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("bfsPaths handles cycles without path explosion") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
     val got = Traverse.bfsPaths(edges, Seq(1L).toDF("id"), maxDepth = 50)
