@@ -258,6 +258,49 @@ object CatalogExtra {
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
              |ORDER BY status, priority""".stripMargin)),
 
+    QueryDef("q84_quantiles",
+      // exact interpolated percentiles per group (ANALYZE-style column
+      // stats; SURVEY §2.4 family). Both engines define the continuous
+      // quantile as value[p·(n-1)] with linear interpolation; over the
+      // integral quantity domain the interpolants are exact in double
+      (s, d) => Tpch.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          percentile(col("l_quantity"), lit(0.95)).as("p95"))
+        .orderBy("flag"),
+      Some("""SELECT l_returnflag AS flag, count(*) AS n,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75,
+             |  quantile_cont(l_quantity, 0.95) AS p95
+             |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)),
+
+    QueryDef("q85_corpus_stats",
+      // corpus composition report with ROLLUP subtotal planes — the
+      // per-(lang, source) token/char budget a training-data pipeline
+      // tracks; all-integer aggregates
+      (s, d) => Tpch.table(s, d, "documents")
+        .select(col("lang"), col("source"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("t"),
+          col("n_chars"))
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("t").as("n_tokens"), sum("n_chars").as("n_chars_total"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_tokens"), col("n_chars_total"))
+        .orderBy("lang", "source"),
+      Some("""SELECT COALESCE(lang, 'ALL') AS lang,
+             |  COALESCE(source, 'ALL') AS source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+             |FROM documents GROUP BY ROLLUP(lang, source)
+             |ORDER BY lang, source""".stripMargin)),
+
     QueryDef("q75_all_edges",
       // label-agnostic edge scan (type-id-0 scans, edge.lisp:208-222,
       // 429-440): ALL edge tables unioned under a label discriminator,

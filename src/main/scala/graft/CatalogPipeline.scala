@@ -273,6 +273,48 @@ object CatalogPipeline {
            |  (id = min(r)) AS keep
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q86_cluster_split",
+      // leakage-proof train/val/test carving: split by near-dup CLUSTER
+      // representative, not by document — a doc-level split lets two
+      // near-duplicates land on opposite sides of the train/test wall
+      // (silent contamination q79 would then have to catch); keying the
+      // hash split by the cluster rep pins every near-dup family to one
+      // side. Composition of q76's clustering and q77's deterministic
+      // split — both already value-checked
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 3, numHashes = 24, bands = 8, threshold = 0.5,
+          sigs = Some(docSignatures(s, d, 3, 24)))
+        val comps = GraphAnalytics.connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          docs.select(col("doc_id").as("id")))
+        comps.select(col("id").as("doc_id"),
+            col("component").as("cluster_rep"),
+            Sampling.hashSplit(col("component"),
+              Seq("train" -> 0.9, "val" -> 0.05), rest = "test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS ($shingleSql),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p
+           |  UNION ALL SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+           |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+           |  FROM reach GROUP BY id)
+           |SELECT doc_id, cluster_rep,
+           |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id, cluster_rep,
+           |  ('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+           |  FROM comp)
+           |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q77_hash_split",
       // deterministic train/val/test carving by key hash — the
       // reproducible alternative to rand(seed): assignment is a pure
