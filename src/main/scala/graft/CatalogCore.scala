@@ -417,21 +417,40 @@ object CatalogCore {
 
     QueryDef("q82_triangles",
       // per-node triangle counts via degree-oriented wedge enumeration
-      // (O(m^1.5) bound under skew); counts are orientation-independent,
-      // so the oracle enumerates by id order and lands on the same sets
-      (s, d) => graft.operators.GraphAnalytics.triangleCounts(
-        knowsIndex(s, d),
-        Tpch.graph(s, d).vertexFrame("customer").select("id")).orderBy("id"),
-      Some(s"""WITH e AS ($knowsSql),
+      // (O(m^1.5) bound under skew). The functional knows graph is
+      // triangle-free at every SF, so this runs over a ring+chord graph
+      // built on the customer ids: ring edges c→c+1, short chords
+      // c→c+2 at c%3=0, long chords c→c+3 at c%21=0 — per-node counts
+      // vary (1 or 2), so a broken wedge/closing join CANNOT hash-match.
+      // Counts are orientation-independent: the oracle enumerates by id
+      // order and must land on the same triangle sets
+      (s, d) => {
+        val verts = Tpch.graph(s, d).vertexFrame("customer").select("id")
+        val n = verts.count()
+        val ring = verts.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        val c3 = verts.filter(col("id") % 3 === 0)
+          .select(col("id").as("src"), ((col("id") + 2) % n).as("dst"))
+        val c21 = verts.filter(col("id") % 21 === 0)
+          .select(col("id").as("src"), ((col("id") + 3) % n).as("dst"))
+        graft.operators.GraphAnalytics.triangleCounts(
+          ring.unionAll(c3).unionAll(c21), verts).orderBy("id")
+      },
+      Some(s"""WITH n AS (SELECT count(*) AS n FROM customer),
+              |e AS (
+              |  SELECT c_custkey AS src, (c_custkey+1) % n.n AS dst FROM customer, n
+              |  UNION ALL
+              |  SELECT c_custkey, (c_custkey+2) % n.n FROM customer, n WHERE c_custkey % 3 = 0
+              |  UNION ALL
+              |  SELECT c_custkey, (c_custkey+3) % n.n FROM customer, n WHERE c_custkey % 21 = 0),
               |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
               |  FROM e WHERE src <> dst),
               |tri AS (SELECT xy.a AS x, xy.b AS y, yz.b AS z
               |  FROM und xy JOIN und yz ON xy.b = yz.a
               |  WHERE EXISTS (SELECT 1 FROM und xz WHERE xz.a = xy.a AND xz.b = yz.b)),
-              |n AS (SELECT unnest([x, y, z]) AS id FROM tri)
+              |t AS (SELECT unnest([x, y, z]) AS id FROM tri)
               |SELECT c.c_custkey AS id,
-              |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
-              |FROM customer c LEFT JOIN (SELECT id, count(*) AS n FROM n GROUP BY 1) cnt
+              |  CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
+              |FROM customer c LEFT JOIN (SELECT id, count(*) AS c FROM t GROUP BY 1) cnt
               |  ON cnt.id = c.c_custkey
               |ORDER BY id""".stripMargin)),
 

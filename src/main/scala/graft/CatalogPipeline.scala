@@ -401,10 +401,14 @@ object CatalogPipeline {
           array_max(col("codes")).cast("int").as("code_max"),
           size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"))
         .orderBy("vec_id"),
-      Some("""WITH q AS (SELECT vec_id,
-             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
-             |      list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS INTEGER)) AS codes
-             |  FROM embeddings)
+      Some("""WITH am AS (SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS m
+             |  FROM embeddings),
+             |q AS (SELECT vec_id, CASE WHEN m = 0
+             |    THEN list_transform(embedding, x -> 0)
+             |    ELSE list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INTEGER)) END AS codes
+             |  FROM am)
              |SELECT vec_id,
              |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
              |  CAST(list_min(codes) AS INTEGER) AS code_min,
@@ -548,7 +552,8 @@ object CatalogPipeline {
       (s, d) => TextAnalysis.repetitionMetrics(
           Tpch.table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok
+      Some("""WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+             |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS tok
              |  FROM documents),
              |uni AS (SELECT doc_id, tk, count(*) AS c
              |  FROM (SELECT doc_id, unnest(tok) AS tk FROM t) GROUP BY 1, 2),
@@ -560,13 +565,17 @@ object CatalogPipeline {
              |      i -> array_to_string(tok[i+1:i+2], ' ')) END) AS g FROM t) GROUP BY 1, 2),
              |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
              |    count(*) AS n_distinct_bi FROM bg GROUP BY 1)
-             |SELECT us.doc_id, n_tokens,
-             |  (n_tokens - n_distinct) * 10000 // n_tokens AS dup_token_pm,
-             |  top_c * 10000 // n_tokens AS top_token_pm,
+             |SELECT t.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+             |  CASE WHEN n_tokens IS NULL THEN 0
+             |    ELSE (n_tokens - n_distinct) * 10000 // n_tokens END AS dup_token_pm,
+             |  CASE WHEN n_tokens IS NULL THEN 0
+             |    ELSE top_c * 10000 // n_tokens END AS top_token_pm,
              |  (n_bigrams - n_distinct_bi) * 10000 // n_bigrams AS dup_bigram_pm,
-             |  ((n_tokens - n_distinct) * 10000 // n_tokens > 3000
+             |  (CASE WHEN n_tokens IS NULL THEN 0
+             |     ELSE (n_tokens - n_distinct) * 10000 // n_tokens END > 3000
              |    OR (n_bigrams - n_distinct_bi) * 10000 // n_bigrams > 1000) AS flagged
-             |FROM us JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin)),
+             |FROM t LEFT JOIN us USING (doc_id) JOIN bs USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- events / sessionization --------------------------------------
     QueryDef("q60_window_agg",

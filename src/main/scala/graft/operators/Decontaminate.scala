@@ -27,16 +27,9 @@ object Decontaminate {
     * their whole token run as a single "n-gram" ([[Dedup.shinglesOfTokens]]
     * semantics: a short doc wholly contained in eval is still leakage).
     */
-  def docNgramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // materialization barrier: the per-position shingle lambda
-    // re-evaluates its operand per element — tokenize ONCE per doc
-    val toks = df.select(col(idCol).as("__id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
-      .localCheckpoint(eager = true)
-    toks.select(col("__id"),
-      explode(array_distinct(transform(
-        Dedup.shinglesOfTokens(col("__toks"), n), g => xxhash64(g)))).as("gh"))
-  }
+  def docNgramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Dedup.hashedShingleFrame(df, idCol, textCol, n, caseFold = true)
+      .select(col("doc").as("__id"), explode(col("hsh")).as("gh"))
 
   /** Per-train-document contamination report against an eval corpus:
     * `(id, n_grams, n_hit, contaminated)` where `n_grams` counts the

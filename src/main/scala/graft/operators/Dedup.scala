@@ -60,23 +60,33 @@ object Dedup {
     * (cheap, fixed-width) instead of string arrays, and 64-bit
     * collisions are negligible at any realistic shingle-set size.
     */
-  def signatureFrame(df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int): DataFrame = {
-    // two materialization barriers: (1) tokens — the per-position
-    // shingle lambda re-evaluates its operand per element, so the regex
-    // split must be a materialized array, not an expression; (2) hashed
-    // shingles — projection collapse would inline the shingle tree into
-    // every one of the numHashes signature expressions (the round-1
-    // ~50× re-evaluation trap). Past both barriers each seed is an
-    // array_min over a materialized long array.
+  /** (doc, hsh): distinct 64-bit-hashed word k-shingle set per
+    * document — the shared first stage of every shingle consumer
+    * (minhash signatures, decontamination probes). Shingle strings are
+    * hashed immediately and never carried further.
+    *
+    * Two materialization barriers: (1) tokens — the per-position
+    * shingle lambda re-evaluates its operand per element, so the regex
+    * split must be a materialized array, not an expression; (2) hashed
+    * shingles — projection collapse would inline the shingle tree into
+    * every downstream per-seed expression (the round-1 ~50×
+    * re-evaluation trap).
+    */
+  def hashedShingleFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int, caseFold: Boolean = false): DataFrame = {
+    val t = if (caseFold) lower(col(textCol)) else col(textCol)
     val toksDf = df.select(col(idCol).as("doc"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
+        TextAnalysis.tokens(t).as("toks"))
       .localCheckpoint(eager = true)
-    val hashed = toksDf.select(col("doc"),
+    toksDf.select(col("doc"),
         array_distinct(transform(shinglesOfTokens(col("toks"), k), s => xxhash64(s))).as("hsh"))
       .localCheckpoint(eager = true)
-    hashed.withColumn("sig", minhashSignature(col("hsh"), numHashes))
   }
+
+  def signatureFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    hashedShingleFrame(df, idCol, textCol, k)
+      .withColumn("sig", minhashSignature(col("hsh"), numHashes))
 
   /** LSH banding over a signature frame: (doc, band, bandHash) — kept
     * narrow (no shingle payload) so the bucket shuffle moves only

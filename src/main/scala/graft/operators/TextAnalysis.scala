@@ -126,10 +126,18 @@ object TextAnalysis {
       .groupBy("__id", "g").agg(count(lit(1)).as("c"))
       .groupBy("__id").agg(sum("c").as("n_bigrams"),
         count(lit(1)).as("n_distinct_bi"))
-    uni.join(bi, Seq("__id"))
-      .select(col("__id").as(idCol), col("n_tokens"),
-        expr("(n_tokens - n_distinct) * 10000 div n_tokens").as("dup_token_pm"),
-        expr("top_c * 10000 div n_tokens").as("top_token_pm"),
+    // left join from the full doc set: an empty document must still
+    // appear in the report (n_tokens = 0, nothing flagged) — explode
+    // yields no unigram rows for it, so an inner join would drop it.
+    // (shinglesOfTokens gives every doc ≥ 1 "bigram" — its whole run —
+    // so only the unigram side can miss.)
+    toks.select(col("__id")).join(uni, Seq("__id"), "left").join(bi, Seq("__id"))
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens").isNull, lit(0L))
+          .otherwise(expr("(n_tokens - n_distinct) * 10000 div n_tokens")).as("dup_token_pm"),
+        when(col("n_tokens").isNull, lit(0L))
+          .otherwise(expr("top_c * 10000 div n_tokens")).as("top_token_pm"),
         expr("(n_bigrams - n_distinct_bi) * 10000 div n_bigrams").as("dup_bigram_pm"))
       .withColumn("flagged",
         col("dup_token_pm") > dupTokenFlagPm || col("dup_bigram_pm") > dupBigramFlagPm)

@@ -86,15 +86,26 @@ final class HttpEndpoint(
     * with `{"rows":[{...}]}` / `{"ids":[...]}`. Each request is one
     * atomic transaction; OCC conflicts surface as 409.
     */
+  /** Parse a request body to a JSON tree; malformed input → 400. A
+    * blank body is an empty object when `blankOk` (routes where every
+    * field is optional), a 400 otherwise.
+    */
+  private def parseBody(body: String, blankOk: Boolean = false): com.fasterxml.jackson.databind.JsonNode = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    if (body.isBlank) {
+      if (blankOk) return mapper.createObjectNode()
+      throw new QueryService.BadRequestException("malformed JSON body: empty")
+    }
+    try mapper.readTree(body)
+    catch { case e: Exception =>
+      throw new QueryService.BadRequestException(s"malformed JSON body: ${e.getMessage}") }
+  }
+
   private def mutate(ex: HttpExchange, op: String, body: String): Unit = {
     val gs = store.filter(_ => allowWrites).getOrElse {
       reply(ex, 403, err("write effect not allowed on this endpoint")); return
     }
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root =
-      try mapper.readTree(body)
-      catch { case e: Exception =>
-        throw new QueryService.BadRequestException(s"malformed JSON body: ${e.getMessage}") }
+    val root = parseBody(body)
     val spark = gs.spark
     import spark.implicits._
     op.split("/", 2) match {
@@ -155,11 +166,7 @@ final class HttpEndpoint(
     if (!allowWrites) {
       reply(ex, 403, err("write effect not allowed on this endpoint")); return
     }
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root =
-      try { if (body.isBlank) mapper.createObjectNode() else mapper.readTree(body) }
-      catch { case e: Exception =>
-        throw new QueryService.BadRequestException(s"malformed JSON body: ${e.getMessage}") }
+    val root = parseBody(body, blankOk = true)
     def field(k: String): Option[String] =
       Option(root.get(k)).filterNot(_.isNull).map(_.asText())
     op match {
@@ -193,12 +200,7 @@ final class HttpEndpoint(
   }
 
   private def parseParams(body: String): Map[String, String] = {
-    if (body.isBlank) return Map.empty
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root =
-      try mapper.readTree(body)
-      catch { case e: Exception =>
-        throw new QueryService.BadRequestException(s"malformed JSON body: ${e.getMessage}") }
+    val root = parseBody(body, blankOk = true)
     Option(root.get("params")).map { p =>
       if (!p.isObject) throw new QueryService.BadRequestException("'params' must be an object")
       val it = p.properties().iterator()

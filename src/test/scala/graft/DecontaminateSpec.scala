@@ -60,4 +60,16 @@ class DecontaminateSpec extends SparkSpec {
     // doc 2: no repetition anywhere; top token frac = 1/4
     assert(m(1) === ((2L, 4L, 0L, 2500L, 0L, false)))
   }
+
+  test("repetitionMetrics keeps empty documents in the report") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a b")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_token_pm", "top_token_pm", "dup_bigram_pm", "flagged")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(m.length == 3)
+    assert(m(0) === ((1L, 0L, 0L, 0L, 0L, false)))
+    assert(m(1) === ((2L, 0L, 0L, 0L, 0L, false)))
+    assert(m(2) === ((3L, 2L, 0L, 5000L, 0L, false)))
+  }
 }
