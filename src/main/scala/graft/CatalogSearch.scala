@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tpch
+import graft.operators.{Packing, Pii, Search, TextAnalysis}
+
+/** Corpus search / packing / compliance catalog: ranked keyword
+  * search, training-sequence packing, and PII scan-and-redact — the
+  * triage passes a training-data pipeline runs between dedup and
+  * tokenization.
+  */
+object CatalogSearch {
+
+  /** Query terms for the search demos (lowercase, present in the
+    * documents vocabulary at every SF, with different selectivities).
+    */
+  private val searchTerms = Seq("spark", "vector", "merge")
+
+  /** Deterministic PII-bearing profile text derived from
+    * customer ⋈ nation — the documents corpus is word-salad with no
+    * PII shapes, so scanning it would make the oracle vacuous (every
+    * count 0). The profile construction is part of the query contract
+    * and is restated verbatim in the oracle SQL.
+    */
+  private def profileText(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val c = Tpch.table(s, d, "customer")
+    val n = Tpch.table(s, d, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"),
+        concat(
+          col("c_name"), lit(" <"),
+          lower(regexp_replace(col("c_name"), "#", ".")), lit("@"),
+          lower(regexp_replace(col("n_name"), "_", "")), lit(".example.com>"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit(" ip 10."), (col("c_custkey") % 200).cast("string"), lit("."),
+              (col("c_nationkey") % 250).cast("string"), lit(".7"))).otherwise(lit("")),
+          when(col("c_custkey") % 5 === 0,
+            concat(lit(" ssn "),
+              lpad(((col("c_custkey") * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad((col("c_custkey") % 100).cast("string"), 2, "0"), lit("-"),
+              lpad(((col("c_custkey") * 13) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("profile"))
+  }
+
+  /** The same profile construction in DuckDB SQL. */
+  private val profileSql =
+    """SELECT c_custkey,
+      |  c_name || ' <' || lower(replace(c_name, '#', '.')) || '@' ||
+      |  lower(replace(n_name, '_', '')) || '.example.com>' ||
+      |  CASE WHEN c_custkey % 3 = 0 THEN ' ip 10.' || CAST(c_custkey % 200 AS VARCHAR) ||
+      |    '.' || CAST(c_nationkey % 250 AS VARCHAR) || '.7' ELSE '' END ||
+      |  CASE WHEN c_custkey % 5 = 0 THEN ' ssn ' ||
+      |    lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+      |    lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |  AS profile
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q87_bm25_search",
+      // ranked keyword search: integer-exact BM25 contract (Search
+      // scaladoc), top-20 by (score desc, doc_id)
+      (s, d) => Search.bm25TopK(Tpch.table(s, d, "documents"),
+        "doc_id", "text", searchTerms, k = 20),
+      Some(Search.bm25OracleSql("documents", "doc_id", "text", searchTerms, k = 20))),
+
+    QueryDef("q88_pack_sequences",
+      // concat-and-chunk packing at seqLen 512 over whitespace token
+      // counts; the engine computes the prefix sum distributed
+      // (bucketed two-level cumsum), the oracle states the single
+      // window definition — results must be identical
+      (s, d) => Packing.concatChunk(Tpch.table(s, d, "documents"),
+          "doc_id", TextAnalysis.tokenCount(col("text")), seqLen = 512)
+        .orderBy("doc_id"),
+      Some("""WITH n AS (
+             |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+             |  FROM n)
+             |SELECT doc_id, n_tokens, start_offset,
+             |  start_offset // 512 AS first_seq,
+             |  CASE WHEN n_tokens > 0
+             |    THEN (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+             |    ELSE 0 END AS n_seqs
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q89_pii_scan",
+      // PII scan + redaction fingerprint over the derived profile
+      // corpus; counts per shape are integer-exact, the redacted
+      // payload is compared via md5
+      (s, d) => Pii.scan(profileText(s, d), "c_custkey", "profile")
+        .orderBy("c_custkey"),
+      Some(s"""WITH p AS ($profileSql)
+             |SELECT c_custkey,
+             |  CAST(len(regexp_extract_all(profile, '${Pii.emailPattern}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(profile, '${Pii.ipv4Pattern}')) AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(profile, '${Pii.ssnPattern}')) AS BIGINT) AS n_ssn,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(profile,
+             |    '${Pii.emailPattern}', '<EMAIL>', 'g'),
+             |    '${Pii.ipv4Pattern}', '<IP>', 'g'),
+             |    '${Pii.ssnPattern}', '<SSN>', 'g')) AS redacted_fp,
+             |  (len(regexp_extract_all(profile, '${Pii.emailPattern}')) +
+             |   len(regexp_extract_all(profile, '${Pii.ipv4Pattern}')) +
+             |   len(regexp_extract_all(profile, '${Pii.ssnPattern}'))) > 0 AS has_pii
+             |FROM p ORDER BY c_custkey""".stripMargin)))
+}

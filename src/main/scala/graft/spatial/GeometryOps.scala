@@ -8,10 +8,14 @@ package graft.spatial
   * polygon model as [[Geohash.pointInPolygon]] (rings.head = outer
   * ring, tail = holes).
   *
-  * Constructive operations (union/intersection geometry, buffer) need
-  * a full geometry kernel and stay out of scope, exactly like the
-  * reference without its GEOS add-on — there the bbox-overlap fallback
-  * ([[Geohash.BBox.intersects]]) applies.
+  * Constructive operations are covered at the SCALAR tier —
+  * intersection / union / difference AREA for arbitrary simple
+  * polygons with holes via ear-clipping triangulation + signed
+  * pairwise convex clips ([[intersectionArea]]) — which is what the
+  * reference's query surface consumes (geometry-ops.lisp composes
+  * GEOS intersection with area). Emitting the overlay GEOMETRY itself
+  * (and buffer) still needs a robust kernel and stays gated out, like
+  * the reference without its GEOS FFI add-on.
   *
   * Scale shape: these are driver-usable pure functions AND UDF-able
   * per-row predicates; the intended plan is always cell/bbox pruning
@@ -193,6 +197,115 @@ object GeometryOps {
   /** Union area of two CONVEX rings by inclusion–exclusion. */
   def convexUnionArea(a: Ring, b: Ring): Double =
     ringArea(a) + ringArea(b) - convexIntersectionArea(a, b)
+
+  // --- constructive boolean areas for ARBITRARY simple polygons ------
+  //
+  // The convex pair above is exact but convex-only. General simple
+  // polygons (non-convex, with holes) decompose by ear clipping into
+  // triangles; since indicator functions satisfy
+  //   1_P = Σ 1_{outer tris} − Σ 1_{hole tris}   (a.e.)
+  // the intersection area is the signed sum of pairwise TRIANGLE
+  // intersections, each of which is convex×convex and exact via
+  // [[convexClip]]. This closes the constructive-op gap with the
+  // reference's GEOS add-on (geometry-ops.lisp:141-190) for the area
+  // ops, in pure Scala.
+
+  /** Ear-clipping triangulation of a simple ring (CW or CCW; an
+    * explicit closing vertex is tolerated). O(n²); geometry ops run on
+    * pruned candidates, never as a scan stage.
+    */
+  def triangulate(ring0: Ring): Seq[Ring] = {
+    var r = ring0
+    if (r.size > 1 && r.head == r.last) r = r.init
+    if (r.size < 3) return Seq.empty
+    val ccw = if (signedArea(r) < 0) r.reverse else r
+    val v = scala.collection.mutable.ArrayBuffer(ccw: _*)
+    val out = Seq.newBuilder[Ring]
+    def o3(a: (Double, Double), b: (Double, Double), c: (Double, Double)): Int =
+      orient(a._1, a._2, b._1, b._2, c._1, c._2)
+    // closed-triangle membership for CCW (a,b,c)
+    def inTri(p: (Double, Double), a: (Double, Double), b: (Double, Double),
+        c: (Double, Double)): Boolean =
+      o3(a, b, p) >= 0 && o3(b, c, p) >= 0 && o3(c, a, p) >= 0
+    while (v.size > 3) {
+      val n = v.size
+      var ear = -1
+      var i = 0
+      while (i < n && ear < 0) {
+        val a = v((i + n - 1) % n); val b = v(i); val c = v((i + 1) % n)
+        if (o3(a, b, c) > 0) {
+          var blocked = false
+          var j = 0
+          while (j < n && !blocked) {
+            val p = v(j)
+            if (j != i && j != (i + n - 1) % n && j != (i + 1) % n &&
+                p != a && p != b && p != c && inTri(p, a, b, c)) blocked = true
+            j += 1
+          }
+          if (!blocked) ear = i
+        }
+        i += 1
+      }
+      if (ear >= 0) {
+        val n2 = v.size
+        out += Seq(v((ear + n2 - 1) % n2), v(ear), v((ear + 1) % n2))
+        v.remove(ear)
+      } else {
+        // no clean ear left (collinear runs / numeric ties): dropping a
+        // collinear vertex loses zero area and guarantees progress;
+        // failing that, drop the flattest corner (least-area loss)
+        val k = (0 until n).find(i =>
+          o3(v((i + n - 1) % n), v(i), v((i + 1) % n)) == 0).getOrElse(
+          (0 until n).minBy { i =>
+            val a = v((i + n - 1) % n); val b = v(i); val c = v((i + 1) % n)
+            math.abs((b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1))
+          })
+        v.remove(k)
+      }
+    }
+    if (v.size == 3) out += Seq(v(0), v(1), v(2))
+    out.result()
+  }
+
+  private def bbox(r: Ring): (Double, Double, Double, Double) =
+    (r.map(_._1).min, r.map(_._2).min, r.map(_._1).max, r.map(_._2).max)
+
+  /** Triangles of a polygon-with-holes, weighted +1 (outer) / −1
+    * (hole), each carrying its precomputed bbox for pair pruning.
+    */
+  private def signedTriangles(p: Polygon)
+      : Seq[(Ring, Double, (Double, Double, Double, Double))] = {
+    def tris(r: Ring, s: Double) = triangulate(r).map(t => (t, s, bbox(t)))
+    if (p.isEmpty) Seq.empty
+    else tris(p.head, 1.0) ++ p.tail.flatMap(tris(_, -1.0))
+  }
+
+  /** Exact intersection area of two simple polygons (holes included,
+    * convexity NOT required) — triangulate both, sum signed pairwise
+    * convex clips.
+    */
+  def intersectionArea(p: Polygon, q: Polygon): Double = {
+    val pt = signedTriangles(p)
+    val qt = signedTriangles(q)
+    var acc = 0.0
+    pt.foreach { case (t1, s1, (ax0, ay0, ax1, ay1)) =>
+      qt.foreach { case (t2, s2, (bx0, by0, bx1, by1)) =>
+        if (ax1 >= bx0 && bx1 >= ax0 && ay1 >= by0 && by1 >= ay0)
+          acc += s1 * s2 * ringArea(convexClip(t1, t2))
+      }
+    }
+    acc
+  }
+
+  /** Union area by inclusion–exclusion (simple polygons, holes ok). */
+  def unionArea(p: Polygon, q: Polygon): Double =
+    polygonArea(p) + polygonArea(q) - intersectionArea(p, q)
+
+  /** Difference area A(p \ q) — the third boolean the reference's GEOS
+    * tier exposes (geometry-ops.lisp difference), as a scalar.
+    */
+  def differenceArea(p: Polygon, q: Polygon): Double =
+    polygonArea(p) - intersectionArea(p, q)
 
   // --- the remaining geometry kinds of the reference's struct
   // (geometry.lisp:22-27: :point :linestring :polygon :multipolygon) ---

@@ -191,6 +191,106 @@ class GeometryOracleSpec extends SparkSpec {
     assert(nonTrivial > 10)
   }
 
+  // --- non-convex constructive areas -----------------------------------
+
+  /** Random star-shaped polygon: random radii at sorted angles around a
+    * center — always simple, almost always non-convex.
+    */
+  private def randomStar(cx: Double, cy: Double, rMin: Double, rMax: Double,
+      nPts: Int): Ring = {
+    val angles = Seq.fill(nPts)(rng.nextDouble() * 2 * math.Pi).sorted
+    // drop near-duplicate angles (degenerate spikes)
+    val distinct = angles.foldLeft(List.empty[Double]) {
+      case (acc, a) if acc.nonEmpty && a - acc.head < 1e-3 => acc
+      case (acc, a) => a :: acc
+    }.reverse
+    distinct.map { a =>
+      val r = rMin + rng.nextDouble() * (rMax - rMin)
+      (cx + r * math.cos(a), cy + r * math.sin(a))
+    }
+  }
+
+  test("triangulation: area of the pieces sums to the ring area") {
+    (1 to 40).foreach { _ =>
+      val ring = randomStar(0, 0, 2, 10, 14)
+      val tris = GeometryOps.triangulate(ring)
+      assert(tris.nonEmpty)
+      val sum = tris.map(GeometryOps.ringArea).sum
+      assert(math.abs(sum - GeometryOps.ringArea(ring)) < 1e-6 * math.max(1.0, sum),
+        s"triangulation area mismatch for $ring")
+    }
+    // L-shape (the canonical non-convex case): exact
+    val ell = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0))
+    val tris = GeometryOps.triangulate(ell)
+    assert(math.abs(tris.map(GeometryOps.ringArea).sum - 12.0) < 1e-9)
+  }
+
+  test("non-convex intersection/union area agrees with the grid integrator") {
+    import GeometryOps._
+    // exact crafted cases first: two interlocking L-shapes
+    val ell1 = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0))
+    val ell2 = ell1.map(p => (4.0 - p._1, 4.0 - p._2)) // rotated copy filling the notch
+    assert(math.abs(polygonArea(Seq(ell1)) - 12.0) < 1e-9)
+    // the two Ls overlap on two 2x2 squares: area 8
+    assert(math.abs(intersectionArea(Seq(ell1), Seq(ell2)) - 8.0) < 1e-9)
+    assert(math.abs(unionArea(Seq(ell1), Seq(ell2)) - 16.0) < 1e-9)
+    assert(math.abs(differenceArea(Seq(ell1), Seq(ell2)) - 4.0) < 1e-9)
+    // self-intersection = own area; disjoint = 0
+    assert(math.abs(intersectionArea(Seq(ell1), Seq(ell1)) - 12.0) < 1e-9)
+    val far = Seq((100.0, 0.0), (104.0, 0.0), (104.0, 4.0), (100.0, 4.0))
+    assert(intersectionArea(Seq(ell1), Seq(far)) == 0.0)
+
+    // polygons with holes: ring with a square hole vs an offset square
+    val outer = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val hole = Seq((3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0))
+    val donut: GeometryOps.Polygon = Seq(outer, hole)
+    assert(math.abs(polygonArea(donut) - 84.0) < 1e-9)
+    assert(math.abs(intersectionArea(donut, donut) - 84.0) < 1e-9)
+    val probe = Seq((2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0)) // 36, minus the 16 hole
+    assert(math.abs(intersectionArea(donut, Seq(probe)) - 20.0) < 1e-9)
+    assert(math.abs(unionArea(donut, Seq(probe)) - 100.0) < 1e-9)
+
+    // seeded random star corpus vs the grid integrator
+    var nonTrivial = 0
+    (1 to 30).foreach { _ =>
+      val a = randomStar(0, 0, 3, 10, 14)
+      val b = rng.nextInt(2) match {
+        case 0 => randomStar(rng.nextDouble() * 12 - 6, rng.nextDouble() * 12 - 6, 2, 8, 12)
+        case _ => randomStar(0, 0, 1, 5, 10)
+      }
+      if (a.size >= 3 && b.size >= 3) {
+        val exact = intersectionArea(Seq(a), Seq(b))
+        // stars have high perimeter-to-area, so the integrator needs a
+        // finer grid than the convex corpus for the same tolerance
+        val approx = gridArea(
+          p => graft.spatial.Geohash.pointInPolygon(p._1, p._2, Seq(a)) &&
+            graft.spatial.Geohash.pointInPolygon(p._1, p._2, Seq(b)), Seq(a, b), steps = 800)
+        val scale = math.max(1.0, math.max(ringArea(a), ringArea(b)))
+        assert(math.abs(exact - approx) / scale < 0.02,
+          s"non-convex area mismatch exact=$exact grid=$approx\nA=$a\nB=$b")
+        if (exact > 0) nonTrivial += 1
+        assert(math.abs(unionArea(Seq(a), Seq(b)) -
+          (ringArea(a) + ringArea(b) - exact)) < 1e-9)
+      }
+    }
+    assert(nonTrivial > 5)
+
+    // donut corpus: random star with a scaled-down copy as its hole
+    (1 to 15).foreach { _ =>
+      val outerR = randomStar(0, 0, 6, 12, 12)
+      val holeR = outerR.map(p => (p._1 * 0.3, p._2 * 0.3))
+      val d: GeometryOps.Polygon = Seq(outerR, holeR)
+      val b = randomStar(rng.nextDouble() * 8 - 4, rng.nextDouble() * 8 - 4, 2, 7, 10)
+      val exact = intersectionArea(d, Seq(b))
+      val approx = gridArea(
+        p => graft.spatial.Geohash.pointInPolygon(p._1, p._2, d) &&
+          graft.spatial.Geohash.pointInPolygon(p._1, p._2, Seq(b)), Seq(outerR, b), steps = 800)
+      val scale = math.max(1.0, math.max(polygonArea(d), ringArea(b)))
+      assert(math.abs(exact - approx) / scale < 0.02,
+        s"donut area mismatch exact=$exact grid=$approx")
+    }
+  }
+
   test("linestring and multipolygon kinds: lengths, distances, containment") {
     import GeometryOps._
     // multipolygon = disjoint parts; area sums, containment is any-part

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Pii, Search, TextAnalysis}
+
+/** Unit gates for the search / packing / PII operators (q87-q89). The
+  * sf-level hash gate is the DuckDB oracle; these pin the contracts on
+  * hand-computable fixtures.
+  */
+class SearchPackPiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25TopK: integer contract on a hand-checked corpus") {
+    val docs = Seq(
+      (1L, "spark spark spark fast"), // tf(spark)=3, dl=4
+      (2L, "spark slow"),             // tf(spark)=1, dl=2
+      (3L, "merge merge"),            // tf(merge)=2, dl=2
+      (4L, "nothing here at all"),    // no query terms, dl=4
+      (5L, "")                        // empty
+    ).toDF("doc_id", "text")
+    val out = Search.bm25TopK(docs, "doc_id", "text", Seq("spark", "merge"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // n=5 docs, total tokens = 4+2+2+4 = 12, avgdl = 12 div 5 = 2
+    // idf(spark) = 50000 div 2 = 25000; idf(merge) = 50000 div 1 = 50000
+    // doc1: tf=3 dl=4 -> (3*20000*2) div (3*2+4) = 120000 div 10 = 12000; score 3e8
+    // doc2: tf=1 dl=2 -> (40000) div (4) = 10000; score 2.5e8
+    // doc3: tf=2 dl=2 -> (80000) div (6) = 13333; score 13333*50000
+    assert(out.head == (3L, 13333L * 50000))
+    assert(out(1) == (1L, 25000L * 12000))
+    assert(out(2) == (2L, 25000L * 10000))
+    assert(out.length == 3) // docs without query terms never appear
+  }
+
+  test("concatChunk: offsets, spans, and bucket-boundary correctness") {
+    // seqLen 10; force multiple buckets with bucketSize=4
+    val docs = Seq(
+      (0L, 3L), (1L, 7L),        // doc1 ends seq 0 exactly (offset 3..9)
+      (2L, 0L),                  // empty doc: 0 sequences, offset carried
+      (3L, 15L),                 // spans seqs 1-2 (offset 10..24)
+      (4L, 1L), (7L, 5L)         // id gap crosses the bucket boundary
+    ).toDF("doc_id", "n")
+    val out = Packing.concatChunk(docs, "doc_id", col("n"), seqLen = 10, bucketSize = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      (0L, 3L, 0L, 0L, 1L),
+      (1L, 7L, 3L, 0L, 1L),
+      (2L, 0L, 10L, 1L, 0L),
+      (3L, 15L, 10L, 1L, 2L),
+      (4L, 1L, 25L, 2L, 1L),
+      (7L, 5L, 26L, 2L, 2L))) // 26..30 straddles the seq 2|3 cut
+    // identical to the single-window definition regardless of bucketing
+    val single = Packing.concatChunk(docs, "doc_id", col("n"), seqLen = 10,
+      bucketSize = 1000000L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === single)
+  }
+
+  test("pii scan: counts, redaction, ordering of the three shapes") {
+    val rows = Seq(
+      (1L, "reach me at jo.doe+x@corp.example.org or 10.1.2.3"),
+      (2L, "ssn 123-45-6789 twice 987-65-4321"),
+      (3L, "версия v1.2.3.4 is an ip shape"), // dotted quad matches by design
+      (4L, "clean text, nothing here")
+    ).toDF("id", "t")
+    val out = Pii.scan(rows, "id", "t").orderBy("id").collect()
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1 && out(0).getLong(3) == 0)
+    assert(out(1).getLong(3) == 2 && out(1).getBoolean(5))
+    assert(out(2).getLong(2) == 1)
+    assert(out(3).getLong(1) + out(3).getLong(2) + out(3).getLong(3) == 0)
+    assert(!out(3).getBoolean(5))
+    // redaction replaces the email BEFORE scanning digits: the local
+    // part's dots never produce a phantom IP
+    val r1 = rows.filter($"id" === 1).select(Pii.redact($"t")).head().getString(0)
+    assert(r1 == "reach me at <EMAIL> or <IP>")
+    val r2 = rows.filter($"id" === 2).select(Pii.redact($"t")).head().getString(0)
+    assert(r2 == "ssn <SSN> twice <SSN>")
+  }
+
+  test("search and packing operators agree with their oracle SQL shape at sf0.001") {
+    // smoke the real catalog entries end-to-end on the tiny SF (the
+    // hash-exact cross-engine check is the driver's DuckDB gate)
+    val q87 = SparkEntry.queries("q87_bm25_search")(spark, sf)
+    assert(q87.count() > 0)
+    val q88 = SparkEntry.queries("q88_pack_sequences")(spark, sf)
+    val docs = model.Tpch.table(spark, sf, "documents")
+    assert(q88.count() == docs.count())
+    // total stream length equals the last doc's start + its tokens
+    val last = q88.orderBy(col("doc_id").desc).limit(1)
+      .select(col("start_offset") + col("n_tokens")).head().getLong(0)
+    val total = docs.select(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+    assert(last == total)
+    val q89 = SparkEntry.queries("q89_pii_scan")(spark, sf)
+    // every profile carries exactly one email; ip/ssn per the modulus
+    val agg = q89.agg(sum("n_email"), sum("n_ip"), sum("n_ssn"), count(lit(1))).head()
+    val n = agg.getLong(3)
+    assert(agg.getLong(0) == n)
+    assert(agg.getLong(1) == model.Tpch.table(spark, sf, "customer")
+      .filter(col("c_custkey") % 3 === 0).count())
+    assert(agg.getLong(2) == model.Tpch.table(spark, sf, "customer")
+      .filter(col("c_custkey") % 5 === 0).count())
+  }
+}
