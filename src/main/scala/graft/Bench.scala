@@ -31,8 +31,17 @@ object Bench {
     "q64_asof_join")
 
   def main(args: Array[String]): Unit = {
+    def intEnv(name: String, default: Int, min: Int): Int = {
+      val raw = sys.env.getOrElse(name, default.toString)
+      val v = try raw.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"$name must be an integer, got '$raw'")
+      }
+      require(v >= min, s"$name must be >= $min, got $v")
+      v
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpus = intEnv("SPARK_GRAFT_CPUS", 32, 1)
     val spark = GraftSession.get(cpus)
     // JVM + parquet-footer warm-up so per-query times measure the plan,
     // not first-touch class loading
@@ -50,7 +59,7 @@ object Bench {
         case Some(ps) => n => ps.split(',').exists(n.startsWith)
         case None => _ => true
       }
-    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val warmRuns = intEnv("SPARK_GRAFT_BENCH_RUNS", 3, 1)
     val results = headline.filter(only).map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {

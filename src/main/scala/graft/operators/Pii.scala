@@ -48,12 +48,21 @@ object Pii {
     * and a fingerprint of the redacted text (the redacted payload
     * itself stays in the pipeline; the fingerprint is what audits
     * compare).
+    *
+    * Counts mirror the redaction chain exactly: `n_ip` is counted on
+    * the email-redacted text and `n_ssn` on the email+IP-redacted
+    * text, so each count equals the number of placeholders `redact`
+    * emits for that shape (a dotted-quad inside an email local part is
+    * an email, not an IP).
     */
-  def scan(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def scan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), emailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
     df.select(col(idCol),
       countEmails(col(textCol)).cast("long").as("n_email"),
-      countIpv4(col(textCol)).cast("long").as("n_ip"),
-      countSsn(col(textCol)).cast("long").as("n_ssn"),
-      md5(redact(col(textCol))).as("redacted_fp"))
+      countIpv4(afterEmail).cast("long").as("n_ip"),
+      countSsn(afterIp).cast("long").as("n_ssn"),
+      md5(regexp_replace(afterIp, ssnPattern, "<SSN>")).as("redacted_fp"))
       .withColumn("has_pii", col("n_email") + col("n_ip") + col("n_ssn") > 0)
+  }
 }

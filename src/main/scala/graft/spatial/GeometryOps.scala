@@ -212,15 +212,41 @@ object GeometryOps {
 
   /** Ear-clipping triangulation of a simple ring (CW or CCW; an
     * explicit closing vertex is tolerated). O(n²); geometry ops run on
-    * pruned candidates, never as a scan stage.
+    * pruned candidates, never as a scan stage. Degenerate inputs that
+    * force a lossy vertex drop are logged once per ring — use
+    * [[triangulateChecked]] to get the exactness flag programmatically.
     */
   def triangulate(ring0: Ring): Seq[Ring] = {
-    var r = ring0
+    val (tris, exact) = triangulateChecked(ring0)
+    if (!exact)
+      System.err.println(
+        s"graft.GeometryOps.triangulate: degenerate ring (${ring0.size} vertices) " +
+          "forced a non-collinear vertex drop — triangle areas are approximate")
+    tris
+  }
+
+  /** Ear clipping with an exactness flag: `_2` is false iff a
+    * NON-collinear vertex had to be dropped to make progress (a
+    * self-touching or numerically degenerate ring), in which case the
+    * triangles may under-cover the ring and derived boolean areas are
+    * approximate for that input. Exactly-collinear drops lose zero
+    * area and keep the flag true.
+    */
+  def triangulateChecked(ring0: Ring): (Seq[Ring], Boolean) = {
+    var r: Ring = ring0
     if (r.size > 1 && r.head == r.last) r = r.init
-    if (r.size < 3) return Seq.empty
+    // consecutive duplicate coordinates contribute nothing and would
+    // act as phantom blockers inside every candidate ear
+    r = r.foldLeft(Vector.empty[(Double, Double)]) {
+      case (acc, p) if acc.nonEmpty && acc.last == p => acc
+      case (acc, p) => acc :+ p
+    }
+    if (r.size > 1 && r.head == r.last) r = r.init
+    if (r.size < 3) return (Seq.empty, true)
     val ccw = if (signedArea(r) < 0) r.reverse else r
     val v = scala.collection.mutable.ArrayBuffer(ccw: _*)
     val out = Seq.newBuilder[Ring]
+    var exact = true
     def o3(a: (Double, Double), b: (Double, Double), c: (Double, Double)): Int =
       orient(a._1, a._2, b._1, b._2, c._1, c._2)
     // closed-triangle membership for CCW (a,b,c)
@@ -234,12 +260,14 @@ object GeometryOps {
       while (i < n && ear < 0) {
         val a = v((i + n - 1) % n); val b = v(i); val c = v((i + 1) % n)
         if (o3(a, b, c) > 0) {
+          // blocker test skips by INDEX only: a distinct vertex that
+          // happens to share coordinates with a corner (a pinch point)
+          // must still block the ear, or the output triangles overlap
           var blocked = false
           var j = 0
           while (j < n && !blocked) {
-            val p = v(j)
             if (j != i && j != (i + n - 1) % n && j != (i + 1) % n &&
-                p != a && p != b && p != c && inTri(p, a, b, c)) blocked = true
+                inTri(v(j), a, b, c)) blocked = true
             j += 1
           }
           if (!blocked) ear = i
@@ -251,20 +279,24 @@ object GeometryOps {
         out += Seq(v((ear + n2 - 1) % n2), v(ear), v((ear + 1) % n2))
         v.remove(ear)
       } else {
-        // no clean ear left (collinear runs / numeric ties): dropping a
-        // collinear vertex loses zero area and guarantees progress;
-        // failing that, drop the flattest corner (least-area loss)
-        val k = (0 until n).find(i =>
-          o3(v((i + n - 1) % n), v(i), v((i + 1) % n)) == 0).getOrElse(
-          (0 until n).minBy { i =>
-            val a = v((i + n - 1) % n); val b = v(i); val c = v((i + 1) % n)
-            math.abs((b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1))
-          })
-        v.remove(k)
+        // no clean ear left. Dropping an EXACTLY-collinear vertex loses
+        // zero area and guarantees progress; only if none exists do we
+        // drop the flattest corner — a lossy step, surfaced via `exact`.
+        (0 until n).find(i =>
+            o3(v((i + n - 1) % n), v(i), v((i + 1) % n)) == 0) match {
+          case Some(k) => v.remove(k)
+          case None =>
+            exact = false
+            val k = (0 until n).minBy { i =>
+              val a = v((i + n - 1) % n); val b = v(i); val c = v((i + 1) % n)
+              math.abs((b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1))
+            }
+            v.remove(k)
+        }
       }
     }
     if (v.size == 3) out += Seq(v(0), v(1), v(2))
-    out.result()
+    (out.result(), exact)
   }
 
   private def bbox(r: Ring): (Double, Double, Double, Double) =

@@ -82,17 +82,34 @@ object SpatialOps {
       .filter(col("dist_m") <= radiusM)
   }
 
-  /** find-nearest-k: kNN by distance. The reference expands a geohash
-    * radius until k hits (spatial-query.lisp:122-148); on Spark a
-    * global TakeOrdered over the (possibly cell-pruned) candidates is a
-    * single pass with no expanding re-scans — start from `near` with a
-    * radius guess when an index bound is known, else full scan.
+  /** find-nearest-k: expanding-radius kNN, the same plan shape as the
+    * reference's geohash-ring expansion (spatial-query.lisp:122-148):
+    * probe the cell-pruned [[near]] at doubling radius until ≥ k
+    * candidates, then TakeOrdered those candidates. Correct because
+    * once k points lie within radius r, the global k nearest all lie
+    * within r. Falls back to an unpruned full-scan TakeOrdered only
+    * past `maxRadiusM` (fewer than k rows in range) — still correct,
+    * just the documented worst case. At 100 TB each probe reads only
+    * the covering cells' files (cell `isin` → partition/stats pruning)
+    * instead of the whole table.
     */
   def nearestK(df: DataFrame, lonCol: String, latCol: String, idCol: String,
-      lon: Double, lat: Double, k: Int): DataFrame =
-    df.withColumn("dist_m", round(haversineM(col(lonCol), col(latCol), lit(lon), lit(lat)), 3))
-      .orderBy(col("dist_m").asc, col(idCol).asc)
-      .limit(k)
+      lon: Double, lat: Double, k: Int,
+      initRadiusM: Double = 100000.0, maxRadiusM: Double = 1.0e7,
+      precision: Int = 5): DataFrame = {
+    def ordered(cand: DataFrame): DataFrame =
+      cand.withColumn("dist_m", round(col("dist_m"), 3))
+        .orderBy(col("dist_m").asc, col(idCol).asc)
+        .limit(k)
+    var radius = initRadiusM
+    while (radius <= maxRadiusM) {
+      val cand = near(df, lonCol, latCol, lon, lat, radius, precision)
+      if (cand.limit(k).count() >= k) return ordered(cand)
+      radius *= 2
+    }
+    ordered(df.withColumn("dist_m",
+      haversineM(col(lonCol), col(latCol), lit(lon), lit(lat))))
+  }
 
   /** Point-in-polygon refine — a codegen'd Catalyst expression, not a
     * closure UDF ([[graft.functions.PointInPolygonExpression]]).

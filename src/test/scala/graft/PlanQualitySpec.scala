@@ -32,13 +32,29 @@ class PlanQualitySpec extends SparkSpec {
     // broadcast spatial join: 25 stored polygons against the point
     // table under a non-equi containment predicate — the correct plan
     // for a small region set (a large one would cell-cover + equi-join).
+    // q87's BM25 scoring crossJoin-broadcasts a ONE-row corpus-stats
+    // frame (N, avgdl — Search.bm25TopK) into every scored doc: a
+    // deliberate scalar broadcast, the same shape as q75's 1-row count.
     // Everything else must stay BNLJ/cartesian-free
-    val salted = Set("q69_salted_join", "q75_all_edges", "q78_stored_geometry")
+    val salted = Set("q69_salted_join", "q75_all_edges", "q78_stored_geometry",
+      "q87_bm25_search")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ")
     }
+  }
+
+  test("q41 kNN is cell-pruned: the plan carries the geohash-cell isin filter") {
+    // the expanding-radius probe (SpatialOps.nearestK) must return a
+    // plan built on `near`'s cell-pruned candidates, not the full-scan
+    // fallback: the candidate filter is `geohash_encode(...) IN (cells)`
+    val s = executedString(q("q41_spatial_knn"))
+    assert(s.contains("geohash_encode"),
+      s"q41 plan has no geohash cell filter (full-scan fallback?):\n$s")
+    // Catalyst prints a large In as INSET, a small one as IN (...)
+    assert(s.contains("INSET") || s.contains(" IN ("),
+      s"q41 plan has no cell membership filter:\n$s")
   }
 
   test("filters reach the parquet scan (pushdown) on the flagship pattern") {
