@@ -447,8 +447,11 @@ object CatalogPipeline {
         val q = Tpch.table(s, d, "embeddings").filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         // two top-k result sets of k=10 rows: collect both and compare
-        // driver-side, as any client consuming a top-k would
-        val ann = Similarity.annTopK(emb, "embedding", "vec_id", q,
+        // driver-side, as any client consuming a top-k would. The ANN
+        // side probes the WRITTEN (table, bucket)-partitioned store —
+        // the at-scale path: a partition-pruned read of 8 bucket dirs,
+        // not a corpus scan (AnnStoreSpec pins the PartitionFilters)
+        val ann = Similarity.annTopKStored(emb, "embedding", "vec_id", d, q,
           k = 10, nBits = 4, nTables = 8).select("id").collect().map(_.getLong(0)).toSet
         val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
           .select("id").collect().map(_.getLong(0)).toSet
@@ -467,9 +470,11 @@ object CatalogPipeline {
       (s, d) => {
         val emb = Tpch.table(s, d, "embeddings")
           .withColumn("nvec", Similarity.l2normalize(col("embedding")))
-        val centroids = Similarity.ivfTrain(emb, "nvec", "vec_id", k = 8, iterations = 2)
-        val assigned = Similarity.ivfAssign(emb, "nvec", centroids)
-          .drop("nvec").localCheckpoint(true)
+        // train+assign+write once (cluster-partitioned store with the
+        // centroids beside it); every probe after that is a
+        // partition-pruned read of the nProbe cluster dirs
+        val (assigned, centroids) = Similarity.ensureIvfStore(
+          emb, "nvec", "embedding", "vec_id", d, k = 8, iterations = 2)
         val qRaw = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
           .getSeq[Float](0).map(_.toDouble)
         val norm = math.sqrt(qRaw.map(x => x * x).sum)

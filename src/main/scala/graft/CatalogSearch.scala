@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.model.Tpch
-import graft.operators.{Packing, Pii, Search, TextAnalysis}
+import graft.operators.{Multimodal, Packing, Pii, Search, TextAnalysis}
 
 /** Corpus search / packing / compliance catalog: ranked keyword
   * search, training-sequence packing, and PII scan-and-redact — the
@@ -96,17 +96,51 @@ object CatalogSearch {
       // payload is compared via md5
       (s, d) => Pii.scan(profileText(s, d), "c_custkey", "profile")
         .orderBy("c_custkey"),
-      Some(s"""WITH p AS ($profileSql)
+      // counts mirror the redaction chain (IP counted after email
+      // redaction, SSN after both) — same contract as Pii.scan
+      Some(s"""WITH p AS ($profileSql),
+             |r AS (
+             |  SELECT c_custkey, profile,
+             |    regexp_replace(profile, '${Pii.emailPattern}', '<EMAIL>', 'g') AS after_email
+             |  FROM p),
+             |r2 AS (
+             |  SELECT *, regexp_replace(after_email, '${Pii.ipv4Pattern}', '<IP>', 'g') AS after_ip
+             |  FROM r)
              |SELECT c_custkey,
              |  CAST(len(regexp_extract_all(profile, '${Pii.emailPattern}')) AS BIGINT) AS n_email,
-             |  CAST(len(regexp_extract_all(profile, '${Pii.ipv4Pattern}')) AS BIGINT) AS n_ip,
-             |  CAST(len(regexp_extract_all(profile, '${Pii.ssnPattern}')) AS BIGINT) AS n_ssn,
-             |  md5(regexp_replace(regexp_replace(regexp_replace(profile,
-             |    '${Pii.emailPattern}', '<EMAIL>', 'g'),
-             |    '${Pii.ipv4Pattern}', '<IP>', 'g'),
-             |    '${Pii.ssnPattern}', '<SSN>', 'g')) AS redacted_fp,
+             |  CAST(len(regexp_extract_all(after_email, '${Pii.ipv4Pattern}')) AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(after_ip, '${Pii.ssnPattern}')) AS BIGINT) AS n_ssn,
+             |  md5(regexp_replace(after_ip, '${Pii.ssnPattern}', '<SSN>', 'g')) AS redacted_fp,
              |  (len(regexp_extract_all(profile, '${Pii.emailPattern}')) +
-             |   len(regexp_extract_all(profile, '${Pii.ipv4Pattern}')) +
-             |   len(regexp_extract_all(profile, '${Pii.ssnPattern}'))) > 0 AS has_pii
-             |FROM p ORDER BY c_custkey""".stripMargin)))
+             |   len(regexp_extract_all(after_email, '${Pii.ipv4Pattern}')) +
+             |   len(regexp_extract_all(after_ip, '${Pii.ssnPattern}'))) > 0 AS has_pii
+             |FROM r2 ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q90_image_decode",
+      // REAL codec roundtrip: deterministic PNG/JPEG bytes per doc_id
+      // (Multimodal.attachMedia, javax.imageio encode), decoded back
+      // with javax.imageio — header dims, channel count, and (for the
+      // lossless PNG rows) the exact mean pixel color. The oracle
+      // restates the generator arithmetic, so only a real decode of the
+      // actual bytes can match it.
+      (s, d) => {
+        val media = Multimodal.attachMedia(Tpch.table(s, d, "documents"), "doc_id")
+        Multimodal.decodeMedia(media)
+          .select(col("media_id"), col("width"), col("height"), col("channels"),
+            when(col("media_id") % 2 === 0,
+              round(element_at(col("features"), 1) * 255).cast("int")).as("px_r"),
+            when(col("media_id") % 2 === 0,
+              round(element_at(col("features"), 2) * 255).cast("int")).as("px_g"),
+            when(col("media_id") % 2 === 0,
+              round(element_at(col("features"), 3) * 255).cast("int")).as("px_b"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(16 + (doc_id * 7) % 48 AS INT) AS width,
+             |  CAST(16 + (doc_id * 13) % 48 AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS channels,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS INT) AS px_r,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 3) % 256 END AS INT) AS px_g,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS INT) AS px_b
+             |FROM documents ORDER BY media_id""".stripMargin)))
 }

@@ -210,6 +210,115 @@ object Similarity {
   def dequantizeInt8(scale: Column, codes: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
+  // --- written-artifact ANN stores: the at-scale probe path ----------
+  //
+  // The filter-scan probes below (annTopK / ivfTopK over an in-session
+  // frame) are correct at any scale but read the whole vector table. At
+  // 100 TB the store IS the index: the bucketed/clustered assignment is
+  // written ONCE as parquet partitioned by (table, bucket) /
+  // ivf_cluster, and every probe becomes a partition-pruned read of the
+  // few directories holding its candidates (the plan shows the buckets
+  // under PartitionFilters — nothing else is listed, opened, or read).
+
+  /** Root for materialized ANN stores; override via env for tests. */
+  def storeRoot: String = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+    s"${System.getProperty("java.io.tmpdir")}/graft-annstore")
+
+  private def storeKey(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  def lshStorePath(sfDir: String, nBits: Int, nTables: Int, seed: Long): String =
+    s"$storeRoot/${storeKey(sfDir)}/lsh_b${nBits}_t${nTables}_s$seed"
+
+  def ivfStorePath(sfDir: String, k: Int, iterations: Int): String =
+    s"$storeRoot/${storeKey(sfDir)}/ivf_k${k}_i$iterations"
+
+  /** Build lock: suites may hit the same store concurrently. */
+  private val buildLock = new Object
+
+  private def ready(path: String, marker: String): Boolean =
+    new java.io.File(path, marker).exists()
+
+  /** Materialize the multi-table LSH assignment partitioned by
+    * (table, bucket) — build-if-absent, idempotent per (data, params)
+    * path. One row per (vector, table): vectors fan out nTables×, the
+    * price of nTables independent probe views (each probe then reads
+    * ONE (table, bucket) directory instead of the corpus).
+    */
+  def ensureLshStore(df: DataFrame, vecCol: String, idCol: String, sfDir: String,
+      dim: Int, nBits: Int, nTables: Int, seed: Long = 42L): String = {
+    val path = lshStorePath(sfDir, nBits, nTables, seed)
+    if (!ready(path, "_SUCCESS")) buildLock.synchronized {
+      if (!ready(path, "_SUCCESS")) {
+        val sigCols = (0 until nTables).map { t =>
+          lshSignature(col(vecCol), hyperplanes(dim, nBits, seed + t))
+        }
+        df.select(col(idCol).as("id"), col(vecCol).as("v"),
+            posexplode(array(sigCols: _*)))
+          .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+          .write.partitionBy("table", "bucket").mode("overwrite").parquet(path)
+      }
+    }
+    path
+  }
+
+  /** ANN top-k over the WRITTEN store ([[ensureLshStore]]): the filter
+    * hits only partition columns, so the scan lists and reads just the
+    * query's nTables (table, bucket) directories — `PartitionFilters`
+    * in the plan, `PushedFilters` not even needed. Result set is
+    * identical to [[annTopK]] on the same data (same candidate union,
+    * same exact rescoring; ids deduped across tables).
+    */
+  def annTopKStored(df: DataFrame, vecCol: String, idCol: String, sfDir: String,
+      query: Seq[Double], k: Int, nBits: Int = 8, nTables: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val path = ensureLshStore(df, vecCol, idCol, sfDir, query.size, nBits, nTables, seed)
+    val store = df.sparkSession.read.parquet(path)
+    val inMyBuckets = (0 until nTables).map { t =>
+      val planes = hyperplanes(query.size, nBits, seed + t)
+      col("table") === lit(t) && col("bucket") === lit(querySignature(query, planes))
+    }.reduce(_ || _)
+    store.filter(inMyBuckets)
+      .select(col("id"), round(cosine(col("v"), vecLit(query)), 6).as("cos_sim"))
+      .dropDuplicates("id") // a vector can share the query's bucket in several tables
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  private def centroidsFile(path: String) = new java.io.File(path, "_centroids.txt")
+
+  private def writeCentroids(path: String, centroids: Seq[Seq[Double]]): Unit = {
+    val text = centroids.map(_.map(java.lang.Double.toString).mkString(","))
+      .mkString("\n")
+    java.nio.file.Files.write(centroidsFile(path).toPath,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readCentroids(path: String): Seq[Seq[Double]] =
+    new String(java.nio.file.Files.readAllBytes(centroidsFile(path).toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
+
+  /** Materialize the IVF assignment partitioned by `ivf_cluster`, with
+    * the trained centroids stored beside it (Double.toString roundtrips
+    * exactly, so a re-opened store probes with the same centroids it
+    * was built with). Build-if-absent; training runs only on build.
+    */
+  def ensureIvfStore(df: DataFrame, normCol: String, rescoreCol: String,
+      idCol: String, sfDir: String, k: Int, iterations: Int)
+      : (DataFrame, Seq[Seq[Double]]) = {
+    val path = ivfStorePath(sfDir, k, iterations)
+    if (!centroidsFile(path).exists()) buildLock.synchronized {
+      if (!centroidsFile(path).exists()) {
+        val centroids = ivfTrain(df, normCol, idCol, k, iterations)
+        ivfAssign(df, normCol, centroids).drop(normCol)
+          .write.partitionBy("ivf_cluster").mode("overwrite").parquet(path)
+        writeCentroids(path, centroids)
+      }
+    }
+    (df.sparkSession.read.parquet(path), readCentroids(path))
+  }
+
   /** Query-side LSH signature under the given hyperplanes. */
   private def querySignature(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
     planes.zipWithIndex.map { case (p, i) =>

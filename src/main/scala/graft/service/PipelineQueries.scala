@@ -1,0 +1,77 @@
+package graft.service
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tpch
+import graft.operators.{Dedup, GraphAnalytics, Pii, Search}
+import graft.service.QueryService.{BadRequestException, ParamSpec, PipelineQuery}
+
+/** The data-pipeline operator pack for the registered-query tier: BM25
+  * ranked search, fuzzy-dedup clustering, and PII scan/redact exposed
+  * as def-query-style parameterized REST queries (reference
+  * rest.lisp:367-433 — typed param coercion → 400, unexpected params →
+  * 400, write effects → 403, result clamp), so a service consumer
+  * drives the pipeline operators through the same surface as graph
+  * patterns.
+  */
+object PipelineQueries {
+
+  def install(service: QueryService, spark: SparkSession, sfDir: String): Unit = {
+    def docs: DataFrame = Tpch.table(spark, sfDir, "documents")
+
+    service.register(PipelineQuery("bm25_search",
+      Seq(ParamSpec("terms", "string"),
+        ParamSpec("k", "long", required = false, default = Some(10L))),
+      ps => {
+        val terms = ps("terms").asInstanceOf[String].split(",")
+          .toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
+        if (terms.isEmpty)
+          throw new BadRequestException("'terms' must list at least one term")
+        val k = ps("k").asInstanceOf[Long]
+        if (k < 1) throw new BadRequestException("'k' must be >= 1")
+        Search.bm25TopK(docs, "doc_id", "text", terms, k.toInt)
+      }))
+
+    service.register(PipelineQuery("dedup_clusters",
+      Seq(ParamSpec("threshold", "double", required = false, default = Some(0.5)),
+        ParamSpec("only_dups", "boolean", required = false, default = Some(false))),
+      ps => {
+        val threshold = ps("threshold").asInstanceOf[Double]
+        if (threshold <= 0 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in (0, 1]")
+        val d = docs
+        val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+          k = 3, numHashes = 24, bands = 8, threshold = threshold)
+        val comps = GraphAnalytics.connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          d.select(col("doc_id").as("id")))
+        val out = comps.select(col("id").as("doc_id"),
+          col("component").as("cluster_rep"),
+          (col("id") === col("component")).as("keep"))
+        if (ps("only_dups").asInstanceOf[Boolean]) out.filter(!col("keep")) else out
+      }))
+
+    service.register(PipelineQuery("pii_scan",
+      Seq(ParamSpec("only_hits", "boolean", required = false, default = Some(false))),
+      ps => {
+        val scanned = Pii.scan(docs, "doc_id", "text")
+        if (ps("only_hits").asInstanceOf[Boolean]) scanned.filter(col("has_pii"))
+        else scanned
+      }))
+
+    // a WRITE-effect pipeline query: materializes the redacted corpus.
+    // Registered unconditionally — the service's effects gate 403s it
+    // on read-only endpoints, which is the point of the flag.
+    service.register(PipelineQuery("pii_redact_store",
+      Seq(ParamSpec("path", "string")),
+      ps => {
+        val path = ps("path").asInstanceOf[String]
+        val redacted = docs.select(col("doc_id"), Pii.redact(col("text")).as("text"))
+        redacted.write.mode("overwrite").parquet(path)
+        import spark.implicits._
+        Seq((path, spark.read.parquet(path).count())).toDF("path", "rows_written")
+      },
+      writes = true))
+  }
+}

@@ -36,6 +36,18 @@ object QueryService {
       /** queries that mutate need the :write effect — denied unless the
         * service allows writes (the :effects policy, prologc.lisp:902-943) */
       writes: Boolean = false)
+
+  /** A def-query-style registration whose body is a pipeline operator
+    * (BM25 / dedup / PII / …) rather than a graph pattern: same typed
+    * param coercion (400), same unexpected-param rejection, same
+    * write-effects gate (403), same result clamp — the rest.lisp:367-433
+    * tier extended over the data-pipeline operator set.
+    */
+  final case class PipelineQuery(
+      name: String,
+      params: Seq[ParamSpec],
+      build: Map[String, Any] => DataFrame,
+      writes: Boolean = false)
 }
 
 final class QueryService(
@@ -45,8 +57,10 @@ final class QueryService(
   import QueryService._
 
   private var registry = Map.empty[String, RegisteredQuery]
+  private var pipelines = Map.empty[String, PipelineQuery]
 
   def register(q: RegisteredQuery): Unit = registry += q.name -> q
+  def register(q: PipelineQuery): Unit = pipelines += q.name -> q
 
   def coerce(spec: ParamSpec, raw: Option[String]): Option[(String, Any)] = raw match {
     case None =>
@@ -72,16 +86,29 @@ final class QueryService(
   private def bounded(q: PatternQuery): PatternQuery =
     q.copy(limit = Some(math.min(q.limit.getOrElse(maxLimit), maxLimit)))
 
-  def runRegistered(name: String, rawParams: Map[String, String]): DataFrame = {
-    val rq = registry.getOrElse(name,
-      throw new BadRequestException(s"unknown query: $name"))
-    if (rq.writes && !allowWrites)
-      throw new ForbiddenException(s"query $name requires the write effect")
-    val coerced = rq.params.flatMap(p => coerce(p, rawParams.get(p.name))).toMap
-    rawParams.keys.find(k => !rq.params.exists(_.name == k)).foreach(k =>
+  def runRegistered(name: String, rawParams: Map[String, String]): DataFrame =
+    registry.get(name) match {
+      case Some(rq) =>
+        if (rq.writes && !allowWrites)
+          throw new ForbiddenException(s"query $name requires the write effect")
+        checkParams(rq.params, rawParams)
+        val coerced = rq.params.flatMap(p => coerce(p, rawParams.get(p.name))).toMap
+        PatternCompiler.run(graph, bounded(rq.build(coerced)))
+      case None => pipelines.get(name) match {
+        case Some(pq) =>
+          if (pq.writes && !allowWrites)
+            throw new ForbiddenException(s"query $name requires the write effect")
+          checkParams(pq.params, rawParams)
+          val coerced = pq.params.flatMap(p => coerce(p, rawParams.get(p.name))).toMap
+          // the same result clamp as the pattern tier (rest.lisp:31-36)
+          pq.build(coerced).limit(maxLimit)
+        case None => throw new BadRequestException(s"unknown query: $name")
+      }
+    }
+
+  private def checkParams(specs: Seq[ParamSpec], rawParams: Map[String, String]): Unit =
+    rawParams.keys.find(k => !specs.exists(_.name == k)).foreach(k =>
       throw new BadRequestException(s"unexpected param: $k"))
-    PatternCompiler.run(graph, bounded(rq.build(coerced)))
-  }
 
   def runAdHoc(json: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val q =

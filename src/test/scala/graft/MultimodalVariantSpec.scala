@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.model.Variant
 import graft.operators.Multimodal
 
-/** Multimodal plumbing (schema/batching/determinism around the stub
-  * decoder) and variant value encoding + standard order of terms.
+/** Multimodal plumbing with the REAL javax.imageio codec (PNG/JPEG
+  * encode→decode roundtrips) and variant value encoding + standard
+  * order of terms.
   */
 class MultimodalVariantSpec extends SparkSpec {
   import spark.implicits._
 
   test("media attach + partition-batched decode: schema, rows, determinism") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    val media = Multimodal.attachMedia(docs, "doc_id")
     assert(media.schema.fieldNames.sameElements(Array("media_id", "bytes", "format")))
     val decoded = Multimodal.decodeMedia(media, partitions = 8)
     assert(decoded.schema == Multimodal.decodedSchema)
@@ -21,19 +22,45 @@ class MultimodalVariantSpec extends SparkSpec {
     assert(decoded.rdd.getNumPartitions == 8)
     val a = decoded.orderBy("media_id").collect()
     val b = Multimodal.decodeMedia(media, partitions = 8).orderBy("media_id").collect()
-    assert(a.sameElements(b), "stub decode must be deterministic")
-    val row = a.head
-    assert(row.getAs[Int]("width") >= 64 && row.getAs[Int]("channels") >= 3)
-    assert(row.getAs[scala.collection.Seq[Float]]("features").size == 8)
+    assert(a.sameElements(b), "decode must be deterministic")
+  }
+
+  test("decode reads real bytes: dims/channels/pixels roundtrip the encoder contract") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val decoded = Multimodal.decodeMedia(Multimodal.attachMedia(docs, "doc_id"))
+      .orderBy("media_id").collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { row =>
+      val id = row.getAs[Long]("media_id")
+      val (w, h) = Multimodal.synthDims(id)
+      val (r, g, bl, al) = Multimodal.synthColor(id)
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h,
+        s"header dims mismatch for $id")
+      val png = id % 2 == 0
+      assert(row.getAs[Int]("channels") == (if (png) 4 else 3))
+      val f = row.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.size == row.getAs[Int]("channels"))
+      if (png) {
+        // lossless: per-channel means are the exact fill color
+        assert(math.round(f(0) * 255) == r && math.round(f(1) * 255) == g &&
+          math.round(f(2) * 255) == bl && math.round(f(3) * 255) == al,
+          s"png pixel roundtrip mismatch for $id")
+      } else {
+        // jpeg is lossy; a solid-color image still decodes close
+        assert(math.abs(f(0) * 255 - r) <= 3 && math.abs(f(1) * 255 - g) <= 3 &&
+          math.abs(f(2) * 255 - bl) <= 3, s"jpeg pixel drift too large for $id")
+      }
+    }
   }
 
   test("png gets alpha channel; resize plan preserves aspect and caps dims") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val decoded = Multimodal.decodeMedia(Multimodal.attachMedia(docs, "doc_id", "text"))
-      .join(Multimodal.attachMedia(docs, "doc_id", "text").select("media_id", "format"), "media_id")
+    val media = Multimodal.attachMedia(docs, "doc_id")
+    val decoded = Multimodal.decodeMedia(media)
+      .join(media.select("media_id", "format"), "media_id")
     assert(decoded.filter($"format" === "png" && $"channels" =!= 4).count() == 0)
-    val planned = Multimodal.planResize(decoded, maxDim = 128)
-    assert(planned.filter($"out_width" > 128 || $"out_height" > 128).count() == 0)
+    val planned = Multimodal.planResize(decoded, maxDim = 32)
+    assert(planned.filter($"out_width" > 32 || $"out_height" > 32).count() == 0)
     // no upscaling
     assert(planned.filter($"scale" > 1.0).count() == 0)
   }

@@ -57,6 +57,64 @@ class ServiceSpec extends SparkSpec {
     intercept[ForbiddenException] { service.runRegistered("danger_write", Map.empty) }
   }
 
+  test("pipeline-query tier: BM25/dedup/PII through the registered surface") {
+    graft.service.PipelineQueries.install(service, spark, sf)
+    // BM25 with coerced long k
+    val bm = service.runRegistered("bm25_search", Map("terms" -> "spark, merge", "k" -> "5"))
+    assert(bm.count() == 5)
+    assert(bm.columns.sameElements(Array("doc_id", "score")))
+    // dedup clustering: every doc gets a cluster rep; reps keep themselves
+    val dd = service.runRegistered("dedup_clusters", Map("threshold" -> "0.5"))
+    assert(dd.columns.sameElements(Array("doc_id", "cluster_rep", "keep")))
+    assert(dd.filter(col("doc_id") === col("cluster_rep") && !col("keep")).count() == 0)
+    // PII scan clamps to the service max (500 docs, maxLimit 100)
+    assert(service.runRegistered("pii_scan", Map.empty).count() == 100)
+    // typed coercion + domain checks + unexpected params are 400s
+    intercept[BadRequestException] {
+      service.runRegistered("bm25_search", Map("terms" -> "spark", "k" -> "abc"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("bm25_search", Map("terms" -> " , ", "k" -> "3"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("dedup_clusters", Map("threshold" -> "5.0"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("pii_scan", Map("rogue" -> "1"))
+    }
+    // the write-effect pipeline query is 403 on this read-only service
+    intercept[ForbiddenException] {
+      service.runRegistered("pii_redact_store", Map("path" -> "target/nope"))
+    }
+  }
+
+  test("pipeline-query write effect runs on a writable service and over HTTP") {
+    val writable = new QueryService(g, maxLimit = 100, allowWrites = true)
+    graft.service.PipelineQueries.install(writable, spark, sf)
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pii-redact").toString + "/docs"
+    val res = writable.runRegistered("pii_redact_store", Map("path" -> out)).head()
+    assert(res.getAs[Long]("rows_written") == 500)
+    assert(spark.read.parquet(out).columns.sameElements(Array("doc_id", "text")))
+    // same tier over HTTP: 200 on the read path, 403 on the write path
+    graft.service.PipelineQueries.install(service, spark, sf)
+    val ep = new graft.service.HttpEndpoint(service)
+    val port = ep.start()
+    val client = HttpClient.newHttpClient()
+    def post(path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val ok = post("/query/bm25_search", """{"params":{"terms":"spark","k":"3"}}""")
+      assert(ok.statusCode() == 200 && ok.body().startsWith("[{"))
+      assert(post("/query/bm25_search", """{"params":{"terms":"spark","k":"x"}}""")
+        .statusCode() == 400)
+      assert(post("/query/pii_redact_store", """{"params":{"path":"target/nope"}}""")
+        .statusCode() == 403)
+    } finally ep.stop()
+  }
+
   test("ad-hoc JSON DSL compiles and runs") {
     val json =
       """{"match":[{"vertex":"a","type":"customer"},
