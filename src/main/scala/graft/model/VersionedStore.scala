@@ -40,6 +40,35 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   Files.createDirectories(Paths.get(dir))
   private val epochPath = Paths.get(dir, "_epoch")
 
+  // ---- on-disk layout versioning (reference README.md:26-33
+  // migrate-graph: refuse to open a mismatched layout, offer a
+  // migrator). The stamp is written on first open of an empty dir;
+  // unstamped dirs holding epoch-partitioned tables are adopted as the
+  // current layout (stores written before stamping existed, restored
+  // backups); unstamped dirs holding FLAT per-label parquet are the
+  // legacy (v1) layout and must go through
+  // [[VersionedStore.migrateStore]].
+  private val layoutPath = Paths.get(dir, "_layout_version")
+  locally {
+    def looksLegacyFlat: Boolean =
+      Dirs.childNames(Paths.get(dir)).exists { n =>
+        !n.startsWith("_") && Files.isDirectory(Paths.get(dir, n)) &&
+          Dirs.childNames(Paths.get(dir, n)).exists(c =>
+            c.endsWith(".parquet") && !c.startsWith("commit_epoch="))
+      }
+    if (Files.exists(layoutPath)) {
+      val v = Files.readString(layoutPath).trim.toInt
+      if (v != VersionedStore.LayoutVersion)
+        throw new IllegalStateException(
+          s"store at $dir has layout v$v; this engine reads v${VersionedStore.LayoutVersion} — " +
+            "run VersionedStore.migrateStore(spark, oldDir, newDir)")
+    } else if (looksLegacyFlat)
+      throw new IllegalStateException(
+        s"store at $dir is an unstamped legacy (flat-table) layout — " +
+          "run VersionedStore.migrateStore(spark, oldDir, newDir)")
+    else Files.writeString(layoutPath, VersionedStore.LayoutVersion.toString)
+  }
+
   final class ConflictException(msg: String) extends RuntimeException(msg)
 
   def currentEpoch: Long =
@@ -481,5 +510,51 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     Files.move(lab, vacuumOld(label), StandardCopyOption.ATOMIC_MOVE)
     Files.move(vacuumTmp(label), lab, StandardCopyOption.ATOMIC_MOVE)
     rmTree(vacuumOld(label))
+  }
+}
+
+object VersionedStore {
+
+  /** Current on-disk layout: epoch-partitioned version dirs
+    * (`<label>/commit_epoch=<e>/part-*.parquet`) + `_epoch` pointer.
+    * v1 (legacy) = flat per-label parquet version tables with no epoch
+    * partitioning.
+    */
+  val LayoutVersion = 2
+
+  /** Replay-based migration (reference README.md:26-33 migrate-graph):
+    * read each legacy flat table's version rows and re-install them in
+    * a FRESH v2 store at their original epochs (a `commit_epoch`
+    * column is honored; absent, everything replays as epoch 1). The
+    * legacy store is read-only input; the target must be empty. After
+    * migration, `read()`, `history` and `asOf` snapshots resolve
+    * against the v2 layout exactly as they would have on the source.
+    */
+  def migrateStore(spark: SparkSession, legacyDir: String, destDir: String): VersionedStore = {
+    val src = Paths.get(legacyDir)
+    require(Files.isDirectory(src), s"no store at $legacyDir")
+    val dest = new VersionedStore(spark, destDir)
+    require(dest.currentEpoch == 0, s"migration target $destDir is not empty")
+    val labels = Dirs.childNames(src).filter { n =>
+      !n.startsWith("_") && Files.isDirectory(src.resolve(n))
+    }
+    val frames = labels.map { l =>
+      val df0 = spark.read.parquet(s"$legacyDir/$l")
+      val df =
+        if (df0.columns.contains("commit_epoch"))
+          df0.withColumn("commit_epoch", col("commit_epoch").cast("long"))
+        else df0.withColumn("commit_epoch", lit(1L))
+      l -> df
+    }.toMap
+    val maxEpoch = frames.values.map { df =>
+      if (df.isEmpty) 0L else df.agg(max("commit_epoch")).head().getLong(0)
+    }.maxOption.getOrElse(0L)
+    val legacyPtr = {
+      val p = src.resolve("_epoch")
+      if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+    }
+    val to = math.max(maxEpoch, legacyPtr)
+    if (to > 0) dest.applyReplicated(to, frames.filter(f => !f._2.isEmpty))
+    dest
   }
 }

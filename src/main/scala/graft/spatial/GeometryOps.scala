@@ -8,14 +8,16 @@ package graft.spatial
   * polygon model as [[Geohash.pointInPolygon]] (rings.head = outer
   * ring, tail = holes).
   *
-  * Constructive operations are covered at the SCALAR tier —
-  * intersection / union / difference AREA for arbitrary simple
-  * polygons with holes via ear-clipping triangulation + signed
-  * pairwise convex clips ([[intersectionArea]]) — which is what the
-  * reference's query surface consumes (geometry-ops.lisp composes
-  * GEOS intersection with area). Emitting the overlay GEOMETRY itself
-  * (and buffer) still needs a robust kernel and stays gated out, like
-  * the reference without its GEOS FFI add-on.
+  * Constructive operations: intersection / union / difference AREA is
+  * exact for arbitrary simple polygons with holes via ear-clipping
+  * triangulation + signed pairwise convex clips ([[intersectionArea]])
+  * — what the reference's query surface consumes (geometry-ops.lisp
+  * composes GEOS intersection with area). The overlay GEOMETRY itself
+  * is emitted by a Greiner–Hormann clipper ([[overlayIntersection]] /
+  * [[overlayUnion]]) for hole-free simple polygons with
+  * proper-crossing boundaries; boundary-degenerate contact, holes-in,
+  * and buffer stay gated (None), like the reference without its GEOS
+  * FFI add-on.
   *
   * Scale shape: these are driver-usable pure functions AND UDF-able
   * per-row predicates; the intended plan is always cell/bbox pruning
@@ -338,6 +340,184 @@ object GeometryOps {
     */
   def differenceArea(p: Polygon, q: Polygon): Double =
     polygonArea(p) - intersectionArea(p, q)
+
+  // --- constructive overlay OUTPUT (Greiner–Hormann) -----------------
+  //
+  // The boolean AREAS above are exact for arbitrary simple polygons
+  // with holes. For the overlay GEOMETRY itself (the reference's
+  // geos:intersection / geos:union returning polygons,
+  // geometry-ops.lisp:141-190) this is a Greiner–Hormann clipper for
+  // hole-free simple polygons: proper-crossing configurations are
+  // handled exactly; boundary-degenerate input (shared vertices,
+  // vertex-on-edge contact, collinear edge overlap) and holes return
+  // None — still gated, like the reference without its GEOS FFI
+  // add-on, and the caller falls back to the exact area tier.
+
+  /** One traversal node of the Greiner–Hormann linked rings. */
+  private final class GhNode(val x: Double, val y: Double, val isInt: Boolean) {
+    var next: GhNode = _
+    var prev: GhNode = _
+    var nb: GhNode = _ // cross-link between the twin intersection nodes
+    var entry = false
+    var visited = false
+  }
+
+  private def ghNormalize(ring: Ring): IndexedSeq[(Double, Double)] = {
+    var r = ring
+    if (r.size > 1 && r.head == r.last) r = r.init
+    (if (signedArea(r) < 0) r.reverse else r).toIndexedSeq
+  }
+
+  /** Boundary degeneracy gate: any vertex of one ring ON the other's
+    * boundary (covers shared vertices, vertex-on-edge contact, and
+    * collinear edge overlaps — a collinear overlap always puts some
+    * endpoint on the other segment). GH cannot order such crossings.
+    */
+  private def ghDegenerate(a: Seq[(Double, Double)], b: Seq[(Double, Double)]): Boolean =
+    a.exists(p => pointOnRing(p._1, p._2, b)) ||
+      b.exists(p => pointOnRing(p._1, p._2, a))
+
+  /** Intersection geometry of two hole-free simple polygons: disjoint
+    * simple rings whose summed area equals [[intersectionArea]]. None
+    * when the configuration is gated (degenerate boundary contact).
+    */
+  def overlayIntersection(a: Ring, b: Ring): Option[Seq[Ring]] =
+    ghOverlay(a, b, union = false)
+
+  /** Union geometry of two hole-free simple polygons: boundary rings
+    * with holes emitted in opposite orientation, so the SIGNED area sum
+    * equals [[unionArea]]. None when gated.
+    */
+  def overlayUnion(a: Ring, b: Ring): Option[Seq[Ring]] =
+    ghOverlay(a, b, union = true)
+
+  private def ghOverlay(a0: Ring, b0: Ring, union: Boolean): Option[Seq[Ring]] = {
+    val a = ghNormalize(a0); val b = ghNormalize(b0)
+    if (a.size < 3 || b.size < 3) return None
+    if (ghDegenerate(a, b)) return None
+
+    // proper pairwise edge crossings with their parametric positions
+    final case class Inter(x: Double, y: Double, ai: Int, as: Double, bi: Int, bs: Double)
+    val inters = scala.collection.mutable.ArrayBuffer.empty[Inter]
+    var i = 0
+    while (i < a.size) {
+      val p1 = a(i); val p2 = a((i + 1) % a.size)
+      var j = 0
+      while (j < b.size) {
+        val q1 = b(j); val q2 = b((j + 1) % b.size)
+        val dx = p2._1 - p1._1; val dy = p2._2 - p1._2
+        val ex = q2._1 - q1._1; val ey = q2._2 - q1._2
+        val fx = q1._1 - p1._1; val fy = q1._2 - p1._2
+        val denom = dx * ey - dy * ex
+        if (denom != 0) {
+          val s = (fx * ey - fy * ex) / denom
+          val t = (fx * dy - fy * dx) / denom
+          // strictly interior on both edges — endpoint hits were gated
+          if (s > 0 && s < 1 && t > 0 && t < 1)
+            inters += Inter(p1._1 + s * dx, p1._2 + s * dy, i, s, j, t)
+        }
+        j += 1
+      }
+      i += 1
+    }
+
+    if (inters.isEmpty) {
+      // no boundary crossing: containment or disjoint
+      val aInB = Geohash.pointInRing(a.head._1, a.head._2, b)
+      val bInA = Geohash.pointInRing(b.head._1, b.head._2, a)
+      return Some(
+        if (union) {
+          if (aInB) Seq(b) else if (bInA) Seq(a) else Seq(a, b)
+        } else {
+          if (aInB) Seq(a) else if (bInA) Seq(b) else Seq.empty
+        })
+    }
+
+    // build the two circular lists with intersection nodes spliced in
+    // (sorted along each edge), cross-linked between the lists
+    val nodeA = scala.collection.mutable.HashMap.empty[Inter, GhNode]
+    val nodeB = scala.collection.mutable.HashMap.empty[Inter, GhNode]
+    def buildList(ring: IndexedSeq[(Double, Double)], byEdge: Int => Seq[Inter],
+        reg: scala.collection.mutable.HashMap[Inter, GhNode]): Seq[GhNode] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[GhNode]
+      ring.indices.foreach { e =>
+        out += new GhNode(ring(e)._1, ring(e)._2, false)
+        byEdge(e).foreach { it =>
+          val n = new GhNode(it.x, it.y, true); reg(it) = n; out += n
+        }
+      }
+      out.indices.foreach { k =>
+        out(k).next = out((k + 1) % out.size)
+        out(k).prev = out((k + out.size - 1) % out.size)
+      }
+      out.toSeq
+    }
+    val listA = buildList(a, e => inters.filter(_.ai == e).sortBy(_.as).toSeq, nodeA)
+    val listB = buildList(b, e => inters.filter(_.bi == e).sortBy(_.bs).toSeq, nodeB)
+    inters.foreach { it => nodeA(it).nb = nodeB(it); nodeB(it).nb = nodeA(it) }
+
+    // entry/exit marking: walking from a vertex strictly outside the
+    // other ring, crossings alternate entry→exit. Union flips both.
+    def mark(list: Seq[GhNode], other: IndexedSeq[(Double, Double)]): Unit = {
+      var entryStatus = !Geohash.pointInRing(list.head.x, list.head.y, other)
+      if (union) entryStatus = !entryStatus
+      list.foreach { n =>
+        if (n.isInt) { n.entry = entryStatus; entryStatus = !entryStatus }
+      }
+    }
+    mark(listA, b)
+    mark(listB, a)
+
+    // traverse: from each unvisited crossing, walk forward on entry /
+    // backward on exit, switching rings at every crossing
+    val result = Seq.newBuilder[Ring]
+    nodeA.values.foreach { start =>
+      if (!start.visited) {
+        val ring = scala.collection.mutable.ArrayBuffer[(Double, Double)]((start.x, start.y))
+        var cur: GhNode = start
+        var guard = 4 * (listA.size + listB.size) // defensive bound
+        var done = false
+        while (!done && guard > 0) {
+          guard -= 1
+          cur.visited = true; cur.nb.visited = true
+          if (cur.entry) {
+            do { cur = cur.next; ring += ((cur.x, cur.y)) } while (!cur.isInt)
+          } else {
+            do { cur = cur.prev; ring += ((cur.x, cur.y)) } while (!cur.isInt)
+          }
+          if ((cur eq start) || (cur.nb eq start)) done = true
+          else { cur.visited = true; cur.nb.visited = true; cur = cur.nb }
+        }
+        if (!done) return None // numeric inconsistency — gate, don't lie
+        if (ring.nonEmpty && ring.last == ring.head) ring.remove(ring.size - 1)
+        if (ring.size >= 3) result += ring.toSeq
+      }
+    }
+    // normalize winding by geometric role: traversal direction depends
+    // on which list a ring was entered from, so holes can come out
+    // either way. A ring is a REGION piece iff an interior point lies
+    // in the op's result set (A∪B / A∩B) → CCW; otherwise it bounds a
+    // hole → CW. Winding is convention; the shape itself is what the
+    // area identities in the spec check.
+    Some(result.result().map { r =>
+      val p = ghInteriorPoint(r)
+      val inA = Geohash.pointInRing(p._1, p._2, a)
+      val inB = Geohash.pointInRing(p._1, p._2, b)
+      val isRegion = if (union) inA || inB else inA && inB
+      val ccw = signedArea(r) > 0
+      if (ccw == isRegion) r else r.reverse
+    })
+  }
+
+  /** A point strictly inside a simple ring: the centroid of its largest
+    * ear-clipped triangle.
+    */
+  private def ghInteriorPoint(r: Ring): (Double, Double) = {
+    val tris = triangulate(r)
+    if (tris.isEmpty) return r.head
+    val t = tris.maxBy(ringArea)
+    ((t(0)._1 + t(1)._1 + t(2)._1) / 3, (t(0)._2 + t(1)._2 + t(2)._2) / 3)
+  }
 
   // --- the remaining geometry kinds of the reference's struct
   // (geometry.lisp:22-27: :point :linestring :polygon :multipolygon) ---

@@ -291,6 +291,74 @@ class GeometryOracleSpec extends SparkSpec {
     }
   }
 
+  test("overlay geometry output: Greiner-Hormann pieces satisfy the area identities") {
+    import GeometryOps._
+    def piecesAbsArea(ps: Seq[GeometryOps.Ring]): Double = ps.map(ringArea).sum
+    def piecesSignedArea(ps: Seq[GeometryOps.Ring]): Double = ps.map(signedArea).sum
+
+    // crafted proper-crossing case: offset overlapping rectangles
+    val s1 = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+    val s2 = Seq((1.0, 0.5), (3.0, 0.5), (3.0, 1.5), (1.0, 1.5))
+    val inter12 = overlayIntersection(s1, s2).get
+    assert(inter12.size == 1 && math.abs(piecesAbsArea(inter12) - 1.0) < 1e-9)
+    val union12 = overlayUnion(s1, s2).get
+    assert(math.abs(math.abs(piecesSignedArea(union12)) - 5.0) < 1e-9)
+
+    // containment and disjoint (no crossings)
+    val inner = Seq((0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5))
+    assert(piecesAbsArea(overlayIntersection(s1, inner).get) == 1.0)
+    assert(piecesAbsArea(overlayUnion(s1, inner).get) == 4.0)
+    val far = Seq((10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0))
+    assert(overlayIntersection(s1, far).get.isEmpty)
+    assert(piecesAbsArea(overlayUnion(s1, far).get) == 5.0)
+
+    // union that CREATES a hole: a U-shape capped by a bar. The hole
+    // ring must come out opposite-signed so the signed sum is the area.
+    val u = Seq((0.0, 0.0), (6.0, 0.0), (6.0, 4.0), (4.0, 4.0), (4.0, 2.0),
+      (2.0, 2.0), (2.0, 4.0), (0.0, 4.0))
+    val bar = Seq((1.0, 3.0), (5.0, 3.0), (5.0, 5.0), (1.0, 5.0))
+    val uInter = overlayIntersection(u, bar).get
+    assert(uInter.size == 2 && math.abs(piecesAbsArea(uInter) - 2.0) < 1e-9)
+    val uUnion = overlayUnion(u, bar).get
+    assert(math.abs(math.abs(piecesSignedArea(uUnion)) - unionArea(Seq(u), Seq(bar))) < 1e-9)
+    assert(math.abs(math.abs(piecesSignedArea(uUnion)) - 26.0) < 1e-9)
+    assert(uUnion.size == 2, "capped U must emit an outer ring and a hole ring")
+
+    // boundary-degenerate input is GATED (None), the documented contract
+    val sq = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    assert(overlayIntersection(sq, sq).isEmpty)
+    assert(overlayIntersection(sq,
+      Seq((4.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0))).isEmpty) // shared edge
+    assert(overlayUnion(sq,
+      Seq((4.0, 4.0), (8.0, 4.0), (8.0, 8.0), (4.0, 8.0))).isEmpty) // shared vertex
+
+    // corpus: every non-degenerate pair must produce output whose area
+    // matches the independent exact area tier
+    var produced = 0
+    val pairs = corpus.take(60).map { case (x, y) => (x, y) } ++
+      (1 to 30).map { _ =>
+        (randomStar(0, 0, 3, 10, 14),
+          randomStar(rng.nextDouble() * 12 - 6, rng.nextDouble() * 12 - 6, 2, 8, 12))
+      }
+    pairs.foreach { case (x, y) =>
+      if (x.size >= 3 && y.size >= 3) {
+        val expectedI = intersectionArea(Seq(x), Seq(y))
+        val expectedU = unionArea(Seq(x), Seq(y))
+        val scale = math.max(1.0, math.max(ringArea(x), ringArea(y)))
+        (overlayIntersection(x, y), overlayUnion(x, y)) match {
+          case (Some(ip), Some(up)) =>
+            produced += 1
+            assert(math.abs(piecesAbsArea(ip) - expectedI) / scale < 1e-6,
+              s"intersection overlay area=${piecesAbsArea(ip)} expected=$expectedI\nA=$x\nB=$y")
+            assert(math.abs(math.abs(piecesSignedArea(up)) - expectedU) / scale < 1e-6,
+              s"union overlay area=${piecesSignedArea(up)} expected=$expectedU\nA=$x\nB=$y")
+          case _ => // gated (degenerate boundary contact) — allowed but rare
+        }
+      }
+    }
+    assert(produced > 70, s"overlay produced output for only $produced pairs")
+  }
+
   test("linestring and multipolygon kinds: lengths, distances, containment") {
     import GeometryOps._
     // multipolygon = disjoint parts; area sums, containment is any-part

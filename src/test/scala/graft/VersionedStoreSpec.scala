@@ -168,4 +168,50 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.currentEpoch == threads * perThread) // every commit got its own epoch
     assert(st.read("v").count() == threads * perThread)
   }
+
+  test("layout versioning: stamp on open, refuse mismatches, migrate legacy flat stores") {
+    // a fresh store stamps the current layout
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "vstore-layout")
+    new VersionedStore(spark, dir.toString)
+    assert(Files.readString(dir.resolve("_layout_version")).trim.toInt ==
+      VersionedStore.LayoutVersion)
+    // a mismatched stamp refuses to open
+    Files.writeString(dir.resolve("_layout_version"), "1")
+    intercept[IllegalStateException] { new VersionedStore(spark, dir.toString) }
+
+    // build a LEGACY v1 fixture: flat per-label parquet version tables
+    // (no epoch partition dirs), with a multi-epoch history including
+    // an update and a tombstone, plus the legacy pointer file
+    val legacy = Files.createTempDirectory(java.nio.file.Paths.get("target"), "vstore-v1")
+    Seq(
+      (1L, 1L, false, "alice", 1L), (2L, 1L, false, "bob", 1L),
+      (1L, 2L, false, "alicia", 2L), // update in epoch 2
+      (2L, 2L, true, "bob", 3L))     // delete in epoch 3
+      .toDF("id", "rev", "deleted", "name", "commit_epoch")
+      .coalesce(1).write.parquet(s"$legacy/v")
+    Seq((7L, 1L, false, 9.5)).toDF("id", "rev", "deleted", "w")
+      .coalesce(1).write.parquet(s"$legacy/e")
+    Files.writeString(legacy.resolve("_epoch"), "3")
+    // an unstamped flat store refuses a direct open...
+    intercept[IllegalStateException] { new VersionedStore(spark, legacy.toString) }
+    // ...and migrates by replay into a fresh v2 store
+    val dest = Files.createTempDirectory(java.nio.file.Paths.get("target"), "vstore-v2")
+    val migrated = VersionedStore.migrateStore(spark, legacy.toString, dest.toString)
+    assert(migrated.currentEpoch == 3)
+    // read() converges: latest live state only
+    assert(migrated.read("v").select("id", "name").as[(Long, String)].collect().toMap ==
+      Map(1L -> "alicia"))
+    assert(migrated.read("e").count() == 1)
+    // history() keeps every version at its original epoch; asOf resolves
+    assert(migrated.history("v").count() == 4)
+    assert(migrated.read("v", asOf = Some(1L)).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    assert(migrated.read("v", asOf = Some(2L)).select("name").as[String].collect().toSet ==
+      Set("alicia", "bob"))
+    // the migrated store is stamped and re-opens cleanly; new commits apply
+    val reopened = new VersionedStore(spark, dest.toString)
+    val e4 = reopened.commit(Map("v" ->
+      Seq((3L, 1L, false, "carol")).toDF("id", "rev", "deleted", "name")))
+    assert(e4 == 4 && reopened.read("v").count() == 2)
+  }
 }
