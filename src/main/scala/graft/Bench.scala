@@ -30,6 +30,26 @@ object Bench {
     "q61_sessionize",
     "q64_asof_join")
 
+  /** Fixed CPU-bound probe whose cost is independent of the query set:
+    * a long-range sum through whole-stage codegen. Run before and after
+    * the query loop, it calibrates how loaded the machine was during
+    * the measurement — a probe far above its quiet-machine floor means
+    * the per-query numbers are contention-inflated and should be
+    * normalized by the probe ratio rather than re-adjudicated.
+    */
+  def calibrationProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(500000000L).selectExpr("sum(id)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 1-minute load average from /proc/loadavg (NaN if unreadable). */
+  def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => Double.NaN }
+
   def main(args: Array[String]): Unit = {
     def intEnv(name: String, default: Int, min: Int): Int = {
       val raw = sys.env.getOrElse(name, default.toString)
@@ -59,7 +79,9 @@ object Bench {
         case Some(ps) => n => ps.split(',').exists(n.startsWith)
         case None => _ => true
       }
-    val warmRuns = intEnv("SPARK_GRAFT_BENCH_RUNS", 3, 1)
+    val warmRuns = intEnv("SPARK_GRAFT_BENCH_RUNS", 5, 1)
+    val loadBefore = loadAvg()
+    val probeBefore = calibrationProbe(spark)
     val results = headline.filter(only).map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -67,13 +89,21 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> (try { once(); Seq.fill(warmRuns)(once()).min }
-        catch { case _: Throwable => -1.0 })
+      name -> (try {
+        once() // warm-up run discarded
+        val runs = Seq.fill(warmRuns)(once()).sorted
+        (runs.head, runs(runs.size / 2))
+      } catch { case _: Throwable => (-1.0, -1.0) })
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val probeAfter = calibrationProbe(spark)
+    val loadAfter = loadAvg()
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + f"\":$mn%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val med = results.map { case (k, (_, md)) => "\"" + k + f"\":$md%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val cal = f""""calibration":{"probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"runs_per_query":$warmRuns}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir",$cal}""")
     spark.stop()
   }
 }

@@ -55,29 +55,38 @@ object CatalogPipeline {
   private def hav(lon0: Double, lat0: Double): String =
     haversineSql.replace("LAT0", lat0.toString).replace("LON0", lon0.toString)
 
+  /** Written cell-partitioned customer store (SpatialOps.ensureCellStore,
+    * build-if-absent): q40/q41/q42 probes are partition-pruned reads of
+    * the covering cells' directories — the at-scale path, same move as
+    * the ANN stores (SpatialStoreSpec pins the PartitionFilters).
+    */
+  private val custStorePrecision = 2
+  private def custStore(s: SparkSession, d: String): DataFrame =
+    SpatialOps.ensureCellStore(
+      withCoords(Tpch.graph(s, d).vertexFrame("customer"))
+        .select(col("id"), col("lon"), col("lat")),
+      "lon", "lat", d, "customer", custStorePrecision)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- 2.8 spatial ---------------------------------------------------
     QueryDef("q40_spatial_bbox",
-      (s, d) => SpatialOps.withinBBox(
-        withCoords(Tpch.graph(s, d).vertexFrame("customer")),
-        "lon", "lat", Geohash.BBox(-60, -40, 60, 40), precision = 2)
+      (s, d) => SpatialOps.withinBBoxStored(custStore(s, d), custStorePrecision,
+        "lon", "lat", Geohash.BBox(-60, -40, 60, 40))
         .select(col("id"), col("lon"), col("lat")).orderBy("id"),
       Some(s"""SELECT id, lon, lat FROM ($coordsSql)
               |WHERE lon BETWEEN -60 AND 60 AND lat BETWEEN -40 AND 40 ORDER BY id""".stripMargin)),
 
     QueryDef("q41_spatial_knn",
-      (s, d) => SpatialOps.nearestK(
-        withCoords(Tpch.graph(s, d).vertexFrame("customer")),
+      (s, d) => SpatialOps.nearestKStored(custStore(s, d), custStorePrecision,
         "lon", "lat", "id", lon = 10.0, lat = 20.0, k = 15)
         .select(col("id"), col("dist_m")),
       Some(s"""SELECT id, round(${hav(10.0, 20.0)}, 3) AS dist_m FROM ($coordsSql)
               |ORDER BY dist_m, id LIMIT 15""".stripMargin)),
 
     QueryDef("q42_spatial_radius",
-      (s, d) => SpatialOps.near(
-        withCoords(Tpch.graph(s, d).vertexFrame("customer")),
-        "lon", "lat", lon = 0.0, lat = 0.0, radiusM = 3000000.0, precision = 2)
+      (s, d) => SpatialOps.nearStored(custStore(s, d), custStorePrecision,
+        "lon", "lat", lon = 0.0, lat = 0.0, radiusM = 3000000.0)
         .select(col("id"), round(col("dist_m"), 3).as("dist_m")).orderBy("id"),
       Some(s"""SELECT id, round(${hav(0.0, 0.0)}, 3) AS dist_m FROM ($coordsSql)
               |WHERE ${hav(0.0, 0.0)} <= 3000000.0 ORDER BY id""".stripMargin)),

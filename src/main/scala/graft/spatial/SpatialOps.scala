@@ -92,23 +92,48 @@ object SpatialOps {
     * just the documented worst case. At 100 TB each probe reads only
     * the covering cells' files (cell `isin` → partition/stats pruning)
     * instead of the whole table.
+    *
+    * Job budget: one probe job counts candidates for FOUR doubling
+    * rings at once (a single aggregate over the widest ring's pruned
+    * candidates — per-ring counts are conditional sums), so the typical
+    * query is 2 jobs total (probe + the consumer's TakeOrdered) instead
+    * of one count job per radius plus the final ordering.
     */
   def nearestK(df: DataFrame, lonCol: String, latCol: String, idCol: String,
       lon: Double, lat: Double, k: Int,
       initRadiusM: Double = 100000.0, maxRadiusM: Double = 1.0e7,
-      precision: Int = 5): DataFrame = {
+      precision: Int = 5): DataFrame =
+    nearestKImpl(r => near(df, lonCol, latCol, lon, lat, r, precision),
+      df.withColumn("dist_m",
+        haversineM(col(lonCol), col(latCol), lit(lon), lit(lat))),
+      idCol, k, initRadiusM, maxRadiusM)
+
+  /** Shared expanding-ring driver: `nearFn(r)` yields candidates with a
+    * `dist_m` column for radius r; `fullScan` is the past-maxRadius
+    * fallback (already carrying `dist_m`). Returns the LAZY ordered
+    * plan over the winning ring, so the cell-pruning predicate stays
+    * visible in the consumer's executed plan.
+    */
+  private def nearestKImpl(nearFn: Double => DataFrame, fullScan: => DataFrame,
+      idCol: String, k: Int, initRadiusM: Double, maxRadiusM: Double): DataFrame = {
     def ordered(cand: DataFrame): DataFrame =
       cand.withColumn("dist_m", round(col("dist_m"), 3))
         .orderBy(col("dist_m").asc, col(idCol).asc)
         .limit(k)
-    var radius = initRadiusM
-    while (radius <= maxRadiusM) {
-      val cand = near(df, lonCol, latCol, lon, lat, radius, precision)
-      if (cand.limit(k).count() >= k) return ordered(cand)
-      radius *= 2
+    val ringsPerProbe = 4
+    var lo = initRadiusM
+    while (lo <= maxRadiusM) {
+      val radii = Iterator.iterate(lo)(_ * 2)
+        .take(ringsPerProbe).takeWhile(_ <= maxRadiusM).toSeq
+      val counts = nearFn(radii.last).select(radii.zipWithIndex.map { case (r, i) =>
+        sum(when(col("dist_m") <= r, 1L).otherwise(0L)).as(s"c$i")
+      }: _*).head()
+      radii.indices.find(i => !counts.isNullAt(i) && counts.getLong(i) >= k) match {
+        case Some(i) => return ordered(nearFn(radii(i)))
+        case None => lo = radii.last * 2
+      }
     }
-    ordered(df.withColumn("dist_m",
-      haversineM(col(lonCol), col(latCol), lit(lon), lit(lat))))
+    ordered(fullScan)
   }
 
   /** Point-in-polygon refine — a codegen'd Catalyst expression, not a
@@ -158,4 +183,105 @@ object SpatialOps {
     keyed.repartitionByRange(numPartitions, col("zkey"))
       .sortWithinPartitions("zkey")
   }
+
+  // --- written-artifact spatial store: the at-scale probe path ---------
+  //
+  // The probes above filter on a COMPUTED cell column — correct at any
+  // scale, but every probe still scans the table to evaluate the
+  // geohash. At 100 TB the store IS the index (the same move as the
+  // written ANN stores): the frame is written ONCE as parquet
+  // partitioned by `cell`, and a probe becomes a partition-pruned read
+  // of just the covering cells' directories — `PartitionFilters` in the
+  // plan; nothing else is listed, opened, or read. This is the columnar
+  // analog of the reference's cell-keyed skip list
+  // (spatial-index.lisp:79-110).
+
+  /** Root for materialized spatial stores (shared with the ANN stores;
+    * override via SPARK_GRAFT_STORE_DIR for tests).
+    */
+  def storeRoot: String = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+    s"${System.getProperty("java.io.tmpdir")}/graft-annstore")
+
+  def cellStorePath(sfDir: String, name: String, precision: Int): String =
+    s"$storeRoot/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}/cells_${name}_p$precision"
+
+  private val buildLock = new Object
+
+  /** Per-session cache of opened stores: partition discovery lists
+    * every cell directory, and re-listing per probe would dominate
+    * probe latency (at scale this caching is the catalog/metastore's
+    * job). DataFrames are lazy and immutable, so sharing is safe.
+    */
+  private val storeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Materialize a frame partitioned by its geohash `cell` at
+    * `precision` — build-if-absent, idempotent per (data, name,
+    * precision) path. Returns the store read back (the `cell` column is
+    * the partition column, so covering-cell filters prune at file
+    * listing time).
+    */
+  def ensureCellStore(df: => DataFrame, lonCol: String, latCol: String,
+      sfDir: String, name: String, precision: Int): DataFrame = {
+    val path = cellStorePath(sfDir, name, precision)
+    if (!new java.io.File(path, "_SUCCESS").exists()) buildLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        withCell(df, lonCol, latCol, precision)
+          .write.partitionBy("cell").mode("overwrite").parquet(path)
+        storeCache.clear() // a rebuild invalidates cached listings
+      }
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    storeCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$path",
+      spark.read.parquet(path))
+  }
+
+  /** Covering-cell predicate against a store written at
+    * `storePrecision`: when [[Geohash.covering]] auto-drops to a
+    * coarser precision, the filter matches on the cell PREFIX — still a
+    * deterministic partition-column predicate, so it prunes directory
+    * listing either way.
+    */
+  def storedCellFilter(box: Geohash.BBox, storePrecision: Int): Column = {
+    val cells = Geohash.covering(box, storePrecision)
+    val p = cells.head.length
+    if (p == storePrecision) col("cell").isin(cells: _*)
+    else substring(col("cell"), 1, p).isin(cells: _*)
+  }
+
+  /** [[withinBBox]] over a written cell store: partition-pruned read +
+    * exact refine. Results are identical to the computed-cell path.
+    */
+  def withinBBoxStored(store: DataFrame, storePrecision: Int,
+      lonCol: String, latCol: String, box: Geohash.BBox): DataFrame =
+    store.filter(storedCellFilter(box, storePrecision))
+      .filter(col(lonCol) >= box.minLon && col(lonCol) <= box.maxLon &&
+        col(latCol) >= box.minLat && col(latCol) <= box.maxLat)
+
+  /** [[near]] over a written cell store. */
+  def nearStored(store: DataFrame, storePrecision: Int,
+      lonCol: String, latCol: String,
+      lon: Double, lat: Double, radiusM: Double): DataFrame = {
+    val dLat = radiusM / 111320.0
+    val dLon = radiusM / (111320.0 * math.max(0.01, math.cos(math.toRadians(lat))))
+    val box = Geohash.BBox(
+      math.max(-180, lon - dLon), math.max(-90, lat - dLat),
+      math.min(180, lon + dLon), math.min(90, lat + dLat))
+    store.filter(storedCellFilter(box, storePrecision))
+      .withColumn("dist_m", haversineM(col(lonCol), col(latCol), lit(lon), lit(lat)))
+      .filter(col("dist_m") <= radiusM)
+  }
+
+  /** [[nearestK]] over a written cell store: the same expanding-ring
+    * driver, every probe a partition-pruned read.
+    */
+  def nearestKStored(store: DataFrame, storePrecision: Int,
+      lonCol: String, latCol: String, idCol: String,
+      lon: Double, lat: Double, k: Int,
+      initRadiusM: Double = 100000.0, maxRadiusM: Double = 1.0e7): DataFrame =
+    nearestKImpl(
+      r => nearStored(store, storePrecision, lonCol, latCol, lon, lat, r),
+      store.withColumn("dist_m",
+        haversineM(col(lonCol), col(latCol), lit(lon), lit(lat))),
+      idCol, k, initRadiusM, maxRadiusM)
 }

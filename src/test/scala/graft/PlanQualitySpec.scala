@@ -45,13 +45,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("q41 kNN is cell-pruned: the plan carries the geohash-cell isin filter") {
-    // the expanding-radius probe (SpatialOps.nearestK) must return a
-    // plan built on `near`'s cell-pruned candidates, not the full-scan
-    // fallback: the candidate filter is `geohash_encode(...) IN (cells)`
+  test("q41 kNN is cell-pruned: the probe partition-prunes the written cell store") {
+    // the expanding-ring probe (SpatialOps.nearestKStored) must return
+    // a plan over the winning ring's covering cells of the written
+    // store, not the full-scan fallback: the cell predicate is a
+    // PARTITION filter (cell is the store's partition column), so only
+    // the covering directories are listed and read
     val s = executedString(q("q41_spatial_knn"))
-    assert(s.contains("geohash_encode"),
-      s"q41 plan has no geohash cell filter (full-scan fallback?):\n$s")
+    assert(s.contains("PartitionFilters: ["), s"q41 plan has no partition filters:\n$s")
+    assert(!s.contains("PartitionFilters: []"),
+      s"q41 partition filter list is EMPTY — probe reads the whole store:\n$s")
+    assert(s.contains("cell"), s"cell not in the partition filter:\n$s")
     // Catalyst prints a large In as INSET, a small one as IN (...)
     assert(s.contains("INSET") || s.contains(" IN ("),
       s"q41 plan has no cell membership filter:\n$s")
