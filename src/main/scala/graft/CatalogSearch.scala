@@ -142,5 +142,26 @@ object CatalogSearch {
              |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS INT) AS px_r,
              |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 3) % 256 END AS INT) AS px_g,
              |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS INT) AS px_b
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    QueryDef("q92_audio_decode",
+      // REAL audio codec roundtrip (the q90 pattern for sound):
+      // deterministic 16-bit PCM WAV bytes per doc_id
+      // (Multimodal.attachAudio, javax.sound.sampled encode), decoded
+      // back with javax.sound.sampled — true header sample rate, frame
+      // length, channel count, and the PCM RMS. The synth signal is
+      // constant-amplitude, so RMS equals the amplitude exactly; the
+      // oracle restates the generator arithmetic, and only a real
+      // decode of the actual bytes can match it.
+      (s, d) => {
+        val media = Multimodal.attachAudio(Tpch.table(s, d, "documents"), "doc_id")
+        Multimodal.decodeAudioMedia(media).orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |    WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+             |  CAST(400 + (doc_id * 11) % 800 AS BIGINT) AS n_frames,
+             |  CAST(1 + doc_id % 2 AS INT) AS channels,
+             |  CAST((doc_id * 5) % 16384 AS BIGINT) AS rms
              |FROM documents ORDER BY media_id""".stripMargin)))
 }

@@ -129,6 +129,105 @@ object Multimodal {
     }(enc)
   }
 
+  // --- audio: REAL WAV/PCM codec via javax.sound.sampled (JDK) --------
+
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("rms", LongType, nullable = false)))
+
+  /** Deterministic audio parameters for the synthetic corpus — the q92
+    * oracle contract (the DuckDB side restates exactly this
+    * arithmetic): sample rate from a fixed 4-rate set, frame count and
+    * channel count from the id, and a CONSTANT sample amplitude so the
+    * decoded RMS equals the amplitude exactly (integer-exact: RMS of a
+    * constant signal is that constant).
+    */
+  def synthAudioParams(id: Long): (Int, Long, Int, Int) = {
+    val rate = (id % 4) match {
+      case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+    }
+    (rate, 400L + (id * 11) % 800, 1 + (id % 2).toInt, ((id * 5) % 16384).toInt)
+  }
+
+  /** Encode one deterministic 16-bit signed little-endian PCM WAV.
+    * Runs on executors inside [[attachAudio]]'s partition loop.
+    */
+  def synthWavBytes(id: Long): Array[Byte] = {
+    val (rate, frames, channels, amp) = synthAudioParams(id)
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+      true, false) // signed, little-endian
+    val pcm = new Array[Byte]((frames * channels * 2).toInt)
+    var i = 0
+    while (i < pcm.length) {
+      pcm(i) = (amp & 0xff).toByte
+      pcm(i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 2
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Build a REAL audio media column from an id source (the audio
+    * analog of [[attachMedia]]).
+    */
+  def attachAudio(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        Row(id, synthWavBytes(id), "wav")
+      }
+    }(enc)
+  }
+
+  /** Real audio decode for one WAV payload: true header sample rate /
+    * channel count / frame length from the parsed format, plus the RMS
+    * of the 16-bit PCM samples (rounded to a long; exact for the
+    * constant-amplitude synth corpus).
+    */
+  def decodeAudio(bytes: Array[Byte]): (Int, Long, Int, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16, "expected 16-bit PCM")
+      val frames = ais.getFrameLength
+      val pcm = ais.readAllBytes()
+      var sumSq = 0.0
+      var n = 0L
+      var i = 0
+      val le = !fmt.isBigEndian
+      while (i + 1 < pcm.length) {
+        val v = if (le) ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+                else ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+        sumSq += v.toDouble * v.toDouble
+        n += 1
+        i += 2
+      }
+      val rms = if (n == 0) 0L else math.round(math.sqrt(sumSq / n))
+      (fmt.getSampleRate.toInt, frames, fmt.getChannels, rms)
+    } finally ais.close()
+  }
+
+  /** Partition-batched audio decode (same shape as [[decodeMedia]]). */
+  def decodeAudioMedia(media: DataFrame, partitions: Int = 0): DataFrame = {
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedAudioSchema)
+    src.select("media_id", "bytes", "format").mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, frames, ch, rms) = decodeAudio(r.get(1).asInstanceOf[Array[Byte]])
+        Row(r.getLong(0), rate, frames, ch, rms)
+      }
+    }(enc)
+  }
+
   /** Metadata-only resize planning (no pixel work): target box fit,
     * preserving aspect ratio — the cheap pre-pass that decides which
     * media even need decoding at full size.

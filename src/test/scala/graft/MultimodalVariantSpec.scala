@@ -53,6 +53,23 @@ class MultimodalVariantSpec extends SparkSpec {
     }
   }
 
+  test("audio decode reads real WAV bytes: rate/frames/channels/RMS roundtrip") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val decoded = Multimodal.decodeAudioMedia(
+        Multimodal.attachAudio(docs, "doc_id"), partitions = 8)
+      .orderBy("media_id").collect()
+    assert(decoded.length == docs.count())
+    decoded.foreach { row =>
+      val id = row.getAs[Long]("media_id")
+      val (rate, frames, channels, amp) = Multimodal.synthAudioParams(id)
+      assert(row.getAs[Int]("sample_rate") == rate, s"rate mismatch for $id")
+      assert(row.getAs[Long]("n_frames") == frames, s"frames mismatch for $id")
+      assert(row.getAs[Int]("channels") == channels, s"channels mismatch for $id")
+      // constant-amplitude signal: RMS is the amplitude, exactly
+      assert(row.getAs[Long]("rms") == amp.toLong, s"rms mismatch for $id")
+    }
+  }
+
   test("png gets alpha channel; resize plan preserves aspect and caps dims") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val media = Multimodal.attachMedia(docs, "doc_id")
