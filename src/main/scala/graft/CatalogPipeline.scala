@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -377,6 +377,73 @@ object CatalogPipeline {
              |SELECT nid, count(*) AS n_inside
              |FROM n JOIN c ON abs(c.lon - n.cx) + abs(c.lat - n.cy) < 20.25
              |GROUP BY 1 ORDER BY nid""".stripMargin)),
+
+    QueryDef("q91_overlay_area",
+      // constructive overlay OUTPUT on stored polygon pairs: per-nation
+      // holed rectangle (outer + hole, stored as array<array<double>>
+      // rings like q78) overlaid with a shifted solid rectangle whose
+      // placement cycles through every degenerate contact class —
+      // collinear outer edges (id%5=0), collinear hole edges (id%5∈
+      // {2,3}), shared bottom edge (id%4=0), shared corners (id%20=0) —
+      // plus plain proper crossings. The engine runs the robust
+      // arrangement overlay (GeometryOps.overlay) and reports the
+      // SIGNED ring-area sum of the intersection/union/difference
+      // geometry; the oracle restates the axis-aligned inclusion-
+      // exclusion arithmetic (hole ⊂ outer, so A∩B = outer∩B − hole∩B),
+      // integer-exact in both engines
+      (s, d) => {
+        import graft.spatial.GeometryOps
+        val overlayAreaUdf = udf((ra: Seq[Seq[Double]], rb: Seq[Seq[Double]], op: String) => {
+          def rings(rs: Seq[Seq[Double]]): Seq[GeometryOps.Ring] =
+            rs.map(fl => fl.grouped(2).map(p => (p(0), p(1))).toSeq)
+          val o: GeometryOps.OverlayOp = op match {
+            case "inter" => GeometryOps.OpIntersection
+            case "union" => GeometryOps.OpUnion
+            case _ => GeometryOps.OpDifference
+          }
+          GeometryOps.overlayArea(GeometryOps.overlay(rings(ra), rings(rb), o))
+        })
+        def rect(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+          array(x1, y1, x2, y1, x2, y2, x1, y2)
+        val n = Tpch.graph(s, d).vertexFrame("nation")
+          .select(col("id").as("nid"),
+            (col("id") * 12 - 144).cast("double").as("cx"),
+            (col("id") * 6 - 72).cast("double").as("cy"),
+            when(col("id") % 5 === 0, -2.0).when(col("id") % 5 === 1, 0.0)
+              .when(col("id") % 5 === 2, 2.0).when(col("id") % 5 === 3, 6.0)
+              .otherwise(12.0).as("sx"),
+            when(col("id") % 4 === 0, -2.0).when(col("id") % 4 === 1, 0.0)
+              .when(col("id") % 4 === 2, 2.0).otherwise(8.0).as("ty"))
+          .withColumn("rings_a", array(
+            rect(col("cx") - 10, col("cy") - 10, col("cx") + 10, col("cy") + 10),
+            rect(col("cx") - 6, col("cy") - 6, col("cx") - 2, col("cy") - 2)))
+          .withColumn("rings_b", array(
+            rect(col("cx") + col("sx") - 8, col("cy") + col("ty") - 8,
+              col("cx") + col("sx") + 8, col("cy") + col("ty") + 8)))
+        n.select(col("nid"),
+          round(overlayAreaUdf(col("rings_a"), col("rings_b"), lit("inter")), 6).as("inter_area"),
+          round(overlayAreaUdf(col("rings_a"), col("rings_b"), lit("union")), 6).as("union_area"),
+          round(overlayAreaUdf(col("rings_a"), col("rings_b"), lit("diff")), 6).as("diff_area"))
+          .orderBy("nid")
+      },
+      Some("""WITH n AS (SELECT n_nationkey AS nid,
+             |    CAST(n_nationkey*12 - 144 AS DOUBLE) AS cx,
+             |    CAST(n_nationkey*6 - 72 AS DOUBLE) AS cy,
+             |    CAST(CASE n_nationkey%5 WHEN 0 THEN -2 WHEN 1 THEN 0 WHEN 2 THEN 2
+             |      WHEN 3 THEN 6 ELSE 12 END AS DOUBLE) AS sx,
+             |    CAST(CASE n_nationkey%4 WHEN 0 THEN -2 WHEN 1 THEN 0 WHEN 2 THEN 2
+             |      ELSE 8 END AS DOUBLE) AS ty
+             |  FROM nation),
+             |r AS (SELECT nid,
+             |    greatest(0, least(cx+10, cx+sx+8) - greatest(cx-10, cx+sx-8)) *
+             |    greatest(0, least(cy+10, cy+ty+8) - greatest(cy-10, cy+ty-8)) AS i_outer,
+             |    greatest(0, least(cx-2, cx+sx+8) - greatest(cx-6, cx+sx-8)) *
+             |    greatest(0, least(cy-2, cy+ty+8) - greatest(cy-6, cy+ty-8)) AS i_hole
+             |  FROM n)
+             |SELECT nid, round(i_outer - i_hole, 6) AS inter_area,
+             |  round(384 + 256 - (i_outer - i_hole), 6) AS union_area,
+             |  round(384 - (i_outer - i_hole), 6) AS diff_area
+             |FROM r ORDER BY nid""".stripMargin)),
 
     QueryDef("q57_simhash",
       // simhash with the 60-bit md5 token hasher (hasher is pluggable;

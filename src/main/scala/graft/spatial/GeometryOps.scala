@@ -13,11 +13,12 @@ package graft.spatial
   * triangulation + signed pairwise convex clips ([[intersectionArea]])
   * — what the reference's query surface consumes (geometry-ops.lisp
   * composes GEOS intersection with area). The overlay GEOMETRY itself
-  * is emitted by a Greiner–Hormann clipper ([[overlayIntersection]] /
-  * [[overlayUnion]]) for hole-free simple polygons with
-  * proper-crossing boundaries; boundary-degenerate contact, holes-in,
-  * and buffer stay gated (None), like the reference without its GEOS
-  * FFI add-on.
+  * comes from two tiers: a Greiner–Hormann clipper for the common
+  * hole-free proper-crossing case, and a robust planar-arrangement
+  * overlay ([[overlay]]) for everything it can't order — holes,
+  * shared vertices, vertex-on-edge contact, collinear overlap —
+  * plus an arc-sampled [[buffer]]. Together they cover the
+  * reference's optional GEOS FFI tier in pure Scala.
   *
   * Scale shape: these are driver-usable pure functions AND UDF-able
   * per-row predicates; the intended plan is always cell/bbox pruning
@@ -377,19 +378,26 @@ object GeometryOps {
     a.exists(p => pointOnRing(p._1, p._2, b)) ||
       b.exists(p => pointOnRing(p._1, p._2, a))
 
-  /** Intersection geometry of two hole-free simple polygons: disjoint
-    * simple rings whose summed area equals [[intersectionArea]]. None
-    * when the configuration is gated (degenerate boundary contact).
+  /** Intersection geometry of two simple polygons' outer rings:
+    * disjoint simple rings whose SIGNED area sum equals
+    * [[intersectionArea]] (region rings CCW, hole rings CW).
+    * Proper-crossing configurations take the Greiner–Hormann fast
+    * path; boundary-degenerate contact (shared vertices,
+    * vertex-on-edge, collinear overlap) falls back to the robust
+    * arrangement overlay ([[overlay]]).
     */
-  def overlayIntersection(a: Ring, b: Ring): Option[Seq[Ring]] =
+  def overlayIntersection(a: Ring, b: Ring): Seq[Ring] =
     ghOverlay(a, b, union = false)
+      .getOrElse(overlay(Seq(a), Seq(b), OpIntersection))
 
-  /** Union geometry of two hole-free simple polygons: boundary rings
-    * with holes emitted in opposite orientation, so the SIGNED area sum
-    * equals [[unionArea]]. None when gated.
+  /** Union geometry of two simple polygons' outer rings: boundary
+    * rings with holes emitted in opposite orientation, so the SIGNED
+    * area sum equals [[unionArea]]. Same GH-fast-path / robust-fallback
+    * split as [[overlayIntersection]].
     */
-  def overlayUnion(a: Ring, b: Ring): Option[Seq[Ring]] =
+  def overlayUnion(a: Ring, b: Ring): Seq[Ring] =
     ghOverlay(a, b, union = true)
+      .getOrElse(overlay(Seq(a), Seq(b), OpUnion))
 
   private def ghOverlay(a0: Ring, b0: Ring, union: Boolean): Option[Seq[Ring]] = {
     val a = ghNormalize(a0); val b = ghNormalize(b0)
@@ -517,6 +525,237 @@ object GeometryOps {
     if (tris.isEmpty) return r.head
     val t = tris.maxBy(ringArea)
     ((t(0)._1 + t(1)._1 + t(2)._1) / 3, (t(0)._2 + t(1)._2 + t(2)._2) / 3)
+  }
+
+  // --- robust overlay OUTPUT: planar-arrangement boolean ops ----------
+  //
+  // The general overlay (the reference's geos:intersection/union/
+  // difference returning polygons, geometry-ops.lisp:141-190) for
+  // ARBITRARY simple polygons with holes, including every boundary-
+  // degenerate configuration the GH clipper gates: shared vertices,
+  // vertex-on-edge contact, collinear edge overlap, and identical
+  // rings. Classic arrangement construction (the same subdivision
+  // Martinez–Rueda sweeps; done here by direct pairwise splitting —
+  // geometry ops run on pruned candidates, never as a scan stage, so
+  // O(edges²) is the right trade for robustness):
+  //   1. split every input edge at every crossing and at every other
+  //      edge's endpoint lying in its interior, so edges meet only at
+  //      shared endpoints;
+  //   2. dedup coincident sub-edges (collinear overlaps collapse);
+  //   3. keep a sub-edge iff the op's result set (membership by
+  //      even-odd parity per source ring set) differs across its two
+  //      sides, oriented with the result interior on the LEFT;
+  //   4. stitch kept edges into rings by the next-clockwise-edge face
+  //      walk: region boundaries come out CCW, holes CW, so the SIGNED
+  //      area sum equals the exact boolean area tier.
+
+  sealed trait OverlayOp
+  case object OpIntersection extends OverlayOp
+  case object OpUnion extends OverlayOp
+  case object OpDifference extends OverlayOp
+
+  /** Signed area sum of an overlay output (region rings CCW positive,
+    * hole rings CW negative) — the scalar the exact area tier states.
+    */
+  def overlayArea(rings: Seq[Ring]): Double = rings.map(signedArea).sum
+
+  /** Robust boolean overlay of two polygons (or ring SETS under
+    * even-odd membership — a multipolygon flattens to one set).
+    * Returns disjoint simple rings: CCW = result region boundary,
+    * CW = hole boundary; see [[overlayArea]].
+    */
+  def overlay(aRings0: Seq[Ring], bRings0: Seq[Ring], op: OverlayOp): Seq[Ring] = {
+    def clean(r: Ring): Ring = {
+      var v = r
+      if (v.size > 1 && v.head == v.last) v = v.init
+      v.foldLeft(Vector.empty[(Double, Double)]) {
+        case (acc, p) if acc.nonEmpty && acc.last == p => acc
+        case (acc, p) => acc :+ p
+      }
+    }
+    val aRings = aRings0.map(clean).filter(_.size >= 3)
+    val bRings = bRings0.map(clean).filter(_.size >= 3)
+    if (aRings.isEmpty && bRings.isEmpty) return Seq.empty
+
+    val allPts = (aRings ++ bRings).flatten
+    val scale = math.max(1.0,
+      allPts.iterator.map(p => math.max(math.abs(p._1), math.abs(p._2))).max)
+    // crossing points computed from different edge pairs through the
+    // same geometric point differ in the last few ulps; snapping to a
+    // POWER-OF-TWO grid (~1e-12·scale) merges them without perturbing
+    // on-grid inputs (integers and dyadic fractions stay exact)
+    val gridBits = math.max(1, 40 - math.ceil(math.log(scale) / math.log(2)).toInt)
+    val grid = math.pow(2, gridBits)
+    def snap(p: (Double, Double)): (Double, Double) =
+      (math.rint(p._1 * grid) / grid, math.rint(p._2 * grid) / grid)
+
+    final case class Seg(a: (Double, Double), b: (Double, Double))
+    val segs: IndexedSeq[Seg] =
+      (aRings ++ bRings).flatMap(r => ringEdges(r).map { case (p, q) => Seg(p, q) })
+        .toIndexedSeq
+    val splits = Array.fill(segs.size)(
+      scala.collection.mutable.ArrayBuffer.empty[(Double, Double)])
+
+    // interior-of-segment test for an exact endpoint of another edge
+    def onInterior(s: Seg, p: (Double, Double)): Boolean =
+      p != s.a && p != s.b &&
+        orient(s.a._1, s.a._2, s.b._1, s.b._2, p._1, p._2) == 0 &&
+        onSegment(s.a._1, s.a._2, s.b._1, s.b._2, p._1, p._2)
+
+    var i = 0
+    while (i < segs.size) {
+      val si = segs(i)
+      var j = i + 1
+      while (j < segs.size) {
+        val sj = segs(j)
+        val dx = si.b._1 - si.a._1; val dy = si.b._2 - si.a._2
+        val ex = sj.b._1 - sj.a._1; val ey = sj.b._2 - sj.a._2
+        val fx = sj.a._1 - si.a._1; val fy = sj.a._2 - si.a._2
+        val denom = dx * ey - dy * ex
+        if (denom != 0) {
+          val s = (fx * ey - fy * ex) / denom
+          val t = (fx * dy - fy * dx) / denom
+          if (s > 0 && s < 1 && t > 0 && t < 1) {
+            val pt = snap((si.a._1 + s * dx, si.a._2 + s * dy))
+            splits(i) += pt; splits(j) += pt
+          }
+        }
+        if (onInterior(si, sj.a)) splits(i) += sj.a
+        if (onInterior(si, sj.b)) splits(i) += sj.b
+        if (onInterior(sj, si.a)) splits(j) += si.a
+        if (onInterior(sj, si.b)) splits(j) += si.b
+        j += 1
+      }
+      i += 1
+    }
+
+    // sub-edges, deduped as undirected point pairs
+    def param(s: Seg, p: (Double, Double)): Double = {
+      val dx = s.b._1 - s.a._1; val dy = s.b._2 - s.a._2
+      if (math.abs(dx) >= math.abs(dy)) (p._1 - s.a._1) / dx else (p._2 - s.a._2) / dy
+    }
+    val minLen = scale * 1e-12
+    val pieces = scala.collection.mutable.LinkedHashSet
+      .empty[((Double, Double), (Double, Double))]
+    segs.indices.foreach { k =>
+      val s = segs(k)
+      // endpoints snap too: tangency contacts (e.g. an arc vertex vs an
+      // offset-rectangle corner) can differ by a few ulps — below the
+      // grid they merge into one node instead of a dropped micro-piece
+      val pts = (Vector(s.a, s.b) ++ splits(k)).map(snap).distinct.sortBy(param(s, _))
+      pts.sliding(2).foreach {
+        case Seq(p, q)
+            if math.abs(p._1 - q._1) + math.abs(p._2 - q._2) > minLen =>
+          pieces += (if (p._1 < q._1 || (p._1 == q._1 && p._2 < q._2)) (p, q) else (q, p))
+        case _ =>
+      }
+    }
+
+    // classification: result membership on each side of the piece
+    def evenOdd(x: Double, y: Double, rings: Seq[Ring]): Boolean =
+      rings.count(r => Geohash.pointInRing(x, y, r)) % 2 == 1
+    def combine(inA: Boolean, inB: Boolean): Boolean = op match {
+      case OpIntersection => inA && inB
+      case OpUnion => inA || inB
+      case OpDifference => inA && !inB
+    }
+    val eps = scale * 1e-7
+    val kept = pieces.iterator.flatMap { case (p, q) =>
+      val mx = (p._1 + q._1) / 2; val my = (p._2 + q._2) / 2
+      val len = math.hypot(q._1 - p._1, q._2 - p._2)
+      val nx = -(q._2 - p._2) / len; val ny = (q._1 - p._1) / len
+      val resL = combine(evenOdd(mx + eps * nx, my + eps * ny, aRings),
+        evenOdd(mx + eps * nx, my + eps * ny, bRings))
+      val resR = combine(evenOdd(mx - eps * nx, my - eps * ny, aRings),
+        evenOdd(mx - eps * nx, my - eps * ny, bRings))
+      if (resL == resR) None
+      else if (resL) Some((p, q)) // result interior on the left of p→q
+      else Some((q, p))
+    }.toVector
+
+    // face walk: at each node continue with the next edge CLOCKWISE
+    // from the reversed incoming direction — traces the face on the
+    // left of every directed edge, each edge used exactly once
+    val outgoing = scala.collection.mutable.HashMap
+      .empty[(Double, Double), scala.collection.mutable.ArrayBuffer[(Double, Double)]]
+    kept.foreach { case (p, q) =>
+      outgoing.getOrElseUpdate(p,
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]) += q
+    }
+    val used = scala.collection.mutable.HashSet
+      .empty[((Double, Double), (Double, Double))]
+    val result = Seq.newBuilder[Ring]
+    kept.foreach { start =>
+      if (!used(start)) {
+        val ring = scala.collection.mutable.ArrayBuffer[(Double, Double)](start._1)
+        var cur = start
+        var guard = kept.size + 1
+        var closed = false
+        while (!closed && guard > 0) {
+          guard -= 1
+          used += cur
+          val (a, b) = cur
+          if (b == start._1) closed = true
+          else {
+            ring += b
+            val cands = outgoing.get(b).map(_.filter(c => !used((b, c))))
+              .getOrElse(scala.collection.mutable.ArrayBuffer.empty)
+            if (cands.isEmpty)
+              throw new IllegalStateException(
+                s"overlay stitch dead-ends at $b (numerically inconsistent input)")
+            val thetaIn = math.atan2(a._2 - b._2, a._1 - b._1) // reversed incoming
+            val next = cands.minBy { c =>
+              val d = thetaIn - math.atan2(c._2 - b._2, c._1 - b._1)
+              val m = d % (2 * math.Pi)
+              if (m <= 0) m + 2 * math.Pi else m // clockwise rotation in (0, 2π]
+            }
+            cur = (b, next)
+          }
+        }
+        if (!closed)
+          throw new IllegalStateException(
+            "overlay stitch failed to close a ring (numerically inconsistent input)")
+        if (ring.size >= 3) result += ring.toSeq
+      }
+    }
+    result.result()
+  }
+
+  /** Positive buffer (dilation) of a polygon with holes, arc-sampled —
+    * the reference's optional GEOS-tier buffer (geometry-ops.lisp:
+    * 94-190) as a pure-Scala constructive op. P ⊕ D_r = P ∪ (∂P ⊕ D_r):
+    * the boundary dilation is the union of one rectangle per edge
+    * (offset ±r) and one 4·arcSegments-gon disk per vertex, folded in
+    * through the robust [[overlay]] union. Disk polygons are inscribed,
+    * so the result under-covers each true arc by a factor
+    * sin(θ)/θ ≈ 1 − (π/2m)²/6 of the arc area — the documented
+    * arc-sampling tolerance.
+    */
+  def buffer(p: Polygon, r: Double, arcSegments: Int = 8): Seq[Ring] = {
+    require(r >= 0, "buffer radius must be non-negative (erosion not supported)")
+    val rings = p.map(r0 => r0).filter(_.size >= 3)
+    if (r == 0 || rings.isEmpty) return overlay(rings, Seq.empty, OpUnion)
+    val m = math.max(8, 4 * arcSegments)
+    val pieces = Seq.newBuilder[Ring]
+    rings.foreach { ring =>
+      ringEdges(ring).foreach { case (a, b) =>
+        val len = math.hypot(b._1 - a._1, b._2 - a._2)
+        if (len > 0) {
+          val nx = -(b._2 - a._2) / len * r; val ny = (b._1 - a._1) / len * r
+          pieces += Seq((a._1 + nx, a._2 + ny), (b._1 + nx, b._2 + ny),
+            (b._1 - nx, b._2 - ny), (a._1 - nx, a._2 - ny))
+        }
+      }
+      ring.foreach { v =>
+        pieces += (0 until m).map { k =>
+          val th = 2 * math.Pi * k / m
+          (v._1 + r * math.cos(th), v._2 + r * math.sin(th))
+        }
+      }
+    }
+    pieces.result().foldLeft(overlay(rings, Seq.empty, OpUnion)) { (acc, piece) =>
+      overlay(acc, Seq(piece), OpUnion)
+    }
   }
 
   // --- the remaining geometry kinds of the reference's struct

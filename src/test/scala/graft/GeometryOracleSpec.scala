@@ -299,42 +299,33 @@ class GeometryOracleSpec extends SparkSpec {
     // crafted proper-crossing case: offset overlapping rectangles
     val s1 = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
     val s2 = Seq((1.0, 0.5), (3.0, 0.5), (3.0, 1.5), (1.0, 1.5))
-    val inter12 = overlayIntersection(s1, s2).get
+    val inter12 = overlayIntersection(s1, s2)
     assert(inter12.size == 1 && math.abs(piecesAbsArea(inter12) - 1.0) < 1e-9)
-    val union12 = overlayUnion(s1, s2).get
+    val union12 = overlayUnion(s1, s2)
     assert(math.abs(math.abs(piecesSignedArea(union12)) - 5.0) < 1e-9)
 
     // containment and disjoint (no crossings)
     val inner = Seq((0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5))
-    assert(piecesAbsArea(overlayIntersection(s1, inner).get) == 1.0)
-    assert(piecesAbsArea(overlayUnion(s1, inner).get) == 4.0)
+    assert(piecesAbsArea(overlayIntersection(s1, inner)) == 1.0)
+    assert(piecesAbsArea(overlayUnion(s1, inner)) == 4.0)
     val far = Seq((10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0))
-    assert(overlayIntersection(s1, far).get.isEmpty)
-    assert(piecesAbsArea(overlayUnion(s1, far).get) == 5.0)
+    assert(overlayIntersection(s1, far).isEmpty)
+    assert(piecesAbsArea(overlayUnion(s1, far)) == 5.0)
 
     // union that CREATES a hole: a U-shape capped by a bar. The hole
     // ring must come out opposite-signed so the signed sum is the area.
     val u = Seq((0.0, 0.0), (6.0, 0.0), (6.0, 4.0), (4.0, 4.0), (4.0, 2.0),
       (2.0, 2.0), (2.0, 4.0), (0.0, 4.0))
     val bar = Seq((1.0, 3.0), (5.0, 3.0), (5.0, 5.0), (1.0, 5.0))
-    val uInter = overlayIntersection(u, bar).get
+    val uInter = overlayIntersection(u, bar)
     assert(uInter.size == 2 && math.abs(piecesAbsArea(uInter) - 2.0) < 1e-9)
-    val uUnion = overlayUnion(u, bar).get
+    val uUnion = overlayUnion(u, bar)
     assert(math.abs(math.abs(piecesSignedArea(uUnion)) - unionArea(Seq(u), Seq(bar))) < 1e-9)
     assert(math.abs(math.abs(piecesSignedArea(uUnion)) - 26.0) < 1e-9)
     assert(uUnion.size == 2, "capped U must emit an outer ring and a hole ring")
 
-    // boundary-degenerate input is GATED (None), the documented contract
-    val sq = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
-    assert(overlayIntersection(sq, sq).isEmpty)
-    assert(overlayIntersection(sq,
-      Seq((4.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0))).isEmpty) // shared edge
-    assert(overlayUnion(sq,
-      Seq((4.0, 4.0), (8.0, 4.0), (8.0, 8.0), (4.0, 8.0))).isEmpty) // shared vertex
-
-    // corpus: every non-degenerate pair must produce output whose area
-    // matches the independent exact area tier
-    var produced = 0
+    // corpus: every pair must produce output whose area matches the
+    // independent exact area tier (GH fast path or robust fallback)
     val pairs = corpus.take(60).map { case (x, y) => (x, y) } ++
       (1 to 30).map { _ =>
         (randomStar(0, 0, 3, 10, 14),
@@ -345,18 +336,98 @@ class GeometryOracleSpec extends SparkSpec {
         val expectedI = intersectionArea(Seq(x), Seq(y))
         val expectedU = unionArea(Seq(x), Seq(y))
         val scale = math.max(1.0, math.max(ringArea(x), ringArea(y)))
-        (overlayIntersection(x, y), overlayUnion(x, y)) match {
-          case (Some(ip), Some(up)) =>
-            produced += 1
-            assert(math.abs(piecesAbsArea(ip) - expectedI) / scale < 1e-6,
-              s"intersection overlay area=${piecesAbsArea(ip)} expected=$expectedI\nA=$x\nB=$y")
-            assert(math.abs(math.abs(piecesSignedArea(up)) - expectedU) / scale < 1e-6,
-              s"union overlay area=${piecesSignedArea(up)} expected=$expectedU\nA=$x\nB=$y")
-          case _ => // gated (degenerate boundary contact) — allowed but rare
-        }
+        val ip = overlayIntersection(x, y)
+        val up = overlayUnion(x, y)
+        assert(math.abs(piecesAbsArea(ip) - expectedI) / scale < 1e-6,
+          s"intersection overlay area=${piecesAbsArea(ip)} expected=$expectedI\nA=$x\nB=$y")
+        assert(math.abs(math.abs(piecesSignedArea(up)) - expectedU) / scale < 1e-6,
+          s"union overlay area=${piecesSignedArea(up)} expected=$expectedU\nA=$x\nB=$y")
       }
     }
-    assert(produced > 70, s"overlay produced output for only $produced pairs")
+  }
+
+  test("robust overlay: degenerate boundary contact and holed inputs match the exact tier") {
+    import GeometryOps._
+    def check(a: GeometryOps.Polygon, b: GeometryOps.Polygon, label: String): Unit = {
+      val scale = math.max(1.0, math.max(polygonArea(a), polygonArea(b)))
+      val ops = Seq(
+        (OpIntersection, intersectionArea(a, b)),
+        (OpUnion, unionArea(a, b)),
+        (OpDifference, differenceArea(a, b)))
+      ops.foreach { case (op, expected) =>
+        val got = overlayArea(overlay(a, b, op))
+        assert(math.abs(got - expected) / scale < 1e-9,
+          s"$label $op: overlay area=$got expected=$expected")
+      }
+    }
+    val sq = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    // identical rings
+    check(Seq(sq), Seq(sq), "identical")
+    // collinear shared edge (adjacent squares): zero-area intersection
+    check(Seq(sq), Seq(Seq((4.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0))), "shared-edge")
+    assert(overlay(Seq(sq),
+      Seq(Seq((4.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0))), OpIntersection).isEmpty)
+    // shared corner
+    check(Seq(sq), Seq(Seq((4.0, 4.0), (8.0, 4.0), (8.0, 8.0), (4.0, 8.0))), "shared-vertex")
+    // vertex-on-edge contact (diamond kissing a square edge)
+    check(Seq(sq), Seq(Seq((4.0, 2.0), (6.0, 0.0), (8.0, 2.0), (6.0, 4.0))), "vertex-on-edge")
+    // partial collinear overlap with real area
+    check(Seq(sq), Seq(Seq((2.0, 0.0), (6.0, 0.0), (6.0, 2.0), (2.0, 2.0))), "collinear-overlap")
+    // holed subject × clip overlapping the hole
+    val holed: GeometryOps.Polygon = Seq(sq, Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)))
+    check(holed, Seq(Seq((2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0))), "holed-subject")
+    // holed × holed, edges of the clip collinear with the hole
+    val holedB: GeometryOps.Polygon = Seq(
+      Seq((1.0, 1.0), (7.0, 1.0), (7.0, 7.0), (1.0, 7.0)),
+      Seq((3.0, 3.0), (5.0, 3.0), (5.0, 5.0), (3.0, 5.0)))
+    check(holed, holedB, "holed-x-holed")
+    // containment with boundary contact (inner square sharing the
+    // outer's bottom edge)
+    check(Seq(sq), Seq(Seq((1.0, 0.0), (3.0, 0.0), (3.0, 2.0), (1.0, 2.0))), "contained-touching")
+    // hole boundary must come out CW in the intersection output
+    val interHoled = overlay(holed,
+      Seq(Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))), OpIntersection)
+    assert(interHoled.exists(r => signedArea(r) < 0),
+      "intersection of a holed polygon with a cover must emit a CW hole ring")
+    // randomized holed corpus: donut × star at varied offsets
+    (1 to 25).foreach { i =>
+      val outer = randomStar(0, 0, 5, 10, 12)
+      val hole = outer.map(p => (p._1 * 0.35, p._2 * 0.35))
+      val donut: GeometryOps.Polygon = Seq(outer, hole)
+      val clip = Seq(randomStar(rng.nextDouble() * 10 - 5, rng.nextDouble() * 10 - 5, 2, 6, 10))
+      check(donut, clip, s"donut-star-$i")
+    }
+  }
+
+  test("buffer: arc-sampled dilation matches area expansion and membership") {
+    import GeometryOps._
+    // convex case: buffered area = A + P·r + (approximated) π r²
+    val sq = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    val r = 1.5
+    val buf = buffer(Seq(sq), r, arcSegments = 8)
+    val got = overlayArea(buf)
+    val exactDisk = math.Pi * r * r
+    assert(got >= 16.0 + 16.0 * r + 0.97 * exactDisk - 1e-9 &&
+      got <= 16.0 + 16.0 * r + exactDisk + 1e-9,
+      s"buffered square area $got outside the arc-sampling band")
+    // membership: dilation is a superset; points within r of the
+    // boundary are in, points beyond r are out
+    def inBuf(x: Double, y: Double): Boolean =
+      buf.count(ring => graft.spatial.Geohash.pointInRing(x, y, ring)) % 2 == 1
+    assert(inBuf(2.0, 2.0) && inBuf(-r * 0.9, 2.0) && inBuf(4.0 + r * 0.9, 2.0))
+    assert(!inBuf(4.0 + r * 1.1, 2.0) && !inBuf(-r * 1.1, -r * 1.1))
+    // holed polygon: the hole SHRINKS by r (its boundary dilates inward)
+    val holed: GeometryOps.Polygon = Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+      Seq((3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)))
+    val hb = buffer(holed, 1.0, arcSegments = 8)
+    def inHb(x: Double, y: Double): Boolean =
+      hb.count(ring => graft.spatial.Geohash.pointInRing(x, y, ring)) % 2 == 1
+    assert(inHb(3.5, 5.0), "point within r inside the old hole must now be covered")
+    assert(!inHb(5.0, 5.0), "the hole center (beyond r of any boundary) stays open")
+    assert(hb.exists(ring => signedArea(ring) < 0), "buffered holed polygon keeps a hole ring")
+    // zero radius is identity (area-wise)
+    assert(math.abs(overlayArea(buffer(Seq(sq), 0.0)) - 16.0) < 1e-9)
   }
 
   test("linestring and multipolygon kinds: lengths, distances, containment") {
