@@ -320,7 +320,7 @@ object Similarity {
   }
 
   /** Query-side LSH signature under the given hyperplanes. */
-  private def querySignature(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
+  private[graft] def querySignature(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
     planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (x, y) => x * y }.sum
       if (d > 0) 1L << i else 0L

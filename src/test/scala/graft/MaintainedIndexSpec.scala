@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{GraphSchema, GraphStore}
+import graft.operators.{Dedup, MaintainedAnnStore, SignatureIndex, Similarity}
+
+/** Write-path maintenance for the pipeline indexes: a store-bound
+  * signature index / ANN bucket store reflects every commit WITHOUT a
+  * rebuild — the same in-commit freshness the views get from
+  * ViewCatalog.bindTo (reference transactions.lisp:601-744 maintains
+  * all indexes inside the transaction apply phase).
+  *
+  * Every assertion compares the maintained read against a from-scratch
+  * recompute over the store's current graph, so supersession (update
+  * moves a doc's signature / a vector's bucket; delete retires it) is
+  * checked against ground truth, not against itself.
+  */
+class MaintainedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(Paths.get("target"), prefix).toString
+
+  private def listBase(dir: String, kind: String, label: String) = {
+    val p = Paths.get(dir, kind, label, "base")
+    Files.list(p).map(_.getFileName.toString).sorted.toArray.toSeq
+  }
+
+  test("commit-maintained signature index: create/update/delete without rebuild") {
+    val dir = tmp("sigidx")
+    val schema = GraphSchema.builder().vertex("doc", "id", Seq("text")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    val seed = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id").as("id"), col("text"))
+    gs.txn().createVertices("doc", seed).commit()
+
+    val idx = new SignatureIndex(gs, "doc", "text", dir)
+    idx.rebuild()
+    idx.bind()
+    val frozenBase = listBase(dir, "sigindex", "doc")
+
+    def full(): Set[(Long, Long)] =
+      Dedup.minhashNearDups(gs.graph().vertices("doc"), "id", "text")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def maintained(): Set[(Long, Long)] =
+      idx.nearDups().select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    assert(maintained() == full(), "fresh index must agree with recompute")
+
+    // create: a committed copy of doc 1's text is a near-dup candidate
+    // immediately (no rebuild)
+    val text1 = seed.filter(col("id") === 1).select("text").head().getString(0)
+    gs.txn().createVertices("doc", Seq((9001L, text1)).toDF("id", "text")).commit()
+    val afterCreate = maintained()
+    assert(afterCreate.contains((1L, 9001L)), "new near-dup pair must appear in-commit")
+    assert(afterCreate == full())
+
+    // update: doc 2 rewritten with doc 3's text — its OLD signature is
+    // superseded, the new near-dup pair appears
+    val text3 = seed.filter(col("id") === 3).select("text").head().getString(0)
+    gs.txn().updateVertices("doc", Seq((2L, text3)).toDF("id", "text")).commit()
+    val afterUpdate = maintained()
+    assert(afterUpdate.contains((2L, 3L)), "updated doc must pair with its new twin")
+    assert(afterUpdate == full())
+
+    // delete: the created twin vanishes from the candidate set
+    gs.txn().deleteVertices("doc", Seq(9001L).toDF("id")).commit()
+    val afterDelete = maintained()
+    assert(!afterDelete.exists(p => p._1 == 9001L || p._2 == 9001L))
+    assert(afterDelete == full())
+
+    assert(listBase(dir, "sigindex", "doc") == frozenBase,
+      "maintenance must append deltas, never rewrite base")
+  }
+
+  test("commit-maintained ANN store: create/update/delete without rebuild") {
+    val dir = tmp("annidx")
+    val schema = GraphSchema.builder().vertex("emb", "id", Seq("v")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q: Seq[Double] = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    gs.txn().createVertices("emb",
+      emb.filter(col("vec_id") =!= 0 && col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))).commit()
+
+    val ann = new MaintainedAnnStore(gs, "emb", "v", dir, dim = 64,
+      nBits = 4, nTables = 8)
+    ann.rebuild()
+    ann.bind()
+    val frozenBase = listBase(dir, "annindex", "emb")
+
+    // ground truth: the in-session filter-scan probe over the store's
+    // CURRENT graph, identical candidate semantics by construction
+    def scan(): Seq[(Long, Double)] =
+      Similarity.annTopK(gs.graph().vertices("emb"), "v", "id", q,
+          k = 10, nBits = 4, seed = 42L, nTables = 8)
+        .as[(Long, Double)].collect().toSeq
+    def stored(): Seq[(Long, Double)] =
+      ann.topK(q, 10).as[(Long, Double)].collect().toSeq
+
+    assert(stored() == scan(), "fresh store must agree with filter-scan probe")
+
+    // create: an exact copy of the query vector lands in the query's
+    // bucket in every table and must surface as top-1 in-commit
+    val qf = q.map(_.toFloat).toArray
+    gs.txn().createVertices("emb", Seq((9001L, qf)).toDF("id", "v")).commit()
+    val afterCreate = stored()
+    assert(afterCreate.head == ((9001L, 1.0)), s"new exact match must rank first: $afterCreate")
+    assert(afterCreate == scan())
+
+    // update: an existing id re-embedded to the query vector — may MOVE
+    // buckets; its stale row must be retired by the tombstone epoch,
+    // not survive alongside the fresh one
+    val someId = afterCreate.last._1
+    gs.txn().updateVertices("emb", Seq((someId, qf)).toDF("id", "v")).commit()
+    val afterUpdate = stored()
+    assert(afterUpdate.take(2).map(_._1).toSet == Set(9001L, someId))
+    assert(afterUpdate.take(2).forall(_._2 == 1.0))
+    assert(afterUpdate == scan())
+
+    // delete: the exact twin disappears from the probe
+    gs.txn().deleteVertices("emb", Seq(9001L).toDF("id")).commit()
+    val afterDelete = stored()
+    assert(!afterDelete.exists(_._1 == 9001L))
+    assert(afterDelete == scan())
+
+    assert(listBase(dir, "annindex", "emb") == frozenBase,
+      "maintenance must append deltas, never rewrite base")
+
+    // the probe stays partition-pruned with the delta log in place —
+    // on BOTH the base and the delta scan (the tombstone scan is
+    // unpartitioned by design: it is the tiny broadcast side)
+    val plan = ann.topK(q, 10).queryExecution.executedPlan.toString
+    val pruned = plan.linesIterator
+      .filter(l => l.contains("annindex/emb/base") || l.contains("annindex/emb/delta"))
+      .toSeq
+    assert(pruned.size == 2, s"expected base + delta scans:\n$plan")
+    assert(pruned.forall(_.contains("PartitionFilters: [(")),
+      s"base/delta probe scan not partition-pruned:\n$plan")
+  }
+}
