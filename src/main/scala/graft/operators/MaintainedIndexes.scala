@@ -125,29 +125,89 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
       k, numHashes, bands, threshold, sigs = Some(frame()))
 }
 
+/** The shared delta-log plumbing of the maintained ANN stores: an
+  * immutable partitioned `base/`, per-commit partitioned
+  * `delta/commit_epoch=<e>/` appends, and a tiny unpartitioned
+  * `tombstones/` log of `(id, commit_epoch)`. Probes stay
+  * partition-pruned on BOTH base and delta (the probe predicate hits
+  * only partition columns); supersession is a broadcast join against
+  * the max-epoch tombstone per id — an updated vector may move
+  * buckets/cells, so its stale row is retired by epoch comparison,
+  * not by rewriting the old partition's files.
+  */
+private[operators] final class PartitionedDeltaLog(
+    spark: org.apache.spark.sql.SparkSession,
+    root: java.nio.file.Path, partCols: Seq[String]) {
+
+  def basePath: java.nio.file.Path = root.resolve("base")
+  private def deltaPath = root.resolve("delta")
+  private def tombPath = root.resolve("tombstones")
+
+  /** Atomically swap in a fresh base; clears both logs (compaction). */
+  def writeBase(rows: DataFrame): Unit = {
+    val tmp = root.resolve("base__tmp")
+    Dirs.rmTree(tmp)
+    rows.write.partitionBy(partCols: _*).mode("overwrite").parquet(tmp.toString)
+    Dirs.rmTree(basePath)
+    Files.createDirectories(root)
+    Files.move(tmp, basePath, StandardCopyOption.ATOMIC_MOVE)
+    Dirs.rmTree(deltaPath)
+    Dirs.rmTree(tombPath)
+  }
+
+  /** One commit's delta: partitioned append of the live rows plus one
+    * tombstone per touched id.
+    */
+  def appendCommit(epoch: Long, live: DataFrame, touchedIds: DataFrame): Unit = {
+    // delete-only commits stage no live rows; an all-empty delta log
+    // would defeat parquet schema inference on read, so skip the data
+    // write and let the tombstones alone retire the ids
+    if (!live.isEmpty)
+      live.write.partitionBy(partCols: _*)
+        .mode("append").parquet(s"$deltaPath/commit_epoch=$epoch")
+    touchedIds.select(col("id")).distinct()
+      .withColumn("commit_epoch", lit(epoch))
+      .coalesce(1).write.mode("append").parquet(tombPath.toString)
+  }
+
+  private def hasDeltas: Boolean =
+    Dirs.childNames(deltaPath).exists(_.startsWith("commit_epoch="))
+  private def hasTombs: Boolean = Files.exists(tombPath)
+
+  /** The live candidate rows under a partition-column predicate: base
+    * and delta pruned by it, stale versions retired by tombstone epoch.
+    */
+  def probe(pred: org.apache.spark.sql.Column): DataFrame = {
+    require(Files.exists(basePath), s"store at $root not built — call rebuild()")
+    val base = spark.read.parquet(basePath.toString).filter(pred)
+      .withColumn("__ep", lit(0L))
+    val withDelta =
+      if (!hasDeltas) base
+      else base.unionByName(
+        spark.read.parquet(deltaPath.toString).filter(pred)
+          .withColumn("__ep", col("commit_epoch")).drop("commit_epoch"))
+    if (!hasTombs) withDelta
+    else {
+      val retire = spark.read.parquet(tombPath.toString)
+        .groupBy("id").agg(max("commit_epoch").as("__tomb_ep"))
+      withDelta.join(broadcast(retire), Seq("id"), "left_outer")
+        .filter(col("__tomb_ep").isNull || col("__tomb_ep") <= col("__ep"))
+    }
+  }
+}
+
 /** Commit-maintained LSH ANN store over a store-held embedding label —
   * the written, (table, bucket)-partitioned store of
-  * [[Similarity.ensureLshStore]], kept fresh by the write path.
-  *
-  * Layout: `base/table=<t>/bucket=<b>/` (built by [[rebuild]]) plus
-  * `delta/commit_epoch=<e>/table=<t>/bucket=<b>/` per commit and a
-  * tiny unpartitioned `tombstones/` log of `(id, commit_epoch)`.
-  * Probes stay partition-pruned on BOTH base and delta (the bucket
-  * predicate hits only partition columns); supersession is a broadcast
-  * join against the max-epoch tombstone per id — an updated vector may
-  * move buckets, so its stale row is retired by epoch comparison, not
-  * by rewriting the old bucket's files.
+  * [[Similarity.ensureLshStore]], kept fresh by the write path via the
+  * [[PartitionedDeltaLog]] discipline.
   */
 final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
     storageDir: String, dim: Int, nBits: Int = 8, nTables: Int = 2,
     seed: Long = 42L) {
 
-  private val spark = gs.spark
   private val table = gs.tableFor(label)
-  private def root = Paths.get(storageDir, "annindex", label)
-  private def basePath = root.resolve("base")
-  private def deltaPath = root.resolve("delta")
-  private def tombPath = root.resolve("tombstones")
+  private val log = new PartitionedDeltaLog(gs.spark,
+    Paths.get(storageDir, "annindex", label), Seq("table", "bucket"))
 
   private def bucketed(rows: DataFrame): DataFrame = {
     val sigCols = (0 until nTables).map { t =>
@@ -160,72 +220,112 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
   /** Full (re)materialization from the store's current state; clears
     * the delta and tombstone logs (compaction).
     */
-  def rebuild(): Unit = {
-    val vecs = gs.graph().vertices(label).select(col("id"), col(vecCol))
-    val tmp = root.resolve("base__tmp")
-    Dirs.rmTree(tmp)
-    bucketed(vecs).write.partitionBy("table", "bucket")
-      .mode("overwrite").parquet(tmp.toString)
-    Dirs.rmTree(basePath)
-    Files.createDirectories(root)
-    Files.move(tmp, basePath, StandardCopyOption.ATOMIC_MOVE)
-    Dirs.rmTree(deltaPath)
-    Dirs.rmTree(tombPath)
-  }
+  def rebuild(): Unit =
+    log.writeBase(bucketed(gs.graph().vertices(label).select(col("id"), col(vecCol))))
 
-  /** Wire into the store's write path: a commit touching `label`
-    * appends its staged vectors into the partitioned delta log and one
-    * tombstone row per touched id.
-    */
+  /** Wire into the store's write path. */
   def bind(): Unit = gs.onCommit { (epoch, frames) =>
     frames.get(table).foreach { staged =>
-      val live = staged.filter(!col("deleted")).select(col("id"), col(vecCol))
-      // delete-only commits stage no live rows; an all-empty delta log
-      // would defeat parquet schema inference on read, so skip the
-      // data write and let the tombstones alone retire the ids
-      if (!live.isEmpty)
-        bucketed(live).write.partitionBy("table", "bucket")
-          .mode("append").parquet(s"$deltaPath/commit_epoch=$epoch")
-      staged.select(col("id")).distinct()
-        .withColumn("commit_epoch", lit(epoch))
-        .coalesce(1).write.mode("append").parquet(tombPath.toString)
+      log.appendCommit(epoch,
+        bucketed(staged.filter(!col("deleted")).select(col("id"), col(vecCol))),
+        staged)
     }
   }
-
-  private def hasDeltas: Boolean =
-    Dirs.childNames(deltaPath).exists(_.startsWith("commit_epoch="))
-  private def hasTombs: Boolean = Files.exists(tombPath)
 
   /** ANN top-k over the maintained store — the partition-pruned probe
     * of [[Similarity.annTopKStored]] plus the delta/tombstone merge.
     */
   def topK(query: Seq[Double], k: Int): DataFrame = {
-    require(Files.exists(basePath), s"ANN store for $label not built — call rebuild()")
     val inMyBuckets = (0 until nTables).map { t =>
       val planes = Similarity.hyperplanes(dim, nBits, seed + t)
       col("table") === lit(t) &&
         col("bucket") === lit(Similarity.querySignature(query, planes))
     }.reduce(_ || _)
-    val base = spark.read.parquet(basePath.toString).filter(inMyBuckets)
-      .withColumn("__ep", lit(0L))
-    val withDelta =
-      if (!hasDeltas) base
-      else base.unionByName(
-        spark.read.parquet(deltaPath.toString).filter(inMyBuckets)
-          .withColumn("__ep", col("commit_epoch")).drop("commit_epoch"))
-    val cands =
-      if (!hasTombs) withDelta
-      else {
-        val retire = spark.read.parquet(tombPath.toString)
-          .groupBy("id").agg(max("commit_epoch").as("__tomb_ep"))
-        withDelta.join(broadcast(retire), Seq("id"), "left_outer")
-          .filter(col("__tomb_ep").isNull || col("__tomb_ep") <= col("__ep"))
-      }
-    cands
+    log.probe(inMyBuckets)
       .select(col("id"),
         round(Similarity.cosine(col("v"), Similarity.vecLit(query)), 6).as("cos_sim"))
       .dropDuplicates("id")
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
+  }
+}
+
+/** Commit-maintained IVF ANN store — the cluster-partitioned store of
+  * [[Similarity.ensureIvfStore]] kept fresh by the write path. New and
+  * re-embedded vectors are assigned to their nearest EXISTING centroid
+  * (standard IVF freshness practice: the coarse quantizer stays fixed
+  * between retrains, so probes see fresh vectors immediately and the
+  * cell geometry only drifts until the next [[rebuild]] re-trains it).
+  *
+  * Cosine metric: clustering and probe selection run on L2-NORMALIZED
+  * vectors (on the unit sphere Euclidean distance is monotone in
+  * cosine), rescoring on the raw vectors — the q67 contract.
+  */
+final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
+    storageDir: String, k: Int, iterations: Int = 3) {
+
+  private val table = gs.tableFor(label)
+  private val root = Paths.get(storageDir, "ivfindex", label)
+  private val log = new PartitionedDeltaLog(gs.spark, root, Seq("ivf_cluster"))
+  private def centroidsFile = root.resolve("_centroids.txt")
+
+  private def normalized(rows: DataFrame): DataFrame =
+    rows.select(col("id"), col(vecCol).as("v"),
+      Similarity.l2normalize(col(vecCol)).as("__nv"))
+
+  private def assigned(rows: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+    Similarity.ivfAssign(normalized(rows), "__nv", cs).drop("__nv")
+
+  private def writeCentroids(cs: Seq[Seq[Double]]): Unit =
+    Files.write(centroidsFile,
+      cs.map(_.map(java.lang.Double.toString).mkString(","))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The persisted coarse quantizer (Double.toString roundtrips
+    * exactly, so probes use the same centroids assignment used).
+    */
+  def centroids: Seq[Seq[Double]] =
+    new String(Files.readAllBytes(centroidsFile),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
+
+  /** Re-train the quantizer on the current state and rematerialize;
+    * clears the delta and tombstone logs (compaction).
+    */
+  def rebuild(): Unit = {
+    val vecs = normalized(gs.graph().vertices(label).select(col("id"), col(vecCol)))
+      .localCheckpoint(true)
+    val cs = Similarity.ivfTrain(vecs, "__nv", "id", k, iterations)
+    Files.createDirectories(root)
+    log.writeBase(Similarity.ivfAssign(vecs, "__nv", cs).drop("__nv"))
+    writeCentroids(cs)
+  }
+
+  /** Wire into the store's write path: staged vectors are assigned to
+    * the persisted centroids and appended to their cells' delta log.
+    */
+  def bind(): Unit = gs.onCommit { (epoch, frames) =>
+    frames.get(table).foreach { staged =>
+      log.appendCommit(epoch,
+        assigned(staged.filter(!col("deleted")).select(col("id"), col(vecCol)), centroids),
+        staged)
+    }
+  }
+
+  /** IVF top-k over the maintained store: probe the nProbe nearest
+    * cells (partition-pruned on base AND delta), rescore exactly.
+    */
+  def topK(query: Seq[Double], kTop: Int, nProbe: Int = 2): DataFrame = {
+    val norm = math.sqrt(query.map(x => x * x).sum)
+    val nq = if (norm == 0) query else query.map(_ / norm)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(nq).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    log.probe(col("ivf_cluster").isin(probes: _*))
+      .select(col("id"),
+        round(Similarity.cosine(col("v"), Similarity.vecLit(query)), 6).as("cos_sim"))
+      .dropDuplicates("id")
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(kTop)
   }
 }

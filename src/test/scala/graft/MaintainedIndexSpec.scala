@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
 import graft.model.{GraphSchema, GraphStore}
-import graft.operators.{Dedup, MaintainedAnnStore, SignatureIndex, Similarity}
+import graft.operators.{Dedup, MaintainedAnnStore, MaintainedIvfStore, SignatureIndex, Similarity}
 
 /** Write-path maintenance for the pipeline indexes: a store-bound
   * signature index / ANN bucket store reflects every commit WITHOUT a
@@ -131,6 +131,32 @@ class MaintainedIndexSpec extends SparkSpec {
 
     assert(listBase(dir, "annindex", "emb") == frozenBase,
       "maintenance must append deltas, never rewrite base")
+
+    // IVF sibling: fresh vectors assigned to the persisted (fixed)
+    // centroids appear in-commit; ground truth is a from-scratch
+    // assignment of the CURRENT graph under the same quantizer
+    val ivf = new MaintainedIvfStore(gs, "emb", "v", dir, k = 8, iterations = 2)
+    ivf.rebuild()
+    ivf.bind()
+    def ivfScan(): Seq[(Long, Double)] = {
+      val cur = gs.graph().vertices("emb")
+        .withColumn("__nv", Similarity.l2normalize(col("v")))
+      val norm = math.sqrt(q.map(x => x * x).sum)
+      Similarity.ivfTopK(Similarity.ivfAssign(cur, "__nv", ivf.centroids),
+          "v", "id", ivf.centroids, q, k = 10, nProbe = 3,
+          probeVec = Some(q.map(_ / norm)))
+        .as[(Long, Double)].collect().toSeq
+    }
+    assert(ivf.topK(q, 10, nProbe = 3).as[(Long, Double)].collect().toSeq == ivfScan())
+    gs.txn().createVertices("emb", Seq((9002L, qf)).toDF("id", "v")).commit()
+    val ivfAfter = ivf.topK(q, 10, nProbe = 3).as[(Long, Double)].collect().toSeq
+    assert(ivfAfter.exists(r => r._1 == 9002L && r._2 == 1.0),
+      s"fresh exact match must surface in-commit: $ivfAfter")
+    assert(ivfAfter == ivfScan())
+    gs.txn().deleteVertices("emb", Seq(9002L).toDF("id")).commit()
+    val ivfDel = ivf.topK(q, 10, nProbe = 3).as[(Long, Double)].collect().toSeq
+    assert(!ivfDel.exists(_._1 == 9002L))
+    assert(ivfDel == ivfScan())
 
     // the probe stays partition-pruned with the delta log in place —
     // on BOTH the base and the delta scan (the tombstone scan is
