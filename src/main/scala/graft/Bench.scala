@@ -102,7 +102,10 @@ object Bench {
     val med = results.map { case (k, (_, md)) => "\"" + k + f"\":$md%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    val cal = f""""calibration":{"probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"runs_per_query":$warmRuns}"""
+    // NaN (unreadable /proc/loadavg) must render as JSON null, not a
+    // bare NaN token that breaks the one-line-JSON output contract
+    def jnum(d: Double) = if (d.isNaN) "null" else f"$d%.2f"
+    val cal = f""""calibration":{"probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"load_avg_before":${jnum(loadBefore)},"load_avg_after":${jnum(loadAfter)},"runs_per_query":$warmRuns}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir",$cal}""")
     spark.stop()
   }

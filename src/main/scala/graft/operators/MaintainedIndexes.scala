@@ -155,15 +155,19 @@ private[operators] final class PartitionedDeltaLog(
     Dirs.rmTree(tombPath)
   }
 
-  /** One commit's delta: partitioned append of the live rows plus one
-    * tombstone per touched id.
+  /** One commit's delta: partitioned append of `expand(live)` plus one
+    * tombstone per touched id. The emptiness test runs on the NARROW
+    * `live` frame (already materialized by the store's commit), so the
+    * expanded signature/assignment plan executes exactly once — in the
+    * write itself.
     */
-  def appendCommit(epoch: Long, live: DataFrame, touchedIds: DataFrame): Unit = {
+  def appendCommit(epoch: Long, live: DataFrame, expand: DataFrame => DataFrame,
+      touchedIds: DataFrame): Unit = {
     // delete-only commits stage no live rows; an all-empty delta log
     // would defeat parquet schema inference on read, so skip the data
     // write and let the tombstones alone retire the ids
     if (!live.isEmpty)
-      live.write.partitionBy(partCols: _*)
+      expand(live).write.partitionBy(partCols: _*)
         .mode("append").parquet(s"$deltaPath/commit_epoch=$epoch")
     touchedIds.select(col("id")).distinct()
       .withColumn("commit_epoch", lit(epoch))
@@ -227,8 +231,8 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
   def bind(): Unit = gs.onCommit { (epoch, frames) =>
     frames.get(table).foreach { staged =>
       log.appendCommit(epoch,
-        bucketed(staged.filter(!col("deleted")).select(col("id"), col(vecCol))),
-        staged)
+        staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
+        bucketed, staged)
     }
   }
 
@@ -303,12 +307,17 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
 
   /** Wire into the store's write path: staged vectors are assigned to
     * the persisted centroids and appended to their cells' delta log.
+    * Bound-before-built commits are skipped (no quantizer to assign
+    * against yet) — the eventual [[rebuild]] reads the committed state,
+    * so nothing is lost.
     */
   def bind(): Unit = gs.onCommit { (epoch, frames) =>
     frames.get(table).foreach { staged =>
-      log.appendCommit(epoch,
-        assigned(staged.filter(!col("deleted")).select(col("id"), col(vecCol)), centroids),
-        staged)
+      if (Files.exists(centroidsFile))
+        log.appendCommit(epoch,
+          staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
+          rows => assigned(rows, centroids),
+          staged)
     }
   }
 

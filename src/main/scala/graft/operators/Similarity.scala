@@ -221,11 +221,9 @@ object Similarity {
   // under PartitionFilters — nothing else is listed, opened, or read).
 
   /** Root for materialized ANN stores; override via env for tests. */
-  def storeRoot: String = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-    s"${System.getProperty("java.io.tmpdir")}/graft-annstore")
+  def storeRoot: String = graft.model.StorePaths.root
 
-  private def storeKey(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def storeKey(sfDir: String): String = graft.model.StorePaths.key(sfDir)
 
   def lshStorePath(sfDir: String, nBits: Int, nTables: Int, seed: Long): String =
     s"$storeRoot/${storeKey(sfDir)}/lsh_b${nBits}_t${nTables}_s$seed"
@@ -247,9 +245,15 @@ object Similarity {
     */
   def ensureLshStore(df: DataFrame, vecCol: String, idCol: String, sfDir: String,
       dim: Int, nBits: Int, nTables: Int, seed: Long = 42L): String = {
+    import graft.model.StorePaths
     val path = lshStorePath(sfDir, nBits, nTables, seed)
-    if (!ready(path, "_SUCCESS")) buildLock.synchronized {
-      if (!ready(path, "_SUCCESS")) {
+    // staleness guard: the store is keyed by sfDir, so if the source
+    // table's files changed underneath it, rebuild instead of silently
+    // serving the old corpus
+    val fp = StorePaths.fingerprint(s"$sfDir/embeddings.parquet")
+    def current = ready(path, "_SUCCESS") && StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
         val sigCols = (0 until nTables).map { t =>
           lshSignature(col(vecCol), hyperplanes(dim, nBits, seed + t))
         }
@@ -257,6 +261,7 @@ object Similarity {
             posexplode(array(sigCols: _*)))
           .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
           .write.partitionBy("table", "bucket").mode("overwrite").parquet(path)
+        StorePaths.stamp(path, fp)
       }
     }
     path
@@ -307,13 +312,17 @@ object Similarity {
   def ensureIvfStore(df: DataFrame, normCol: String, rescoreCol: String,
       idCol: String, sfDir: String, k: Int, iterations: Int)
       : (DataFrame, Seq[Seq[Double]]) = {
+    import graft.model.StorePaths
     val path = ivfStorePath(sfDir, k, iterations)
-    if (!centroidsFile(path).exists()) buildLock.synchronized {
-      if (!centroidsFile(path).exists()) {
+    val fp = StorePaths.fingerprint(s"$sfDir/embeddings.parquet")
+    def current = centroidsFile(path).exists() && StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
         val centroids = ivfTrain(df, normCol, idCol, k, iterations)
         ivfAssign(df, normCol, centroids).drop(normCol)
           .write.partitionBy("ivf_cluster").mode("overwrite").parquet(path)
         writeCentroids(path, centroids)
+        StorePaths.stamp(path, fp)
       }
     }
     (df.sparkSession.read.parquet(path), readCentroids(path))

@@ -733,7 +733,7 @@ object GeometryOps {
     */
   def buffer(p: Polygon, r: Double, arcSegments: Int = 8): Seq[Ring] = {
     require(r >= 0, "buffer radius must be non-negative (erosion not supported)")
-    val rings = p.map(r0 => r0).filter(_.size >= 3)
+    val rings = p.filter(_.size >= 3)
     if (r == 0 || rings.isEmpty) return overlay(rings, Seq.empty, OpUnion)
     val m = math.max(8, 4 * arcSegments)
     val pieces = Seq.newBuilder[Ring]

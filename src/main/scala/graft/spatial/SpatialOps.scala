@@ -199,11 +199,10 @@ object SpatialOps {
   /** Root for materialized spatial stores (shared with the ANN stores;
     * override via SPARK_GRAFT_STORE_DIR for tests).
     */
-  def storeRoot: String = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
-    s"${System.getProperty("java.io.tmpdir")}/graft-annstore")
+  def storeRoot: String = graft.model.StorePaths.root
 
   def cellStorePath(sfDir: String, name: String, precision: Int): String =
-    s"$storeRoot/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}/cells_${name}_p$precision"
+    s"$storeRoot/${graft.model.StorePaths.key(sfDir)}/cells_${name}_p$precision"
 
   private val buildLock = new Object
 
@@ -224,10 +223,16 @@ object SpatialOps {
   def ensureCellStore(df: => DataFrame, lonCol: String, latCol: String,
       sfDir: String, name: String, precision: Int): DataFrame = {
     val path = cellStorePath(sfDir, name, precision)
-    if (!new java.io.File(path, "_SUCCESS").exists()) buildLock.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
+    // staleness guard: rebuild when the source table's files changed
+    // under the same sfDir (cheap filesystem fingerprint, no job)
+    val fp = graft.model.StorePaths.fingerprint(s"$sfDir/$name.parquet")
+    def current = new java.io.File(path, "_SUCCESS").exists() &&
+      graft.model.StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
         withCell(df, lonCol, latCol, precision)
           .write.partitionBy("cell").mode("overwrite").parquet(path)
+        graft.model.StorePaths.stamp(path, fp)
         storeCache.clear() // a rebuild invalidates cached listings
       }
     }

@@ -67,7 +67,11 @@ object ScaleCheck {
     */
   def ensureScaled(spark: SparkSession, base: String, factor: Int, out: String): Unit = {
     val marker = Paths.get(out, "_SCALED")
-    if (Files.exists(marker)) return
+    // the marker records (base, factor): a rerun with different
+    // parameters against the same out dir rebuilds instead of silently
+    // measuring stale data
+    val want = s"${Paths.get(base).toAbsolutePath} x$factor"
+    if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == want) return
     graft.model.Dirs.rmTree(Paths.get(out))
     Files.createDirectories(Paths.get(out))
     def read(t: String) = spark.read.parquet(s"$base/$t.parquet")
@@ -81,9 +85,11 @@ object ScaleCheck {
       .filter(n => n.endsWith(".parquet") &&
         !Set("documents.parquet", "embeddings.parquet", "customer.parquet")(n))
       .foreach { n =>
-        Files.createSymbolicLink(Paths.get(out, n), Paths.get(base, n))
+        // absolute target: a relative one would resolve against the
+        // LINK's directory and dangle
+        Files.createSymbolicLink(Paths.get(out, n), Paths.get(base, n).toAbsolutePath)
       }
-    Files.write(marker, s"$base x$factor".getBytes)
+    Files.write(marker, want.getBytes)
   }
 
   private def time(fn: => Unit): Double = {
