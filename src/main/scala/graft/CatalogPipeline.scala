@@ -344,6 +344,20 @@ object CatalogPipeline {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q93_quota_sample",
+      // per-(source, lang) quota cap — the data-mixing op (Pile/Dolma
+      // style per-domain caps). Deterministic by md5 rank, so the
+      // oracle re-derives the exact kept set in SQL
+      (s, d) => Sampling.quotaCap(Tpch.table(s, d, "documents"),
+          Seq(col("source"), col("lang")), col("doc_id"), quota = 8)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, lang FROM (
+             |  SELECT doc_id, source, lang, row_number() OVER (
+             |    PARTITION BY source, lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk
+             |  FROM documents) WHERE rk <= 8 ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

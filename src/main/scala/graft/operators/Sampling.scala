@@ -34,6 +34,27 @@ object Sampling {
     df.filter(hashBucket(key, buckets) < (fraction * buckets).toLong)
   }
 
+  /** Per-group quota cap — the data-mixing primitive (per-domain /
+    * per-language caps a corpus composition applies before training):
+    * keep at most `quota` rows per group, chosen by key-hash rank with
+    * the key itself as tiebreak. Like the splits above, the kept set is
+    * a pure function of the data: any engine, any partitioning, any
+    * backfill re-derives it, and growing one group never reshuffles
+    * another's kept rows — it only competes within its own quota.
+    *
+    * One shuffle on the group columns; rank is windowed per group, so
+    * skewed groups cost their own size, not the corpus's.
+    */
+  def quotaCap(df: DataFrame, groupCols: Seq[Column], key: Column,
+      quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+    df.withColumn("__qrank", row_number().over(w))
+      .filter(col("__qrank") <= quota).drop("__qrank")
+  }
+
   /** Named split label from ordered (name, weight) fractions summing
     * to ≤ 1 (remainder falls into `rest`): train/val/test carving.
     */

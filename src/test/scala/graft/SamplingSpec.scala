@@ -39,4 +39,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSplit($"id", Seq("a" -> 0.9, "b" -> 0.2))
     }
   }
+
+  test("quotaCap: per-group caps bind, under-quota groups pass whole, growth is local") {
+    val rows = spark.range(0, 300)
+      .select($"id", (($"id" % 3).cast("string")).as("grp"))
+      .filter($"grp" =!= "2" || $"id" < 30) // group 2 stays under quota
+    val capped = Sampling.quotaCap(rows, Seq($"grp"), $"id", quota = 20)
+    val sizes = capped.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes("0") == 20 && sizes("1") == 20)
+    assert(sizes("2") == rows.filter($"grp" === "2").count()) // 10 < quota
+    // determinism: partitioning-independent
+    val capped13 = Sampling.quotaCap(rows.repartition(13), Seq($"grp"), $"id", 20)
+    assert(capped.except(capped13).isEmpty && capped13.except(capped).isEmpty)
+    // growing ONE group never disturbs another group's kept set
+    val grown = rows.unionByName(spark.range(1000, 1200)
+      .select($"id", lit("1").as("grp")))
+    val cappedGrown = Sampling.quotaCap(grown, Seq($"grp"), $"id", 20)
+    assert(capped.filter($"grp" === "0")
+      .except(cappedGrown.filter($"grp" === "0")).isEmpty)
+  }
 }
