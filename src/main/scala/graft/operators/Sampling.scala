@@ -44,15 +44,23 @@ object Sampling {
     *
     * One shuffle on the group columns; rank is windowed per group, so
     * skewed groups cost their own size, not the corpus's.
+    *
+    * Contract: `key` must be a UNIQUE, NON-NULL row identifier (like
+    * the other samplers here). Duplicate keys tie in the rank order,
+    * making the kept set partitioning-dependent; null keys sort
+    * differently across engines (Spark NULLS FIRST, DuckDB NULLS
+    * LAST), breaking the cross-engine re-derivation guarantee.
     */
   def quotaCap(df: DataFrame, groupCols: Seq[Column], key: Column,
       quota: Int): DataFrame = {
     require(quota > 0, "quota must be positive")
+    val rk = Iterator.from(0).map(i => s"__qrank$i")
+      .find(n => !df.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols: _*)
       .orderBy(md5(key.cast("string")), key.cast("string"))
-    df.withColumn("__qrank", row_number().over(w))
-      .filter(col("__qrank") <= quota).drop("__qrank")
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= quota).drop(rk)
   }
 
   /** Named split label from ordered (name, weight) fractions summing

@@ -59,14 +59,24 @@ object WriteBench {
       Seq((1000000L, "x", "node")).toDF("id", "val", "label")).commit())
     val tSnapshot = timed(graft.model.Backup.backup(gs.graph(), s"$dir/__backup"))
 
+    def rate(t: Double) = (n / t).round
+    val base = f""""metric":"write_path","n":$n,"insert_s":$tInsert%.2f,"insert_rows_s":${rate(tInsert)},"insert_edges_s":$tEdges%.2f,"update_s":$tUpdate%.2f,"update_rows_s":${rate(tUpdate)},"delete_half_s":$tDelete%.2f,"tiny_commit_s":$tTiny%.2f,"snapshot_s":$tSnapshot%.2f"""
+
     // --- indexed write path: the same commit shape with EVERY index
     // maintained in-commit (view + minhash signature index + LSH/IVF
     // ANN stores — the reference's all-indexes-in-the-transaction
-    // guarantee, transactions.lisp:601-744). Real corpus halves so the
-    // shingle/assignment cost is representative, committed first
-    // unbound then bound; the delta is the price of in-commit
-    // freshness.
+    // guarantee, transactions.lisp:601-744). Real corpus thirds so the
+    // shingle/assignment cost is representative: commit A warms the
+    // store, commit B is the CONTROL (a plain commit into a non-empty
+    // store, paying the same latest-revision join as the measured one),
+    // indexes bind, commit C is measured. tC/tB isolates the price of
+    // in-commit freshness from second-commit cost.
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (!Files.isDirectory(java.nio.file.Paths.get(sfDir))) {
+      println(s"""{$base}""")
+      spark.stop()
+      return
+    }
     val ischema = GraphSchema.builder()
       .vertex("doc", "id", Seq("text", "lang"))
       .vertex("emb", "id", Seq("v"))
@@ -75,17 +85,19 @@ object WriteBench {
       java.nio.file.Paths.get("target"), "writebench-idx").toString
     val igs = new GraphStore(spark, ischema, idir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select($"doc_id".as("id"), $"text", $"lang").localCheckpoint(true)
+      .select($"doc_id".as("id"), $"text", $"lang")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select($"vec_id".as("id"), $"embedding".as("v")).localCheckpoint(true)
-    val (docsA, docsB) = (docs.filter($"id" % 2 === 0).localCheckpoint(true),
-      docs.filter($"id" % 2 =!= 0).localCheckpoint(true))
-    val (embsA, embsB) = (embs.filter($"id" % 2 === 0).localCheckpoint(true),
-      embs.filter($"id" % 2 =!= 0).localCheckpoint(true))
-    val nDocs = docsB.count(); val nEmbs = embsB.count()
+      .select($"vec_id".as("id"), $"embedding".as("v"))
+    def third(df: org.apache.spark.sql.DataFrame, r: Int) =
+      df.filter($"id" % 3 === r).localCheckpoint(true)
+    val (docsA, docsB, docsC) = (third(docs, 0), third(docs, 1), third(docs, 2))
+    val (embsA, embsB, embsC) = (third(embs, 0), third(embs, 1), third(embs, 2))
+    val nDocs = docsC.count(); val nEmbs = embsC.count()
 
-    val tDocPlain = timed(igs.txn().createVertices("doc", docsA).commit())
-    val tEmbPlain = timed(igs.txn().createVertices("emb", embsA).commit())
+    igs.txn().createVertices("doc", docsA).commit()
+    igs.txn().createVertices("emb", embsA).commit()
+    val tDocPlain = timed(igs.txn().createVertices("doc", docsB).commit())
+    val tEmbPlain = timed(igs.txn().createVertices("emb", embsB).commit())
 
     val cat = new graft.views.ViewCatalog(spark, igs, idir)
     cat.register(graft.views.ViewDef("by_lang", "doc",
@@ -94,19 +106,18 @@ object WriteBench {
     cat.regenerate("by_lang"); cat.bindTo(igs)
     val sig = new graft.operators.SignatureIndex(igs, "doc", "text", idir)
     sig.rebuild(); sig.bind()
-    val dim = embs.select(size($"v")).head().getInt(0)
+    val dim = embsC.select(size($"v")).head().getInt(0)
     val ann = new graft.operators.MaintainedAnnStore(igs, "emb", "v", idir,
       dim, nBits = 4, nTables = 8)
     ann.rebuild(); ann.bind()
     val ivf = new graft.operators.MaintainedIvfStore(igs, "emb", "v", idir, k = 8)
     ivf.rebuild(); ivf.bind()
 
-    val tDocIndexed = timed(igs.txn().createVertices("doc", docsB).commit())
-    val tEmbIndexed = timed(igs.txn().createVertices("emb", embsB).commit())
+    val tDocIndexed = timed(igs.txn().createVertices("doc", docsC).commit())
+    val tEmbIndexed = timed(igs.txn().createVertices("emb", embsC).commit())
 
-    def rate(t: Double) = (n / t).round
     val idx = f""""indexed_write_path":{"n_docs":$nDocs,"n_embs":$nEmbs,"doc_commit_plain_s":$tDocPlain%.2f,"doc_commit_indexed_s":$tDocIndexed%.2f,"emb_commit_plain_s":$tEmbPlain%.2f,"emb_commit_indexed_s":$tEmbIndexed%.2f,"doc_overhead_x":${tDocIndexed / tDocPlain}%.2f,"emb_overhead_x":${tEmbIndexed / tEmbPlain}%.2f}"""
-    println(f"""{"metric":"write_path","n":$n,"insert_s":$tInsert%.2f,"insert_rows_s":${rate(tInsert)},"insert_edges_s":$tEdges%.2f,"update_s":$tUpdate%.2f,"update_rows_s":${rate(tUpdate)},"delete_half_s":$tDelete%.2f,"tiny_commit_s":$tTiny%.2f,"snapshot_s":$tSnapshot%.2f,$idx}""")
+    println(s"""{$base,$idx}""")
     spark.stop()
   }
 }
