@@ -358,6 +358,27 @@ object CatalogPipeline {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk
              |  FROM documents) WHERE rk <= 8 ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q94_epoch_mix",
+      // epoch-weighted mixture materialization — per-source repetition
+      // factors (src0 2.5 epochs, src1 3, src2 0.4, src3 dropped,
+      // everything else 1). Fractional epochs resolve by key hash with
+      // integer-literal thresholds, so the oracle re-derives the exact
+      // repeated stream via a lateral range() join
+      (s, d) => Sampling.epochMix(Tpch.table(s, d, "documents"),
+          col("source"), col("doc_id"),
+          Map("src0" -> 2.5, "src1" -> 3.0, "src2" -> 0.4, "src3" -> 0.0))
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx"),
+      Some("""SELECT d.doc_id, d.source, r.range AS copy_idx
+             |FROM documents d, range(3) r
+             |WHERE r.range < (CASE d.source
+             |  WHEN 'src0' THEN 2 + (CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < 500000 THEN 1 ELSE 0 END)
+             |  WHEN 'src1' THEN 3
+             |  WHEN 'src2' THEN (CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
+             |  WHEN 'src3' THEN 0
+             |  ELSE 1 END)
+             |ORDER BY doc_id, copy_idx""".stripMargin)),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

@@ -63,6 +63,45 @@ object Sampling {
       .filter(col(rk) <= quota).drop(rk)
   }
 
+  /** Epoch-weighted mixture materialization — the other half of corpus
+    * mixing (`quotaCap` caps a group; this repeats or thins one): each
+    * source gets a target epoch count `w`. `w = 2.5` means every doc
+    * appears twice and a key-hash-chosen half appear a third time;
+    * `w = 0.4` keeps 40% of the source once; `w = 0` drops it. The
+    * realized stream is a pure function of the data:
+    * `copies = floor(w) + [hashBucket(key) < frac(w)·buckets]`, with
+    * the fractional threshold folded to an integer literal at plan
+    * build — so any engine re-derives the exact stream, and appends to
+    * one source never disturb another's copies. Output gains a
+    * `copy_idx` column (0-based repetition number, replacing any
+    * existing column of that name) for downstream shuffling/packing.
+    *
+    * Narrow — a per-row generate, no shuffle; output size is
+    * Σ w(source)·|source| regardless of partitioning. Same key
+    * contract as the other samplers: unique and non-null.
+    */
+  def epochMix(df: DataFrame, sourceCol: Column, key: Column,
+      weights: Map[String, Double], default: Double = 1.0,
+      buckets: Int = 1000000): DataFrame = {
+    def copiesOf(w: Double): Column = {
+      require(w >= 0, s"epoch weight must be >= 0: $w")
+      val whole = math.floor(w).toLong
+      val thr = math.round((w - whole) * buckets)
+      lit(whole) + when(hashBucket(key, buckets) < thr, 1L).otherwise(0L)
+    }
+    val copies = weights.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (s, w)) =>
+        val c = copiesOf(w)
+        Some(acc.fold(when(sourceCol === s, c))(_.when(sourceCol === s, c)))
+      }.fold(copiesOf(default))(_.otherwise(copiesOf(default)))
+    val ci = Iterator.from(0).map(i => s"__copies$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(ci, copies)
+      .filter(col(ci) > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col(ci) - 1)))
+      .drop(ci)
+  }
+
   /** Named split label from ordered (name, weight) fractions summing
     * to ≤ 1 (remainder falls into `rest`): train/val/test carving.
     */

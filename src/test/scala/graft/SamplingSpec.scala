@@ -58,4 +58,32 @@ class SamplingSpec extends SparkSpec {
     assert(capped.filter($"grp" === "0")
       .except(cappedGrown.filter($"grp" === "0")).isEmpty)
   }
+
+  test("epochMix: whole+fractional epochs, drop, default, determinism") {
+    val rows = spark.range(0, 400)
+      .select($"id", concat(lit("s"), $"id" % 4).as("src"))
+    val mixed = Sampling.epochMix(rows, $"src", $"id",
+      Map("s0" -> 2.5, "s1" -> 3.0, "s2" -> 0.0), default = 1.0)
+    val byCopy = mixed.groupBy("src", "id").count()
+      .groupBy("src").agg(min($"count").as("lo"), max($"count").as("hi"),
+        sum($"count").as("total")).as[(String, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // s0: every doc 2 or 3 times, total strictly between 2n and 3n
+    assert(byCopy("s0")._1 == 2 && byCopy("s0")._2 == 3)
+    assert(byCopy("s0")._3 > 200 && byCopy("s0")._3 < 300)
+    // s1: exactly 3 copies each
+    assert(byCopy("s1") == ((3L, 3L, 300L)))
+    // s2 dropped entirely
+    assert(!byCopy.contains("s2"))
+    // default source: one copy each
+    assert(byCopy("s3") == ((1L, 1L, 100L)))
+    // copy_idx is dense 0..copies-1 per doc
+    assert(mixed.filter($"src" === "s1").groupBy("id")
+      .agg(sort_array(collect_list($"copy_idx")).as("idxs"))
+      .filter($"idxs" =!= array(lit(0L), lit(1L), lit(2L))).isEmpty)
+    // partitioning-independent
+    val mixed7 = Sampling.epochMix(rows.repartition(7), $"src", $"id",
+      Map("s0" -> 2.5, "s1" -> 3.0, "s2" -> 0.0), default = 1.0)
+    assert(mixed.except(mixed7).isEmpty && mixed7.except(mixed).isEmpty)
+  }
 }
