@@ -379,6 +379,22 @@ object CatalogPipeline {
              |  ELSE 1 END)
              |ORDER BY doc_id, copy_idx""".stripMargin)),
 
+    QueryDef("q95_chunk_overlap",
+      // sliding-window chunking at (size 6, stride 4): the RAG/embed
+      // pre-step. Start offsets, window text and truncated tail are all
+      // pure functions of the token array, so the oracle re-derives
+      // every chunk via list slicing
+      (s, d) => TextAnalysis.chunkOverlap(Tpch.table(s, d, "documents"),
+          "doc_id", "text", chunkSize = 6, stride = 4)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""SELECT doc_id, tok_start // 4 AS chunk_id, tok_start,
+             |  array_to_string(toks[tok_start+1 : tok_start+6], ' ') AS chunk_text,
+             |  least(6, len(toks) - tok_start) AS chunk_tokens
+             |FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS tok_start
+             |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |            FROM documents WHERE trim(text) <> ''))
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

@@ -36,6 +36,34 @@ object TextAnalysis {
   def bpeIshTokenCount(text: Column): Column =
     size(filter(bpeIshTokens(text), t => !t.rlike("^\\s+$")))
 
+  /** Sliding-window document chunking — the retrieval-indexing
+    * primitive (a RAG/embedding pipeline chunks every document into
+    * overlapping token windows before embedding): windows of
+    * `chunkSize` tokens starting every `stride` tokens (overlap =
+    * chunkSize - stride), the final window truncated at the document
+    * end. Empty documents produce no chunks. Deterministic and purely
+    * per-row (explode of a computed start sequence — narrow, no
+    * shuffle); output rows carry (id, chunk_id, tok_start, chunk_text,
+    * chunk_tokens), ready for [[Similarity]] embedding or
+    * [[Search.bm25TopK]] indexing at chunk grain.
+    */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    require(stride <= chunkSize, "stride > chunkSize would skip tokens")
+    val tk = Iterator.from(0).map(i => s"__toks$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(tk, tokens(col(textCol)))
+      .filter(size(col(tk)) > 0)
+      .select(col(idCol), col(tk),
+        explode(sequence(lit(0), size(col(tk)) - 1, lit(stride))).as("tok_start"))
+      .select(col(idCol),
+        (col("tok_start") / stride).cast("long").as("chunk_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        concat_ws(" ", slice(col(tk), col("tok_start") + 1, lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize), size(col(tk)) - col("tok_start")).cast("long").as("chunk_tokens"))
+  }
+
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val len = length(text)

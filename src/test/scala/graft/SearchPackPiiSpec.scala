@@ -101,4 +101,25 @@ class SearchPackPiiSpec extends SparkSpec {
     assert(agg.getLong(2) == model.Tpch.table(spark, sf, "customer")
       .filter(col("c_custkey") % 5 === 0).count())
   }
+
+  test("chunkOverlap: window/stride arithmetic on a hand-checked fixture") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"), // 9 tokens -> starts 0,4,8
+      (2L, "x y"),               // shorter than one window -> 1 chunk
+      (3L, "")                   // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkOverlap(docs, "doc_id", "text",
+        chunkSize = 6, stride = 4)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, "a b c d e f", 6L),
+      (1L, 1L, 4L, "e f g h i", 5L),
+      (1L, 2L, 8L, "i", 1L),
+      (2L, 0L, 0L, "x y", 2L)))
+    // consecutive chunks overlap by chunkSize - stride tokens
+    assert(out(0)._4.split(" ").takeRight(2).mkString(" ") ==
+      out(1)._4.split(" ").take(2).mkString(" "))
+  }
 }
