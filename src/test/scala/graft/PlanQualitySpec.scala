@@ -83,4 +83,24 @@ class PlanQualitySpec extends SparkSpec {
     val s = executedString(q("q20_agg_pricing"))
     assert(s.contains("partial_"), s"no partial aggregation in:\n$s")
   }
+
+  test("mixture/chunking samplers keep their shuffle contract") {
+    import org.apache.spark.sql.functions.col
+    val docs = model.Tpch.table(spark, sf, "documents")
+    // epochMix and chunkOverlap are per-row generates: zero shuffles
+    val mix = operators.Sampling.epochMix(docs, col("source"),
+      col("doc_id"), Map("src0" -> 2.5, "src1" -> 0.4))
+    assert(!executedString(mix).contains("Exchange"),
+      "epochMix must be narrow (no shuffle)")
+    val chunks = operators.TextAnalysis.chunkOverlap(docs,
+      "doc_id", "text", chunkSize = 6, stride = 4)
+    assert(!executedString(chunks).contains("Exchange"),
+      "chunkOverlap must be narrow (no shuffle)")
+    // quotaCap ranks within groups: exactly the one group-key shuffle
+    val capped = operators.Sampling.quotaCap(docs,
+      Seq(col("source"), col("lang")), col("doc_id"), quota = 8)
+    val s = executedString(capped)
+    assert("Exchange".r.findAllMatchIn(s).size == 1,
+      s"quotaCap should shuffle exactly once on the group key:\n$s")
+  }
 }
