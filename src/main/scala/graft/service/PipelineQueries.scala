@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tpch
-import graft.operators.{Dedup, GraphAnalytics, Pii, Search}
+import graft.operators.{Dedup, GraphAnalytics, Pii, Sampling, Search, TextAnalysis}
 import graft.service.QueryService.{BadRequestException, ParamSpec, PipelineQuery}
 
 /** The data-pipeline operator pack for the registered-query tier: BM25
@@ -58,6 +58,39 @@ object PipelineQueries {
         val scanned = Pii.scan(docs, "doc_id", "text")
         if (ps("only_hits").asInstanceOf[Boolean]) scanned.filter(col("has_pii"))
         else scanned
+      }))
+
+    service.register(PipelineQuery("quota_sample",
+      Seq(ParamSpec("quota", "long")),
+      ps => {
+        val quota = ps("quota").asInstanceOf[Long]
+        if (quota < 1) throw new BadRequestException("'quota' must be >= 1")
+        Sampling.quotaCap(docs, Seq(col("source"), col("lang")),
+            col("doc_id"), quota.toInt)
+          .select(col("doc_id"), col("source"), col("lang"))
+      }))
+
+    service.register(PipelineQuery("epoch_mix",
+      Seq(ParamSpec("source", "string"),
+        ParamSpec("epochs", "double")),
+      ps => {
+        val epochs = ps("epochs").asInstanceOf[Double]
+        if (epochs < 0) throw new BadRequestException("'epochs' must be >= 0")
+        Sampling.epochMix(docs, col("source"), col("doc_id"),
+            Map(ps("source").asInstanceOf[String] -> epochs))
+          .select(col("doc_id"), col("source"), col("copy_idx"))
+      }))
+
+    service.register(PipelineQuery("chunk_overlap",
+      Seq(ParamSpec("size", "long", required = false, default = Some(128L)),
+        ParamSpec("stride", "long", required = false, default = Some(64L))),
+      ps => {
+        val (size, stride) =
+          (ps("size").asInstanceOf[Long], ps("stride").asInstanceOf[Long])
+        if (size < 1 || stride < 1 || stride > size)
+          throw new BadRequestException("need 1 <= stride <= size")
+        TextAnalysis.chunkOverlap(docs, "doc_id", "text",
+          size.toInt, stride.toInt)
       }))
 
     // a WRITE-effect pipeline query: materializes the redacted corpus.

@@ -86,6 +86,30 @@ class ServiceSpec extends SparkSpec {
     intercept[ForbiddenException] {
       service.runRegistered("pii_redact_store", Map("path" -> "target/nope"))
     }
+    // mixture/chunking samplers: coerced params, domain checks
+    val qs = service.runRegistered("quota_sample", Map("quota" -> "3"))
+    assert(qs.columns.sameElements(Array("doc_id", "source", "lang")))
+    assert(qs.groupBy("source", "lang").count()
+      .filter(col("count") > 3).count() == 0)
+    // the service clamp (limit) may truncate mid-document, so assert
+    // copy bounds rather than exact per-doc counts
+    val em = service.runRegistered("epoch_mix",
+      Map("source" -> "src0", "epochs" -> "2.0"))
+    val emCnt = em.filter(col("source") === "src0").groupBy("doc_id").count()
+    assert(emCnt.filter(col("count") > 2).count() == 0)
+    assert(emCnt.filter(col("count") === 2).count() > 0)
+    val ch = service.runRegistered("chunk_overlap",
+      Map("size" -> "6", "stride" -> "4"))
+    assert(ch.columns.contains("chunk_text") && ch.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("quota_sample", Map("quota" -> "0"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("epoch_mix", Map("source" -> "src0", "epochs" -> "-1"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("chunk_overlap", Map("size" -> "4", "stride" -> "8"))
+    }
   }
 
   test("pipeline-query write effect runs on a writable service and over HTTP") {
