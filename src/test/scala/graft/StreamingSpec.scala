@@ -168,4 +168,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(Array("alpha", "beta", "gamma")), got.mkString(","))
     q.stop()
   }
+
+  test("chunking composes with streaming ingestion (stateless narrow op)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.operators.TextAnalysis
+      .chunkOverlap(docs, "doc_id", "text", chunkSize = 3, stride = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunks").start()
+    input.addData((1L, "a b c d e"), (2L, "")) // empty doc: no chunks
+    q.processAllAvailable()
+    input.addData((3L, "x y"))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, chunk_id, chunk_text from chunks")
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e"),
+      (3L, 0L, "x y")), got.mkString(","))
+    q.stop()
+  }
 }
