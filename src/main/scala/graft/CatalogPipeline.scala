@@ -395,6 +395,24 @@ object CatalogPipeline {
              |            FROM documents WHERE trim(text) <> ''))
              |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    QueryDef("q96_vocab",
+      // vocabulary induction: top-50 tokens by occurrence count with
+      // doc frequencies and a deterministic dense rank (the vocab id).
+      // Ties break on the token string, so the oracle re-derives the
+      // identical mapping
+      (s, d) => TextAnalysis.vocab(Tpch.table(s, d, "documents"),
+          "doc_id", "text", topK = 50)
+        .orderBy("rank"),
+      Some("""SELECT token, n_occurrences, n_docs, rank FROM (
+             |  SELECT token, count(*) AS n_occurrences,
+             |    count(DISTINCT doc_id) AS n_docs,
+             |    row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+             |  FROM (SELECT doc_id,
+             |          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |        FROM documents WHERE trim(text) <> '')
+             |  GROUP BY token)
+             |WHERE rank <= 50 ORDER BY rank""".stripMargin)),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

@@ -36,6 +36,28 @@ object TextAnalysis {
   def bpeIshTokenCount(text: Column): Column =
     size(filter(bpeIshTokens(text), t => !t.rlike("^\\s+$")))
 
+  /** Corpus vocabulary induction — the tokenizer-training primitive:
+    * the `topK` most frequent tokens with occurrence and document
+    * frequencies and a dense rank (the vocab id). Ties break on the
+    * token string, so the mapping is deterministic across engines and
+    * partitionings. The wordcount shape: explode → partial-then-final
+    * aggregate (one shuffle on token) → TakeOrdered top-k; the rank
+    * window runs over only the `topK` surviving rows, never the corpus.
+    */
+  def vocab(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol).as("__vid"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__vid")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("token"))).cast("long"))
+  }
+
   /** Sliding-window document chunking — the retrieval-indexing
     * primitive (a RAG/embedding pipeline chunks every document into
     * overlapping token windows before embedding): windows of

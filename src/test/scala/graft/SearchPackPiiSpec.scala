@@ -102,6 +102,18 @@ class SearchPackPiiSpec extends SparkSpec {
       .filter(col("c_custkey") % 5 === 0).count())
   }
 
+  test("vocab: counts, doc frequencies, deterministic tie-broken ranks") {
+    val docs = Seq(
+      (1L, "b a b c"),
+      (2L, "a b"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocab(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // b: 3 occurrences in 2 docs; a: 2 in 2; c (1) cut by topK
+    assert(v.toSeq == Seq(("b", 3L, 2L, 1L), ("a", 2L, 2L, 2L)))
+  }
+
   test("chunkOverlap: window/stride arithmetic on a hand-checked fixture") {
     val docs = Seq(
       (1L, "a b c d e f g h i"), // 9 tokens -> starts 0,4,8
