@@ -165,7 +165,7 @@ object CatalogPipeline {
         val stopHits = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter($toks, " +
           "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
         val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
-          "CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)/length(text) END"
+          "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)/length(text) END"
         s"""SELECT doc_id, round(
            |  least(CAST($nTok AS DOUBLE)/50.0, 1.0) * 0.4 +
            |  least((CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST($stopHits AS DOUBLE)/$nTok END) * 5.0, 1.0) * 0.4 +

@@ -89,10 +89,11 @@ object TextAnalysis {
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val len = length(text)
+    // stripping alnum+whitespace leaves exactly the punctuation chars;
+    // ASCII-explicit class (not \p{Alnum}) so external RE2-based
+    // oracles agree with Java regex semantics
     when(len === 0, lit(0.0))
-      // ASCII-explicit class (not \p{Alnum}) so external RE2-based
-      // oracles agree with Java regex semantics
-      .otherwise((len - length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))).cast("double") / len)
+      .otherwise(length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / len)
   }
 
   // deliberately small + stable: these sets are part of the operator's

@@ -102,6 +102,13 @@ class SearchPackPiiSpec extends SparkSpec {
       .filter(col("c_custkey") % 5 === 0).count())
   }
 
+  test("punctRatio counts punctuation characters, not their complement") {
+    val rows = Seq("ab!?", "abcd", "", "!!").toDF("t")
+      .select(TextAnalysis.punctRatio(col("t")).as("r"))
+      .as[Double].collect().toSeq
+    assert(rows == Seq(0.5, 0.0, 0.0, 1.0))
+  }
+
   test("vocab: counts, doc frequencies, deterministic tie-broken ranks") {
     val docs = Seq(
       (1L, "b a b c"),
