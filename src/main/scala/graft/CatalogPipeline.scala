@@ -413,6 +413,39 @@ object CatalogPipeline {
              |  GROUP BY token)
              |WHERE rank <= 50 ORDER BY rank""".stripMargin)),
 
+    QueryDef("q97_filter_gate",
+      // composite quality gate with a reasons bitmask (auditable
+      // filtering: every dropped doc says why). All rules are integer
+      // comparisons, so the oracle re-derives every verdict bit-exactly
+      (s, d) => TextAnalysis.filterGate(Tpch.table(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
+        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
+        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"len(list_filter($toks, " +
+          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
+        s"""SELECT doc_id, n_tokens, sum_token_len, n_punct, n_stop,
+           |  CAST(reasons AS BIGINT) AS reasons, reasons = 0 AS keep
+           |FROM (SELECT doc_id, n_tokens, sum_token_len, n_punct, n_stop,
+           |  (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
+           |  (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
+           |        OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
+           |  (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
+           |  (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) AS reasons
+           |  FROM (SELECT doc_id, text,
+           |    CAST($nTok AS BIGINT) AS n_tokens,
+           |    CAST($sumLen AS BIGINT) AS sum_token_len,
+           |    CAST($nPunct AS BIGINT) AS n_punct,
+           |    CAST($nStop AS BIGINT) AS n_stop
+           |  FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

@@ -36,6 +36,39 @@ object TextAnalysis {
   def bpeIshTokenCount(text: Column): Column =
     size(filter(bpeIshTokens(text), t => !t.rlike("^\\s+$")))
 
+  /** Composite document quality gate — the C4/Gopher-style filter
+    * chain a corpus pipeline applies before training, with a REASONS
+    * BITMASK instead of a silent drop (auditable filtering: every
+    * removed doc says why). Rules are integer comparisons only, so the
+    * verdict is bit-exact on any engine:
+    *   bit 1 — too few tokens (< minTokens)
+    *   bit 2 — mean token length outside [minMeanLen, maxMeanLen]
+    *            (cross-multiplied: sumLen < min·n or sumLen > max·n)
+    *   bit 4 — punctuation-heavy (nPunct · 10 > nChars, i.e. > 10%)
+    *   bit 8 — too few stopwords (< minStopwords)
+    * `keep` = reasons == 0. Pure per-row columns — narrow, codegen.
+    */
+  def filterGate(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 10, minMeanLen: Int = 3, maxMeanLen: Int = 10,
+      minStopwords: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
+    val nStop = size(filter(toks, t => t.isInCollection(englishStopwords)))
+      .cast("long")
+    val reasons =
+      when(nTok < minTokens, 1L).otherwise(0L) +
+      when(nTok > 0 && (sumLen < nTok * minMeanLen || sumLen > nTok * maxMeanLen), 2L)
+        .otherwise(0L) +
+      when(nPunct * 10 > length(text), 4L).otherwise(0L) +
+      when(nStop < minStopwords, 8L).otherwise(0L)
+    df.select(col(idCol), nTok.as("n_tokens"), sumLen.as("sum_token_len"),
+      nPunct.as("n_punct"), nStop.as("n_stop"), reasons.as("reasons"),
+      (reasons === 0).as("keep"))
+  }
+
   /** Corpus vocabulary induction — the tokenizer-training primitive:
     * the `topK` most frequent tokens with occurrence and document
     * frequencies and a dense rank (the vocab id). Ties break on the

@@ -109,6 +109,29 @@ class SearchPackPiiSpec extends SparkSpec {
     assert(rows == Seq(0.5, 0.0, 0.0, 1.0))
   }
 
+  test("filterGate: each rule bit fires independently on hand-built docs") {
+    // 16 tokens, sum length 68 (mean 4.25 in [3,10]), 5 stopword hits
+    val clean = "the quick brown foxes jumped over the sleepy hounds " +
+      "in the garden while it was warm"
+    val docs = Seq(
+      (1L, clean),                                   // passes all rules
+      (2L, "the of in is and to it or an a"),        // 10 tokens but mean len 2 -> bit 2
+      (3L, "short the of"),                          // < 10 tokens -> bit 1
+      (4L, clean + " !!!!!!!!!!!!!!!!!!!!!!!!!!!!"), // punct-heavy -> bit 4
+      (5L, "cat dog mat sun sky red big run sit fly"), // no stopwords -> bit 8
+      (6L, "")                                       // empty: bits 1 + 8
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.filterGate(docs, "doc_id", "text")
+      .select("doc_id", "reasons", "keep")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((0L, true)))
+    assert(out(2L) == ((2L, false)))
+    assert(out(3L) == ((1L, false)))
+    assert(out(4L) == ((4L, false)))
+    assert(out(5L) == ((8L, false)))
+    assert(out(6L) == ((9L, false)))
+  }
+
   test("vocab: counts, doc frequencies, deterministic tie-broken ranks") {
     val docs = Seq(
       (1L, "b a b c"),
