@@ -446,6 +446,30 @@ object CatalogPipeline {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("q98_bpe_pairs",
+      // the BPE merge statistic: top-30 adjacent char pairs weighted by
+      // word frequency. Pair extraction is substr arithmetic, identical
+      // in both engines, so the oracle re-derives the exact table
+      (s, d) => TextAnalysis.bpePairCounts(Tpch.table(s, d, "documents"),
+          "text", topK = 30)
+        .orderBy("rank"),
+      Some("""SELECT pair, n_occurrences, rank FROM (
+             |  SELECT pair, n_occurrences,
+             |    row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+             |  FROM (
+             |    SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+             |      CAST(sum(freq) AS BIGINT) AS n_occurrences
+             |    FROM (
+             |      SELECT word, freq, unnest(range(1, length(word))) AS i
+             |      FROM (
+             |        SELECT word, count(*) AS freq
+             |        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+             |              FROM documents WHERE trim(text) <> '')
+             |        GROUP BY word)
+             |      WHERE length(word) >= 2)
+             |    GROUP BY pair))
+             |WHERE rank <= 30 ORDER BY rank""".stripMargin)),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

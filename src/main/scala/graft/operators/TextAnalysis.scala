@@ -91,6 +91,30 @@ object TextAnalysis {
         Window.orderBy(col("n_occurrences").desc, col("token"))).cast("long"))
   }
 
+  /** One BPE-training merge statistic: adjacent character-pair counts
+    * over the corpus, weighted by word frequency — the quantity a
+    * byte-pair-encoding trainer maximizes each merge round. Computed
+    * over the DISTINCT-word table (explode chars of each unique word ×
+    * its corpus frequency), so the expensive explode touches vocabulary
+    * size, not corpus size. Deterministic top-k (count desc, pair asc)
+    * with a dense rank; the rank window runs over only the k survivors.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word").substr(col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair"))).cast("long"))
+  }
+
   /** Sliding-window document chunking — the retrieval-indexing
     * primitive (a RAG/embedding pipeline chunks every document into
     * overlapping token windows before embedding): windows of

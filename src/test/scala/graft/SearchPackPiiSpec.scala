@@ -144,6 +144,14 @@ class SearchPackPiiSpec extends SparkSpec {
     assert(v.toSeq == Seq(("b", 3L, 2L, 1L), ("a", 2L, 2L, 2L)))
   }
 
+  test("bpePairCounts: frequency-weighted adjacent pairs, hand-checked") {
+    // "abab" x2 -> pairs ab,ba,ab weighted 2 = ab:4 ba:2; "ab" x1 -> ab:1
+    val docs = Seq((1L, "abab ab"), (2L, "abab x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("ab", 5L, 1L), ("ba", 2L, 2L)))
+  }
+
   test("chunkOverlap: window/stride arithmetic on a hand-checked fixture") {
     val docs = Seq(
       (1L, "a b c d e f g h i"), // 9 tokens -> starts 0,4,8
