@@ -93,6 +93,30 @@ object PipelineQueries {
           size.toInt, stride.toInt)
       }))
 
+    service.register(PipelineQuery("vocab",
+      Seq(ParamSpec("top_k", "long", required = false, default = Some(50L))),
+      ps => {
+        val k = ps("top_k").asInstanceOf[Long]
+        if (k < 1) throw new BadRequestException("'top_k' must be >= 1")
+        TextAnalysis.vocab(docs, "doc_id", "text", k.toInt)
+      }))
+
+    service.register(PipelineQuery("bpe_pairs",
+      Seq(ParamSpec("top_k", "long", required = false, default = Some(30L))),
+      ps => {
+        val k = ps("top_k").asInstanceOf[Long]
+        if (k < 1) throw new BadRequestException("'top_k' must be >= 1")
+        TextAnalysis.bpePairCounts(docs, "text", k.toInt)
+      }))
+
+    service.register(PipelineQuery("filter_gate",
+      Seq(ParamSpec("only_dropped", "boolean", required = false, default = Some(false))),
+      ps => {
+        val gated = TextAnalysis.filterGate(docs, "doc_id", "text")
+        if (ps("only_dropped").asInstanceOf[Boolean]) gated.filter(!col("keep"))
+        else gated
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

@@ -110,6 +110,17 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("chunk_overlap", Map("size" -> "4", "stride" -> "8"))
     }
+    // tokenizer/quality ops
+    val vb = service.runRegistered("vocab", Map("top_k" -> "5"))
+    assert(vb.count() == 5 && vb.columns.contains("rank"))
+    val bp = service.runRegistered("bpe_pairs", Map.empty)
+    assert(bp.count() > 0 && bp.columns.sameElements(
+      Array("pair", "n_occurrences", "rank")))
+    val fg = service.runRegistered("filter_gate", Map("only_dropped" -> "true"))
+    assert(fg.filter(col("keep")).count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("vocab", Map("top_k" -> "0"))
+    }
   }
 
   test("pipeline-query write effect runs on a writable service and over HTTP") {
