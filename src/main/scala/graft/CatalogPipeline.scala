@@ -372,25 +372,27 @@ object CatalogPipeline {
       Some("""SELECT d.doc_id, d.source, r.range AS copy_idx
              |FROM documents d, range(3) r
              |WHERE r.range < (CASE d.source
-             |  WHEN 'src0' THEN 2 + (CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < 500000 THEN 1 ELSE 0 END)
+             |  WHEN 'src0' THEN 2 + (CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 500000 THEN 1 ELSE 0 END)
              |  WHEN 'src1' THEN 3
-             |  WHEN 'src2' THEN (CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
+             |  WHEN 'src2' THEN (CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
              |  WHEN 'src3' THEN 0
              |  ELSE 1 END)
              |ORDER BY doc_id, copy_idx""".stripMargin)),
 
     QueryDef("q95_chunk_overlap",
       // sliding-window chunking at (size 6, stride 4): the RAG/embed
-      // pre-step. Start offsets, window text and truncated tail are all
-      // pure functions of the token array, so the oracle re-derives
-      // every chunk via list slicing
+      // pre-step. Start offsets (stopping once a window reaches the
+      // document end), window text and truncated tail are all pure
+      // functions of the token array, so the oracle re-derives every
+      // chunk via list slicing
       (s, d) => TextAnalysis.chunkOverlap(Tpch.table(s, d, "documents"),
           "doc_id", "text", chunkSize = 6, stride = 4)
         .orderBy("doc_id", "chunk_id"),
       Some("""SELECT doc_id, tok_start // 4 AS chunk_id, tok_start,
              |  array_to_string(toks[tok_start+1 : tok_start+6], ' ') AS chunk_text,
              |  least(6, len(toks) - tok_start) AS chunk_tokens
-             |FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS tok_start
+             |FROM (SELECT doc_id, toks,
+             |        unnest(range(0, greatest(len(toks) - 3, 0) + 1, 4)) AS tok_start
              |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
              |            FROM documents WHERE trim(text) <> ''))
              |ORDER BY doc_id, chunk_id""".stripMargin)),

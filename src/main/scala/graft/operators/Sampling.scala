@@ -27,6 +27,11 @@ object Sampling {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
   }
 
+  /** First column name `__<prefix>N` not already present in `df`. */
+  private[graft] def freshName(df: DataFrame, prefix: String): String =
+    Iterator.from(0).map(i => s"__$prefix$i")
+      .find(n => !df.columns.contains(n)).get
+
   /** Keep a deterministic `fraction` of rows by key hash. */
   def hashSample(df: DataFrame, key: Column, fraction: Double,
       buckets: Int = 1000000): DataFrame = {
@@ -54,8 +59,7 @@ object Sampling {
   def quotaCap(df: DataFrame, groupCols: Seq[Column], key: Column,
       quota: Int): DataFrame = {
     require(quota > 0, "quota must be positive")
-    val rk = Iterator.from(0).map(i => s"__qrank$i")
-      .find(n => !df.columns.contains(n)).get
+    val rk = freshName(df, "qrank")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols: _*)
       .orderBy(md5(key.cast("string")), key.cast("string"))
@@ -69,12 +73,17 @@ object Sampling {
     * appears twice and a key-hash-chosen half appear a third time;
     * `w = 0.4` keeps 40% of the source once; `w = 0` drops it. The
     * realized stream is a pure function of the data:
-    * `copies = floor(w) + [hashBucket(key) < frac(w)·buckets]`, with
+    * `copies = floor(w) + [saltedHash(key) < frac(w)·buckets]`, with
     * the fractional threshold folded to an integer literal at plan
     * build — so any engine re-derives the exact stream, and appends to
-    * one source never disturb another's copies. Output gains a
-    * `copy_idx` column (0-based repetition number, replacing any
-    * existing column of that name) for downstream shuffling/packing.
+    * one source never disturb another's copies. The hash is SALTED
+    * (`md5(key || ":epoch")`), so the fractional-copy subset is
+    * independent of `hashBucket`/`hashSample`/`hashSplit` selections on
+    * the same key — composing this with a downstream hash sample draws
+    * the product of the two fractions, not a coincident set. Output
+    * gains a `copy_idx` column (0-based repetition number, replacing
+    * any existing column of that name) for downstream
+    * shuffling/packing.
     *
     * Narrow — a per-row generate, no shuffle; output size is
     * Σ w(source)·|source| regardless of partitioning. Same key
@@ -84,18 +93,19 @@ object Sampling {
       weights: Map[String, Double], default: Double = 1.0,
       buckets: Int = 1000000): DataFrame = {
     def copiesOf(w: Double): Column = {
-      require(w >= 0, s"epoch weight must be >= 0: $w")
+      require(java.lang.Double.isFinite(w) && w >= 0,
+        s"epoch weight must be finite and >= 0: $w")
       val whole = math.floor(w).toLong
       val thr = math.round((w - whole) * buckets)
-      lit(whole) + when(hashBucket(key, buckets) < thr, 1L).otherwise(0L)
+      val salted = hashBucket(concat(key.cast("string"), lit(":epoch")), buckets)
+      lit(whole) + when(salted < thr, 1L).otherwise(0L)
     }
     val copies = weights.toSeq.sortBy(_._1)
       .foldLeft(Option.empty[Column]) { case (acc, (s, w)) =>
         val c = copiesOf(w)
         Some(acc.fold(when(sourceCol === s, c))(_.when(sourceCol === s, c)))
       }.fold(copiesOf(default))(_.otherwise(copiesOf(default)))
-    val ci = Iterator.from(0).map(i => s"__copies$i")
-      .find(n => !df.columns.contains(n)).get
+    val ci = freshName(df, "copies")
     df.withColumn(ci, copies)
       .filter(col(ci) > 0)
       .withColumn("copy_idx", explode(sequence(lit(0L), col(ci) - 1)))

@@ -71,10 +71,11 @@ object TextAnalysis {
 
   /** Corpus vocabulary induction — the tokenizer-training primitive:
     * the `topK` most frequent tokens with occurrence and document
-    * frequencies and a dense rank (the vocab id). Ties break on the
-    * token string, so the mapping is deterministic across engines and
-    * partitionings. The wordcount shape: explode → partial-then-final
-    * aggregate (one shuffle on token) → TakeOrdered top-k; the rank
+    * frequencies and a rank (the vocab id). Ties break on the token
+    * string, so the mapping is deterministic across engines and
+    * partitionings. The wordcount shape with a distinct-doc count:
+    * partial aggregate on (token, doc) then on token (two exchanges —
+    * the price of exact doc frequencies) → TakeOrdered top-k; the rank
     * window runs over only the `topK` surviving rows, never the corpus.
     */
   def vocab(df: DataFrame, idCol: String, textCol: String,
@@ -97,7 +98,7 @@ object TextAnalysis {
     * over the DISTINCT-word table (explode chars of each unique word ×
     * its corpus frequency), so the expensive explode touches vocabulary
     * size, not corpus size. Deterministic top-k (count desc, pair asc)
-    * with a dense rank; the rank window runs over only the k survivors.
+    * with a rank; the rank window runs over only the k survivors.
     */
   def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     require(topK > 0, "topK must be positive")
@@ -120,22 +121,27 @@ object TextAnalysis {
     * overlapping token windows before embedding): windows of
     * `chunkSize` tokens starting every `stride` tokens (overlap =
     * chunkSize - stride), the final window truncated at the document
-    * end. Empty documents produce no chunks. Deterministic and purely
-    * per-row (explode of a computed start sequence — narrow, no
-    * shuffle); output rows carry (id, chunk_id, tok_start, chunk_text,
-    * chunk_tokens), ready for [[Similarity]] embedding or
-    * [[Search.bm25TopK]] indexing at chunk grain.
+    * end. Windows stop as soon as one reaches the document end: a
+    * start whose tokens are fully contained in the previous window is
+    * never emitted (no duplicate embedding work or retrieval
+    * candidates downstream). Empty documents produce no chunks.
+    * Deterministic and purely per-row (explode of a computed start
+    * sequence — narrow, no shuffle); output rows carry (id, chunk_id,
+    * tok_start, chunk_text, chunk_tokens), ready for [[Similarity]]
+    * embedding or [[Search.bm25TopK]] indexing at chunk grain.
     */
   def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
     require(stride <= chunkSize, "stride > chunkSize would skip tokens")
-    val tk = Iterator.from(0).map(i => s"__toks$i")
-      .find(n => !df.columns.contains(n)).get
+    val tk = Sampling.freshName(df, "toks")
+    // last start = the single stride multiple in
+    // [n - chunkSize, n - chunkSize + stride - 1] (0 when n <= chunkSize)
+    val lastStart = greatest(size(col(tk)) - chunkSize + stride - 1, lit(0))
     df.withColumn(tk, tokens(col(textCol)))
       .filter(size(col(tk)) > 0)
       .select(col(idCol), col(tk),
-        explode(sequence(lit(0), size(col(tk)) - 1, lit(stride))).as("tok_start"))
+        explode(sequence(lit(0), lastStart, lit(stride))).as("tok_start"))
       .select(col(idCol),
         (col("tok_start") / stride).cast("long").as("chunk_id"),
         col("tok_start").cast("long").as("tok_start"),

@@ -20,6 +20,15 @@ object PipelineQueries {
   def install(service: QueryService, spark: SparkSession, sfDir: String): Unit = {
     def docs: DataFrame = Tpch.table(spark, sfDir, "documents")
 
+    // coerced params arrive as Long; the operators take Int — reject
+    // out-of-range values instead of silently wrapping on .toInt
+    def intParam(ps: Map[String, Any], name: String, min: Int = 1): Int = {
+      val v = ps(name).asInstanceOf[Long]
+      if (v < min || v > Int.MaxValue)
+        throw new BadRequestException(s"'$name' must be in [$min, ${Int.MaxValue}]")
+      v.toInt
+    }
+
     service.register(PipelineQuery("bm25_search",
       Seq(ParamSpec("terms", "string"),
         ParamSpec("k", "long", required = false, default = Some(10L))),
@@ -28,9 +37,7 @@ object PipelineQueries {
           .toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
         if (terms.isEmpty)
           throw new BadRequestException("'terms' must list at least one term")
-        val k = ps("k").asInstanceOf[Long]
-        if (k < 1) throw new BadRequestException("'k' must be >= 1")
-        Search.bm25TopK(docs, "doc_id", "text", terms, k.toInt)
+        Search.bm25TopK(docs, "doc_id", "text", terms, intParam(ps, "k"))
       }))
 
     service.register(PipelineQuery("dedup_clusters",
@@ -63,10 +70,8 @@ object PipelineQueries {
     service.register(PipelineQuery("quota_sample",
       Seq(ParamSpec("quota", "long")),
       ps => {
-        val quota = ps("quota").asInstanceOf[Long]
-        if (quota < 1) throw new BadRequestException("'quota' must be >= 1")
         Sampling.quotaCap(docs, Seq(col("source"), col("lang")),
-            col("doc_id"), quota.toInt)
+            col("doc_id"), intParam(ps, "quota"))
           .select(col("doc_id"), col("source"), col("lang"))
       }))
 
@@ -75,7 +80,8 @@ object PipelineQueries {
         ParamSpec("epochs", "double")),
       ps => {
         val epochs = ps("epochs").asInstanceOf[Double]
-        if (epochs < 0) throw new BadRequestException("'epochs' must be >= 0")
+        if (!java.lang.Double.isFinite(epochs) || epochs < 0)
+          throw new BadRequestException("'epochs' must be finite and >= 0")
         Sampling.epochMix(docs, col("source"), col("doc_id"),
             Map(ps("source").asInstanceOf[String] -> epochs))
           .select(col("doc_id"), col("source"), col("copy_idx"))
@@ -85,28 +91,22 @@ object PipelineQueries {
       Seq(ParamSpec("size", "long", required = false, default = Some(128L)),
         ParamSpec("stride", "long", required = false, default = Some(64L))),
       ps => {
-        val (size, stride) =
-          (ps("size").asInstanceOf[Long], ps("stride").asInstanceOf[Long])
-        if (size < 1 || stride < 1 || stride > size)
+        val (size, stride) = (intParam(ps, "size"), intParam(ps, "stride"))
+        if (stride > size)
           throw new BadRequestException("need 1 <= stride <= size")
-        TextAnalysis.chunkOverlap(docs, "doc_id", "text",
-          size.toInt, stride.toInt)
+        TextAnalysis.chunkOverlap(docs, "doc_id", "text", size, stride)
       }))
 
     service.register(PipelineQuery("vocab",
       Seq(ParamSpec("top_k", "long", required = false, default = Some(50L))),
       ps => {
-        val k = ps("top_k").asInstanceOf[Long]
-        if (k < 1) throw new BadRequestException("'top_k' must be >= 1")
-        TextAnalysis.vocab(docs, "doc_id", "text", k.toInt)
+        TextAnalysis.vocab(docs, "doc_id", "text", intParam(ps, "top_k"))
       }))
 
     service.register(PipelineQuery("bpe_pairs",
       Seq(ParamSpec("top_k", "long", required = false, default = Some(30L))),
       ps => {
-        val k = ps("top_k").asInstanceOf[Long]
-        if (k < 1) throw new BadRequestException("'top_k' must be >= 1")
-        TextAnalysis.bpePairCounts(docs, "text", k.toInt)
+        TextAnalysis.bpePairCounts(docs, "text", intParam(ps, "top_k"))
       }))
 
     service.register(PipelineQuery("filter_gate",

@@ -154,9 +154,11 @@ class SearchPackPiiSpec extends SparkSpec {
 
   test("chunkOverlap: window/stride arithmetic on a hand-checked fixture") {
     val docs = Seq(
-      (1L, "a b c d e f g h i"), // 9 tokens -> starts 0,4,8
+      (1L, "a b c d e f g h i"), // 9 tokens -> starts 0,4 (8 would be
+                                 // fully contained in the window at 4)
       (2L, "x y"),               // shorter than one window -> 1 chunk
-      (3L, "")                   // empty -> no chunks
+      (3L, ""),                  // empty -> no chunks
+      (4L, "a b c d e f g h i j k") // 11 tokens -> starts 0,4,8
     ).toDF("doc_id", "text")
     val out = TextAnalysis.chunkOverlap(docs, "doc_id", "text",
         chunkSize = 6, stride = 4)
@@ -166,8 +168,10 @@ class SearchPackPiiSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 0L, 0L, "a b c d e f", 6L),
       (1L, 1L, 4L, "e f g h i", 5L),
-      (1L, 2L, 8L, "i", 1L),
-      (2L, 0L, 0L, "x y", 2L)))
+      (2L, 0L, 0L, "x y", 2L),
+      (4L, 0L, 0L, "a b c d e f", 6L),
+      (4L, 1L, 4L, "e f g h i j", 6L),
+      (4L, 2L, 8L, "i j k", 3L)))
     // consecutive chunks overlap by chunkSize - stride tokens
     assert(out(0)._4.split(" ").takeRight(2).mkString(" ") ==
       out(1)._4.split(" ").take(2).mkString(" "))

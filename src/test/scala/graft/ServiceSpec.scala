@@ -107,6 +107,12 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("epoch_mix", Map("source" -> "src0", "epochs" -> "-1"))
     }
+    intercept[BadRequestException] { // non-finite must be 400, not 500
+      service.runRegistered("epoch_mix", Map("source" -> "src0", "epochs" -> "NaN"))
+    }
+    intercept[BadRequestException] { // > Int.MaxValue must not wrap
+      service.runRegistered("quota_sample", Map("quota" -> "2147483648"))
+    }
     intercept[BadRequestException] {
       service.runRegistered("chunk_overlap", Map("size" -> "4", "stride" -> "8"))
     }

@@ -183,7 +183,8 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val got = spark.sql("select doc_id, chunk_id, chunk_text from chunks")
       .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
-    assert(got == Seq((1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e"),
+    // the window at 2 reaches the document end, so no start at 4
+    assert(got == Seq((1L, 0L, "a b c"), (1L, 1L, "c d e"),
       (3L, 0L, "x y")), got.mkString(","))
     q.stop()
   }
