@@ -163,5 +163,38 @@ object CatalogSearch {
              |  CAST(400 + (doc_id * 11) % 800 AS BIGINT) AS n_frames,
              |  CAST(1 + doc_id % 2 AS INT) AS channels,
              |  CAST((doc_id * 5) % 16384 AS BIGINT) AS rms
-             |FROM documents ORDER BY media_id""".stripMargin)))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    QueryDef("q99_image_resize",
+      // REAL raster resize roundtrip: encode -> nearest-neighbor
+      // resample into a 16px box -> PNG re-encode -> decode. Output
+      // dims use integer ceil-division, and the lossless even-id rows
+      // are solid-color (mean invariant under any resample), so the
+      // oracle restates the full chain's arithmetic — only a real
+      // resize of real pixels can match the re-decoded dims AND colors
+      (s, d) => {
+        val media = Multimodal.attachMedia(Tpch.table(s, d, "documents"), "doc_id")
+        val resized = Multimodal.resizeMedia(media, maxDim = 16)
+        Multimodal.decodeMedia(resized)
+          .select(col("media_id"), col("width"), col("height"), col("channels"),
+            when(col("media_id") % 2 === 0,
+              round(element_at(col("features"), 1) * 255).cast("int")).as("px_r"),
+            when(col("media_id") % 2 === 0,
+              round(element_at(col("features"), 2) * 255).cast("int")).as("px_g"),
+            when(col("media_id") % 2 === 0,
+              round(element_at(col("features"), 3) * 255).cast("int")).as("px_b"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST((w * 16 + g - 1) // g AS INT) AS width,
+             |  CAST((h * 16 + g - 1) // g AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS channels,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS INT) AS px_r,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 3) % 256 END AS INT) AS px_g,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS INT) AS px_b
+             |FROM (SELECT doc_id, 16 + (doc_id * 7) % 48 AS w,
+             |        16 + (doc_id * 13) % 48 AS h,
+             |        greatest(16 + (doc_id * 7) % 48, 16 + (doc_id * 13) % 48) AS g
+             |      FROM documents)
+             |ORDER BY media_id""".stripMargin)))
 }

@@ -14,13 +14,15 @@ import org.apache.spark.sql.types._
   * typed metadata struct; decode/feature steps run as partition-batched
   * transforms.
   *
-  * Image decode is REAL: `javax.imageio` (JDK-built-in PNG/JPEG codecs,
-  * no external dependency) reads the bytes and reports true
-  * width/height/channels plus per-channel mean features. Audio/video
-  * remain metadata-only planning ([[planFrameSample]]) — those codecs
-  * are not in the JDK, and a deployment would slot an ffmpeg binding
-  * into the same partition-batched shape without touching the
-  * distributed plumbing.
+  * Image decode AND resize are REAL: `javax.imageio` (JDK-built-in
+  * PNG/JPEG codecs, no external dependency) reads the bytes and
+  * reports true width/height/channels plus per-channel mean features;
+  * [[resizeImage]] resamples actual rasters (deterministic
+  * nearest-neighbor) and re-encodes. Audio decode is real too
+  * (javax.sound.sampled WAV/PCM). Only video remains metadata-only
+  * planning ([[planFrameSample]]) — that codec is not in the JDK, and
+  * a deployment would slot an ffmpeg binding into the same
+  * partition-batched shape without touching the distributed plumbing.
   */
 object Multimodal {
 
@@ -224,6 +226,68 @@ object Multimodal {
       rows.map { r =>
         val (rate, frames, ch, rms) = decodeAudio(r.get(1).asInstanceOf[Array[Byte]])
         Row(r.getLong(0), rate, frames, ch, rms)
+      }
+    }(enc)
+  }
+
+  /** REAL raster resize — decode, nearest-neighbor resample into the
+    * aspect-preserving `maxDim` box, re-encode as (lossless) PNG.
+    * Nearest-neighbor with integer source-index arithmetic
+    * (`srcX = x*w/ow`) rather than a JDK interpolator, so the resampled
+    * raster is bit-deterministic on any JVM; output dims use integer
+    * ceil-division (`(w*maxDim + g - 1)/g`, g = max(w,h)) so an
+    * external oracle re-derives them without floating point. Channel
+    * count is preserved (ARGB in → ARGB out). Returns (png bytes,
+    * outWidth, outHeight).
+    */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): (Array[Byte], Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "no JDK ImageReader could decode the payload")
+    val w = img.getWidth; val h = img.getHeight
+    val g = math.max(w, h)
+    val (ow, oh) =
+      if (g <= maxDim) (w, h)
+      else (((w.toLong * maxDim + g - 1) / g).toInt,
+            ((h.toLong * maxDim + g - 1) / g).toInt)
+    val kind =
+      if (img.getColorModel.getNumComponents == 4)
+        java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val out = new java.awt.image.BufferedImage(ow, oh, kind)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        out.setRGB(x, y, img.getRGB((x.toLong * w / ow).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    (bos.toByteArray, ow, oh)
+  }
+
+  /** Partition-batched real resize over opaque image payloads — the
+    * q99 surface. Output rows keep the binary column shape of
+    * [[attachMedia]] (media_id, bytes, format) plus the realized dims,
+    * so the result chains straight back into [[decodeMedia]].
+    */
+  def resizeMedia(media: DataFrame, maxDim: Int, partitions: Int = 0): DataFrame = {
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("out_width", IntegerType, nullable = false),
+      StructField("out_height", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    src.select("media_id", "bytes", "format").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val (b, ow, oh) = resizeImage(r.get(1).asInstanceOf[Array[Byte]], maxDim)
+        Row(r.getLong(0), b, "png", ow, oh)
       }
     }(enc)
   }

@@ -82,6 +82,36 @@ class MultimodalVariantSpec extends SparkSpec {
     assert(planned.filter($"scale" > 1.0).count() == 0)
   }
 
+  test("resizeImage: exact nearest-neighbor pixels and ceil-div dims") {
+    import java.awt.image.BufferedImage
+    val src = new BufferedImage(4, 2, BufferedImage.TYPE_INT_ARGB)
+    val px = Array.tabulate(4, 2)((x, y) => 0xff000000 | (x * 40 + y) << 16 | x)
+    for (x <- 0 until 4; y <- 0 until 2) src.setRGB(x, y, px(x)(y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val (outBytes, ow, oh) = Multimodal.resizeImage(bos.toByteArray, maxDim = 2)
+    // dims: g=4 -> ow=(4*2+3)/4=2, oh=(2*2+3)/4=1
+    assert((ow, oh) == ((2, 1)))
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(outBytes))
+    // nearest-neighbor source indices: x*4/2 -> 0,2; y*2/1 -> 0
+    assert(out.getRGB(0, 0) == px(0)(0) && out.getRGB(1, 0) == px(2)(0))
+    // no-op when already inside the box
+    val (sameBytes, sw, sh) = Multimodal.resizeImage(bos.toByteArray, maxDim = 8)
+    assert((sw, sh) == ((4, 2)))
+    val same = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sameBytes))
+    assert(same.getRGB(3, 1) == px(3)(1))
+  }
+
+  test("resizeMedia chains back into decodeMedia with true resized dims") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(24)
+    val media = Multimodal.attachMedia(docs, "doc_id")
+    val decoded = Multimodal.decodeMedia(Multimodal.resizeMedia(media, maxDim = 16))
+    assert(decoded.filter($"width" > 16 || $"height" > 16).count() == 0)
+    assert(decoded.count() == 24)
+  }
+
   test("frame sample plan: stride + cap") {
     val media = Seq((1L, 100)).toDF("media_id", "n")
     val planned = Multimodal.planFrameSample(media, frameCount = 100, everyN = 10, maxFrames = 5)
