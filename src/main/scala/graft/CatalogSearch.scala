@@ -196,5 +196,31 @@ object CatalogSearch {
              |        16 + (doc_id * 13) % 48 AS h,
              |        greatest(16 + (doc_id * 7) % 48, 16 + (doc_id * 13) % 48) AS g
              |      FROM documents)
+             |ORDER BY media_id""".stripMargin)),
+
+    QueryDef("q100_audio_resample",
+      // REAL audio resample roundtrip (the q99 pattern for sound):
+      // WAV -> nearest-neighbor frame decimation to 8 kHz -> re-encode
+      // -> decode. Output frame counts use the same integer ceil-div
+      // contract as the image path; the constant-amplitude signal
+      // keeps its exact RMS through decimation, so the oracle restates
+      // the whole chain's arithmetic
+      (s, d) => {
+        val media = Multimodal.attachAudio(Tpch.table(s, d, "documents"), "doc_id")
+        Multimodal.decodeAudioMedia(
+          Multimodal.resampleAudioMedia(media, targetRate = 8000))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(CASE WHEN rate <= 8000 THEN rate ELSE 8000 END AS INT) AS sample_rate,
+             |  CAST(CASE WHEN rate <= 8000 THEN n
+             |       ELSE (n * 8000 + rate - 1) // rate END AS BIGINT) AS n_frames,
+             |  CAST(1 + doc_id % 2 AS INT) AS channels,
+             |  CAST((doc_id * 5) % 16384 AS BIGINT) AS rms
+             |FROM (SELECT doc_id,
+             |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             |    400 + (doc_id * 11) % 800 AS n
+             |  FROM documents)
              |ORDER BY media_id""".stripMargin)))
 }

@@ -218,6 +218,59 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** REAL audio resample — read the PCM frames, nearest-neighbor frame
+    * decimation to `targetRate` (no upsampling: payloads at or below
+    * the target pass through byte-identical), re-encode WAV. Frame
+    * mapping is integer arithmetic (`srcFrame = i*n/outN` with
+    * `outN = (n*target + rate - 1)/rate` — the audio analog of
+    * [[resizeImage]]'s ceil-div/NN contract), so an external oracle
+    * re-derives the output geometry exactly; a constant-amplitude
+    * signal keeps its RMS bit-for-bit.
+    */
+  def resampleAudio(bytes: Array[Byte], targetRate: Int): Array[Byte] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val rate = fmt.getSampleRate.toInt
+      if (rate <= targetRate) return bytes
+      val n = ais.getFrameLength
+      val fs = fmt.getFrameSize
+      val pcm = ais.readAllBytes()
+      val outN = (n * targetRate + rate - 1) / rate
+      val out = new Array[Byte]((outN * fs).toInt)
+      var i = 0L
+      while (i < outN) {
+        val src = i * n / outN
+        System.arraycopy(pcm, (src * fs).toInt, out, (i * fs).toInt, fs)
+        i += 1
+      }
+      val ofmt = new javax.sound.sampled.AudioFormat(targetRate.toFloat,
+        fmt.getSampleSizeInBits, fmt.getChannels, true, fmt.isBigEndian)
+      val oais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(out), ofmt, outN)
+      val bos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(oais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    } finally ais.close()
+  }
+
+  /** Partition-batched real resample over opaque audio payloads — the
+    * q100 surface; chains straight back into [[decodeAudioMedia]].
+    */
+  def resampleAudioMedia(media: DataFrame, targetRate: Int,
+      partitions: Int = 0): DataFrame = {
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.select("media_id", "bytes", "format").mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0),
+          resampleAudio(r.get(1).asInstanceOf[Array[Byte]], targetRate), "wav")
+      }
+    }(enc)
+  }
+
   /** Partition-batched audio decode (same shape as [[decodeMedia]]). */
   def decodeAudioMedia(media: DataFrame, partitions: Int = 0): DataFrame = {
     val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media

@@ -112,6 +112,19 @@ class MultimodalVariantSpec extends SparkSpec {
     assert(decoded.count() == 24)
   }
 
+  test("resampleAudio: ceil-div frame count, RMS preserved, pass-through") {
+    val hi = Multimodal.synthWavBytes(1L) // id 1 -> 16000 Hz, 411 frames
+    val (rate0, n0, ch0, rms0) = Multimodal.decodeAudio(hi)
+    assert(rate0 == 16000)
+    val down = Multimodal.resampleAudio(hi, 8000)
+    val (rate1, n1, ch1, rms1) = Multimodal.decodeAudio(down)
+    assert(rate1 == 8000 && ch1 == ch0 && rms1 == rms0)
+    assert(n1 == (n0 * 8000 + 16000 - 1) / 16000)
+    // at-or-below target: byte-identical pass-through
+    val lo = Multimodal.synthWavBytes(0L) // id 0 -> 8000 Hz
+    assert(Multimodal.resampleAudio(lo, 8000).sameElements(lo))
+  }
+
   test("frame sample plan: stride + cap") {
     val media = Seq((1L, 100)).toDF("media_id", "n")
     val planned = Multimodal.planFrameSample(media, frameCount = 100, everyN = 10, maxFrames = 5)
