@@ -97,6 +97,30 @@ object PipelineQueries {
         TextAnalysis.chunkOverlap(docs, "doc_id", "text", size, stride)
       }))
 
+    service.register(PipelineQuery("ann_search",
+      Seq(ParamSpec("vector", "string"),
+        ParamSpec("k", "long", required = false, default = Some(10L))),
+      ps => {
+        val vec = ps("vector").asInstanceOf[String].split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { s =>
+            val v = try s.toDouble catch {
+              case _: NumberFormatException =>
+                throw new BadRequestException(s"'vector' element not numeric: $s")
+            }
+            if (!java.lang.Double.isFinite(v))
+              throw new BadRequestException("'vector' elements must be finite")
+            v
+          }
+        if (vec.isEmpty)
+          throw new BadRequestException("'vector' must list at least one component")
+        val embs = Tpch.table(spark, sfDir, "embeddings")
+        val dim = embs.select(size(col("embedding"))).head().getInt(0)
+        if (vec.length != dim)
+          throw new BadRequestException(s"'vector' must have $dim components")
+        graft.operators.Similarity.bruteForceTopK(
+          embs, "embedding", "vec_id", vec, intParam(ps, "k"))
+      }))
+
     service.register(PipelineQuery("vocab",
       Seq(ParamSpec("top_k", "long", required = false, default = Some(50L))),
       ps => {

@@ -127,6 +127,18 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("vocab", Map("top_k" -> "0"))
     }
+    // vector search: exact top-k over the embeddings table
+    val dim = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
+    val vec = (0 until dim).map(i => if (i % 2 == 0) "1" else "0").mkString(",")
+    val ann = service.runRegistered("ann_search", Map("vector" -> vec, "k" -> "5"))
+    assert(ann.count() == 5 && ann.columns.sameElements(Array("id", "cos_sim")))
+    intercept[BadRequestException] {
+      service.runRegistered("ann_search", Map("vector" -> "1,2,bogus"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("ann_search", Map("vector" -> "1,2")) // wrong dim
+    }
   }
 
   test("pipeline-query write effect runs on a writable service and over HTTP") {
