@@ -32,8 +32,8 @@ import graft.{GraftSession, SparkEntry}
   */
 object ScaleCheck {
 
-  /** The dedup, similarity and spatial headliners — the shapes whose
-    * scaling behavior BENCHNOTES claims.
+  /** The dedup, similarity, spatial and corpus-text headliners — the
+    * shapes whose scaling behavior BENCHNOTES claims.
     */
   val queries: Seq[String] = Seq(
     "q40_spatial_bbox",
@@ -43,7 +43,12 @@ object ScaleCheck {
     "q56_minhash_lsh",
     "q58_cosine_topk",
     "q59_ann_lsh",
-    "q67_ivf_ann")
+    "q67_ivf_ann",
+    "q93_quota_sample",
+    "q95_chunk_overlap",
+    "q96_vocab",
+    "q97_filter_gate",
+    "q98_bpe_pairs")
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)
