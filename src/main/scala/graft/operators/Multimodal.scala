@@ -112,24 +112,30 @@ object Multimodal {
     (w, h, channels, means.take(channels))
   }
 
-  /** Partition-batched decode: one task decodes its whole partition via
-    * an iterator (the JVM-side analog of a pandas-UDF `mapInPandas`
-    * batch loop — amortizes per-batch setup, never collects to the
-    * driver). Repartition upstream to bound batch memory.
+  /** The shared partition-batched media transform scaffold: one task
+    * processes its whole partition via an iterator (the JVM-side analog
+    * of a pandas-UDF `mapInPandas` batch loop — amortizes per-batch
+    * codec setup, never collects to the driver). Repartition upstream
+    * (`partitions > 0`) to bound batch memory. Rows arrive positional
+    * (media_id, bytes, format): when chained after another
+    * mapPartitions they flow object-to-object (GenericRow, no schema).
     */
-  def decodeMedia(media: DataFrame, partitions: Int = 0): DataFrame = {
+  private def mapMedia(media: DataFrame, partitions: Int,
+      schema: StructType)(f: Row => Row): DataFrame = {
     val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
-    // positional accessors: when chained after another mapPartitions
-    // the rows flow object-to-object (GenericRow, no schema attached)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     src.select("media_id", "bytes", "format").mapPartitions { rows =>
       ImageIO.setUseCache(false) // per-partition codec setup, once
-      rows.map { r =>
-        val (w, h, c, f) = decodeImage(r.get(1).asInstanceOf[Array[Byte]])
-        Row(r.getLong(0), w, h, c, f.toSeq)
-      }
+      rows.map(f)
     }(enc)
   }
+
+  /** Partition-batched decode (see [[mapMedia]]). */
+  def decodeMedia(media: DataFrame, partitions: Int = 0): DataFrame =
+    mapMedia(media, partitions, decodedSchema) { r =>
+      val (w, h, c, f) = decodeImage(r.get(1).asInstanceOf[Array[Byte]])
+      Row(r.getLong(0), w, h, c, f.toSeq)
+    }
 
   // --- audio: REAL WAV/PCM codec via javax.sound.sampled (JDK) --------
 
@@ -245,8 +251,12 @@ object Multimodal {
         System.arraycopy(pcm, (src * fs).toInt, out, (i * fs).toInt, fs)
         i += 1
       }
-      val ofmt = new javax.sound.sampled.AudioFormat(targetRate.toFloat,
-        fmt.getSampleSizeInBits, fmt.getChannels, true, fmt.isBigEndian)
+      // preserve the input's encoding (PCM_SIGNED vs PCM_UNSIGNED —
+      // 8-bit WAV is unsigned; forcing signed would break the writer
+      // or mislabel the samples)
+      val ofmt = new javax.sound.sampled.AudioFormat(fmt.getEncoding,
+        targetRate.toFloat, fmt.getSampleSizeInBits, fmt.getChannels,
+        fs, targetRate.toFloat, fmt.isBigEndian)
       val oais = new javax.sound.sampled.AudioInputStream(
         new ByteArrayInputStream(out), ofmt, outN)
       val bos = new ByteArrayOutputStream()
@@ -260,28 +270,18 @@ object Multimodal {
     * q100 surface; chains straight back into [[decodeAudioMedia]].
     */
   def resampleAudioMedia(media: DataFrame, targetRate: Int,
-      partitions: Int = 0): DataFrame = {
-    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    src.select("media_id", "bytes", "format").mapPartitions { rows =>
-      rows.map { r =>
-        Row(r.getLong(0),
-          resampleAudio(r.get(1).asInstanceOf[Array[Byte]], targetRate), "wav")
-      }
-    }(enc)
-  }
+      partitions: Int = 0): DataFrame =
+    mapMedia(media, partitions, mediaSchema) { r =>
+      Row(r.getLong(0),
+        resampleAudio(r.get(1).asInstanceOf[Array[Byte]], targetRate), "wav")
+    }
 
-  /** Partition-batched audio decode (same shape as [[decodeMedia]]). */
-  def decodeAudioMedia(media: DataFrame, partitions: Int = 0): DataFrame = {
-    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedAudioSchema)
-    src.select("media_id", "bytes", "format").mapPartitions { rows =>
-      rows.map { r =>
-        val (rate, frames, ch, rms) = decodeAudio(r.get(1).asInstanceOf[Array[Byte]])
-        Row(r.getLong(0), rate, frames, ch, rms)
-      }
-    }(enc)
-  }
+  /** Partition-batched audio decode (see [[mapMedia]]). */
+  def decodeAudioMedia(media: DataFrame, partitions: Int = 0): DataFrame =
+    mapMedia(media, partitions, decodedAudioSchema) { r =>
+      val (rate, frames, ch, rms) = decodeAudio(r.get(1).asInstanceOf[Array[Byte]])
+      Row(r.getLong(0), rate, frames, ch, rms)
+    }
 
   /** REAL raster resize — decode, nearest-neighbor resample into the
     * aspect-preserving `maxDim` box, re-encode as (lossless) PNG.
@@ -290,22 +290,29 @@ object Multimodal {
     * raster is bit-deterministic on any JVM; output dims use integer
     * ceil-division (`(w*maxDim + g - 1)/g`, g = max(w,h)) so an
     * external oracle re-derives them without floating point. Channel
-    * count is preserved (ARGB in → ARGB out). Returns (png bytes,
-    * outWidth, outHeight).
+    * count is preserved for gray / RGB / ARGB rasters; gray+alpha
+    * promotes to ARGB (the JDK has no gray+alpha BufferedImage type).
+    * A PNG payload that already fits the box passes through
+    * byte-identical (the audio-path contract); other formats re-encode
+    * to PNG even when in-box. Returns (png bytes, outWidth, outHeight).
     */
   def resizeImage(bytes: Array[Byte], maxDim: Int): (Array[Byte], Int, Int) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "no JDK ImageReader could decode the payload")
     val w = img.getWidth; val h = img.getHeight
     val g = math.max(w, h)
+    val isPng = bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    if (g <= maxDim && isPng) return (bytes, w, h)
     val (ow, oh) =
       if (g <= maxDim) (w, h)
       else (((w.toLong * maxDim + g - 1) / g).toInt,
             ((h.toLong * maxDim + g - 1) / g).toInt)
-    val kind =
-      if (img.getColorModel.getNumComponents == 4)
-        java.awt.image.BufferedImage.TYPE_INT_ARGB
-      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val kind = img.getColorModel.getNumComponents match {
+      case 1 => java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      case 3 => java.awt.image.BufferedImage.TYPE_INT_RGB
+      case _ => java.awt.image.BufferedImage.TYPE_INT_ARGB
+    }
     val out = new java.awt.image.BufferedImage(ow, oh, kind)
     var y = 0
     while (y < oh) {
@@ -327,23 +334,18 @@ object Multimodal {
     * [[attachMedia]] (media_id, bytes, format) plus the realized dims,
     * so the result chains straight back into [[decodeMedia]].
     */
-  def resizeMedia(media: DataFrame, maxDim: Int, partitions: Int = 0): DataFrame = {
-    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("bytes", BinaryType, nullable = false),
-      StructField("format", StringType, nullable = false),
-      StructField("out_width", IntegerType, nullable = false),
-      StructField("out_height", IntegerType, nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    src.select("media_id", "bytes", "format").mapPartitions { rows =>
-      ImageIO.setUseCache(false)
-      rows.map { r =>
-        val (b, ow, oh) = resizeImage(r.get(1).asInstanceOf[Array[Byte]], maxDim)
-        Row(r.getLong(0), b, "png", ow, oh)
-      }
-    }(enc)
-  }
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("out_width", IntegerType, nullable = false),
+    StructField("out_height", IntegerType, nullable = false)))
+
+  def resizeMedia(media: DataFrame, maxDim: Int, partitions: Int = 0): DataFrame =
+    mapMedia(media, partitions, resizedSchema) { r =>
+      val (b, ow, oh) = resizeImage(r.get(1).asInstanceOf[Array[Byte]], maxDim)
+      Row(r.getLong(0), b, "png", ow, oh)
+    }
 
   /** Metadata-only resize planning (no pixel work): target box fit,
     * preserving aspect ratio — the cheap pre-pass that decides which

@@ -97,10 +97,15 @@ object PipelineQueries {
         TextAnalysis.chunkOverlap(docs, "doc_id", "text", size, stride)
       }))
 
+    // the table's dimensionality is constant for this service: one
+    // Spark job at first use, not one per request
+    lazy val embDim: Int = Tpch.table(spark, sfDir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
     service.register(PipelineQuery("ann_search",
       Seq(ParamSpec("vector", "string"),
         ParamSpec("k", "long", required = false, default = Some(10L))),
       ps => {
+        val k = intParam(ps, "k")
         val vec = ps("vector").asInstanceOf[String].split(",").toSeq
           .map(_.trim).filter(_.nonEmpty).map { s =>
             val v = try s.toDouble catch {
@@ -113,12 +118,10 @@ object PipelineQueries {
           }
         if (vec.isEmpty)
           throw new BadRequestException("'vector' must list at least one component")
-        val embs = Tpch.table(spark, sfDir, "embeddings")
-        val dim = embs.select(size(col("embedding"))).head().getInt(0)
-        if (vec.length != dim)
-          throw new BadRequestException(s"'vector' must have $dim components")
+        if (vec.length != embDim)
+          throw new BadRequestException(s"'vector' must have $embDim components")
         graft.operators.Similarity.bruteForceTopK(
-          embs, "embedding", "vec_id", vec, intParam(ps, "k"))
+          Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id", vec, k)
       }))
 
     service.register(PipelineQuery("vocab",
