@@ -529,7 +529,11 @@ object CatalogPipeline {
             case "union" => GeometryOps.OpUnion
             case _ => GeometryOps.OpDifference
           }
-          GeometryOps.overlayArea(GeometryOps.overlay(rings(ra), rings(rb), o))
+          // eps-retry inside, and one near-degenerate pair degrades to a
+          // null area instead of failing the whole query
+          try java.lang.Double.valueOf(
+            GeometryOps.overlayArea(GeometryOps.overlayRobust(rings(ra), rings(rb), o)))
+          catch { case _: IllegalStateException => null: java.lang.Double }
         })
         def rect(x1: Column, y1: Column, x2: Column, y2: Column): Column =
           array(x1, y1, x2, y1, x2, y2, x1, y2)

@@ -14,12 +14,21 @@ private[graft] object StorePaths {
   def root: String = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
     s"${System.getProperty("java.io.tmpdir")}/graft-annstore")
 
-  def key(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Store directory key for a source dir: the sanitized path plus a
+    * short hash of the RAW path, so distinct dirs that sanitize alike
+    * (`/a/b` vs `/a_b`) cannot collide on one store.
+    */
+  def key(sfDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = digest.take(4).map(b => f"$b%02x").mkString
+    s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$h"
+  }
 
   /** Cheap filesystem fingerprint of a source table (file count, total
     * bytes, max mtime — no Spark job, parquet footers unread). Empty
-    * when the source path does not exist, which disables staleness
-    * checking for stores built from non-file sources.
+    * when the source path does not exist; an empty fingerprint means
+    * UNKNOWN provenance, not "always current" — see [[isCurrent]].
     */
   def fingerprint(src: String): String = {
     val p = Paths.get(src)
@@ -37,15 +46,27 @@ private[graft] object StorePaths {
 
   private def stampFile(storePath: String) = Paths.get(storePath, "_SOURCE_FINGERPRINT")
 
+  /** Stamp content recorded when the source path did not exist at build
+    * time (non-file-backed frame): the store is served until the source
+    * becomes fingerprintable, at which point it rebuilds once.
+    */
+  private val UnknownSource = "unknown-source"
+
   /** A built store is current when its recorded source fingerprint
     * matches the source's current one. A store without a stamp is NOT
     * current (one forced rebuild re-stamps it) — serving a silently
-    * stale store is the failure mode this exists to prevent.
+    * stale store is the failure mode this exists to prevent. An empty
+    * (unknown) fingerprint is current only against an unknown-source
+    * stamp: a store built FROM files never silently serves a caller
+    * whose source path vanished, and vice versa — each such transition
+    * costs one rebuild, never a stale read.
     */
-  def isCurrent(storePath: String, fp: String): Boolean =
-    fp.isEmpty || (Files.exists(stampFile(storePath)) &&
-      new String(Files.readAllBytes(stampFile(storePath))) == fp)
+  def isCurrent(storePath: String, fp: String): Boolean = {
+    val want = if (fp.isEmpty) UnknownSource else fp
+    Files.exists(stampFile(storePath)) &&
+      new String(Files.readAllBytes(stampFile(storePath))) == want
+  }
 
   def stamp(storePath: String, fp: String): Unit =
-    if (fp.nonEmpty) Files.write(stampFile(storePath), fp.getBytes)
+    Files.write(stampFile(storePath), (if (fp.isEmpty) UnknownSource else fp).getBytes)
 }

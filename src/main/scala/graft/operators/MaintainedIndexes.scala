@@ -29,6 +29,18 @@ import graft.model.{Dirs, GraphStore}
   * via a max-epoch tombstone broadcast. At 100 TB this is the LSM
   * discipline every maintained secondary index uses; periodic
   * `rebuild()` bounds the merge cost exactly like view regeneration.
+  *
+  * Concurrency contract: each index instance serializes its own
+  * maintenance — `rebuild()` (compaction, which clears the delta log)
+  * and the bound commit hook (which appends to it) take the instance's
+  * maintenance monitor, so a hook's delta can never be deleted by a
+  * compaction whose base was computed from a pre-commit snapshot. The
+  * store's epoch pointer bumps BEFORE hooks run, so a rebuild that wins
+  * the monitor after a commit reads post-commit state and may safely
+  * clear that commit's (now-redundant) delta. Across index INSTANCES
+  * the contract is single-writer: exactly one bound instance per index
+  * directory per JVM (the store's own FileLock does not cover hook
+  * execution, which runs after the commit lock is released).
   */
 object MaintainedIndexes {
 
@@ -61,13 +73,14 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
 
   private val spark = gs.spark
   private val table = gs.tableFor(label)
+  private val maintLock = new Object // see MaintainedIndexes concurrency contract
   private def basePath = Paths.get(storageDir, "sigindex", label, "base")
   private def deltaPath = Paths.get(storageDir, "sigindex", label, "delta")
 
   /** Full (re)materialization from the store's current state; clears
     * (compacts away) any accumulated deltas.
     */
-  def rebuild(): Unit = {
+  def rebuild(): Unit = maintLock.synchronized {
     val docs = gs.graph().vertices(label)
     val tmp = basePath.resolveSibling("base__tmp")
     Dirs.rmTree(tmp)
@@ -84,7 +97,7 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
     * appends a signature delta for exactly its staged rows.
     */
   def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(table).foreach { staged =>
+    frames.get(table).foreach { staged => maintLock.synchronized {
       val live = staged.filter(!col("deleted"))
         .select(col("id"), col(textCol))
       val rows = Dedup.signatureFrame(live, "id", textCol, k, numHashes)
@@ -98,7 +111,7 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
         .withColumn("__tomb", lit(true))
       rows.unionByName(tombs).coalesce(1).write.mode("append")
         .parquet(s"$deltaPath/commit_epoch=$epoch")
-    }
+    } }
   }
 
   private def hasDeltas: Boolean =
@@ -142,6 +155,12 @@ private[operators] final class PartitionedDeltaLog(
   def basePath: java.nio.file.Path = root.resolve("base")
   private def deltaPath = root.resolve("delta")
   private def tombPath = root.resolve("tombstones")
+
+  /** The log's maintenance monitor (see MaintainedIndexes concurrency
+    * contract): owning stores run compaction and commit-hook appends
+    * under it so they cannot interleave.
+    */
+  def locked[T](body: => T): T = this.synchronized(body)
 
   /** Atomically swap in a fresh base; clears both logs (compaction). */
   def writeBase(rows: DataFrame): Unit = {
@@ -224,15 +243,18 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
   /** Full (re)materialization from the store's current state; clears
     * the delta and tombstone logs (compaction).
     */
-  def rebuild(): Unit =
+  def rebuild(): Unit = log.locked {
     log.writeBase(bucketed(gs.graph().vertices(label).select(col("id"), col(vecCol))))
+  }
 
   /** Wire into the store's write path. */
   def bind(): Unit = gs.onCommit { (epoch, frames) =>
     frames.get(table).foreach { staged =>
-      log.appendCommit(epoch,
-        staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
-        bucketed, staged)
+      log.locked {
+        log.appendCommit(epoch,
+          staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
+          bucketed, staged)
+      }
     }
   }
 
@@ -296,7 +318,7 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
   /** Re-train the quantizer on the current state and rematerialize;
     * clears the delta and tombstone logs (compaction).
     */
-  def rebuild(): Unit = {
+  def rebuild(): Unit = log.locked {
     val vecs = normalized(gs.graph().vertices(label).select(col("id"), col(vecCol)))
       .localCheckpoint(true)
     val cs = Similarity.ivfTrain(vecs, "__nv", "id", k, iterations)
@@ -313,11 +335,13 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
     */
   def bind(): Unit = gs.onCommit { (epoch, frames) =>
     frames.get(table).foreach { staged =>
-      if (Files.exists(centroidsFile))
-        log.appendCommit(epoch,
-          staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
-          rows => assigned(rows, centroids),
-          staged)
+      log.locked {
+        if (Files.exists(centroidsFile))
+          log.appendCommit(epoch,
+            staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
+            rows => assigned(rows, centroids),
+            staged)
+      }
     }
   }
 

@@ -314,12 +314,20 @@ object Multimodal {
       case _ => java.awt.image.BufferedImage.TYPE_INT_ARGB
     }
     val out = new java.awt.image.BufferedImage(ow, oh, kind)
+    val gray = kind == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    // gray rasters copy raw samples (setRGB would roundtrip each pixel
+    // through sRGB<->gray conversion, shifting values by quantization —
+    // the exact-pixel NN contract must hold for gray like it does ARGB)
+    val ir = if (gray) img.getRaster else null
+    val or = if (gray) out.getRaster else null
     var y = 0
     while (y < oh) {
       val sy = (y.toLong * h / oh).toInt
       var x = 0
       while (x < ow) {
-        out.setRGB(x, y, img.getRGB((x.toLong * w / ow).toInt, sy))
+        val sx = (x.toLong * w / ow).toInt
+        if (gray) or.setSample(x, y, 0, ir.getSample(sx, sy, 0))
+        else out.setRGB(x, y, img.getRGB(sx, sy))
         x += 1
       }
       y += 1

@@ -244,13 +244,18 @@ object Similarity {
     * ONE (table, bucket) directory instead of the corpus).
     */
   def ensureLshStore(df: DataFrame, vecCol: String, idCol: String, sfDir: String,
-      dim: Int, nBits: Int, nTables: Int, seed: Long = 42L): String = {
+      dim: Int, nBits: Int, nTables: Int, seed: Long = 42L,
+      fpSource: String = null): String = {
     import graft.model.StorePaths
     val path = lshStorePath(sfDir, nBits, nTables, seed)
     // staleness guard: the store is keyed by sfDir, so if the source
     // table's files changed underneath it, rebuild instead of silently
-    // serving the old corpus
-    val fp = StorePaths.fingerprint(s"$sfDir/embeddings.parquet")
+    // serving the old corpus. `fpSource` names the file backing `df`
+    // (default: the sfDir embeddings table); a caller whose frame is
+    // not file-backed gets the unknown-source rebuild-once contract
+    // from StorePaths instead of a silently disabled guard.
+    val fp = StorePaths.fingerprint(
+      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
     def current = ready(path, "_SUCCESS") && StorePaths.isCurrent(path, fp)
     if (!current) buildLock.synchronized {
       if (!current) {
@@ -310,11 +315,13 @@ object Similarity {
     * was built with). Build-if-absent; training runs only on build.
     */
   def ensureIvfStore(df: DataFrame, normCol: String, rescoreCol: String,
-      idCol: String, sfDir: String, k: Int, iterations: Int)
-      : (DataFrame, Seq[Seq[Double]]) = {
+      idCol: String, sfDir: String, k: Int, iterations: Int,
+      fpSource: String = null): (DataFrame, Seq[Seq[Double]]) = {
     import graft.model.StorePaths
     val path = ivfStorePath(sfDir, k, iterations)
-    val fp = StorePaths.fingerprint(s"$sfDir/embeddings.parquet")
+    // see ensureLshStore: fpSource names the file backing `df`
+    val fp = StorePaths.fingerprint(
+      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
     def current = centroidsFile(path).exists() && StorePaths.isCurrent(path, fp)
     if (!current) buildLock.synchronized {
       if (!current) {

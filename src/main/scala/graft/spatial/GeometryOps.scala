@@ -564,7 +564,8 @@ object GeometryOps {
     * Returns disjoint simple rings: CCW = result region boundary,
     * CW = hole boundary; see [[overlayArea]].
     */
-  def overlay(aRings0: Seq[Ring], bRings0: Seq[Ring], op: OverlayOp): Seq[Ring] = {
+  def overlay(aRings0: Seq[Ring], bRings0: Seq[Ring], op: OverlayOp,
+      epsFactor: Double = 1e-7): Seq[Ring] = {
     def clean(r: Ring): Ring = {
       var v = r
       if (v.size > 1 && v.head == v.last) v = v.init
@@ -659,7 +660,7 @@ object GeometryOps {
       case OpUnion => inA || inB
       case OpDifference => inA && !inB
     }
-    val eps = scale * 1e-7
+    val eps = scale * epsFactor
     val kept = pieces.iterator.flatMap { case (p, q) =>
       val mx = (p._1 + q._1) / 2; val my = (p._2 + q._2) / 2
       val len = math.hypot(q._1 - p._1, q._2 - p._2)
@@ -719,6 +720,26 @@ object GeometryOps {
       }
     }
     result.result()
+  }
+
+  /** [[overlay]] hardened for batch use: the even-odd side sampling at
+    * eps-offset midpoints can misclassify a feature narrower than eps
+    * (or a sample landing exactly on a boundary), after which the face
+    * walk throws. Retrying the SAME input at a different eps moves every
+    * sample point, which resolves such coincidences; inputs that fail
+    * every tier are genuinely numerically inconsistent and rethrow the
+    * last error for the caller to degrade per row (see the q91 UDF).
+    */
+  def overlayRobust(aRings: Seq[Ring], bRings: Seq[Ring], op: OverlayOp): Seq[Ring] = {
+    // descending: a smaller eps resolves thin features, a larger one
+    // escapes boundary-coincident samples; all stay ≫ the 2^-40 snap grid
+    val tiers = Seq(1e-7, 2.3e-8, 6.1e-7, 4.7e-9)
+    var last: Throwable = null
+    tiers.foreach { e =>
+      try return overlay(aRings, bRings, op, e)
+      catch { case ex: IllegalStateException => last = ex }
+    }
+    throw last
   }
 
   /** Positive buffer (dilation) of a polygon with holes, arc-sampled —

@@ -104,6 +104,24 @@ class MultimodalVariantSpec extends SparkSpec {
     assert(same.getRGB(3, 1) == px(3)(1))
   }
 
+  test("resizeImage: gray rasters copy exact samples (no colorspace roundtrip)") {
+    import java.awt.image.BufferedImage
+    val src = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    val v = Array.tabulate(4, 4)((x, y) => x * 61 + y * 17) // distinct gray levels
+    for (x <- 0 until 4; y <- 0 until 4) src.getRaster.setSample(x, y, 0, v(x)(y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val (outBytes, ow, oh) = Multimodal.resizeImage(bos.toByteArray, maxDim = 2)
+    assert((ow, oh) == ((2, 2)))
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(out.getColorModel.getNumComponents == 1, "gray must stay 1-channel")
+    // nearest-neighbor source indices: x*4/2 -> 0,2 in both axes — the
+    // samples must match EXACTLY (setRGB would shift them via sRGB)
+    for (x <- 0 until 2; y <- 0 until 2)
+      assert(out.getRaster.getSample(x, y, 0) == v(x * 2)(y * 2),
+        s"gray sample drift at ($x,$y)")
+  }
+
   test("resizeMedia chains back into decodeMedia with true resized dims") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(24)
     val media = Multimodal.attachMedia(docs, "doc_id")
