@@ -222,5 +222,33 @@ object CatalogSearch {
              |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
              |    400 + (doc_id * 11) % 800 AS n
              |  FROM documents)
-             |ORDER BY media_id""".stripMargin)))
+             |ORDER BY media_id""".stripMargin)),
+
+    QueryDef("q101_video_frames",
+      // REAL multi-frame decode (the q90 pattern for animation):
+      // deterministic N-frame animated GIF bytes per doc_id
+      // (Multimodal.attachVideo, explicit-palette frames), decoded back
+      // frame by frame with the JDK's multi-image GIF reader — true
+      // frame count, per-frame dims, and each sampled frame's exact
+      // mean color (solid frames, palettized = lossless). Sampling
+      // keeps every 2nd frame up to 2; the oracle restates the
+      // generator arithmetic AND the stride/cap, so only a real
+      // per-frame decode of the actual container can match it.
+      (s, d) => {
+        val media = Multimodal.attachVideo(Tpch.table(s, d, "documents"), "doc_id")
+        Multimodal.sampleFrames(media, everyN = 2, maxFrames = 2)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH v AS (SELECT doc_id, 8 + (doc_id * 3) % 24 AS w,
+             |    8 + (doc_id * 5) % 24 AS h, 2 + doc_id % 4 AS nf FROM documents),
+             |f AS (SELECT doc_id, w, h, nf,
+             |    unnest(range(0, CAST(nf AS BIGINT), 2)) AS frame_idx FROM v)
+             |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+             |  CAST(frame_idx AS INT) AS frame_idx,
+             |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST((doc_id * 3 + frame_idx * 29) % 256 AS INT) AS mean_r,
+             |  CAST((doc_id * 5 + frame_idx * 53) % 256 AS INT) AS mean_g,
+             |  CAST((doc_id * 7 + frame_idx * 71) % 256 AS INT) AS mean_b
+             |FROM f WHERE frame_idx < 4
+             |ORDER BY media_id, frame_idx""".stripMargin)))
 }

@@ -19,10 +19,12 @@ import org.apache.spark.sql.types._
   * reports true width/height/channels plus per-channel mean features;
   * [[resizeImage]] resamples actual rasters (deterministic
   * nearest-neighbor) and re-encodes. Audio decode is real too
-  * (javax.sound.sampled WAV/PCM). Only video remains metadata-only
-  * planning ([[planFrameSample]]) — that codec is not in the JDK, and
-  * a deployment would slot an ffmpeg binding into the same
-  * partition-batched shape without touching the distributed plumbing.
+  * (javax.sound.sampled WAV/PCM), and multi-frame video/animation
+  * decode is real for GIF ([[decodeFrames]]/[[sampleFrames]] via the
+  * JDK's multi-image GIF reader). Containers whose codecs are not in
+  * the JDK (mp4 etc.) keep the metadata plan ([[planFrameSample]]) — a
+  * deployment slots an ffmpeg binding into the same partition-batched
+  * shape without touching the distributed plumbing.
   */
 object Multimodal {
 
@@ -355,6 +357,138 @@ object Multimodal {
       Row(r.getLong(0), b, "png", ow, oh)
     }
 
+  // --- video/animation: REAL multi-frame decode via the JDK GIF
+  // ImageReader (getNumImages/read(i) — the one multi-frame container
+  // format the JDK ships a codec for) --------------------------------
+
+  /** Deterministic animation parameters for the synthetic corpus — the
+    * q101 oracle contract: frame dims and frame count from the id.
+    */
+  def synthVideoParams(id: Long): (Int, Int, Int) =
+    (8 + ((id * 3) % 24).toInt, 8 + ((id * 5) % 24).toInt, 2 + (id % 4).toInt)
+
+  /** Solid fill color of frame `f` of animation `id` — every frame of
+    * one animation differs, so only a real per-frame decode matches.
+    */
+  def synthFrameColor(id: Long, f: Int): (Int, Int, Int) =
+    (((id * 3 + f * 29) % 256).toInt, ((id * 5 + f * 53) % 256).toInt,
+      ((id * 7 + f * 71) % 256).toInt)
+
+  /** Encode one deterministic N-frame animated GIF. Frames are written
+    * TYPE_BYTE_INDEXED with an explicit one-color palette: GIF is
+    * palettized, and handing the writer a truecolor raster would let it
+    * quantize — the explicit palette keeps the per-frame colors
+    * byte-exact for the oracle. Runs on executors inside
+    * [[attachVideo]]'s partition loop.
+    */
+  def synthGifBytes(id: Long): Array[Byte] = {
+    val (w, h, nf) = synthVideoParams(id)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val (r, g, b) = synthFrameColor(id, f)
+        val cmap = Array(0xff000000 | (r << 16) | (g << 8) | b, 0xff000000)
+        val icm = new java.awt.image.IndexColorModel(1, 2, cmap, 0, false, -1,
+          java.awt.image.DataBuffer.TYPE_BYTE)
+        // fresh raster is all index 0 -> the frame color everywhere
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Build a REAL animated-media column from an id source (the video
+    * analog of [[attachMedia]]).
+    */
+  def attachVideo(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { row =>
+        val id = row.getLong(0)
+        Row(id, synthGifBytes(id), "gif")
+      }
+    }(enc)
+  }
+
+  /** Real multi-frame decode for one animated payload: the JDK reader's
+    * true frame count, then per frame the dims and the rounded
+    * per-channel mean pixel (exact for the solid synth frames).
+    */
+  def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Int, Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no JDK ImageReader could decode the payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val np = w.toLong * h
+          (w, h, math.round(sr.toDouble / np).toInt,
+            math.round(sg.toDouble / np).toInt, math.round(sb.toDouble / np).toInt)
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  val frameSampleSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", IntegerType, nullable = false),
+    StructField("mean_g", IntegerType, nullable = false),
+    StructField("mean_b", IntegerType, nullable = false)))
+
+  /** Partition-batched REAL frame sampling over animated payloads — the
+    * q101 surface: decode every frame, keep every `everyN`-th up to
+    * `maxFrames`, one output row per sampled frame with its true dims
+    * and mean color. This is what [[planFrameSample]] only planned:
+    * for gif the JDK reader closes the loop; other containers keep the
+    * metadata plan until a deployment slots an ffmpeg binding into this
+    * same partition-batched shape.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int, maxFrames: Int,
+      partitions: Int = 0): DataFrame = {
+    require(everyN > 0 && maxFrames > 0, "everyN and maxFrames must be positive")
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSampleSchema)
+    src.select("media_id", "bytes", "format").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val frames = decodeFrames(r.get(1).asInstanceOf[Array[Byte]])
+        frames.zipWithIndex.collect {
+          case ((w, h, mr, mg, mb), i) if i % everyN == 0 && i / everyN < maxFrames =>
+            Row(r.getLong(0), frames.size, i, w, h, mr, mg, mb)
+        }
+      }
+    }(enc)
+  }
+
   /** Metadata-only resize planning (no pixel work): target box fit,
     * preserving aspect ratio — the cheap pre-pass that decides which
     * media even need decoding at full size.
@@ -366,8 +500,11 @@ object Multimodal {
       .withColumn("out_width", ceil(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", ceil(col("height") * col("scale")).cast("int"))
 
-  /** Frame sampling plan for video-shaped media: every nth frame index
-    * up to a cap (pure metadata; a deployment slots ffprobe here).
+  /** Frame sampling PLAN for video-shaped media: every nth frame index
+    * up to a cap, pure metadata from a caller-supplied frame count. For
+    * gif payloads [[sampleFrames]] supersedes this with the real
+    * decode; the plan remains the pre-pass for containers whose codecs
+    * are not in the JDK (a deployment slots ffprobe here).
     */
   def planFrameSample(media: DataFrame, frameCount: Int, everyN: Int, maxFrames: Int): DataFrame =
     media.withColumn("frame_indices",

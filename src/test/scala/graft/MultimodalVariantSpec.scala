@@ -143,6 +143,48 @@ class MultimodalVariantSpec extends SparkSpec {
     assert(Multimodal.resampleAudio(lo, 8000).sameElements(lo))
   }
 
+  test("gif multi-frame decode: real frame count, dims, exact per-frame colors") {
+    val id = 7L
+    val (w, h, nf) = Multimodal.synthVideoParams(id)
+    val frames = Multimodal.decodeFrames(Multimodal.synthGifBytes(id))
+    assert(frames.size == nf, "reader must see every frame")
+    frames.zipWithIndex.foreach { case ((fw, fh, mr, mg, mb), f) =>
+      val (r, g, b) = Multimodal.synthFrameColor(id, f)
+      assert(fw == w && fh == h, s"frame $f dims")
+      assert((mr, mg, mb) == ((r, g, b)),
+        s"frame $f color must roundtrip the palette exactly")
+    }
+    // single-frame edge: id with nf=2 still decodes both; a plain PNG
+    // payload reads as one "frame" through the same reader path
+    val (pngBytes, _) = Multimodal.synthImageBytes(2L)
+    assert(Multimodal.decodeFrames(pngBytes).size == 1)
+  }
+
+  test("sampleFrames: stride + cap over real decoded frames") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(40)
+    val media = Multimodal.attachVideo(docs, "doc_id")
+    val sampled = Multimodal.sampleFrames(media, everyN = 2, maxFrames = 2, partitions = 4)
+    assert(sampled.schema == Multimodal.frameSampleSchema)
+    val rows = sampled.collect()
+    rows.foreach { row =>
+      val id = row.getAs[Long]("media_id")
+      val (w, h, nf) = Multimodal.synthVideoParams(id)
+      val f = row.getAs[Int]("frame_idx")
+      assert(row.getAs[Int]("n_frames") == nf)
+      assert(f % 2 == 0 && f < 4 && f < nf, s"sampled index $f out of contract")
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+      val (r, g, b) = Multimodal.synthFrameColor(id, f)
+      assert(row.getAs[Int]("mean_r") == r && row.getAs[Int]("mean_g") == g &&
+        row.getAs[Int]("mean_b") == b)
+    }
+    // per-media row count: ceil(min(nf, 4) / 2) capped at 2
+    val counts = rows.groupBy(_.getAs[Long]("media_id")).view.mapValues(_.length)
+    counts.foreach { case (id, c) =>
+      val nf = Multimodal.synthVideoParams(id)._3
+      assert(c == math.min((nf + 1) / 2, 2), s"row count for $id")
+    }
+  }
+
   test("frame sample plan: stride + cap") {
     val media = Seq((1L, 100)).toDF("media_id", "n")
     val planned = Multimodal.planFrameSample(media, frameCount = 100, everyN = 10, maxFrames = 5)
