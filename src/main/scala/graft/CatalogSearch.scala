@@ -250,5 +250,66 @@ object CatalogSearch {
              |  CAST((doc_id * 5 + frame_idx * 53) % 256 AS INT) AS mean_g,
              |  CAST((doc_id * 7 + frame_idx * 71) % 256 AS INT) AS mean_b
              |FROM f WHERE frame_idx < 4
-             |ORDER BY media_id, frame_idx""".stripMargin)))
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    QueryDef("q102_image_resize_area",
+      // band-limited resize tier: the q99 chain with the area-average
+      // (box-filter) downscale instead of nearest-neighbor. On the
+      // solid-color synth rasters ANY correct averaging filter is exact
+      // — dims share the ceil-div contract and the lossless even-id
+      // means are the fill color — so the oracle restates the same
+      // arithmetic; the NN-vs-box aliasing difference is pinned by the
+      // checkerboard fixture in MultimodalVariantSpec
+      (s, d) => {
+        val media = Multimodal.attachMedia(Tpch.table(s, d, "documents"), "doc_id")
+        val resized = Multimodal.resizeMediaArea(media, maxDim = 16)
+        Multimodal.decodeMedia(resized)
+          .select(col("media_id"), col("width"), col("height"), col("channels"),
+            when(col("media_id") % 2 === 0,
+              round(element_at(col("features"), 1) * 255).cast("int")).as("px_r"),
+            when(col("media_id") % 2 === 0,
+              round(element_at(col("features"), 2) * 255).cast("int")).as("px_g"),
+            when(col("media_id") % 2 === 0,
+              round(element_at(col("features"), 3) * 255).cast("int")).as("px_b"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST((w * 16 + g - 1) // g AS INT) AS width,
+             |  CAST((h * 16 + g - 1) // g AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS channels,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS INT) AS px_r,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 3) % 256 END AS INT) AS px_g,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS INT) AS px_b
+             |FROM (SELECT doc_id, 16 + (doc_id * 7) % 48 AS w,
+             |        16 + (doc_id * 13) % 48 AS h,
+             |        greatest(16 + (doc_id * 7) % 48, 16 + (doc_id * 13) % 48) AS g
+             |      FROM documents)
+             |ORDER BY media_id""".stripMargin)),
+
+    QueryDef("q103_audio_resample_box",
+      // band-limited resample tier: the q100 chain with the mean-of-bin
+      // downsample instead of nearest-neighbor decimation. The synth
+      // signal is constant-amplitude, so every bin mean IS the
+      // amplitude (exact RMS through the filter) and frame geometry
+      // shares the ceil-div contract — same oracle arithmetic; the
+      // aliasing difference is pinned by the alternating-sign fixture
+      // in MultimodalVariantSpec
+      (s, d) => {
+        val media = Multimodal.attachAudio(Tpch.table(s, d, "documents"), "doc_id")
+        Multimodal.decodeAudioMedia(
+          Multimodal.resampleAudioMediaBox(media, targetRate = 8000))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(CASE WHEN rate <= 8000 THEN rate ELSE 8000 END AS INT) AS sample_rate,
+             |  CAST(CASE WHEN rate <= 8000 THEN n
+             |       ELSE (n * 8000 + rate - 1) // rate END AS BIGINT) AS n_frames,
+             |  CAST(1 + doc_id % 2 AS INT) AS channels,
+             |  CAST((doc_id * 5) % 16384 AS BIGINT) AS rms
+             |FROM (SELECT doc_id,
+             |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             |    400 + (doc_id * 11) % 800 AS n
+             |  FROM documents)
+             |ORDER BY media_id""".stripMargin)))
 }

@@ -268,6 +268,67 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** REAL mean-of-bin audio downsample — the BAND-LIMITED tier beside
+    * [[resampleAudio]]'s nearest-neighbor frame decimation. NN is the
+    * right deterministic oracle contract but aliases (frequencies above
+    * the new Nyquist fold down); averaging each output frame's source
+    * bin is the piecewise-constant anti-alias prefilter. Frame geometry
+    * shares the NN ceil-div contract (`outN = (n*target + rate - 1)/
+    * rate`, bin `[i*n/outN, max(i*n/outN+1, (i+1)*n/outN))`); each
+    * output sample is the rounded per-channel bin mean, so a
+    * CONSTANT-amplitude signal keeps its RMS exactly (the q103 oracle)
+    * while the spec's alternating-sign fixture proves NN and box
+    * genuinely differ. 16-bit PCM only (the decode contract).
+    */
+  def resampleAudioBox(bytes: Array[Byte], targetRate: Int): Array[Byte] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val rate = fmt.getSampleRate.toInt
+      if (rate <= targetRate) return bytes
+      require(fmt.getSampleSizeInBits == 16, "expected 16-bit PCM")
+      val n = ais.getFrameLength
+      val ch = fmt.getChannels
+      val fs = fmt.getFrameSize
+      val le = !fmt.isBigEndian
+      val pcm = ais.readAllBytes()
+      def sample(frame: Long, c: Int): Int = {
+        val off = (frame * fs).toInt + c * 2
+        if (le) ((pcm(off + 1) << 8) | (pcm(off) & 0xff)).toShort.toInt
+        else ((pcm(off) << 8) | (pcm(off + 1) & 0xff)).toShort.toInt
+      }
+      val outN = (n * targetRate + rate - 1) / rate
+      val out = new Array[Byte]((outN * fs).toInt)
+      var i = 0L
+      while (i < outN) {
+        val f0 = i * n / outN
+        val f1 = math.max(f0 + 1, (i + 1) * n / outN)
+        var c = 0
+        while (c < ch) {
+          var s = 0L
+          var f = f0
+          while (f < f1) { s += sample(f, c); f += 1 }
+          val v = math.round(s.toDouble / (f1 - f0)).toInt
+          val off = (i * fs).toInt + c * 2
+          if (le) { out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte }
+          else { out(off) = ((v >> 8) & 0xff).toByte; out(off + 1) = (v & 0xff).toByte }
+          c += 1
+        }
+        i += 1
+      }
+      val ofmt = new javax.sound.sampled.AudioFormat(fmt.getEncoding,
+        targetRate.toFloat, fmt.getSampleSizeInBits, ch, fs,
+        targetRate.toFloat, fmt.isBigEndian)
+      val oais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(out), ofmt, outN)
+      val bos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(oais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    } finally ais.close()
+  }
+
   /** Partition-batched real resample over opaque audio payloads — the
     * q100 surface; chains straight back into [[decodeAudioMedia]].
     */
@@ -276,6 +337,16 @@ object Multimodal {
     mapMedia(media, partitions, mediaSchema) { r =>
       Row(r.getLong(0),
         resampleAudio(r.get(1).asInstanceOf[Array[Byte]], targetRate), "wav")
+    }
+
+  /** [[resampleAudioMedia]] on the band-limited [[resampleAudioBox]]
+    * tier — the q103 surface.
+    */
+  def resampleAudioMediaBox(media: DataFrame, targetRate: Int,
+      partitions: Int = 0): DataFrame =
+    mapMedia(media, partitions, mediaSchema) { r =>
+      Row(r.getLong(0),
+        resampleAudioBox(r.get(1).asInstanceOf[Array[Byte]], targetRate), "wav")
     }
 
   /** Partition-batched audio decode (see [[mapMedia]]). */
@@ -339,6 +410,82 @@ object Multimodal {
     (bos.toByteArray, ow, oh)
   }
 
+  /** REAL area-average (box-filter) raster downscale — the BAND-LIMITED
+    * tier beside [[resizeImage]]'s nearest-neighbor contract. NN is the
+    * right deterministic oracle contract but aliases on real media
+    * (high-frequency content folds into the output); the box filter
+    * averages each output pixel's source bin, which is the piecewise-
+    * constant anti-alias prefilter. Output dims share the NN ceil-div
+    * contract; each output pixel is the rounded per-channel mean over
+    * the integer source bin `[x*w/ow, max(x*w/ow+1, (x+1)*w/ow))` — on
+    * a solid-color raster ANY correct averaging filter is exact, which
+    * is what lets q102 share q99's oracle arithmetic while the spec's
+    * checkerboard fixture proves the two tiers genuinely differ.
+    */
+  def resizeImageArea(bytes: Array[Byte], maxDim: Int): (Array[Byte], Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "no JDK ImageReader could decode the payload")
+    val w = img.getWidth; val h = img.getHeight
+    val g = math.max(w, h)
+    val isPng = bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    if (g <= maxDim && isPng) return (bytes, w, h)
+    val (ow, oh) =
+      if (g <= maxDim) (w, h)
+      else (((w.toLong * maxDim + g - 1) / g).toInt,
+            ((h.toLong * maxDim + g - 1) / g).toInt)
+    val kind = img.getColorModel.getNumComponents match {
+      case 1 => java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      case 3 => java.awt.image.BufferedImage.TYPE_INT_RGB
+      case _ => java.awt.image.BufferedImage.TYPE_INT_ARGB
+    }
+    val out = new java.awt.image.BufferedImage(ow, oh, kind)
+    val gray = kind == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val ir = if (gray) img.getRaster else null
+    val or = if (gray) out.getRaster else null
+    var y = 0
+    while (y < oh) {
+      val y0 = (y.toLong * h / oh).toInt
+      val y1 = math.max(y0 + 1, ((y + 1).toLong * h / oh).toInt)
+      var x = 0
+      while (x < ow) {
+        val x0 = (x.toLong * w / ow).toInt
+        val x1 = math.max(x0 + 1, ((x + 1).toLong * w / ow).toInt)
+        val cnt = (x1 - x0).toLong * (y1 - y0)
+        if (gray) {
+          var s = 0L
+          var sy = y0
+          while (sy < y1) {
+            var sx = x0
+            while (sx < x1) { s += ir.getSample(sx, sy, 0); sx += 1 }
+            sy += 1
+          }
+          or.setSample(x, y, 0, math.round(s.toDouble / cnt).toInt)
+        } else {
+          var sa = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+          var sy = y0
+          while (sy < y1) {
+            var sx = x0
+            while (sx < x1) {
+              val p = img.getRGB(sx, sy)
+              sa += (p >>> 24) & 0xff; sr += (p >>> 16) & 0xff
+              sg += (p >>> 8) & 0xff; sb += p & 0xff
+              sx += 1
+            }
+            sy += 1
+          }
+          def m(s: Long) = math.round(s.toDouble / cnt).toInt
+          out.setRGB(x, y, (m(sa) << 24) | (m(sr) << 16) | (m(sg) << 8) | m(sb))
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    (bos.toByteArray, ow, oh)
+  }
+
   /** Partition-batched real resize over opaque image payloads — the
     * q99 surface. Output rows keep the binary column shape of
     * [[attachMedia]] (media_id, bytes, format) plus the realized dims,
@@ -354,6 +501,15 @@ object Multimodal {
   def resizeMedia(media: DataFrame, maxDim: Int, partitions: Int = 0): DataFrame =
     mapMedia(media, partitions, resizedSchema) { r =>
       val (b, ow, oh) = resizeImage(r.get(1).asInstanceOf[Array[Byte]], maxDim)
+      Row(r.getLong(0), b, "png", ow, oh)
+    }
+
+  /** [[resizeMedia]] on the band-limited [[resizeImageArea]] tier —
+    * the q102 surface.
+    */
+  def resizeMediaArea(media: DataFrame, maxDim: Int, partitions: Int = 0): DataFrame =
+    mapMedia(media, partitions, resizedSchema) { r =>
+      val (b, ow, oh) = resizeImageArea(r.get(1).asInstanceOf[Array[Byte]], maxDim)
       Row(r.getLong(0), b, "png", ow, oh)
     }
 

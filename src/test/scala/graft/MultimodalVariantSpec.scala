@@ -143,6 +143,51 @@ class MultimodalVariantSpec extends SparkSpec {
     assert(Multimodal.resampleAudio(lo, 8000).sameElements(lo))
   }
 
+  test("band-limited tiers: box filter anti-aliases where NN folds (and matches on DC)") {
+    import java.awt.image.BufferedImage
+    // image: 2x2 black/white checkerboard, downscaled by 2. NN picks
+    // pixel (0,0) of each cell (pure black); the box mean is mid-gray.
+    val src = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8)
+      src.setRGB(x, y, if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val (nnB, _, _) = Multimodal.resizeImage(bos.toByteArray, maxDim = 4)
+    val (boxB, bw, bh) = Multimodal.resizeImageArea(bos.toByteArray, maxDim = 4)
+    assert((bw, bh) == ((4, 4)), "dims share the ceil-div contract")
+    val nn = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(nnB))
+    val box = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(boxB))
+    assert(nn.getRGB(1, 1) == 0xff000000, "NN aliases the checkerboard to solid")
+    assert((box.getRGB(1, 1) & 0xff) == 128, "box filter averages each 2x2 cell")
+    // audio: alternating +A/-A samples halved. NN keeps every even
+    // sample (RMS = A); the bin mean of (+A, -A) is 0 (RMS = 0).
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val amp = 1000
+    val pcm = new Array[Byte](800 * 2)
+    for (i <- 0 until 800) {
+      val v = if (i % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 800)
+    val wav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wav)
+    val (_, nnN, _, nnRms) = Multimodal.decodeAudio(
+      Multimodal.resampleAudio(wav.toByteArray, 8000))
+    val (_, boxN, _, boxRms) = Multimodal.decodeAudio(
+      Multimodal.resampleAudioBox(wav.toByteArray, 8000))
+    assert(nnN == 400 && boxN == 400, "frame geometry shares the ceil-div contract")
+    assert(nnRms == amp, "NN decimation aliases the alternating signal to DC")
+    assert(boxRms == 0, "bin mean cancels the above-Nyquist component")
+    // DC contract: on a constant signal both tiers agree exactly
+    val const = Multimodal.synthWavBytes(1L) // 16 kHz, constant amplitude
+    val (_, _, _, r0) = Multimodal.decodeAudio(const)
+    val (_, _, _, rNn) = Multimodal.decodeAudio(Multimodal.resampleAudio(const, 8000))
+    val (_, _, _, rBox) = Multimodal.decodeAudio(Multimodal.resampleAudioBox(const, 8000))
+    assert(rNn == r0 && rBox == r0)
+  }
+
   test("gif multi-frame decode: real frame count, dims, exact per-frame colors") {
     val id = 7L
     val (w, h, nf) = Multimodal.synthVideoParams(id)
