@@ -44,6 +44,39 @@ import graft.model.{Dirs, GraphStore}
   */
 object MaintainedIndexes {
 
+  /** Replica-side index maintenance: tail a store table's commit log
+    * ([[graft.streaming.Streams.commitLogStream]]) and play each
+    * commit's rows through the same `applyCommit` path the master-side
+    * hook uses — the reference's slaves re-apply the FULL transaction
+    * including index maintenance (transactions.lisp:884-1003), so a
+    * doc committed on the master becomes a dedup/ANN candidate on the
+    * slave without a rebuild. The initial stream replay re-applies
+    * epochs already folded into the index base; that is idempotent by
+    * the newest-epoch-wins merge (same rows, same supersession), so a
+    * binder needs no replay cursor.
+    */
+  def followCommitLog(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, table: String,
+      appliers: Seq[(Long, DataFrame) => Unit],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(s"$storeDir/$table").schema
+    graft.streaming.Streams.commitLogStream(spark, storeDir, table, schema)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one micro-batch may carry several commits: apply them in
+        // epoch order so supersession epochs stay monotone
+        val staged = batch.localCheckpoint(true)
+        val epochs = staged.select(col("commit_epoch").cast("long"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        epochs.foreach { e =>
+          val rows = staged.filter(col("commit_epoch") === e).drop("commit_epoch")
+          appliers.foreach(_(e, rows))
+        }
+        ()
+      }.start()
+  }
+
   /** Latest-wins merge of a `(id-keyed base, delta log)` pair where
     * delta rows carry `commit_epoch` and a boolean `__tomb` marker.
     */
@@ -93,25 +126,34 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
     Dirs.rmTree(deltaPath)
   }
 
+  /** Apply one commit's staged row versions `(id, deleted, props…)` —
+    * shared by the master-side [[bind]] hook and the replica-side
+    * commit-log stream ([[MaintainedIndexes.followCommitLog]]), which
+    * is how a slave's index stays fresh without ever rebuilding.
+    * Idempotent per epoch content: a replayed commit rewrites the same
+    * newest-epoch-wins delta.
+    */
+  def applyCommit(epoch: Long, staged: DataFrame): Unit = maintLock.synchronized {
+    val live = staged.filter(!col("deleted"))
+      .select(col("id"), col(textCol))
+    val rows = Dedup.signatureFrame(live, "id", textCol, k, numHashes)
+      .withColumnRenamed("doc", "id")
+      .withColumn("__tomb", lit(false))
+    // a tombstone per touched id supersedes its old signature even
+    // when the new version contributes no row (delete)
+    val tombs = staged.select(col("id")).distinct()
+      .withColumn("hsh", lit(null).cast("array<long>"))
+      .withColumn("sig", lit(null).cast("array<long>"))
+      .withColumn("__tomb", lit(true))
+    rows.unionByName(tombs).coalesce(1).write.mode("append")
+      .parquet(s"$deltaPath/commit_epoch=$epoch")
+  }
+
   /** Wire into the store's write path: every commit touching `label`
     * appends a signature delta for exactly its staged rows.
     */
   def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(table).foreach { staged => maintLock.synchronized {
-      val live = staged.filter(!col("deleted"))
-        .select(col("id"), col(textCol))
-      val rows = Dedup.signatureFrame(live, "id", textCol, k, numHashes)
-        .withColumnRenamed("doc", "id")
-        .withColumn("__tomb", lit(false))
-      // a tombstone per touched id supersedes its old signature even
-      // when the new version contributes no row (delete)
-      val tombs = staged.select(col("id")).distinct()
-        .withColumn("hsh", lit(null).cast("array<long>"))
-        .withColumn("sig", lit(null).cast("array<long>"))
-        .withColumn("__tomb", lit(true))
-      rows.unionByName(tombs).coalesce(1).write.mode("append")
-        .parquet(s"$deltaPath/commit_epoch=$epoch")
-    } }
+    frames.get(table).foreach(applyCommit(epoch, _))
   }
 
   private def hasDeltas: Boolean =
@@ -139,14 +181,23 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
 }
 
 /** The shared delta-log plumbing of the maintained ANN stores: an
-  * immutable partitioned `base/`, per-commit partitioned
-  * `delta/commit_epoch=<e>/` appends, and a tiny unpartitioned
-  * `tombstones/` log of `(id, commit_epoch)`. Probes stay
-  * partition-pruned on BOTH base and delta (the probe predicate hits
-  * only partition columns); supersession is a broadcast join against
-  * the max-epoch tombstone per id — an updated vector may move
-  * buckets/cells, so its stale row is retired by epoch comparison,
-  * not by rewriting the old partition's files.
+  * immutable partitioned `base/` plus ONE per-commit FLAT append under
+  * `delta/commit_epoch=<e>/` carrying both the expanded fresh rows and
+  * the commit's tombstones (`__tomb` flag). The LSM level split drives
+  * the layout: the base is big and long-lived, so it pays the
+  * dynamic-partition write once per compaction and probes prune it by
+  * directory; deltas are small and commit-latency-critical, so they
+  * write as a few bucket-sorted files in a single static dir — a
+  * dynamic partitionBy there costs ~15 ms of job-commit per touched
+  * directory (≈2 s for a 128-bucket LSH delta, measured), dwarfing the
+  * row work, while probes skip inside the flat files just fine via
+  * parquet pushdown + min/max rowgroup stats on the sorted bucket
+  * column. Supersession is a broadcast join against the max-epoch
+  * tombstone per id — an updated vector may move buckets/cells, so its
+  * stale row is retired by epoch comparison, not by rewriting the old
+  * partition's files. One write job per commit per index (the
+  * tombstones riding along also guarantee the delta is never
+  * schema-less, so no emptiness probe job either).
   */
 private[operators] final class PartitionedDeltaLog(
     spark: org.apache.spark.sql.SparkSession,
@@ -154,7 +205,6 @@ private[operators] final class PartitionedDeltaLog(
 
   def basePath: java.nio.file.Path = root.resolve("base")
   private def deltaPath = root.resolve("delta")
-  private def tombPath = root.resolve("tombstones")
 
   /** The log's maintenance monitor (see MaintainedIndexes concurrency
     * contract): owning stores run compaction and commit-hook appends
@@ -162,7 +212,7 @@ private[operators] final class PartitionedDeltaLog(
     */
   def locked[T](body: => T): T = this.synchronized(body)
 
-  /** Atomically swap in a fresh base; clears both logs (compaction). */
+  /** Atomically swap in a fresh base; clears the delta log (compaction). */
   def writeBase(rows: DataFrame): Unit = {
     val tmp = root.resolve("base__tmp")
     Dirs.rmTree(tmp)
@@ -171,49 +221,47 @@ private[operators] final class PartitionedDeltaLog(
     Files.createDirectories(root)
     Files.move(tmp, basePath, StandardCopyOption.ATOMIC_MOVE)
     Dirs.rmTree(deltaPath)
-    Dirs.rmTree(tombPath)
   }
 
-  /** One commit's delta: partitioned append of `expand(live)` plus one
-    * tombstone per touched id. The emptiness test runs on the NARROW
-    * `live` frame (already materialized by the store's commit), so the
-    * expanded signature/assignment plan executes exactly once — in the
-    * write itself.
+  /** One commit's delta in ONE job: `expand(live)` rows flagged
+    * `__tomb=false` unioned with one `__tomb=true` row per touched id,
+    * written as ≤ `graft.commit.maxFiles` bucket-sorted flat files (no
+    * dynamic partitioning — see the class doc for why). The expanded
+    * signature/assignment plan executes exactly once — in the write.
     */
   def appendCommit(epoch: Long, live: DataFrame, expand: DataFrame => DataFrame,
       touchedIds: DataFrame): Unit = {
-    // delete-only commits stage no live rows; an all-empty delta log
-    // would defeat parquet schema inference on read, so skip the data
-    // write and let the tombstones alone retire the ids
-    if (!live.isEmpty)
-      expand(live).write.partitionBy(partCols: _*)
-        .mode("append").parquet(s"$deltaPath/commit_epoch=$epoch")
-    touchedIds.select(col("id")).distinct()
-      .withColumn("commit_epoch", lit(epoch))
-      .coalesce(1).write.mode("append").parquet(tombPath.toString)
+    val fresh = expand(live).withColumn("__tomb", lit(false))
+    val tombs = touchedIds.select(col("id")).distinct()
+      .withColumn("__tomb", lit(true))
+    val maxFiles = spark.conf.get("graft.commit.maxFiles", "8").toInt
+    fresh.unionByName(tombs, allowMissingColumns = true)
+      .coalesce(maxFiles)
+      .sortWithinPartitions(partCols.map(col): _*)
+      .write.mode("append").parquet(s"$deltaPath/commit_epoch=$epoch")
   }
 
   private def hasDeltas: Boolean =
     Dirs.childNames(deltaPath).exists(_.startsWith("commit_epoch="))
-  private def hasTombs: Boolean = Files.exists(tombPath)
 
-  /** The live candidate rows under a partition-column predicate: base
-    * and delta pruned by it, stale versions retired by tombstone epoch.
+  /** The live candidate rows under a bucket/cell predicate: the base
+    * scan is directory-pruned by it, the (small) delta scan pushes it
+    * into parquet rowgroup stats; stale versions are retired by
+    * tombstone epoch.
     */
   def probe(pred: org.apache.spark.sql.Column): DataFrame = {
     require(Files.exists(basePath), s"store at $root not built — call rebuild()")
     val base = spark.read.parquet(basePath.toString).filter(pred)
       .withColumn("__ep", lit(0L))
-    val withDelta =
-      if (!hasDeltas) base
-      else base.unionByName(
-        spark.read.parquet(deltaPath.toString).filter(pred)
-          .withColumn("__ep", col("commit_epoch")).drop("commit_epoch"))
-    if (!hasTombs) withDelta
+    if (!hasDeltas) base
     else {
-      val retire = spark.read.parquet(tombPath.toString)
+      val delta = spark.read.parquet(deltaPath.toString)
+      val fresh = delta.filter(pred && !col("__tomb"))
+        .withColumn("__ep", col("commit_epoch")).drop("commit_epoch", "__tomb")
+      val retire = delta.filter(col("__tomb"))
         .groupBy("id").agg(max("commit_epoch").as("__tomb_ep"))
-      withDelta.join(broadcast(retire), Seq("id"), "left_outer")
+      base.unionByName(fresh)
+        .join(broadcast(retire), Seq("id"), "left_outer")
         .filter(col("__tomb_ep").isNull || col("__tomb_ep") <= col("__ep"))
     }
   }
@@ -234,9 +282,13 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
 
   private def bucketed(rows: DataFrame): DataFrame = {
     val sigCols = (0 until nTables).map { t =>
-      Similarity.lshSignature(col(vecCol), Similarity.hyperplanes(dim, nBits, seed + t))
+      Similarity.lshSignature(col("v"), Similarity.hyperplanes(dim, nBits, seed + t))
     }
-    rows.select(col("id"), col(vecCol).as("v"), posexplode(array(sigCols: _*)))
+    // rename first, THEN compute signatures: a signature referencing
+    // the vector column aliased in the same select is a lateral column
+    // alias the analyzer rejects inside HOF lambdas
+    rows.select(col("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"), posexplode(array(sigCols: _*)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
   }
 
@@ -247,15 +299,18 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
     log.writeBase(bucketed(gs.graph().vertices(label).select(col("id"), col(vecCol))))
   }
 
+  /** Apply one commit's staged row versions — shared by [[bind]] and
+    * the replica-side [[MaintainedIndexes.followCommitLog]].
+    */
+  def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
+    log.appendCommit(epoch,
+      staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
+      bucketed, staged)
+  }
+
   /** Wire into the store's write path. */
   def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(table).foreach { staged =>
-      log.locked {
-        log.appendCommit(epoch,
-          staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
-          bucketed, staged)
-      }
-    }
+    frames.get(table).foreach(applyCommit(epoch, _))
   }
 
   /** ANN top-k over the maintained store — the partition-pruned probe
@@ -299,8 +354,12 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
     rows.select(col("id"), col(vecCol).as("v"),
       Similarity.l2normalize(col(vecCol)).as("__nv"))
 
+  // raw-vector cosine-space assignment: one dot + one norm per
+  // centroid per row, no normalized column to materialize (see
+  // Similarity.ivfAssignCosine — the lazily inlined l2normalize was
+  // the dominant cost of the commit hook)
   private def assigned(rows: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
-    Similarity.ivfAssign(normalized(rows), "__nv", cs).drop("__nv")
+    Similarity.ivfAssignCosine(rows.select(col("id"), col(vecCol).as("v")), "v", cs)
 
   private def writeCentroids(cs: Seq[Seq[Double]]): Unit =
     Files.write(centroidsFile,
@@ -323,7 +382,9 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
       .localCheckpoint(true)
     val cs = Similarity.ivfTrain(vecs, "__nv", "id", k, iterations)
     Files.createDirectories(root)
-    log.writeBase(Similarity.ivfAssign(vecs, "__nv", cs).drop("__nv"))
+    // base and hook use the SAME assignment function, so a re-committed
+    // unchanged vector always lands in its base cell
+    log.writeBase(assigned(vecs.drop("__nv"), cs))
     writeCentroids(cs)
   }
 
@@ -333,16 +394,19 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
     * against yet) — the eventual [[rebuild]] reads the committed state,
     * so nothing is lost.
     */
+  /** Apply one commit's staged row versions — shared by [[bind]] and
+    * the replica-side [[MaintainedIndexes.followCommitLog]].
+    */
+  def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
+    if (Files.exists(centroidsFile))
+      log.appendCommit(epoch,
+        staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
+        rows => assigned(rows, centroids),
+        staged)
+  }
+
   def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(table).foreach { staged =>
-      log.locked {
-        if (Files.exists(centroidsFile))
-          log.appendCommit(epoch,
-            staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
-            rows => assigned(rows, centroids),
-            staged)
-      }
-    }
+    frames.get(table).foreach(applyCommit(epoch, _))
   }
 
   /** IVF top-k over the maintained store: probe the nProbe nearest

@@ -57,11 +57,21 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-bit LSH signature of a vector under the given hyperplanes. */
-  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, vecLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Sign-bit LSH signature of a vector under the given hyperplanes.
+    * The plane matrix travels as ONE typed literal (array<array<double>>)
+    * and the sign bits fold in a higher-order zip, so the expression
+    * tree stays ~30 nodes regardless of dim×nBits — built per plane as
+    * literal arrays, a 32-plane 64-dim signature was a ~4k-node tree
+    * whose per-job analysis cost dominated every commit hook that
+    * embedded it.
+    */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val weights: Seq[Long] = planes.indices.map(i => 1L << i)
+    aggregate(
+      zip_with(typedLit(planes), typedLit(weights),
+        (p, w) => when(dot(vec, p) > 0, w).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
 
   /** Bucketed ANN: assigns every vector to its LSH bucket. At query
     * time, scan only the query's bucket (single partition-pruned read
@@ -100,18 +110,47 @@ object Similarity {
     centroids
   }
 
+  /** Per-centroid (‖c‖², index) metadata literal for the assignment
+    * argmins below — ‖c‖² is driver-side constant, so the row-side
+    * distance needs only one dot product per centroid.
+    */
+  private def centroidMeta(centroids: Seq[Seq[Double]]): Column =
+    typedLit(centroids.zipWithIndex.map { case (c, i) =>
+      (c.map(x => x * x).sum, i)
+    })
+
   /** Assign each vector to its nearest centroid (append `ivf_cluster`).
-    * Pure column expressions over literal centroids — one narrow pass.
+    * Pure column expressions, one narrow pass; the centroid matrix is
+    * ONE typed literal (see [[lshSignature]] — flat tree size in k×dim)
+    * and the squared distance is computed as ‖c‖² − 2·v·c — the ‖v‖²
+    * term is constant per row across centroids, so the argmin is
+    * identical to Σ(x−y)² at one dot product per centroid.
     */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        aggregate(zip_with(col(vecCol), vecLit(c),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v).as("d"),
-        lit(i).as("i"))
-    }
-    df.withColumn("ivf_cluster", array_min(array(dists: _*)).getField("i"))
+    val dists = zip_with(typedLit(centroids), centroidMeta(centroids),
+      (c, m) => struct(
+        (m.getField("_1") - lit(2.0) * dot(col(vecCol), c)).as("d"),
+        m.getField("_2").as("i")))
+    df.withColumn("ivf_cluster", array_min(dists).getField("i"))
+  }
+
+  /** Cosine-space assignment of RAW vectors: nearest centroid to the
+    * L2-NORMALIZED vector, computed as argmin ‖c‖² − 2·(v·c)/‖v‖
+    * WITHOUT materializing the normalized column — a lazily inlined
+    * [[l2normalize]] re-evaluates the norm per element per centroid
+    * (O(k·d²) interpreted ops per row; ~2 s per small commit measured
+    * in the maintained-IVF hook), where this form pays one dot and one
+    * norm per centroid. Zero vectors keep the l2normalize pass-through
+    * convention (assigned to the smallest-norm centroid).
+    */
+  def ivfAssignCosine(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    val nrm = l2norm(col(vecCol))
+    val dists = zip_with(typedLit(centroids), centroidMeta(centroids),
+      (c, m) => struct(
+        (m.getField("_1") - lit(2.0) *
+          when(nrm === 0, lit(0.0)).otherwise(dot(col(vecCol), c) / nrm)).as("d"),
+        m.getField("_2").as("i")))
+    df.withColumn("ivf_cluster", array_min(dists).getField("i"))
   }
 
   /** IVF ANN top-k: probe the nProbe nearest centroid cells, rescore

@@ -158,15 +158,22 @@ class MaintainedIndexSpec extends SparkSpec {
     assert(!ivfDel.exists(_._1 == 9002L))
     assert(ivfDel == ivfScan())
 
-    // the probe stays partition-pruned with the delta log in place —
-    // on BOTH the base and the delta scan (the tombstone scan is
-    // unpartitioned by design: it is the tiny broadcast side)
+    // the probe's scan discipline with the delta log in place — the
+    // LSM level split: the big immutable base is DIRECTORY-pruned by
+    // the bucket predicate; the small flat delta files take the bucket
+    // predicate (fresh scan) and the __tomb flag (tombstone scan) as
+    // parquet PUSHED filters instead, skipping via rowgroup stats on
+    // the bucket-sorted files
     val plan = ann.topK(q, 10).queryExecution.executedPlan.toString
-    val pruned = plan.linesIterator
-      .filter(l => l.contains("annindex/emb/base") || l.contains("annindex/emb/delta"))
-      .toSeq
-    assert(pruned.size == 2, s"expected base + delta scans:\n$plan")
-    assert(pruned.forall(_.contains("PartitionFilters: [(")),
-      s"base/delta probe scan not partition-pruned:\n$plan")
+    val baseScans = plan.linesIterator.filter(_.contains("annindex/emb/base")).toSeq
+    val deltaScans = plan.linesIterator.filter(_.contains("annindex/emb/delta")).toSeq
+    assert(baseScans.size == 1 && deltaScans.size == 2,
+      s"expected base + fresh-delta + tombstone scans:\n$plan")
+    assert(baseScans.head.contains("PartitionFilters: [("),
+      s"base probe scan not bucket-pruned:\n$plan")
+    assert(deltaScans.exists(l => l.contains("PushedFilters: [") && l.contains("bucket")),
+      s"fresh-delta scan does not push the bucket predicate:\n$plan")
+    assert(deltaScans.exists(l => l.contains("PushedFilters: [") && l.contains("__tomb")),
+      s"tombstone scan does not push the __tomb flag:\n$plan")
   }
 }

@@ -131,6 +131,67 @@ class ReplicationSpec extends SparkSpec {
       .vertexFrame("site").select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("replica dedup/ANN indexes stay fresh from the commit-log stream, no rebuild") {
+    import graft.operators.{MaintainedAnnStore, MaintainedIndexes, SignatureIndex}
+    val docSchema = GraphSchema.builder()
+      .vertex("doc", "id", Seq("text", "v")).build()
+    val master = new GraphStore(spark, docSchema, tmp("replix-m"))
+    val slaveDir = tmp("replix-s")
+    val slaveStore = new VersionedStore(spark, slaveDir)
+    val repl = Replicator.forGraph(master, slaveStore)
+
+    // seed corpus: real doc text plus a deterministic embedding per id
+    val seed = spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" < 60)
+      .join(spark.read.parquet(s"$sf/embeddings.parquet"),
+        $"doc_id" === $"vec_id")
+      .select($"doc_id".as("id"), $"text", $"embedding".as("v"))
+      .localCheckpoint(true)
+    master.txn().createVertices("doc", seed).commit()
+    repl.sync()
+
+    // replica-side indexes, built once from the synced state, then
+    // maintained ONLY by the slave store's commit-log stream
+    val slaveGs = new GraphStore(spark, docSchema, slaveDir)
+    val idxDir = tmp("replix-i")
+    val sig = new SignatureIndex(slaveGs, "doc", "text", idxDir)
+    sig.rebuild()
+    val dim = seed.select(size($"v")).head().getInt(0)
+    val ann = new MaintainedAnnStore(slaveGs, "doc", "v", idxDir, dim,
+      nBits = 4, nTables = 8)
+    ann.rebuild()
+    val q = MaintainedIndexes.followCommitLog(spark, slaveDir, "v_doc",
+      Seq(sig.applyCommit, ann.applyCommit), tmp("replix-c"))
+    try {
+      q.processAllAvailable() // initial replay — idempotent over the bases
+
+      // master commits a near-dup twin of doc 1 with a known vector;
+      // the slave sees it as a dedup AND ANN candidate after sync alone
+      val text1 = seed.filter($"id" === 1).select("text").head().getString(0)
+      val vec1 = seed.filter($"id" === 1).select("v").head()
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      master.txn().createVertices("doc",
+        Seq((9001L, text1, vec1.map(_.toFloat).toArray)).toDF("id", "text", "v")).commit()
+      repl.sync()
+      q.processAllAvailable()
+
+      val pairs = sig.nearDups().select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 9001L)),
+        "doc committed on the master must be a dedup candidate on the slave")
+      val top = ann.topK(vec1, 3).select("id").as[Long].collect().toSeq
+      assert(top.contains(9001L),
+        "vector committed on the master must be an ANN candidate on the slave")
+
+      // deletes propagate the same way
+      master.txn().deleteVertices("doc", Seq(Tuple1(9001L)).toDF("id")).commit()
+      repl.sync()
+      q.processAllAvailable()
+      assert(!sig.nearDups().select("id_a", "id_b").as[(Long, Long)]
+        .collect().toSet.exists(p => p._1 == 9001L || p._2 == 9001L))
+      assert(!ann.topK(vec1, 3).select("id").as[Long].collect().contains(9001L))
+    } finally q.stop()
+  }
+
   test("a failing commit hook leaves the commit durable and other hooks run") {
     val master = new GraphStore(spark, schema, tmp("replh-m"))
     val slaveStore = new VersionedStore(spark, tmp("replh-s"))
