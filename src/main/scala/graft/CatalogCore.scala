@@ -363,14 +363,27 @@ object CatalogCore {
       // semi-naive fixpoint with budgets (SURVEY §2.9)
       (s, d) => {
         val base = s.range(1, 2).select(col("id"))
-        // semi-naive rounds advance 8 depths over the pre-built 8-hop
-        // relation (out-degree 2 keeps it small; with the delta
-        // broadcast the denser relation is streamed, not re-shuffled,
-        // so p=3's fewer rounds now win); delta-sized shuffle
-        // partitions cut per-round task overhead
-        Fixpoint.reachable(knowsIndex(s, d), base, hopPower = 3,
-          shufflePartitions = Some(4),
-          compressedStep = Some(knowsCompressed(s, d, 3))).orderBy("id")
+        val edges = knowsIndex(s, d)
+        // two plan tiers by graph size (the count is a cached metadata
+        // read of the checkpointed adjacency index, not a scan):
+        // latency tier — the pre-built 8-hop relation advances 8 depths
+        // per round and the delta broadcast streams it in place, BUT it
+        // carries ~2^(2^p)÷2 ≈ 128 pairs per node, which stops fitting
+        // memory as n grows (the ×8 scale check measured a 21.6× time
+        // ratio from cache-evict-recompute thrash before this guard);
+        // scale tier — plain 2-hop semi-naive with n-scaled partitions
+        // is output-bound and survives (×8 ratio ≈ 6.5 while the
+        // reachable set itself grows 80×)
+        val n = edges.count() / 2
+        if (n <= 50000L)
+          Fixpoint.reachable(edges, base, hopPower = 3,
+            shufflePartitions = Some(4),
+            compressedStep = Some(knowsCompressed(s, d, 3))).orderBy("id")
+        else
+          Fixpoint.reachable(edges, base, hopPower = 1,
+            budget = Fixpoint.Budget(maxIterations = 400),
+            shufflePartitions = Some(math.min(32, math.max(8, (n / 7500L).toInt))))
+            .orderBy("id")
       },
       Some(s"""WITH RECURSIVE e AS ($knowsSql),
               |r AS (

@@ -33,9 +33,14 @@ import graft.{GraftSession, SparkEntry}
 object ScaleCheck {
 
   /** The dedup, similarity, spatial and corpus-text headliners — the
-    * shapes whose scaling behavior BENCHNOTES claims.
+    * shapes whose scaling behavior BENCHNOTES claims — plus the
+    * depth-bounded iterative graph shapes (q31/q83 walk 4 hops from a
+    * fixed root over the knows graph, which the scaled customer table
+    * grows ×N).
     */
   val queries: Seq[String] = Seq(
+    "q31_bfs",
+    "q32_transitive_closure",
     "q40_spatial_bbox",
     "q41_spatial_knn",
     "q42_spatial_radius",
@@ -44,6 +49,7 @@ object ScaleCheck {
     "q58_cosine_topk",
     "q59_ann_lsh",
     "q67_ivf_ann",
+    "q83_cheapest_paths",
     "q93_quota_sample",
     "q95_chunk_overlap",
     "q96_vocab",
@@ -103,6 +109,24 @@ object ScaleCheck {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Deterministic power-law graph over n nodes: node k has out-degree
+    * `max(1, min(cap, n/(k+1)))` — a few cap-degree hubs and a long
+    * degree-1 tail; destinations uniform by hash. Total edges ≈
+    * n·(1 + ln cap): LINEAR in n, so a ×N node scale is a ×N data
+    * scale. This is the skew fixture the uniform knows graph
+    * (out-degree exactly 2) cannot provide: a frontier containing a
+    * hub joins `cap` edges on one key while tail keys carry one — the
+    * shape where frontier joins die at scale if skew is mishandled.
+    */
+  def powerLawEdges(spark: SparkSession, n: Long, cap: Int = 1024): DataFrame =
+    spark.range(n).select(col("id").as("src"),
+        explode(sequence(lit(0L),
+          greatest(lit(1L), least(lit(cap.toLong),
+            (lit(n) / (col("id") + 1L)).cast("long"))) - 1L)).as("j"))
+      .select(col("src"),
+        pmod(xxhash64(col("src"), col("j")), lit(n)).as("dst"),
+        (pmod(xxhash64(col("j"), col("src")), lit(9L)) + 1L).as("w"))
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 8
@@ -122,13 +146,50 @@ object ScaleCheck {
       val tScaled = measure(out, name)
       (name, tBase, tScaled, tScaled / tBase)
     }
-    val qs = rows.map { case (n, b, s, r) =>
+
+    // iterative graph shapes on the power-law fixture. Depth-bounded
+    // shapes (bfs / cheapest paths) hold the round count fixed across
+    // scales, so time ratio ≤ data ratio is the honest gate. The
+    // UNBOUNDED closure is reported but held to a looser 2× gate: its
+    // reachable set grows ×N AND its round count grows with the
+    // diameter (log N / log avg-degree — one extra round over ~4 is
+    // +25% on top of the data ratio), which is the semantics of the
+    // query, not an operator weakness.
+    import graft.operators.{Fixpoint, Traverse}
+    val nBase = spark.read.parquet(s"$base/customer.parquet").count()
+    def plShapes(n: Long): Seq[(String, () => Unit)] = {
+      val edges = powerLawEdges(spark, n).localCheckpoint(true)
+      val hub = spark.range(1).select(col("id"))
+      val tailN = spark.range(n - 1, n).select(col("id"))
+      Seq(
+        ("pl_bfs_hub", () => { Traverse.bfs(edges, hub, maxDepth = 4).count(); () }),
+        ("pl_bfs_tail", () => { Traverse.bfs(edges, tailN, maxDepth = 4).count(); () }),
+        ("pl_cheapest_hub", () => { Traverse.cheapestPaths(edges, hub, maxHops = 4).count(); () }),
+        ("pl_closure_hub", () => { Fixpoint.reachable(edges, hub).count(); () }))
+    }
+    val plBase = plShapes(nBase)
+    val plScaled = plShapes(nBase * factor)
+    val plRows = plBase.zip(plScaled).map { case ((name, fb), (_, fs)) =>
+      fb(); val tBase = Seq.fill(runs)(time(fb())).min
+      fs(); val tScaled = Seq.fill(runs)(time(fs())).min
+      (name, tBase, tScaled, tScaled / tBase)
+    }
+
+    val all = rows ++ plRows
+    val qs = all.map { case (n, b, s, r) =>
       "\"" + n + f"""\":{"base_sec":$b%.3f,"scaled_sec":$s%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    val worst = rows.maxBy(_._4)
+    // unbounded-fixpoint shapes carry the documented round-count term
+    // (q32's reachable set and round count depend on the knows graph's
+    // orbit structure at the scaled n, not just on data volume)
+    val loose = Set("pl_closure_hub", "q32_transitive_closure")
+    val strict = all.filterNot(x => loose(x._1))
+    val worst = strict.maxBy(_._4)
+    val pass = worst._4 <= factor &&
+      all.filter(x => loose(x._1)).forall(_._4 <= factor * 2.0)
     println(
       f"""{"metric":"scale_check","factor":$factor,"base":"$base","queries":$qs,""" +
-        f""""worst":"${worst._1}","worst_ratio":${worst._4}%.2f,"pass":${worst._4 <= factor}}""")
+        f""""worst":"${worst._1}","worst_ratio":${worst._4}%.2f,"pass":$pass}""")
     spark.stop()
   }
 }
