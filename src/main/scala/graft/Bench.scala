@@ -81,6 +81,10 @@ object Bench {
       }
     val warmRuns = intEnv("SPARK_GRAFT_BENCH_RUNS", 5, 1)
     val loadBefore = loadAvg()
+    // the probe plan itself needs one discarded compile pass: its first
+    // execution pays ~0.7 s of whole-stage codegen, which would inflate
+    // probe_before against probe_after and read as phantom contention
+    calibrationProbe(spark)
     val probeBefore = calibrationProbe(spark)
     val results = headline.filter(only).map { name =>
       val fn = SparkEntry.queries(name)
