@@ -124,6 +124,18 @@ object PipelineQueries {
           Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id", vec, k)
       }))
 
+    service.register(PipelineQuery("frame_sample",
+      Seq(ParamSpec("every_n", "long", required = false, default = Some(2L)),
+        ParamSpec("max_frames", "long", required = false, default = Some(2L))),
+      ps => {
+        // real multi-frame decode (the q101 surface) over the media
+        // column attached to the documents ids — one row per sampled
+        // frame with its true dims and mean color
+        graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.attachVideo(docs, "doc_id"),
+          intParam(ps, "every_n"), intParam(ps, "max_frames"))
+      }))
+
     service.register(PipelineQuery("vocab",
       Seq(ParamSpec("top_k", "long", required = false, default = Some(50L))),
       ps => {

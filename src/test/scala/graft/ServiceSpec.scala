@@ -139,6 +139,17 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("ann_search", Map("vector" -> "1,2")) // wrong dim
     }
+    // real multi-frame decode on the registered tier (the q101 surface)
+    val fs = service.runRegistered("frame_sample",
+      Map("every_n" -> "2", "max_frames" -> "2"))
+    assert(fs.columns.sameElements(Array("media_id", "n_frames", "frame_idx",
+      "width", "height", "mean_r", "mean_g", "mean_b")))
+    assert(fs.filter(col("frame_idx") % 2 =!= 0 || col("frame_idx") >= 4).count() == 0,
+      "stride/cap contract")
+    assert(fs.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("frame_sample", Map("every_n" -> "0"))
+    }
   }
 
   test("pipeline-query write effect runs on a writable service and over HTTP") {
