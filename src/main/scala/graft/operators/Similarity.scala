@@ -364,8 +364,15 @@ object Similarity {
     def current = centroidsFile(path).exists() && StorePaths.isCurrent(path, fp)
     if (!current) buildLock.synchronized {
       if (!current) {
-        val centroids = ivfTrain(df, normCol, idCol, k, iterations)
-        ivfAssign(df, normCol, centroids).drop(normCol)
+        // materialize the (typically expression-defined) norm column
+        // once: HOF lambdas re-evaluate operand expressions per
+        // element, so an inlined l2normalize would cost O(d²)
+        // interpreted ops per row per training pass (the quantizeInt8
+        // barrier pattern; at corpus scale the staged frame is also
+        // what bounds the train's repeated scans)
+        val staged = df.localCheckpoint(eager = true)
+        val centroids = ivfTrain(staged, normCol, idCol, k, iterations)
+        ivfAssign(staged, normCol, centroids).drop(normCol)
           .write.partitionBy("ivf_cluster").mode("overwrite").parquet(path)
         writeCentroids(path, centroids)
         StorePaths.stamp(path, fp)
