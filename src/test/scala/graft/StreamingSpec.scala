@@ -84,6 +84,44 @@ class StreamingSpec extends SparkSpec {
     assert(all == Set((1L, 2), (1L, 1), (2L, 1)))
   }
 
+  test("media decode pipeline is stream-composable (partition-batched ops on a stream)") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // ingestion shape at scale: ids stream in, media attaches and
+    // decodes inside each micro-batch — the mapPartitions scaffold
+    // composes with Structured Streaming untouched
+    val input = MemoryStream[Long]
+    val decoded = Multimodal.decodeMedia(
+      Multimodal.attachMedia(input.toDF().toDF("doc_id"), "doc_id"))
+    assert(decoded.isStreaming, "decode chain must stay a streaming plan")
+    val q = decoded.writeStream.outputMode("append").format("memory")
+      .queryName("mstream").start()
+    input.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    input.addData(4L)
+    q.processAllAvailable()
+    val rows = spark.sql("select media_id, width, height from mstream")
+      .as[(Long, Int, Int)].collect().toSet
+    q.stop()
+    assert(rows.map(_._1) == Set(1L, 2L, 3L, 4L))
+    rows.foreach { case (id, w, h) =>
+      assert((w, h) == Multimodal.synthDims(id), s"decoded dims for $id")
+    }
+    // multi-frame sampling composes the same way
+    val frames = MemoryStream[Long]
+    val sampled = Multimodal.sampleFrames(
+      Multimodal.attachVideo(frames.toDF().toDF("doc_id"), "doc_id"),
+      everyN = 2, maxFrames = 2)
+    val q2 = sampled.writeStream.outputMode("append").format("memory")
+      .queryName("fstream").start()
+    frames.addData(7L)
+    q2.processAllAvailable()
+    val fr = spark.sql("select frame_idx from fstream").as[Int].collect().toSet
+    q2.stop()
+    val nf = Multimodal.synthVideoParams(7L)._3
+    assert(fr == (0 until nf by 2).take(2).toSet)
+  }
+
   test("file-source stream: windowed agg over the real events table") {
     // drive the actual parquet events table as a file stream (ns
     // timestamps -> read as long, converted like QueryDef.events)
