@@ -472,6 +472,74 @@ object CatalogPipeline {
              |    GROUP BY pair))
              |WHERE rank <= 30 ORDER BY rank""".stripMargin)),
 
+    QueryDef("q104_dup_spans",
+      // exact substring-duplication load per document (the
+      // suffix-array window-dedup statistic): every 8-token window
+      // that occurs more than once anywhere in the corpus marks its
+      // position duplicated. Windows reduce to md5 digests map-side;
+      // the oracle re-derives the same counts from the window TEXT, so
+      // a hash match also certifies the digest path collision-free on
+      // this corpus. Ratio is per-myriad integer — bit-exact
+      (s, d) => Dedup.dupSpans(Tpch.table(s, d, "documents"),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH d0 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+             |    ELSE string_split_regex(trim(text), '\s+') END AS tk FROM documents),
+             |w AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS win
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+             |        FROM d0 WHERE len(tk) >= 8)),
+             |tot AS (SELECT win, count(*) AS total FROM w GROUP BY 1),
+             |dup AS (SELECT doc_id, count(*) AS n_dup FROM w JOIN tot USING (win)
+             |        WHERE total > 1 GROUP BY 1)
+             |SELECT d0.doc_id,
+             |  CAST(greatest(len(tk) - 7, 0) AS BIGINT) AS n_windows,
+             |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+             |  CAST(coalesce(n_dup, 0) * 10000 // greatest(len(tk) - 7, 1) AS BIGINT) AS dup_pm
+             |FROM d0 LEFT JOIN dup USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q107_bigram_lm",
+      // count-based bigram LM scoring (the CCNet perplexity-filter
+      // shape): train add-one-smoothed bigram stats on the 'train'
+      // hash-split slice, score every 'test' doc's fluency in integer
+      // parts-per-million. The split is the same md5 bucketing as
+      // q77/q79, restated in the oracle
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents").withColumn("split",
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05),
+            rest = "test"))
+        TextAnalysis.bigramLmScore(
+          docs.filter(col("split") === "train"),
+          docs.filter(col("split") === "test"),
+          "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, text,
+             |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, text,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |    FROM documents)),
+             |t0 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+             |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk, split FROM s),
+             |c1 AS (SELECT w, count(*) AS c1
+             |  FROM (SELECT unnest(tk) AS w FROM t0 WHERE split = 'train') GROUP BY 1),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM (
+             |    SELECT tk[i] AS w1, tk[i+1] AS w2
+             |    FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+             |          FROM t0 WHERE split = 'train' AND len(tk) >= 2))
+             |  GROUP BY 1, 2),
+             |v AS (SELECT count(*) AS v FROM c1),
+             |teb AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+             |        FROM t0 WHERE split = 'test' AND len(tk) >= 2)),
+             |p AS (SELECT doc_id,
+             |    ((coalesce(c2.c2, 0) + 1) * 1000000) // (coalesce(c1.c1, 0) + v.v) AS p_ppm
+             |  FROM teb LEFT JOIN c2 USING (w1, w2)
+             |    LEFT JOIN c1 ON teb.w1 = c1.w CROSS JOIN v)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
+             |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

@@ -66,6 +66,49 @@ object CatalogSearch {
         "doc_id", "text", searchTerms, k = 20),
       Some(Search.bm25OracleSql("documents", "doc_id", "text", searchTerms, k = 20))),
 
+    QueryDef("q105_tfidf_keywords",
+      // per-doc TF-IDF keyword extraction: top-3 terms per document
+      // under the integer-exact weighting contract (Search scaladoc);
+      // ties break on the term string so the oracle reproduces rows
+      // exactly
+      (s, d) => Search.tfidfKeywords(Tpch.table(s, d, "documents"),
+          "doc_id", "text", topPerDoc = 3)
+        .orderBy("doc_id", "rk"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n FROM documents),
+             |sc AS (SELECT doc_id, term, tf, df,
+             |    tf * ((n * 10000) // df) AS score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tf * ((n * 10000) // df) DESC, term) AS rk
+             |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             |  CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+             |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    QueryDef("q106_posting_probe",
+      // keyword probe against the WRITTEN term-bucket-partitioned
+      // posting store (built once, build-if-absent): reads only the
+      // query terms' bucket dirs (PartitionFilters pinned by
+      // PostingStoreSpec), then ranks docs by (terms matched, total
+      // tf, id) — a deterministic total order the oracle restates
+      // directly over the documents table
+      (s, d) => {
+        val path = Search.ensurePostingStore(Tpch.table(s, d, "documents"),
+          "doc_id", "text", d)
+        Search.postingTopK(s, path, searchTerms, k = 10)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+             |  WHERE term IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
+             |  GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS total_tf
+             |FROM tf GROUP BY 1
+             |ORDER BY n_terms DESC, total_tf DESC, doc_id LIMIT 10""".stripMargin)),
+
     QueryDef("q88_pack_sequences",
       // concat-and-chunk packing at seqLen 512 over whitespace token
       // counts; the engine computes the prefix sum distributed

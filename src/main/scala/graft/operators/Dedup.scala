@@ -185,4 +185,48 @@ object Dedup {
 
   /** Hamming distance between two simhash values (near-dup test). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact substring-duplication detection — the suffix-array-style
+    * window dedup of "Deduplicating Training Data Makes Language Models
+    * Better" re-expressed distributed: every k-token window of every
+    * document is checked for occurring anywhere else in the corpus
+    * (any document, any position, its own included). Returns one row
+    * per document: (id, n_windows, n_dup_windows, dup_pm) — the
+    * per-doc duplicated-span load a cleaning pass cuts or downweights
+    * (per-myriad integer, the repo's bit-exact ratio discipline).
+    *
+    * Scale shape: window text never leaves the map side — each
+    * position reduces to a 16-byte md5 digest (128-bit, so collisions
+    * cannot perturb counts even at 100 TB window cardinalities; a
+    * 64-bit hash starts colliding at ~2^32 windows), one
+    * groupBy(digest) counts occurrences, only the DUPLICATED digests
+    * (a small fraction) join back to the position frame, and the
+    * per-doc rollup joins a narrow no-shuffle n_windows projection on
+    * the doc key. A super-frequent boilerplate window skews only its
+    * own digest's partition, and AQE's skew handling applies.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "window size must be positive")
+    val tk = Sampling.freshName(df, "tk")
+    // per-row window count: no shuffle, defined for every doc
+    val base = df.select(col(idCol).as("__id"),
+      greatest(size(TextAnalysis.tokens(col(textCol))) - k + 1, lit(0))
+        .cast("long").as("n_windows"))
+    // (doc, digest) per window position, from docs long enough to have one
+    val w = df.withColumn(tk, TextAnalysis.tokens(col(textCol)))
+      .filter(size(col(tk)) >= k)
+      .select(col(idCol).as("__id"), col(tk),
+        explode(sequence(lit(1), size(col(tk)) - k + 1)).as("__i"))
+      .select(col("__id"),
+        unhex(md5(concat_ws(" ", slice(col(tk), col("__i"), lit(k))))).as("__wh"))
+    val dupDigests = w.groupBy("__wh").agg(count(lit(1)).as("__total"))
+      .filter(col("__total") > 1).select("__wh")
+    val perDoc = w.join(dupDigests, Seq("__wh"))
+      .groupBy("__id").agg(count(lit(1)).as("__ndup"))
+    base.join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_windows"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_pm",
+        expr("n_dup_windows * 10000 div greatest(n_windows, 1)"))
+  }
 }

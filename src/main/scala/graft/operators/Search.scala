@@ -68,6 +68,111 @@ object Search {
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }
 
+  /** Per-document TF-IDF keyword extraction — the corpus-triage
+    * primitive (topic surfacing, cluster labeling, per-doc metadata
+    * enrichment): the `topPerDoc` highest-weighted terms of every
+    * document. Same integer-exact weighting discipline as [[bm25TopK]]
+    * (`idf_pm = (n_docs * 10000) div df`, `score = tf * idf_pm`), so
+    * any engine agrees bit-for-bit; ties break on the term string.
+    *
+    * Scale shape: explode → partial-agg (doc, term) → term-keyed
+    * df join (shuffle, NOT broadcast — document frequencies are
+    * vocabulary-sized and a 100 TB corpus's vocabulary is not a
+    * broadcast candidate) → per-doc rank window. The window partitions
+    * by doc id, so no global sort ever materializes.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topPerDoc: Int): DataFrame = {
+    require(topPerDoc > 0, "topPerDoc must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr("tf * ((n * 10000) div df)"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("__id").orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= topPerDoc)
+      .select(col("__id").as(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
+  // --- written inverted-index store: the at-scale keyword probe -------
+  //
+  // bm25TopK / tfidfKeywords above tokenize the corpus per query. At
+  // 100 TB the posting list IS the index: (term, doc, tf) rows are
+  // written ONCE as parquet partitioned by a term-hash bucket, and a
+  // keyword probe becomes a partition-pruned read of the few bucket
+  // directories holding its terms' postings — the plan lists nothing
+  // else (same written-artifact discipline as Similarity's LSH/IVF
+  // stores and SpatialOps' cell store).
+
+  def postingStorePath(sfDir: String, nBuckets: Int): String =
+    s"${graft.model.StorePaths.root}/${graft.model.StorePaths.key(sfDir)}/postings_b$nBuckets"
+
+  /** Driver-side md5 bucket of a term — the same value
+    * [[graft.operators.Sampling.hashBucket]] computes as a column, so
+    * probe-side pruning and store-side routing cannot drift.
+    */
+  private[graft] def termBucket(term: String, nBuckets: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % nBuckets
+  }
+
+  private val postingBuildLock = new Object
+
+  /** Build-if-absent posting store for a document table: one row per
+    * (term, doc) with its term frequency, partitioned by
+    * `tb = md5-bucket(term) % nBuckets`. Bucketing by term hash keeps
+    * directory count fixed (a raw term partition would create one dir
+    * per vocabulary entry) while still pruning every probe to the
+    * requested terms' buckets. Stale stores rebuild via the shared
+    * fingerprint stamp discipline ([[graft.model.StorePaths]]).
+    */
+  def ensurePostingStore(docs: DataFrame, idCol: String, textCol: String,
+      sfDir: String, nBuckets: Int = 64, fpSource: String = null): String = {
+    import graft.model.StorePaths
+    val path = postingStorePath(sfDir, nBuckets)
+    val fp = StorePaths.fingerprint(
+      Option(fpSource).getOrElse(s"$sfDir/documents.parquet"))
+    def current = new java.io.File(path, "_SUCCESS").exists() &&
+      StorePaths.isCurrent(path, fp)
+    if (!current) postingBuildLock.synchronized {
+      if (!current) {
+        docs.select(col(idCol).as("doc_id"),
+            explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .withColumn("tb", Sampling.hashBucket(col("term"), nBuckets))
+          .write.partitionBy("tb").mode("overwrite").parquet(path)
+        StorePaths.stamp(path, fp)
+      }
+    }
+    path
+  }
+
+  /** Keyword probe against a written posting store: top-k documents
+    * for a bag-of-words query, ranked by (terms matched desc, total tf
+    * desc, doc id) — a deterministic total order. Reads ONLY the query
+    * terms' bucket directories (PartitionFilters; pinned by
+    * PostingStoreSpec).
+    */
+  def postingTopK(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      terms: Seq[String], k: Int, nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val tbs = terms.map(termBucket(_, nBuckets)).distinct
+    spark.read.parquet(storePath)
+      .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(terms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .orderBy(col("n_terms").desc, col("total_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The same contract as ANSI SQL over the same table, for oracle
     * checks (DuckDB dialect: `//` = integer division, string_split).
     */

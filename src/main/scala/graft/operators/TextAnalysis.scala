@@ -256,4 +256,49 @@ object TextAnalysis {
       .withColumn("flagged",
         col("dup_token_pm") > dupTokenFlagPm || col("dup_bigram_pm") > dupBigramFlagPm)
   }
+
+  /** Count-based bigram language-model scoring — the perplexity-filter
+    * shape (CCNet-style: train a cheap LM on a trusted slice, score
+    * candidate docs by how "fluent" the model finds them, keep/bucket
+    * by score). Add-one smoothed bigram probability in integer
+    * parts-per-million, so the contract is bit-exact on any engine (a
+    * float log-prob would drift by libm ulp and summation order):
+    *
+    *   p_ppm(w2|w1)  = ((c2(w1,w2) + 1) * 1000000) div (c1(w1) + V)
+    *   score_ppm(d)  = Σ p_ppm over d's bigrams  div  n_bigrams(d)
+    *
+    * where c2/c1 are train-slice bigram/unigram occurrence counts and
+    * V the train vocabulary size. Docs with < 2 tokens have no bigrams
+    * and are not scored.
+    *
+    * Scale shape: the model is two count tables keyed by token — they
+    * shuffle-join against the candidate bigrams (vocabulary-sized, NOT
+    * broadcast); V rides along as a broadcast 1-row frame; the per-doc
+    * rollup is one doc-keyed aggregation. Nothing is collected.
+    */
+  def bigramLmScore(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol).as("__id"),
+      tokens(lower(col(textCol))).as("__toks"))
+    def bigrams(df: DataFrame) = toks(df)
+      .filter(size(col("__toks")) >= 2)
+      .select(col("__id"), explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"),
+        col("__toks"))
+      .select(col("__id"), element_at(col("__toks"), col("__i")).as("w1"),
+        element_at(col("__toks"), col("__i") + 1).as("w2"))
+    val trainToks = toks(train).select(explode(col("__toks")).as("w"))
+    val c1 = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    bigrams(test)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("p_ppm",
+        expr("((coalesce(c2, 0) + 1) * 1000000) div (coalesce(c1, 0) + v)"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("score_ppm"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("score_ppm"))
+  }
 }

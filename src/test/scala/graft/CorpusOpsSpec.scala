@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Search, TextAnalysis}
+
+/** Unit gates for the corpus-analysis operators added in round 6:
+  * exact substring-duplication spans (q104), TF-IDF keyword extraction
+  * (q105), and bigram-LM fluency scoring (q107). The sf-level hash
+  * gate is the DuckDB oracle; these pin the contracts on
+  * hand-computable fixtures.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupSpans: window counts, cross- and within-doc duplication, edge docs") {
+    val docs = Seq(
+      (1L, "a b c a b"), // windows(k=2): "a b","b c","c a","a b" — "a b" dups itself
+      (2L, "a b x"),     // "a b" also here: 3 corpus occurrences total
+      (3L, "z z"),       // unique window
+      (4L, "q"),         // shorter than k: zero windows
+      (5L, "")           // empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, 4L, 2L, 5000L), // both "a b" positions duplicated; 2*10000 div 4
+      (2L, 2L, 1L, 5000L),
+      (3L, 1L, 0L, 0L),
+      (4L, 0L, 0L, 0L),    // n_windows 0 -> ratio over greatest(0,1)
+      (5L, 0L, 0L, 0L)))
+  }
+
+  test("tfidfKeywords: integer weighting, per-doc ranks, term tiebreak") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple")
+    ).toDF("doc_id", "text")
+    // n=3; df: apple 2, banana 2, cherry 1
+    // idf_pm: apple/banana (3*10000) div 2 = 15000; cherry 30000
+    val out = Search.tfidfKeywords(docs, "doc_id", "text", topPerDoc = 2)
+      .orderBy("doc_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5)))
+    assert(out === Array(
+      (1L, "apple", 2L * 15000, 1L), (1L, "banana", 15000L, 2L),
+      (2L, "cherry", 30000L, 1L), (2L, "banana", 15000L, 2L),
+      (3L, "apple", 15000L, 1L)))
+  }
+
+  test("tfidfKeywords: equal scores break ties on the term string") {
+    val docs = Seq((1L, "beta alfa"), (2L, "alfa beta")).toDF("doc_id", "text")
+    // both terms: tf=1, df=2, identical score -> rank by term asc
+    val out = Search.tfidfKeywords(docs, "doc_id", "text", topPerDoc = 2)
+      .orderBy("doc_id", "rk").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Array((1L, "alfa"), (1L, "beta"), (2L, "alfa"), (2L, "beta")))
+  }
+
+  test("bigramLmScore: add-one smoothed ppm on a hand-checked model") {
+    val train = Seq((10L, "a b"), (11L, "a b"), (12L, "a c")).toDF("doc_id", "text")
+    // c1: a=3 b=2 c=1; V=3; c2: (a,b)=2 (a,c)=1
+    val test_ = Seq(
+      (1L, "a b c"), // p(a,b)=(2+1)*1e6 div (3+3)=500000; p(b,c)=1e6 div (2+3)=200000
+      (2L, "x")      // no bigrams: not scored
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(train, test_, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((1L, 2L, 350000L)))
+  }
+
+  test("bigramLmScore: unseen context falls back to the vocabulary floor") {
+    val train = Seq((10L, "a b")).toDF("doc_id", "text") // c1: a=1 b=1; V=2
+    val test_ = Seq((1L, "q r")).toDF("doc_id", "text")
+    // (q,r) unseen, q unseen: (0+1)*1e6 div (0+2) = 500000
+    val out = TextAnalysis.bigramLmScore(train, test_, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((1L, 1L, 500000L)))
+  }
+
+  test("bigramLmScore: train docs score higher than shuffled-vocab docs") {
+    // fluency sanity on the corpus itself: a doc made of train bigrams
+    // outscores one made of tokens the model never saw
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val test_ = Seq((3L, "the cat sat"), (4L, "zyx wvu tsr")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(train, test_, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out(3L) > out(4L),
+      s"in-distribution doc must outscore out-of-vocabulary doc: $out")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, Search}
+
+/** The written inverted-index path (q106): posting lists materialized
+  * as parquet partitioned by term-hash bucket, keyword probes
+  * partition-pruned to the query terms' buckets — asserted on the
+  * physical plan AND on result equality with the direct corpus scan.
+  */
+class PostingStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private val terms = Seq("spark", "vector", "merge")
+
+  test("probe: partition-pruned plan, identical to the direct corpus scan") {
+    val path = Search.ensurePostingStore(docs, "doc_id", "text", sf)
+    val probe = Search.postingTopK(spark, path, terms, k = 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"partition filter list is EMPTY — probe reads the whole store:\n$plan")
+    assert(plan.contains("tb"), s"tb not in the partition filter:\n$plan")
+    // the store probe returns exactly what tokenizing the corpus would
+    val direct = docs.select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("n_terms"), count(lit(1)).as("total_tf"))
+      .orderBy(col("n_terms").desc, col("total_tf").desc, col("doc_id"))
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      === direct)
+  }
+
+  test("driver-side term bucket matches the column expression") {
+    // probe pruning and store routing share one hash definition; if
+    // they drift, probes silently miss postings
+    val checked = Seq("spark", "vector", "merge", "a", "ZZ-unusual_token.9")
+    val viaColumn = checked.toDF("t")
+      .select(col("t"), Sampling.hashBucket(col("t"), 64).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    checked.foreach { t =>
+      assert(Search.termBucket(t, 64) == viaColumn(t),
+        s"bucket drift for '$t'")
+    }
+  }
+
+  test("store rebuilds when the source fingerprint changes") {
+    val tmpSrc = java.nio.file.Files.createTempDirectory("graft-poststore-src")
+    val srcPath = s"$tmpSrc/docs.parquet"
+    Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(srcPath)
+    val d1 = spark.read.parquet(srcPath)
+    val path = Search.ensurePostingStore(d1, "doc_id", "text", srcPath,
+      fpSource = srcPath)
+    val n1 = Search.postingTopK(spark, path, Seq("beta"), k = 10).count()
+    assert(n1 == 2)
+    // grow the source; the stale store must rebuild, not serve 2 docs
+    Thread.sleep(5) // mtime tick
+    Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "beta delta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(srcPath)
+    val d2 = spark.read.parquet(srcPath)
+    val path2 = Search.ensurePostingStore(d2, "doc_id", "text", srcPath,
+      fpSource = srcPath)
+    assert(Search.postingTopK(spark, path2, Seq("beta"), k = 10).count() == 3)
+  }
+}
