@@ -790,6 +790,50 @@ object CatalogPipeline {
              |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("q108_semantic_dedup",
+      // SemDeDup keep-list: every 50th vector gets a planted scaled
+      // copy (×1.5 — positive scaling preserves cosine, and
+      // float×1.5 rounds identically whether computed in float or in
+      // exact-double-then-cast, so both engines derive bit-identical
+      // copies), then the LSH-candidate + exact-verify + min-id
+      // component path collapses each copy group to its representative.
+      // The oracle re-derives the truth exhaustively: O(n²) cosine over
+      // the augmented frame + recursive reachability — so a hash match
+      // certifies the LSH path's recall AND precision on this corpus
+      (s, d) => {
+        val emb = Tpch.table(s, d, "embeddings").select("vec_id", "embedding")
+        val copies = emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
+              .as("embedding"))
+        Similarity.semanticDedup(emb.unionAll(copies), "vec_id", "embedding",
+            threshold = 0.999)
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE aug AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000,
+             |    list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+             |  WHERE round(
+             |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |    (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) *
+             |     sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 6) >= 0.999),
+             |e AS (SELECT id_a AS a, id_b AS b FROM p
+             |  UNION ALL SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT vec_id, vec_id FROM aug
+             |  UNION
+             |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+             |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS rep_id,
+             |  (id = min(r)) AS keep
+             |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin)),
+
     QueryDef("q79_decontaminate",
       // train/eval benchmark-leakage check: carve the corpus with the
       // deterministic hash split (q77), then count each train doc's

@@ -410,4 +410,29 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Semantic deduplication (the SemDeDup shape): collapse groups of
+    * embedding-near-duplicate items to one representative each.
+    * Candidates come from the bucketed sign-LSH join ([[cosineNearDups]]
+    * — never all-pairs), verified pairs become edges, and iterative
+    * min-id propagation ([[GraphAnalytics.connectedComponents]]) names
+    * each group by its smallest member. Returns one row per input item:
+    * (id, rep_id, keep) with keep = (id == rep_id) — the keep-list a
+    * curation pass applies before training.
+    *
+    * Scale shape: identical budget to [[cosineNearDups]] plus the
+    * edge-count-bounded component iteration; the join back to the full
+    * id set is id-only. Both pieces carry their own ×8 scale evidence
+    * (q56/q68/q76 rows in BENCHNOTES).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 4, nTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val pairs = cosineNearDups(df, idCol, vecCol, threshold, nBits, nTables, seed)
+    val comps = GraphAnalytics.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      df.select(col(idCol).cast("long").as("id")))
+    comps.select(col("id").as(idCol), col("component").as("rep_id"),
+      (col("id") === col("component")).as("keep"))
+  }
 }

@@ -156,6 +156,62 @@ object PipelineQueries {
         else gated
       }))
 
+    service.register(PipelineQuery("dup_spans",
+      Seq(ParamSpec("window", "long", required = false, default = Some(8L)),
+        ParamSpec("only_dups", "boolean", required = false, default = Some(false))),
+      ps => {
+        val spans = Dedup.dupSpans(docs, "doc_id", "text",
+          intParam(ps, "window"))
+        if (ps("only_dups").asInstanceOf[Boolean])
+          spans.filter(col("n_dup_windows") > 0)
+        else spans
+      }))
+
+    service.register(PipelineQuery("tfidf_keywords",
+      Seq(ParamSpec("top_per_doc", "long", required = false, default = Some(3L))),
+      ps => Search.tfidfKeywords(docs, "doc_id", "text",
+        intParam(ps, "top_per_doc"))))
+
+    service.register(PipelineQuery("keyword_probe",
+      Seq(ParamSpec("terms", "string"),
+        ParamSpec("k", "long", required = false, default = Some(10L))),
+      ps => {
+        val terms = ps("terms").asInstanceOf[String].split(",")
+          .toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
+        if (terms.isEmpty)
+          throw new BadRequestException("'terms' must list at least one term")
+        // probes the written posting store (build-if-absent, then
+        // partition-pruned to the terms' buckets — the q106 surface)
+        val path = Search.ensurePostingStore(docs, "doc_id", "text", sfDir)
+        Search.postingTopK(spark, path, terms, intParam(ps, "k"))
+      }))
+
+    service.register(PipelineQuery("bigram_lm",
+      Seq(ParamSpec("train_frac", "double", required = false, default = Some(0.9))),
+      ps => {
+        val frac = ps("train_frac").asInstanceOf[Double]
+        if (frac <= 0 || frac >= 1)
+          throw new BadRequestException("'train_frac' must be in (0, 1)")
+        val split = docs.withColumn("split",
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> frac), rest = "test"))
+        TextAnalysis.bigramLmScore(
+          split.filter(col("split") === "train"),
+          split.filter(col("split") === "test"),
+          "doc_id", "text")
+      }))
+
+    service.register(PipelineQuery("semantic_dedup",
+      Seq(ParamSpec("threshold", "double", required = false, default = Some(0.99)),
+        ParamSpec("only_dups", "boolean", required = false, default = Some(false))),
+      ps => {
+        val threshold = ps("threshold").asInstanceOf[Double]
+        if (threshold <= 0 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in (0, 1]")
+        val out = graft.operators.Similarity.semanticDedup(
+          Tpch.table(spark, sfDir, "embeddings"), "vec_id", "embedding", threshold)
+        if (ps("only_dups").asInstanceOf[Boolean]) out.filter(!col("keep")) else out
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

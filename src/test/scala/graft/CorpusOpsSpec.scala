@@ -78,6 +78,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Array((1L, 1L, 500000L)))
   }
 
+  test("semanticDedup: transitive groups collapse to the min-id representative") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.9999f, 0.01f, 0f, 0f)),  // ≈ v1 (cos ≈ 0.99995)
+      (3L, Seq(1.9998f, 0.02f, 0f, 0f)),  // 2× v2 — transitive member
+      (4L, Seq(0f, 1f, 0f, 0f))           // orthogonal: its own group
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding", threshold = 0.999)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out === Array(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true)))
+  }
+
   test("bigramLmScore: train docs score higher than shuffled-vocab docs") {
     // fluency sanity on the corpus itself: a doc made of train bigrams
     // outscores one made of tokens the model never saw

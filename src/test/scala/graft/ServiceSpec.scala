@@ -150,6 +150,27 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("frame_sample", Map("every_n" -> "0"))
     }
+    // round-6 corpus ops on the registered tier
+    val ds = service.runRegistered("dup_spans", Map("only_dups" -> "true"))
+    assert(ds.columns.sameElements(Array("doc_id", "n_windows", "n_dup_windows", "dup_pm")))
+    assert(ds.filter(col("n_dup_windows") === 0).count() == 0)
+    val tk = service.runRegistered("tfidf_keywords", Map("top_per_doc" -> "2"))
+    assert(tk.columns.contains("term") && tk.filter(col("rk") > 2).count() == 0)
+    val kp = service.runRegistered("keyword_probe", Map("terms" -> "Spark, merge"))
+    assert(kp.columns.sameElements(Array("doc_id", "n_terms", "total_tf")) && kp.count() > 0)
+    val lm = service.runRegistered("bigram_lm", Map.empty)
+    assert(lm.columns.sameElements(Array("doc_id", "n_bigrams", "score_ppm")) && lm.count() > 0)
+    val sd = service.runRegistered("semantic_dedup", Map("threshold" -> "0.999"))
+    assert(sd.columns.sameElements(Array("vec_id", "rep_id", "keep")))
+    intercept[BadRequestException] {
+      service.runRegistered("keyword_probe", Map("terms" -> " , "))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("bigram_lm", Map("train_frac" -> "1.0"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("dup_spans", Map("window" -> "0"))
+    }
   }
 
   test("pipeline-query write effect runs on a writable service and over HTTP") {
