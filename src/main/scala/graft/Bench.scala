@@ -28,7 +28,9 @@ object Bench {
     "q59_ann_lsh",
     "q60_window_agg",
     "q61_sessionize",
-    "q64_asof_join")
+    "q64_asof_join",
+    "q104_dup_spans",     // substring window dedup (round 6)
+    "q106_posting_probe") // written inverted-index probe (round 6)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

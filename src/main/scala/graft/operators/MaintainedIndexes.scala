@@ -267,6 +267,66 @@ private[operators] final class PartitionedDeltaLog(
   }
 }
 
+/** Commit-maintained inverted index over a store-held document label —
+  * the written term-bucket posting store of [[Search.ensurePostingStore]]
+  * kept fresh by the write path via the [[PartitionedDeltaLog]]
+  * discipline: a document committed one statement ago is already
+  * SEARCHABLE (and an updated one ranks by its new terms, a deleted one
+  * vanishes) — no rebuild, no corpus re-tokenization. The reference
+  * maintains all secondary indexes inside the transaction apply phase
+  * (transactions.lisp:601-744); this is that guarantee for keyword
+  * search.
+  */
+final class MaintainedPostingIndex(gs: GraphStore, label: String,
+    textCol: String, storageDir: String, nBuckets: Int = 64) {
+
+  private val table = gs.tableFor(label)
+  private val log = new PartitionedDeltaLog(gs.spark,
+    Paths.get(storageDir, "postindex", label), Seq("tb"))
+
+  private def postings(rows: DataFrame): DataFrame =
+    rows.select(col("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", Sampling.hashBucket(col("term"), nBuckets))
+
+  /** Full (re)materialization from the store's current state; clears
+    * the delta and tombstone logs (compaction).
+    */
+  def rebuild(): Unit = log.locked {
+    log.writeBase(postings(
+      gs.graph().vertices(label).select(col("id"), col(textCol))))
+  }
+
+  /** Apply one commit's staged row versions — shared by [[bind]] and
+    * the replica-side [[MaintainedIndexes.followCommitLog]].
+    */
+  def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
+    log.appendCommit(epoch,
+      staged.filter(!col("deleted")).select(col("id"), col(textCol)),
+      postings, staged)
+  }
+
+  /** Wire into the store's write path. */
+  def bind(): Unit = gs.onCommit { (epoch, frames) =>
+    frames.get(table).foreach(applyCommit(epoch, _))
+  }
+
+  /** Keyword probe over the maintained store — [[Search.postingTopK]]'s
+    * contract ((terms matched desc, total tf desc, id) top-k) served
+    * from the bucket-pruned base + delta merge.
+    */
+  def search(terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val tbs = terms.map(Search.termBucket(_, nBuckets)).distinct
+    log.probe(col("tb").isin(tbs: _*) && col("term").isInCollection(terms))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .orderBy(col("n_terms").desc, col("total_tf").desc, col("id"))
+      .limit(k)
+  }
+}
+
 /** Commit-maintained LSH ANN store over a store-held embedding label —
   * the written, (table, bucket)-partitioned store of
   * [[Similarity.ensureLshStore]], kept fresh by the write path via the

@@ -422,13 +422,32 @@ object Similarity {
     *
     * Scale shape: identical budget to [[cosineNearDups]] plus the
     * edge-count-bounded component iteration; the join back to the full
-    * id set is id-only. Both pieces carry their own ×8 scale evidence
-    * (q56/q68/q76 rows in BENCHNOTES).
+    * id set is id-only.
+    *
+    * The signature width is OCCUPANCY-BOUNDED by default (nBits = 0 →
+    * `max(4, ceil(log2(n / 64)))`): a fixed width makes the in-bucket
+    * candidate join quadratic in corpus density (×8 data → ×64 pairs
+    * — measured, not hypothetical: the ×8 ScaleCheck at fixed 4 bits
+    * runs minutes, auto-sized it holds the data ratio). Widening with
+    * corpus size keeps expected bucket occupancy ~64 so candidate
+    * volume stays LINEAR. Safe at semantic-dedup thresholds: near-
+    * identical vectors (cos ≥ 0.999, θ ≤ 2.6°) flip any given sign bit
+    * with p ≤ θ/π ≈ 0.8%, so even at 16 bits a true pair shares its
+    * full signature in one of 8 tables with miss probability < 1e-5.
+    * MODERATE thresholds (0.9) need narrower signatures for recall —
+    * that regime is [[cosineNearDups]]'s documented default, not this
+    * operator's.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 4, nTables: Int = 8,
+      threshold: Double, nBits: Int = 0, nTables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val pairs = cosineNearDups(df, idCol, vecCol, threshold, nBits, nTables, seed)
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = df.count()
+        math.max(4, (math.log(math.max(n / 64.0, 1.0)) / math.log(2.0)).ceil.toInt)
+      }
+    val pairs = cosineNearDups(df, idCol, vecCol, threshold, bits, nTables, seed)
     val comps = GraphAnalytics.connectedComponents(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       df.select(col(idCol).cast("long").as("id")))

@@ -54,7 +54,12 @@ object ScaleCheck {
     "q95_chunk_overlap",
     "q96_vocab",
     "q97_filter_gate",
-    "q98_bpe_pairs")
+    "q98_bpe_pairs",
+    "q104_dup_spans",
+    "q105_tfidf_keywords",
+    "q106_posting_probe",
+    "q107_bigram_lm",
+    "q108_semantic_dedup")
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)

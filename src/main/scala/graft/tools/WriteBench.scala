@@ -106,6 +106,8 @@ object WriteBench {
     cat.regenerate("by_lang"); cat.bindTo(igs)
     val sig = new graft.operators.SignatureIndex(igs, "doc", "text", idir)
     sig.rebuild(); sig.bind()
+    val post = new graft.operators.MaintainedPostingIndex(igs, "doc", "text", idir)
+    post.rebuild(); post.bind()
     val dim = embsC.select(size($"v")).head().getInt(0)
     val ann = new graft.operators.MaintainedAnnStore(igs, "emb", "v", idir,
       dim, nBits = 4, nTables = 8)

@@ -77,6 +77,61 @@ class MaintainedIndexSpec extends SparkSpec {
       "maintenance must append deltas, never rewrite base")
   }
 
+  test("commit-maintained posting index: searchable in-commit, supersession, pruned probe") {
+    import graft.operators.{MaintainedPostingIndex, Search, TextAnalysis}
+    val dir = tmp("postidx")
+    val schema = GraphSchema.builder().vertex("doc", "id", Seq("text")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    val seed = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id").as("id"), col("text"))
+    gs.txn().createVertices("doc", seed).commit()
+
+    val idx = new MaintainedPostingIndex(gs, "doc", "text", dir)
+    idx.rebuild()
+    idx.bind()
+    val frozenBase = listBase(dir, "postindex", "doc")
+
+    // ground truth: re-tokenize the store's CURRENT docs from scratch
+    def direct(terms: Seq[String], k: Int): Seq[(Long, Long, Long)] =
+      gs.graph().vertices("doc")
+        .select(col("id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .filter(col("term").isInCollection(terms))
+        .groupBy("id")
+        .agg(countDistinct("term").as("n_terms"), count(lit(1)).as("total_tf"))
+        .orderBy(col("n_terms").desc, col("total_tf").desc, col("id"))
+        .limit(k).as[(Long, Long, Long)].collect().toSeq
+    def got(terms: Seq[String], k: Int): Seq[(Long, Long, Long)] =
+      idx.search(terms, k).as[(Long, Long, Long)].collect().toSeq
+
+    val someTerms = Seq("spark", "merge")
+    assert(got(someTerms, 10) == direct(someTerms, 10),
+      "fresh index must agree with recompute")
+    // the base probe is partition-pruned to the query terms' buckets
+    val plan = idx.search(someTerms, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
+      s"posting probe must prune base partitions:\n$plan")
+
+    // create: a brand-new token is searchable in-commit, no rebuild
+    gs.txn().createVertices("doc",
+      Seq((9001L, "zebrastripe zebrastripe rare")).toDF("id", "text")).commit()
+    assert(got(Seq("zebrastripe"), 5) == Seq((9001L, 1L, 2L)))
+    assert(got(someTerms, 10) == direct(someTerms, 10))
+
+    // update: the old text's postings are superseded by the new ones
+    gs.txn().updateVertices("doc",
+      Seq((9001L, "plainwords only")).toDF("id", "text")).commit()
+    assert(got(Seq("zebrastripe"), 5).isEmpty, "old postings must retire on update")
+    assert(got(Seq("plainwords"), 5) == Seq((9001L, 1L, 1L)))
+
+    // delete: the document vanishes from search
+    gs.txn().deleteVertices("doc", Seq(9001L).toDF("id")).commit()
+    assert(got(Seq("plainwords"), 5).isEmpty, "deleted doc must vanish from search")
+
+    assert(listBase(dir, "postindex", "doc") == frozenBase,
+      "maintenance must append deltas, never rewrite base")
+  }
+
   test("commit-maintained ANN store: create/update/delete without rebuild") {
     val dir = tmp("annidx")
     val schema = GraphSchema.builder().vertex("emb", "id", Seq("v")).build()

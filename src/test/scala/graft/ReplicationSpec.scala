@@ -132,7 +132,7 @@ class ReplicationSpec extends SparkSpec {
   }
 
   test("replica dedup/ANN indexes stay fresh from the commit-log stream, no rebuild") {
-    import graft.operators.{MaintainedAnnStore, MaintainedIndexes, SignatureIndex}
+    import graft.operators.{MaintainedAnnStore, MaintainedIndexes, MaintainedPostingIndex, SignatureIndex}
     val docSchema = GraphSchema.builder()
       .vertex("doc", "id", Seq("text", "v")).build()
     val master = new GraphStore(spark, docSchema, tmp("replix-m"))
@@ -159,8 +159,10 @@ class ReplicationSpec extends SparkSpec {
     val ann = new MaintainedAnnStore(slaveGs, "doc", "v", idxDir, dim,
       nBits = 4, nTables = 8)
     ann.rebuild()
+    val post = new MaintainedPostingIndex(slaveGs, "doc", "text", idxDir)
+    post.rebuild()
     val q = MaintainedIndexes.followCommitLog(spark, slaveDir, "v_doc",
-      Seq(sig.applyCommit, ann.applyCommit), tmp("replix-c"))
+      Seq(sig.applyCommit, ann.applyCommit, post.applyCommit), tmp("replix-c"))
     try {
       q.processAllAvailable() // initial replay — idempotent over the bases
 
@@ -182,13 +184,27 @@ class ReplicationSpec extends SparkSpec {
       assert(top.contains(9001L),
         "vector committed on the master must be an ANN candidate on the slave")
 
+      // a master-committed doc with a brand-new token is SEARCHABLE on
+      // the slave after sync alone
+      master.txn().createVertices("doc",
+        Seq((9002L, "zebraterm zebraterm alone", vec1.map(_.toFloat).toArray))
+          .toDF("id", "text", "v")).commit()
+      repl.sync()
+      q.processAllAvailable()
+      assert(post.search(Seq("zebraterm"), 5).as[(Long, Long, Long)]
+        .collect().toSeq == Seq((9002L, 1L, 2L)),
+        "doc committed on the master must be searchable on the slave")
+
       // deletes propagate the same way
-      master.txn().deleteVertices("doc", Seq(Tuple1(9001L)).toDF("id")).commit()
+      master.txn().deleteVertices("doc",
+        Seq(Tuple1(9001L), Tuple1(9002L)).toDF("id")).commit()
       repl.sync()
       q.processAllAvailable()
       assert(!sig.nearDups().select("id_a", "id_b").as[(Long, Long)]
         .collect().toSet.exists(p => p._1 == 9001L || p._2 == 9001L))
       assert(!ann.topK(vec1, 3).select("id").as[Long].collect().contains(9001L))
+      assert(post.search(Seq("zebraterm"), 5).collect().isEmpty,
+        "deleted doc must vanish from slave search")
     } finally q.stop()
   }
 
