@@ -834,6 +834,45 @@ object CatalogPipeline {
              |  (id = min(r)) AS keep
              |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin)),
 
+    QueryDef("q109_pq_ann",
+      // product-quantization ANN (scale path #3 beside LSH and IVF):
+      // the corpus is scanned in COMPRESSED domain — m=8 subspaces × 16
+      // centroids turn dim·4 float bytes into 8 code bytes per vector
+      // (32× at dim 64), the ADC pass reads ONLY the codes, and the
+      // top candidates rescore exactly against the full vectors. Like
+      // q59 the result row is the audit a production deployment runs:
+      // result count + recall@10 vs the in-engine exact top-10 above a
+      // floor (PQ is lossy by design; exactness is DedupSpec-style
+      // grid fixtures' job — PqSpec)
+      (s, d) => {
+        import s.implicits._
+        val emb = Tpch.table(s, d, "embeddings")
+        // stage the normalized column: the k-means rounds and the
+        // encode pass would otherwise re-derive the O(d²) lazy
+        // l2normalize per reference
+        val corpus = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.l2normalize(col("embedding")).as("nvec"))
+          .localCheckpoint(eager = true)
+        val qRaw = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        val norm = math.sqrt(qRaw.map(x => x * x).sum)
+        val qN = if (norm == 0) qRaw else qRaw.map(_ / norm)
+        val cbs = Similarity.pqTrain(corpus, "nvec", "vec_id",
+          m = 8, ksub = 16, iterations = 2)
+        val codes = Similarity.pqEncode(corpus, "vec_id", "nvec", cbs)
+        val ann = Similarity.pqTopK(corpus, "embedding", "vec_id", codes, cbs,
+            qRaw, k = 10, candidates = 100, adcQuery = Some(qN))
+          .select("id").collect().map(_.getLong(0)).toSet
+        val exact = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+            qRaw, 10)
+          .select("id").collect().map(_.getLong(0)).toSet
+        Seq((0L, ann.size.toLong, (ann & exact).size >= 6))
+          .toDF("query_id", "n_results", "recall_ok")
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+             |  true AS recall_ok""".stripMargin)),
+
     QueryDef("q79_decontaminate",
       // train/eval benchmark-leakage check: carve the corpus with the
       // deterministic hash split (q77), then count each train doc's

@@ -411,6 +411,92 @@ object Similarity {
       .limit(k)
   }
 
+  // --- product quantization (PQ/ADC): the compressed-domain scan tier.
+  //
+  // SQ8 (quantizeInt8) compresses 4×; PQ compresses dim·4 bytes to m
+  // bytes (32× at dim=64, m=8) by snapping each of m subvectors to one
+  // of ksub codebook centroids. The probe never decodes: ADC
+  // (asymmetric distance computation) keeps the QUERY exact and sums
+  // per-subspace precomputed distances to each row's centroids — a
+  // narrow codegen pass over the codes column in which the vectors are
+  // never read. At 100 TB of embeddings that is the difference between
+  // scanning 100 TB of floats and ~3 TB of codes; the top ADC
+  // candidates then rescore exactly against the full vectors (an
+  // id-keyed join touching `candidates` rows, not the corpus).
+
+  /** Per-subspace PQ codebooks via the same deterministic k-means-lite
+    * as [[ivfTrain]], trained on each subvector slice. Returns m
+    * codebooks of ksub centroids each (m × ksub × dim/m).
+    */
+  def pqTrain(df: DataFrame, vecCol: String, idCol: String, m: Int,
+      ksub: Int = 16, iterations: Int = 3): Seq[Seq[Seq[Double]]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as("__sub"))
+      ivfTrain(sub, "__sub", idCol, ksub, iterations)
+    }
+  }
+
+  /** Encode vectors to m codebook indices (`codes: array<int>`) — the
+    * compressed store representation. Same argmin form as [[ivfAssign]]
+    * per subspace; one narrow pass, codebooks travel as typed literals.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = codebooks.head.head.size
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val dists = zip_with(typedLit(cb), centroidMeta(cb),
+        (c, mm) => struct(
+          (mm.getField("_1") - lit(2.0) * dot(sub, c)).as("d"),
+          mm.getField("_2").as("i")))
+      array_min(dists).getField("i")
+    }
+    df.select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC scan: append the approximate squared distance from `query` to
+    * every encoded row. The m×ksub distance table is driver-computed
+    * and travels as ONE typed literal; the per-row work is m array
+    * lookups + a sum, inside codegen.
+    */
+  def adcScan(codes: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      query: Seq[Double]): DataFrame = {
+    val dsub = codebooks.head.head.size
+    require(query.size == codebooks.size * dsub,
+      s"query dim ${query.size} != ${codebooks.size}×$dsub")
+    val table: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      val qs = query.slice(s * dsub, (s + 1) * dsub)
+      cb.map(c => c.zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    codes.withColumn("adc_dist",
+      aggregate(
+        zip_with(typedLit(table), col("codes"), (t, cd) => element_at(t, cd + 1)),
+        lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** PQ ANN top-k with exact rescore: ADC-rank the code store, take the
+    * `candidates` best, join their ids back to the vector table, exact
+    * cosine on the survivors. `adcQuery` lets probe selection run in a
+    * different space than rescoring (pass the NORMALIZED query when the
+    * codes were trained on normalized vectors — the q67 convention).
+    */
+  def pqTopK(df: DataFrame, vecCol: String, idCol: String, codes: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double], k: Int,
+      candidates: Int = 100, adcQuery: Option[Seq[Double]] = None): DataFrame = {
+    val cand = adcScan(codes, codebooks, adcQuery.getOrElse(query))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(candidates).select("id")
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(cand, Seq("id"))
+      .select(col("id"), round(cosine(col("__v"), vecLit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Semantic deduplication (the SemDeDup shape): collapse groups of
     * embedding-near-duplicate items to one representative each.
     * Candidates come from the bucketed sign-LSH join ([[cosineNearDups]]

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Product-quantization tier (q109): codebook training, encoding, ADC
+  * scan, rescored top-k. The sf-level gate is q109's recall audit; the
+  * exactness contract is pinned here on a LOSSLESS grid fixture — every
+  * subvector is one of ksub distinct patterns and the ksub lowest-id
+  * vectors enumerate them, so k-means-lite's init IS the stationary
+  * optimum, encoding reconstructs exactly, and ADC distance equals the
+  * true squared distance.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 base patterns per 2-d subspace; ids 0-3 repeat one pattern across
+  // all 4 subspaces (so init sees each pattern once), ids 4+ mix them
+  private val patterns = Seq(Seq(0f, 0f), Seq(10f, 0f), Seq(0f, 10f), Seq(10f, 10f))
+  private def vecOf(codes: Seq[Int]): Seq[Float] = codes.flatMap(patterns)
+
+  private lazy val grid = {
+    val base = (0 until 4).map(i => (i.toLong, vecOf(Seq(i, i, i, i))))
+    val mixed = Seq(
+      (4L, vecOf(Seq(0, 1, 2, 3))), (5L, vecOf(Seq(3, 2, 1, 0))),
+      (6L, vecOf(Seq(1, 1, 0, 2))), (7L, vecOf(Seq(2, 0, 3, 1))))
+    (base ++ mixed).toDF("id", "v")
+  }
+
+  test("lossless grid: codes hit the exact patterns, ADC equals true distance") {
+    val cbs = Similarity.pqTrain(grid, "v", "id", m = 4, ksub = 4, iterations = 2)
+    assert(cbs.size == 4 && cbs.forall(_.size == 4))
+    // every learned centroid is one of the exact patterns
+    cbs.foreach { cb =>
+      cb.foreach { c =>
+        assert(patterns.exists(p => p.map(_.toDouble) == c), s"non-grid centroid $c")
+      }
+    }
+    val codes = Similarity.pqEncode(grid, "id", "v", cbs)
+    val got = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.values.forall(cs => cs.size == 4 && cs.forall(c => c >= 0 && c < 4)))
+    // reconstruction through the codebooks is bit-exact
+    got.foreach { case (id, cs) =>
+      val rec = cs.zipWithIndex.flatMap { case (c, s) => cbs(s)(c) }
+      val orig = grid.filter(col("id") === id).select("v").head()
+        .getSeq[Float](0).map(_.toDouble)
+      assert(rec == orig, s"lossy reconstruction for id $id")
+    }
+    // ADC distance == true squared distance for an arbitrary query
+    val q = Seq(1.0, 2.0, 9.0, -1.0, 0.5, 0.5, 7.0, 7.0)
+    val adc = Similarity.adcScan(codes, cbs, q)
+      .select("id", "adc_dist").as[(Long, Double)].collect().toMap
+    grid.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val trueD = v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(adc(id) - trueD) < 1e-9, s"ADC drift for id $id")
+    }
+  }
+
+  test("pqTopK equals the exact top-k on the lossless fixture") {
+    val cbs = Similarity.pqTrain(grid, "v", "id", m = 4, ksub = 4, iterations = 2)
+    val codes = Similarity.pqEncode(grid, "id", "v", cbs)
+    val q = Seq(9.0, 1.0, 1.0, 9.0, 8.0, 8.0, 2.0, 0.0)
+    val pq = Similarity.pqTopK(grid, "v", "id", codes, cbs, q, k = 3,
+      candidates = 8)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Similarity.bruteForceTopK(grid, "v", "id", q, 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(pq == exact)
+  }
+}
