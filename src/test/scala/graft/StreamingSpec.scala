@@ -226,4 +226,30 @@ class StreamingSpec extends SparkSpec {
       (3L, 0L, "x y")), got.mkString(","))
     q.stop()
   }
+
+  test("bigram-LM scoring composes with streaming ingestion (static model x stream)") {
+    // the perplexity-filter deployment shape: the model tables are
+    // STATIC (trained offline on the trusted slice), candidate docs
+    // arrive as a stream, each is scored by stream-static joins + one
+    // per-doc update-mode aggregate — the same operator code path as
+    // the batch q107
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((10L, "a b"), (11L, "a b"), (12L, "a c"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.operators.TextAnalysis
+      .bigramLmScore(train, docs, "doc_id", "text")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("lmscores").start()
+    input.addData((1L, "a b c"), (2L, "x")) // "x": no bigrams, not scored
+    q.processAllAvailable()
+    input.addData((3L, "a b"))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, n_bigrams, score_ppm from lmscores")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: (a,b)=500000, (b,c)=200000 -> 350000; doc 3: (a,b) -> 500000
+    assert(got == Seq((1L, 2L, 350000L), (3L, 1L, 500000L)), got.mkString(","))
+    q.stop()
+  }
 }
