@@ -212,7 +212,11 @@ private[operators] final class PartitionedDeltaLog(
     */
   def locked[T](body: => T): T = this.synchronized(body)
 
-  /** Atomically swap in a fresh base; clears the delta log (compaction). */
+  /** Atomically swap in a fresh base; clears the delta log (compaction).
+    * With no partition columns the base is a plain parquet dir — the
+    * layout of stores whose probe is a deliberate full compressed scan
+    * (PQ codes), where there is nothing to prune by.
+    */
   def writeBase(rows: DataFrame): Unit = {
     val tmp = root.resolve("base__tmp")
     Dirs.rmTree(tmp)
@@ -235,10 +239,12 @@ private[operators] final class PartitionedDeltaLog(
     val tombs = touchedIds.select(col("id")).distinct()
       .withColumn("__tomb", lit(true))
     val maxFiles = spark.conf.get("graft.commit.maxFiles", "8").toInt
-    fresh.unionByName(tombs, allowMissingColumns = true)
+    val flat = fresh.unionByName(tombs, allowMissingColumns = true)
       .coalesce(maxFiles)
-      .sortWithinPartitions(partCols.map(col): _*)
-      .write.mode("append").parquet(s"$deltaPath/commit_epoch=$epoch")
+    val sorted =
+      if (partCols.isEmpty) flat
+      else flat.sortWithinPartitions(partCols.map(col): _*)
+    sorted.write.mode("append").parquet(s"$deltaPath/commit_epoch=$epoch")
   }
 
   private def hasDeltas: Boolean =
@@ -389,6 +395,81 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
   }
+}
+
+/** Commit-maintained PQ code store — the compressed-domain scan tier
+  * ([[Similarity.pqTrain]]/`adcScan`, q109) kept fresh by the write
+  * path: a committed vector is immediately findable through the ADC
+  * scan, encoded against the PERSISTED codebooks (like the IVF store's
+  * fixed coarse quantizer, the codebooks stay put between retrains —
+  * standard PQ freshness practice; [[rebuild]] re-trains them). The
+  * store is deliberately UNPARTITIONED: a PQ probe is a full scan of
+  * the codes by design — the compression (dim·4 float bytes → m code
+  * bytes/vector) is what makes that scan cheap, so there is nothing to
+  * prune by and the delta-log's probe degenerates to base ∪ deltas
+  * with tombstone supersession.
+  */
+final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
+    storageDir: String, m: Int, ksub: Int = 16, iterations: Int = 3) {
+
+  private val table = gs.tableFor(label)
+  private val root = Paths.get(storageDir, "pqindex", label)
+  private val log = new PartitionedDeltaLog(gs.spark, root, Seq.empty)
+  private def codebooksFile = root.resolve("_codebooks.txt")
+
+  private def writeCodebooks(cbs: Seq[Seq[Seq[Double]]]): Unit =
+    Files.write(codebooksFile,
+      cbs.map(_.map(_.map(java.lang.Double.toString).mkString(","))
+          .mkString(";"))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The persisted codebooks (Double.toString roundtrips exactly). */
+  def codebooks: Seq[Seq[Seq[Double]]] =
+    new String(Files.readAllBytes(codebooksFile),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.split(";").toSeq.map(
+        _.split(",").toSeq.map(java.lang.Double.parseDouble)))
+
+  /** Re-train the codebooks on the current state and re-encode; clears
+    * the delta and tombstone logs (compaction).
+    */
+  def rebuild(): Unit = log.locked {
+    val vecs = gs.graph().vertices(label).select(col("id"), col(vecCol))
+      .localCheckpoint(true)
+    val cbs = Similarity.pqTrain(vecs, vecCol, "id", m, ksub, iterations)
+    Files.createDirectories(root)
+    log.writeBase(Similarity.pqEncode(vecs, "id", vecCol, cbs))
+    writeCodebooks(cbs)
+  }
+
+  /** Apply one commit's staged row versions — shared by [[bind]] and
+    * the replica-side [[MaintainedIndexes.followCommitLog]]. Bound-
+    * before-built commits are skipped (no codebooks yet); the eventual
+    * [[rebuild]] reads the committed state, so nothing is lost.
+    */
+  def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
+    if (Files.exists(codebooksFile))
+      log.appendCommit(epoch,
+        staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
+        rows => Similarity.pqEncode(rows, "id", vecCol, codebooks),
+        staged)
+  }
+
+  /** Wire into the store's write path. */
+  def bind(): Unit = gs.onCommit { (epoch, frames) =>
+    frames.get(table).foreach(applyCommit(epoch, _))
+  }
+
+  /** PQ ANN top-k over the maintained store: ADC over the merged codes,
+    * exact rescore of the candidates against the store's CURRENT
+    * vectors.
+    */
+  def topK(query: Seq[Double], k: Int, candidates: Int = 100,
+      adcQuery: Option[Seq[Double]] = None): DataFrame =
+    Similarity.pqTopK(
+      gs.graph().vertices(label).select(col("id"), col(vecCol)),
+      vecCol, "id", log.probe(lit(true)), codebooks, query, k,
+      candidates, adcQuery)
 }
 
 /** Commit-maintained IVF ANN store — the cluster-partitioned store of

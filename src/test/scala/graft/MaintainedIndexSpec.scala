@@ -132,6 +132,66 @@ class MaintainedIndexSpec extends SparkSpec {
       "maintenance must append deltas, never rewrite base")
   }
 
+  test("commit-maintained PQ code store: fresh vectors findable via the ADC scan") {
+    import graft.operators.MaintainedPqStore
+    val dir = tmp("pqidx")
+    val schema = GraphSchema.builder().vertex("emb", "id", Seq("v")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q: Seq[Double] = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    gs.txn().createVertices("emb",
+      emb.filter(col("vec_id") =!= 0 && col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))).commit()
+
+    val pq = new MaintainedPqStore(gs, "emb", "v", dir, m = 8, ksub = 16,
+      iterations = 2)
+    pq.rebuild()
+    pq.bind()
+    val frozenBase = listBase(dir, "pqindex", "emb")
+
+    // ground truth: from-scratch encode of the CURRENT graph under the
+    // same persisted codebooks, same candidate budget
+    def scan(): Seq[(Long, Double)] = {
+      val cur = gs.graph().vertices("emb").select(col("id"), col("v"))
+      Similarity.pqTopK(cur, "v", "id",
+          Similarity.pqEncode(cur, "id", "v", pq.codebooks), pq.codebooks,
+          q, k = 10, candidates = 50)
+        .as[(Long, Double)].collect().toSeq
+    }
+    def stored(): Seq[(Long, Double)] =
+      pq.topK(q, 10, candidates = 50).as[(Long, Double)].collect().toSeq
+
+    assert(stored() == scan(), "fresh store must agree with from-scratch encode")
+
+    // create: an exact twin of the query encodes to the per-subspace
+    // argmin cells, so its ADC distance is the global minimum — it must
+    // be a candidate and rescore to top-1 in-commit
+    val qf = q.map(_.toFloat).toArray
+    gs.txn().createVertices("emb", Seq((9001L, qf)).toDF("id", "v")).commit()
+    val afterCreate = stored()
+    assert(afterCreate.head == ((9001L, 1.0)),
+      s"new exact match must rank first: $afterCreate")
+    assert(afterCreate == scan())
+
+    // update: a re-embedded id's stale codes must be tombstone-retired
+    val someId = afterCreate.last._1
+    gs.txn().updateVertices("emb", Seq((someId, qf)).toDF("id", "v")).commit()
+    val afterUpdate = stored()
+    assert(afterUpdate.take(2).map(_._1).toSet == Set(9001L, someId))
+    assert(afterUpdate.take(2).forall(_._2 == 1.0))
+    assert(afterUpdate == scan())
+
+    // delete: the twin vanishes from the probe
+    gs.txn().deleteVertices("emb", Seq(9001L).toDF("id")).commit()
+    val afterDelete = stored()
+    assert(!afterDelete.exists(_._1 == 9001L))
+    assert(afterDelete == scan())
+
+    assert(listBase(dir, "pqindex", "emb") == frozenBase,
+      "maintenance must append deltas, never rewrite base")
+  }
+
   test("commit-maintained ANN store: create/update/delete without rebuild") {
     val dir = tmp("annidx")
     val schema = GraphSchema.builder().vertex("emb", "id", Seq("v")).build()
