@@ -540,6 +540,59 @@ object CatalogPipeline {
              |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
              |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q110_curate",
+      // the end-to-end curation pass a training run starts from, as ONE
+      // declarative query: quality gate (q97's bitmask rules) → exact
+      // dedup (min-id representative per content hash, q54's discipline)
+      // → deterministic split keyed by the representative id (q77) →
+      // per-doc token budget. Every stage is individually oracle-checked
+      // elsewhere; this row pins their COMPOSITION — the thing a user
+      // actually runs. All-integer arithmetic end to end
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val kept = TextAnalysis.filterGate(docs, "doc_id", "text")
+          .filter(col("keep")).select("doc_id")
+          .join(docs, Seq("doc_id"))
+        val reps = kept.groupBy(md5(col("text")).as("__h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        kept.join(reps, Seq("doc_id"))
+          .select(col("doc_id"),
+            Sampling.hashSplit(col("doc_id"),
+              Seq("train" -> 0.9, "val" -> 0.05), rest = "test").as("split"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
+        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
+        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"len(list_filter($toks, " +
+          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
+        s"""WITH q AS (SELECT doc_id, text,
+           |    CAST($nTok AS BIGINT) AS n_tokens,
+           |    CAST($sumLen AS BIGINT) AS sum_token_len,
+           |    CAST($nPunct AS BIGINT) AS n_punct,
+           |    CAST($nStop AS BIGINT) AS n_stop
+           |  FROM documents),
+           |g AS (SELECT doc_id, text, n_tokens FROM q
+           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
+           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
+           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
+           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
+           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text))
+           |SELECT g.doc_id,
+           |  CASE WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
+           |    THEN 'train'
+           |    WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950
+           |    THEN 'val' ELSE 'test' END AS split,
+           |  n_tokens
+           |FROM g JOIN r USING (doc_id) ORDER BY g.doc_id""".stripMargin
+      }),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

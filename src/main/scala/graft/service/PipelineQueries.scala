@@ -200,6 +200,28 @@ object PipelineQueries {
           "doc_id", "text")
       }))
 
+    service.register(PipelineQuery("curate",
+      Seq(ParamSpec("train_frac", "double", required = false, default = Some(0.9)),
+        ParamSpec("val_frac", "double", required = false, default = Some(0.05))),
+      ps => {
+        val tf = ps("train_frac").asInstanceOf[Double]
+        val vf = ps("val_frac").asInstanceOf[Double]
+        if (tf <= 0 || vf < 0 || tf + vf >= 1)
+          throw new BadRequestException(
+            "'train_frac'/'val_frac' must satisfy 0 < train, 0 <= val, train+val < 1")
+        // the q110 composition: gate -> exact-dedup reps -> split
+        val d = docs
+        val kept = TextAnalysis.filterGate(d, "doc_id", "text")
+          .filter(col("keep")).select("doc_id").join(d, Seq("doc_id"))
+        val reps = kept.groupBy(md5(col("text")).as("__h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        kept.join(reps, Seq("doc_id"))
+          .select(col("doc_id"),
+            Sampling.hashSplit(col("doc_id"),
+              Seq("train" -> tf, "val" -> vf), rest = "test").as("split"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      }))
+
     service.register(PipelineQuery("semantic_dedup",
       Seq(ParamSpec("threshold", "double", required = false, default = Some(0.99)),
         ParamSpec("only_dups", "boolean", required = false, default = Some(false))),

@@ -171,6 +171,12 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("dup_spans", Map("window" -> "0"))
     }
+    val cu = service.runRegistered("curate", Map.empty)
+    assert(cu.columns.sameElements(Array("doc_id", "split", "n_tokens")))
+    assert(cu.select("split").distinct().count() <= 3 && cu.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("curate", Map("train_frac" -> "0.98", "val_frac" -> "0.05"))
+    }
   }
 
   test("pipeline-query write effect runs on a writable service and over HTTP") {
