@@ -533,7 +533,7 @@ object CatalogPipeline {
              |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
              |        FROM t0 WHERE split = 'test' AND len(tk) >= 2)),
              |p AS (SELECT doc_id,
-             |    ((coalesce(c2.c2, 0) + 1) * 1000000) // (coalesce(c1.c1, 0) + v.v) AS p_ppm
+             |    ((coalesce(c2.c2, 0) + 1) * 1000000) // greatest(coalesce(c1.c1, 0) + v.v, 1) AS p_ppm
              |  FROM teb LEFT JOIN c2 USING (w1, w2)
              |    LEFT JOIN c1 ON teb.w1 = c1.w CROSS JOIN v)
              |SELECT doc_id, count(*) AS n_bigrams,
@@ -548,20 +548,9 @@ object CatalogPipeline {
       // per-doc token budget. Every stage is individually oracle-checked
       // elsewhere; this row pins their COMPOSITION — the thing a user
       // actually runs. All-integer arithmetic end to end
-      (s, d) => {
-        val docs = Tpch.table(s, d, "documents")
-        val kept = TextAnalysis.filterGate(docs, "doc_id", "text")
-          .filter(col("keep")).select("doc_id")
-          .join(docs, Seq("doc_id"))
-        val reps = kept.groupBy(md5(col("text")).as("__h"))
-          .agg(min("doc_id").as("doc_id")).select("doc_id")
-        kept.join(reps, Seq("doc_id"))
-          .select(col("doc_id"),
-            Sampling.hashSplit(col("doc_id"),
-              Seq("train" -> 0.9, "val" -> 0.05), rest = "test").as("split"),
-            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.operators.Curate(Tpch.table(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
       Some {
         val toks = "string_split_regex(trim(text), '\\s+')"
         val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"

@@ -145,7 +145,9 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
       .withColumn("hsh", lit(null).cast("array<long>"))
       .withColumn("sig", lit(null).cast("array<long>"))
       .withColumn("__tomb", lit(true))
-    rows.unionByName(tombs).coalesce(1).write.mode("append")
+    // overwrite, not append: a replayed epoch rewrites the same delta
+    // (see PartitionedDeltaLog.appendCommit)
+    rows.unionByName(tombs).coalesce(1).write.mode("overwrite")
       .parquet(s"$deltaPath/commit_epoch=$epoch")
   }
 
@@ -216,11 +218,20 @@ private[operators] final class PartitionedDeltaLog(
     * With no partition columns the base is a plain parquet dir — the
     * layout of stores whose probe is a deliberate full compressed scan
     * (PQ codes), where there is nothing to prune by.
+    *
+    * `stage` runs against the tmp dir BEFORE the atomic move: metadata
+    * that must stay consistent with the base (PQ codebooks, IVF
+    * centroids) is staged there as an underscore side file (ignored by
+    * the parquet reader), so the swap publishes rows and metadata in
+    * one rename — written separately, a crash between the two writes
+    * would leave codes silently decoded against the wrong quantizer.
     */
-  def writeBase(rows: DataFrame): Unit = {
+  def writeBase(rows: DataFrame,
+      stage: java.nio.file.Path => Unit = _ => ()): Unit = {
     val tmp = root.resolve("base__tmp")
     Dirs.rmTree(tmp)
     rows.write.partitionBy(partCols: _*).mode("overwrite").parquet(tmp.toString)
+    stage(tmp)
     Dirs.rmTree(basePath)
     Files.createDirectories(root)
     Files.move(tmp, basePath, StandardCopyOption.ATOMIC_MOVE)
@@ -244,7 +255,13 @@ private[operators] final class PartitionedDeltaLog(
     val sorted =
       if (partCols.isEmpty) flat
       else flat.sortWithinPartitions(partCols.map(col): _*)
-    sorted.write.mode("append").parquet(s"$deltaPath/commit_epoch=$epoch")
+    // OVERWRITE the epoch dir, never append to it: one commit = one
+    // epoch, so a replayed epoch (foreachBatch retry, replica binder
+    // restarted with a fresh checkpoint) REWRITES its delta instead of
+    // doubling it — aggregate consumers (posting tf sums, PQ code
+    // scans) would otherwise double-count rows that the newest-epoch-
+    // wins merge cannot dedupe (same epoch on both copies)
+    sorted.write.mode("overwrite").parquet(s"$deltaPath/commit_epoch=$epoch")
   }
 
   private def hasDeltas: Boolean =
@@ -318,18 +335,15 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
     frames.get(table).foreach(applyCommit(epoch, _))
   }
 
-  /** Keyword probe over the maintained store — [[Search.postingTopK]]'s
-    * contract ((terms matched desc, total tf desc, id) top-k) served
-    * from the bucket-pruned base + delta merge.
+  /** Keyword probe over the maintained store — [[Search.rankPostings]]'
+    * shared contract served from the bucket-pruned base + delta merge.
     */
   def search(terms: Seq[String], k: Int): DataFrame = {
-    require(terms.nonEmpty, "at least one query term")
-    val tbs = terms.map(Search.termBucket(_, nBuckets)).distinct
-    log.probe(col("tb").isin(tbs: _*) && col("term").isInCollection(terms))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
-      .orderBy(col("n_terms").desc, col("total_tf").desc, col("id"))
-      .limit(k)
+    val t = Search.normalizeTerms(terms)
+    val tbs = t.map(Search.termBucket(_, nBuckets)).distinct
+    Search.rankPostings(
+      log.probe(col("tb").isin(tbs: _*) && col("term").isInCollection(t)),
+      "id", k)
   }
 }
 
@@ -415,10 +429,13 @@ final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
   private val table = gs.tableFor(label)
   private val root = Paths.get(storageDir, "pqindex", label)
   private val log = new PartitionedDeltaLog(gs.spark, root, Seq.empty)
-  private def codebooksFile = root.resolve("_codebooks.txt")
+  // inside the base dir, so the writeBase swap publishes codes and the
+  // codebooks they were encoded with in ONE atomic rename
+  private def codebooksFile = log.basePath.resolve("_codebooks.txt")
 
-  private def writeCodebooks(cbs: Seq[Seq[Seq[Double]]]): Unit =
-    Files.write(codebooksFile,
+  private def writeCodebooksTo(target: java.nio.file.Path,
+      cbs: Seq[Seq[Seq[Double]]]): Unit =
+    Files.write(target,
       cbs.map(_.map(_.map(java.lang.Double.toString).mkString(","))
           .mkString(";"))
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -438,8 +455,8 @@ final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
       .localCheckpoint(true)
     val cbs = Similarity.pqTrain(vecs, vecCol, "id", m, ksub, iterations)
     Files.createDirectories(root)
-    log.writeBase(Similarity.pqEncode(vecs, "id", vecCol, cbs))
-    writeCodebooks(cbs)
+    log.writeBase(Similarity.pqEncode(vecs, "id", vecCol, cbs),
+      tmp => writeCodebooksTo(tmp.resolve("_codebooks.txt"), cbs))
   }
 
   /** Apply one commit's staged row versions — shared by [[bind]] and
@@ -489,7 +506,9 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
   private val table = gs.tableFor(label)
   private val root = Paths.get(storageDir, "ivfindex", label)
   private val log = new PartitionedDeltaLog(gs.spark, root, Seq("ivf_cluster"))
-  private def centroidsFile = root.resolve("_centroids.txt")
+  // inside the base dir — published atomically WITH the assignment it
+  // produced (see PartitionedDeltaLog.writeBase)
+  private def centroidsFile = log.basePath.resolve("_centroids.txt")
 
   private def normalized(rows: DataFrame): DataFrame =
     rows.select(col("id"), col(vecCol).as("v"),
@@ -502,8 +521,9 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
   private def assigned(rows: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
     Similarity.ivfAssignCosine(rows.select(col("id"), col(vecCol).as("v")), "v", cs)
 
-  private def writeCentroids(cs: Seq[Seq[Double]]): Unit =
-    Files.write(centroidsFile,
+  private def writeCentroidsTo(target: java.nio.file.Path,
+      cs: Seq[Seq[Double]]): Unit =
+    Files.write(target,
       cs.map(_.map(java.lang.Double.toString).mkString(","))
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -525,8 +545,8 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
     Files.createDirectories(root)
     // base and hook use the SAME assignment function, so a re-committed
     // unchanged vector always lands in its base cell
-    log.writeBase(assigned(vecs.drop("__nv"), cs))
-    writeCentroids(cs)
+    log.writeBase(assigned(vecs.drop("__nv"), cs),
+      tmp => writeCentroidsTo(tmp.resolve("_centroids.txt"), cs))
   }
 
   /** Wire into the store's write path: staged vectors are assigned to

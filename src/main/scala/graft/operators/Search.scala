@@ -155,22 +155,41 @@ object Search {
     path
   }
 
+  /** Normalize a bag-of-words query the way the posting stores
+    * normalize their tokens (lowercase, dedupe): every probe surface
+    * shares this, so a caller passing "Spark" cannot silently miss the
+    * lowercased postings.
+    */
+  private[operators] def normalizeTerms(terms: Seq[String]): Seq[String] = {
+    require(terms.nonEmpty, "at least one query term")
+    terms.map(_.toLowerCase).distinct
+  }
+
+  /** The deterministic match-ranking contract shared by every posting
+    * probe surface ((terms matched desc, total tf desc, id asc) top-k
+    * over unique (id, term, tf) posting rows) — one definition, so the
+    * written-store probe and the commit-maintained probe cannot drift.
+    */
+  private[operators] def rankPostings(postings: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    postings.groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
+      .orderBy(col("n_terms").desc, col("total_tf").desc, col(idCol))
+      .limit(k)
+
   /** Keyword probe against a written posting store: top-k documents
-    * for a bag-of-words query, ranked by (terms matched desc, total tf
-    * desc, doc id) — a deterministic total order. Reads ONLY the query
-    * terms' bucket directories (PartitionFilters; pinned by
-    * PostingStoreSpec).
+    * for a bag-of-words query, ranked by [[rankPostings]]'s contract.
+    * Reads ONLY the query terms' bucket directories (PartitionFilters;
+    * pinned by PostingStoreSpec).
     */
   def postingTopK(spark: org.apache.spark.sql.SparkSession, storePath: String,
       terms: Seq[String], k: Int, nBuckets: Int = 64): DataFrame = {
-    require(terms.nonEmpty, "at least one query term")
-    val tbs = terms.map(termBucket(_, nBuckets)).distinct
-    spark.read.parquet(storePath)
-      .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(terms))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("tf").as("total_tf"))
-      .orderBy(col("n_terms").desc, col("total_tf").desc, col("doc_id"))
-      .limit(k)
+    val t = normalizeTerms(terms)
+    val tbs = t.map(termBucket(_, nBuckets)).distinct
+    rankPostings(
+      spark.read.parquet(storePath)
+        .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(t)),
+      "doc_id", k)
   }
 
   /** The same contract as ANSI SQL over the same table, for oracle

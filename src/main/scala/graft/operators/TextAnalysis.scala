@@ -295,7 +295,10 @@ object TextAnalysis {
       .join(c1.withColumnRenamed("w", "w1"), Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .withColumn("p_ppm",
-        expr("((coalesce(c2, 0) + 1) * 1000000) div (coalesce(c1, 0) + v)"))
+        // greatest(..., 1): an EMPTY train slice gives v = 0, and under
+        // ANSI mode the integral div would throw per scored row instead
+        // of degrading to the (meaningless but defined) uniform score
+        expr("((coalesce(c2, 0) + 1) * 1000000) div greatest(coalesce(c1, 0) + v, 1)"))
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p_ppm) div count(1)").as("score_ppm"))

@@ -209,17 +209,9 @@ object PipelineQueries {
         if (tf <= 0 || vf < 0 || tf + vf >= 1)
           throw new BadRequestException(
             "'train_frac'/'val_frac' must satisfy 0 < train, 0 <= val, train+val < 1")
-        // the q110 composition: gate -> exact-dedup reps -> split
-        val d = docs
-        val kept = TextAnalysis.filterGate(d, "doc_id", "text")
-          .filter(col("keep")).select("doc_id").join(d, Seq("doc_id"))
-        val reps = kept.groupBy(md5(col("text")).as("__h"))
-          .agg(min("doc_id").as("doc_id")).select("doc_id")
-        kept.join(reps, Seq("doc_id"))
-          .select(col("doc_id"),
-            Sampling.hashSplit(col("doc_id"),
-              Seq("train" -> tf, "val" -> vf), rest = "test").as("split"),
-            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        // the q110 composition, shared with the oracle-checked catalog row
+        graft.operators.Curate(docs, "doc_id", "text",
+          Seq("train" -> tf, "val" -> vf))
       }))
 
     service.register(PipelineQuery("semantic_dedup",
@@ -227,8 +219,14 @@ object PipelineQueries {
         ParamSpec("only_dups", "boolean", required = false, default = Some(false))),
       ps => {
         val threshold = ps("threshold").asInstanceOf[Double]
-        if (threshold <= 0 || threshold > 1)
-          throw new BadRequestException("'threshold' must be in (0, 1]")
+        // the occupancy-bounded auto-width is recall-safe only for
+        // NEAR-IDENTICAL vectors (Similarity.semanticDedup scaladoc);
+        // at moderate thresholds wide signatures silently miss true
+        // pairs, so reject instead of under-reporting duplicates
+        if (threshold < 0.99 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in [0.99, 1] " +
+            "(the auto-sized signature recall envelope; use dedup_clusters " +
+            "for moderate-similarity clustering)")
         val out = graft.operators.Similarity.semanticDedup(
           Tpch.table(spark, sfDir, "embeddings"), "vec_id", "embedding", threshold)
         if (ps("only_dups").asInstanceOf[Boolean]) out.filter(!col("keep")) else out

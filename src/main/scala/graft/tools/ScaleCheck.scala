@@ -66,8 +66,14 @@ object ScaleCheck {
 
   private def scaledDocs(df: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { i =>
-      df.select(rekey("doc_id", factor, i),
-        regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"),
+      // copy 0 keeps the ORIGINAL tokens: fixed-term probes (q106's
+      // search terms) must match real postings in the scaled corpus or
+      // their ×N measurement exercises an empty result set, not the
+      // match/aggregate/rank path. Copies ≥ 1 are token-renamed as
+      // documented above (cross-copy Jaccard stays 0 either way).
+      val text = if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"c$i$$1")
+      df.select(rekey("doc_id", factor, i), text.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
 

@@ -69,6 +69,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Array((1L, 2L, 350000L)))
   }
 
+  test("bigramLmScore: an empty train slice degrades to the uniform score, not a throw") {
+    val train = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val test_ = Seq((1L, "a b")).toDF("doc_id", "text")
+    // v = 0: the guarded divisor is greatest(0, 1) — ANSI div would
+    // otherwise throw per scored row
+    val out = TextAnalysis.bigramLmScore(train, test_, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((1L, 1L, 1000000L)))
+  }
+
   test("bigramLmScore: unseen context falls back to the vocabulary floor") {
     val train = Seq((10L, "a b")).toDF("doc_id", "text") // c1: a=1 b=1; V=2
     val test_ = Seq((1L, "q r")).toDF("doc_id", "text")

@@ -171,6 +171,9 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("dup_spans", Map("window" -> "0"))
     }
+    intercept[BadRequestException] { // below the auto-width recall envelope
+      service.runRegistered("semantic_dedup", Map("threshold" -> "0.9"))
+    }
     val cu = service.runRegistered("curate", Map.empty)
     assert(cu.columns.sameElements(Array("doc_id", "split", "n_tokens")))
     assert(cu.select("split").distinct().count() <= 3 && cu.count() > 0)
