@@ -101,9 +101,24 @@ object PipelineQueries {
     // Spark job at first use, not one per request
     lazy val embDim: Int = Tpch.table(spark, sfDir, "embeddings")
       .select(size(col("embedding"))).head().getInt(0)
+    // PQ assets for algo=pq: train + encode ONCE per service instance
+    // (the corpus is fixed per sfDir), every request after that is a
+    // codes-only ADC scan + candidate rescore
+    lazy val pqAssets: (Seq[Seq[Seq[Double]]], org.apache.spark.sql.DataFrame) = {
+      val emb = Tpch.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          graft.operators.Similarity.l2normalize(col("embedding")).as("nvec"))
+        .localCheckpoint(true)
+      val cbs = graft.operators.Similarity.pqTrain(emb, "nvec", "vec_id",
+        m = 8, ksub = 16, iterations = 2)
+      val codes = graft.operators.Similarity.pqEncode(emb, "vec_id", "nvec", cbs)
+        .localCheckpoint(true)
+      (cbs, codes)
+    }
     service.register(PipelineQuery("ann_search",
       Seq(ParamSpec("vector", "string"),
-        ParamSpec("k", "long", required = false, default = Some(10L))),
+        ParamSpec("k", "long", required = false, default = Some(10L)),
+        ParamSpec("algo", "string", required = false, default = Some("exact"))),
       ps => {
         val k = intParam(ps, "k")
         val vec = ps("vector").asInstanceOf[String].split(",").toSeq
@@ -120,8 +135,21 @@ object PipelineQueries {
           throw new BadRequestException("'vector' must list at least one component")
         if (vec.length != embDim)
           throw new BadRequestException(s"'vector' must have $embDim components")
-        graft.operators.Similarity.bruteForceTopK(
-          Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id", vec, k)
+        ps("algo").asInstanceOf[String] match {
+          case "exact" =>
+            graft.operators.Similarity.bruteForceTopK(
+              Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id", vec, k)
+          case "pq" =>
+            val (cbs, codes) = pqAssets
+            val norm = math.sqrt(vec.map(x => x * x).sum)
+            val nq = if (norm == 0) vec else vec.map(_ / norm)
+            graft.operators.Similarity.pqTopK(
+              Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id",
+              codes, cbs, vec, k, candidates = math.max(100, 10 * k),
+              adcQuery = Some(nq))
+          case other =>
+            throw new BadRequestException(s"'algo' must be exact|pq, got '$other'")
+        }
       }))
 
     service.register(PipelineQuery("frame_sample",

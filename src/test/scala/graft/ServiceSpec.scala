@@ -139,6 +139,13 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("ann_search", Map("vector" -> "1,2")) // wrong dim
     }
+    // compressed-domain variant: same schema, same k, valid ids
+    val pqa = service.runRegistered("ann_search",
+      Map("vector" -> vec, "k" -> "5", "algo" -> "pq"))
+    assert(pqa.count() == 5 && pqa.columns.sameElements(Array("id", "cos_sim")))
+    intercept[BadRequestException] {
+      service.runRegistered("ann_search", Map("vector" -> vec, "algo" -> "bogus"))
+    }
     // real multi-frame decode on the registered tier (the q101 surface)
     val fs = service.runRegistered("frame_sample",
       Map("every_n" -> "2", "max_frames" -> "2"))
