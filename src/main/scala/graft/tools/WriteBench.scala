@@ -114,6 +114,8 @@ object WriteBench {
     ann.rebuild(); ann.bind()
     val ivf = new graft.operators.MaintainedIvfStore(igs, "emb", "v", idir, k = 8)
     ivf.rebuild(); ivf.bind()
+    val pq = new graft.operators.MaintainedPqStore(igs, "emb", "v", idir, m = 8)
+    pq.rebuild(); pq.bind()
 
     val tDocIndexed = timed(igs.txn().createVertices("doc", docsC).commit())
     val tEmbIndexed = timed(igs.txn().createVertices("emb", embsC).commit())
