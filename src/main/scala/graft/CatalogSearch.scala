@@ -57,6 +57,25 @@ object CatalogSearch {
       |  AS profile
       |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
 
+  /** One truth for the TF-IDF contract: q105 computes it from the raw
+    * corpus, q113 serves it from the written posting store — both must
+    * hash-match this SQL.
+    */
+  private val tfidfOracleSql =
+    """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT doc_id, term, tf, df,
+      |    tf * ((n * 10000) // df) AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * ((n * 10000) // df) DESC, term) AS rk
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+      |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q87_bm25_search",
@@ -74,19 +93,34 @@ object CatalogSearch {
       (s, d) => Search.tfidfKeywords(Tpch.table(s, d, "documents"),
           "doc_id", "text", topPerDoc = 3)
         .orderBy("doc_id", "rk"),
-      Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-             |  FROM documents WHERE length(trim(text)) > 0),
-             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
-             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             |st AS (SELECT count(*) AS n FROM documents),
-             |sc AS (SELECT doc_id, term, tf, df,
-             |    tf * ((n * 10000) // df) AS score,
-             |    row_number() OVER (PARTITION BY doc_id
-             |      ORDER BY tf * ((n * 10000) // df) DESC, term) AS rk
-             |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
-             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-             |  CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
-             |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+      Some(tfidfOracleSql)),
+
+    QueryDef("q111_bm25_stored",
+      // ranked search served from the WRITTEN posting store: the q87
+      // contract (same oracle SQL) with the per-query corpus rescan
+      // replaced by a bucket-pruned read of postings + df sidecar and
+      // two persisted corpus constants. The at-scale form of ranked
+      // search — q87 scales with the corpus, this scales with the
+      // query terms' posting lists
+      (s, d) => {
+        val path = Search.ensurePostingStore(Tpch.table(s, d, "documents"),
+          "doc_id", "text", d)
+        Search.bm25TopKStored(s, path, searchTerms, k = 20)
+      },
+      Some(Search.bm25OracleSql("documents", "doc_id", "text", searchTerms, k = 20))),
+
+    QueryDef("q113_tfidf_stored",
+      // per-doc TF-IDF keywords served from the WRITTEN posting store:
+      // the q105 contract (same oracle SQL) with zero per-query
+      // tokenization — (term, doc, tf) rows and the df sidecar ARE the
+      // needed intermediates, persisted once
+      (s, d) => {
+        val path = Search.ensurePostingStore(Tpch.table(s, d, "documents"),
+          "doc_id", "text", d)
+        Search.tfidfKeywordsStored(s, path, topPerDoc = 3)
+          .orderBy("doc_id", "rk")
+      },
+      Some(tfidfOracleSql)),
 
     QueryDef("q106_posting_probe",
       // keyword probe against the WRITTEN term-bucket-partitioned

@@ -306,28 +306,43 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
   private val table = gs.tableFor(label)
   private val log = new PartitionedDeltaLog(gs.spark,
     Paths.get(storageDir, "postindex", label), Seq("tb"))
+  // the BM25 stats sidecar log: one (id, dl) row per LIVE doc (dl = 0
+  // for token-less docs, which still dilute idf), maintained by the
+  // same delta discipline — n and avgdl are aggregates over it, df is
+  // NOT logged because it is derivable exactly from any bucket-pruned
+  // posting read (all of a term's postings live in its bucket)
+  private val dlLog = new PartitionedDeltaLog(gs.spark,
+    Paths.get(storageDir, "postindex", label, "doclen"), Seq.empty)
 
   private def postings(rows: DataFrame): DataFrame =
     rows.select(col("id"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      // dl denormalized per row, the written store's discipline
+      // (Search.ensurePostingStore): BM25 needs no doc-length join
+      .withColumn("dl", sum("tf").over(Window.partitionBy("id")))
       .withColumn("tb", Sampling.hashBucket(col("term"), nBuckets))
+
+  private def docLens(rows: DataFrame): DataFrame =
+    rows.select(col("id"),
+      TextAnalysis.tokenCount(lower(col(textCol))).cast("long").as("dl"))
 
   /** Full (re)materialization from the store's current state; clears
     * the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
-    log.writeBase(postings(
-      gs.graph().vertices(label).select(col("id"), col(textCol))))
+    val docs = gs.graph().vertices(label).select(col("id"), col(textCol))
+    log.writeBase(postings(docs))
+    dlLog.writeBase(docLens(docs))
   }
 
   /** Apply one commit's staged row versions — shared by [[bind]] and
     * the replica-side [[MaintainedIndexes.followCommitLog]].
     */
   def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
-    log.appendCommit(epoch,
-      staged.filter(!col("deleted")).select(col("id"), col(textCol)),
-      postings, staged)
+    val live = staged.filter(!col("deleted")).select(col("id"), col(textCol))
+    log.appendCommit(epoch, live, postings, staged)
+    dlLog.appendCommit(epoch, live, docLens, staged)
   }
 
   /** Wire into the store's write path. */
@@ -344,6 +359,31 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
     Search.rankPostings(
       log.probe(col("tb").isin(tbs: _*) && col("term").isInCollection(t)),
       "id", k)
+  }
+
+  /** BM25 top-k over the maintained store — [[Search.bm25TopK]]'s
+    * integer-exact contract against the CURRENT committed state: a doc
+    * committed one statement ago ranks, an updated one ranks by its new
+    * text, a deleted one is gone. The posting read is bucket-pruned;
+    * df comes from a per-term count over exactly those pruned rows
+    * (complete by bucket-routing); n and avgdl aggregate the doc-length
+    * sidecar log (two longs per doc — a driver read of one tiny agg).
+    */
+  def bm25(terms: Seq[String], k: Int): DataFrame = {
+    val t = Search.normalizeTerms(terms)
+    val tbs = t.map(Search.termBucket(_, nBuckets)).distinct
+    val stats = dlLog.probe(lit(true))
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("total"))
+      .head()
+    val n = stats.getLong(0)
+    val avgdl = if (n == 0) 0L else stats.getLong(1) / n
+    log.probe(col("tb").isin(tbs: _*) && col("term").isInCollection(t))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("contrib", expr(
+        s"((CAST($n AS BIGINT) * 10000) div df) * " +
+          s"((tf * 20000 * CAST($avgdl AS BIGINT)) div (tf * CAST($avgdl AS BIGINT) + dl))"))
+      .groupBy("id").agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
   }
 }
 

@@ -110,8 +110,11 @@ object Search {
   // else (same written-artifact discipline as Similarity's LSH/IVF
   // stores and SpatialOps' cell store).
 
+  // v2: posting rows carry the document length (`dl`) and the store
+  // gains `_df` / `_bm25stats` sidecars — the version bump forces one
+  // rebuild of v1 stores instead of probing a schema they don't have
   def postingStorePath(sfDir: String, nBuckets: Int): String =
-    s"${graft.model.StorePaths.root}/${graft.model.StorePaths.key(sfDir)}/postings_b$nBuckets"
+    s"${graft.model.StorePaths.root}/${graft.model.StorePaths.key(sfDir)}/postings_b${nBuckets}v2"
 
   /** Driver-side md5 bucket of a term — the same value
     * [[graft.operators.Sampling.hashBucket]] computes as a column, so
@@ -127,15 +130,29 @@ object Search {
   private val postingBuildLock = new Object
 
   /** Build-if-absent posting store for a document table: one row per
-    * (term, doc) with its term frequency, partitioned by
-    * `tb = md5-bucket(term) % nBuckets`. Bucketing by term hash keeps
-    * directory count fixed (a raw term partition would create one dir
-    * per vocabulary entry) while still pruning every probe to the
-    * requested terms' buckets. Stale stores rebuild via the shared
-    * fingerprint stamp discipline ([[graft.model.StorePaths]]).
+    * (term, doc) with its term frequency AND its document's token
+    * length, partitioned by `tb = md5-bucket(term) % nBuckets`.
+    * Bucketing by term hash keeps directory count fixed (a raw term
+    * partition would create one dir per vocabulary entry) while still
+    * pruning every probe to the requested terms' buckets. Stale stores
+    * rebuild via the shared fingerprint stamp discipline
+    * ([[graft.model.StorePaths]]).
+    *
+    * `dl` is DENORMALIZED onto every posting row (the Lucene norms
+    * discipline): a BM25 probe then needs no corpus-sized doc-length
+    * join — everything it scores arrives in the pruned bucket read.
+    * Two sidecars complete the ranked-search stats:
+    *   - `_df/` — per-term document frequency, bucket-partitioned like
+    *     the postings, so a probe's df read is pruned to the same dirs;
+    *   - `_bm25stats.txt` — `n` (ALL docs, empty ones dilute idf
+    *     exactly as in [[bm25TopK]]) and `avgdl` (integer division),
+    *     the two corpus constants no pruned read can derive.
+    * Underscore names are invisible to the parquet reader of the store
+    * root, so [[postingTopK]]'s scan is unchanged.
     */
   def ensurePostingStore(docs: DataFrame, idCol: String, textCol: String,
       sfDir: String, nBuckets: Int = 64, fpSource: String = null): String = {
+    import org.apache.spark.sql.expressions.Window
     import graft.model.StorePaths
     val path = postingStorePath(sfDir, nBuckets)
     val fp = StorePaths.fingerprint(
@@ -144,15 +161,36 @@ object Search {
       StorePaths.isCurrent(path, fp)
     if (!current) postingBuildLock.synchronized {
       if (!current) {
-        docs.select(col(idCol).as("doc_id"),
+        val tf = docs.select(col(idCol).as("doc_id"),
             explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
           .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(eager = true) // postings, df, and stats share it
+        // dl = Σ tf over the doc's terms — derived from the postings
+        // themselves (one doc-keyed window), never a second tokenize
+        tf.withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
           .withColumn("tb", Sampling.hashBucket(col("term"), nBuckets))
           .write.partitionBy("tb").mode("overwrite").parquet(path)
+        tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("tb", Sampling.hashBucket(col("term"), nBuckets))
+          .write.partitionBy("tb").mode("overwrite").parquet(s"$path/_df")
+        val n = docs.count()
+        val total = tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+        val avgdl = if (n == 0) 0L else total / n
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "_bm25stats.txt"),
+          s"$n $avgdl".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         StorePaths.stamp(path, fp)
       }
     }
     path
+  }
+
+  /** (n_docs, avgdl) recorded at store build ([[ensurePostingStore]]). */
+  def postingStoreStats(storePath: String): (Long, Long) = {
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(storePath, "_bm25stats.txt")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+    (parts(0).toLong, parts(1).toLong)
   }
 
   /** Normalize a bag-of-words query the way the posting stores
@@ -190,6 +228,58 @@ object Search {
       spark.read.parquet(storePath)
         .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(t)),
       "doc_id", k)
+  }
+
+  /** BM25 top-k served from the WRITTEN posting store — the at-scale
+    * ranked search: where [[bm25TopK]] re-tokenizes the corpus per
+    * query, this reads ONLY the query terms' bucket directories
+    * (postings + the `_df` sidecar, both pruned by `tb` —
+    * PartitionFilters pinned by PostingStoreSpec) and two persisted
+    * corpus constants. Same integer-exact contract, same result rows
+    * as [[bm25TopK]] on the same corpus (`dl` rides on every posting
+    * row, so no doc-length join touches anything outside the buckets).
+    */
+  def bm25TopKStored(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      terms: Seq[String], k: Int, nBuckets: Int = 64): DataFrame = {
+    val t = normalizeTerms(terms)
+    val tbs = t.map(termBucket(_, nBuckets)).distinct
+    val (n, avgdl) = postingStoreStats(storePath)
+    val postings = spark.read.parquet(storePath)
+      .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(t))
+    val dfr = spark.read.parquet(s"$storePath/_df")
+      .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(t))
+      .select("term", "df")
+    postings.join(broadcast(dfr), Seq("term"))
+      .withColumn("contrib", expr(
+        s"((CAST($n AS BIGINT) * 10000) div df) * " +
+          s"((tf * 20000 * CAST($avgdl AS BIGINT)) div (tf * CAST($avgdl AS BIGINT) + dl))"))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Per-document TF-IDF keywords served from the WRITTEN posting
+    * store: the [[tfidfKeywords]] contract with zero per-query
+    * tokenization — (term, doc, tf) and df come straight from the
+    * store's rows and `_df` sidecar, `n` from the persisted stats. The
+    * scan covers all buckets (every doc's keywords need every doc's
+    * terms) but reads compact integer postings instead of exploding
+    * text, and the df join replaces the per-query vocabulary
+    * aggregation.
+    */
+  def tfidfKeywordsStored(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, topPerDoc: Int): DataFrame = {
+    require(topPerDoc > 0, "topPerDoc must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val (n, _) = postingStoreStats(storePath)
+    val tf = spark.read.parquet(storePath).select("doc_id", "term", "tf")
+    val dfr = spark.read.parquet(s"$storePath/_df").select("term", "df")
+    val scored = tf.join(dfr, Seq("term"))
+      .withColumn("score", expr(s"tf * ((CAST($n AS BIGINT) * 10000) div df)"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= topPerDoc)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
   }
 
   /** The same contract as ANSI SQL over the same table, for oracle

@@ -103,10 +103,18 @@ class MaintainedIndexSpec extends SparkSpec {
         .limit(k).as[(Long, Long, Long)].collect().toSeq
     def got(terms: Seq[String], k: Int): Seq[(Long, Long, Long)] =
       idx.search(terms, k).as[(Long, Long, Long)].collect().toSeq
+    // BM25 ground truth: the corpus-rescan contract over CURRENT state
+    def directBm25(terms: Seq[String], k: Int): Seq[(Long, Long)] =
+      Search.bm25TopK(gs.graph().vertices("doc"), "id", "text", terms, k)
+        .as[(Long, Long)].collect().toSeq
+    def gotBm25(terms: Seq[String], k: Int): Seq[(Long, Long)] =
+      idx.bm25(terms, k).as[(Long, Long)].collect().toSeq
 
     val someTerms = Seq("spark", "merge")
     assert(got(someTerms, 10) == direct(someTerms, 10),
       "fresh index must agree with recompute")
+    assert(gotBm25(someTerms, 10) == directBm25(someTerms, 10),
+      "maintained BM25 must agree with the corpus-rescan contract")
     // the base probe is partition-pruned to the query terms' buckets
     val plan = idx.search(someTerms, 10).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
@@ -117,6 +125,10 @@ class MaintainedIndexSpec extends SparkSpec {
       Seq((9001L, "zebrastripe zebrastripe rare")).toDF("id", "text")).commit()
     assert(got(Seq("zebrastripe"), 5) == Seq((9001L, 1L, 2L)))
     assert(got(someTerms, 10) == direct(someTerms, 10))
+    // the new doc shifts n/avgdl and ranks for its own terms — the
+    // maintained stats sidecar must track both without a rebuild
+    assert(gotBm25(Seq("zebrastripe"), 5) == directBm25(Seq("zebrastripe"), 5))
+    assert(gotBm25(someTerms, 10) == directBm25(someTerms, 10))
 
     // update: the old text's postings are superseded by the new ones
     gs.txn().updateVertices("doc",
@@ -127,6 +139,10 @@ class MaintainedIndexSpec extends SparkSpec {
     // delete: the document vanishes from search
     gs.txn().deleteVertices("doc", Seq(9001L).toDF("id")).commit()
     assert(got(Seq("plainwords"), 5).isEmpty, "deleted doc must vanish from search")
+    assert(gotBm25(Seq("plainwords"), 5).isEmpty,
+      "deleted doc must vanish from BM25 ranking")
+    assert(gotBm25(someTerms, 10) == directBm25(someTerms, 10),
+      "post-delete stats (n back down) must match recompute")
 
     assert(listBase(dir, "postindex", "doc") == frozenBase,
       "maintenance must append deltas, never rewrite base")

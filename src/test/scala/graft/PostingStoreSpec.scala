@@ -37,6 +37,37 @@ class PostingStoreSpec extends SparkSpec {
       === direct)
   }
 
+  test("stored BM25: partition-pruned postings AND df reads, identical to the rescan path") {
+    val path = Search.ensurePostingStore(docs, "doc_id", "text", sf)
+    val probe = Search.bm25TopKStored(spark, path, terms, k = 20)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"a scan reads the whole store:\n$plan")
+    // both file scans (postings and the _df sidecar) must carry a tb
+    // partition filter — an unpruned df read would scan the vocabulary
+    val scans = plan.split("FileScan").drop(1)
+    assert(scans.length >= 2 && scans.forall(_.contains("PartitionFilters: [")),
+      s"every store scan must be partition-pruned:\n$plan")
+    // same integer-exact contract as the per-query corpus rescan
+    val direct = Search.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))) === direct)
+  }
+
+  test("stored TF-IDF: identical to the per-query tokenize path") {
+    val path = Search.ensurePostingStore(docs, "doc_id", "text", sf)
+    val stored = Search.tfidfKeywordsStored(spark, path, topPerDoc = 3)
+      .orderBy("doc_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val direct = Search.tfidfKeywords(docs, "doc_id", "text", topPerDoc = 3)
+      .orderBy("doc_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(stored === direct)
+  }
+
   test("driver-side term bucket matches the column expression") {
     // probe pruning and store routing share one hash definition; if
     // they drift, probes silently miss postings
