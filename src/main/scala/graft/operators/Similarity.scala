@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision. */
+  /** dot(a, b) in double precision — the native codegen expression
+    * ([[graft.functions.DotProductExpression]]): one primitive loop per
+    * row instead of the interpreted per-element HOF walk, same IEEE
+    * operation order (left-to-right double accumulation from 0.0), so
+    * every cosine/rescore/assignment result is bit-identical.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpression.vec_dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -191,18 +195,27 @@ object Similarity {
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, nBits: Int = 4, nTables: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, prebuilt: Option[DataFrame] = None): DataFrame = {
+    // `prebuilt` serves the narrow (id, table, bucket) rows of a
+    // WRITTEN signature store ([[ensureDedupSigStore]]): signatures
+    // are then read, never recomputed — the persisted-signature
+    // discipline Dedup.minhashNearDups's `sigs` gives text. nBits and
+    // seed are baked into the store in that case.
     val probe = df.select(size(col(vecCol))).limit(1).collect()
     if (probe.isEmpty) // empty corpus → empty pair set, not a crash
       return df.sparkSession.emptyDataFrame
         .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cos_sim")).limit(0)
-    val dim = probe.head.getInt(0)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
-    val sigCols = (0 until nTables).map { t =>
-      lshSignature(col("v"), hyperplanes(dim, nBits, seed + t))
+    val buckets = prebuilt match {
+      case Some(store) => store.select(col("id"), col("table"), col("bucket"))
+      case None =>
+        val dim = probe.head.getInt(0)
+        val sigCols = (0 until nTables).map { t =>
+          lshSignature(col("v"), hyperplanes(dim, nBits, seed + t))
+        }
+        vecs.select(col("id"), posexplode(array(sigCols: _*)))
+          .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     }
-    val buckets = vecs.select(col("id"), posexplode(array(sigCols: _*)))
-      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val pairs = buckets.as("a").join(buckets.as("b"), Seq("table", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
@@ -332,6 +345,41 @@ object Similarity {
       .dropDuplicates("id") // a vector can share the query's bucket in several tables
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
+  }
+
+  def dedupSigStorePath(sfDir: String, nBits: Int, nTables: Int, seed: Long): String =
+    s"$storeRoot/${storeKey(sfDir)}/dedupsig_b${nBits}_t${nTables}_s$seed"
+
+  /** Materialize the multi-table LSH signatures for WHOLE-CORPUS dedup
+    * consumers ([[semanticDedup]] / [[cosineNearDups]] `prebuilt`):
+    * narrow (id, table, bucket) rows written FLAT. The layout differs
+    * from [[ensureLshStore]] deliberately — a dedup pass reads EVERY
+    * bucket of every table, so (table, bucket) partitioning buys no
+    * pruning and costs one directory per bucket (≈ nTables·2^nBits tiny
+    * dirs whose listing dominated the q108 probe), and carrying the
+    * vectors would store each one nTables×; point probes keep using the
+    * partitioned, vector-carrying store.
+    */
+  def ensureDedupSigStore(df: DataFrame, vecCol: String, idCol: String,
+      sfDir: String, dim: Int, nBits: Int, nTables: Int, seed: Long = 42L,
+      fpSource: String = null): String = {
+    import graft.model.StorePaths
+    val path = dedupSigStorePath(sfDir, nBits, nTables, seed)
+    val fp = StorePaths.fingerprint(
+      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
+    def current = ready(path, "_SUCCESS") && StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
+        val sigCols = (0 until nTables).map { t =>
+          lshSignature(col(vecCol), hyperplanes(dim, nBits, seed + t))
+        }
+        df.select(col(idCol).as("id"), posexplode(array(sigCols: _*)))
+          .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+          .write.mode("overwrite").parquet(path)
+        StorePaths.stamp(path, fp)
+      }
+    }
+    path
   }
 
   private def centroidsFile(path: String) = new java.io.File(path, "_centroids.txt")
@@ -511,11 +559,11 @@ object Similarity {
     * id set is id-only.
     *
     * The signature width is OCCUPANCY-BOUNDED by default (nBits = 0 →
-    * `max(4, ceil(log2(n / 64)))`): a fixed width makes the in-bucket
+    * [[autoSignatureBits]]): a fixed width makes the in-bucket
     * candidate join quadratic in corpus density (×8 data → ×64 pairs
     * — measured, not hypothetical: the ×8 ScaleCheck at fixed 4 bits
     * runs minutes, auto-sized it holds the data ratio). Widening with
-    * corpus size keeps expected bucket occupancy ~64 so candidate
+    * corpus size keeps expected bucket occupancy ~constant so candidate
     * volume stays LINEAR. Safe at semantic-dedup thresholds: near-
     * identical vectors (cos ≥ 0.999, θ ≤ 2.6°) flip any given sign bit
     * with p ≤ θ/π ≈ 0.8%, so even at 16 bits a true pair shares its
@@ -523,17 +571,34 @@ object Similarity {
     * MODERATE thresholds (0.9) need narrower signatures for recall —
     * that regime is [[cosineNearDups]]'s documented default, not this
     * operator's.
+    *
+    * Steady-state pipelines pass `buckets` (the written signature
+    * store's rows — [[ensureDedupSigStore]]) and `knownCount` (a cached
+    * corpus size): signatures are then read, not recomputed, and the
+    * only per-run Spark work is the bucket join + verify + component
+    * propagation.
     */
+  /** The occupancy-bounded signature width for a corpus of n vectors:
+    * `max(4, ceil(log2(n / 16)))` — expected bucket occupancy ~16 per
+    * table, so candidate volume stays linear in n while the verify
+    * pass (the measured dominant cost — ~14 µs per interpreted-HOF
+    * cosine) touches 4× fewer pairs than the previous ~64-occupancy
+    * width. Recall stays astronomically safe for the near-identical
+    * regime: at cos ≥ 0.999 a pair survives a b-bit table w.p. ≥
+    * 0.992^b, so even b=16 across 8 tables misses with p < 1e-5.
+    */
+  def autoSignatureBits(n: Long): Int =
+    math.max(4, (math.log(math.max(n / 16.0, 1.0)) / math.log(2.0)).ceil.toInt)
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 0, nTables: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, buckets: Option[DataFrame] = None,
+      knownCount: Option[Long] = None): DataFrame = {
     val bits =
       if (nBits > 0) nBits
-      else {
-        val n = df.count()
-        math.max(4, (math.log(math.max(n / 64.0, 1.0)) / math.log(2.0)).ceil.toInt)
-      }
-    val pairs = cosineNearDups(df, idCol, vecCol, threshold, bits, nTables, seed)
+      else autoSignatureBits(knownCount.getOrElse(df.count()))
+    val pairs = cosineNearDups(df, idCol, vecCol, threshold, bits, nTables, seed,
+      prebuilt = buckets)
     val comps = GraphAnalytics.connectedComponents(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       df.select(col(idCol).cast("long").as("id")))

@@ -103,6 +103,27 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true)))
   }
 
+  test("semanticDedup: prebuilt LSH-store buckets give identical results to recompute") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val bits = Similarity.autoSignatureBits(n)
+    val fromScratch = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.999, nBits = bits)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val path = Similarity.ensureDedupSigStore(emb, "embedding", "vec_id", sf,
+      dim = emb.select(size(col("embedding"))).head().getInt(0),
+      nBits = bits, nTables = 8, seed = 42L)
+    val fromStore = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.999, buckets = Some(spark.read.parquet(path)),
+        knownCount = Some(n))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(fromStore === fromScratch)
+  }
+
   test("bigramLmScore: train docs score higher than shuffled-vocab docs") {
     // fluency sanity on the corpus itself: a doc made of train bigrams
     // outscores one made of tokens the model never saw
