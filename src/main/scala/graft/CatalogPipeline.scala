@@ -939,6 +939,33 @@ object CatalogPipeline {
       Some("""SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
              |  true AS recall_ok""".stripMargin)),
 
+    QueryDef("q112_ivfpq_ann",
+      // the COMPOSED ANN configuration (FAISS IVF-PQ shape): codes
+      // partitioned by coarse cell in a WRITTEN store, so the ADC scan
+      // reads ONLY the probed cells' compressed codes (PartitionFilters
+      // pinned by PqSpec) where q109's flat tier scans them all. Same
+      // audit contract as q109/q59: result count + recall@10 vs the
+      // in-engine exact top-10 above a floor (global codebooks, not
+      // per-cell residuals — the choice is documented at
+      // ensureIvfPqStore). The store holds the FULL embeddings table;
+      // the query vector's self-match lands in both sets
+      (s, d) => {
+        import s.implicits._
+        val emb = Tpch.table(s, d, "embeddings")
+        val qRaw = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        val ann = Similarity.ivfPqTopK(emb, "embedding", "vec_id", d,
+            qRaw, kTop = 10, k = 16, m = 8, nProbe = 8, candidates = 100)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+            qRaw, 10)
+          .select("id").collect().map(_.getLong(0)).toSet
+        Seq((0L, ann.size.toLong, (ann & exact).size >= 6))
+          .toDF("query_id", "n_results", "recall_ok")
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+             |  true AS recall_ok""".stripMargin)),
+
     QueryDef("q79_decontaminate",
       // train/eval benchmark-leakage check: carve the corpus with the
       // deterministic hash split (q77), then count each train doc's

@@ -306,43 +306,46 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
   private val table = gs.tableFor(label)
   private val log = new PartitionedDeltaLog(gs.spark,
     Paths.get(storageDir, "postindex", label), Seq("tb"))
-  // the BM25 stats sidecar log: one (id, dl) row per LIVE doc (dl = 0
-  // for token-less docs, which still dilute idf), maintained by the
-  // same delta discipline — n and avgdl are aggregates over it, df is
-  // NOT logged because it is derivable exactly from any bucket-pruned
-  // posting read (all of a term's postings live in its bucket)
-  private val dlLog = new PartitionedDeltaLog(gs.spark,
-    Paths.get(storageDir, "postindex", label, "doclen"), Seq.empty)
 
-  private def postings(rows: DataFrame): DataFrame =
-    rows.select(col("id"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-      // dl denormalized per row, the written store's discipline
-      // (Search.ensurePostingStore): BM25 needs no doc-length join
-      .withColumn("dl", sum("tf").over(Window.partitionBy("id")))
+  /** One commit's index rows, in ONE frame for ONE delta-write job:
+    * posting rows (id, term, tf, dl) routed to their term buckets,
+    * UNIONED with one doc-length stats row per live doc (term/tf null,
+    * dl = token count — 0 for token-less docs, which still dilute idf)
+    * under the RESERVED bucket `tb = −1`. BM25's corpus stats are then
+    * a partition-pruned read of the −1 dirs with the same tombstone
+    * supersession as the postings, and the write path pays no second
+    * log (a separate doc-length delta log measured as a whole extra
+    * Spark job per commit). `dl` rides every posting row (the written
+    * store's denormalization discipline) and joins the groupBy key —
+    * constant per id, so no extra shuffle.
+    */
+  private def postings(rows: DataFrame): DataFrame = {
+    val withDl = rows
+      .select(col("id"), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"), col("__toks"), size(col("__toks")).cast("long").as("dl"))
+    val tf = withDl.select(col("id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("id", "term", "dl").agg(count(lit(1)).as("tf"))
       .withColumn("tb", Sampling.hashBucket(col("term"), nBuckets))
-
-  private def docLens(rows: DataFrame): DataFrame =
-    rows.select(col("id"),
-      TextAnalysis.tokenCount(lower(col(textCol))).cast("long").as("dl"))
+    val dlRows = withDl.select(col("id"), lit(null).cast("string").as("term"),
+      lit(null).cast("long").as("tf"), col("dl"), lit(-1L).as("tb"))
+    tf.select("id", "term", "tf", "dl", "tb").unionByName(dlRows)
+  }
 
   /** Full (re)materialization from the store's current state; clears
     * the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
-    val docs = gs.graph().vertices(label).select(col("id"), col(textCol))
-    log.writeBase(postings(docs))
-    dlLog.writeBase(docLens(docs))
+    log.writeBase(postings(
+      gs.graph().vertices(label).select(col("id"), col(textCol))))
   }
 
   /** Apply one commit's staged row versions — shared by [[bind]] and
     * the replica-side [[MaintainedIndexes.followCommitLog]].
     */
   def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
-    val live = staged.filter(!col("deleted")).select(col("id"), col(textCol))
-    log.appendCommit(epoch, live, postings, staged)
-    dlLog.appendCommit(epoch, live, docLens, staged)
+    log.appendCommit(epoch,
+      staged.filter(!col("deleted")).select(col("id"), col(textCol)),
+      postings, staged)
   }
 
   /** Wire into the store's write path. */
@@ -366,13 +369,13 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
     * committed one statement ago ranks, an updated one ranks by its new
     * text, a deleted one is gone. The posting read is bucket-pruned;
     * df comes from a per-term count over exactly those pruned rows
-    * (complete by bucket-routing); n and avgdl aggregate the doc-length
-    * sidecar log (two longs per doc — a driver read of one tiny agg).
+    * (complete by bucket-routing); n and avgdl aggregate the tb=−1
+    * doc-length rows (a partition-pruned read of two longs per doc).
     */
   def bm25(terms: Seq[String], k: Int): DataFrame = {
     val t = Search.normalizeTerms(terms)
     val tbs = t.map(Search.termBucket(_, nBuckets)).distinct
-    val stats = dlLog.probe(lit(true))
+    val stats = log.probe(col("tb") === -1L)
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("total"))
       .head()
     val n = stats.getLong(0)
@@ -527,6 +530,108 @@ final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
       gs.graph().vertices(label).select(col("id"), col(vecCol)),
       vecCol, "id", log.probe(lit(true)), codebooks, query, k,
       candidates, adcQuery)
+}
+
+/** Commit-maintained IVF-PQ store — the COMPOSED ANN configuration
+  * ([[Similarity.ensureIvfPqStore]], q112) kept fresh by the write
+  * path: codes partitioned by coarse cell, so probes ADC-scan ONLY the
+  * probed cells' compressed codes (base partition-pruned, delta
+  * rowgroup-skipped) and a committed vector is immediately findable
+  * through the composed probe. Both quantizers stay fixed between
+  * [[rebuild]]s (standard IVF/PQ freshness practice); the hook encodes
+  * staged rows straight from the raw column via the cosine-space
+  * argmin forms — one write job per commit, no staged normalized
+  * intermediate.
+  */
+final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
+    storageDir: String, k: Int, m: Int, ksub: Int = 16, iterations: Int = 2) {
+
+  private val table = gs.tableFor(label)
+  private val root = Paths.get(storageDir, "ivfpqindex", label)
+  private val log = new PartitionedDeltaLog(gs.spark, root, Seq("ivf_cluster"))
+  // both inside the base dir — published atomically WITH the codes they
+  // produced (see PartitionedDeltaLog.writeBase)
+  private def centroidsFile = log.basePath.resolve("_centroids.txt")
+  private def codebooksFile = log.basePath.resolve("_codebooks.txt")
+
+  def centroids: Seq[Seq[Double]] =
+    new String(Files.readAllBytes(centroidsFile),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
+
+  def codebooks: Seq[Seq[Seq[Double]]] =
+    Similarity.parseCodebooks(new String(Files.readAllBytes(codebooksFile),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  private def encoded(rows: DataFrame, cs: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Double]]]): DataFrame =
+    Similarity.pqEncodeCosine(
+      Similarity.ivfAssignCosine(rows.select(col("id"), col(vecCol).as("v")), "v", cs),
+      "id", "v", cbs, extra = Seq("ivf_cluster"))
+
+  /** Re-train both quantizers on the current state and re-encode;
+    * clears the delta and tombstone logs (compaction).
+    */
+  def rebuild(): Unit = log.locked {
+    val staged = gs.graph().vertices(label)
+      .select(col("id"), col(vecCol),
+        Similarity.l2normalize(col(vecCol)).as("__nv"))
+      .localCheckpoint(true)
+    val cs = Similarity.ivfTrain(staged, "__nv", "id", k, iterations)
+    val cbs = Similarity.pqTrain(staged, "__nv", "id", m, ksub, iterations)
+    Files.createDirectories(root)
+    log.writeBase(encoded(staged.drop("__nv"), cs, cbs),
+      tmp => {
+        Files.write(tmp.resolve("_centroids.txt"),
+          cs.map(_.map(java.lang.Double.toString).mkString(","))
+            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.write(tmp.resolve("_codebooks.txt"),
+          Similarity.codebooksText(cbs)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+  }
+
+  /** Apply one commit's staged row versions — shared by [[bind]] and
+    * the replica-side [[MaintainedIndexes.followCommitLog]]. Bound-
+    * before-built commits are skipped (no quantizers yet); the eventual
+    * [[rebuild]] reads the committed state, so nothing is lost.
+    */
+  def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
+    if (Files.exists(centroidsFile) && Files.exists(codebooksFile))
+      log.appendCommit(epoch,
+        staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
+        rows => encoded(rows, centroids, codebooks),
+        staged)
+  }
+
+  /** Wire into the store's write path. */
+  def bind(): Unit = gs.onCommit { (epoch, frames) =>
+    frames.get(table).foreach(applyCommit(epoch, _))
+  }
+
+  /** Composed probe: nProbe nearest cells (pruned codes read) → ADC
+    * rank in the compressed domain → exact rescore of the candidates
+    * against the store's CURRENT vectors.
+    */
+  def topK(query: Seq[Double], kTop: Int, nProbe: Int = 2,
+      candidates: Int = 100): DataFrame = {
+    val norm = math.sqrt(query.map(x => x * x).sum)
+    val nq = if (norm == 0) query else query.map(_ / norm)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(nq).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    val cand = Similarity.adcScan(
+        log.probe(col("ivf_cluster").isin(probes: _*)).select("id", "codes"),
+        codebooks, nq)
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(candidates).select("id")
+    gs.graph().vertices(label).select(col("id"), col(vecCol).as("__v"))
+      .join(cand, Seq("id"))
+      .select(col("id"),
+        round(Similarity.cosine(col("__v"), Similarity.vecLit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(kTop)
+  }
 }
 
 /** Commit-maintained IVF ANN store — the cluster-partitioned store of

@@ -429,6 +429,98 @@ object Similarity {
     (df.sparkSession.read.parquet(path), readCentroids(path))
   }
 
+  // --- IVF-PQ: the composed at-scale ANN configuration ---------------
+  //
+  // PQ alone (q109) ADC-scans EVERY code; IVF alone (q67) reads raw
+  // vectors from the probed cells. Composing them — codes partitioned
+  // by coarse cell — prunes the compressed scan to the probed cells:
+  // the FAISS IVF-PQ shape, and what a 100 TB deployment actually
+  // runs. Encoding choice, stated: codes quantize the RAW (cosine-
+  // space) subvectors with ONE GLOBAL codebook set, NOT per-cell
+  // residuals — the ADC table is then computed once per query
+  // regardless of how many cells are probed, at a known small accuracy
+  // cost vs residual encoding (the exact-rescore tail absorbs it; the
+  // audit row q112 pins recall).
+
+  private[graft] def codebooksText(cbs: Seq[Seq[Seq[Double]]]): String =
+    cbs.map(_.map(_.map(java.lang.Double.toString).mkString(","))
+      .mkString(";")).mkString("\n")
+
+  private[graft] def parseCodebooks(text: String): Seq[Seq[Seq[Double]]] =
+    text.split("\n").toSeq.map(_.split(";").toSeq.map(
+      _.split(",").toSeq.map(java.lang.Double.parseDouble)))
+
+  def ivfPqStorePath(sfDir: String, k: Int, m: Int, ksub: Int, iterations: Int): String =
+    s"$storeRoot/${storeKey(sfDir)}/ivfpq_k${k}_m${m}_x${ksub}_i$iterations"
+
+  /** Materialize the IVF-PQ store: (id, ivf_cluster, codes) partitioned
+    * by `ivf_cluster`, with the coarse centroids AND the PQ codebooks
+    * persisted beside it. Both quantizers train on the L2-normalized
+    * vectors (cosine metric, the q67/q109 convention); rows encode via
+    * [[ivfAssignCosine]] + [[pqEncodeCosine]] straight from the raw
+    * column. Build-if-absent with the shared fingerprint discipline.
+    */
+  def ensureIvfPqStore(df: DataFrame, vecCol: String, idCol: String,
+      sfDir: String, k: Int, m: Int, ksub: Int = 16, iterations: Int = 2,
+      fpSource: String = null): (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import graft.model.StorePaths
+    val path = ivfPqStorePath(sfDir, k, m, ksub, iterations)
+    val fp = StorePaths.fingerprint(
+      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
+    val cbFile = new java.io.File(path, "_codebooks.txt")
+    def current = centroidsFile(path).exists() && cbFile.exists() &&
+      StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
+        // stage the normalized column once for BOTH trainings (see
+        // ensureIvfStore: lazy l2normalize re-evaluates per reference)
+        val staged = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+          l2normalize(col(vecCol)).as("__nv")).localCheckpoint(eager = true)
+        val cs = ivfTrain(staged, "__nv", "id", k, iterations)
+        val cbs = pqTrain(staged, "__nv", "id", m, ksub, iterations)
+        pqEncodeCosine(
+            ivfAssignCosine(staged.select(col("id"), col("v")), "v", cs),
+            "id", "v", cbs, extra = Seq("ivf_cluster"))
+          .write.partitionBy("ivf_cluster").mode("overwrite").parquet(path)
+        writeCentroids(path, cs)
+        java.nio.file.Files.write(cbFile.toPath,
+          codebooksText(cbs).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        StorePaths.stamp(path, fp)
+      }
+    }
+    (df.sparkSession.read.parquet(path), readCentroids(path),
+      parseCodebooks(new String(java.nio.file.Files.readAllBytes(cbFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** IVF-PQ ANN top-k over the WRITTEN store: probe the nProbe nearest
+    * cells — the codes scan is PARTITION-PRUNED to them (the plan's
+    * PartitionFilters, pinned by PqSpec) — ADC-rank the pruned codes
+    * against the normalized query, exact-rescore the best `candidates`
+    * against the full vectors. Returns (id, cos_sim) like [[ivfTopK]].
+    */
+  def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String, sfDir: String,
+      query: Seq[Double], kTop: Int, k: Int, m: Int, ksub: Int = 16,
+      iterations: Int = 2, nProbe: Int = 2, candidates: Int = 100): DataFrame = {
+    val (codes, cs, cbs) = ensureIvfPqStore(df, vecCol, idCol, sfDir, k, m,
+      ksub, iterations)
+    val norm = math.sqrt(query.map(x => x * x).sum)
+    val nq = if (norm == 0) query else query.map(_ / norm)
+    val probes = cs.zipWithIndex
+      .map { case (c, i) => (c.zip(nq).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    val cand = adcScan(
+        codes.filter(col("ivf_cluster").isin(probes: _*)).select("id", "codes"),
+        cbs, nq)
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(candidates).select("id")
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(cand, Seq("id"))
+      .select(col("id"), round(cosine(col("__v"), vecLit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(kTop)
+  }
+
   /** Query-side LSH signature under the given hyperplanes. */
   private[graft] def querySignature(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
     planes.zipWithIndex.map { case (p, i) =>
@@ -504,6 +596,34 @@ object Similarity {
       array_min(dists).getField("i")
     }
     df.select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ-encode RAW vectors in COSINE space: per subspace, the codeword
+    * argmin over the L2-NORMALIZED vector — computed WITHOUT
+    * materializing a normalized column, by dividing each subspace dot
+    * by the full-vector norm (the [[ivfAssignCosine]] trick applied per
+    * subspace: ‖c‖² − 2·(v_s·c)/‖v‖ ranks codewords exactly as the
+    * normalized subvector would). One narrow pass from the raw column,
+    * so commit hooks and store builds share one encode with no staged
+    * intermediate. Zero vectors keep the l2normalize pass-through
+    * convention. `extra` columns (e.g. a precomputed `ivf_cluster`)
+    * ride along into the output.
+    */
+  def pqEncodeCosine(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], extra: Seq[String] = Nil): DataFrame = {
+    val dsub = codebooks.head.head.size
+    val nrm = l2norm(col(vecCol))
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val dists = zip_with(typedLit(cb), centroidMeta(cb),
+        (c, mm) => struct(
+          (mm.getField("_1") - lit(2.0) *
+            when(nrm === 0, dot(sub, c)).otherwise(dot(sub, c) / nrm)).as("d"),
+          mm.getField("_2").as("i")))
+      array_min(dists).getField("i")
+    }
+    df.select(col(idCol).as("id") +: extra.map(col) :+
+      array(codeCols: _*).as("codes"): _*)
   }
 
   /** ADC scan: append the approximate squared distance from `query` to

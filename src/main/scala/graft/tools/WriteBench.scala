@@ -114,7 +114,11 @@ object WriteBench {
     ann.rebuild(); ann.bind()
     val ivf = new graft.operators.MaintainedIvfStore(igs, "emb", "v", idir, k = 8)
     ivf.rebuild(); ivf.bind()
-    val pq = new graft.operators.MaintainedPqStore(igs, "emb", "v", idir, m = 8)
+    // the composed IVF-PQ store is the third bound tier (it subsumes
+    // the flat PQ store's commit shape: same one-job delta, plus the
+    // cell assignment the production configuration carries)
+    val pq = new graft.operators.MaintainedIvfPqStore(igs, "emb", "v", idir,
+      k = 8, m = 8)
     pq.rebuild(); pq.bind()
 
     val tDocIndexed = timed(igs.txn().createVertices("doc", docsC).commit())

@@ -208,6 +208,60 @@ class MaintainedIndexSpec extends SparkSpec {
       "maintenance must append deltas, never rewrite base")
   }
 
+  test("commit-maintained IVF-PQ store: committed vectors findable via the composed probe") {
+    import graft.operators.MaintainedIvfPqStore
+    val dir = tmp("ivfpqidx")
+    val schema = GraphSchema.builder().vertex("emb", "id", Seq("v")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q: Seq[Double] = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    gs.txn().createVertices("emb",
+      emb.filter(col("vec_id") =!= 0 && col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))).commit()
+
+    val ivfpq = new MaintainedIvfPqStore(gs, "emb", "v", dir, k = 8, m = 8,
+      ksub = 16, iterations = 2)
+    ivfpq.rebuild()
+    ivfpq.bind()
+    val frozenBase = listBase(dir, "ivfpqindex", "emb")
+
+    // the probe's base read must be pruned to the probed cells
+    val plan = ivfpq.topK(q, 10, nProbe = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
+      s"composed probe must prune base cells:\n$plan")
+
+    // an exact twin of the query assigns to the query's nearest cell
+    // and encodes to the argmin codewords: with the twin's cell probed,
+    // ADC ranks it first — findable in-commit through the COMPOSED path
+    val qf = q.map(_.toFloat).toArray
+    gs.txn().createVertices("emb", Seq((9001L, qf)).toDF("id", "v")).commit()
+    val afterCreate = ivfpq.topK(q, 10, nProbe = 4, candidates = 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(afterCreate.head == ((9001L, 1.0)),
+      s"committed twin must rank first through the composed probe: $afterCreate")
+
+    // update: the twin re-embeds as some mid-ranked corpus vector; its
+    // stale perfect-match codes must retire (no (9001, 1.0) row left)
+    val far = afterCreate.last._1
+    gs.txn().updateVertices("emb",
+      emb.filter(col("vec_id") === far).select(lit(9001L).as("id"),
+        col("embedding").as("v"))).commit()
+    val afterUpdate = ivfpq.topK(q, 10, nProbe = 4, candidates = 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(!afterUpdate.contains((9001L, 1.0)),
+      s"stale twin codes must retire on update: $afterUpdate")
+
+    // delete: gone from the probe
+    gs.txn().deleteVertices("emb", Seq(9001L).toDF("id")).commit()
+    val afterDelete = ivfpq.topK(q, 10, nProbe = 4, candidates = 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(!afterDelete.exists(_._1 == 9001L))
+
+    assert(listBase(dir, "ivfpqindex", "emb") == frozenBase,
+      "maintenance must append deltas, never rewrite base")
+  }
+
   test("commit-maintained ANN store: create/update/delete without rebuild") {
     val dir = tmp("annidx")
     val schema = GraphSchema.builder().vertex("emb", "id", Seq("v")).build()

@@ -70,4 +70,28 @@ class PqSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(pq == exact)
   }
+
+  test("IVF-PQ store: codes read is cluster-pruned, recall holds, store roundtrips") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 7).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toSeq
+    val probe = Similarity.ivfPqTopK(emb, "embedding", "vec_id", sf,
+      q, kTop = 10, k = 16, m = 8, nProbe = 8, candidates = 100)
+    // the codes scan must list ONLY the probed cells' directories (the
+    // raw rescore table is unpartitioned, so assert on the codes scan's
+    // own filter, not plan-wide)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [ivf_cluster"),
+      s"IVF-PQ codes read must be cluster-pruned:\n$plan")
+    // recall@10 vs exact above the q112 floor (self-match included)
+    val got = probe.select("id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 10 && (got & exact).size >= 6,
+      s"recall too low: ${(got & exact).size}/10")
+    // the persisted quantizers roundtrip exactly (Double.toString)
+    val (_, cs, cbs) = Similarity.ensureIvfPqStore(emb, "embedding", "vec_id",
+      sf, k = 16, m = 8)
+    assert(cs.size == 16 && cbs.size == 8 && cbs.forall(_.size == 16))
+  }
 }
