@@ -589,6 +589,72 @@ object CatalogPipeline {
            |FROM g JOIN r USING (doc_id) ORDER BY g.doc_id""".stripMargin
       }),
 
+    QueryDef("q114_curate_neardup",
+      // the q110 curation chain COMPOSED with near-dup dedup (the
+      // VERDICT's "what a real pipeline runs"): q76's LSH clustering
+      // supplies the keep-list (min-id representative per near-dup
+      // family at jaccard >= 0.5), applied after the exact-hash tier —
+      // a near-dup twin that survives gating and exact dedup is still
+      // dropped. Oracle = q110's chain joined against q76's exhaustive
+      // recursive-CTE truth
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 3, numHashes = 24, bands = 8, threshold = 0.5,
+          sigs = Some(docSignatures(s, d, 3, 24)))
+        val comps = GraphAnalytics.connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          docs.select(col("doc_id").as("id")))
+        val keep = comps.filter(col("id") === col("component"))
+          .select(col("id").as("doc_id"))
+        graft.operators.Curate(docs, "doc_id", "text",
+            nearDupKeep = Some(keep))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
+        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
+        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"len(list_filter($toks, " +
+          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
+        s"""WITH RECURSIVE q AS (SELECT doc_id, text,
+           |    CAST($nTok AS BIGINT) AS n_tokens,
+           |    CAST($sumLen AS BIGINT) AS sum_token_len,
+           |    CAST($nPunct AS BIGINT) AS n_punct,
+           |    CAST($nStop AS BIGINT) AS n_stop
+           |  FROM documents),
+           |g AS (SELECT doc_id, text, n_tokens FROM q
+           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
+           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
+           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
+           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
+           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+           |s AS ($shingleSql),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p
+           |  UNION ALL SELECT id_b, id_a FROM p),
+           |reach(id, rr) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.a, reach.rr FROM e JOIN reach ON reach.id = e.b),
+           |nk AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(rr))
+           |SELECT g.doc_id,
+           |  CASE WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
+           |    THEN 'train'
+           |    WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950
+           |    THEN 'val' ELSE 'test' END AS split,
+           |  n_tokens
+           |FROM g JOIN r USING (doc_id) JOIN nk USING (doc_id)
+           |ORDER BY g.doc_id""".stripMargin
+      }),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

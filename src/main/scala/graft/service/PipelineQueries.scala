@@ -230,16 +230,31 @@ object PipelineQueries {
 
     service.register(PipelineQuery("curate",
       Seq(ParamSpec("train_frac", "double", required = false, default = Some(0.9)),
-        ParamSpec("val_frac", "double", required = false, default = Some(0.05))),
+        ParamSpec("val_frac", "double", required = false, default = Some(0.05)),
+        ParamSpec("near_dup", "boolean", required = false, default = Some(false))),
       ps => {
         val tf = ps("train_frac").asInstanceOf[Double]
         val vf = ps("val_frac").asInstanceOf[Double]
         if (tf <= 0 || vf < 0 || tf + vf >= 1)
           throw new BadRequestException(
             "'train_frac'/'val_frac' must satisfy 0 < train, 0 <= val, train+val < 1")
-        // the q110 composition, shared with the oracle-checked catalog row
+        // the q110/q114 composition, shared with the oracle-checked
+        // catalog rows; near_dup=true adds the LSH-cluster keep-list
+        // tier (min-id representative per near-dup family)
+        val keep =
+          if (!ps("near_dup").asInstanceOf[Boolean]) None
+          else {
+            val d = docs
+            val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+              k = 3, numHashes = 24, bands = 8, threshold = 0.5)
+            Some(GraphAnalytics.connectedComponents(
+                pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+                d.select(col("doc_id").as("id")))
+              .filter(col("id") === col("component"))
+              .select(col("id").as("doc_id")))
+          }
         graft.operators.Curate(docs, "doc_id", "text",
-          Seq("train" -> tf, "val" -> vf))
+          Seq("train" -> tf, "val" -> vf), nearDupKeep = keep)
       }))
 
     service.register(PipelineQuery("semantic_dedup",

@@ -124,6 +124,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fromStore === fromScratch)
   }
 
+  test("Curate: a near-dup twin survives the exact tier but drops via the keep-list") {
+    import graft.operators.Curate
+    // two near-duplicate (NOT byte-identical) fluent docs + one clean
+    // singleton; all three pass the quality gate and the exact-hash
+    // tier (distinct md5s)
+    val base = "the cat sat on the mat and the dog ran to the big red barn today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"), // near-dup of 1, different hash
+      (3L, "a quick brown fox jumps over the lazy dog and it runs far away now"))
+      .toDF("doc_id", "text")
+    val exactOnly = Curate(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactOnly == Set(1L, 2L, 3L),
+      s"twin must survive the exact tier: $exactOnly")
+    val keep = Seq(1L, 3L).toDF("doc_id") // near-dup pass kept min ids
+    val composed = Curate(docs, "doc_id", "text", nearDupKeep = Some(keep))
+      .select("doc_id").as[Long].collect().toSet
+    assert(composed == Set(1L, 3L),
+      s"near-dup twin must drop through the keep-list: $composed")
+  }
+
   test("bigramLmScore: train docs score higher than shuffled-vocab docs") {
     // fluency sanity on the corpus itself: a doc made of train bigrams
     // outscores one made of tokens the model never saw
