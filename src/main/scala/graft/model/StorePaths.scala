@@ -17,12 +17,44 @@ private[graft] object StorePaths {
   /** Store directory key for a source dir: the sanitized path plus a
     * short hash of the RAW path, so distinct dirs that sanitize alike
     * (`/a/b` vs `/a_b`) cannot collide on one store.
+    *
+    * The hash suffix was added after stores already existed under the
+    * bare sanitized name; those orphans would otherwise sit under the
+    * shared root forever (one forced rebuild already re-created each
+    * store under the new key). First use of a key per JVM garbage
+    * collects its legacy sibling — only when that directory actually
+    * holds fingerprint-stamped stores, so an unrelated user directory
+    * that happens to share the sanitized name is never touched.
     */
   def key(sfDir: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val h = digest.take(4).map(b => f"$b%02x").mkString
-    s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$h"
+    val sanitized = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (gced.add(sanitized)) gcLegacy(sanitized)
+    s"$sanitized-$h"
+  }
+
+  private val gced = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Delete `root/<sanitized>` (the pre-hash-suffix key) iff it is a
+    * directory whose children include a `_SOURCE_FINGERPRINT`-stamped
+    * store — the marker every store built by this library carries.
+    */
+  private def gcLegacy(sanitized: String): Unit = try {
+    val legacy = Paths.get(root, sanitized)
+    if (Files.isDirectory(legacy)) {
+      var isOurs = false
+      Dirs.withList(legacy)(_.forEach { child =>
+        if (Files.exists(child.resolve("_SOURCE_FINGERPRINT"))) isOurs = true
+      })
+      if (isOurs) deleteRecursively(legacy)
+    }
+  } catch { case _: java.io.IOException => () } // best-effort cleanup
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) Dirs.withList(p)(_.forEach(deleteRecursively))
+    Files.deleteIfExists(p)
   }
 
   /** Cheap filesystem fingerprint of a source table (file count, total

@@ -39,10 +39,43 @@ import graft.model.{Dirs, GraphStore}
   * the monitor after a commit reads post-commit state and may safely
   * clear that commit's (now-redundant) delta. Across index INSTANCES
   * the contract is single-writer: exactly one bound instance per index
-  * directory per JVM (the store's own FileLock does not cover hook
-  * execution, which runs after the commit lock is released).
+  * directory (the store's own FileLock does not cover hook execution,
+  * which runs after the commit lock is released) — ENFORCED at
+  * `bind()` time by an exclusive `_BINDER_LOCK` file lock under the
+  * index root, so a second binder in this or any other process fails
+  * fast instead of silently interleaving delta overwrites with
+  * compactions (mirroring VersionedStore's FileLock discipline).
   */
 object MaintainedIndexes {
+
+  /** Exclusive binder lock under an index root: held for the binder's
+    * JVM lifetime (the OS releases it on process death, so a crashed
+    * binder never wedges the directory). `FileChannel.tryLock` covers
+    * the cross-process case; the same-JVM double-bind surfaces as
+    * OverlappingFileLockException — both become the same fail-fast
+    * error. The returned channel is stashed by the caller so the lock
+    * stays referenced for the instance's lifetime.
+    */
+  private[operators] def acquireBinderLock(
+      root: java.nio.file.Path): java.nio.channels.FileChannel = {
+    Files.createDirectories(root)
+    val ch = java.nio.channels.FileChannel.open(root.resolve("_BINDER_LOCK"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock =
+      try ch.tryLock()
+      catch { case _: java.nio.channels.OverlappingFileLockException => null }
+    if (lock == null) {
+      ch.close()
+      throw new IllegalStateException(
+        s"index at $root is already bound by another writer — the maintained-index " +
+          "contract is one bound instance per directory (see MaintainedIndexes)")
+    }
+    ch.write(java.nio.ByteBuffer.wrap(
+      s"pid=${ProcessHandle.current().pid()}\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)))
+    ch
+  }
 
   /** Replica-side index maintenance: tail a store table's commit log
     * ([[graft.streaming.Streams.commitLogStream]]) and play each
@@ -50,10 +83,15 @@ object MaintainedIndexes {
     * hook uses — the reference's slaves re-apply the FULL transaction
     * including index maintenance (transactions.lisp:884-1003), so a
     * doc committed on the master becomes a dedup/ANN candidate on the
-    * slave without a rebuild. The initial stream replay re-applies
-    * epochs already folded into the index base; that is idempotent by
-    * the newest-epoch-wins merge (same rows, same supersession), so a
-    * binder needs no replay cursor.
+    * slave without a rebuild. A binder restarted with a fresh
+    * streaming checkpoint replays the FULL commit log; each index
+    * skips epochs at or below its persisted replay cursor
+    * ([[PartitionedDeltaLog.appliedThrough]] — the reference's
+    * replication cursor discipline, transactions.lisp:884-1003), so
+    * the replay costs a per-epoch marker read, not a re-run of every
+    * historical encode job. Re-application past a torn marker stays
+    * safe by the newest-epoch-wins merge (same rows, same
+    * supersession).
     */
   def followCommitLog(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, table: String,
@@ -107,13 +145,35 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
   private val spark = gs.spark
   private val table = gs.tableFor(label)
   private val maintLock = new Object // see MaintainedIndexes concurrency contract
-  private def basePath = Paths.get(storageDir, "sigindex", label, "base")
-  private def deltaPath = Paths.get(storageDir, "sigindex", label, "delta")
+  private val root = Paths.get(storageDir, "sigindex", label)
+  private def basePath = root.resolve("base")
+  private def deltaPath = root.resolve("delta")
+  private def appliedThroughFile = root.resolve("_APPLIED_THROUGH")
+  private var binderLock: java.nio.channels.FileChannel = _
+
+  /** Replay cursor — see [[PartitionedDeltaLog.appliedThrough]]. */
+  private def appliedThrough: Long =
+    try {
+      if (Files.exists(appliedThroughFile))
+        new String(Files.readAllBytes(appliedThroughFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else 0L
+    } catch { case _: NumberFormatException => 0L }
+
+  private def recordApplied(epoch: Long): Unit =
+    if (epoch > appliedThrough) {
+      Files.createDirectories(root)
+      Files.write(appliedThroughFile, epoch.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
 
   /** Full (re)materialization from the store's current state; clears
     * (compacts away) any accumulated deltas.
     */
   def rebuild(): Unit = maintLock.synchronized {
+    // read the pointer BEFORE materializing: a commit racing the
+    // rebuild lands an epoch above this and its delta re-applies
+    val through = gs.store.currentEpoch
     val docs = gs.graph().vertices(label)
     val tmp = basePath.resolveSibling("base__tmp")
     Dirs.rmTree(tmp)
@@ -124,6 +184,7 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
     Files.createDirectories(basePath.getParent)
     Files.move(tmp, basePath, StandardCopyOption.ATOMIC_MOVE)
     Dirs.rmTree(deltaPath)
+    recordApplied(through)
   }
 
   /** Apply one commit's staged row versions `(id, deleted, props…)` —
@@ -134,6 +195,7 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
     * newest-epoch-wins delta.
     */
   def applyCommit(epoch: Long, staged: DataFrame): Unit = maintLock.synchronized {
+    if (epoch <= appliedThrough) return // replayed history — already in base/delta
     val live = staged.filter(!col("deleted"))
       .select(col("id"), col(textCol))
     val rows = Dedup.signatureFrame(live, "id", textCol, k, numHashes)
@@ -149,13 +211,19 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
     // (see PartitionedDeltaLog.appendCommit)
     rows.unionByName(tombs).coalesce(1).write.mode("overwrite")
       .parquet(s"$deltaPath/commit_epoch=$epoch")
+    recordApplied(epoch)
   }
 
   /** Wire into the store's write path: every commit touching `label`
-    * appends a signature delta for exactly its staged rows.
+    * appends a signature delta for exactly its staged rows. Fails fast
+    * if another writer already binds this index directory (see the
+    * MaintainedIndexes single-writer contract).
     */
-  def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(table).foreach(applyCommit(epoch, _))
+  def bind(): Unit = {
+    binderLock = MaintainedIndexes.acquireBinderLock(root)
+    gs.onCommit { (epoch, frames) =>
+      frames.get(table).foreach(applyCommit(epoch, _))
+    }
   }
 
   private def hasDeltas: Boolean =
@@ -207,12 +275,48 @@ private[operators] final class PartitionedDeltaLog(
 
   def basePath: java.nio.file.Path = root.resolve("base")
   private def deltaPath = root.resolve("delta")
+  private def appliedThroughFile = root.resolve("_APPLIED_THROUGH")
+
+  /** Replay cursor: the highest store epoch this index has applied —
+    * bumped by every delta append and by compaction (which folds the
+    * store's current state into the base). A binder started with a
+    * fresh streaming checkpoint skips epochs ≤ this instead of re-
+    * running the encode job for every historical commit (the
+    * reference's replication cursor discipline; re-applying would be
+    * CORRECT by newest-epoch-wins idempotence, just O(total commits)
+    * wasted work). Parse-tolerant: a torn marker reads as 0 and costs
+    * only idempotent re-application, never a skipped commit.
+    */
+  def appliedThrough: Long =
+    try {
+      if (Files.exists(appliedThroughFile))
+        new String(Files.readAllBytes(appliedThroughFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else 0L
+    } catch { case _: NumberFormatException => 0L }
+
+  def recordApplied(epoch: Long): Unit =
+    if (epoch > appliedThrough) {
+      Files.createDirectories(root)
+      Files.write(appliedThroughFile, epoch.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
 
   /** The log's maintenance monitor (see MaintainedIndexes concurrency
     * contract): owning stores run compaction and commit-hook appends
     * under it so they cannot interleave.
     */
   def locked[T](body: => T): T = this.synchronized(body)
+
+  private var binderChannel: java.nio.channels.FileChannel = _
+
+  /** Claim this directory's exclusive binder lock (idempotent per
+    * instance) — see the MaintainedIndexes single-writer contract.
+    */
+  def acquireBinder(): Unit = this.synchronized {
+    if (binderChannel == null)
+      binderChannel = MaintainedIndexes.acquireBinderLock(root)
+  }
 
   /** Atomically swap in a fresh base; clears the delta log (compaction).
     * With no partition columns the base is a plain parquet dir — the
@@ -246,6 +350,7 @@ private[operators] final class PartitionedDeltaLog(
     */
   def appendCommit(epoch: Long, live: DataFrame, expand: DataFrame => DataFrame,
       touchedIds: DataFrame): Unit = {
+    if (epoch <= appliedThrough) return // replayed history — already in base/delta
     val fresh = expand(live).withColumn("__tomb", lit(false))
     val tombs = touchedIds.select(col("id")).distinct()
       .withColumn("__tomb", lit(true))
@@ -262,6 +367,7 @@ private[operators] final class PartitionedDeltaLog(
     // scans) would otherwise double-count rows that the newest-epoch-
     // wins merge cannot dedupe (same epoch on both copies)
     sorted.write.mode("overwrite").parquet(s"$deltaPath/commit_epoch=$epoch")
+    recordApplied(epoch)
   }
 
   private def hasDeltas: Boolean =
@@ -335,8 +441,10 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
     * the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    val through = gs.store.currentEpoch // before materializing — see appliedThrough
     log.writeBase(postings(
       gs.graph().vertices(label).select(col("id"), col(textCol))))
+    log.recordApplied(through)
   }
 
   /** Apply one commit's staged row versions — shared by [[bind]] and
@@ -348,9 +456,14 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
       postings, staged)
   }
 
-  /** Wire into the store's write path. */
-  def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(table).foreach(applyCommit(epoch, _))
+  /** Wire into the store's write path. Fails fast if another writer
+    * already binds this index directory (single-writer contract).
+    */
+  def bind(): Unit = {
+    log.acquireBinder()
+    gs.onCommit { (epoch, frames) =>
+      frames.get(table).foreach(applyCommit(epoch, _))
+    }
   }
 
   /** Keyword probe over the maintained store — [[Search.rankPostings]]'
@@ -419,7 +532,9 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
     * the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    val through = gs.store.currentEpoch // before materializing — see appliedThrough
     log.writeBase(bucketed(gs.graph().vertices(label).select(col("id"), col(vecCol))))
+    log.recordApplied(through)
   }
 
   /** Apply one commit's staged row versions — shared by [[bind]] and
@@ -431,9 +546,14 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
       bucketed, staged)
   }
 
-  /** Wire into the store's write path. */
-  def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(table).foreach(applyCommit(epoch, _))
+  /** Wire into the store's write path. Fails fast if another writer
+    * already binds this index directory (single-writer contract).
+    */
+  def bind(): Unit = {
+    log.acquireBinder()
+    gs.onCommit { (epoch, frames) =>
+      frames.get(table).foreach(applyCommit(epoch, _))
+    }
   }
 
   /** ANN top-k over the maintained store — the partition-pruned probe
@@ -494,12 +614,14 @@ final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
     * the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    val through = gs.store.currentEpoch // before materializing — see appliedThrough
     val vecs = gs.graph().vertices(label).select(col("id"), col(vecCol))
       .localCheckpoint(true)
     val cbs = Similarity.pqTrain(vecs, vecCol, "id", m, ksub, iterations)
     Files.createDirectories(root)
     log.writeBase(Similarity.pqEncode(vecs, "id", vecCol, cbs),
       tmp => writeCodebooksTo(tmp.resolve("_codebooks.txt"), cbs))
+    log.recordApplied(through)
   }
 
   /** Apply one commit's staged row versions — shared by [[bind]] and
@@ -515,9 +637,14 @@ final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
         staged)
   }
 
-  /** Wire into the store's write path. */
-  def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(table).foreach(applyCommit(epoch, _))
+  /** Wire into the store's write path. Fails fast if another writer
+    * already binds this index directory (single-writer contract).
+    */
+  def bind(): Unit = {
+    log.acquireBinder()
+    gs.onCommit { (epoch, frames) =>
+      frames.get(table).foreach(applyCommit(epoch, _))
+    }
   }
 
   /** PQ ANN top-k over the maintained store: ADC over the merged codes,
@@ -573,6 +700,7 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
     * clears the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    val through = gs.store.currentEpoch // before materializing — see appliedThrough
     val staged = gs.graph().vertices(label)
       .select(col("id"), col(vecCol),
         Similarity.l2normalize(col(vecCol)).as("__nv"))
@@ -589,6 +717,7 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
           Similarity.codebooksText(cbs)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       })
+    log.recordApplied(through)
   }
 
   /** Apply one commit's staged row versions — shared by [[bind]] and
@@ -604,9 +733,14 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
         staged)
   }
 
-  /** Wire into the store's write path. */
-  def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(table).foreach(applyCommit(epoch, _))
+  /** Wire into the store's write path. Fails fast if another writer
+    * already binds this index directory (single-writer contract).
+    */
+  def bind(): Unit = {
+    log.acquireBinder()
+    gs.onCommit { (epoch, frames) =>
+      frames.get(table).foreach(applyCommit(epoch, _))
+    }
   }
 
   /** Composed probe: nProbe nearest cells (pruned codes read) → ADC
@@ -684,6 +818,7 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
     * clears the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    val through = gs.store.currentEpoch // before materializing — see appliedThrough
     val vecs = normalized(gs.graph().vertices(label).select(col("id"), col(vecCol)))
       .localCheckpoint(true)
     val cs = Similarity.ivfTrain(vecs, "__nv", "id", k, iterations)
@@ -692,6 +827,7 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
     // unchanged vector always lands in its base cell
     log.writeBase(assigned(vecs.drop("__nv"), cs),
       tmp => writeCentroidsTo(tmp.resolve("_centroids.txt"), cs))
+    log.recordApplied(through)
   }
 
   /** Wire into the store's write path: staged vectors are assigned to

@@ -194,13 +194,17 @@ object ScaleCheck {
     // (q32's reachable set and round count depend on the knows graph's
     // orbit structure at the scaled n, not just on data volume)
     val loose = Set("pl_closure_hub", "q32_transitive_closure")
-    val strict = all.filterNot(x => loose(x._1))
-    val worst = strict.maxBy(_._4)
-    val pass = worst._4 <= factor &&
-      all.filter(x => loose(x._1)).forall(_._4 <= factor * 2.0)
+    // each shape is judged against its own gate (loose shapes get 2x);
+    // `worst` names the shape CLOSEST TO (or over) its gate, so a
+    // failing loose shape is what the report points at, not a passing
+    // strict one
+    def gate(name: String): Double = if (loose(name)) factor * 2.0 else factor.toDouble
+    val worst = all.maxBy { case (n, _, _, r) => r / gate(n) }
+    val pass = all.forall { case (n, _, _, r) => r <= gate(n) }
     println(
       f"""{"metric":"scale_check","factor":$factor,"base":"$base","queries":$qs,""" +
-        f""""worst":"${worst._1}","worst_ratio":${worst._4}%.2f,"pass":$pass}""")
+        f""""worst":"${worst._1}","worst_ratio":${worst._4}%.2f,""" +
+        f""""worst_gate":${gate(worst._1)}%.1f,"pass":$pass}""")
     spark.stop()
   }
 }

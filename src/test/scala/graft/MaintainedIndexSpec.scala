@@ -361,4 +361,55 @@ class MaintainedIndexSpec extends SparkSpec {
     assert(deltaScans.exists(l => l.contains("PushedFilters: [") && l.contains("__tomb")),
       s"tombstone scan does not push the __tomb flag:\n$plan")
   }
+
+  test("single-writer contract: a second binder on the same index dir fails fast") {
+    val dir = tmp("bindlock")
+    val schema = GraphSchema.builder().vertex("doc", "id", Seq("text")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    gs.txn().createVertices("doc",
+      Seq((1L, "alpha beta")).toDF("id", "text")).commit()
+    val post = new graft.operators.MaintainedPostingIndex(gs, "doc", "text", dir)
+    post.rebuild()
+    post.bind()
+    // same directory, second instance: the _BINDER_LOCK is held, so the
+    // second bind must fail instead of silently interleaving deltas
+    val second = new graft.operators.MaintainedPostingIndex(gs, "doc", "text", dir)
+    intercept[IllegalStateException] { second.bind() }
+    // a DIFFERENT index kind under the same storage root has its own
+    // lock and binds fine
+    val sig = new SignatureIndex(gs, "doc", "text", dir)
+    sig.rebuild()
+    sig.bind()
+  }
+
+  test("replay cursor: epochs at or below the marker are skipped, fresh ones apply") {
+    val dir = tmp("cursor")
+    val schema = GraphSchema.builder().vertex("doc", "id", Seq("text")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    gs.txn().createVertices("doc",
+      Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text")).commit()
+    val post = new graft.operators.MaintainedPostingIndex(gs, "doc", "text", dir)
+    post.rebuild()
+    post.bind()
+    gs.txn().createVertices("doc",
+      Seq((9001L, "zebrastripe rare")).toDF("id", "text")).commit()
+    assert(post.search(Seq("zebrastripe"), 5).select("id").as[Long].collect()
+      .toSeq == Seq(9001L))
+
+    // a replica binder restarted with a fresh checkpoint replays
+    // history: a replayed epoch — even with divergent content — is
+    // skipped by the cursor, not re-applied over the live delta
+    val e = gs.store.currentEpoch
+    post.applyCommit(e,
+      Seq((9001L, "hijacked", false)).toDF("id", "text", "deleted"))
+    assert(post.search(Seq("zebrastripe"), 5).select("id").as[Long].collect()
+      .toSeq == Seq(9001L), "replayed epoch must not clobber the live delta")
+    assert(post.search(Seq("hijacked"), 5).count() == 0)
+
+    // a genuinely new epoch still applies
+    gs.txn().createVertices("doc",
+      Seq((9002L, "freshword only")).toDF("id", "text")).commit()
+    assert(post.search(Seq("freshword"), 5).select("id").as[Long].collect()
+      .toSeq == Seq(9002L))
+  }
 }
