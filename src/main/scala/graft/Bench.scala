@@ -32,7 +32,8 @@ object Bench {
     "q104_dup_spans",     // substring window dedup (round 6)
     "q106_posting_probe", // written inverted-index probe (round 6)
     "q108_semantic_dedup", // SemDeDup keep-list over the LSH store (round 7)
-    "q111_bm25_stored")   // posting-store BM25 probe (round 7)
+    "q111_bm25_stored",   // posting-store BM25 probe (round 7)
+    "q112_ivfpq_ann")     // composed IVF-PQ probe, cell-pruned codes (round 7)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after
