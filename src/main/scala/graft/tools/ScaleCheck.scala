@@ -59,7 +59,10 @@ object ScaleCheck {
     "q105_tfidf_keywords",
     "q106_posting_probe",
     "q107_bigram_lm",
-    "q108_semantic_dedup")
+    "q108_semantic_dedup",
+    "q111_bm25_stored",
+    "q112_ivfpq_ann",
+    "q113_tfidf_stored")
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)
