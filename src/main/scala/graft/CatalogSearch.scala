@@ -143,6 +143,29 @@ object CatalogSearch {
              |FROM tf GROUP BY 1
              |ORDER BY n_terms DESC, total_tf DESC, doc_id LIMIT 10""".stripMargin)),
 
+    QueryDef("q115_phrase_search",
+      // exact-phrase query against the WRITTEN positional posting
+      // store: the v3 store carries each (term, doc)'s sorted token
+      // positions, so a phrase probe reads ONLY the phrase terms'
+      // bucket dirs and intersects shifted position arrays — no text
+      // is re-scanned (the Lucene positional-postings discipline).
+      // Overlapping occurrences count ("a a a" matches "a a" twice) —
+      // the oracle restates that via a positional self-join, which a
+      // substring replace-count could not
+      (s, d) => {
+        val path = Search.ensurePostingStore(Tpch.table(s, d, "documents"),
+          "doc_id", "text", d)
+        Search.phraseTopK(s, path, Seq("table", "part"), k = 25)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lst
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |tk AS (SELECT doc_id, unnest(lst) AS t, unnest(range(1, len(lst)+1)) AS pos FROM d)
+             |SELECT p0.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches
+             |FROM tk p0 JOIN tk p1
+             |  ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.t = 'part'
+             |WHERE p0.t = 'table'
+             |GROUP BY 1 ORDER BY n_matches DESC, doc_id LIMIT 25""".stripMargin)),
+
     QueryDef("q88_pack_sequences",
       // concat-and-chunk packing at seqLen 512 over whitespace token
       // counts; the engine computes the prefix sum distributed

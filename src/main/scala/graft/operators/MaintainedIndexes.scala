@@ -429,12 +429,18 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
     val withDl = rows
       .select(col("id"), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), col("__toks"), size(col("__toks")).cast("long").as("dl"))
-    val tf = withDl.select(col("id"), col("dl"), explode(col("__toks")).as("term"))
-      .groupBy("id", "term", "dl").agg(count(lit(1)).as("tf"))
+    // posexplode: sorted 0-based token positions ride each posting row
+    // (the positional payload the phrase probe intersects — the same
+    // v3 layout as Search.ensurePostingStore)
+    val tf = withDl.select(col("id"), col("dl"), posexplode(col("__toks")))
+      .groupBy(col("id"), col("col").as("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tb", Sampling.hashBucket(col("term"), nBuckets))
     val dlRows = withDl.select(col("id"), lit(null).cast("string").as("term"),
-      lit(null).cast("long").as("tf"), col("dl"), lit(-1L).as("tb"))
-    tf.select("id", "term", "tf", "dl", "tb").unionByName(dlRows)
+      lit(null).cast("long").as("tf"), col("dl"),
+      lit(null).cast("array<int>").as("positions"), lit(-1L).as("tb"))
+    tf.select("id", "term", "tf", "dl", "positions", "tb").unionByName(dlRows)
   }
 
   /** Full (re)materialization from the store's current state; clears
@@ -464,6 +470,23 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
     gs.onCommit { (epoch, frames) =>
       frames.get(table).foreach(applyCommit(epoch, _))
     }
+  }
+
+  /** Phrase probe over the maintained store — [[Search.rankPhrase]]'s
+    * consecutive-position contract against the CURRENT committed
+    * state: a doc committed one statement ago phrase-matches, an
+    * updated one matches by its new token positions, a deleted one is
+    * gone. Bucket-pruned like [[search]].
+    */
+  def phrase(phraseTerms: Seq[String], k: Int): DataFrame = {
+    require(phraseTerms.nonEmpty, "phrase must have at least one term")
+    val t = phraseTerms.map(_.toLowerCase) // order and repeats preserved
+    val uniq = t.distinct
+    val tbs = uniq.map(Search.termBucket(_, nBuckets)).distinct
+    Search.rankPhrase(
+      log.probe(col("tb").isin(tbs: _*) && col("term").isInCollection(uniq))
+        .select("id", "term", "positions"),
+      "id", t, k)
   }
 
   /** Keyword probe over the maintained store — [[Search.rankPostings]]'

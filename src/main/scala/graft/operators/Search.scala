@@ -110,11 +110,13 @@ object Search {
   // else (same written-artifact discipline as Similarity's LSH/IVF
   // stores and SpatialOps' cell store).
 
-  // v2: posting rows carry the document length (`dl`) and the store
-  // gains `_df` / `_bm25stats` sidecars — the version bump forces one
-  // rebuild of v1 stores instead of probing a schema they don't have
+  // v3: posting rows additionally carry the term's sorted token
+  // POSITIONS (the Lucene positional-postings discipline), making
+  // phrase queries an index probe; v2 added `dl` + the `_df` /
+  // `_bm25stats` sidecars — each version bump forces one rebuild of
+  // older stores instead of probing a schema they don't have
   def postingStorePath(sfDir: String, nBuckets: Int): String =
-    s"${graft.model.StorePaths.root}/${graft.model.StorePaths.key(sfDir)}/postings_b${nBuckets}v2"
+    s"${graft.model.StorePaths.root}/${graft.model.StorePaths.key(sfDir)}/postings_b${nBuckets}v3"
 
   /** Driver-side md5 bucket of a term — the same value
     * [[graft.operators.Sampling.hashBucket]] computes as a column, so
@@ -161,9 +163,14 @@ object Search {
       StorePaths.isCurrent(path, fp)
     if (!current) postingBuildLock.synchronized {
       if (!current) {
+        // posexplode: `pos` is the term's 0-based token position — kept
+        // per (term, doc) as a sorted array, the positional payload a
+        // phrase probe intersects ([[phraseTopK]])
         val tf = docs.select(col(idCol).as("doc_id"),
-            explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
-          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+            posexplode(TextAnalysis.tokens(lower(col(textCol)))))
+          .groupBy(col("col").as("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
           .localCheckpoint(eager = true) // postings, df, and stats share it
         // dl = Σ tf over the doc's terms — derived from the postings
         // themselves (one doc-keyed window), never a second tokenize
@@ -280,6 +287,58 @@ object Search {
       .filter(col("rk") <= topPerDoc)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rk"))
+  }
+
+  /** The positional phrase-match contract shared by the written-store
+    * and commit-maintained probes: given per-(term, doc) sorted
+    * position arrays for the phrase's terms, a document's `n_matches`
+    * is the number of token positions p where term i sits at p + i for
+    * every i — computed by intersecting the i-th term's positions
+    * shifted left by i. Overlapping occurrences count (a doc "a a a"
+    * matches the phrase "a a" twice), the semantics a positional index
+    * gives for free and substring replace-counting cannot. Input rows:
+    * (id, term, positions); one row per (term, doc). Returns
+    * (id, n_matches ≥ 1) top-k by (n_matches desc, id).
+    */
+  private[operators] def rankPhrase(rows: DataFrame, idCol: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    // one frame per phrase SLOT (a repeated term appears once per slot,
+    // each with its own shift), joined on the doc id: docs missing any
+    // phrase term drop out of the inner join chain
+    val slots = phrase.zipWithIndex.map { case (term, i) =>
+      val shifted =
+        if (i == 0) col("positions")
+        else transform(col("positions"), p => p - i)
+      rows.filter(col("term") === term)
+        .select(col(idCol), shifted.as(s"__p$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, Seq(idCol)))
+    val starts = (1 until phrase.length).foldLeft(col("__p0")) {
+      (acc, i) => array_intersect(acc, col(s"__p$i"))
+    }
+    joined.select(col(idCol), size(starts).cast("long").as("n_matches"))
+      .filter(col("n_matches") >= 1)
+      .orderBy(col("n_matches").desc, col(idCol)).limit(k)
+  }
+
+  /** Phrase query against a written v3 posting store: top-k documents
+    * containing the exact consecutive-token phrase, with overlapping
+    * occurrence counts ([[rankPhrase]]). Reads ONLY the phrase terms'
+    * bucket directories — the scan lists nothing else (PartitionFilters
+    * pinned by PostingStoreSpec); position arrays travel only for the
+    * matched terms' rows.
+    */
+  def phraseTopK(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      phrase: Seq[String], k: Int, nBuckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val t = phrase.map(_.toLowerCase) // order and repeats preserved
+    val uniq = t.distinct
+    val tbs = uniq.map(termBucket(_, nBuckets)).distinct
+    rankPhrase(
+      spark.read.parquet(storePath)
+        .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(uniq))
+        .select("doc_id", "term", "positions"),
+      "doc_id", t, k)
   }
 
   /** The same contract as ANSI SQL over the same table, for oracle

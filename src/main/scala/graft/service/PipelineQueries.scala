@@ -214,6 +214,21 @@ object PipelineQueries {
         Search.postingTopK(spark, path, terms, intParam(ps, "k"))
       }))
 
+    service.register(PipelineQuery("phrase_search",
+      Seq(ParamSpec("phrase", "string"),
+        ParamSpec("k", "long", required = false, default = Some(10L))),
+      ps => {
+        // whitespace-separated exact phrase (order and repeats matter);
+        // served from the written positional posting store — the q115
+        // surface: bucket-pruned read, shifted-position intersection
+        val phrase = ps("phrase").asInstanceOf[String].trim
+          .split("\\s+").toSeq.map(_.toLowerCase).filter(_.nonEmpty)
+        if (phrase.isEmpty)
+          throw new BadRequestException("'phrase' must list at least one token")
+        val path = Search.ensurePostingStore(docs, "doc_id", "text", sfDir)
+        Search.phraseTopK(spark, path, phrase, intParam(ps, "k"))
+      }))
+
     service.register(PipelineQuery("bigram_lm",
       Seq(ParamSpec("train_frac", "double", required = false, default = Some(0.9))),
       ps => {

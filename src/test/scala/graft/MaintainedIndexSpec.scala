@@ -124,6 +124,15 @@ class MaintainedIndexSpec extends SparkSpec {
     gs.txn().createVertices("doc",
       Seq((9001L, "zebrastripe zebrastripe rare")).toDF("id", "text")).commit()
     assert(got(Seq("zebrastripe"), 5) == Seq((9001L, 1L, 2L)))
+    // the positional payload rides the same delta: the committed doc
+    // PHRASE-matches in-commit ("zebrastripe zebrastripe" overlaps at
+    // one start; "zebrastripe rare" at one)
+    assert(idx.phrase(Seq("zebrastripe", "rare"), 5)
+      .as[(Long, Long)].collect().toSeq == Seq((9001L, 1L)))
+    assert(idx.phrase(Seq("zebrastripe", "zebrastripe"), 5)
+      .as[(Long, Long)].collect().toSeq == Seq((9001L, 1L)))
+    assert(idx.phrase(Seq("rare", "zebrastripe"), 5).count() == 0,
+      "phrase order must matter")
     assert(got(someTerms, 10) == direct(someTerms, 10))
     // the new doc shifts n/avgdl and ranks for its own terms — the
     // maintained stats sidecar must track both without a rebuild

@@ -68,6 +68,45 @@ class PostingStoreSpec extends SparkSpec {
     assert(stored === direct)
   }
 
+  test("phrase probe: partition-pruned plan, overlap counting, repeated terms") {
+    val path = Search.ensurePostingStore(docs, "doc_id", "text", sf)
+    val probe = Search.phraseTopK(spark, path, Seq("table", "part"), k = 25)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
+      s"phrase probe not bucket-pruned:\n$plan")
+    // ground truth from the raw text: count of token positions where
+    // the phrase starts (normalized-token join, same as the oracle)
+    val toks = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokens(lower(col("text"))).as("ts"))
+    def truth(phrase: Seq[String]): Map[Long, Long] = toks.collect().map { r =>
+      val ts = r.getSeq[String](1)
+      val n = ts.indices.count(i => i + phrase.length <= ts.length &&
+        phrase.indices.forall(j => ts(i + j) == phrase(j)))
+      r.getLong(0) -> n.toLong
+    }.filter(_._2 > 0).toMap
+    val got = probe.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = truth(Seq("table", "part"))
+    // top-25 of the truth under the same (n_matches desc, id) order
+    val wantTop = want.toSeq.sortBy { case (id, n) => (-n, id) }.take(25).toMap
+    assert(got === wantTop)
+
+    // a REPEATED-term phrase counts OVERLAPPING starts: build a tiny
+    // store where "a a a" must match "a a" twice
+    val tmpSrc = java.nio.file.Files.createTempDirectory("graft-phrase-src")
+    val srcPath = s"$tmpSrc/docs.parquet"
+    Seq((1L, "a a a b"), (2L, "a b a b"), (3L, "b b b"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(srcPath)
+    val fx = spark.read.parquet(srcPath)
+    val fxPath = Search.ensurePostingStore(fx, "doc_id", "text", srcPath,
+      fpSource = srcPath)
+    val aa = Search.phraseTopK(spark, fxPath, Seq("a", "a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(aa.toSeq == Seq((1L, 2L)), s"overlap contract: got ${aa.toSeq}")
+    val ab = Search.phraseTopK(spark, fxPath, Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ab == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("driver-side term bucket matches the column expression") {
     // probe pruning and store routing share one hash definition; if
     // they drift, probes silently miss postings

@@ -165,6 +165,11 @@ class ServiceSpec extends SparkSpec {
     assert(tk.columns.contains("term") && tk.filter(col("rk") > 2).count() == 0)
     val kp = service.runRegistered("keyword_probe", Map("terms" -> "Spark, merge"))
     assert(kp.columns.sameElements(Array("doc_id", "n_terms", "total_tf")) && kp.count() > 0)
+    val phr = service.runRegistered("phrase_search", Map("phrase" -> "Table part"))
+    assert(phr.columns.sameElements(Array("doc_id", "n_matches")) && phr.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("phrase_search", Map("phrase" -> "   "))
+    }
     val lm = service.runRegistered("bigram_lm", Map.empty)
     assert(lm.columns.sameElements(Array("doc_id", "n_bigrams", "score_ppm")) && lm.count() > 0)
     val sd = service.runRegistered("semantic_dedup", Map("threshold" -> "0.999"))
