@@ -655,6 +655,71 @@ object CatalogPipeline {
            |ORDER BY g.doc_id""".stripMargin
       }),
 
+    QueryDef("q116_nn_graph",
+      // near-neighbor GRAPH join (the SemDeDup inspection step): for
+      // EVERY vector, its cosine ≥ 0.999 neighbors ranked and capped at
+      // k=5 — via the LSH candidate equi-join + per-id rank window, no
+      // cartesian. Planted structure makes rank meaningful: every 50th
+      // vector gets a ×1.5 scaled copy and every 100th ALSO a ×2.25
+      // copy (exact-binary multipliers — float-mult and
+      // double-then-cast round identically, so both engines derive
+      // bit-identical copies; positive scaling preserves cosine), so
+      // %100 families have 3 mutually-parallel members and their rows
+      // carry rk 1..2. The oracle re-derives the truth exhaustively —
+      // a hash match certifies recall AND precision of the LSH path,
+      // and scaled copies share sign signatures by construction so
+      // recall on the planted families is exactly 1
+      (s, d) => {
+        val emb = Tpch.table(s, d, "embeddings").select("vec_id", "embedding")
+        val c15 = emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
+              .as("embedding"))
+        val c225 = emb.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(2.25f)).cast("float"))
+              .as("embedding"))
+        val aug = emb.unionAll(c15).unionAll(c225)
+        val (n, dim) = q108Stats.getOrElseUpdate(
+          s"${s.sparkContext.applicationId}:$d:nn", {
+            val c = aug.count()
+            val dm = aug.select(size(col("embedding"))).head().getInt(0)
+            (c, dm)
+          })
+        val bits = Similarity.autoSignatureBits(n)
+        val path = Similarity.ensureDedupSigStore(aug, "embedding", "vec_id", d,
+          dim, bits, nTables = 8, seed = 4203L,
+          fpSource = s"$d/embeddings.parquet")
+        Similarity.nnTopKJoin(aug, "vec_id", "embedding",
+            threshold = 0.999, k = 5,
+            buckets = Some(s.read.parquet(path)), knownCount = Some(n))
+          .orderBy("id", "rk") // nnTopKJoin's id column (= vec_id here)
+      },
+      Some("""WITH aug AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000,
+             |    list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+             |  FROM embeddings WHERE vec_id % 50 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 2000000,
+             |    list_transform(embedding, x -> CAST(x * 2.25 AS FLOAT))
+             |  FROM embeddings WHERE vec_id % 100 = 0),
+             |p AS (
+             |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, round(
+             |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |    (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) *
+             |     sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+             |  FROM aug a JOIN aug b ON a.vec_id <> b.vec_id),
+             |f AS (SELECT vec_id, nn_id, cos_sim FROM p WHERE cos_sim >= 0.999),
+             |r AS (SELECT vec_id, nn_id, cos_sim,
+             |    CAST(row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cos_sim DESC, nn_id) AS BIGINT) AS rk
+             |  FROM f)
+             |SELECT vec_id AS id, nn_id, cos_sim, rk FROM r WHERE rk <= 5
+             |ORDER BY id, rk""".stripMargin)),
+
     QueryDef("q78_stored_geometry",
       // geometry as a COLUMN value (geometry.lisp:22-27 slot storage):
       // per-nation diamond polygons stored as array<array<double>>

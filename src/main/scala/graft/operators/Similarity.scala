@@ -710,6 +710,41 @@ object Similarity {
   def autoSignatureBits(n: Long): Int =
     math.max(4, (math.log(math.max(n / 16.0, 1.0)) / math.log(2.0)).ceil.toInt)
 
+  /** Near-neighbor GRAPH join: for EVERY vector, its neighbors at
+    * cosine ≥ `threshold`, ranked (cos desc, neighbor id) and capped at
+    * `k` — the all-vectors analog of a single-query top-k, and the
+    * materialization step of SemDeDup-style curation (inspect each
+    * document's near-duplicate family), retrieval-eval harnesses, and
+    * graph-based label propagation over embeddings.
+    *
+    * Scale shape: the SAME sign-LSH candidate equi-join as
+    * [[cosineNearDups]] (ids-only bucket shuffle, occupancy-bounded
+    * signature width, NO cartesian anywhere), then one per-id rank
+    * window over the surviving ≥-threshold pairs — output is bounded
+    * by k per vector, so the result never exceeds k·n rows no matter
+    * how dense a near-dup family is. Returns (id, nn_id, cos_sim, rk).
+    */
+  def nnTopKJoin(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int, nBits: Int = 0, nTables: Int = 8,
+      seed: Long = 42L, buckets: Option[DataFrame] = None,
+      knownCount: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val bits =
+      if (nBits > 0) nBits
+      else autoSignatureBits(knownCount.getOrElse(df.count()))
+    val pairs = cosineNearDups(df, idCol, vecCol, threshold, bits, nTables,
+      seed, prebuilt = buckets)
+    val directed = pairs
+      .select(col("id_a").as("id"), col("id_b").as("nn_id"), col("cos_sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("id"), col("id_a").as("nn_id"), col("cos_sim")))
+    directed.withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("cos_sim").desc, col("nn_id")))
+        .cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 0, nTables: Int = 8,
       seed: Long = 42L, buckets: Option[DataFrame] = None,

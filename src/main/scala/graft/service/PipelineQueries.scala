@@ -290,6 +290,20 @@ object PipelineQueries {
         if (ps("only_dups").asInstanceOf[Boolean]) out.filter(!col("keep")) else out
       }))
 
+    service.register(PipelineQuery("nn_graph",
+      Seq(ParamSpec("threshold", "double", required = false, default = Some(0.99)),
+        ParamSpec("k", "long", required = false, default = Some(5L))),
+      ps => {
+        val threshold = ps("threshold").asInstanceOf[Double]
+        // same recall envelope as semantic_dedup (shared LSH path)
+        if (threshold < 0.99 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in [0.99, 1] " +
+            "(the auto-sized signature recall envelope)")
+        graft.operators.Similarity.nnTopKJoin(
+          Tpch.table(spark, sfDir, "embeddings"), "vec_id", "embedding",
+          threshold, intParam(ps, "k"))
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

@@ -62,7 +62,9 @@ object ScaleCheck {
     "q108_semantic_dedup",
     "q111_bm25_stored",
     "q112_ivfpq_ann",
-    "q113_tfidf_stored")
+    "q113_tfidf_stored",
+    "q115_phrase_search",
+    "q116_nn_graph")
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)

@@ -124,6 +124,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fromStore === fromScratch)
   }
 
+  test("nnTopKJoin: ranked per-vector neighbors, k cap, threshold floor") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(2f, 0f, 0f, 0f)),       // parallel to v1 (cos 1.0)
+      (3L, Seq(0.9999f, 0.01f, 0f, 0f)), // ≈ v1/v2 (cos ≈ 0.99995)
+      (4L, Seq(0f, 1f, 0f, 0f)),       // orthogonal — no neighbors
+      (5L, Seq(0f, 2f, 0f, 0f))        // parallel to v4
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.nnTopKJoin(vecs, "vec_id", "embedding",
+        threshold = 0.999, k = 2)
+      .orderBy("id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // the 1-2-3 family: exact-parallel partner ranks first (cos 1.0),
+    // the ≈-copy second; the 4-5 pair is its own family
+    assert(out.map(t => (t._1, t._2, t._4)) === Array(
+      (1L, 2L, 1L), (1L, 3L, 2L),
+      (2L, 1L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 1L), (3L, 2L, 2L),
+      (4L, 5L, 1L), (5L, 4L, 1L)))
+    // ids 1 and 2 have an exact-parallel rank-1 partner (cos 1.0);
+    // id 3's best neighbor is the ≈-copy (cos just under 1)
+    assert(out.filter(t => t._1 <= 2 && t._4 == 1L).forall(_._3 == 1.0))
+    assert(out.filter(t => t._1 == 3L && t._4 == 1L).forall(t => t._3 >= 0.999 && t._3 < 1.0))
+    // k truly caps: with k=1 each of 1-2-3 keeps only its best neighbor
+    val capped = Similarity.nnTopKJoin(vecs, "vec_id", "embedding",
+        threshold = 0.999, k = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped === Array((1L, 2L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 4L)))
+  }
+
   test("Curate: a near-dup twin survives the exact tier but drops via the keep-list") {
     import graft.operators.Curate
     // two near-duplicate (NOT byte-identical) fluent docs + one clean

@@ -174,6 +174,12 @@ class ServiceSpec extends SparkSpec {
     assert(lm.columns.sameElements(Array("doc_id", "n_bigrams", "score_ppm")) && lm.count() > 0)
     val sd = service.runRegistered("semantic_dedup", Map("threshold" -> "0.999"))
     assert(sd.columns.sameElements(Array("vec_id", "rep_id", "keep")))
+    val nng = service.runRegistered("nn_graph", Map("threshold" -> "0.999", "k" -> "3"))
+    assert(nng.columns.sameElements(Array("id", "nn_id", "cos_sim", "rk")))
+    assert(nng.filter(col("rk") > 3).count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("nn_graph", Map("threshold" -> "0.5"))
+    }
     intercept[BadRequestException] {
       service.runRegistered("keyword_probe", Map("terms" -> " , "))
     }
