@@ -579,6 +579,27 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
     }
   }
 
+  /** Embedding near-duplicate pairs over the CURRENT store state,
+    * served from the maintained buckets (no re-signing of unchanged
+    * vectors) — the vector analog of [[SignatureIndex.nearDups]]: a
+    * vector committed one statement ago is already a semantic near-dup
+    * candidate, no rebuild.
+    */
+  def nearDups(threshold: Double = 0.9): DataFrame =
+    Similarity.cosineNearDups(
+      gs.graph().vertices(label).select(col("id"), col(vecCol)),
+      "id", vecCol, threshold,
+      prebuilt = Some(log.probe(lit(true)).select("id", "table", "bucket")))
+
+  /** Per-vector ranked near-neighbor graph ([[Similarity.nnTopKJoin]])
+    * over the CURRENT store state, from the maintained buckets.
+    */
+  def nnGraph(threshold: Double, k: Int): DataFrame =
+    Similarity.nnTopKJoin(
+      gs.graph().vertices(label).select(col("id"), col(vecCol)),
+      "id", vecCol, threshold, k,
+      buckets = Some(log.probe(lit(true)).select("id", "table", "bucket")))
+
   /** ANN top-k over the maintained store — the partition-pruned probe
     * of [[Similarity.annTopKStored]] plus the delta/tombstone merge.
     */

@@ -306,6 +306,23 @@ class MaintainedIndexSpec extends SparkSpec {
     val afterCreate = stored()
     assert(afterCreate.head == ((9001L, 1.0)), s"new exact match must rank first: $afterCreate")
     assert(afterCreate == scan())
+    // the committed twin is also a NEAR-DUP candidate from the same
+    // maintained buckets (the vector analog of SignatureIndex.nearDups)
+    // — the corpus itself has no >= 0.999 pairs, so the planted copy
+    // of a real vector (id 9001 copies vec 0's embedding, which is NOT
+    // in the store) pairs with nothing, but a copy of a STORED vector
+    // must pair with its original in-commit
+    val v7: Array[Float] = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    gs.txn().createVertices("emb", Seq((9002L, v7)).toDF("id", "v")).commit()
+    assert(ann.nearDups(threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet == Set((7L, 9002L)),
+      "committed twin must be a near-dup candidate with no rebuild")
+    val g7 = ann.nnGraph(threshold = 0.999, k = 3)
+      .select("id", "nn_id", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(g7 == Set((7L, 9002L, 1L), (9002L, 7L, 1L)))
+    gs.txn().deleteVertices("emb", Seq(9002L).toDF("id")).commit()
+    assert(ann.nearDups(threshold = 0.999).count() == 0)
 
     // update: an existing id re-embedded to the query vector — may MOVE
     // buckets; its stale row must be retired by the tombstone epoch,
