@@ -655,6 +655,85 @@ object CatalogPipeline {
            |ORDER BY g.doc_id""".stripMargin
       }),
 
+    QueryDef("q117_curate_semantic",
+      // the q110 curation chain COMPOSED with EMBEDDING-space semantic
+      // dedup (the SemDeDup pipeline proper — q114 composes the
+      // jaccard/text tier, this composes the vector tier): every 97th
+      // vector adopts its successor's embedding (bit-identical copy —
+      // no float arithmetic at all), so {x, x+1} are exact semantic
+      // twins among REAL doc ids; semanticDedup keeps the min-id rep
+      // and the curated set drops the twin. The keep-list is applied as
+      // the complement of the DROPPED ids, so documents with no
+      // embedding row (sf0.1 has 5k docs but 2k vectors) pass through
+      // instead of vanishing on the semi-join
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val emb = Tpch.table(s, d, "embeddings").select("vec_id", "embedding")
+        val donor = emb.select((col("vec_id") - 1).as("vec_id"),
+          col("embedding").as("__succ"))
+        val emb2 = emb.join(donor, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("vec_id") % 97 === 0 && col("__succ").isNotNull,
+              col("__succ")).otherwise(col("embedding")).as("embedding"))
+        val dropped = Similarity.semanticDedup(emb2, "vec_id", "embedding",
+            threshold = 0.999)
+          .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+        val keep = docs.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
+        graft.operators.Curate(docs, "doc_id", "text",
+            nearDupKeep = Some(keep))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
+        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
+        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"len(list_filter($toks, " +
+          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
+        s"""WITH RECURSIVE q AS (SELECT doc_id, text,
+           |    CAST($nTok AS BIGINT) AS n_tokens,
+           |    CAST($sumLen AS BIGINT) AS sum_token_len,
+           |    CAST($nPunct AS BIGINT) AS n_punct,
+           |    CAST($nStop AS BIGINT) AS n_stop
+           |  FROM documents),
+           |g AS (SELECT doc_id, text, n_tokens FROM q
+           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
+           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
+           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
+           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
+           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+           |emb2 AS (SELECT a.vec_id,
+           |    CASE WHEN a.vec_id % 97 = 0 AND b.vec_id IS NOT NULL
+           |      THEN b.embedding ELSE a.embedding END AS embedding
+           |  FROM embeddings a LEFT JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+           |  WHERE round(
+           |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+           |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+           |    (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) *
+           |     sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 6) >= 0.999),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p
+           |  UNION ALL SELECT id_b, id_a FROM p),
+           |reach(id, rr) AS (
+           |  SELECT vec_id, vec_id FROM emb2
+           |  UNION
+           |  SELECT e.a, reach.rr FROM e JOIN reach ON reach.id = e.b),
+           |dk AS (SELECT id FROM reach GROUP BY id HAVING id <> min(rr))
+           |SELECT g.doc_id,
+           |  CASE WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
+           |    THEN 'train'
+           |    WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950
+           |    THEN 'val' ELSE 'test' END AS split,
+           |  n_tokens
+           |FROM g JOIN r USING (doc_id)
+           |WHERE g.doc_id NOT IN (SELECT id FROM dk)
+           |ORDER BY g.doc_id""".stripMargin
+      }),
+
     QueryDef("q116_nn_graph",
       // near-neighbor GRAPH join (the SemDeDup inspection step): for
       // EVERY vector, its cosine ≥ 0.999 neighbors ranked and capped at
