@@ -33,7 +33,9 @@ object Bench {
     "q106_posting_probe", // written inverted-index probe (round 6)
     "q108_semantic_dedup", // SemDeDup keep-list over the LSH store (round 7)
     "q111_bm25_stored",   // posting-store BM25 probe (round 7)
-    "q112_ivfpq_ann")     // composed IVF-PQ probe, cell-pruned codes (round 7)
+    "q112_ivfpq_ann",     // composed IVF-PQ probe, cell-pruned codes (round 7)
+    "q115_phrase_search", // positional phrase probe (round 7)
+    "q116_nn_graph")      // per-vector ranked near-neighbor join (round 7)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after
