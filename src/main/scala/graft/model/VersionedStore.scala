@@ -161,6 +161,50 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   /** Full version history (the MVCC chain; mvcc-tests analog). */
   def history(label: String): DataFrame = versions(label, currentEpoch)
 
+  /** Write-telemetry report — the reference's stats surface
+    * (stats.lisp:3-18 `graph-writes-report`: sorted (time, writes)
+    * pairs per graph) re-derived from the versioned layout itself: one
+    * row per (table, commit_epoch) with its staged row-version count
+    * and commit wall-clock (the epoch directory's mtime). The commit
+    * log IS the statistic — no in-memory counters to maintain, lose on
+    * restart, or sync across a cluster; epochs above the committed
+    * pointer (crashed commits) are excluded exactly as readers exclude
+    * them. Read-side telemetry is deliberately NOT mirrored: the
+    * reference counts reads because it is the in-process server
+    * (stats.lisp:20-35); here reads are Spark jobs, whose metrics the
+    * Spark UI / listener bus already reports per scan.
+    */
+  def writeReport(): DataFrame = {
+    import spark.implicits._
+    val committed = currentEpoch
+    val tables = Dirs.childNames(Paths.get(dir))
+      .filter(n => !n.startsWith("_") && !n.endsWith("__cur") &&
+        Files.isDirectory(Paths.get(labelDir(n))) &&
+        Dirs.childNames(Paths.get(labelDir(n))).exists(_.startsWith("commit_epoch=")))
+      .sorted
+    val meta = tables.flatMap { t =>
+      Dirs.childNames(Paths.get(labelDir(t)))
+        .filter(_.startsWith("commit_epoch="))
+        .map(_.stripPrefix("commit_epoch=").toLong)
+        .filter(_ <= committed)
+        .map { e =>
+          val mtime = Files.getLastModifiedTime(
+            Paths.get(labelDir(t), s"commit_epoch=$e")).toMillis
+          (t, e, mtime)
+        }
+    }
+    val mtimes = meta.toDF("table", "commit_epoch", "__mtime_ms")
+    val counts = tables.map { t =>
+      versions(t, committed).groupBy(col("commit_epoch"))
+        .agg(count(lit(1)).as("rows")).withColumn("table", lit(t))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, Long, Long)].toDF("table", "commit_epoch", "rows"))
+    counts.join(broadcast(mtimes), Seq("table", "commit_epoch"))
+      .select(col("table"), col("commit_epoch"), col("rows"),
+        (col("__mtime_ms") / 1000).cast("timestamp").as("committed_at"))
+      .orderBy("table", "commit_epoch")
+  }
+
   // ---- current-state index --------------------------------------------
   //
   // Layout per table (sibling of the table dir):

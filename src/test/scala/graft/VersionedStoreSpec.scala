@@ -27,6 +27,23 @@ class VersionedStoreSpec extends SparkSpec {
     assert(got == Map(1L -> "alice", 2L -> "bob"))
   }
 
+  test("writeReport: per-epoch write telemetry from the commit log alone") {
+    val st = freshStore
+    st.commit(Map("v" ->
+      Seq((1L, 1L, false, "a"), (2L, 1L, false, "b")).toDF("id", "rev", "deleted", "name")))
+    st.commit(Map(
+      "v" -> Seq((3L, 1L, false, "c")).toDF("id", "rev", "deleted", "name"),
+      "e" -> Seq((1L, 1L, false, 2L)).toDF("id", "rev", "deleted", "dst")))
+    val rep = st.writeReport()
+      .select("table", "commit_epoch", "rows")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rep == Seq(("e", 2L, 1L), ("v", 1L, 2L), ("v", 2L, 1L)))
+    // committed_at populated and monotone per table
+    val ts = st.writeReport().filter(col("table") === "v")
+      .select(col("committed_at").cast("long")).as[Long].collect().toSeq
+    assert(ts.forall(_ > 0) && ts == ts.sorted)
+  }
+
   test("update creates new revision; snapshot read sees the old one") {
     val st = freshStore
     val e1 = st.commit(Map("v" -> Seq((1L, 1L, false, "alice")).toDF("id", "rev", "deleted", "name")))
