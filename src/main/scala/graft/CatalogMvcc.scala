@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Dirs, StorePaths, VersionedStore}
+
+/** Oracle-checked MVCC + CDC surface: the reference's snapshot reads
+  * (`:snapshot`, mvcc-tests — a query pinned to an epoch sees exactly
+  * that epoch's world) and its transaction-log tail (the slave
+  * replication feed, transactions.lisp:884-1003) were spec-only rows
+  * until now. Here a [[graft.model.VersionedStore]] is built
+  * DETERMINISTICALLY from documents.parquet — two commits whose
+  * contents are pure doc_id arithmetic — so DuckDB can recompute the
+  * expected state of any epoch from the source table alone, and the
+  * store's time-travel answers become hash-checkable like any other
+  * catalog query.
+  *
+  * Commit script (all rows derived from documents.parquet):
+  *   - epoch 1: every even doc_id, rev 1;
+  *   - epoch 2: every odd doc_id (rev 1), PLUS rev-2 updates of ids
+  *     divisible by 10 (source column rewritten to 'revised'), PLUS
+  *     rev-2 tombstones of ids divisible by 14 but not by 10.
+  * The three epoch-2 slices are disjoint by construction (10|id and
+  * 14|id imply even), so OCC sees each id at most once per commit.
+  */
+object CatalogMvcc {
+
+  private val buildLock = new Object
+
+  private[graft] def mvccStorePath(sfDir: String): String =
+    s"${StorePaths.root}/${StorePaths.key(sfDir)}/mvcc_docs_v1"
+
+  /** Build-if-absent (and rebuild-if-stale, same fingerprint-stamp
+    * discipline as every other materialized store) two-epoch versioned
+    * store over the documents table.
+    */
+  private[graft] def ensureMvccStore(spark: SparkSession, sfDir: String): String = {
+    val path = mvccStorePath(sfDir)
+    val fp = StorePaths.fingerprint(s"$sfDir/documents.parquet")
+    def current = StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
+        Dirs.rmTree(Paths.get(path)) // a stale store must not gain epochs 3+
+        val st = new VersionedStore(spark, path)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        def versionRows(df: DataFrame, rev: Long, deleted: Boolean): DataFrame =
+          df.select(col("doc_id").as("id"), lit(rev).as("rev"),
+            lit(deleted).as("deleted"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+        val evens = versionRows(docs.filter(col("doc_id") % 2 === 0), 1L, deleted = false)
+        st.commit(Map("docs" -> evens))
+        val odds = versionRows(docs.filter(col("doc_id") % 2 === 1), 1L, deleted = false)
+        val updates = versionRows(docs.filter(col("doc_id") % 10 === 0), 2L, deleted = false)
+          .withColumn("source", lit("revised"))
+        val tombs = versionRows(
+          docs.filter(col("doc_id") % 14 === 0 && col("doc_id") % 10 =!= 0),
+          2L, deleted = true)
+        st.commit(Map("docs" -> odds.unionByName(updates).unionByName(tombs)))
+        StorePaths.stamp(path, fp)
+      }
+    }
+    path
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Snapshot read pinned to epoch 1: the world before the second
+    // commit — only the even ids, all at rev 1; later revisions,
+    // inserts, and tombstones are invisible. Epoch dirs are partition
+    // dirs, so the snapshot read prunes to commit_epoch<=1 at the file
+    // level instead of filtering the history.
+    QueryDef("q121_mvcc_asof",
+      (s, d) => {
+        val st = new VersionedStore(s, ensureMvccStore(s, d))
+        st.read("docs", asOf = Some(1L))
+          .select(col("id"), col("rev"), col("lang"), col("n_chars"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, CAST(1 AS BIGINT) AS rev, lang, n_chars
+             |FROM documents WHERE doc_id % 2 = 0 ORDER BY id""".stripMargin)),
+
+    // Current-state read: latest visible revision per id — rev-2
+    // payloads supersede (source='revised'), tombstoned ids disappear,
+    // epoch-2 inserts are present.
+    QueryDef("q122_mvcc_current",
+      (s, d) => {
+        val st = new VersionedStore(s, ensureMvccStore(s, d))
+        st.read("docs")
+          .select(col("id"), col("rev"), col("source"), col("n_chars"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+             |  CASE WHEN doc_id % 10 = 0 THEN CAST(2 AS BIGINT)
+             |       ELSE CAST(1 AS BIGINT) END AS rev,
+             |  CASE WHEN doc_id % 10 = 0 THEN 'revised' ELSE source END AS source,
+             |  n_chars
+             |FROM documents
+             |WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)
+             |ORDER BY id""".stripMargin)),
+
+    // CDC tail: every version row committed after epoch 1 — the exact
+    // feed a replication slave applies (Streams.commitLogStream serves
+    // the same rows as a stream; ReplicationSpec pins that path). The
+    // epoch range prunes to the epoch-2 partition dirs only.
+    QueryDef("q123_changes_since",
+      (s, d) => {
+        val st = new VersionedStore(s, ensureMvccStore(s, d))
+        st.changesSince("docs", fromExclusive = 1L, toInclusive = st.currentEpoch)
+          .select(col("id"), col("rev"), col("deleted"),
+            col("commit_epoch").cast("long").as("commit_epoch"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, CAST(1 AS BIGINT) AS rev,
+             |  FALSE AS deleted, CAST(2 AS BIGINT) AS commit_epoch
+             |FROM documents WHERE doc_id % 2 = 1
+             |UNION ALL
+             |SELECT doc_id, CAST(2 AS BIGINT), FALSE, CAST(2 AS BIGINT)
+             |FROM documents WHERE doc_id % 10 = 0
+             |UNION ALL
+             |SELECT doc_id, CAST(2 AS BIGINT), TRUE, CAST(2 AS BIGINT)
+             |FROM documents WHERE doc_id % 14 = 0 AND doc_id % 10 <> 0
+             |ORDER BY id""".stripMargin)))
+}

@@ -1,0 +1,156 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.QueryDef.{cents, centsToDollars}
+import graft.streaming.Streams
+
+/** Structured-Streaming executions of the event/ingest operators,
+  * oracle-checked for STREAM/BATCH EQUIVALENCE: each query here runs a
+  * real streaming job (file source → stateful transform → memory sink,
+  * `Trigger.AvailableNow`) over the same parquet the batch catalog
+  * reads, and its result is hash-compared against the same DuckDB
+  * oracle a batch query would use. That is the reference's incremental
+  * contract — a view maintained per-commit must equal the view
+  * recomputed from scratch (views.lisp:331-374 regenerate-view) —
+  * restated for Spark's streaming engine, which the reference lacked.
+  *
+  * The memory sink + complete/append modes below are the equivalence
+  * HARNESS, not the deployment shape: production streams land in
+  * parquet/Kafka sinks with the same transform plans (StreamingSpec
+  * pins those compositions), where complete mode is replaced by
+  * update-mode upserts and the watermark actually evicts state.
+  */
+object CatalogStreaming {
+
+  private val runSeq = new AtomicLong()
+
+  /** Run a streaming frame to completion (AvailableNow drains every
+    * available input file, then stops) into a uniquely-named in-memory
+    * table and return it as a batch frame.
+    */
+  private def runToMemory(spark: SparkSession, df: DataFrame,
+      mode: String): DataFrame = {
+    val name = s"graft_stream_${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** The events table as a file STREAM (same ns→µs conversion as the
+    * batch reader, [[QueryDef.events]]). The single source file arrives
+    * as one micro-batch; at scale the same plan tails a growing
+    * directory or Kafka topic micro-batch by micro-batch.
+    */
+  /** File-stream one table out of the sf directory: the source path
+    * must be a DIRECTORY (FileStreamSource passes it as basePath), so
+    * the stream watches the dir with a glob pinned to the table's file
+    * — the same shape as tailing a landing directory in production.
+    */
+  private def streamTable(spark: SparkSession, sfDir: String,
+      file: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/$file").schema
+    spark.readStream.schema(schema).option("pathGlobFilter", file)
+      .parquet(sfDir)
+  }
+
+  private def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    streamTable(spark, sfDir, "events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def streamDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    streamTable(spark, sfDir, "documents.parquet")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Watermarked tumbling-window aggregation, streamed: the q60 shape
+    // through the streaming engine. window("1 hour").start ==
+    // date_trunc('hour') in UTC, and the money sum uses the shared
+    // integer-cents discipline so the streaming partial-agg order
+    // cannot drift the double.
+    QueryDef("q118_stream_window_agg",
+      (s, d) => {
+        val agg = streamEvents(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents_"))
+        runToMemory(s, agg, "complete")
+          .select(col("window.start").as("bucket"), col("event_type"),
+            col("n"), centsToDollars(col("cents_")).as("total_value"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)),
+
+    // Gap-based sessionization with EXPLICIT state
+    // (flatMapGroupsWithState, Streams.sessionize): the streaming
+    // engine emits a session only once a later event closes it, so the
+    // oracle is q61's session assembly minus each user's final
+    // (still-open) session. Event times are floored to whole seconds on
+    // the Spark side so the gap compare matches DuckDB's
+    // date_diff('second') boundary counting.
+    QueryDef("q119_stream_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val evs = streamEvents(s, d)
+          .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+            col("event_type"), col("value"))
+          .as[Streams.Event]
+        val sessions = Streams.sessionize(evs, gapMillis = 1800L * 1000L)
+        runToMemory(s, sessions.toDF(), "append")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_closed"), sum("n_events").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             |    THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                  ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM e),
+             |grouped AS (
+             |  SELECT user_id, sid, count(*) AS n_ev FROM sess GROUP BY 1, 2),
+             |marked AS (
+             |  SELECT user_id, sid, n_ev,
+             |    max(sid) OVER (PARTITION BY user_id) AS last_sid
+             |  FROM grouped)
+             |SELECT user_id, count(*) AS n_closed,
+             |  CAST(sum(n_ev) AS BIGINT) AS n_events
+             |FROM marked WHERE sid < last_sid
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // Streaming ingest dedup with bounded state
+    // (dropDuplicatesWithinWatermark): the one-batch drain emits
+    // exactly the distinct content set — the batch dedup answer —
+    // while the operator's state contract (hashes evicted once the
+    // watermark passes) is what survives an unbounded stream.
+    // Event-time here is synthesized from doc_id; a real ingest
+    // carries its own arrival time.
+    QueryDef("q120_stream_dedup",
+      (s, d) => {
+        // +1 day: a synthetic event time of exactly epoch 0 (doc_id 0)
+        // would sit AT the initial watermark and be dropped as late
+        val docs = streamDocuments(s, d)
+          .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+        val deduped = Streams.dedupStreamBounded(docs, "ts", "text", "7 days")
+          .select(col("content_hash"))
+        runToMemory(s, deduped, "append").orderBy("content_hash")
+      },
+      Some("""SELECT DISTINCT md5(text) AS content_hash
+             |FROM documents ORDER BY content_hash""".stripMargin)))
+}

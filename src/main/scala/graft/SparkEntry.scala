@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val catalog: Seq[QueryDef] =
-    CatalogCore.defs ++ CatalogPipeline.defs ++ CatalogExtra.defs ++ CatalogSearch.defs
+    CatalogCore.defs ++ CatalogPipeline.defs ++ CatalogExtra.defs ++
+      CatalogSearch.defs ++ CatalogStreaming.defs ++ CatalogMvcc.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -80,6 +80,23 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** [[dedupStream]] with TRULY bounded state: `dropDuplicates` on a
+    * non-event-time key keeps every key forever even under a watermark
+    * (the subset must include the event-time column for eviction to
+    * apply), so at corpus scale the state store grows with the distinct
+    * hash count. `dropDuplicatesWithinWatermark` is the bounded
+    * operator: a hash's state is dropped once the watermark passes its
+    * event time, trading "a duplicate arriving later than the horizon
+    * re-emits" for state proportional to the horizon — the contract an
+    * unbounded ingest pipeline actually wants.
+    */
+  def dedupStreamBounded(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, startMs: Long, endMs: Long, n_events: Int)

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The streaming catalog tier (q118-q120) asserts STREAM/BATCH
+  * EQUIVALENCE: each streaming execution must equal the same transform
+  * computed as a plain batch query — the engine-level restatement of
+  * the reference's "incremental view == regenerated view" contract.
+  * (Verify additionally hash-checks these against DuckDB; here the
+  * batch side is recomputed in Spark so CI needs no oracle binary.)
+  */
+class StreamCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q118: streamed windowed agg equals the batch aggregation") {
+    val streamed = run("q118_stream_window_agg").collect().toSeq
+    val batch = QueryDef.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        QueryDef.centsToDollars(sum(QueryDef.cents(col("value")))).as("total_value"))
+      .orderBy("bucket", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("q119: streamed sessions equal batch sessions minus each user's open one") {
+    val streamed = run("q119_stream_sessionize")
+      .as[(Long, Long, Long)].collect().toSeq
+    // batch recomputation: all sessions via the stateless assembler,
+    // then drop each user's last (the one the stream holds open)
+    val evs = QueryDef.events(spark, sf)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+        col("event_type"), col("value"))
+      .as[graft.streaming.Streams.Event]
+    val all = graft.streaming.Streams.openSessions(evs, 1800L * 1000L)
+      .collect().toSeq
+    val closed = all.groupBy(_.user_id).toSeq.flatMap { case (_, ss) =>
+      ss.sortBy(_.startMs).dropRight(1)
+    }
+    val expected = closed.groupBy(_.user_id).map { case (u, ss) =>
+      (u, ss.size.toLong, ss.map(_.n_events.toLong).sum)
+    }.toSeq.sortBy(_._1)
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("q120: streamed dedup emits exactly the distinct content set") {
+    val streamed = run("q120_stream_dedup").as[String].collect().toSeq
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .select(md5(col("text")).as("h")).distinct()
+      .orderBy("h").as[String].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("memory-sink runs are isolated: re-running a streaming query is deterministic") {
+    val a = run("q120_stream_dedup").as[String].collect().toSeq
+    val b = run("q120_stream_dedup").as[String].collect().toSeq
+    assert(a == b)
+  }
+}

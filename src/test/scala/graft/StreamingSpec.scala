@@ -190,6 +190,33 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.replicationStream(log, None).count() == 2)
   }
 
+  test("bounded streaming dedup: duplicates within the horizon drop, state evicts past it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = Streams.dedupStreamBounded(docs, "ts", "text", watermark = "10 minutes")
+      .select("text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_bounded").start()
+    // batch 1: duplicate within the same batch drops
+    input.addData((ts(0), "alpha"), (ts(1), "beta"), (ts(2), "alpha"))
+    q.processAllAvailable()
+    // batch 2: still within the 10-minute horizon of the alpha state
+    input.addData((ts(5), "alpha"), (ts(6), "gamma"))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past alpha's event time —
+    // its dedup state is evicted, so a late re-arrival re-emits: the
+    // bounded-state trade-off, pinned as documented behavior
+    input.addData((ts(120), "delta"))
+    q.processAllAvailable()
+    input.addData((ts(121), "alpha"))
+    q.processAllAvailable()
+    val got = spark.sql("select text from dedup_bounded").as[String].collect().sorted
+    assert(got.sameElements(Array("alpha", "alpha", "beta", "delta", "gamma")),
+      got.mkString(","))
+    q.stop()
+  }
+
   test("streaming dedup drops repeated content within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
