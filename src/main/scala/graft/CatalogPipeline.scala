@@ -1212,6 +1212,42 @@ object CatalogPipeline {
              |FROM tg LEFT JOIN eg ON tg.g = eg.g
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q124_bloom_decontaminate",
+      // q79's report through the UNBOUNDED-eval plan: no broadcast —
+      // a bloom sketch of the eval n-gram hashes (built executor-side,
+      // one bit-array to the driver) prefilters the train grams, and
+      // only probable hits reach the exact-confirm shuffle join. Same
+      // oracle as q79: the sketch changes the plan, never the answer.
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents").withColumn("split",
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05),
+            rest = "test"))
+        Decontaminate.evalOverlapBloom(
+          docs.filter(col("split") === "train"),
+          docs.filter(col("split") === "test"),
+          "doc_id", "text", n = 5, flagAtPct = 20)
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, text,
+             |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, text,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |    FROM documents)),
+             |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok
+             |  FROM s WHERE split = 'train'),
+             |e AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS tok
+             |  FROM s WHERE split = 'test'),
+             |tg AS (SELECT doc_id, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+             |  ELSE list_distinct(list_transform(range(len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' '))) END) AS g FROM t),
+             |eg AS (SELECT DISTINCT unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+             |  ELSE list_distinct(list_transform(range(len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' '))) END) AS g FROM e)
+             |SELECT tg.doc_id, count(*) AS n_grams, count(eg.g) AS n_hit,
+             |  (count(eg.g) * 100 >= count(*) * 20) AS contaminated
+             |FROM tg LEFT JOIN eg ON tg.g = eg.g
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q80_repetition",
       // Gopher-rule repetition filters at token granularity; exact
       // per-myriad integers (10000 div) — no floating point on either

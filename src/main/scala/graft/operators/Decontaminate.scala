@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Train/eval decontamination — flag training documents whose word
   * n-grams overlap an evaluation corpus (the benchmark-leakage check
@@ -54,5 +58,51 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
       .select(col("__id").as(idCol), col("n_grams"), col("n_hit"),
         (col("n_hit") * 100 >= col("n_grams") * flagAtPct).as("contaminated"))
+  }
+
+  /** [[evalOverlap]] for an eval corpus too large to broadcast: the
+    * exact-confirm join still runs as a shuffle, but only over train
+    * n-grams that survive a BLOOM prefilter built from the eval hash
+    * set — Spark's own runtime-filter sketch
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the codegen
+    * pair behind `spark.sql.optimizer.runtimeFilter.*`), driven
+    * explicitly. One pass over eval builds the sketch (partial blooms
+    * merge associatively executor-side; only the final bit array —
+    * `numBits/8` bytes, NOT the eval set — reaches the driver and
+    * ships back as a literal, the codebook discipline). The shuffle
+    * then moves only probable hits: at a realistic overlap rate the
+    * exchange shrinks from every-train-gram to ~(true hits + fpp ·
+    * train grams). False positives die in the confirm join, so the
+    * report is bit-identical to [[evalOverlap]] — the sketch changes
+    * the plan, never the answer.
+    */
+  def evalOverlapBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, flagAtPct: Int = 20,
+      estimatedEvalGrams: Long = 4L * 1000 * 1000): DataFrame = {
+    require(flagAtPct >= 0 && flagAtPct <= 100, "flagAtPct in [0,100]")
+    require(estimatedEvalGrams > 0, "estimatedEvalGrams must be positive")
+    val evalGrams = docNgramHashes(eval, idCol, textCol, n)
+      .select(col("gh")).distinct()
+    val bloomCol = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(col("gh")), estimatedEvalGrams).toAggregateExpression())
+    val bloomBytes = evalGrams.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+    val trainGrams = docNgramHashes(train, idCol, textCol, n)
+    val totals = trainGrams.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    // empty eval → no sketch (NULL aggregate) → zero hits by definition
+    val hits =
+      if (bloomBytes == null)
+        totals.select(col("__id"), lit(0L).as("n_hit")).limit(0)
+      else {
+        val mightContain = Bridge.column(BloomFilterMightContain(
+          Literal(bloomBytes, BinaryType), Bridge.expression(col("gh"))))
+        trainGrams.filter(mightContain)
+          .join(evalGrams, Seq("gh"), "left_semi")
+          .groupBy(col("__id")).agg(count(lit(1)).as("n_hit"))
+      }
+    totals.join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * 100 >= col("n_grams") * flagAtPct)
+          .as("contaminated"))
   }
 }

@@ -45,6 +45,29 @@ class DecontaminateSpec extends SparkSpec {
     assert(hit === ((7L, 1L, 1L, true)))
   }
 
+  test("bloom-prefiltered overlap is bit-identical to the broadcast path") {
+    val a = Decontaminate.evalOverlap(train, eval_, "doc_id", "text",
+      n = 5, flagAtPct = 20).orderBy("doc_id").collect()
+    val b = Decontaminate.evalOverlapBloom(train, eval_, "doc_id", "text",
+      n = 5, flagAtPct = 20).orderBy("doc_id").collect()
+    assert(a === b)
+    // and on the real table, against the real split shape
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val half = docs.filter($"doc_id" % 3 === 0)
+    val x = Decontaminate.evalOverlap(docs, half, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    val y = Decontaminate.evalOverlapBloom(docs, half, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(x === y)
+  }
+
+  test("bloom path: empty eval corpus yields zero hits, not a crash") {
+    val out = Decontaminate.evalOverlapBloom(train, eval_.limit(0),
+      "doc_id", "text", n = 5, flagAtPct = 20).orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out === Array((1L, 2L, 0L, false), (2L, 1L, 0L, false), (3L, 2L, 0L, false)))
+  }
+
   test("repetitionMetrics: exact per-myriad integers") {
     val docs = Seq(
       (1L, "x x x x"),     // 4 tokens, 1 distinct; bigrams: 3×"x x" → 1 distinct
