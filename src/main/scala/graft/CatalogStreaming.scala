@@ -61,8 +61,7 @@ object CatalogStreaming {
 
   private def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamTable(spark, sfDir, "events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    QueryDef.tsMicros(streamTable(spark, sfDir, "events.parquet"))
   }
 
   private def streamDocuments(spark: SparkSession, sfDir: String): DataFrame =

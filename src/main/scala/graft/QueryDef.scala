@@ -23,13 +23,29 @@ object QueryDef {
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
   def centsToDollars(c: Column): Column = c.cast("double") / 100.0
 
-  /** Read the events table (ns-precision timestamps, which Spark's
-    * parquet reader rejects by default): read as long ns, convert to a
-    * µs timestamp — the same truncation DuckDB applies natively.
+  /** Normalize an events frame's `ts` to a session-zone (UTC) µs
+    * timestamp regardless of how the generator encoded it: ns-precision
+    * files are readable only as long ns (legacy flag) and convert with
+    * the same truncation DuckDB applies natively; µs files arrive as
+    * TIMESTAMP_NTZ and cast to the instant the ns path produced (the
+    * session zone is pinned to UTC); an already-LTZ column passes
+    * through. Keeping ONE output type means every downstream window /
+    * date_trunc / oracle compare is encoding-independent.
+    */
+  def tsMicros(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  /** Read the events table (ns- or µs-precision timestamps depending on
+    * the generator vintage — see [[tsMicros]]).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsMicros(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 }

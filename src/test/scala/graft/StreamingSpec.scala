@@ -132,8 +132,8 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = QueryDef.tsMicros(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val agg = Streams.windowedAgg(stream, "ts", "1 hour", "1 hour")
     val q = agg.writeStream.outputMode("complete").format("memory")
       .queryName("filewa").start()
