@@ -1248,6 +1248,36 @@ object CatalogPipeline {
              |FROM tg LEFT JOIN eg ON tg.g = eg.g
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q125_filtered_ann",
+      // Metadata-FILTERED ANN (the "vector search with a WHERE clause"
+      // every retrieval deployment runs): the probe hits the written
+      // metadata-carrying LSH store, so ONE partition-pruned scan
+      // applies the attribute predicate (label = 3, parquet-pushed)
+      // and the bucket pruning together — no candidate join back to
+      // the base table. Audit contract like q59: result count plus
+      // recall@10 vs the in-engine exact top-10 OVER THE FILTERED SET
+      // above a floor. The filter thins each bucket ~10x, so the probe
+      // widens relative to q59's unfiltered knobs: coarser buckets
+      // (nBits 4 -> 3) and twice the tables (8 -> 16) — measured
+      // recall@10 here is 9 vs q59's shape at 6; the floor stays 6.
+      (s, d) => {
+        import s.implicits._
+        val emb = Tpch.table(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        val q = Tpch.table(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val ann = Similarity.annTopKStoredFiltered(emb, "embedding", "vec_id",
+            d, q, k = 10, predicate = col("label") === 3,
+            metaCols = Seq("label"), nBits = 3, nTables = 16)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val exact = Similarity.bruteForceTopK(
+            emb.filter(col("label") === 3), "embedding", "vec_id", q, 10)
+          .select("id").collect().map(_.getLong(0)).toSet
+        Seq((0L, ann.size.toLong, (ann & exact).size >= 6))
+          .toDF("query_id", "n_results", "recall_ok")
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+             |  true AS recall_ok""".stripMargin)),
+
     QueryDef("q80_repetition",
       // Gopher-rule repetition filters at token granularity; exact
       // per-myriad integers (10000 div) — no floating point on either

@@ -347,6 +347,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[ensureLshStore]] variant that carries filterable METADATA
+    * columns inline in the index rows (the production filtered-ANN
+    * layout: FAISS/Vespa-style attribute-alongside-vector storage).
+    * A predicate-constrained probe then needs ONE scan — partition
+    * pruning picks the (table, bucket) dirs and the attribute filter
+    * pushes into the parquet row groups — instead of a candidate
+    * join back against the base table (which at 100 TB would re-read
+    * the corpus the index exists to avoid). Written beside the plain
+    * store under a metadata-suffixed key.
+    */
+  def ensureLshStoreMeta(df: DataFrame, vecCol: String, idCol: String,
+      sfDir: String, dim: Int, nBits: Int, nTables: Int,
+      metaCols: Seq[String], seed: Long = 42L,
+      fpSource: String = null): String = {
+    import graft.model.StorePaths
+    val path = lshStorePath(sfDir, nBits, nTables, seed) +
+      s"_m${metaCols.mkString("-")}"
+    val fp = StorePaths.fingerprint(
+      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
+    def current = ready(path, "_SUCCESS") && StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
+        val sigCols = (0 until nTables).map { t =>
+          lshSignature(col(vecCol), hyperplanes(dim, nBits, seed + t))
+        }
+        df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+            metaCols.map(col) :+ posexplode(array(sigCols: _*)): _*)
+          .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+          .write.partitionBy("table", "bucket").mode("overwrite").parquet(path)
+        StorePaths.stamp(path, fp)
+      }
+    }
+    path
+  }
+
+  /** Metadata-FILTERED ANN top-k over the written store
+    * ([[ensureLshStoreMeta]]): same partition-pruned (table, bucket)
+    * probe as [[annTopKStored]], with `predicate` applied to the
+    * index rows themselves (parquet-pushed attribute filter) before
+    * the exact rescore. Selectivity thins each bucket's yield, so
+    * filtered deployments run MORE tables/probes for the same k —
+    * the multi-table union is the compensation knob, and the recall
+    * audit (q125) is the check that the chosen width still clears
+    * the floor under the filter.
+    */
+  def annTopKStoredFiltered(df: DataFrame, vecCol: String, idCol: String,
+      sfDir: String, query: Seq[Double], k: Int, predicate: Column,
+      metaCols: Seq[String], nBits: Int = 8, nTables: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val path = ensureLshStoreMeta(df, vecCol, idCol, sfDir, query.size,
+      nBits, nTables, metaCols, seed)
+    val store = df.sparkSession.read.parquet(path)
+    val inMyBuckets = (0 until nTables).map { t =>
+      val planes = hyperplanes(query.size, nBits, seed + t)
+      col("table") === lit(t) && col("bucket") === lit(querySignature(query, planes))
+    }.reduce(_ || _)
+    store.filter(inMyBuckets && predicate)
+      .select(col("id"), round(cosine(col("v"), vecLit(query)), 6).as("cos_sim"))
+      .dropDuplicates("id")
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   def dedupSigStorePath(sfDir: String, nBits: Int, nTables: Int, seed: Long): String =
     s"$storeRoot/${storeKey(sfDir)}/dedupsig_b${nBits}_t${nTables}_s$seed"
 

@@ -118,9 +118,16 @@ object PipelineQueries {
     service.register(PipelineQuery("ann_search",
       Seq(ParamSpec("vector", "string"),
         ParamSpec("k", "long", required = false, default = Some(10L)),
-        ParamSpec("algo", "string", required = false, default = Some("exact"))),
+        ParamSpec("algo", "string", required = false, default = Some("exact")),
+        // optional metadata predicate (the q125 surface): restrict the
+        // search to one label; exact applies it pre-rank, lsh routes
+        // through the filtered metadata-carrying store
+        ParamSpec("label", "long", required = false, default = Some(-1L))),
       ps => {
         val k = intParam(ps, "k")
+        val labelFilter = ps("label").asInstanceOf[Long]
+        if (labelFilter < -1)
+          throw new BadRequestException("'label' must be >= 0 (or omitted)")
         val vec = ps("vector").asInstanceOf[String].split(",").toSeq
           .map(_.trim).filter(_.nonEmpty).map { s =>
             val v = try s.toDouble catch {
@@ -137,8 +144,21 @@ object PipelineQueries {
           throw new BadRequestException(s"'vector' must have $embDim components")
         ps("algo").asInstanceOf[String] match {
           case "exact" =>
+            val base = Tpch.table(spark, sfDir, "embeddings")
+            val corpus = if (labelFilter >= 0)
+              base.filter(org.apache.spark.sql.functions.col("label") === labelFilter)
+            else base
             graft.operators.Similarity.bruteForceTopK(
-              Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id", vec, k)
+              corpus, "embedding", "vec_id", vec, k)
+          case "lsh" =>
+            if (labelFilter < 0)
+              throw new BadRequestException("algo=lsh requires 'label' " +
+                "(the filtered-store probe; use exact for unfiltered)")
+            graft.operators.Similarity.annTopKStoredFiltered(
+              Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id",
+              sfDir, vec, k,
+              predicate = org.apache.spark.sql.functions.col("label") === labelFilter,
+              metaCols = Seq("label"), nBits = 3, nTables = 16)
           case "pq" =>
             val (cbs, codes) = pqAssets
             val norm = math.sqrt(vec.map(x => x * x).sum)
@@ -148,7 +168,7 @@ object PipelineQueries {
               codes, cbs, vec, k, candidates = math.max(100, 10 * k),
               adcQuery = Some(nq))
           case other =>
-            throw new BadRequestException(s"'algo' must be exact|pq, got '$other'")
+            throw new BadRequestException(s"'algo' must be exact|lsh|pq, got '$other'")
         }
       }))
 

@@ -34,6 +34,29 @@ class AnnStoreSpec extends SparkSpec {
     assert(plan.contains("bucket"), s"bucket not in the partition filter:\n$plan")
   }
 
+  test("filtered LSH probe: partition-pruned AND attribute-pushed, one scan") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = queryVec
+    val probe = Similarity.annTopKStoredFiltered(corpus, "embedding", "vec_id",
+      sf, q, k = 10, predicate = col("label") === 3, metaCols = Seq("label"),
+      nBits = 3, nTables = 16)
+    val rows = probe.collect()
+    // every result honors the predicate (the index carries the label,
+    // so this needed no join back to the base table)
+    val ids = rows.map(_.getLong(0)).toSet
+    val labeled = corpus.filter(col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(labeled), "a probe result violates the label predicate")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"),
+      s"partition filter list is EMPTY — probe reads the whole store:\n$plan")
+    assert(plan.contains("bucket"), s"bucket not in the partition filter:\n$plan")
+    // the label predicate reaches the parquet scan as a pushed filter
+    assert(plan.contains("PushedFilters: [") && plan.contains("label"),
+      s"label predicate did not push into the index scan:\n$plan")
+  }
+
   test("IVF store probe: partition-pruned plan, persisted centroids, exact top-k") {
     val nemb = emb.withColumn("nvec", Similarity.l2normalize(col("embedding")))
     val (assigned, centroids) = Similarity.ensureIvfStore(

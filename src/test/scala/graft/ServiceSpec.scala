@@ -146,6 +146,21 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("ann_search", Map("vector" -> vec, "algo" -> "bogus"))
     }
+    // metadata-filtered search (the q125 surface): every hit honors the
+    // label predicate on both the exact and the filtered-store path
+    val labeled = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("label") === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val fex = service.runRegistered("ann_search",
+      Map("vector" -> vec, "k" -> "5", "label" -> "3"))
+    assert(fex.collect().map(_.getLong(0)).toSet.subsetOf(labeled))
+    val flsh = service.runRegistered("ann_search",
+      Map("vector" -> vec, "k" -> "5", "algo" -> "lsh", "label" -> "3"))
+    assert(flsh.columns.sameElements(Array("id", "cos_sim")))
+    assert(flsh.collect().map(_.getLong(0)).toSet.subsetOf(labeled))
+    intercept[BadRequestException] { // lsh without the predicate
+      service.runRegistered("ann_search", Map("vector" -> vec, "algo" -> "lsh"))
+    }
     // real multi-frame decode on the registered tier (the q101 surface)
     val fs = service.runRegistered("frame_sample",
       Map("every_n" -> "2", "max_frames" -> "2"))
