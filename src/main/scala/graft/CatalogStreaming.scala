@@ -151,5 +151,44 @@ object CatalogStreaming {
         runToMemory(s, deduped, "append").orderBy("content_hash")
       },
       Some("""SELECT DISTINCT md5(text) AS content_hash
-             |FROM documents ORDER BY content_hash""".stripMargin)))
+             |FROM documents ORDER BY content_hash""".stripMargin)),
+
+    // Watermarked STREAM-STREAM interval join (attribution shape: each
+    // click joins the same user's views from the preceding 4 hours).
+    // Both sides carry watermarks and the join condition carries the
+    // time bound, so the engine can size the buffered state — view rows
+    // older than the watermark minus the interval are evicted, the
+    // property that makes the join runnable on an unbounded stream.
+    // The oracle is the identical time-range join run as plain batch
+    // SQL: stream/batch equivalence for the third stateful operator
+    // class (agg: q118, arbitrary state: q119, dedup: q120, join here).
+    QueryDef("q126_stream_stream_join",
+      (s, d) => {
+        val views = streamEvents(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+          .withWatermark("v_ts", "1 hour")
+        val clicks = streamEvents(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = views.join(clicks,
+          col("v_user") === col("c_user") &&
+            col("c_ts") > col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 4 HOURS"))
+        runToMemory(s, joined, "append")
+          .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+            col("c_ts").cast("long").minus(col("v_ts").cast("long"))
+              .as("lag_seconds"))
+          .orderBy("user_id", "view_id", "click_id")
+      },
+      Some("""SELECT v.user_id AS user_id, v.event_id AS view_id,
+             |  c.event_id AS click_id,
+             |  date_diff('second', v.ts, c.ts) AS lag_seconds
+             |FROM events v JOIN events c ON v.user_id = c.user_id
+             |  AND v.event_type = 'view' AND c.event_type = 'click'
+             |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+             |ORDER BY user_id, view_id, click_id""".stripMargin)))
 }

@@ -57,6 +57,26 @@ class StreamCatalogSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q126: stream-stream interval join equals the batch time-range join") {
+    val streamed = run("q126_stream_stream_join")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val e = QueryDef.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val batch = v.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("c_ts").cast("long").minus(col("v_ts").cast("long")).as("lag_seconds"))
+      .orderBy("user_id", "view_id", "click_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("memory-sink runs are isolated: re-running a streaming query is deterministic") {
     val a = run("q120_stream_dedup").as[String].collect().toSeq
     val b = run("q120_stream_dedup").as[String].collect().toSeq
