@@ -122,6 +122,37 @@ object CatalogSearch {
       },
       Some(tfidfOracleSql)),
 
+    QueryDef("q130_pmi_collocations",
+      // PMI-ranked collocations (multi-word-term mining for tokenizer
+      // vocab curation): association emitted as LIFT — the exact-
+      // rational inside of PMI, same ranking since ln is monotone —
+      // so the contract stays bit-exact where a log would drift by
+      // libm ulp. Two vocabulary-sized count tables, two hash joins
+      // (correctly NOT broadcast at corpus scale), broadcast 1-row
+      // totals, TakeOrdered top-20; minCount=5 is the hapax noise
+      // floor without which typo bigrams rank first
+      (s, d) => TextAnalysis.pmiCollocations(
+        Tpch.table(s, d, "documents"), "text", minCount = 5, topK = 20),
+      Some("""WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+             |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS tok
+             |  FROM documents),
+             |c1 AS (SELECT tk AS w, count(*) AS c1
+             |  FROM (SELECT unnest(tok) AS tk FROM t) GROUP BY 1),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM (
+             |    SELECT tok[i+1] AS w1, tok[i+2] AS w2
+             |    FROM (SELECT tok FROM t WHERE len(tok) >= 2) tt,
+             |      LATERAL (SELECT unnest(range(len(tt.tok)-1)) AS i) x)
+             |  GROUP BY 1, 2),
+             |st AS (SELECT (SELECT CAST(sum(c1) AS DOUBLE) FROM c1) AS n_uni,
+             |              (SELECT CAST(sum(c2) AS DOUBLE) FROM c2) AS n_bi)
+             |SELECT w1, w2, c2 AS pair_count,
+             |  round((CAST(c2 AS DOUBLE) * n_uni * n_uni) /
+             |    (n_bi * CAST(ca.c1 AS DOUBLE) * CAST(cb.c1 AS DOUBLE)), 6) AS lift
+             |FROM c2 JOIN c1 ca ON c2.w1 = ca.w JOIN c1 cb ON c2.w2 = cb.w
+             |  CROSS JOIN st
+             |WHERE c2 >= 5
+             |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin)),
+
     QueryDef("q106_posting_probe",
       // keyword probe against the WRITTEN term-bucket-partitioned
       // posting store (built once, build-if-absent): reads only the

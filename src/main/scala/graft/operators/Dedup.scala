@@ -159,6 +159,34 @@ object Dedup {
       .select(col("id_a"), explode(sequence(lit(1), lit(maxOffset))).as("off"))
       .select(col("id_a"), (col("id_a") + col("off")).as("id_b"))
 
+  /** Blocked fuzzy entity matching (record linkage): candidate pairs
+    * come from an EQUI-join on a blocking key — never a theta- or
+    * cross-join — and only within-block pairs pay the edit-distance
+    * comparison. This is the classic blocking discipline: total cost is
+    * Σ|block|², controlled entirely by the blocking key's selectivity,
+    * and the join shuffles hash-partition by block so comparisons
+    * parallelize across blocks. A skewed mega-block is AQE's skew-join
+    * case, and tightening the key (adding a column) is the scale knob.
+    *
+    * Returns `(id_a, id_b, name_a, name_b, dist)` with `id_a < id_b`
+    * and `levenshtein <= maxDist` — `levenshtein` being Spark's codegen
+    * built-in, computed AFTER the cheap block+id filters.
+    */
+  def blockedEditDistancePairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val a = df.select(struct(blockCols.map(col): _*).as("__blk"),
+      col(idCol).as("id_a"), col(nameCol).as("name_a"))
+    val b = df.select(struct(blockCols.map(col): _*).as("__blk"),
+      col(idCol).as("id_b"), col(nameCol).as("name_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+  }
+
   /** 64-bit SimHash over whitespace tokens. Columnar bit-counting: for
     * each bit position the signed token-hash contributions are summed
     * via aggregate(); stays in codegen (no Scala closures at runtime).
@@ -228,5 +256,48 @@ object Dedup {
         coalesce(col("__ndup"), lit(0L)).as("n_dup_windows"))
       .withColumn("dup_pm",
         expr("n_dup_windows * 10000 div greatest(n_windows, 1)"))
+  }
+
+  /** Per-document NOVELTY scoring — the marginal-contribution audit of
+    * an ordered ingest (id order = arrival order): how much of each
+    * document's content is genuinely new versus already present in any
+    * LOWER-id document? The per-myriad complement of [[dupSpans]]'s
+    * corpus-wide symmetric count: here attribution is directional, so
+    * boilerplate is charged to every COPY but never to its first
+    * appearance — the ranking a curation pass uses to keep originals
+    * and downweight recycled content.
+    *
+    * Unit is the DISTINCT k-token window per document. A window is
+    * novel for the minimal doc id that contains it; every later doc
+    * holding the same window has it counted against novelty. Same
+    * digest discipline as [[dupSpans]]: window text reduces map-side
+    * to a 16-byte md5, one groupBy(digest) computes the min owner,
+    * and the join-back moves (digest, first_id) pairs only. Returns
+    * `(id, n_windows, n_novel, novelty_pm)` for every document
+    * (short docs: 0 windows, novelty_pm 0).
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "window size must be positive")
+    val tk = Sampling.freshName(df, "tk")
+    val w = df.withColumn(tk, TextAnalysis.tokens(col(textCol)))
+      .filter(size(col(tk)) >= k)
+      .select(col(idCol).as("__id"), col(tk),
+        explode(sequence(lit(1), size(col(tk)) - k + 1)).as("__i"))
+      .select(col("__id"),
+        unhex(md5(concat_ws(" ", slice(col(tk), col("__i"), lit(k))))).as("__wh"))
+      .distinct()
+    val firstOwner = w.groupBy("__wh").agg(min(col("__id")).as("__first"))
+    val perDoc = w.join(firstOwner, Seq("__wh"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__nw"),
+        count(when(col("__first") === col("__id"), 1)).as("__nn"))
+    df.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__nw"), lit(0L)).as("n_windows"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_pm",
+        expr("n_novel * 10000 div greatest(n_windows, 1)"))
   }
 }

@@ -344,6 +344,53 @@ object Search {
   /** The same contract as ANSI SQL over the same table, for oracle
     * checks (DuckDB dialect: `//` = integer division, string_split).
     */
+  /** Attach a 1-based `rank` to an ALREADY TOP-K frame by the given
+    * order. The window is global — only ever call this on a frame a
+    * `limit(k)` has already shrunk (a fused candidate list, a probe
+    * result), never on a corpus-sized frame: ranking k rows on one
+    * task is the point, ranking a corpus on one task is a bottleneck.
+    */
+  def rankTopK(df: DataFrame, order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rank", row_number().over(Window.orderBy(order: _*)).cast("long"))
+  }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (lexical BM25 list + dense ANN list → one ranking, per "Reciprocal
+    * Rank Fusion outperforms Condorcet and individual rank learning
+    * methods", Cormack et al.): each candidate scores
+    * `Σ_lists 1/(kConst + rank)`, absent-from-a-list contributes 0.
+    * Rank positions are integers, so `1/(kConst+r)` is one IEEE divide
+    * — identical on any engine — and the fused score is a fixed-order
+    * sum of those, rounded to 6 as the printed contract.
+    *
+    * Each input frame must carry `(idCol, rank)` (see [[rankTopK]])
+    * and be top-k-sized: the fusion is then a few broadcast-sized
+    * full-outer joins — candidate-list work, nothing corpus-scale.
+    * Output: `(idCol, <label>_rank ... , rrf)` with 0 marking "not in
+    * that list", ordered (rrf desc, id).
+    */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+      kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.size >= 2, "fusion needs at least two ranked lists")
+    require(kConst >= 1 && topK >= 1, "kConst and topK must be positive")
+    val renamed = lists.map { case (label, df) =>
+      label -> df.select(col(idCol), col("rank").as(s"${label}_rank"))
+    }
+    val joined = renamed.map(_._2).reduce(_.join(_, Seq(idCol), "full"))
+    val contribs = renamed.map { case (label, _) =>
+      coalesce(lit(1.0) / (lit(kConst) + col(s"${label}_rank")), lit(0.0))
+    }
+    val rankCols = renamed.map { case (label, _) =>
+      coalesce(col(s"${label}_rank"), lit(0L)).as(s"${label}_rank")
+    }
+    joined
+      .select((col(idCol) +: rankCols) :+
+        round(contribs.reduce(_ + _), 6).as("rrf"): _*)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
+
   def bm25OracleSql(tableName: String, idCol: String, textCol: String,
       terms: Seq[String], k: Int): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")

@@ -91,17 +91,28 @@ object Similarity {
     * pass plus one positional-mean aggregation — no driver-side loops
     * over rows, only over the k×dim centroid matrix (tiny by design).
     */
+  /** `roundTo`: round each updated centroid coordinate to that many
+    * decimals INSIDE the aggregation (Spark SQL `round`, the same
+    * rounding the DuckDB oracles apply) — this is what makes the
+    * exposed k-means operator (q131) cross-engine deterministic: `avg`
+    * over doubles is summation-order-dependent at ~1e-16 relative, and
+    * per-iteration decimal rounding absorbs that drift before it can
+    * compound across Lloyd rounds. `None` (the default, used by the
+    * IVF stores) keeps full precision.
+    */
   def ivfTrain(df: DataFrame, vecCol: String, idCol: String,
-      k: Int, iterations: Int = 3): Seq[Seq[Double]] = {
+      k: Int, iterations: Int = 3, roundTo: Option[Int] = None): Seq[Seq[Double]] = {
     var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
     require(centroids.nonEmpty, "ivfTrain needs a non-empty vector table")
+    val meanCol = roundTo.foldLeft(avg(col("col").cast("double")))(
+      (m, d) => round(m, d))
     (1 to iterations).foreach { _ =>
       val assigned = ivfAssign(df, vecCol, centroids)
       val means = assigned
         .select(col("ivf_cluster"), posexplode(col(vecCol)))
-        .groupBy("ivf_cluster", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("ivf_cluster", "pos").agg(meanCol.as("m"))
         .collect()
       val byCluster = means.groupBy(_.getAs[Int]("ivf_cluster"))
       centroids = centroids.zipWithIndex.map { case (old, i) =>
@@ -261,6 +272,50 @@ object Similarity {
   /** Reconstruct approximate doubles from an SQ8 row ([[quantizeInt8]]). */
   def dequantizeInt8(scale: Column, codes: Column): Column =
     transform(codes, c => c.cast("double") * scale)
+
+  /** Per-label embedding outlier detection — the mislabeled-data /
+    * noise-pruning pass of embedding-based curation: score each vector
+    * by its Euclidean distance to its OWN label's centroid and flag
+    * those beyond `sigmas` standard deviations of the label's distance
+    * distribution (a vector far from its class center is a labeling
+    * error, an encoder failure, or genuine tail data — all of which a
+    * training-set audit wants surfaced).
+    *
+    * Scale shape: centroids are one positional-mean aggregation
+    * (map-side partial, label×dim rows) and the label stats one more
+    * label-keyed pass — both label-vocabulary-sized, so they broadcast
+    * back onto the corpus; the distance itself is a three-dot-product
+    * column expression per row (codegen, no shuffle). Nothing big ever
+    * moves: two tiny broadcast joins bracket one narrow map.
+    *
+    * Determinism contract (the q132 oracle checks this bit-for-bit):
+    * centroid coordinates and distances round to 6 decimals, and the
+    * flag compares the ROUNDED distance against the ROUNDED
+    * `mean + sigmas·stddev` threshold — decimal rounding absorbs the
+    * ~1e-15 summation-order drift `avg`/`stddev` carry on any engine.
+    */
+  def labelOutliers(df: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, sigmas: Double = 2.0): DataFrame = {
+    val cents = df.select(col(labelCol).as("__lbl"), posexplode(col(vecCol)))
+      .groupBy(col("__lbl"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("m"))
+      .groupBy(col("__lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("__centroid"))
+    val dists = df
+      .join(broadcast(cents), col(labelCol) === col("__lbl"))
+      .select(col(idCol), col(labelCol),
+        round(sqrt(greatest(
+          dot(col(vecCol), col(vecCol))
+            - lit(2.0) * dot(col(vecCol), col("__centroid"))
+            + dot(col("__centroid"), col("__centroid")), lit(0.0))), 6).as("dist"))
+    val stats = dists.groupBy(col(labelCol))
+      .agg(round(avg(col("dist")) + lit(sigmas) * stddev_samp(col("dist")), 6)
+        .as("__thr"))
+    dists.join(broadcast(stats), Seq(labelCol))
+      .select(col(idCol), col(labelCol), col("dist"),
+        (col("dist") > col("__thr")).as("is_outlier"))
+  }
 
   // --- written-artifact ANN stores: the at-scale probe path ----------
   //

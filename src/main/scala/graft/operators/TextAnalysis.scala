@@ -304,4 +304,114 @@ object TextAnalysis {
         expr("sum(p_ppm) div count(1)").as("score_ppm"))
       .select(col("__id").as(idCol), col("n_bigrams"), col("score_ppm"))
   }
+
+  /** PMI-ranked collocation mining — the corpus-statistics pass that
+    * surfaces multi-word terms ("new york", "machine learning") for
+    * tokenizer vocab curation and quality auditing. Association is
+    * emitted as LIFT, the exact-rational inside of PMI:
+    *
+    *   lift(w1,w2) = P(w1,w2) / (P(w1)·P(w2))
+    *               = (c2·N·N) / (M·c1(w1)·c1(w2))
+    *
+    * PMI = ln(lift) is strictly monotone in lift, so ranking by lift IS
+    * ranking by PMI — while ln would import cross-libm ulp
+    * nondeterminism the repo's bit-exact oracle discipline avoids. The
+    * division is one double op over exact integer counts, identical on
+    * any engine when evaluated in this parenthesization.
+    *
+    * Scale shape: two count tables (unigram, bigram) from one pass each
+    * — map-side partial aggregation, vocabulary-sized results; the
+    * marginals join the bigram table on each word (two hash joins,
+    * correctly NOT broadcast — a 100 TB corpus's vocabulary isn't
+    * executor-sized); N and M ride along as a broadcast 1-row stats
+    * frame; the final top-k is a TakeOrdered, never a global sort.
+    * `minCount` is the classic noise floor: a hapax bigram of two hapax
+    * words has lift = N²/M — maximal — so unfloored PMI ranks typos
+    * first.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Int = 5,
+      topK: Int = 20): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val toksDf = df.select(tokens(lower(col(textCol))).as("__toks"))
+    val c1 = toksDf.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2 = toksDf.filter(size(col("__toks")) >= 2)
+      .select(explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"),
+        col("__toks"))
+      .select(element_at(col("__toks"), col("__i")).as("w1"),
+        element_at(col("__toks"), col("__i") + 1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val stats = c1.agg(sum(col("c1")).as("n_uni"))
+      .crossJoin(c2.agg(sum(col("c2")).as("n_bi")))
+    c2.filter(col("c2") >= minCount)
+      .join(c1.select(col("w").as("w1"), col("c1").as("ca")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("c1").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(stats))
+      .select(col("w1"), col("w2"), col("c2").as("pair_count"),
+        round((col("c2").cast("double") * col("n_uni").cast("double") *
+          col("n_uni").cast("double")) /
+          (col("n_bi").cast("double") * col("ca").cast("double") *
+            col("cb").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Canonical text cleanup — the ingest-side normalization pass that
+    * must run BEFORE any hashing/dedup/fingerprint tier, or visually
+    * identical documents hash apart: Unicode NFC composition
+    * (decomposed `a`+U+0301 == precomposed `á`), zero-width character
+    * removal (ZWSP/ZWNJ/ZWJ/BOM — invisible dedup poison pasted in by
+    * web sources), whitespace-run collapse (tabs/newlines/doubled
+    * spaces → one space), and edge trim.
+    *
+    * Pure column expression: NFC is the native codegen
+    * [[graft.functions.NfcNormalizeExpression]], the rest is
+    * `regexp_replace`/`trim` — the whole pass stays inside
+    * whole-stage codegen, no UDF.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.functions.NfcNormalizeExpression.nfc_normalize(text),
+        "[\\u200B\\u200C\\u200D\\uFEFF]", ""),
+      "\\s+", " "))
+
+  /** Distribution drift between two corpus slices (train vs test split
+    * health, yesterday-vs-today ingest monitoring): per-token
+    * chi-square contribution against the pooled-independence
+    * expectation, top-k by contribution. A token whose rate differs
+    * most between the slices surfaces first — the standard
+    * drift/leakage tripwire for split audits.
+    *
+    * Both inputs only need `(textCol)`; counts aggregate map-side to
+    * vocabulary-sized tables that join on the token (one shuffle at
+    * vocabulary grain, never corpus grain), totals broadcast as 1-row
+    * frames. The chi-square arithmetic is a fixed-shape formula over
+    * integer counts — rounded to 6 decimals as the cross-engine
+    * contract. Tokens below `minTotal` pooled occurrences are dropped
+    * (chi-square is noise at tiny expected counts).
+    */
+  def tokenDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
+      minTotal: Int = 2, topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(tokens(lower(col(textCol)))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(as))
+    val joined = counts(dfA, "c_a").join(counts(dfB, "c_b"), Seq("w"), "full")
+      .select(col("w"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val tot = joined.agg(sum("c_a").cast("double").as("n_a"),
+      sum("c_b").cast("double").as("n_b"))
+    val rowTot = col("c_a") + col("c_b")
+    val eA = rowTot * col("n_a") / (col("n_a") + col("n_b"))
+    val eB = rowTot * col("n_b") / (col("n_a") + col("n_b"))
+    joined.filter(rowTot >= minTotal)
+      .crossJoin(broadcast(tot))
+      .select(col("w"), col("c_a"), col("c_b"),
+        round(pow(col("c_a") - eA, 2) / eA + pow(col("c_b") - eB, 2) / eB, 6)
+          .as("chi2"))
+      .orderBy(col("chi2").desc, col("w"))
+      .limit(topK)
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Clustering-operator contracts: the exposed k-means tier (q131) and
+  * per-label embedding outlier detection (q132).
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans (ivfTrain + ivfAssign) separates well-split clusters") {
+    // ids interleave the two blobs so the lowest-k init straddles both
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array(base + (i % 5) * 0.1f, base - (i % 3) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(vecs, "embedding", "vec_id",
+      k = 2, iterations = 2, roundTo = Some(6))
+    val assigned = Similarity.ivfAssign(vecs, "embedding", cents)
+      .select($"vec_id", $"ivf_cluster").as[(Long, Int)].collect().toMap
+    val clusterOfEven = assigned(0L)
+    assert((0 until 40).forall(i =>
+      assigned(i.toLong) === (if (i % 2 == 0) clusterOfEven else 1 - clusterOfEven)))
+  }
+
+  test("roundTo pins every centroid coordinate to the decimal grid") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array(i * 0.123456789f, 1.0f / (i + 3)))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(vecs, "embedding", "vec_id",
+      k = 3, iterations = 2, roundTo = Some(6))
+    cents.flatten.foreach { c =>
+      assert((BigDecimal(c) * BigDecimal(1000000)).isWhole,
+        s"centroid coordinate $c not on the 1e-6 grid")
+    }
+  }
+
+  test("labelOutliers flags the planted far point and only it") {
+    val inliers = (0 until 9).map { i =>
+      val ang = 2 * math.Pi * i / 9
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat), 0)
+    }
+    val planted = Seq((99L, Array(30.0f, 0.0f), 0))
+    val otherLabel = (100 until 105).map(i =>
+      (i.toLong, Array(5.0f + (i % 3) * 0.01f, 5.0f), 1))
+    val df = (inliers ++ planted ++ otherLabel).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(df, "embedding", "vec_id", "label")
+      .as[(Long, Int, Double, Boolean)].collect()
+    val flagged = out.filter(_._4).map(_._1).toSet
+    assert(flagged === Set(99L))
+    // the planted point's distance dominates its label's distribution
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(inliers.forall { case (id, _, _) => byId(id) < byId(99L) })
+    // every row of every label is reported
+    assert(out.length === 15)
+  }
+
+  test("labelOutliers distances are rounded and non-negative") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(df, "embedding", "vec_id", "label")
+      .as[(Long, Int, Double, Boolean)].collect()
+    // identical vectors: distance to centroid is exactly 0, nothing flagged
+    assert(out.forall(r => r._3 === 0.0 && !r._4))
+  }
+}

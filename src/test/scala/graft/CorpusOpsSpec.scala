@@ -177,6 +177,28 @@ class CorpusOpsSpec extends SparkSpec {
       s"near-dup twin must drop through the keep-list: $composed")
   }
 
+  test("pmiCollocations: exact-rational lift, minCount floor, tie-stable ranking") {
+    val docs = Seq(
+      (1L, "a b a b a b"),     // bigrams: (a,b)x3, (b,a)x2
+      (2L, "c c c c c c c")    // (c,c)x6
+    ).toDF("doc_id", "text")
+    // N=13 unigrams, M=11 bigrams; minCount=3 keeps (a,b) and (c,c)
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 3, topK = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(out === Array(
+      ("a", "b", 3L, math.rint(507.0 / 99.0 * 1e6) / 1e6),   // 5.121212
+      ("c", "c", 6L, math.rint(1014.0 / 539.0 * 1e6) / 1e6)) // 1.881262
+    )
+  }
+
+  test("pmiCollocations: hapax bigrams below the floor never surface") {
+    val docs = Seq((1L, "unique pair here"), (2L, "x y x y x y x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 2, topK = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.forall(r => r._3 >= 2))
+    assert(!out.exists(r => r._1 == "unique"))
+  }
+
   test("bigramLmScore: train docs score higher than shuffled-vocab docs") {
     // fluency sanity on the corpus itself: a doc made of train bigrams
     // outscores one made of tokens the model never saw

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, TextAnalysis}
 
 /** Decontamination + repetition-filter contracts on a hand-built
   * corpus where the expected overlaps are computable by eye.
@@ -66,6 +66,39 @@ class DecontaminateSpec extends SparkSpec {
       "doc_id", "text", n = 5, flagAtPct = 20).orderBy("doc_id")
       .as[(Long, Long, Long, Boolean)].collect()
     assert(out === Array((1L, 2L, 0L, false), (2L, 1L, 0L, false), (3L, 2L, 0L, false)))
+  }
+
+  test("fuzzyEvalOverlap flags near-duplicates of eval docs, not just exact overlap") {
+    val ftrain = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact twin of eval 10
+      (2L, "completely different words appearing here entirely now"),
+      (3L, "the quick brown fox jumps over the lazy cat")  // 1 token off: j = 6/8
+    ).toDF("doc_id", "text")
+    val feval = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.fuzzyEvalOverlap(ftrain, feval, "doc_id", "text",
+        k = 3, numHashes = 24, bands = 8, threshold = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect()
+    assert(out === Array(
+      (1L, 1L, 1.0, true),
+      (2L, 0L, 0.0, false),
+      (3L, 1L, 0.75, true))) // "the lazy cat" is the only differing shingle
+  }
+
+  test("fuzzyEvalOverlap over prebuilt signature frames matches the text path") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val trainD = docs.filter($"doc_id" % 3 =!= 0)
+    val evalD = docs.filter($"doc_id" % 3 === 0)
+    val a = Decontaminate.fuzzyEvalOverlap(trainD, evalD, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val b = Decontaminate.fuzzyEvalOverlapSigs(
+        Dedup.signatureFrame(trainD, "doc_id", "text", 3, 24),
+        Dedup.signatureFrame(evalD, "doc_id", "text", 3, 24),
+        "doc_id", numHashes = 24, bands = 8, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(a === b)
+    // every train doc appears in the report, flagged or not
+    assert(a.length === trainD.count())
   }
 
   test("repetitionMetrics: exact per-myriad integers") {

@@ -141,4 +141,29 @@ class DedupSpec extends SparkSpec {
       graft.operators.Similarity.ivfTrain(empty, "embedding", "vec_id", k = 4)
     }
   }
+
+  test("blockedEditDistancePairs: matches within blocks only, threshold enforced") {
+    import spark.implicits._
+    val people = Seq(
+      (1L, "anna", "X"), (2L, "anne", "X"),  // dist 1, same block → pair
+      (3L, "anna", "Y"),                     // identical to 1 but other block → NOT a pair
+      (4L, "robert", "X")                    // dist 4 from anna → over threshold
+    ).toDF("id", "name", "blk")
+    val out = Dedup.blockedEditDistancePairs(people, "id", "name",
+        Seq("blk"), maxDist = 2)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, String, String, Long)].collect()
+    assert(out === Array((1L, 2L, "anna", "anne", 1L)))
+  }
+
+  test("blockedEditDistancePairs: composite blocking key tightens candidates") {
+    import spark.implicits._
+    val people = Seq(
+      (1L, "sam", "X", 1), (2L, "sam", "X", 1), // same on both key parts → pair, dist 0
+      (3L, "sam", "X", 2)                       // differs on the second part → blocked out
+    ).toDF("id", "name", "b1", "b2")
+    val out = Dedup.blockedEditDistancePairs(people, "id", "name",
+      Seq("b1", "b2"), maxDist = 0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))) === Array((1L, 2L)))
+  }
 }

@@ -35,11 +35,13 @@ class PlanQualitySpec extends SparkSpec {
     // q87's BM25 scoring crossJoin-broadcasts a ONE-row corpus-stats
     // frame (N, avgdl — Search.bm25TopK) into every scored doc: a
     // deliberate scalar broadcast, the same shape as q75's 1-row count.
-    // q105 (tfidfKeywords: 1-row doc count N) and q107 (bigramLmScore:
-    // 1-row vocabulary size V) carry the same deliberate 1-row scalar
+    // q105 (tfidfKeywords: 1-row doc count N), q107 (bigramLmScore:
+    // 1-row vocabulary size V) and q130 (pmiCollocations: 1-row
+    // unigram/bigram totals) carry the same deliberate 1-row scalar
     // broadcast. Everything else must stay BNLJ/cartesian-free
     val salted = Set("q69_salted_join", "q75_all_edges", "q78_stored_geometry",
-      "q87_bm25_search", "q105_tfidf_keywords", "q107_bigram_lm")
+      "q87_bm25_search", "q105_tfidf_keywords", "q107_bigram_lm",
+      "q130_pmi_collocations")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")
