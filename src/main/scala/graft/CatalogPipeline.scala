@@ -1524,5 +1524,99 @@ object CatalogPipeline {
              |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
              |  AND a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 2
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q133_interpolate",
+      // q128's dense grid with LINEAR interpolation instead of the
+      // LOCF step: empty buckets lerp between the bracketing observed
+      // buckets (positioned by time), tail buckets carry forward.
+      // One extra per-series window over the same sorted grid — no
+      // extra shuffle. Floored at micro-units (NOT rounded: cent
+      // lerps over 2^k-hour gaps land exactly on 6-decimal halves,
+      // where engines' round-half rules disagree — TimeSeries
+      // scaladoc); the lerp is bit-identical IEEE arithmetic
+      // restated verbatim in the oracle
+      (s, d) => TimeSeries.resampleInterp(events(s, d), "user_id", "ts",
+          "value", Seq(col("ts"), col("event_id")))
+        .orderBy("user_id", "bucket"),
+      Some("""WITH ranked AS (
+             |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket, value,
+             |    row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+             |                       ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events),
+             |h AS (SELECT user_id, bucket, count(*) AS n,
+             |    max(CASE WHEN rn = 1 THEN value END) AS last_v
+             |  FROM ranked GROUP BY 1, 2),
+             |b AS (SELECT user_id, time_bucket(INTERVAL '1 hour', min(ts)) AS h0,
+             |    time_bucket(INTERVAL '1 hour', max(ts)) AS h1 FROM events GROUP BY 1),
+             |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+             |  FROM b),
+             |j AS (SELECT g.user_id, g.bucket, coalesce(h.n, 0) AS n_events,
+             |    last_value(h.last_v IGNORE NULLS) OVER w AS pv,
+             |    last_value(CASE WHEN h.last_v IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER w AS pt,
+             |    first_value(h.last_v IGNORE NULLS) OVER w2 AS nv,
+             |    first_value(CASE WHEN h.last_v IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER w2 AS nt
+             |  FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.bucket = h.bucket
+             |  WINDOW w AS (PARTITION BY g.user_id ORDER BY g.bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    w2 AS (PARTITION BY g.user_id ORDER BY g.bucket
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, bucket, n_events,
+             |  floor((CASE WHEN n_events > 0 THEN pv
+             |    WHEN nv IS NULL THEN pv
+             |    ELSE pv + (nv - pv) * (epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))
+             |    END) * 1000000.0) / 1000000.0 AS value_interp
+             |FROM j ORDER BY user_id, bucket""".stripMargin)),
+
+    QueryDef("q134_rolling_anomaly",
+      // Rolling z-score anomaly flags: each event scored against the
+      // mean/stddev of its series' previous 20 events (self-excluded
+      // frame), |z| > 3 flags, < 5 priors = warm-up (never flagged).
+      // One rows-frame window per series; mean, stddev and z each
+      // round to 6 (staged rounding absorbs summation-order drift
+      // between engines before the division compounds it)
+      (s, d) => TimeSeries.rollingZscore(events(s, d), "user_id", "value",
+          Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("n_prior"),
+          col("z"), col("is_anomaly"))
+        .orderBy("event_id"),
+      Some("""WITH z AS (
+             |  SELECT event_id, user_id, value,
+             |    round(avg(value) OVER w, 6) AS mu,
+             |    round(stddev_samp(value) OVER w, 6) AS sd,
+             |    count(*) OVER w AS n_prior
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, n_prior,
+             |  CASE WHEN n_prior >= 5 AND sd > 0 THEN round((value - mu)/sd, 6) END AS z,
+             |  coalesce(n_prior >= 5 AND sd > 0 AND abs(round((value - mu)/sd, 6)) > 3,
+             |    false) AS is_anomaly
+             |FROM z ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q137_novelty",
+      // Directional novelty audit of the ingest order: the per-myriad
+      // share of each doc's DISTINCT 4-token windows not present in
+      // any lower-id document. Boilerplate charges every copy, never
+      // the original — the keep-the-original ranking a curation pass
+      // wants. Window text reduces to 16-byte digests map-side; the
+      // oracle recomputes from window TEXT, certifying the digest
+      // path collision-free
+      (s, d) => Dedup.noveltyScores(Tpch.table(s, d, "documents"),
+          "doc_id", "text", k = 4)
+        .orderBy("doc_id"),
+      Some("""WITH d0 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+             |    ELSE string_split_regex(trim(text), '\s+') END AS tk FROM documents),
+             |w AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS win
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) AS i
+             |        FROM d0 WHERE len(tk) >= 4)),
+             |fo AS (SELECT win, min(doc_id) AS first_doc FROM w GROUP BY 1),
+             |nv AS (SELECT doc_id, count(*) AS n_windows,
+             |    count(*) FILTER (first_doc = doc_id) AS n_novel
+             |  FROM w JOIN fo USING (win) GROUP BY 1)
+             |SELECT d0.doc_id, CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+             |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+             |  CAST(coalesce(n_novel, 0) * 10000 // greatest(coalesce(n_windows, 0), 1) AS BIGINT)
+             |    AS novelty_pm
+             |FROM d0 LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin)))
 }

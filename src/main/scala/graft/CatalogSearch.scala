@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.model.Tpch
-import graft.operators.{Multimodal, Packing, Pii, Search, TextAnalysis}
+import graft.operators.{Multimodal, Packing, Pii, Sampling, Search, Similarity, TextAnalysis}
 
 /** Corpus search / packing / compliance catalog: ranked keyword
   * search, training-sequence packing, and PII scan-and-redact — the
@@ -442,5 +442,137 @@ object CatalogSearch {
              |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
              |    400 + (doc_id * 11) % 800 AS n
              |  FROM documents)
-             |ORDER BY media_id""".stripMargin)))
+             |ORDER BY media_id""".stripMargin)),
+
+    QueryDef("q135_hybrid_rrf",
+      // Hybrid retrieval: the BM25 lexical top-20 and the dense cosine
+      // top-20 (query = doc 0's embedding; ids align 1:1) fused by
+      // reciprocal-rank fusion, Σ 1/(60+rank). Both lists are
+      // candidate-sized by the time ranks attach, so the rank windows
+      // and fusion joins are top-k work, never corpus-scale; 1/(60+r)
+      // is one IEEE divide over integer ranks — bit-identical on any
+      // engine, rank 0 = absent from that list
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val emb = Tpch.table(s, d, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val bm = Search.rankTopK(
+          Search.bm25TopK(docs, "doc_id", "text", searchTerms, 20),
+          Seq(col("score").desc, col("doc_id")))
+          .select(col("doc_id"), col("rank"))
+        val cos = Search.rankTopK(
+          Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, 20),
+          Seq(col("cos_sim").desc, col("id")))
+          .select(col("id").as("doc_id"), col("rank"))
+        Search.rrfFuse(Seq("bm25" -> bm, "cos" -> cos), "doc_id",
+          kConst = 60, topK = 10)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |dl AS (SELECT id, count(*) AS dl FROM tk GROUP BY 1),
+             |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |              (SELECT sum(dl) FROM dl) // (SELECT count(*) FROM documents) AS avgdl),
+             |tf AS (SELECT id, t, count(*) AS tf FROM tk
+             |  WHERE t IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+             |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+             |bm AS (SELECT tf.id, CAST(sum(((st.n * 10000) // df.df) *
+             |      ((tf.tf * 20000 * st.avgdl) // (tf.tf * st.avgdl + dl.dl))) AS BIGINT) AS score
+             |  FROM tf JOIN df USING (t) JOIN dl USING (id) CROSS JOIN st
+             |  GROUP BY 1 ORDER BY score DESC, id LIMIT 20),
+             |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r_bm FROM bm),
+             |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT vec_id AS id, round(
+             |    list_aggregate(list_transform(list_zip(embedding, qe),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |    (sqrt(list_aggregate(list_transform(embedding,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+             |     sqrt(list_aggregate(list_transform(qe,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+             |  FROM embeddings, q ORDER BY cos_sim DESC, id LIMIT 20),
+             |csr AS (SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS r_cos FROM cs),
+             |f AS (SELECT coalesce(bmr.id, csr.id) AS doc_id, bmr.r_bm, csr.r_cos,
+             |    round(coalesce(1.0/(60 + bmr.r_bm), 0) + coalesce(1.0/(60 + csr.r_cos), 0), 6) AS rrf
+             |  FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id)
+             |SELECT doc_id, CAST(coalesce(r_bm, 0) AS BIGINT) AS bm25_rank,
+             |  CAST(coalesce(r_cos, 0) AS BIGINT) AS cos_rank, rrf
+             |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    QueryDef("q136_normalize",
+      // Canonical text cleanup over a deterministically-messied corpus
+      // (the q89 derived-corpus discipline — the synthetic docs are
+      // clean ASCII, so the mess is constructed: every 'a' decomposed
+      // to a+U+0301, a ZWSP after every 'o', doubled spaces, trailing
+      // blanks). normalizeText = codegen NFC + zero-width strip +
+      // whitespace collapse + trim; the oracle rebuilds the mess and
+      // replays the cleanup with ICU NFC — md5 equality certifies the
+      // two engines' normalizers agree codepoint-for-codepoint
+      (s, d) => {
+        val messy = concat(regexp_replace(regexp_replace(regexp_replace(
+          col("text"), "a", "a\u0301"), "o", "o\u200B"), " ", "  "), lit("  "))
+        Tpch.table(s, d, "documents")
+          .select(col("doc_id"), messy.as("__messy"))
+          .select(col("doc_id"),
+            length(col("__messy")).as("n_chars_messy"),
+            TextAnalysis.normalizeText(col("__messy")).as("__clean"))
+          .select(col("doc_id"), col("n_chars_messy"),
+            length(col("__clean")).as("n_chars_clean"),
+            md5(col("__clean").cast("binary")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |    replace(replace(replace(text, 'a', 'a' || chr(769)),
+             |      'o', 'o' || chr(8203)), ' ', '  ') || '  ' AS messy
+             |  FROM documents),
+             |c AS (SELECT doc_id, messy,
+             |    trim(regexp_replace(regexp_replace(nfc_normalize(messy),
+             |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+             |      '\s+', ' ', 'g')) AS clean
+             |  FROM m)
+             |SELECT doc_id, CAST(length(messy) AS BIGINT) AS n_chars_messy,
+             |  CAST(length(clean) AS BIGINT) AS n_chars_clean,
+             |  md5(clean) AS clean_md5
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q138_token_drift",
+      // Split-health drift audit: per-token chi-square contribution
+      // between the train and test hash-split slices (q77's split),
+      // top-20. Counts aggregate to vocabulary-sized tables joined on
+      // the token; totals broadcast as a 1-row frame; the chi-square
+      // is a fixed-shape formula over integer counts, (d·d)/e not
+      // pow, restated term-for-term in the oracle
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents").withColumn("split",
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05),
+            rest = "test"))
+        TextAnalysis.tokenDrift(
+          docs.filter(col("split") === "train"),
+          docs.filter(col("split") === "test"), "text")
+          .select(col("w").as("token"), col("c_a").as("c_train"),
+            col("c_b").as("c_test"), col("chi2"))
+      },
+      Some("""WITH spl AS (SELECT doc_id,
+             |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |    FROM documents)),
+             |tk AS (SELECT spl.split AS split,
+             |    unnest(CASE WHEN length(trim(text)) = 0 THEN []
+             |      ELSE string_split_regex(trim(lower(text)), '\s+') END) AS w
+             |  FROM documents JOIN spl USING (doc_id) WHERE split IN ('train', 'test')),
+             |c AS (SELECT w, count(*) FILTER (split = 'train') AS c_train,
+             |             count(*) FILTER (split = 'test') AS c_test FROM tk GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c_train) AS DOUBLE) AS n_a,
+             |               CAST(sum(c_test) AS DOUBLE) AS n_b FROM c)
+             |SELECT w AS token, c_train, c_test,
+             |  round((c_train - (c_train + c_test) * n_a / (n_a + n_b))
+             |      * (c_train - (c_train + c_test) * n_a / (n_a + n_b))
+             |      / ((c_train + c_test) * n_a / (n_a + n_b))
+             |    + (c_test - (c_train + c_test) * n_b / (n_a + n_b))
+             |      * (c_test - (c_train + c_test) * n_b / (n_a + n_b))
+             |      / ((c_train + c_test) * n_b / (n_a + n_b)), 6) AS chi2
+             |FROM c CROSS JOIN tot
+             |WHERE c_train + c_test >= 2
+             |ORDER BY chi2 DESC, token LIMIT 20""".stripMargin)))
 }

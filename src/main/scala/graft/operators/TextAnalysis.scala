@@ -406,11 +406,14 @@ object TextAnalysis {
     val rowTot = col("c_a") + col("c_b")
     val eA = rowTot * col("n_a") / (col("n_a") + col("n_b"))
     val eB = rowTot * col("n_b") / (col("n_a") + col("n_b"))
+    // (d·d)/e, never pow(d, 2): an exp/ln-based pow would drift by ulp
+    // across libm implementations, a product cannot
+    val dA = col("c_a") - eA
+    val dB = col("c_b") - eB
     joined.filter(rowTot >= minTotal)
       .crossJoin(broadcast(tot))
       .select(col("w"), col("c_a"), col("c_b"),
-        round(pow(col("c_a") - eA, 2) / eA + pow(col("c_b") - eB, 2) / eB, 6)
-          .as("chi2"))
+        round(dA * dA / eA + dB * dB / eB, 6).as("chi2"))
       .orderBy(col("chi2").desc, col("w"))
       .limit(topK)
   }

@@ -72,9 +72,13 @@ object TimeSeries {
     * next-observation lookup is a `first(ignoreNulls)` over the
     * following frame, still partitioned per series — two passes over
     * the per-series sorted grid, no extra shuffle (both windows share
-    * the (series, bucket) sort). Result is rounded to 6 decimals: the
-    * lerp is pure IEEE arithmetic, but a fixed printed precision is
-    * the cross-engine value contract.
+    * the (series, bucket) sort). Result is FLOORED at micro-units
+    * (`floor(x·10⁶)/10⁶`), not rounded: the lerp is bit-identical
+    * IEEE arithmetic on any engine, but lerps of cent-valued series
+    * over power-of-two-hour gaps land EXACTLY on 6-decimal halves
+    * (e.g. 0.01·(1/64) = .00015625), where round-half conventions
+    * disagree across engines — floor's discontinuity sits at exact
+    * micro-units instead, which bit-identical inputs hit identically.
     */
   def resampleInterp(df: DataFrame, seriesCol: String, tsCol: String,
       valueCol: String, orderCols: Seq[Column], truncUnit: String = "hour",
@@ -101,14 +105,14 @@ object TimeSeries {
         last(obsBucket, ignoreNulls = true).over(wPrev).as("__pt"),
         first(col("__last_v"), ignoreNulls = true).over(wNext).as("__nv"),
         first(obsBucket, ignoreNulls = true).over(wNext).as("__nt"))
+    val lerp =
+      when(col("n_events") > 0, col("__pv"))
+        .when(col("__nv").isNull, col("__pv"))
+        .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+          (col("__bucket").cast("double") - col("__pt").cast("double")) /
+          (col("__nt").cast("double") - col("__pt").cast("double")))
     joined.select(col(seriesCol), col("__bucket").as("bucket"), col("n_events"),
-      round(
-        when(col("n_events") > 0, col("__pv"))
-          .when(col("__nv").isNull, col("__pv"))
-          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
-            (col("__bucket").cast("double") - col("__pt").cast("double")) /
-            (col("__nt").cast("double") - col("__pt").cast("double"))),
-        6).as("value_interp"))
+      (floor(lerp * lit(1000000.0)) / 1000000.0).as("value_interp"))
   }
 
   /** Rolling z-score anomaly detection — the self-calibrating outlier

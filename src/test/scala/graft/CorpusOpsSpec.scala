@@ -210,4 +210,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) > out(4L),
       s"in-distribution doc must outscore out-of-vocabulary doc: $out")
   }
+
+  test("normalizeText: NFC composition, zero-width strip, whitespace collapse, trim") {
+    val messy = Seq(
+      (1L, "ca\u0301fe\u0301"),        // decomposed accents -> composed
+      (2L, "a\u200Bb\u200C c\u200D\uFEFFd"), // zero-width poison stripped
+      (3L, "  a \t b\n\nc  "),          // runs collapse, edges trim
+      (4L, "\u00e9"),                   // already NFC: unchanged
+      (5L, "")
+    ).toDF("id", "t")
+    val out = messy.select(col("id"), TextAnalysis.normalizeText(col("t")).as("c"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out === Array(
+      (1L, "c\u00e1f\u00e9"),
+      (2L, "ab cd"),
+      (3L, "a b c"),
+      (4L, "\u00e9"),
+      (5L, "")))
+  }
+
+  test("normalizeText: visually identical strings hash identically after cleanup") {
+    // the dedup motivation: decomposed vs precomposed must collide
+    val pair = Seq((1L, "résumé"), (2L, "résumé"))
+      .toDF("id", "t")
+    val cleaned = pair.select(md5(TextAnalysis.normalizeText(col("t")).cast("binary")))
+      .distinct().count()
+    assert(cleaned === 1L)
+  }
+
+  test("tokenDrift: a slice-exclusive token tops the chi-square ranking") {
+    val a = Seq((1L, "x x x x common common"), (2L, "x x common")).toDF("id", "text")
+    val b = Seq((3L, "y y y common common"), (4L, "y common")).toDF("id", "text")
+    val out = TextAnalysis.tokenDrift(a, b, "text", minTotal = 2, topK = 10)
+      .as[(String, Long, Long, Double)].collect()
+    // n_a=9, n_b=7; "x": (6,0); "y": (0,4); "common": (3,3)
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("x")._2 === 6L && m("x")._3 === 0L)
+    assert(m("y")._2 === 0L && m("y")._3 === 4L)
+    // exclusive tokens dominate the shared one
+    assert(m("x")._4 > m("common")._4 && m("y")._4 > m("common")._4)
+    // chi2 for x: e_a = 6*9/16 = 3.375, e_b = 6*7/16 = 2.625
+    // (6-3.375)^2/3.375 + (0-2.625)^2/2.625 = 2.041667 + 2.625
+    assert(m("x")._4 === 4.666667)
+  }
+
+  test("tokenDrift: minTotal floors out hapax noise") {
+    val a = Seq((1L, "w w w once")).toDF("id", "text")
+    val b = Seq((2L, "w w")).toDF("id", "text")
+    val out = TextAnalysis.tokenDrift(a, b, "text", minTotal = 2, topK = 10)
+      .as[(String, Long, Long, Double)].collect()
+    assert(!out.exists(_._1 == "once"))
+  }
 }

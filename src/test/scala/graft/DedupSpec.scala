@@ -166,4 +166,33 @@ class DedupSpec extends SparkSpec {
       Seq("b1", "b2"), maxDist = 0).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))) === Array((1L, 2L)))
   }
+
+  test("noveltyScores: first appearance owns the window, copies are charged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),   // k=4 windows: "a b c d", "b c d e" — both novel
+      (2L, "a b c d e"),   // exact copy → 0 novel
+      (3L, "x y a b c d"), // "x y a b", "y a b c" novel; "a b c d" seen in doc 1
+      (4L, "p q r"),       // shorter than k → 0 windows, pm 0
+      (5L, "m m m m m m")  // repeated window counts ONCE (distinct) and is novel
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 2L, 2L, 10000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 3L, 2L, 6666L), // 2*10000 div 3
+      (4L, 0L, 0L, 0L),
+      (5L, 1L, 1L, 10000L)))
+  }
+
+  test("noveltyScores: directionality — swapping ids swaps the charge") {
+    import spark.implicits._
+    val docs = Seq((10L, "a b c d"), (20L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array((10L, 1L, 1L, 10000L), (20L, 1L, 0L, 0L)))
+  }
 }

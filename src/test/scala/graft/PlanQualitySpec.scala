@@ -38,10 +38,14 @@ class PlanQualitySpec extends SparkSpec {
     // q105 (tfidfKeywords: 1-row doc count N), q107 (bigramLmScore:
     // 1-row vocabulary size V) and q130 (pmiCollocations: 1-row
     // unigram/bigram totals) carry the same deliberate 1-row scalar
-    // broadcast. Everything else must stay BNLJ/cartesian-free
+    // broadcast. q135 embeds q87's BM25 scorer, so it inherits the
+    // same 1-row stats broadcast (its OWN fusion joins are key-equi
+    // full-outer joins over top-k frames); q138's totals frame is the
+    // same 1-row scalar-broadcast shape. Everything else must stay
+    // BNLJ/cartesian-free
     val salted = Set("q69_salted_join", "q75_all_edges", "q78_stored_geometry",
       "q87_bm25_search", "q105_tfidf_keywords", "q107_bigram_lm",
-      "q130_pmi_collocations")
+      "q130_pmi_collocations", "q135_hybrid_rrf", "q138_token_drift")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")

@@ -176,4 +176,31 @@ class SearchPackPiiSpec extends SparkSpec {
     assert(out(0)._4.split(" ").takeRight(2).mkString(" ") ==
       out(1)._4.split(" ").take(2).mkString(" "))
   }
+
+  test("rrfFuse: reciprocal-rank arithmetic, absent lists contribute zero") {
+    import spark.implicits._
+    import graft.operators.Search
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((30L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Search.rrfFuse(Seq("lex" -> a, "vec" -> b), "id",
+        kConst = 60, topK = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    // 30 is in both lists: 1/63 + 1/61 = 0.032266 — fused above any single hit
+    assert(out.head === ((30L, 3L, 1L, 0.032266)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(10L) === ((10L, 1L, 0L, 0.016393))) // 1/61
+    assert(m(40L) === ((40L, 0L, 2L, 0.016129))) // 1/62
+    assert(m(20L) === ((20L, 2L, 0L, 0.016129)))
+    // equal scores (20 vs 40) tie-break by id: 20 before 40
+    assert(out.map(_._1).toSeq === Seq(30L, 10L, 20L, 40L))
+  }
+
+  test("rrfFuse: topK caps the fused list") {
+    import spark.implicits._
+    import graft.operators.Search
+    val a = (1L to 9L).map(i => (i, i)).toDF("id", "rank")
+    val b = (1L to 9L).map(i => (i + 100, i)).toDF("id", "rank")
+    val out = Search.rrfFuse(Seq("x" -> a, "y" -> b), "id", topK = 4).collect()
+    assert(out.length === 4)
+  }
 }

@@ -54,4 +54,82 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.count() === 1L)
     assert(out.head().getLong(2) === 1000L)
   }
+
+  test("resampleInterp: interior gaps lerp by time, tail carries forward") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 1.0, 301L),
+      (1L, ts("2024-01-01 04:10:00"), 9.0, 302L), // superseded within its bucket
+      (1L, ts("2024-01-01 04:40:00"), 5.0, 303L), // bucket-4 value: later wins → lerp 1→5
+      (2L, ts("2024-01-01 08:15:00"), 2.0, 304L),
+      (2L, ts("2024-01-01 10:15:00"), 4.0, 305L)  // hour 9 lerps to 3
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.resampleInterp(ev, "user_id", "ts", "value",
+        Seq(col("ts"), col("event_id")))
+      .orderBy("user_id", "bucket")
+      .as[(Long, Timestamp, Long, Double)].collect()
+    assert(out === Array(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 01:00:00"), 0L, 2.0), // 1 + (5-1)*1/4: lerp on BUCKET values
+      (1L, ts("2024-01-01 02:00:00"), 0L, 3.0),
+      (1L, ts("2024-01-01 03:00:00"), 0L, 4.0),
+      (1L, ts("2024-01-01 04:00:00"), 2L, 5.0), // observed bucket keeps its own last
+      (2L, ts("2024-01-01 08:00:00"), 1L, 2.0),
+      (2L, ts("2024-01-01 09:00:00"), 0L, 3.0),
+      (2L, ts("2024-01-01 10:00:00"), 1L, 4.0)))
+  }
+
+  test("resampleInterp: micro-unit floor contract on sub-micro lerp steps") {
+    // cent step over a 64-hour gap: increments of 0.01/64 = 0.00015625
+    // land exactly on 6-decimal halves — the floor contract truncates
+    // them identically on every engine (0.00015625 → 0.000156)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0.0, 401L),
+      (1L, ts("2024-01-03 16:00:00"), 0.01, 402L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.resampleInterp(ev, "user_id", "ts", "value",
+        Seq(col("ts"), col("event_id")))
+      .orderBy("bucket")
+      .as[(Long, Timestamp, Long, Double)].collect()
+    assert(out.length === 65)
+    assert(out(1)._4 === 0.000156) // floor(156.25 micro) / 1e6
+    assert(out(2)._4 === 0.000312) // floor(312.5 micro) — an exact half
+    assert(out(64)._4 === 0.01)
+  }
+
+  test("rollingZscore: spike flags, warm-up and constant baselines never do") {
+    val ev = Seq(
+      (1L, 101L, 1.0), (1L, 102L, 2.0), (1L, 103L, 1.0), (1L, 104L, 2.0),
+      (1L, 105L, 1.0), (1L, 106L, 100.0), // 5 priors, sd>0 → flagged
+      (2L, 201L, 5.0), (2L, 202L, 5.0), (2L, 203L, 5.0), (2L, 204L, 5.0),
+      (2L, 205L, 5.0), (2L, 206L, 99.0)   // constant baseline: sd=0 → not flagged
+    ).toDF("user_id", "event_id", "value")
+    val out = TimeSeries.rollingZscore(ev, "user_id", "value",
+        Seq(col("event_id")), lookback = 20, minPrior = 5, sigmas = 3.0)
+      .orderBy("event_id")
+      .select("event_id", "n_prior", "z", "is_anomaly")
+      .collect()
+    // warm-up rows (fewer than 5 priors): null z, never anomalous
+    (0 to 4).foreach { i =>
+      assert(out(i).isNullAt(2) && !out(i).getBoolean(3), s"row $i")
+    }
+    // the spike: mu=1.4, sd=round(sqrt(0.3),6)=0.547723, z=round(98.6/sd,6)
+    assert(out(5).getLong(1) === 5L)
+    assert(out(5).getDouble(2) === 180.018002)
+    assert(out(5).getBoolean(3))
+    // constant-baseline series: sd=0 → null z even at the spike
+    assert(out(11).isNullAt(2) && !out(11).getBoolean(3))
+  }
+
+  test("rollingZscore: the baseline excludes the current value and respects lookback") {
+    // lookback=2: row 4's baseline is rows 2,3 only
+    val ev = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 1.0), (1L, 3L, 3.0), (1L, 4L, 2.0)
+    ).toDF("user_id", "event_id", "value")
+    val out = TimeSeries.rollingZscore(ev, "user_id", "value",
+        Seq(col("event_id")), lookback = 2, minPrior = 2, sigmas = 1.0)
+      .orderBy("event_id").select("n_prior", "z").collect()
+    assert(out(3).getLong(0) === 2L)
+    // baseline {1,3}: mu=2, sd=round(sqrt(2),6)=1.414214; z=(2-2)/sd=0
+    assert(out(3).getDouble(1) === 0.0)
+  }
 }
