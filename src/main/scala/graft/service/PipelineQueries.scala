@@ -324,6 +324,82 @@ object PipelineQueries {
           threshold, intParam(ps, "k"))
       }))
 
+    service.register(PipelineQuery("hybrid_search",
+      Seq(ParamSpec("terms", "string"),
+        ParamSpec("k", "long", required = false, default = Some(10L)),
+        ParamSpec("query_id", "long", required = false, default = Some(0L))),
+      ps => {
+        // lexical BM25 list + dense cosine list (query = query_id's
+        // embedding) fused by reciprocal rank — the q135 surface
+        val terms = ps("terms").asInstanceOf[String].split(",")
+          .toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
+        if (terms.isEmpty)
+          throw new BadRequestException("'terms' must list at least one term")
+        val emb = Tpch.table(spark, sfDir, "embeddings")
+        val qid = ps("query_id").asInstanceOf[Long]
+        val qRows = emb.filter(col("vec_id") === qid).select(col("embedding")).take(1)
+        if (qRows.isEmpty)
+          throw new BadRequestException(s"'query_id' $qid has no embedding")
+        val qv = qRows.head.getSeq[Float](0).map(_.toDouble)
+        val k = intParam(ps, "k")
+        val bm = Search.rankTopK(
+          Search.bm25TopK(docs, "doc_id", "text", terms, k * 2),
+          Seq(col("score").desc, col("doc_id")))
+          .select(col("doc_id"), col("rank"))
+        val cos = Search.rankTopK(
+          graft.operators.Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, k * 2),
+          Seq(col("cos_sim").desc, col("id")))
+          .select(col("id").as("doc_id"), col("rank"))
+        Search.rrfFuse(Seq("bm25" -> bm, "cos" -> cos), "doc_id", topK = k)
+      }))
+
+    service.register(PipelineQuery("novelty",
+      Seq(ParamSpec("window", "long", required = false, default = Some(4L)),
+        ParamSpec("only_stale", "boolean", required = false, default = Some(false))),
+      ps => {
+        val nov = graft.operators.Dedup.noveltyScores(docs, "doc_id", "text",
+          intParam(ps, "window"))
+        if (ps("only_stale").asInstanceOf[Boolean])
+          nov.filter(col("novelty_pm") < 10000 && col("n_windows") > 0)
+        else nov
+      }))
+
+    service.register(PipelineQuery("token_drift",
+      Seq(ParamSpec("top_k", "long", required = false, default = Some(20L)),
+        ParamSpec("min_total", "long", required = false, default = Some(2L))),
+      ps => {
+        // split-health audit between the q77 train/test slices
+        val split = docs.withColumn("split",
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05),
+            rest = "test"))
+        TextAnalysis.tokenDrift(
+          split.filter(col("split") === "train"),
+          split.filter(col("split") === "test"), "text",
+          intParam(ps, "min_total"), intParam(ps, "top_k"))
+          .select(col("w").as("token"), col("c_a").as("c_train"),
+            col("c_b").as("c_test"), col("chi2"))
+      }))
+
+    service.register(PipelineQuery("rolling_anomaly",
+      Seq(ParamSpec("lookback", "long", required = false, default = Some(20L)),
+        ParamSpec("sigmas", "double", required = false, default = Some(3.0)),
+        ParamSpec("only_anomalies", "boolean", required = false, default = Some(false))),
+      ps => {
+        val sigmas = ps("sigmas").asInstanceOf[Double]
+        if (!(sigmas > 0) || sigmas.isInfinite)
+          throw new BadRequestException("'sigmas' must be finite and > 0")
+        val lookback = intParam(ps, "lookback", min = 2)
+        val scored = graft.operators.TimeSeries.rollingZscore(
+          graft.QueryDef.events(spark, sfDir), "user_id", "value",
+          Seq(col("ts"), col("event_id")),
+          lookback = lookback, minPrior = math.min(5, lookback), sigmas = sigmas)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("n_prior"), col("z"), col("is_anomaly"))
+        if (ps("only_anomalies").asInstanceOf[Boolean])
+          scored.filter(col("is_anomaly"))
+        else scored
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

@@ -213,6 +213,35 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("curate", Map("train_frac" -> "0.98", "val_frac" -> "0.05"))
     }
+    val hy = service.runRegistered("hybrid_search",
+      Map("terms" -> "spark, merge", "k" -> "5"))
+    assert(hy.columns.sameElements(Array("doc_id", "bm25_rank", "cos_rank", "rrf")))
+    assert(hy.count() === 5)
+    intercept[BadRequestException] {
+      service.runRegistered("hybrid_search", Map("terms" -> " , "))
+    }
+    intercept[BadRequestException] { // no embedding row for that id
+      service.runRegistered("hybrid_search",
+        Map("terms" -> "spark", "query_id" -> "999999999"))
+    }
+    val nv = service.runRegistered("novelty", Map("window" -> "4"))
+    assert(nv.columns.sameElements(
+      Array("doc_id", "n_windows", "n_novel", "novelty_pm")) && nv.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("novelty", Map("window" -> "0"))
+    }
+    val td = service.runRegistered("token_drift", Map("top_k" -> "10"))
+    assert(td.columns.sameElements(Array("token", "c_train", "c_test", "chi2")))
+    assert(td.count() <= 10)
+    val ra = service.runRegistered("rolling_anomaly", Map("only_anomalies" -> "true"))
+    assert(ra.columns.sameElements(Array("event_id", "user_id", "ts", "value",
+      "n_prior", "z", "is_anomaly")))
+    intercept[BadRequestException] {
+      service.runRegistered("rolling_anomaly", Map("sigmas" -> "0"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("rolling_anomaly", Map("lookback" -> "1"))
+    }
   }
 
   test("pipeline-query write effect runs on a writable service and over HTTP") {
