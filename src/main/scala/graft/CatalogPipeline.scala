@@ -1618,5 +1618,86 @@ object CatalogPipeline {
              |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
              |  CAST(coalesce(n_novel, 0) * 10000 // greatest(coalesce(n_windows, 0), 1) AS BIGINT)
              |    AS novelty_pm
-             |FROM d0 LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin)))
+             |FROM d0 LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q139_entity_match_jw",
+      // q129's blocked record linkage with Jaro-Winkler as the
+      // measure (the census name-matcher: positional tolerance +
+      // common-prefix bonus), via the native codegen
+      // JaroWinklerExpression — rapidfuzz/DuckDB semantics, rounded
+      // to 6 BEFORE thresholding so the kept-pair set is a
+      // printed-precision contract. Same equi-join blocking: cost
+      // stays sum(|block|^2), never a cross join
+      (s, d) => Dedup.blockedJaroWinklerPairs(
+          Tpch.table(s, d, "customer"), "c_custkey", "c_name",
+          Seq("c_nationkey", "c_mktsegment"), minSim = 0.96)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |  a.c_name AS name_a, b.c_name AS name_b,
+             |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+             |  AND a.c_custkey < b.c_custkey
+             |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.96
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q140_funnel",
+      // Windowed conversion funnel (view → click within 24h →
+      // purchase within 24h), earliest-completion semantics with a
+      // total (ts, event_id) event order. Order matters (a click
+      // before the first view doesn't count) and so does the window
+      // (the unbounded funnel converts everyone on this data — the
+      // 24h bound is what splits the population 90/35/25). One
+      // filtered aggregate per step, all on the user key; no windows
+      // over the whole stream, no per-user collect
+      (s, d) => TimeSeries.funnel(events(s, d), "user_id", "ts", "event_id",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"),
+          withinHours = Some(24))
+        .orderBy("user_id"),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |s1 AS (SELECT user_id, ts AS t1, event_id AS e1 FROM (
+             |    SELECT user_id, ts, event_id,
+             |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+             |s2 AS (SELECT user_id, ts AS t2, event_id AS e2 FROM (
+             |    SELECT e.user_id, e.ts, e.event_id,
+             |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+             |    FROM events e JOIN s1 USING (user_id)
+             |    WHERE e.event_type = 'click' AND (e.ts > t1 OR (e.ts = t1 AND e.event_id > e1))
+             |      AND e.ts <= t1 + INTERVAL 24 HOUR) WHERE rn = 1),
+             |s3 AS (SELECT user_id, ts AS t3, event_id AS e3 FROM (
+             |    SELECT e.user_id, e.ts, e.event_id,
+             |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+             |    FROM events e JOIN s2 USING (user_id)
+             |    WHERE e.event_type = 'purchase' AND (e.ts > t2 OR (e.ts = t2 AND e.event_id > e2))
+             |      AND e.ts <= t2 + INTERVAL 24 HOUR) WHERE rn = 1)
+             |SELECT u.user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts,
+             |  CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+             |     + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+             |     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
+             |  t3 IS NOT NULL AS converted
+             |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q141_histogram",
+      // per-type equi-width value histogram (profiling / feature
+      // audit): each event type's own [min, max] range split into 10
+      // bins. Integer bins and counts; the endpoints are raw data
+      // values (no arithmetic), and the bin index is one identical
+      // IEEE expression per row. Two hash aggs + one group-grain
+      // equi-join — no BNLJ, no window
+      (s, d) => TimeSeries.valueHistogram(events(s, d), "event_type", "value",
+          bins = 10)
+        .orderBy("event_type", "bin"),
+      Some("""WITH rg AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT e.event_type, rg.lo, rg.hi,
+             |    CASE WHEN rg.hi = rg.lo THEN 0
+             |      ELSE least(CAST(floor((e.value - rg.lo) * 10 / (rg.hi - rg.lo)) AS BIGINT), 9)
+             |    END AS bin
+             |  FROM events e JOIN rg USING (event_type))
+             |SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n, lo, hi
+             |FROM b GROUP BY 1, 2, 4, 5 ORDER BY event_type, bin""".stripMargin)))
 }

@@ -187,6 +187,37 @@ object Dedup {
       .select("id_a", "id_b", "name_a", "name_b", "dist")
   }
 
+  /** [[blockedEditDistancePairs]] with Jaro-Winkler similarity as the
+    * within-block measure — the census-style name matcher (positional
+    * tolerance + common-prefix bonus) where edit distance is too
+    * coarse: "jon"/"john" and "jon"/"ton" are both levenshtein 1, but
+    * JW separates them (prefix agreement matters in names). The
+    * similarity is the native codegen
+    * [[graft.functions.JaroWinklerExpression]] (rapidfuzz/DuckDB
+    * semantics), rounded to 6 decimals BEFORE thresholding so the
+    * kept-pair set is a printed-precision contract any engine
+    * reproduces. Same blocking discipline: equi-join on the key,
+    * Σ|block|² cost, never a cross join.
+    *
+    * Returns `(id_a, id_b, name_a, name_b, jw)` with `id_a < id_b`
+    * and `jw >= minSim`.
+    */
+  def blockedJaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], minSim: Double): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(minSim > 0 && minSim <= 1, "minSim must be in (0, 1]")
+    val a = df.select(struct(blockCols.map(col): _*).as("__blk"),
+      col(idCol).as("id_a"), col(nameCol).as("name_a"))
+    val b = df.select(struct(blockCols.map(col): _*).as("__blk"),
+      col(idCol).as("id_b"), col(nameCol).as("name_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", round(graft.functions.JaroWinklerExpression
+        .jaro_winkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= minSim)
+      .select("id_a", "id_b", "name_a", "name_b", "jw")
+  }
+
   /** 64-bit SimHash over whitespace tokens. Columnar bit-counting: for
     * each bit position the signed token-hash contributions are summed
     * via aggregate(); stays in codegen (no Scala closures at runtime).

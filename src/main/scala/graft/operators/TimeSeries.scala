@@ -150,4 +150,91 @@ object TimeSeries {
       .withColumn("is_anomaly", coalesce(when(ok, abs(z) > sigmas), lit(false)))
       .drop("__n_prior", "__mu", "__sd")
   }
+
+  /** Ordered conversion-funnel analysis — the product-analytics
+    * staple: for each series (user), the earliest time it completed
+    * step 1, then step 2 STRICTLY AFTER its step-1 event, then step 3
+    * after that, etc. A user who clicks before ever viewing has not
+    * "viewed then clicked": order matters, which is what separates a
+    * funnel from five filters.
+    *
+    * `steps` are arbitrary predicates. Event order is (tsCol, tieCol)
+    * — make it total per series or "earliest" is ambiguous.
+    * `withinHours` bounds each transition (step i within N hours of
+    * step i−1, the windowed-funnel convention); `None` = unbounded.
+    *
+    * Scale shape: one filtered aggregate per step, each grouped on the
+    * SERIES key (same shuffle key every round, so the exchange is
+    * reusable), joined back at series grain; step i's candidates
+    * semi-filter against step i−1's completion row, so work shrinks
+    * down-funnel. Never a window over the whole stream and never a
+    * per-user collect.
+    *
+    * Returns one row per series that completed step 1's predicate AT
+    * LEAST zero times — i.e. every distinct series in `df` — with
+    * `step<i>_ts` (null = not reached), `steps_completed`, and
+    * `converted` (all steps reached).
+    */
+  def funnel(df: DataFrame, seriesCol: String, tsCol: String, tieCol: String,
+      steps: Seq[Column], withinHours: Option[Int] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinHours.forall(_ > 0), "withinHours must be positive")
+    val evKey = struct(col(tsCol), col(tieCol))
+    var acc = df.select(col(seriesCol)).distinct()
+    steps.zipWithIndex.foreach { case (pred, i) =>
+      val cand = df.filter(pred).select(col(seriesCol), evKey.as("__ek"))
+      val reached =
+        if (i == 0)
+          cand.groupBy(seriesCol).agg(min(col("__ek")).as(s"__k$i"))
+        else {
+          val prevK = col(s"__k${i - 1}")
+          val inWindow = withinHours match {
+            case Some(h) => col("__ek").getField(tsCol) <=
+              prevK.getField(tsCol) + expr(s"INTERVAL $h HOUR")
+            case None => lit(true)
+          }
+          cand.join(acc.select(col(seriesCol), prevK), Seq(seriesCol))
+            .filter(col("__ek") > prevK && inWindow)
+            .groupBy(seriesCol).agg(min(col("__ek")).as(s"__k$i"))
+        }
+      acc = acc.join(reached, Seq(seriesCol), "left")
+    }
+    val stepTs = steps.indices.map(i =>
+      col(s"__k$i").getField(tsCol).as(s"step${i + 1}_ts"))
+    val completed = steps.indices.map(i =>
+      when(col(s"__k$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    acc.select((col(seriesCol) +: stepTs) :+
+      completed.as("steps_completed") :+
+      col(s"__k${steps.size - 1}").isNotNull.as("converted"): _*)
+  }
+
+  /** Per-group equi-width value histogram — the profiling/feature-
+    * audit primitive: each group's value range [min, max] split into
+    * `bins` equal bins, with the group's own range (a global range
+    * would let one outlier group flatten everyone else's resolution).
+    * Values exactly at the top edge fold into the last bin; a
+    * constant-valued group lands entirely in bin 0.
+    *
+    * Two hash aggregations on the group key (range, then counts) and
+    * one group-grain join — no windows, no broadcast-nested-loop: the
+    * range table joins on the GROUP key. The bin index
+    * `floor((v−lo)·bins/(hi−lo))` is pure IEEE arithmetic evaluated
+    * identically on any engine; output is integer bins and counts
+    * plus the raw (arithmetic-free) range endpoints.
+    */
+  def valueHistogram(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val range = df.groupBy(groupCol)
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    df.join(range, Seq(groupCol))
+      .select(col(groupCol), col("lo"), col("hi"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col(valueCol) - col("lo")) * bins / (col("hi") - col("lo"))),
+            lit(bins - 1L)).cast("long")).as("bin"))
+      .groupBy(col(groupCol), col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("bin"), col("n"), col("lo"), col("hi"))
+  }
 }

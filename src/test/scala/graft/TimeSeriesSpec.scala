@@ -120,6 +120,62 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(11).isNullAt(2) && !out(11).getBoolean(3))
   }
 
+  test("funnel: order matters, windows bound transitions, earliest completion wins") {
+    val ev = Seq(
+      // user 1: clean view → click → purchase inside the windows
+      (1L, ts("2024-01-01 00:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 02:00:00"), "click", 2L),
+      (1L, ts("2024-01-01 05:00:00"), "purchase", 3L),
+      // user 2: click BEFORE the first view never counts
+      (2L, ts("2024-01-01 00:00:00"), "click", 4L),
+      (2L, ts("2024-01-01 01:00:00"), "view", 5L),
+      // user 3: click 30h after view — outside the 24h window
+      (3L, ts("2024-01-01 00:00:00"), "view", 6L),
+      (3L, ts("2024-01-02 06:00:00"), "click", 7L),
+      // user 4: purchase before the click doesn't complete the funnel
+      (4L, ts("2024-01-01 00:00:00"), "view", 8L),
+      (4L, ts("2024-01-01 01:00:00"), "purchase", 9L),
+      (4L, ts("2024-01-01 02:00:00"), "click", 10L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = TimeSeries.funnel(ev, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), withinHours = Some(24))
+      .orderBy("user_id")
+      .select("user_id", "steps_completed", "converted")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (1L, 3L, true), (2L, 1L, false), (3L, 1L, false), (4L, 2L, false)))
+  }
+
+  test("funnel: later same-key completions don't displace the earliest") {
+    // two qualifying clicks: the funnel pins the FIRST one, so the
+    // purchase window anchors there
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 01:00:00"), "click", 2L),
+      (1L, ts("2024-01-03 00:00:00"), "click", 3L),
+      (1L, ts("2024-01-03 01:00:00"), "purchase", 4L) // within 24h of click#2 only
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = TimeSeries.funnel(ev, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), withinHours = Some(24))
+      .select("steps_completed").head().getLong(0)
+    assert(out === 2L) // anchored at the first click: purchase out of window
+  }
+
+  test("valueHistogram: per-group ranges, top-edge fold, constant group") {
+    val df = ((0 to 10).map(v => ("a", v.toDouble)) :+ ("b", 7.0) :+ ("b", 7.0))
+      .toDF("g", "v")
+    val out = TimeSeries.valueHistogram(df, "g", "v", bins = 5)
+      .orderBy("g", "bin")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out === Array(
+      ("a", 0L, 2L, 0.0, 10.0), ("a", 1L, 2L, 0.0, 10.0),
+      ("a", 2L, 2L, 0.0, 10.0), ("a", 3L, 2L, 0.0, 10.0),
+      ("a", 4L, 3L, 0.0, 10.0), // 8, 9, and the top edge 10 fold here
+      ("b", 0L, 2L, 7.0, 7.0))) // constant group: single bin 0
+  }
+
   test("rollingZscore: the baseline excludes the current value and respects lookback") {
     // lookback=2: row 4's baseline is rows 2,3 only
     val ev = Seq(

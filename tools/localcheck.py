@@ -42,7 +42,12 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     for c in got.columns:
         a, b = got[c].values, exp[c].values
         try:
-            if a.dtype == object or b.dtype == object:
+            if (a.dtype == object or b.dtype == object
+                    or np.issubdtype(a.dtype, np.datetime64)
+                    or np.issubdtype(b.dtype, np.datetime64)):
+                # str-compare: NaT != NaT under numpy equality, but a
+                # null timestamp must equal a null timestamp (the
+                # driver hashes stringified values, where NaT is stable)
                 eq = all(str(x) == str(y) for x, y in zip(a, b))
             else:
                 eq = (pd.Series(a).astype('float64').equals(pd.Series(b).astype('float64'))
