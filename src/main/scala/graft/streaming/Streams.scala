@@ -130,6 +130,64 @@ object Streams {
       }
   }
 
+  final case class ZEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  final case class ZScored(user_id: Long, event_id: Long, n_prior: Long,
+    z: Option[Double], is_anomaly: Boolean)
+  final case class ZState(recent: List[Double])
+
+  /** Streaming rolling z-score — the incremental twin of
+    * [[graft.operators.TimeSeries.rollingZscore]] (the q134 batch
+    * contract): per-series state is just the last `lookback` values,
+    * each arriving event is scored against that trailing window
+    * (self-excluded) and then appended to it. A metrics stream gets
+    * live anomaly flags with O(lookback) state per series — the
+    * stream/batch-equivalence discipline of q118-q120, enforced by
+    * StreamingSpec feeding the same events through both paths.
+    *
+    * Arithmetic mirrors the batch side operation-for-operation: the
+    * mean sums the window oldest-first, the sample stddev runs
+    * Welford's update in the same order (what Spark's stddev_samp
+    * aggregate computes), and mean/sd/z each round half-up to 6 — so
+    * a flag flipped by execution mode would be a real bug, not noise.
+    */
+  def rollingZscoreStream(events: Dataset[ZEvent], lookback: Int = 20,
+      minPrior: Int = 5, sigmas: Double = 3.0): Dataset[ZScored] = {
+    require(lookback >= minPrior && minPrior >= 2, "need lookback >= minPrior >= 2")
+    import events.sparkSession.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZState, ZScored](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ZEvent], state: GroupState[ZState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var buf = state.getOption.map(_.recent).getOrElse(Nil) // oldest first
+          val out = sorted.map { e =>
+            val n = buf.length
+            val scored = if (n >= minPrior) {
+              // Welford in window order = Spark's CentralMomentAgg
+              var avg = 0.0; var m2 = 0.0; var i = 0
+              buf.foreach { x =>
+                i += 1
+                val delta = x - avg
+                avg += delta / i
+                m2 += delta * (x - avg)
+              }
+              val mu = round6(buf.sum / n)
+              val sd = round6(math.sqrt(m2 / (n - 1)))
+              if (sd > 0) {
+                val z = round6((e.value - mu) / sd)
+                ZScored(user, e.event_id, n, Some(z), math.abs(z) > sigmas)
+              } else ZScored(user, e.event_id, n, None, is_anomaly = false)
+            } else ZScored(user, e.event_id, n, None, is_anomaly = false)
+            buf = (buf :+ e.value).takeRight(lookback)
+            scored
+          }
+          state.update(ZState(buf))
+          out.iterator
+      }
+  }
+
   /** Close all open sessions (end-of-stream flush for tests/batch). */
   def openSessions(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
     import events.sparkSession.implicits._

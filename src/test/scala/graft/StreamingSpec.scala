@@ -84,6 +84,44 @@ class StreamingSpec extends SparkSpec {
     assert(all == Set((1L, 2), (1L, 1), (2L, 1)))
   }
 
+  test("streaming rolling z-score equals the batch operator across batch splits") {
+    import graft.streaming.Streams.ZEvent
+    implicit val sqlCtx = spark.sqlContext
+    // real events slice: every event of 8 users, replayed in ts order
+    // but SPLIT mid-stream so per-user state must carry across batches
+    val ev = graft.QueryDef.events(spark, sf) // encoding-normalized ts
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[ZEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(ev.length > 50)
+    val (first, second) = ev.splitAt(ev.length / 2)
+
+    val input = MemoryStream[ZEvent]
+    val q = graft.streaming.Streams.rollingZscoreStream(input.toDS(),
+        lookback = 20, minPrior = 5, sigmas = 3.0)
+      .writeStream.outputMode("append").format("memory").queryName("zs").start()
+    input.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.sql("select user_id, event_id, n_prior, z, is_anomaly from zs")
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect()
+      .sortBy(r => r._2)
+    q.stop()
+
+    val batch = graft.operators.TimeSeries.rollingZscore(
+        ev.toSeq.toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "value", Seq(col("ts"), col("event_id")),
+        lookback = 20, minPrior = 5, sigmas = 3.0)
+      .select("user_id", "event_id", "n_prior", "z", "is_anomaly")
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect()
+      .sortBy(r => r._2)
+
+    assert(streamed.length === batch.length)
+    assert(streamed === batch) // value-for-value, flags included
+    assert(streamed.exists(_._4.isDefined)) // non-vacuous: scores exist
+  }
+
   test("media decode pipeline is stream-composable (partition-batched ops on a stream)") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext
