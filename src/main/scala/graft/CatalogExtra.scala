@@ -327,5 +327,29 @@ object CatalogExtra {
              |SELECT label, src, CAST(count(*) AS BIGINT) AS n_edges,
              |  CAST(sum(CAST(round(weight*100, 0) AS BIGINT)) AS BIGINT) AS w_cents,
              |  CAST(sum(dst) AS BIGINT) AS d_sum
-             |FROM all_edges GROUP BY 1, 2 ORDER BY label, src""".stripMargin)))
+             |FROM all_edges GROUP BY 1, 2 ORDER BY label, src""".stripMargin)),
+
+    QueryDef("q144_pivot",
+      // the relational PIVOT surface: per-user event-type count matrix
+      // via Dataset.pivot with an EXPLICIT value list (an inferred
+      // list would mean an extra distinct pass AND a nondeterministic
+      // column order). One hash aggregation — pivot columns are
+      // map-side count slots, absent cells coalesce to 0
+      (s, d) => {
+        val p = events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+          Seq("click", "error", "purchase", "signup", "view")
+            .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  count(*) FILTER (event_type = 'click') AS click,
+             |  count(*) FILTER (event_type = 'error') AS error,
+             |  count(*) FILTER (event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (event_type = 'signup') AS signup,
+             |  count(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)))
 }

@@ -1699,5 +1699,47 @@ object CatalogPipeline {
              |    END AS bin
              |  FROM events e JOIN rg USING (event_type))
              |SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n, lo, hi
-             |FROM b GROUP BY 1, 2, 4, 5 ORDER BY event_type, bin""".stripMargin)))
+             |FROM b GROUP BY 1, 2, 4, 5 ORDER BY event_type, bin""".stripMargin)),
+
+    QueryDef("q142_retention",
+      // Cohort retention matrix: users cohorted by first-activity DAY,
+      // a cohort-day cell counts users with a PURCHASE that many days
+      // later (day grain + the sparse behavior make it non-vacuous —
+      // week-grain any-activity retention is 100% on this data).
+      // Per-myriad integers; min-agg + distinct at (user, offset)
+      // grain, joins on the cohort key only
+      (s, d) => TimeSeries.retention(events(s, d), "user_id", "ts",
+          col("event_type") === "purchase", truncUnit = "day")
+        .select(col("cohort"), col("offset").as("day_offset"),
+          col("n_active"), col("cohort_size"), col("retention_pm"))
+        .orderBy("cohort", "day_offset"),
+      Some("""WITH c AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+             |  FROM events GROUP BY 1),
+             |act AS (SELECT DISTINCT e.user_id, c.cohort,
+             |    CAST(datediff('day', c.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+             |      AS day_offset
+             |  FROM events e JOIN c USING (user_id) WHERE e.event_type = 'purchase'),
+             |sz AS (SELECT cohort, count(*) AS cohort_size FROM c GROUP BY 1)
+             |SELECT act.cohort, day_offset, count(*) AS n_active, sz.cohort_size,
+             |  CAST(count(*) * 10000 // sz.cohort_size AS BIGINT) AS retention_pm
+             |FROM act JOIN sz USING (cohort)
+             |GROUP BY 1, 2, 4 ORDER BY cohort, day_offset""".stripMargin)),
+
+    QueryDef("q143_winsorize",
+      // per-type winsorization at [p05, p95] — exact interpolated
+      // percentiles (the q84 cross-engine contract) joined back at
+      // group grain, then a codegen clamp per row; value and verdict
+      // both live at 6-decimal precision
+      (s, d) => TimeSeries.winsorize(events(s, d), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value_w"), col("clipped"))
+        .orderBy("event_id"),
+      Some("""WITH qs AS (SELECT event_type,
+             |    quantile_cont(value, 0.05) AS p05, quantile_cont(value, 0.95) AS p95
+             |  FROM events GROUP BY 1)
+             |SELECT event_id, e.event_type,
+             |  round(least(greatest(e.value, p05), p95), 6) AS value_w,
+             |  round(e.value, 6) < round(p05, 6) OR round(e.value, 6) > round(p95, 6)
+             |    AS clipped
+             |FROM events e JOIN qs USING (event_type)
+             |ORDER BY event_id""".stripMargin)))
 }

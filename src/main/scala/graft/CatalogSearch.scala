@@ -535,6 +535,29 @@ object CatalogSearch {
              |  md5(clean) AS clean_md5
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q145_cooccurrence",
+      // document-level term co-occurrence (q130's whole-doc
+      // complement): top-20 token pairs by docs-containing-both, with
+      // per-myriad Jaccard affinity — all integer. The minDf=5
+      // pre-filter bounds the within-doc self-join to frequent-vocab
+      // pairs (the FP-growth discipline that keeps the pair space
+      // tractable at corpus scale); the self-join keys on the doc id
+      (s, d) => TextAnalysis.cooccurrence(
+        Tpch.table(s, d, "documents"), "doc_id", "text", minDf = 5, topK = 20),
+      Some("""WITH dt AS (SELECT DISTINCT doc_id, t FROM (
+             |    SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+             |      ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t
+             |    FROM documents)),
+             |dfq AS (SELECT t, count(*) AS df FROM dt GROUP BY 1 HAVING count(*) >= 5),
+             |k AS (SELECT dt.doc_id, dt.t, dfq.df FROM dt JOIN dfq USING (t)),
+             |p AS (SELECT a.t AS t1, b.t AS t2, count(*) AS co,
+             |    min(a.df) AS df1, min(b.df) AS df2
+             |  FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.t < b.t
+             |  GROUP BY 1, 2)
+             |SELECT t1, t2, co, df1, df2,
+             |  CAST(co * 10000 // (df1 + df2 - co) AS BIGINT) AS jaccard_pm
+             |FROM p ORDER BY co DESC, t1, t2 LIMIT 20""".stripMargin)),
+
     QueryDef("q138_token_drift",
       // Split-health drift audit: per-token chi-square contribution
       // between the train and test hash-split slices (q77's split),

@@ -357,6 +357,44 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Document-level term co-occurrence — [[pmiCollocations]]'s
+    * whole-document complement (adjacency finds phrases; co-presence
+    * finds topical affinity): the top-k token PAIRS by number of
+    * documents containing both, with a per-myriad Jaccard affinity
+    * `co·10⁴ div (dfA + dfB − co)` — all integers, bit-exact.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (doc, token) pairs
+    * (explode + distinct, corpus-grain but narrow); tokens below
+    * `minDf` document frequency are dropped BEFORE the within-doc
+    * self-join, which bounds pair fan-out to C(kept-vocab-per-doc, 2)
+    * — the knob that keeps a 100 TB corpus's pair space at
+    * frequent-vocabulary size, the FP-growth-style frequent-pair
+    * discipline. The self-join keys on the doc id (equi-join,
+    * hash-partitioned); df and co tables are vocabulary-grain.
+    */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 5, topK: Int = 20): DataFrame = {
+    require(minDf >= 1 && topK >= 1, "minDf and topK must be positive")
+    val dt = df.select(col(idCol).as("__id"),
+        explode(tokens(lower(col(textCol)))).as("t"))
+      .distinct()
+    val dfreq = dt.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val kept = dt.join(dfreq, Seq("t"))
+    val pairs = kept.select(col("__id"), col("t").as("t1"), col("df").as("df1"))
+      .join(kept.select(col("__id"), col("t").as("t2"), col("df").as("df2")),
+        Seq("__id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("co"), first(col("df1")).as("df1"),
+        first(col("df2")).as("df2"))
+    pairs
+      .select(col("t1"), col("t2"), col("co"), col("df1"), col("df2"),
+        expr("co * 10000 div (df1 + df2 - co)").as("jaccard_pm"))
+      .orderBy(col("co").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
+
   /** Canonical text cleanup — the ingest-side normalization pass that
     * must run BEFORE any hashing/dedup/fingerprint tier, or visually
     * identical documents hash apart: Unicode NFC composition

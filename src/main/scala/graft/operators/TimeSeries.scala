@@ -208,6 +208,60 @@ object TimeSeries {
       col(s"__k${steps.size - 1}").isNotNull.as("converted"): _*)
   }
 
+  /** Cohort retention analysis — the product-analytics matrix: users
+    * cohorted by their FIRST activity bucket (day/week), and for each
+    * (cohort, offset) the share still exhibiting the `retained`
+    * behavior that many buckets later. Retention is per-myriad integer
+    * (`n_active·10⁴ div cohort_size`) — bit-exact on any engine.
+    *
+    * Scale shape: first-activity is one min-aggregate on the series
+    * key; the activity matrix is a distinct over (series, offset) —
+    * bounded by series·span, not event volume — joined back to
+    * cohort-grain sizes. All shuffles are on the series key or the
+    * (cohort, offset) grain; nothing is windowed over the stream.
+    */
+  def retention(df: DataFrame, seriesCol: String, tsCol: String,
+      retained: Column, truncUnit: String = "day"): DataFrame = {
+    val cohorts = df.groupBy(col(seriesCol))
+      .agg(to_date(date_trunc(truncUnit, min(col(tsCol)))).as("cohort"))
+    val active = df.filter(retained)
+      .select(col(seriesCol), to_date(date_trunc(truncUnit, col(tsCol))).as("__b"))
+      .join(cohorts, Seq(seriesCol))
+      .select(col(seriesCol), col("cohort"),
+        datediff(col("__b"), col("cohort")).cast("long").as("offset"))
+      .distinct()
+    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    active.groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"),
+        expr("n_active * 10000 div cohort_size").as("retention_pm"))
+  }
+
+  /** Per-group winsorization — outlier clipping at the group's own
+    * [pLo, pHi] percentiles (the standard robust-feature pre-step:
+    * keep the row, clamp the tail). Exact interpolated percentiles
+    * (the q84 contract — both engines define quantile k as
+    * value[p·(n−1)] with linear interpolation), computed once per
+    * group and joined back at group grain; the clamp itself is two
+    * codegen comparisons per row. `clipped` compares at the same
+    * 6-decimal precision the output value carries.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val qs = df.groupBy(groupCol).agg(
+      percentile(col(valueCol), lit(pLo)).as("__plo"),
+      percentile(col(valueCol), lit(pHi)).as("__phi"))
+    df.join(qs, Seq(groupCol))
+      .withColumn("value_w",
+        round(least(greatest(col(valueCol), col("__plo")), col("__phi")), 6))
+      .withColumn("clipped",
+        round(col(valueCol), 6) < round(col("__plo"), 6) ||
+          round(col(valueCol), 6) > round(col("__phi"), 6))
+      .drop("__plo", "__phi")
+  }
+
   /** Per-group equi-width value histogram — the profiling/feature-
     * audit primitive: each group's value range [min, max] split into
     * `bins` equal bins, with the group's own range (a global range

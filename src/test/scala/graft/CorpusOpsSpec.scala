@@ -254,6 +254,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m("x")._4 === 4.666667)
   }
 
+  test("cooccurrence: doc-level pair counts, minDf gate, jaccard affinity") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y"), (3L, "x y"), (4L, "x"), (5L, "y rare")
+    ).toDF("doc_id", "text")
+    // df: x=4, y=4, z=1, rare=1; minDf=2 keeps only x,y
+    // co(x,y)=3; jaccard_pm = 3*10000 div (4+4-3) = 6000
+    val out = TextAnalysis.cooccurrence(docs, "doc_id", "text",
+        minDf = 2, topK = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out === Array(("x", "y", 3L, 4L, 4L, 6000L)))
+  }
+
+  test("cooccurrence: repeated tokens in one doc count once") {
+    val docs = Seq((1L, "a a b b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrence(docs, "doc_id", "text",
+        minDf = 1, topK = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out === Array(("a", "b", 2L, 2L, 2L, 10000L)))
+  }
+
   test("tokenDrift: minTotal floors out hapax noise") {
     val a = Seq((1L, "w w w once")).toDF("id", "text")
     val b = Seq((2L, "w w")).toDF("id", "text")

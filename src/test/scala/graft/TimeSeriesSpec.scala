@@ -163,6 +163,46 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out === 2L) // anchored at the first click: purchase out of window
   }
 
+  test("retention: day cohorts, behavior-gated activity, per-myriad shares") {
+    val ev = Seq(
+      // cohort 2024-01-01: users 1,2. User 1 purchases on day 0 and 2;
+      // user 2 purchases on day 2 only (their view on day 1 is not the
+      // retained behavior)
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 1L),
+      (1L, ts("2024-01-03 09:00:00"), "purchase", 2L),
+      (2L, ts("2024-01-01 11:00:00"), "view", 3L),
+      (2L, ts("2024-01-02 11:00:00"), "view", 4L),
+      (2L, ts("2024-01-03 11:00:00"), "purchase", 5L),
+      // cohort 2024-01-02: user 3, never purchases
+      (3L, ts("2024-01-02 08:00:00"), "view", 6L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = TimeSeries.retention(ev, "user_id", "ts",
+        col("event_type") === "purchase")
+      .orderBy("cohort", "offset")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      ("2024-01-01", 0L, 1L, 2L, 5000L), // day 0: only user 1
+      ("2024-01-01", 2L, 2L, 2L, 10000L))) // day 2: both
+    // user 3's cohort never exhibits the behavior → no rows at all
+  }
+
+  test("winsorize: clamps at the group's own percentiles, flags the tails") {
+    // group a: 1..20 → p05 = 1.95, p95 = 19.05 (linear interpolation)
+    val df = ((1 to 20).map(v => ("a", v.toLong, v.toDouble)) :+ ("b", 21L, 5.0))
+      .toDF("g", "id", "v")
+    val out = TimeSeries.winsorize(df, "g", "v")
+      .orderBy("id")
+      .select("id", "value_w", "clipped")
+      .as[(Long, Double, Boolean)].collect()
+    assert(out(0) === ((1L, 1.95, true)))   // clamped up
+    assert(out(9) === ((10L, 10.0, false))) // interior untouched
+    assert(out(19) === ((20L, 19.05, true))) // clamped down
+    // singleton group: p05 = p95 = the value itself, nothing clips
+    assert(out(20) === ((21L, 5.0, false)))
+    assert(out.count(_._3) === 2)
+  }
+
   test("valueHistogram: per-group ranges, top-edge fold, constant group") {
     val df = ((0 to 10).map(v => ("a", v.toDouble)) :+ ("b", 7.0) :+ ("b", 7.0))
       .toDF("g", "v")
