@@ -35,7 +35,13 @@ object Bench {
     "q111_bm25_stored",   // posting-store BM25 probe (round 7)
     "q112_ivfpq_ann",     // composed IVF-PQ probe, cell-pruned codes (round 7)
     "q115_phrase_search", // positional phrase probe (round 7)
-    "q116_nn_graph")      // per-vector ranked near-neighbor join (round 7)
+    "q116_nn_graph",      // per-vector ranked near-neighbor join (round 7)
+    "q127_fuzzy_decontaminate", // cross-corpus LSH near-dup check (round 8)
+    "q131_kmeans",        // 2-round distributed Lloyd + assignment (round 8)
+    "q135_hybrid_rrf",    // BM25 + dense fused retrieval, rescan tier (round 8)
+    "q146_hybrid_stored", // the same fusion served from the written stores (round 8)
+    "q137_novelty",       // directional window-novelty audit (round 8)
+    "q140_funnel")        // windowed conversion funnel (round 8)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

@@ -499,6 +499,70 @@ object CatalogSearch {
              |  CAST(coalesce(r_cos, 0) AS BIGINT) AS cos_rank, rrf
              |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
+    QueryDef("q146_hybrid_stored",
+      // q135's hybrid retrieval served from the WRITTEN stores — the
+      // q111/q113 discipline applied to fusion: the lexical list reads
+      // the posting store's term buckets (no corpus re-tokenize), the
+      // dense list probes the cluster-partitioned IVF store (6 of 8
+      // cells cover the true top-20 on this data, as q67's 5/8 cover
+      // its top-10 — the approximation is in what is SCANNED, not
+      // returned). The oracle is VERBATIM q135's rescan SQL: a
+      // store-served ranking that drifts from the rescan contract is
+      // a correctness bug, not a tuning choice
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val emb = Tpch.table(s, d, "embeddings")
+          .withColumn("nvec", Similarity.l2normalize(col("embedding")))
+        val postings = Search.ensurePostingStore(docs, "doc_id", "text", d)
+        val (assigned, centroids) = Similarity.ensureIvfStore(
+          emb, "nvec", "embedding", "vec_id", d, k = 8, iterations = 2)
+        val qRaw = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val norm = math.sqrt(qRaw.map(x => x * x).sum)
+        val qN = if (norm == 0) qRaw else qRaw.map(_ / norm)
+        val bm = Search.rankTopK(
+          Search.bm25TopKStored(s, postings, searchTerms, k = 20),
+          Seq(col("score").desc, col("doc_id")))
+          .select(col("doc_id"), col("rank"))
+        val cos = Search.rankTopK(
+          Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, qRaw,
+            k = 20, nProbe = 6, probeVec = Some(qN)),
+          Seq(col("cos_sim").desc, col("id")))
+          .select(col("id").as("doc_id"), col("rank"))
+        Search.rrfFuse(Seq("bm25" -> bm, "cos" -> cos), "doc_id",
+          kConst = 60, topK = 10)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |dl AS (SELECT id, count(*) AS dl FROM tk GROUP BY 1),
+             |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |              (SELECT sum(dl) FROM dl) // (SELECT count(*) FROM documents) AS avgdl),
+             |tf AS (SELECT id, t, count(*) AS tf FROM tk
+             |  WHERE t IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+             |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+             |bm AS (SELECT tf.id, CAST(sum(((st.n * 10000) // df.df) *
+             |      ((tf.tf * 20000 * st.avgdl) // (tf.tf * st.avgdl + dl.dl))) AS BIGINT) AS score
+             |  FROM tf JOIN df USING (t) JOIN dl USING (id) CROSS JOIN st
+             |  GROUP BY 1 ORDER BY score DESC, id LIMIT 20),
+             |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r_bm FROM bm),
+             |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |cs AS (SELECT vec_id AS id, round(
+             |    list_aggregate(list_transform(list_zip(embedding, qe),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |    (sqrt(list_aggregate(list_transform(embedding,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+             |     sqrt(list_aggregate(list_transform(qe,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+             |  FROM embeddings CROSS JOIN q ORDER BY cos_sim DESC, id LIMIT 20),
+             |csr AS (SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS r_cos FROM cs),
+             |f AS (SELECT coalesce(bmr.id, csr.id) AS doc_id, bmr.r_bm, csr.r_cos,
+             |    round(coalesce(1.0/(60 + bmr.r_bm), 0) + coalesce(1.0/(60 + csr.r_cos), 0), 6) AS rrf
+             |  FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id)
+             |SELECT doc_id, CAST(coalesce(r_bm, 0) AS BIGINT) AS bm25_rank,
+             |  CAST(coalesce(r_cos, 0) AS BIGINT) AS cos_rank, rrf
+             |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
     QueryDef("q136_normalize",
       // Canonical text cleanup over a deterministically-messied corpus
       // (the q89 derived-corpus discipline — the synthetic docs are

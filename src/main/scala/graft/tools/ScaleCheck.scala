@@ -64,7 +64,11 @@ object ScaleCheck {
     "q112_ivfpq_ann",
     "q113_tfidf_stored",
     "q115_phrase_search",
-    "q116_nn_graph")
+    "q116_nn_graph",
+    "q127_fuzzy_decontaminate", // cross-corpus LSH: train side scales ×N
+    "q135_hybrid_rrf",          // fused retrieval: both lists rescan ×N
+    "q137_novelty",             // window digests + min-owner join ×N
+    "q145_cooccurrence")        // minDf-bounded pair space (vocab ×N here)
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)
