@@ -516,5 +516,80 @@ object CatalogCore {
           col("o_orderstatus").as("status")).orderBy("orderkey")
       },
       Some("""SELECT o_orderkey AS orderkey, o_orderstatus AS status FROM orders
-             |WHERE o_orderstatus <> 'F' ORDER BY orderkey""".stripMargin)))
+             |WHERE o_orderstatus <> 'F' ORDER BY orderkey""".stripMargin)),
+
+    QueryDef("q147_personalized_pagerank",
+      // random-walk-with-restart relevance to customer 0 over the
+      // knows graph — q71's integer fixed-point discipline with the
+      // restart mass concentrated at one source (× n so magnitudes
+      // match the uniform variant). The oracle unrolls the same 6
+      // all-integer iterations; rank decays with hop distance from
+      // the source, which a uniform-base bug cannot reproduce
+      (s, d) => graft.operators.GraphAnalytics.personalizedPageRank(
+        knowsIndex(s, d),
+        Tpch.graph(s, d).vertexFrame("customer").select("id"),
+        sourceId = 0L, iterations = 6).orderBy("id"),
+      Some {
+        val iters = 6
+        val step = (i: Int) => s"""pr${i + 1} AS (
+          |  SELECT pr.id,
+          |    CAST(CASE WHEN pr.id = 0 THEN 150000 * nn.n ELSE 0 END
+          |      + COALESCE(s.contrib, 0) AS BIGINT) AS r
+          |  FROM pr$i pr CROSS JOIN nn LEFT JOIN (
+          |    SELECT e.dst AS id, sum((p.r * 85) // (100 * deg.d)) AS contrib
+          |    FROM pr$i p JOIN e ON e.src = p.id JOIN deg ON deg.src = e.src
+          |    WHERE p.r > 0
+          |    GROUP BY e.dst) s USING (id))""".stripMargin
+        s"""WITH e AS ($knowsSql),
+           |nn AS (SELECT count(*) AS n FROM customer),
+           |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+           |pr0 AS (SELECT c_custkey AS id,
+           |  CAST(CASE WHEN c_custkey = 0 THEN 1000000 * nn.n ELSE 0 END AS BIGINT) AS r
+           |  FROM customer CROSS JOIN nn),
+           |${(0 until iters).map(step).mkString(",\n")}
+           |SELECT id, r AS rank_micro FROM pr$iters ORDER BY id""".stripMargin
+      }),
+
+    QueryDef("q148_clustering_coeff",
+      // per-node local clustering coefficient over q82's ring+chord
+      // graph (the knows graph is triangle-free): 2·T·10⁴ div (d(d−1))
+      // per-myriad, degree < 2 → 0. Same degree-oriented O(m^1.5)
+      // triangle enumeration; all integer
+      (s, d) => {
+        val verts = Tpch.graph(s, d).vertexFrame("customer").select("id")
+        val n = verts.count()
+        val ring = verts.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        val c3 = verts.filter(col("id") % 3 === 0)
+          .select(col("id").as("src"), ((col("id") + 2) % n).as("dst"))
+        val c21 = verts.filter(col("id") % 21 === 0)
+          .select(col("id").as("src"), ((col("id") + 3) % n).as("dst"))
+        graft.operators.GraphAnalytics.clusteringCoefficients(
+          ring.unionAll(c3).unionAll(c21), verts).orderBy("id")
+      },
+      Some(s"""WITH n AS (SELECT count(*) AS n FROM customer),
+              |e AS (
+              |  SELECT c_custkey AS src, (c_custkey+1) % n.n AS dst FROM customer, n
+              |  UNION ALL
+              |  SELECT c_custkey, (c_custkey+2) % n.n FROM customer, n WHERE c_custkey % 3 = 0
+              |  UNION ALL
+              |  SELECT c_custkey, (c_custkey+3) % n.n FROM customer, n WHERE c_custkey % 21 = 0),
+              |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst),
+              |deg AS (SELECT id, count(*) AS degree FROM (
+              |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+              |tri AS (SELECT xy.a AS x, xy.b AS y, yz.b AS z
+              |  FROM und xy JOIN und yz ON xy.b = yz.a
+              |  WHERE EXISTS (SELECT 1 FROM und xz WHERE xz.a = xy.a AND xz.b = yz.b)),
+              |t AS (SELECT unnest([x, y, z]) AS id FROM tri),
+              |tc AS (SELECT id, count(*) AS c FROM t GROUP BY 1)
+              |SELECT cu.c_custkey AS id,
+              |  CAST(COALESCE(tc.c, 0) AS BIGINT) AS triangles,
+              |  CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+              |  CAST(CASE WHEN COALESCE(deg.degree, 0) >= 2
+              |    THEN COALESCE(tc.c, 0) * 2 * 10000 // (deg.degree * (deg.degree - 1))
+              |    ELSE 0 END AS BIGINT) AS coeff_pm
+              |FROM customer cu
+              |  LEFT JOIN tc ON tc.id = cu.c_custkey
+              |  LEFT JOIN deg ON deg.id = cu.c_custkey
+              |ORDER BY id""".stripMargin)))
 }

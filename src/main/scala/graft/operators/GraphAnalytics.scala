@@ -58,6 +58,70 @@ object GraphAnalytics {
       StructField("rank_micro", LongType, nullable = false))))
   }
 
+  /** Personalized PageRank in the same integer micro-unit fixed-point
+    * discipline as [[pageRankFixedPoint]] — random-walk-with-restart
+    * relevance to ONE source (the recommendation / similar-entity
+    * primitive): all restart mass re-enters at `sourceId`, so rank
+    * measures proximity to the source instead of global centrality.
+    * Iteration: r' = (v == source ? 150_000·n : 0) + Σ (r·85)/(100·deg)
+    * with integer division, r₀ = 1_000_000 at the source and 0
+    * elsewhere (scaled by n at the source so total mass matches the
+    * uniform variant's magnitude — all integer, bit-identical on any
+    * engine, which is what lets the oracle unroll the same
+    * iterations in SQL). Returns (id, rank_micro).
+    */
+  def personalizedPageRank(edges: DataFrame, vertices: DataFrame,
+      sourceId: Long, iterations: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val base = toGraph(edges, vertices)
+    val n = vertices.count()
+    val degrees = base.outDegrees
+    var g: Graph[(Long, Int), Unit] = base.outerJoinVertices(degrees) {
+      case (id, _, deg) => (if (id == sourceId) 1000000L * n else 0L, deg.getOrElse(0))
+    }.cache()
+    (1 to iterations).foreach { _ =>
+      val contrib = g.aggregateMessages[Long](
+        ctx => if (ctx.srcAttr._2 > 0 && ctx.srcAttr._1 > 0)
+          ctx.sendToDst(ctx.srcAttr._1 * 85L / (100L * ctx.srcAttr._2)),
+        _ + _)
+      val next = g.outerJoinVertices(contrib) {
+        case (id, (_, deg), c) =>
+          ((if (id == sourceId) 150000L * n else 0L) + c.getOrElse(0L), deg)
+      }.cache()
+      next.vertices.count()
+      g.unpersist(blocking = false)
+      g = next
+    }
+    val rows = g.vertices.map { case (id, (rank, _)) => Row(id, rank) }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("rank_micro", LongType, nullable = false))))
+  }
+
+  /** Per-node local clustering coefficient in per-myriad integers —
+    * how close each vertex's neighborhood is to a clique
+    * (`2·T·10⁴ div (d·(d−1))`, d = undirected degree): the
+    * community-structure statistic beside [[triangleCounts]]'s raw
+    * counts, sharing its O(m^1.5) degree-oriented enumeration.
+    * Vertices of degree < 2 have coefficient 0 by convention.
+    * Returns (id, triangles, degree, coeff_pm) — all integer,
+    * oracle-replayable.
+    */
+  def clusteringCoefficients(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    triangleCounts(edges, vertices)
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), col("triangles"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        expr("CASE WHEN coalesce(degree, 0) >= 2 " +
+          "THEN triangles * 2 * 10000 div (degree * (degree - 1)) " +
+          "ELSE 0 END").as("coeff_pm"))
+  }
+
   /** Per-node triangle participation counts over the undirected graph.
     * Returns (id, triangles) for every vertex (0 when in none).
     *

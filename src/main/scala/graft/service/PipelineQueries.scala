@@ -327,10 +327,13 @@ object PipelineQueries {
     service.register(PipelineQuery("hybrid_search",
       Seq(ParamSpec("terms", "string"),
         ParamSpec("k", "long", required = false, default = Some(10L)),
-        ParamSpec("query_id", "long", required = false, default = Some(0L))),
+        ParamSpec("query_id", "long", required = false, default = Some(0L)),
+        ParamSpec("stored", "boolean", required = false, default = Some(false))),
       ps => {
         // lexical BM25 list + dense cosine list (query = query_id's
-        // embedding) fused by reciprocal rank — the q135 surface
+        // embedding) fused by reciprocal rank — the q135 surface;
+        // stored=true serves both lists from the written posting +
+        // IVF stores instead of rescans (the q146 surface)
         val terms = ps("terms").asInstanceOf[String].split(",")
           .toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
         if (terms.isEmpty)
@@ -342,13 +345,24 @@ object PipelineQueries {
           throw new BadRequestException(s"'query_id' $qid has no embedding")
         val qv = qRows.head.getSeq[Float](0).map(_.toDouble)
         val k = intParam(ps, "k")
-        val bm = Search.rankTopK(
-          Search.bm25TopK(docs, "doc_id", "text", terms, k * 2),
-          Seq(col("score").desc, col("doc_id")))
+        import graft.operators.Similarity
+        val (bmList, cosList) =
+          if (ps("stored").asInstanceOf[Boolean]) {
+            val postings = Search.ensurePostingStore(docs, "doc_id", "text", sfDir)
+            val nEmb = emb.withColumn("nvec", Similarity.l2normalize(col("embedding")))
+            val (assigned, centroids) = Similarity.ensureIvfStore(
+              nEmb, "nvec", "embedding", "vec_id", sfDir, k = 8, iterations = 2)
+            val norm = math.sqrt(qv.map(x => x * x).sum)
+            val qN = if (norm == 0) qv else qv.map(_ / norm)
+            (Search.bm25TopKStored(spark, postings, terms, k * 2),
+              Similarity.ivfTopK(assigned, "embedding", "vec_id", centroids, qv,
+                k = k * 2, nProbe = 6, probeVec = Some(qN)))
+          } else
+            (Search.bm25TopK(docs, "doc_id", "text", terms, k * 2),
+              Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, k * 2))
+        val bm = Search.rankTopK(bmList, Seq(col("score").desc, col("doc_id")))
           .select(col("doc_id"), col("rank"))
-        val cos = Search.rankTopK(
-          graft.operators.Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, k * 2),
-          Seq(col("cos_sim").desc, col("id")))
+        val cos = Search.rankTopK(cosList, Seq(col("cos_sim").desc, col("id")))
           .select(col("id").as("doc_id"), col("rank"))
         Search.rrfFuse(Seq("bm25" -> bm, "cos" -> cos), "doc_id", topK = k)
       }))

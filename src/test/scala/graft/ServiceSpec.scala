@@ -217,6 +217,10 @@ class ServiceSpec extends SparkSpec {
       Map("terms" -> "spark, merge", "k" -> "5"))
     assert(hy.columns.sameElements(Array("doc_id", "bm25_rank", "cos_rank", "rrf")))
     assert(hy.count() === 5)
+    // stored tier serves the same contract from the written stores
+    val hys = service.runRegistered("hybrid_search",
+      Map("terms" -> "spark, merge", "k" -> "5", "stored" -> "true"))
+    assert(hys.collect().map(_.toSeq).toSeq === hy.collect().map(_.toSeq).toSeq)
     intercept[BadRequestException] {
       service.runRegistered("hybrid_search", Map("terms" -> " , "))
     }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Traverse
+import graft.operators.{GraphAnalytics, Traverse}
 import graft.service.QueryService
 
 /** BFS path accumulation and query wall-clock budget enforcement. */
@@ -101,5 +101,37 @@ class TraversePathsSpec extends SparkSpec {
       df.collect().map(_.getLong(0)).toSet
     val plain = ids(graft.operators.Fixpoint.reachable(knows, start))
     assert(ids(graft.operators.Fixpoint.reachable(knows, start, hopPower = 3)) == plain)
+  }
+
+  test("personalizedPageRank: mass concentrates near the source and decays by hop") {
+    // directed path 0→1→2→3 plus a far disconnected node 9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val verts = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
+    val r = GraphAnalytics.personalizedPageRank(edges, verts, sourceId = 0L,
+        iterations = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // restart mass re-enters only at the source; rank decays along the
+    // path and an unreachable node holds rank 0
+    assert(r(0L) > r(1L) && r(1L) > r(2L) && r(2L) > r(3L))
+    assert(r(9L) === 0L)
+    // the uniform variant ranks the unreachable node the same as any
+    // other in-degree-0 node — personalization is what zeroes it
+    val u = GraphAnalytics.pageRankFixedPoint(edges, verts, iterations = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(u(9L) > 0L)
+  }
+
+  test("clusteringCoefficients: clique closes, path doesn't, degree<2 is 0") {
+    // triangle {1,2,3} + pendant 4 hanging off 3 + isolated 5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val out = GraphAnalytics.clusteringCoefficients(edges, verts)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((1L, 2L, 10000L))) // both neighbors connected
+    assert(out(2L) === ((1L, 2L, 10000L)))
+    assert(out(3L) === ((1L, 3L, 3333L))) // 1 of 3 possible pairs closed
+    assert(out(4L) === ((0L, 1L, 0L)))    // degree 1: coefficient 0
+    assert(out(5L) === ((0L, 0L, 0L)))    // isolated
   }
 }
