@@ -1741,5 +1741,51 @@ object CatalogPipeline {
              |  round(e.value, 6) < round(p05, 6) OR round(e.value, 6) > round(p95, 6)
              |    AS clipped
              |FROM events e JOIN qs USING (event_type)
-             |ORDER BY event_id""".stripMargin)))
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q149_trigram_match",
+      // string matching WITHOUT a fixed blocking key: candidates share
+      // a RARE character trigram (df <= 40), then Jaro-Winkler-verify
+      // at 0.97. The scalable record-linkage join — candidate volume
+      // is bounded by (trigram rows)·maxDf/2, linear in the corpus at
+      // fixed maxDf, where q129/q139's fixed-key blocks grow
+      // quadratically with the data. Ubiquitous trigrams (the shared
+      // 'Customer#' prefix) never generate candidates
+      (s, d) => Dedup.trigramJaroWinklerPairs(
+          Tpch.table(s, d, "customer"), "c_custkey", "c_name",
+          maxDf = 40, minSim = 0.97)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT c_custkey AS id, c_name AS name, substr(c_name, i, 3) AS tg
+             |  FROM customer, LATERAL (SELECT unnest(range(1, length(c_name) - 1)) AS i)
+             |  WHERE length(c_name) >= 3),
+             |tgd AS (SELECT DISTINCT id, name, tg FROM t),
+             |rare AS (SELECT tg FROM tgd GROUP BY tg HAVING count(*) <= 40),
+             |k AS (SELECT tgd.id, tgd.name, tgd.tg FROM tgd JOIN rare USING (tg)),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |    a.name AS name_a, b.name AS name_b
+             |  FROM k a JOIN k b ON a.tg = b.tg AND a.id < b.id)
+             |SELECT id_a, id_b, name_a, name_b,
+             |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+             |FROM cand
+             |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.97
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q150_transitions",
+      // first-order Markov transition matrix of the event stream:
+      // (type → next type) counts and per-myriad row-normalized
+      // probabilities, ordered within user by the total (ts, event_id)
+      // key. One lead window per user + type-pair-grain aggregation;
+      // |types|² output regardless of stream size. All integer
+      (s, d) => TimeSeries.transitionMatrix(events(s, d), "user_id",
+          "event_type", Seq(col("ts"), col("event_id")))
+        .orderBy("from_type", "to_type"),
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+             |  FROM events),
+             |tr AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+             |  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1)
+             |SELECT from_type, to_type, n, CAST(n * 10000 // tot AS BIGINT) AS p_pm
+             |FROM tr JOIN tot USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)))
 }

@@ -218,6 +218,50 @@ object Dedup {
       .select("id_a", "id_b", "name_a", "name_b", "jw")
   }
 
+  /** Trigram-blocked Jaro-Winkler matching — [[blockedJaroWinklerPairs]]
+    * WITHOUT a fixed blocking key: candidates are pairs sharing at
+    * least one RARE character trigram (document frequency ≤ `maxDf`),
+    * then Jaro-Winkler-verified. This is the scalable string join: a
+    * fixed blocking key's cost is Σ|block|², which goes quadratic as
+    * blocks grow with the corpus, while rare-trigram candidates are
+    * bounded by Σ_tg C(df,2) ≤ (trigram rows)·maxDf/2 — LINEAR in the
+    * corpus at fixed maxDf, the knob a deployment tightens as data
+    * grows. Ubiquitous trigrams (shared prefixes, common substrings)
+    * never generate candidates at all.
+    *
+    * Same verification contract as [[blockedJaroWinklerPairs]]: jw
+    * rounded to 6 BEFORE thresholding. Returns
+    * `(id_a, id_b, name_a, name_b, jw)`, `id_a < id_b`, deduplicated
+    * across shared trigrams.
+    */
+  def trigramJaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
+      maxDf: Int, minSim: Double): DataFrame = {
+    require(maxDf >= 1, "maxDf must be positive")
+    require(minSim > 0 && minSim <= 1, "minSim must be in (0, 1]")
+    val tg = df
+      .select(col(idCol).as("__id"), col(nameCol).as("__name"))
+      .filter(length(col("__name")) >= 3)
+      .select(col("__id"), col("__name"),
+        explode(sequence(lit(1), length(col("__name")) - 2)).as("__i"))
+      .select(col("__id"), col("__name"),
+        col("__name").substr(col("__i"), lit(3)).as("__tg"))
+      .distinct()
+    val rare = tg.groupBy("__tg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("__tg")
+    val kept = tg.join(rare, Seq("__tg"))
+    val cands = kept.select(col("__tg"), col("__id").as("id_a"), col("__name").as("name_a"))
+      .join(kept.select(col("__tg"), col("__id").as("id_b"), col("__name").as("name_b")),
+        Seq("__tg"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b")
+      .distinct()
+    cands
+      .withColumn("jw", round(graft.functions.JaroWinklerExpression
+        .jaro_winkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= minSim)
+  }
+
   /** 64-bit SimHash over whitespace tokens. Columnar bit-counting: for
     * each bit position the signed token-hash contributions are summed
     * via aggregate(); stays in codegen (no Scala closures at runtime).

@@ -208,6 +208,31 @@ object TimeSeries {
       col(s"__k${steps.size - 1}").isNotNull.as("converted"): _*)
   }
 
+  /** First-order transition matrix over a typed event stream — the
+    * Markov-chain summary of user behavior (next-action prediction,
+    * anomalous-flow detection, funnel discovery): for every ordered
+    * within-series (type → next type) step, its count and per-myriad
+    * row-normalized probability. The final event of each series has
+    * no successor and contributes nothing.
+    *
+    * One `lead` window per series (ordered by `orderCols` — make it
+    * total) and two small aggregations at type-pair grain; the output
+    * is |types|² rows regardless of stream size. All integer.
+    */
+  def transitionMatrix(df: DataFrame, seriesCol: String, typeCol: String,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(orderCols: _*)
+    val tr = df
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from_type").agg(sum("n").as("__tot"))
+    tr.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000 div __tot").as("p_pm"))
+  }
+
   /** Cohort retention analysis — the product-analytics matrix: users
     * cohorted by their FIRST activity bucket (day/week), and for each
     * (cohort, offset) the share still exhibiting the `retained`

@@ -167,6 +167,31 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))) === Array((1L, 2L)))
   }
 
+  test("trigramJaroWinklerPairs: rare trigrams gate candidates, jw verifies") {
+    import spark.implicits._
+    val people = Seq(
+      (1L, "jonathan smith"), (2L, "jonathan smyth"), // near-identical
+      (3L, "entirely other"),                         // no rare trigram shared
+      (4L, "jonathan smitt")                          // third family member
+    ).toDF("id", "name")
+    val out = Dedup.trigramJaroWinklerPairs(people, "id", "name",
+        maxDf = 3, minSim = 0.9)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, String, String, Double)].collect()
+    assert(out.map(r => (r._1, r._2)) === Array((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(out.forall(_._5 >= 0.9))
+  }
+
+  test("trigramJaroWinklerPairs: ubiquitous trigrams generate no candidates") {
+    import spark.implicits._
+    // every name shares every trigram -> df = 4 > maxDf = 3 -> no pairs,
+    // even though the names are identical
+    val people = (1L to 4L).map(i => (i, "aaaaaa")).toDF("id", "name")
+    val out = Dedup.trigramJaroWinklerPairs(people, "id", "name",
+      maxDf = 3, minSim = 0.5)
+    assert(out.count() === 0L)
+  }
+
   test("noveltyScores: first appearance owns the window, copies are charged") {
     import spark.implicits._
     val docs = Seq(

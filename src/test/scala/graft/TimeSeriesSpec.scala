@@ -163,6 +163,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out === 2L) // anchored at the first click: purchase out of window
   }
 
+  test("transitionMatrix: within-series ordered steps, row-normalized") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 01:00:00"), "b", 2L),
+      (1L, ts("2024-01-01 02:00:00"), "a", 3L),
+      (1L, ts("2024-01-01 03:00:00"), "c", 4L),
+      (2L, ts("2024-01-01 00:00:00"), "a", 5L),
+      (2L, ts("2024-01-01 01:00:00"), "b", 6L),
+      (3L, ts("2024-01-01 00:00:00"), "z", 7L) // singleton: no transition
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = TimeSeries.transitionMatrix(ev, "user_id", "event_type",
+        Seq(col("ts"), col("event_id")))
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long)].collect()
+    // a→b twice (users 1, 2), a→c once; b→a once. No cross-user steps,
+    // no step out of the singleton
+    assert(out === Array(
+      ("a", "b", 2L, 6666L), ("a", "c", 1L, 3333L), ("b", "a", 1L, 10000L)))
+  }
+
   test("retention: day cohorts, behavior-gated activity, per-myriad shares") {
     val ev = Seq(
       // cohort 2024-01-01: users 1,2. User 1 purchases on day 0 and 2;
