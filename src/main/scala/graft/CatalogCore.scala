@@ -591,5 +591,48 @@ object CatalogCore {
               |FROM customer cu
               |  LEFT JOIN tc ON tc.id = cu.c_custkey
               |  LEFT JOIN deg ON deg.id = cu.c_custkey
-              |ORDER BY id""".stripMargin)))
+              |ORDER BY id""".stripMargin)),
+
+    QueryDef("q154_label_propagation",
+      // deterministic synchronous label-propagation communities over
+      // q148's ring+chord graph: labels start as ids, 3 rounds of
+      // most-frequent-neighbor-label with smallest-label ties,
+      // isolated vertices keep their own (classic LPA's random
+      // tie-break and async order are engine-local noise — the
+      // deterministic variant is pinned and the deviation documented
+      // at GraphAnalytics.labelPropagation). The oracle unrolls the
+      // same 3 rounds; all-integer, bit-exact
+      (s, d) => {
+        val verts = Tpch.graph(s, d).vertexFrame("customer").select("id")
+        val n = verts.count()
+        val ring = verts.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        val c3 = verts.filter(col("id") % 3 === 0)
+          .select(col("id").as("src"), ((col("id") + 2) % n).as("dst"))
+        val c21 = verts.filter(col("id") % 21 === 0)
+          .select(col("id").as("src"), ((col("id") + 3) % n).as("dst"))
+        graft.operators.GraphAnalytics.labelPropagation(
+          ring.unionAll(c3).unionAll(c21), verts, iterations = 3).orderBy("id")
+      },
+      Some {
+        val round = (i: Int) => s"""c$i AS (SELECT adj.id AS id, p.label AS label, count(*) AS c
+          |  FROM adj JOIN l${i - 1} p ON p.id = adj.nbr GROUP BY 1, 2),
+          |w$i AS (SELECT id, label FROM (SELECT id, label,
+          |    row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rk
+          |    FROM c$i) WHERE rk = 1),
+          |l$i AS (SELECT l${i - 1}.id, coalesce(w$i.label, l${i - 1}.label) AS label
+          |  FROM l${i - 1} LEFT JOIN w$i USING (id))""".stripMargin
+        s"""WITH n AS (SELECT count(*) AS n FROM customer),
+           |e0 AS (
+           |  SELECT c_custkey AS src, (c_custkey+1) % n.n AS dst FROM customer, n
+           |  UNION ALL
+           |  SELECT c_custkey, (c_custkey+2) % n.n FROM customer, n WHERE c_custkey % 3 = 0
+           |  UNION ALL
+           |  SELECT c_custkey, (c_custkey+3) % n.n FROM customer, n WHERE c_custkey % 21 = 0),
+           |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e0 WHERE src <> dst),
+           |adj AS (SELECT a AS id, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+           |l0 AS (SELECT c_custkey AS id, CAST(c_custkey AS BIGINT) AS label FROM customer),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT id, label FROM l3 ORDER BY id""".stripMargin
+      }))
 }

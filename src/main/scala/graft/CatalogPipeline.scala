@@ -230,6 +230,68 @@ object CatalogPipeline {
            |FROM s a JOIN s b ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 3
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("q152_winnow_fingerprints",
+      // winnowing fingerprints (the MOSS scheme): char-8-gram rolling
+      // hashes, window w=4, rightmost-min selection, distinct
+      // (position, hash) pairs — the position-robust document sketch
+      // that guarantees any shared substring of length ≥ 11 chars
+      // contributes a common fingerprint while keeping ~2/(w+1) of the
+      // hashes. The k-gram hash is the first 8 md5 hex digits as an
+      // integer, portable bit-for-bit; the oracle replays selection
+      // with a window join and certifies the exact fingerprint SET via
+      // an md5 over the canonical "pos:hash,…" serialization. On the
+      // engine everything is per-doc array math in one map — the
+      // oracle's O(m·w) join is the semantics, not the plan
+      (s, d) => Dedup.winnowFingerprints(Tpch.table(s, d, "documents"),
+          "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+             |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+             |    ('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 8))::BIGINT AS hv
+             |  FROM (SELECT doc_id, s,
+             |      unnest(range(1, greatest(length(s) - 7, 0) + 1)) AS i FROM d)),
+             |mm AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1),
+             |st AS (SELECT doc_id,
+             |    CAST(unnest(range(1, greatest(m - 3, 1) + 1)) AS INT) AS p
+             |  FROM mm WHERE m >= 1),
+             |wmin AS (SELECT st.doc_id, st.p, min(g.hv) AS minv
+             |  FROM st JOIN g ON g.doc_id = st.doc_id AND g.pos BETWEEN st.p AND st.p + 3
+             |  GROUP BY 1, 2),
+             |sel AS (SELECT w.doc_id, max(g.pos) AS pos, w.minv AS hv
+             |  FROM wmin w JOIN g ON g.doc_id = w.doc_id
+             |    AND g.pos BETWEEN w.p AND w.p + 3 AND g.hv = w.minv
+             |  GROUP BY w.doc_id, w.p, w.minv),
+             |fp AS (SELECT DISTINCT doc_id, pos, hv FROM sel),
+             |agg AS (SELECT doc_id, count(*) AS n_fp,
+             |    md5(string_agg(CAST(pos AS VARCHAR) || ':' || CAST(hv AS VARCHAR),
+             |      ',' ORDER BY pos)) AS fp_md5
+             |  FROM fp GROUP BY 1)
+             |SELECT dd.doc_id, CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
+             |  coalesce(a.fp_md5, md5('')) AS fp_md5
+             |FROM documents dd LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q153_containment",
+      // asymmetric shingle containment |A∩B|/|A| per-myriad over the
+      // q55 candidate pairs — the subset-duplicate detector symmetric
+      // Jaccard misses (a paragraph quoted inside a much longer page
+      // scores ~10⁴ here, ~0 there). Same bounded-pair + two-hash-join
+      // shape as q55; all-integer contract
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        Dedup.containmentForPairs(docs, "doc_id", "text", 3,
+            Dedup.nearIdPairs(docs, "doc_id", 3))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH s AS ($shingleSql)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(len(a.sh) AS BIGINT) AS n_a,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+           |  CAST(len(list_intersect(a.sh, b.sh)) * 10000
+           |    // greatest(len(a.sh), 1) AS BIGINT) AS containment_pm
+           |FROM s a JOIN s b ON b.doc_id - a.doc_id BETWEEN 1 AND 3
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("q56_minhash_lsh",
       // MinHash+LSH near-dup pairs, exact-verified at threshold 0.5.
       // The oracle is the exhaustive O(n²) pair scan — tractable at
@@ -1175,6 +1237,42 @@ object CatalogPipeline {
       },
       Some("""SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
              |  true AS recall_ok""".stripMargin)),
+
+    QueryDef("q151_hamming_ann",
+      // binary (1-bit) quantization ANN — the fourth compression tier
+      // beside LSH buckets (q59), IVF cells (q67), and PQ codes (q109):
+      // sign bits packed into 32-bit lanes (32× smaller than raw
+      // floats at dim 64), corpus ranked by XOR+popcount Hamming
+      // distance, the 64 closest rescored EXACTLY by full-precision
+      // cosine. Unlike the lossy-recall audits (q109/q112) every stage
+      // here is deterministic — the candidate cut orders on
+      // (hamming, id) and the final ranking on (cosine, id) — so the
+      // oracle restates the whole contract in SQL: sign-mismatch count
+      // per pair, candidate LIMIT, exact rescore. The approximation is
+      // in which vectors reach the rescore, never in how they rank
+      (s, d) => {
+        val emb = Tpch.table(s, d, "embeddings")
+        val qRaw = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.hammingTopK(emb, "embedding", "vec_id", qRaw,
+          k = 10, candidates = 64)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |h AS (SELECT vec_id AS id, embedding, qe,
+             |    CAST(list_sum(list_transform(list_zip(embedding, qe),
+             |      x -> CASE WHEN (CAST(x[1] AS DOUBLE) > 0) <> (CAST(x[2] AS DOUBLE) > 0)
+             |        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+             |  FROM embeddings CROSS JOIN q),
+             |c AS (SELECT id, hamming, embedding, qe FROM h
+             |  ORDER BY hamming, id LIMIT 64)
+             |SELECT id, hamming, round(
+             |    list_aggregate(list_transform(list_zip(embedding, qe),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |    (sqrt(list_aggregate(list_transform(embedding,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+             |     sqrt(list_aggregate(list_transform(qe,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+             |FROM c ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
     QueryDef("q79_decontaminate",
       // train/eval benchmark-leakage check: carve the corpus with the

@@ -221,6 +221,36 @@ object CatalogSearch {
              |    ELSE 0 END AS n_seqs
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q155_systematic_sample",
+      // weighted systematic sampling ∝ token count, k=100: documents
+      // on the concatenated number line (q88's distributed prefix
+      // sum), k evenly spaced integer grid points, one pick per grid
+      // point inside each doc's interval — deterministic,
+      // weight-proportional, EXACTLY k total picks (Σ n_picks = 100),
+      // zero RNG. n_picks is the doc's sampling weight (heavy docs can
+      // be picked twice). The oracle states the single-window prefix
+      // sum and the same closed-form grid-count arithmetic
+      (s, d) => Packing.systematicSample(Tpch.table(s, d, "documents"),
+          "doc_id", TextAnalysis.tokenCount(col("text")), k = 100)
+        .orderBy("doc_id"),
+      Some("""WITH n AS (
+             |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(string_split_regex(trim(text), '\s+')) END AS w
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, CAST(w AS BIGINT) AS weight,
+             |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS start_offset
+             |  FROM n),
+             |t AS (SELECT greatest(sum(weight), 1) AS tw FROM c),
+             |p AS (SELECT doc_id, weight, start_offset,
+             |    least(100, ((start_offset + weight) * 100 + tw - 1) // tw)
+             |      - least(100, (start_offset * 100 + tw - 1) // tw) AS n_picks
+             |  FROM c CROSS JOIN t)
+             |SELECT doc_id, weight, start_offset, CAST(n_picks AS BIGINT) AS n_picks
+             |FROM p WHERE n_picks > 0 ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q89_pii_scan",
       // PII scan + redaction fingerprint over the derived profile
       // corpus; counts per shape are integer-exact, the redacted

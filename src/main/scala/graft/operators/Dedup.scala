@@ -375,4 +375,101 @@ object Dedup {
       .withColumn("novelty_pm",
         expr("n_novel * 10000 div greatest(n_windows, 1)"))
   }
+
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et
+    * al. 2003): hash every char `k`-gram, slide a window of `w`
+    * consecutive hashes, select each window's minimum (rightmost on
+    * ties), and keep the DISTINCT selected (position, hash) pairs.
+    * Winnowing guarantees any shared substring of length ≥ `w + k − 1`
+    * contributes at least one common fingerprint, while storing only
+    * ~2/(w+1) of the hashes — the position-robust dedup sketch that
+    * char-offset-shifted copies (which defeat fixed-stride sampling)
+    * cannot evade.
+    *
+    * Returns `(id, n_fp, fp_md5)` — fingerprint count and an md5 over
+    * the canonical "pos:hash,…" serialization (sorted by position), so
+    * an oracle can certify the exact fingerprint SET without shipping
+    * it. The k-gram hash is the first 8 md5 hex digits as an integer —
+    * portable arithmetic any engine reproduces bit-for-bit.
+    *
+    * Scale shape: everything is per-document array math inside one
+    * projection — no explode, no shuffle, nothing leaves the map side;
+    * documents are the parallel unit. (The cross-document join on
+    * shared fingerprints — the MOSS match step — is then a plain
+    * equi-join on the hash, the same blocking discipline as
+    * [[minhashNearDups]].)
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    winnowArray(df, idCol, textCol, k, w)
+      .select(col(idCol), size(col("__fps")).cast("long").as("n_fp"),
+        md5(array_join(transform(array_sort(col("__fps")),
+            f => concat_ws(":", f.getField("pos").cast("string"),
+              f.getField("hv").cast("string"))), ",")
+          .cast("binary")).as("fp_md5"))
+
+  /** The selected winnowing fingerprints as rows — `(id, pos, hv)` —
+    * the join surface of the MOSS match step: near-copies are pairs of
+    * docs sharing fingerprint HASHES (positions differ under offset
+    * shifts), found with a plain equi-join on `hv`.
+    */
+  def winnowFingerprintFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    winnowArray(df, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("__fps")).as("__f"))
+      .select(col(idCol), col("__f.pos").as("pos"), col("__f.hv").as("hv"))
+
+  private def winnowArray(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, "k-gram size and window must be positive")
+    // Each stage is a separate projection whose intermediate is
+    // referenced more than once downstream, so CollapseProject keeps
+    // the boundary and the O(len) arrays evaluate ONCE per row — inline
+    // lazily, the hash array would re-evaluate per window start (the
+    // same O(n²) inlining trap ivfAssignCosine documents).
+    val s = lower(col(textCol))
+    val staged = df.select(col(idCol), s.as("__s"))
+    val m = greatest(length(col("__s")) - k + 1, lit(0))
+    val hs = when(m >= 1, transform(sequence(lit(1), m),
+        i => conv(substring(md5(col("__s").substr(i, lit(k)).cast("binary")), 1, 8),
+          16, 10).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    val hashed = staged.select(col(idCol), hs.as("__hs"))
+    val mm = size(col("__hs"))
+    val fps = when(mm >= 1, array_distinct(
+        transform(sequence(lit(1), greatest(mm - w + 1, lit(1))), p => {
+          val win = slice(col("__hs"), p, lit(w))
+          val minv = array_min(win)
+          // rightmost index of the window minimum (1-based within win)
+          val rel = aggregate(sequence(lit(1), size(win)), lit(0),
+            (acc, j) => when(element_at(win, j) === minv, j).otherwise(acc))
+          struct((p + rel - 1).as("pos"), minv.as("hv"))
+        })))
+      .otherwise(array().cast("array<struct<pos:int,hv:bigint>>"))
+    hashed.select(col(idCol), fps.as("__fps"))
+  }
+
+  /** Asymmetric shingle CONTAINMENT for an explicit candidate-pair
+    * frame: |A ∩ B| / |A| per-myriad over distinct word-`k`-shingle
+    * sets — near 10⁴ when doc `a` is (mostly) contained in doc `b`,
+    * even when symmetric Jaccard is low because `b` is much larger.
+    * The subset-duplicate detector Jaccard-thresholded dedup misses:
+    * a paragraph quoted inside a long page scores ~10⁴ here and ~0
+    * there. Same two-hash-join shape as [[jaccardForPairs]] — linear
+    * in |pairs|, candidates from LSH buckets, blocking keys, or id
+    * windows.
+    */
+  def containmentForPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, pairs: DataFrame): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"))
+      .withColumn("containment_pm",
+        expr("n_common * 10000 div greatest(n_a, 1)"))
+  }
 }

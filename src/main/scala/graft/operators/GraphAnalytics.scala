@@ -164,6 +164,55 @@ object GraphAnalytics {
       .na.fill(0L, Seq("triangles"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007), made DETERMINISTIC so an oracle can replay it: labels
+    * start as vertex ids, and each of `iterations` synchronous rounds
+    * re-labels every vertex with the most frequent label among its
+    * undirected neighbors — ties broken by the SMALLEST label, isolated
+    * vertices keep their own. (Classic LPA breaks ties randomly and
+    * updates asynchronously; both choices are engine-local noise, so
+    * the rebuild pins the deterministic variant and documents the
+    * deviation — same move as the q28 cut/once set-semantics note.)
+    * Returns (id, label) after the final round.
+    *
+    * Scale shape: each round is one adjacency join (labels are keyed by
+    * vertex, edges shuffle-partition by endpoint), one (vertex, label)
+    * count aggregation with map-side partials, and one per-vertex
+    * argmax via a (count desc, label asc) struct max — no global
+    * window, no driver-side state; rounds are a fixed small constant.
+    * A hub vertex's label multiset aggregates with partial combines, so
+    * power-law degree skews compress map-side (the pl_bfs_hub
+    * discipline).
+    */
+  def labelPropagation(edges: DataFrame, vertices: DataFrame,
+      iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("id"), col("b").as("nbr"))
+      .unionAll(und.select(col("b"), col("a")))
+    var labels = vertices.select(col("id").cast("long").as("id"),
+      col("id").cast("long").as("label"))
+    (1 to iterations).foreach { _ =>
+      val nbrLabels = adj
+        .join(labels.select(col("id").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): max of (c, Long.MaxValue-label)
+      val winner = nbrLabels
+        .groupBy("id")
+        .agg(max(struct(col("c"), (lit(Long.MaxValue) - col("label")).as("nl")))
+          .as("w"))
+        .select(col("id"), (lit(Long.MaxValue) - col("w.nl")).as("label"))
+      labels = vertices.select(col("id").cast("long").as("id"))
+        .join(labels.select(col("id"), col("label").as("__own")), Seq("id"))
+        .join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("__own")).as("label"))
+        .localCheckpoint(eager = true) // truncate the per-round lineage
+    }
+    labels
+  }
+
   /** Weakly connected components (GraphX label propagation to the
     * minimum vertex id). Returns (id, component).
     */

@@ -317,6 +317,80 @@ object Similarity {
         (col("dist") > col("__thr")).as("is_outlier"))
   }
 
+  // --- binary (1-bit) quantization: the Hamming sketch tier ----------
+
+  /** Pack a float vector's SIGN BITS into 32-bit lanes (carried as
+    * longs) — binary quantization, the most compressed ANN tier beside
+    * SQ8 (q81) and PQ (q109): dim·4 float bytes become dim/8 sketch
+    * bytes (32× at dim 64), and distance becomes XOR + popcount over
+    * two machine words instead of dim float multiplies.
+    *
+    * Lane layout: lane `w` covers positions `w*32 .. w*32+31`, earlier
+    * position = higher bit (MSB-first fold `acc*2 + bit`). 32-bit lanes
+    * in long arithmetic keep the fold overflow-free under ANSI mode;
+    * popcount over two half-full words costs the same as one full one.
+    * [[packSigns]] is the driver-side mirror for query vectors — the
+    * layout is a contract between the two.
+    *
+    * Sign test is `> 0` (zeros pack as 0), matching the LSH signature
+    * convention (reference analog: the sign-bucket discipline of
+    * [[lshSignature]] with the identity basis instead of random planes).
+    */
+  def binarySketch(vec: Column): Column = {
+    val lastLane = greatest(floor((size(vec) - 1) / lit(32)), lit(0)).cast("int")
+    transform(sequence(lit(0), lastLane),
+      w => aggregate(sequence(w * 32, w * 32 + 31), lit(0L),
+        // `get` is 0-based and null past the end (never throws under
+        // ANSI); a missing tail position packs as 0, same as the
+        // driver-side padTo
+        (acc, p) => acc * 2 + when(get(vec, p) > 0, 1L).otherwise(0L)))
+  }
+
+  /** Driver-side [[binarySketch]] of a query vector (same lane layout:
+    * the tail lane zero-pads to 32 bits, matching the column fold).
+    */
+  def packSigns(v: Seq[Double]): Seq[Long] =
+    if (v.isEmpty) Seq(0L)
+    else v.padTo(((v.size + 31) / 32) * 32, 0.0).grouped(32)
+      .map(_.foldLeft(0L)((acc, x) => acc * 2 + (if (x > 0) 1L else 0L))).toSeq
+
+  /** Hamming distance between a sketch column and a packed query. */
+  def hammingDistance(sketch: Column, querySketch: Seq[Long]): Column =
+    aggregate(
+      zip_with(sketch, typedLit(querySketch),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-sketch ANN: rank the corpus by sign-sketch Hamming distance
+    * to the query, take the `candidates` closest (ties on id), then
+    * rescore those EXACTLY by full-precision cosine and return the top
+    * `k` by (cosine desc, id). Both stages are deterministic, so the
+    * whole contract is restatable in SQL — the approximation lives in
+    * which vectors reach the rescore, never in how survivors rank.
+    *
+    * Scale shape: the sketch is a per-row codegen-friendly fold over
+    * the vector (computed once here; a deployment persists it as an
+    * 8-byte sidecar column and this scan reads ONLY that column), the
+    * candidate cut is one TakeOrdered (no shuffle of vectors), and the
+    * rescore touches `candidates` rows. Like the flat PQ tier (q109)
+    * the sketch scan is deliberately unpartitioned — composing it with
+    * the IVF cell store (the binary-IVF configuration) is the same
+    * move [[ivfPqTopK]] makes for codes.
+    */
+  def hammingTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, candidates: Int): DataFrame = {
+    require(k > 0 && candidates >= k, "need candidates >= k > 0")
+    val qs = packSigns(query)
+    val cand = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        hammingDistance(binarySketch(col(vecCol)), qs).as("hamming"))
+      .orderBy(col("hamming").asc, col("id").asc)
+      .limit(candidates)
+    cand.select(col("id"), col("hamming"),
+        round(cosine(col("__v"), vecLit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   // --- written-artifact ANN stores: the at-scale probe path ----------
   //
   // The filter-scan probes below (annTopK / ivfTopK over an in-session

@@ -220,4 +220,81 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(out === Array((10L, 1L, 1L, 10000L), (20L, 1L, 0L, 0L)))
   }
+
+  test("winnowFingerprints: guarantee — offset-shifted shared substring collides") {
+    import spark.implicits._
+    // the winnowing guarantee: any shared substring of length >= w+k-1
+    // (= 11 at k=8, w=4) yields at least one COMMON (hash) fingerprint,
+    // regardless of char offset — fixed-stride sampling fails this
+    val shared = "the quick brown fox jumps"
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"zzzzzzz $shared qqq"),     // same substring, different offset
+      (3L, "completely different words entirely")
+    ).toDF("doc_id", "text")
+    val fpCol = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+    // the MOSS match step: join the fingerprint frames on the HASH —
+    // docs 1 and 2 share the substring at different offsets and must
+    // collide; doc 3 shares nothing and must not
+    val frame = Dedup.winnowFingerprintFrame(docs, "doc_id", "text", 8, 4)
+    val matches = frame.select(col("doc_id").as("id_a"), col("hv"))
+      .join(frame.select(col("doc_id").as("id_b"), col("hv")), Seq("hv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(matches.contains((1L, 2L)), s"offset-shifted copy not caught: $matches")
+    assert(!matches.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc matched: $matches")
+    val all = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 1)
+    val byDoc = fpCol.orderBy("doc_id").collect()
+    assert(byDoc.forall(_.getAs[Long]("n_fp") > 0))
+    // w=1 keeps every hash; winnowed is a subset, so sizes shrink
+    val nAll = all.orderBy("doc_id").collect().map(_.getAs[Long]("n_fp"))
+    val nWin = byDoc.map(_.getAs[Long]("n_fp"))
+    assert(nWin.zip(nAll).forall { case (wn, an) => wn <= an },
+      s"winnowed ${nWin.toSeq} must not exceed full ${nAll.toSeq}")
+    // identical text ⇒ identical fingerprint set (md5 equality)
+    val twin = Seq((7L, "AAAA one two three"), (8L, "AAAA one two three"))
+      .toDF("doc_id", "text")
+    val md5s = Dedup.winnowFingerprints(twin, "doc_id", "text", 8, 4)
+      .select("fp_md5").as[String].collect()
+    assert(md5s.distinct.length == 1)
+    // short doc (< k chars): zero fingerprints, md5 of empty string
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+    val r = Dedup.winnowFingerprints(short, "doc_id", "text", 8, 4).head()
+    assert(r.getAs[Long]("n_fp") == 0L
+      && r.getAs[String]("fp_md5") == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("winnowFingerprints: density is ~2/(w+1) of the k-gram hashes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val win = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+    val all = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 1)
+    val (nw, na) = win.agg(sum("n_fp")).head().getLong(0) ->
+      all.agg(sum("n_fp")).head().getLong(0)
+    val density = nw.toDouble / na
+    // theory: expected 2/(w+1) = 0.4 for random hashes; allow slack
+    assert(density > 0.25 && density < 0.55, s"winnow density $density")
+  }
+
+  test("containmentForPairs: subset doc scores full containment, jaccard stays low") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, small),
+      (2L, small + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val c = Dedup.containmentForPairs(docs, "doc_id", "text", 3, pairs).head()
+    assert(c.getAs[Long]("containment_pm") == 10000L,
+      s"subset doc must be fully contained: $c")
+    val j = Dedup.jaccardForPairs(docs, "doc_id", "text", 3, pairs)
+      .head().getAs[Double]("jaccard")
+    assert(j < 0.35, s"symmetric jaccard should be low for the subset pair: $j")
+    // asymmetry: the big doc is NOT contained in the small one
+    val rev = Dedup.containmentForPairs(docs, "doc_id", "text", 3,
+      Seq((2L, 1L)).toDF("id_a", "id_b")).head()
+    assert(rev.getAs[Long]("containment_pm") < 3000L, s"reverse containment: $rev")
+  }
 }

@@ -47,4 +47,50 @@ class QuantizeSpec extends SparkSpec {
     // SQ8 keeps ~1e-3 cosine fidelity: allow at most one boundary swap
     assert((exact intersect approx).size >= 9, s"quantized recall too low: $exact vs $approx")
   }
+
+  test("binarySketch lane layout matches packSigns on hand fixtures") {
+    val vecs = Seq(
+      Array.fill(64)(1.0f),                       // all ones -> both lanes full
+      Array.fill(64)(-1.0f),                      // all negative -> zeros
+      Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f), // alternating
+      Array.tabulate(40)(i => if (i < 3) 1.0f else 0.0f))       // ragged dim 40
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Similarity.binarySketch(col("embedding")).as("s"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).map(_._2)
+    val want = vecs.map(v => Similarity.packSigns(v.map(_.toDouble).toSeq))
+    assert(got.toSeq.map(_.toSeq) == want.map(_.toSeq),
+      s"sketches drifted: ${got.toSeq} vs $want")
+    // zeros do NOT set bits (sign test is > 0)
+    assert(want(3).head == (1L << 31 | 1L << 30 | 1L << 29))
+  }
+
+  test("hammingDistance equals the sign-mismatch count on the corpus") {
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val naive = aggregate(
+      zip_with(col("embedding"), Similarity.vecLit(query),
+        (a, b) => when((a > 0) =!= (b > 0), 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val drift = emb.select(
+        (Similarity.hammingDistance(Similarity.binarySketch(col("embedding")),
+          Similarity.packSigns(query)) =!= naive).as("bad"))
+      .filter(col("bad")).count()
+    assert(drift == 0, s"$drift rows disagree with the naive mismatch count")
+  }
+
+  test("hammingTopK: deterministic candidates, exact rescore, self-match first") {
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val top = Similarity.hammingTopK(emb, "embedding", "vec_id", query,
+      k = 10, candidates = 64).collect()
+    assert(top.length == 10)
+    val first = top.head
+    assert(first.getAs[Long]("id") == 0L && first.getAs[Long]("hamming") == 0L
+      && first.getAs[Double]("cos_sim") == 1.0)
+    // rescored ranking is (cos desc, id asc)
+    val order = top.map(r => (-r.getAs[Double]("cos_sim"), r.getAs[Long]("id"))).toSeq
+    assert(order == order.sorted, s"rescore order broken: ${order.toSeq}")
+  }
 }

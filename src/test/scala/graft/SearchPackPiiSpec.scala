@@ -57,6 +57,28 @@ class SearchPackPiiSpec extends SparkSpec {
     assert(out === single)
   }
 
+  test("systematicSample: exactly k picks, weight-proportional, zero-weight excluded") {
+    val docs = Seq(
+      (0L, 10L), (1L, 0L), (2L, 90L), (3L, 5L), (4L, 5L), (7L, 40L)
+    ).toDF("doc_id", "n") // W = 150
+    val out = Packing.systematicSample(docs, "doc_id", col("n"), k = 15,
+        bucketSize = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // grid stride W/k = 10: picks ∝ weight, Σ = k exactly
+    assert(out.map(_._3).sum == 15L, s"must pick exactly k: ${out.toSeq}")
+    assert(!out.exists(_._1 == 1L), "zero-weight doc must never be picked")
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(byId(2L) == 9L && byId(7L) == 4L, s"heavy docs under-picked: ${out.toSeq}")
+    // bucketing must not change the sample (prefix-sum equivalence)
+    val single = Packing.systematicSample(docs, "doc_id", col("n"), k = 15,
+        bucketSize = 1000000L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out === single)
+    // a doc heavier than the stride is picked multiple times (its
+    // n_picks IS the sampling weight) — already covered: doc 2 gets 9
+  }
+
   test("pii scan: counts, redaction, ordering of the three shapes") {
     val rows = Seq(
       (1L, "reach me at jo.doe+x@corp.example.org or 10.1.2.3"),

@@ -134,4 +134,33 @@ class TraversePathsSpec extends SparkSpec {
     assert(out(4L) === ((0L, 1L, 0L)))    // degree 1: coefficient 0
     assert(out(5L) === ((0L, 0L, 0L)))    // isolated
   }
+
+  test("labelPropagation: two cliques bridged by one edge separate; ties go low") {
+    // cliques {1,2,3,4} and {11,12,13,14} + bridge 4–11 + isolate 99
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L))
+      :+ (4L, 11L)).toDF("src", "dst")
+    val verts = (Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L) :+ 99L).toDF("id")
+    val out = GraphAnalytics.labelPropagation(edges, verts, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to ONE label and the two differ
+    val left = Seq(1L, 2L, 3L, 4L).map(out)
+    val right = Seq(11L, 12L, 13L, 14L).map(out)
+    assert(left.distinct.length == 1, s"left clique split: $left")
+    assert(right.distinct.length == 1, s"right clique split: $right")
+    assert(left.head != right.head, s"cliques merged: $out")
+    assert(out(99L) == 99L, "isolated vertex must keep its own label")
+  }
+
+  test("labelPropagation: deterministic smallest-label tie-break on one round") {
+    // vertex 3's neighbors {1, 2} tie at one occurrence each -> label 1
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val out = GraphAnalytics.labelPropagation(edges, verts, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) == 1L, s"tie must break to the smallest label: $out")
+    // leaves adopt their only neighbor's label
+    assert(out(1L) == 3L && out(2L) == 3L)
+  }
 }
