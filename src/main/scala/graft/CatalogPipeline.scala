@@ -30,6 +30,28 @@ object CatalogPipeline {
       |         i -> array_to_string(w[i:i+2], ' '))) END AS sh
       |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
 
+  /** Winnowing fingerprint selection in SQL (k=8 char-grams, w=4,
+    * rightmost-min) — the shared CTE chain of the q152/q156 oracles;
+    * mirrors Dedup.winnowArray exactly. Ends at `fp(doc_id, pos, hv)`.
+    */
+  private val winnowSql =
+    """g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+      |    ('0x' || substr(md5(lower(substr(text, CAST(i AS INT), 8))), 1, 8))::BIGINT AS hv
+      |  FROM (SELECT doc_id, text,
+      |      unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i FROM documents)),
+      |mm AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1),
+      |st AS (SELECT doc_id,
+      |    CAST(unnest(range(1, greatest(m - 3, 1) + 1)) AS INT) AS p
+      |  FROM mm WHERE m >= 1),
+      |wmin AS (SELECT st.doc_id, st.p, min(g.hv) AS minv
+      |  FROM st JOIN g ON g.doc_id = st.doc_id AND g.pos BETWEEN st.p AND st.p + 3
+      |  GROUP BY 1, 2),
+      |sel AS (SELECT w.doc_id, max(g.pos) AS pos, w.minv AS hv
+      |  FROM wmin w JOIN g ON g.doc_id = w.doc_id
+      |    AND g.pos BETWEEN w.p AND w.p + 3 AND g.hv = w.minv
+      |  GROUP BY w.doc_id, w.p, w.minv),
+      |fp AS (SELECT DISTINCT doc_id, pos, hv FROM sel)""".stripMargin
+
   /** Signature index for the documents table (doc, hashed shingles,
     * minhash sig), built once per (session, dataset) — the persisted
     * artifact a production dedup pipeline maintains alongside the
@@ -245,23 +267,7 @@ object CatalogPipeline {
       (s, d) => Dedup.winnowFingerprints(Tpch.table(s, d, "documents"),
           "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id"),
-      Some("""WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
-             |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
-             |    ('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 8))::BIGINT AS hv
-             |  FROM (SELECT doc_id, s,
-             |      unnest(range(1, greatest(length(s) - 7, 0) + 1)) AS i FROM d)),
-             |mm AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1),
-             |st AS (SELECT doc_id,
-             |    CAST(unnest(range(1, greatest(m - 3, 1) + 1)) AS INT) AS p
-             |  FROM mm WHERE m >= 1),
-             |wmin AS (SELECT st.doc_id, st.p, min(g.hv) AS minv
-             |  FROM st JOIN g ON g.doc_id = st.doc_id AND g.pos BETWEEN st.p AND st.p + 3
-             |  GROUP BY 1, 2),
-             |sel AS (SELECT w.doc_id, max(g.pos) AS pos, w.minv AS hv
-             |  FROM wmin w JOIN g ON g.doc_id = w.doc_id
-             |    AND g.pos BETWEEN w.p AND w.p + 3 AND g.hv = w.minv
-             |  GROUP BY w.doc_id, w.p, w.minv),
-             |fp AS (SELECT DISTINCT doc_id, pos, hv FROM sel),
+      Some(s"""WITH $winnowSql,
              |agg AS (SELECT doc_id, count(*) AS n_fp,
              |    md5(string_agg(CAST(pos AS VARCHAR) || ':' || CAST(hv AS VARCHAR),
              |      ',' ORDER BY pos)) AS fp_md5
@@ -270,6 +276,29 @@ object CatalogPipeline {
              |  coalesce(a.fp_md5, md5('')) AS fp_md5
              |FROM documents dd LEFT JOIN agg a USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q156_winnow_matches",
+      // the MOSS match step over q152's fingerprints: pairs of docs
+      // sharing ≥2 RARE fingerprint hashes (df ≤ 4 — the q149
+      // blocking discipline bounds candidates to rows·maxDf/2, linear
+      // at fixed maxDf; boilerplate hashes are excluded by construction
+      // instead of exploding the join). Position-robust near-copy
+      // detection: offset-shifted copies collide on the HASH even
+      // though their fingerprint positions differ
+      (s, d) => Dedup.winnowMatchPairs(Tpch.table(s, d, "documents"),
+          "doc_id", "text", k = 8, w = 4, maxDf = 4, minShared = 2)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $winnowSql,
+             |fpd AS (SELECT DISTINCT doc_id, hv FROM fp),
+             |hdf AS (SELECT hv, count(*) AS df FROM fpd GROUP BY 1),
+             |rare AS (SELECT hv FROM hdf WHERE df <= 4),
+             |fpr AS (SELECT f.doc_id, f.hv FROM fpd f JOIN rare USING (hv)),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM fpr a JOIN fpr b ON a.hv = b.hv AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q153_containment",
       // asymmetric shingle containment |A∩B|/|A| per-myriad over the

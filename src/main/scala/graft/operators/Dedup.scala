@@ -419,22 +419,51 @@ object Dedup {
       .select(col(idCol), explode(col("__fps")).as("__f"))
       .select(col(idCol), col("__f.pos").as("pos"), col("__f.hv").as("hv"))
 
+  /** The MOSS match step over [[winnowFingerprintFrame]]: candidate
+    * pairs are documents sharing a RARE fingerprint hash (document
+    * frequency ≤ `maxDf` — the q149 trigram-blocking discipline:
+    * candidate volume is bounded by rows·maxDf/2, LINEAR in the corpus
+    * at fixed maxDf, where an unfiltered hash join grows with the
+    * square of boilerplate popularity), scored by how many rare
+    * fingerprints they share, kept at ≥ `minShared` (one shared
+    * 8-gram is noise; two independent winnow survivors are not).
+    * Returns (id_a, id_b, n_shared) with id_a < id_b.
+    */
+  def winnowMatchPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Int = 4, minShared: Int = 2): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1, "need maxDf >= 2, minShared >= 1")
+    val fp = winnowFingerprintFrame(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("hv")).distinct()
+    val rare = fp.groupBy("hv").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("hv")
+    val fpr = fp.join(rare, Seq("hv"))
+    fpr.select(col("hv"), col("__id").as("id_a"))
+      .join(fpr.select(col("hv"), col("__id").as("id_b")), Seq("hv"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   private def winnowArray(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k > 0 && w > 0, "k-gram size and window must be positive")
-    // Each stage is a separate projection whose intermediate is
-    // referenced more than once downstream, so CollapseProject keeps
-    // the boundary and the O(len) arrays evaluate ONCE per row — inline
-    // lazily, the hash array would re-evaluate per window start (the
-    // same O(n²) inlining trap ivfAssignCosine documents).
-    val s = lower(col(textCol))
-    val staged = df.select(col(idCol), s.as("__s"))
-    val m = greatest(length(col("__s")) - k + 1, lit(0))
+    // k-grams slice the RAW text (positions over length(text)) and
+    // lowercase AFTER slicing: `lower(substr(text, i, k))` costs O(k)
+    // per element no matter how Catalyst inlines it, where
+    // `substr(lower(text), i, k)` costs O(len) per element the moment
+    // CollapseProject inlines the lowered string into the per-element
+    // lambda (measured: a 300-char corpus went from seconds to
+    // unbounded — the same lazy-inline trap ivfAssignCosine documents).
+    // The hash array is additionally staged behind a checkpoint: every
+    // window start references it, and a re-evaluation per start would
+    // be O(m²·k) md5 calls per document.
+    val m = greatest(length(col(textCol)) - k + 1, lit(0))
     val hs = when(m >= 1, transform(sequence(lit(1), m),
-        i => conv(substring(md5(col("__s").substr(i, lit(k)).cast("binary")), 1, 8),
-          16, 10).cast("long")))
+        i => conv(substring(md5(lower(col(textCol).substr(i, lit(k))).cast("binary")),
+          1, 8), 16, 10).cast("long")))
       .otherwise(array().cast("array<bigint>"))
-    val hashed = staged.select(col(idCol), hs.as("__hs"))
+    val hashed = df.select(col(idCol), hs.as("__hs"))
+      .localCheckpoint(eager = false)
     val mm = size(col("__hs"))
     val fps = when(mm >= 1, array_distinct(
         transform(sequence(lit(1), greatest(mm - w + 1, lit(1))), p => {
