@@ -167,10 +167,69 @@ object PipelineQueries {
               Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id",
               codes, cbs, vec, k, candidates = math.max(100, 10 * k),
               adcQuery = Some(nq))
+          case "bin" =>
+            // binary sign-sketch tier (the q151 surface): XOR+popcount
+            // candidate scan, exact cosine rescore
+            graft.operators.Similarity.hammingTopK(
+              Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id",
+              vec, k, candidates = math.max(64, 4 * k))
           case other =>
-            throw new BadRequestException(s"'algo' must be exact|lsh|pq, got '$other'")
+            throw new BadRequestException(s"'algo' must be exact|lsh|pq|bin, got '$other'")
         }
       }))
+
+    service.register(PipelineQuery("winnow_matches",
+      // the q156 surface: MOSS winnowing fingerprints + rare-hash match
+      Seq(ParamSpec("kgram", "long", required = false, default = Some(8L)),
+        ParamSpec("window", "long", required = false, default = Some(4L)),
+        ParamSpec("max_df", "long", required = false, default = Some(4L)),
+        ParamSpec("min_shared", "long", required = false, default = Some(2L))),
+      ps => Dedup.winnowMatchPairs(docs, "doc_id", "text",
+        intParam(ps, "kgram"), intParam(ps, "window"),
+        intParam(ps, "max_df", min = 2), intParam(ps, "min_shared"))))
+
+    service.register(PipelineQuery("containment",
+      // the q153 surface: asymmetric shingle containment on id-window
+      // candidate pairs (subset-duplicate detection)
+      Seq(ParamSpec("shingle", "long", required = false, default = Some(3L)),
+        ParamSpec("max_offset", "long", required = false, default = Some(3L)),
+        ParamSpec("min_pm", "long", required = false, default = Some(0L))),
+      ps => {
+        val minPm = ps("min_pm").asInstanceOf[Long]
+        if (minPm < 0 || minPm > 10000)
+          throw new BadRequestException("'min_pm' must be in [0, 10000]")
+        Dedup.containmentForPairs(docs, "doc_id", "text",
+            intParam(ps, "shingle"),
+            Dedup.nearIdPairs(docs, "doc_id", intParam(ps, "max_offset")))
+          .filter(col("containment_pm") >= minPm)
+      }))
+
+    service.register(PipelineQuery("communities",
+      // LPA communities over the near-dup pair graph (the q154
+      // operator on the dedup_clusters graph): unlike components,
+      // weakly-bridged clusters separate
+      Seq(ParamSpec("threshold", "double", required = false, default = Some(0.5)),
+        ParamSpec("iterations", "long", required = false, default = Some(3L))),
+      ps => {
+        val threshold = ps("threshold").asInstanceOf[Double]
+        if (threshold <= 0 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in (0, 1]")
+        val iters = intParam(ps, "iterations")
+        if (iters > 20)
+          throw new BadRequestException("'iterations' must be <= 20")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 3, numHashes = 24, bands = 8, threshold = threshold)
+        GraphAnalytics.labelPropagation(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          docs.select(col("doc_id").as("id")), iters)
+      }))
+
+    service.register(PipelineQuery("systematic_sample",
+      // the q155 surface: deterministic weighted systematic sampling
+      // ∝ token count — exactly k picks, zero RNG
+      Seq(ParamSpec("k", "long", required = false, default = Some(100L))),
+      ps => graft.operators.Packing.systematicSample(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), intParam(ps, "k"))))
 
     service.register(PipelineQuery("frame_sample",
       Seq(ParamSpec("every_n", "long", required = false, default = Some(2L)),

@@ -161,6 +161,40 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] { // lsh without the predicate
       service.runRegistered("ann_search", Map("vector" -> vec, "algo" -> "lsh"))
     }
+    // binary sign-sketch tier (the q151 surface): (id, hamming, cos_sim)
+    val bann = service.runRegistered("ann_search",
+      Map("vector" -> vec, "k" -> "5", "algo" -> "bin"))
+    assert(bann.count() == 5
+      && bann.columns.sameElements(Array("id", "hamming", "cos_sim")))
+    // winnow match pairs (the q156 surface): valid ordered pairs
+    val wm = service.runRegistered("winnow_matches", Map("min_shared" -> "1"))
+    assert(wm.columns.sameElements(Array("id_a", "id_b", "n_shared")))
+    assert(wm.filter(col("id_a") >= col("id_b")).count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("winnow_matches", Map("max_df" -> "1"))
+    }
+    // containment (q153): per-myriad bounds respected
+    val cont = service.runRegistered("containment", Map("min_pm" -> "0"))
+    assert(cont.filter(col("containment_pm") < 0 || col("containment_pm") > 10000)
+      .count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("containment", Map("min_pm" -> "20000"))
+    }
+    // LPA communities (q154 operator on the near-dup graph): the
+    // registered tier's result clamp applies; every returned label is
+    // a real doc id
+    val comm = service.runRegistered("communities", Map("iterations" -> "2"))
+    assert(comm.columns.sameElements(Array("id", "label")))
+    assert(comm.count() == 100) // service row clamp, corpus is larger
+    val docIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(comm.collect().forall(r => docIds.contains(r.getLong(1))))
+    intercept[BadRequestException] {
+      service.runRegistered("communities", Map("iterations" -> "50"))
+    }
+    // systematic sample (q155): Σ n_picks == k exactly
+    val ss = service.runRegistered("systematic_sample", Map("k" -> "17"))
+    assert(ss.agg(sum("n_picks")).head().getLong(0) == 17L)
     // real multi-frame decode on the registered tier (the q101 surface)
     val fs = service.runRegistered("frame_sample",
       Map("every_n" -> "2", "max_frames" -> "2"))
