@@ -634,5 +634,83 @@ object CatalogCore {
            |l0 AS (SELECT c_custkey AS id, CAST(c_custkey AS BIGINT) AS label FROM customer),
            |${(1 to 3).map(round).mkString(",\n")}
            |SELECT id, label FROM l3 ORDER BY id""".stripMargin
+      }),
+
+    QueryDef("q158_scc",
+      // strongly connected components over a directed fixture the knows
+      // graph can't provide (its functional edges make one giant SCC):
+      // per 10-id block, a chain c→c+1, plus a closing back edge
+      // 9→0 only when (block % 3) ≠ 0 — intact blocks are directed
+      // 10-cycles (one SCC labeled by the block's min id), broken
+      // blocks are chains (singleton SCCs), the exact cycle-vs-chain
+      // distinction weak CC (q72) cannot make. Blocks are disjoint, so
+      // the SCC condensation is depth-1 and 3 GraphX rounds suffice at
+      // ANY scale (the trim fixpoint handles the 10-deep chains
+      // internally). The oracle is the analytic labeling — a real
+      // convergence check, the q72 discipline
+      (s, d) => {
+        val verts = Tpch.graph(s, d).vertexFrame("customer").select("id")
+        val n = verts.count()
+        val within = verts.filter(col("id") % 10 =!= 9 && col("id") + 1 < n)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val back = verts.filter(col("id") % 10 === 9 &&
+            expr("(id div 10) % 3") =!= 0)
+          .select(col("id").as("src"), (col("id") - 9).as("dst"))
+        graft.operators.GraphAnalytics.stronglyConnectedComponents(
+          within.unionAll(back), verts, numIter = 3).orderBy("id")
+      },
+      Some("""SELECT c_custkey AS id,
+             |  CAST(CASE WHEN (c_custkey // 10) % 3 <> 0
+             |    THEN (c_custkey // 10) * 10 ELSE c_custkey END AS BIGINT) AS component
+             |FROM customer ORDER BY id""".stripMargin)),
+
+    QueryDef("q159_kcore",
+      // 3-core via synchronous batch peeling over a fixture whose peel
+      // depth is bounded BY CONSTRUCTION at any scale: per 100-id
+      // block, a 5-clique (degree 4, survives), a 4-link pendant chain
+      // hung off the clique (peels in 4 rounds), and a cross-block
+      // edge base+1 — base+101 (raises interior survivors to degree
+      // 6). Output is each survivor's degree INSIDE the core; the
+      // oracle replays 6 unrolled peel rounds over the same
+      // construction — it must converge to the identical edge set
+      (s, d) => {
+        val verts = Tpch.graph(s, d).vertexFrame("customer").select("id")
+        val n = verts.count()
+        val bases = verts.filter(col("id") % 100 === 0).select(col("id").as("base"))
+        val offs = Seq(0, 1, 2, 3, 4)
+        val pairs = (for { i <- offs; j <- offs if i < j } yield (i, j)) ++
+          Seq((0, 5), (5, 6), (6, 7), (7, 8))
+        val pairLits = array(pairs.map { case (i, j) =>
+          struct(lit(i).as("i"), lit(j).as("j")) }: _*)
+        val block = bases.select(col("base"), explode(pairLits).as("p"))
+          .select((col("base") + col("p.i")).as("src"),
+            (col("base") + col("p.j")).as("dst"))
+        val cross = bases.filter(col("base") + 101 < n)
+          .select((col("base") + 1).as("src"), (col("base") + 101).as("dst"))
+        graft.operators.GraphAnalytics.kCore(block.unionAll(cross), k = 3)
+          .orderBy("id")
+      },
+      Some {
+        val peel = (i: Int) => s"""d$i AS MATERIALIZED (SELECT id, count(*) AS deg FROM
+          |  (SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+          |p$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg < 3),
+          |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+          |  WHERE a NOT IN (SELECT id FROM p$i) AND b NOT IN (SELECT id FROM p$i))""".stripMargin
+        s"""WITH blk AS (SELECT DISTINCT (c_custkey // 100) * 100 AS base FROM customer),
+           |off AS (SELECT unnest([0, 1, 2, 3, 4]) AS o),
+           |raw AS (
+           |  SELECT base + o1.o AS u, base + o2.o AS v FROM blk, off o1, off o2
+           |    WHERE o1.o < o2.o
+           |  UNION ALL
+           |  SELECT base + x, base + y FROM blk, (VALUES (0, 5), (5, 6), (6, 7), (7, 8)) t(x, y)
+           |  UNION ALL
+           |  SELECT base + 1, base + 101 FROM blk
+           |    WHERE base + 101 < (SELECT count(*) FROM customer)),
+           |e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+           |  FROM raw WHERE u <> v),
+           |${(1 to 6).map(peel).mkString(",\n")}
+           |SELECT id, CAST(count(*) AS BIGINT) AS core_degree FROM
+           |  (SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6)
+           |GROUP BY 1 ORDER BY id""".stripMargin
       }))
 }

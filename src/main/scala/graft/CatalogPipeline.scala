@@ -171,6 +171,33 @@ object CatalogPipeline {
              |  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q157_readability",
+      // Flesch reading-ease scoring ×10⁴ with all-integer counting:
+      // words = whitespace tokens, sentences = [.!?]+ runs floored at
+      // 1, syllables = [aeiouy]+ vowel-group runs + 1 per vowel-less
+      // word. Pure per-row codegen columns (a narrow map at corpus
+      // scale); the oracle restates the counting contract verbatim
+      (s, d) => TextAnalysis.readability(
+        Tpch.table(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS words,
+             |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+             |    len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+             |    len(list_filter(
+             |      CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |        ELSE string_split_regex(trim(lower(text)), '\s+') END,
+             |      w -> NOT regexp_matches(w, '[aeiouy]'))) AS syllables
+             |  FROM documents)
+             |SELECT doc_id, CAST(words AS BIGINT) AS words,
+             |  CAST(sentences AS BIGINT) AS sentences,
+             |  CAST(syllables AS BIGINT) AS syllables,
+             |  CAST(2068350 - CASE WHEN words > 0
+             |    THEN (10150 * words) // sentences + (846000 * syllables) // words
+             |    ELSE 0 END AS BIGINT) AS flesch_pm
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q73_bpe_tokens",
       // BPE-ish pre-tokenization (lookahead-free GPT-2-style pattern,
       // identical under Java regex and DuckDB's RE2): count per doc of
@@ -1059,6 +1086,54 @@ object CatalogPipeline {
              |FROM embeddings, q WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
+    QueryDef("q161_mmr",
+      // maximal-marginal-relevance diversity re-ranking over the q58
+      // candidate tier: top-20 cosine candidates, greedy 5 picks at
+      // λ=0.7 — mmr = 0.7·rel − 0.3·max-sim-to-selected, all cosines
+      // rounded to 6 (the q58 contract), ties to the lower id. The
+      // greedy loop runs on the BOUNDED candidate list (20 rels +
+      // 20·19 pair sims — the recall-audit bounded-collect
+      // discipline); the oracle unrolls the same 5 selection steps
+      (s, d) => {
+        val emb = Tpch.table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        Similarity.mmrRerank(emb.filter(col("vec_id") =!= 0), "embedding",
+          "vec_id", q, candK = 20, selectK = 5, lambdaPm = 7000)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_aggregate(list_transform(list_zip($a, $b),
+             |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |  (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) *
+             |   sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))))""".stripMargin
+        val step1 =
+          """s1 AS (SELECT id, rel, round(0.7*rel, 6) AS mmr, 1 AS pick
+            |  FROM cand ORDER BY mmr DESC, id LIMIT 1),
+            |sel1 AS (SELECT id FROM s1)""".stripMargin
+        def stepN(i: Int) =
+          s"""s$i AS (SELECT c.id, c.rel,
+             |    round(0.7*c.rel - 0.3*(SELECT max(p.sim) FROM pair p
+             |      WHERE p.id_a = c.id AND p.id_b IN (SELECT id FROM sel${i - 1})), 6) AS mmr,
+             |    $i AS pick
+             |  FROM cand c WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+             |  ORDER BY mmr DESC, id LIMIT 1),
+             |sel$i AS (SELECT id FROM sel${i - 1} UNION ALL SELECT id FROM s$i)""".stripMargin
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |cand AS (SELECT vec_id AS id, embedding AS v,
+           |    round(${cos("embedding", "qe")}, 6) AS rel
+           |  FROM embeddings, q WHERE vec_id <> 0 ORDER BY rel DESC, id LIMIT 20),
+           |pair AS (SELECT a.id AS id_a, b.id AS id_b,
+           |    round(${cos("a.v", "b.v")}, 6) AS sim
+           |  FROM cand a JOIN cand b ON a.id <> b.id),
+           |$step1,
+           |${(2 to 5).map(stepN).mkString(",\n")}
+           |SELECT CAST(pick AS BIGINT) AS pick, id, rel, mmr FROM (
+           |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+           |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+           |ORDER BY pick""".stripMargin
+      }),
+
     QueryDef("q59_ann_lsh",
       // Multi-table LSH ANN, self-audited: the query returns the probe's
       // result count plus whether recall@10 vs the in-engine exact
@@ -1569,6 +1644,38 @@ object CatalogPipeline {
              |  count(*) AS n,
              |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)),
+
+    QueryDef("q160_acf",
+      // per-series autocorrelation at lags 1..3 over hourly bucket
+      // sums — the periodicity probe before any forecasting model.
+      // Floor-mean deviations in integer cents keep num/den exact
+      // int64 sums (the documented contract; an exact rational mean
+      // needs n²-scaled products that overflow on long series); the
+      // final ratio is one IEEE divide rounded to 6 (q135 discipline).
+      // One window pass computes all three leads; everything
+      // partitions by the series key
+      (s, d) => graft.operators.TimeSeries.autocorrelation(
+          events(s, d), "event_type", "ts", "value", maxLag = 3)
+        .orderBy("event_type", "lag"),
+      Some("""WITH hb AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             |    sum(CAST(round(value*100) AS BIGINT)) AS x
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, count(*) AS n, sum(x) AS s FROM hb GROUP BY 1),
+             |dv AS (SELECT hb.event_type, hb.h, hb.x - (st.s // st.n) AS d
+             |  FROM hb JOIN st USING (event_type)),
+             |ld AS (SELECT event_type, d,
+             |    lead(d, 1) OVER w AS d1, lead(d, 2) OVER w AS d2, lead(d, 3) OVER w AS d3
+             |  FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+             |un AS (
+             |  SELECT event_type, d, 1 AS lag, d1 AS dl FROM ld
+             |  UNION ALL SELECT event_type, d, 2, d2 FROM ld
+             |  UNION ALL SELECT event_type, d, 3, d3 FROM ld)
+             |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+             |  CAST(count(dl) AS BIGINT) AS n_pairs,
+             |  CASE WHEN sum(d*d) = 0 OR count(dl) = 0 THEN 0.0
+             |    ELSE round(CAST(sum(CASE WHEN dl IS NOT NULL THEN d*dl END) AS DOUBLE)
+             |      / sum(d*d), 6) END AS acf
+             |FROM un GROUP BY 1, 2 ORDER BY event_type, lag""".stripMargin)),
 
     QueryDef("q61_sessionize",
       // gap-based sessionization (30 min): session count + mean length

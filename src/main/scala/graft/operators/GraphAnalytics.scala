@@ -224,4 +224,80 @@ object GraphAnalytics {
       StructField("id", LongType, nullable = false),
       StructField("component", LongType, nullable = false))))
   }
+
+  /** Strongly connected components of the DIRECTED graph — mutual
+    * reachability classes, labeled by the lowest vertex id in each
+    * class (the weak-CC labeling convention of [[connectedComponents]]
+    * applied to the directed semantics the reference's edges actually
+    * carry). Returns (id, component): a directed cycle collapses to one
+    * label; a directed chain stays one singleton per vertex — exactly
+    * the distinction weak CC cannot make.
+    *
+    * GraphX's trim + forward-color / backward-confirm rounds
+    * (`stronglyConnectedComponents`): each round finalizes every SCC
+    * that is the minimum-id root of its color region, so `numIter`
+    * bounds the DEPTH OF THE SCC CONDENSATION DAG it must walk, not the
+    * vertex count; the trim phase inside each round iterates to
+    * fixpoint on its own. Callers pick `numIter` from known condensation
+    * depth (the catalog fixture bounds it by construction; an unknown
+    * graph gets a generous bound plus the spec-pinned invariant that
+    * labels are a valid SCC refinement after any prefix of rounds).
+    */
+  def stronglyConnectedComponents(edges: DataFrame, vertices: DataFrame,
+      numIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val scc = toGraph(edges, vertices).stronglyConnectedComponents(numIter)
+      .vertices.map { case (id, comp) => Row(id, comp) }
+    spark.createDataFrame(scc, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("component", LongType, nullable = false))))
+  }
+
+  /** k-core of the undirected simple graph: the maximal subgraph in
+    * which every vertex keeps degree ≥ k, computed by synchronous batch
+    * peeling — each round drops ALL vertices whose current degree is
+    * below k, so the round count is bounded by the graph's peel depth
+    * (≤ its degeneracy layering), never by vertex count. Returns
+    * (id, core_degree) for the surviving vertices: their degree WITHIN
+    * the core — the per-vertex evidence the membership claim rests on,
+    * which an oracle can re-derive round by round.
+    *
+    * Scale shape: each round is one degree aggregation (map-side
+    * partials at edge grain) plus two anti-joins against the peeled-id
+    * frame; the edge frame shrinks monotonically and is re-rooted with
+    * `localCheckpoint` per round (the [[Fixpoint]] lineage discipline).
+    * The per-round driver decision is a single count of the PEELED
+    * frame — bounded work, the same loop-control shape as
+    * `Fixpoint.semiNaive`. A 100 TB deployment peels the same way:
+    * rounds are data-parallel; only the fixpoint test is a scalar.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val deg = und.select(col("a").as("id")).unionAll(und.select(col("b")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val peel = deg.filter(col("deg") < k).select(col("id"))
+        .localCheckpoint(eager = true)
+      if (peel.isEmpty) done = true
+      else {
+        und = und
+          .join(peel.select(col("id").as("a")), Seq("a"), "left_anti")
+          .join(peel.select(col("id").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint(eager = true)
+        rounds += 1
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"kCore did not converge within $maxRounds rounds — raise maxRounds " +
+          "(peel depth exceeds the bound, e.g. a long induced path)")
+    und.select(col("a").as("id")).unionAll(und.select(col("b")))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
+  }
 }

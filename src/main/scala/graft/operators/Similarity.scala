@@ -55,6 +55,73 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity pass a retrieval stack runs AFTER candidate
+    * generation: from the `candK` most query-similar vectors, greedily
+    * pick `selectK` maximizing
+    * `mmr = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`,
+    * so near-duplicate hits can't crowd the final list. All
+    * similarities are cosines rounded to 6 (the q58 cross-engine
+    * contract); `λ = lambdaPm/10⁴`; ties break on the lower id; the
+    * first pick's penalty term is 0 (empty selected set).
+    *
+    * Scale shape: candidate generation is the distributed part (one
+    * narrow map + TakeOrdered, or any ANN probe upstream); the greedy
+    * loop runs on the BOUNDED candidate list — candK rows and candK²
+    * pair cosines collected to the driver (the recall-audit bounded-
+    * collect discipline: k is a knob, never corpus-sized). Pair
+    * cosines come from a broadcast self-join of the k-row frame, so
+    * the quadratic work is candidate-sized and distributed.
+    * Returns (pick 1..selectK, id, rel, mmr) in selection order.
+    */
+  def mmrRerank(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], candK: Int, selectK: Int,
+      lambdaPm: Int = 7000): DataFrame = {
+    require(selectK >= 1 && candK >= selectK, "need candK >= selectK >= 1")
+    require(lambdaPm >= 0 && lambdaPm <= 10000, "lambdaPm in [0, 10000]")
+    val spark = df.sparkSession
+    val cand = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        round(cosine(col(vecCol), vecLit(query)), 6).as("rel"))
+      .orderBy(col("rel").desc, col("id")).limit(candK)
+      .localCheckpoint(eager = true) // reused by the pair join below
+    val pairs = cand.select(col("id").as("id_a"), col("v").as("va"))
+      .join(broadcast(cand.select(col("id").as("id_b"), col("v").as("vb"))),
+        col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+    // bounded collects: candK rels + candK·(candK−1) pair sims
+    val rels = cand.select("id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val simMap = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // one HALF_UP decimal rounding, matching Spark's round() on doubles
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    // both weights from the SAME integer knob: (1−λ) recomputed as
+    // (10⁴−λpm)/10⁴ is the IEEE double an oracle's literal spells
+    // (1.0 − ieee(0.7) would be 0.30000000000000004, not 0.3)
+    val lam = lambdaPm / 10000.0
+    val mu = (10000 - lambdaPm) / 10000.0
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.Map(rels: _*)
+    while (selected.size < selectK && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { case (id, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => simMap.getOrElse((id, s._1), 0.0)).max
+        (id, rel, r6(lam * rel - mu * maxSim))
+      }
+      val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, mmr), i) => (i + 1L, id, rel, mmr) }
+      .toDF("pick", "id", "rel", "mmr")
+  }
+
   /** Deterministic random hyperplanes (driver-side PRNG, fixed seed). */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

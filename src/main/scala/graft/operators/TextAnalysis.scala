@@ -455,4 +455,44 @@ object TextAnalysis {
       .orderBy(col("chi2").desc, col("w"))
       .limit(topK)
   }
+
+  /** Flesch-style readability scoring in all-integer per-myriad
+    * arithmetic — the classic curation signal between raw length
+    * ([[tokenCount]]) and the rule bitmask ([[filterGate]]): flag text
+    * that is fluent but too dense (or too degenerate) for a target
+    * training mix.
+    *
+    * Counting contract (cross-engine exact, mirrors Flesch's units):
+    *   - words      = whitespace tokens ([[tokens]])
+    *   - sentences  = runs of sentence-final punctuation `[.!?]+`,
+    *                  floored at 1 (unpunctuated text is one sentence)
+    *   - syllables  = vowel-group runs `[aeiouy]+` over the lowercased
+    *                  text, plus 1 for each vowel-less word (Flesch
+    *                  counts every word as at least one syllable; the
+    *                  group count over the whole text equals the
+    *                  per-word sum because whitespace breaks runs)
+    * Score (Flesch reading ease ×10⁴, integer division):
+    *   flesch_pm = 2_068_350 − (10_150·words) div sentences
+    *                         − (846_000·syllables) div words
+    * Empty documents (words = 0) score the 2_068_350 constant — no
+    * penalty terms, the documented degenerate case.
+    *
+    * Pure per-row column expressions (regexp_count + array ops), fully
+    * inside whole-stage codegen — scoring is a narrow map at any
+    * corpus size. Returns (id, words, sentences, syllables, flesch_pm).
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val low = lower(col(textCol))
+    val toks = tokens(low)
+    val words = size(toks).cast("long")
+    val sentences = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1)).cast("long")
+    val vowelGroups = regexp_count(low, lit("[aeiouy]+")).cast("long")
+    val voweless = size(filter(toks, t => !t.rlike("[aeiouy]"))).cast("long")
+    val syllables = vowelGroups + voweless
+    df.select(col(idCol), words.as("words"), sentences.as("sentences"),
+        syllables.as("syllables"))
+      .withColumn("flesch_pm", lit(2068350L) - when(col("words") > 0,
+        expr("(10150 * words) div sentences + (846000 * syllables) div words"))
+        .otherwise(lit(0L)))
+  }
 }

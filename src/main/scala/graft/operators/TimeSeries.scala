@@ -316,4 +316,52 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"))
       .select(col(groupCol), col("bin"), col("n"), col("lo"), col("hi"))
   }
+
+  /** Per-series autocorrelation at lags 1..`maxLag` over the hourly
+    * bucket sequence — the periodicity/persistence probe (is today's
+    * volume predictive of tomorrow's?) run before fitting any
+    * forecasting model. ACF estimator with the standard full-series
+    * denominator: acf(l) = Σ d_t·d_{t+l} / Σ d_t², where x_t is the
+    * series' t-th OBSERVED hourly bucket sum in integer cents and
+    * d_t = x_t − (Σx div n) deviates from the FLOOR mean — the
+    * documented cross-engine contract (an exact rational mean would
+    * force n²-scaled products that overflow int64 on long series;
+    * the floor mean keeps num/den exact int64 sums, and the final
+    * ratio is one IEEE divide rounded to 6, the q135 discipline).
+    * Gaps in the hour grid collapse (lag = sequence position, not
+    * wall-clock distance); a constant series (den = 0) scores 0.
+    *
+    * Scale shape: one hash aggregation to hourly grain, one stats
+    * aggregation at series grain joined back on the series key, ONE
+    * ordered window per series computing all `maxLag` leads in a
+    * single pass (no per-lag re-sort), then an unpivot + final
+    * series-grain aggregation. Everything partitions by the series
+    * key; bucket counts bound the window, not event volume.
+    */
+  def autocorrelation(df: DataFrame, seriesCol: String, tsCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val hourly = df
+      .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("x"))
+    val stats = hourly.groupBy(seriesCol)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val w = Window.partitionBy(seriesCol).orderBy("h")
+    val dev = hourly.join(stats, Seq(seriesCol))
+      .withColumn("d", col("x") - expr("s div n"))
+    val withLeads = (1 to maxLag).foldLeft(dev) { (acc, l) =>
+      acc.withColumn(s"__d$l", lead(col("d"), l).over(w))
+    }
+    val stacked = withLeads.select(col(seriesCol), col("d"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).cast("long").as("lag"), col(s"__d$l").as("dl"))): _*)).as("p"))
+      .select(col(seriesCol), col("d"), col("p.lag").as("lag"), col("p.dl").as("dl"))
+    stacked.groupBy(col(seriesCol), col("lag"))
+      .agg(count(col("dl")).as("n_pairs"),
+        sum(when(col("dl").isNotNull, col("d") * col("dl"))).as("num"),
+        sum(col("d") * col("d")).as("den"))
+      .select(col(seriesCol), col("lag"), col("n_pairs"),
+        when(col("den") === 0 || col("n_pairs") === 0, lit(0.0))
+          .otherwise(round(col("num").cast("double") / col("den"), 6)).as("acf"))
+  }
 }

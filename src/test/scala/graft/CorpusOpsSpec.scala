@@ -281,4 +281,23 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect()
     assert(!out.exists(_._1 == "once"))
   }
+
+  test("readability: hand-counted words, sentences, syllables, Flesch score") {
+    val docs = Seq(
+      // 5 words; "Dr.!" and final "?" → 2 sentence runs; syllables:
+      // the(1) cat(1) sat(1) dr(0→min 1) again(2: a-ai) = 6
+      (1L, "The cat sat Dr.! again?"),
+      // unpunctuated → 1 sentence; hello(2) world(1) = 3 syllables
+      (2L, "hello world"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    // doc1: 2068350 − (10150·5) div 2 − (846000·6) div 5
+    //     = 2068350 − 25375 − 1015200 = 1027775
+    assert(out(0) === ((1L, 5L, 2L, 6L, 1027775L)))
+    // doc2: 2068350 − 10150·2 − (846000·3) div 2 = 2068350 − 20300 − 1269000
+    assert(out(1) === ((2L, 2L, 1L, 3L, 779050L)))
+    // empty doc: no penalty terms by contract
+    assert(out(2) === ((3L, 0L, 1L, 0L, 2068350L)))
+  }
 }

@@ -41,11 +41,17 @@ class PlanQualitySpec extends SparkSpec {
     // broadcast. q135 embeds q87's BM25 scorer, so it inherits the
     // same 1-row stats broadcast (its OWN fusion joins are key-equi
     // full-outer joins over top-k frames); q138's totals frame is the
-    // same 1-row scalar-broadcast shape. Everything else must stay
-    // BNLJ/cartesian-free
+    // same 1-row scalar-broadcast shape. q155's systematic sampler
+    // broadcasts the 1-row total-weight frame (Packing
+    // .systematicSample) — the same deliberate scalar shape. q161's
+    // MMR pair matrix is a non-equi (id_a ≠ id_b) broadcast join of
+    // the CANDIDATE list against itself — k×k rows by construction
+    // (k = 20), the quadratic the operator's contract bounds, never
+    // corpus-scale. Everything else must stay BNLJ/cartesian-free
     val salted = Set("q69_salted_join", "q75_all_edges", "q78_stored_geometry",
       "q87_bm25_search", "q105_tfidf_keywords", "q107_bigram_lm",
-      "q130_pmi_collocations", "q135_hybrid_rrf", "q138_token_drift")
+      "q130_pmi_collocations", "q135_hybrid_rrf", "q138_token_drift",
+      "q155_systematic_sample", "q161_mmr")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")

@@ -225,4 +225,25 @@ class SearchPackPiiSpec extends SparkSpec {
     val out = Search.rrfFuse(Seq("x" -> a, "y" -> b), "id", topK = 4).collect()
     assert(out.length === 4)
   }
+
+  test("mmrRerank: diversity demotes the duplicate, pure relevance keeps it") {
+    import graft.operators.Similarity
+    // id1 and id2 duplicate the query direction; id3 is 0.6-similar
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0)
+    // λ = 0.3: after id1 (tie → lower id), the duplicate id2 scores
+    // 0.3·1 − 0.7·1 = −0.4 while diverse id3 scores 0.18 − 0.42 = −0.24
+    val div = Similarity.mmrRerank(emb, "embedding", "vec_id", q,
+        candK = 3, selectK = 3, lambdaPm = 3000)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(div.map(_._2).toSeq === Seq(1L, 3L, 2L), s"picks: ${div.toSeq}")
+    assert(div.map(_._4).toSeq === Seq(0.3, -0.24, -0.4), s"mmr: ${div.toSeq}")
+    // λ = 1: pure relevance — the duplicate stays second
+    val rel = Similarity.mmrRerank(emb, "embedding", "vec_id", q,
+        candK = 3, selectK = 3, lambdaPm = 10000)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rel.map(_._2).toSeq === Seq(1L, 2L, 3L), s"picks: ${rel.toSeq}")
+  }
 }

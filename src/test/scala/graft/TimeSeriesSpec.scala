@@ -248,4 +248,26 @@ class TimeSeriesSpec extends SparkSpec {
     // baseline {1,3}: mu=2, sd=round(sqrt(2),6)=1.414214; z=(2-2)/sd=0
     assert(out(3).getDouble(1) === 0.0)
   }
+
+  test("autocorrelation: hand-computed lags, constant and singleton series are 0") {
+    // series a: hourly sums 100..600 cents (hour 0 split across two
+    // events to pin the bucket-sum step). Floor mean 350, den 175000:
+    //   lag1 87500/175000 = 0.5; lag2 10000/175000 → 0.057143;
+    //   lag3 −47500/175000 → −0.271429
+    val ev = (Seq(
+      ("a", ts("2024-01-01 00:10:00"), 0.40), ("a", ts("2024-01-01 00:40:00"), 0.60),
+      ("a", ts("2024-01-01 01:30:00"), 2.00), ("a", ts("2024-01-01 02:30:00"), 3.00),
+      ("a", ts("2024-01-01 03:30:00"), 4.00), ("a", ts("2024-01-01 04:30:00"), 5.00),
+      ("a", ts("2024-01-01 05:30:00"), 6.00)) ++
+      Seq(0, 1, 2).map(h => ("b", ts(s"2024-01-01 0$h:00:00"), 5.00)) :+
+      (("c", ts("2024-01-01 00:00:00"), 9.99)))
+      .toDF("event_type", "ts", "value")
+    val out = TimeSeries.autocorrelation(ev, "event_type", "ts", "value", maxLag = 3)
+      .orderBy("event_type", "lag")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out === Array(
+      ("a", 1L, 5L, 0.5), ("a", 2L, 4L, 0.057143), ("a", 3L, 3L, -0.271429),
+      ("b", 1L, 2L, 0.0), ("b", 2L, 1L, 0.0), ("b", 3L, 0L, 0.0),
+      ("c", 1L, 0L, 0.0), ("c", 2L, 0L, 0.0), ("c", 3L, 0L, 0.0)))
+  }
 }

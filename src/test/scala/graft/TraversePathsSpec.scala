@@ -163,4 +163,63 @@ class TraversePathsSpec extends SparkSpec {
     // leaves adopt their only neighbor's label
     assert(out(1L) == 3L && out(2L) == 3L)
   }
+
+  test("stronglyConnectedComponents: cycle collapses, chain stays singletons") {
+    // directed cycle {1,2,3}, chain 4→5→6, DAG edge 3→4 linking them
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val out = GraphAnalytics.stronglyConnectedComponents(edges, verts, numIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(out).forall(_ == 1L), s"cycle must share label 1: $out")
+    assert(Seq(4L, 5L, 6L).map(out) == Seq(4L, 5L, 6L), s"chain must stay singletons: $out")
+  }
+
+  test("stronglyConnectedComponents matches brute-force mutual reachability") {
+    // fixed pseudo-random digraph: two interlocking cycles + DAG tail
+    val n = 12
+    val edgeList = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i * 5 + 3) % n).toLong), (i.toLong, ((i + 4) % n).toLong))
+    }.distinct.filter { case (a, b) => a != b }
+    // Floyd–Warshall closure on the driver as the oracle
+    val reach = Array.fill(n, n)(false)
+    edgeList.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val expected = (0 until n).map { v =>
+      val scc = (0 until n).filter(u =>
+        u == v || (reach(v)(u) && reach(u)(v)))
+      v.toLong -> scc.min.toLong
+    }.toMap
+    val out = GraphAnalytics.stronglyConnectedComponents(
+      edgeList.toDF("src", "dst"), (0 until n).map(_.toLong).toDF("id"),
+      numIter = 10).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected, s"got $out\nexpected $expected")
+  }
+
+  test("kCore: pendant chain peels in cascade, clique survives with core degrees") {
+    // 4-clique {1,2,3,4} + chain 4–5–6–7 (peels back in 3 rounds at k=3)
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ Seq((4L, 5L), (5L, 6L), (6L, 7L)))
+      .toDF("src", "dst")
+    val out = GraphAnalytics.kCore(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be exactly the clique at its internal degrees: $out")
+    // k=2: the chain still peels (ends have degree 1, cascade), clique stays
+    val out2 = GraphAnalytics.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2.keySet == Set(1L, 2L, 3L, 4L), s"2-core: $out2")
+  }
+
+  test("kCore: exceeding maxRounds fails loudly instead of returning a non-core") {
+    // a 6-chain needs 3 peel rounds at k=2... with maxRounds=1 it must throw
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      GraphAnalytics.kCore(edges, k = 2, maxRounds = 1)
+    }
+    // and with room it converges to the empty core
+    assert(GraphAnalytics.kCore(edges, k = 2, maxRounds = 8).isEmpty)
+  }
 }
