@@ -473,6 +473,74 @@ object PipelineQueries {
         else scored
       }))
 
+    service.register(PipelineQuery("readability",
+      // the q157 surface: all-integer Flesch scoring per document
+      Seq(ParamSpec("max_flesch_pm", "long", required = false,
+        default = Some(Long.MaxValue))),
+      ps => {
+        val cap = ps("max_flesch_pm").asInstanceOf[Long]
+        val scored = TextAnalysis.readability(docs, "doc_id", "text")
+        if (cap == Long.MaxValue) scored else scored.filter(col("flesch_pm") <= cap)
+      }))
+
+    service.register(PipelineQuery("autocorrelation",
+      // the q160 surface: per-event-type ACF over hourly buckets
+      Seq(ParamSpec("max_lag", "long", required = false, default = Some(3L))),
+      ps => {
+        val maxLag = intParam(ps, "max_lag")
+        if (maxLag > 168)
+          throw new BadRequestException("'max_lag' must be <= 168 (one week of hours)")
+        graft.operators.TimeSeries.autocorrelation(
+          graft.QueryDef.events(spark, sfDir), "event_type", "ts", "value", maxLag)
+      }))
+
+    service.register(PipelineQuery("mmr_rerank",
+      // the q161 surface: diversity re-ranking of the exact cosine
+      // candidates for a stored query vector
+      Seq(ParamSpec("query_id", "long", required = false, default = Some(0L)),
+        ParamSpec("cand_k", "long", required = false, default = Some(20L)),
+        ParamSpec("select_k", "long", required = false, default = Some(5L)),
+        ParamSpec("lambda_pm", "long", required = false, default = Some(7000L))),
+      ps => {
+        val candK = intParam(ps, "cand_k")
+        val selectK = intParam(ps, "select_k")
+        if (candK > 1000)
+          throw new BadRequestException("'cand_k' must be <= 1000 (the greedy " +
+            "stage collects the candidate list)")
+        if (selectK > candK)
+          throw new BadRequestException("'select_k' must be <= cand_k")
+        val lambdaPm = intParam(ps, "lambda_pm", min = 0)
+        if (lambdaPm > 10000)
+          throw new BadRequestException("'lambda_pm' must be in [0, 10000]")
+        val qid = ps("query_id").asInstanceOf[Long]
+        val emb = Tpch.table(spark, sfDir, "embeddings")
+        val qRows = emb.filter(col("vec_id") === qid).select("embedding").take(1)
+        if (qRows.isEmpty)
+          throw new BadRequestException(s"'query_id' $qid has no embedding")
+        val q = qRows(0).getSeq[Float](0).map(_.toDouble)
+        graft.operators.Similarity.mmrRerank(emb.filter(col("vec_id") =!= qid),
+          "embedding", "vec_id", q, candK, selectK, lambdaPm)
+      }))
+
+    service.register(PipelineQuery("kcore",
+      // the q159 operator on the near-dup pair graph: documents in the
+      // k-core are entangled in DENSE duplication clusters (each near-
+      // duplicates ≥ k others that near-duplicate each other) — the
+      // high-priority review set a dedup audit triages first
+      Seq(ParamSpec("k", "long", required = false, default = Some(3L)),
+        ParamSpec("threshold", "double", required = false, default = Some(0.5))),
+      ps => {
+        val threshold = ps("threshold").asInstanceOf[Double]
+        if (threshold <= 0 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in (0, 1]")
+        val k = intParam(ps, "k")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 3, numHashes = 24, bands = 8, threshold = threshold)
+        GraphAnalytics.kCore(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")), k)
+          .select(col("id").as("doc_id"), col("core_degree"))
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

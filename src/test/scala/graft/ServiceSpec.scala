@@ -258,6 +258,28 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("hybrid_search", Map("terms" -> " , "))
     }
+    // round-7 operators on the registered tier
+    val rd = service.runRegistered("readability", Map.empty)
+    assert(rd.columns.sameElements(Array("doc_id", "words", "sentences",
+      "syllables", "flesch_pm")) && rd.count() > 0)
+    val acf = service.runRegistered("autocorrelation", Map("max_lag" -> "2"))
+    assert(acf.columns.sameElements(Array("event_type", "lag", "n_pairs", "acf")))
+    assert(acf.filter(col("lag") > 2).count() == 0 && acf.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("autocorrelation", Map("max_lag" -> "200"))
+    }
+    val mmr = service.runRegistered("mmr_rerank",
+      Map("cand_k" -> "10", "select_k" -> "4"))
+    assert(mmr.columns.sameElements(Array("pick", "id", "rel", "mmr")))
+    assert(mmr.count() === 4)
+    intercept[BadRequestException] {
+      service.runRegistered("mmr_rerank", Map("select_k" -> "30", "cand_k" -> "10"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("mmr_rerank", Map("query_id" -> "999999"))
+    }
+    val kc = service.runRegistered("kcore", Map("k" -> "1", "threshold" -> "0.5"))
+    assert(kc.columns.sameElements(Array("doc_id", "core_degree")))
     intercept[BadRequestException] { // no embedding row for that id
       service.runRegistered("hybrid_search",
         Map("terms" -> "spark", "query_id" -> "999999999"))
