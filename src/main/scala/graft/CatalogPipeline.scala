@@ -1677,6 +1677,62 @@ object CatalogPipeline {
              |      / sum(d*d), 6) END AS acf
              |FROM un GROUP BY 1, 2 ORDER BY event_type, lag""".stripMargin)),
 
+    QueryDef("q162_session_records",
+      // gap-based sessionization into PER-SESSION RECORDS — q61's
+      // per-user count expanded to one row per session (ordinal,
+      // start/end, event count, duration). The lag probe and the
+      // running session-index sum share one (user) exchange + (ts,
+      // event_id) sort; the rollup is a hash aggregate on
+      // (user, session_idx). Durations subtract floor-second casts,
+      // the same boundary-crossing contract q61 pinned
+      (s, d) => graft.operators.TimeSeries.sessions(
+          events(s, d), "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .orderBy("user_id", "session_idx"),
+      Some("""WITH o AS (SELECT user_id, ts, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |f AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS nw
+             |  FROM o),
+             |r AS (SELECT user_id, ts,
+             |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                  ROWS UNBOUNDED PRECEDING) AS session_idx
+             |  FROM f)
+             |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             |  min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n_events,
+             |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+             |FROM r GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin)),
+
+    QueryDef("q163_level_shifts",
+      // two-sided sliding-window level-shift screen over per-type
+      // hourly revenue: trailing-24h sum vs leading-24h sum at every
+      // observed bucket with full windows both sides, candidates past
+      // the cents threshold. The windowed scan statistic is the
+      // changepoint screen that (unlike recursive CUSUM) is one
+      // ordered window pass — both frames share a single per-series
+      // exchange + sort; all arithmetic exact int64 cents
+      (s, d) => graft.operators.TimeSeries.levelShifts(
+          events(s, d), "event_type", "ts", "value",
+          w = 24, minDiffCents = 40000L)
+        .orderBy("event_type", "bucket"),
+      Some("""WITH hb AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             |    sum(CAST(round(value*100) AS BIGINT)) AS x
+             |  FROM events GROUP BY 1, 2),
+             |wn AS (SELECT event_type, bucket,
+             |    count(*) OVER tw AS nt, count(*) OVER lw AS nl,
+             |    sum(x) OVER tw AS trail_cents, sum(x) OVER lw AS lead_cents
+             |  FROM hb WINDOW
+             |    tw AS (PARTITION BY event_type ORDER BY bucket
+             |           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+             |    lw AS (PARTITION BY event_type ORDER BY bucket
+             |           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING))
+             |SELECT event_type, bucket, trail_cents, lead_cents,
+             |  lead_cents - trail_cents AS diff_cents
+             |FROM wn WHERE nt = 24 AND nl = 24
+             |  AND abs(lead_cents - trail_cents) >= 40000
+             |ORDER BY event_type, bucket""".stripMargin)),
+
     QueryDef("q61_sessionize",
       // gap-based sessionization (30 min): session count + mean length
       (s, d) => {

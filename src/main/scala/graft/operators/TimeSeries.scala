@@ -364,4 +364,80 @@ object TimeSeries {
         when(col("den") === 0 || col("n_pairs") === 0, lit(0.0))
           .otherwise(round(col("num").cast("double") / col("den"), 6)).as("acf"))
   }
+
+  /** Gap-based sessionization into PER-SESSION RECORDS — the richer
+    * sibling of the per-series session COUNT (q61): one output row per
+    * (series, session) carrying its ordinal index, start/end instants,
+    * event count, and duration. A session breaks when consecutive
+    * events (ordered by `tsCol` then `tieCol` for determinism) are more
+    * than `gapSeconds` apart — the classic web-analytics /
+    * user-activity definition (reference analog: the event-stream
+    * grouping its selector queries run over vg tables, e.g.
+    * views.lisp:544+ consume ordered per-key streams).
+    *
+    * Scale shape: the lag probe and the running session-index sum are
+    * two window functions over the SAME (series) partitioning and
+    * (ts, tie) sort, so Catalyst plans one exchange + one sort for
+    * both; the per-session rollup then hash-aggregates on
+    * (series, session_idx) — map-side partial — and nothing ever
+    * windows over the whole stream. A series' state is its own events
+    * only, so the operator parallelizes across the series key exactly
+    * like any partitioned window at 100 TB.
+    */
+  def sessions(df: DataFrame, seriesCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be > 0")
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
+    val run = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col(tsCol).cast("long") - col("__prev").cast("long") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(run))
+      .groupBy(col(seriesCol), col("session_idx"))
+      .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_s",
+        col("end_ts").cast("long") - col("start_ts").cast("long"))
+  }
+
+  /** Level-shift (changepoint-candidate) detection via two-sided
+    * sliding windows over the per-series hourly sequence: at each
+    * OBSERVED hourly bucket with `w` full buckets on each side, compare
+    * the trailing-w sum (buckets t−w..t−1) against the leading-w sum
+    * (t..t+w−1); a large |lead − trail| marks a mean shift at t. The
+    * two-window scan statistic is the standard changepoint screen
+    * (CUSUM's windowed cousin) that, unlike recursive CUSUM, is
+    * expressible as ONE ordered window pass — no sequential scan state.
+    * All arithmetic is exact int64 cents (`diff_cents` = lead − trail
+    * over integer bucket sums); callers threshold on |diff|, and the
+    * output keeps only candidates with `|diff_cents| >= minDiffCents`.
+    *
+    * Scale shape: one hash aggregation to hourly grain, then two
+    * framed sums over the SAME per-series sort (one exchange + sort,
+    * both frames computed in a single window pass). Bucket counts —
+    * wall-clock span, not event volume — bound the window input.
+    */
+  def levelShifts(df: DataFrame, seriesCol: String, tsCol: String,
+      valueCol: String, w: Int, minDiffCents: Long): DataFrame = {
+    require(w >= 1, "window must be >= 1")
+    val hourly = df
+      .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("x"))
+    val ord = Window.partitionBy(seriesCol).orderBy("bucket")
+    val trail = ord.rowsBetween(-w, -1)
+    val lead = ord.rowsBetween(0, w - 1)
+    hourly
+      .withColumn("__nt", count(lit(1)).over(trail))
+      .withColumn("__nl", count(lit(1)).over(lead))
+      .withColumn("trail_cents", sum(col("x")).over(trail))
+      .withColumn("lead_cents", sum(col("x")).over(lead))
+      .filter(col("__nt") === w && col("__nl") === w)
+      .withColumn("diff_cents", col("lead_cents") - col("trail_cents"))
+      .filter(abs(col("diff_cents")) >= minDiffCents)
+      .select(col(seriesCol), col("bucket"), col("trail_cents"),
+        col("lead_cents"), col("diff_cents"))
+  }
 }

@@ -270,4 +270,45 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 1L, 2L, 0.0), ("b", 2L, 1L, 0.0), ("b", 3L, 0L, 0.0),
       ("c", 1L, 0L, 0.0), ("c", 2L, 0L, 0.0), ("c", 3L, 0L, 0.0)))
   }
+
+  test("sessions: gap splits, ordinal indexing, duration, ties by tie column") {
+    val ev = Seq(
+      // user 1: two events 10 min apart, then a 40-min gap → session 2
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:10:00"), 2L),
+      (1L, ts("2024-01-01 00:50:30"), 3L),
+      // user 2: single event → one zero-duration session
+      (2L, ts("2024-01-01 09:00:00"), 4L),
+      // user 1 session 2 continues exactly AT the gap bound (1800 s
+      // is NOT a break: the contract is strictly-greater)
+      (1L, ts("2024-01-01 01:20:30"), 5L)
+    ).toDF("user_id", "ts", "event_id").repartition(5)
+    val out = TimeSeries.sessions(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "duration_s")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 1L, 2L, 600L),   // 00:00 → 00:10
+      (1L, 2L, 2L, 1800L),  // 00:50:30 → 01:20:30 (exactly-1800 joins)
+      (2L, 1L, 1L, 0L)))
+  }
+
+  test("levelShifts: full-window gating and exact cents diff") {
+    // series a: hourly cents 100 ×4 (h0..h3) then 500 ×4 (h4..h7);
+    // w=2 → full windows exist at positions 2..6 only. Flat positions
+    // (t=2: 200 vs 200; t=6: 1000 vs 1000) are dropped by minDiff=1;
+    // the shift at h4 shows as a ramp 400 / 800 / 400 at t=3,4,5.
+    val ev = ((0 until 4).map(h => ("a", ts(f"2024-01-01 0$h%02d:30:00"), 1.00)) ++
+      (4 until 8).map(h => ("a", ts(f"2024-01-01 0$h%02d:30:00"), 5.00)))
+      .toDF("event_type", "ts", "value").repartition(3)
+    val out = TimeSeries.levelShifts(ev, "event_type", "ts", "value",
+        w = 2, minDiffCents = 1L)
+      .orderBy("bucket")
+      .select("trail_cents", "lead_cents", "diff_cents")
+      .as[(Long, Long, Long)].collect()
+    assert(out === Array(
+      (200L, 600L, 400L),    // t=3: (h1,h2) vs (h3,h4)
+      (200L, 1000L, 800L),   // t=4: (h2,h3) vs (h4,h5) — peak at the break
+      (600L, 1000L, 400L)))  // t=5: (h3,h4) vs (h5,h6)
+  }
 }
