@@ -593,6 +593,50 @@ object CatalogCore {
               |  LEFT JOIN deg ON deg.id = cu.c_custkey
               |ORDER BY id""".stripMargin)),
 
+    QueryDef("q164_link_prediction",
+      // resource-allocation link prediction over q148's ring+chord
+      // graph: top candidate edges among non-adjacent pairs sharing a
+      // neighbor, scored Σ 10⁶ div deg(z) (the integer-exact RA index;
+      // Adamic–Adar's 1/ln(d) would ride libm ulps). Intermediates
+      // above deg 4 generate no pairs (the q149 hub-skip discipline:
+      // pair volume ≤ maxDegree·m), the existing-edge exclusion is a
+      // left_anti, the top-k a TakeOrdered under a total order
+      (s, d) => {
+        val verts = Tpch.graph(s, d).vertexFrame("customer").select("id")
+        val n = verts.count()
+        val ring = verts.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        val c3 = verts.filter(col("id") % 3 === 0)
+          .select(col("id").as("src"), ((col("id") + 2) % n).as("dst"))
+        val c21 = verts.filter(col("id") % 21 === 0)
+          .select(col("id").as("src"), ((col("id") + 3) % n).as("dst"))
+        graft.operators.GraphAnalytics.linkPrediction(
+          ring.unionAll(c3).unionAll(c21), maxDegree = 4L, k = 100)
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM customer),
+             |e AS (
+             |  SELECT c_custkey AS src, (c_custkey+1) % n.n AS dst FROM customer, n
+             |  UNION ALL
+             |  SELECT c_custkey, (c_custkey+2) % n.n FROM customer, n WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, (c_custkey+3) % n.n FROM customer, n WHERE c_custkey % 21 = 0),
+             |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM e WHERE src <> dst),
+             |adj AS (SELECT a AS z, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+             |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
+             |small AS (SELECT adj.z, adj.nb, deg.deg
+             |  FROM adj JOIN deg USING (z) WHERE deg.deg <= 4),
+             |pairs AS (SELECT s1.z, s1.deg, s1.nb AS a, s2.nb AS b
+             |  FROM small s1 JOIN small s2 ON s1.z = s2.z WHERE s1.nb < s2.nb),
+             |sc AS (SELECT a, b, count(*) AS common,
+             |    sum(1000000 // deg) AS ra_micro
+             |  FROM pairs GROUP BY 1, 2),
+             |cand AS (SELECT sc.* FROM sc
+             |  LEFT JOIN und ON und.a = sc.a AND und.b = sc.b
+             |  WHERE und.a IS NULL)
+             |SELECT a, b, CAST(common AS BIGINT) AS common,
+             |  CAST(ra_micro AS BIGINT) AS ra_micro
+             |FROM cand ORDER BY ra_micro DESC, common DESC, a, b LIMIT 100""".stripMargin)),
+
     QueryDef("q154_label_propagation",
       // deterministic synchronous label-propagation communities over
       // q148's ring+chord graph: labels start as ids, 3 rounds of

@@ -300,4 +300,44 @@ object GraphAnalytics {
     und.select(col("a").as("id")).unionAll(und.select(col("b")))
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Link prediction over the undirected graph: for every NON-adjacent
+    * vertex pair sharing at least one neighbor, the common-neighbor
+    * count and the resource-allocation index (Zhou, Lü & Zhang 2009)
+    * `Σ_z 1/deg(z)` over shared neighbors z — the degree-weighted
+    * sibling of Adamic–Adar whose per-term weight is a RATIONAL in the
+    * intermediate degree, so the score stays exact integer micro-units
+    * (`Σ 10⁶ div deg(z)`) on any engine, where Adamic–Adar's 1/ln(d)
+    * would ride on last-ulp libm differences. Returns the top-`k`
+    * candidate edges by (ra_micro desc, common desc, a, b).
+    *
+    * Scale shape: candidate pairs are generated by joining the
+    * adjacency list with itself THROUGH the shared neighbor z, and z's
+    * fan-out is capped at `maxDegree` — pair volume is bounded by
+    * Σ_z min(deg z, maxDegree)² ≤ maxDegree·m (the q149 rare-block
+    * discipline: a hub intermediate predicts nothing specific and is
+    * skipped, exactly like a ubiquitous trigram). The existing-edge
+    * exclusion is a left_anti against the undirected edge set, and the
+    * final top-k is a TakeOrdered, never a global sort.
+    */
+  def linkPrediction(edges: DataFrame, maxDegree: Long, k: Int): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    require(k >= 1, "k must be >= 1")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+    val small = adj.join(deg.filter(col("deg") <= maxDegree), Seq("z"))
+    val pairs = small.select(col("z"), col("deg"), col("n").as("a"))
+      .join(small.select(col("z"), col("n").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+    val scored = pairs.groupBy("a", "b")
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div deg")).as("ra_micro"))
+    scored.join(und, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_micro").desc, col("common").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

@@ -222,4 +222,36 @@ class TraversePathsSpec extends SparkSpec {
     // and with room it converges to the empty core
     assert(GraphAnalytics.kCore(edges, k = 2, maxRounds = 8).isEmpty)
   }
+
+  test("linkPrediction: RA scores, existing-edge exclusion, deterministic top-k") {
+    // C4 cycle 1-2-3-4: both diagonals predicted via two deg-2
+    // intermediates each → common 2, ra 2·(10⁶ div 2) = 1000000
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = GraphAnalytics.linkPrediction(c4, maxDegree = 4L, k = 10)
+      .select("a", "b", "common", "ra_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // add diagonal 1-3: that pair is now an EDGE → excluded; (2,4)'s
+    // intermediates 1 and 3 are deg-3 now → ra 2·(10⁶ div 3) = 666666
+    val diag = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst")
+    val out2 = GraphAnalytics.linkPrediction(diag, maxDegree = 4L, k = 10)
+      .select("a", "b", "common", "ra_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out2 === Set((2L, 4L, 2L, 666666L)))
+    // path 1-2-3-4-5: three candidates tie at 500000 → k=1 picks the
+    // (a, b)-smallest under the total order
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val top1 = GraphAnalytics.linkPrediction(path, maxDegree = 4L, k = 1)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(top1 === Array((1L, 3L)))
+  }
+
+  test("linkPrediction: hub intermediates above the degree cap predict nothing") {
+    // star 0–{1..10}: the only shared neighbor is the deg-10 hub,
+    // capped out at maxDegree=4 → zero candidates (the q149 hub skip)
+    val star = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")
+    assert(GraphAnalytics.linkPrediction(star, maxDegree = 4L, k = 10).isEmpty)
+    // raising the cap restores the leaf pairs: C(10,2)=45 candidates
+    assert(GraphAnalytics.linkPrediction(star, maxDegree = 16L, k = 100).count() === 45L)
+  }
 }
