@@ -198,6 +198,41 @@ object CatalogPipeline {
              |    ELSE 0 END AS BIGINT) AS flesch_pm
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q165_blocklist",
+      // multi-pattern blocklist screening: ONE compiled-alternation
+      // pass per doc (longest-first so Java's ordered alternation
+      // agrees with RE2's leftmost-longest on "small table" vs
+      // "small"), per-term counts and the argmax fold as
+      // |patterns|-bounded array ops that never leave the row — a
+      // narrow map with NO shuffle at corpus scale
+      (s, d) => TextAnalysis.blocklistSummary(
+          Tpch.table(s, d, "documents"), "doc_id", "text",
+          patterns = Seq("small table", "hash join", "small", "slow", "dup"),
+          blockAt = 3L)
+        .orderBy("doc_id"),
+      Some("""WITH m AS (SELECT doc_id,
+             |    regexp_extract_all(text,
+             |      '\b(?:small table|hash join|small|slow|dup)\b') AS ex
+             |  FROM documents),
+             |c AS (SELECT doc_id, len(ex) AS n_matches,
+             |    len(list_distinct(ex)) AS n_distinct_terms,
+             |    len(list_filter(ex, x -> x = 'dup')) AS c_dup,
+             |    len(list_filter(ex, x -> x = 'hash join')) AS c_hj,
+             |    len(list_filter(ex, x -> x = 'slow')) AS c_slow,
+             |    len(list_filter(ex, x -> x = 'small')) AS c_small,
+             |    len(list_filter(ex, x -> x = 'small table')) AS c_st
+             |  FROM m),
+             |g AS (SELECT *, greatest(c_dup, c_hj, c_slow, c_small, c_st) AS mx FROM c)
+             |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches,
+             |  CAST(n_distinct_terms AS BIGINT) AS n_distinct_terms,
+             |  CASE WHEN n_matches = 0 THEN NULL
+             |    WHEN c_dup = mx THEN 'dup' WHEN c_hj = mx THEN 'hash join'
+             |    WHEN c_slow = mx THEN 'slow' WHEN c_small = mx THEN 'small'
+             |    ELSE 'small table' END AS top_term,
+             |  CAST(CASE WHEN n_matches = 0 THEN 0 ELSE mx END AS BIGINT) AS top_n,
+             |  n_matches >= 3 AS blocked
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q73_bpe_tokens",
       // BPE-ish pre-tokenization (lookahead-free GPT-2-style pattern,
       // identical under Java regex and DuckDB's RE2): count per doc of

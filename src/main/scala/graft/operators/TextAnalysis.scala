@@ -495,4 +495,47 @@ object TextAnalysis {
         expr("(10150 * words) div sentences + (846000 * syllables) div words"))
         .otherwise(lit(0L)))
   }
+
+  /** Multi-pattern blocklist screening — the unsafe-content /
+    * boilerplate-marker gate every curation pipeline runs before
+    * training: per document, how many blocklist terms (words OR
+    * multi-word phrases) occur, how many DISTINCT terms, the most
+    * frequent term, and the block verdict at `blockAt` total hits.
+    *
+    * ONE compiled-regex pass per document — the alternation
+    * `\b(p1|p2|…)\b` scans each doc once regardless of |patterns|,
+    * where the naive per-pattern `contains` loop scans |patterns|
+    * times (the Aho–Corasick-style gain, here delegated to the regex
+    * engine's DFA). Alternatives are ordered LONGEST-FIRST so Java's
+    * ordered alternation agrees with RE2's leftmost-longest rule on
+    * overlapping terms ("small table" consumes its "small"); patterns
+    * must be regex-safe literals (letters/digits/spaces).
+    *
+    * Scale shape: pure per-row column expressions — extraction, the
+    * per-term counts (|patterns|-bounded array ops), and the argmax
+    * fold never leave the row, so the operator is a narrow map with NO
+    * shuffle; `top_term` ties break on the lexicographically smallest
+    * term (ascending fold with strict >).
+    */
+  def blocklistSummary(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], blockAt: Long): DataFrame = {
+    require(patterns.nonEmpty, "patterns must be non-empty")
+    require(patterns.forall(_.matches("[A-Za-z0-9 ]+")),
+      "patterns must be plain word/phrase literals")
+    require(blockAt >= 1, "blockAt must be >= 1")
+    val combined = "\\b(?:" + patterns.sortBy(p => (-p.length, p)).mkString("|") + ")\\b"
+    val ex = regexp_extract_all(col(textCol), lit(combined), lit(0))
+    val asc = patterns.sorted
+    val cnts = array(asc.map(p =>
+      struct(size(filter(ex, x => x === lit(p))).as("n"), lit(p).as("t"))): _*)
+    val best = aggregate(cnts,
+      struct(lit(-1).as("n"), lit("").as("t")),
+      (acc, x) => when(x("n") > acc("n"), x).otherwise(acc))
+    df.select(col(idCol),
+      size(ex).cast("long").as("n_matches"),
+      size(array_distinct(ex)).cast("long").as("n_distinct_terms"),
+      when(size(ex) > 0, best("t")).as("top_term"),
+      when(size(ex) > 0, best("n").cast("long")).otherwise(0L).as("top_n"),
+      (size(ex) >= blockAt).as("blocked"))
+  }
 }

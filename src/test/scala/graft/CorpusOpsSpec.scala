@@ -300,4 +300,31 @@ class CorpusOpsSpec extends SparkSpec {
     // empty doc: no penalty terms by contract
     assert(out(2) === ((3L, 0L, 1L, 0L, 2068350L)))
   }
+
+  test("blocklistSummary: phrase precedence, argmax ties, block verdict") {
+    val docs = Seq(
+      // "small table" must be consumed as the PHRASE (longest-first
+      // alternation), leaving one standalone "small": 3 hits, 2 terms
+      (1L, "small table near a small slow thing"),
+      // tie dup=1 slow=1 → smallest term wins the argmax
+      (2L, "slow dup"),
+      // 3 hits of one term → blocked at blockAt=3
+      (3L, "dup dup dup"),
+      // word-boundary: "smallish"/"dupe" must NOT match
+      (4L, "smallish dupe slowly"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistSummary(docs, "doc_id", "text",
+        Seq("small table", "hash join", "small", "slow", "dup"), blockAt = 3L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String], Long, Boolean)].collect()
+    assert(out === Array(
+      // three terms at 1 each → first in ascending term order with the
+      // max is 'slow' (dup/hash join are 0)
+      (1L, 3L, 3L, Some("slow"), 1L, true),
+      (2L, 2L, 2L, Some("dup"), 1L, false),
+      (3L, 3L, 1L, Some("dup"), 3L, true),
+      (4L, 0L, 0L, None, 0L, false),
+      (5L, 0L, 0L, None, 0L, false)))
+  }
 }
