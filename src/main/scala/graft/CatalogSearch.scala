@@ -305,6 +305,85 @@ object CatalogSearch {
              |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS INT) AS px_b
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    QueryDef("q166_dhash",
+      // REAL perceptual hashing (dHash) over decoded pixels: the
+      // gradient-pattern corpus (72×8 lossless PNG, wrap positions
+      // id-dependent) is decoded and hashed on the 9×8 integer-aligned
+      // luma grid — cell means compare as cross-multiplied integer
+      // rationals, no float ever. The oracle replays the generator
+      // arithmetic AND the full hash construction (cell sums, strict-<
+      // bits, two's-complement bit-63 packing), so only a real decode
+      // and a bit-exact hash of the actual bytes can match it
+      (s, d) => {
+        val media = Multimodal.attachPatternMedia(
+          Tpch.table(s, d, "documents"), "doc_id")
+        Multimodal.dhashMedia(media).orderBy("media_id")
+      },
+      Some("""WITH cells AS (
+             |  SELECT d.doc_id, r.r, j.j,
+             |    sum(((d.doc_id*31) % 256 + 37*r.r + 17*(8*j.j + k.k)) % 256) AS s
+             |  FROM documents d,
+             |    (SELECT unnest(range(8)) AS r) r,
+             |    (SELECT unnest(range(9)) AS j) j,
+             |    (SELECT unnest(range(8)) AS k) k
+             |  GROUP BY 1, 2, 3),
+             |bits AS (
+             |  SELECT c1.doc_id, c1.r, c1.j,
+             |    CASE WHEN c1.s < c2.s THEN 1 ELSE 0 END AS b
+             |  FROM cells c1 JOIN cells c2
+             |    ON c1.doc_id = c2.doc_id AND c1.r = c2.r AND c2.j = c1.j + 1
+             |  WHERE c1.j < 8)
+             |SELECT doc_id AS media_id,
+             |  CAST(sum(CASE WHEN b = 1 THEN
+             |    CASE WHEN r*8 + j = 63 THEN -9223372036854775808
+             |         ELSE (1::BIGINT << (r*8 + j)) END ELSE 0 END) AS BIGINT) AS dhash
+             |FROM bits GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
+    QueryDef("q167_dhash_neardups",
+      // corpus near-dup profile over perceptual hashes: pair counts
+      // per Hamming distance ≤ 3, computed at DISTINCT-FINGERPRINT
+      // grain (class sizes multiply back) with 16-bit banding making
+      // the candidate join equality-keyed — by pigeonhole recall is
+      // EXACT at ≤ 3 bits over 4 bands. The oracle recomputes every
+      // hash and brute-forces all distinct-hash pairs; the engine
+      // side must reach the same counts through the banded path
+      (s, d) => {
+        val media = Multimodal.attachPatternMedia(
+          Tpch.table(s, d, "documents"), "doc_id")
+        Multimodal.dhashNearDupStats(Multimodal.dhashMedia(media), maxHamming = 3)
+          .orderBy("hamming")
+      },
+      Some("""WITH cells AS (
+             |  SELECT d.doc_id, r.r, j.j,
+             |    sum(((d.doc_id*31) % 256 + 37*r.r + 17*(8*j.j + k.k)) % 256) AS s
+             |  FROM documents d,
+             |    (SELECT unnest(range(8)) AS r) r,
+             |    (SELECT unnest(range(9)) AS j) j,
+             |    (SELECT unnest(range(8)) AS k) k
+             |  GROUP BY 1, 2, 3),
+             |bits AS (
+             |  SELECT c1.doc_id, c1.r, c1.j,
+             |    CASE WHEN c1.s < c2.s THEN 1 ELSE 0 END AS b
+             |  FROM cells c1 JOIN cells c2
+             |    ON c1.doc_id = c2.doc_id AND c1.r = c2.r AND c2.j = c1.j + 1
+             |  WHERE c1.j < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b = 1 THEN
+             |      CASE WHEN r*8 + j = 63 THEN -9223372036854775808
+             |           ELSE (1::BIGINT << (r*8 + j)) END ELSE 0 END) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY 1),
+             |cls AS (SELECT dhash, count(*) AS n FROM h GROUP BY 1),
+             |pairs AS (
+             |  SELECT bit_count(xor(a.dhash, b.dhash)) AS hamming, a.n * b.n AS np
+             |  FROM cls a JOIN cls b ON a.dhash < b.dhash
+             |  UNION ALL
+             |  SELECT 0, n * (n - 1) // 2 FROM cls WHERE n >= 2)
+             |SELECT CAST(hamming AS BIGINT) AS hamming,
+             |  CAST(sum(np) AS BIGINT) AS n_pairs
+             |FROM pairs WHERE hamming <= 3
+             |GROUP BY 1 ORDER BY hamming""".stripMargin)),
+
     QueryDef("q92_audio_decode",
       // REAL audio codec roundtrip (the q90 pattern for sound):
       // deterministic 16-bit PCM WAV bytes per doc_id

@@ -665,4 +665,161 @@ object Multimodal {
   def planFrameSample(media: DataFrame, frameCount: Int, everyN: Int, maxFrames: Int): DataFrame =
     media.withColumn("frame_indices",
       slice(sequence(lit(0), lit(frameCount - 1), lit(everyN)), 1, maxFrames))
+
+  // --- perceptual image hashing (dHash) + near-dup detection ----------
+
+  /** Deterministic NON-solid raster for the perceptual-hash corpus: a
+    * 72×8 lossless PNG whose gray level at (x, y) is
+    * `((id·31) % 256 + 37·y + 17·x) % 256` — a wrapping gradient whose
+    * wrap positions depend on the id, so dHash bits are informative
+    * (solid fills hash to all-zero). 72 = 8·9 and height 8 make the
+    * 9×8 dHash grid integer-aligned: every cell is an exact 8-pixel
+    * box, which is what lets the DuckDB oracle replay the hash
+    * arithmetic bit for bit. Ids congruent mod 256/gcd(31,256)=256
+    * share a raster exactly — natural exact-dup classes — and adjacent
+    * intensity offsets differ in few wrap positions — natural
+    * NEAR-dups at small Hamming distance.
+    */
+  def synthPatternImageBytes(id: Long): Array[Byte] = {
+    val (w, h) = (72, 8)
+    val a = ((id * 31) % 256).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (a + 37 * y + 17 * x) % 256
+        img.setRGB(x, y, (0xff << 24) | (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** [[attachMedia]]'s sibling for the gradient-pattern corpus. */
+  def attachPatternMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { row =>
+        val id = row.getLong(0)
+        Row(id, synthPatternImageBytes(id), "png")
+      }
+    }(enc)
+  }
+
+  /** 64-bit difference hash (dHash — the standard public perceptual
+    * fingerprint: downscale to a 9×8 luma grid, emit one bit per
+    * horizontally adjacent cell pair) over REAL decoded pixels.
+    * Bit `y·8 + x` is set iff cell(y, x)'s mean luma is strictly less
+    * than cell(y, x+1)'s. Contracts that make the hash engine-exact:
+    * luma is integer `(299r + 587g + 114b) div 1000` per pixel; each
+    * pixel belongs to grid cell `(y·8 div h, x·9 div w)`; and cell
+    * means compare as cross-multiplied INTEGER rationals
+    * (`sL·nR < sR·nL`), so no floating division ever happens — exact
+    * for any image up to ~500 MP (the cross product stays < 2⁶³).
+    */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "no JDK ImageReader could decode the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 8, s"dHash needs at least 9x8 pixels, got ${w}x$h")
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = ((y.toLong * 8) / h).toInt
+      var x = 0
+      while (x < w) {
+        val gx = ((x.toLong * 9) / w).toInt
+        val p = img.getRGB(x, y)
+        val luma = (299 * ((p >>> 16) & 0xff) + 587 * ((p >>> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        sums(gy)(gx) += luma
+        counts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (sums(gy)(gx) * counts(gy)(gx + 1) < sums(gy)(gx + 1) * counts(gy)(gx))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Partition-batched perceptual hashing: (media_id, dhash). */
+  def dhashMedia(media: DataFrame, partitions: Int = 0): DataFrame =
+    mapMedia(media, partitions, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))) { r =>
+      Row(r.getLong(0), dHash64(r.get(1).asInstanceOf[Array[Byte]]))
+    }
+
+  /** Near-duplicate image pairs at DISTINCT-FINGERPRINT grain — the
+    * at-scale shape: a corpus has far fewer distinct perceptual hashes
+    * than images (every re-encode/recrop family collapses), so
+    * candidate generation runs over the distinct-hash frame and
+    * multiplies class sizes back at the end, never joining the corpus
+    * against itself (the semantic-dedup components-over-candidates
+    * discipline). Banding makes the candidate join equality-keyed:
+    * each 64-bit hash splits into four 16-bit bands, and by pigeonhole
+    * any pair within Hamming distance ≤ 3 agrees on at least one whole
+    * band — so for `maxHamming` ≤ 3 recall is EXACT, not approximate.
+    *
+    * Returns distinct-hash pairs (dhash_a < dhash_b, hamming,
+    * n_pairs = classA·classB). Same-hash pairs (hamming 0, C(n,2)
+    * within a class) are included as their own rows.
+    *
+    * Scale shape: one groupBy to distinct-hash grain; the band
+    * explode carries 4 rows per DISTINCT hash (ids-only, the LSH
+    * banding discipline); the band join's fan-out is bounded by band
+    * collision classes over distinct hashes; popcount verification is
+    * a codegen scalar. No corpus-sized self-join anywhere.
+    */
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
+    val classes = hashes.groupBy("dhash").agg(count(lit(1)).as("n"))
+    val banded = classes.select(col("dhash"), col("n"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("dhash"), i * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.dhash") < col("y.dhash"))
+      .select(col("x.dhash").as("dhash_a"), col("y.dhash").as("dhash_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .distinct()
+    val cross = cand
+      .withColumn("hamming", bit_count(expr("dhash_a ^ dhash_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("dhash_a"), col("dhash_b"), col("hamming"),
+        (col("na") * col("nb")).as("n_pairs"))
+    val within = classes.filter(col("n") >= 2)
+      .select(col("dhash").as("dhash_a"), col("dhash").as("dhash_b"),
+        lit(0L).as("hamming"), expr("n * (n - 1) div 2").as("n_pairs"))
+    cross.unionAll(within)
+  }
+
+  /** Corpus-level near-dup profile: image-pair counts per Hamming
+    * distance 0..`maxHamming`, aggregated from the distinct-hash pairs
+    * of [[dhashNearDupPairs]] — the O(1)-sized audit a 100 TB dedup
+    * run reports.
+    */
+  def dhashNearDupStats(hashes: DataFrame, maxHamming: Int): DataFrame =
+    dhashNearDupPairs(hashes, maxHamming)
+      .groupBy("hamming").agg(sum("n_pairs").as("n_pairs"))
 }

@@ -264,4 +264,64 @@ class MultimodalVariantSpec extends SparkSpec {
     val sorted = df.orderBy(Variant.termOrderKey($"v")).select("name").as[String].collect()
     assert(sorted.sameElements(Array("n2", "n10", "s1", "s2", "list")))
   }
+
+  test("dHash64: monotone gradient sets every bit, flat image none, strict-< ties") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y); img.setRGB(x, y, (0xff << 24) | (g << 16) | (g << 8) | g)
+      }
+      val out = new ByteArrayOutputStream(); ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // 9x8, luma strictly increasing in x → all 64 left<right bits set = -1L
+    assert(Multimodal.dHash64(png(9, 8)((x, _) => x * 10)) === -1L)
+    // flat → no strict inequality anywhere → 0
+    assert(Multimodal.dHash64(png(9, 8)((_, _) => 128)) === 0L)
+    // decreasing → also 0 (bit is LEFT < RIGHT only)
+    assert(Multimodal.dHash64(png(9, 8)((x, _) => 200 - x * 10)) === 0L)
+    // only row 0 has an increase at cell pair (0,1) → bit 0 exactly;
+    // 18-wide image: cells are 2px, both pixels of a cell equal
+    val oneBit = png(18, 8) { (x, y) => if (y == 0 && x >= 2) 50 else 0 }
+    assert(Multimodal.dHash64(oneBit) === 1L)
+  }
+
+  test("dhashMedia matches the driver-side hash of the same synthetic bytes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(64)
+    val media = Multimodal.attachPatternMedia(docs, "doc_id")
+    val out = Multimodal.dhashMedia(media, partitions = 4)
+      .orderBy("media_id").as[(Long, Long)].collect()
+    out.foreach { case (id, h) =>
+      assert(h === Multimodal.dHash64(Multimodal.synthPatternImageBytes(id)),
+        s"distributed hash diverged for $id")
+    }
+    // the gradient corpus must be informative: not all hashes equal
+    assert(out.map(_._2).distinct.length > 1)
+  }
+
+  test("dhashNearDupPairs: banding finds every pair <= 3 bits, classes multiply") {
+    // distinct hashes: h1; h2 = h1 with 2 low bits flipped (band 0
+    // differs, bands 1-3 agree → candidate, hamming 2); h3 = h1 with
+    // one bit flipped in EACH band (no shared band → never a
+    // candidate; hamming 4 would be filtered anyway)
+    val h1 = 0x0123456789abcdefL
+    val h2 = h1 ^ 0x3L
+    val h3 = h1 ^ 0x0001000100010001L
+    // class sizes: h1×3, h2×2, h3×1
+    val hashes = (Seq.fill(3)(h1) ++ Seq.fill(2)(h2) ++ Seq(h3))
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("media_id", "dhash")
+    val pairs = Multimodal.dhashNearDupPairs(hashes, maxHamming = 3)
+      .select("dhash_a", "dhash_b", "hamming", "n_pairs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs === Set(
+      (h1, h1, 0L, 3L),                                  // C(3,2) within h1
+      (h2, h2, 0L, 1L),                                  // C(2,2) within h2
+      (math.min(h1, h2), math.max(h1, h2), 2L, 6L)))     // 3·2 across
+    val stats = Multimodal.dhashNearDupStats(hashes, maxHamming = 3)
+      .orderBy("hamming").as[(Long, Long)].collect()
+    assert(stats === Array((0L, 4L), (2L, 6L)))
+  }
 }
