@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tpch
-import graft.operators.{Dedup, GraphAnalytics, Pii, Sampling, Search, TextAnalysis}
+import graft.operators.{Dedup, GraphAnalytics, Multimodal, Pii, Sampling, Search, TextAnalysis}
 import graft.service.QueryService.{BadRequestException, ParamSpec, PipelineQuery}
 
 /** The data-pipeline operator pack for the registered-query tier: BM25
@@ -539,6 +539,93 @@ object PipelineQueries {
         GraphAnalytics.kCore(
           pairs.select(col("id_a").as("src"), col("id_b").as("dst")), k)
           .select(col("id").as("doc_id"), col("core_degree"))
+      }))
+
+    service.register(PipelineQuery("sessions",
+      // the q162 surface: gap-based per-session records over events
+      Seq(ParamSpec("gap_seconds", "long", required = false, default = Some(1800L)),
+        ParamSpec("min_events", "long", required = false, default = Some(1L))),
+      ps => {
+        val gap = ps("gap_seconds").asInstanceOf[Long]
+        if (gap < 1 || gap > 86400L * 365)
+          throw new BadRequestException("'gap_seconds' must be in [1, 1 year]")
+        val minEvents = intParam(ps, "min_events")
+        graft.operators.TimeSeries.sessions(
+          graft.QueryDef.events(spark, sfDir), "user_id", "ts", "event_id", gap)
+          .filter(col("n_events") >= minEvents)
+      }))
+
+    service.register(PipelineQuery("level_shifts",
+      // the q163 surface: two-sided sliding-window changepoint screen
+      Seq(ParamSpec("window", "long", required = false, default = Some(24L)),
+        ParamSpec("min_diff_cents", "long", required = false, default = Some(40000L))),
+      ps => {
+        val w = intParam(ps, "window")
+        if (w > 168)
+          throw new BadRequestException("'window' must be <= 168 (one week of hours)")
+        val minDiff = ps("min_diff_cents").asInstanceOf[Long]
+        if (minDiff < 0)
+          throw new BadRequestException("'min_diff_cents' must be >= 0")
+        graft.operators.TimeSeries.levelShifts(
+          graft.QueryDef.events(spark, sfDir), "event_type", "ts", "value",
+          w, minDiff)
+      }))
+
+    service.register(PipelineQuery("link_prediction",
+      // the q164 operator on the near-dup pair graph: a predicted
+      // link = two documents that don't near-duplicate each other but
+      // share many near-dup partners — the "same template family,
+      // different fill" signal a curation audit chases next
+      Seq(ParamSpec("k", "long", required = false, default = Some(50L)),
+        ParamSpec("max_degree", "long", required = false, default = Some(16L)),
+        ParamSpec("threshold", "double", required = false, default = Some(0.5))),
+      ps => {
+        val threshold = ps("threshold").asInstanceOf[Double]
+        if (threshold <= 0 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in (0, 1]")
+        val k = intParam(ps, "k")
+        val maxDegree = intParam(ps, "max_degree", min = 2)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 3, numHashes = 24, bands = 8, threshold = threshold)
+        GraphAnalytics.linkPrediction(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          maxDegree.toLong, k)
+      }))
+
+    service.register(PipelineQuery("blocklist",
+      // the q165 surface: caller-supplied term/phrase blocklist
+      Seq(ParamSpec("patterns", "string"),
+        ParamSpec("block_at", "long", required = false, default = Some(3L)),
+        ParamSpec("only_blocked", "boolean", required = false, default = Some(false))),
+      ps => {
+        val pats = ps("patterns").asInstanceOf[String].split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        if (pats.isEmpty)
+          throw new BadRequestException("'patterns' must list at least one term")
+        if (!pats.forall(_.matches("[A-Za-z0-9 ]+")))
+          throw new BadRequestException(
+            "patterns must be plain word/phrase literals (letters/digits/spaces)")
+        val blockAt = intParam(ps, "block_at")
+        val out = TextAnalysis.blocklistSummary(docs, "doc_id", "text",
+          pats, blockAt.toLong)
+        if (ps("only_blocked").asInstanceOf[Boolean]) out.filter(col("blocked")) else out
+      }))
+
+    service.register(PipelineQuery("image_neardups",
+      // the q167 surface: perceptual-hash near-dup profile of the
+      // media corpus at distinct-fingerprint grain
+      Seq(ParamSpec("max_hamming", "long", required = false, default = Some(3L)),
+        ParamSpec("pairs", "boolean", required = false, default = Some(false))),
+      ps => {
+        val maxHam = ps("max_hamming").asInstanceOf[Long]
+        if (maxHam < 0 || maxHam > 3)
+          throw new BadRequestException(
+            "'max_hamming' must be in [0, 3] (banded recall is exact there)")
+        val hashes = Multimodal.dhashMedia(
+          Multimodal.attachPatternMedia(docs, "doc_id"))
+        if (ps("pairs").asInstanceOf[Boolean])
+          Multimodal.dhashNearDupPairs(hashes, maxHam.toInt)
+        else Multimodal.dhashNearDupStats(hashes, maxHam.toInt)
       }))
 
     // a WRITE-effect pipeline query: materializes the redacted corpus.

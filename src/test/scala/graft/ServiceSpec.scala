@@ -280,6 +280,39 @@ class ServiceSpec extends SparkSpec {
     }
     val kc = service.runRegistered("kcore", Map("k" -> "1", "threshold" -> "0.5"))
     assert(kc.columns.sameElements(Array("doc_id", "core_degree")))
+    // this round's operators on the registered tier
+    val se = service.runRegistered("sessions", Map("gap_seconds" -> "1800"))
+    assert(se.columns.sameElements(Array("user_id", "session_idx", "start_ts",
+      "end_ts", "n_events", "duration_s")) && se.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("sessions", Map("gap_seconds" -> "0"))
+    }
+    val ls = service.runRegistered("level_shifts",
+      Map("window" -> "6", "min_diff_cents" -> "0"))
+    assert(ls.columns.sameElements(Array("event_type", "bucket", "trail_cents",
+      "lead_cents", "diff_cents")) && ls.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("level_shifts", Map("window" -> "169"))
+    }
+    val lp = service.runRegistered("link_prediction",
+      Map("k" -> "10", "threshold" -> "0.3"))
+    assert(lp.columns.sameElements(Array("a", "b", "common", "ra_micro")))
+    intercept[BadRequestException] {
+      service.runRegistered("link_prediction", Map("max_degree" -> "1"))
+    }
+    val bl = service.runRegistered("blocklist",
+      Map("patterns" -> "slow, dup", "block_at" -> "2"))
+    assert(bl.columns.sameElements(Array("doc_id", "n_matches",
+      "n_distinct_terms", "top_term", "top_n", "blocked")) && bl.count() > 0)
+    intercept[BadRequestException] { // regex metacharacters rejected
+      service.runRegistered("blocklist", Map("patterns" -> "a|b"))
+    }
+    val nd = service.runRegistered("image_neardups", Map("max_hamming" -> "2"))
+    assert(nd.columns.sameElements(Array("hamming", "n_pairs")))
+    assert(nd.filter(col("hamming") > 2).count() == 0 && nd.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("image_neardups", Map("max_hamming" -> "9"))
+    }
     intercept[BadRequestException] { // no embedding row for that id
       service.runRegistered("hybrid_search",
         Map("terms" -> "spark", "query_id" -> "999999999"))

@@ -84,6 +84,44 @@ class StreamingSpec extends SparkSpec {
     assert(all == Set((1L, 2), (1L, 1), (2L, 1)))
   }
 
+  test("streaming sessionize equals the batch session records on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    // whole-second timestamps so the stream's millis gap and the batch
+    // side's floor-second gap draw the SAME session boundaries (the
+    // batch contract compares floor-second casts; sub-second events
+    // would make a 1800.5 s gap break in millis but not in seconds)
+    val evDf = graft.QueryDef.events(spark, sf)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+        col("event_type"), col("value"), col("event_id"))
+    val ev = evDf.select("user_id", "ts", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val batch = graft.operators.TimeSeries.sessions(
+        evDf, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3).toInt)).toSet
+    // end-of-stream flush over the same events reproduces batch exactly
+    val flushed = Streams.openSessions(ev.toSeq.toDS(), gapMillis = 1800 * 1000L)
+      .collect().map(s => (s.user_id, s.startMs, s.endMs, s.n_events)).toSet
+    assert(flushed === batch)
+    // and the incremental path's CLOSED sessions (split mid-stream so
+    // state carries across batches) are a subset of the batch records
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMillis = 1800 * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_twin").start()
+    val (a, b) = ev.splitAt(ev.length / 2)
+    input.addData(a.toIndexedSeq); q.processAllAvailable()
+    input.addData(b.toIndexedSeq); q.processAllAvailable()
+    val closed = spark.sql("select user_id, startMs, endMs, n_events from sess_twin")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    q.stop()
+    assert(closed.nonEmpty && closed.subsetOf(batch),
+      s"closed-session drift: ${closed.diff(batch)}")
+  }
+
   test("streaming rolling z-score equals the batch operator across batch splits") {
     import graft.streaming.Streams.ZEvent
     implicit val sqlCtx = spark.sqlContext
