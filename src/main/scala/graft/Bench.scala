@@ -41,7 +41,9 @@ object Bench {
     "q135_hybrid_rrf",    // BM25 + dense fused retrieval, rescan tier (round 8)
     "q146_hybrid_stored", // the same fusion served from the written stores (round 8)
     "q137_novelty",       // directional window-novelty audit (round 8)
-    "q140_funnel")        // windowed conversion funnel (round 8)
+    "q140_funnel",        // windowed conversion funnel (round 8)
+    "q162_session_records", // per-session rollup, shared window sort (round 8)
+    "q167_dhash_neardups")  // perceptual-hash near-dup profile (round 8)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

@@ -68,7 +68,10 @@ object ScaleCheck {
     "q127_fuzzy_decontaminate", // cross-corpus LSH: train side scales ×N
     "q135_hybrid_rrf",          // fused retrieval: both lists rescan ×N
     "q137_novelty",             // window digests + min-owner join ×N
-    "q145_cooccurrence")        // minDf-bounded pair space (vocab ×N here)
+    "q145_cooccurrence",        // minDf-bounded pair space (vocab ×N here)
+    "q164_link_prediction",     // RA candidates ≤ maxDegree·m over the ×N graph
+    "q165_blocklist",           // one alternation pass per doc, no shuffle
+    "q167_dhash_neardups")      // banding at distinct-hash grain (≤256 classes)
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)
