@@ -637,6 +637,26 @@ object CatalogCore {
              |  CAST(ra_micro AS BIGINT) AS ra_micro
              |FROM cand ORDER BY ra_micro DESC, common DESC, a, b LIMIT 100""".stripMargin)),
 
+    QueryDef("q170_copurchase_graph",
+      // co-occurrence graph projection from relational facts: parts
+      // linked by the number of orders containing both. Membership
+      // dedupes first; orders with > 6 distinct parts are excluded
+      // from pair generation (the hub-skip cap that bounds pair
+      // volume at maxItems·|membership|); top edges under the total
+      // order (weight desc, a, b) via TakeOrdered
+      (s, d) => graft.operators.GraphAnalytics.projectCoOccurrence(
+        Tpch.table(s, d, "lineitem").select(
+          col("l_orderkey").as("g"), col("l_partkey").as("item")),
+        "g", "item", maxItems = 6, minWeight = 1L, topK = 100),
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+             |sz AS (SELECT g, count(*) AS gsz FROM m GROUP BY 1),
+             |bd AS (SELECT m.g, m.item FROM m JOIN sz USING (g) WHERE sz.gsz <= 6),
+             |p AS (SELECT x.item AS a, y.item AS b
+             |  FROM bd x JOIN bd y ON x.g = y.g AND x.item < y.item)
+             |SELECT a, b, count(*) AS weight FROM p GROUP BY 1, 2
+             |HAVING count(*) >= 1
+             |ORDER BY weight DESC, a, b LIMIT 100""".stripMargin)),
+
     QueryDef("q154_label_propagation",
       // deterministic synchronous label-propagation communities over
       // q148's ring+chord graph: labels start as ids, 3 rounds of

@@ -1076,6 +1076,41 @@ object CatalogPipeline {
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- similarity search --------------------------------------------
+    QueryDef("q168_standardize_dims",
+      // per-dimension z-scoring of the embedding corpus: exact
+      // integer-micro sums feed one per-dim stats aggregation (64
+      // keys, map-side partials), broadcast back over a narrow apply
+      // map. The only floats are one IEEE sqrt + one divide rounded 6
+      // — the oracle replays mean/devsq/std/z value-for-value.
+      // Output clipped to the first 4 vectors per the element grain
+      // (the transform itself runs corpus-wide; the clip keeps the
+      // dump proportionate, like the q59 audit rows)
+      (s, d) => Similarity.standardizeDims(
+          Tpch.table(s, d, "embeddings"), "vec_id", "embedding")
+        .filter(col("vec_id") < 4)
+        .orderBy("vec_id", "dim"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, i.i AS dim,
+             |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_micro
+             |  FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+             |st AS (
+             |  SELECT dim, count(*) AS n, sum(v_micro) AS s,
+             |    sum(v_micro * v_micro) AS ssq
+             |  FROM e GROUP BY 1),
+             |sd AS (
+             |  SELECT dim, s // n AS mean_mi,
+             |    CASE WHEN n > 1 THEN sqrt(
+             |      CAST(ssq - 2 * (s // n) * s + n * (s // n) * (s // n) AS DOUBLE)
+             |        / CAST(n - 1 AS DOUBLE)) ELSE 0.0 END AS std
+             |  FROM st)
+             |SELECT e.vec_id, e.dim, e.v_micro,
+             |  CASE WHEN sd.std > 0
+             |    THEN round(CAST(e.v_micro - sd.mean_mi AS DOUBLE) / sd.std, 6)
+             |    ELSE 0.0 END AS z
+             |FROM e JOIN sd USING (dim)
+             |WHERE e.vec_id < 4
+             |ORDER BY vec_id, dim""".stripMargin)),
+
     QueryDef("q81_quantize_int8",
       // SQ8 embedding compression (Similarity.quantizeInt8): per-vector
       // absmax int8 codes. Output is integer code statistics — exact
@@ -1767,6 +1802,31 @@ object CatalogPipeline {
              |FROM wn WHERE nt = 24 AND nl = 24
              |  AND abs(lead_cents - trail_cents) >= 40000
              |ORDER BY event_type, bucket""".stripMargin)),
+
+    QueryDef("q169_ewma",
+      // dyadic EWMA (α = 1/2) over the last 8 observed hourly buckets
+      // per type: Σ xᵢ·2ⁱ / (2ᵐ−1) with exact int64 numerator — the
+      // geometric profile without a float recurrence. One per-series
+      // window whose frame folds at most 8 values; the oracle replays
+      // the weights through a rank-bounded self-join
+      (s, d) => graft.operators.TimeSeries.ewma(
+          events(s, d), "event_type", "ts", "value", lookback = 8)
+        .orderBy("event_type", "bucket"),
+      Some("""WITH hb AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             |    sum(CAST(round(value*100) AS BIGINT)) AS x
+             |  FROM events GROUP BY 1, 2),
+             |rn AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS t
+             |  FROM hb),
+             |w AS (SELECT a.event_type, a.bucket, a.t, b.t AS bt, b.x
+             |  FROM rn a JOIN rn b
+             |    ON a.event_type = b.event_type AND b.t BETWEEN a.t - 7 AND a.t),
+             |agg AS (SELECT event_type, bucket, t, count(*) AS m,
+             |    sum(x * (1::BIGINT << CAST(bt - greatest(1, t - 7) AS INT))) AS num
+             |  FROM w GROUP BY 1, 2, 3)
+             |SELECT event_type, bucket, CAST(m AS BIGINT) AS n_window,
+             |  round(CAST(num AS DOUBLE)
+             |    / CAST((1::BIGINT << CAST(m AS INT)) - 1 AS DOUBLE), 6) AS ewma
+             |FROM agg ORDER BY event_type, bucket""".stripMargin)),
 
     QueryDef("q61_sessionize",
       // gap-based sessionization (30 min): session count + mean length

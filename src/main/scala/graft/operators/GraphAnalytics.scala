@@ -301,6 +301,39 @@ object GraphAnalytics {
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Co-occurrence graph projection from relational data — the
+    * "build the graph" step that turns (group, item) facts into a
+    * weighted item–item edge list: two items are linked with weight =
+    * number of groups containing BOTH (co-purchased parts, co-cited
+    * papers, co-occurring tags). The bipartite-projection shape every
+    * recommender / market-basket pipeline starts from.
+    *
+    * Scale shape: membership dedupes to (group, distinct item) first;
+    * groups with more than `maxItems` distinct items are EXCLUDED from
+    * pair generation (the q149/q164 hub-skip: a group containing
+    * everything links nothing specifically, and the cap bounds pair
+    * volume at maxItems·|membership| instead of Σ|group|²); the pair
+    * self-join is equality-keyed on the group; the final top-k is a
+    * TakeOrdered under the total order (weight desc, a, b).
+    */
+  def projectCoOccurrence(df: DataFrame, groupCol: String, itemCol: String,
+      maxItems: Int, minWeight: Long, topK: Int): DataFrame = {
+    require(maxItems >= 2, "maxItems must be >= 2")
+    require(minWeight >= 1 && topK >= 1, "minWeight and topK must be >= 1")
+    val membership = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+    val sizes = membership.groupBy("g").agg(count(lit(1)).as("__gsz"))
+    val bounded = membership
+      .join(sizes.filter(col("__gsz") <= maxItems), Seq("g"))
+    val pairs = bounded.select(col("g"), col("item").as("a"))
+      .join(bounded.select(col("g"), col("item").as("b")), Seq("g"))
+      .filter(col("a") < col("b"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+      .orderBy(col("weight").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Link prediction over the undirected graph: for every NON-adjacent
     * vertex pair sharing at least one neighbor, the common-neighbor
     * count and the resource-allocation index (Zhou, Lü & Zhang 2009)

@@ -1019,4 +1019,46 @@ object Similarity {
     comps.select(col("id").as(idCol), col("component").as("rep_id"),
       (col("id") === col("component")).as("keep"))
   }
+
+  /** Per-dimension feature standardization (z-scoring) of an embedding
+    * column — the preprocessing every clustering / outlier / distance
+    * model wants when raw dimensions carry different scales. Values
+    * enter as exact integer micro-units (`round(v·10⁶)`), per-dim
+    * mean is the truncating integer division both engines share, the
+    * deviation sum-of-squares stays int64 (exact through ~10¹⁷ — a
+    * 100 TB deployment past that swaps in double partials, losing only
+    * oracle-bit-exactness), and the only floating steps are one IEEE
+    * sqrt + one divide, rounded to 6 (the q135 discipline). A
+    * zero-variance dimension standardizes to 0 by contract.
+    *
+    * Returns (id, dim, v_micro, z) at element grain.
+    *
+    * Scale shape: posexplode → ONE per-dim hash aggregation (64–4096
+    * keys, map-side partials collapse each partition to |dims| rows,
+    * so few keys ≠ few-task bottleneck) → broadcast the |dims|-row
+    * stats frame back over the corpus — the apply pass is a narrow
+    * map; nothing shuffles at corpus grain.
+    */
+  def standardizeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = df.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        round(col("__v").cast("double") * 1e6, 0).cast("long").as("v_micro"))
+    val stats = ex.groupBy("dim")
+      .agg(count(lit(1)).as("__n"), sum("v_micro").as("__s"),
+        sum(col("v_micro") * col("v_micro")).as("__ssq"))
+      .select(col("dim"), col("__n"), expr("__s div __n").as("__mean"),
+        col("__s"), col("__ssq"))
+      .select(col("dim"), col("__mean"),
+        when(col("__n") > 1, sqrt(
+          (col("__ssq") - lit(2) * col("__mean") * col("__s") +
+            col("__n") * col("__mean") * col("__mean")).cast("double") /
+            (col("__n") - 1).cast("double")))
+          .otherwise(lit(0.0)).as("__std"))
+    ex.join(broadcast(stats), Seq("dim"))
+      .select(col(idCol), col("dim"), col("v_micro"),
+        when(col("__std") > 0,
+          round((col("v_micro") - col("__mean")).cast("double") / col("__std"), 6))
+          .otherwise(lit(0.0)).as("z"))
+  }
 }

@@ -365,6 +365,47 @@ object TimeSeries {
           .otherwise(round(col("num").cast("double") / col("den"), 6)).as("acf"))
   }
 
+  /** Exponentially weighted moving average over the last `lookback`
+    * OBSERVED hourly buckets per series — the trend-following smoother
+    * (α = 1/2) behind every "current rate" metric. The DYADIC weight
+    * contract makes it engine-exact: the window's m ≤ `lookback`
+    * values x₀(oldest)..x₍ₘ₋₁₎(newest) combine as
+    * `Σ xᵢ·2ⁱ / (2ᵐ − 1)` — newest halving backwards, the α=1/2
+    * geometric profile with the truncation remainder folded into the
+    * normalizer. Numerator and normalizer are exact int64 (cents ×
+    * 2^(lookback−1)); the single IEEE divide rounds to 6 (the q135
+    * discipline, where a literal α(1−α)ʲ float recurrence would
+    * accumulate engine-order drift).
+    *
+    * Scale shape: one hash aggregation to hourly grain, then ONE
+    * ordered per-series window whose frame carries at most `lookback`
+    * values into a bounded fold — no recursive scan state, no
+    * stream-wide window; bucket counts (wall-clock span) bound the
+    * window input.
+    */
+  def ewma(df: DataFrame, seriesCol: String, tsCol: String,
+      valueCol: String, lookback: Int): DataFrame = {
+    require(lookback >= 1 && lookback <= 62,
+      "lookback must be in [1, 62] (2^m must stay in int64)")
+    val hourly = df
+      .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("x"))
+    val w = Window.partitionBy(seriesCol).orderBy("bucket")
+      .rowsBetween(-(lookback - 1), 0)
+    // collect_list over a rows frame preserves frame order (oldest
+    // first); the fold doubles the weight as it walks toward newest
+    val folded = aggregate(col("__win"),
+      struct(lit(0L).as("s"), lit(1L).as("p")),
+      (acc, x) => struct((acc("s") + x * acc("p")).as("s"),
+        (acc("p") * 2).as("p")))
+    hourly.withColumn("__win", collect_list(col("x")).over(w))
+      .withColumn("__f", folded)
+      .select(col(seriesCol), col("bucket"),
+        size(col("__win")).cast("long").as("n_window"),
+        round(col("__f")("s").cast("double") /
+          (col("__f")("p") - 1).cast("double"), 6).as("ewma"))
+  }
+
   /** Gap-based sessionization into PER-SESSION RECORDS — the richer
     * sibling of the per-series session COUNT (q61): one output row per
     * (series, session) carrying its ordinal index, start/end instants,

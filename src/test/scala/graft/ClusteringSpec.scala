@@ -65,4 +65,21 @@ class ClusteringSpec extends SparkSpec {
     // identical vectors: distance to centroid is exactly 0, nothing flagged
     assert(out.forall(r => r._3 === 0.0 && !r._4))
   }
+
+  test("standardizeDims: hand z-scores, zero-variance dim contract") {
+    // dim 0: {1, 2, 3} → mean 2e6 micro, std 1e6 → z = −1, 0, 1
+    // dim 1: {10, 10, 40} → mean 2e7, std sqrt(3)·1e7 → ∓0.57735 / 1.154701
+    // dim 2: constant → std 0 → z = 0 by contract
+    val vecs = Seq(
+      (0L, Seq(1.0f, 10.0f, 5.0f)),
+      (1L, Seq(2.0f, 10.0f, 5.0f)),
+      (2L, Seq(3.0f, 40.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.standardizeDims(vecs, "vec_id", "embedding")
+      .orderBy("vec_id", "dim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out === Array(
+      (0L, 0L, 1000000L, -1.0), (0L, 1L, 10000000L, -0.57735), (0L, 2L, 5000000L, 0.0),
+      (1L, 0L, 2000000L, 0.0), (1L, 1L, 10000000L, -0.57735), (1L, 2L, 5000000L, 0.0),
+      (2L, 0L, 3000000L, 1.0), (2L, 1L, 40000000L, 1.154701), (2L, 2L, 5000000L, 0.0)))
+  }
 }

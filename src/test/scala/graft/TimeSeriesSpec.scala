@@ -293,6 +293,20 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 1L, 1L, 0L)))
   }
 
+  test("ewma: dyadic weights, truncation fold, exact window entry/exit") {
+    // hourly cents 100, 200, 400 with lookback 2:
+    //   t0: 100/1; t1: (100·1 + 200·2)/3; t2: (200·1 + 400·2)/3
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:30:00"), 1.00),
+      ("a", ts("2024-01-01 01:30:00"), 2.00),
+      ("a", ts("2024-01-01 02:30:00"), 4.00)).toDF("event_type", "ts", "value")
+      .repartition(3)
+    val out = TimeSeries.ewma(ev, "event_type", "ts", "value", lookback = 2)
+      .orderBy("bucket").select("n_window", "ewma")
+      .as[(Long, Double)].collect()
+    assert(out === Array((1L, 100.0), (2L, 166.666667), (2L, 333.333333)))
+  }
+
   test("levelShifts: full-window gating and exact cents diff") {
     // series a: hourly cents 100 ×4 (h0..h3) then 500 ×4 (h4..h7);
     // w=2 → full windows exist at positions 2..6 only. Flat positions

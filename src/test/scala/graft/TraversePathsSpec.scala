@@ -246,6 +246,24 @@ class TraversePathsSpec extends SparkSpec {
     assert(top1 === Array((1L, 3L)))
   }
 
+  test("projectCoOccurrence: dedup, hub-group exclusion, weighted top-k order") {
+    val facts = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),           // g10 → pairs (1,2)(1,3)(2,3)
+      (20L, 2L), (20L, 3L), (20L, 2L),           // duplicate membership dedupes
+      (30L, 2L), (30L, 3L),
+      (40L, 1L), (40L, 2L), (40L, 3L), (40L, 4L) // 4 distinct > maxItems=3 → skipped
+    ).toDF("g", "item")
+    val out = GraphAnalytics.projectCoOccurrence(facts, "g", "item",
+        maxItems = 3, minWeight = 1L, topK = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(out === Array((2L, 3L, 3L), (1L, 2L, 1L), (1L, 3L, 1L)))
+    // minWeight prunes the singletons
+    val strong = GraphAnalytics.projectCoOccurrence(facts, "g", "item",
+        maxItems = 3, minWeight = 2L, topK = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(strong === Array((2L, 3L, 3L)))
+  }
+
   test("linkPrediction: hub intermediates above the degree cap predict nothing") {
     // star 0–{1..10}: the only shared neighbor is the deg-10 hub,
     // capped out at maxDegree=4 → zero candidates (the q149 hub skip)
