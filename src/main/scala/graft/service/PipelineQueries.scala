@@ -628,6 +628,47 @@ object PipelineQueries {
         else Multimodal.dhashNearDupStats(hashes, maxHam.toInt)
       }))
 
+    service.register(PipelineQuery("ewma",
+      // the q169 surface: dyadic-weight trend smoothing per event type
+      Seq(ParamSpec("lookback", "long", required = false, default = Some(8L))),
+      ps => {
+        val lookback = intParam(ps, "lookback")
+        if (lookback > 62)
+          throw new BadRequestException("'lookback' must be <= 62 (int64 weights)")
+        graft.operators.TimeSeries.ewma(
+          graft.QueryDef.events(spark, sfDir), "event_type", "ts", "value", lookback)
+      }))
+
+    service.register(PipelineQuery("standardize_dims",
+      // the q168 surface: per-dimension z-scores at element grain,
+      // optionally clipped to one vector
+      Seq(ParamSpec("vec_id", "long", required = false, default = Some(-1L))),
+      ps => {
+        val vecId = ps("vec_id").asInstanceOf[Long]
+        if (vecId < -1)
+          throw new BadRequestException("'vec_id' must be >= 0 (or omitted)")
+        val out = graft.operators.Similarity.standardizeDims(
+          Tpch.table(spark, sfDir, "embeddings"), "vec_id", "embedding")
+        if (vecId >= 0) out.filter(col("vec_id") === vecId) else out
+      }))
+
+    service.register(PipelineQuery("copurchase_graph",
+      // the q170 surface: weighted co-occurrence projection over
+      // caller-bounded group sizes
+      Seq(ParamSpec("max_items", "long", required = false, default = Some(6L)),
+        ParamSpec("min_weight", "long", required = false, default = Some(1L)),
+        ParamSpec("k", "long", required = false, default = Some(100L))),
+      ps => {
+        val maxItems = intParam(ps, "max_items", min = 2)
+        val minWeight = ps("min_weight").asInstanceOf[Long]
+        if (minWeight < 1)
+          throw new BadRequestException("'min_weight' must be >= 1")
+        graft.operators.GraphAnalytics.projectCoOccurrence(
+          Tpch.table(spark, sfDir, "lineitem").select(
+            col("l_orderkey").as("g"), col("l_partkey").as("item")),
+          "g", "item", maxItems, minWeight, intParam(ps, "k"))
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

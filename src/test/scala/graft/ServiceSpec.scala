@@ -313,6 +313,21 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("image_neardups", Map("max_hamming" -> "9"))
     }
+    val ew = service.runRegistered("ewma", Map("lookback" -> "4"))
+    assert(ew.columns.sameElements(Array("event_type", "bucket", "n_window", "ewma")))
+    assert(ew.filter(col("n_window") > 4).count() == 0 && ew.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("ewma", Map("lookback" -> "63"))
+    }
+    val zd = service.runRegistered("standardize_dims", Map("vec_id" -> "0"))
+    assert(zd.columns.sameElements(Array("vec_id", "dim", "v_micro", "z")))
+    assert(zd.count() > 0 && zd.filter(col("vec_id") =!= 0).count() == 0)
+    val cp = service.runRegistered("copurchase_graph",
+      Map("max_items" -> "6", "k" -> "20"))
+    assert(cp.columns.sameElements(Array("a", "b", "weight")) && cp.count() <= 20)
+    intercept[BadRequestException] {
+      service.runRegistered("copurchase_graph", Map("min_weight" -> "0"))
+    }
     intercept[BadRequestException] { // no embedding row for that id
       service.runRegistered("hybrid_search",
         Map("terms" -> "spark", "query_id" -> "999999999"))
