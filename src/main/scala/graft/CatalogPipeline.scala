@@ -1828,6 +1828,62 @@ object CatalogPipeline {
              |    / CAST((1::BIGINT << CAST(m AS INT)) - 1 AS DOUBLE), 6) AS ewma
              |FROM agg ORDER BY event_type, bucket""".stripMargin)),
 
+    QueryDef("q171_trend",
+      // per-type least-squares trend over the hourly sequence: exact
+      // int64 normal-equation sums, slope one divide rounded 6,
+      // intercept derived from the ROUNDED slope (the shared-contract
+      // move that keeps both engines on identical doubles). The
+      // oracle replays sums, slope, and intercept term-for-term
+      (s, d) => graft.operators.TimeSeries.trend(
+          events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type"),
+      Some("""WITH hb AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             |    sum(CAST(round(value*100) AS BIGINT)) AS y
+             |  FROM events GROUP BY 1, 2),
+             |xy AS (SELECT event_type, y,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS x
+             |  FROM hb),
+             |st AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x*y) AS sxy, sum(x*x) AS sxx
+             |  FROM xy GROUP BY 1),
+             |sl AS (SELECT *,
+             |    CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+             |      ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+             |        / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS slope
+             |  FROM st)
+             |SELECT event_type, n, slope,
+             |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE), 6) AS intercept
+             |FROM sl ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q172_quantile_sketch",
+      // mergeable-sketch percentile audit (the q37 HLL pattern for
+      // quantiles): exact interpolated p50/p90 computed on BOTH
+      // engines, plus Spark's approx_percentile (GK sketch, rank
+      // error ≤ 1/accuracy = 1%) checked against the exact ±2%-rank
+      // bracket — sketch VALUES differ per engine by construction, so
+      // the oracle checks the exact values and the error CONTRACT
+      (s, d) => events(s, d).groupBy("event_type").agg(
+          percentile(col("value"), lit(0.5)).as("__p50"),
+          percentile(col("value"), lit(0.9)).as("__p90"),
+          percentile(col("value"), lit(0.48)).as("__lo50"),
+          percentile(col("value"), lit(0.52)).as("__hi50"),
+          percentile(col("value"), lit(0.88)).as("__lo90"),
+          percentile(col("value"), lit(0.92)).as("__hi90"),
+          approx_percentile(col("value"), lit(0.5), lit(100)).as("__a50"),
+          approx_percentile(col("value"), lit(0.9), lit(100)).as("__a90"))
+        .select(col("event_type"),
+          round(col("__p50"), 6).as("p50_exact"),
+          round(col("__p90"), 6).as("p90_exact"),
+          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50")).as("approx50_ok"),
+          (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90")).as("approx90_ok"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+             |  round(quantile_cont(value, 0.9), 6) AS p90_exact,
+             |  true AS approx50_ok, true AS approx90_ok
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     QueryDef("q61_sessionize",
       // gap-based sessionization (30 min): session count + mean length
       (s, d) => {

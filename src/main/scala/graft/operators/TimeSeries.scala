@@ -365,6 +365,43 @@ object TimeSeries {
           .otherwise(round(col("num").cast("double") / col("den"), 6)).as("acf"))
   }
 
+  /** Per-series least-squares trend over the hourly bucket SEQUENCE —
+    * the closed-form linear regression (slope cents/bucket, intercept
+    * cents) every capacity forecast and drift monitor starts from.
+    * x is the 0-based sequence position, y the hourly cents sum; the
+    * normal-equation sums n, Σx, Σy, Σxy, Σx² are exact int64, slope
+    * is ONE divide `(n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)` rounded 6, and
+    * the intercept derives from the ROUNDED slope —
+    * `(Σy − slope·Σx)/n` rounded 6 — so both engines compute identical
+    * doubles from identical inputs (an exact rational intercept would
+    * need Σy·den products past int64 on long series). A single-bucket
+    * series has slope 0 (den = 0) and intercept = its own value.
+    *
+    * Scale shape: one hash aggregation to hourly grain, one
+    * row_number window per series (sequence positions), one final
+    * series-grain aggregation — nothing beyond the series key ever
+    * shuffles, and the stats are map-side-partial sums.
+    */
+  def trend(df: DataFrame, seriesCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val hourly = df
+      .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("y"))
+    val w = Window.partitionBy(seriesCol).orderBy("h")
+    val xy = hourly.withColumn("x", row_number().over(w).cast("long") - 1)
+    xy.groupBy(seriesCol)
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("__den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope", when(col("__den") === 0, lit(0.0))
+        .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / col("__den").cast("double"), 6)))
+      .select(col(seriesCol), col("n"),
+        col("slope"),
+        round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double"), 6).as("intercept"))
+  }
+
   /** Exponentially weighted moving average over the last `lookback`
     * OBSERVED hourly buckets per series — the trend-following smoother
     * (α = 1/2) behind every "current rate" metric. The DYADIC weight

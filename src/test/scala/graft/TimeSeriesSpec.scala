@@ -293,6 +293,21 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 1L, 1L, 0L)))
   }
 
+  test("trend: exact normal-equation slope/intercept, singleton contract") {
+    // series a: perfect line 100, 300, 500 cents at x=0,1,2 →
+    // slope 200 cents/bucket, intercept 100; series b singleton →
+    // slope 0, intercept = own value
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:30:00"), 1.00),
+      ("a", ts("2024-01-01 01:30:00"), 3.00),
+      ("a", ts("2024-01-01 02:30:00"), 5.00),
+      ("b", ts("2024-01-01 00:00:00"), 7.50)).toDF("event_type", "ts", "value")
+      .repartition(3)
+    val out = TimeSeries.trend(ev, "event_type", "ts", "value")
+      .orderBy("event_type").as[(String, Long, Double, Double)].collect()
+    assert(out === Array(("a", 3L, 200.0, 100.0), ("b", 1L, 0.0, 750.0)))
+  }
+
   test("ewma: dyadic weights, truncation fold, exact window entry/exit") {
     // hourly cents 100, 200, 400 with lookback 2:
     //   t0: 100/1; t1: (100·1 + 200·2)/3; t2: (200·1 + 400·2)/3
