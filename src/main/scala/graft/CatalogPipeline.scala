@@ -233,6 +233,45 @@ object CatalogPipeline {
              |  n_matches >= 3 AS blocked
              |FROM g ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q173_source_scorecard",
+      // per-source governance audit: volume, token mass, mean length,
+      // GLOBAL exact-dup exposure (cross-source copies count on both
+      // sides), min-length gate pass rate, language profile with
+      // smallest-code majority ties — every rate a per-myriad
+      // integer; composes the q54 hash classes and the q96 token
+      // contract into the one-page admit/deny read
+      (s, d) => TextAnalysis.sourceScorecard(
+          Tpch.table(s, d, "documents"), "doc_id", "text",
+          "source", "lang", minTokens = 30L)
+        .orderBy("source"),
+      Some("""WITH pd AS (SELECT doc_id, source, lang,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+             |    md5(text) AS h
+             |  FROM documents),
+             |hc AS (SELECT h, count(*) AS hn FROM pd GROUP BY 1),
+             |fl AS (SELECT pd.*,
+             |    CASE WHEN hc.hn > 1 THEN 1 ELSE 0 END AS dup,
+             |    CASE WHEN pd.tok >= 30 THEN 1 ELSE 0 END AS pass
+             |  FROM pd JOIN hc USING (h)),
+             |base AS (SELECT source, count(*) AS n_docs,
+             |    sum(tok) AS total_tokens, sum(dup) AS ndup, sum(pass) AS npass,
+             |    count(DISTINCT lang) AS n_langs
+             |  FROM fl GROUP BY 1),
+             |lc AS (SELECT source, lang, count(*) AS n FROM fl GROUP BY 1, 2),
+             |tl AS (SELECT lc.source, min(lc.lang) AS top_lang
+             |  FROM lc JOIN (SELECT source, max(n) AS mx FROM lc GROUP BY 1) m
+             |    ON lc.source = m.source AND lc.n = m.mx
+             |  GROUP BY 1)
+             |SELECT base.source, n_docs,
+             |  CAST(total_tokens AS BIGINT) AS total_tokens,
+             |  CAST(total_tokens * 10000 // n_docs AS BIGINT) AS mean_tokens_pm,
+             |  CAST(ndup * 10000 // n_docs AS BIGINT) AS dup_pm,
+             |  CAST(npass * 10000 // n_docs AS BIGINT) AS gate_pm,
+             |  n_langs, top_lang
+             |FROM base JOIN tl ON base.source = tl.source
+             |ORDER BY base.source""".stripMargin)),
+
     QueryDef("q73_bpe_tokens",
       // BPE-ish pre-tokenization (lookahead-free GPT-2-style pattern,
       // identical under Java regex and DuckDB's RE2): count per doc of

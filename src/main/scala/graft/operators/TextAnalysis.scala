@@ -496,6 +496,51 @@ object TextAnalysis {
         .otherwise(lit(0L)))
   }
 
+  /** Per-source corpus governance scorecard — the one-page audit a
+    * data owner reads before admitting a source into the training mix:
+    * volume, token mass, mean document length, exact-duplicate
+    * exposure (share of docs whose text hash repeats ANYWHERE in the
+    * corpus — cross-source copies count on both sides), a minimum-
+    * length gate pass rate, and the language profile. All rates are
+    * per-myriad integers; the majority language ties to the smallest
+    * code.
+    *
+    * Scale shape: one per-doc narrow map (token count, md5), one
+    * hash-grain aggregation for global dup classes joined back ids-only
+    * (the q54 exact-dedup shuffle), then source-grain aggregations —
+    * the scorecard never materializes anything bigger than
+    * |sources| × |langs|.
+    */
+  def sourceScorecard(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String, minTokens: Long): DataFrame = {
+    require(minTokens >= 0, "minTokens must be >= 0")
+    val perDoc = df.select(col(idCol), col(sourceCol).as("source"),
+      col(langCol).as("lang"),
+      tokenCount(col(textCol)).cast("long").as("__tok"),
+      md5(col(textCol)).as("__h"))
+    val dupClasses = perDoc.groupBy("__h").agg(count(lit(1)).as("__hc"))
+    val flagged = perDoc.join(dupClasses, Seq("__h"))
+      .withColumn("__dup", (col("__hc") > 1).cast("long"))
+      .withColumn("__pass", (col("__tok") >= minTokens).cast("long"))
+    val base = flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("__tok").as("total_tokens"),
+      sum("__dup").as("__ndup"),
+      sum("__pass").as("__npass"),
+      countDistinct("lang").as("n_langs"))
+    val langCounts = flagged.groupBy("source", "lang").agg(count(lit(1)).as("__n"))
+    val topLang = langCounts.groupBy("source").agg(max("__n").as("__mx"))
+      .join(langCounts, Seq("source"))
+      .filter(col("__n") === col("__mx"))
+      .groupBy("source").agg(min("lang").as("top_lang"))
+    base.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("total_tokens * 10000 div n_docs").as("mean_tokens_pm"),
+        expr("__ndup * 10000 div n_docs").as("dup_pm"),
+        expr("__npass * 10000 div n_docs").as("gate_pm"),
+        col("n_langs"), col("top_lang"))
+  }
+
   /** Multi-pattern blocklist screening — the unsafe-content /
     * boilerplate-marker gate every curation pipeline runs before
     * training: per document, how many blocklist terms (words OR

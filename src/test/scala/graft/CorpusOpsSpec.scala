@@ -301,6 +301,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, 1L, 0L, 2068350L)))
   }
 
+  test("sourceScorecard: global dup exposure, gate rate, majority-lang ties") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"),  // dup class of 3 — crosses sources
+      (2L, "a b c", "en", "s1"),
+      (3L, "x y", "de", "s1"),    // below the 3-token gate
+      (4L, "a b c", "fr", "s2"),  // the cross-source copy counts here too
+      (5L, "p q r s", "en", "s3"),
+      (6L, "t u v w", "de", "s3") // lang tie 1-1 → smallest code wins
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.sourceScorecard(docs, "doc_id", "text",
+        "source", "lang", minTokens = 3L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(out === Array(
+      ("s1", 3L, 8L, 26666L, 6666L, 6666L, 2L, "en"),
+      ("s2", 1L, 3L, 30000L, 10000L, 10000L, 1L, "fr"),
+      ("s3", 2L, 8L, 40000L, 0L, 10000L, 2L, "de")))
+  }
+
   test("blocklistSummary: phrase precedence, argmax ties, block verdict") {
     val docs = Seq(
       // "small table" must be consumed as the PHRASE (longest-first
