@@ -669,6 +669,38 @@ object PipelineQueries {
           "g", "item", maxItems, minWeight, intParam(ps, "k"))
       }))
 
+    service.register(PipelineQuery("trend",
+      // the q171 surface: per-type least-squares slope/intercept
+      Seq(ParamSpec("min_slope_cents", "double", required = false,
+        default = Some(Double.NegativeInfinity))),
+      ps => {
+        val minSlope = ps("min_slope_cents").asInstanceOf[Double]
+        val out = graft.operators.TimeSeries.trend(
+          graft.QueryDef.events(spark, sfDir), "event_type", "ts", "value")
+        if (minSlope.isNegInfinity) out else out.filter(col("slope") >= minSlope)
+      }))
+
+    service.register(PipelineQuery("quantile_audit",
+      // the q172 surface: exact percentiles + sketch-contract check
+      Seq.empty,
+      _ => graft.SparkEntry.queries("q172_quantile_sketch")(spark, sfDir)))
+
+    service.register(PipelineQuery("source_scorecard",
+      // the q173 surface: per-source governance audit
+      Seq(ParamSpec("min_tokens", "long", required = false, default = Some(30L)),
+        ParamSpec("max_dup_pm", "long", required = false, default = Some(10000L))),
+      ps => {
+        val minTokens = ps("min_tokens").asInstanceOf[Long]
+        if (minTokens < 0)
+          throw new BadRequestException("'min_tokens' must be >= 0")
+        val maxDup = ps("max_dup_pm").asInstanceOf[Long]
+        if (maxDup < 0 || maxDup > 10000)
+          throw new BadRequestException("'max_dup_pm' must be in [0, 10000]")
+        TextAnalysis.sourceScorecard(docs, "doc_id", "text",
+          "source", "lang", minTokens)
+          .filter(col("dup_pm") <= maxDup)
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

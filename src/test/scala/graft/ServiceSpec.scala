@@ -328,6 +328,19 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("copurchase_graph", Map("min_weight" -> "0"))
     }
+    val tr = service.runRegistered("trend", Map.empty)
+    assert(tr.columns.sameElements(Array("event_type", "n", "slope", "intercept")))
+    assert(tr.count() > 0)
+    val qa = service.runRegistered("quantile_audit", Map.empty)
+    assert(qa.columns.sameElements(Array("event_type", "p50_exact", "p90_exact",
+      "approx50_ok", "approx90_ok")))
+    assert(qa.filter(!col("approx50_ok") || !col("approx90_ok")).count() == 0)
+    val sc = service.runRegistered("source_scorecard", Map("min_tokens" -> "30"))
+    assert(sc.columns.sameElements(Array("source", "n_docs", "total_tokens",
+      "mean_tokens_pm", "dup_pm", "gate_pm", "n_langs", "top_lang")) && sc.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("source_scorecard", Map("max_dup_pm" -> "10001"))
+    }
     intercept[BadRequestException] { // no embedding row for that id
       service.runRegistered("hybrid_search",
         Map("terms" -> "spark", "query_id" -> "999999999"))
