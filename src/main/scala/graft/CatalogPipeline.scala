@@ -1923,6 +1923,26 @@ object CatalogPipeline {
              |  true AS approx50_ok, true AS approx90_ok
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    QueryDef("q174_seasonal_residuals",
+      // day-over-day seasonal-naive residuals: each hourly bucket vs
+      // the SAME wall-clock hour 24 h earlier via an equality-keyed
+      // self-join (gap-honest — unobserved ancestors exclude the row,
+      // where a sequence lag would silently compare across gaps);
+      // exact int64 cents
+      (s, d) => graft.operators.TimeSeries.seasonalResiduals(
+          events(s, d), "event_type", "ts", "value",
+          seasonHours = 24, minResidCents = 0L)
+        .orderBy("event_type", "bucket"),
+      Some("""WITH hb AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             |    sum(CAST(round(value*100) AS BIGINT)) AS x
+             |  FROM events GROUP BY 1, 2)
+             |SELECT a.event_type, a.bucket, a.x AS cents,
+             |  b.x AS prior_cents, a.x - b.x AS residual_cents
+             |FROM hb a JOIN hb b
+             |  ON a.event_type = b.event_type
+             |  AND b.bucket + INTERVAL 24 HOURS = a.bucket
+             |ORDER BY a.event_type, a.bucket""".stripMargin)),
+
     QueryDef("q61_sessionize",
       // gap-based sessionization (30 min): session count + mean length
       (s, d) => {

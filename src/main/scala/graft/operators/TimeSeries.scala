@@ -365,6 +365,40 @@ object TimeSeries {
           .otherwise(round(col("num").cast("double") / col("den"), 6)).as("acf"))
   }
 
+  /** Seasonal-naive residuals — each hourly bucket compared against
+    * the SAME WALL-CLOCK hour one season earlier (default 24 h): the
+    * day-over-day deviation monitor that catches "this 3 pm is not
+    * like yesterday's 3 pm", which sequence-position lags (q134's
+    * rolling z-score, [[levelShifts]]) cannot express when the grid
+    * has gaps. Buckets whose seasonal ancestor was unobserved are
+    * excluded (no imputation — the honest variant); residuals are
+    * exact int64 cents and the output keeps only rows with
+    * |residual| ≥ `minResidCents` (0 keeps everything).
+    *
+    * Scale shape: one hash aggregation to hourly grain, then an
+    * equi-join of the hourly frame against itself on
+    * (series, bucket − season) — equality-keyed, so it shuffles once
+    * on the (series, bucket) key and never windows over the stream;
+    * wall-clock span bounds the frame, not event volume.
+    */
+  def seasonalResiduals(df: DataFrame, seriesCol: String, tsCol: String,
+      valueCol: String, seasonHours: Int = 24,
+      minResidCents: Long = 0L): DataFrame = {
+    require(seasonHours >= 1, "seasonHours must be >= 1")
+    require(minResidCents >= 0, "minResidCents must be >= 0")
+    val hourly = df
+      .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("x"))
+    val prior = hourly.select(col(seriesCol),
+      (col("bucket") + expr(s"INTERVAL $seasonHours HOURS")).as("bucket"),
+      col("x").as("x_prior"))
+    hourly.join(prior, Seq(seriesCol, "bucket"))
+      .withColumn("residual_cents", col("x") - col("x_prior"))
+      .filter(abs(col("residual_cents")) >= minResidCents)
+      .select(col(seriesCol), col("bucket"), col("x").as("cents"),
+        col("x_prior").as("prior_cents"), col("residual_cents"))
+  }
+
   /** Per-series least-squares trend over the hourly bucket SEQUENCE —
     * the closed-form linear regression (slope cents/bucket, intercept
     * cents) every capacity forecast and drift monitor starts from.

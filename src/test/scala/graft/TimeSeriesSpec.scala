@@ -293,6 +293,25 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 1L, 1L, 0L)))
   }
 
+  test("seasonalResiduals: wall-clock ancestor join, gap honesty, threshold") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 09:30:00"), 1.00), // day-1 9am: 100
+      ("a", ts("2024-01-02 09:15:00"), 3.00), // day-2 9am: 300 → residual +200
+      ("a", ts("2024-01-02 10:00:00"), 5.00), // day-1 10am unobserved → excluded
+      ("a", ts("2024-01-03 09:59:00"), 3.00), // day-3 9am: 300 → residual 0
+      ("b", ts("2024-01-02 09:00:00"), 9.00)  // no ancestor → excluded
+    ).toDF("event_type", "ts", "value").repartition(3)
+    val all = TimeSeries.seasonalResiduals(ev, "event_type", "ts", "value")
+      .orderBy("bucket").select("cents", "prior_cents", "residual_cents")
+      .as[(Long, Long, Long)].collect()
+    assert(all === Array((300L, 100L, 200L), (300L, 300L, 0L)))
+    // threshold keeps only the real deviation
+    val flagged = TimeSeries.seasonalResiduals(ev, "event_type", "ts", "value",
+        minResidCents = 1L)
+      .select("residual_cents").as[Long].collect()
+    assert(flagged === Array(200L))
+  }
+
   test("trend: exact normal-equation slope/intercept, singleton contract") {
     // series a: perfect line 100, 300, 500 cents at x=0,1,2 →
     // slope 200 cents/bucket, intercept 100; series b singleton →
