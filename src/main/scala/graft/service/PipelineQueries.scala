@@ -669,6 +669,22 @@ object PipelineQueries {
           "g", "item", maxItems, minWeight, intParam(ps, "k"))
       }))
 
+    service.register(PipelineQuery("seasonal_residuals",
+      // the q174 surface: day-over-day wall-clock deviation monitor
+      Seq(ParamSpec("season_hours", "long", required = false, default = Some(24L)),
+        ParamSpec("min_resid_cents", "long", required = false, default = Some(0L))),
+      ps => {
+        val season = intParam(ps, "season_hours")
+        if (season > 8760)
+          throw new BadRequestException("'season_hours' must be <= 8760 (one year)")
+        val minResid = ps("min_resid_cents").asInstanceOf[Long]
+        if (minResid < 0)
+          throw new BadRequestException("'min_resid_cents' must be >= 0")
+        graft.operators.TimeSeries.seasonalResiduals(
+          graft.QueryDef.events(spark, sfDir), "event_type", "ts", "value",
+          season, minResid)
+      }))
+
     service.register(PipelineQuery("trend",
       // the q171 surface: per-type least-squares slope/intercept
       Seq(ParamSpec("min_slope_cents", "double", required = false,

@@ -209,4 +209,52 @@ object Streams {
       sessions.iterator
     }
   }
+
+  final case class EwEvent(series: String, ts: Timestamp, value: Double)
+  final case class EwState(buckets: List[(Long, Long)]) // (bucketMs, cents) oldest first
+  final case class EwOut(series: String, bucketMs: Long, n_window: Long, ewma: Double)
+
+  /** Streaming dyadic EWMA — the incremental twin of
+    * [[graft.operators.TimeSeries.ewma]] (the q169 batch contract):
+    * per-series state is the last `lookback` (hour bucket, cents sum)
+    * pairs; each arriving event folds into its hour bucket and emits
+    * the updated smoothed value. On an in-order replay, the LAST
+    * emission per (series, bucket) equals the batch operator's row for
+    * that bucket value-for-value — StreamingSpec enforces it on real
+    * events split mid-stream (the q118-q120 equivalence discipline).
+    *
+    * Arithmetic mirrors the batch side operation-for-operation: cents
+    * via the same HALF_UP rounding, the oldest-first fold doubling the
+    * weight toward newest (`Σ xᵢ·2ⁱ / (2ᵐ−1)` exact int64), one IEEE
+    * divide rounded to 6. O(lookback) state per series.
+    */
+  def ewmaStream(events: Dataset[EwEvent], lookback: Int): Dataset[EwOut] = {
+    require(lookback >= 1 && lookback <= 62,
+      "lookback must be in [1, 62] (2^m must stay in int64)")
+    import events.sparkSession.implicits._
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    events.groupByKey(_.series)
+      .flatMapGroupsWithState[EwState, EwOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[EwEvent], state: GroupState[EwState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var buf = state.getOption.map(_.buckets).getOrElse(Nil)
+          val out = sorted.map { e =>
+            val bucket = e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L)
+            val c = cents(e.value)
+            buf = buf.lastOption match {
+              case Some((b, s)) if b == bucket => buf.init :+ ((b, s + c))
+              case _ => (buf :+ ((bucket, c))).takeRight(lookback)
+            }
+            var s = 0L; var p = 1L
+            buf.foreach { case (_, x) => s += x * p; p *= 2 }
+            val ewma = BigDecimal(s.toDouble / (p - 1).toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            EwOut(series, bucket, buf.length.toLong, ewma)
+          }
+          state.update(EwState(buf))
+          out.iterator
+      }
+  }
 }

@@ -328,6 +328,12 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("copurchase_graph", Map("min_weight" -> "0"))
     }
+    val sr = service.runRegistered("seasonal_residuals", Map("season_hours" -> "24"))
+    assert(sr.columns.sameElements(Array("event_type", "bucket", "cents",
+      "prior_cents", "residual_cents")) && sr.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("seasonal_residuals", Map("season_hours" -> "8761"))
+    }
     val tr = service.runRegistered("trend", Map.empty)
     assert(tr.columns.sameElements(Array("event_type", "n", "slope", "intercept")))
     assert(tr.count() > 0)

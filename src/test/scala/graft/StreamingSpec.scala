@@ -122,6 +122,38 @@ class StreamingSpec extends SparkSpec {
       s"closed-session drift: ${closed.diff(batch)}")
   }
 
+  test("streaming ewma equals the batch operator per bucket across batch splits") {
+    import graft.streaming.Streams.EwEvent
+    implicit val sqlCtx = spark.sqlContext
+    val evDf = graft.QueryDef.events(spark, sf).filter(col("user_id") < 32)
+    val ev = evDf.select(col("event_type").as("series"), col("ts"), col("value"))
+      .as[EwEvent].collect().sortBy(_.ts.getTime)
+    val batch = graft.operators.TimeSeries.ewma(
+        evDf, "event_type", "ts", "value", lookback = 4)
+      .collect().map(r => ((r.getString(0), r.getTimestamp(1).getTime),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val input = MemoryStream[EwEvent]
+    val q = Streams.ewmaStream(input.toDS(), lookback = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_twin").start()
+    val (a, b) = ev.splitAt(ev.length / 2)
+    input.addData(a.toIndexedSeq); q.processAllAvailable()
+    input.addData(b.toIndexedSeq); q.processAllAvailable()
+    // LAST emission per (series, bucket) must equal the batch row —
+    // order within the memory table follows emission order, so max
+    // row id per key is the final state
+    val emitted = spark.sql(
+        "select series, bucketMs, n_window, ewma from ewma_twin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    val last = emitted.zipWithIndex.groupBy(x => (x._1._1, x._1._2))
+      .map { case (k, vs) => k -> { val e = vs.maxBy(_._2)._1; (e._3, e._4) } }
+    assert(last.nonEmpty && last.size === batch.size)
+    last.foreach { case (k, v) =>
+      assert(batch(k) === v, s"stream/batch ewma drift at $k: $v vs ${batch(k)}")
+    }
+  }
+
   test("streaming rolling z-score equals the batch operator across batch splits") {
     import graft.streaming.Streams.ZEvent
     implicit val sqlCtx = spark.sqlContext
