@@ -657,6 +657,52 @@ object CatalogCore {
              |HAVING count(*) >= 1
              |ORDER BY weight DESC, a, b LIMIT 100""".stripMargin)),
 
+    QueryDef("q175_degree_summary",
+      // degree histogram + Newman assortativity over q148's
+      // ring+chord graph: exact int64 correlation sums, coefficient =
+      // num / (√denx·√deny) — correctly-rounded IEEE ops on identical
+      // integers, rounded 6. The histogram is degree-vocabulary-sized
+      // and the 1-row stats broadcast alongside
+      (s, d) => {
+        val verts = Tpch.graph(s, d).vertexFrame("customer").select("id")
+        val n = verts.count()
+        val ring = verts.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        val c3 = verts.filter(col("id") % 3 === 0)
+          .select(col("id").as("src"), ((col("id") + 2) % n).as("dst"))
+        val c21 = verts.filter(col("id") % 21 === 0)
+          .select(col("id").as("src"), ((col("id") + 3) % n).as("dst"))
+        graft.operators.GraphAnalytics.degreeSummary(
+          ring.unionAll(c3).unionAll(c21)).orderBy("degree")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM customer),
+             |e AS (
+             |  SELECT c_custkey AS src, (c_custkey+1) % n.n AS dst FROM customer, n
+             |  UNION ALL
+             |  SELECT c_custkey, (c_custkey+2) % n.n FROM customer, n WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, (c_custkey+3) % n.n FROM customer, n WHERE c_custkey % 21 = 0),
+             |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM e WHERE src <> dst),
+             |deg AS (SELECT id, count(*) AS degree FROM (
+             |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+             |hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+             |wd AS (SELECT und.a, und.b, dx.degree AS da, dy.degree AS db
+             |  FROM und JOIN deg dx ON dx.id = und.a JOIN deg dy ON dy.id = und.b),
+             |p AS (SELECT da AS x, db AS y FROM wd UNION ALL SELECT db, da FROM wd),
+             |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+             |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+             |  FROM p),
+             |co AS (SELECT n // 2 AS n_edges,
+             |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+             |  FROM st)
+             |SELECT hist.degree, hist.n_nodes, co.n_edges,
+             |  CASE WHEN co.dx = 0 OR co.dy = 0 THEN 0.0
+             |    ELSE round(CAST(co.num AS DOUBLE)
+             |      / (sqrt(CAST(co.dx AS DOUBLE)) * sqrt(CAST(co.dy AS DOUBLE))), 6)
+             |  END AS assortativity
+             |FROM hist, co ORDER BY degree""".stripMargin)),
+
     QueryDef("q154_label_propagation",
       // deterministic synchronous label-propagation communities over
       // q148's ring+chord graph: labels start as ids, 3 rounds of

@@ -301,6 +301,58 @@ object GraphAnalytics {
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Degree-structure summary of the undirected graph: the degree
+    * HISTOGRAM (how many vertices at each degree — the power-law probe)
+    * with the degree ASSORTATIVITY coefficient alongside (Newman 2002:
+    * the Pearson correlation of endpoint degrees over symmetrized
+    * edges — positive = hubs attach to hubs, negative = hub-and-spoke).
+    * All correlation sums are exact int64 (the envelope holds through
+    * ~10⁶ edges at ~10³ max degree — a 100 TB graph past that swaps
+    * double partials, losing only oracle-bit-exactness); the
+    * coefficient is `num / (√denx·√deny)` — two correctly-rounded IEEE
+    * sqrts, one multiply, one divide on identical integers, rounded 6.
+    * A degree-regular graph (den = 0) reports 0 by convention.
+    *
+    * Returns the histogram (degree, n_nodes) with the 1-row
+    * (n_edges, assortativity) stats broadcast alongside — one frame,
+    * one read.
+    *
+    * Scale shape: degree computation is one hash aggregation; the
+    * histogram a second (degree-vocabulary-sized); the correlation
+    * joins the |V|-row degree frame to the edge list twice on the
+    * endpoint key and reduces to ONE row — no per-pair materialization
+    * beyond the edge list itself.
+    */
+  def degreeSummary(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    // symmetrized endpoint-degree pairs: each undirected edge
+    // contributes (da, db) and (db, da)
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), Seq("b"))
+    val pairs = withDeg.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(withDeg.select(col("db").as("x"), col("da").as("y")))
+    val stats = pairs.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select((col("n") / 2).cast("long").as("n_edges"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("__num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("__dx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("__dy"))
+      .select(col("n_edges"),
+        when(col("__dx") === 0 || col("__dy") === 0, lit(0.0))
+          .otherwise(round(col("__num").cast("double") /
+            (sqrt(col("__dx").cast("double")) * sqrt(col("__dy").cast("double"))), 6))
+          .as("assortativity"))
+    hist.crossJoin(broadcast(stats))
+      .select(col("degree"), col("n_nodes"), col("n_edges"), col("assortativity"))
+  }
+
   /** Co-occurrence graph projection from relational data — the
     * "build the graph" step that turns (group, item) facts into a
     * weighted item–item edge list: two items are linked with weight =

@@ -246,6 +246,19 @@ class TraversePathsSpec extends SparkSpec {
     assert(top1 === Array((1L, 3L)))
   }
 
+  test("degreeSummary: histogram, star disassortativity, regular-graph zero") {
+    // star 0–{1,2,3}: hub deg 3, leaves deg 1 → assortativity −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val s = GraphAnalytics.degreeSummary(star).orderBy("degree")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(s === Array((1L, 3L, 3L, -1.0), (3L, 1L, 3L, -1.0)))
+    // 4-cycle is 2-regular: den = 0 → coefficient 0 by convention
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = GraphAnalytics.degreeSummary(c4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r === Array((2L, 4L, 4L, 0.0)))
+  }
+
   test("projectCoOccurrence: dedup, hub-group exclusion, weighted top-k order") {
     val facts = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L),           // g10 → pairs (1,2)(1,3)(2,3)
