@@ -657,6 +657,35 @@ object CatalogCore {
              |HAVING count(*) >= 1
              |ORDER BY weight DESC, a, b LIMIT 100""".stripMargin)),
 
+    QueryDef("q176_harmonic_centrality",
+      // harmonic centrality from 4 sampled roots over the knows graph
+      // (the Boldi–Vigna sampled-estimator shape): each reached vertex
+      // accrues 10⁶ div d per source within 4 hops — one depth-bounded
+      // BFS per root, integer-exact contributions. The oracle unrolls
+      // each root's BFS as a recursive CTE and re-sums
+      (s, d) => graft.operators.GraphAnalytics.harmonicCentrality(
+          knowsIndex(s, d), sources = Seq(0L, 1L, 2L, 3L), maxDepth = 4)
+        .orderBy("id"),
+      Some {
+        val roots = Seq(0, 1, 2, 3)
+        val ctes = roots.map { r =>
+          s"""r$r AS (
+             |  SELECT CAST($r AS BIGINT) AS id, 0 AS d
+             |  UNION
+             |  SELECT e.dst, rr.d + 1 FROM r$r rr JOIN e ON e.src = rr.id
+             |  WHERE rr.d < 4)""".stripMargin
+        }.mkString(",\n")
+        val unions = roots.map(r =>
+          s"SELECT id, min(d) AS d FROM r$r WHERE id IS NOT NULL GROUP BY 1")
+          .mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE e AS ($knowsSql),
+           |$ctes,
+           |m AS ($unions)
+           |SELECT id, count(*) AS n_sources,
+           |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+           |FROM m WHERE d > 0 GROUP BY 1 ORDER BY id""".stripMargin
+      }),
+
     QueryDef("q175_degree_summary",
       // degree histogram + Newman assortativity over q148's
       // ring+chord graph: exact int64 correlation sums, coefficient =

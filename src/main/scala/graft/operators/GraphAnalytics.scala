@@ -301,6 +301,41 @@ object GraphAnalytics {
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Harmonic centrality from SAMPLED sources (the Boldi–Vigna
+    * estimator shape: exact all-pairs centrality is O(n·m), so
+    * production runs it from a fixed sample of roots and sums
+    * contributions): for each vertex v reached by a sampled source s
+    * within `maxDepth` directed hops, v accrues `10⁶ div d(s, v)` —
+    * closer-reachable vertices score higher, integer-exact (a float
+    * 1/d would be exact anyway for d ≤ 6 but the integer contract
+    * matches the q164 RA discipline). Returns (id, n_sources,
+    * harmonic_micro) over vertices reached by at least one source,
+    * excluding the 0-distance self rows.
+    *
+    * Scale shape: one depth-bounded [[Traverse.bfs]] per sampled
+    * source (k is a small constant by construction — the sample IS the
+    * estimator), each inheriting bfs's frontier broadcast + ring
+    * checkpoint discipline; the union reduces at vertex grain with
+    * map-side partials.
+    */
+  def harmonicCentrality(edges: DataFrame, sources: Seq[Long],
+      maxDepth: Int): DataFrame = {
+    require(sources.nonEmpty && sources.size <= 64,
+      "sources must be a small fixed sample (1..64)")
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val perSource = sources.map { s =>
+      Traverse.bfs(edges, Seq(s).toDF("id"), maxDepth)
+        .filter(col("depth") > 0)
+        .select(col("id"), col("depth").cast("long").as("d"))
+    }
+    perSource.reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sources"),
+        sum(expr("1000000 div d")).as("harmonic_micro"))
+  }
+
   /** Degree-structure summary of the undirected graph: the degree
     * HISTOGRAM (how many vertices at each degree — the power-law probe)
     * with the degree ASSORTATIVITY coefficient alongside (Newman 2002:

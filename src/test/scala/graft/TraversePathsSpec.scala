@@ -246,6 +246,22 @@ class TraversePathsSpec extends SparkSpec {
     assert(top1 === Array((1L, 3L)))
   }
 
+  test("harmonicCentrality: per-source 1/d accrual, depth bound, self exclusion") {
+    // directed path 1→2→3→4→5, sources {1,2}, maxDepth 4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val out = GraphAnalytics.harmonicCentrality(path, Seq(1L, 2L), maxDepth = 4)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(out === Array(
+      (2L, 1L, 1000000L),            // from 1 at d=1
+      (3L, 2L, 1500000L),            // 1/2 from source 1 + 1/1 from source 2
+      (4L, 2L, 833333L),             // 333333 + 500000
+      (5L, 2L, 583333L)))            // 250000 + 333333
+    // depth bound: maxDepth 2 drops source-1 contributions past d=2
+    val shallow = GraphAnalytics.harmonicCentrality(path, Seq(1L), maxDepth = 2)
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    assert(shallow === Array((2L, 1L, 1000000L), (3L, 1L, 500000L)))
+  }
+
   test("degreeSummary: histogram, star disassortativity, regular-graph zero") {
     // star 0–{1,2,3}: hub deg 3, leaves deg 1 → assortativity −1
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
