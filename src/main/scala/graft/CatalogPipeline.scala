@@ -1150,6 +1150,56 @@ object CatalogPipeline {
              |WHERE e.vec_id < 4
              |ORDER BY vec_id, dim""".stripMargin)),
 
+    QueryDef("q177_rank_transform",
+      // per-dimension quantile normalization: the robust sibling of
+      // q168 — rank position (rank−1)·10⁶ div (n−1), ALL-INTEGER and
+      // tie-order-free (rank() gives ties one value on any engine).
+      // One window per dim = 64 independent range-partitioned sorts,
+      // the honest cost of quantile normalization. Same vec_id<4 clip
+      // as q168 (transform runs corpus-wide)
+      (s, d) => Similarity.rankTransform(
+          Tpch.table(s, d, "embeddings"), "vec_id", "embedding")
+        .filter(col("vec_id") < 4)
+        .orderBy("vec_id", "dim"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, i.i AS dim,
+             |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_micro
+             |  FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+             |r AS (SELECT vec_id, dim, v_micro,
+             |    rank() OVER (PARTITION BY dim ORDER BY v_micro) AS rk,
+             |    count(*) OVER (PARTITION BY dim) AS n
+             |  FROM e)
+             |SELECT vec_id, dim, v_micro,
+             |  CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1)
+             |    ELSE 0 END AS BIGINT) AS rank_ppm
+             |FROM r WHERE vec_id < 4 ORDER BY vec_id, dim""".stripMargin)),
+
+    QueryDef("q178_class_weights",
+      // balanced inverse-frequency class weights over the embedding
+      // labels: total·10⁶ div (k·n) integer-exact; one label-grain
+      // aggregation + broadcast 1-row total
+      (s, d) => graft.operators.Sampling.classWeights(
+          Tpch.table(s, d, "embeddings"), "label")
+        .orderBy("label"),
+      Some("""WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS k FROM c)
+             |SELECT label, n,
+             |  CAST(total * 1000000 // (k * n) AS BIGINT) AS weight_micro
+             |FROM c, t ORDER BY label""".stripMargin)),
+
+    QueryDef("q179_hot_keys",
+      // pre-join skew audit: top keys by row count with per-million
+      // share — the diagnostic that decides plain vs AQE vs salted
+      // BEFORE the join runs. Aggregation is skew-immune (map-side
+      // partial counts), the top-k a TakeOrdered under (n desc, key)
+      (s, d) => graft.operators.Skew.hotKeys(
+        Tpch.table(s, d, "lineitem").select(col("l_suppkey")),
+        "l_suppkey", topN = 20),
+      Some("""WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+             |SELECT l_suppkey, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+             |FROM c, t ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin)),
+
     QueryDef("q81_quantize_int8",
       // SQ8 embedding compression (Similarity.quantizeInt8): per-vector
       // absmax int8 codes. Output is integer code statistics — exact

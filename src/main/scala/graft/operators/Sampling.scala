@@ -128,4 +128,23 @@ object Sampling {
     }
     if (expr == null) lit(rest) else expr.otherwise(rest)
   }
+
+  /** Balanced class weights for an imbalanced label column — the
+    * standard inverse-frequency heuristic (weight ∝ total/(k·n_label),
+    * the public "balanced" class-weight formula) in exact integer
+    * micro-units: `total·10⁶ div (k·n_label)`. Rare classes weigh
+    * high, the uniform case lands at 10⁶ for every class. Feeds loss
+    * weighting / resampling decisions downstream.
+    *
+    * Scale shape: one label-grain hash aggregation with map-side
+    * partials + a broadcast 1-row total — label skew compresses before
+    * the shuffle, and nothing is bigger than |labels| after it.
+    */
+  def classWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").as("__total"), count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(labelCol), col("n"),
+        expr("__total * 1000000 div (__k * n)").as("weight_micro"))
+  }
 }

@@ -1020,6 +1020,34 @@ object Similarity {
       (col("id") === col("component")).as("keep"))
   }
 
+  /** Per-dimension RANK transform (quantile normalization) — the
+    * robust sibling of [[standardizeDims]]: each embedding element maps
+    * to its dimension's empirical rank position
+    * `(rank − 1)·10⁶ div (n − 1)` — outlier-immune where z-scores are
+    * not, and ALL-INTEGER (`rank()` gives ties the same value on any
+    * engine, so no tie-break ordering is even needed). A singleton
+    * dimension maps to 0.
+    *
+    * Scale shape: posexplode, then ONE window per dimension — the rank
+    * is a per-dim sort, which is the honest cost of quantile
+    * normalization (64–4096 independent sorts, each parallelized by
+    * Spark's range-partitioned window sort; nothing global).
+    */
+  def rankTransform(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = df.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        round(col("__v").cast("double") * 1e6, 0).cast("long").as("v_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dim").orderBy("v_micro")
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("dim")
+    ex.withColumn("__r", rank().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(col(idCol), col("dim"), col("v_micro"),
+        when(col("__n") > 1,
+          expr("(__r - 1) * 1000000 div (__n - 1)")).otherwise(0L).as("rank_ppm"))
+  }
+
   /** Per-dimension feature standardization (z-scoring) of an embedding
     * column — the preprocessing every clustering / outlier / distance
     * model wants when raw dimensions carry different scales. Values

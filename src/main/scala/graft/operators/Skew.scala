@@ -27,9 +27,25 @@ object Skew {
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Frequency skim of a key column: top hot keys with their counts —
-    * the cheap diagnostic to decide between plain, AQE, and salted.
+  /** Frequency skim of a key column: top hot keys with their counts
+    * and per-million share of the table — the cheap diagnostic that
+    * decides between plain, AQE, and salted BEFORE the join runs (a
+    * key past a few percent of the table means one task eats it).
+    * Deterministic under ties ((n desc, key asc) total order →
+    * TakeOrdered); `share_ppm = n·10⁶ div total` is integer-exact.
+    *
+    * Scale shape: one hash aggregation with map-side partials (the
+    * aggregation itself is skew-immune: partial counts combine before
+    * the shuffle), a broadcast 1-row total, and a top-k — no sort of
+    * the key space.
     */
-  def hotKeys(df: DataFrame, key: String, topN: Int = 10): DataFrame =
-    df.groupBy(key).agg(count(lit(1)).as("n")).orderBy(col("n").desc).limit(topN)
+  def hotKeys(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val counts = df.groupBy(key).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(key), col("n"), expr("n * 1000000 div __total").as("share_ppm"))
+      .orderBy(col("n").desc, col(key))
+      .limit(topN)
+  }
 }

@@ -669,6 +669,43 @@ object PipelineQueries {
           "g", "item", maxItems, minWeight, intParam(ps, "k"))
       }))
 
+    service.register(PipelineQuery("degree_summary",
+      // the q175 surface: degree histogram + assortativity of the
+      // near-dup pair graph
+      Seq(ParamSpec("threshold", "double", required = false, default = Some(0.5))),
+      ps => {
+        val threshold = ps("threshold").asInstanceOf[Double]
+        if (threshold <= 0 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in (0, 1]")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 3, numHashes = 24, bands = 8, threshold = threshold)
+        GraphAnalytics.degreeSummary(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      }))
+
+    service.register(PipelineQuery("harmonic_centrality",
+      // the q176 surface: sampled-root harmonic centrality over the
+      // knows graph
+      Seq(ParamSpec("sources", "string", required = false, default = Some("0,1,2,3")),
+        ParamSpec("max_depth", "long", required = false, default = Some(4L))),
+      ps => {
+        val maxDepth = intParam(ps, "max_depth")
+        if (maxDepth > 8)
+          throw new BadRequestException("'max_depth' must be <= 8")
+        val sources = ps("sources").asInstanceOf[String].split(',')
+          .map(_.trim).filter(_.nonEmpty).map { s =>
+            try s.toLong catch {
+              case _: NumberFormatException =>
+                throw new BadRequestException(s"'sources' element not numeric: $s")
+            }
+          }.toSeq
+        if (sources.isEmpty || sources.size > 64)
+          throw new BadRequestException("'sources' must list 1..64 roots")
+        GraphAnalytics.harmonicCentrality(
+          Tpch.graph(spark, sfDir).edgeFrame("knows").select(col("src"), col("dst")),
+          sources, maxDepth)
+      }))
+
     service.register(PipelineQuery("seasonal_residuals",
       // the q174 surface: day-over-day wall-clock deviation monitor
       Seq(ParamSpec("season_hours", "long", required = false, default = Some(24L)),

@@ -66,6 +66,22 @@ class ClusteringSpec extends SparkSpec {
     assert(out.forall(r => r._3 === 0.0 && !r._4))
   }
 
+  test("rankTransform: tie-stable integer rank positions, singleton contract") {
+    // dim 0 values {10, 20, 20, 40}: ranks 1, 2, 2, 4 over n=4 →
+    // ppm 0, 333333, 333333, 1000000 (ties share a rank, no
+    // tie-break ordering needed)
+    val vecs = Seq(
+      (0L, Seq(10.0f)), (1L, Seq(20.0f)), (2L, Seq(20.0f)), (3L, Seq(40.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.rankTransform(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").select("rank_ppm").as[Long].collect()
+    assert(out === Array(0L, 333333L, 333333L, 1000000L))
+    // a singleton dimension maps to 0
+    val one = Seq((0L, Seq(5.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.rankTransform(one, "vec_id", "embedding")
+      .select("rank_ppm").as[Long].collect() === Array(0L))
+  }
+
   test("standardizeDims: hand z-scores, zero-variance dim contract") {
     // dim 0: {1, 2, 3} → mean 2e6 micro, std 1e6 → z = −1, 0, 1
     // dim 1: {10, 10, 40} → mean 2e7, std sqrt(3)·1e7 → ∓0.57735 / 1.154701

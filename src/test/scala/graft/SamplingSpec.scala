@@ -86,4 +86,19 @@ class SamplingSpec extends SparkSpec {
       Map("s0" -> 2.5, "s1" -> 3.0, "s2" -> 0.0), default = 1.0)
     assert(mixed.except(mixed7).isEmpty && mixed7.except(mixed).isEmpty)
   }
+
+  test("classWeights: inverse-frequency micro weights, uniform lands at 1e6") {
+    // labels 0×6, 1×3, 2×1: total 10, k 3 →
+    //   w(0) = 10e6 div 18 = 555555; w(1) = 10e6 div 9 = 1111111;
+    //   w(2) = 10e6 div 3 = 3333333
+    val df = (Seq.fill(6)(0) ++ Seq.fill(3)(1) ++ Seq(2))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "label")
+    val out = Sampling.classWeights(df, "label").orderBy("label")
+      .as[(Int, Long, Long)].collect()
+    assert(out === Array((0, 6L, 555555L), (1, 3L, 1111111L), (2, 1L, 3333333L)))
+    // balanced labels: every class exactly 10⁶
+    val even = (0 until 9).map(i => (i.toLong, i % 3)).toDF("id", "label")
+    assert(Sampling.classWeights(even, "label").select("weight_micro")
+      .as[Long].collect().forall(_ == 1000000L))
+  }
 }
