@@ -754,6 +754,41 @@ object PipelineQueries {
           .filter(col("dup_pm") <= maxDup)
       }))
 
+    service.register(PipelineQuery("rank_transform",
+      // the q177 surface: per-dim quantile normalization at element
+      // grain, optionally clipped to one vector
+      Seq(ParamSpec("vec_id", "long", required = false, default = Some(-1L))),
+      ps => {
+        val vecId = ps("vec_id").asInstanceOf[Long]
+        if (vecId < -1)
+          throw new BadRequestException("'vec_id' must be >= 0 (or omitted)")
+        val out = graft.operators.Similarity.rankTransform(
+          Tpch.table(spark, sfDir, "embeddings"), "vec_id", "embedding")
+        if (vecId >= 0) out.filter(col("vec_id") === vecId) else out
+      }))
+
+    service.register(PipelineQuery("class_weights",
+      // the q178 surface: balanced label weights for the embedding corpus
+      Seq.empty,
+      _ => graft.operators.Sampling.classWeights(
+        Tpch.table(spark, sfDir, "embeddings"), "label")))
+
+    service.register(PipelineQuery("hot_keys",
+      // the q179 surface: pre-join skew audit over a caller-chosen
+      // lineitem key column
+      Seq(ParamSpec("key", "string", required = false, default = Some("l_suppkey")),
+        ParamSpec("k", "long", required = false, default = Some(20L))),
+      ps => {
+        val key = ps("key").asInstanceOf[String]
+        val allowed = Set("l_suppkey", "l_partkey", "l_orderkey")
+        if (!allowed(key))
+          throw new BadRequestException(
+            s"'key' must be one of ${allowed.mkString(", ")}")
+        graft.operators.Skew.hotKeys(
+          Tpch.table(spark, sfDir, "lineitem").select(col(key)),
+          key, intParam(ps, "k"))
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

@@ -341,6 +341,26 @@ class ServiceSpec extends SparkSpec {
     assert(qa.columns.sameElements(Array("event_type", "p50_exact", "p90_exact",
       "approx50_ok", "approx90_ok")))
     assert(qa.filter(!col("approx50_ok") || !col("approx90_ok")).count() == 0)
+    val rk = service.runRegistered("rank_transform", Map("vec_id" -> "1"))
+    assert(rk.columns.sameElements(Array("vec_id", "dim", "v_micro", "rank_ppm")))
+    assert(rk.count() > 0 && rk.filter(col("vec_id") =!= 1).count() == 0)
+    val cw = service.runRegistered("class_weights", Map.empty)
+    assert(cw.columns.sameElements(Array("label", "n", "weight_micro")) && cw.count() > 0)
+    val hk = service.runRegistered("hot_keys", Map("key" -> "l_partkey", "k" -> "5"))
+    assert(hk.columns.sameElements(Array("l_partkey", "n", "share_ppm")) && hk.count() === 5)
+    intercept[BadRequestException] {
+      service.runRegistered("hot_keys", Map("key" -> "o_custkey; DROP"))
+    }
+    val hc = service.runRegistered("harmonic_centrality",
+      Map("sources" -> "0,1", "max_depth" -> "3"))
+    assert(hc.columns.sameElements(Array("id", "n_sources", "harmonic_micro")))
+    assert(hc.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("harmonic_centrality", Map("sources" -> "a,b"))
+    }
+    val dg = service.runRegistered("degree_summary", Map("threshold" -> "0.3"))
+    assert(dg.columns.sameElements(
+      Array("degree", "n_nodes", "n_edges", "assortativity")))
     val sc = service.runRegistered("source_scorecard", Map("min_tokens" -> "30"))
     assert(sc.columns.sameElements(Array("source", "n_docs", "total_tokens",
       "mean_tokens_pm", "dup_pm", "gate_pm", "n_langs", "top_lang")) && sc.count() > 0)
