@@ -1174,6 +1174,52 @@ object CatalogPipeline {
              |    ELSE 0 END AS BIGINT) AS rank_ppm
              |FROM r WHERE vec_id < 4 ORDER BY vec_id, dim""".stripMargin)),
 
+    QueryDef("q180_power_iteration",
+      // dominant principal direction of the embedding Gram matrix via
+      // 3 power-iteration rounds, every step integer-contracted
+      // (micro-unit elements, exact max-scaled w rescale, exact Σwq²
+      // into one IEEE sqrt, HALF_UP component rounds, first-nonzero-
+      // positive sign) — the oracle replays all three rounds value-
+      // for-value,
+      // which only an arithmetically identical distributed loop can
+      // match. The ABTT postprocess starts from exactly this vector
+      (s, d) => {
+        val v = Similarity.powerIteration(
+          Tpch.table(s, d, "embeddings"), "vec_id", "embedding", iterations = 3)
+        import s.implicits._
+        v.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+          .toDF("dim", "v_micro").orderBy("dim")
+      },
+      Some {
+        val iters = 3
+        val step = (i: Int) => {
+          val prev = s"v${i - 1}"
+          s"""s$i AS (SELECT e.vec_id,
+             |    CAST(sum(e.x * $prev.v) // 1000000 AS BIGINT) AS s
+             |  FROM e JOIN $prev USING (dim) GROUP BY 1),
+             |w$i AS (SELECT e.dim, sum(e.x * s$i.s) AS w
+             |  FROM e JOIN s$i USING (vec_id) GROUP BY 1),
+             |q$i AS (SELECT greatest(1, max(abs(w)) // 100000000) AS qd FROM w$i),
+             |wq$i AS (SELECT dim, w // q$i.qd AS wq FROM w$i, q$i),
+             |n$i AS (SELECT sqrt(CAST(sum(wq*wq) AS DOUBLE)) AS nrm FROM wq$i),
+             |u$i AS (SELECT dim, CASE WHEN n$i.nrm = 0 THEN 0
+             |    ELSE CAST(round(wq * 1000000 / n$i.nrm) AS BIGINT) END AS u
+             |  FROM wq$i, n$i),
+             |g$i AS (SELECT CASE WHEN
+             |    (SELECT u FROM u$i WHERE u <> 0 ORDER BY dim LIMIT 1) < 0
+             |    THEN -1 ELSE 1 END AS sg),
+             |v$i AS (SELECT dim, u * g$i.sg AS v FROM u$i, g$i)""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, i.i AS dim,
+           |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
+           |  FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+           |v0 AS (SELECT i.i AS dim,
+           |    CAST(CASE WHEN i.i = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS v
+           |  FROM (SELECT unnest(range(64)) AS i) i),
+           |${(1 to iters).map(step).mkString(",\n")}
+           |SELECT dim, CAST(v AS BIGINT) AS v_micro FROM v$iters ORDER BY dim""".stripMargin
+      }),
+
     QueryDef("q178_class_weights",
       // balanced inverse-frequency class weights over the embedding
       // labels: total·10⁶ div (k·n) integer-exact; one label-grain

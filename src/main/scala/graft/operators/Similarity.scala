@@ -1020,6 +1020,67 @@ object Similarity {
       (col("id") === col("component")).as("keep"))
   }
 
+  /** Distributed power iteration — the dominant principal direction of
+    * the (uncentered) embedding Gram matrix, computed as the classic
+    * `v ← Xᵀ(Xv) / ‖·‖` loop with every step under an integer
+    * determinism contract so a SQL oracle replays it bit-for-bit:
+    * elements enter as micro-units; the per-row projection
+    * `s = (x·v) div 10⁶` and the back-projection `w = Σ x·s` are exact
+    * int64 (envelope: ~10⁷ unit-norm rows); w then rescales by the
+    * DATA-ADAPTIVE exact divisor `qdiv = max(1, max|w| div 10⁸)` — a
+    * fixed divisor either overflows the Σwq² of a huge corpus or
+    * truncates a small one to zero; the max-scaled contract keeps ~8
+    * significant digits at every size and is itself exact integer
+    * arithmetic, so the oracle replays it. The normalizer √Σwq² is one
+    * correctly-rounded IEEE sqrt on an exact integer sum, and the sign
+    * canonicalizes to the first nonzero component positive
+    * (eigenvectors are sign-ambiguous — the contract pins one). The
+    * public ABTT embedding-postprocessing recipe starts exactly here.
+    *
+    * Returns the eigenvector in micro-units (‖v‖ ≈ 10⁶).
+    *
+    * Scale shape: per iteration, one row-grain projection aggregation
+    * (keyed by the vector id, map-side partials) and one |dims|-key
+    * back-projection aggregation; only the |dims|-row w vector ever
+    * reaches the driver (the ivfTrain codebook discipline), and v
+    * travels back as ONE array literal.
+    */
+  def powerIteration(df: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 3): Seq[Long] = {
+    require(iterations >= 1 && iterations <= 10, "iterations must be in [1, 10]")
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    val ex = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("__id"), col("dim"),
+        round(col("__x").cast("double") * 1e6, 0).cast("long").as("x"))
+      .localCheckpoint(eager = true)
+    var v: Seq[Long] = 1000000L +: Seq.fill(dims - 1)(0L)
+    (1 to iterations).foreach { _ =>
+      val vLit = array(v.map(lit): _*)
+      val s = ex
+        .withColumn("__vj", element_at(vLit, col("dim").cast("int") + 1))
+        .groupBy("__id").agg(sum(col("x") * col("__vj")).as("__dot"))
+        .select(col("__id"), expr("__dot div 1000000").as("s"))
+      val w = ex.join(s, Seq("__id"))
+        .groupBy("dim").agg(sum(col("x") * col("s")).as("w"))
+        .orderBy("dim").collect().map(_.getLong(1)).toSeq
+      // driver-side normalization over the |dims|-row vector: exact
+      // max-scaled rescale → integer Σwq² (exact) → one IEEE sqrt →
+      // per-component HALF_UP round — the exact sequence the oracle
+      // restates
+      val qdiv = math.max(1L, w.map(math.abs).max / 100000000L)
+      val wq = w.map(_ / qdiv)
+      val norm = math.sqrt(wq.map(q => q * q).sum.toDouble)
+      val raw =
+        if (norm == 0) Seq.fill(dims)(0L)
+        else wq.map(q => BigDecimal(q * 1e6 / norm)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val sign = raw.find(_ != 0L).map(x => if (x < 0) -1L else 1L).getOrElse(1L)
+      v = raw.map(_ * sign)
+    }
+    v
+  }
+
   /** Per-dimension RANK transform (quantile normalization) — the
     * robust sibling of [[standardizeDims]]: each embedding element maps
     * to its dimension's empirical rank position

@@ -66,6 +66,28 @@ class ClusteringSpec extends SparkSpec {
     assert(out.forall(r => r._3 === 0.0 && !r._4))
   }
 
+  test("powerIteration: converges to the dominant direction, deterministic, degenerate-safe") {
+    // 200 copies of (1, 3): the dominant direction is (1, 3)/√10 —
+    // the iterate must land within rescale-precision of slope 3 with
+    // the canonical positive sign and unit micro norm
+    val vecs = (0 until 200).map(i => (i.toLong, Seq(1.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val v = Similarity.powerIteration(vecs, "vec_id", "embedding", iterations = 3)
+    assert(v.head > 0, "sign canonicalization: first nonzero positive")
+    val slope = v(1).toDouble / v(0).toDouble
+    assert(math.abs(slope - 3.0) < 0.05, s"direction drifted: $v")
+    val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(norm - 1e6) < 1e4, s"not unit micro scale: $norm")
+    // bit-for-bit deterministic across runs and partitionings
+    val v2 = Similarity.powerIteration(vecs.repartition(7), "vec_id", "embedding",
+      iterations = 3)
+    assert(v === v2)
+    // an all-zero corpus degrades to the zero vector, loudly not NaN
+    val zeros = (0 until 5).map(i => (i.toLong, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.powerIteration(zeros, "vec_id", "embedding") === Seq(0L, 0L))
+  }
+
   test("rankTransform: tie-stable integer rank positions, singleton contract") {
     // dim 0 values {10, 20, 20, 40}: ranks 1, 2, 2, 4 over n=4 →
     // ppm 0, 333333, 333333, 1000000 (ties share a rank, no

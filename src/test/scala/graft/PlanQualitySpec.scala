@@ -48,10 +48,15 @@ class PlanQualitySpec extends SparkSpec {
     // the CANDIDATE list against itself — k×k rows by construction
     // (k = 20), the quadratic the operator's contract bounds, never
     // corpus-scale. Everything else must stay BNLJ/cartesian-free
+    // q175 (degreeSummary: 1-row n_edges/assortativity stats), q178
+    // (classWeights: 1-row total/k), and q179 (hotKeys: 1-row table
+    // total) broadcast the same deliberate 1-row scalar frame into a
+    // vocabulary-sized result — q87's shape again.
     val salted = Set("q69_salted_join", "q75_all_edges", "q78_stored_geometry",
       "q87_bm25_search", "q105_tfidf_keywords", "q107_bigram_lm",
       "q130_pmi_collocations", "q135_hybrid_rrf", "q138_token_drift",
-      "q155_systematic_sample", "q161_mmr")
+      "q155_systematic_sample", "q161_mmr", "q175_degree_summary",
+      "q178_class_weights", "q179_hot_keys")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")
