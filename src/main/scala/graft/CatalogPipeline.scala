@@ -1194,23 +1194,23 @@ object CatalogPipeline {
         val iters = 3
         val step = (i: Int) => {
           val prev = s"v${i - 1}"
-          s"""s$i AS (SELECT e.vec_id,
+          s"""s$i AS MATERIALIZED (SELECT e.vec_id,
              |    CAST(sum(e.x * $prev.v) // 1000000 AS BIGINT) AS s
              |  FROM e JOIN $prev USING (dim) GROUP BY 1),
-             |w$i AS (SELECT e.dim, sum(e.x * s$i.s) AS w
+             |w$i AS MATERIALIZED (SELECT e.dim, sum(e.x * s$i.s) AS w
              |  FROM e JOIN s$i USING (vec_id) GROUP BY 1),
-             |q$i AS (SELECT greatest(1, max(abs(w)) // 100000000) AS qd FROM w$i),
-             |wq$i AS (SELECT dim, w // q$i.qd AS wq FROM w$i, q$i),
-             |n$i AS (SELECT sqrt(CAST(sum(wq*wq) AS DOUBLE)) AS nrm FROM wq$i),
-             |u$i AS (SELECT dim, CASE WHEN n$i.nrm = 0 THEN 0
+             |q$i AS MATERIALIZED (SELECT greatest(1, max(abs(w)) // 100000000) AS qd FROM w$i),
+             |wq$i AS MATERIALIZED (SELECT dim, w // q$i.qd AS wq FROM w$i, q$i),
+             |n$i AS MATERIALIZED (SELECT sqrt(CAST(sum(wq*wq) AS DOUBLE)) AS nrm FROM wq$i),
+             |u$i AS MATERIALIZED (SELECT dim, CASE WHEN n$i.nrm = 0 THEN 0
              |    ELSE CAST(round(wq * 1000000 / n$i.nrm) AS BIGINT) END AS u
              |  FROM wq$i, n$i),
-             |g$i AS (SELECT CASE WHEN
+             |g$i AS MATERIALIZED (SELECT CASE WHEN
              |    (SELECT u FROM u$i WHERE u <> 0 ORDER BY dim LIMIT 1) < 0
              |    THEN -1 ELSE 1 END AS sg),
-             |v$i AS (SELECT dim, u * g$i.sg AS v FROM u$i, g$i)""".stripMargin
+             |v$i AS MATERIALIZED (SELECT dim, u * g$i.sg AS v FROM u$i, g$i)""".stripMargin
         }
-        s"""WITH e AS (SELECT vec_id, i.i AS dim,
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, i.i AS dim,
            |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
            |  FROM embeddings, (SELECT unnest(range(64)) AS i) i),
            |v0 AS (SELECT i.i AS dim,
@@ -1218,6 +1218,61 @@ object CatalogPipeline {
            |  FROM (SELECT unnest(range(64)) AS i) i),
            |${(1 to iters).map(step).mkString(",\n")}
            |SELECT dim, CAST(v AS BIGINT) AS v_micro FROM v$iters ORDER BY dim""".stripMargin
+      }),
+
+    QueryDef("q181_abtt_postprocess",
+      // ABTT (all-but-the-top) embedding correction: exact integer
+      // centering, the q180 power iteration on the CENTERED corpus,
+      // then each vector minus its projection on the dominant
+      // direction — projection coefficient one IEEE divide of exact
+      // int64 sums, each component rounded once at 6. The oracle
+      // replays centering, all three rounds, and the correction;
+      // vec_id<4 clip for the dump (the transform runs corpus-wide)
+      (s, d) => Similarity.abttPostprocess(
+          Tpch.table(s, d, "embeddings"), "vec_id", "embedding", iterations = 3)
+        .filter(col("id") < 4)
+        .orderBy("id", "dim"),
+      Some {
+        val iters = 3
+        val step = (i: Int) => {
+          val prev = s"v${i - 1}"
+          s"""s$i AS MATERIALIZED (SELECT e.vec_id,
+             |    CAST(sum(e.x * $prev.v) // 1000000 AS BIGINT) AS s
+             |  FROM e JOIN $prev USING (dim) GROUP BY 1),
+             |w$i AS MATERIALIZED (SELECT e.dim, sum(e.x * s$i.s) AS w
+             |  FROM e JOIN s$i USING (vec_id) GROUP BY 1),
+             |q$i AS MATERIALIZED (SELECT greatest(1, max(abs(w)) // 100000000) AS qd FROM w$i),
+             |wq$i AS MATERIALIZED (SELECT dim, w // q$i.qd AS wq FROM w$i, q$i),
+             |n$i AS MATERIALIZED (SELECT sqrt(CAST(sum(wq*wq) AS DOUBLE)) AS nrm FROM wq$i),
+             |u$i AS MATERIALIZED (SELECT dim, CASE WHEN n$i.nrm = 0 THEN 0
+             |    ELSE CAST(round(wq * 1000000 / n$i.nrm) AS BIGINT) END AS u
+             |  FROM wq$i, n$i),
+             |g$i AS MATERIALIZED (SELECT CASE WHEN
+             |    (SELECT u FROM u$i WHERE u <> 0 ORDER BY dim LIMIT 1) < 0
+             |    THEN -1 ELSE 1 END AS sg),
+             |v$i AS MATERIALIZED (SELECT dim, u * g$i.sg AS v FROM u$i, g$i)""".stripMargin
+        }
+        s"""WITH e0 AS MATERIALIZED (SELECT vec_id, i.i AS dim,
+           |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
+           |  FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+           |mm AS MATERIALIZED (SELECT dim, CAST(sum(x) // count(*) AS BIGINT) AS mu
+           |  FROM e0 GROUP BY 1),
+           |e AS MATERIALIZED (SELECT e0.vec_id, e0.dim, e0.x - mm.mu AS x
+           |  FROM e0 JOIN mm USING (dim)),
+           |v0 AS (SELECT i.i AS dim,
+           |    CAST(CASE WHEN i.i = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS v
+           |  FROM (SELECT unnest(range(64)) AS i) i),
+           |${(1 to iters).map(step).mkString(",\n")},
+           |nsq AS MATERIALIZED (SELECT CAST(sum(v*v) AS BIGINT) AS nsq FROM v$iters),
+           |dt AS MATERIALIZED (SELECT e.vec_id, CAST(sum(e.x * v$iters.v) AS BIGINT) AS dot
+           |  FROM e JOIN v$iters USING (dim) GROUP BY 1)
+           |SELECT e.vec_id AS id, e.dim,
+           |  round(CAST(e.x AS DOUBLE) - v$iters.v *
+           |    (CASE WHEN nsq.nsq = 0 THEN 0.0
+           |      ELSE CAST(dt.dot AS DOUBLE) / CAST(nsq.nsq AS DOUBLE) END), 6)
+           |    AS corrected
+           |FROM e JOIN v$iters USING (dim) JOIN dt USING (vec_id), nsq
+           |WHERE e.vec_id < 4 ORDER BY id, dim""".stripMargin
       }),
 
     QueryDef("q178_class_weights",

@@ -1047,13 +1047,22 @@ object Similarity {
     */
   def powerIteration(df: DataFrame, idCol: String, vecCol: String,
       iterations: Int = 3): Seq[Long] = {
-    require(iterations >= 1 && iterations <= 10, "iterations must be in [1, 10]")
     val dims = df.select(size(col(vecCol))).head().getInt(0)
     val ex = df.select(col(idCol).as("__id"),
         posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .select(col("__id"), col("dim"),
         round(col("__x").cast("double") * 1e6, 0).cast("long").as("x"))
       .localCheckpoint(eager = true)
+    powerIterateElements(ex, dims, iterations)
+  }
+
+  /** [[powerIteration]]'s core over a pre-built element frame
+    * (`__id`, `dim`, `x` micro-units) — shared with the centered ABTT
+    * path, same contract throughout.
+    */
+  private[graft] def powerIterateElements(ex: DataFrame, dims: Int,
+      iterations: Int): Seq[Long] = {
+    require(iterations >= 1 && iterations <= 10, "iterations must be in [1, 10]")
     var v: Seq[Long] = 1000000L +: Seq.fill(dims - 1)(0L)
     (1 to iterations).foreach { _ =>
       val vLit = array(v.map(lit): _*)
@@ -1079,6 +1088,59 @@ object Similarity {
       v = raw.map(_ * sign)
     }
     v
+  }
+
+  /** ABTT embedding postprocessing (Mu & Viswanath 2018, "All But The
+    * Top" — the public recipe): center the embedding corpus, find the
+    * dominant principal direction of the CENTERED data by
+    * [[powerIteration]]'s integer-contracted loop, and subtract each
+    * vector's projection onto it — removing the common-direction bias
+    * that inflates every cosine similarity. Centering is exact
+    * (per-dim `mean = Σx div n` integer micro); the projection
+    * coefficient `c = (x_c·v)/‖v‖²` is ONE IEEE divide of exact int64
+    * sums, and each corrected component rounds once at 6
+    * (`round(x_c − v·c, 6)`, micro-units) — the q135 discipline, so
+    * the oracle replays centering, all iteration rounds, and the
+    * correction value-for-value.
+    *
+    * Returns element-grain (id, dim, corrected) — the full corpus;
+    * callers clip for dumps.
+    *
+    * Scale shape: one |dims|-key stats aggregation for the means
+    * (broadcast back as ONE literal), the power-iteration rounds (see
+    * there), then a row-grain dot-product aggregation + a narrow
+    * correction map — nothing shuffles beyond the vector id.
+    */
+  def abttPostprocess(df: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 3): DataFrame = {
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    val ex = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("__id"), col("dim"),
+        round(col("__x").cast("double") * 1e6, 0).cast("long").as("x"))
+    val means = ex.groupBy("dim")
+      .agg(count(lit(1)).as("__n"), sum("x").as("__s"))
+      .select(col("dim"), expr("__s div __n").as("__m"))
+      .orderBy("dim").collect().map(_.getLong(1)).toSeq
+    val mLit = array(means.map(lit): _*)
+    val centered = ex
+      .withColumn("xc", col("x") - element_at(mLit, col("dim").cast("int") + 1))
+      .select(col("__id"), col("dim"), col("xc").as("x"))
+      .localCheckpoint(eager = true)
+    val v = powerIterateElements(centered, dims, iterations)
+    val nsq = v.map(c => c * c).sum
+    val vLit = array(v.map(lit): _*)
+    val dots = centered
+      .withColumn("__vj", element_at(vLit, col("dim").cast("int") + 1))
+      .groupBy("__id").agg(sum(col("x") * col("__vj")).as("__dot"))
+      .select(col("__id"),
+        (if (nsq == 0) lit(0.0)
+         else col("__dot").cast("double") / lit(nsq.toDouble)).as("__c"))
+    centered.join(dots, Seq("__id"))
+      .withColumn("__vj", element_at(vLit, col("dim").cast("int") + 1))
+      .select(col("__id").as("id"), col("dim"),
+        round(col("x").cast("double") - col("__vj") * col("__c"), 6)
+          .as("corrected"))
   }
 
   /** Per-dimension RANK transform (quantile normalization) — the

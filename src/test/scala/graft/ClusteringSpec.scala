@@ -88,6 +88,45 @@ class ClusteringSpec extends SparkSpec {
     assert(Similarity.powerIteration(zeros, "vec_id", "embedding") === Seq(0L, 0L))
   }
 
+  test("abttPostprocess: centering + top-component removal annihilates 1-D data") {
+    // all variance along dim 0 with a constant offset everywhere:
+    // centering removes the offset, the top component IS dim 0, and
+    // the correction must annihilate everything (within rounding)
+    val vecs = Seq(
+      (0L, Seq(2.0f, 1.0f)), (1L, Seq(4.0f, 1.0f)), (2L, Seq(6.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.abttPostprocess(vecs, "vec_id", "embedding")
+      .select("corrected").as[Double].collect()
+    assert(out.length === 6 && out.forall(c => math.abs(c) < 1.0),
+      s"1-D corpus must correct to ~zero (micro-units): ${out.mkString(",")}")
+  }
+
+  test("abttPostprocess: corrected corpus is orthogonal to the removed direction") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 2.0f, 0.5f)), (1L, Seq(3.0f, 4.0f, -0.5f)),
+      (2L, Seq(5.0f, 9.0f, 1.5f)), (3L, Seq(2.0f, 3.0f, -1.5f)))
+      .toDF("vec_id", "embedding")
+    val corrected = Similarity.abttPostprocess(vecs, "vec_id", "embedding")
+      .orderBy("id", "dim").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // recompute the direction the operator removed (centered corpus)
+    val ex = vecs.selectExpr("vec_id AS __id",
+      "posexplode(embedding) AS (dim, xv)")
+      .selectExpr("__id", "dim", "CAST(round(CAST(xv AS DOUBLE) * 1e6, 0) AS LONG) AS x")
+    val means = ex.groupBy("dim").agg(expr("sum(x) div count(*)").as("m"))
+      .orderBy("dim").as[(Long, Long)].collect().map(_._2)
+    val centered = ex.withColumn("x",
+        col("x") - element_at(array(means.map(lit): _*), col("dim").cast("int") + 1))
+    val v = Similarity.powerIterateElements(centered, dims = 3, iterations = 3)
+    corrected.foreach { case (id, cs) =>
+      val dot = cs.zip(v).map { case (c, vj) => c * vj.toDouble }.sum
+      val cn = math.sqrt(cs.map(c => c * c).sum)
+      val vn = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      assert(cn == 0.0 || math.abs(dot) / (cn * vn) < 1e-6,
+        s"vector $id not orthogonal to removed direction")
+    }
+  }
+
   test("rankTransform: tie-stable integer rank positions, singleton contract") {
     // dim 0 values {10, 20, 20, 40}: ranks 1, 2, 2, 4 over n=4 →
     // ppm 0, 333333, 333333, 1000000 (ties share a rank, no
