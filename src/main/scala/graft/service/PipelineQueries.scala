@@ -789,6 +789,36 @@ object PipelineQueries {
           key, intParam(ps, "k"))
       }))
 
+    service.register(PipelineQuery("power_iteration",
+      // the q180 surface: dominant principal direction (micro-units)
+      Seq(ParamSpec("iterations", "long", required = false, default = Some(3L))),
+      ps => {
+        val iterations = intParam(ps, "iterations")
+        if (iterations > 10)
+          throw new BadRequestException("'iterations' must be <= 10")
+        val v = graft.operators.Similarity.powerIteration(
+          Tpch.table(spark, sfDir, "embeddings"), "vec_id", "embedding", iterations)
+        import spark.implicits._
+        v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("dim", "v_micro")
+      }))
+
+    service.register(PipelineQuery("abtt",
+      // the q181 surface: centered, top-component-removed embeddings
+      // at element grain, optionally clipped to one vector
+      Seq(ParamSpec("vec_id", "long", required = false, default = Some(-1L)),
+        ParamSpec("iterations", "long", required = false, default = Some(3L))),
+      ps => {
+        val iterations = intParam(ps, "iterations")
+        if (iterations > 10)
+          throw new BadRequestException("'iterations' must be <= 10")
+        val vecId = ps("vec_id").asInstanceOf[Long]
+        if (vecId < -1)
+          throw new BadRequestException("'vec_id' must be >= 0 (or omitted)")
+        val out = graft.operators.Similarity.abttPostprocess(
+          Tpch.table(spark, sfDir, "embeddings"), "vec_id", "embedding", iterations)
+        if (vecId >= 0) out.filter(col("id") === vecId) else out
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

@@ -361,6 +361,14 @@ class ServiceSpec extends SparkSpec {
     val dg = service.runRegistered("degree_summary", Map("threshold" -> "0.3"))
     assert(dg.columns.sameElements(
       Array("degree", "n_nodes", "n_edges", "assortativity")))
+    val pi = service.runRegistered("power_iteration", Map("iterations" -> "2"))
+    assert(pi.columns.sameElements(Array("dim", "v_micro")) && pi.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("power_iteration", Map("iterations" -> "11"))
+    }
+    val ab = service.runRegistered("abtt", Map("vec_id" -> "2"))
+    assert(ab.columns.sameElements(Array("id", "dim", "corrected")))
+    assert(ab.count() > 0 && ab.filter(col("id") =!= 2).count() == 0)
     val sc = service.runRegistered("source_scorecard", Map("min_tokens" -> "30"))
     assert(sc.columns.sameElements(Array("source", "n_docs", "total_tokens",
       "mean_tokens_pm", "dup_pm", "gate_pm", "n_langs", "top_lang")) && sc.count() > 0)
