@@ -732,6 +732,70 @@ object CatalogCore {
              |  END AS assortativity
              |FROM hist, co ORDER BY degree""".stripMargin)),
 
+    QueryDef("q182_regional_revenue",
+      // TPC-H Q5-shaped 6-table join: discounted revenue per
+      // (region, nation) where the lineitem's supplier sits in the
+      // customer's own nation — region/nation/supplier broadcast as
+      // constant-size dims, customer⋈orders⋈lineitem shuffle on their
+      // keys, partial→final cents aggregation. The deep-join breadth
+      // probe for Catalyst's join planning
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val region = g.vertexFrame("region").select(col("id").as("rk"), col("r_name"))
+        val nation = g.vertexFrame("nation")
+          .select(col("id").as("nk"), col("n_regionkey"), col("n_name"))
+        val cust = g.vertexFrame("customer").select(col("id").as("ck"), col("c_nationkey"))
+        val ords = g.vertexFrame("order").select(col("id").as("ok"), col("o_custkey"))
+        val li = g.edgeFrame("contains")
+          .select(col("src").as("lo"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val supp = g.vertexFrame("supplier").select(col("id").as("sk"), col("s_nationkey"))
+        li.join(ords, col("lo") === col("ok"))
+          .join(cust, col("o_custkey") === col("ck"))
+          .join(broadcast(supp), col("l_suppkey") === col("sk") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("nk"))
+          .join(broadcast(region), col("n_regionkey") === col("rk"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_items"),
+            centsToDollars(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+              .as("revenue"))
+          .orderBy("region", "nation")
+      },
+      Some("""SELECT r.r_name AS region, n.n_name AS nation,
+             |  count(*) AS n_items,
+             |  CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT))
+             |    AS DOUBLE)/100.0 AS revenue
+             |FROM lineitem l
+             |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |    AND s.s_nationkey = c.c_nationkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY 1, 2 ORDER BY region, nation""".stripMargin)),
+
+    QueryDef("q183_edge_integrity",
+      // referential-integrity audit: `placed` edges against the
+      // visible customer and order sets, with orders soft-deleted by
+      // the q34 fixture (status F) — dangling-dst counts are the
+      // store-health signal a soft-deleting graph accumulates
+      // silently; src side proves 0 (every order has a live customer)
+      (s, d) => {
+        val g = Tpch.graph(s, d)
+        val orders = g.vertexFrame("order")
+          .withColumn("deleted", col("o_orderstatus") === "F")
+        import graft.model.PropertyGraph
+        val g2 = new PropertyGraph(Tpch.schema, Map("order" -> orders), Map.empty)
+        graft.operators.GraphAnalytics.edgeIntegrity(
+          g.edgeFrame("placed"),
+          g.vertexFrame("customer").select("id"),
+          g2.vertexFrame("order").select("id"))
+      },
+      Some("""SELECT (SELECT count(*) FROM orders) AS n_edges,
+             |  CAST(0 AS BIGINT) AS n_src_dangling,
+             |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_dst_dangling""".stripMargin)),
+
     QueryDef("q154_label_propagation",
       // deterministic synchronous label-propagation communities over
       // q148's ring+chord graph: labels start as ids, 3 rounds of

@@ -301,6 +301,29 @@ object GraphAnalytics {
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Referential-integrity audit of an edge frame against its endpoint
+    * vertex sets — the graph-store health check (the reference's edge
+    * accessors assume live endpoints; a store that soft-deletes
+    * vertices accumulates dangling edges silently): counts edges whose
+    * src/dst is missing from the VISIBLE vertex set. One row out.
+    *
+    * Scale shape: two left_anti joins on the endpoint keys (each
+    * equality-keyed; the vertex sides carry ids only) reduced to
+    * counts with map-side partials — the audit never materializes more
+    * than the edge list it was given.
+    */
+  def edgeIntegrity(edges: DataFrame, srcIds: DataFrame,
+      dstIds: DataFrame): DataFrame = {
+    val n = edges.agg(count(lit(1)).as("n_edges"))
+    val srcDangle = edges.select(col("src"))
+      .join(srcIds.select(col("id").as("src")), Seq("src"), "left_anti")
+      .agg(count(lit(1)).as("n_src_dangling"))
+    val dstDangle = edges.select(col("dst"))
+      .join(dstIds.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      .agg(count(lit(1)).as("n_dst_dangling"))
+    n.crossJoin(broadcast(srcDangle)).crossJoin(broadcast(dstDangle))
+  }
+
   /** Harmonic centrality from SAMPLED sources (the Boldi–Vigna
     * estimator shape: exact all-pairs centrality is O(n·m), so
     * production runs it from a fixed sample of roots and sums

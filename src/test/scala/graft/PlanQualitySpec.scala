@@ -56,7 +56,10 @@ class PlanQualitySpec extends SparkSpec {
       "q87_bm25_search", "q105_tfidf_keywords", "q107_bigram_lm",
       "q130_pmi_collocations", "q135_hybrid_rrf", "q138_token_drift",
       "q155_systematic_sample", "q161_mmr", "q175_degree_summary",
-      "q178_class_weights", "q179_hot_keys")
+      "q178_class_weights", "q179_hot_keys",
+      // q183 assembles THREE 1-row audit counts into one row — the
+      // same deliberate scalar-broadcast shape
+      "q183_edge_integrity")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")

@@ -246,6 +246,19 @@ class TraversePathsSpec extends SparkSpec {
     assert(top1 === Array((1L, 3L)))
   }
 
+  test("edgeIntegrity: counts missing endpoints, clean graph reports zero") {
+    val edges = Seq((1L, 10L), (2L, 11L), (9L, 10L)).toDF("src", "dst")
+    val srcs = Seq(1L, 2L).toDF("id")         // 9 is missing
+    val dsts = Seq(10L).toDF("id")            // 11 is missing
+    val out = GraphAnalytics.edgeIntegrity(edges, srcs, dsts)
+      .as[(Long, Long, Long)].head()
+    assert(out === ((3L, 1L, 1L)))
+    val clean = GraphAnalytics.edgeIntegrity(edges,
+        Seq(1L, 2L, 9L).toDF("id"), Seq(10L, 11L).toDF("id"))
+      .as[(Long, Long, Long)].head()
+    assert(clean === ((3L, 0L, 0L)))
+  }
+
   test("harmonicCentrality: per-source 1/d accrual, depth bound, self exclusion") {
     // directed path 1→2→3→4→5, sources {1,2}, maxDepth 4
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
