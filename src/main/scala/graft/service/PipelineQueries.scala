@@ -819,6 +819,31 @@ object PipelineQueries {
         if (vecId >= 0) out.filter(col("id") === vecId) else out
       }))
 
+    service.register(PipelineQuery("regional_revenue",
+      // the q182 surface: the 6-table revenue rollup
+      Seq.empty,
+      _ => graft.SparkEntry.queries("q182_regional_revenue")(spark, sfDir)))
+
+    service.register(PipelineQuery("edge_integrity",
+      // the q183 surface: dangling-endpoint audit per edge label
+      Seq(ParamSpec("edge", "string", required = false, default = Some("placed"))),
+      ps => {
+        val g = Tpch.graph(spark, sfDir)
+        val edge = ps("edge").asInstanceOf[String]
+        val endpoints = Map(
+          "placed" -> ("customer", "order"),
+          "contains" -> ("order", "part"),
+          "supplied_by" -> ("part", "supplier"),
+          "knows" -> ("customer", "customer"))
+        endpoints.get(edge) match {
+          case Some((sv, dv)) =>
+            GraphAnalytics.edgeIntegrity(g.edgeFrame(edge),
+              g.vertexFrame(sv).select(col("id")), g.vertexFrame(dv).select(col("id")))
+          case None => throw new BadRequestException(
+            s"'edge' must be one of ${endpoints.keys.toSeq.sorted.mkString(", ")}")
+        }
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

@@ -71,7 +71,10 @@ object ScaleCheck {
     "q145_cooccurrence",        // minDf-bounded pair space (vocab ×N here)
     "q164_link_prediction",     // RA candidates ≤ maxDegree·m over the ×N graph
     "q165_blocklist",           // one alternation pass per doc, no shuffle
-    "q167_dhash_neardups")      // banding at distinct-hash grain (≤256 classes)
+    "q167_dhash_neardups",      // banding at distinct-hash grain (≤256 classes)
+    "q168_standardize_dims",    // 64-key stats agg + broadcast apply ×N
+    "q177_rank_transform",      // 64 per-dim window sorts ×N
+    "q180_power_iteration")     // two aggs per round ×N, driver sees 64 rows
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)

@@ -361,6 +361,15 @@ class ServiceSpec extends SparkSpec {
     val dg = service.runRegistered("degree_summary", Map("threshold" -> "0.3"))
     assert(dg.columns.sameElements(
       Array("degree", "n_nodes", "n_edges", "assortativity")))
+    val rr = service.runRegistered("regional_revenue", Map.empty)
+    assert(rr.columns.sameElements(Array("region", "nation", "n_items", "revenue")))
+    assert(rr.count() > 0)
+    val ei = service.runRegistered("edge_integrity", Map("edge" -> "knows"))
+    assert(ei.columns.sameElements(
+      Array("n_edges", "n_src_dangling", "n_dst_dangling")) && ei.count() === 1)
+    intercept[BadRequestException] {
+      service.runRegistered("edge_integrity", Map("edge" -> "nope"))
+    }
     val pi = service.runRegistered("power_iteration", Map("iterations" -> "2"))
     assert(pi.columns.sameElements(Array("dim", "v_micro")) && pi.count() > 0)
     intercept[BadRequestException] {
