@@ -1275,6 +1275,34 @@ object CatalogPipeline {
            |WHERE e.vec_id < 4 ORDER BY id, dim""".stripMargin
       }),
 
+    QueryDef("q184_label_similarity",
+      // embedding-space label confusion audit: per-label integer-micro
+      // centroids compared pairwise by cosine (exact int sums, one
+      // IEEE divide over two sqrts, round 6) — close centroids mark
+      // labels a filtered ANN probe will blur. Everything past the one
+      // corpus aggregation is |labels|²-sized
+      (s, d) => Similarity.labelCentroidSimilarity(
+          Tpch.table(s, d, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("label_a", "label_b"),
+      Some("""WITH e AS (SELECT label, i.i AS dim,
+             |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
+             |  FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+             |c AS (SELECT label, dim, CAST(sum(x) // count(*) AS BIGINT) AS m
+             |  FROM e GROUP BY 1, 2),
+             |nn AS (SELECT label, CAST(sum(m*m) AS BIGINT) AS nsq FROM c GROUP BY 1),
+             |dt AS (SELECT a.label AS label_a, b.label AS label_b,
+             |    CAST(sum(a.m * b.m) AS BIGINT) AS dot
+             |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT dt.label_a, dt.label_b,
+             |  CASE WHEN na.nsq = 0 OR nb.nsq = 0 THEN 0.0
+             |    ELSE round(CAST(dt.dot AS DOUBLE)
+             |      / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6)
+             |  END AS cosine
+             |FROM dt JOIN nn na ON na.label = dt.label_a
+             |  JOIN nn nb ON nb.label = dt.label_b
+             |ORDER BY label_a, label_b""".stripMargin)),
+
     QueryDef("q178_class_weights",
       // balanced inverse-frequency class weights over the embedding
       // labels: total·10⁶ div (k·n) integer-exact; one label-grain

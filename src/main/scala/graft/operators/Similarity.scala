@@ -1090,6 +1090,43 @@ object Similarity {
     v
   }
 
+  /** Label-centroid similarity matrix — the embedding-space confusion
+    * audit: per-label mean vectors (exact integer micro means, the
+    * [[labelOutliers]] centroid contract) compared pairwise by cosine.
+    * Labels whose centroids sit close are the ones a classifier or a
+    * label-filtered ANN probe will blur. All sums exact int64; each
+    * cosine is one IEEE divide over two correctly-rounded sqrts,
+    * rounded 6. Emits (label_a < label_b, cosine).
+    *
+    * Scale shape: one (label, dim) aggregation over the corpus
+    * (map-side partials), then everything is |labels|²·dims-sized —
+    * centroid-grain joins, never corpus-grain.
+    */
+  def labelCentroidSimilarity(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val ex = df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("label"), col("dim"),
+        round(col("__x").cast("double") * 1e6, 0).cast("long").as("x"))
+    val cent = ex.groupBy("label", "dim")
+      .agg(count(lit(1)).as("__n"), sum("x").as("__s"))
+      .select(col("label"), col("dim"), expr("__s div __n").as("m"))
+    val norms = cent.groupBy("label").agg(sum(col("m") * col("m")).as("__nsq"))
+    val dots = cent.select(col("label").as("label_a"), col("dim"), col("m").as("ma"))
+      .join(cent.select(col("label").as("label_b"), col("dim"), col("m").as("mb")),
+        Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b").agg(sum(col("ma") * col("mb")).as("__dot"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("__nsq").as("__na")), Seq("label_a"))
+      .join(norms.select(col("label").as("label_b"), col("__nsq").as("__nb")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        when(col("__na") === 0 || col("__nb") === 0, lit(0.0))
+          .otherwise(round(col("__dot").cast("double") /
+            (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6))
+          .as("cosine"))
+  }
+
   /** ABTT embedding postprocessing (Mu & Viswanath 2018, "All But The
     * Top" — the public recipe): center the embedding corpus, find the
     * dominant principal direction of the CENTERED data by

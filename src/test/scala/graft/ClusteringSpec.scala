@@ -88,6 +88,17 @@ class ClusteringSpec extends SparkSpec {
     assert(Similarity.powerIteration(zeros, "vec_id", "embedding") === Seq(0L, 0L))
   }
 
+  test("labelCentroidSimilarity: aligned labels score 1, orthogonal score 0") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(3.0f, 0.0f), 0),   // centroid (2e6, 0)
+      (2L, Seq(2.0f, 0.0f), 1),                             // centroid (2e6, 0) → cos 1
+      (3L, Seq(0.0f, 5.0f), 2)                              // orthogonal → cos 0
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidSimilarity(vecs, "vec_id", "embedding", "label")
+      .orderBy("label_a", "label_b").as[(Int, Int, Double)].collect()
+    assert(out === Array((0, 1, 1.0), (0, 2, 0.0), (1, 2, 0.0)))
+  }
+
   test("abttPostprocess: centering + top-component removal annihilates 1-D data") {
     // all variance along dim 0 with a constant offset everywhere:
     // centering removes the offset, the top component IS dim 0, and
