@@ -844,6 +844,18 @@ object PipelineQueries {
         }
       }))
 
+    service.register(PipelineQuery("label_similarity",
+      // the q184 surface: embedding-space label confusion audit
+      Seq(ParamSpec("min_cosine", "double", required = false, default = Some(-1.0))),
+      ps => {
+        val minCos = ps("min_cosine").asInstanceOf[Double]
+        if (minCos < -1.0 || minCos > 1.0)
+          throw new BadRequestException("'min_cosine' must be in [-1, 1]")
+        graft.operators.Similarity.labelCentroidSimilarity(
+          Tpch.table(spark, sfDir, "embeddings"), "vec_id", "embedding", "label")
+          .filter(col("cosine") >= minCos)
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

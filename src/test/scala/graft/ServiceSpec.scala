@@ -370,6 +370,12 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("edge_integrity", Map("edge" -> "nope"))
     }
+    val lsim = service.runRegistered("label_similarity", Map.empty)
+    assert(lsim.columns.sameElements(Array("label_a", "label_b", "cosine")))
+    assert(lsim.count() > 0)
+    intercept[BadRequestException] {
+      service.runRegistered("label_similarity", Map("min_cosine" -> "1.5"))
+    }
     val pi = service.runRegistered("power_iteration", Map("iterations" -> "2"))
     assert(pi.columns.sameElements(Array("dim", "v_micro")) && pi.count() > 0)
     intercept[BadRequestException] {
