@@ -912,3 +912,87 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
       .limit(kTop)
   }
 }
+
+/** Commit-maintained perceptual-hash (dHash) index over a store-held
+  * media label — the maintained-index discipline extended to the MEDIA
+  * tier: an image committed one statement ago is already a near-dup
+  * candidate (an updated one matches by its new pixels, a deleted one
+  * is gone), no rebuild and no corpus re-decode. Rows are the 4×16-bit
+  * bands of [[Multimodal.dhashNearDupPairs]], partitioned by a 64-way
+  * band bucket `bb = band_idx·16 + (band_val mod 16)` so a probe reads
+  * only the query hash's ≤ 4 bucket dirs — the LSH-store pruning shape
+  * applied to Hamming space, with the same exact-recall-≤-3-bits
+  * pigeonhole guarantee.
+  */
+final class MaintainedDhashIndex(gs: GraphStore, label: String,
+    bytesCol: String, storageDir: String) {
+
+  private val table = gs.tableFor(label)
+  private val log = new PartitionedDeltaLog(gs.spark,
+    Paths.get(storageDir, "dhashindex", label), Seq("bb"))
+
+  /** One commit's banded hash rows: REAL decode + dHash per live image
+    * (partition-batched), 4 band rows each, routed to band buckets.
+    */
+  private def banded(rows: DataFrame): DataFrame = {
+    val hashed = Multimodal.dhashMedia(
+      rows.select(col("id").as("media_id"), col(bytesCol).as("bytes"),
+        lit(null).cast("string").as("format")))
+      .select(col("media_id").as("id"), col("dhash"))
+    hashed.select(col("id"), col("dhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("dhash"), i * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .withColumn("bb", col("band_idx") * 16 + pmod(col("band_val"), lit(16)))
+  }
+
+  /** Full (re)materialization from the store's current state; clears
+    * the delta and tombstone logs (compaction).
+    */
+  def rebuild(): Unit = log.locked {
+    val through = gs.store.currentEpoch
+    log.writeBase(banded(gs.graph().vertices(label).select(col("id"), col(bytesCol))))
+    log.recordApplied(through)
+  }
+
+  /** Apply one commit's staged row versions — shared by [[bind]] and
+    * the replica-side [[MaintainedIndexes.followCommitLog]].
+    */
+  def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
+    log.appendCommit(epoch,
+      staged.filter(!col("deleted")).select(col("id"), col(bytesCol)),
+      banded, staged)
+  }
+
+  /** Wire into the store's write path. Fails fast if another writer
+    * already binds this index directory (single-writer contract).
+    */
+  def bind(): Unit = {
+    log.acquireBinder()
+    gs.onCommit { (epoch, frames) =>
+      frames.get(table).foreach(applyCommit(epoch, _))
+    }
+  }
+
+  /** Near-duplicate images for raw query bytes against the CURRENT
+    * committed state: hash the query (driver-side, one image), read
+    * only its ≤ 4 band-bucket dirs, verify candidates by popcount.
+    * Returns (id, dhash, hamming) ordered (hamming, id); recall is
+    * exact for `maxHamming` ≤ 3 by the banding pigeonhole.
+    */
+  def nearDups(queryBytes: Array[Byte], maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
+    val qh = Multimodal.dHash64(queryBytes)
+    val bands = (0 until 4).map(i => (i.toLong, (qh >>> (i * 16)) & 0xffffL))
+    val bbs = bands.map { case (i, v) => i * 16 + (v % 16) }.distinct
+    val pred = col("bb").isin(bbs: _*) && bands.map { case (i, v) =>
+      col("band_idx") === i && col("band_val") === v
+    }.reduce(_ || _)
+    log.probe(pred)
+      .select(col("id"), col("dhash")).distinct()
+      .withColumn("hamming", bit_count(expr(s"dhash ^ ${qh}L")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("id"))
+  }
+}

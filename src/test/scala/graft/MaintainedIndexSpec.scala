@@ -438,4 +438,58 @@ class MaintainedIndexSpec extends SparkSpec {
     assert(post.search(Seq("freshword"), 5).select("id").as[Long].collect()
       .toSeq == Seq(9002L))
   }
+
+  test("commit-maintained dhash index: a committed image is a near-dup candidate") {
+    import graft.operators.{MaintainedDhashIndex, Multimodal}
+    val dir = tmp("dhashidx")
+    val schema = GraphSchema.builder().vertex("image", "id", Seq("bytes")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    // pattern ids 0..39: hash classes repeat mod 256 in the id's
+    // intensity offset, so id 5's twin lives at 5 + 256 = 261
+    val seed = (0L until 40L).map(i => (i, Multimodal.synthPatternImageBytes(i)))
+      .toDF("id", "bytes")
+    gs.txn().createVertices("image", seed).commit()
+
+    val idx = new MaintainedDhashIndex(gs, "image", "bytes", dir)
+    idx.rebuild()
+    idx.bind()
+
+    val query = Multimodal.synthPatternImageBytes(261L) // exact class of id 5
+    // ground truth: driver-side hash of every stored pattern
+    val qh = Multimodal.dHash64(query)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expect0 = (0L until 40L).filter(i =>
+      ham(Multimodal.dHash64(Multimodal.synthPatternImageBytes(i)), qh) == 0).toSet
+    assert(expect0.contains(5L))
+    val got = idx.nearDups(query, maxHamming = 0)
+      .select("id").as[Long].collect().toSet
+    assert(got === expect0, "fresh index must agree with driver recompute")
+
+    // create: a committed same-class image is a candidate IN-COMMIT
+    gs.txn().createVertices("image",
+      Seq((9001L, Multimodal.synthPatternImageBytes(517L))).toDF("id", "bytes"))
+      .commit() // 517 ≡ 5 (mod 256) → same raster class
+    assert(idx.nearDups(query, 0).select("id").as[Long].collect().toSet
+      === expect0 + 9001L, "committed image must be findable without rebuild")
+
+    // update: id 5 re-rastered into a different class — superseded
+    gs.txn().updateVertices("image",
+      Seq((5L, Multimodal.synthPatternImageBytes(6L))).toDF("id", "bytes")).commit()
+    assert(idx.nearDups(query, 0).select("id").as[Long].collect().toSet
+      === expect0 - 5L + 9001L, "updated image must match by its NEW pixels")
+
+    // delete: the committed twin vanishes
+    gs.txn().deleteVertices("image", Seq(9001L).toDF("id")).commit()
+    assert(idx.nearDups(query, 0).select("id").as[Long].collect().toSet
+      === expect0 - 5L, "deleted image must leave the candidate set")
+
+    // wider radius stays consistent with ground truth at hamming <= 3
+    val expect3 = (0L until 40L).filterNot(_ == 5L).filter(i =>
+      ham(Multimodal.dHash64(Multimodal.synthPatternImageBytes(i)), qh) <= 3).toSet
+    val got3 = idx.nearDups(query, 3).select("id").as[Long].collect().toSet
+    assert(got3 === expect3 ++ Set(6L).filter(i => // id 5 now carries pattern 6
+      ham(Multimodal.dHash64(Multimodal.synthPatternImageBytes(6L)), qh) <= 3)
+      .map(_ => 5L),
+      s"banded probe must have exact recall at <= 3 bits: $got3 vs $expect3")
+  }
 }
