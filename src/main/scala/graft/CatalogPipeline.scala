@@ -272,6 +272,29 @@ object CatalogPipeline {
              |FROM base JOIN tl ON base.source = tl.source
              |ORDER BY base.source""".stripMargin)),
 
+    QueryDef("q185_source_similarity",
+      // pairwise exact Jaccard between source vocabularies — the
+      // "same crawl wearing two names" audit beside q173: (source,
+      // token) membership dedupes to sources×vocab grain, the
+      // intersection join is token-equality-keyed, all integers
+      (s, d) => TextAnalysis.sourceSimilarity(
+          Tpch.table(s, d, "documents"), "text", "source")
+        .orderBy("source_a", "source_b"),
+      Some("""WITH st AS (SELECT DISTINCT source,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+             |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+             |    count(*) AS i
+             |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT iv.source_a, iv.source_b,
+             |  CAST(iv.i AS BIGINT) AS n_shared,
+             |  CAST(iv.i * 10000 // (na.n + nb.n - iv.i) AS BIGINT) AS jaccard_pm
+             |FROM iv JOIN sz na ON na.source = iv.source_a
+             |  JOIN sz nb ON nb.source = iv.source_b
+             |ORDER BY source_a, source_b""".stripMargin)),
+
     QueryDef("q73_bpe_tokens",
       // BPE-ish pre-tokenization (lookahead-free GPT-2-style pattern,
       // identical under Java regex and DuckDB's RE2): count per doc of

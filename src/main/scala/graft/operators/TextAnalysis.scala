@@ -541,6 +541,41 @@ object TextAnalysis {
         col("n_langs"), col("top_lang"))
   }
 
+  /** Pairwise source-vocabulary similarity — [[sourceScorecard]]'s
+    * companion audit: exact Jaccard between the DISTINCT token sets of
+    * every source pair sharing at least one token (fully disjoint
+    * vocabularies — Jaccard 0 — are absent by construction),
+    * per-myriad integer. Two sources with
+    * near-identical vocabularies are usually the same upstream crawl
+    * wearing two names — the mix double-counts them unless caught
+    * here.
+    *
+    * Scale shape: membership dedupes to (source, token) grain —
+    * bounded by sources×vocabulary, not corpus volume; the
+    * intersection join is equality-keyed on the token with fan-out ≤
+    * sources² per token (sources are a small constant in any real
+    * mix); sizes join back at source grain. All integers.
+    */
+  def sourceSimilarity(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val st = df.select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("__sz"))
+    val inter = st.select(col("token"), col("source").as("source_a"))
+      .join(st.select(col("token"), col("source").as("source_b")), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("__sz").as("__na")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("__sz").as("__nb")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("__i").as("n_shared"),
+        expr("__i * 10000 div (__na + __nb - __i)").as("jaccard_pm"))
+  }
+
   /** Multi-pattern blocklist screening — the unsafe-content /
     * boilerplate-marker gate every curation pipeline runs before
     * training: per document, how many blocklist terms (words OR

@@ -301,6 +301,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, 1L, 0L, 2068350L)))
   }
 
+  test("sourceSimilarity: exact vocabulary Jaccard, disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "c a", "s1"),   // s1 vocab {a,b,c}
+      (3L, "b c d", "s2"),                      // s2 vocab {b,c,d} → i=2, u=4
+      (4L, "x", "s3")                           // disjoint → no row
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceSimilarity(docs, "text", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long)].collect()
+    assert(out === Array(("s1", "s2", 2L, 5000L)))
+  }
+
   test("sourceScorecard: global dup exposure, gate rate, majority-lang ties") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"),  // dup class of 3 — crosses sources
