@@ -856,6 +856,17 @@ object PipelineQueries {
           .filter(col("cosine") >= minCos)
       }))
 
+    service.register(PipelineQuery("source_similarity",
+      // the q185 surface: pairwise source-vocabulary Jaccard
+      Seq(ParamSpec("min_jaccard_pm", "long", required = false, default = Some(0L))),
+      ps => {
+        val minJ = ps("min_jaccard_pm").asInstanceOf[Long]
+        if (minJ < 0 || minJ > 10000)
+          throw new BadRequestException("'min_jaccard_pm' must be in [0, 10000]")
+        TextAnalysis.sourceSimilarity(docs, "text", "source")
+          .filter(col("jaccard_pm") >= minJ)
+      }))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

@@ -370,6 +370,12 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("edge_integrity", Map("edge" -> "nope"))
     }
+    val ssim = service.runRegistered("source_similarity", Map("min_jaccard_pm" -> "5000"))
+    assert(ssim.columns.sameElements(
+      Array("source_a", "source_b", "n_shared", "jaccard_pm")))
+    intercept[BadRequestException] {
+      service.runRegistered("source_similarity", Map("min_jaccard_pm" -> "10001"))
+    }
     val lsim = service.runRegistered("label_similarity", Map.empty)
     assert(lsim.columns.sameElements(Array("label_a", "label_b", "cosine")))
     assert(lsim.count() > 0)
