@@ -80,6 +80,7 @@ object WriteBench {
     val ischema = GraphSchema.builder()
       .vertex("doc", "id", Seq("text", "lang"))
       .vertex("emb", "id", Seq("v"))
+      .vertex("image", "id", Seq("bytes"))
       .build()
     val idir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "writebench-idx").toString
@@ -124,7 +125,22 @@ object WriteBench {
     val tDocIndexed = timed(igs.txn().createVertices("doc", docsC).commit())
     val tEmbIndexed = timed(igs.txn().createVertices("emb", embsC).commit())
 
-    val idx = f""""indexed_write_path":{"n_docs":$nDocs,"n_embs":$nEmbs,"doc_commit_plain_s":$tDocPlain%.2f,"doc_commit_indexed_s":$tDocIndexed%.2f,"emb_commit_plain_s":$tEmbPlain%.2f,"emb_commit_indexed_s":$tEmbIndexed%.2f,"doc_overhead_x":${tDocIndexed / tDocPlain}%.2f,"emb_overhead_x":${tEmbIndexed / tEmbPlain}%.2f}"""
+    // media tier: image commits with the maintained dHash index bound
+    // (real encode + decode + hash in the write path)
+    val imgs = docs.select($"id").as[Long].collect().toSeq.map(i =>
+      (i, graft.operators.Multimodal.synthPatternImageBytes(i)))
+    val (imgsA, imgsB, imgsC) = (
+      imgs.filter(_._1 % 3 == 0), imgs.filter(_._1 % 3 == 1), imgs.filter(_._1 % 3 == 2))
+    def imgDf(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("id", "bytes").localCheckpoint(true)
+    val nImgs = imgsC.size
+    igs.txn().createVertices("image", imgDf(imgsA)).commit()
+    val tImgPlain = timed(igs.txn().createVertices("image", imgDf(imgsB)).commit())
+    val dh = new graft.operators.MaintainedDhashIndex(igs, "image", "bytes", idir)
+    dh.rebuild(); dh.bind()
+    val tImgIndexed = timed(igs.txn().createVertices("image", imgDf(imgsC)).commit())
+
+    val idx = f""""indexed_write_path":{"n_docs":$nDocs,"n_embs":$nEmbs,"n_imgs":$nImgs,"doc_commit_plain_s":$tDocPlain%.2f,"doc_commit_indexed_s":$tDocIndexed%.2f,"emb_commit_plain_s":$tEmbPlain%.2f,"emb_commit_indexed_s":$tEmbIndexed%.2f,"img_commit_plain_s":$tImgPlain%.2f,"img_commit_indexed_s":$tImgIndexed%.2f,"doc_overhead_x":${tDocIndexed / tDocPlain}%.2f,"emb_overhead_x":${tEmbIndexed / tEmbPlain}%.2f,"img_overhead_x":${tImgIndexed / tImgPlain}%.2f}"""
     println(s"""{$base,$idx}""")
     spark.stop()
   }
