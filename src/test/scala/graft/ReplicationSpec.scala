@@ -208,6 +208,43 @@ class ReplicationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replica image near-dup index stays fresh from the commit-log stream") {
+    import graft.operators.{MaintainedDhashIndex, MaintainedIndexes, Multimodal}
+    val imgSchema = GraphSchema.builder().vertex("image", "id", Seq("bytes")).build()
+    val master = new GraphStore(spark, imgSchema, tmp("replim-m"))
+    val slaveDir = tmp("replim-s")
+    val slaveStore = new VersionedStore(spark, slaveDir)
+    val repl = Replicator.forGraph(master, slaveStore)
+    val seed = (0L until 30L).map(i => (i, Multimodal.synthPatternImageBytes(i)))
+      .toDF("id", "bytes")
+    master.txn().createVertices("image", seed).commit()
+    repl.sync()
+    val slaveGs = new GraphStore(spark, imgSchema, slaveDir)
+    val dh = new MaintainedDhashIndex(slaveGs, "image", "bytes", tmp("replim-i"))
+    dh.rebuild()
+    val q = MaintainedIndexes.followCommitLog(spark, slaveDir, "v_image",
+      Seq(dh.applyCommit), tmp("replim-c"))
+    try {
+      q.processAllAvailable()
+      val query = Multimodal.synthPatternImageBytes(261L) // raster class of id 5
+      val before = dh.nearDups(query, 0).select("id").as[Long].collect().toSet
+      assert(before.contains(5L))
+      // an image committed on the MASTER is a near-dup candidate on the
+      // slave after sync alone — no rebuild, no re-decode of the corpus
+      master.txn().createVertices("image",
+        Seq((9001L, Multimodal.synthPatternImageBytes(517L))).toDF("id", "bytes"))
+        .commit() // 517 ≡ 5 (mod 256): same raster class
+      repl.sync(); q.processAllAvailable()
+      assert(dh.nearDups(query, 0).select("id").as[Long].collect().toSet
+        === before + 9001L,
+        "master-committed image must be a slave near-dup candidate")
+      // deletes propagate the same way
+      master.txn().deleteVertices("image", Seq(Tuple1(9001L)).toDF("id")).commit()
+      repl.sync(); q.processAllAvailable()
+      assert(dh.nearDups(query, 0).select("id").as[Long].collect().toSet === before)
+    } finally q.stop()
+  }
+
   test("a failing commit hook leaves the commit durable and other hooks run") {
     val master = new GraphStore(spark, schema, tmp("replh-m"))
     val slaveStore = new VersionedStore(spark, tmp("replh-s"))
