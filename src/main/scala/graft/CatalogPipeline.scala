@@ -295,6 +295,54 @@ object CatalogPipeline {
              |  JOIN sz nb ON nb.source = iv.source_b
              |ORDER BY source_a, source_b""".stripMargin)),
 
+    QueryDef("q186_vocab_growth",
+      // Heaps'-law vocabulary growth curve at 10 id-quantile
+      // checkpoints: tokens reduce to their first document, first-
+      // counts to document grain, and the curve is ONE conditional
+      // aggregation (no global rank window — the single-task shape
+      // this operator family refuses); checkpoints use the shared
+      // exact interpolated percentile contract
+      (s, d) => TextAnalysis.vocabGrowth(
+          Tpch.table(s, d, "documents"), "doc_id", "text", buckets = 10)
+        .orderBy("bucket"),
+      Some {
+        val buckets = 10
+        val rows = (1 to buckets).map { k =>
+          val p = k.toDouble / buckets
+          s"""SELECT CAST($k AS BIGINT) AS bucket,
+             |  (SELECT count(*) FROM dd
+             |   WHERE id <= (SELECT quantile_cont(doc_id, $p) FROM documents))
+             |    AS docs_through,
+             |  (SELECT CAST(COALESCE(sum(nf), 0) AS BIGINT) FROM dd
+             |   WHERE id <= (SELECT quantile_cont(doc_id, $p) FROM documents))
+             |    AS vocab_size""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH f AS (SELECT token, min(doc_id) AS fid FROM (
+           |    SELECT doc_id,
+           |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+           |    FROM documents WHERE length(trim(text)) > 0) GROUP BY 1),
+           |nf AS (SELECT fid AS id, count(*) AS nf FROM f GROUP BY 1),
+           |dd AS (SELECT CAST(d.doc_id AS DOUBLE) AS id, COALESCE(nf.nf, 0) AS nf
+           |  FROM documents d LEFT JOIN nf ON nf.id = d.doc_id)
+           |$rows
+           |ORDER BY bucket""".stripMargin
+      }),
+
+    QueryDef("q187_dup_class_histogram",
+      // exact-duplicate class-size distribution — the one-page dedup
+      // audit: how many hash classes exist at each multiplicity
+      // (class_size 1 = unique docs). Two hash aggregations, output
+      // bounded by the largest class size
+      (s, d) => Dedup.exactDupGroups(
+          Tpch.table(s, d, "documents"), "text", "doc_id")
+        .groupBy(col("n_docs").as("class_size"))
+        .agg(count(lit(1)).as("n_classes"))
+        .orderBy("class_size"),
+      Some("""WITH c AS (SELECT md5(text) AS h, count(*) AS class_size
+             |  FROM documents GROUP BY 1)
+             |SELECT class_size, count(*) AS n_classes
+             |FROM c GROUP BY 1 ORDER BY class_size""".stripMargin)),
+
     QueryDef("q73_bpe_tokens",
       // BPE-ish pre-tokenization (lookahead-free GPT-2-style pattern,
       // identical under Java regex and DuckDB's RE2): count per doc of

@@ -541,6 +541,55 @@ object TextAnalysis {
         col("n_langs"), col("top_lang"))
   }
 
+  /** Vocabulary growth curve (the Heaps'-law probe): distinct-token
+    * count as a function of corpus position, sampled at `buckets`
+    * checkpoints over the id-ordered document sequence. A curve that
+    * keeps climbing says more data still buys new vocabulary; a flat
+    * tail says the corpus has saturated — the collect-more-or-stop
+    * signal sitting beside [[sourceScorecard]].
+    *
+    * Checkpoints are the exact interpolated id-quantiles (the
+    * q84/winsorize percentile contract both engines share), so a doc
+    * belongs to checkpoint k iff `id ≤ quantile(k/buckets)` — a narrow
+    * comparison, NOT a global rank (a row_number over the corpus would
+    * be a single-task window, the exact scale-killer this operator
+    * family avoids).
+    *
+    * Scale shape: each token reduces to its FIRST document
+    * (min-aggregate at vocabulary grain), first-counts aggregate at
+    * document grain, and the curve itself is ONE conditional
+    * aggregation producing `buckets` checkpoint columns that unpivot
+    * to rows — no window anywhere, nothing ordered but the
+    * |buckets|-row output.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1 && buckets <= 100, "buckets must be in [1, 100]")
+    val firsts = df.select(col(idCol).as("__id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(min("__id").as("__first"))
+      .groupBy(col("__first").as("__id"))
+      .agg(count(lit(1)).as("__nf"))
+    val docs = df.select(col(idCol).cast("double").as("__id"))
+      .join(firsts.select(col("__id").cast("double").as("__id"), col("__nf")),
+        Seq("__id"), "left")
+      .na.fill(0L, Seq("__nf"))
+    val bounds = df.select(
+        percentile(col(idCol), typedLit((1 to buckets).map(_.toDouble / buckets)))
+          .as("qs"))
+      .head().getSeq[Double](0)
+    val checks = (1 to buckets).flatMap { k =>
+      val b = bounds(k - 1)
+      Seq(count(when(col("__id") <= b, 1)).cast("long").as(s"__d$k"),
+        coalesce(sum(when(col("__id") <= b, col("__nf"))), lit(0L)).as(s"__v$k"))
+    }
+    docs.agg(checks.head, checks.tail: _*)
+      .select(explode(array((1 to buckets).map(k =>
+        struct(lit(k.toLong).as("bucket"), col(s"__d$k").as("docs_through"),
+          col(s"__v$k").as("vocab_size"))): _*)).as("c"))
+      .select(col("c.bucket"), col("c.docs_through"), col("c.vocab_size"))
+  }
+
   /** Pairwise source-vocabulary similarity — [[sourceScorecard]]'s
     * companion audit: exact Jaccard between the DISTINCT token sets of
     * every source pair sharing at least one token (fully disjoint

@@ -301,6 +301,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, 1L, 0L, 2068350L)))
   }
 
+  test("vocabGrowth: first-seen accounting at quantile checkpoints") {
+    // firsts: a→1, b→1, c→2, d→4 → nf = d1:2, d2:1, d3:0, d4:1
+    // 2 buckets: median boundary 2.5 → (2 docs, vocab 3); end → (4, 4)
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, "a"), (4L, "d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text", buckets = 2)
+      .orderBy("bucket").as[(Long, Long, Long)].collect()
+    assert(out === Array((1L, 2L, 3L), (2L, 4L, 4L)))
+  }
+
   test("sourceSimilarity: exact vocabulary Jaccard, disjoint pairs absent") {
     val docs = Seq(
       (1L, "a b c", "s1"), (2L, "c a", "s1"),   // s1 vocab {a,b,c}
