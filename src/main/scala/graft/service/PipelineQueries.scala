@@ -867,6 +867,21 @@ object PipelineQueries {
           .filter(col("jaccard_pm") >= minJ)
       }))
 
+    service.register(PipelineQuery("vocab_growth",
+      // the q186 surface: Heaps'-law saturation curve
+      Seq(ParamSpec("buckets", "long", required = false, default = Some(10L))),
+      ps => {
+        val buckets = intParam(ps, "buckets")
+        if (buckets > 100)
+          throw new BadRequestException("'buckets' must be <= 100")
+        TextAnalysis.vocabGrowth(docs, "doc_id", "text", buckets)
+      }))
+
+    service.register(PipelineQuery("dup_histogram",
+      // the q187 surface: exact-dup class-size distribution
+      Seq.empty,
+      _ => graft.SparkEntry.queries("q187_dup_class_histogram")(spark, sfDir)))
+
     // a WRITE-effect pipeline query: materializes the redacted corpus.
     // Registered unconditionally — the service's effects gate 403s it
     // on read-only endpoints, which is the point of the flag.

@@ -376,6 +376,15 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("source_similarity", Map("min_jaccard_pm" -> "10001"))
     }
+    val vg = service.runRegistered("vocab_growth", Map("buckets" -> "4"))
+    assert(vg.columns.sameElements(Array("bucket", "docs_through", "vocab_size")))
+    assert(vg.count() === 4)
+    intercept[BadRequestException] {
+      service.runRegistered("vocab_growth", Map("buckets" -> "101"))
+    }
+    val dhist = service.runRegistered("dup_histogram", Map.empty)
+    assert(dhist.columns.sameElements(Array("class_size", "n_classes")))
+    assert(dhist.count() > 0)
     val lsim = service.runRegistered("label_similarity", Map.empty)
     assert(lsim.columns.sameElements(Array("label_a", "label_b", "cosine")))
     assert(lsim.count() > 0)
