@@ -74,7 +74,11 @@ object ScaleCheck {
     "q167_dhash_neardups",      // banding at distinct-hash grain (≤256 classes)
     "q168_standardize_dims",    // 64-key stats agg + broadcast apply ×N
     "q177_rank_transform",      // 64 per-dim window sorts ×N
-    "q180_power_iteration")     // two aggs per round ×N, driver sees 64 rows
+    "q180_power_iteration",     // two aggs per round ×N, driver sees 64 rows
+    "q173_source_scorecard",    // source-grain rollup over ×N docs
+    "q184_label_similarity",    // labels² after one corpus agg
+    "q185_source_similarity",   // sources×vocab grain (vocab ×N here)
+    "q186_vocab_growth")        // first-seen reduce + one conditional agg
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)
