@@ -384,6 +384,41 @@ object CatalogSearch {
              |FROM pairs WHERE hamming <= 3
              |GROUP BY 1 ORDER BY hamming""".stripMargin)),
 
+    QueryDef("q188_image_keep_list",
+      // media-level exact-dup keep-list: smallest id per perceptual-
+      // hash class keeps, the rest drop — shaped like the text dedup
+      // keep-lists so it plugs into Curate.nearDupKeep (the
+      // multimodal-curation composition CorpusOpsSpec pins). One
+      // hash-grain aggregation joined back ids-only
+      (s, d) => {
+        val media = Multimodal.attachPatternMedia(
+          Tpch.table(s, d, "documents"), "doc_id")
+        Multimodal.dhashKeepList(Multimodal.dhashMedia(media)).orderBy("id")
+      },
+      Some("""WITH cells AS (
+             |  SELECT d.doc_id, r.r, j.j,
+             |    sum(((d.doc_id*31) % 256 + 37*r.r + 17*(8*j.j + k.k)) % 256) AS s
+             |  FROM documents d,
+             |    (SELECT unnest(range(8)) AS r) r,
+             |    (SELECT unnest(range(9)) AS j) j,
+             |    (SELECT unnest(range(8)) AS k) k
+             |  GROUP BY 1, 2, 3),
+             |bits AS (
+             |  SELECT c1.doc_id, c1.r, c1.j,
+             |    CASE WHEN c1.s < c2.s THEN 1 ELSE 0 END AS b
+             |  FROM cells c1 JOIN cells c2
+             |    ON c1.doc_id = c2.doc_id AND c1.r = c2.r AND c2.j = c1.j + 1
+             |  WHERE c1.j < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b = 1 THEN
+             |      CASE WHEN r*8 + j = 63 THEN -9223372036854775808
+             |           ELSE (1::BIGINT << (r*8 + j)) END ELSE 0 END) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY 1),
+             |reps AS (SELECT dhash, min(doc_id) AS rep_id FROM h GROUP BY 1)
+             |SELECT h.doc_id AS id, reps.rep_id, h.doc_id = reps.rep_id AS keep
+             |FROM h JOIN reps USING (dhash) ORDER BY id""".stripMargin)),
+
     QueryDef("q92_audio_decode",
       // REAL audio codec roundtrip (the q90 pattern for sound):
       // deterministic 16-bit PCM WAV bytes per doc_id

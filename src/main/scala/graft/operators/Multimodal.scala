@@ -814,6 +814,25 @@ object Multimodal {
     cross.unionAll(within)
   }
 
+  /** Media-level exact-duplicate keep-list — (id, rep_id, keep) where
+    * the representative is the smallest id sharing the image's
+    * perceptual hash: the media analog of the text dedup keep-lists,
+    * and shaped exactly like them so it plugs straight into
+    * [[graft.operators.Curate]]'s `nearDupKeep` parameter — curation
+    * then drops documents whose ATTACHED IMAGE duplicates a kept
+    * document's image, not just textual twins.
+    *
+    * Scale shape: one hash-grain aggregation (min id per distinct
+    * fingerprint) joined back ids-only — the q54 exact-dedup shuffle
+    * with a 64-bit key.
+    */
+  def dhashKeepList(hashes: DataFrame): DataFrame = {
+    val reps = hashes.groupBy("dhash").agg(min("media_id").as("rep_id"))
+    hashes.join(reps, Seq("dhash"))
+      .select(col("media_id").as("id"), col("rep_id"),
+        (col("media_id") === col("rep_id")).as("keep"))
+  }
+
   /** Corpus-level near-dup profile: image-pair counts per Hamming
     * distance 0..`maxHamming`, aggregated from the distinct-hash pairs
     * of [[dhashNearDupPairs]] — the O(1)-sized audit a 100 TB dedup

@@ -301,6 +301,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, 1L, 0L, 2068350L)))
   }
 
+  test("multimodal curation: an image-dup twin drops through Curate's keep-list") {
+    import graft.operators.{Curate, Multimodal}
+    // docs 1 and 257 have DIFFERENT long texts but IDENTICAL pattern
+    // rasters (257 ≡ 1 mod 256): text-only dedup keeps both, the media
+    // keep-list drops the higher id
+    // filler passes the quality gate: >= 10 tokens, mean length in
+    // [3, 10], stopwords present, no punctuation
+    val filler = Seq.fill(4)("the and data word line part").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $filler"), (2L, s"beta $filler"), (257L, s"gamma $filler"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachPatternMedia(docs, "doc_id")
+    val keep = Multimodal.dhashKeepList(Multimodal.dhashMedia(media))
+      .filter(col("keep")).select(col("id"))
+    val curated = Curate(docs, "doc_id", "text", nearDupKeep = Some(keep))
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated === Set(1L, 2L),
+      s"doc 257's image duplicates doc 1's raster and must drop: $curated")
+    // without the media keep-list all three survive (texts differ)
+    assert(Curate(docs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L, 257L))
+  }
+
   test("vocabGrowth: first-seen accounting at quantile checkpoints") {
     // firsts: a→1, b→1, c→2, d→4 → nf = d1:2, d2:1, d3:0, d4:1
     // 2 buckets: median boundary 2.5 → (2 docs, vocab 3); end → (4, 4)
