@@ -419,6 +419,35 @@ object CatalogSearch {
              |SELECT h.doc_id AS id, reps.rep_id, h.doc_id = reps.rep_id AS keep
              |FROM h JOIN reps USING (dhash) ORDER BY id""".stripMargin)),
 
+    QueryDef("q189_audio_fingerprint",
+      // REAL audio fingerprinting (the dHash idea for sound): the
+      // pattern waveform (65 integer-aligned amplitude steps with
+      // id-dependent wraps) decodes and hashes on delta signs of
+      // bucket means — cross-multiplied integer compares, no float.
+      // The oracle replays generator arithmetic + the full 64-bit
+      // construction incl. two's-complement bit 63; near-dup banding
+      // reuses the q167 machinery verbatim (the fingerprint column is
+      // the only difference)
+      (s, d) => {
+        val media = Multimodal.attachPatternAudio(
+          Tpch.table(s, d, "documents"), "doc_id")
+        Multimodal.audioHashMedia(media).orderBy("media_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, k.k,
+             |    ((doc_id*31) % 8192 + 389*k.k) % 8192 AS v
+             |  FROM documents, (SELECT unnest(range(65)) AS k) k),
+             |bits AS (
+             |  SELECT b1.doc_id, b1.k,
+             |    CASE WHEN b1.v < b2.v THEN 1 ELSE 0 END AS bit
+             |  FROM b b1 JOIN b b2 ON b1.doc_id = b2.doc_id AND b2.k = b1.k + 1
+             |  WHERE b1.k < 64)
+             |SELECT doc_id AS media_id,
+             |  CAST(sum(CASE WHEN bit = 1 THEN
+             |    CASE WHEN k = 63 THEN -9223372036854775808
+             |         ELSE (1::BIGINT << k) END ELSE 0 END) AS BIGINT) AS ahash
+             |FROM bits GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
     QueryDef("q92_audio_decode",
       // REAL audio codec roundtrip (the q90 pattern for sound):
       // deterministic 16-bit PCM WAV bytes per doc_id

@@ -814,6 +814,97 @@ object Multimodal {
     cross.unionAll(within)
   }
 
+  /** Deterministic NON-constant waveform for the audio-fingerprint
+    * corpus: mono 16-bit PCM at 8 kHz, 520 frames = 65 integer-aligned
+    * buckets of 8 frames, bucket k holding the constant amplitude
+    * `((id·31) % 8192 + 389·k) % 8192` — the audio twin of
+    * [[synthPatternImageBytes]]'s wrapping ramp (a constant signal
+    * would fingerprint to all-zero). Same class structure: ids
+    * congruent mod 8192/gcd(31,8192)=8192 share a waveform; nearby
+    * offsets differ at few wrap positions.
+    */
+  def synthPatternWavBytes(id: Long): Array[Byte] = {
+    val (rate, frames) = (8000, 520)
+    val a = ((id * 31) % 8192).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    var f = 0
+    while (f < frames) {
+      val v = (a + 389 * (f / 8)) % 8192
+      pcm(2 * f) = (v & 0xff).toByte
+      pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
+      f += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** [[attachAudio]]'s sibling for the pattern-waveform corpus. */
+  def attachPatternAudio(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        Row(id, synthPatternWavBytes(id), "wav")
+      }
+    }(enc)
+  }
+
+  /** 64-bit audio difference fingerprint — the dHash idea applied to
+    * sound (the public spectral/energy delta-sign family, simplified
+    * to the time domain): the decoded PCM's FIRST channel collapses to
+    * 65 equal time buckets and bit k is set iff bucket k's mean
+    * amplitude is strictly below bucket k+1's. Same engine-exact
+    * contracts as [[dHash64]]: integer bucket assignment
+    * `k = frame·65 div n`, cross-multiplied integer rational mean
+    * compares, no float anywhere. Requires ≥ 65 frames of 16-bit PCM.
+    */
+  def audioHash64(bytes: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16, "expected 16-bit PCM")
+      val n = ais.getFrameLength
+      require(n >= 65, s"audio fingerprint needs >= 65 frames, got $n")
+      val pcm = ais.readAllBytes()
+      val fs = fmt.getFrameSize
+      val le = !fmt.isBigEndian
+      val sums = new Array[Long](65)
+      val counts = new Array[Long](65)
+      var f = 0L
+      while (f < n) {
+        val i = (f * fs).toInt // first channel of the frame
+        val v = if (le) ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+                else ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+        val k = ((f * 65) / n).toInt
+        sums(k) += v
+        counts(k) += 1
+        f += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (sums(k) * counts(k + 1) < sums(k + 1) * counts(k))
+          hash |= 1L << k
+        k += 1
+      }
+      hash
+    } finally ais.close()
+  }
+
+  /** Partition-batched audio fingerprinting: (media_id, ahash). */
+  def audioHashMedia(media: DataFrame, partitions: Int = 0): DataFrame =
+    mapMedia(media, partitions, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))) { r =>
+      Row(r.getLong(0), audioHash64(r.get(1).asInstanceOf[Array[Byte]]))
+    }
+
   /** Media-level exact-duplicate keep-list — (id, rep_id, keep) where
     * the representative is the smallest id sharing the image's
     * perceptual hash: the media analog of the text dedup keep-lists,

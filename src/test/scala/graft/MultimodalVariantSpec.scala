@@ -302,6 +302,30 @@ class MultimodalVariantSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length > 1)
   }
 
+  test("audioHash64: ramp sets bits, flat is zero, distributed equals driver") {
+    // rising pattern waveform: every non-wrap step sets its bit; a
+    // CONSTANT signal (the q92 synth corpus) fingerprints to zero
+    assert(Multimodal.audioHash64(Multimodal.synthWavBytes(0L)) === 0L)
+    val h5 = Multimodal.audioHash64(Multimodal.synthPatternWavBytes(5L))
+    assert(h5 !== 0L)
+    // distributed path matches the driver-side hash; same-class ids
+    // (mod 8192 in the offset) collide exactly
+    val docs = spark.range(32).select(col("id").as("doc_id"))
+    val out = Multimodal.audioHashMedia(
+        Multimodal.attachPatternAudio(docs, "doc_id"), partitions = 4)
+      .orderBy("media_id").as[(Long, Long)].collect()
+    out.foreach { case (id, h) =>
+      assert(h === Multimodal.audioHash64(Multimodal.synthPatternWavBytes(id)))
+    }
+    assert(out.map(_._2).distinct.length > 1, "fingerprints must be informative")
+    // the banded near-dup machinery is fingerprint-agnostic: renaming
+    // the column reuses the q167 path for audio
+    val stats = Multimodal.dhashNearDupStats(
+      Multimodal.audioHashMedia(Multimodal.attachPatternAudio(docs, "doc_id"))
+        .withColumnRenamed("ahash", "dhash"), maxHamming = 3)
+    assert(stats.columns.sameElements(Array("hamming", "n_pairs")))
+  }
+
   test("dhashNearDupPairs: banding finds every pair <= 3 bits, classes multiply") {
     // distinct hashes: h1; h2 = h1 with 2 low bits flipped (band 0
     // differs, bands 1-3 agree → candidate, hamming 2); h3 = h1 with
