@@ -2080,14 +2080,15 @@ object CatalogPipeline {
              |  FROM events GROUP BY 1, 2),
              |wn AS (SELECT event_type, bucket,
              |    count(*) OVER tw AS nt, count(*) OVER lw AS nl,
-             |    sum(x) OVER tw AS trail_cents, sum(x) OVER lw AS lead_cents
+             |    CAST(sum(x) OVER tw AS BIGINT) AS trail_cents,
+             |    CAST(sum(x) OVER lw AS BIGINT) AS lead_cents
              |  FROM hb WINDOW
              |    tw AS (PARTITION BY event_type ORDER BY bucket
              |           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
              |    lw AS (PARTITION BY event_type ORDER BY bucket
              |           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING))
              |SELECT event_type, bucket, trail_cents, lead_cents,
-             |  lead_cents - trail_cents AS diff_cents
+             |  CAST(lead_cents - trail_cents AS BIGINT) AS diff_cents
              |FROM wn WHERE nt = 24 AND nl = 24
              |  AND abs(lead_cents - trail_cents) >= 40000
              |ORDER BY event_type, bucket""".stripMargin)),
@@ -2186,8 +2187,9 @@ object CatalogPipeline {
       Some("""WITH hb AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
              |    sum(CAST(round(value*100) AS BIGINT)) AS x
              |  FROM events GROUP BY 1, 2)
-             |SELECT a.event_type, a.bucket, a.x AS cents,
-             |  b.x AS prior_cents, a.x - b.x AS residual_cents
+             |SELECT a.event_type, a.bucket, CAST(a.x AS BIGINT) AS cents,
+             |  CAST(b.x AS BIGINT) AS prior_cents,
+             |  CAST(a.x - b.x AS BIGINT) AS residual_cents
              |FROM hb a JOIN hb b
              |  ON a.event_type = b.event_type
              |  AND b.bucket + INTERVAL 24 HOURS = a.bucket

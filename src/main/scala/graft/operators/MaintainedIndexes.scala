@@ -991,7 +991,11 @@ final class MaintainedDhashIndex(gs: GraphStore, label: String,
     }.reduce(_ || _)
     log.probe(pred)
       .select(col("id"), col("dhash")).distinct()
-      .withColumn("hamming", bit_count(expr(s"dhash ^ ${qh}L")).cast("long"))
+      // column API, not expr-string interpolation: Long.MinValue has no
+      // valid SQL literal spelling (unary minus over an out-of-range
+      // positive literal fails to parse), and lit() sidesteps any
+      // string-building entirely
+      .withColumn("hamming", bit_count(col("dhash").bitwiseXOR(lit(qh))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming"), col("id"))
   }

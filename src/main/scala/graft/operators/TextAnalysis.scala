@@ -570,16 +570,19 @@ object TextAnalysis {
       .groupBy("token").agg(min("__id").as("__first"))
       .groupBy(col("__first").as("__id"))
       .agg(count(lit(1)).as("__nf"))
-    val docs = df.select(col(idCol).cast("double").as("__id"))
-      .join(firsts.select(col("__id").cast("double").as("__id"), col("__nf")),
-        Seq("__id"), "left")
+    // join on the ORIGINAL id type — a double-cast key loses precision
+    // for ids ≥ 2^53 and silently merges/drops first-seen counts
+    val docs = df.select(col(idCol).as("__id"))
+      .join(firsts, Seq("__id"), "left")
       .na.fill(0L, Seq("__nf"))
     val bounds = df.select(
         percentile(col(idCol), typedLit((1 to buckets).map(_.toDouble / buckets)))
           .as("qs"))
       .head().getSeq[Double](0)
     val checks = (1 to buckets).flatMap { k =>
-      val b = bounds(k - 1)
+      // integer id ≤ double quantile b  ⟺  id ≤ floor(b): compare longs
+      // against the floored bound so no id ever routes through a double
+      val b = math.floor(bounds(k - 1)).toLong
       Seq(count(when(col("__id") <= b, 1)).cast("long").as(s"__d$k"),
         coalesce(sum(when(col("__id") <= b, col("__nf"))), lit(0L)).as(s"__v$k"))
     }

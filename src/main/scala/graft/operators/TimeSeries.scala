@@ -456,8 +456,15 @@ object TimeSeries {
     */
   def ewma(df: DataFrame, seriesCol: String, tsCol: String,
       valueCol: String, lookback: Int): DataFrame = {
-    require(lookback >= 1 && lookback <= 62,
-      "lookback must be in [1, 62] (2^m must stay in int64)")
+    // the numerator folds x·2^(m−1) for the newest bucket, so the safe
+    // bound is data-dependent: |cents| must stay ≤ 2^(63−lookback).
+    // Cap at 32 → any hourly bucket sum up to 2^31 cents (~$21M/hour
+    // per series) is exact; beyond that the fold would overflow int64
+    // (ANSI mode aborts rather than wrapping, but the cap keeps the
+    // envelope honest instead of leaning on the abort)
+    require(lookback >= 1 && lookback <= 32,
+      "lookback must be in [1, 32] (cents·2^lookback must stay in int64; " +
+        "at 32 any hourly sum < 2^31 cents is exact)")
     val hourly = df
       .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("bucket"))
       .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("x"))

@@ -633,8 +633,9 @@ object PipelineQueries {
       Seq(ParamSpec("lookback", "long", required = false, default = Some(8L))),
       ps => {
         val lookback = intParam(ps, "lookback")
-        if (lookback > 62)
-          throw new BadRequestException("'lookback' must be <= 62 (int64 weights)")
+        if (lookback > 32)
+          throw new BadRequestException(
+            "'lookback' must be <= 32 (cents*2^lookback must stay in int64)")
         graft.operators.TimeSeries.ewma(
           graft.QueryDef.events(spark, sfDir), "event_type", "ts", "value", lookback)
       }))

@@ -229,8 +229,9 @@ object Streams {
     * divide rounded to 6. O(lookback) state per series.
     */
   def ewmaStream(events: Dataset[EwEvent], lookback: Int): Dataset[EwOut] = {
-    require(lookback >= 1 && lookback <= 62,
-      "lookback must be in [1, 62] (2^m must stay in int64)")
+    require(lookback >= 1 && lookback <= 32,
+      "lookback must be in [1, 32] (cents·2^lookback must stay in int64; " +
+        "matches the batch operator's envelope)")
     import events.sparkSession.implicits._
     def cents(v: Double): Long =
       BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -240,18 +241,34 @@ object Streams {
         (series: String, rows: Iterator[EwEvent], state: GroupState[EwState]) =>
           val sorted = rows.toSeq.sortBy(_.ts.getTime)
           var buf = state.getOption.map(_.buckets).getOrElse(Nil)
-          val out = sorted.map { e =>
+          val out = sorted.flatMap { e =>
             val bucket = e.ts.getTime - Math.floorMod(e.ts.getTime, 3600000L)
             val c = cents(e.value)
-            buf = buf.lastOption match {
-              case Some((b, s)) if b == bucket => buf.init :+ ((b, s + c))
-              case _ => (buf :+ ((bucket, c))).takeRight(lookback)
+            // a bucket older than the buffer tail was already evicted:
+            // folding it in as the NEWEST entry would weight a stale
+            // hour as current and evict a genuinely newer bucket, so
+            // drop it (too-late-for-state, same contract as a
+            // watermark). Within the buffer, merge-or-insert at sorted
+            // position so cross-micro-batch ordering matches the batch
+            // operator's per-series sort.
+            if (buf.nonEmpty && bucket < buf.head._1 && buf.length >= lookback) None
+            else {
+              buf =
+                if (buf.exists(_._1 == bucket))
+                  buf.map { case (b, s) =>
+                    if (b == bucket) (b, Math.addExact(s, c)) else (b, s) }
+                else
+                  ((bucket, c) :: buf).sortBy(_._1).takeRight(lookback)
+              // exact int64 fold, overflow fails loudly rather than
+              // silently wrapping (driver-side Long arithmetic has no
+              // ANSI guard — addExact/multiplyExact supply one)
+              var s = 0L; var p = 1L
+              buf.foreach { case (_, x) =>
+                s = Math.addExact(s, Math.multiplyExact(x, p)); p = Math.multiplyExact(p, 2L) }
+              val ewma = BigDecimal(s.toDouble / (p - 1).toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              Some(EwOut(series, bucket, buf.length.toLong, ewma))
             }
-            var s = 0L; var p = 1L
-            buf.foreach { case (_, x) => s += x * p; p *= 2 }
-            val ewma = BigDecimal(s.toDouble / (p - 1).toDouble)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            EwOut(series, bucket, buf.length.toLong, ewma)
           }
           state.update(EwState(buf))
           out.iterator

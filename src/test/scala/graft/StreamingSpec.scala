@@ -154,6 +154,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ewma handles out-of-order events: in-buffer lates merge " +
+      "at sorted position, too-late events are dropped") {
+    import graft.streaming.Streams.EwEvent
+    implicit val sqlCtx = spark.sqlContext
+    def ev(hour: Long, v: Double) =
+      EwEvent("s", new java.sql.Timestamp(hour * 3600000L), v)
+    val input = MemoryStream[EwEvent]
+    val q = Streams.ewmaStream(input.toDS(), lookback = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_ooo").start()
+    // batch 1: hours 1, 3, 4 (buffer full at lookback=3)
+    input.addData(Seq(ev(1, 1.0), ev(3, 3.0), ev(4, 4.0))); q.processAllAvailable()
+    // batch 2: hour 2 arrives LATE — older than the newest bucket but
+    // inside [tail, head]: it must slot between 1 and 3, evicting hour
+    // 1 (the oldest), NOT be appended as the newest window entry
+    input.addData(Seq(ev(2, 2.0))); q.processAllAvailable()
+    // batch 3: hour 0 is older than the buffer tail (2) with a full
+    // buffer — already evicted territory, must be dropped (no emission)
+    input.addData(Seq(ev(0, 9.0))); q.processAllAvailable()
+    val emitted = spark.sql(
+        "select series, bucketMs, n_window, ewma from ewma_ooo")
+      .collect().map(r => (r.getLong(1) / 3600000L, r.getLong(2), r.getDouble(3)))
+    q.stop()
+    // the too-late hour-0 event produced nothing
+    assert(!emitted.exists(_._1 == 0L), s"too-late event emitted: $emitted")
+    // the late hour-2 emission reflects the SORTED buffer [2,3,4]:
+    // (200·1 + 300·2 + 400·4) / 7 = 2400/7 cents
+    val lateEmit = emitted.last
+    assert(lateEmit._1 === 2L && lateEmit._2 === 3L)
+    assert(lateEmit._3 === BigDecimal(2400.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"late event not merged at sorted position: $lateEmit")
+  }
+
   test("streaming rolling z-score equals the batch operator across batch splits") {
     import graft.streaming.Streams.ZEvent
     implicit val sqlCtx = spark.sqlContext

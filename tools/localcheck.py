@@ -41,23 +41,25 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     ok = True
     for c in got.columns:
         a, b = got[c].values, exp[c].values
+        # driver-strict: the driver hashes STRINGIFIED values, so an
+        # int64 125646 vs a float64 125646.0 (DuckDB HUGEINT sums come
+        # back as float64 through pandas) is a FAIL, not a match. Gate
+        # on dtype kind first so the mismatch is named, then compare
+        # the stringified values exactly like the driver does.
+        ka = a.dtype.kind if hasattr(a.dtype, "kind") else "O"
+        kb = b.dtype.kind if hasattr(b.dtype, "kind") else "O"
+        num = {"i", "u", "f"}
+        if ka != kb and (ka in num or kb in num) and not (ka == "O" or kb == "O"):
+            fails.append((name, f"col {c} dtype kind mismatch: spark {a.dtype} vs oracle {b.dtype} "
+                                f"(driver stringifies: int 1 != float 1.0)"))
+            ok = False; break
         try:
-            if (a.dtype == object or b.dtype == object
-                    or np.issubdtype(a.dtype, np.datetime64)
-                    or np.issubdtype(b.dtype, np.datetime64)):
-                # str-compare: NaT != NaT under numpy equality, but a
-                # null timestamp must equal a null timestamp (the
-                # driver hashes stringified values, where NaT is stable)
-                eq = all(str(x) == str(y) for x, y in zip(a, b))
-            else:
-                eq = (pd.Series(a).astype('float64').equals(pd.Series(b).astype('float64'))
-                      if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating)
-                      else list(a) == list(b))
-        except Exception as e:
+            eq = all(str(x) == str(y) for x, y in zip(a, b))
+        except Exception:
             eq = False
         if not eq:
             mism = [(i, a[i], b[i]) for i in range(len(a)) if str(a[i]) != str(b[i])][:3]
-            fails.append((name, f"col {c} differs, e.g. {mism}")); ok = False; break
+            fails.append((name, f"col {c} differs ({a.dtype} vs {b.dtype}), e.g. {mism}")); ok = False; break
     if ok: passes.append(name)
 
 print(f"PASS {len(passes)}: {' '.join(passes)}")
