@@ -1960,6 +1960,34 @@ object CatalogPipeline {
       Some("""SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
              |  true AS recall_ok""".stripMargin)),
 
+    QueryDef("q190_ivfpq_filtered",
+      // Metadata-FILTERED ANN on the COMPOSED at-scale store (q125's
+      // contract on q112's store): the predicate (label = 3) applies to
+      // the probed cells' code rows BEFORE ADC ranking — one
+      // partition-pruned + parquet-pushed scan, never a candidate join
+      // back to the base table. The filter thins each cell ~10x, so
+      // the probe widens vs q112's unfiltered knobs (nProbe 8 -> 12 of
+      // 16 cells); audit = result count + recall@10 vs the exact
+      // top-10 OVER THE FILTERED SET, floor 6 (the q59/q112/q125
+      // discipline)
+      (s, d) => {
+        import s.implicits._
+        val emb = Tpch.table(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        val q = Tpch.table(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val ann = Similarity.ivfPqTopKFiltered(emb, "embedding", "vec_id", d,
+            q, kTop = 10, k = 16, m = 8, predicate = col("label") === 3,
+            metaCols = Seq("label"), nProbe = 12, candidates = 100)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val exact = Similarity.bruteForceTopK(
+            emb.filter(col("label") === 3), "embedding", "vec_id", q, 10)
+          .select("id").collect().map(_.getLong(0)).toSet
+        Seq((0L, ann.size.toLong, (ann & exact).size >= 6))
+          .toDF("query_id", "n_results", "recall_ok")
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_results,
+             |  true AS recall_ok""".stripMargin)),
+
     QueryDef("q80_repetition",
       // Gopher-rule repetition filters at token granularity; exact
       // per-myriad integers (10000 div) — no floating point on either

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -715,7 +715,8 @@ final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
   * intermediate.
   */
 final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
-    storageDir: String, k: Int, m: Int, ksub: Int = 16, iterations: Int = 2) {
+    storageDir: String, k: Int, m: Int, ksub: Int = 16, iterations: Int = 2,
+    metaCols: Seq[String] = Nil) {
 
   private val table = gs.tableFor(label)
   private val root = Paths.get(storageDir, "ivfpqindex", label)
@@ -734,11 +735,16 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
     Similarity.parseCodebooks(new String(Files.readAllBytes(codebooksFile),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  // metaCols ride along into the code rows (the ensureIvfPqStoreMeta
+  // layout), so a filtered probe reads attributes from the store
+  // itself instead of joining candidates back to the vertex table
   private def encoded(rows: DataFrame, cs: Seq[Seq[Double]],
       cbs: Seq[Seq[Seq[Double]]]): DataFrame =
     Similarity.pqEncodeCosine(
-      Similarity.ivfAssignCosine(rows.select(col("id"), col(vecCol).as("v")), "v", cs),
-      "id", "v", cbs, extra = Seq("ivf_cluster"))
+      Similarity.ivfAssignCosine(
+        rows.select(col("id") +: col(vecCol).as("v") +: metaCols.map(col): _*),
+        "v", cs),
+      "id", "v", cbs, extra = "ivf_cluster" +: metaCols)
 
   /** Re-train both quantizers on the current state and re-encode;
     * clears the delta and tombstone logs (compaction).
@@ -746,8 +752,8 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
   def rebuild(): Unit = log.locked {
     val through = gs.store.currentEpoch // before materializing — see appliedThrough
     val staged = gs.graph().vertices(label)
-      .select(col("id"), col(vecCol),
-        Similarity.l2normalize(col(vecCol)).as("__nv"))
+      .select(col("id") +: col(vecCol) +:
+        Similarity.l2normalize(col(vecCol)).as("__nv") +: metaCols.map(col): _*)
       .localCheckpoint(true)
     val cs = Similarity.ivfTrain(staged, "__nv", "id", k, iterations)
     val cbs = Similarity.pqTrain(staged, "__nv", "id", m, ksub, iterations)
@@ -772,7 +778,8 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
   def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
     if (Files.exists(centroidsFile) && Files.exists(codebooksFile))
       log.appendCommit(epoch,
-        staged.filter(!col("deleted")).select(col("id"), col(vecCol)),
+        staged.filter(!col("deleted"))
+          .select(col("id") +: col(vecCol) +: metaCols.map(col): _*),
         rows => encoded(rows, centroids, codebooks),
         staged)
   }
@@ -792,14 +799,32 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
     * against the store's CURRENT vectors.
     */
   def topK(query: Seq[Double], kTop: Int, nProbe: Int = 2,
-      candidates: Int = 100): DataFrame = {
+      candidates: Int = 100): DataFrame =
+    probeRanked(query, kTop, nProbe, candidates, lit(true))
+
+  /** Metadata-filtered composed probe: `predicate` (over `metaCols`)
+    * applies to the probed cells' code rows BEFORE ADC ranking — same
+    * one-scan contract as [[Similarity.ivfPqTopKFiltered]], served
+    * from the commit-maintained store so a vector committed a moment
+    * ago is findable through the filtered probe immediately.
+    */
+  def topKFiltered(query: Seq[Double], kTop: Int, predicate: Column,
+      nProbe: Int = 2, candidates: Int = 100): DataFrame = {
+    require(metaCols.nonEmpty,
+      "filtered probe needs metaCols bound at index construction")
+    probeRanked(query, kTop, nProbe, candidates, predicate)
+  }
+
+  private def probeRanked(query: Seq[Double], kTop: Int, nProbe: Int,
+      candidates: Int, predicate: Column): DataFrame = {
     val norm = math.sqrt(query.map(x => x * x).sum)
     val nq = if (norm == 0) query else query.map(_ / norm)
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (c.zip(nq).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
       .sortBy(_._1).take(nProbe).map(_._2)
     val cand = Similarity.adcScan(
-        log.probe(col("ivf_cluster").isin(probes: _*)).select("id", "codes"),
+        log.probe(col("ivf_cluster").isin(probes: _*) && predicate)
+          .select("id", "codes"),
         codebooks, nq)
       .orderBy(col("adc_dist").asc, col("id").asc)
       .limit(candidates).select("id")

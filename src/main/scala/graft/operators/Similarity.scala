@@ -780,6 +780,88 @@ object Similarity {
       .limit(kTop)
   }
 
+  /** [[ensureIvfPqStore]] variant carrying filterable METADATA columns
+    * inline in the code rows (the [[ensureLshStoreMeta]] layout applied
+    * to the COMPOSED at-scale store): (id, ivf_cluster, metaCols...,
+    * codes) partitioned by coarse cell. A predicate-constrained probe
+    * then reads the probed cells ONCE — PartitionFilters pick the cell
+    * dirs, the attribute filter pushes into the parquet row groups —
+    * and never joins candidates back against the base table to learn
+    * their attributes. Written beside the plain store under a
+    * metadata-suffixed key; same quantizer training + fingerprint
+    * discipline.
+    */
+  def ensureIvfPqStoreMeta(df: DataFrame, vecCol: String, idCol: String,
+      sfDir: String, k: Int, m: Int, metaCols: Seq[String], ksub: Int = 16,
+      iterations: Int = 2, fpSource: String = null)
+      : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import graft.model.StorePaths
+    require(metaCols.nonEmpty, "metaCols must name at least one attribute")
+    val path = ivfPqStorePath(sfDir, k, m, ksub, iterations) +
+      s"_m${metaCols.mkString("-")}"
+    val fp = StorePaths.fingerprint(
+      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
+    val cbFile = new java.io.File(path, "_codebooks.txt")
+    def current = centroidsFile(path).exists() && cbFile.exists() &&
+      StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
+        val staged = df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+            l2normalize(col(vecCol)).as("__nv") +: metaCols.map(col): _*)
+          .localCheckpoint(eager = true)
+        val cs = ivfTrain(staged, "__nv", "id", k, iterations)
+        val cbs = pqTrain(staged, "__nv", "id", m, ksub, iterations)
+        pqEncodeCosine(
+            ivfAssignCosine(staged.drop("__nv"), "v", cs),
+            "id", "v", cbs, extra = "ivf_cluster" +: metaCols)
+          .write.partitionBy("ivf_cluster").mode("overwrite").parquet(path)
+        writeCentroids(path, cs)
+        java.nio.file.Files.write(cbFile.toPath,
+          codebooksText(cbs).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        StorePaths.stamp(path, fp)
+      }
+    }
+    (df.sparkSession.read.parquet(path), readCentroids(path),
+      parseCodebooks(new String(java.nio.file.Files.readAllBytes(cbFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** Metadata-FILTERED IVF-PQ ANN top-k over the written composed store
+    * ([[ensureIvfPqStoreMeta]]) — "vector search WHERE label = x" on
+    * the store a 100 TB deployment actually runs. `predicate` applies
+    * to the probed cells' code rows BEFORE ADC ranking (parquet-pushed
+    * attribute filter beside the cell PartitionFilters, one scan), so
+    * every ADC candidate already satisfies the filter and the exact
+    * rescore never wastes a slot on a row the filter would discard.
+    * Selectivity thins each cell's yield, so filtered deployments
+    * probe MORE cells for the same k — widen `nProbe` exactly as q125
+    * widened the LSH tables; the recall audit over the FILTERED
+    * ground truth is the check that the chosen width clears the floor.
+    */
+  def ivfPqTopKFiltered(df: DataFrame, vecCol: String, idCol: String,
+      sfDir: String, query: Seq[Double], kTop: Int, k: Int, m: Int,
+      predicate: Column, metaCols: Seq[String], ksub: Int = 16,
+      iterations: Int = 2, nProbe: Int = 2, candidates: Int = 100): DataFrame = {
+    val (codes, cs, cbs) = ensureIvfPqStoreMeta(df, vecCol, idCol, sfDir, k, m,
+      metaCols, ksub, iterations)
+    val norm = math.sqrt(query.map(x => x * x).sum)
+    val nq = if (norm == 0) query else query.map(_ / norm)
+    val probes = cs.zipWithIndex
+      .map { case (c, i) => (c.zip(nq).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    val cand = adcScan(
+        codes.filter(col("ivf_cluster").isin(probes: _*) && predicate)
+          .select("id", "codes"),
+        cbs, nq)
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(candidates).select("id")
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(cand, Seq("id"))
+      .select(col("id"), round(cosine(col("__v"), vecLit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(kTop)
+  }
+
   /** Query-side LSH signature under the given hyperplanes. */
   private[graft] def querySignature(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
     planes.zipWithIndex.map { case (p, i) =>

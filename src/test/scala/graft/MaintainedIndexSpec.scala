@@ -271,6 +271,51 @@ class MaintainedIndexSpec extends SparkSpec {
       "maintenance must append deltas, never rewrite base")
   }
 
+  test("commit-maintained IVF-PQ store with metadata: a committed vector is " +
+      "findable through the FILTERED composed probe, off-label twins are not") {
+    import graft.operators.MaintainedIvfPqStore
+    val dir = tmp("ivfpqfidx")
+    // NOTE: vertices() reserves the column name "label" for the vertex
+    // TYPE, so the filterable attribute is modeled as "cat" here
+    val schema = GraphSchema.builder().vertex("emb", "id", Seq("v", "cat")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q: Seq[Double] = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    gs.txn().createVertices("emb",
+      emb.filter(col("vec_id") =!= 0 && col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("v"), col("label").as("cat"))).commit()
+
+    val ivfpq = new MaintainedIvfPqStore(gs, "emb", "v", dir, k = 8, m = 8,
+      ksub = 16, iterations = 2, metaCols = Seq("cat"))
+    ivfpq.rebuild()
+    ivfpq.bind()
+
+    // commit TWO exact twins of the query: one wearing the probed
+    // label, one off-label. The filtered composed probe must surface
+    // the on-label twin first and never the off-label one.
+    val qf = q.map(_.toFloat).toArray
+    gs.txn().createVertices("emb",
+      Seq((9001L, qf, 3), (9002L, qf, 4)).toDF("id", "v", "cat")).commit()
+    val got = ivfpq.topKFiltered(q, 10, predicate = col("cat") === 3,
+        nProbe = 6, candidates = 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head == ((9001L, 1.0)),
+      s"on-label committed twin must rank first through the filtered probe: $got")
+    assert(!got.exists(_._1 == 9002L),
+      s"off-label twin must not pass the filtered probe: $got")
+    // every survivor is on-label (predicate evaluated in the store,
+    // where the delta rows carry the committed label)
+    val onLabel = gs.graph().vertices("emb").filter(col("cat") === 3)
+      .select("id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet.subsetOf(onLabel))
+
+    // the unfiltered probe still sees both twins
+    val unfiltered = ivfpq.topK(q, 10, nProbe = 6, candidates = 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(unfiltered.take(2).map(_._1).toSet == Set(9001L, 9002L))
+  }
+
   test("commit-maintained ANN store: create/update/delete without rebuild") {
     val dir = tmp("annidx")
     val schema = GraphSchema.builder().vertex("emb", "id", Seq("v")).build()

@@ -94,4 +94,33 @@ class PqSpec extends SparkSpec {
       sf, k = 16, m = 8)
     assert(cs.size == 16 && cbs.size == 8 && cbs.forall(_.size == 16))
   }
+
+  test("filtered IVF-PQ store: cell-pruned AND attribute-pushed in one scan, " +
+      "filtered recall holds") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toSeq
+    val probe = Similarity.ivfPqTopKFiltered(emb, "embedding", "vec_id", sf,
+      q, kTop = 10, k = 16, m = 8, predicate = col("label") === 3,
+      metaCols = Seq("label"), nProbe = 12, candidates = 100)
+    val plan = probe.queryExecution.executedPlan.toString
+    // ONE scan carries both prunings: the cell dirs via PartitionFilters
+    // and the attribute predicate pushed into the parquet row groups —
+    // never a candidate join back to the base table for the attribute
+    assert(plan.contains("PartitionFilters: [ivf_cluster"),
+      s"filtered IVF-PQ codes read must be cluster-pruned:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("label"),
+      s"attribute predicate must push into the codes scan:\n$plan")
+    // every result satisfies the predicate, and recall@10 vs the exact
+    // top-10 OVER THE FILTERED SET clears the q125 floor
+    val got = probe.select("id").collect().map(_.getLong(0)).toSet
+    val eligible = emb.filter(col("label") === 3)
+    val exact = Similarity.bruteForceTopK(eligible, "embedding", "vec_id", q, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val eligibleIds = eligible.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(eligibleIds), "a filtered probe returned an off-label id")
+    assert((got & exact).size >= 6, s"filtered recall too low: ${(got & exact).size}/10")
+  }
 }
