@@ -57,6 +57,37 @@ private[graft] object StorePaths {
     Files.deleteIfExists(p)
   }
 
+  /** Sweep the WHOLE store root for pre-upgrade orphans in one pass —
+    * the eager complement of [[gcLegacy]]'s lazy per-key cleanup
+    * (which only fires when the legacy dir's NEW key is touched, so a
+    * source dir nobody queries again leaves its orphan forever).
+    * A directory is reclaimed iff BOTH (a) its name lacks the
+    * `-xxxxxxxx` hash suffix every current key carries, and (b) its
+    * children include a `_SOURCE_FINGERPRINT`-stamped store — the
+    * marker only this library writes. Anything else under the root
+    * (including a user directory that merely shares the sanitized
+    * shape) is never touched. Returns the number of dirs removed.
+    * Exposed through `POST /admin/compact` so operators reclaim the
+    * space on the same call that compacts the row stores.
+    */
+  def gcStores(): Int = try {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) return 0
+    val suffixed = ".*-[0-9a-f]{8}$".r
+    var removed = 0
+    Dirs.withList(r)(_.forEach { child =>
+      val name = child.getFileName.toString
+      if (Files.isDirectory(child) && suffixed.findFirstIn(name).isEmpty) {
+        var isOurs = false
+        Dirs.withList(child)(_.forEach { store =>
+          if (Files.exists(store.resolve("_SOURCE_FINGERPRINT"))) isOurs = true
+        })
+        if (isOurs) { deleteRecursively(child); removed += 1 }
+      }
+    })
+    removed
+  } catch { case _: java.io.IOException => 0 } // best-effort cleanup
+
   /** Cheap filesystem fingerprint of a source table (file count, total
     * bytes, max mtime — no Spark job, parquet footers unread). Empty
     * when the source path does not exist; an empty fingerprint means

@@ -917,9 +917,21 @@ object Multimodal {
     * fingerprint) joined back ids-only — the q54 exact-dedup shuffle
     * with a 64-bit key.
     */
-  def dhashKeepList(hashes: DataFrame): DataFrame = {
-    val reps = hashes.groupBy("dhash").agg(min("media_id").as("rep_id"))
-    hashes.join(reps, Seq("dhash"))
+  def dhashKeepList(hashes: DataFrame): DataFrame =
+    fingerprintKeepList(hashes, "dhash")
+
+  /** [[dhashKeepList]] for AUDIO fingerprints ([[audioHashMedia]]'s
+    * `ahash` column): min-id representative per perceptual-fingerprint
+    * class, so curation drops documents whose ATTACHED AUDIO
+    * duplicates a kept document's waveform (the q188 image composition
+    * applied to the sound tier).
+    */
+  def audioKeepList(hashes: DataFrame): DataFrame =
+    fingerprintKeepList(hashes, "ahash")
+
+  private def fingerprintKeepList(hashes: DataFrame, hashCol: String): DataFrame = {
+    val reps = hashes.groupBy(hashCol).agg(min("media_id").as("rep_id"))
+    hashes.join(reps, Seq(hashCol))
       .select(col("media_id").as("id"), col("rep_id"),
         (col("media_id") === col("rep_id")).as("keep"))
   }

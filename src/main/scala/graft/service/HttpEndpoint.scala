@@ -194,7 +194,11 @@ final class HttpEndpoint(
         val label = field("label").getOrElse(
           throw new QueryService.BadRequestException("'label' required"))
         gs.store.compactCurrent(gs.tableFor(label))
-        reply(ex, 200, s"""{"compacted": "$label"}""")
+        // same call reclaims pre-upgrade orphan dirs under the shared
+        // materialized-store root (fingerprint-stamped, unsuffixed —
+        // see StorePaths.gcStores; never touches anything else)
+        val gced = graft.model.StorePaths.gcStores()
+        reply(ex, 200, s"""{"compacted": "$label", "stores_gced": $gced}""")
       case other => reply(ex, 404, err(s"no such admin route: $other"))
     }
   }

@@ -301,6 +301,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, 1L, 0L, 2068350L)))
   }
 
+  test("multimodal curation: an AUDIO-dup twin drops through Curate's keep-list") {
+    import graft.operators.{Curate, Multimodal}
+    // docs 1 and 8193 have DIFFERENT texts but IDENTICAL pattern
+    // waveforms (8193 ≡ 1 mod 8192, the generator's amplitude wrap):
+    // text-only dedup keeps both, the audio keep-list drops the
+    // higher id. doc 2's waveform is unique, so it survives
+    val filler = Seq.fill(4)("the and data word line part").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $filler"), (2L, s"beta $filler"), (8193L, s"gamma $filler"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachPatternAudio(docs, "doc_id")
+    val keep = Multimodal.audioKeepList(Multimodal.audioHashMedia(media))
+      .filter(col("keep")).select(col("id"))
+    val curated = Curate(docs, "doc_id", "text", nearDupKeep = Some(keep))
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated === Set(1L, 2L),
+      s"doc 8193's audio duplicates doc 1's waveform and must drop: $curated")
+    // without the audio keep-list all three survive (texts differ)
+    assert(Curate(docs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L, 8193L))
+  }
+
   test("multimodal curation: an image-dup twin drops through Curate's keep-list") {
     import graft.operators.{Curate, Multimodal}
     // docs 1 and 257 have DIFFERENT long texts but IDENTICAL pattern

@@ -629,7 +629,33 @@ class ServiceSpec extends SparkSpec {
       // vacuum + compact succeed on a live table
       assert(post(port, "/admin/vacuum", """{"label":"acct","keep":1}""").statusCode() == 200)
       assert(post(port, "/admin/vacuum", """{"label":"acct","keep":0}""").statusCode() == 400)
-      assert(post(port, "/admin/compact", """{"label":"acct"}""").statusCode() == 200)
+      // compact also sweeps the materialized-store root for
+      // pre-upgrade orphans: an UNSUFFIXED dir holding a fingerprint-
+      // stamped store goes; a suffixed (current-key) dir and a user
+      // dir with no stamp are untouched
+      val storeRoot = java.nio.file.Paths.get(graft.model.StorePaths.root)
+      val legacy = storeRoot.resolve("_root_testdata_legacy")
+      val current = storeRoot.resolve("_root_testdata_legacy-0123abcd")
+      val foreign = storeRoot.resolve("unrelated_user_dir")
+      for (d <- Seq(legacy, current, foreign)) {
+        java.nio.file.Files.createDirectories(d.resolve("somestore"))
+        if (d != foreign)
+          java.nio.file.Files.writeString(
+            d.resolve("somestore").resolve("_SOURCE_FINGERPRINT"), "1_2_3")
+      }
+      val comp = post(port, "/admin/compact", """{"label":"acct"}""")
+      assert(comp.statusCode() == 200 && comp.body().contains("\"stores_gced\""))
+      assert(!java.nio.file.Files.exists(legacy),
+        "unsuffixed stamped legacy store dir must be reclaimed")
+      assert(java.nio.file.Files.exists(current),
+        "current (hash-suffixed) store dirs must survive the sweep")
+      assert(java.nio.file.Files.exists(foreign),
+        "a dir without the library's fingerprint stamp must never be touched")
+      java.nio.file.Files.deleteIfExists(current.resolve("somestore").resolve("_SOURCE_FINGERPRINT"))
+      java.nio.file.Files.deleteIfExists(current.resolve("somestore"))
+      java.nio.file.Files.deleteIfExists(current)
+      java.nio.file.Files.deleteIfExists(foreign.resolve("somestore"))
+      java.nio.file.Files.deleteIfExists(foreign)
       assert(gs.graph().vertexFrame("acct").count() == 2)
       // gates: read-only → 403; artifact not attached → 404
       assert(post(roPort, "/admin/regenerate").statusCode() == 403)
