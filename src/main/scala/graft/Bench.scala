@@ -43,7 +43,9 @@ object Bench {
     "q137_novelty",       // directional window-novelty audit (round 8)
     "q140_funnel",        // windowed conversion funnel (round 8)
     "q162_session_records", // per-session rollup, shared window sort (round 8)
-    "q167_dhash_neardups")  // perceptual-hash near-dup profile (round 8)
+    "q167_dhash_neardups",  // perceptual-hash near-dup profile (round 8)
+    "q190_ivfpq_filtered",  // metadata-filtered composed ANN probe (round 9)
+    "q191_audio_curate")    // curation + audio-fingerprint keep-list (round 9)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

@@ -461,8 +461,10 @@ object CatalogSearch {
       (s, d) => {
         val docs = Tpch.table(s, d, "documents")
         val media = Multimodal.attachPatternAudio(docs, "doc_id")
-        val keep = Multimodal.audioKeepList(Multimodal.audioHashMedia(media))
-          .filter(col("keep")).select(col("id"))
+        // keepIds, not keepList: the single-aggregation form evaluates
+        // the codec map ONCE (the triple-decode composition failed the
+        // x8 gate — Multimodal.fingerprintKeepIds scaladoc)
+        val keep = Multimodal.audioKeepIds(Multimodal.audioHashMedia(media))
         graft.operators.Curate(docs, "doc_id", "text",
             nearDupKeep = Some(keep))
           .orderBy("doc_id")

@@ -162,6 +162,66 @@ object Multimodal {
     (rate, 400L + (id * 11) % 800, 1 + (id % 2).toInt, ((id * 5) % 16384).toInt)
   }
 
+  // --- direct SPI access for the audio codec hot loops --------------
+  //
+  // AudioSystem's static entry points funnel EVERY call through a
+  // synchronized provider lookup (sun.media JDK13Services), which
+  // convoys partition-parallel codec maps: measured on the ×8 corpus,
+  // 8 threads through AudioSystem ran 3× SLOWER than one thread.
+  // Resolving the java.desktop-declared providers ONCE per JVM via the
+  // public ServiceLoader SPI and dispatching to them directly keeps
+  // the identical real-codec semantics (same provider objects, same
+  // parse) with zero shared state between rows.
+
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    // WAV-capable readers FIRST: the JDK's provider list includes
+    // SoftMidiAudioFileReader, whose probe routes through MidiSystem —
+    // the same synchronized registry this cache exists to avoid; tried
+    // first it would re-serialize every row's decode
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+      .sortBy(r => if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1)
+  }
+
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+
+  /** [[javax.sound.sampled.AudioSystem.getAudioInputStream]] without
+    * the per-call synchronized registry walk (same providers, cached).
+    */
+  private def wavInput(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val in = new ByteArrayInputStream(bytes)
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed provider reads this audio payload")
+  }
+
+  /** [[javax.sound.sampled.AudioSystem.write]] (WAVE) without the
+    * per-call synchronized registry walk.
+    */
+  private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit = {
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, out)
+      case None => throw new IllegalArgumentException(
+        "no installed provider writes WAVE for this stream")
+    }
+  }
+
   /** Encode one deterministic 16-bit signed little-endian PCM WAV.
     * Runs on executors inside [[attachAudio]]'s partition loop.
     */
@@ -179,8 +239,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, frames)
     val out = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    writeWave(ais, out)
     out.toByteArray
   }
 
@@ -203,8 +262,7 @@ object Multimodal {
     * constant-amplitude synth corpus).
     */
   def decodeAudio(bytes: Array[Byte]): (Int, Long, Int, Long) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(bytes))
+    val ais = wavInput(bytes)
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16, "expected 16-bit PCM")
@@ -236,8 +294,7 @@ object Multimodal {
     * signal keeps its RMS bit-for-bit.
     */
   def resampleAudio(bytes: Array[Byte], targetRate: Int): Array[Byte] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(bytes))
+    val ais = wavInput(bytes)
     try {
       val fmt = ais.getFormat
       val rate = fmt.getSampleRate.toInt
@@ -262,8 +319,7 @@ object Multimodal {
       val oais = new javax.sound.sampled.AudioInputStream(
         new ByteArrayInputStream(out), ofmt, outN)
       val bos = new ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(oais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      writeWave(oais, bos)
       bos.toByteArray
     } finally ais.close()
   }
@@ -281,8 +337,7 @@ object Multimodal {
     * genuinely differ. 16-bit PCM only (the decode contract).
     */
   def resampleAudioBox(bytes: Array[Byte], targetRate: Int): Array[Byte] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(bytes))
+    val ais = wavInput(bytes)
     try {
       val fmt = ais.getFormat
       val rate = fmt.getSampleRate.toInt
@@ -323,8 +378,7 @@ object Multimodal {
       val oais = new javax.sound.sampled.AudioInputStream(
         new ByteArrayInputStream(out), ofmt, outN)
       val bos = new ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(oais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      writeWave(oais, bos)
       bos.toByteArray
     } finally ais.close()
   }
@@ -838,8 +892,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, frames.toLong)
     val out = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    writeWave(ais, out)
     out.toByteArray
   }
 
@@ -864,8 +917,7 @@ object Multimodal {
     * compares, no float anywhere. Requires ≥ 65 frames of 16-bit PCM.
     */
   def audioHash64(bytes: Array[Byte]): Long = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(bytes))
+    val ais = wavInput(bytes)
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16, "expected 16-bit PCM")
@@ -935,6 +987,26 @@ object Multimodal {
       .select(col("media_id").as("id"), col("rep_id"),
         (col("media_id") === col("rep_id")).as("keep"))
   }
+
+  /** Just the ids a media-dedup pass KEEPS — the left-semi side of the
+    * curation composition, in ONE pass over the fingerprint frame.
+    * The (id, rep_id, keep) triple above references `hashes` twice
+    * (per-class reps joined back), which RE-RUNS an expensive codec
+    * input once per reference — composing it directly over
+    * [[dhashMedia]]/[[audioHashMedia]] triples the decode work (the
+    * ×8 ScaleCheck caught q191 at ratio 16 doing exactly that). The
+    * keep ids are simply the per-class min: one hash aggregation with
+    * map-side partials, no join, codec pass evaluated once.
+    */
+  def dhashKeepIds(hashes: DataFrame): DataFrame =
+    fingerprintKeepIds(hashes, "dhash")
+
+  /** [[dhashKeepIds]] for audio fingerprints. */
+  def audioKeepIds(hashes: DataFrame): DataFrame =
+    fingerprintKeepIds(hashes, "ahash")
+
+  private def fingerprintKeepIds(hashes: DataFrame, hashCol: String): DataFrame =
+    hashes.groupBy(hashCol).agg(min("media_id").as("id")).select("id")
 
   /** Corpus-level near-dup profile: image-pair counts per Hamming
     * distance 0..`maxHamming`, aggregated from the distinct-hash pairs

@@ -173,8 +173,25 @@ object PipelineQueries {
             graft.operators.Similarity.hammingTopK(
               Tpch.table(spark, sfDir, "embeddings"), "embedding", "vec_id",
               vec, k, candidates = math.max(64, 4 * k))
+          case "ivfpq" =>
+            // the composed at-scale store (q112/q190 surface): cell-
+            // pruned ADC scan; with 'label' the predicate applies to
+            // the probed code rows before ranking (widened nProbe
+            // compensates filter selectivity)
+            val emb = Tpch.table(spark, sfDir, "embeddings")
+            if (labelFilter >= 0)
+              graft.operators.Similarity.ivfPqTopKFiltered(
+                emb, "embedding", "vec_id", sfDir, vec, k, k = 16, m = 8,
+                predicate = org.apache.spark.sql.functions.col("label") === labelFilter,
+                metaCols = Seq("label"), nProbe = 12,
+                candidates = math.max(100, 10 * k))
+            else
+              graft.operators.Similarity.ivfPqTopK(
+                emb, "embedding", "vec_id", sfDir, vec, kTop = k, k = 16,
+                m = 8, nProbe = 8, candidates = math.max(100, 10 * k))
           case other =>
-            throw new BadRequestException(s"'algo' must be exact|lsh|pq|bin, got '$other'")
+            throw new BadRequestException(
+              s"'algo' must be exact|lsh|pq|bin|ivfpq, got '$other'")
         }
       }))
 
@@ -325,7 +342,11 @@ object PipelineQueries {
     service.register(PipelineQuery("curate",
       Seq(ParamSpec("train_frac", "double", required = false, default = Some(0.9)),
         ParamSpec("val_frac", "double", required = false, default = Some(0.05)),
-        ParamSpec("near_dup", "boolean", required = false, default = Some(false))),
+        ParamSpec("near_dup", "boolean", required = false, default = Some(false)),
+        // media keep-list tier (the q188/q191 compositions): drop docs
+        // whose attached image/audio perceptually duplicates a kept
+        // doc's media
+        ParamSpec("media", "string", required = false, default = Some("none"))),
       ps => {
         val tf = ps("train_frac").asInstanceOf[Double]
         val vf = ps("val_frac").asInstanceOf[Double]
@@ -335,7 +356,7 @@ object PipelineQueries {
         // the q110/q114 composition, shared with the oracle-checked
         // catalog rows; near_dup=true adds the LSH-cluster keep-list
         // tier (min-id representative per near-dup family)
-        val keep =
+        val textKeep =
           if (!ps("near_dup").asInstanceOf[Boolean]) None
           else {
             val d = docs
@@ -347,6 +368,24 @@ object PipelineQueries {
               .filter(col("id") === col("component"))
               .select(col("id").as("doc_id")))
           }
+        // keepIds (one codec pass), not keepList (joins the hashes
+        // frame back to itself — re-decodes per reference)
+        val mediaKeep = ps("media").asInstanceOf[String] match {
+          case "none" => None
+          case "image" => Some(Multimodal.dhashKeepIds(
+            Multimodal.dhashMedia(Multimodal.attachPatternMedia(docs, "doc_id"))))
+          case "audio" => Some(Multimodal.audioKeepIds(
+            Multimodal.audioHashMedia(Multimodal.attachPatternAudio(docs, "doc_id"))))
+          case other => throw new BadRequestException(
+            s"'media' must be none|image|audio, got '$other'")
+        }
+        // both keep-lists compose as successive left-semi joins (ids
+        // only): intersect here so Curate sees one list
+        val keep = (textKeep, mediaKeep) match {
+          case (Some(t), Some(m)) =>
+            Some(t.join(m.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi"))
+          case (t, m) => t.orElse(m)
+        }
         graft.operators.Curate(docs, "doc_id", "text",
           Seq("train" -> tf, "val" -> vf), nearDupKeep = keep)
       }))

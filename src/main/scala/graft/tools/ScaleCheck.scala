@@ -78,7 +78,9 @@ object ScaleCheck {
     "q173_source_scorecard",    // source-grain rollup over ×N docs
     "q184_label_similarity",    // labels² after one corpus agg
     "q185_source_similarity",   // sources×vocab grain (vocab ×N here)
-    "q186_vocab_growth")        // first-seen reduce + one conditional agg
+    "q186_vocab_growth",        // first-seen reduce + one conditional agg
+    "q190_ivfpq_filtered",      // filtered composed probe: cells pruned, predicate pushed ×N
+    "q191_audio_curate")        // curation + audio keep-list: fingerprint-grain agg ×N
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)

@@ -312,8 +312,12 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, s"alpha $filler"), (2L, s"beta $filler"), (8193L, s"gamma $filler"))
       .toDF("doc_id", "text")
     val media = Multimodal.attachPatternAudio(docs, "doc_id")
-    val keep = Multimodal.audioKeepList(Multimodal.audioHashMedia(media))
-      .filter(col("keep")).select(col("id"))
+    val hashes = Multimodal.audioHashMedia(media)
+    val keep = Multimodal.audioKeepIds(hashes)
+    // the single-pass keep-ids equal the keepList's kept rows
+    assert(keep.as[Long].collect().toSet ===
+      Multimodal.audioKeepList(hashes).filter(col("keep"))
+        .select("id").as[Long].collect().toSet)
     val curated = Curate(docs, "doc_id", "text", nearDupKeep = Some(keep))
       .select("doc_id").as[Long].collect().toSet
     assert(curated === Set(1L, 2L),
@@ -335,8 +339,11 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, s"alpha $filler"), (2L, s"beta $filler"), (257L, s"gamma $filler"))
       .toDF("doc_id", "text")
     val media = Multimodal.attachPatternMedia(docs, "doc_id")
-    val keep = Multimodal.dhashKeepList(Multimodal.dhashMedia(media))
-      .filter(col("keep")).select(col("id"))
+    val hashes = Multimodal.dhashMedia(media)
+    val keep = Multimodal.dhashKeepIds(hashes)
+    assert(keep.as[Long].collect().toSet ===
+      Multimodal.dhashKeepList(hashes).filter(col("keep"))
+        .select("id").as[Long].collect().toSet)
     val curated = Curate(docs, "doc_id", "text", nearDupKeep = Some(keep))
       .select("doc_id").as[Long].collect().toSet
     assert(curated === Set(1L, 2L),

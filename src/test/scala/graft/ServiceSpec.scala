@@ -166,6 +166,15 @@ class ServiceSpec extends SparkSpec {
       Map("vector" -> vec, "k" -> "5", "algo" -> "bin"))
     assert(bann.count() == 5
       && bann.columns.sameElements(Array("id", "hamming", "cos_sim")))
+    // composed IVF-PQ store tier (q112/q190 surface): unfiltered and
+    // label-filtered probes, every filtered hit honors the predicate
+    val ipq = service.runRegistered("ann_search",
+      Map("vector" -> vec, "k" -> "5", "algo" -> "ivfpq"))
+    assert(ipq.count() == 5 && ipq.columns.sameElements(Array("id", "cos_sim")))
+    val fipq = service.runRegistered("ann_search",
+      Map("vector" -> vec, "k" -> "5", "algo" -> "ivfpq", "label" -> "3"))
+    assert(fipq.columns.sameElements(Array("id", "cos_sim")))
+    assert(fipq.collect().map(_.getLong(0)).toSet.subsetOf(labeled))
     // winnow match pairs (the q156 surface): valid ordered pairs
     val wm = service.runRegistered("winnow_matches", Map("min_shared" -> "1"))
     assert(wm.columns.sameElements(Array("id_a", "id_b", "n_shared")))
@@ -246,6 +255,17 @@ class ServiceSpec extends SparkSpec {
     assert(cu.select("split").distinct().count() <= 3 && cu.count() > 0)
     intercept[BadRequestException] {
       service.runRegistered("curate", Map("train_frac" -> "0.98", "val_frac" -> "0.05"))
+    }
+    // media keep-list tiers (the q188/q191 compositions): media dedup
+    // can only THIN the baseline curated set, and the audio tier
+    // collapses to <= one doc per fingerprint class
+    val cuAudio = service.runRegistered("curate", Map("media" -> "audio"))
+    assert(cuAudio.count() > 0 && cuAudio.count() < cu.count(),
+      "audio keep-list must drop perceptual twins from the curated set")
+    val cuImage = service.runRegistered("curate", Map("media" -> "image"))
+    assert(cuImage.count() > 0 && cuImage.count() <= cu.count())
+    intercept[BadRequestException] {
+      service.runRegistered("curate", Map("media" -> "video"))
     }
     val hy = service.runRegistered("hybrid_search",
       Map("terms" -> "spark, merge", "k" -> "5"))
