@@ -997,6 +997,65 @@ object CatalogPipeline {
            |ORDER BY g.doc_id""".stripMargin
       }),
 
+    QueryDef("q192_curate_mix",
+      // the END-TO-END training-mix flagship: the q110 curation chain
+      // (gate → exact dedup → split) feeding the mixing tier — train
+      // docs only, per-source quota cap (q93's md5-rank determinism,
+      // quota 30), then epoch-weighted repetition (q94's arithmetic:
+      // src0 2.5 epochs, src1 0.4, everything else 1). One declarative
+      // frame from raw corpus to the realized training stream; every
+      // stage is individually oracle-checked elsewhere, this row pins
+      // the full composition a data team actually ships
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val train = graft.operators.Curate(docs, "doc_id", "text")
+          .filter(col("split") === "train")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val capped = Sampling.quotaCap(train, Seq(col("source")),
+          col("doc_id"), quota = 30)
+        Sampling.epochMix(capped, col("source"), col("doc_id"),
+            Map("src0" -> 2.5, "src1" -> 0.4))
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("copy_idx"))
+          .orderBy("doc_id", "copy_idx")
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
+        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
+        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"len(list_filter($toks, " +
+          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
+        s"""WITH q AS (SELECT doc_id, text,
+           |    CAST($nTok AS BIGINT) AS n_tokens,
+           |    CAST($sumLen AS BIGINT) AS sum_token_len,
+           |    CAST($nPunct AS BIGINT) AS n_punct,
+           |    CAST($nStop AS BIGINT) AS n_stop
+           |  FROM documents),
+           |g AS (SELECT doc_id, text, n_tokens FROM q
+           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
+           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
+           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
+           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
+           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+           |c AS (SELECT g.doc_id, g.n_tokens, d2.source
+           |  FROM g JOIN r USING (doc_id) JOIN documents d2 USING (doc_id)
+           |  WHERE ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900),
+           |k AS (SELECT doc_id, n_tokens, source, row_number() OVER (
+           |    PARTITION BY source
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk
+           |  FROM c)
+           |SELECT k.doc_id, k.source, k.n_tokens, r2.range AS copy_idx
+           |FROM k, range(3) r2
+           |WHERE k.rk <= 30 AND r2.range < (CASE k.source
+           |  WHEN 'src0' THEN 2 + (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 500000 THEN 1 ELSE 0 END)
+           |  WHEN 'src1' THEN (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
+           |  ELSE 1 END)
+           |ORDER BY doc_id, copy_idx""".stripMargin
+      }),
+
     QueryDef("q116_nn_graph",
       // near-neighbor GRAPH join (the SemDeDup inspection step): for
       // EVERY vector, its cosine ≥ 0.999 neighbors ranked and capped at

@@ -87,6 +87,39 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"), col("copy_idx"))
       }))
 
+    service.register(PipelineQuery("curate_mix",
+      // the q192 end-to-end training-mix surface: curate (gate → exact
+      // dedup → split) → train only → per-source quota → epoch-weighted
+      // repetition. `epochs` is "source:weight,source:weight" pairs;
+      // unlisted sources weigh 1.0
+      Seq(ParamSpec("quota", "long", required = false, default = Some(30L)),
+        ParamSpec("epochs", "string", required = false, default = Some(""))),
+      ps => {
+        val quota = intParam(ps, "quota")
+        val weights = ps("epochs").asInstanceOf[String].split(",")
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split(":") match {
+              case Array(s, w) =>
+                val d = try w.trim.toDouble catch {
+                  case _: NumberFormatException =>
+                    throw new BadRequestException(s"bad epoch weight: '$kv'")
+                }
+                if (!java.lang.Double.isFinite(d) || d < 0)
+                  throw new BadRequestException("epoch weights must be finite and >= 0")
+                s.trim -> d
+              case _ => throw new BadRequestException(
+                s"'epochs' entries must be source:weight, got '$kv'")
+            }
+          }.toMap
+        val train = graft.operators.Curate(docs, "doc_id", "text")
+          .filter(col("split") === "train")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        Sampling.epochMix(
+            Sampling.quotaCap(train, Seq(col("source")), col("doc_id"), quota),
+            col("source"), col("doc_id"), weights)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("copy_idx"))
+      }))
+
     service.register(PipelineQuery("chunk_overlap",
       Seq(ParamSpec("size", "long", required = false, default = Some(128L)),
         ParamSpec("stride", "long", required = false, default = Some(64L))),

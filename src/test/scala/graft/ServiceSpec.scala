@@ -267,6 +267,21 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("curate", Map("media" -> "video"))
     }
+    // end-to-end training-mix surface (the q192 composition): weighted
+    // sources repeat, capped per source, unlisted sources appear once
+    val cm = service.runRegistered("curate_mix",
+      Map("quota" -> "10", "epochs" -> "src0:2.0, src1:0"))
+    assert(cm.columns.sameElements(Array("doc_id", "source", "n_tokens", "copy_idx")))
+    assert(cm.filter(col("source") === "src1").count() == 0,
+      "zero-epoch source must drop entirely")
+    val perSrc0 = cm.filter(col("source") === "src0")
+    assert(perSrc0.count() == 2 * perSrc0.select("doc_id").distinct().count(),
+      "2.0-epoch source must appear exactly twice per kept doc")
+    assert(cm.groupBy("source").agg(countDistinct("doc_id").as("n"))
+      .filter(col("n") > 10).count() == 0, "quota must cap each source")
+    intercept[BadRequestException] {
+      service.runRegistered("curate_mix", Map("epochs" -> "src0:fast"))
+    }
     val hy = service.runRegistered("hybrid_search",
       Map("terms" -> "spark, merge", "k" -> "5"))
     assert(hy.columns.sameElements(Array("doc_id", "bm25_rank", "cos_rank", "rrf")))
