@@ -46,7 +46,8 @@ object Bench {
     "q167_dhash_neardups",  // perceptual-hash near-dup profile (round 8)
     "q190_ivfpq_filtered",  // metadata-filtered composed ANN probe (round 9)
     "q191_audio_curate",    // curation + audio-fingerprint keep-list (round 9)
-    "q192_curate_mix")      // curate -> quota -> epoch-mix flagship (round 9)
+    "q192_curate_mix",      // curate -> quota -> epoch-mix flagship (round 9)
+    "q193_mix_pack")        // mixed stream packed into sequences (round 9)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.model.Tpch
-import graft.operators.{Decontaminate, Dedup, GraphAnalytics, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Decontaminate, Dedup, GraphAnalytics, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
 import graft.spatial.{Geohash, SpatialOps}
 
 /** Pipeline operator catalog: spatial queries (SURVEY.md §2.8), text
@@ -1054,6 +1054,76 @@ object CatalogPipeline {
            |  WHEN 'src1' THEN (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
            |  ELSE 1 END)
            |ORDER BY doc_id, copy_idx""".stripMargin
+      }),
+
+    QueryDef("q193_mix_pack",
+      // q192's realized training stream PACKED into fixed-length
+      // sequences (seqLen 512) — the final pre-training step: each
+      // (doc, copy) keys as doc_id·4 + copy_idx (≤ 3 copies, so the
+      // key is dense and order-preserving), the distributed bucketed
+      // prefix sum assigns every stream element its global token
+      // offset, and sequence spans fall out arithmetically. Raw corpus
+      // → gate → dedup → split → quota → epoch mix → packed sequences,
+      // one declarative frame end to end; the oracle restates the
+      // whole chain plus the single-window prefix-sum definition
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val train = graft.operators.Curate(docs, "doc_id", "text")
+          .filter(col("split") === "train")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val mixed = Sampling.epochMix(
+          Sampling.quotaCap(train, Seq(col("source")), col("doc_id"), quota = 30),
+          col("source"), col("doc_id"), Map("src0" -> 2.5, "src1" -> 0.4))
+        val keyed = mixed.select(
+          (col("doc_id") * 4 + col("copy_idx")).as("pack_id"), col("n_tokens"))
+        Packing.concatChunk(keyed, "pack_id", col("n_tokens"), seqLen = 512)
+          .orderBy("pack_id")
+      },
+      Some {
+        val toks = "string_split_regex(trim(text), '\\s+')"
+        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
+        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
+        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"len(list_filter($toks, " +
+          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
+        s"""WITH q AS (SELECT doc_id, text,
+           |    CAST($nTok AS BIGINT) AS n_tokens,
+           |    CAST($sumLen AS BIGINT) AS sum_token_len,
+           |    CAST($nPunct AS BIGINT) AS n_punct,
+           |    CAST($nStop AS BIGINT) AS n_stop
+           |  FROM documents),
+           |g AS (SELECT doc_id, text, n_tokens FROM q
+           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
+           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
+           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
+           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
+           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+           |c AS (SELECT g.doc_id, g.n_tokens, d2.source
+           |  FROM g JOIN r USING (doc_id) JOIN documents d2 USING (doc_id)
+           |  WHERE ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900),
+           |k AS (SELECT doc_id, n_tokens, source, row_number() OVER (
+           |    PARTITION BY source
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk
+           |  FROM c),
+           |m AS (SELECT k.doc_id * 4 + r2.range AS pack_id, k.n_tokens
+           |  FROM k, range(3) r2
+           |  WHERE k.rk <= 30 AND r2.range < (CASE k.source
+           |    WHEN 'src0' THEN 2 + (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 500000 THEN 1 ELSE 0 END)
+           |    WHEN 'src1' THEN (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
+           |    ELSE 1 END)),
+           |p AS (SELECT pack_id, n_tokens,
+           |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY pack_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+           |  FROM m)
+           |SELECT pack_id, n_tokens, start_offset,
+           |  start_offset // 512 AS first_seq,
+           |  CASE WHEN n_tokens > 0
+           |    THEN (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+           |    ELSE 0 END AS n_seqs
+           |FROM p ORDER BY pack_id""".stripMargin
       }),
 
     QueryDef("q116_nn_graph",

@@ -120,6 +120,32 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"), col("n_tokens"), col("copy_idx"))
       }))
 
+    service.register(PipelineQuery("mix_pack",
+      // the q193 surface: curate_mix's realized stream packed into
+      // fixed-length training sequences by the distributed prefix sum
+      Seq(ParamSpec("quota", "long", required = false, default = Some(30L)),
+        ParamSpec("epochs", "string", required = false, default = Some("")),
+        ParamSpec("seq_len", "long", required = false, default = Some(512L))),
+      ps => {
+        val seqLen = intParam(ps, "seq_len")
+        // the (doc, copy) key packs dense as doc_id·4 + copy_idx, so
+        // per-source epochs beyond 3 would collide keys — reject early
+        ps("epochs").asInstanceOf[String].split(",").map(_.trim)
+          .filter(_.nonEmpty).foreach { kv =>
+            val w = kv.split(":").lastOption.flatMap(s =>
+              scala.util.Try(s.trim.toDouble).toOption)
+            if (w.exists(_ > 3.0))
+              throw new BadRequestException(
+                "'epochs' weights above 3 are not packable (copy key is doc_id*4+copy_idx)")
+          }
+        val mixed = service.runRegistered("curate_mix",
+          Map("quota" -> ps("quota").toString, "epochs" -> ps("epochs").toString))
+        graft.operators.Packing.concatChunk(
+          mixed.select((col("doc_id") * 4 + col("copy_idx")).as("pack_id"),
+            col("n_tokens")),
+          "pack_id", col("n_tokens"), seqLen)
+      }))
+
     service.register(PipelineQuery("chunk_overlap",
       Seq(ParamSpec("size", "long", required = false, default = Some(128L)),
         ParamSpec("stride", "long", required = false, default = Some(64L))),

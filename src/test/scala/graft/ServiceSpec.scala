@@ -282,6 +282,22 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("curate_mix", Map("epochs" -> "src0:fast"))
     }
+    // packed continuation (q193 surface): offsets are the exclusive
+    // prefix sum over the dense (doc, copy) key order
+    val mp = service.runRegistered("mix_pack",
+      Map("quota" -> "10", "epochs" -> "src0:2.0, src1:0", "seq_len" -> "64"))
+    assert(mp.columns.sameElements(
+      Array("pack_id", "n_tokens", "start_offset", "first_seq", "n_seqs")))
+    val ordered = mp.orderBy("pack_id")
+      .select("n_tokens", "start_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ordered.nonEmpty)
+    assert(ordered.scanLeft(0L)(_ + _._1).zip(ordered).forall {
+      case (runSum, (_, off)) => runSum == off
+    }, "start_offset must be the exclusive prefix sum in pack_id order")
+    intercept[BadRequestException] {
+      service.runRegistered("mix_pack", Map("epochs" -> "src0:4.5"))
+    }
     val hy = service.runRegistered("hybrid_search",
       Map("terms" -> "spark, merge", "k" -> "5"))
     assert(hy.columns.sameElements(Array("doc_id", "bm25_rank", "cos_rank", "rrf")))
