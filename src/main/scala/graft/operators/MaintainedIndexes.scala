@@ -1025,3 +1025,85 @@ final class MaintainedDhashIndex(gs: GraphStore, label: String,
       .orderBy(col("hamming"), col("id"))
   }
 }
+
+/** Commit-maintained AUDIO-fingerprint index — [[MaintainedDhashIndex]]
+  * for the sound tier (q189's `ahash` over q167's banding machinery):
+  * every commit's live WAV payloads decode and fingerprint inside the
+  * write path, band rows route to the same `bb = band_idx·16 +
+  * (band_val mod 16)` bucket dirs, and a probe reads only the query
+  * waveform's ≤ 4 buckets with the exact-recall-≤-3-bits pigeonhole.
+  * A twin recording committed a moment ago is a near-dup candidate
+  * immediately — the media parity the image tier already has.
+  */
+final class MaintainedAudioIndex(gs: GraphStore, label: String,
+    bytesCol: String, storageDir: String) {
+
+  private val table = gs.tableFor(label)
+  private val log = new PartitionedDeltaLog(gs.spark,
+    Paths.get(storageDir, "ahashindex", label), Seq("bb"))
+
+  /** One commit's banded fingerprint rows: REAL decode + audioHash per
+    * live payload (partition-batched), 4 band rows each.
+    */
+  private def banded(rows: DataFrame): DataFrame = {
+    val hashed = Multimodal.audioHashMedia(
+      rows.select(col("id").as("media_id"), col(bytesCol).as("bytes"),
+        lit(null).cast("string").as("format")))
+      .select(col("media_id").as("id"), col("ahash"))
+    hashed.select(col("id"), col("ahash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("ahash"), i * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .withColumn("bb", col("band_idx") * 16 + pmod(col("band_val"), lit(16)))
+  }
+
+  /** Full (re)materialization from the store's current state; clears
+    * the delta and tombstone logs (compaction).
+    */
+  def rebuild(): Unit = log.locked {
+    val through = gs.store.currentEpoch
+    log.writeBase(banded(gs.graph().vertices(label).select(col("id"), col(bytesCol))))
+    log.recordApplied(through)
+  }
+
+  /** Apply one commit's staged row versions — shared by [[bind]] and
+    * the replica-side [[MaintainedIndexes.followCommitLog]].
+    */
+  def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
+    log.appendCommit(epoch,
+      staged.filter(!col("deleted")).select(col("id"), col(bytesCol)),
+      banded, staged)
+  }
+
+  /** Wire into the store's write path. Fails fast if another writer
+    * already binds this index directory (single-writer contract).
+    */
+  def bind(): Unit = {
+    log.acquireBinder()
+    gs.onCommit { (epoch, frames) =>
+      frames.get(table).foreach(applyCommit(epoch, _))
+    }
+  }
+
+  /** Near-duplicate recordings for raw query WAV bytes against the
+    * CURRENT committed state: fingerprint the query (driver-side, one
+    * payload), read only its ≤ 4 band-bucket dirs, verify candidates
+    * by popcount. Returns (id, ahash, hamming) ordered (hamming, id);
+    * recall is exact for `maxHamming` ≤ 3 by the banding pigeonhole.
+    */
+  def nearDups(queryBytes: Array[Byte], maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
+    val qh = Multimodal.audioHash64(queryBytes)
+    val bands = (0 until 4).map(i => (i.toLong, (qh >>> (i * 16)) & 0xffffL))
+    val bbs = bands.map { case (i, v) => i * 16 + (v % 16) }.distinct
+    val pred = col("bb").isin(bbs: _*) && bands.map { case (i, v) =>
+      col("band_idx") === i && col("band_val") === v
+    }.reduce(_ || _)
+    log.probe(pred)
+      .select(col("id"), col("ahash")).distinct()
+      .withColumn("hamming", bit_count(col("ahash").bitwiseXOR(lit(qh))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("id"))
+  }
+}

@@ -726,6 +726,27 @@ object PipelineQueries {
         else Multimodal.dhashNearDupStats(hashes, maxHam.toInt)
       }))
 
+    service.register(PipelineQuery("audio_neardups",
+      // the q189/q167 surface for SOUND: perceptual audio-fingerprint
+      // near-dup profile at distinct-fingerprint grain (the banding
+      // machinery is fingerprint-agnostic — the hash column is the
+      // only difference, bridged by a rename at each edge)
+      Seq(ParamSpec("max_hamming", "long", required = false, default = Some(3L)),
+        ParamSpec("pairs", "boolean", required = false, default = Some(false))),
+      ps => {
+        val maxHam = ps("max_hamming").asInstanceOf[Long]
+        if (maxHam < 0 || maxHam > 3)
+          throw new BadRequestException(
+            "'max_hamming' must be in [0, 3] (banded recall is exact there)")
+        val hashes = Multimodal.audioHashMedia(
+            Multimodal.attachPatternAudio(docs, "doc_id"))
+          .withColumnRenamed("ahash", "dhash")
+        if (ps("pairs").asInstanceOf[Boolean])
+          Multimodal.dhashNearDupPairs(hashes, maxHam.toInt)
+            .withColumnsRenamed(Map("dhash_a" -> "ahash_a", "dhash_b" -> "ahash_b"))
+        else Multimodal.dhashNearDupStats(hashes, maxHam.toInt)
+      }))
+
     service.register(PipelineQuery("ewma",
       // the q169 surface: dyadic-weight trend smoothing per event type
       Seq(ParamSpec("lookback", "long", required = false, default = Some(8L))),

@@ -537,4 +537,55 @@ class MaintainedIndexSpec extends SparkSpec {
       .map(_ => 5L),
       s"banded probe must have exact recall at <= 3 bits: $got3 vs $expect3")
   }
+
+  test("commit-maintained audio index: a committed recording is a near-dup candidate") {
+    import graft.operators.{MaintainedAudioIndex, Multimodal}
+    val dir = tmp("ahashidx")
+    val schema = GraphSchema.builder().vertex("clip", "id", Seq("bytes")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    // pattern waveforms repeat mod 8192 in the amplitude offset, so
+    // id 5's exact twin lives at 5 + 8192
+    val seed = (0L until 40L).map(i => (i, Multimodal.synthPatternWavBytes(i)))
+      .toDF("id", "bytes")
+    gs.txn().createVertices("clip", seed).commit()
+
+    val idx = new MaintainedAudioIndex(gs, "clip", "bytes", dir)
+    idx.rebuild()
+    idx.bind()
+
+    val query = Multimodal.synthPatternWavBytes(8197L) // exact class of id 5
+    val qh = Multimodal.audioHash64(query)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def truth(maxH: Int, ids: Seq[Long]): Set[Long] = ids.filter(i =>
+      ham(Multimodal.audioHash64(Multimodal.synthPatternWavBytes(i)), qh) <= maxH).toSet
+    val expect0 = truth(0, 0L until 40L)
+    assert(expect0.contains(5L))
+    assert(idx.nearDups(query, 0).select("id").as[Long].collect().toSet === expect0,
+      "fresh index must agree with driver recompute")
+
+    // create: a committed twin recording is a candidate IN-COMMIT
+    gs.txn().createVertices("clip",
+      Seq((9001L, Multimodal.synthPatternWavBytes(8197L))).toDF("id", "bytes")).commit()
+    assert(idx.nearDups(query, 0).select("id").as[Long].collect().toSet
+      === expect0 + 9001L, "committed recording must be findable without rebuild")
+
+    // update: id 5 re-recorded into a far class — superseded
+    gs.txn().updateVertices("clip",
+      Seq((5L, Multimodal.synthPatternWavBytes(4000L))).toDF("id", "bytes")).commit()
+    val after = idx.nearDups(query, 0).select("id").as[Long].collect().toSet
+    val keeps5 = ham(Multimodal.audioHash64(Multimodal.synthPatternWavBytes(4000L)), qh) == 0
+    assert(after === (if (keeps5) expect0 else expect0 - 5L) + 9001L,
+      "updated recording must match by its NEW waveform")
+
+    // delete: the committed twin vanishes
+    gs.txn().deleteVertices("clip", Seq(9001L).toDF("id")).commit()
+    assert(!idx.nearDups(query, 0).select("id").as[Long].collect().contains(9001L))
+
+    // wider radius stays consistent with ground truth at hamming <= 3
+    val expect3 = truth(3, (0L until 40L).filterNot(_ == 5L)) ++
+      (if (ham(Multimodal.audioHash64(Multimodal.synthPatternWavBytes(4000L)), qh) <= 3)
+        Set(5L) else Set.empty[Long])
+    assert(idx.nearDups(query, 3).select("id").as[Long].collect().toSet === expect3,
+      "banded probe must have exact recall at <= 3 bits")
+  }
 }

@@ -298,6 +298,14 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("mix_pack", Map("epochs" -> "src0:4.5"))
     }
+    // audio near-dup profile (the q189 banding surface)
+    val an = service.runRegistered("audio_neardups", Map("pairs" -> "true"))
+    assert(an.columns.sameElements(
+      Array("ahash_a", "ahash_b", "hamming", "n_pairs")))
+    assert(an.count() > 0 && an.filter(col("hamming") > 3).count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("audio_neardups", Map("max_hamming" -> "9"))
+    }
     val hy = service.runRegistered("hybrid_search",
       Map("terms" -> "spark, merge", "k" -> "5"))
     assert(hy.columns.sameElements(Array("doc_id", "bm25_rank", "cos_rank", "rrf")))
