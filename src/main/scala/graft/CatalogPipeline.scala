@@ -2101,8 +2101,14 @@ object CatalogPipeline {
       // discipline)
       (s, d) => {
         import s.implicits._
-        val emb = Tpch.table(s, d, "embeddings").filter(col("vec_id") =!= 0)
-        val q = Tpch.table(s, d, "embeddings").filter(col("vec_id") === 0)
+        // the store holds the FULL embeddings table (the q112
+        // convention — the shared store key must mean the same
+        // contents to every surface that builds it, incl. the REST
+        // ann_search ivfpq tier); the exact ground truth filters the
+        // same full table, so the self-match lands in both sets iff
+        // vec 0 wears the probed label
+        val emb = Tpch.table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         val ann = Similarity.ivfPqTopKFiltered(emb, "embedding", "vec_id", d,
             q, kTop = 10, k = 16, m = 8, predicate = col("label") === 3,

@@ -50,7 +50,12 @@ private[graft] object StorePaths {
       })
       if (isOurs) deleteRecursively(legacy)
     }
-  } catch { case _: java.io.IOException => () } // best-effort cleanup
+  } catch {
+    // DirectoryIteratorException is a RuntimeException thrown by the
+    // directory-stream ITERATOR when a concurrent deleter races us
+    // (shared tmp root, multiple JVMs) — best-effort means it too
+    case _: java.io.IOException | _: java.nio.file.DirectoryIteratorException => ()
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) Dirs.withList(p)(_.forEach(deleteRecursively))
@@ -86,7 +91,13 @@ private[graft] object StorePaths {
       }
     })
     removed
-  } catch { case _: java.io.IOException => 0 } // best-effort cleanup
+  } catch {
+    // see gcLegacy: a concurrent deleter makes the directory-stream
+    // iterator throw DirectoryIteratorException (a RuntimeException),
+    // which must not escape into the /admin/compact response after
+    // the compaction itself already succeeded
+    case _: java.io.IOException | _: java.nio.file.DirectoryIteratorException => 0
+  }
 
   /** Cheap filesystem fingerprint of a source table (file count, total
     * bytes, max mtime — no Spark job, parquet footers unread). Empty

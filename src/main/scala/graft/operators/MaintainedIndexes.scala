@@ -938,35 +938,47 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
   }
 }
 
-/** Commit-maintained perceptual-hash (dHash) index over a store-held
-  * media label — the maintained-index discipline extended to the MEDIA
-  * tier: an image committed one statement ago is already a near-dup
-  * candidate (an updated one matches by its new pixels, a deleted one
-  * is gone), no rebuild and no corpus re-decode. Rows are the 4×16-bit
-  * bands of [[Multimodal.dhashNearDupPairs]], partitioned by a 64-way
-  * band bucket `bb = band_idx·16 + (band_val mod 16)` so a probe reads
-  * only the query hash's ≤ 4 bucket dirs — the LSH-store pruning shape
-  * applied to Hamming space, with the same exact-recall-≤-3-bits
-  * pigeonhole guarantee.
+/** Shared core of the commit-maintained banded perceptual-fingerprint
+  * indexes — the maintained-index discipline extended to the MEDIA
+  * tier: a payload committed one statement ago is already a near-dup
+  * candidate (an updated one matches by its new content, a deleted one
+  * is gone), no rebuild and no corpus re-decode. Rows are 4×16-bit
+  * bands of the 64-bit fingerprint, partitioned by a 64-way band
+  * bucket `bb = band_idx·16 + (band_val mod 16)` so a probe reads only
+  * the query fingerprint's ≤ 4 bucket dirs — the LSH-store pruning
+  * shape applied to Hamming space, with the exact-recall-≤-3-bits
+  * pigeonhole guarantee. The banding machinery is fingerprint-agnostic
+  * (one implementation, two hash columns); concrete subclasses supply
+  * the decode+hash transform and the driver-side query hash.
   */
-final class MaintainedDhashIndex(gs: GraphStore, label: String,
-    bytesCol: String, storageDir: String) {
+sealed abstract class MaintainedBandedMediaIndex(gs: GraphStore,
+    label: String, bytesCol: String, storageDir: String,
+    dirName: String, hashCol: String) {
+
+  /** (media_id, bytes, format) → (media_id, `hashCol`) via the REAL
+    * partition-batched decode.
+    */
+  protected def hashMedia(media: DataFrame): DataFrame
+
+  /** Driver-side fingerprint of one raw payload (the probe side). */
+  protected def hashQuery(bytes: Array[Byte]): Long
 
   private val table = gs.tableFor(label)
   private val log = new PartitionedDeltaLog(gs.spark,
-    Paths.get(storageDir, "dhashindex", label), Seq("bb"))
+    Paths.get(storageDir, dirName, label), Seq("bb"))
 
-  /** One commit's banded hash rows: REAL decode + dHash per live image
-    * (partition-batched), 4 band rows each, routed to band buckets.
+  /** One commit's banded fingerprint rows: REAL decode + hash per live
+    * payload (partition-batched), 4 band rows each, routed to band
+    * buckets.
     */
   private def banded(rows: DataFrame): DataFrame = {
-    val hashed = Multimodal.dhashMedia(
+    val hashed = hashMedia(
       rows.select(col("id").as("media_id"), col(bytesCol).as("bytes"),
         lit(null).cast("string").as("format")))
-      .select(col("media_id").as("id"), col("dhash"))
-    hashed.select(col("id"), col("dhash"),
+      .select(col("media_id").as("id"), col(hashCol))
+    hashed.select(col("id"), col(hashCol),
       posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("dhash"), i * 16).bitwiseAND(lit(65535L))): _*))
+        shiftrightunsigned(col(hashCol), i * 16).bitwiseAND(lit(65535L))): _*))
         .as(Seq("band_idx", "band_val")))
       .withColumn("bb", col("band_idx") * 16 + pmod(col("band_val"), lit(16)))
   }
@@ -999,111 +1011,56 @@ final class MaintainedDhashIndex(gs: GraphStore, label: String,
     }
   }
 
-  /** Near-duplicate images for raw query bytes against the CURRENT
-    * committed state: hash the query (driver-side, one image), read
-    * only its ≤ 4 band-bucket dirs, verify candidates by popcount.
-    * Returns (id, dhash, hamming) ordered (hamming, id); recall is
-    * exact for `maxHamming` ≤ 3 by the banding pigeonhole.
+  /** Near-duplicate payloads for raw query bytes against the CURRENT
+    * committed state: fingerprint the query (driver-side, one
+    * payload), read only its ≤ 4 band-bucket dirs, verify candidates
+    * by popcount. Returns (id, `hashCol`, hamming) ordered
+    * (hamming, id); recall is exact for `maxHamming` ≤ 3 by the
+    * banding pigeonhole.
     */
   def nearDups(queryBytes: Array[Byte], maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
-    val qh = Multimodal.dHash64(queryBytes)
+    val qh = hashQuery(queryBytes)
     val bands = (0 until 4).map(i => (i.toLong, (qh >>> (i * 16)) & 0xffffL))
     val bbs = bands.map { case (i, v) => i * 16 + (v % 16) }.distinct
     val pred = col("bb").isin(bbs: _*) && bands.map { case (i, v) =>
       col("band_idx") === i && col("band_val") === v
     }.reduce(_ || _)
     log.probe(pred)
-      .select(col("id"), col("dhash")).distinct()
+      .select(col("id"), col(hashCol)).distinct()
       // column API, not expr-string interpolation: Long.MinValue has no
       // valid SQL literal spelling (unary minus over an out-of-range
       // positive literal fails to parse), and lit() sidesteps any
       // string-building entirely
-      .withColumn("hamming", bit_count(col("dhash").bitwiseXOR(lit(qh))).cast("long"))
+      .withColumn("hamming", bit_count(col(hashCol).bitwiseXOR(lit(qh))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming"), col("id"))
   }
 }
 
-/** Commit-maintained AUDIO-fingerprint index — [[MaintainedDhashIndex]]
-  * for the sound tier (q189's `ahash` over q167's banding machinery):
-  * every commit's live WAV payloads decode and fingerprint inside the
-  * write path, band rows route to the same `bb = band_idx·16 +
-  * (band_val mod 16)` bucket dirs, and a probe reads only the query
-  * waveform's ≤ 4 buckets with the exact-recall-≤-3-bits pigeonhole.
-  * A twin recording committed a moment ago is a near-dup candidate
-  * immediately — the media parity the image tier already has.
+/** Commit-maintained perceptual-hash (dHash) index over a store-held
+  * IMAGE label ([[MaintainedBandedMediaIndex]] with q167's dHash).
+  */
+final class MaintainedDhashIndex(gs: GraphStore, label: String,
+    bytesCol: String, storageDir: String)
+  extends MaintainedBandedMediaIndex(gs, label, bytesCol, storageDir,
+    "dhashindex", "dhash") {
+  protected def hashMedia(media: DataFrame): DataFrame =
+    Multimodal.dhashMedia(media)
+  protected def hashQuery(bytes: Array[Byte]): Long = Multimodal.dHash64(bytes)
+}
+
+/** Commit-maintained AUDIO-fingerprint index — the same banded index
+  * for the sound tier (q189's `ahash`): a twin recording committed a
+  * moment ago is a near-dup candidate immediately, the media parity
+  * the image tier already has.
   */
 final class MaintainedAudioIndex(gs: GraphStore, label: String,
-    bytesCol: String, storageDir: String) {
-
-  private val table = gs.tableFor(label)
-  private val log = new PartitionedDeltaLog(gs.spark,
-    Paths.get(storageDir, "ahashindex", label), Seq("bb"))
-
-  /** One commit's banded fingerprint rows: REAL decode + audioHash per
-    * live payload (partition-batched), 4 band rows each.
-    */
-  private def banded(rows: DataFrame): DataFrame = {
-    val hashed = Multimodal.audioHashMedia(
-      rows.select(col("id").as("media_id"), col(bytesCol).as("bytes"),
-        lit(null).cast("string").as("format")))
-      .select(col("media_id").as("id"), col("ahash"))
-    hashed.select(col("id"), col("ahash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("ahash"), i * 16).bitwiseAND(lit(65535L))): _*))
-        .as(Seq("band_idx", "band_val")))
-      .withColumn("bb", col("band_idx") * 16 + pmod(col("band_val"), lit(16)))
-  }
-
-  /** Full (re)materialization from the store's current state; clears
-    * the delta and tombstone logs (compaction).
-    */
-  def rebuild(): Unit = log.locked {
-    val through = gs.store.currentEpoch
-    log.writeBase(banded(gs.graph().vertices(label).select(col("id"), col(bytesCol))))
-    log.recordApplied(through)
-  }
-
-  /** Apply one commit's staged row versions — shared by [[bind]] and
-    * the replica-side [[MaintainedIndexes.followCommitLog]].
-    */
-  def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
-    log.appendCommit(epoch,
-      staged.filter(!col("deleted")).select(col("id"), col(bytesCol)),
-      banded, staged)
-  }
-
-  /** Wire into the store's write path. Fails fast if another writer
-    * already binds this index directory (single-writer contract).
-    */
-  def bind(): Unit = {
-    log.acquireBinder()
-    gs.onCommit { (epoch, frames) =>
-      frames.get(table).foreach(applyCommit(epoch, _))
-    }
-  }
-
-  /** Near-duplicate recordings for raw query WAV bytes against the
-    * CURRENT committed state: fingerprint the query (driver-side, one
-    * payload), read only its ≤ 4 band-bucket dirs, verify candidates
-    * by popcount. Returns (id, ahash, hamming) ordered (hamming, id);
-    * recall is exact for `maxHamming` ≤ 3 by the banding pigeonhole.
-    */
-  def nearDups(queryBytes: Array[Byte], maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "banded recall is exact only for maxHamming <= 3 (4 bands, pigeonhole)")
-    val qh = Multimodal.audioHash64(queryBytes)
-    val bands = (0 until 4).map(i => (i.toLong, (qh >>> (i * 16)) & 0xffffL))
-    val bbs = bands.map { case (i, v) => i * 16 + (v % 16) }.distinct
-    val pred = col("bb").isin(bbs: _*) && bands.map { case (i, v) =>
-      col("band_idx") === i && col("band_val") === v
-    }.reduce(_ || _)
-    log.probe(pred)
-      .select(col("id"), col("ahash")).distinct()
-      .withColumn("hamming", bit_count(col("ahash").bitwiseXOR(lit(qh))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .orderBy(col("hamming"), col("id"))
-  }
+    bytesCol: String, storageDir: String)
+  extends MaintainedBandedMediaIndex(gs, label, bytesCol, storageDir,
+    "ahashindex", "ahash") {
+  protected def hashMedia(media: DataFrame): DataFrame =
+    Multimodal.audioHashMedia(media)
+  protected def hashQuery(bytes: Array[Byte]): Long = Multimodal.audioHash64(bytes)
 }

@@ -721,9 +721,21 @@ object Similarity {
     */
   def ensureIvfPqStore(df: DataFrame, vecCol: String, idCol: String,
       sfDir: String, k: Int, m: Int, ksub: Int = 16, iterations: Int = 2,
-      fpSource: String = null): (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+      fpSource: String = null): (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) =
+    buildIvfPqStore(df, vecCol, idCol, sfDir, k, m, Nil, ksub, iterations, fpSource)
+
+  /** Shared build core for the plain and metadata-carrying IVF-PQ
+    * stores — ONE copy of the train/encode/publish discipline so the
+    * two variants can never fork behavior; metaCols = Nil is the plain
+    * store (no path suffix, code rows carry only id/cell/codes).
+    */
+  private def buildIvfPqStore(df: DataFrame, vecCol: String, idCol: String,
+      sfDir: String, k: Int, m: Int, metaCols: Seq[String], ksub: Int,
+      iterations: Int, fpSource: String)
+      : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     import graft.model.StorePaths
-    val path = ivfPqStorePath(sfDir, k, m, ksub, iterations)
+    val path = ivfPqStorePath(sfDir, k, m, ksub, iterations) +
+      (if (metaCols.isEmpty) "" else s"_m${metaCols.mkString("-")}")
     val fp = StorePaths.fingerprint(
       Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
     val cbFile = new java.io.File(path, "_codebooks.txt")
@@ -733,13 +745,14 @@ object Similarity {
       if (!current) {
         // stage the normalized column once for BOTH trainings (see
         // ensureIvfStore: lazy l2normalize re-evaluates per reference)
-        val staged = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-          l2normalize(col(vecCol)).as("__nv")).localCheckpoint(eager = true)
+        val staged = df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+            l2normalize(col(vecCol)).as("__nv") +: metaCols.map(col): _*)
+          .localCheckpoint(eager = true)
         val cs = ivfTrain(staged, "__nv", "id", k, iterations)
         val cbs = pqTrain(staged, "__nv", "id", m, ksub, iterations)
         pqEncodeCosine(
-            ivfAssignCosine(staged.select(col("id"), col("v")), "v", cs),
-            "id", "v", cbs, extra = Seq("ivf_cluster"))
+            ivfAssignCosine(staged.drop("__nv"), "v", cs),
+            "id", "v", cbs, extra = "ivf_cluster" +: metaCols)
           .write.partitionBy("ivf_cluster").mode("overwrite").parquet(path)
         writeCentroids(path, cs)
         java.nio.file.Files.write(cbFile.toPath,
@@ -795,35 +808,9 @@ object Similarity {
       sfDir: String, k: Int, m: Int, metaCols: Seq[String], ksub: Int = 16,
       iterations: Int = 2, fpSource: String = null)
       : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
-    import graft.model.StorePaths
     require(metaCols.nonEmpty, "metaCols must name at least one attribute")
-    val path = ivfPqStorePath(sfDir, k, m, ksub, iterations) +
-      s"_m${metaCols.mkString("-")}"
-    val fp = StorePaths.fingerprint(
-      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
-    val cbFile = new java.io.File(path, "_codebooks.txt")
-    def current = centroidsFile(path).exists() && cbFile.exists() &&
-      StorePaths.isCurrent(path, fp)
-    if (!current) buildLock.synchronized {
-      if (!current) {
-        val staged = df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
-            l2normalize(col(vecCol)).as("__nv") +: metaCols.map(col): _*)
-          .localCheckpoint(eager = true)
-        val cs = ivfTrain(staged, "__nv", "id", k, iterations)
-        val cbs = pqTrain(staged, "__nv", "id", m, ksub, iterations)
-        pqEncodeCosine(
-            ivfAssignCosine(staged.drop("__nv"), "v", cs),
-            "id", "v", cbs, extra = "ivf_cluster" +: metaCols)
-          .write.partitionBy("ivf_cluster").mode("overwrite").parquet(path)
-        writeCentroids(path, cs)
-        java.nio.file.Files.write(cbFile.toPath,
-          codebooksText(cbs).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        StorePaths.stamp(path, fp)
-      }
-    }
-    (df.sparkSession.read.parquet(path), readCentroids(path),
-      parseCodebooks(new String(java.nio.file.Files.readAllBytes(cbFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)))
+    buildIvfPqStore(df, vecCol, idCol, sfDir, k, m, metaCols, ksub, iterations,
+      fpSource)
   }
 
   /** Metadata-FILTERED IVF-PQ ANN top-k over the written composed store

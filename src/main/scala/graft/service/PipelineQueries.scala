@@ -128,15 +128,16 @@ object PipelineQueries {
         ParamSpec("seq_len", "long", required = false, default = Some(512L))),
       ps => {
         val seqLen = intParam(ps, "seq_len")
-        // the (doc, copy) key packs dense as doc_id·4 + copy_idx, so
-        // per-source epochs beyond 3 would collide keys — reject early
+        // the (doc, copy) key packs dense as doc_id·4 + copy_idx;
+        // epochMix yields copies = floor(w) + (0|1), so copy_idx stays
+        // ≤ 3 for any w ≤ 4.0 — only weights past 4 would collide keys
         ps("epochs").asInstanceOf[String].split(",").map(_.trim)
           .filter(_.nonEmpty).foreach { kv =>
             val w = kv.split(":").lastOption.flatMap(s =>
               scala.util.Try(s.trim.toDouble).toOption)
-            if (w.exists(_ > 3.0))
+            if (w.exists(_ > 4.0))
               throw new BadRequestException(
-                "'epochs' weights above 3 are not packable (copy key is doc_id*4+copy_idx)")
+                "'epochs' weights above 4 are not packable (copy key is doc_id*4+copy_idx)")
           }
         val mixed = service.runRegistered("curate_mix",
           Map("quota" -> ps("quota").toString, "epochs" -> ps("epochs").toString))

@@ -97,10 +97,10 @@ class PqSpec extends SparkSpec {
 
   test("filtered IVF-PQ store: cell-pruned AND attribute-pushed in one scan, " +
       "filtered recall holds") {
+    // FULL table, the shared-store convention (same contents no matter
+    // which surface builds the store first)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-      .filter(col("vec_id") =!= 0)
-    val q = spark.read.parquet(s"$sf/embeddings.parquet")
-      .filter(col("vec_id") === 0).select("embedding").head()
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head()
       .getSeq[Float](0).map(_.toDouble).toSeq
     val probe = Similarity.ivfPqTopKFiltered(emb, "embedding", "vec_id", sf,
       q, kTop = 10, k = 16, m = 8, predicate = col("label") === 3,
