@@ -245,6 +245,42 @@ class ReplicationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replica audio near-dup index stays fresh from the commit-log stream") {
+    import graft.operators.{MaintainedAudioIndex, MaintainedIndexes, Multimodal}
+    val clipSchema = GraphSchema.builder().vertex("clip", "id", Seq("bytes")).build()
+    val master = new GraphStore(spark, clipSchema, tmp("repla-m"))
+    val slaveDir = tmp("repla-s")
+    val slaveStore = new VersionedStore(spark, slaveDir)
+    val repl = Replicator.forGraph(master, slaveStore)
+    val seed = (0L until 30L).map(i => (i, Multimodal.synthPatternWavBytes(i)))
+      .toDF("id", "bytes")
+    master.txn().createVertices("clip", seed).commit()
+    repl.sync()
+    val slaveGs = new GraphStore(spark, clipSchema, slaveDir)
+    val ah = new MaintainedAudioIndex(slaveGs, "clip", "bytes", tmp("repla-i"))
+    ah.rebuild()
+    val q = MaintainedIndexes.followCommitLog(spark, slaveDir, "v_clip",
+      Seq(ah.applyCommit), tmp("repla-c"))
+    try {
+      q.processAllAvailable()
+      val query = Multimodal.synthPatternWavBytes(8197L) // waveform class of id 5
+      val before = ah.nearDups(query, 0).select("id").as[Long].collect().toSet
+      assert(before.contains(5L))
+      // a recording committed on the MASTER is a near-dup candidate on
+      // the slave after sync alone — no rebuild, no corpus re-decode
+      master.txn().createVertices("clip",
+        Seq((9001L, Multimodal.synthPatternWavBytes(8197L))).toDF("id", "bytes"))
+        .commit()
+      repl.sync(); q.processAllAvailable()
+      assert(ah.nearDups(query, 0).select("id").as[Long].collect().toSet
+        === before + 9001L,
+        "master-committed recording must be a slave near-dup candidate")
+      master.txn().deleteVertices("clip", Seq(Tuple1(9001L)).toDF("id")).commit()
+      repl.sync(); q.processAllAvailable()
+      assert(ah.nearDups(query, 0).select("id").as[Long].collect().toSet === before)
+    } finally q.stop()
+  }
+
   test("a failing commit hook leaves the commit durable and other hooks run") {
     val master = new GraphStore(spark, schema, tmp("replh-m"))
     val slaveStore = new VersionedStore(spark, tmp("replh-s"))
