@@ -2073,8 +2073,12 @@ object CatalogPipeline {
       // recall@10 here is 9 vs q59's shape at 6; the floor stays 6.
       (s, d) => {
         import s.implicits._
-        val emb = Tpch.table(s, d, "embeddings").filter(col("vec_id") =!= 0)
-        val q = Tpch.table(s, d, "embeddings").filter(col("vec_id") === 0)
+        // FULL table on both sides (the q112/q190 shared-store
+        // convention): the store key must mean the same contents no
+        // matter which surface — this row or the REST lsh tier —
+        // builds it first
+        val emb = Tpch.table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         val ann = Similarity.annTopKStoredFiltered(emb, "embedding", "vec_id",
             d, q, k = 10, predicate = col("label") === 3,

@@ -75,28 +75,37 @@ private[graft] object StorePaths {
     * Exposed through `POST /admin/compact` so operators reclaim the
     * space on the same call that compacts the row stores.
     */
-  def gcStores(): Int = try {
-    val r = Paths.get(root)
-    if (!Files.isDirectory(r)) return 0
-    val suffixed = ".*-[0-9a-f]{8}$".r
+  def gcStores(): Int = {
     var removed = 0
-    Dirs.withList(r)(_.forEach { child =>
-      val name = child.getFileName.toString
-      if (Files.isDirectory(child) && suffixed.findFirstIn(name).isEmpty) {
-        var isOurs = false
-        Dirs.withList(child)(_.forEach { store =>
-          if (Files.exists(store.resolve("_SOURCE_FINGERPRINT"))) isOurs = true
-        })
-        if (isOurs) { deleteRecursively(child); removed += 1 }
+    try {
+      val r = Paths.get(root)
+      if (!Files.isDirectory(r)) return 0
+      val suffixed = ".*-[0-9a-f]{8}$".r
+      Dirs.withList(r)(_.forEach { child =>
+      // per-CHILD best-effort: a concurrent deleter racing one entry
+      // (IOException, or DirectoryIteratorException from the inner
+      // stream's iterator) skips that entry without discarding the
+      // count of dirs already reclaimed in this sweep
+      try {
+        val name = child.getFileName.toString
+        if (Files.isDirectory(child) && suffixed.findFirstIn(name).isEmpty) {
+          var isOurs = false
+          Dirs.withList(child)(_.forEach { store =>
+            if (Files.exists(store.resolve("_SOURCE_FINGERPRINT"))) isOurs = true
+          })
+          if (isOurs) { deleteRecursively(child); removed += 1 }
+        }
+      } catch {
+        case _: java.io.IOException | _: java.nio.file.DirectoryIteratorException => ()
       }
-    })
+      })
+    } catch {
+      // see gcLegacy: the OUTER stream's iterator can also throw when
+      // the root itself races a deleter — never escape into the
+      // /admin/compact response after compaction already succeeded
+      case _: java.io.IOException | _: java.nio.file.DirectoryIteratorException => ()
+    }
     removed
-  } catch {
-    // see gcLegacy: a concurrent deleter makes the directory-stream
-    // iterator throw DirectoryIteratorException (a RuntimeException),
-    // which must not escape into the /admin/compact response after
-    // the compaction itself already succeeded
-    case _: java.io.IOException | _: java.nio.file.DirectoryIteratorException => 0
   }
 
   /** Cheap filesystem fingerprint of a source table (file count, total

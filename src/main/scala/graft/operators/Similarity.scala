@@ -560,8 +560,13 @@ object Similarity {
     import graft.model.StorePaths
     val path = lshStorePath(sfDir, nBits, nTables, seed) +
       s"_m${metaCols.mkString("-")}"
+    // ":full" = the build-contract tag: meta stores hold the FULL
+    // source table (the shared-store convention) — stores stamped
+    // before that convention (built from a filtered frame) fail the
+    // freshness check and rebuild instead of silently serving partial
+    // contents
     val fp = StorePaths.fingerprint(
-      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
+      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet")) + ":full"
     def current = ready(path, "_SUCCESS") && StorePaths.isCurrent(path, fp)
     if (!current) buildLock.synchronized {
       if (!current) {
@@ -736,8 +741,12 @@ object Similarity {
     import graft.model.StorePaths
     val path = ivfPqStorePath(sfDir, k, m, ksub, iterations) +
       (if (metaCols.isEmpty) "" else s"_m${metaCols.mkString("-")}")
+    // meta stores carry the ":full" build-contract tag (see
+    // ensureLshStoreMeta) so pre-convention stores rebuild rather
+    // than silently serving contents missing rows
     val fp = StorePaths.fingerprint(
-      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet"))
+      Option(fpSource).getOrElse(s"$sfDir/embeddings.parquet")) +
+      (if (metaCols.isEmpty) "" else ":full")
     val cbFile = new java.io.File(path, "_codebooks.txt")
     def current = centroidsFile(path).exists() && cbFile.exists() &&
       StorePaths.isCurrent(path, fp)
