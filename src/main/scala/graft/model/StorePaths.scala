@@ -88,6 +88,13 @@ private[graft] object StorePaths {
       // count of dirs already reclaimed in this sweep
       try {
         val name = child.getFileName.toString
+        // known miss, chosen deliberately: a legacy orphan whose SOURCE
+        // path happened to end in "-" + 8 hex chars (/data/x-12345678)
+        // also matches the current-key suffix shape and is skipped —
+        // unreclaimed space, never data loss. Verifying by recomputing
+        // the key hash from a recorded raw path would close it, but no
+        // legacy dir recorded its raw path, so the name shape is the
+        // only signal available.
         if (Files.isDirectory(child) && suffixed.findFirstIn(name).isEmpty) {
           var isOurs = false
           Dirs.withList(child)(_.forEach { store =>

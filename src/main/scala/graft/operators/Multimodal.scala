@@ -196,13 +196,16 @@ object Multimodal {
     * the per-call synchronized registry walk (same providers, cached).
     */
   private def wavInput(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-    val in = new ByteArrayInputStream(bytes)
     val it = audioReaders.iterator
     while (it.hasNext) {
       val r = it.next()
-      try return r.getAudioInputStream(in)
+      // fresh stream per provider attempt (wraps the same array, no
+      // copy): a provider that mark()s at a non-zero offset and throws
+      // without restoring would leave a shared stream mispositioned
+      // for the next provider
+      try return r.getAudioInputStream(new ByteArrayInputStream(bytes))
       catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset()
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
       }
     }
     throw new javax.sound.sampled.UnsupportedAudioFileException(

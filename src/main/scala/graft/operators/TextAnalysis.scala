@@ -579,12 +579,24 @@ object TextAnalysis {
         percentile(col(idCol), typedLit((1 to buckets).map(_.toDouble / buckets)))
           .as("qs"))
       .head().getSeq[Double](0)
+    // integer id ≤ double quantile b  ⟺  id ≤ floor(b): compare longs
+    // against the floored bound so no id ever routes through a double.
+    // Only valid for integral id types — a fractional id between
+    // floor(b) and b belongs in the bucket, so non-integral columns
+    // compare against the raw double bound instead.
+    val integralId = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val checks = (1 to buckets).flatMap { k =>
-      // integer id ≤ double quantile b  ⟺  id ≤ floor(b): compare longs
-      // against the floored bound so no id ever routes through a double
-      val b = math.floor(bounds(k - 1)).toLong
-      Seq(count(when(col("__id") <= b, 1)).cast("long").as(s"__d$k"),
-        coalesce(sum(when(col("__id") <= b, col("__nf"))), lit(0L)).as(s"__v$k"))
+      val bound =
+        if (integralId) lit(math.floor(bounds(k - 1)).toLong)
+        else lit(bounds(k - 1))
+      Seq(count(when(col("__id") <= bound, 1)).cast("long").as(s"__d$k"),
+        coalesce(sum(when(col("__id") <= bound, col("__nf"))), lit(0L)).as(s"__v$k"))
     }
     docs.agg(checks.head, checks.tail: _*)
       .select(explode(array((1 to buckets).map(k =>
@@ -671,3 +683,4 @@ object TextAnalysis {
       (size(ex) >= blockAt).as("blocked"))
   }
 }
+

@@ -29,6 +29,25 @@ object PipelineQueries {
       v.toInt
     }
 
+    // "source:weight,source:weight" — shared by curate_mix (mix
+    // weights) and mix_pack (packability guard) so both surfaces
+    // reject malformed entries with the same error
+    def parseEpochWeights(spec: String): Map[String, Double] =
+      spec.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split(":") match {
+          case Array(s, w) =>
+            val d = try w.trim.toDouble catch {
+              case _: NumberFormatException =>
+                throw new BadRequestException(s"bad epoch weight: '$kv'")
+            }
+            if (!java.lang.Double.isFinite(d) || d < 0)
+              throw new BadRequestException("epoch weights must be finite and >= 0")
+            s.trim -> d
+          case _ => throw new BadRequestException(
+            s"'epochs' entries must be source:weight, got '$kv'")
+        }
+      }.toMap
+
     service.register(PipelineQuery("bm25_search",
       Seq(ParamSpec("terms", "string"),
         ParamSpec("k", "long", required = false, default = Some(10L))),
@@ -96,21 +115,7 @@ object PipelineQueries {
         ParamSpec("epochs", "string", required = false, default = Some(""))),
       ps => {
         val quota = intParam(ps, "quota")
-        val weights = ps("epochs").asInstanceOf[String].split(",")
-          .map(_.trim).filter(_.nonEmpty).map { kv =>
-            kv.split(":") match {
-              case Array(s, w) =>
-                val d = try w.trim.toDouble catch {
-                  case _: NumberFormatException =>
-                    throw new BadRequestException(s"bad epoch weight: '$kv'")
-                }
-                if (!java.lang.Double.isFinite(d) || d < 0)
-                  throw new BadRequestException("epoch weights must be finite and >= 0")
-                s.trim -> d
-              case _ => throw new BadRequestException(
-                s"'epochs' entries must be source:weight, got '$kv'")
-            }
-          }.toMap
+        val weights = parseEpochWeights(ps("epochs").asInstanceOf[String])
         val train = graft.operators.Curate(docs, "doc_id", "text")
           .filter(col("split") === "train")
           .join(docs.select("doc_id", "source"), Seq("doc_id"))
@@ -130,15 +135,15 @@ object PipelineQueries {
         val seqLen = intParam(ps, "seq_len")
         // the (doc, copy) key packs dense as doc_id·4 + copy_idx;
         // epochMix yields copies = floor(w) + (0|1), so copy_idx stays
-        // ≤ 3 for any w ≤ 4.0 — only weights past 4 would collide keys
-        ps("epochs").asInstanceOf[String].split(",").map(_.trim)
-          .filter(_.nonEmpty).foreach { kv =>
-            val w = kv.split(":").lastOption.flatMap(s =>
-              scala.util.Try(s.trim.toDouble).toOption)
-            if (w.exists(_ > 4.0))
-              throw new BadRequestException(
-                "'epochs' weights above 4 are not packable (copy key is doc_id*4+copy_idx)")
-          }
+        // ≤ 3 for any w ≤ 4.0 — only weights past 4 would collide keys.
+        // Parse with curate_mix's parser so a malformed entry gets the
+        // same shape error here that curate_mix would raise, not a
+        // misleading packability complaint.
+        parseEpochWeights(ps("epochs").asInstanceOf[String]).foreach {
+          case (s, w) =>
+            if (w > 4.0) throw new BadRequestException(
+              s"'epochs' weight for '$s' above 4 is not packable (copy key is doc_id*4+copy_idx)")
+        }
         val mixed = service.runRegistered("curate_mix",
           Map("quota" -> ps("quota").toString, "epochs" -> ps("epochs").toString))
         graft.operators.Packing.concatChunk(

@@ -165,6 +165,12 @@ object ScaleCheck {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 8
     val out = if (args.length > 2) args(2) else s"target/scalecheck/x$factor"
+    // optional 4th arg: comma-separated subset of catalog rows to sweep
+    // (e.g. re-measuring one fixed shape without the 40-row full run);
+    // "-" or absent = full sweep. The pl_* fixture shapes always run on
+    // a full sweep and never on a subset one.
+    val only: Option[Set[String]] = args.lift(3).filterNot(_ == "-")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.get(32)
     ensureScaled(spark, base, factor, out)
@@ -175,7 +181,7 @@ object ScaleCheck {
       Seq.fill(runs)(time(fn(spark, dir).count())).min
     }
 
-    val rows = queries.map { name =>
+    val rows = only.fold(queries)(s => queries.filter(s)).map { name =>
       val tBase = measure(base, name)
       val tScaled = measure(out, name)
       (name, tBase, tScaled, tScaled / tBase)
@@ -201,8 +207,8 @@ object ScaleCheck {
         ("pl_cheapest_hub", () => { Traverse.cheapestPaths(edges, hub, maxHops = 4).count(); () }),
         ("pl_closure_hub", () => { Fixpoint.reachable(edges, hub).count(); () }))
     }
-    val plBase = plShapes(nBase)
-    val plScaled = plShapes(nBase * factor)
+    val plBase = if (only.isDefined) Seq.empty else plShapes(nBase)
+    val plScaled = if (only.isDefined) Seq.empty else plShapes(nBase * factor)
     val plRows = plBase.zip(plScaled).map { case ((name, fb), (_, fs)) =>
       fb(); val tBase = Seq.fill(runs)(time(fb())).min
       fs(); val tScaled = Seq.fill(runs)(time(fs())).min

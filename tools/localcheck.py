@@ -49,7 +49,11 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
         ka = a.dtype.kind if hasattr(a.dtype, "kind") else "O"
         kb = b.dtype.kind if hasattr(b.dtype, "kind") else "O"
         num = {"i", "u", "f"}
-        if ka != kb and (ka in num or kb in num) and not (ka == "O" or kb == "O"):
+        # signed vs unsigned ints ('i' vs 'u') stringify identically, so
+        # the driver passes them — only flag int-vs-float class changes
+        int_kinds = {"i", "u"}
+        same_class = ka == kb or (ka in int_kinds and kb in int_kinds)
+        if not same_class and (ka in num or kb in num) and not (ka == "O" or kb == "O"):
             fails.append((name, f"col {c} dtype kind mismatch: spark {a.dtype} vs oracle {b.dtype} "
                                 f"(driver stringifies: int 1 != float 1.0)"))
             ok = False; break
