@@ -692,31 +692,15 @@ object CatalogPipeline {
       (s, d) => TextAnalysis.filterGate(Tpch.table(s, d, "documents"),
           "doc_id", "text")
         .orderBy("doc_id"),
-      Some {
-        val toks = "string_split_regex(trim(text), '\\s+')"
-        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
-        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
-        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
-        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"len(list_filter($toks, " +
-          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
-        s"""SELECT doc_id, n_tokens, sum_token_len, n_punct, n_stop,
+      // token stats + gate bitmask from OracleFragments (this row
+      // EXPOSES the mask the composed flagships filter on)
+      Some(s"""WITH ${OracleFragments.tokenStatsCte}
+           |SELECT doc_id, n_tokens, sum_token_len, n_punct, n_stop,
            |  CAST(reasons AS BIGINT) AS reasons, reasons = 0 AS keep
            |FROM (SELECT doc_id, n_tokens, sum_token_len, n_punct, n_stop,
-           |  (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
-           |  (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
-           |        OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
-           |  (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
-           |  (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) AS reasons
-           |  FROM (SELECT doc_id, text,
-           |    CAST($nTok AS BIGINT) AS n_tokens,
-           |    CAST($sumLen AS BIGINT) AS sum_token_len,
-           |    CAST($nPunct AS BIGINT) AS n_punct,
-           |    CAST($nStop AS BIGINT) AS n_stop
-           |  FROM documents))
-           |ORDER BY doc_id""".stripMargin
-      }),
+           |  ${OracleFragments.gateMaskSql} AS reasons
+           |  FROM q)
+           |ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q98_bpe_pairs",
       // the BPE merge statistic: top-30 adjacent char pairs weighted by
@@ -821,36 +805,11 @@ object CatalogPipeline {
       (s, d) => graft.operators.Curate(Tpch.table(s, d, "documents"),
           "doc_id", "text")
         .orderBy("doc_id"),
-      Some {
-        val toks = "string_split_regex(trim(text), '\\s+')"
-        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
-        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
-        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
-        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"len(list_filter($toks, " +
-          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
-        s"""WITH q AS (SELECT doc_id, text,
-           |    CAST($nTok AS BIGINT) AS n_tokens,
-           |    CAST($sumLen AS BIGINT) AS sum_token_len,
-           |    CAST($nPunct AS BIGINT) AS n_punct,
-           |    CAST($nStop AS BIGINT) AS n_stop
-           |  FROM documents),
-           |g AS (SELECT doc_id, text, n_tokens FROM q
-           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
-           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
-           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
-           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
-           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
-           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text))
-           |SELECT g.doc_id,
-           |  CASE WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
-           |    THEN 'train'
-           |    WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950
-           |    THEN 'val' ELSE 'test' END AS split,
-           |  n_tokens
-           |FROM g JOIN r USING (doc_id) ORDER BY g.doc_id""".stripMargin
-      }),
+      // the oracle composes OracleFragments exactly as the Scala side
+      // composes Curate — one definition of gate/dedup/split, shared
+      // with every downstream flagship (q114/q117/q191/q192/q193)
+      Some(s"WITH ${OracleFragments.curatePrefix}\n" +
+        OracleFragments.curatedSelect())),
 
     QueryDef("q114_curate_neardup",
       // the q110 curation chain COMPOSED with near-dup dedup (the
@@ -874,28 +833,9 @@ object CatalogPipeline {
             nearDupKeep = Some(keep))
           .orderBy("doc_id")
       },
-      Some {
-        val toks = "string_split_regex(trim(text), '\\s+')"
-        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
-        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
-        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
-        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"len(list_filter($toks, " +
-          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
-        s"""WITH RECURSIVE q AS (SELECT doc_id, text,
-           |    CAST($nTok AS BIGINT) AS n_tokens,
-           |    CAST($sumLen AS BIGINT) AS sum_token_len,
-           |    CAST($nPunct AS BIGINT) AS n_punct,
-           |    CAST($nStop AS BIGINT) AS n_stop
-           |  FROM documents),
-           |g AS (SELECT doc_id, text, n_tokens FROM q
-           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
-           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
-           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
-           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
-           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
-           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+      // curate prefix shared via OracleFragments; only the near-dup
+      // keep-list CTEs (exhaustive LSH truth) are row-specific
+      Some(s"""WITH RECURSIVE ${OracleFragments.curatePrefix},
            |s AS ($shingleSql),
            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -908,15 +848,7 @@ object CatalogPipeline {
            |  UNION
            |  SELECT e.a, reach.rr FROM e JOIN reach ON reach.id = e.b),
            |nk AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(rr))
-           |SELECT g.doc_id,
-           |  CASE WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
-           |    THEN 'train'
-           |    WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950
-           |    THEN 'val' ELSE 'test' END AS split,
-           |  n_tokens
-           |FROM g JOIN r USING (doc_id) JOIN nk USING (doc_id)
-           |ORDER BY g.doc_id""".stripMargin
-      }),
+           |${OracleFragments.curatedSelect(" JOIN nk USING (doc_id)")}""".stripMargin)),
 
     QueryDef("q117_curate_semantic",
       // the q110 curation chain COMPOSED with EMBEDDING-space semantic
@@ -946,28 +878,10 @@ object CatalogPipeline {
             nearDupKeep = Some(keep))
           .orderBy("doc_id")
       },
+      // curate prefix shared via OracleFragments; only the semantic
+      // keep-list CTEs (exhaustive cosine truth) are row-specific
       Some {
-        val toks = "string_split_regex(trim(text), '\\s+')"
-        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
-        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
-        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
-        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"len(list_filter($toks, " +
-          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
-        s"""WITH RECURSIVE q AS (SELECT doc_id, text,
-           |    CAST($nTok AS BIGINT) AS n_tokens,
-           |    CAST($sumLen AS BIGINT) AS sum_token_len,
-           |    CAST($nPunct AS BIGINT) AS n_punct,
-           |    CAST($nStop AS BIGINT) AS n_stop
-           |  FROM documents),
-           |g AS (SELECT doc_id, text, n_tokens FROM q
-           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
-           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
-           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
-           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
-           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
-           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+        s"""WITH RECURSIVE ${OracleFragments.curatePrefix},
            |emb2 AS (SELECT a.vec_id,
            |    CASE WHEN a.vec_id % 97 = 0 AND b.vec_id IS NOT NULL
            |      THEN b.embedding ELSE a.embedding END AS embedding
@@ -986,15 +900,7 @@ object CatalogPipeline {
            |  UNION
            |  SELECT e.a, reach.rr FROM e JOIN reach ON reach.id = e.b),
            |dk AS (SELECT id FROM reach GROUP BY id HAVING id <> min(rr))
-           |SELECT g.doc_id,
-           |  CASE WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
-           |    THEN 'train'
-           |    WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950
-           |    THEN 'val' ELSE 'test' END AS split,
-           |  n_tokens
-           |FROM g JOIN r USING (doc_id)
-           |WHERE g.doc_id NOT IN (SELECT id FROM dk)
-           |ORDER BY g.doc_id""".stripMargin
+           |${OracleFragments.curatedSelect("\nWHERE g.doc_id NOT IN (SELECT id FROM dk)")}""".stripMargin
       }),
 
     QueryDef("q192_curate_mix",
@@ -1018,43 +924,15 @@ object CatalogPipeline {
           .select(col("doc_id"), col("source"), col("n_tokens"), col("copy_idx"))
           .orderBy("doc_id", "copy_idx")
       },
-      Some {
-        val toks = "string_split_regex(trim(text), '\\s+')"
-        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
-        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
-        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
-        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"len(list_filter($toks, " +
-          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
-        s"""WITH q AS (SELECT doc_id, text,
-           |    CAST($nTok AS BIGINT) AS n_tokens,
-           |    CAST($sumLen AS BIGINT) AS sum_token_len,
-           |    CAST($nPunct AS BIGINT) AS n_punct,
-           |    CAST($nStop AS BIGINT) AS n_stop
-           |  FROM documents),
-           |g AS (SELECT doc_id, text, n_tokens FROM q
-           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
-           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
-           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
-           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
-           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
-           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
-           |c AS (SELECT g.doc_id, g.n_tokens, d2.source
-           |  FROM g JOIN r USING (doc_id) JOIN documents d2 USING (doc_id)
-           |  WHERE ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900),
-           |k AS (SELECT doc_id, n_tokens, source, row_number() OVER (
-           |    PARTITION BY source
-           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk
-           |  FROM c)
+      // the oracle composes OracleFragments (curate prefix + quota
+      // rank + epoch predicate) exactly as the Scala side composes
+      // Curate → quotaCap → epochMix
+      Some(s"""WITH ${OracleFragments.curatePrefix},
+           |${OracleFragments.quotaRankCtes}
            |SELECT k.doc_id, k.source, k.n_tokens, r2.range AS copy_idx
            |FROM k, range(3) r2
-           |WHERE k.rk <= 30 AND r2.range < (CASE k.source
-           |  WHEN 'src0' THEN 2 + (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 500000 THEN 1 ELSE 0 END)
-           |  WHEN 'src1' THEN (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
-           |  ELSE 1 END)
-           |ORDER BY doc_id, copy_idx""".stripMargin
-      }),
+           |WHERE k.rk <= 30 AND ${OracleFragments.epochCopyPredicate}
+           |ORDER BY doc_id, copy_idx""".stripMargin)),
 
     QueryDef("q193_mix_pack",
       // q192's realized training stream PACKED into fixed-length
@@ -1079,41 +957,14 @@ object CatalogPipeline {
         Packing.concatChunk(keyed, "pack_id", col("n_tokens"), seqLen = 512)
           .orderBy("pack_id")
       },
+      // q192's composed oracle plus the single-window prefix-sum
+      // definition; all shared stages come from OracleFragments
       Some {
-        val toks = "string_split_regex(trim(text), '\\s+')"
-        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
-        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
-        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
-        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"len(list_filter($toks, " +
-          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
-        s"""WITH q AS (SELECT doc_id, text,
-           |    CAST($nTok AS BIGINT) AS n_tokens,
-           |    CAST($sumLen AS BIGINT) AS sum_token_len,
-           |    CAST($nPunct AS BIGINT) AS n_punct,
-           |    CAST($nStop AS BIGINT) AS n_stop
-           |  FROM documents),
-           |g AS (SELECT doc_id, text, n_tokens FROM q
-           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
-           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
-           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
-           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
-           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
-           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
-           |c AS (SELECT g.doc_id, g.n_tokens, d2.source
-           |  FROM g JOIN r USING (doc_id) JOIN documents d2 USING (doc_id)
-           |  WHERE ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900),
-           |k AS (SELECT doc_id, n_tokens, source, row_number() OVER (
-           |    PARTITION BY source
-           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk
-           |  FROM c),
+        s"""WITH ${OracleFragments.curatePrefix},
+           |${OracleFragments.quotaRankCtes},
            |m AS (SELECT k.doc_id * 4 + r2.range AS pack_id, k.n_tokens
            |  FROM k, range(3) r2
-           |  WHERE k.rk <= 30 AND r2.range < (CASE k.source
-           |    WHEN 'src0' THEN 2 + (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 500000 THEN 1 ELSE 0 END)
-           |    WHEN 'src1' THEN (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
-           |    ELSE 1 END)),
+           |  WHERE k.rk <= 30 AND ${OracleFragments.epochCopyPredicate}),
            |p AS (SELECT pack_id, n_tokens,
            |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY pack_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
@@ -2098,11 +1949,12 @@ object CatalogPipeline {
       // contract on q112's store): the predicate (label = 3) applies to
       // the probed cells' code rows BEFORE ADC ranking — one
       // partition-pruned + parquet-pushed scan, never a candidate join
-      // back to the base table. The filter thins each cell ~10x, so
-      // the probe widens vs q112's unfiltered knobs (nProbe 8 -> 12 of
-      // 16 cells); audit = result count + recall@10 vs the exact
-      // top-10 OVER THE FILTERED SET, floor 6 (the q59/q112/q125
-      // discipline)
+      // back to the base table. The filter thins each cell ~10x and
+      // the probe width is DERIVED from the store's measured filtered
+      // yield (Similarity.ivfPqTopKFiltered's adaptive default — no
+      // hand-tuned widening constant); audit = result count +
+      // recall@10 vs the exact top-10 OVER THE FILTERED SET, floor 6
+      // (the q59/q112/q125 discipline)
       (s, d) => {
         import s.implicits._
         // the store holds the FULL embeddings table (the q112
@@ -2116,7 +1968,7 @@ object CatalogPipeline {
           .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
         val ann = Similarity.ivfPqTopKFiltered(emb, "embedding", "vec_id", d,
             q, kTop = 10, k = 16, m = 8, predicate = col("label") === 3,
-            metaCols = Seq("label"), nProbe = 12, candidates = 100)
+            metaCols = Seq("label"), candidates = 100)
           .select("id").collect().map(_.getLong(0)).toSet
         val exact = Similarity.bruteForceTopK(
             emb.filter(col("label") === 3), "embedding", "vec_id", q, 10)

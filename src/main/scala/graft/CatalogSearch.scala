@@ -433,19 +433,11 @@ object CatalogSearch {
           Tpch.table(s, d, "documents"), "doc_id")
         Multimodal.audioHashMedia(media).orderBy("media_id")
       },
-      Some("""WITH b AS (
-             |  SELECT doc_id, k.k,
-             |    ((doc_id*31) % 8192 + 389*k.k) % 8192 AS v
-             |  FROM documents, (SELECT unnest(range(65)) AS k) k),
-             |bits AS (
-             |  SELECT b1.doc_id, b1.k,
-             |    CASE WHEN b1.v < b2.v THEN 1 ELSE 0 END AS bit
-             |  FROM b b1 JOIN b b2 ON b1.doc_id = b2.doc_id AND b2.k = b1.k + 1
-             |  WHERE b1.k < 64)
+      // generator-replay arithmetic shared with q191's composed oracle
+      // via OracleFragments
+      Some(s"""WITH ${OracleFragments.audioBitsCtes}
              |SELECT doc_id AS media_id,
-             |  CAST(sum(CASE WHEN bit = 1 THEN
-             |    CASE WHEN k = 63 THEN -9223372036854775808
-             |         ELSE (1::BIGINT << k) END ELSE 0 END) AS BIGINT) AS ahash
+             |  ${OracleFragments.audioHashSumSql} AS ahash
              |FROM bits GROUP BY 1 ORDER BY media_id""".stripMargin)),
 
     QueryDef("q191_audio_curate",
@@ -469,50 +461,16 @@ object CatalogSearch {
             nearDupKeep = Some(keep))
           .orderBy("doc_id")
       },
-      Some {
-        val toks = "string_split_regex(trim(text), '\\s+')"
-        val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
-        val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
-        val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
-        val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-          s"len(list_filter($toks, " +
-          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
-        s"""WITH q AS (SELECT doc_id, text,
-           |    CAST($nTok AS BIGINT) AS n_tokens,
-           |    CAST($sumLen AS BIGINT) AS sum_token_len,
-           |    CAST($nPunct AS BIGINT) AS n_punct,
-           |    CAST($nStop AS BIGINT) AS n_stop
-           |  FROM documents),
-           |g AS (SELECT doc_id, text, n_tokens FROM q
-           |  WHERE (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
-           |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
-           |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
-           |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
-           |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END) = 0),
-           |r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
-           |b AS (SELECT doc_id, k.k,
-           |    ((doc_id*31) % 8192 + 389*k.k) % 8192 AS v
-           |  FROM documents, (SELECT unnest(range(65)) AS k) k),
-           |bits AS (SELECT b1.doc_id, b1.k,
-           |    CASE WHEN b1.v < b2.v THEN 1 ELSE 0 END AS bit
-           |  FROM b b1 JOIN b b2 ON b1.doc_id = b2.doc_id AND b2.k = b1.k + 1
-           |  WHERE b1.k < 64),
+      // curate prefix + fingerprint arithmetic both composed from
+      // OracleFragments (shared with q110 and q189 respectively);
+      // only the min-id-per-class keep CTE is row-specific
+      Some(s"""WITH ${OracleFragments.curatePrefix},
+           |${OracleFragments.audioBitsCtes},
            |h AS (SELECT doc_id,
-           |    CAST(sum(CASE WHEN bit = 1 THEN
-           |      CASE WHEN k = 63 THEN -9223372036854775808
-           |           ELSE (1::BIGINT << k) END ELSE 0 END) AS BIGINT) AS ahash
+           |    ${OracleFragments.audioHashSumSql} AS ahash
            |  FROM bits GROUP BY 1),
            |ka AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ahash)
-           |SELECT g.doc_id,
-           |  CASE WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
-           |    THEN 'train'
-           |    WHEN ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950
-           |    THEN 'val' ELSE 'test' END AS split,
-           |  n_tokens
-           |FROM g JOIN r USING (doc_id) JOIN ka USING (doc_id)
-           |ORDER BY g.doc_id""".stripMargin
-      }),
+           |${OracleFragments.curatedSelect(" JOIN ka USING (doc_id)")}""".stripMargin)),
 
     QueryDef("q92_audio_decode",
       // REAL audio codec roundtrip (the q90 pattern for sound):

@@ -1,0 +1,145 @@
+package graft
+
+/** DuckDB oracle SQL fragments shared by the curation-family catalog
+  * rows.
+  *
+  * The Scala side composes ONE implementation —
+  * [[graft.operators.Curate]] for gate → exact dedup → split,
+  * [[graft.operators.Multimodal]] for the audio fingerprint tier,
+  * [[graft.operators.Sampling]] for quota/epoch mixing — into the
+  * q110/q114/q117/q191/q192/q193 flagship compositions. The oracles
+  * restate the same stages, so they must compose the same way: a gate
+  * threshold or split boundary edited here updates every composed
+  * oracle at once, instead of drifting across hand-copied CTE chains
+  * (the pre-round-9 state had the q110 chain pasted verbatim into six
+  * oracle strings).
+  *
+  * Fragments are CTE BODIES (no `WITH` keyword): each caller chooses
+  * `WITH` vs `WITH RECURSIVE` and the fragment order, then appends its
+  * own row-specific CTEs and final SELECT.
+  */
+private[graft] object OracleFragments {
+
+  // --- per-doc token stats (the q97 measure tier) --------------------
+
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+  private val nTok = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END"
+  private val sumLen = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+    s"coalesce(list_sum(list_transform($toks, t -> length(t))), 0) END"
+  private val nPunct = "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+  private val nStop = s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+    s"len(list_filter($toks, " +
+    "t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) END"
+
+  /** `q`: integer token stats per document, from `documents`. */
+  val tokenStatsCte: String =
+    s"""q AS (SELECT doc_id, text,
+       |    CAST($nTok AS BIGINT) AS n_tokens,
+       |    CAST($sumLen AS BIGINT) AS sum_token_len,
+       |    CAST($nPunct AS BIGINT) AS n_punct,
+       |    CAST($nStop AS BIGINT) AS n_stop
+       |  FROM documents)""".stripMargin
+
+  /** The q97 quality-gate bitmask (1 = too short, 2 = token-length
+    * shape, 4 = punctuation-heavy, 8 = too few stopwords) as a sum
+    * over `q`'s stat columns plus `text`. Both the standalone q97 row
+    * (which exposes the mask) and the gate filter below restate it.
+    */
+  val gateMaskSql: String =
+    """(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_tokens > 0 AND (sum_token_len < 3 * n_tokens
+      |          OR sum_token_len > 10 * n_tokens) THEN 2 ELSE 0 END) +
+      |    (CASE WHEN n_punct * 10 > length(text) THEN 4 ELSE 0 END) +
+      |    (CASE WHEN n_stop < 2 THEN 8 ELSE 0 END)""".stripMargin
+
+  /** `g`: gate survivors — documents whose bitmask is clean. */
+  val gateCte: String =
+    s"""g AS (SELECT doc_id, text, n_tokens FROM q
+       |  WHERE $gateMaskSql = 0)""".stripMargin
+
+  /** `r`: exact-dedup representative — min id per content hash. */
+  val exactDedupCte: String =
+    "r AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text))"
+
+  /** `q` + `g` + `r` chained: the q110 curation prefix every composed
+    * flagship starts from (callers supply `WITH`/`WITH RECURSIVE`).
+    */
+  val curatePrefix: String =
+    s"$tokenStatsCte,\n$gateCte,\n$exactDedupCte"
+
+  // --- deterministic split (q77's md5 bucketing) ---------------------
+
+  /** The 0..999 md5 hash bucket of an id expression. */
+  def md5Bucket(id: String): String =
+    s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8))::BIGINT % 1000"
+
+  /** train/val/test split (900/50/50) of an id expression, aliased
+    * `split`.
+    */
+  def splitCase(id: String): String =
+    s"""CASE WHEN ${md5Bucket(id)} < 900
+       |    THEN 'train'
+       |    WHEN ${md5Bucket(id)} < 950
+       |    THEN 'val' ELSE 'test' END AS split""".stripMargin
+
+  /** The shared final SELECT of the curated-set rows (doc_id, split,
+    * n_tokens from gate ⋈ exact-dedup reps): `tail` carries the row's
+    * extra keep-list join / filter, e.g. `" JOIN nk USING (doc_id)"`
+    * or `"\nWHERE g.doc_id NOT IN (SELECT id FROM dk)"`.
+    */
+  def curatedSelect(tail: String = ""): String =
+    s"""SELECT g.doc_id,
+       |  ${splitCase("g.doc_id")},
+       |  n_tokens
+       |FROM g JOIN r USING (doc_id)$tail
+       |ORDER BY g.doc_id""".stripMargin
+
+  // --- audio fingerprint arithmetic (q189's generator replay) --------
+
+  /** `b` + `bits`: the pattern waveform's 65 amplitude steps and the
+    * 64 delta-sign bits per document (q189's generator arithmetic).
+    */
+  val audioBitsCtes: String =
+    """b AS (
+      |  SELECT doc_id, k.k,
+      |    ((doc_id*31) % 8192 + 389*k.k) % 8192 AS v
+      |  FROM documents, (SELECT unnest(range(65)) AS k) k),
+      |bits AS (
+      |  SELECT b1.doc_id, b1.k,
+      |    CASE WHEN b1.v < b2.v THEN 1 ELSE 0 END AS bit
+      |  FROM b b1 JOIN b b2 ON b1.doc_id = b2.doc_id AND b2.k = b1.k + 1
+      |  WHERE b1.k < 64)""".stripMargin
+
+  /** The 64-bit fingerprint assembled from `bits` (two's-complement
+    * bit 63), as an aggregate expression.
+    */
+  val audioHashSumSql: String =
+    """CAST(sum(CASE WHEN bit = 1 THEN
+      |    CASE WHEN k = 63 THEN -9223372036854775808
+      |         ELSE (1::BIGINT << k) END ELSE 0 END) AS BIGINT)""".stripMargin
+
+  // --- quota + epoch mix (q93/q94's arithmetic, q192/q193) -----------
+
+  /** `c` + `k`: train-split survivors joined back to their source,
+    * ranked per source by the q93 md5-rank determinism for the quota
+    * cap. Requires `g`/`r` (the curate prefix) in scope.
+    */
+  val quotaRankCtes: String =
+    s"""c AS (SELECT g.doc_id, g.n_tokens, d2.source
+       |  FROM g JOIN r USING (doc_id) JOIN documents d2 USING (doc_id)
+       |  WHERE ${md5Bucket("g.doc_id")} < 900),
+       |k AS (SELECT doc_id, n_tokens, source, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk
+       |  FROM c)""".stripMargin
+
+  /** The epoch-weighted copy-count predicate over `k, range(3) r2`
+    * (q94's arithmetic at the flagship weights: src0 2.5 epochs,
+    * src1 0.4, everything else 1).
+    */
+  val epochCopyPredicate: String =
+    """r2.range < (CASE k.source
+      |    WHEN 'src0' THEN 2 + (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 500000 THEN 1 ELSE 0 END)
+      |    WHEN 'src1' THEN (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
+      |    ELSE 1 END)""".stripMargin
+}

@@ -27,4 +27,18 @@ private[graft] object Dirs {
       withList(f)(s => s.forEach(rmTree))
     Files.delete(f)
   }
+
+  /** True when a `delta/commit_epoch=N/` log has at least one READABLE
+    * parquet data file. Dir-name existence alone races a commit hook
+    * mid-write: a just-created epoch dir whose files still sit under
+    * the write job's `_temporary` staging has nothing to infer a
+    * schema from, and a merged read would throw UNABLE_TO_INFER_SCHEMA
+    * (observed on ConcurrentStormSpec's reader threads). With zero
+    * visible files the merged read serves the base alone — a moment
+    * stale, exactly as if the read had run before that commit.
+    */
+  def hasReadableDeltaFiles(deltaPath: Path): Boolean =
+    childNames(deltaPath).filter(_.startsWith("commit_epoch=")).exists { e =>
+      childNames(deltaPath.resolve(e)).exists(_.endsWith(".parquet"))
+    }
 }

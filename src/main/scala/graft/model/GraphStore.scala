@@ -163,6 +163,14 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
     * current revisions); OCC conflicts surface as ConflictException.
     */
   final class Txn {
+    // snapshot isolation: every in-txn read and every staged revision
+    // derives from the epoch current at txn CREATION, so a commit that
+    // lands in between makes THIS txn's commit fail OCC validation
+    // (first-committer-wins) instead of silently absorbing a stale
+    // read-modify-write — the reference's with-transaction semantics
+    // (transactions.lisp validate 236-246: revisions are checked
+    // against the txn's read snapshot, not the staging instant)
+    private val snapshotEpoch = store.currentEpoch
     private var writes = Map.empty[String, DataFrame]
 
     private def stage(table: String, rows: DataFrame): Unit =
@@ -176,7 +184,7 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       * conflict, not silently overwrite.
       */
     private def withNextRev(table: String, rows: DataFrame, conflictOnLive: Boolean): DataFrame = {
-      val cur = store.latestRevisions(table)
+      val cur = store.latestRevisions(table, Some(snapshotEpoch))
         .select(col("id"), col("rev").as("__cur"), col("deleted").as("__del"))
       val next =
         if (conflictOnLive)
@@ -226,7 +234,7 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
 
     /** mark-deleted: tombstone revision. */
     def deleteVertices(label: String, ids: DataFrame): Txn = {
-      val cur = store.read(vTable(label))
+      val cur = store.read(vTable(label), Some(snapshotEpoch))
       stage(vTable(label), cur.join(ids.select(col("id")), Seq("id"), "left_semi")
         .withColumn("rev", col("rev") + 1)
         .withColumn("deleted", lit(true)))
@@ -258,7 +266,7 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
 
     /** Tombstone edges by id (delete-edge, edge.lisp:269-273). */
     def deleteEdges(label: String, ids: DataFrame): Txn = {
-      val cur = store.read(eTable(label))
+      val cur = store.read(eTable(label), Some(snapshotEpoch))
       stage(eTable(label), cur.join(ids.select(col("id")), Seq("id"), "left_semi")
         .withColumn("rev", col("rev") + 1)
         .withColumn("deleted", lit(true)))
@@ -300,7 +308,7 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
             else base.unionByName(live, allowMissingColumns = true)
         }
       def frames(labels: Iterable[String], table: String => String) = labels.map { l =>
-        val committed = store.read(table(l))
+        val committed = store.read(table(l), Some(snapshotEpoch))
           .drop("rev", "deleted", "commit_epoch")
         l -> overlay(table(l), committed)
       }.filter(_._2.columns.nonEmpty).toMap

@@ -369,16 +369,20 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * rows, so rev derivation through it would dead-end a deleted id
     * (recreate-after-delete, interface.lisp:15-25 + vertex.lisp:105).
     */
-  def latestRevisions(label: String): DataFrame = {
+  def latestRevisions(label: String, asOf: Option[Long] = None): DataFrame = {
     if (!tableExists(label))
       return spark.range(0).select(col("id"), lit(0L).as("rev"), lit(false).as("deleted"))
     // the current-state index IS (latest version per id incl.
     // tombstones), so rev derivation — which runs on every write —
-    // rides it too for opted-in tables
-    if (curEnabled && Files.exists(curRoot(label)))
+    // rides it too for opted-in tables; a PINNED epoch (transaction
+    // snapshot isolation — GraphStore.Txn derives its revisions from
+    // its creation-time snapshot so a racing commit conflicts instead
+    // of silently absorbing a stale read-modify-write) takes the
+    // history path, which epoch-dir pruning bounds
+    if (asOf.isEmpty && curEnabled && Files.exists(curRoot(label)))
       return currentVersions(label).select("id", "rev", "deleted")
     val w = Window.partitionBy("id").orderBy(col("rev").desc)
-    versions(label, currentEpoch).select("id", "rev", "deleted")
+    versions(label, asOf.getOrElse(currentEpoch)).select("id", "rev", "deleted")
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

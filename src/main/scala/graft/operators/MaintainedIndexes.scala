@@ -77,6 +77,12 @@ object MaintainedIndexes {
     ch
   }
 
+  /** See [[Dirs.hasReadableDeltaFiles]] — the guard every merged
+    * base+delta read uses before inferring the delta schema.
+    */
+  private[operators] def hasReadableDeltas(deltaPath: java.nio.file.Path): Boolean =
+    Dirs.hasReadableDeltaFiles(deltaPath)
+
   /** Replica-side index maintenance: tail a store table's commit log
     * ([[graft.streaming.Streams.commitLogStream]]) and play each
     * commit's rows through the same `applyCommit` path the master-side
@@ -146,8 +152,10 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
   private val table = gs.tableFor(label)
   private val maintLock = new Object // see MaintainedIndexes concurrency contract
   private val root = Paths.get(storageDir, "sigindex", label)
-  private def basePath = root.resolve("base")
-  private def deltaPath = root.resolve("delta")
+  // base/delta live inside the current GENERATION dir (Dirs.GenDirs):
+  // compaction publishes a fresh generation instead of swapping base
+  // in place, so probes racing a rebuild never lose their files
+  private def deltaPathNow = graft.model.GenDirs.current(root).resolve("delta")
   private def appliedThroughFile = root.resolve("_APPLIED_THROUGH")
   private var binderLock: java.nio.channels.FileChannel = _
 
@@ -175,15 +183,11 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
     // rebuild lands an epoch above this and its delta re-applies
     val through = gs.store.currentEpoch
     val docs = gs.graph().vertices(label)
-    val tmp = basePath.resolveSibling("base__tmp")
-    Dirs.rmTree(tmp)
-    Dedup.signatureFrame(docs, "id", textCol, k, numHashes)
-      .withColumnRenamed("doc", "id")
-      .write.mode("overwrite").parquet(tmp.toString)
-    Dirs.rmTree(basePath)
-    Files.createDirectories(basePath.getParent)
-    Files.move(tmp, basePath, StandardCopyOption.ATOMIC_MOVE)
-    Dirs.rmTree(deltaPath)
+    graft.model.GenDirs.publish(root) { g =>
+      Dedup.signatureFrame(docs, "id", textCol, k, numHashes)
+        .withColumnRenamed("doc", "id")
+        .write.mode("overwrite").parquet(g.resolve("base").toString)
+    }
     recordApplied(through)
   }
 
@@ -210,7 +214,7 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
     // overwrite, not append: a replayed epoch rewrites the same delta
     // (see PartitionedDeltaLog.appendCommit)
     rows.unionByName(tombs).coalesce(1).write.mode("overwrite")
-      .parquet(s"$deltaPath/commit_epoch=$epoch")
+      .parquet(s"$deltaPathNow/commit_epoch=$epoch")
     recordApplied(epoch)
   }
 
@@ -226,17 +230,18 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
     }
   }
 
-  private def hasDeltas: Boolean =
-    Dirs.childNames(deltaPath).exists(_.startsWith("commit_epoch="))
-
   /** The fresh signature frame `(doc, hsh, sig)` — base merged with the
-    * delta log, newest epoch per id winning.
+    * delta log, newest epoch per id winning. The generation resolves
+    * ONCE here, so the read never straddles a concurrent compaction.
     */
   def frame(): DataFrame = {
+    val g = graft.model.GenDirs.current(root)
+    val basePath = g.resolve("base")
+    val deltaPath = g.resolve("delta")
     require(Files.exists(basePath), s"signature index for $label not built — call rebuild()")
     val base = spark.read.parquet(basePath.toString)
     val merged =
-      if (!hasDeltas) base
+      if (!MaintainedIndexes.hasReadableDeltas(deltaPath)) base
       else MaintainedIndexes.mergeDeltas(
         base, spark.read.parquet(deltaPath.toString), Seq("id", "hsh", "sig"))
     merged.withColumnRenamed("id", "doc")
@@ -273,8 +278,14 @@ private[operators] final class PartitionedDeltaLog(
     spark: org.apache.spark.sql.SparkSession,
     root: java.nio.file.Path, partCols: Seq[String]) {
 
-  def basePath: java.nio.file.Path = root.resolve("base")
-  private def deltaPath = root.resolve("delta")
+  // base/delta live inside the current GENERATION dir (GenDirs):
+  // compaction publishes a fresh generation instead of swapping base in
+  // place, so probes racing a compaction never lose their files.
+  // basePath resolves the CURRENT generation — metadata side files
+  // (centroids, codebooks) staged into a generation's base dir resolve
+  // consistently with the code rows they describe.
+  def basePath: java.nio.file.Path =
+    graft.model.GenDirs.current(root).resolve("base")
   private def appliedThroughFile = root.resolve("_APPLIED_THROUGH")
 
   /** Replay cursor: the highest store epoch this index has applied —
@@ -332,14 +343,11 @@ private[operators] final class PartitionedDeltaLog(
     */
   def writeBase(rows: DataFrame,
       stage: java.nio.file.Path => Unit = _ => ()): Unit = {
-    val tmp = root.resolve("base__tmp")
-    Dirs.rmTree(tmp)
-    rows.write.partitionBy(partCols: _*).mode("overwrite").parquet(tmp.toString)
-    stage(tmp)
-    Dirs.rmTree(basePath)
-    Files.createDirectories(root)
-    Files.move(tmp, basePath, StandardCopyOption.ATOMIC_MOVE)
-    Dirs.rmTree(deltaPath)
+    graft.model.GenDirs.publish(root) { g =>
+      val b = g.resolve("base")
+      rows.write.partitionBy(partCols: _*).mode("overwrite").parquet(b.toString)
+      stage(b)
+    }
   }
 
   /** One commit's delta in ONE job: `expand(live)` rows flagged
@@ -366,23 +374,42 @@ private[operators] final class PartitionedDeltaLog(
     // doubling it — aggregate consumers (posting tf sums, PQ code
     // scans) would otherwise double-count rows that the newest-epoch-
     // wins merge cannot dedupe (same epoch on both copies)
-    sorted.write.mode("overwrite").parquet(s"$deltaPath/commit_epoch=$epoch")
+    sorted.write.mode("overwrite").parquet(
+      s"${graft.model.GenDirs.current(root).resolve("delta")}/commit_epoch=$epoch")
     recordApplied(epoch)
   }
 
-  private def hasDeltas: Boolean =
-    Dirs.childNames(deltaPath).exists(_.startsWith("commit_epoch="))
+  /** One generation pinned for one logical read: base, delta, and any
+    * metadata side files resolve from the SAME generation dir, so a
+    * probe that also reads quantizer metadata (PQ codebooks, IVF
+    * centroids) can never mix a new generation's codes with an old
+    * generation's quantizer across a racing compaction.
+    */
+  final class Pinned private[PartitionedDeltaLog] (g: java.nio.file.Path) {
+    def basePath: java.nio.file.Path = g.resolve("base")
+    def probe(pred: org.apache.spark.sql.Column): DataFrame = probeIn(g, pred)
+  }
+
+  /** Pin the current generation (resolve once per logical read). */
+  def pin(): Pinned = new Pinned(graft.model.GenDirs.current(root))
 
   /** The live candidate rows under a bucket/cell predicate: the base
     * scan is directory-pruned by it, the (small) delta scan pushes it
     * into parquet rowgroup stats; stale versions are retired by
-    * tombstone epoch.
+    * tombstone epoch. The generation resolves ONCE here, so the read
+    * never straddles a concurrent compaction.
     */
-  def probe(pred: org.apache.spark.sql.Column): DataFrame = {
+  def probe(pred: org.apache.spark.sql.Column): DataFrame =
+    probeIn(graft.model.GenDirs.current(root), pred)
+
+  private def probeIn(g: java.nio.file.Path,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val basePath = g.resolve("base")
+    val deltaPath = g.resolve("delta")
     require(Files.exists(basePath), s"store at $root not built — call rebuild()")
     val base = spark.read.parquet(basePath.toString).filter(pred)
       .withColumn("__ep", lit(0L))
-    if (!hasDeltas) base
+    if (!MaintainedIndexes.hasReadableDeltas(deltaPath)) base
     else {
       val delta = spark.read.parquet(deltaPath.toString)
       val fresh = delta.filter(pred && !col("__tomb"))
@@ -648,8 +675,10 @@ final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** The persisted codebooks (Double.toString roundtrips exactly). */
-  def codebooks: Seq[Seq[Seq[Double]]] =
-    new String(Files.readAllBytes(codebooksFile),
+  def codebooks: Seq[Seq[Seq[Double]]] = codebooksAt(log.basePath)
+
+  private def codebooksAt(base: java.nio.file.Path): Seq[Seq[Seq[Double]]] =
+    new String(Files.readAllBytes(base.resolve("_codebooks.txt")),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.split(";").toSeq.map(
         _.split(",").toSeq.map(java.lang.Double.parseDouble)))
@@ -696,11 +725,15 @@ final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
     * vectors.
     */
   def topK(query: Seq[Double], k: Int, candidates: Int = 100,
-      adcQuery: Option[Seq[Double]] = None): DataFrame =
+      adcQuery: Option[Seq[Double]] = None): DataFrame = {
+    // one pinned generation: the ADC scan decodes against the same
+    // codebooks its codes were encoded with (see GenDirs)
+    val pinned = log.pin()
     Similarity.pqTopK(
       gs.graph().vertices(label).select(col("id"), col(vecCol)),
-      vecCol, "id", log.probe(lit(true)), codebooks, query, k,
-      candidates, adcQuery)
+      vecCol, "id", pinned.probe(lit(true)), codebooksAt(pinned.basePath),
+      query, k, candidates, adcQuery)
+  }
 }
 
 /** Commit-maintained IVF-PQ store — the COMPOSED ANN configuration
@@ -726,13 +759,18 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
   private def centroidsFile = log.basePath.resolve("_centroids.txt")
   private def codebooksFile = log.basePath.resolve("_codebooks.txt")
 
-  def centroids: Seq[Seq[Double]] =
-    new String(Files.readAllBytes(centroidsFile),
+  def centroids: Seq[Seq[Double]] = centroidsAt(log.basePath)
+
+  private def centroidsAt(base: java.nio.file.Path): Seq[Seq[Double]] =
+    new String(Files.readAllBytes(base.resolve("_centroids.txt")),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
 
-  def codebooks: Seq[Seq[Seq[Double]]] =
-    Similarity.parseCodebooks(new String(Files.readAllBytes(codebooksFile),
+  def codebooks: Seq[Seq[Seq[Double]]] = codebooksAt(log.basePath)
+
+  private def codebooksAt(base: java.nio.file.Path): Seq[Seq[Seq[Double]]] =
+    Similarity.parseCodebooks(new String(
+      Files.readAllBytes(base.resolve("_codebooks.txt")),
       java.nio.charset.StandardCharsets.UTF_8))
 
   // metaCols ride along into the code rows (the ensureIvfPqStoreMeta
@@ -817,15 +855,18 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
 
   private def probeRanked(query: Seq[Double], kTop: Int, nProbe: Int,
       candidates: Int, predicate: Column): DataFrame = {
+    // one pinned generation: cells, codes, and both quantizers all
+    // resolve from the same materialization (see GenDirs)
+    val pinned = log.pin()
     val norm = math.sqrt(query.map(x => x * x).sum)
     val nq = if (norm == 0) query else query.map(_ / norm)
-    val probes = centroids.zipWithIndex
+    val probes = centroidsAt(pinned.basePath).zipWithIndex
       .map { case (c, i) => (c.zip(nq).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
       .sortBy(_._1).take(nProbe).map(_._2)
     val cand = Similarity.adcScan(
-        log.probe(col("ivf_cluster").isin(probes: _*) && predicate)
+        pinned.probe(col("ivf_cluster").isin(probes: _*) && predicate)
           .select("id", "codes"),
-        codebooks, nq)
+        codebooksAt(pinned.basePath), nq)
       .orderBy(col("adc_dist").asc, col("id").asc)
       .limit(candidates).select("id")
     gs.graph().vertices(label).select(col("id"), col(vecCol).as("__v"))
@@ -878,8 +919,10 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
   /** The persisted coarse quantizer (Double.toString roundtrips
     * exactly, so probes use the same centroids assignment used).
     */
-  def centroids: Seq[Seq[Double]] =
-    new String(Files.readAllBytes(centroidsFile),
+  def centroids: Seq[Seq[Double]] = centroidsAt(log.basePath)
+
+  private def centroidsAt(base: java.nio.file.Path): Seq[Seq[Double]] =
+    new String(Files.readAllBytes(base.resolve("_centroids.txt")),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.split(",").toSeq.map(java.lang.Double.parseDouble))
 
@@ -924,12 +967,15 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
     * cells (partition-pruned on base AND delta), rescore exactly.
     */
   def topK(query: Seq[Double], kTop: Int, nProbe: Int = 2): DataFrame = {
+    // one pinned generation: the probed cells come from the same
+    // quantizer that assigned the rows being probed (see GenDirs)
+    val pinned = log.pin()
     val norm = math.sqrt(query.map(x => x * x).sum)
     val nq = if (norm == 0) query else query.map(_ / norm)
-    val probes = centroids.zipWithIndex
+    val probes = centroidsAt(pinned.basePath).zipWithIndex
       .map { case (c, i) => (c.zip(nq).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
       .sortBy(_._1).take(nProbe).map(_._2)
-    log.probe(col("ivf_cluster").isin(probes: _*))
+    pinned.probe(col("ivf_cluster").isin(probes: _*))
       .select(col("id"),
         round(Similarity.cosine(col("v"), Similarity.vecLit(query)), 6).as("cos_sim"))
       .dropDuplicates("id")

@@ -829,22 +829,49 @@ object Similarity {
     * attribute filter beside the cell PartitionFilters, one scan), so
     * every ADC candidate already satisfies the filter and the exact
     * rescore never wastes a slot on a row the filter would discard.
-    * Selectivity thins each cell's yield, so filtered deployments
-    * probe MORE cells for the same k — widen `nProbe` exactly as q125
-    * widened the LSH tables; the recall audit over the FILTERED
-    * ground truth is the check that the chosen width clears the floor.
+    *
+    * `nProbe` widening: selectivity thins each cell's yield, so
+    * filtered deployments probe MORE cells for the same k. The default
+    * (`nProbe = 0`) DERIVES the width from the store's actual filtered
+    * yield instead of a hand-tuned constant: starting from the
+    * unfiltered baseline width (k/2, the q112 configuration), the
+    * probed set doubles until the cells' MEASURED eligible-row count
+    * covers the candidate budget or every cell is probed. Each
+    * measurement is a count over exactly the pruned+pushed scan the
+    * final probe reads (so at 100 TB it touches only probed cell dirs,
+    * and the widening loop is 1–2 cheap pruned counts, not a corpus
+    * scan), and it adapts to the TRUE local selectivity — a label rare
+    * globally but dense near the query widens less, the reverse case
+    * widens more. Two constraints compose: cell COVERAGE never drops
+    * below the unfiltered baseline (the true neighbors' cells must be
+    * probed regardless of yield), and eligible YIELD must fill the
+    * candidate budget (ADC ranking needs real rows to rank). The
+    * recall audit over the FILTERED ground truth (PqSpec sweeps
+    * selectivity ≈1 / ≈0.1 / ≈0.01) is the check that the derived
+    * width clears the floor. An explicit `nProbe > 0` overrides.
     */
   def ivfPqTopKFiltered(df: DataFrame, vecCol: String, idCol: String,
       sfDir: String, query: Seq[Double], kTop: Int, k: Int, m: Int,
       predicate: Column, metaCols: Seq[String], ksub: Int = 16,
-      iterations: Int = 2, nProbe: Int = 2, candidates: Int = 100): DataFrame = {
+      iterations: Int = 2, nProbe: Int = 0, candidates: Int = 100): DataFrame = {
     val (codes, cs, cbs) = ensureIvfPqStoreMeta(df, vecCol, idCol, sfDir, k, m,
       metaCols, ksub, iterations)
     val norm = math.sqrt(query.map(x => x * x).sum)
     val nq = if (norm == 0) query else query.map(_ / norm)
-    val probes = cs.zipWithIndex
+    val ranked = cs.zipWithIndex
       .map { case (c, i) => (c.zip(nq).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
-      .sortBy(_._1).take(nProbe).map(_._2)
+      .sortBy(_._1).map(_._2)
+    val probes =
+      if (nProbe > 0) ranked.take(nProbe)
+      else {
+        val baseline = math.max(2, k / 2) // the unfiltered q112 width
+        def eligible(sel: Seq[Int]): Long =
+          codes.filter(col("ivf_cluster").isin(sel: _*) && predicate).count()
+        var p = baseline
+        while (p < cs.size && eligible(ranked.take(p)) < candidates)
+          p = math.min(cs.size, p * 2)
+        ranked.take(p)
+      }
     val cand = adcScan(
         codes.filter(col("ivf_cluster").isin(probes: _*) && predicate)
           .select("id", "codes"),

@@ -241,14 +241,16 @@ object PipelineQueries {
           case "ivfpq" =>
             // the composed at-scale store (q112/q190 surface): cell-
             // pruned ADC scan; with 'label' the predicate applies to
-            // the probed code rows before ranking (widened nProbe
-            // compensates filter selectivity)
+            // the probed code rows before ranking, and the probe width
+            // derives from the store's measured filtered yield
+            // (ivfPqTopKFiltered's adaptive default) — callers never
+            // hand-tune a selectivity constant
             val emb = Tpch.table(spark, sfDir, "embeddings")
             if (labelFilter >= 0)
               graft.operators.Similarity.ivfPqTopKFiltered(
                 emb, "embedding", "vec_id", sfDir, vec, k, k = 16, m = 8,
                 predicate = org.apache.spark.sql.functions.col("label") === labelFilter,
-                metaCols = Seq("label"), nProbe = 12,
+                metaCols = Seq("label"),
                 candidates = math.max(100, 10 * k))
             else
               graft.operators.Similarity.ivfPqTopK(

@@ -85,17 +85,32 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
 
   private var defs = Map.empty[String, ViewDef]
   private var bound = false
+  // maintenance monitor: regenerate (compaction) and the commit-hook
+  // delta appends serialize per catalog, so a hook's delta can never
+  // land in a generation that a concurrent regenerate is about to
+  // supersede without its data (the MaintainedIndexes contract,
+  // applied to views — the storm suite hammers this interleaving)
+  private val maintLock = new Object
   private def path(name: String) = s"$storageDir/views/$name"
-  private def basePath(name: String) = Paths.get(path(name), "base")
-  private def deltaPath(name: String) = Paths.get(path(name), "delta")
+  private def viewRoot(name: String) = Paths.get(path(name))
+  // base/delta live inside the current GENERATION dir (GenDirs):
+  // regenerate publishes a fresh generation instead of swapping base
+  // in place, so reads racing a regenerate never lose their files
+  private def basePath(name: String) =
+    graft.model.GenDirs.current(viewRoot(name)).resolve("base")
+  private def deltaPath(name: String) =
+    graft.model.GenDirs.current(viewRoot(name)).resolve("delta")
 
   private def rmTree(f: java.nio.file.Path): Unit = graft.model.Dirs.rmTree(f)
-  /** Complete an interrupted [[regenerate]] swap: mid-swap the base dir
-    * is briefly absent while the previous materialization sits in
-    * `__old` — restore it (same discipline as VersionedStore.vacuum).
+  /** Complete an interrupted LEGACY-layout swap (pre-generation dirs:
+    * mid-swap the base dir is briefly absent while the previous
+    * materialization sits in `__old`) — restore it. Generation-layout
+    * publishes are crash-safe by construction (GenDirs), so this is a
+    * no-op once `_GEN` exists.
     */
   private def heal(name: String): Unit = {
-    val p = basePath(name); val old = Paths.get(path(name), "base__old")
+    if (Files.exists(viewRoot(name).resolve("_GEN"))) return
+    val p = Paths.get(path(name), "base"); val old = Paths.get(path(name), "base__old")
     if (!Files.exists(p) && Files.exists(old))
       Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(p)) {
@@ -129,33 +144,23 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     * delta (it reads the live source), so accumulated delta partitions
     * are cleared afterwards.
     */
-  def regenerate(name: String, numPartitions: Int = 0): Unit = {
+  def regenerate(name: String, numPartitions: Int = 0): Unit = maintLock.synchronized {
     val mapped = compute(name)
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // write the full replacement aside, then swap: a crash at any point
-    // leaves either the previous or the new materialization intact —
-    // overwrite-in-place would destroy the view on failure
     heal(name)
-    val tmp = Paths.get(path(name), "base__tmp")
-    rmTree(tmp)
-    mapped
-      .repartitionByRange(n, col("key"))
-      .sortWithinPartitions("key", "id")
-      .write.mode("overwrite").parquet(tmp.toString)
-    val p = basePath(name)
-    Files.createDirectories(p.getParent)
-    if (Files.exists(p))
-      Files.move(p, Paths.get(path(name), "base__old"), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-    rmTree(Paths.get(path(name), "base__old"))
-    // compaction: deltas are folded into the new base. A crash here is
-    // benign — leftover deltas re-assert by-id what base already holds.
-    rmTree(deltaPath(name))
+    // publish a fresh generation (GenDirs): the new base reflects every
+    // committed delta (it reads the live source, and delta appends
+    // serialize with this publish under maintLock), so the generation
+    // starts with an empty delta log — compaction. A crash at any
+    // point leaves the previous generation current and intact.
+    graft.model.GenDirs.publish(viewRoot(name)) { g =>
+      mapped
+        .repartitionByRange(n, col("key"))
+        .sortWithinPartitions("key", "id")
+        .write.mode("overwrite").parquet(g.resolve("base").toString)
+    }
   }
-
-  private def hasDeltas(name: String): Boolean =
-    graft.model.Dirs.childNames(deltaPath(name)).exists(_.startsWith("commit_epoch="))
 
   /** The merged view: base plus any post-base commit deltas, superseded
     * at id granularity (newest delta epoch per id wins; tombstone-only
@@ -164,12 +169,17 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
   private def materialized(name: String): DataFrame = {
     definition(name)
     heal(name)
-    require(Files.exists(basePath(name)),
+    // one pinned generation: base and delta resolve from the same dir,
+    // so a read never straddles a concurrent regenerate (see GenDirs)
+    val g = graft.model.GenDirs.current(viewRoot(name))
+    val base0 = g.resolve("base")
+    val delta0 = g.resolve("delta")
+    require(Files.exists(base0),
       s"view $name is not materialized — call regenerate first")
-    val base = spark.read.parquet(basePath(name).toString)
-    if (!hasDeltas(name)) base
+    val base = spark.read.parquet(base0.toString)
+    if (!graft.model.Dirs.hasReadableDeltaFiles(delta0)) base
     else {
-      val deltas = spark.read.parquet(deltaPath(name).toString)
+      val deltas = spark.read.parquet(delta0.toString)
       val latest = deltas
         .withColumn("__me", max("commit_epoch").over(Window.partitionBy("id")))
         .filter(col("commit_epoch") === col("__me") && !col("__tomb"))
@@ -254,7 +264,7 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     * their first `regenerate` reads the committed state anyway.
     */
   private def applyCommitDelta(name: String, staged: DataFrame, epoch: Long,
-      vertexLabel: Option[String] = None): Unit = {
+      vertexLabel: Option[String] = None): Unit = maintLock.synchronized {
     val v = definition(name)
     if (!Files.exists(basePath(name))) return
     val baseSchema = spark.read.parquet(basePath(name).toString).schema
@@ -288,7 +298,7 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     * next delta partition. Ids already in the view are replaced (id
     * supersession), new ids appended.
     */
-  def appendDelta(name: String, deltaSource: DataFrame): Unit = {
+  def appendDelta(name: String, deltaSource: DataFrame): Unit = maintLock.synchronized {
     val v = definition(name)
     // a bound catalog numbers delta partitions by STORE epoch; a
     // self-numbered append would collide with the store's next commit

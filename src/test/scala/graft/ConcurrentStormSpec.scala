@@ -1,0 +1,207 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{GraphSchema, GraphStore}
+import graft.operators.{Dedup, MaintainedPostingIndex, SignatureIndex}
+import graft.views.{ViewCatalog, ViewDef}
+
+/** Multithreaded storm coverage for the write path — the rebuild's
+  * analog of the reference's dedicated concurrent-stress family
+  * (tests/concurrent-stress/{graph,mixed,transaction,view}-storm.lisp
+  * and the tests/concurrency suites). The single-threaded specs pin the
+  * CONTRACTS (OCC validation, binder lock, maintenance monitor); this
+  * suite hammers them from N real threads at once:
+  *
+  *   - transaction storm: contended single-row read-modify-writes with
+  *     retry-on-conflict never lose an update (first-committer-wins
+  *     OCC over the Txn's creation-time snapshot — a racing commit
+  *     makes the loser CONFLICT, not silently absorb a stale value);
+  *   - graph/mixed storm: concurrent writers over a store with views +
+  *     signature (LSH) + posting indexes bound, while reader threads
+  *     probe mid-commit and a compactor thread calls rebuild()/
+  *     regenerate() concurrently — at quiescence every maintained
+  *     surface must equal a from-scratch recompute of the final graph
+  *     (no lost deltas, no double-applied epochs).
+  *
+  * Thread discipline: worker failures are collected, never swallowed —
+  * a storm that errors in a worker fails the test with that error.
+  */
+class ConcurrentStormSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(Paths.get("target"), prefix).toString
+
+  /** Run `body` in `n` named threads, join all, rethrow the first
+    * worker failure (if any) so assertion messages surface verbatim.
+    */
+  private def inThreads(n: Int)(body: Int => Unit): Unit = {
+    val errors = new ConcurrentLinkedQueue[Throwable]
+    val ts = (0 until n).map { i =>
+      new Thread(() => {
+        try body(i)
+        catch { case t: Throwable => errors.add(t) }
+      }, s"storm-$i")
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errors.isEmpty) throw errors.peek()
+  }
+
+  test("transaction storm: contended increments retry on conflict and never lose an update") {
+    val dir = tmp("storm-occ")
+    val schema = GraphSchema.builder().vertex("acct", "id", Seq("n")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    gs.txn().createVertices("acct", Seq((1L, 0L)).toDF("id", "n")).commit()
+
+    val threads = 3
+    val perThread = 3
+    val conflicts = new AtomicInteger
+
+    inThreads(threads) { _ =>
+      var done = 0
+      var attempts = 0
+      while (done < perThread) {
+        attempts += 1
+        assert(attempts <= 60, "retry budget exhausted — livelock or broken OCC")
+        // read the value THROUGH the txn's snapshot (graphView), so the
+        // staged revision and the read value come from the same epoch:
+        // this is the read-modify-write OCC protects
+        val txn = gs.txn()
+        val cur = txn.graphView().vertices("acct")
+          .filter(col("id") === 1).select("n").head().getLong(0)
+        try {
+          txn.updateVertices("acct", Seq((1L, cur + 1)).toDF("id", "n")).commit()
+          done += 1
+        } catch {
+          case _: gs.store.ConflictException => conflicts.incrementAndGet()
+        }
+      }
+    }
+
+    val total = threads * perThread
+    val fin = gs.graph().vertices("acct").filter(col("id") === 1)
+      .select("n").head().getLong(0)
+    assert(fin == total.toLong,
+      s"every increment must land exactly once: got $fin, want $total " +
+        s"(${conflicts.get()} conflicts retried)")
+    // one version row per successful commit, rev strictly sequential:
+    // no commit was double-applied, none vanished
+    val revs = gs.store.history("v_acct").select("rev")
+      .as[Long].collect().sorted.toSeq
+    assert(revs == (1L to (total + 1)).toSeq,
+      s"version chain must be gapless: $revs")
+  }
+
+  test("graph storm: concurrent disjoint-range writers with views + LSH + posting bound, " +
+      "readers probing and a compactor rebuilding mid-storm") {
+    val dir = tmp("storm-idx")
+    val schema = GraphSchema.builder()
+      .vertex("doc", "id", Seq("text", "seg")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    val seedDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id").as("id"), col("text"),
+        (col("doc_id") % 4).cast("string").as("seg"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    gs.txn().createVertices("doc", seedDocs.toDF("id", "text", "seg")).commit()
+
+    val sig = new SignatureIndex(gs, "doc", "text", dir)
+    sig.rebuild(); sig.bind()
+    val post = new MaintainedPostingIndex(gs, "doc", "text", dir)
+    post.rebuild(); post.bind()
+    val cat = new ViewCatalog(spark, gs, dir)
+    cat.register(ViewDef("by_seg", "doc",
+      df => df.select(col("seg").as("key"), col("id"),
+        length(col("text")).cast("double").as("value")),
+      reduceAgg = Some(sum(col("value")))))
+    cat.regenerate("by_seg"); cat.bindTo(gs)
+
+    val writersDone = new AtomicBoolean(false)
+    val probes = new AtomicInteger
+    val readerErrors = new ConcurrentLinkedQueue[Throwable]
+    val readers = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          while (!writersDone.get()) {
+            // probe every maintained surface mid-commit/mid-compaction;
+            // results vary with the in-flight state, but the reads must
+            // never throw and never see a torn store
+            sig.nearDups().count()
+            post.search(Seq("the"), 5).count()
+            cat.reducedView("by_seg").count()
+            probes.incrementAndGet()
+          }
+        } catch { case t: Throwable => readerErrors.add(t) }
+      }, s"storm-reader-$i")
+    }
+    readers.foreach(_.start())
+
+    val compactor = new Thread(() => {
+      while (!writersDone.get()) {
+        sig.rebuild()
+        cat.regenerate("by_seg")
+        Thread.sleep(50)
+      }
+    }, "storm-compactor")
+    compactor.start()
+
+    // 3 writers × 3 commits on DISJOINT id ranges: creates, an update
+    // that rewrites a doc with a twin text (moves its signature), and
+    // a delete — the full supersession surface, concurrently
+    val twin = seedDocs.head._2
+    inThreads(3) { w =>
+      val base = 1000L + w * 100
+      gs.txn().createVertices("doc",
+        (0 until 4).map(j => (base + j, s"storm writer $w row $j " + twin,
+          (w % 4).toString)).toDF("id", "text", "seg")).commit()
+      gs.txn().updateVertices("doc",
+        Seq((base, twin, (w % 4).toString)).toDF("id", "text", "seg")).commit()
+      gs.txn().deleteVertices("doc", Seq(base + 3).toDF("id")).commit()
+    }
+    writersDone.set(true)
+    readers.foreach(_.join())
+    compactor.join()
+    if (!readerErrors.isEmpty) throw readerErrors.peek()
+    assert(probes.get() > 0, "readers must have completed probes mid-storm")
+
+    // quiescent parity: every maintained surface == from-scratch over
+    // the FINAL graph (nothing lost, nothing double-applied)
+    val docs = gs.graph().vertices("doc")
+    val sigGot = sig.nearDups().select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigWant = Dedup.minhashNearDups(docs, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sigGot == sigWant, "signature index must equal from-scratch recompute")
+    // each writer's updated doc carries the twin text verbatim — its
+    // pair with the seed doc must have survived compaction racing hooks
+    assert(sigWant.exists(p => p._1 == seedDocs.head._1 && p._2 >= 1000L),
+      "fixture must actually plant cross-thread twins")
+
+    val postGot = post.search(Seq("storm", "writer"), 50)
+      .select("id").as[Long].collect().toSet
+    val postWant = docs.select(col("id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term").isin("storm", "writer"))
+      .select("id").distinct().as[Long].collect().toSet
+    assert(postGot == postWant, "posting index must equal from-scratch recompute")
+    assert(!postGot.exists(id => id == 1003L || id == 1103L || id == 1203L),
+      "deleted docs must not be searchable after the storm")
+
+    val viewGot = cat.reducedView("by_seg").select("key", "value", "n")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val viewWant = docs.groupBy("seg")
+      .agg(sum(length(col("text")).cast("double")).as("v"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(viewGot == viewWant, "bound view must equal from-scratch recompute")
+
+    // a final compaction folds all storm deltas and changes nothing
+    sig.rebuild(); cat.regenerate("by_seg")
+    assert(sig.nearDups().select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      == sigWant, "post-storm compaction must be a no-op on results")
+  }
+}

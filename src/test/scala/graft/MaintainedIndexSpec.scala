@@ -25,7 +25,8 @@ class MaintainedIndexSpec extends SparkSpec {
     Files.createTempDirectory(Paths.get("target"), prefix).toString
 
   private def listBase(dir: String, kind: String, label: String) = {
-    val p = Paths.get(dir, kind, label, "base")
+    // base lives inside the current generation dir (GenDirs)
+    val p = graft.model.GenDirs.current(Paths.get(dir, kind, label)).resolve("base")
     Files.list(p).map(_.getFileName.toString).sorted.toArray.toSeq
   }
 
@@ -421,8 +422,12 @@ class MaintainedIndexSpec extends SparkSpec {
     // parquet PUSHED filters instead, skipping via rowgroup stats on
     // the bucket-sorted files
     val plan = ann.topK(q, 10).queryExecution.executedPlan.toString
-    val baseScans = plan.linesIterator.filter(_.contains("annindex/emb/base")).toSeq
-    val deltaScans = plan.linesIterator.filter(_.contains("annindex/emb/delta")).toSeq
+    // the displayed Location path truncates, so match only the first
+    // character of base/delta under the generation dir
+    val baseScans = plan.linesIterator
+      .filter(_.matches(""".*annindex/emb/gen@\d+/b.*""")).toSeq
+    val deltaScans = plan.linesIterator
+      .filter(_.matches(""".*annindex/emb/gen@\d+/d.*""")).toSeq
     assert(baseScans.size == 1 && deltaScans.size == 2,
       s"expected base + fresh-delta + tombstone scans:\n$plan")
     assert(baseScans.head.contains("PartitionFilters: [("),

@@ -104,7 +104,7 @@ class PqSpec extends SparkSpec {
       .getSeq[Float](0).map(_.toDouble).toSeq
     val probe = Similarity.ivfPqTopKFiltered(emb, "embedding", "vec_id", sf,
       q, kTop = 10, k = 16, m = 8, predicate = col("label") === 3,
-      metaCols = Seq("label"), nProbe = 12, candidates = 100)
+      metaCols = Seq("label"), candidates = 100)
     val plan = probe.queryExecution.executedPlan.toString
     // ONE scan carries both prunings: the cell dirs via PartitionFilters
     // and the attribute predicate pushed into the parquet row groups —
@@ -122,5 +122,39 @@ class PqSpec extends SparkSpec {
     val eligibleIds = eligible.select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(got.subsetOf(eligibleIds), "a filtered probe returned an off-label id")
     assert((got & exact).size >= 6, s"filtered recall too low: ${(got & exact).size}/10")
+  }
+
+  test("filtered IVF-PQ: the DERIVED probe width clears the recall floor across " +
+      "selectivity ~1, ~0.1, ~0.01") {
+    // the adaptive default must hold the q125/q190 recall floor with
+    // no hand-tuned widening constant, at three selectivity regimes:
+    // all-pass (the filter is free), one label (~10x thinning — the
+    // q190 shape), and label ∧ id-bucket (~100x — nearly every
+    // eligible row must be in view to fill kTop)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toSeq
+    // per regime: the probe predicate over STORE columns (id) and the
+    // same predicate over SOURCE columns (vec_id) for the ground truth
+    val regimes = Seq(
+      ("~1", col("label") >= 0, col("label") >= 0),
+      ("~0.1", col("label") === 3, col("label") === 3),
+      ("~0.01", col("label") === 3 && pmod(col("id"), lit(100)) < 10,
+        col("label") === 3 && pmod(col("vec_id"), lit(100)) < 10))
+    regimes.foreach { case (tag, probePred, storePred) =>
+      val got = Similarity.ivfPqTopKFiltered(emb, "embedding", "vec_id", sf,
+          q, kTop = 10, k = 16, m = 8, predicate = probePred,
+          metaCols = Seq("label"), candidates = 100)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val eligible = emb.filter(storePred)
+      val kWant = math.min(10L, eligible.count()).toInt
+      val exact = Similarity.bruteForceTopK(eligible, "embedding", "vec_id", q, 10)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got.size == kWant,
+        s"[$tag] expected $kWant results, got ${got.size}")
+      val floor = math.max(1, (kWant * 6) / 10)
+      assert((got & exact).size >= floor,
+        s"[$tag] derived-width recall too low: ${(got & exact).size}/$kWant")
+    }
   }
 }

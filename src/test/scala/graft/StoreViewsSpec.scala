@@ -23,8 +23,10 @@ class StoreViewsSpec extends SparkSpec {
   private def tmp(prefix: String) =
     Files.createTempDirectory(Paths.get("target"), prefix).toString
 
+  private def viewGen(dir: String) =
+    graft.model.GenDirs.current(Paths.get(s"$dir/views/by_seg"))
   private def baseFiles(dir: String) = {
-    val p = Paths.get(s"$dir/views/by_seg/base")
+    val p = viewGen(dir).resolve("base")
     Files.list(p).map(_.getFileName.toString).sorted.toArray.toSeq
   }
 
@@ -64,7 +66,7 @@ class StoreViewsSpec extends SparkSpec {
 
     // all of the above was delta-maintained: base untouched, deltas present
     assert(baseFiles(dir) == frozenBase)
-    assert(Files.list(Paths.get(s"$dir/views/by_seg/delta")).count() == 3)
+    assert(Files.list(viewGen(dir).resolve("delta")).count() == 3)
 
     // the maintained view equals a from-scratch recompute
     val fromSource = gs.graph().vertices("acct")
@@ -74,7 +76,7 @@ class StoreViewsSpec extends SparkSpec {
 
     // compaction: regenerate folds deltas into base and clears them
     cat.regenerate("by_seg")
-    assert(!Files.exists(Paths.get(s"$dir/views/by_seg/delta")))
+    assert(!Files.exists(viewGen(dir).resolve("delta")))
     assert(reduced() == fromSource)
   }
 

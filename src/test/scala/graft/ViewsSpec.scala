@@ -83,8 +83,9 @@ class ViewsSpec extends SparkSpec {
     }
   }
 
-  test("interrupted regenerate swap heals on next read") {
-    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+  test("interrupted regenerate publish leaves the current generation serving; " +
+      "next regenerate sweeps the leftovers") {
+    import java.nio.file.{Files => F, Paths}
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "views-heal").toString
     val cat = new graft.views.ViewCatalog(spark, g, dir)
@@ -93,14 +94,24 @@ class ViewsSpec extends SparkSpec {
       reduceAgg = Some(sum(col("value")))))
     cat.regenerate("bal")
     val before = cat.grandTotal("bal").collect().head
-    // simulate a crash between regenerate's two renames
-    F.move(Paths.get(s"$dir/views/bal/base"), Paths.get(s"$dir/views/bal/base__old"),
-      StandardCopyOption.ATOMIC_MOVE)
-    val after = cat.grandTotal("bal").collect().head // heals
-    assert(before == after)
-    assert(!F.exists(Paths.get(s"$dir/views/bal/base__old")))
-    // regenerate over the healed state still works
+    // simulate the two crash points of a generation publish (GenDirs):
+    // a half-filled staging dir, and a fully-moved next generation whose
+    // pointer flip never happened — both invisible to readers
+    F.createDirectories(Paths.get(s"$dir/views/bal/gen@2.tmp/base"))
+    F.createDirectories(Paths.get(s"$dir/views/bal/gen@2/base"))
+    assert(cat.grandTotal("bal").collect().head == before,
+      "crash leftovers must not affect reads — the pointer still names gen@1")
+    // the next regenerate claims gen@2 (discarding the orphan), flips
+    // the pointer, and sweeps the staging leftover
     cat.regenerate("bal")
+    assert(cat.grandTotal("bal").collect().head == before)
+    assert(!F.exists(Paths.get(s"$dir/views/bal/gen@2.tmp")))
+    assert(F.readString(Paths.get(s"$dir/views/bal/_GEN")).trim == "2")
+    // one more regenerate: gen@3 publishes, gen@1 (two behind) is swept,
+    // gen@2 is kept as the reader-grace generation
+    cat.regenerate("bal")
+    assert(!F.exists(Paths.get(s"$dir/views/bal/gen@1")))
+    assert(F.exists(Paths.get(s"$dir/views/bal/gen@2")))
     assert(cat.grandTotal("bal").collect().head == before)
   }
 }
