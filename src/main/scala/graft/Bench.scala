@@ -62,6 +62,40 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Machine-readable quiet-floor ledger (`floors.json` in the
+    * working dir): per-query minimum wall-time ever observed on a
+    * QUIET run, so future rounds diff a bench reading against its
+    * floor mechanically instead of re-litigating load noise in prose
+    * (BENCHNOTES carries the narrative; this file carries the
+    * numbers). Quietness is self-calibrating: the ledger tracks the
+    * calibration probe's own floor under `__probe`, and a run only
+    * updates query floors when its probe reading is within 10% of
+    * that floor — a loaded machine can never LOWER a floor it
+    * contends on, and the probe floor itself only ratchets down.
+    */
+  def updateFloors(results: Seq[(String, Double)], probe: Double): Unit = {
+    val path = java.nio.file.Paths.get("floors.json")
+    val old: Map[String, Double] =
+      if (!java.nio.file.Files.exists(path)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val probeFloor = old.get("__probe").fold(probe)(math.min(_, probe))
+    val quiet = probe <= probeFloor * 1.1
+    val merged: Map[String, Double] =
+      if (!quiet) old + ("__probe" -> probeFloor)
+      else old ++ results.collect { case (n, t) if t > 0 =>
+        n -> old.get(n).fold(t)(math.min(_, t))
+      } + ("__probe" -> probeFloor)
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(path,
+      (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** 1-minute load average from /proc/loadavg (NaN if unreadable). */
   def loadAvg(): Double =
     try {
@@ -130,6 +164,11 @@ object Bench {
     def jnum(d: Double) = if (d.isNaN) "null" else f"$d%.2f"
     val cal = f""""calibration":{"probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"load_avg_before":${jnum(loadBefore)},"load_avg_after":${jnum(loadAfter)},"runs_per_query":$warmRuns}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir",$cal}""")
+    // floors ratchet only at the driver's bench scale — a subset run
+    // (BENCH_ONLY) still updates just the queries it measured
+    if (sfDir.endsWith("sf0.1"))
+      updateFloors(results.map { case (n, (mn, _)) => n -> mn },
+        math.min(probeBefore, probeAfter))
     spark.stop()
   }
 }

@@ -72,6 +72,21 @@ final case class ViewGoal(view: String, key: String, id: String, value: String) 
 final case class ReducedViewGoal(view: String, key: String, value: String,
     n: Option[String] = None) extends Goal
 
+/** `(agg ?class keyProp valueProp ?key ?value [?n])` — a DECLARATIVE
+  * per-key aggregate over a vertex class: bind `keyVar`/`valueVar`
+  * (and optionally `nVar`) to the per-`keyProp` sum of `valueProp`
+  * over all live `label` vertices. Unlike [[ReducedViewGoal]], the
+  * user does NOT name a view: the compiler ROUTES the goal through a
+  * registered materialized view whose declared `(sourceLabel,
+  * keyProp, valueProp)` matches and whose materialization is current
+  * (bound-to-store or static-source), and falls back to a from-source
+  * aggregation otherwise — the automatic-rewrite upgrade over the
+  * reference's explicit invoke-reduced-view (prolog-functors.lisp:
+  * 767-789), deferred in SURVEY §7.3 and closed here.
+  */
+final case class AggGoal(label: String, keyProp: String, valueProp: String,
+    keyVar: String, valueVar: String, nVar: Option[String] = None) extends Goal
+
 /** Invocation of a named rule (the `<-` functor surface,
   * prologc.lisp:744-746): the rule produces a relation over its head
   * variables, joined into the stream on the already-bound ones.

@@ -149,6 +149,39 @@ final class PatternCompiler(
       vars += value -> VarState("", hasProps = false)
       nVar.foreach(nv => vars += nv -> VarState("", hasProps = false))
 
+    case AggGoal(label, keyProp, valueProp, keyVar, valueVar, nVar) =>
+      graph.schema.requireVertex(label)
+      // ROUTE through a matching bound/current materialized view when
+      // one is registered (the reference's users invoke-reduced-view
+      // explicitly; here the planner rewrites), else aggregate from
+      // source — identical results either way, by the ViewDef routing
+      // contract (keyProp/valueProp declare the map, reduce is sum)
+      val routed = views.flatMap(_.routeFor(label, keyProp, valueProp))
+      val rows = routed match {
+        case Some(name) =>
+          views.get.reducedView(name)
+            .select(col("key").as(keyVar), col("value").as(valueVar),
+              col("n").as(s"__an_$keyVar"))
+        case None =>
+          val src = prefixed(label, s"__a_$keyVar")
+          src.groupBy(col(s"__a_${keyVar}__$keyProp").as(keyVar))
+            .agg(sum(col(s"__a_${keyVar}__$valueProp")).as(valueVar),
+              count(lit(1)).as(s"__an_$keyVar"))
+      }
+      // "bound" by COLUMN presence, not the vars registry: Slot/Bind
+      // introduce plain columns without registering a var state
+      val keyBound = df != null && df.columns.contains(keyVar)
+      if (df == null) df = rows
+      else if (keyBound)
+        df = df.join(rows.withColumnRenamed(keyVar, s"__ak_$keyVar"),
+          col(keyVar) === col(s"__ak_$keyVar"), "inner").drop(s"__ak_$keyVar")
+      else df = df.crossJoin(rows)
+      nVar.foreach(nv => df = df.withColumnRenamed(s"__an_$keyVar", nv))
+      if (nVar.isEmpty) df = df.drop(s"__an_$keyVar")
+      if (!keyBound && !bound(keyVar)) vars += keyVar -> VarState("", hasProps = false)
+      vars += valueVar -> VarState("", hasProps = false)
+      nVar.foreach(nv => vars += nv -> VarState("", hasProps = false))
+
     case RuleGoal(rule, bindings) =>
       val rs = rules.getOrElse(throw new IllegalArgumentException(
         "rule goal requires a RuleSet"))

@@ -49,7 +49,17 @@ final case class ViewDef(
     mapFn: DataFrame => DataFrame,
     /** aggregate over `value` grouped by `key`, e.g. sum(col("value")). */
     reduceAgg: Option[Column] = None,
-    descending: Boolean = false)
+    descending: Boolean = false,
+    /** OPTIONAL routing metadata for automatic view routing
+      * ([[graft.query.AggGoal]]): declares that `mapFn` is exactly
+      * `key = keyProp column, value = valueProp column` (one row per
+      * source row) and `reduceAgg` is `sum(value)` — the contract
+      * under which a declarative per-key aggregate may be served from
+      * this view's materialization instead of rescanning the source.
+      * Leave unset for views whose map is anything richer.
+      */
+    keyProp: Option[String] = None,
+    valueProp: Option[String] = None)
 
 /** Where a catalog's views read their source rows from: a static
   * [[PropertyGraph]] (file-backed graphs) or a live [[GraphStore]]
@@ -58,6 +68,11 @@ final case class ViewDef(
 trait ViewSources {
   def knows(label: String): Boolean
   def frame(label: String): DataFrame
+  /** True when the source can change underneath a materialization (a
+    * live store) — automatic view routing then requires the catalog
+    * to be BOUND (commit-maintained) before trusting a view's rows.
+    */
+  def isLive: Boolean
 }
 
 object ViewSources {
@@ -65,6 +80,7 @@ object ViewSources {
     def knows(l: String): Boolean = g.vertexLabels.contains(l) || g.edgeLabels.contains(l)
     def frame(l: String): DataFrame =
       if (g.vertexLabels.contains(l)) g.vertices(l) else g.edgeFrame(l)
+    def isLive: Boolean = false
   }
   def apply(gs: GraphStore): ViewSources = new ViewSources {
     def knows(l: String): Boolean =
@@ -73,6 +89,7 @@ object ViewSources {
       val g = gs.graph()
       if (gs.schema.vertexTypes.contains(l)) g.vertices(l) else g.edgeFrame(l)
     }
+    def isLive: Boolean = true
   }
 }
 
@@ -128,6 +145,25 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
 
   /** Registered view names (stable order). */
   def names: Seq[String] = defs.keys.toSeq.sorted
+
+  /** Automatic view routing ([[graft.query.AggGoal]]): the name of a
+    * registered view that can SERVE the per-`keyProp` sum of
+    * `valueProp` over `label` — declared routing metadata matches,
+    * a reduce aggregate exists, the view is materialized, and the
+    * materialization is CURRENT: a static source cannot drift, a live
+    * store requires the catalog to be bound (commit-maintained). An
+    * unbound store-backed catalog never routes, even if freshly
+    * regenerated — conservative by design, the fallback recompute is
+    * always correct.
+    */
+  def routeFor(label: String, keyProp: String, valueProp: String): Option[String] =
+    defs.values.collectFirst {
+      case v if v.sourceLabel == label && v.keyProp.contains(keyProp) &&
+          v.valueProp.contains(valueProp) && v.reduceAgg.isDefined &&
+          (!sources.isLive || bound) &&
+          Files.exists(basePath(v.name)) =>
+        v.name
+    }
 
   /** Compute the view's map output from the current source state. */
   def compute(name: String): DataFrame = {

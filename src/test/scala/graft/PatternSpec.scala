@@ -232,4 +232,88 @@ class PatternSpec extends SparkSpec {
     // the returned frame is re-rooted: downstream plans use caller conf
     assert(plannedShuffle(closure.groupBy("id").count()) == default)
   }
+
+  test("automatic view routing: an agg goal reads a matching materialized view, " +
+      "falls back when absent, and never trusts an unbound live-store view") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "autoroute").toString
+    val cat = new graft.views.ViewCatalog(spark, g, dir)
+    cat.register(graft.views.ViewDef("bal_by_seg", "customer",
+      df => df.select(col("c_mktsegment").as("key"), col("id"),
+        col("c_acctbal").as("value")),
+      reduceAgg = Some(sum(col("value"))),
+      keyProp = Some("c_mktsegment"), valueProp = Some("c_acctbal")))
+
+    val q = PatternQuery(
+      goals = Seq(AggGoal("customer", "c_mktsegment", "c_acctbal", "seg", "total",
+        nVar = Some("n"))),
+      select = Seq("seg" -> "seg", "total" -> "total", "n" -> "n"))
+    def resultOf(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.collect().map(r =>
+        r.getString(0) -> ((math.round(r.getDouble(1) * 100), r.getLong(2)))).toMap
+    val want = resultOf(spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy(col("c_mktsegment")).agg(sum("c_acctbal"), count(lit(1))))
+
+    // not materialized yet: FALLBACK computes from source, same answer
+    val before = PatternCompiler.run(g, q, views = Some(cat))
+    assert(!before.queryExecution.executedPlan.toString.contains("views/bal_by_seg"),
+      "unmaterialized view must not be routed through")
+    assert(resultOf(before) == want)
+
+    // materialized over a STATIC source: ROUTED — the plan reads the
+    // view's parquet instead of rescanning customers
+    cat.regenerate("bal_by_seg")
+    val routed = PatternCompiler.run(g, q, views = Some(cat))
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("views/bal_by_seg"),
+      s"agg goal must route through the materialized view:\n$plan")
+    assert(!plan.contains("customer.parquet"),
+      s"routed plan must not rescan the source table:\n$plan")
+    assert(resultOf(routed) == want)
+
+    // a bound key joins against the view rows (the invoke-reduced-view
+    // composition, without naming the view)
+    val joined = PatternCompiler.run(g, PatternQuery(
+      goals = Seq(IsA("c", "customer"), Slot("c", "c_mktsegment", "seg"),
+        AggGoal("customer", "c_mktsegment", "c_acctbal", "seg", "total")),
+      select = Seq("c" -> "id", "seg" -> "seg", "total" -> "total")),
+      views = Some(cat))
+    assert(joined.count() == 150)
+    assert(joined.queryExecution.executedPlan.toString.contains("views/bal_by_seg"))
+
+    // LIVE store, catalog NOT bound: a commit after regenerate would
+    // make the view lie — routing must refuse and recompute
+    val sdir = Files.createTempDirectory(Paths.get("target"), "autoroute-store").toString
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("acct", "id", Seq("seg", "bal")).build()
+    val gs = new graft.model.GraphStore(spark, schema, sdir)
+    gs.txn().createVertices("acct",
+      Seq((1L, "gold", 10.0), (2L, "iron", 5.0)).toDF("id", "seg", "bal")).commit()
+    val scat = new graft.views.ViewCatalog(spark, gs, sdir)
+    scat.register(graft.views.ViewDef("by_seg", "acct",
+      df => df.select(col("seg").as("key"), col("id"), col("bal").as("value")),
+      reduceAgg = Some(sum(col("value"))),
+      keyProp = Some("seg"), valueProp = Some("bal")))
+    scat.regenerate("by_seg") // materialized, but NOT bound
+    gs.txn().createVertices("acct",
+      Seq((3L, "gold", 7.0)).toDF("id", "seg", "bal")).commit()
+    val sq = PatternQuery(
+      goals = Seq(AggGoal("acct", "seg", "bal", "seg", "total", nVar = Some("n"))),
+      select = Seq("seg" -> "seg", "total" -> "total", "n" -> "n"))
+    val live = PatternCompiler.run(gs.graph(), sq, views = Some(scat))
+    assert(!live.queryExecution.executedPlan.toString.contains("views/by_seg"),
+      "an unbound live-store view must not be routed through")
+    assert(resultOf(live) == Map("gold" -> (1700L, 2L), "iron" -> (500L, 1L)))
+
+    // bound + regenerated (catch up on the commit missed while
+    // unbound) → maintained in-commit → routing is safe and current
+    scat.bindTo(gs)
+    scat.regenerate("by_seg")
+    gs.txn().createVertices("acct",
+      Seq((4L, "iron", 2.5)).toDF("id", "seg", "bal")).commit()
+    val liveBound = PatternCompiler.run(gs.graph(), sq, views = Some(scat))
+    assert(liveBound.queryExecution.executedPlan.toString.contains("views/by_seg"),
+      "a bound live-store view must be routed through")
+    assert(resultOf(liveBound) == Map("gold" -> (1700L, 2L), "iron" -> (750L, 2L)))
+  }
 }
