@@ -22,9 +22,10 @@ import org.apache.spark.sql.types._
   * (javax.sound.sampled WAV/PCM), and multi-frame video/animation
   * decode is real for GIF ([[decodeFrames]]/[[sampleFrames]] via the
   * JDK's multi-image GIF reader). Containers whose codecs are not in
-  * the JDK (mp4 etc.) keep the metadata plan ([[planFrameSample]]) — a
-  * deployment slots an ffmpeg binding into the same partition-batched
-  * shape without touching the distributed plumbing.
+  * the JDK (mp4/webm) decode through the OPTIONAL ffmpeg binding
+  * ([[sampleFramesVideo]]) when a binary is deployed, and keep the
+  * metadata plan ([[planFrameSample]]) otherwise — the distributed
+  * plumbing is identical either way.
   */
 object Multimodal {
 
@@ -717,11 +718,141 @@ object Multimodal {
     * up to a cap, pure metadata from a caller-supplied frame count. For
     * gif payloads [[sampleFrames]] supersedes this with the real
     * decode; the plan remains the pre-pass for containers whose codecs
-    * are not in the JDK (a deployment slots ffprobe here).
+    * are not in the JDK (a deployment slots ffmpeg here — see
+    * [[sampleFramesVideo]]).
     */
   def planFrameSample(media: DataFrame, frameCount: Int, everyN: Int, maxFrames: Int): DataFrame =
     media.withColumn("frame_indices",
       slice(sequence(lit(0), lit(frameCount - 1), lit(everyN)), 1, maxFrames))
+
+  // --- optional ffmpeg binding for non-JDK containers (mp4/webm) ------
+  //
+  // The GEOS-add-on pattern (reference geos/ + tests/geos/oracle.py —
+  // an optional native library the core never requires) applied to the
+  // last media boundary: when an ffmpeg binary is DEPLOYED, mp4/webm
+  // payloads really decode, through the same partition-batched map
+  // shape as the JDK GIF tier; with no binary the same call degrades
+  // to planFrameSample's metadata rows, flagged so callers can tell
+  // which tier served them. Resolution order: `graft.ffmpeg` system
+  // property (tests inject a fake binary), GRAFT_FFMPEG env, PATH.
+
+  /** The deployed ffmpeg binary, if any — resolved per call,
+    * driver-side (the path is captured into the executor closure).
+    */
+  def ffmpegPath(): Option[String] =
+    sys.props.get("graft.ffmpeg")
+      .orElse(sys.env.get("GRAFT_FFMPEG"))
+      .orElse(sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
+        .map(d => java.nio.file.Paths.get(d, "ffmpeg"))
+        .find(p => java.nio.file.Files.isExecutable(p))
+        .map(_.toString))
+      .filter(p => java.nio.file.Files.isExecutable(java.nio.file.Paths.get(p)))
+
+  /** One payload through ffmpeg → per-frame (w, h, meanR, meanG,
+    * meanB). The container demuxes from a temp FILE (stdin defeats
+    * mp4 moov seeking); frames stream back as concatenated binary PPM
+    * (P6) images on stdout, whose headers carry the true dims — no
+    * separate ffprobe pass.
+    */
+  private[graft] def decodeFramesFfmpeg(bin: String, bytes: Array[Byte],
+      format: String): Seq[(Int, Int, Int, Int, Int)] = {
+    val tmp = java.nio.file.Files.createTempFile("graft-video",
+      "." + Option(format).getOrElse("bin"))
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      val p = new ProcessBuilder(bin, "-v", "error", "-i", tmp.toString,
+        "-f", "image2pipe", "-vcodec", "ppm", "-").start()
+      p.getOutputStream.close()
+      val out = p.getInputStream.readAllBytes()
+      val err = new String(p.getErrorStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val code = p.waitFor()
+      require(code == 0, s"ffmpeg exited $code: ${err.take(300)}")
+      parsePpmStream(out)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Parse a concatenated binary-PPM (P6) stream into per-frame dims
+    * and rounded mean colors.
+    */
+  private[graft] def parsePpmStream(bytes: Array[Byte]): Seq[(Int, Int, Int, Int, Int)] = {
+    val frames = Seq.newBuilder[(Int, Int, Int, Int, Int)]
+    var i = 0
+    def skipWs(): Unit = while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      require(i < bytes.length && bytes(i).toChar.isDigit, s"bad PPM header at $i")
+      while (i < bytes.length && bytes(i).toChar.isDigit) { v = v * 10 + (bytes(i) - '0'); i += 1 }
+      v
+    }
+    while (i < bytes.length) {
+      skipWs()
+      if (i >= bytes.length) return frames.result()
+      require(i + 1 < bytes.length && bytes(i) == 'P' && bytes(i + 1) == '6',
+        s"expected P6 frame header at $i")
+      i += 2
+      val w = int(); val h = int(); val maxv = int()
+      require(maxv == 255, s"unsupported PPM maxval $maxv")
+      i += 1 // the single whitespace byte after maxval
+      val np = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var px = 0L
+      while (px < np) {
+        sr += bytes(i) & 0xff; sg += bytes(i + 1) & 0xff; sb += bytes(i + 2) & 0xff
+        i += 3; px += 1
+      }
+      frames += ((w, h, math.round(sr.toDouble / np).toInt,
+        math.round(sg.toDouble / np).toInt, math.round(sb.toDouble / np).toInt))
+    }
+    frames.result()
+  }
+
+  val videoSampleSchema: StructType = StructType(
+    frameSampleSchema.fields.map(f =>
+      if (f.name == "media_id" || f.name == "n_frames" || f.name == "frame_idx") f
+      else f.copy(nullable = true)) :+
+      StructField("decoded", BooleanType, nullable = false))
+
+  /** q101-family frame sampling for ANY container: gif decodes through
+    * the JDK as in [[sampleFrames]]; other containers decode through
+    * the deployed ffmpeg binary when one resolves ([[ffmpegPath]]),
+    * and otherwise degrade to [[planFrameSample]]'s metadata rows
+    * (`plannedFrameCount` frames assumed, null dims/means) — one
+    * unified schema with a `decoded` flag telling the tiers apart.
+    * Same partition-batched executor shape either way.
+    */
+  def sampleFramesVideo(media: DataFrame, everyN: Int, maxFrames: Int,
+      plannedFrameCount: Int, partitions: Int = 0): DataFrame = {
+    require(everyN > 0 && maxFrames > 0 && plannedFrameCount > 0,
+      "everyN, maxFrames and plannedFrameCount must be positive")
+    val bin = ffmpegPath() // driver-side resolve, captured by the closure
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoSampleSchema)
+    src.select("media_id", "bytes", "format").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val fmt = Option(r.getString(2)).map(_.toLowerCase).orNull
+        val real: Option[Seq[(Int, Int, Int, Int, Int)]] =
+          if (fmt == null || fmt == "gif")
+            Some(decodeFrames(r.get(1).asInstanceOf[Array[Byte]]))
+          else bin.map(b => decodeFramesFfmpeg(b, r.get(1).asInstanceOf[Array[Byte]], fmt))
+        real match {
+          case Some(frames) =>
+            frames.zipWithIndex.collect {
+              case ((w, h, mr, mg, mb), i) if i % everyN == 0 && i / everyN < maxFrames =>
+                Row(id, frames.size, i, w, h, mr, mg, mb, true)
+            }
+          case None =>
+            (0 until plannedFrameCount).collect {
+              case i if i % everyN == 0 && i / everyN < maxFrames =>
+                Row(id, plannedFrameCount, i, null, null, null, null, null, false)
+            }
+        }
+      }
+    }(enc)
+  }
 
   // --- perceptual image hashing (dHash) + near-dup detection ----------
 

@@ -127,12 +127,24 @@ object PipelineQueries {
 
     service.register(PipelineQuery("mix_pack",
       // the q193 surface: curate_mix's realized stream packed into
-      // fixed-length training sequences by the distributed prefix sum
+      // fixed-length training sequences by the distributed prefix sum.
+      // shard/n_shards is the training-loader handshake: worker i of N
+      // requests its shard as a paged/ndjson stream; rows round-robin
+      // by first_seq (first_seq % n_shards == shard), so the partition
+      // is DETERMINISTIC — disjoint, complete, and stable across calls
+      // because the whole chain is hash-arithmetic on ids, no RNG
       Seq(ParamSpec("quota", "long", required = false, default = Some(30L)),
         ParamSpec("epochs", "string", required = false, default = Some("")),
-        ParamSpec("seq_len", "long", required = false, default = Some(512L))),
+        ParamSpec("seq_len", "long", required = false, default = Some(512L)),
+        ParamSpec("shard", "long", required = false, default = Some(0L)),
+        ParamSpec("n_shards", "long", required = false, default = Some(1L))),
       ps => {
         val seqLen = intParam(ps, "seq_len")
+        val nShards = intParam(ps, "n_shards")
+        val shard = intParam(ps, "shard", min = 0)
+        if (shard >= nShards)
+          throw new BadRequestException(
+            s"'shard' must be in [0, n_shards): got $shard of $nShards")
         // the (doc, copy) key packs dense as doc_id·4 + copy_idx;
         // epochMix yields copies = floor(w) + (0|1), so copy_idx stays
         // ≤ 3 for any w ≤ 4.0 — only weights past 4 would collide keys.
@@ -146,10 +158,16 @@ object PipelineQueries {
         }
         val mixed = service.runRegistered("curate_mix",
           Map("quota" -> ps("quota").toString, "epochs" -> ps("epochs").toString))
-        graft.operators.Packing.concatChunk(
+        val packed = graft.operators.Packing.concatChunk(
           mixed.select((col("doc_id") * 4 + col("copy_idx")).as("pack_id"),
             col("n_tokens")),
           "pack_id", col("n_tokens"), seqLen)
+        // ordered so within-shard paging is stable too
+        val sharded =
+          if (nShards == 1) packed
+          else packed.filter(
+            pmod(col("first_seq"), lit(nShards.toLong)) === shard.toLong)
+        sharded.orderBy("pack_id")
       }))
 
     service.register(PipelineQuery("chunk_overlap",

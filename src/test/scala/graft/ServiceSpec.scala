@@ -298,6 +298,23 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("mix_pack", Map("epochs" -> "src0:4.5"))
     }
+    // the training-loader handshake: shard i of N pages the packed
+    // stream with DETERMINISTIC boundaries — shards are disjoint,
+    // complete, and byte-stable across calls (no RNG anywhere in the
+    // chain), so N loader workers each fetch their shard independently
+    val shardParams = Map("quota" -> "10", "epochs" -> "src0:2.0, src1:0",
+      "seq_len" -> "64", "n_shards" -> "3")
+    def shardIds(i: Int): Seq[Long] =
+      service.runRegistered("mix_pack", shardParams + ("shard" -> i.toString))
+        .select("pack_id").collect().map(_.getLong(0)).toSeq
+    val shards = (0 until 3).map(shardIds)
+    val allIds = mp.select("pack_id").collect().map(_.getLong(0)).toSet
+    assert(shards.map(_.toSet).reduce(_ ++ _) == allIds, "shards must cover the stream")
+    assert(shards.map(_.size).sum == allIds.size, "shards must be disjoint")
+    assert(shardIds(1) == shards(1), "a re-requested shard must be identical")
+    intercept[BadRequestException] {
+      service.runRegistered("mix_pack", shardParams + ("shard" -> "3"))
+    }
     // audio near-dup profile (the q189 banding surface)
     val an = service.runRegistered("audio_neardups", Map("pairs" -> "true"))
     assert(an.columns.sameElements(
