@@ -184,7 +184,7 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       * conflict, not silently overwrite.
       */
     private def withNextRev(table: String, rows: DataFrame, conflictOnLive: Boolean): DataFrame = {
-      val cur = store.latestRevisions(table, Some(snapshotEpoch))
+      val cur = store.latestRevisionsFor(table, rows, snapshotEpoch)
         .select(col("id"), col("rev").as("__cur"), col("deleted").as("__del"))
       val next =
         if (conflictOnLive)

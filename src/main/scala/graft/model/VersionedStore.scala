@@ -386,6 +386,24 @@ final class VersionedStore(spark: SparkSession, dir: String) {
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[latestRevisions]] scoped to one id set at a PINNED epoch — the
+    * transaction write path's rev derivation. The pinned epoch cannot
+    * ride the current-state index (the index is latest-state only, and
+    * serving a snapshot from it would re-open the stale-read-modify-
+    * write window the pin exists to close), so the history path is
+    * semi-joined down to the STAGED ids before the per-id window:
+    * cost is the staged ids' version chains plus one epoch-pruned
+    * scan, not a window over the table's full history.
+    */
+  def latestRevisionsFor(label: String, ids: DataFrame, asOf: Long): DataFrame = {
+    if (!tableExists(label))
+      return spark.range(0).select(col("id"), lit(0L).as("rev"), lit(false).as("deleted"))
+    val w = Window.partitionBy("id").orderBy(col("rev").desc)
+    versions(label, asOf).select("id", "rev", "deleted")
+      .join(ids.select("id").distinct(), Seq("id"), "left_semi")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Atomically commit one batch of row versions across any number of
     * tables. Each frame must have (id: Long, rev: Long, deleted:
     * Boolean, props…). Rev contract: 1 for a new id, latest+1 for an
