@@ -228,8 +228,28 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   private def curEnabled: Boolean =
     spark.conf.get("graft.store.currentIndex", "true").toBoolean
   private def curRoot(label: String) = Paths.get(s"${labelDir(label)}__cur")
-  private def curBase(label: String) = curRoot(label).resolve("base")
-  private def curDelta(label: String) = curRoot(label).resolve("delta")
+  // the index materialization is GENERATION-versioned (GenDirs, under
+  // bases/): each compaction publishes a fresh generation carrying its
+  // OWN base and delta log, so lock-free readers racing a compaction
+  // never lose their listed files — neither the base (the old in-place
+  // swap) nor delta epoch dirs (the old per-epoch grace cleanup could
+  // delete a dir between a reader's listing passes; both races were
+  // caught by ConcurrentStormSpec). A generation's delta only carries
+  // epochs past its own base by construction, and the whole
+  // generation survives until swept two publishes later. The catch-up
+  // overlay heals any torn visibility of an in-flight delta append.
+  // Legacy stores (flat base/ + delta/ under the root) read as-is
+  // until their first post-upgrade compaction.
+  private def curBases(label: String) = curRoot(label).resolve("bases")
+  private def curGenDir(label: String): java.nio.file.Path = {
+    val r = curBases(label)
+    if (Files.exists(r.resolve("_GEN"))) GenDirs.current(r)
+    else curRoot(label)
+  }
+  private def curBase(label: String): java.nio.file.Path =
+    curGenDir(label).resolve("base")
+  private def curDelta(label: String): java.nio.file.Path =
+    curGenDir(label).resolve("delta")
 
   private def readMarker(p: java.nio.file.Path): Long =
     if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
@@ -280,13 +300,22 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     val epoch = currentEpoch
     val marker = curMarker(label)
     val baseEpoch = curBaseEpoch(label)
+    // resolve the GENERATION once per read: base and delta from the
+    // same dir, so the read never straddles a concurrent compaction
+    val g = curGenDir(label)
+    val basePath = g.resolve("base")
+    val deltaPath = g.resolve("delta")
     val base: Option[DataFrame] =
-      if (Files.exists(curBase(label)))
-        Some(spark.read.option("mergeSchema", "true").parquet(curBase(label).toString))
+      if (Files.exists(basePath))
+        Some(spark.read.option("mergeSchema", "true").parquet(basePath.toString))
       else None
     val deltas: Option[DataFrame] =
-      if (curDeltaEpochs(label).exists(_ > baseEpoch))
-        Some(spark.read.option("mergeSchema", "true").parquet(curDelta(label).toString)
+      // visible-parquet guard beside the dir-name gate: an epoch dir a
+      // concurrent commit is still writing has nothing to infer a
+      // schema from (the storm-suite race class); its rows are covered
+      // by the catch-up overlay below until the marker bumps
+      if (Dirs.hasReadableDeltaFiles(deltaPath))
+        Some(spark.read.option("mergeSchema", "true").parquet(deltaPath.toString)
           .filter(col("commit_epoch") > baseEpoch))
       else None
     val catchUp: Option[DataFrame] =
@@ -316,9 +345,14 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     if (cur.columns.isEmpty) cur else cur.filter(!col("deleted"))
   }
 
-  /** Complete an interrupted compaction swap (vacuum discipline). */
+  /** Complete an interrupted LEGACY-layout compaction swap. Once the
+    * base is generation-versioned (a `_GEN` pointer exists under
+    * bases/), publishes are crash-safe by construction (GenDirs) and
+    * this is a no-op.
+    */
   private def curHeal(label: String): Unit = {
-    val b = curBase(label); val old = curRoot(label).resolve("base__old")
+    if (Files.exists(curBases(label).resolve("_GEN"))) return
+    val b = curRoot(label).resolve("base"); val old = curRoot(label).resolve("base__old")
     if (!Files.exists(b) && Files.exists(old)) withWriteLock {
       if (!Files.exists(b) && Files.exists(old))
         Files.move(old, b, StandardCopyOption.ATOMIC_MOVE)
@@ -332,36 +366,42 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   /** Bootstrap the index for a table, or fold accumulated index deltas
     * into the base materialization.
     *
-    * Reader-safety of cleanup: only delta dirs already folded into the
-    * PREVIOUS base (epoch ≤ previous `_base_epoch`) are deleted — dirs
-    * this compaction folds stay on disk (readers filter them out via
-    * the new base epoch) until the NEXT compaction. Lazy plans built
-    * against them before the swap therefore keep their files for a
-    * full compaction cycle, instead of hitting FileNotFoundException
-    * the moment an auto-compaction fires on the write path.
+    * Reader-safety: the fold publishes a fresh GENERATION (base +
+    * empty delta log) and never deletes anything the superseded
+    * generation's readers may hold — base and delta dirs of the
+    * previous generation survive intact until the publish AFTER this
+    * one (GenDirs' grace discipline). Lazy plans built pre-publish
+    * keep every file they listed for a full compaction cycle, instead
+    * of hitting FileNotFoundException when an auto-compaction fires on
+    * the write path or a reader's listing races a per-epoch cleanup.
     */
   def compactCurrent(label: String): Unit = withWriteLock {
     if (!tableExists(label)) return
     curHeal(label)
     val epoch = currentEpoch
-    val prevBaseEpoch = curBaseEpoch(label)
     val merged = currentVersions(label)
     if (merged.columns.isEmpty) return
     Files.createDirectories(curRoot(label))
-    val tmp = curRoot(label).resolve("base__tmp")
-    Dirs.rmTree(tmp)
-    merged.write.mode("overwrite").partitionBy("commit_epoch").parquet(tmp.toString)
-    val b = curBase(label)
-    if (Files.exists(b))
-      Files.move(b, curRoot(label).resolve("base__old"), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, b, StandardCopyOption.ATOMIC_MOVE)
-    Dirs.rmTree(curRoot(label).resolve("base__old"))
+    // publish the fresh base as the next GENERATION (GenDirs): the
+    // pointer flip is atomic, the previous generation — base AND its
+    // delta log — stays on disk as reader grace until the publish
+    // after this one, and lock-free reads racing this compaction keep
+    // every file they listed. The new generation starts with an empty
+    // delta log (this base folds everything through `epoch`).
+    GenDirs.publish(curBases(label)) { g =>
+      merged.write.mode("overwrite").partitionBy("commit_epoch")
+        .parquet(g.resolve("base").toString)
+    }
+    // the pre-generation flat layout (if any) is now unreachable by
+    // new reads; from the SECOND generation on it has had its grace
+    // cycle (GenDirs sweeps only under bases/, so the legacy dirs at
+    // the index root are cleaned here)
+    if (GenDirs.currentGen(curBases(label)) >= 2) {
+      Seq("base", "base__old", "base__tmp", "delta")
+        .foreach(n => rmTree(curRoot(label).resolve(n)))
+    }
     writeMarker(curRoot(label).resolve("_base_epoch"), epoch)
     writeMarker(curRoot(label).resolve("_epoch"), epoch)
-    // grace-window cleanup: drop only deltas the PREVIOUS base covered
-    curDeltaEpochs(label).filter(_ <= prevBaseEpoch).foreach { e =>
-      Dirs.rmTree(curDelta(label).resolve(s"commit_epoch=$e"))
-    }
   }
 
   /** Latest (id, rev, deleted) per id INCLUDING tombstones — the

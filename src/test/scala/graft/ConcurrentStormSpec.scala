@@ -204,4 +204,70 @@ class ConcurrentStormSpec extends SparkSpec {
     assert(sig.nearDups().select("id_a", "id_b").as[(Long, Long)].collect().toSet
       == sigWant, "post-storm compaction must be a no-op on results")
   }
+
+  test("current-index storm: lock-free latest-state reads race commits and " +
+      "repeated index compactions") {
+    val dir = tmp("storm-cur")
+    val schema = GraphSchema.builder().vertex("acct", "id", Seq("n")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    gs.txn().createVertices("acct",
+      (0L until 20L).map(i => (i, i)).toDF("id", "n")).commit()
+    gs.store.compactCurrent("v_acct") // opt the table into the index
+
+    val writersDone = new AtomicBoolean(false)
+    val probes = new AtomicInteger
+    val readerErrors = new ConcurrentLinkedQueue[Throwable]
+    val readers = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          while (!writersDone.get()) {
+            // index-served latest-state read racing commits AND base
+            // republications — must never throw, never see a torn base
+            val n = gs.graph().vertices("acct").count()
+            assert(n >= 19, s"read saw a torn state: $n rows")
+            probes.incrementAndGet()
+          }
+        } catch { case t: Throwable => readerErrors.add(t) }
+      }, s"storm-cur-reader-$i")
+    }
+    readers.foreach(_.start())
+    val compactor = new Thread(() => {
+      while (!writersDone.get()) {
+        gs.store.compactCurrent("v_acct")
+        Thread.sleep(30)
+      }
+    }, "storm-cur-compactor")
+    compactor.start()
+
+    inThreads(3) { w =>
+      val base = 100L + w * 100
+      (0 until 3).foreach { j =>
+        gs.txn().createVertices("acct",
+          Seq((base + j, base + j)).toDF("id", "n")).commit()
+      }
+      gs.txn().updateVertices("acct",
+        Seq((base, -1L)).toDF("id", "n")).commit()
+      gs.txn().deleteVertices("acct", Seq(base + 2).toDF("id")).commit()
+    }
+    writersDone.set(true)
+    readers.foreach(_.join())
+    compactor.join()
+    if (!readerErrors.isEmpty) throw readerErrors.peek()
+    assert(probes.get() > 0, "readers must have completed probes mid-storm")
+
+    // quiescent parity: the index-served read equals the history path
+    def rows(): Set[(Long, Long)] =
+      gs.graph().vertices("acct").select("id", "n").as[(Long, Long)].collect().toSet
+    val viaIndex = rows()
+    spark.conf.set("graft.store.currentIndex", "false")
+    val viaHistory = try rows() finally
+      spark.conf.set("graft.store.currentIndex", "true")
+    assert(viaIndex == viaHistory, "index must equal the full-history read")
+    val want = ((0L until 20L).map(i => (i, i)) ++
+      Seq(100L, 200L, 300L).flatMap(b => Seq((b, -1L), (b + 1, b + 1)))).toSet
+    assert(viaIndex == want)
+    // one more compaction after quiescence is a no-op on results
+    gs.store.compactCurrent("v_acct")
+    assert(rows() == want)
+  }
 }

@@ -90,19 +90,25 @@ class CurrentIndexSpec extends SparkSpec {
     }
     gs.txn().deleteVertices("person", Seq(Tuple1(3L)).toDF("id")).commit()
     val before = names(gs.store)
-    val deltasBefore = java.nio.file.Files.list(
-      Paths.get(s"$dir/v_person__cur/delta")).count()
+    // each generation carries its own base + delta log (GenDirs)
+    def gen() = graft.model.GenDirs.current(Paths.get(s"$dir/v_person__cur/bases"))
+    def deltaCount() =
+      if (!Files.exists(gen().resolve("delta"))) 0L
+      else java.nio.file.Files.list(gen().resolve("delta")).count()
+    val deltasBefore = deltaCount()
+    assert(deltasBefore > 0, "commits must have appended index deltas")
+    val genBefore = gen()
     gs.store.compactCurrent("v_person")
-    assert(Files.exists(Paths.get(s"$dir/v_person__cur/base")))
-    // grace window: this cycle's folded deltas stay on disk (reader
-    // plans built pre-swap keep their files) but are filtered out
+    assert(Files.exists(gen().resolve("base")))
+    // grace window: the superseded generation — its base AND delta
+    // dirs — stays on disk intact (reader plans built pre-publish keep
+    // their files); the NEW generation starts with an empty delta log
+    assert(gen() != genBefore && Files.exists(genBefore.resolve("delta")))
+    assert(deltaCount() == 0)
     assert(names(gs.store) == before && !before.exists(_._1 == 3L))
-    // ...and the NEXT compaction clears them
+    // ...and the publish after this one sweeps the old generation whole
     gs.store.compactCurrent("v_person")
-    val deltasAfter =
-      if (!Files.exists(Paths.get(s"$dir/v_person__cur/delta"))) 0L
-      else java.nio.file.Files.list(Paths.get(s"$dir/v_person__cur/delta")).count()
-    assert(deltasAfter < deltasBefore)
+    assert(!Files.exists(genBefore), "two-generations-old dirs are swept")
     assert(names(gs.store) == before)
     // post-compaction commits keep working through the delta path
     gs.txn().updateVertices("person", Seq((1L, "p1x", 9)).toDF("id", "name", "age")).commit()
