@@ -74,18 +74,21 @@ final case class ReducedViewGoal(view: String, key: String, value: String,
 
 /** `(agg ?class keyProp valueProp ?key ?value [?n])` — a DECLARATIVE
   * per-key aggregate over a vertex class: bind `keyVar`/`valueVar`
-  * (and optionally `nVar`) to the per-`keyProp` sum of `valueProp`
-  * over all live `label` vertices. Unlike [[ReducedViewGoal]], the
-  * user does NOT name a view: the compiler ROUTES the goal through a
-  * registered materialized view whose declared `(sourceLabel,
-  * keyProp, valueProp)` matches and whose materialization is current
-  * (bound-to-store or static-source), and falls back to a from-source
-  * aggregation otherwise — the automatic-rewrite upgrade over the
-  * reference's explicit invoke-reduced-view (prolog-functors.lisp:
-  * 767-789), deferred in SURVEY §7.3 and closed here.
+  * (and optionally `nVar`) to the per-`keyProp` `agg` of `valueProp`
+  * (sum/count/min/max/avg; count counts rows) over all live `label`
+  * vertices. Unlike [[ReducedViewGoal]], the user does NOT name a
+  * view: the compiler ROUTES the goal through a registered
+  * materialized view whose declared `(sourceLabel, keyProp,
+  * valueProp, routedAgg)` matches and whose materialization is
+  * current (epoch-covered for live stores, static otherwise), and
+  * falls back to a from-source aggregation otherwise — the
+  * automatic-rewrite upgrade over the reference's explicit
+  * invoke-reduced-view (prolog-functors.lisp:767-789), deferred in
+  * SURVEY §7.3 and closed here.
   */
 final case class AggGoal(label: String, keyProp: String, valueProp: String,
-    keyVar: String, valueVar: String, nVar: Option[String] = None) extends Goal
+    keyVar: String, valueVar: String, nVar: Option[String] = None,
+    agg: String = "sum") extends Goal
 
 /** Invocation of a named rule (the `<-` functor surface,
   * prologc.lisp:744-746): the rule produces a relation over its head

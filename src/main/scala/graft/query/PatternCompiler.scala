@@ -149,14 +149,15 @@ final class PatternCompiler(
       vars += value -> VarState("", hasProps = false)
       nVar.foreach(nv => vars += nv -> VarState("", hasProps = false))
 
-    case AggGoal(label, keyProp, valueProp, keyVar, valueVar, nVar) =>
+    case AggGoal(label, keyProp, valueProp, keyVar, valueVar, nVar, aggKind) =>
       graph.schema.requireVertex(label)
-      // ROUTE through a matching bound/current materialized view when
-      // one is registered (the reference's users invoke-reduced-view
+      // ROUTE through a matching current materialized view when one
+      // is registered (the reference's users invoke-reduced-view
       // explicitly; here the planner rewrites), else aggregate from
       // source — identical results either way, by the ViewDef routing
-      // contract (keyProp/valueProp declare the map, reduce is sum)
-      val routed = views.flatMap(_.routeFor(label, keyProp, valueProp))
+      // contract (keyProp/valueProp declare the map, routedAgg the
+      // reduce kind; both validated at register time)
+      val routed = views.flatMap(_.routeFor(label, keyProp, valueProp, aggKind))
       val rows = routed match {
         case Some(name) =>
           views.get.reducedView(name)
@@ -164,9 +165,18 @@ final class PatternCompiler(
               col("n").as(s"__an_$keyVar"))
         case None =>
           val src = prefixed(label, s"__a_$keyVar")
+          val vCol = col(s"__a_${keyVar}__$valueProp")
+          val aggCol = aggKind match {
+            case "sum" => sum(vCol)
+            case "count" => count(lit(1)) // row count, matching count(1) reduces
+            case "min" => min(vCol)
+            case "max" => max(vCol)
+            case "avg" => avg(vCol)
+            case other => throw new IllegalArgumentException(
+              s"agg goal kind '$other' is not one of sum/count/min/max/avg")
+          }
           src.groupBy(col(s"__a_${keyVar}__$keyProp").as(keyVar))
-            .agg(sum(col(s"__a_${keyVar}__$valueProp")).as(valueVar),
-              count(lit(1)).as(s"__an_$keyVar"))
+            .agg(aggCol.as(valueVar), count(lit(1)).as(s"__an_$keyVar"))
       }
       // "bound" by COLUMN presence, not the vars registry: Slot/Bind
       // introduce plain columns without registering a var state

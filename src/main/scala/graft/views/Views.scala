@@ -53,13 +53,36 @@ final case class ViewDef(
     /** OPTIONAL routing metadata for automatic view routing
       * ([[graft.query.AggGoal]]): declares that `mapFn` is exactly
       * `key = keyProp column, value = valueProp column` (one row per
-      * source row) and `reduceAgg` is `sum(value)` — the contract
-      * under which a declarative per-key aggregate may be served from
-      * this view's materialization instead of rescanning the source.
-      * Leave unset for views whose map is anything richer.
+      * source row) and `reduceAgg` is `routedAgg(value)` — the
+      * contract under which a declarative per-key aggregate may be
+      * served from this view's materialization instead of rescanning
+      * the source. The contract is VALIDATED at register time
+      * ([[ViewCatalog.register]]): both props set, a reduce present,
+      * and — where the Column is introspectable — the reduce's SQL
+      * must be the declared kind over `value`. Leave unset for views
+      * whose map is anything richer.
       */
     keyProp: Option[String] = None,
-    valueProp: Option[String] = None)
+    valueProp: Option[String] = None,
+    /** Which aggregate the routing contract promises: one of
+      * sum/count/min/max/avg (count means ROW count — declare
+      * `count(lit(1))` as the reduce). Only consulted when
+      * keyProp/valueProp are set.
+      */
+    routedAgg: String = "sum")
+
+object ViewDef {
+  /** Aggregate kinds the routing contract may declare, with the
+    * canonical SQL the reduce Column must render to (whitespace /
+    * backquote / case insensitive).
+    */
+  private[views] val routedAggSql: Map[String, Set[String]] = Map(
+    "sum" -> Set("sum(value)"),
+    "count" -> Set("count(1)"),
+    "min" -> Set("min(value)"),
+    "max" -> Set("max(value)"),
+    "avg" -> Set("avg(value)"))
+}
 
 /** Where a catalog's views read their source rows from: a static
   * [[PropertyGraph]] (file-backed graphs) or a live [[GraphStore]]
@@ -70,9 +93,16 @@ trait ViewSources {
   def frame(label: String): DataFrame
   /** True when the source can change underneath a materialization (a
     * live store) — automatic view routing then requires the catalog
-    * to be BOUND (commit-maintained) before trusting a view's rows.
+    * to be BOUND (commit-maintained) AND the materialization to COVER
+    * the store epoch that existed at bind time (see
+    * [[ViewCatalog.routeFor]]).
     */
   def isLive: Boolean
+  /** The source's current commit epoch (0 for static sources, which
+    * cannot drift). Recorded by `regenerate` so routing can tell a
+    * current materialization from one a reopened catalog inherited.
+    */
+  def epoch: Long
 }
 
 object ViewSources {
@@ -81,6 +111,7 @@ object ViewSources {
     def frame(l: String): DataFrame =
       if (g.vertexLabels.contains(l)) g.vertices(l) else g.edgeFrame(l)
     def isLive: Boolean = false
+    def epoch: Long = 0L
   }
   def apply(gs: GraphStore): ViewSources = new ViewSources {
     def knows(l: String): Boolean =
@@ -90,6 +121,7 @@ object ViewSources {
       if (gs.schema.vertexTypes.contains(l)) g.vertices(l) else g.edgeFrame(l)
     }
     def isLive: Boolean = true
+    def epoch: Long = gs.store.currentEpoch
   }
 }
 
@@ -102,6 +134,10 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
 
   private var defs = Map.empty[String, ViewDef]
   private var bound = false
+  // the store epoch at bindTo: the currency watermark routing must
+  // prove a view's materialization covers (commits after bind are
+  // maintained by the hook in the commit call stack)
+  private var boundAtEpoch = 0L
   // maintenance monitor: regenerate (compaction) and the commit-hook
   // delta appends serialize per catalog, so a hook's delta can never
   // land in a generation that a concurrent regenerate is about to
@@ -137,6 +173,30 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
 
   def register(v: ViewDef): Unit = {
     require(sources.knows(v.sourceLabel), s"unknown source label ${v.sourceLabel}")
+    // VALIDATE the routing contract at register time (not at route
+    // time): a ViewDef that declares keyProp/valueProp but whose
+    // reduce is not the declared aggregate over `value` would be
+    // routed to silently wrong answers. Where Catalyst can render the
+    // unresolved Column to SQL we check it literally; a Column too
+    // opaque to render is REJECTED — the routing contract only admits
+    // the five introspectable kinds anyway, and a plain reducedView
+    // never consults the metadata.
+    if (v.keyProp.isDefined || v.valueProp.isDefined) {
+      require(v.keyProp.isDefined && v.valueProp.isDefined,
+        s"view ${v.name}: routing metadata needs BOTH keyProp and valueProp")
+      val expected = ViewDef.routedAggSql.getOrElse(v.routedAgg,
+        throw new IllegalArgumentException(
+          s"view ${v.name}: routedAgg '${v.routedAgg}' is not one of " +
+            ViewDef.routedAggSql.keys.toSeq.sorted.mkString("/")))
+      val agg = v.reduceAgg.getOrElse(throw new IllegalArgumentException(
+        s"view ${v.name}: routing metadata requires a reduceAgg"))
+      val rendered = (try agg.toString catch { case scala.util.control.NonFatal(_) =>
+        "<unrenderable>" }).toLowerCase.replaceAll("[\\s`']", "")
+      require(expected.contains(rendered),
+        s"view ${v.name}: declared routedAgg '${v.routedAgg}' but reduceAgg renders " +
+          s"as '$rendered' (expected ${expected.mkString(" or ")}) — fix the reduce " +
+          "or drop the keyProp/valueProp routing metadata")
+    }
     defs += v.name -> v
   }
 
@@ -147,23 +207,52 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
   def names: Seq[String] = defs.keys.toSeq.sorted
 
   /** Automatic view routing ([[graft.query.AggGoal]]): the name of a
-    * registered view that can SERVE the per-`keyProp` sum of
-    * `valueProp` over `label` — declared routing metadata matches,
-    * a reduce aggregate exists, the view is materialized, and the
-    * materialization is CURRENT: a static source cannot drift, a live
-    * store requires the catalog to be bound (commit-maintained). An
-    * unbound store-backed catalog never routes, even if freshly
-    * regenerated — conservative by design, the fallback recompute is
-    * always correct.
+    * registered view that can SERVE the per-`keyProp` `agg` of
+    * `valueProp` over `label` — declared routing metadata matches
+    * (including the aggregate kind), the view is materialized, and
+    * the materialization is CURRENT. Currency for a live store is
+    * epoch-proven, not trusted from the in-process `bound` flag
+    * alone: the view's COVERED epoch (the store epoch recorded by its
+    * last regenerate, advanced by every commit delta) must reach the
+    * epoch the store had when the catalog was bound — commits after
+    * bind are hook-maintained in the commit call stack, so covering
+    * the bind epoch covers everything. A catalog reopened over an
+    * old materialization and bound to a store that advanced since
+    * therefore refuses to route until a regenerate catches it up —
+    * conservative by design, the fallback recompute is always
+    * correct. Candidates are scanned in sorted-name order, so a tie
+    * between identically-declared views routes deterministically.
     */
-  def routeFor(label: String, keyProp: String, valueProp: String): Option[String] =
-    defs.values.collectFirst {
+  def routeFor(label: String, keyProp: String, valueProp: String,
+      agg: String = "sum"): Option[String] =
+    names.iterator.map(defs).collectFirst {
       case v if v.sourceLabel == label && v.keyProp.contains(keyProp) &&
-          v.valueProp.contains(valueProp) && v.reduceAgg.isDefined &&
-          (!sources.isLive || bound) &&
-          Files.exists(basePath(v.name)) =>
+          v.valueProp.contains(valueProp) && v.routedAgg == agg &&
+          v.reduceAgg.isDefined &&
+          Files.exists(basePath(v.name)) &&
+          (!sources.isLive || (bound && coveredEpoch(v.name) >= boundAtEpoch)) =>
         v.name
     }
+
+  /** The highest store epoch this view's materialization reflects:
+    * the epoch stamped by its last regenerate (`_EPOCH` in the
+    * generation dir; 0 for legacy/static materializations) advanced
+    * by the newest commit-delta partition in the same generation.
+    */
+  private def coveredEpoch(name: String): Long = {
+    val g = graft.model.GenDirs.current(viewRoot(name))
+    val stamp = {
+      val f = g.resolve("_EPOCH")
+      if (!Files.exists(f)) 0L
+      else try new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      catch { case _: NumberFormatException => 0L }
+    }
+    graft.model.Dirs.childNames(g.resolve("delta"))
+      .filter(_.startsWith("commit_epoch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("commit_epoch=").toLong).toOption)
+      .foldLeft(stamp)(math.max)
+  }
 
   /** Compute the view's map output from the current source state. */
   def compute(name: String): DataFrame = {
@@ -181,6 +270,11 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     * are cleared afterwards.
     */
   def regenerate(name: String, numPartitions: Int = 0): Unit = maintLock.synchronized {
+    // epoch stamp read BEFORE the source scan: the materialization
+    // provably covers at least this epoch (a commit landing during
+    // the scan is either visible in it or appends a delta once this
+    // publish releases maintLock — covered either way)
+    val epoch0 = sources.epoch
     val mapped = compute(name)
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -195,6 +289,8 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
         .repartitionByRange(n, col("key"))
         .sortWithinPartitions("key", "id")
         .write.mode("overwrite").parquet(g.resolve("base").toString)
+      Files.write(g.resolve("_EPOCH"),
+        epoch0.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
 
@@ -273,6 +369,7 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     */
   def bindTo(gs: GraphStore): Unit = {
     bound = true
+    boundAtEpoch = gs.store.currentEpoch
     gs.onCommit { (epoch, frames) =>
       defs.values.foreach { v =>
         // a view on a parent vertex type indexes all subclasses

@@ -317,4 +317,97 @@ class PatternSpec extends SparkSpec {
       "a bound live-store view must be routed through")
     assert(resultOf(liveBound) == Map("gold" -> (1700L, 2L), "iron" -> (750L, 2L)))
   }
+
+  test("view routing is deterministic, kind-matched, contract-validated, " +
+      "and refuses a reopened stale materialization") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "route2").toString
+    val cat = new graft.views.ViewCatalog(spark, g, dir)
+    def segView(name: String) = graft.views.ViewDef(name, "customer",
+      df => df.select(col("c_mktsegment").as("key"), col("id"),
+        col("c_acctbal").as("value")),
+      reduceAgg = Some(sum(col("value"))),
+      keyProp = Some("c_mktsegment"), valueProp = Some("c_acctbal"))
+    // TIE-BREAK: two identically-declared views route by sorted name,
+    // not registration/Map-iteration order
+    cat.register(segView("z_dup")); cat.register(segView("a_dup"))
+    cat.regenerate("z_dup"); cat.regenerate("a_dup")
+    assert(cat.routeFor("customer", "c_mktsegment", "c_acctbal") == Some("a_dup"))
+
+    // NON-SUM routed aggregate: a max view routes agg="max" only
+    cat.register(graft.views.ViewDef("max_by_seg", "customer",
+      df => df.select(col("c_mktsegment").as("key"), col("id"),
+        col("c_acctbal").as("value")),
+      reduceAgg = Some(max(col("value"))),
+      keyProp = Some("c_mktsegment"), valueProp = Some("c_acctbal"),
+      routedAgg = "max"))
+    cat.regenerate("max_by_seg")
+    assert(cat.routeFor("customer", "c_mktsegment", "c_acctbal", "max")
+      == Some("max_by_seg"))
+    val q = PatternQuery(
+      goals = Seq(AggGoal("customer", "c_mktsegment", "c_acctbal", "seg", "hi",
+        agg = "max")),
+      select = Seq("seg" -> "seg", "hi" -> "hi"))
+    val routed = PatternCompiler.run(g, q, views = Some(cat))
+    assert(routed.queryExecution.executedPlan.toString.contains("views/max_by_seg"))
+    val want = spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy($"c_mktsegment").agg(max($"c_acctbal"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(routed.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap == want)
+
+    // CONTRACT VALIDATION at register time, not silent wrong answers
+    intercept[IllegalArgumentException] { // reduce is not the declared kind
+      cat.register(segView("bad_reduce").copy(name = "bad_reduce",
+        reduceAgg = Some(expr("sum(value * 2)"))))
+    }
+    intercept[IllegalArgumentException] { // unknown aggregate kind
+      cat.register(segView("bad_kind").copy(name = "bad_kind", routedAgg = "median"))
+    }
+    intercept[IllegalArgumentException] { // keyProp without valueProp
+      cat.register(segView("half").copy(name = "half", valueProp = None))
+    }
+    intercept[IllegalArgumentException] { // metadata without a reduce
+      cat.register(segView("noreduce").copy(name = "noreduce", reduceAgg = None))
+    }
+
+    // REOPENED-CATALOG STALENESS: a fresh catalog bound over an old
+    // materialization of a store that advanced since must NOT route
+    // until a regenerate catches it up — `bound` alone proves nothing
+    // about commits made while no catalog was listening
+    val sdir = Files.createTempDirectory(Paths.get("target"), "route2-store").toString
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("acct", "id", Seq("seg", "bal")).build()
+    val gs = new graft.model.GraphStore(spark, schema, sdir)
+    gs.txn().createVertices("acct",
+      Seq((1L, "gold", 10.0), (2L, "iron", 5.0)).toDF("id", "seg", "bal")).commit()
+    def acctView = graft.views.ViewDef("by_seg", "acct",
+      df => df.select(col("seg").as("key"), col("id"), col("bal").as("value")),
+      reduceAgg = Some(sum(col("value"))),
+      keyProp = Some("seg"), valueProp = Some("bal"))
+    val cat1 = new graft.views.ViewCatalog(spark, gs, sdir)
+    cat1.register(acctView)
+    cat1.regenerate("by_seg")
+    // the store advances while NO catalog is maintaining the view
+    gs.txn().createVertices("acct",
+      Seq((3L, "gold", 7.0)).toDF("id", "seg", "bal")).commit()
+    val cat2 = new graft.views.ViewCatalog(spark, gs, sdir)
+    cat2.register(acctView)
+    cat2.bindTo(gs)
+    assert(cat2.routeFor("acct", "seg", "bal").isEmpty,
+      "a stale inherited materialization must not be routed through")
+    // and the agg goal still answers correctly via the fallback
+    val sq = PatternQuery(
+      goals = Seq(AggGoal("acct", "seg", "bal", "seg", "total")),
+      select = Seq("seg" -> "seg", "total" -> "total"))
+    val fell = PatternCompiler.run(gs.graph(), sq, views = Some(cat2))
+    assert(fell.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      == Map("gold" -> 17.0, "iron" -> 5.0))
+    // regenerate stamps the covered epoch → routing resumes
+    cat2.regenerate("by_seg")
+    assert(cat2.routeFor("acct", "seg", "bal") == Some("by_seg"))
+    val back = PatternCompiler.run(gs.graph(), sq, views = Some(cat2))
+    assert(back.queryExecution.executedPlan.toString.contains("views/by_seg"))
+    assert(back.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      == Map("gold" -> 17.0, "iron" -> 5.0))
+  }
 }
