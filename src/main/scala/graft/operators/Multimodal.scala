@@ -748,79 +748,178 @@ object Multimodal {
         .map(_.toString))
       .filter(p => java.nio.file.Files.isExecutable(java.nio.file.Paths.get(p)))
 
-  /** One payload through ffmpeg → per-frame (w, h, meanR, meanG,
-    * meanB). The container demuxes from a temp FILE (stdin defeats
-    * mp4 moov seeking); frames stream back as concatenated binary PPM
-    * (P6) images on stdout, whose headers carry the true dims — no
-    * separate ffprobe pass.
+  /** The exact argv the subprocess runs — exposed so the spec can pin
+    * that SAMPLING IS PUSHED INTO FFMPEG: `select=not(mod(n\,everyN))`
+    * drops non-sampled frames before they reach stdout and
+    * `-frames:v maxFrames` stops the decode entirely once the budget
+    * is emitted, so the pipe carries at most `maxFrames` frames no
+    * matter how long the clip is (a 1080p multi-minute payload used
+    * to stream tens of GB of raw PPM through the old decode-everything
+    * argv). `-fps_mode vfr` keeps ffmpeg from re-duplicating the
+    * dropped frames to hold the input rate.
+    */
+  private[graft] def ffmpegArgs(bin: String, input: String, everyN: Int,
+      maxFrames: Int): Seq[String] =
+    Seq(bin, "-v", "error", "-i", input,
+      "-vf", s"select=not(mod(n\\,$everyN))", "-fps_mode", "vfr",
+      "-frames:v", maxFrames.toString,
+      "-f", "image2pipe", "-vcodec", "ppm", "-")
+
+  /** Wall-clock bound on one payload's decode (a damaged stream can
+    * make ffmpeg spin); the watchdog destroys the subprocess when it
+    * trips, which EOFs the pipe and fails the parse instead of
+    * hanging the executor task forever.
+    */
+  private def ffmpegTimeoutSec: Long =
+    sys.props.get("graft.ffmpeg.timeout.sec").map(_.toLong).getOrElse(600L)
+
+  /** One payload through ffmpeg → per-SAMPLED-frame (w, h, meanR,
+    * meanG, meanB), at most `maxFrames` of them (original frame index
+    * of result k is k·everyN — the select filter's contract). The
+    * container demuxes from a temp FILE (stdin defeats mp4 moov
+    * seeking); sampled frames stream back as concatenated binary PPM
+    * (P6) on stdout and are folded into per-frame stats INCREMENTALLY
+    * off the pipe (fixed 64 KiB buffer — never the whole stream in
+    * memory). stderr is redirected to a temp file, draining it
+    * concurrently with stdout so a chatty failure can never fill the
+    * pipe and deadlock both processes.
     */
   private[graft] def decodeFramesFfmpeg(bin: String, bytes: Array[Byte],
-      format: String): Seq[(Int, Int, Int, Int, Int)] = {
+      format: String, everyN: Int, maxFrames: Int): Seq[(Int, Int, Int, Int, Int)] = {
     val tmp = java.nio.file.Files.createTempFile("graft-video",
       "." + Option(format).getOrElse("bin"))
+    val errf = java.nio.file.Files.createTempFile("graft-video", ".err")
     try {
       java.nio.file.Files.write(tmp, bytes)
-      val p = new ProcessBuilder(bin, "-v", "error", "-i", tmp.toString,
-        "-f", "image2pipe", "-vcodec", "ppm", "-").start()
+      val pb = new ProcessBuilder(ffmpegArgs(bin, tmp.toString, everyN, maxFrames): _*)
+      pb.redirectError(errf.toFile)
+      val p = pb.start()
       p.getOutputStream.close()
-      val out = p.getInputStream.readAllBytes()
-      val err = new String(p.getErrorStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val code = p.waitFor()
-      require(code == 0, s"ffmpeg exited $code: ${err.take(300)}")
-      parsePpmStream(out)
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+      val limit = ffmpegTimeoutSec
+      // kill the whole tree: a wrapper script's child inherits the
+      // stdout pipe, so destroying only the direct process would leave
+      // the write end open and the parse blocked short of EOF
+      def destroyTree(): Unit = {
+        p.descendants().forEach(h => { h.destroyForcibly(); () })
+        p.destroyForcibly()
+        ()
+      }
+      val watchdog = new Thread(() => {
+        try { if (!p.waitFor(limit, java.util.concurrent.TimeUnit.SECONDS)) destroyTree() }
+        catch { case _: InterruptedException => () }
+      }, "graft-ffmpeg-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
+      try {
+        val frames =
+          try parsePpmFrames(p.getInputStream, maxFrames)
+          finally p.getInputStream.close()
+        if (frames.size >= maxFrames) {
+          // budget filled — the subprocess should be exiting on its own
+          // (-frames:v), but a binary that ignores the cap must not
+          // stall us or fail the row: we have everything we asked for
+          destroyTree()
+          frames
+        } else {
+          val done = p.waitFor(limit, java.util.concurrent.TimeUnit.SECONDS)
+          if (!done) { destroyTree(); throw new IllegalStateException(
+            s"ffmpeg did not exit within ${limit}s") }
+          val code = p.exitValue()
+          require(code == 0, s"ffmpeg exited $code: " +
+            new String(java.nio.file.Files.readAllBytes(errf),
+              java.nio.charset.StandardCharsets.UTF_8).take(300))
+          frames
+        }
+      } finally watchdog.interrupt()
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.deleteIfExists(errf)
+    }
   }
 
-  /** Parse a concatenated binary-PPM (P6) stream into per-frame dims
-    * and rounded mean colors.
+  /** Whole-array PPM parse (fixtures, tests): the streaming parser
+    * over an in-memory stream, no frame cap.
     */
-  private[graft] def parsePpmStream(bytes: Array[Byte]): Seq[(Int, Int, Int, Int, Int)] = {
+  private[graft] def parsePpmStream(bytes: Array[Byte]): Seq[(Int, Int, Int, Int, Int)] =
+    parsePpmFrames(new java.io.ByteArrayInputStream(bytes), Int.MaxValue)
+
+  /** Incrementally parse a concatenated binary-PPM (P6) stream into
+    * per-frame dims and rounded mean colors, stopping after
+    * `maxFrames` frames WITHOUT reading the rest of the stream.
+    * Memory is one 64 KiB buffer regardless of frame size or count —
+    * the executor-side half of the sample-bounded decode contract.
+    */
+  private[graft] def parsePpmFrames(in: java.io.InputStream,
+      maxFrames: Int): Seq[(Int, Int, Int, Int, Int)] = {
+    val s = new java.io.BufferedInputStream(in, 1 << 16)
     val frames = Seq.newBuilder[(Int, Int, Int, Int, Int)]
-    var i = 0
-    def skipWs(): Unit = while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
-    def int(): Int = {
-      skipWs()
+    var n = 0
+    // reads digits up to and INCLUDING the single terminating
+    // non-digit byte (PPM headers end each field with one whitespace)
+    def int(first: Int): Int = {
+      var c = first
+      while (c != -1 && Character.isWhitespace(c)) c = s.read()
+      require(c >= '0' && c <= '9', s"bad PPM header byte $c")
       var v = 0
-      require(i < bytes.length && bytes(i).toChar.isDigit, s"bad PPM header at $i")
-      while (i < bytes.length && bytes(i).toChar.isDigit) { v = v * 10 + (bytes(i) - '0'); i += 1 }
+      while (c >= '0' && c <= '9') { v = v * 10 + (c - '0'); c = s.read() }
       v
     }
-    while (i < bytes.length) {
-      skipWs()
-      if (i >= bytes.length) return frames.result()
-      require(i + 1 < bytes.length && bytes(i) == 'P' && bytes(i + 1) == '6',
-        s"expected P6 frame header at $i")
-      i += 2
-      val w = int(); val h = int(); val maxv = int()
+    val buf = new Array[Byte](1 << 16)
+    while (n < maxFrames) {
+      var c = s.read()
+      while (c != -1 && Character.isWhitespace(c)) c = s.read()
+      if (c == -1) return frames.result()
+      require(c == 'P' && s.read() == '6', s"expected P6 frame header, got byte $c")
+      val w = int(s.read()); val h = int(s.read()); val maxv = int(s.read())
       require(maxv == 255, s"unsupported PPM maxval $maxv")
-      i += 1 // the single whitespace byte after maxval
       val np = w.toLong * h
+      var remaining = np * 3
       var sr = 0L; var sg = 0L; var sb = 0L
-      var px = 0L
-      while (px < np) {
-        sr += bytes(i) & 0xff; sg += bytes(i + 1) & 0xff; sb += bytes(i + 2) & 0xff
-        i += 3; px += 1
+      var phase = 0
+      while (remaining > 0) {
+        val k = s.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+        require(k > 0, "truncated PPM pixel data")
+        var j = 0
+        while (j < k) {
+          val v = buf(j) & 0xff
+          if (phase == 0) sr += v else if (phase == 1) sg += v else sb += v
+          phase += 1; if (phase == 3) phase = 0
+          j += 1
+        }
+        remaining -= k
       }
       frames += ((w, h, math.round(sr.toDouble / np).toInt,
         math.round(sg.toDouble / np).toInt, math.round(sb.toDouble / np).toInt))
+      n += 1
     }
     frames.result()
   }
 
   val videoSampleSchema: StructType = StructType(
     frameSampleSchema.fields.map(f =>
-      if (f.name == "media_id" || f.name == "n_frames" || f.name == "frame_idx") f
-      else f.copy(nullable = true)) :+
+      if (f.name == "media_id" || f.name == "frame_idx") f
+      else f.copy(nullable = true)) :+ // n_frames nullable: a sample-
+      // bounded ffmpeg decode never observes the clip's total count
       StructField("decoded", BooleanType, nullable = false))
 
-  /** q101-family frame sampling for ANY container: gif decodes through
-    * the JDK as in [[sampleFrames]]; other containers decode through
-    * the deployed ffmpeg binary when one resolves ([[ffmpegPath]]),
-    * and otherwise degrade to [[planFrameSample]]'s metadata rows
-    * (`plannedFrameCount` frames assumed, null dims/means) — one
-    * unified schema with a `decoded` flag telling the tiers apart.
-    * Same partition-batched executor shape either way.
+  /** Container formats the JDK's ImageIO actually decodes — only
+    * these route to [[decodeFrames]]; anything else (including an
+    * unlabeled payload, which is overwhelmingly video in this tier)
+    * goes through ffmpeg-or-planned, so one unknown row degrades
+    * instead of failing the whole job on the JDK reader's require.
+    */
+  private val jdkImageFormats = Set("gif", "png", "jpg", "jpeg", "bmp", "wbmp")
+
+  /** q101-family frame sampling for ANY container: JDK image formats
+    * (gif …) decode through the JDK as in [[sampleFrames]]; other and
+    * UNLABELED containers decode through the deployed ffmpeg binary
+    * when one resolves ([[ffmpegPath]]) — sample-bounded inside the
+    * subprocess, so memory and pipe volume are O(maxFrames), with
+    * `n_frames` null because the bounded decode never sees the end of
+    * the clip — and otherwise degrade to [[planFrameSample]]'s
+    * metadata rows (`plannedFrameCount` frames assumed, null
+    * dims/means). One unified schema with a `decoded` flag telling
+    * the tiers apart; same partition-batched executor shape each way.
     */
   def sampleFramesVideo(media: DataFrame, everyN: Int, maxFrames: Int,
       plannedFrameCount: Int, partitions: Int = 0): DataFrame = {
@@ -834,15 +933,20 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val fmt = Option(r.getString(2)).map(_.toLowerCase).orNull
-        val real: Option[Seq[(Int, Int, Int, Int, Int)]] =
-          if (fmt == null || fmt == "gif")
-            Some(decodeFrames(r.get(1).asInstanceOf[Array[Byte]]))
-          else bin.map(b => decodeFramesFfmpeg(b, r.get(1).asInstanceOf[Array[Byte]], fmt))
-        real match {
-          case Some(frames) =>
-            frames.zipWithIndex.collect {
-              case ((w, h, mr, mg, mb), i) if i % everyN == 0 && i / everyN < maxFrames =>
-                Row(id, frames.size, i, w, h, mr, mg, mb, true)
+        if (fmt != null && jdkImageFormats.contains(fmt)) {
+          val frames = decodeFrames(r.get(1).asInstanceOf[Array[Byte]])
+          frames.zipWithIndex.collect {
+            case ((w, h, mr, mg, mb), i) if i % everyN == 0 && i / everyN < maxFrames =>
+              Row(id, frames.size, i, w, h, mr, mg, mb, true)
+          }
+        } else bin match {
+          case Some(b) =>
+            // sampling pushed into the subprocess; result k IS the
+            // k·everyN-th original frame (select filter contract)
+            decodeFramesFfmpeg(b, r.get(1).asInstanceOf[Array[Byte]], fmt,
+              everyN, maxFrames).zipWithIndex.map {
+              case ((w, h, mr, mg, mb), k) =>
+                Row(id, null, k * everyN, w, h, mr, mg, mb, true)
             }
           case None =>
             (0 until plannedFrameCount).collect {
