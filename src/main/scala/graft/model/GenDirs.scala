@@ -35,8 +35,88 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * under the root) reads as generation 0 — `dir(root, 0)` IS the root
   * — and is swept with the same one-generation grace once `gen@2`
   * publishes.
+  *
+  * READER LEASES (the reference's read-pin machinery,
+  * graph-class.lisp:59-84, re-expressed for files): the one-generation
+  * grace only protects reads that finish within two publishes, but
+  * auto-compaction rides the write path, and at 100 TB a single
+  * analytical query can easily outlive two compaction cycles on a hot
+  * store. A reader that will hold plan file lists for long takes a
+  * LEASE ([[lease]]/[[withLease]]): a `_PIN.<id>` marker inside the
+  * generation dir. The sweeper skips any generation holding a live
+  * pin, where live = mtime within [[leaseTtlMs]] — so a crashed
+  * reader's pin expires by itself and the next publish reclaims the
+  * space ([[Lease.refresh]] extends a legitimately long read).
+  * Lease acquisition closes its race with an in-flight sweep by
+  * re-reading the pointer after the durable pin write: a sweep that
+  * could drop generation N belongs to a publish that flipped the
+  * pointer to ≥ N+2 BEFORE listing pins, so observing pointer ≤ N+1
+  * after the write proves every dangerous sweep will see the pin.
   */
 private[graft] object GenDirs {
+
+  /** How long an unrefreshed pin protects its generation. Crashed
+    * readers stop pinning after this; the default comfortably covers
+    * interactive reads while bounding compaction garbage.
+    */
+  def leaseTtlMs: Long =
+    sys.props.get("graft.gen.lease.ttl.ms").map(_.toLong).getOrElse(15L * 60 * 1000)
+
+  /** A held read pin on one generation. `dir` is the pinned
+    * generation's directory — resolve base/delta/metadata from it, not
+    * from [[current]], for the whole read.
+    */
+  final class Lease private[GenDirs] (val gen: Long, val dir: Path, pinFile: Path) {
+    /** Extend the lease (touch mtime) — call between stages of a read
+      * that may exceed [[leaseTtlMs]].
+      */
+    def refresh(): Unit =
+      try Files.setLastModifiedTime(pinFile,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.nio.file.NoSuchFileException => () }
+    def release(): Unit = { Files.deleteIfExists(pinFile); () }
+  }
+
+  /** Pin the current generation for a long read. See the class doc for
+    * the race argument; the retry loop re-resolves onto the fresh
+    * generation when a double-publish lands mid-acquisition.
+    */
+  def lease(root: Path): Lease = {
+    var attempts = 0
+    while (attempts < 10) {
+      val gen = currentGen(root)
+      val d = dir(root, gen)
+      Files.createDirectories(d)
+      val pin = d.resolve("_PIN." + java.util.UUID.randomUUID().toString.take(12))
+      try Files.write(pin, Array.emptyByteArray)
+      catch { case _: java.io.IOException => () } // dir swept mid-write — retry
+      if (Files.exists(pin) && currentGen(root) <= gen + 1)
+        return new Lease(gen, d, pin)
+      Files.deleteIfExists(pin)
+      attempts += 1
+    }
+    throw new IllegalStateException(s"could not lease a generation under $root " +
+      "(compaction outpaced acquisition 10 times)")
+  }
+
+  /** Scoped lease: pin, read, release — the shape for any read whose
+    * plan outlives the call that built it (build AND consume inside
+    * `body`).
+    */
+  def withLease[T](root: Path)(body: Path => T): T = {
+    val l = lease(root)
+    try body(l.dir) finally l.release()
+  }
+
+  /** True when `d` holds a pin younger than the TTL. */
+  private def hasLivePin(d: Path): Boolean =
+    Dirs.childNames(d).exists { n =>
+      n.startsWith("_PIN.") && {
+        try System.currentTimeMillis() -
+          Files.getLastModifiedTime(d.resolve(n)).toMillis < leaseTtlMs
+        catch { case _: java.io.IOException => false }
+      }
+    }
 
   private def genFile(root: Path) = root.resolve("_GEN")
 
@@ -91,7 +171,9 @@ private[graft] object GenDirs {
 
   /** Drop generations < `keep`, stale staging dirs, stale pointer
     * temps, and (when the kept floor has moved past it) the legacy
-    * flat layout.
+    * flat layout. Generations holding a LIVE reader pin are skipped —
+    * a later publish reclaims them once the pin is released or
+    * expires.
     */
   private def sweep(root: Path, keep: Long): Unit = {
     Dirs.childNames(root).foreach { n =>
@@ -104,11 +186,13 @@ private[graft] object GenDirs {
           Dirs.rmTree(root.resolve(n))
         } else scala.util.Try(tag.toLong).toOption
           .filter(_ < keep)
+          .filterNot(_ => hasLivePin(root.resolve(n)))
           .foreach(_ => Dirs.rmTree(root.resolve(n)))
       } else if (n.startsWith("_GEN.tmp.")) Dirs.rmTree(root.resolve(n))
     }
-    if (keep >= 1) {
-      // the legacy flat layout was generation 0 — same grace window
+    if (keep >= 1 && !hasLivePin(root)) {
+      // the legacy flat layout was generation 0 (its dir IS the root,
+      // so its pins live at root level) — same grace window
       Seq("base", "delta", "base__tmp", "base__old")
         .foreach(n => Dirs.rmTree(root.resolve(n)))
     }

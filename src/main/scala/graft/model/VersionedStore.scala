@@ -297,12 +297,39 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     */
   private def currentVersions(label: String): DataFrame = {
     curHeal(label)
+    // resolve the GENERATION once per read: base and delta from the
+    // same dir, so the read never straddles a concurrent compaction.
+    // One-generation sweep grace covers prompt consumption; a plan
+    // held across compaction cycles uses withPinnedRead
+    currentVersionsIn(label, curGenDir(label))
+  }
+
+  /** LEASED latest-state read (GenDirs reader pins): the generation
+    * backing the frame handed to `body` is pinned against the
+    * compaction sweeper until `body` returns — the shape for an
+    * analytical read that may outlive the auto-compaction riding the
+    * write path (every ~32 delta epochs a hot table publishes a new
+    * generation; two publishes used to strand a slow reader's plan).
+    * Build AND consume the read inside `body`. Tables without a
+    * generation-versioned index (legacy/opted-out) fall back to the
+    * plain read — their layouts are append-only or healed in place,
+    * not swept.
+    */
+  def withPinnedRead[T](label: String)(body: DataFrame => T): T = {
+    if (curEnabled && Files.exists(curRoot(label)) && tableExists(label) &&
+        Files.exists(curBases(label).resolve("_GEN"))) {
+      curHeal(label)
+      GenDirs.withLease(curBases(label)) { g =>
+        val cur = currentVersionsIn(label, g)
+        body(if (cur.columns.isEmpty) cur else cur.filter(!col("deleted")))
+      }
+    } else body(read(label))
+  }
+
+  private def currentVersionsIn(label: String, g: java.nio.file.Path): DataFrame = {
     val epoch = currentEpoch
     val marker = curMarker(label)
     val baseEpoch = curBaseEpoch(label)
-    // resolve the GENERATION once per read: base and delta from the
-    // same dir, so the read never straddles a concurrent compaction
-    val g = curGenDir(label)
     val basePath = g.resolve("base")
     val deltaPath = g.resolve("delta")
     val base: Option[DataFrame] =

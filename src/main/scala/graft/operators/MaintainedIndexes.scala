@@ -390,8 +390,23 @@ private[operators] final class PartitionedDeltaLog(
     def probe(pred: org.apache.spark.sql.Column): DataFrame = probeIn(g, pred)
   }
 
-  /** Pin the current generation (resolve once per logical read). */
+  /** Pin the current generation (resolve once per logical read).
+    * Covered by the ONE-generation sweep grace: right for probes that
+    * build and consume their plan promptly. A read that may outlive
+    * two compactions (a slow analytical scan, a plan held across
+    * stages) must use [[withPinned]] instead.
+    */
   def pin(): Pinned = new Pinned(graft.model.GenDirs.current(root))
+
+  /** LEASED pin for long reads: the generation is marked with a
+    * reader pin the compaction sweeper respects (GenDirs leases), so
+    * the files behind any plan built from this Pinned survive
+    * arbitrarily many publishes until `body` returns (or the lease
+    * TTL expires for a crashed reader). Build AND consume the read
+    * inside `body`.
+    */
+  def withPinned[T](body: Pinned => T): T =
+    graft.model.GenDirs.withLease(root)(g => body(new Pinned(g)))
 
   /** The live candidate rows under a bucket/cell predicate: the base
     * scan is directory-pruned by it, the (small) delta scan pushes it

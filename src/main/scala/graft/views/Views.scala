@@ -302,8 +302,27 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     definition(name)
     heal(name)
     // one pinned generation: base and delta resolve from the same dir,
-    // so a read never straddles a concurrent regenerate (see GenDirs)
-    val g = graft.model.GenDirs.current(viewRoot(name))
+    // so a read never straddles a concurrent regenerate (see GenDirs).
+    // One-generation sweep grace covers prompt consumption; a slow
+    // consumer uses withPinnedRead
+    materializedIn(name, graft.model.GenDirs.current(viewRoot(name)))
+  }
+
+  /** LEASED view read for plans consumed slowly (GenDirs leases): the
+    * generation backing the frame handed to `body` is pinned against
+    * the compaction sweeper until `body` returns, so the read survives
+    * arbitrarily many concurrent regenerates. Build AND consume inside
+    * `body`.
+    */
+  def withPinnedRead[T](name: String)(body: DataFrame => T): T = {
+    definition(name)
+    heal(name)
+    graft.model.GenDirs.withLease(viewRoot(name)) { g =>
+      body(materializedIn(name, g))
+    }
+  }
+
+  private def materializedIn(name: String, g: java.nio.file.Path): DataFrame = {
     val base0 = g.resolve("base")
     val delta0 = g.resolve("delta")
     require(Files.exists(base0),

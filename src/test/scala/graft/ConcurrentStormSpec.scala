@@ -270,4 +270,118 @@ class ConcurrentStormSpec extends SparkSpec {
     gs.store.compactCurrent("v_acct")
     assert(rows() == want)
   }
+
+  test("generation leases: pins survive publishes, expire by TTL, and release " +
+      "reclaims space (GenDirs unit semantics)") {
+    import graft.model.GenDirs
+    val root = Files.createTempDirectory(Paths.get("target"), "lease-unit")
+    def publish(): Unit = {
+      GenDirs.publish(root) { g =>
+        Files.createDirectories(g.resolve("base"))
+        Files.write(g.resolve("base").resolve("f.parquet"), Array[Byte](1))
+      }
+      ()
+    }
+    publish() // gen 1
+    val l = GenDirs.lease(root)
+    assert(l.gen == 1L)
+    publish(); publish(); publish() // gens 2..4: sweep floor moves past 1
+    assert(Files.exists(l.dir.resolve("base").resolve("f.parquet")),
+      "a pinned generation must survive arbitrarily many publishes")
+    l.release()
+    publish() // first publish after release reclaims the pinned gen
+    assert(!Files.exists(root.resolve("gen@1")),
+      "a released generation must be swept by the next publish")
+
+    // TTL: a crashed reader's pin stops protecting once it goes stale
+    val l2 = GenDirs.lease(root)
+    sys.props("graft.gen.lease.ttl.ms") = "50"
+    try {
+      Thread.sleep(120)
+      publish(); publish(); publish()
+      assert(!Files.exists(l2.dir),
+        "a stale pin must not protect its generation forever")
+    } finally sys.props.remove("graft.gen.lease.ttl.ms")
+
+    // refresh extends a legitimately long read past the TTL
+    val l3 = GenDirs.lease(root)
+    sys.props("graft.gen.lease.ttl.ms") = "300"
+    try {
+      Thread.sleep(200); l3.refresh(); Thread.sleep(200)
+      publish(); publish(); publish()
+      assert(Files.exists(l3.dir.resolve("base").resolve("f.parquet")),
+        "a refreshed pin must keep protecting")
+    } finally { sys.props.remove("graft.gen.lease.ttl.ms"); l3.release() }
+  }
+
+  test("slow-reader storm: a plan held across >=3 aggressive compaction publishes " +
+      "survives under withPinnedRead (and is stranded without it)") {
+    val dir = tmp("storm-lease")
+    val schema = GraphSchema.builder().vertex("acct", "id", Seq("n")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    gs.txn().createVertices("acct",
+      (0L until 30L).map(i => (i, i)).toDF("id", "n")).commit()
+    gs.store.compactCurrent("v_acct") // generation 1
+    val bases = Paths.get(s"$dir/v_acct__cur/bases")
+    def churn(rounds: Int, from: Long): Unit = (0 until rounds).foreach { j =>
+      gs.txn().createVertices("acct",
+        Seq((from + j, from + j)).toDF("id", "n")).commit()
+      gs.store.compactCurrent("v_acct")
+    }
+
+    // CONTROL: an un-leased plan's files are gone after the grace
+    // window (this is exactly the hazard the lease exists for)
+    val stranded = gs.store.read("v_acct").select("id", "n")
+    churn(4, from = 1000L)
+    intercept[Throwable] { stranded.count() }
+
+    // LEASED: the same slow-consumption shape is safe across >= 3
+    // publishes — build the plan, churn the store, then consume
+    val gen0 = graft.model.GenDirs.currentGen(bases)
+    val got = gs.store.withPinnedRead("v_acct") { df =>
+      val held = df.select("id", "n")
+      churn(4, from = 2000L)
+      assert(graft.model.GenDirs.currentGen(bases) >= gen0 + 3,
+        "churn must actually publish aggressively")
+      held.as[(Long, Long)].collect().toMap
+    }
+    // the held plan serves its build-time snapshot, intact
+    assert((0L until 30L).forall(i => got.get(i).contains(i)))
+    assert((0 until 4).forall(j => got.get(1000L + j).contains(1000L + j)))
+    assert(!got.contains(2000L), "the pinned plan must not see post-build commits")
+
+    // release happened at scope exit: the next publish reclaims all
+    // unpinned generations — bounded garbage, no leaked pins
+    churn(1, from = 3000L)
+    val gens = graft.model.Dirs.childNames(bases).count(_.startsWith("gen@"))
+    assert(gens <= 2, s"released generations must be swept, found $gens")
+
+    // the same discipline through the VIEW catalog: a leased reduced
+    // read survives a regenerate storm from another thread
+    val cat = new ViewCatalog(spark, gs, dir)
+    cat.register(ViewDef("n_by_par", "acct",
+      df => df.select((col("id") % 2).cast("string").as("key"), col("id"),
+        col("n").cast("double").as("value")),
+      reduceAgg = Some(sum(col("value")))))
+    cat.regenerate("n_by_par")
+    val stop = new AtomicBoolean(false)
+    val regen = new Thread(() => {
+      while (!stop.get()) { cat.regenerate("n_by_par"); Thread.sleep(10) }
+    }, "lease-regen-storm")
+    regen.start()
+    try {
+      val want = gs.graph().vertices("acct")
+        .select((col("id") % 2).cast("string").as("k"), col("n"))
+        .groupBy("k").agg(sum(col("n").cast("double"))).as[(String, Double)]
+        .collect().toMap
+      (0 until 5).foreach { _ =>
+        val m = cat.withPinnedRead("n_by_par") { mat =>
+          val plan = mat.groupBy("key").agg(sum("value").as("v"))
+          Thread.sleep(60) // let several regenerates land mid-hold
+          plan.as[(String, Double)].collect().toMap
+        }
+        assert(m == want, "leased view read must serve a consistent snapshot")
+      }
+    } finally { stop.set(true); regen.join() }
+  }
 }
