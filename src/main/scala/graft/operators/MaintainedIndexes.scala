@@ -1100,6 +1100,81 @@ sealed abstract class MaintainedBandedMediaIndex(gs: GraphStore,
   }
 }
 
+/** Commit-maintained geohash CELL index over a store-held label with
+  * point coordinates — the reference's write-path spatial maintenance
+  * (transactions.lisp:800-876: `:index t` geometry slots re-indexed on
+  * every create/update/delete) as a [[PartitionedDeltaLog]] store
+  * partitioned by cell: a point committed one statement ago is already
+  * findable through a covering-cell-pruned bbox/radius probe, a moved
+  * point's old cell rows retire by tombstone, and the base stays
+  * directory-pruned exactly like the static
+  * [[graft.spatial.SpatialOps.ensureCellStore]] tier.
+  */
+final class MaintainedCellIndex(gs: GraphStore, label: String,
+    lonCol: String, latCol: String, storageDir: String, precision: Int = 5) {
+
+  private val table = gs.tableFor(label)
+  private val log = new PartitionedDeltaLog(gs.spark,
+    Paths.get(storageDir, "cellindex", label), Seq("cell"))
+
+  private def celled(rows: DataFrame): DataFrame =
+    graft.spatial.SpatialOps.withCell(
+      rows.select(col("id"), col(lonCol), col(latCol)), lonCol, latCol, precision)
+
+  /** Full (re)materialization from the store's current state; clears
+    * the delta and tombstone logs (compaction) — `rebuild-spatial-index`
+    * (spatial-query.lisp:174-200).
+    */
+  def rebuild(): Unit = log.locked {
+    val through = gs.store.currentEpoch // before materializing — see appliedThrough
+    log.writeBase(celled(
+      gs.graph().vertices(label).select(col("id"), col(lonCol), col(latCol))))
+    log.recordApplied(through)
+  }
+
+  /** Apply one commit's staged row versions — shared by [[bind]] and
+    * the replica-side [[MaintainedIndexes.followCommitLog]].
+    */
+  def applyCommit(epoch: Long, staged: DataFrame): Unit = log.locked {
+    log.appendCommit(epoch,
+      staged.filter(!col("deleted")).select(col("id"), col(lonCol), col(latCol)),
+      celled, staged)
+  }
+
+  /** Wire into the store's write path. Fails fast if another writer
+    * already binds this index directory (single-writer contract).
+    */
+  def bind(): Unit = {
+    log.acquireBinder()
+    gs.onCommit { (epoch, frames) =>
+      frames.get(table).foreach(applyCommit(epoch, _))
+    }
+  }
+
+  /** `spatial-index-query-bbox` over the maintained store: covering
+    * cells prune the base read, exact bounds refine.
+    */
+  def withinBBox(box: graft.spatial.Geohash.BBox): DataFrame =
+    log.probe(graft.spatial.SpatialOps.storedCellFilter(box, precision))
+      .filter(col(lonCol) >= box.minLon && col(lonCol) <= box.maxLon &&
+        col(latCol) >= box.minLat && col(latCol) <= box.maxLat)
+      .select(col("id"), col(lonCol), col(latCol))
+
+  /** `spatial-index-query-radius` over the maintained store. */
+  def near(lon: Double, lat: Double, radiusM: Double): DataFrame = {
+    val dLat = radiusM / 111320.0
+    val dLon = radiusM / (111320.0 * math.max(0.01, math.cos(math.toRadians(lat))))
+    val box = graft.spatial.Geohash.BBox(
+      math.max(-180, lon - dLon), math.max(-90, lat - dLat),
+      math.min(180, lon + dLon), math.min(90, lat + dLat))
+    log.probe(graft.spatial.SpatialOps.storedCellFilter(box, precision))
+      .withColumn("dist_m", graft.spatial.SpatialOps.haversineM(
+        col(lonCol), col(latCol), lit(lon), lit(lat)))
+      .filter(col("dist_m") <= radiusM)
+      .select(col("id"), col(lonCol), col(latCol), col("dist_m"))
+  }
+}
+
 /** Commit-maintained perceptual-hash (dHash) index over a store-held
   * IMAGE label ([[MaintainedBandedMediaIndex]] with q167's dHash).
   */

@@ -6,8 +6,10 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import org.apache.spark.sql.functions._
 
-import graft.model.{GraphSchema, GraphStore}
-import graft.operators.{Dedup, MaintainedPostingIndex, SignatureIndex}
+import graft.model.{GraphSchema, GraphStore, Replicator, VersionedStore}
+import graft.operators.{Dedup, MaintainedAnnStore, MaintainedAudioIndex,
+  MaintainedCellIndex, MaintainedDhashIndex, MaintainedIvfPqStore,
+  MaintainedPostingIndex, Multimodal, SignatureIndex, Similarity}
 import graft.views.{ViewCatalog, ViewDef}
 
 /** Multithreaded storm coverage for the write path — the rebuild's
@@ -269,6 +271,235 @@ class ConcurrentStormSpec extends SparkSpec {
     // one more compaction after quiescence is a no-op on results
     gs.store.compactCurrent("v_acct")
     assert(rows() == want)
+  }
+
+  test("reference-intensity mixed storm: 8 threads x 1,040 ops with EVERY " +
+      "maintained tier bound, readers + compactor + replicator mid-storm, " +
+      "full quiescent parity") {
+    // the reference's concurrent-rw shape (tests/perf/benchmarks.lisp:139,
+    // 8 threads x 4,000 mixed ops over shared mmap structures) at the
+    // rebuild's batch granularity: 8 threads x 1,040 row-ops
+    // (create/update/delete) in 4 commits each, every commit fanning out
+    // to ALL maintained surfaces in the same call stack — text LSH
+    // signatures, BM25 postings, vector LSH buckets, IVF-PQ codes with
+    // metadata, image dHash bands, audio-fingerprint bands, geohash
+    // cells, and a bound reduced view — while reader threads probe every
+    // surface, a compactor republishes generations, and a replicator
+    // tails the commit log into a second store.
+    val t0 = System.nanoTime()
+    val dir = tmp("storm-mega")
+    val slaveDir = tmp("storm-mega-slave")
+    val schema = GraphSchema.builder()
+      .vertex("doc", "id", Seq("text", "seg", "lon", "lat", "img", "wav", "v", "cat"))
+      .build()
+    val gs = new GraphStore(spark, schema, dir)
+
+    // deterministic content generators — gen 1 is the post-update state
+    val twin = "shared twin sentence for signature pairs across threads"
+    def imgIdOf(id: Long, gen: Int): Long = id + 3L * gen
+    def vecOf(id: Long, gen: Int): Array[Float] = {
+      // hash-mixed components, NOT a sin lattice: sin(id*c+j) puts ids
+      // ~210 apart within 1e-4 radians of each other, which rounds to
+      // cos_sim 1.0 and breaks exact-twin top-1 assertions
+      val s = id + gen * 50000L
+      Array.tabulate(8) { j =>
+        val h = ((s * 2654435761L + j * 40503L) >>> 5) & 0xffffL
+        (h.toDouble / 65535.0 - 0.5).toFloat
+      }
+    }
+    def textOf(id: Long, gen: Int): String =
+      s"storm doc $id gen$gen common alpha beta " +
+        (if (gen > 0) "updated refreshed " else "") +
+        (if (id % 7 == 0) twin else s"tail${id % 13}")
+    def lonOf(id: Long, gen: Int): Double = -120.0 + ((id + gen) % 97) * 0.02
+    def latOf(id: Long, gen: Int): Double = 35.0 + (((id + gen) / 97) % 50) * 0.02
+    def rowOf(id: Long, gen: Int) =
+      (id, textOf(id, gen), (id % 4).toString, lonOf(id, gen), latOf(id, gen),
+        Multimodal.synthPatternImageBytes(imgIdOf(id, gen)),
+        Multimodal.synthPatternWavBytes(imgIdOf(id, gen)),
+        vecOf(id, gen), id % 5)
+    def frameOf(rows: Seq[Long], gen: Int) = rows.map(rowOf(_, gen))
+      .toDF("id", "text", "seg", "lon", "lat", "img", "wav", "v", "cat")
+
+    gs.txn().createVertices("doc", frameOf(0L until 100L, 0)).commit()
+
+    // bind EVERY maintained tier (rebuild on the seed first)
+    val sig = new SignatureIndex(gs, "doc", "text", dir)
+    sig.rebuild(); sig.bind()
+    val post = new MaintainedPostingIndex(gs, "doc", "text", dir)
+    post.rebuild(); post.bind()
+    val ann = new MaintainedAnnStore(gs, "doc", "v", dir, dim = 8, nBits = 4, nTables = 4)
+    ann.rebuild(); ann.bind()
+    val ivfpq = new MaintainedIvfPqStore(gs, "doc", "v", dir, k = 4, m = 4,
+      ksub = 8, iterations = 1, metaCols = Seq("cat"))
+    ivfpq.rebuild(); ivfpq.bind()
+    val dhash = new MaintainedDhashIndex(gs, "doc", "img", dir)
+    dhash.rebuild(); dhash.bind()
+    val audio = new MaintainedAudioIndex(gs, "doc", "wav", dir)
+    audio.rebuild(); audio.bind()
+    val cells = new MaintainedCellIndex(gs, "doc", "lon", "lat", dir, precision = 5)
+    cells.rebuild(); cells.bind()
+    val cat = new ViewCatalog(spark, gs, dir)
+    cat.register(ViewDef("len_by_seg", "doc",
+      df => df.select(col("seg").as("key"), col("id"),
+        length(col("text")).cast("double").as("value")),
+      reduceAgg = Some(sum(col("value")))))
+    cat.regenerate("len_by_seg"); cat.bindTo(gs)
+    val slave = new VersionedStore(spark, slaveDir)
+    val repl = Replicator.forGraph(gs, slave)
+
+    // mid-storm probe targets (ids in thread 0's never-updated range)
+    val annQ: Seq[Double] = vecOf(10250L, 0).map(_.toDouble).toSeq
+    val qImg = Multimodal.synthPatternImageBytes(10251L)
+    val qWav = Multimodal.synthPatternWavBytes(10252L)
+
+    val writersDone = new AtomicBoolean(false)
+    val probes = new AtomicInteger
+    val sideErrors = new ConcurrentLinkedQueue[Throwable]
+    val readers = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          while (!writersDone.get()) {
+            post.search(Seq("alpha"), 5).count()
+            ann.topK(annQ, 5).count()
+            ivfpq.topK(annQ, 5, nProbe = 4, candidates = 50).count()
+            dhash.nearDups(qImg, 3).count()
+            audio.nearDups(qWav, 3).count()
+            cells.near(lonOf(10253L, 0), latOf(10253L, 0), 5000.0).count()
+            cat.reducedView("len_by_seg").count()
+            probes.incrementAndGet()
+          }
+        } catch { case t: Throwable => sideErrors.add(t) }
+      }, s"mega-reader-$i")
+    }
+    val compactor = new Thread(() => {
+      try {
+        while (!writersDone.get()) {
+          sig.rebuild()
+          cat.regenerate("len_by_seg")
+          gs.store.compactCurrent("v_doc")
+          Thread.sleep(200)
+        }
+      } catch { case t: Throwable => sideErrors.add(t) }
+    }, "mega-compactor")
+    val follower = new Thread(() => {
+      try {
+        while (!writersDone.get()) { repl.sync(); Thread.sleep(150) }
+      } catch { case t: Throwable => sideErrors.add(t) }
+    }, "mega-replicator")
+    readers.foreach(_.start()); compactor.start(); follower.start()
+
+    // 8 writers, disjoint 1,000-id ranges, 1,040 row-ops each:
+    // 800 creates + 160 full-property updates + 80 deletes
+    def base(w: Int): Long = 10000L + w * 1000L
+    inThreads(8) { w =>
+      val b = base(w)
+      gs.txn().createVertices("doc", frameOf(b until b + 400, 0)).commit()
+      gs.txn().createVertices("doc", frameOf(b + 400 until b + 800, 0)).commit()
+      gs.txn().updateVertices("doc", frameOf(b until b + 160, 1)).commit()
+      gs.txn().deleteVertices("doc", (b + 720 until b + 800).toDF("id")).commit()
+    }
+    writersDone.set(true)
+    readers.foreach(_.join()); compactor.join(); follower.join()
+    if (!sideErrors.isEmpty) throw sideErrors.peek()
+    assert(probes.get() > 0, "readers must have completed probes mid-storm")
+
+    // ---- quiescent parity on EVERY maintained surface ----
+    // final-state model: seeds gen 0; per thread ids [b, b+720) live,
+    // of which [b, b+160) are gen 1; [b+720, b+800) deleted
+    val liveGen: Map[Long, Int] =
+      ((0L until 100L).map(_ -> 0) ++ (0 until 8).flatMap { w =>
+        val b = base(w)
+        (b until b + 720).map(id => id -> (if (id < b + 160) 1 else 0))
+      }).toMap
+    val docs = gs.graph().vertices("doc")
+    assert(docs.count() == liveGen.size)
+
+    // text LSH signatures == from-scratch recompute
+    val sigGot = sig.nearDups().select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigWant = Dedup.minhashNearDups(docs, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sigGot == sigWant, "signature index must equal from-scratch recompute")
+
+    // postings: the update-planted token matches exactly the updated live ids
+    val postGot = post.search(Seq("updated"), 5000).select("id").as[Long].collect().toSet
+    val postWant = liveGen.collect { case (id, 1) => id }.toSet
+    assert(postGot == postWant, "posting index must surface exactly the updated docs")
+
+    // vector LSH: an unchanged vector is an exact top hit; an updated
+    // vector is findable by its NEW embedding and retired on its old one;
+    // a deleted vector is gone
+    assert(ann.topK(annQ, 3).as[(Long, Double)].collect().head == ((10250L, 1.0)))
+    val updQ: Seq[Double] = vecOf(10005L, 1).map(_.toDouble).toSeq
+    assert(ann.topK(updQ, 3).as[(Long, Double)].collect().head == ((10005L, 1.0)))
+    assert(!ann.topK(vecOf(10005L, 0).map(_.toDouble).toSeq, 3)
+      .as[(Long, Double)].collect().contains((10005L, 1.0)),
+      "stale buckets of an updated vector must retire")
+    assert(!ann.topK(vecOf(10750L, 0).map(_.toDouble).toSeq, 5)
+      .as[(Long, Double)].collect().exists(_._1 == 10750L),
+      "deleted vectors must not be findable")
+
+    // IVF-PQ composed probe (with metadata riding along): same contract
+    assert(ivfpq.topK(annQ, 3, nProbe = 4, candidates = 100)
+      .as[(Long, Double)].collect().head == ((10250L, 1.0)))
+    assert(ivfpq.topK(updQ, 3, nProbe = 4, candidates = 100)
+      .as[(Long, Double)].collect().head == ((10005L, 1.0)))
+    val filtered = ivfpq.topKFiltered(annQ, 5, predicate = col("cat") === (10250L % 5),
+      nProbe = 4, candidates = 100).as[(Long, Double)].collect()
+    assert(filtered.head == ((10250L, 1.0)), s"filtered probe lost the twin: ${filtered.toSeq}")
+
+    // image + audio banded fingerprints: exact-match probes verified
+    // bidirectionally (every same-raster classmate found; every hit a
+    // true live exact match by driver-side recompute)
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dhGot = dhash.nearDups(qImg, 0).select("id").as[Long].collect().toSet
+    val qImgHash = Multimodal.dHash64(qImg)
+    val dhClass = liveGen.collect {
+      case (id, g) if imgIdOf(id, g) % 256 == 10251L % 256 => id
+    }.toSet
+    assert(dhClass.subsetOf(dhGot), s"missing same-raster classmates: ${dhClass -- dhGot}")
+    dhGot.foreach { id =>
+      val g = liveGen.getOrElse(id, fail(s"dhash hit $id is not live"))
+      assert(ham(Multimodal.dHash64(
+        Multimodal.synthPatternImageBytes(imgIdOf(id, g))), qImgHash) == 0)
+    }
+    val auGot = audio.nearDups(qWav, 0).select("id").as[Long].collect().toSet
+    val qWavHash = Multimodal.audioHash64(qWav)
+    assert(auGot.contains(10252L))
+    auGot.foreach { id =>
+      val g = liveGen.getOrElse(id, fail(s"audio hit $id is not live"))
+      assert(ham(Multimodal.audioHash64(
+        Multimodal.synthPatternWavBytes(imgIdOf(id, g))), qWavHash) == 0)
+    }
+
+    // geohash cells == driver-side refine over the final coordinates
+    val cGot = cells.near(lonOf(10253L, 0), latOf(10253L, 0), 5000.0)
+      .select("id").as[Long].collect().toSet
+    val cWant = liveGen.collect { case (id, g)
+      if graft.spatial.Geohash.haversineMeters(
+        lonOf(id, g), latOf(id, g), lonOf(10253L, 0), latOf(10253L, 0)) <= 5000.0 => id
+    }.toSet
+    assert(cGot == cWant, "cell index must equal driver-side refine")
+    assert(cGot.nonEmpty)
+
+    // bound view == from-scratch aggregate
+    val viewGot = cat.reducedView("len_by_seg").select("key", "value", "n")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val viewWant = docs.groupBy("seg")
+      .agg(sum(length(col("text")).cast("double")).as("v"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viewGot == viewWant, "bound view must equal from-scratch recompute")
+
+    // replica: a final sync converges the follower to master parity
+    repl.sync()
+    val masterRows = gs.store.read("v_doc").select("id", "rev")
+      .as[(Long, Long)].collect().toSet
+    val slaveRows = slave.read("v_doc").select("id", "rev")
+      .as[(Long, Long)].collect().toSet
+    assert(slaveRows == masterRows, "follower must converge to master parity")
+
+    info(f"mega storm wall clock: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      s"${probes.get()} reader probe rounds")
   }
 
   test("generation leases: pins survive publishes, expire by TTL, and release " +
