@@ -62,6 +62,17 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Parse the quiet-floor ledger (empty map if absent). */
+  def readFloors(path: java.nio.file.Path =
+      java.nio.file.Paths.get("floors.json")): Map[String, Double] =
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+
   /** Machine-readable quiet-floor ledger (`floors.json` in the
     * working dir): per-query minimum wall-time ever observed on a
     * QUIET run, so future rounds diff a bench reading against its
@@ -72,17 +83,14 @@ object Bench {
     * updates query floors when its probe reading is within 10% of
     * that floor — a loaded machine can never LOWER a floor it
     * contends on, and the probe floor itself only ratchets down.
+    *
+    * The SAME update rewrites BENCHNOTES.md's floor table (between
+    * the FLOORS_TABLE markers) from the merged ledger, so the
+    * human-readable table and the file can never drift apart again.
     */
   def updateFloors(results: Seq[(String, Double)], probe: Double): Unit = {
     val path = java.nio.file.Paths.get("floors.json")
-    val old: Map[String, Double] =
-      if (!java.nio.file.Files.exists(path)) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(path),
-          java.nio.charset.StandardCharsets.UTF_8)
-        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+    val old = readFloors(path)
     val probeFloor = old.get("__probe").fold(probe)(math.min(_, probe))
     val quiet = probe <= probeFloor * 1.1
     val merged: Map[String, Double] =
@@ -94,6 +102,60 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     java.nio.file.Files.write(path,
       (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    syncFloorsTable(merged)
+  }
+
+  /** Regenerate BENCHNOTES.md's quiet-floor table from the ledger, in
+    * the same update that wrote floors.json (no-op when the notes file
+    * or its markers are absent — e.g. Bench run outside the repo).
+    */
+  def syncFloorsTable(floors: Map[String, Double],
+      notes: java.nio.file.Path = java.nio.file.Paths.get("BENCHNOTES.md")): Unit = {
+    if (!java.nio.file.Files.exists(notes)) return
+    val begin = "<!-- FLOORS_TABLE_BEGIN"
+    val end = "<!-- FLOORS_TABLE_END -->"
+    val txt = new String(java.nio.file.Files.readAllBytes(notes),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val b = txt.indexOf(begin); val e = txt.indexOf(end)
+    if (b < 0 || e < 0 || e < b) return
+    val head = txt.substring(0, b)
+    val tailPart = txt.substring(e + end.length)
+    val table = floors.toSeq.filter(_._1 != "__probe").sortBy(_._1)
+      .map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")
+    val probeLine = floors.get("__probe")
+      .map(p => f"\n(probe floor: $p%.3f s)\n").getOrElse("\n")
+    val block = begin + " (generated by graft.Bench.updateFloors from " +
+      "floors.json — do not hand-edit) -->\n" +
+      "| query | quiet floor (s) |\n|---|---|\n" + table + "\n" + probeLine + end
+    java.nio.file.Files.write(notes,
+      (head + block + tailPart).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Best/median over `warmRuns` measured executions after one
+    * discarded warm-up (steady-state methodology; see main).
+    */
+  def timeQuery(runOnce: () => Double, warmRuns: Int): (Double, Double) = {
+    runOnce() // warm-up run discarded
+    val runs = Seq.fill(warmRuns)(runOnce()).sorted
+    (runs.head, runs(runs.size / 2))
+  }
+
+  /** Which queries need a post-sweep REQUALIFICATION run: the round-9
+    * lesson (a co-tenant load spike mid-sweep read as a 2× across-the-
+    * board regression) made mechanical. A reading ≥2× its quiet floor
+    * is suspect on any run; when the calibration probes bracketing the
+    * sweep disagree by >20% — direct evidence the machine's load
+    * changed mid-sweep — the bar drops to 1.5×. Requalified queries
+    * re-run once after the sweep and BOTH readings land in the JSON,
+    * so a contended artifact carries its own correction.
+    */
+  def requalifyNeeded(best: Seq[(String, Double)], floors: Map[String, Double],
+      probeBefore: Double, probeAfter: Double): Seq[String] = {
+    val disagree = math.max(probeBefore, probeAfter) >
+      math.min(probeBefore, probeAfter) * 1.2
+    val factor = if (disagree) 1.5 else 2.0
+    best.collect { case (n, t)
+      if t > 0 && floors.get(n).exists(f => t >= factor * f) => n }
   }
 
   /** 1-minute load average from /proc/loadavg (NaN if unreadable). */
@@ -139,36 +201,49 @@ object Bench {
     // probe_before against probe_after and read as phantom contention
     calibrationProbe(spark)
     val probeBefore = calibrationProbe(spark)
-    val results = headline.filter(only).map { name =>
+    def once(name: String)(): Double = {
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> (try {
-        once() // warm-up run discarded
-        val runs = Seq.fill(warmRuns)(once()).sorted
-        (runs.head, runs(runs.size / 2))
-      } catch { case _: Throwable => (-1.0, -1.0) })
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = headline.filter(only).map { name =>
+      name -> (try timeQuery(once(name), warmRuns)
+      catch { case _: Throwable => (-1.0, -1.0) })
     }
     val probeAfter = calibrationProbe(spark)
     val loadAfter = loadAvg()
+    // post-sweep requalification: suspects re-measure AFTER the sweep
+    // (and after the probe that evidences the contention) so a mid-run
+    // load spike cannot masquerade as a code regression in the artifact
+    val floors = readFloors()
+    val requal = requalifyNeeded(results.map { case (n, (mn, _)) => n -> mn },
+      floors, probeBefore, probeAfter)
+      .map { name =>
+        name -> (try timeQuery(once(name), math.max(2, warmRuns / 2))._1
+        catch { case _: Throwable => -1.0 })
+      }
+    val requalMap = requal.toMap
     val qs = results.map { case (k, (mn, _)) => "\"" + k + f"\":$mn%.3f" }
       .mkString("{", ",", "}")
     val med = results.map { case (k, (_, md)) => "\"" + k + f"\":$md%.3f" }
+      .mkString("{", ",", "}")
+    val rq = requal.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // NaN (unreadable /proc/loadavg) must render as JSON null, not a
     // bare NaN token that breaks the one-line-JSON output contract
     def jnum(d: Double) = if (d.isNaN) "null" else f"$d%.2f"
     val cal = f""""calibration":{"probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"load_avg_before":${jnum(loadBefore)},"load_avg_after":${jnum(loadAfter)},"runs_per_query":$warmRuns}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"sf":"$sfDir",$cal}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"requalified":$rq,"sf":"$sfDir",$cal}""")
     // floors ratchet only at the driver's bench scale — a subset run
-    // (BENCH_ONLY) still updates just the queries it measured
+    // (BENCH_ONLY) still updates just the queries it measured; a
+    // requalified reading (measured after the contention the probe
+    // evidenced) is eligible alongside the sweep reading
     if (sfDir.endsWith("sf0.1"))
-      updateFloors(results.map { case (n, (mn, _)) => n -> mn },
-        math.min(probeBefore, probeAfter))
+      updateFloors(results.map { case (n, (mn, _)) =>
+        n -> requalMap.get(n).filter(r => r > 0 && (mn <= 0 || r < mn)).getOrElse(mn)
+      }, math.min(probeBefore, probeAfter))
     spark.stop()
   }
 }
