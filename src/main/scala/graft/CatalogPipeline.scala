@@ -22,13 +22,10 @@ object CatalogPipeline {
     .withColumn("lon", ((col("id") * 7 % 360) - 180).cast("double") + 0.5)
     .withColumn("lat", ((col("id") * 13 % 180) - 90).cast("double") + 0.5)
   /** Word-3-shingle sets per document — shared by the jaccard oracles
-    * (mirrors Dedup.shingles with k=3 exactly, short-doc case included).
+    * (now sourced from OracleFragments so the streaming near-dup row
+    * composes the identical fragment).
     */
-  private val shingleSql =
-    """SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-      |  ELSE list_distinct(list_transform(range(1, len(w)-1),
-      |         i -> array_to_string(w[i:i+2], ' '))) END AS sh
-      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
+  private val shingleSql = OracleFragments.shingleSetSql
 
   /** Winnowing fingerprint selection in SQL (k=8 char-grams, w=4,
     * rightmost-min) — the shared CTE chain of the q152/q156 oracles;

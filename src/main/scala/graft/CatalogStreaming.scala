@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.QueryDef.{cents, centsToDollars}
+import graft.model.Tpch
+import graft.operators.{Dedup, GraphAnalytics, TextAnalysis}
 import graft.streaming.Streams
 
 /** Structured-Streaming executions of the event/ingest operators,
@@ -162,6 +164,71 @@ object CatalogStreaming {
     // The oracle is the identical time-range join run as plain batch
     // SQL: stream/batch equivalence for the third stateful operator
     // class (agg: q118, arbitrary state: q119, dedup: q120, join here).
+    // Streaming INCREMENTAL LSH DEDUP — the training-data tier's
+    // near-dup keep-list fed by the streaming engine end-to-end: each
+    // arriving document minhash-signs and LSH-bands STATELESSLY, then
+    // candidate pairs form in a watermarked STREAM-STREAM self-join on
+    // (band, band_hash) — the stateful core; both sides buffer banded
+    // rows and the time bound is what lets the engine evict them, so
+    // the same plan runs on an unbounded ingest feed where a fresh
+    // document pairs against the retained recent corpus. The drained
+    // candidates then verify (exact shingle jaccard) and cluster
+    // (min-id connected components) exactly as batch q76 does, and the
+    // oracle IS q76's exhaustive-truth SQL: streamed candidate
+    // generation must lose nothing the O(n²) scan finds. Event time is
+    // synthesized from doc_id (the q120 convention); a real ingest
+    // carries its own arrival time, and the 30-day pairing horizon
+    // becomes the product decision "dedup against how much history".
+    QueryDef("q194_stream_neardup_keep",
+      (s, d) => {
+        def bandedSide(tag: String): DataFrame = {
+          // signatures inline: the same expression chain as
+          // Dedup.signatureFrame minus its localCheckpoint barriers
+          // (illegal on a stream; at stream scale the per-batch rows
+          // are commit-sized, so expression re-evaluation is bounded)
+          val sigs = streamDocuments(s, d)
+            .select(col("doc_id").as("doc"),
+              TextAnalysis.tokens(col("text")).as("toks"))
+            .select(col("doc"), array_distinct(transform(
+              Dedup.shinglesOfTokens(col("toks"), 3), sh => xxhash64(sh))).as("hsh"))
+            .withColumn("sig", Dedup.minhashSignature(col("hsh"), 24))
+          Dedup.lshBuckets(sigs.select("doc", "sig"), 24, 8)
+            .select(col("doc").as(s"${tag}_doc"), col("band").as(s"${tag}_band"),
+              col("band_hash").as(s"${tag}_bh"),
+              timestamp_seconds(col("doc") + lit(86400L)).as(s"${tag}_ts"))
+            .withWatermark(s"${tag}_ts", "1 hour")
+        }
+        val joined = bandedSide("a").join(bandedSide("b"),
+          col("a_band") === col("b_band") && col("a_bh") === col("b_bh") &&
+            col("a_doc") < col("b_doc") &&
+            col("b_ts") >= col("a_ts") - expr("INTERVAL 30 DAYS") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 30 DAYS"))
+          .select(col("a_doc").as("id_a"), col("b_doc").as("id_b"))
+        val cand = runToMemory(s, joined, "append").distinct()
+        val docs = Tpch.table(s, d, "documents")
+        val pairs = Dedup.jaccardForPairs(docs, "doc_id", "text", 3, cand)
+          .filter(col("jaccard") >= 0.5)
+        val comps = GraphAnalytics.connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          docs.select(col("doc_id").as("id")))
+        comps.select(col("id").as("doc_id"), col("component").as("cluster_rep"),
+          (col("id") === col("component")).as("keep")).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS (${OracleFragments.shingleSetSql}),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p
+           |  UNION ALL SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+           |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep,
+           |  (id = min(r)) AS keep
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q126_stream_stream_join",
       (s, d) => {
         val views = streamEvents(s, d)

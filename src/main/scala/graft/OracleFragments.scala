@@ -142,4 +142,18 @@ private[graft] object OracleFragments {
       |    WHEN 'src0' THEN 2 + (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 500000 THEN 1 ELSE 0 END)
       |    WHEN 'src1' THEN (CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':epoch'), 1, 8))::BIGINT % 1000000 < 400000 THEN 1 ELSE 0 END)
       |    ELSE 1 END)""".stripMargin
+
+  // --- shingle sets (the jaccard-dedup family) -----------------------
+
+  /** Word-3-shingle sets per document, bare SELECT body (use as
+    * `WITH s AS ($shingleSetSql)`) — mirrors Dedup.shingles with k=3
+    * exactly, short-doc case included. Shared by the batch jaccard
+    * oracles (CatalogPipeline q55/q56/q76/q153/…) and the streaming
+    * near-dup row (CatalogStreaming q194).
+    */
+  val shingleSetSql: String =
+    """SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |  ELSE list_distinct(list_transform(range(1, len(w)-1),
+      |         i -> array_to_string(w[i:i+2], ' '))) END AS sh
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
 }
