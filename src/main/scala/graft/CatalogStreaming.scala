@@ -31,6 +31,18 @@ object CatalogStreaming {
 
   private val runSeq = new AtomicLong()
 
+  /** Introspection from the most recent [[runToMemory]] drain: the
+    * executed streaming physical plan (state-store operators visible)
+    * and the engine's own state metrics. Consumed by the Explain tool
+    * (PLANS.md records the streaming plan, not just the post-stream
+    * batch frame) and by ScaleCheck (proving the watermark horizon
+    * bounds q194's join state at ×8 — peak rows, eviction observed).
+    */
+  final case class StreamRunInfo(
+      plan: String, peakStateRows: Long, stateRowsRemoved: Long, numBatches: Int)
+  @volatile private var lastInfo: Option[StreamRunInfo] = None
+  def lastRunInfo: Option[StreamRunInfo] = lastInfo
+
   /** Run a streaming frame to completion (AvailableNow drains every
     * available input file, then stops) into a uniquely-named in-memory
     * table and return it as a batch frame.
@@ -41,6 +53,19 @@ object CatalogStreaming {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    locally { // stash run introspection before handing the table back
+      val planBuf = new java.io.ByteArrayOutputStream()
+      try Console.withOut(new java.io.PrintStream(planBuf, true, "UTF-8")) {
+        q.explain(extended = false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      val states = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      lastInfo = Some(StreamRunInfo(
+        plan = planBuf.toString("UTF-8"),
+        peakStateRows = states.map(_.numRowsTotal).maxOption.getOrElse(0L),
+        stateRowsRemoved = states.map(_.numRowsRemoved).sum,
+        numBatches = q.recentProgress.length))
+    }
     spark.table(name)
   }
 
@@ -214,9 +239,17 @@ object CatalogStreaming {
         comps.select(col("id").as("doc_id"), col("component").as("cluster_rep"),
           (col("id") === col("component")).as("keep")).orderBy("doc_id")
       },
+      // the oracle's pair predicate carries the SAME ±30-day pairing
+      // horizon as the stream join (event time = doc_id seconds, so
+      // 30 days = 2,592,000 in doc_id units): stream/batch equivalence
+      // is exact BY CONSTRUCTION at any fixture scale, instead of
+      // relying on fixture doc_ids spanning less than the horizon —
+      // and a candidate-generation bug can never hide behind an
+      // expected horizon miss (r10 advisory)
       Some(s"""WITH RECURSIVE s AS (${OracleFragments.shingleSetSql}),
            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |    AND abs(a.doc_id - b.doc_id) <= 2592000
            |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
            |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
            |e AS (SELECT id_a AS a, id_b AS b FROM p

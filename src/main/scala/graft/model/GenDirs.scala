@@ -102,10 +102,32 @@ private[graft] object GenDirs {
   /** Scoped lease: pin, read, release — the shape for any read whose
     * plan outlives the call that built it (build AND consume inside
     * `body`).
+    *
+    * HEARTBEAT: a daemon thread refreshes the pin every
+    * `leaseTtlMs / 3` for as long as `body` runs, so a body that
+    * outlives the TTL (the 100 TB analytical read the lease exists
+    * for) keeps its protection without the caller remembering to call
+    * [[Lease.refresh]] — the reference's read pins hold for the
+    * thread's whole lifetime (graph-class.lisp:59-84), and so does
+    * this scope. Crashed-reader reclamation is untouched: the
+    * heartbeat dies with the JVM, the pin's mtime goes stale, and the
+    * TTL sweep reclaims the generation as before.
     */
   def withLease[T](root: Path)(body: Path => T): T = {
     val l = lease(root)
-    try body(l.dir) finally l.release()
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          // re-read the TTL each beat (tests shrink it via sysprop);
+          // floor keeps a pathological tiny TTL from busy-spinning
+          Thread.sleep(math.max(leaseTtlMs / 3, 20L))
+          l.refresh()
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-${l.gen}")
+    hb.setDaemon(true)
+    hb.start()
+    try body(l.dir) finally { hb.interrupt(); hb.join(2000); l.release() }
   }
 
   /** True when `d` holds a pin younger than the TTL. */
@@ -117,6 +139,29 @@ private[graft] object GenDirs {
         catch { case _: java.io.IOException => false }
       }
     }
+
+  /** On-disk footprint of a generation-layout store (current
+    * generation only — superseded ones are transient reclamation
+    * debt): base/delta file counts and bytes, plus the live delta
+    * epoch count — the `graph-stats` telemetry surface
+    * (stats.lisp:51 family) for maintained indexes and views.
+    */
+  final case class LayoutStats(gen: Long, baseFiles: Long, baseBytes: Long,
+      deltaFiles: Long, deltaBytes: Long, deltaEpochs: Long)
+
+  def layoutStats(root: Path): LayoutStats = {
+    def walk(p: Path): (Long, Long) =
+      if (!Files.exists(p)) (0L, 0L)
+      else if (Files.isDirectory(p))
+        Dirs.childNames(p).map(n => walk(p.resolve(n)))
+          .foldLeft((0L, 0L)) { case ((f, b), (f2, b2)) => (f + f2, b + b2) }
+      else (1L, try Files.size(p) catch { case _: java.io.IOException => 0L })
+    val g = current(root)
+    val (bf, bb) = walk(g.resolve("base"))
+    val (df, db) = walk(g.resolve("delta"))
+    LayoutStats(currentGen(root), bf, bb, df, db,
+      Dirs.childNames(g.resolve("delta")).count(_.startsWith("commit_epoch=")))
+  }
 
   private def genFile(root: Path) = root.resolve("_GEN")
 
@@ -174,7 +219,22 @@ private[graft] object GenDirs {
     * flat layout. Generations holding a LIVE reader pin are skipped —
     * a later publish reclaims them once the pin is released or
     * expires.
+    *
+    * Reclamation is BEST-EFFORT: [[lease]] may write a `_PIN` into an
+    * old generation between this sweep's pin check and its delete
+    * (the lease side then re-checks the pointer and retries, so no
+    * reader is ever actually unprotected) — the delete then raises
+    * DirectoryNotEmptyException, which must not propagate and fail
+    * the committing writer's publish over consistent store state.
+    * Whatever a sweep leaves behind, the next publish reclaims.
     */
+  private def rmTreeQuiet(p: Path): Unit =
+    try Dirs.rmTree(p)
+    catch {
+      case _: java.nio.file.DirectoryNotEmptyException => ()
+      case _: java.nio.file.NoSuchFileException => ()
+    }
+
   private def sweep(root: Path, keep: Long): Unit = {
     Dirs.childNames(root).foreach { n =>
       if (n.startsWith("gen@")) {
@@ -183,18 +243,18 @@ private[graft] object GenDirs {
           // publishes are serialized, so any staging dir seen here is a
           // crashed leftover — except the generation just published has
           // already been moved away, so no live name can match
-          Dirs.rmTree(root.resolve(n))
+          rmTreeQuiet(root.resolve(n))
         } else scala.util.Try(tag.toLong).toOption
           .filter(_ < keep)
           .filterNot(_ => hasLivePin(root.resolve(n)))
-          .foreach(_ => Dirs.rmTree(root.resolve(n)))
-      } else if (n.startsWith("_GEN.tmp.")) Dirs.rmTree(root.resolve(n))
+          .foreach(_ => rmTreeQuiet(root.resolve(n)))
+      } else if (n.startsWith("_GEN.tmp.")) rmTreeQuiet(root.resolve(n))
     }
     if (keep >= 1 && !hasLivePin(root)) {
       // the legacy flat layout was generation 0 (its dir IS the root,
       // so its pins live at root level) — same grace window
       Seq("base", "delta", "base__tmp", "base__old")
-        .foreach(n => Dirs.rmTree(root.resolve(n)))
+        .foreach(n => rmTreeQuiet(root.resolve(n)))
     }
   }
 }

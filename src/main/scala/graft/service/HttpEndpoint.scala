@@ -31,7 +31,11 @@ final class HttpEndpoint(
     /** admin tier: maintenance verbs exist only when the artifact they
       * operate on is attached (and writes are allowed) */
     views: Option[graft.views.ViewCatalog] = None,
-    replicator: Option[graft.model.Replicator] = None) {
+    replicator: Option[graft.model.Replicator] = None,
+    /** maintained-index roots (GenDirs layouts) to include in
+      * `/admin/stats` — LSH / posting / ANN / dhash / cell stores live
+      * under caller-chosen dirs the endpoint cannot discover itself */
+    indexDirs: Map[String, String] = Map.empty) {
 
   private var server: HttpServer = _
 
@@ -163,6 +167,10 @@ final class HttpEndpoint(
     *   - `POST /admin/compact`    `{"label": "customer"}` current-index
     */
   private def admin(ex: HttpExchange, op: String, body: String): Unit = {
+    // stats is READ-ONLY telemetry (the reference's graph-stats /
+    // chart dashboard, stats.lisp:51) — monitoring must not require
+    // the write effect; it stays behind the auth token like all routes
+    if (op == "stats") { stats(ex); return }
     if (!allowWrites) {
       reply(ex, 403, err("write effect not allowed on this endpoint")); return
     }
@@ -201,6 +209,52 @@ final class HttpEndpoint(
         reply(ex, 200, s"""{"compacted": "$label", "stores_gced": $gced}""")
       case other => reply(ex, 404, err(s"no such admin route: $other"))
     }
+  }
+
+  /** `POST /admin/stats` — the reference's `graph-stats` report
+    * (stats.lisp:51 family + the chart.lisp dashboard's data): current
+    * commit epoch, per-table commit counts / rows-per-commit / commit
+    * rate derived from the commit log itself (VersionedStore
+    * .writeReport — the log IS the statistic, nothing in-memory to
+    * lose on restart), and base/delta footprints of every attached
+    * view and maintained-index store (GenDirs.layoutStats). Read-side
+    * rates are deliberately not mirrored: reads are Spark jobs, whose
+    * metrics the Spark UI / listener bus already serves per scan.
+    */
+  private def stats(ex: HttpExchange): Unit = {
+    val gs = store.getOrElse {
+      reply(ex, 404, err("no store attached")); return }
+    val epoch = gs.store.currentEpoch
+    val rows = gs.store.writeReport().collect()
+    val tables = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+      case (t, rs) =>
+        val commits = rs.length
+        // commit_epoch is a parquet PARTITION column — it reads back as
+        // Integer, so go through Number rather than getLong
+        val total = rs.map(_.getAs[Number]("rows").longValue).sum
+        val times = rs.map(_.getAs[java.sql.Timestamp]("committed_at").getTime).sorted
+        val spanSec = (times.last - times.head) / 1000.0
+        val rate =
+          if (commits > 1 && spanSec > 0) (commits - 1) / spanSec else 0.0
+        f"""{"table": "$t", "commits": $commits, "rows": $total, """ +
+          f""""rows_per_commit": ${total.toDouble / commits}%.2f, """ +
+          f""""last_epoch": ${rs.map(_.getAs[Number]("commit_epoch").longValue).max}, """ +
+          f""""commits_per_sec": $rate%.4f}"""
+    }
+    def layoutJson(kind: String, name: String, root: java.nio.file.Path): String = {
+      val s = graft.model.GenDirs.layoutStats(root)
+      s"""{"kind": "$kind", "name": "$name", "gen": ${s.gen}, """ +
+        s""""base_files": ${s.baseFiles}, "base_bytes": ${s.baseBytes}, """ +
+        s""""delta_files": ${s.deltaFiles}, "delta_bytes": ${s.deltaBytes}, """ +
+        s""""delta_epochs": ${s.deltaEpochs}}"""
+    }
+    val viewStats = views.toSeq.flatMap(vc =>
+      vc.names.map(n => layoutJson("view", n, vc.rootOf(n))))
+    val indexStats = indexDirs.toSeq.sortBy(_._1).map { case (n, d) =>
+      layoutJson("index", n, java.nio.file.Paths.get(d)) }
+    reply(ex, 200,
+      s"""{"epoch": $epoch, "tables": [${tables.mkString(",")}], """ +
+        s""""stores": [${(viewStats ++ indexStats).mkString(",")}]}""")
   }
 
   private def parseParams(body: String): Map[String, String] = {

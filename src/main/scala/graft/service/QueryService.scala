@@ -148,15 +148,21 @@ final class QueryService(
   }
 
   /** Streaming row delivery — the `:callback` / ndjson contract
-    * (rest.lisp:564-589): rows as an iterator of JSON lines without
-    * materializing the full result on the driver beyond the enforced
-    * limit.
+    * (rest.lisp:564-589): rows as an iterator of JSON lines.
+    *
+    * The PLAN is drained eagerly; only the SOCKET streams. Every
+    * service frame is already clamped to `maxLimit` rows (the
+    * rest.lisp:31-36 budget applied in [[bounded]]/[[runRegistered]]),
+    * so the buffer is bounded by policy — and draining before the
+    * first byte means a slow HTTP consumer (the ndjson contract's
+    * whole point) never holds a lazy plan's file listings across the
+    * store's compaction grace window. The alternative
+    * (toLocalIterator at the consumer's pace) strands exactly like
+    * the un-leased control in the slow-reader storm: auto-compaction
+    * rides the write path, and a client that reads for minutes spans
+    * many publishes. SURVEY §7.5 sanctions the buffered shape for the
+    * clamped service tier; unclamped analytical exports go through
+    * the leased `withPinnedRead` surfaces instead.
     */
-  def ndjson(df: DataFrame): Iterator[String] = df.toJSON.toLocalIterator().asScala
-
-  private implicit class IterConv[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
-  }
+  def ndjson(df: DataFrame): Iterator[String] = df.toJSON.collect().iterator
 }

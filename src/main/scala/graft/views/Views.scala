@@ -206,6 +206,11 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
   /** Registered view names (stable order). */
   def names: Seq[String] = defs.keys.toSeq.sorted
 
+  /** Storage root of one view's materialization (GenDirs layout) —
+    * the telemetry surface walks it for base/delta sizes.
+    */
+  def rootOf(name: String): java.nio.file.Path = { definition(name); viewRoot(name) }
+
   /** Automatic view routing ([[graft.query.AggGoal]]): the name of a
     * registered view that can SERVE the per-`keyProp` `agg` of
     * `valueProp` over `label` — declared routing metadata matches
@@ -234,24 +239,25 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
         v.name
     }
 
-  /** The highest store epoch this view's materialization reflects:
-    * the epoch stamped by its last regenerate (`_EPOCH` in the
-    * generation dir; 0 for legacy/static materializations) advanced
-    * by the newest commit-delta partition in the same generation.
+  /** The highest store epoch this view's materialization PROVABLY
+    * covers contiguously: the epoch stamped by its last regenerate
+    * (`_EPOCH` in the generation dir; 0 for legacy/static
+    * materializations). Commit-delta partitions deliberately do NOT
+    * advance this: deltas only exist for commits made while the
+    * catalog was bound (hook-maintained in the commit call stack), so
+    * they never extend contiguous coverage past the stamp — folding
+    * them in would let ONE post-bind commit mask every unmaintained
+    * commit that landed between the stamp and bindTo (a reopened
+    * stale materialization would route and silently drop the gap's
+    * rows; the r10 advisory's exact scenario).
     */
   private def coveredEpoch(name: String): Long = {
     val g = graft.model.GenDirs.current(viewRoot(name))
-    val stamp = {
-      val f = g.resolve("_EPOCH")
-      if (!Files.exists(f)) 0L
-      else try new String(Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      catch { case _: NumberFormatException => 0L }
-    }
-    graft.model.Dirs.childNames(g.resolve("delta"))
-      .filter(_.startsWith("commit_epoch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("commit_epoch=").toLong).toOption)
-      .foldLeft(stamp)(math.max)
+    val f = g.resolve("_EPOCH")
+    if (!Files.exists(f)) 0L
+    else try new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    catch { case _: NumberFormatException => 0L }
   }
 
   /** Compute the view's map output from the current source state. */

@@ -545,6 +545,71 @@ class ConcurrentStormSpec extends SparkSpec {
     } finally { sys.props.remove("graft.gen.lease.ttl.ms"); l3.release() }
   }
 
+  test("heartbeat leases: a withLease body that outlives the TTL keeps its pin " +
+      "across >=3 publishes with no manual refresh (r10 directive #1)") {
+    import graft.model.GenDirs
+    val root = Files.createTempDirectory(Paths.get("target"), "lease-hb")
+    def publish(): Unit = {
+      GenDirs.publish(root) { g =>
+        Files.createDirectories(g.resolve("base"))
+        Files.write(g.resolve("base").resolve("f.parquet"), Array[Byte](1))
+      }
+      ()
+    }
+    publish() // gen 1
+    // TTL far below the body's runtime: only the scope's own daemon
+    // heartbeat (refresh every TTL/3) can keep the pin alive
+    sys.props("graft.gen.lease.ttl.ms") = "120"
+    try {
+      GenDirs.withLease(root) { d =>
+        (0 until 4).foreach { _ => Thread.sleep(150); publish() }
+        assert(GenDirs.currentGen(root) >= 5, "publishes must actually land")
+        assert(Files.exists(d.resolve("base").resolve("f.parquet")),
+          "an un-refreshed body past the TTL must still hold its generation " +
+            "(the heartbeat is the protection)")
+      }
+    } finally sys.props.remove("graft.gen.lease.ttl.ms")
+    // scope exit stopped the heartbeat and released: next publish reclaims
+    publish()
+    assert(!Files.exists(root.resolve("gen@1")),
+      "a released generation must be swept once the heartbeat stops")
+  }
+
+  test("lease-acquisition vs sweep race: pins landing mid-sweep never fail the " +
+      "committing writer's publish (best-effort reclamation)") {
+    import graft.model.GenDirs
+    val root = Files.createTempDirectory(Paths.get("target"), "lease-race")
+    GenDirs.publish(root) { g => Files.createDirectories(g.resolve("base")); () }
+    val stop = new AtomicBoolean(false)
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val leasers = (0 until 4).map { i =>
+      new Thread(() => {
+        try while (!stop.get()) {
+          val l = GenDirs.lease(root)
+          // a granted lease must point at a generation the sweeper
+          // will now skip — its dir exists for the hold's duration
+          assert(Files.isDirectory(l.dir))
+          l.release()
+        } catch {
+          case _: InterruptedException => ()
+          case t: Throwable => errors.add(t)
+        }
+      }, s"lease-race-$i")
+    }
+    leasers.foreach(_.start())
+    try {
+      // the publisher's sweep runs hot against the pin writers: any
+      // DirectoryNotEmptyException escaping publish() fails right here.
+      // The 1 ms pacing keeps acquisition winnable (lease() gives up
+      // after 10 double-publish races — an API contract, not a bug)
+      (0 until 300).foreach { _ =>
+        GenDirs.publish(root) { g => Files.createDirectories(g.resolve("base")); () }
+        Thread.sleep(1)
+      }
+    } finally { stop.set(true); leasers.foreach(_.join(10000)) }
+    assert(errors.isEmpty, s"worker errors: ${errors.peek()}")
+  }
+
   test("slow-reader storm: a plan held across >=3 aggressive compaction publishes " +
       "survives under withPinnedRead (and is stranded without it)") {
     val dir = tmp("storm-lease")

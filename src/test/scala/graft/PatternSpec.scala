@@ -395,19 +395,28 @@ class PatternSpec extends SparkSpec {
     cat2.bindTo(gs)
     assert(cat2.routeFor("acct", "seg", "bal").isEmpty,
       "a stale inherited materialization must not be routed through")
+    // THE r10 ADVISORY SCENARIO: a commit AFTER bind appends a
+    // hook-maintained delta whose epoch exceeds boundAtEpoch — it must
+    // NOT extend contiguous coverage over the unmaintained gap
+    // (E0, bindEpoch]; the old delta max-fold routed here and silently
+    // dropped the gap's rows
+    gs.txn().createVertices("acct",
+      Seq((4L, "iron", 2.0)).toDF("id", "seg", "bal")).commit()
+    assert(cat2.routeFor("acct", "seg", "bal").isEmpty,
+      "a post-bind delta must not mask the unmaintained gap before bind")
     // and the agg goal still answers correctly via the fallback
     val sq = PatternQuery(
       goals = Seq(AggGoal("acct", "seg", "bal", "seg", "total")),
       select = Seq("seg" -> "seg", "total" -> "total"))
     val fell = PatternCompiler.run(gs.graph(), sq, views = Some(cat2))
     assert(fell.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      == Map("gold" -> 17.0, "iron" -> 5.0))
+      == Map("gold" -> 17.0, "iron" -> 7.0))
     // regenerate stamps the covered epoch → routing resumes
     cat2.regenerate("by_seg")
     assert(cat2.routeFor("acct", "seg", "bal") == Some("by_seg"))
     val back = PatternCompiler.run(gs.graph(), sq, views = Some(cat2))
     assert(back.queryExecution.executedPlan.toString.contains("views/by_seg"))
     assert(back.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      == Map("gold" -> 17.0, "iron" -> 5.0))
+      == Map("gold" -> 17.0, "iron" -> 7.0))
   }
 }

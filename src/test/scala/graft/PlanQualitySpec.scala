@@ -125,4 +125,23 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange".r.findAllMatchIn(s).size == 1,
       s"quotaCap should shuffle exactly once on the group key:\n$s")
   }
+
+  test("PLANS.md covers the whole catalog (drift guard, r10 #3)") {
+    // the committed plan artifact must track catalog growth: a new
+    // QueryDef without a regenerated PLANS.md fails CI here instead of
+    // the artifact silently reading as complete (the floors-table
+    // lesson applied to plans; Explain enforces the same invariant at
+    // write time)
+    val p = java.nio.file.Paths.get("PLANS.md")
+    assert(java.nio.file.Files.exists(p), "PLANS.md missing — run graft.tools.Explain")
+    val text = java.nio.file.Files.readString(p)
+    val n = SparkEntry.queries.size
+    val recorded = text.linesIterator.count(_.startsWith("## "))
+    assert(recorded == n,
+      s"PLANS.md drift: $recorded plans recorded, catalog has $n — regenerate " +
+        "with sbt \"runMain graft.tools.Explain\"")
+    val cov = """Catalog coverage: (\d+) of (\d+)""".r.findFirstMatchIn(text)
+    assert(cov.exists(m => m.group(1).toInt == n && m.group(2).toInt == n),
+      s"PLANS.md coverage line disagrees with the catalog size $n")
+  }
 }

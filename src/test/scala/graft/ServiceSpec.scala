@@ -637,6 +637,61 @@ class ServiceSpec extends SparkSpec {
     } finally { writable.stop(); readOnly.stop() }
   }
 
+  test("ndjson to a SLOW consumer survives aggressive store compaction: the " +
+      "plan drains before the first byte, only the socket streams (r10 #2)") {
+    import spark.implicits._
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("acct", "id", Seq("pad")).build()
+    val gs = new graft.model.GraphStore(spark, schema,
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "ndjson-slow").toString)
+    // ~2 KB rows x 1000 ≈ 2 MB: well past the TCP buffers, so the
+    // server's socket writes genuinely block on the client's pace
+    val pad = "x" * 2048
+    gs.txn().createVertices("acct",
+      (0L until 1000L).map(i => (i, pad)).toDF("id", "pad")).commit()
+    gs.store.compactCurrent("v_acct") // generation-versioned index live
+    val svc = new QueryService(gs.graph(), maxLimit = 1000)
+    svc.register(RegisteredQuery("all_accts", Seq.empty,
+      _ => PatternQuery(goals = Seq(IsA("a", "acct"), Slot("a", "pad", "p")),
+        select = Seq("a" -> "id", "p" -> "p"), orderBy = Seq(col("id")))))
+    val ep = new graft.service.HttpEndpoint(svc)
+    val port = ep.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/query/all_accts?stream=1"))
+          .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      assert(resp.statusCode() == 200)
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body(),
+          java.nio.charset.StandardCharsets.UTF_8))
+      val ids = scala.collection.mutable.Buffer[Long]()
+      var churns = 0
+      var line = br.readLine()
+      while (line != null) {
+        ids += """"id":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+        // every 100 lines, commit + compact: >=4 publishes while the
+        // response is mid-flight — the exact storm that strands an
+        // incrementally-consumed plan (slow-reader control case)
+        if (ids.size % 100 == 0 && churns < 5) {
+          gs.txn().createVertices("acct",
+            Seq((100000L + churns, "late")).toDF("id", "pad")).commit()
+          gs.store.compactCurrent("v_acct")
+          churns += 1
+          Thread.sleep(30)
+        }
+        line = br.readLine()
+      }
+      assert(churns >= 4, "the compaction storm must actually run mid-response")
+      // complete and correct: exactly the 1000 request-time rows, in
+      // order, none of the mid-response commits leaking in
+      assert(ids.size == 1000 && ids.toSeq == (0L until 1000L))
+    } finally ep.stop()
+  }
+
   test("HTTP endpoint: 200/400/403/401/404 + ndjson streaming") {
     val ep = new graft.service.HttpEndpoint(service, authToken = Some("sesame"))
     val port = ep.start()
@@ -740,6 +795,73 @@ class ServiceSpec extends SparkSpec {
       assert(post(barePort, "/admin/vacuum", """{"label":"acct"}""").statusCode() == 404)
       assert(post(port, "/admin/frobnicate").statusCode() == 404)
     } finally { ep.stop(); bare.stop(); readOnly.stop() }
+  }
+
+  test("admin stats: graph-stats report (epoch, per-table commit telemetry, " +
+      "store footprints) — read-only, sane and monotone mid-storm (r10 #5)") {
+    import spark.implicits._
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("acct", "id", Seq("seg", "bal")).build()
+    val gs = new graft.model.GraphStore(spark, schema,
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "stats-gs").toString)
+    gs.txn().createVertices("acct",
+      (0L until 20L).map(i => (i, s"s${i % 3}", i.toDouble)).toDF("id", "seg", "bal"))
+      .commit()
+    val cat = new graft.views.ViewCatalog(spark, gs,
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "stats-views").toString)
+    cat.register(graft.views.ViewDef("bal_by_seg", "acct",
+      df => df.select(col("seg").as("key"), col("id"), col("bal").as("value")),
+      reduceAgg = Some(sum(col("value")))))
+    cat.bindTo(gs)
+    cat.regenerate("bal_by_seg")
+    // READ-ONLY endpoint: telemetry must not require the write effect
+    val ep = new graft.service.HttpEndpoint(service, store = Some(gs),
+      allowWrites = false, views = Some(cat))
+    val port = ep.start()
+    val client = HttpClient.newHttpClient()
+    def poll(): String = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/admin/stats"))
+          .POST(HttpRequest.BodyPublishers.ofString("")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, r.body())
+      r.body()
+    }
+    def epochOf(b: String) = """"epoch": (\d+)""".r.findFirstMatchIn(b).get.group(1).toLong
+    def commitsOf(b: String) =
+      """"table": "v_acct", "commits": (\d+)""".r.findFirstMatchIn(b).get.group(1).toInt
+    try {
+      val s0 = poll()
+      assert(epochOf(s0) >= 1 && commitsOf(s0) == 1)
+      assert(s0.contains(""""rows": 20""") && s0.contains("rows_per_commit"))
+      assert(""""kind": "view", "name": "bal_by_seg", "gen": 1""".r
+        .findFirstIn(s0).isDefined, s"view footprint missing: $s0")
+      assert(""""base_files": [1-9]""".r.findFirstIn(s0).isDefined,
+        "a regenerated view must report a non-empty base")
+      // WRITE STORM underneath the poller: commit telemetry must stay
+      // sane (parseable, monotone) while the log grows mid-read
+      val writer = new Thread(() => (0 until 8).foreach { j =>
+        gs.txn().createVertices("acct",
+          Seq((1000L + j, "sX", 1.0)).toDF("id", "seg", "bal")).commit()
+      })
+      writer.start()
+      var lastEpoch = epochOf(s0); var lastCommits = commitsOf(s0)
+      (0 until 3).foreach { _ =>
+        val b = poll()
+        val (e, c) = (epochOf(b), commitsOf(b))
+        assert(e >= lastEpoch && c >= lastCommits,
+          s"telemetry went backwards: epoch $lastEpoch->$e commits $lastCommits->$c")
+        lastEpoch = e; lastCommits = c
+      }
+      writer.join()
+      val fin = poll()
+      assert(epochOf(fin) == 9 && commitsOf(fin) == 9) // 1 + 8 storm commits
+      // commit-rate field present and non-negative
+      val rate = """"commits_per_sec": ([0-9.]+)""".r.findFirstMatchIn(fin).get.group(1).toDouble
+      assert(rate >= 0.0)
+    } finally ep.stop()
   }
 
   test("motif string accepted by the JSON DSL") {

@@ -53,8 +53,9 @@ class TwoProcessReplicationSpec extends SparkSpec {
 
     // fork the follower JVM: own SparkSession, shared filesystem only
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
-    val cp = new java.io.File("target/scala-2.13/classes").getAbsolutePath +
-      java.io.File.pathSeparator + "/opt/spark/jars/*"
+    // the forked JVM inherits THIS JVM's classpath (it only needs main
+    // classes + Spark, both necessarily on it) — no sandbox literals
+    val cp = System.getProperty("java.class.path")
     val cmd = Seq(javaBin, "-Xmx3g") ++ ReplicaFollowerMain.jvmOpens ++
       Seq("-cp", cp, "graft.tools.ReplicaFollowerMain",
         masterDir.toString, slaveDir.toString, idxDir.toString, subsetSql,
