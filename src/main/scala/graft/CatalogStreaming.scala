@@ -53,20 +53,27 @@ object CatalogStreaming {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    locally { // stash run introspection before handing the table back
-      val planBuf = new java.io.ByteArrayOutputStream()
-      try Console.withOut(new java.io.PrintStream(planBuf, true, "UTF-8")) {
-        q.explain(extended = false)
-      } catch { case scala.util.control.NonFatal(_) => () }
-      val states = q.recentProgress.toSeq
-        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
-      lastInfo = Some(StreamRunInfo(
-        plan = planBuf.toString("UTF-8"),
-        peakStateRows = states.map(_.numRowsTotal).maxOption.getOrElse(0L),
-        stateRowsRemoved = states.map(_.numRowsRemoved).sum,
-        numBatches = q.recentProgress.length))
-    }
+    recordRun(q)
     spark.table(name)
+  }
+
+  /** Stash a finished run's introspection into [[lastRunInfo]] — every
+    * streaming execution path (memory-sink drains AND foreachBatch
+    * ingests) records itself, so the Explain tool always attributes
+    * the info to the query that actually ran last.
+    */
+  private def recordRun(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val planBuf = new java.io.ByteArrayOutputStream()
+    try Console.withOut(new java.io.PrintStream(planBuf, true, "UTF-8")) {
+      q.explain(extended = false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    val states = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+    lastInfo = Some(StreamRunInfo(
+      plan = planBuf.toString("UTF-8"),
+      peakStateRows = states.map(_.numRowsTotal).maxOption.getOrElse(0L),
+      stateRowsRemoved = states.map(_.numRowsRemoved).sum,
+      numBatches = q.recentProgress.length))
   }
 
   /** The events table as a file STREAM (same ns→µs conversion as the
@@ -93,6 +100,84 @@ object CatalogStreaming {
 
   private def streamDocuments(spark: SparkSession, sfDir: String): DataFrame =
     streamTable(spark, sfDir, "documents.parquet")
+
+  /** The q194 stateful core: minhash-sign and LSH-band each arriving
+    * document STATELESSLY (the same expression chain as
+    * Dedup.signatureFrame minus its localCheckpoint barriers — illegal
+    * on a stream; per-batch rows are commit-sized, so expression
+    * re-evaluation is bounded), then pair candidates in a watermarked
+    * stream-stream self-join on (band, band_hash) within the ±30-day
+    * event-time horizon. `docs` is called once per join side (each
+    * call must yield a fresh streaming source); `secondsPerDoc` scales
+    * the synthesized event time (doc_id seconds for the catalog row;
+    * ScaleCheck compresses time so the horizon BINDS at test scale).
+    *
+    * Expected log noise: Spark's StreamingJoinHelper WARNs with an
+    * INTERNAL_ERROR stack ("Cannot evaluate expression: a_doc") while
+    * planning — its state-constraint extractor attempts EVERY `<`
+    * predicate in the join condition, including the non-time
+    * `a_doc < b_doc` ordering constraint, fails on it, and moves on.
+    * Benign: state cleanup derives from the two event-time range
+    * predicates (the ScaleCheck state probe MEASURES eviction running
+    * and peak state staying flat under corpus ×8).
+    */
+  private[graft] def neardupCandidateStream(docs: () => DataFrame,
+      secondsPerDoc: Long): DataFrame = {
+    def bandedSide(tag: String): DataFrame = {
+      val sigs = docs()
+        .select(col("doc_id").as("doc"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc"), array_distinct(transform(
+          Dedup.shinglesOfTokens(col("toks"), 3), sh => xxhash64(sh))).as("hsh"))
+        .withColumn("sig", Dedup.minhashSignature(col("hsh"), 24))
+      Dedup.lshBuckets(sigs.select("doc", "sig"), 24, 8)
+        .select(col("doc").as(s"${tag}_doc"), col("band").as(s"${tag}_band"),
+          col("band_hash").as(s"${tag}_bh"),
+          timestamp_seconds(col("doc") * lit(secondsPerDoc) + lit(86400L))
+            .as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", "1 hour")
+    }
+    bandedSide("a").join(bandedSide("b"),
+      col("a_band") === col("b_band") && col("a_bh") === col("b_bh") &&
+        col("a_doc") < col("b_doc") &&
+        col("b_ts") >= col("a_ts") - expr("INTERVAL 30 DAYS") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 DAYS"))
+      .select(col("a_doc").as("id_a"), col("b_doc").as("id_b"))
+  }
+
+  /** ScaleCheck's state-bound probe for the streaming near-dup join
+    * (r10 directive: prove the watermark horizon bounds state, don't
+    * just assert it). Drives [[neardupCandidateStream]] so eviction
+    * actually HAPPENS at test scale: the source is a chunked document
+    * directory consumed `maxFilesPerTrigger` files per micro-batch
+    * (files range-partitioned by doc_id, so event time advances with
+    * the batches), and `secondsPerDoc` compresses event time until the
+    * corpus spans many ±30-day horizons. Returns the engine's own
+    * state metrics: at a fixed docs-per-horizon density, corpus ×N
+    * must leave PEAK state roughly flat — state is horizon-bounded,
+    * not corpus-bounded.
+    */
+  final case class NeardupStateProbe(candidates: Long, peakStateRows: Long,
+      rowsEvicted: Long, batches: Int, bandedRowsTotal: Long, seconds: Double)
+
+  def neardupStateProbe(s: SparkSession, docsDir: String,
+      secondsPerDoc: Long, maxFilesPerTrigger: Int): NeardupStateProbe = {
+    val schema = s.read.parquet(docsDir).schema
+    val nDocs = s.read.parquet(docsDir).count()
+    val t0 = System.nanoTime()
+    val joined = neardupCandidateStream(
+      () => s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(docsDir),
+      secondsPerDoc)
+    val candidates = runToMemory(s, joined, "append").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val info = lastRunInfo.getOrElse(
+      throw new IllegalStateException("stream run recorded no progress"))
+    // both join sides band every doc into 8 band rows — the corpus-
+    // bounded worst case an unbounded-state join would retain
+    NeardupStateProbe(candidates, info.peakStateRows, info.stateRowsRemoved,
+      info.numBatches, nDocs * 8 * 2, sec)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -206,29 +291,8 @@ object CatalogStreaming {
     // becomes the product decision "dedup against how much history".
     QueryDef("q194_stream_neardup_keep",
       (s, d) => {
-        def bandedSide(tag: String): DataFrame = {
-          // signatures inline: the same expression chain as
-          // Dedup.signatureFrame minus its localCheckpoint barriers
-          // (illegal on a stream; at stream scale the per-batch rows
-          // are commit-sized, so expression re-evaluation is bounded)
-          val sigs = streamDocuments(s, d)
-            .select(col("doc_id").as("doc"),
-              TextAnalysis.tokens(col("text")).as("toks"))
-            .select(col("doc"), array_distinct(transform(
-              Dedup.shinglesOfTokens(col("toks"), 3), sh => xxhash64(sh))).as("hsh"))
-            .withColumn("sig", Dedup.minhashSignature(col("hsh"), 24))
-          Dedup.lshBuckets(sigs.select("doc", "sig"), 24, 8)
-            .select(col("doc").as(s"${tag}_doc"), col("band").as(s"${tag}_band"),
-              col("band_hash").as(s"${tag}_bh"),
-              timestamp_seconds(col("doc") + lit(86400L)).as(s"${tag}_ts"))
-            .withWatermark(s"${tag}_ts", "1 hour")
-        }
-        val joined = bandedSide("a").join(bandedSide("b"),
-          col("a_band") === col("b_band") && col("a_bh") === col("b_bh") &&
-            col("a_doc") < col("b_doc") &&
-            col("b_ts") >= col("a_ts") - expr("INTERVAL 30 DAYS") &&
-            col("b_ts") <= col("a_ts") + expr("INTERVAL 30 DAYS"))
-          .select(col("a_doc").as("id_a"), col("b_doc").as("id_b"))
+        val joined = neardupCandidateStream(
+          () => streamDocuments(s, d), secondsPerDoc = 1L)
         val cand = runToMemory(s, joined, "append").distinct()
         val docs = Tpch.table(s, d, "documents")
         val pairs = Dedup.jaccardForPairs(docs, "doc_id", "text", 3, cand)
@@ -261,6 +325,72 @@ object CatalogStreaming {
            |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep,
            |  (id = min(r)) AS keep
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // Streaming ANN INGEST (r10 optional directive #7 — the q194
+    // pattern applied to vectors): a Structured Streaming source feeds
+    // the TRANSACTIONAL write path commit by commit, the bound
+    // MaintainedAnnStore refreshes its (table, bucket) partitions in
+    // each commit's call stack, and the post-stream probe must EXACTLY
+    // equal the batch engine's LSH probe over the final graph — the
+    // reference's incremental contract (a maintained index equals its
+    // from-scratch recompute), driven by the streaming engine
+    // end-to-end. recall_ok is q59's sampled audit (sign-LSH floor vs
+    // exact top-10); n_ingested ties the oracle row to the real corpus.
+    QueryDef("q195_stream_ann_ingest",
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+          "graft-streamann").toString
+        val schema = graft.model.GraphSchema.builder()
+          .vertex("emb", "id", Seq("v")).build()
+        val gs = new graft.model.GraphStore(s, schema, dir)
+        val q = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble).toSeq
+        val ann = new graft.operators.MaintainedAnnStore(gs, "emb", "v", dir,
+          dim = q.size, nBits = 4, nTables = 8)
+        val src = streamTable(s, d, "embeddings.parquet")
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+        // deploy-then-bind lifecycle: the index rebuilds from the first
+        // landed commit (a base needs a typed frame to exist), binds,
+        // and every later commit refreshes it in the commit call stack
+        var bound = false
+        val commitBatch: (DataFrame, Long) => Unit = (batch, _) => {
+          val rows = batch.persist()
+          try {
+            // 4 id-sliced transactions per micro-batch: the ingest
+            // exercises REPEATED maintained commits, not one bulk load
+            (0 until 4).foreach { m =>
+              val part = rows.filter(pmod(col("id"), lit(4)) === m)
+              if (!part.isEmpty) {
+                gs.txn().createVertices("emb", part).commit()
+                if (!bound) { ann.rebuild(); ann.bind(); bound = true }
+              }
+            }
+          } finally { rows.unpersist(); () }
+        }
+        val sq = src.writeStream.foreachBatch(commitBatch)
+          .trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        recordRun(sq) // the ingest plan is stateless; state lives in the STORE
+        val stored = ann.topK(q, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val live = gs.graph().vertices("emb")
+        val scan = graft.operators.Similarity.annTopK(live, "v", "id", q,
+            k = 10, nBits = 4, seed = 42L, nTables = 8)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val exact = graft.operators.Similarity.bruteForceTopK(live, "v", "id", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        Seq((live.count(), gs.store.currentEpoch,
+          stored == scan, (stored.map(_._1).toSet & exact).size >= 6))
+          .toDF("n_ingested", "n_commits", "parity_ok", "recall_ok")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_ingested,
+             |  CAST(4 AS BIGINT) AS n_commits,
+             |  true AS parity_ok, true AS recall_ok
+             |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
 
     QueryDef("q126_stream_stream_join",
       (s, d) => {

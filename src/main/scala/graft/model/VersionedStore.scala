@@ -173,8 +173,14 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * reference counts reads because it is the in-process server
     * (stats.lisp:20-35); here reads are Spark jobs, whose metrics the
     * Spark UI / listener bus already reports per scan.
+    *
+    * `fromEpochExclusive` bounds the report to recent commits: the
+    * report is one row per (table, epoch), so an UNWINDOWED report on
+    * a long-lived store materializes its whole commit history — a
+    * telemetry poll must stay O(window), not O(store age). Epoch dirs
+    * are partition dirs, so the window prunes at the file level.
     */
-  def writeReport(): DataFrame = {
+  def writeReport(fromEpochExclusive: Long = 0L): DataFrame = {
     import spark.implicits._
     val committed = currentEpoch
     val tables = Dirs.childNames(Paths.get(dir))
@@ -186,7 +192,7 @@ final class VersionedStore(spark: SparkSession, dir: String) {
       Dirs.childNames(Paths.get(labelDir(t)))
         .filter(_.startsWith("commit_epoch="))
         .map(_.stripPrefix("commit_epoch=").toLong)
-        .filter(_ <= committed)
+        .filter(e => e <= committed && e > fromEpochExclusive)
         .map { e =>
           val mtime = Files.getLastModifiedTime(
             Paths.get(labelDir(t), s"commit_epoch=$e")).toMillis
@@ -195,7 +201,9 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     }
     val mtimes = meta.toDF("table", "commit_epoch", "__mtime_ms")
     val counts = tables.map { t =>
-      versions(t, committed).groupBy(col("commit_epoch"))
+      versions(t, committed)
+        .filter(col("commit_epoch") > fromEpochExclusive)
+        .groupBy(col("commit_epoch"))
         .agg(count(lit(1)).as("rows")).withColumn("table", lit(t))
     }.reduceOption(_ unionByName _)
       .getOrElse(Seq.empty[(String, Long, Long)].toDF("table", "commit_epoch", "rows"))
@@ -310,7 +318,9 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * analytical read that may outlive the auto-compaction riding the
     * write path (every ~32 delta epochs a hot table publishes a new
     * generation; two publishes used to strand a slow reader's plan).
-    * Build AND consume the read inside `body`. Tables without a
+    * Build AND consume the read inside `body` — bodies may run
+    * arbitrarily long: the lease heartbeats (GenDirs.withLease), so
+    * reads outliving the pin TTL keep protection. Tables without a
     * generation-versioned index (legacy/opted-out) fall back to the
     * plain read — their layouts are append-only or healed in place,
     * not swept.

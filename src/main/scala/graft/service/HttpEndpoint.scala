@@ -170,7 +170,7 @@ final class HttpEndpoint(
     // stats is READ-ONLY telemetry (the reference's graph-stats /
     // chart dashboard, stats.lisp:51) — monitoring must not require
     // the write effect; it stays behind the auth token like all routes
-    if (op == "stats") { stats(ex); return }
+    if (op == "stats") { stats(ex, body); return }
     if (!allowWrites) {
       reply(ex, 403, err("write effect not allowed on this endpoint")); return
     }
@@ -220,12 +220,22 @@ final class HttpEndpoint(
     * view and maintained-index store (GenDirs.layoutStats). Read-side
     * rates are deliberately not mirrored: reads are Spark jobs, whose
     * metrics the Spark UI / listener bus already serves per scan.
+    *
+    * Commit telemetry is WINDOWED (`{"window": N}` epochs back from
+    * current, default 256; 0 = unbounded): the report is one row per
+    * (table, epoch), and a poll against a store with millions of
+    * commits must stay O(window), not O(store age) — the window prunes
+    * at the epoch-partition level.
     */
-  private def stats(ex: HttpExchange): Unit = {
+  private def stats(ex: HttpExchange, body: String): Unit = {
     val gs = store.getOrElse {
       reply(ex, 404, err("no store attached")); return }
+    val window = Option(parseBody(body, blankOk = true).get("window"))
+      .filterNot(_.isNull).map(_.asLong(256L)).getOrElse(256L)
+    if (window < 0) throw new QueryService.BadRequestException("'window' must be >= 0")
     val epoch = gs.store.currentEpoch
-    val rows = gs.store.writeReport().collect()
+    val fromEpoch = if (window == 0L) 0L else math.max(0L, epoch - window)
+    val rows = gs.store.writeReport(fromEpoch).collect()
     val tables = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
       case (t, rs) =>
         val commits = rs.length
@@ -252,9 +262,23 @@ final class HttpEndpoint(
       vc.names.map(n => layoutJson("view", n, vc.rootOf(n))))
     val indexStats = indexDirs.toSeq.sortBy(_._1).map { case (n, d) =>
       layoutJson("index", n, java.nio.file.Paths.get(d)) }
+    // `{"series": true}` additionally returns the raw windowed
+    // (table, epoch, rows, committed_at_ms) points — the chart.lisp
+    // dashboard's data series, already bounded by the window
+    val series =
+      if (!Option(parseBody(body, blankOk = true).get("series"))
+          .exists(_.asBoolean(false))) ""
+      else rows.sortBy(r => (r.getString(0), r.getAs[Number]("commit_epoch").longValue))
+        .map { r =>
+          s"""{"table": "${r.getString(0)}", """ +
+            s""""epoch": ${r.getAs[Number]("commit_epoch").longValue}, """ +
+            s""""rows": ${r.getAs[Number]("rows").longValue}, """ +
+            s""""at_ms": ${r.getAs[java.sql.Timestamp]("committed_at").getTime}}"""
+        }.mkString(""", "series": [""", ",", "]")
     reply(ex, 200,
-      s"""{"epoch": $epoch, "tables": [${tables.mkString(",")}], """ +
-        s""""stores": [${(viewStats ++ indexStats).mkString(",")}]}""")
+      s"""{"epoch": $epoch, "window_from_epoch": $fromEpoch, """ +
+        s""""tables": [${tables.mkString(",")}], """ +
+        s""""stores": [${(viewStats ++ indexStats).mkString(",")}]$series}""")
   }
 
   private def parseParams(body: String): Map[String, String] = {

@@ -215,6 +215,36 @@ object ScaleCheck {
       (name, tBase, tScaled, tScaled / tBase)
     }
 
+    // q194 streaming near-dup state probe (r10 #4): prove the watermark
+    // horizon BOUNDS join state rather than asserting it. Both scales
+    // run chunked (maxFilesPerTrigger=1 over doc_id-range-partitioned
+    // files, so event time advances batch by batch and eviction runs)
+    // with event time compressed until the BASE corpus spans ~8
+    // ±30-day horizons. secondsPerDoc is the SAME at both scales, so
+    // docs-per-horizon is identical and a horizon-bounded join must
+    // keep PEAK state roughly flat while the corpus — and the
+    // banded-rows worst case an unbounded join would retain — grows
+    // ×N (files hold equal doc counts, so watermark lag matches too).
+    val q194Probe: Option[(graft.CatalogStreaming.NeardupStateProbe,
+        graft.CatalogStreaming.NeardupStateProbe)] =
+      if (only.exists(!_.exists(_.startsWith("q194")))) None
+      else Some {
+        def chunked(dirIn: String, files: Int, outName: String): String = {
+          val p = s"$out/$outName"
+          if (!Files.exists(Paths.get(p, "_SUCCESS")))
+            spark.read.parquet(s"$dirIn/documents.parquet")
+              .repartitionByRange(files, col("doc_id"))
+              .write.mode("overwrite").parquet(p)
+          p
+        }
+        val nBaseDocs = spark.read.parquet(s"$base/documents.parquet").count()
+        val secPerDoc = math.max(1L, 8L * 2592000L / math.max(nBaseDocs, 1L))
+        val chunksBase = chunked(base, 8, "_q194_chunks_base")
+        val chunksScaled = chunked(out, 8 * factor, s"_q194_chunks_x$factor")
+        (graft.CatalogStreaming.neardupStateProbe(spark, chunksBase, secPerDoc, 1),
+          graft.CatalogStreaming.neardupStateProbe(spark, chunksScaled, secPerDoc, 1))
+      }
+
     val all = rows ++ plRows
     val qs = all.map { case (n, b, s, r) =>
       "\"" + n + f"""\":{"base_sec":$b%.3f,"scaled_sec":$s%.3f,"ratio":$r%.2f}"""
@@ -228,12 +258,34 @@ object ScaleCheck {
     // failing loose shape is what the report points at, not a passing
     // strict one
     def gate(name: String): Double = if (loose(name)) factor * 2.0 else factor.toDouble
-    val worst = all.maxBy { case (n, _, _, r) => r / gate(n) }
-    val pass = all.forall { case (n, _, _, r) => r <= gate(n) }
+    // a q194-only subset run has no timed rows: report a neutral worst
+    val worst = if (all.isEmpty) ("none", 0.0, 0.0, 0.0)
+      else all.maxBy { case (n, _, _, r) => r / gate(n) }
+    // state gates: eviction must RUN at both scales, and peak state at
+    // ×N must stay far under the corpus-bounded worst case — we gate
+    // peak_scaled ≤ 2 × peak_base (flat up to banding-occupancy noise)
+    // while bandedRowsTotal grows ×N
+    val statePass = q194Probe.forall { case (pb, ps) =>
+      pb.rowsEvicted > 0 && ps.rowsEvicted > 0 &&
+        ps.peakStateRows <= 2L * math.max(pb.peakStateRows, 1L) &&
+        ps.peakStateRows < ps.bandedRowsTotal / 2
+    }
+    val stateJson = q194Probe.map { case (pb, ps) =>
+      f""","q194_state_probe":{"base":{"peak_state_rows":${pb.peakStateRows},""" +
+        f""""rows_evicted":${pb.rowsEvicted},"batches":${pb.batches},""" +
+        f""""banded_rows_total":${pb.bandedRowsTotal},"candidates":${pb.candidates},""" +
+        f""""sec":${pb.seconds}%.1f},""" +
+        f""""scaled":{"peak_state_rows":${ps.peakStateRows},""" +
+        f""""rows_evicted":${ps.rowsEvicted},"batches":${ps.batches},""" +
+        f""""banded_rows_total":${ps.bandedRowsTotal},"candidates":${ps.candidates},""" +
+        f""""sec":${ps.seconds}%.1f},""" +
+        f""""time_ratio":${ps.seconds / pb.seconds}%.2f,"state_pass":$statePass}"""
+    }.getOrElse("")
+    val pass = all.forall { case (n, _, _, r) => r <= gate(n) } && statePass
     println(
       f"""{"metric":"scale_check","factor":$factor,"base":"$base","queries":$qs,""" +
         f""""worst":"${worst._1}","worst_ratio":${worst._4}%.2f,""" +
-        f""""worst_gate":${gate(worst._1)}%.1f,"pass":$pass}""")
+        f""""worst_gate":${gate(worst._1)}%.1f$stateJson,"pass":$pass}""")
     spark.stop()
   }
 }

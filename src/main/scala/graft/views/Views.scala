@@ -318,7 +318,9 @@ final class ViewCatalog(spark: SparkSession, sources: ViewSources, storageDir: S
     * generation backing the frame handed to `body` is pinned against
     * the compaction sweeper until `body` returns, so the read survives
     * arbitrarily many concurrent regenerates. Build AND consume inside
-    * `body`.
+    * `body` — bodies may run arbitrarily long: the lease heartbeats
+    * (GenDirs.withLease), so reads outliving the pin TTL keep
+    * protection.
     */
   def withPinnedRead[T](name: String)(body: DataFrame => T): T = {
     definition(name)

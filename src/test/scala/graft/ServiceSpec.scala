@@ -816,19 +816,23 @@ class ServiceSpec extends SparkSpec {
       reduceAgg = Some(sum(col("value")))))
     cat.bindTo(gs)
     cat.regenerate("bal_by_seg")
-    // READ-ONLY endpoint: telemetry must not require the write effect
+    // READ-ONLY endpoint: telemetry must not require the write effect.
+    // indexDirs exercises the maintained-index footprint branch (any
+    // GenDirs layout works; the view root doubles as one here)
     val ep = new graft.service.HttpEndpoint(service, store = Some(gs),
-      allowWrites = false, views = Some(cat))
+      allowWrites = false, views = Some(cat),
+      indexDirs = Map("bal_idx" -> cat.rootOf("bal_by_seg").toString))
     val port = ep.start()
     val client = HttpClient.newHttpClient()
-    def poll(): String = {
+    def pollWith(body: String, expect: Int = 200): String = {
       val r = client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/admin/stats"))
-          .POST(HttpRequest.BodyPublishers.ofString("")).build(),
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(r.statusCode() == 200, r.body())
+      assert(r.statusCode() == expect, r.body())
       r.body()
     }
+    def poll(): String = pollWith("")
     def epochOf(b: String) = """"epoch": (\d+)""".r.findFirstMatchIn(b).get.group(1).toLong
     def commitsOf(b: String) =
       """"table": "v_acct", "commits": (\d+)""".r.findFirstMatchIn(b).get.group(1).toInt
@@ -861,6 +865,23 @@ class ServiceSpec extends SparkSpec {
       // commit-rate field present and non-negative
       val rate = """"commits_per_sec": ([0-9.]+)""".r.findFirstMatchIn(fin).get.group(1).toDouble
       assert(rate >= 0.0)
+      // the index footprint branch reports the GenDirs layout
+      assert(""""kind": "index", "name": "bal_idx", "gen": 1""".r
+        .findFirstIn(fin).isDefined, s"index footprint missing: $fin")
+      // WINDOWED poll: only the epochs inside the window count — a
+      // telemetry poll on a long-lived store stays O(window)
+      val win = pollWith("""{"window": 2}""")
+      assert(win.contains(""""window_from_epoch": 7"""), win)
+      assert(commitsOf(win) == 2, s"window=2 must see exactly 2 commits: $win")
+      pollWith("""{"window": -1}""", expect = 400)
+      // the dashboard data series: raw windowed (table, epoch, rows,
+      // at_ms) points, epoch-ordered (the chart.lisp plot input)
+      val ser = pollWith("""{"window": 2, "series": true}""")
+      val pts = """"epoch": (\d+), "rows": (\d+), "at_ms": (\d+)""".r
+        .findAllMatchIn(ser).map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+      assert(pts.map(_._1) == Seq(8L, 9L) && pts.forall(_._2 == 1L),
+        s"series must carry exactly the windowed epochs in order: $ser")
+      assert(!poll().contains("\"series\""), "series is opt-in")
     } finally ep.stop()
   }
 

@@ -82,4 +82,17 @@ class StreamCatalogSpec extends SparkSpec {
     val b = run("q120_stream_dedup").as[String].collect().toSeq
     assert(a == b)
   }
+
+  test("q195: streaming ANN ingest — the commit-maintained store's post-stream " +
+      "probe equals the batch engine's probe over the final graph") {
+    val row = run("q195_stream_ann_ingest").collect().head
+    val n = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") =!= 0).count()
+    assert(row.getLong(0) == n, "every streamed vector must be committed")
+    assert(row.getLong(1) == 4L, "the ingest must land as 4 separate commits")
+    assert(row.getBoolean(2),
+      "maintained-store topK must EXACTLY equal the batch LSH probe " +
+        "(incremental == recomputed, the reference's maintenance contract)")
+    assert(row.getBoolean(3), "sampled recall audit vs exact top-10 must clear 6/10")
+  }
 }
