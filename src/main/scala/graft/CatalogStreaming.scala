@@ -355,22 +355,15 @@ object CatalogStreaming {
           .select(col("vec_id").as("id"), col("embedding").as("v"))
         // deploy-then-bind lifecycle: the index rebuilds from the first
         // landed commit (a base needs a typed frame to exist), binds,
-        // and every later commit refreshes it in the commit call stack
+        // and every later commit refreshes it in the commit call stack.
+        // The ingest runs through the exactly-once sink (4 id-sliced
+        // transactions per micro-batch: REPEATED maintained commits,
+        // not one bulk load, each carrying its replay cursor)
         var bound = false
-        val commitBatch: (DataFrame, Long) => Unit = (batch, _) => {
-          val rows = batch.persist()
-          try {
-            // 4 id-sliced transactions per micro-batch: the ingest
-            // exercises REPEATED maintained commits, not one bulk load
-            (0 until 4).foreach { m =>
-              val part = rows.filter(pmod(col("id"), lit(4)) === m)
-              if (!part.isEmpty) {
-                gs.txn().createVertices("emb", part).commit()
-                if (!bound) { ann.rebuild(); ann.bind(); bound = true }
-              }
-            }
-          } finally { rows.unpersist(); () }
-        }
+        val commitBatch = graft.streaming.TransactionalIngest.vertexSink(
+          gs, "emb", sinkId = "q195-ann", slices = 4,
+          onCommit = (_, _, _) =>
+            if (!bound) { ann.rebuild(); ann.bind(); bound = true })
         val sq = src.writeStream.foreachBatch(commitBatch)
           .trigger(Trigger.AvailableNow()).start()
         sq.awaitTermination()
@@ -391,6 +384,70 @@ object CatalogStreaming {
              |  CAST(4 AS BIGINT) AS n_commits,
              |  true AS parity_ok, true AS recall_ok
              |FROM embeddings WHERE vec_id <> 0""".stripMargin)),
+
+    // Exactly-once streaming ingest under CRASH AND REPLAY, end to
+    // end: the q195 ingest shape run over a chunked source (4 range
+    // files, maxFilesPerTrigger=1 → 4 micro-batches of 4 slice-commits
+    // each), with an injected failure at (batch 1, slice 2) AFTER two
+    // of that batch's slices are already durable. The restarted query
+    // (same checkpoint — Spark replays batch 1 with identical
+    // contents) must skip the two applied slices via the commit-
+    // carried cursor, apply the rest, and finish with every source row
+    // committed exactly once: n_commits == 16 even though batch 1 was
+    // processed twice, every vertex at rev 1 (nothing committed
+    // twice), cursor at (3, 3). Spark's foreachBatch alone is
+    // at-least-once; this row is the proof the cursor upgrade makes
+    // the transactional ingest exactly-once — the reference's
+    // idempotent recovery replay (transactions.lisp recover path) at
+    // the streaming boundary.
+    QueryDef("q196_stream_ingest_replay",
+      (s, d) => {
+        import s.implicits._
+        def tmp(prefix: String) = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")), prefix).toString
+        val srcDir = tmp("graft-ingestsrc")
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+          .repartitionByRange(4, col("id"))
+          .write.mode("overwrite").parquet(srcDir)
+        val srcSchema = s.read.parquet(srcDir).schema
+        val schema = graft.model.GraphSchema.builder()
+          .vertex("emb", "id", Seq("v")).build()
+        val gs = new graft.model.GraphStore(s, schema, tmp("graft-ingeststore"))
+        var poisoned = false
+        val sink = graft.streaming.TransactionalIngest.vertexSink(
+          gs, "emb", sinkId = "q196", slices = 4,
+          beforeSlice = (b, m) => if (b == 1L && m == 2L && !poisoned) {
+            poisoned = true
+            throw new RuntimeException("injected crash after 2 durable slices")
+          })
+        val ckpt = tmp("graft-ingestckpt")
+        def run(): Boolean =
+          try {
+            val q = s.readStream.schema(srcSchema)
+              .option("maxFilesPerTrigger", 1).parquet(srcDir)
+              .writeStream.foreachBatch(sink)
+              .option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination(); true
+          } catch {
+            case _: org.apache.spark.sql.streaming.StreamingQueryException => false
+          }
+        val firstRunFailed = !run()
+        val resumedOk = run()
+        val live = gs.graph().vertices("emb")
+        val singleRev = gs.store.latestRevisions("v_emb")
+          .agg(max("rev")).head().getLong(0) == 1L
+        val atCursor = graft.streaming.TransactionalIngest
+          .cursor(gs.store, "q196").contains((3L, 3L))
+        Seq((live.count(), gs.store.currentEpoch,
+          firstRunFailed && poisoned && resumedOk, singleRev && atCursor))
+          .toDF("n_ingested", "n_commits", "replay_exercised", "exactly_once")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_ingested,
+             |  CAST(16 AS BIGINT) AS n_commits,
+             |  true AS replay_exercised, true AS exactly_once
+             |FROM embeddings""".stripMargin)),
 
     QueryDef("q126_stream_stream_join",
       (s, d) => {

@@ -273,6 +273,22 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       this
     }
 
+    /** Stage raw bookkeeping rows in the SAME atomic commit as the
+      * transaction's data (single epoch pointer — crash-atomic with
+      * the data frames). For engine-internal metadata tables only:
+      * the table name must be "_"-prefixed, which keeps it outside
+      * the schema surface, the stats report, and the default
+      * replication set. The caller owns the OCC rev contract
+      * ((id, rev, deleted) with rev = current+1), exactly as
+      * [[VersionedStore.commit]] documents.
+      */
+    private[graft] def stageRaw(table: String, rows: DataFrame): Txn = {
+      require(table.startsWith("_"),
+        s"raw staging is for '_'-prefixed bookkeeping tables, got: $table")
+      stage(table, rows)
+      this
+    }
+
     def commit(): Long = {
       val (epoch, frames) = store.commitWithFrames(writes)
       // every listener runs even if an earlier one fails — a broken

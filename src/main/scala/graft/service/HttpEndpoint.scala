@@ -275,10 +275,23 @@ final class HttpEndpoint(
             s""""rows": ${r.getAs[Number]("rows").longValue}, """ +
             s""""at_ms": ${r.getAs[java.sql.Timestamp]("committed_at").getTime}}"""
         }.mkString(""", "series": [""", ",", "]")
+    // exactly-once ingest cursors (TransactionalIngest): one row per
+    // sink — where each streaming ingest's replay protection stands.
+    // The cursor table is "_"-prefixed (excluded from the commit
+    // telemetry above), so ops visibility comes from here.
+    val ingest = {
+      val cur = gs.store.read(graft.streaming.TransactionalIngest.cursorTable)
+      if (cur.columns.isEmpty) ""
+      else cur.select("sink_id", "batch_id", "slice").collect()
+        .sortBy(_.getString(0)).map { r =>
+          s"""{"sink_id": "${r.getString(0)}", "batch_id": ${r.getLong(1)}, """ +
+            s""""slice": ${r.getLong(2)}}"""
+        }.mkString(""", "ingest": [""", ",", "]")
+    }
     reply(ex, 200,
       s"""{"epoch": $epoch, "window_from_epoch": $fromEpoch, """ +
         s""""tables": [${tables.mkString(",")}], """ +
-        s""""stores": [${(viewStats ++ indexStats).mkString(",")}]$series}""")
+        s""""stores": [${(viewStats ++ indexStats).mkString(",")}]$ingest$series}""")
   }
 
   private def parseParams(body: String): Map[String, String] = {

@@ -1,0 +1,184 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.{GraphStore, VersionedStore}
+
+/** Exactly-once Structured-Streaming ingest into the transactional
+  * store — the durability story for streams that WRITE the graph
+  * (`q195`'s ingest shape), hardened against micro-batch replay.
+  *
+  * Spark's `foreachBatch` contract is at-least-once: after a crash (or
+  * any failure inside the batch body) the restarted query re-runs the
+  * last un-checkpointed `batchId` with identical contents. A naive
+  * sink that commits each batch therefore re-commits on replay —
+  * create-ingests crash-loop on the store's OCC conflict
+  * (create-over-live rejects), and anything weaker double-applies.
+  *
+  * The fix is the idempotent-writer pattern (the same shape as Delta
+  * Lake's public `txnAppId`/`txnVersion` option pair): every slice
+  * commit atomically carries a CURSOR row `(sink_id, batch_id, slice)`
+  * in a reserved `_ingest_cursor` table — same `Txn`, same epoch
+  * pointer flip, so data and cursor are crash-atomic — and a replayed
+  * `(batchId, slice)` at or below the stored cursor is skipped without
+  * touching the data tables. Batches are optionally split into
+  * `slices` id-keyed sub-commits (`pmod(id, slices)`), so the ingest
+  * exercises repeated maintained commits and a crash mid-batch
+  * resumes at slice granularity: applied slices skip, unapplied
+  * slices run, nothing applies twice.
+  *
+  * Scope of the guarantee (same as the Delta pattern's): replay
+  * protection assumes the checkpoint lineage — Spark replays a
+  * `batchId` with identical contents only from the SAME checkpoint.
+  * Starting the same `sinkId` over with a fresh checkpoint re-numbers
+  * batches with different contents; use a fresh `sinkId` (or vacuum
+  * the cursor) for a logically new ingest.
+  *
+  * Reference anchor: the reference's durable commit path replays its
+  * transaction log idempotently on recovery (transactions.lisp's
+  * recover path); this is that contract surfaced at the streaming
+  * ingest boundary.
+  */
+object TransactionalIngest {
+
+  /** Reserved bookkeeping table: one live row per sink id. The "_"
+    * prefix keeps it outside the schema surface, the stats report,
+    * and the default replication set.
+    */
+  val cursorTable = "_ingest_cursor"
+
+  /** Stable 64-bit row id for a sink (cursor rows are keyed by it;
+    * `sink_id` is also stored verbatim, so a birthday collision at
+    * 2^-64 odds would surface as a visible mixed row, not silent
+    * corruption).
+    */
+  private def sinkKey(sinkId: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sinkId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d).getLong
+  }
+
+  /** Last applied (batchId, slice) for `sinkId`, or None before the
+    * sink's first commit. Public for ops introspection and for
+    * resetting decisions ("is this checkpoint ahead of the store?").
+    */
+  def cursor(store: VersionedStore, sinkId: String): Option[(Long, Long)] = {
+    val df = store.read(cursorTable)
+    if (df.columns.isEmpty) None
+    else df.filter(col("sink_id") === sinkId)
+      .select("batch_id", "slice").collect().headOption
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  private def currentRev(store: VersionedStore, key: Long): Long =
+    store.latestRevisions(cursorTable).filter(col("id") === key)
+      .select("rev").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+
+  /** A `foreachBatch` body that ingests vertex rows `(id, props…)`
+    * into `label` exactly once across crash/replay.
+    *
+    * Per micro-batch: rows are split into `slices` sub-commits by
+    * `pmod(id, slices)`; each sub-commit stages the vertices through
+    * the normal `Txn` path (schema checks, rev derivation, OCC, bound
+    * maintained indexes/views refresh in the same commit call stack)
+    * PLUS the cursor row, atomically. Slices at or below the stored
+    * cursor skip. Empty slices still advance the cursor (the skip set
+    * must stay a prefix of (batch, slice) order).
+    *
+    * `upsert = false` (append feed) creates rows — a live id is a
+    * data error and conflicts; `upsert = true` (CDC feed) stages full
+    * replacement revisions, so re-keyed rows across batches apply
+    * last-writer-wins in batch order and a deleted id resurrects.
+    * Replay protection is identical in both modes: skipped slices
+    * never reach the Txn at all.
+    *
+    * `onCommit(epoch, batchId, slice)` fires after each durable
+    * commit (deploy-then-bind lifecycles hook here); `beforeSlice` is
+    * a test seam for crash injection.
+    *
+    * The in-memory rev counter is seeded from the store on first use,
+    * so a restarted JVM (fresh closure, same store) resumes the
+    * cursor's revision chain; a genuinely concurrent writer on the
+    * same `sinkId` is a misconfiguration and surfaces as the store's
+    * OCC ConflictException, never a silent double-apply.
+    */
+  def vertexSink(gs: GraphStore, label: String, sinkId: String, slices: Int = 1,
+      upsert: Boolean = false,
+      onCommit: (Long, Long, Long) => Unit = (_, _, _) => (),
+      beforeSlice: (Long, Long) => Unit = (_, _) => ()): (DataFrame, Long) => Unit = {
+    gs.schema.requireVertex(label) // fail fast — an empty first batch
+    // must not silently advance a cursor for a label that can't ingest
+    cursorSink(gs, sinkId, slices, col("id"), onCommit, beforeSlice) {
+      (txn, part) =>
+        if (upsert) txn.updateVertices(label, part)
+        else txn.createVertices(label, part)
+    }
+  }
+
+  /** Edge-ingest twin of [[vertexSink]]: rows are `(src, dst,
+    * weight?, props…)`, sliced by `pmod(src, slices)` (ids are
+    * assigned by `Txn.createEdges`'s insertion hash — per-attempt
+    * values, which is fine: slice commits are atomic, so exactly one
+    * attempt's ids ever land). A training pipeline's graph
+    * construction (co-purchase edges, citation links, session
+    * transitions) streams through here with the same crash/replay
+    * exactly-once contract.
+    */
+  def edgeSink(gs: GraphStore, label: String, sinkId: String, slices: Int = 1,
+      onCommit: (Long, Long, Long) => Unit = (_, _, _) => (),
+      beforeSlice: (Long, Long) => Unit = (_, _) => ()): (DataFrame, Long) => Unit = {
+    gs.schema.requireEdge(label)
+    cursorSink(gs, sinkId, slices, col("src"), onCommit, beforeSlice) {
+      (txn, part) => txn.createEdges(label, part)
+    }
+  }
+
+  /** Shared cursor machinery: slice the batch by `pmod(sliceKey,
+    * slices)`, skip slices at or below the stored cursor, stage each
+    * live slice via `stagePart` plus the cursor row in one atomic
+    * commit.
+    */
+  private def cursorSink(gs: GraphStore, sinkId: String, slices: Int,
+      sliceKey: org.apache.spark.sql.Column,
+      onCommit: (Long, Long, Long) => Unit,
+      beforeSlice: (Long, Long) => Unit)(
+      stagePart: (GraphStore#Txn, DataFrame) => Unit): (DataFrame, Long) => Unit = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    val key = sinkKey(sinkId)
+    var rev = -1L // lazily seeded: the store may gain commits before the stream starts
+    var curIndexed = false
+    (batch: DataFrame, batchId: Long) => {
+      val spark = gs.spark
+      import spark.implicits._
+      if (rev < 0L) rev = currentRev(gs.store, key)
+      val applied = cursor(gs.store, sinkId)
+      def isApplied(m: Long): Boolean =
+        applied.exists { case (b, s) => b > batchId || (b == batchId && s >= m) }
+      val rows = batch.persist()
+      try {
+        (0L until slices.toLong).foreach { m =>
+          if (!isApplied(m)) {
+            beforeSlice(batchId, m)
+            val cur = Seq((key, rev + 1L, false, sinkId, batchId, m))
+              .toDF("id", "rev", "deleted", "sink_id", "batch_id", "slice")
+            val txn = gs.txn()
+            val part = rows.filter(pmod(sliceKey, lit(slices)) === m)
+            if (!part.isEmpty) stagePart(txn, part)
+            val epoch = txn.stageRaw(cursorTable, cur).commit()
+            rev += 1L
+            // opt the cursor table into the current-state index after
+            // this closure's first commit (compactCurrent no-ops for a
+            // not-yet-created table, so it can't run up front): the
+            // cursor's MVCC history grows one row per commit forever,
+            // and OCC validation per commit must stay O(current+delta),
+            // not O(ingest age). Idempotent across restarts — a
+            // re-compaction of the 1-row table is a cheap no-op.
+            if (!curIndexed) { gs.store.compactCurrent(cursorTable); curIndexed = true }
+            onCommit(epoch, batchId, m)
+          }
+        }
+      } finally { rows.unpersist(); () }
+    }
+  }
+}

@@ -882,6 +882,14 @@ class ServiceSpec extends SparkSpec {
       assert(pts.map(_._1) == Seq(8L, 9L) && pts.forall(_._2 == 1L),
         s"series must carry exactly the windowed epochs in order: $ser")
       assert(!poll().contains("\"series\""), "series is opt-in")
+      // exactly-once ingest cursors: absent until a sink commits, then
+      // one (sink_id, batch_id, slice) row per sink
+      assert(!poll().contains("\"ingest\""), "no sinks → no ingest section")
+      val sink = graft.streaming.TransactionalIngest.vertexSink(gs, "acct", "restsink")
+      sink(Seq((900L, "s9", 9.0)).toDF("id", "seg", "bal"), 7L)
+      assert(poll().contains(
+        """"ingest": [{"sink_id": "restsink", "batch_id": 7, "slice": 0}]"""),
+        s"ingest cursor missing: ${poll()}")
     } finally ep.stop()
   }
 
