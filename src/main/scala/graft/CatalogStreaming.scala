@@ -449,6 +449,106 @@ object CatalogStreaming {
              |  true AS replay_exercised, true AS exactly_once
              |FROM embeddings""".stripMargin)),
 
+    // Streamed GRAPH CONSTRUCTION feeding whole-graph analytics: the
+    // q196 crash/replay discipline applied to the EDGE write path. A
+    // deterministic ring+chord edge list (q175's graph, derivable by
+    // the oracle) streams through the exactly-once edge sink (2
+    // micro-batches × 4 src-sliced commits, injected crash at
+    // (batch 1, slice 1) with batch 0 + one slice durable, restart on
+    // the same checkpoint), then degree histogram + Newman
+    // assortativity run over the STREAMED edge frame. The analytics
+    // must equal the oracle's batch computation over the same edge
+    // list — streamed-graph ≡ batch-table, which only holds if no
+    // edge landed twice (degreeSummary's distinct would hide text
+    // duplicates, so exactly_once pins the LIVE edge-row count and
+    // the cursor position explicitly). The training-pipeline shape:
+    // co-purchase / citation / transition edges arrive as a stream,
+    // graph analytics read the maintained store.
+    QueryDef("q197_stream_edge_ingest",
+      (s, d) => {
+        import s.implicits._
+        def tmp(prefix: String) = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")), prefix).toString
+        val custIds = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey").as("id"))
+        val n = custIds.count()
+        val ring = custIds.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        val c3 = custIds.filter(col("id") % 3 === 0)
+          .select(col("id").as("src"), ((col("id") + 2) % n).as("dst"))
+        val c21 = custIds.filter(col("id") % 21 === 0)
+          .select(col("id").as("src"), ((col("id") + 3) % n).as("dst"))
+        val edgeRows = ring.unionAll(c3).unionAll(c21)
+        val expected = edgeRows.count() // directed pairs are distinct by construction
+        val srcDir = tmp("graft-edgesrc")
+        edgeRows.repartitionByRange(2, col("src"))
+          .write.mode("overwrite").parquet(srcDir)
+        val srcSchema = s.read.parquet(srcDir).schema
+        val schema = graft.model.GraphSchema.builder()
+          .vertex("cust", "id", Seq.empty)
+          .edge("knows", "cust", "cust", Seq.empty).build()
+        val gs = new graft.model.GraphStore(s, schema, tmp("graft-edgestore"))
+        gs.txn().createVertices("cust", custIds).commit()
+        var poisoned = false
+        val sink = graft.streaming.TransactionalIngest.edgeSink(
+          gs, "knows", sinkId = "q197", slices = 4,
+          beforeSlice = (b, m) => if (b == 1L && m == 1L && !poisoned) {
+            poisoned = true
+            throw new RuntimeException("injected crash after a durable slice")
+          })
+        val ckpt = tmp("graft-edgeckpt")
+        def run(): Boolean =
+          try {
+            val q = s.readStream.schema(srcSchema)
+              .option("maxFilesPerTrigger", 1).parquet(srcDir)
+              .writeStream.foreachBatch(sink)
+              .option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination(); true
+          } catch {
+            case _: org.apache.spark.sql.streaming.StreamingQueryException => false
+          }
+        val firstRunFailed = !run()
+        val resumedOk = run()
+        val streamed = gs.graph().edgeFrame("knows").select("src", "dst")
+        val exactlyOnce = streamed.count() == expected &&
+          graft.streaming.TransactionalIngest
+            .cursor(gs.store, "q197").contains((1L, 3L))
+        graft.operators.GraphAnalytics.degreeSummary(streamed)
+          .withColumn("replay_exercised",
+            lit(firstRunFailed && poisoned && resumedOk))
+          .withColumn("exactly_once", lit(exactlyOnce))
+          .orderBy("degree")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM customer),
+             |e AS (
+             |  SELECT c_custkey AS src, (c_custkey+1) % n.n AS dst FROM customer, n
+             |  UNION ALL
+             |  SELECT c_custkey, (c_custkey+2) % n.n FROM customer, n WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, (c_custkey+3) % n.n FROM customer, n WHERE c_custkey % 21 = 0),
+             |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM e WHERE src <> dst),
+             |deg AS (SELECT id, count(*) AS degree FROM (
+             |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+             |hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+             |wd AS (SELECT und.a, und.b, dx.degree AS da, dy.degree AS db
+             |  FROM und JOIN deg dx ON dx.id = und.a JOIN deg dy ON dy.id = und.b),
+             |p AS (SELECT da AS x, db AS y FROM wd UNION ALL SELECT db, da FROM wd),
+             |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+             |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+             |  FROM p),
+             |co AS (SELECT n // 2 AS n_edges,
+             |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+             |  FROM st)
+             |SELECT hist.degree, hist.n_nodes, co.n_edges,
+             |  CASE WHEN co.dx = 0 OR co.dy = 0 THEN 0.0
+             |    ELSE round(CAST(co.num AS DOUBLE)
+             |      / (sqrt(CAST(co.dx AS DOUBLE)) * sqrt(CAST(co.dy AS DOUBLE))), 6)
+             |  END AS assortativity,
+             |  true AS replay_exercised, true AS exactly_once
+             |FROM hist, co ORDER BY degree""".stripMargin)),
+
     QueryDef("q126_stream_stream_join",
       (s, d) => {
         val views = streamEvents(s, d)

@@ -39,6 +39,13 @@ final class HttpEndpoint(
 
   private var server: HttpServer = _
 
+  /** Read-op telemetry (stats.lisp:99-105 record-graph-read): one
+    * tick per served query request. Package-visible so specs can pin
+    * ring behavior against an injected clock via [[ReadStats]]
+    * directly; the endpoint always uses wall-clock seconds.
+    */
+  private val readStats = new ReadStats()
+
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", handle _)
@@ -71,11 +78,13 @@ final class HttpEndpoint(
 
     path match {
       case p if p.startsWith("/query/") =>
+        readStats.record() // read op = a served query request (stats.lisp:99)
         val name = p.stripPrefix("/query/")
         val params = parseParams(body)
         val df = service.runRegistered(name, params)
         respondRows(ex, df, stream)
       case "/pattern" =>
+        readStats.record()
         val df = service.runAdHoc(body)
         respondRows(ex, df, stream)
       case p if p.startsWith("/mutate/") =>
@@ -167,10 +176,12 @@ final class HttpEndpoint(
     *   - `POST /admin/compact`    `{"label": "customer"}` current-index
     */
   private def admin(ex: HttpExchange, op: String, body: String): Unit = {
-    // stats is READ-ONLY telemetry (the reference's graph-stats /
-    // chart dashboard, stats.lisp:51) — monitoring must not require
-    // the write effect; it stays behind the auth token like all routes
+    // stats/chart are READ-ONLY telemetry (the reference's graph-stats
+    // report + chart dashboard, stats.lisp:51 / chart.lisp) —
+    // monitoring must not require the write effect; they stay behind
+    // the auth token like all routes
     if (op == "stats") { stats(ex, body); return }
+    if (op == "chart") { chart(ex, body); return }
     if (!allowWrites) {
       reply(ex, 403, err("write effect not allowed on this endpoint")); return
     }
@@ -217,9 +228,13 @@ final class HttpEndpoint(
     * rate derived from the commit log itself (VersionedStore
     * .writeReport — the log IS the statistic, nothing in-memory to
     * lose on restart), and base/delta footprints of every attached
-    * view and maintained-index store (GenDirs.layoutStats). Read-side
-    * rates are deliberately not mirrored: reads are Spark jobs, whose
-    * metrics the Spark UI / listener bus already serves per scan.
+    * view and maintained-index store (GenDirs.layoutStats), plus the
+    * trailing-minute op rates the reference's report leads with:
+    * `avg_writes_per_sec` (commits in the last 60s, from the log's
+    * own timestamps) and `avg_reads_per_sec` (served query requests,
+    * [[ReadStats]] — the request grain is where "a read happened" is
+    * meaningful on a lazy-frame engine; per-scan metrics remain the
+    * Spark UI / listener bus's job).
     *
     * Commit telemetry is WINDOWED (`{"window": N}` epochs back from
     * current, default 256; 0 = unbounded): the report is one row per
@@ -288,10 +303,57 @@ final class HttpEndpoint(
             s""""slice": ${r.getLong(2)}}"""
         }.mkString(""", "ingest": [""", ",", "]")
     }
+    // trailing-minute rates (stats.lisp:51's avg-writes/reads-per-
+    // second): both use the inclusive 61-sample window the reference
+    // loops over; writes come from the log's own commit timestamps
+    val nowMs = System.currentTimeMillis()
+    val recentCommits = rows.map(_.getAs[java.sql.Timestamp]("committed_at")
+      .getTime).count(_ >= nowMs - 60000L)
     reply(ex, 200,
       s"""{"epoch": $epoch, "window_from_epoch": $fromEpoch, """ +
+        f""""avg_writes_per_sec": ${recentCommits / 61.0}%.4f, """ +
+        f""""avg_reads_per_sec": ${readStats.lastAvg(60)}%.4f, """ +
         s""""tables": [${tables.mkString(",")}], """ +
         s""""stores": [${(viewStats ++ indexStats).mkString(",")}]$ingest$series}""")
+  }
+
+  /** `POST /admin/chart` — the chart.lisp dashboard: a self-contained
+    * SVG line chart of per-second "Writes" (rows committed, from the
+    * commit log's timestamps) and "Reads" (served query requests)
+    * over the trailing `span` seconds (default 300, max 600; `width`/
+    * `height` default to the reference chart's 1600×900). SVG instead
+    * of the reference's raster PNG: no imaging deps, and the REST
+    * tier serves it straight to a browser.
+    */
+  private def chart(ex: HttpExchange, body: String): Unit = {
+    val gs = store.getOrElse {
+      reply(ex, 404, err("no store attached")); return }
+    val root = parseBody(body, blankOk = true)
+    def intField(k: String, dflt: Int): Int =
+      Option(root.get(k)).filterNot(_.isNull).map(_.asInt(dflt)).getOrElse(dflt)
+    val span = intField("span", 300)
+    if (span < 1 || span > 600)
+      throw new QueryService.BadRequestException("'span' must be 1..600 seconds")
+    val now = System.currentTimeMillis() / 1000L
+    val from = now - span + 1L
+    // rows committed per second: the windowed write report bucketed by
+    // its own timestamps — only buckets inside the span can render, so
+    // the epoch window just needs to cover the span's commits
+    val buckets = gs.store.writeReport(
+        math.max(0L, gs.store.currentEpoch - 4096L)).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("committed_at").getTime / 1000L,
+        r.getAs[Number]("rows").longValue))
+      .filter(_._1 >= from).groupBy(_._1)
+      .map { case (s, vs) => (s, vs.map(_._2).sum) }
+    val writes = (from to now).map(s => (s, buckets.getOrElse(s, 0L)))
+    val svg = ChartSvg.render(Seq(
+      ("Writes", writes), ("Reads", readStats.series(span))),
+      intField("width", 1600), intField("height", 900))
+    val bytes = svg.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "image/svg+xml")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
   }
 
   private def parseParams(body: String): Map[String, String] = {

@@ -56,6 +56,9 @@ class PlanQualitySpec extends SparkSpec {
       "q87_bm25_search", "q105_tfidf_keywords", "q107_bigram_lm",
       "q130_pmi_collocations", "q135_hybrid_rrf", "q138_token_drift",
       "q155_systematic_sample", "q161_mmr", "q175_degree_summary",
+      // q197 runs q175's degreeSummary over the streamed edge frame —
+      // the identical 1-row stats broadcast
+      "q197_stream_edge_ingest",
       "q178_class_weights", "q179_hot_keys",
       // q183 assembles THREE 1-row audit counts into one row — the
       // same deliberate scalar-broadcast shape

@@ -890,6 +890,41 @@ class ServiceSpec extends SparkSpec {
       assert(poll().contains(
         """"ingest": [{"sink_id": "restsink", "batch_id": 7, "slice": 0}]"""),
         s"ingest cursor missing: ${poll()}")
+      // trailing-minute op rates (stats.lisp:51's avg-writes/reads-
+      // per-second): every commit above is fresher than 60s, so the
+      // write rate is exactly commits/61; reads tick once per served
+      // query request (ring mechanics pinned in ReadStatsSpec)
+      val rates = poll()
+      def rateOf(b: String, k: String) =
+        (s""""$k": ([0-9.]+)""").r.findFirstMatchIn(b).get.group(1).toDouble
+      assert(rateOf(rates, "avg_writes_per_sec") > 0.0,
+        s"fresh commits must show a write rate: $rates")
+      val reads0 = rateOf(rates, "avg_reads_per_sec")
+      val pat = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/pattern"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"match":[{"vertex":"a","type":"customer"}],"select":["a"],"limit":1}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(pat.statusCode() == 200, pat.body())
+      assert(rateOf(poll(), "avg_reads_per_sec") > reads0,
+        "a served query request must tick the read rate")
+      // the chart.lisp dashboard: /admin/chart is read-only SVG with
+      // both per-second series and the reference's axis labels
+      def chart(body: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/admin/chart"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val cr = chart("""{"span": 120, "width": 800, "height": 450}""")
+      assert(cr.statusCode() == 200)
+      assert(cr.headers().firstValue("Content-Type").orElse("") == "image/svg+xml")
+      val svg = cr.body()
+      assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+      assert("<polyline".r.findAllMatchIn(svg).size == 2,
+        s"chart must carry the Writes and Reads polylines: ${svg.take(400)}")
+      assert(svg.contains(">Writes</text>") && svg.contains(">Reads</text>") &&
+        svg.contains(">Count</text>"))
+      assert(chart("""{"span": 0}""").statusCode() == 400)
+      assert(chart("""{"span": 601}""").statusCode() == 400)
     } finally ep.stop()
   }
 
