@@ -549,6 +549,43 @@ object CatalogStreaming {
              |  true AS replay_exercised, true AS exactly_once
              |FROM hist, co ORDER BY degree""".stripMargin)),
 
+    // Streaming deterministic uniform sample: bottom-64 by md5 rank
+    // over the document stream, maintained as one bottom-k list per
+    // hash shard (8 × 64 rows of state FOREVER, corpus-size-free) and
+    // finalized as "union the per-shard finals, take the 64 smallest"
+    // — the two-level TopK a batch engine distributes, kept
+    // incrementally. Hash-rank bottom-k IS a uniform sample and is a
+    // pure function of the id SET, so stream/batch parity is exact
+    // however the stream micro-batches (a seeded reservoir depends on
+    // arrival order and could never hash-match a batch oracle). The
+    // oracle replays the definition: rank every doc, keep the 64
+    // smallest.
+    QueryDef("q198_stream_sample",
+      (s, d) => {
+        import s.implicits._
+        val k = 64
+        val ranked = streamDocuments(s, d)
+          .select(col("doc_id").as("id"),
+            md5(col("doc_id").cast("string")).as("rank"))
+          .withColumn("shard",
+            (conv(substring(col("rank"), 1, 8), 16, 10).cast("long") % 8).cast("int"))
+          .as[graft.streaming.Streams.BkRow]
+        val out = graft.streaming.Streams.bottomKSampleStream(ranked, k).toDF
+        val t = runToMemory(s, out, "append")
+        // a shard's final bottom-k is its max-ver emission (window, not
+        // a self-join: the frame is tiny but the idiom stays one pass)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+        t.withColumn("maxver", max("ver").over(w))
+          .filter(col("ver") === col("maxver"))
+          .orderBy("rank").limit(k)
+          .select(col("id").as("doc_id"), col("rank"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, rank FROM (
+             |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank
+             |  FROM documents ORDER BY rank LIMIT 64)
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q126_stream_stream_join",
       (s, d) => {
         val views = streamEvents(s, d)

@@ -274,4 +274,50 @@ object Streams {
           out.iterator
       }
   }
+
+  final case class BkRow(shard: Int, id: Long, rank: String)
+  final case class BkState(ver: Long, keep: List[(String, Long)]) // (rank, id) ascending
+  final case class BkOut(shard: Int, ver: Long, rank: String, id: Long)
+
+  /** Streaming deterministic uniform sample — bottom-k by md5 rank,
+    * the hash-rank discipline the batch mixing tier already runs on
+    * (Sampling.quotaCap's md5 order): the k rows with the smallest
+    * `md5(id)` ARE a uniform k-sample, and unlike a classic random
+    * reservoir the result is a pure function of the SET of ids seen —
+    * identical however the stream micro-batches, so stream/batch
+    * parity is exact by construction (a seeded reservoir can't make
+    * that promise: its pick depends on arrival order).
+    *
+    * Scale shape: the caller shards rows by a hash of the id, state is
+    * one bottom-k list PER SHARD (`shards × k` rows total, forever,
+    * regardless of corpus size), and the global sample reads as
+    * "union the per-shard finals, take the k smallest" — the same
+    * two-level bottom-k a 1000-executor batch TopK runs, kept
+    * incrementally. A shard emits its full current bottom-k tagged
+    * with a bumped `ver` ONLY when a batch actually changed it, so
+    * the final answer per shard is its max-`ver` emission and idle
+    * shards cost nothing per trigger.
+    */
+  def bottomKSampleStream(rows: Dataset[BkRow], k: Int): Dataset[BkOut] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.shard)
+      .flatMapGroupsWithState[BkState, BkOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[BkRow], state: GroupState[BkState]) =>
+          val prev = state.getOption.getOrElse(BkState(0L, Nil))
+          // ranks are unique for unique ids (md5 of distinct strings);
+          // the (rank, id) tuple order still makes replayed duplicates
+          // harmless — merging an already-kept row is a no-op
+          val merged = (prev.keep ++ it.map(r => (r.rank, r.id)))
+            .distinct.sorted.take(k)
+          if (merged == prev.keep) Iterator.empty
+          else {
+            val next = BkState(prev.ver + 1L, merged)
+            state.update(next)
+            merged.iterator.map { case (rank, id) =>
+              BkOut(shard, next.ver, rank, id) }
+          }
+      }
+  }
 }

@@ -421,4 +421,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 350000L), (3L, 1L, 500000L)), got.mkString(","))
     q.stop()
   }
+
+  test("streaming bottom-k sample: per-shard finals equal the batch " +
+      "bottom-k however the stream splits; unchanged shards stay silent") {
+    import graft.streaming.Streams.{BkOut, BkRow}
+    implicit val sqlCtx = spark.sqlContext
+    def row(id: Long) = {
+      val rank = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      BkRow((java.lang.Long.parseLong(rank.take(8), 16) % 4).toInt, id, rank)
+    }
+    val ids = (0L until 200L).map(row)
+    val input = MemoryStream[BkRow]
+    val q = Streams.bottomKSampleStream(input.toDS(), k = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bk_sample").start()
+    input.addData(ids.take(120)); q.processAllAvailable()
+    input.addData(ids.drop(120)); q.processAllAvailable()
+    def finals(): Map[Int, Seq[(String, Long)]] = {
+      val all = spark.sql("select shard, ver, rank, id from bk_sample")
+        .as[BkOut].collect()
+      all.groupBy(_.shard).map { case (s, es) =>
+        val top = es.map(_.ver).max
+        s -> es.filter(_.ver == top).map(e => (e.rank, e.id)).sorted.toSeq
+      }
+    }
+    val f1 = finals()
+    // per-shard final == batch bottom-5 of that shard, arrival-order-free
+    ids.groupBy(_.shard).foreach { case (s, rows) =>
+      val want = rows.map(r => (r.rank, r.id)).sorted.take(5)
+      assert(f1(s) == want, s"shard $s drifted: ${f1(s)} vs $want")
+    }
+    // global sample = union of finals, 5 smallest == batch global bottom-5
+    val global = f1.values.flatten.toSeq.sorted.take(5)
+    assert(global == ids.map(r => (r.rank, r.id)).sorted.take(5))
+    // a batch of strictly-larger ranks must not re-emit anything:
+    // "g" sorts after every hex digit, so these never displace a kept row
+    val emittedBefore = spark.sql("select count(*) from bk_sample").head().getLong(0)
+    input.addData((0 until 4).map(s => BkRow(s, 10000L + s, "g" * 32)))
+    q.processAllAvailable()
+    val emittedAfter = spark.sql("select count(*) from bk_sample").head().getLong(0)
+    q.stop()
+    assert(emittedAfter == emittedBefore,
+      "an unchanged shard must emit nothing (idle shards are free)")
+    assert(finals() == f1, "state must be untouched by ranks above the kept k")
+  }
 }
