@@ -88,9 +88,21 @@ object CatalogStreaming {
     */
   private def streamTable(spark: SparkSession, sfDir: String,
       file: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/$file").schema
-    spark.readStream.schema(schema).option("pathGlobFilter", file)
-      .parquet(sfDir)
+    // a directory-shaped table (the normal production layout —
+    // part-*.parquet inside <table>.parquet/) must stream as its OWN
+    // path: pathGlobFilter matches LEAF file names, so the old
+    // parent-dir + name-glob read streamed ZERO rows from it silently
+    // (caught by the q198 ×8 scale probe reading 0 rows from
+    // ScaleCheck's directory-shaped scaled tables). Direct pathing
+    // also keeps per-trigger listing O(table), not O(dataset dir).
+    // A single-FILE table (this repo's testdata layout) cannot be a
+    // stream source path ("Option 'basePath' must be a directory"),
+    // so only that shape keeps the dir + glob read.
+    val path = s"$sfDir/$file"
+    val schema = spark.read.parquet(path).schema
+    val rs = spark.readStream.schema(schema)
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) rs.parquet(path)
+    else rs.option("pathGlobFilter", file).parquet(sfDir)
   }
 
   private def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {

@@ -82,7 +82,8 @@ object ScaleCheck {
     "q190_ivfpq_filtered",      // filtered composed probe: cells pruned, predicate pushed ×N
     "q191_audio_curate",        // curation + audio keep-list: fingerprint-grain agg ×N
     "q192_curate_mix",          // curate → quota → epoch-mix: gate/dedup/rank/explode ×N
-    "q193_mix_pack")            // mixed stream → packed sequences: bucketed prefix sum ×N
+    "q193_mix_pack",            // mixed stream → packed sequences: bucketed prefix sum ×N
+    "q198_stream_sample")       // streaming bottom-k sample: scan ×N, state fixed at shards×k
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)

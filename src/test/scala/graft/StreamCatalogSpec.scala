@@ -95,4 +95,24 @@ class StreamCatalogSpec extends SparkSpec {
         "(incremental == recomputed, the reference's maintenance contract)")
     assert(row.getBoolean(3), "sampled recall audit vs exact top-10 must clear 6/10")
   }
+
+  test("streaming rows read DIRECTORY-shaped tables (the production " +
+      "parquet layout), not just single-file testdata") {
+    // regression: streamTable's old parent-dir + name-glob read matched
+    // leaf FILE names only, so a <table>.parquet/ DIRECTORY of
+    // part-*.parquet files streamed zero rows SILENTLY (first caught by
+    // the q198 ×8 probe over ScaleCheck's directory-shaped scaled
+    // tables). Rewrite the documents table as a 3-file directory and
+    // the catalog row must produce the identical sample.
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "dirshape").toString
+    spark.read.parquet(s"$sf/documents.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fromDir = run("q198_stream_sample").collect().toSeq
+    val fromDirShaped = SparkEntry.queries("q198_stream_sample")(spark, dir)
+      .collect().toSeq
+    assert(fromDirShaped.nonEmpty, "directory-shaped table streamed no rows")
+    assert(fromDirShaped == fromDir,
+      "the sample must not depend on the table's file layout")
+  }
 }
