@@ -67,6 +67,100 @@ object Backup {
     * the reference, where archived txns are gone from the replayable
     * stream (transactions.lisp:408-599).
     */
+  /** Incremental backup — the 100 TB operating mode the reference's
+    * whole-graph serialize (backup.lisp:39-53) cannot reach: each call
+    * dumps only the commit-log slice `(lastBackedUp, currentEpoch]`
+    * into `root/inc_<from>_<to>/` (version rows verbatim, commit_epoch
+    * preserved, tombstones included), so backup cost is proportional
+    * to WRITES SINCE LAST BACKUP, never to store size. The chain
+    * replays through the same apply path replication slaves use, so a
+    * restored store converges to identical `read`/`history`/`asOf`
+    * surfaces — and a PREFIX of the chain is a point-in-time restore.
+    *
+    * Each increment's manifest is written LAST (the full dump's
+    * commit-record discipline): a crashed half-written increment is
+    * invisible to both the next `incremental` call and `restoreChain`.
+    * Returns the new high-water epoch (== `from` when nothing new
+    * committed — the call is then a no-op and writes nothing).
+    */
+  def incremental(store: VersionedStore, tables: Seq[String], root: String): Long = {
+    val from = chainTo(root) // 0 on the first call
+    val to = store.currentEpoch
+    if (to <= from) return from
+    val dir = Paths.get(root, s"inc_${from}_$to")
+    val dumped = tables.sorted.flatMap { t =>
+      val slice = store.changesSince(t, from, to)
+      if (slice.columns.isEmpty || slice.isEmpty) None
+      else {
+        slice.write.mode("overwrite").parquet(dir.resolve(t).toString)
+        Some(t)
+      }
+    }
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("_manifest.json"),
+      s"""{"from": $from, "to": $to, "tables": [${
+        dumped.map("\"" + _ + "\"").mkString(",")}]}""")
+    to
+  }
+
+  /** The chain's committed high-water epoch: max `to` across manifested
+    * increments (manifest-less dirs are crashed dumps and don't count).
+    */
+  def chainTo(root: String): Long =
+    chainIncrements(root).lastOption.map(_._2).getOrElse(0L)
+
+  /** Manifested increments as (from, to, dir), ordered by `from`. */
+  private def chainIncrements(root: String): Seq[(Long, Long, java.nio.file.Path)] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) return Seq.empty
+    val inc = "inc_(\\d+)_(\\d+)".r
+    val stream = Files.list(r)
+    try {
+      val out = Seq.newBuilder[(Long, Long, java.nio.file.Path)]
+      stream.iterator().forEachRemaining { p =>
+        p.getFileName.toString match {
+          case inc(f, t) if Files.exists(p.resolve("_manifest.json")) =>
+            out += ((f.toLong, t.toLong, p))
+          case _ => ()
+        }
+      }
+      out.result().sortBy(_._1)
+    } finally stream.close()
+  }
+
+  /** Restore a store from an increment chain — optionally only up to
+    * epoch `upTo` (point-in-time restore; rows above it in the
+    * containing increment are filtered out before apply). Refuses a
+    * gapped chain loudly: applying `inc_7_9` to a store at epoch 5
+    * would install rows whose base revisions are missing, the exact
+    * partial-restore corruption the full dump's manifest guard exists
+    * to prevent.
+    */
+  def restoreChain(spark: SparkSession, root: String, targetDir: String,
+      upTo: Long = Long.MaxValue): VersionedStore = {
+    val target = new VersionedStore(spark, targetDir)
+    val incs = chainIncrements(root)
+    require(incs.nonEmpty, s"no complete increments under $root")
+    incs.foreach { case (from, to, dir) =>
+      if (from < upTo) {
+        require(from == target.currentEpoch,
+          s"increment chain gap: $dir starts at epoch ${from + 1} but the " +
+            s"restore stands at ${target.currentEpoch} — missing increment")
+        val bound = math.min(to, upTo)
+        val manifest = Files.readString(dir.resolve("_manifest.json"))
+        val tables = "\"([^\"]+)\"".r.findAllMatchIn(
+          manifest.substring(manifest.indexOf("["))).map(_.group(1)).toSeq
+        val writes = tables.flatMap { t =>
+          val rows = spark.read.parquet(dir.resolve(t).toString)
+            .filter(col("commit_epoch") <= bound)
+          if (rows.isEmpty) None else Some(t -> rows)
+        }.toMap
+        target.applyReplicated(bound, writes)
+      }
+    }
+    target
+  }
+
   def replay(spark: SparkSession, source: VersionedStore, sourceTables: Seq[String],
       targetDir: String, subsetFilter: Option[org.apache.spark.sql.Column] = None): VersionedStore = {
     val target = new VersionedStore(spark, targetDir)

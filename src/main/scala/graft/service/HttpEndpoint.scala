@@ -208,6 +208,19 @@ final class HttpEndpoint(
         if (keep < 1) throw new QueryService.BadRequestException("'keep' must be >= 1")
         gs.store.vacuum(gs.tableFor(label), keep)
         reply(ex, 200, s"""{"vacuumed": "$label", "keep": $keep}""")
+      case "backup" =>
+        // incremental backup (Backup.incremental): dump the commit-log
+        // slice since the chain's high-water epoch into {"root": dir} —
+        // repeated calls are the reference's cron'd backup verb, cost
+        // proportional to writes since the last call
+        val gs = store.getOrElse { reply(ex, 404, err("no store attached")); return }
+        val backupRoot = field("root").getOrElse(
+          throw new QueryService.BadRequestException("'root' required"))
+        val tables = (gs.schema.vertexTypes.keys ++ gs.schema.edgeTypes.keys)
+          .map(gs.tableFor).toSeq.sorted
+        val from = graft.model.Backup.chainTo(backupRoot)
+        val to = graft.model.Backup.incremental(gs.store, tables, backupRoot)
+        reply(ex, 200, s"""{"root": "$backupRoot", "from": $from, "to": $to}""")
       case "compact" =>
         val gs = store.getOrElse { reply(ex, 404, err("no store attached")); return }
         val label = field("label").getOrElse(

@@ -757,6 +757,21 @@ class ServiceSpec extends SparkSpec {
       assert(sync.statusCode() == 200)
       assert(slave.currentEpoch == gs.store.currentEpoch)
       assert(slave.read("v_acct").count() == 2)
+      // incremental backup: first call dumps everything so far, the
+      // repeat is a no-op (from == to), and the chain restores to an
+      // identical live read
+      val broot = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "http-backup").toString
+      val b1 = post(port, "/admin/backup", s"""{"root":"$broot"}""")
+      assert(b1.statusCode() == 200 && b1.body().contains("\"from\": 0"), b1.body())
+      val b2 = post(port, "/admin/backup", s"""{"root":"$broot"}""")
+      assert(b2.body().contains(s""""from": ${gs.store.currentEpoch}, "to": ${gs.store.currentEpoch}"""),
+        s"repeat backup must be a no-op: ${b2.body()}")
+      val restored = graft.model.Backup.restoreChain(spark, broot,
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("target"), "http-restore").toString)
+      assert(restored.read("v_acct").count() == 2)
+      assert(post(port, "/admin/backup", "{}").statusCode() == 400)
       // vacuum + compact succeed on a live table
       assert(post(port, "/admin/vacuum", """{"label":"acct","keep":1}""").statusCode() == 200)
       assert(post(port, "/admin/vacuum", """{"label":"acct","keep":0}""").statusCode() == 400)
@@ -793,6 +808,7 @@ class ServiceSpec extends SparkSpec {
       assert(post(barePort, "/admin/regenerate").statusCode() == 404)
       assert(post(barePort, "/admin/sync").statusCode() == 404)
       assert(post(barePort, "/admin/vacuum", """{"label":"acct"}""").statusCode() == 404)
+      assert(post(barePort, "/admin/backup", """{"root":"target"}""").statusCode() == 404)
       assert(post(port, "/admin/frobnicate").statusCode() == 404)
     } finally { ep.stop(); bare.stop(); readOnly.stop() }
   }
