@@ -75,6 +75,29 @@ object TransactionalIngest {
     store.latestRevisions(cursorTable).filter(col("id") === key)
       .select("rev").collect().headOption.map(_.getLong(0)).getOrElse(0L)
 
+  /** Retire a sink's cursor (tombstone revision, normal commit) — the
+    * explicit "this is a logically NEW ingest" verb: restarting a
+    * `sinkId` over a FRESH checkpoint re-numbers batches with
+    * different contents, so its old cursor must not suppress them.
+    * After reset the next sink closure starts from batch (none) while
+    * the cursor's revision chain stays intact (MVCC history keeps the
+    * old ingest's audit trail). Returns false when the sink has no
+    * live cursor — resetting twice, or a never-used id, is a no-op.
+    */
+  def reset(gs: GraphStore, sinkId: String): Boolean = {
+    val key = sinkKey(sinkId)
+    cursor(gs.store, sinkId) match {
+      case None => false
+      case Some((b, m)) =>
+        val spark = gs.spark
+        import spark.implicits._
+        val tomb = Seq((key, currentRev(gs.store, key) + 1L, true, sinkId, b, m))
+          .toDF("id", "rev", "deleted", "sink_id", "batch_id", "slice")
+        gs.txn().stageRaw(cursorTable, tomb).commit()
+        true
+    }
+  }
+
   /** A `foreachBatch` body that ingests vertex rows `(id, props…)`
     * into `label` exactly once across crash/replay.
     *

@@ -117,6 +117,27 @@ class TransactionalIngestSpec extends SparkSpec {
       "the update is ONE revision — replays add none")
   }
 
+  test("reset retires the cursor: a fresh-checkpoint re-ingest under the " +
+      "same sinkId applies instead of being replay-suppressed") {
+    val gs = newStore()
+    val sink = TransactionalIngest.vertexSink(gs, "doc", "re", slices = 2, upsert = true)
+    sink((0L until 8L).map(i => (i, i)).toDF("id", "score"), 0L)
+    assert(TransactionalIngest.cursor(gs.store, "re").contains((0L, 1L)))
+    // without reset, a fresh checkpoint restarting at batch 0 would be
+    // silently skipped (cursor at or past it) — the doc'd hazard
+    sink((100L until 104L).map(i => (i, i)).toDF("id", "score"), 0L)
+    assert(gs.graph().vertices("doc").count() == 8L, "stale cursor must suppress")
+    assert(TransactionalIngest.reset(gs, "re"))
+    assert(TransactionalIngest.cursor(gs.store, "re").isEmpty)
+    assert(!TransactionalIngest.reset(gs, "re"), "double reset is a no-op")
+    // a NEW closure over the reset cursor applies batch 0 again
+    val sink2 = TransactionalIngest.vertexSink(gs, "doc", "re", slices = 2, upsert = true)
+    sink2((100L until 104L).map(i => (i, i)).toDF("id", "score"), 0L)
+    assert(gs.graph().vertices("doc").count() == 12L)
+    assert(TransactionalIngest.cursor(gs.store, "re").contains((0L, 1L)),
+      "the revived cursor tracks the new ingest")
+  }
+
   test("edge ingest: crash/replay exactly-once for graph construction") {
     val schema = GraphSchema.builder()
       .vertex("doc", "id", Seq("score"))
