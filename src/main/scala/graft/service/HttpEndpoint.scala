@@ -46,15 +46,48 @@ final class HttpEndpoint(
     */
   private val readStats = new ReadStats()
 
-  def start(port: Int = 0): Int = {
+  private var pool: java.util.concurrent.ExecutorService = _
+  private var queryGate: java.util.concurrent.Semaphore = _
+
+  /** Serve on a BOUNDED worker pool with query admission control — the
+    * reference serves each REST request on a pooled connection thread
+    * with a hard worker cap (its server's taskmaster discipline);
+    * the JDK server's default executor would instead run every handler
+    * on the single dispatcher thread, where one slow ndjson consumer
+    * blocks stats/admin polls outright. Query routes (`/query/...`,
+    * `/pattern`) additionally pass a `maxConcurrentQueries` semaphore:
+    * each one drives Spark jobs on a shared driver, so unbounded
+    * admission turns a request burst into driver-scheduler collapse —
+    * saturated admission answers 429 + Retry-After immediately instead
+    * of queueing invisibly. `maxConcurrentQueries < workerThreads`
+    * keeps admin/mutate lanes responsive while every query slot is
+    * held (monitoring a saturated server is exactly when stats matter).
+    */
+  def start(port: Int = 0, workerThreads: Int = 8,
+      maxConcurrentQueries: Int = 4): Int = {
+    require(workerThreads >= 2, s"need >= 2 worker threads, got $workerThreads")
+    require(maxConcurrentQueries >= 1 && maxConcurrentQueries < workerThreads,
+      s"need 1 <= maxConcurrentQueries ($maxConcurrentQueries) < workerThreads " +
+        s"($workerThreads) so admin lanes survive query saturation")
+    queryGate = new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    pool = java.util.concurrent.Executors.newFixedThreadPool(workerThreads,
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-http-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      })
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", handle _)
-    server.setExecutor(null)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) { pool.shutdownNow(); () }
+  }
 
   private def handle(ex: HttpExchange): Unit =
     try route(ex)
@@ -77,16 +110,19 @@ final class HttpEndpoint(
     val stream = Option(ex.getRequestURI.getQuery).exists(_.contains("stream=1"))
 
     path match {
-      case p if p.startsWith("/query/") =>
-        readStats.record() // read op = a served query request (stats.lisp:99)
-        val name = p.stripPrefix("/query/")
-        val params = parseParams(body)
-        val df = service.runRegistered(name, params)
-        respondRows(ex, df, stream)
-      case "/pattern" =>
-        readStats.record()
-        val df = service.runAdHoc(body)
-        respondRows(ex, df, stream)
+      case p if p.startsWith("/query/") || p == "/pattern" =>
+        if (!queryGate.tryAcquire()) {
+          // admission, not queueing: the caller learns NOW that every
+          // query slot is held and retries with backoff
+          ex.getResponseHeaders.set("Retry-After", "1")
+          reply(ex, 429, err("query concurrency limit reached, retry"))
+        } else try {
+          readStats.record() // read op = a served query request (stats.lisp:99)
+          val df =
+            if (p == "/pattern") service.runAdHoc(body)
+            else service.runRegistered(p.stripPrefix("/query/"), parseParams(body))
+          respondRows(ex, df, stream)
+        } finally queryGate.release()
       case p if p.startsWith("/mutate/") =>
         mutate(ex, p.stripPrefix("/mutate/"), body)
       case p if p.startsWith("/admin/") =>

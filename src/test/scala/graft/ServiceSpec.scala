@@ -813,6 +813,49 @@ class ServiceSpec extends SparkSpec {
     } finally { ep.stop(); bare.stop(); readOnly.stop() }
   }
 
+  test("query admission control: saturated slots answer 429 immediately " +
+      "while admin stays responsive on the bounded worker pool") {
+    import spark.implicits._
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(2)
+    service.register(graft.service.QueryService.PipelineQuery(
+      "slow_gate", Seq.empty,
+      _ => { entered.countDown(); gate.await(); Seq(1L).toDF("one") }))
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("acct", "id", Seq("bal")).build()
+    val gs = new graft.model.GraphStore(spark, schema,
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "admit-gs").toString)
+    gs.txn().createVertices("acct", Seq((1L, 1.0)).toDF("id", "bal")).commit()
+    val ep = new graft.service.HttpEndpoint(service, store = Some(gs))
+    val port = ep.start(0, workerThreads = 4, maxConcurrentQueries = 2)
+    val client = HttpClient.newHttpClient()
+    def req(path: String) =
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
+    def send(path: String) = client.send(req(path), HttpResponse.BodyHandlers.ofString())
+    try {
+      val f1 = client.sendAsync(req("/query/slow_gate"), HttpResponse.BodyHandlers.ofString())
+      val f2 = client.sendAsync(req("/query/slow_gate"), HttpResponse.BodyHandlers.ofString())
+      assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "both slow queries must be in flight holding the only two slots")
+      val third = send("/query/slow_gate")
+      assert(third.statusCode() == 429, third.body())
+      assert(third.headers().firstValue("Retry-After").isPresent,
+        "admission rejection must carry Retry-After")
+      // /pattern shares the same admission gate
+      assert(send("/pattern").statusCode() == 429)
+      // admin keeps its lanes while EVERY query slot is held —
+      // monitoring a saturated server is when stats matter
+      assert(send("/admin/stats").statusCode() == 200)
+      gate.countDown()
+      assert(f1.get(30, java.util.concurrent.TimeUnit.SECONDS).statusCode() == 200)
+      assert(f2.get(30, java.util.concurrent.TimeUnit.SECONDS).statusCode() == 200)
+      // slots released: admission recovers
+      assert(send("/query/slow_gate").statusCode() == 200)
+    } finally { gate.countDown(); ep.stop() }
+  }
+
   test("admin stats: graph-stats report (epoch, per-table commit telemetry, " +
       "store footprints) — read-only, sane and monotone mid-storm (r10 #5)") {
     import spark.implicits._
