@@ -1422,6 +1422,59 @@ object CatalogPipeline {
              |FROM embeddings, q WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
+    // GraphRAG-shaped hybrid retrieval: the graph proposes, the vector
+    // space disposes. Candidates = the query vertex's ≤2-hop
+    // UNDIRECTED neighborhood (Traverse.bfs at min depth over a
+    // deterministic ring+chord edge set the oracle can re-derive),
+    // ranking = EXACT cosine against the query vertex's own embedding
+    // (q58's round-6 contract), top-10 under (cos desc, id) with the
+    // hop depth carried. Scale shape: the bfs frontier broadcasts
+    // while small, ranking runs only on the bounded neighborhood —
+    // never the corpus — and the final join is k-bounded.
+    QueryDef("q199_graph_ann_rerank",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tpch.table(s, d, "embeddings")
+        val n = emb.count()
+        val ids = emb.select(col("vec_id"))
+        val edges = ids.select(col("vec_id").as("src"),
+            ((col("vec_id") + 1) % n).as("dst"))
+          .unionAll(ids.filter(col("vec_id") % 5 === 0)
+            .select(col("vec_id").as("src"), ((col("vec_id") + 17) % n).as("dst")))
+        val hood = graft.operators.Traverse.bfs(edges, Seq(0L).toDF("id"),
+            maxDepth = 2, direction = graft.operators.Traverse.Both)
+          .filter(col("depth") > 0) // the query vertex is not a result
+        val q = emb.filter(col("vec_id") === 0).select("embedding").head()
+          .getSeq[Float](0).map(_.toDouble)
+        hood.join(emb, hood("id") === emb("vec_id"))
+          .select(col("id"), col("depth"),
+            round(Similarity.cosine(col("embedding"), Similarity.vecLit(q)), 6)
+              .as("cos_sim")) // q58's exact-rank contract, depth carried
+          .orderBy(col("cos_sim").desc, col("id").asc)
+          .limit(10)
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM embeddings),
+             |e AS (
+             |  SELECT vec_id AS src, (vec_id+1) % n.n AS dst FROM embeddings, n
+             |  UNION ALL
+             |  SELECT vec_id, (vec_id+17) % n.n FROM embeddings, n WHERE vec_id % 5 = 0),
+             |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+             |h1 AS (SELECT DISTINCT b AS id FROM und WHERE a = 0),
+             |h2 AS (SELECT DISTINCT und.b AS id FROM und JOIN h1 ON und.a = h1.id),
+             |hood AS (
+             |  SELECT id, 1 AS depth FROM h1 WHERE id <> 0
+             |  UNION ALL
+             |  SELECT id, 2 FROM h2
+             |  WHERE id <> 0 AND id NOT IN (SELECT id FROM h1)),
+             |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT hood.id, hood.depth, round(
+             |  list_aggregate(list_transform(list_zip(embedding, qe),
+             |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+             |  (sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) *
+             |   sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+             |FROM hood JOIN embeddings ON embeddings.vec_id = hood.id, q
+             |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
+
     QueryDef("q161_mmr",
       // maximal-marginal-relevance diversity re-ranking over the q58
       // candidate tier: top-20 cosine candidates, greedy 5 picks at
