@@ -30,11 +30,19 @@ class PatternFuzzSpec extends SparkSpec {
   private lazy val placed: Seq[(Long, Long, Double)] =
     g.edgeFrame("placed").select("src", "dst", "weight")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  private lazy val contains: Seq[(Long, Long, Double)] =
+    g.edgeFrame("contains").select("src", "dst", "weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  private lazy val placedBySrc: Map[Long, Seq[(Long, Double)]] =
+    placed.groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)) }
+  private lazy val containsBySrc: Map[Long, Seq[(Long, Double)]] =
+    contains.groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)) }
 
   // ---- a filter mini-AST both sides can execute ----
   private sealed trait FC
   private case class NumCmp(v: String, op: String, c: Double) extends FC
   private case class SegEq(v: String, s: String, neg: Boolean) extends FC
+  private case class MulBind(src: String, factor: Double) extends FC // for Bind goals
 
   private def fcColumn(f: FC): Column = f match {
     case NumCmp(v, "<", c) => col(v) < lit(c)
@@ -79,11 +87,17 @@ class PatternFuzzSpec extends SparkSpec {
         b + ("a" -> id, "__bal" -> bal, "__seg" -> seg) })
     case (Slot("a", "c_acctbal", out), _) => sols.map(b => b + (out -> b("__bal")))
     case (Slot("a", "c_mktsegment", out), _) => sols.map(b => b + (out -> b("__seg")))
-    case (EdgeGoal("placed", "a", to, w, _), _) =>
+    case (EdgeGoal(label, from, to, w, _), _) =>
+      val idx = if (label == "placed") placedBySrc else containsBySrc
       sols.flatMap { b =>
-        placed.filter(_._1 == b("a")).map { case (_, dst, wt) =>
+        idx.getOrElse(b(from).asInstanceOf[Long], Nil).map { case (dst, wt) =>
           w.fold(b + (to -> dst))(wv => b + (to -> dst, wv -> wt)) }
       }
+    case (Regex(v, pat), _) => // rlike = find-anywhere semantics
+      val re = java.util.regex.Pattern.compile(pat)
+      sols.filter(b => re.matcher(b(v).asInstanceOf[String]).find())
+    case (Bind(v, _), Some(MulBind(src, factor))) => // computed binding
+      sols.map(b => b + (v -> (b(src).asInstanceOf[Double] * factor)))
     case (Not(inner), _) => // negation as failure: keep rows with NO solutions
       sols.filter(b => inner.map(extractFc).foldLeft(Seq(b))(step).isEmpty)
     case (Or(branches), _) => // union of branch streams (multiset, no dedup)
@@ -113,10 +127,17 @@ class PatternFuzzSpec extends SparkSpec {
   private case class Program(goals: Seq[(Goal, Option[FC])],
       select: Seq[(String, String)], distinct: Boolean)
 
+  private val regexPats = Seq("^B", "ING$", "AUTO", "O.E", "^(BU|AU)")
+
   private val programs: Gen[Program] = for {
     withBal <- Gen.oneOf(true, false)
     withSeg <- Gen.oneOf(true, false)
-    shape <- Gen.oneOf("plain", "edge", "noedge") // expand / anti-join / neither
+    // expand / anti-join / two-hop chain (Catalyst join reorder) / neither
+    shape <- Gen.oneOf("plain", "edge", "noedge", "twohop")
+    useRegex <- Gen.oneOf(true, false)
+    regexPat <- Gen.oneOf(regexPats)
+    useBind <- Gen.oneOf(true, false)
+    bindFactor <- Gen.oneOf(2.0, 0.5, -1.0)
     nFilters <- Gen.choose(0, 2)
     balFilters <- Gen.listOfN(nFilters,
       if (withBal) Gen.oneOf(numFc("bal", balCuts), segFc.filter(_ => withSeg))
@@ -131,13 +152,27 @@ class PatternFuzzSpec extends SparkSpec {
       (if (withSeg) Seq((Slot("a", "c_mktsegment", "seg"), Option.empty[FC])) else Nil)
     val shaped = shape match {
       case "edge" => base :+ ((EdgeGoal("placed", "a", "o", Some("w")), Option.empty[FC]))
+      case "twohop" => base ++ Seq(
+        (EdgeGoal("placed", "a", "o", Some("w")), Option.empty[FC]),
+        (EdgeGoal("contains", "o", "p", Some("q")), Option.empty[FC]))
       case "noedge" => base :+ ((Not(Seq(EdgeGoal("placed", "a", "o2"))), Option.empty[FC]))
       case _ => base
     }
-    // filters only over vars the shape actually bound
+    // filters/regex/bind only over vars the shape actually bound
+    val hasEdge = shape == "edge" || shape == "twohop"
     val bound = Set("a") ++ (if (withBal) Set("bal") else Set.empty) ++
       (if (withSeg) Set("seg") else Set.empty) ++
-      (if (shape == "edge") Set("o", "w") else Set.empty)
+      (if (hasEdge) Set("o", "w") else Set.empty) ++
+      (if (shape == "twohop") Set("p", "q") else Set.empty)
+    val rx =
+      if (useRegex && withSeg) Seq((Regex("seg", regexPat), Option.empty[FC]))
+      else Nil
+    val bind =
+      if (useBind && withBal) {
+        val mb = MulBind("bal", bindFactor)
+        Seq((Bind("bal2", col("bal") * lit(bindFactor)), Some(mb): Option[FC]),
+          filterOf(NumCmp("bal2", "<", balCuts(balCuts.size / 2) * bindFactor)))
+      } else Nil
     val fs = balFilters.collect {
       case fc @ NumCmp(v, _, _) if bound(v) => filterOf(fc)
       case fc @ SegEq(v, _, _) if bound(v) => filterOf(fc)
@@ -147,9 +182,10 @@ class PatternFuzzSpec extends SparkSpec {
         val (fa, _) = filterOf(orA); val (fb, _) = filterOf(orB)
         Seq((Or(Seq(Seq(fa), Seq(fb))), Option.empty[FC]))
       } else Nil
-    val selectable = (bound - "a").toSeq.sorted
+    val selectable = (bound - "a").toSeq.sorted ++
+      (if (useBind && withBal) Seq("bal2") else Nil)
     val select = ("a" -> "a_id") +: selectable.map(v => v -> v)
-    Program(shaped ++ fs ++ orGoal, select, distinct)
+    Program(shaped ++ rx ++ bind ++ fs ++ orGoal, select, distinct)
   }
 
   private def norm(v: Any): String = v match {
