@@ -244,6 +244,37 @@ final class HttpEndpoint(
         if (keep < 1) throw new QueryService.BadRequestException("'keep' must be >= 1")
         gs.store.vacuum(gs.tableFor(label), keep)
         reply(ex, 200, s"""{"vacuumed": "$label", "keep": $keep}""")
+      case "maintain" =>
+        // one threshold-driven maintenance pass (Maintenance.runOnce)
+        // over everything this endpoint can see: attached views plus
+        // the registered index roots. The thresholds default to the
+        // daemon's and accept overrides, and the reply names exactly
+        // what compacted — the same layoutStats the stats route
+        // reports, so operators can predict the action before sending
+        // it. (Long-lived processes run the Maintenance daemon
+        // in-process; this verb is the cron/manual tier.)
+        def num(k: String, dflt: Long): Long =
+          field(k).map(_.toLong).getOrElse(dflt)
+        val eHigh = num("delta_epochs_high", 64L)
+        val bHigh = num("delta_bytes_high", 256L << 20)
+        // registered index roots are REPORTED as due, not compacted:
+        // each rebuild thunk lives with its typed index object, which
+        // only the owning process holds (the in-process Maintenance
+        // daemon is the tier that acts on these). Dueness is observed
+        // BEFORE the view pass — the report reflects request-time state
+        val indexDue = indexDirs.toSeq.sortBy(_._1).collect {
+          case (n, p) if {
+            val s = graft.model.GenDirs.layoutStats(java.nio.file.Paths.get(p))
+            s.deltaEpochs >= eHigh || s.deltaBytes >= bHigh
+          } => s"index:$n"
+        }
+        val m = new graft.model.Maintenance(
+          views.map(graft.model.Maintenance.forViews).getOrElse(Nil),
+          deltaEpochsHigh = eHigh, deltaBytesHigh = bHigh)
+        val compacted = m.runOnce()
+        reply(ex, 200,
+          s"""{"compacted": [${compacted.map("\"" + _ + "\"").mkString(",")}], """ +
+            s""""index_due": [${indexDue.map("\"" + _ + "\"").mkString(",")}]}""")
       case "backup" =>
         // incremental backup (Backup.incremental): dump the commit-log
         // slice since the chain's high-water epoch into {"root": dir} —

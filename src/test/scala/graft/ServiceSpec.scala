@@ -732,12 +732,14 @@ class ServiceSpec extends SparkSpec {
     cat.register(graft.views.ViewDef("by_seg", "acct",
       df => df.select(col("seg").as("key"), col("id"), col("bal").as("value")),
       reduceAgg = Some(sum(col("value")))))
+    cat.bindTo(gs) // deltas accrue per commit — the /admin/maintain fuel
     val slave = new graft.model.VersionedStore(spark,
       java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("target"), "http-admin-slave").toString)
     val repl = graft.model.Replicator.forGraph(gs, slave)
     val ep = new graft.service.HttpEndpoint(service, store = Some(gs),
-      allowWrites = true, views = Some(cat), replicator = Some(repl))
+      allowWrites = true, views = Some(cat), replicator = Some(repl),
+      indexDirs = Map("bal_idx" -> cat.rootOf("by_seg").toString))
     val bare = new graft.service.HttpEndpoint(service, allowWrites = true)
     val readOnly = new graft.service.HttpEndpoint(service, store = Some(gs))
     val port = ep.start(); val barePort = bare.start(); val roPort = readOnly.start()
@@ -772,6 +774,23 @@ class ServiceSpec extends SparkSpec {
           java.nio.file.Paths.get("target"), "http-restore").toString)
       assert(restored.read("v_acct").count() == 2)
       assert(post(port, "/admin/backup", "{}").statusCode() == 400)
+      // threshold-driven maintenance pass: the bound view breached the
+      // (deliberately tiny) thresholds and compacts; the registered
+      // index root only REPORTS as due — its rebuild thunk lives with
+      // the owning process (the in-process Maintenance daemon's tier)
+      (0 until 3).foreach { i =>
+        gs.txn().createVertices("acct",
+          Seq((600L + i, "m", 1.0)).toDF("id", "seg", "bal")).commit()
+      }
+      val mt = post(port, "/admin/maintain",
+        """{"delta_epochs_high": 2, "delta_bytes_high": 1}""")
+      assert(mt.statusCode() == 200 && mt.body().contains("\"view:by_seg\""), mt.body())
+      assert(mt.body().contains("\"index:bal_idx\""), mt.body())
+      assert(graft.model.GenDirs.layoutStats(cat.rootOf("by_seg")).deltaEpochs == 0,
+        "the REST pass must actually regenerate the view")
+      val mt2 = post(port, "/admin/maintain",
+        """{"delta_epochs_high": 1000000, "delta_bytes_high": 1099511627776}""")
+      assert(mt2.body() == """{"compacted": [], "index_due": []}""", mt2.body())
       // vacuum + compact succeed on a live table
       assert(post(port, "/admin/vacuum", """{"label":"acct","keep":1}""").statusCode() == 200)
       assert(post(port, "/admin/vacuum", """{"label":"acct","keep":0}""").statusCode() == 400)
@@ -802,9 +821,10 @@ class ServiceSpec extends SparkSpec {
       java.nio.file.Files.deleteIfExists(current)
       java.nio.file.Files.deleteIfExists(foreign.resolve("somestore"))
       java.nio.file.Files.deleteIfExists(foreign)
-      assert(gs.graph().vertexFrame("acct").count() == 2)
+      assert(gs.graph().vertexFrame("acct").count() == 5) // 2 seed + 3 maintain-fuel
       // gates: read-only → 403; artifact not attached → 404
       assert(post(roPort, "/admin/regenerate").statusCode() == 403)
+      assert(post(roPort, "/admin/maintain").statusCode() == 403)
       assert(post(barePort, "/admin/regenerate").statusCode() == 404)
       assert(post(barePort, "/admin/sync").statusCode() == 404)
       assert(post(barePort, "/admin/vacuum", """{"label":"acct"}""").statusCode() == 404)
