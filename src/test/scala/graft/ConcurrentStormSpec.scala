@@ -727,10 +727,16 @@ class ConcurrentStormSpec extends SparkSpec {
 
     val writersDone = new AtomicBoolean(false)
     val sideErrors = new ConcurrentLinkedQueue[Throwable]
+    // a replica tails the commit log MID-INGEST: exactly-once must
+    // survive into the follower (a double-applied slice would land
+    // twice in the replicated epochs too)
+    val slave = new VersionedStore(spark, tmp("storm-ingest-slave"))
+    val repl = new Replicator(gs.store, slave, Seq("v_doc"))
     val compactor = new Thread(() => {
       try while (!writersDone.get()) {
         gs.store.compactCurrent("v_doc")
         gs.store.compactCurrent(graft.streaming.TransactionalIngest.cursorTable)
+        repl.sync()
         Thread.sleep(50)
       } catch { case t: Throwable => sideErrors.add(t) }
     }, "ingest-compactor")
@@ -776,5 +782,12 @@ class ConcurrentStormSpec extends SparkSpec {
     val recomputed = cat.reducedView("sum_by_mod").select("key", "value")
       .orderBy("key").as[(Long, Long)].collect().toSeq
     assert(maintained == recomputed, "view drifted under the ingest storm")
+    // the replica converges to the exactly-once state: same epoch
+    // pointer, same live rows, same revision ceiling
+    repl.sync()
+    assert(slave.currentEpoch == gs.store.currentEpoch)
+    assert(slave.read("v_doc").count() == 520L)
+    assert(slave.latestRevisions("v_doc").agg(max("rev")).head().getLong(0) == 1L,
+      "a double-applied slice would surface as rev > 1 on the replica")
   }
 }
