@@ -107,25 +107,40 @@ final class PatternCompiler(
         case (true, true) =>
           df = df.join(e, col(from) === col("__src") && col(to) === col("__dst"), "inner")
       }
-      weightVar.foreach(w => df = df.withColumn(w, col("__w")))
-      edgeProps.foreach { case (p, v) => df = df.withColumn(v, col(s"__e_$p")) }
+      // scalar bindings register in `vars` like any other binding —
+      // Or-branch reconciliation keeps exactly the vars EVERY branch
+      // bound, so an unregistered weight/prop bind silently vanished
+      // from the union (found by PatternFuzzSpec's orEdge programs:
+      // both branches bound ?w, the union dropped it)
+      weightVar.foreach { w =>
+        df = df.withColumn(w, col("__w"))
+        vars += w -> VarState("", hasProps = false)
+      }
+      edgeProps.foreach { case (p, v) =>
+        df = df.withColumn(v, col(s"__e_$p"))
+        vars += v -> VarState("", hasProps = false)
+      }
       df = df.drop("__src", "__dst", "__w").drop(edgeProps.keys.map(p => s"__e_$p").toSeq: _*)
 
     case Slot(v, name, bindAs) =>
       require(bound(v), s"slot access on unbound var ?$v")
       ensureProps(v)
       df = df.withColumn(bindAs, col(s"${v}__$name"))
+      vars += bindAs -> VarState("", hasProps = false)
 
     case Filter(cond) => df = df.filter(cond)
 
     case Regex(v, pat) => df = df.filter(col(v).rlike(pat))
 
-    case Bind(v, expr) => df = df.withColumn(v, expr)
+    case Bind(v, expr) =>
+      df = df.withColumn(v, expr)
+      vars += v -> VarState("", hasProps = false)
 
     case Param(v, name) =>
       require(df != null, "param goal before any generator")
       val value = params.getOrElse(name, throw new IllegalArgumentException(s"missing param: $name"))
       df = df.withColumn(v, lit(value))
+      vars += v -> VarState("", hasProps = false)
 
     case ViewGoal(view, key, id, value) =>
       val cat = views.getOrElse(throw new IllegalArgumentException(

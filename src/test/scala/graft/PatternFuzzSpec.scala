@@ -33,10 +33,15 @@ class PatternFuzzSpec extends SparkSpec {
   private lazy val contains: Seq[(Long, Long, Double)] =
     g.edgeFrame("contains").select("src", "dst", "weight")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  private lazy val knows: Seq[(Long, Long, Double)] =
+    g.edgeFrame("knows").select("src", "dst", "weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
   private lazy val placedBySrc: Map[Long, Seq[(Long, Double)]] =
     placed.groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)) }
   private lazy val containsBySrc: Map[Long, Seq[(Long, Double)]] =
     contains.groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)) }
+  private lazy val knowsBySrc: Map[Long, Seq[(Long, Double)]] =
+    knows.groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)) }
 
   // ---- a filter mini-AST both sides can execute ----
   private sealed trait FC
@@ -88,7 +93,11 @@ class PatternFuzzSpec extends SparkSpec {
     case (Slot("a", "c_acctbal", out), _) => sols.map(b => b + (out -> b("__bal")))
     case (Slot("a", "c_mktsegment", out), _) => sols.map(b => b + (out -> b("__seg")))
     case (EdgeGoal(label, from, to, w, _), _) =>
-      val idx = if (label == "placed") placedBySrc else containsBySrc
+      val idx = label match {
+        case "placed" => placedBySrc
+        case "knows" => knowsBySrc
+        case _ => containsBySrc
+      }
       sols.flatMap { b =>
         idx.getOrElse(b(from).asInstanceOf[Long], Nil).map { case (dst, wt) =>
           w.fold(b + (to -> dst))(wv => b + (to -> dst, wv -> wt)) }
@@ -132,8 +141,9 @@ class PatternFuzzSpec extends SparkSpec {
   private val programs: Gen[Program] = for {
     withBal <- Gen.oneOf(true, false)
     withSeg <- Gen.oneOf(true, false)
-    // expand / anti-join / two-hop chain (Catalyst join reorder) / neither
-    shape <- Gen.oneOf("plain", "edge", "noedge", "twohop")
+    // expand / anti-join / two-hop chain (Catalyst join reorder) /
+    // Or over GENERATOR branches (union of two edge streams) / neither
+    shape <- Gen.oneOf("plain", "edge", "noedge", "twohop", "orEdge")
     useRegex <- Gen.oneOf(true, false)
     regexPat <- Gen.oneOf(regexPats)
     useBind <- Gen.oneOf(true, false)
@@ -156,10 +166,13 @@ class PatternFuzzSpec extends SparkSpec {
         (EdgeGoal("placed", "a", "o", Some("w")), Option.empty[FC]),
         (EdgeGoal("contains", "o", "p", Some("q")), Option.empty[FC]))
       case "noedge" => base :+ ((Not(Seq(EdgeGoal("placed", "a", "o2"))), Option.empty[FC]))
+      case "orEdge" => base :+ ((Or(Seq(
+        Seq(EdgeGoal("placed", "a", "o", Some("w"))),
+        Seq(EdgeGoal("knows", "a", "o", Some("w"))))), Option.empty[FC]))
       case _ => base
     }
     // filters/regex/bind only over vars the shape actually bound
-    val hasEdge = shape == "edge" || shape == "twohop"
+    val hasEdge = shape == "edge" || shape == "twohop" || shape == "orEdge"
     val bound = Set("a") ++ (if (withBal) Set("bal") else Set.empty) ++
       (if (withSeg) Set("seg") else Set.empty) ++
       (if (hasEdge) Set("o", "w") else Set.empty) ++
