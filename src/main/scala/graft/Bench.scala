@@ -158,6 +158,44 @@ object Bench {
       if t > 0 && floors.get(n).exists(f => t >= factor * f) => n }
   }
 
+  /** Self-gating verdict for the run artifact — the round-11 lesson: a
+    * sweep whose own calibration probes prove heavy external contention
+    * (probe_after landed at 5.3× the quiet probe floor) still shipped
+    * with `rc: 0`, indistinguishable downstream from a clean run.
+    * The requalification tier DETECTED the suspects, but the artifact
+    * swallowed the conclusion. This function makes the conclusion part
+    * of the artifact: `bench_valid` is false — with machine-readable
+    * reasons — when either bracketing probe reads ≥2× the quiet probe
+    * floor (the machine was contended while measuring), or when a
+    * requalified reading STILL breaches 2× its query floor (the
+    * suspect did not clear even after the sweep; either the box never
+    * quieted or the query genuinely regressed — both mean "do not
+    * trust this artifact as a clean reading"). A suspect whose
+    * requalification run errored keeps its sweep reading as the
+    * evidence. With no probe floor on record (first run on a machine)
+    * the probes cannot be judged, but requalified breaches still can.
+    */
+  def benchVerdict(probeBefore: Double, probeAfter: Double,
+      probeFloor: Option[Double], requalified: Seq[(String, Double)],
+      sweepBest: Map[String, Double], floors: Map[String, Double])
+      : (Boolean, Seq[String]) = {
+    val probeReasons = probeFloor.toSeq.flatMap { pf =>
+      Seq("probe_before" -> probeBefore, "probe_after" -> probeAfter).collect {
+        case (n, p) if p >= 2.0 * pf => f"$n $p%.3f >= 2x probe floor $pf%.3f"
+      }
+    }
+    val requalReasons = requalified.flatMap { case (name, r) =>
+      val reading = if (r > 0) r else sweepBest.getOrElse(name, -1.0)
+      floors.get(name).collect {
+        case f if reading > 0 && reading >= 2.0 * f =>
+          val tag = if (r > 0) "requalified" else "requalify failed; sweep"
+          f"$name $tag $reading%.3f >= 2x floor $f%.3f"
+      }
+    }
+    val reasons = probeReasons ++ requalReasons
+    (reasons.isEmpty, reasons)
+  }
+
   /** 1-minute load average from /proc/loadavg (NaN if unreadable). */
   def loadAvg(): Double =
     try {
@@ -235,7 +273,15 @@ object Bench {
     // bare NaN token that breaks the one-line-JSON output contract
     def jnum(d: Double) = if (d.isNaN) "null" else f"$d%.2f"
     val cal = f""""calibration":{"probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"load_avg_before":${jnum(loadBefore)},"load_avg_after":${jnum(loadAfter)},"runs_per_query":$warmRuns}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"requalified":$rq,"sf":"$sfDir",$cal}""")
+    // the artifact judges itself: a contaminated run must never be
+    // distinguishable from a clean one only by a human reading the
+    // calibration block (round-11 lesson — see benchVerdict)
+    val (benchValid, invalidReasons) = benchVerdict(probeBefore, probeAfter,
+      floors.get("__probe"), requal,
+      results.map { case (n, (mn, _)) => n -> mn }.toMap, floors)
+    val gate = s""""bench_valid":$benchValid,"bench_invalid_reasons":[${
+      invalidReasons.map("\"" + _ + "\"").mkString(",")}]"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"requalified":$rq,$gate,"sf":"$sfDir",$cal}""")
     // floors ratchet only at the driver's bench scale — a subset run
     // (BENCH_ONLY) still updates just the queries it measured; a
     // requalified reading (measured after the contention the probe

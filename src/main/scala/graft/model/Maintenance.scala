@@ -36,6 +36,26 @@ final class Maintenance(
   private val stopFlag = new AtomicBoolean(false)
   private var runner: Thread = _
   private val errors = new ConcurrentLinkedQueue[(String, Throwable)]
+  // ops telemetry, non-destructive (the draining lastErrors() is the
+  // programmatic consumer; /admin/stats must be able to POLL without
+  // eating another consumer's errors): a bounded ring of recent
+  // failures and the last successful compaction per target
+  private val recent = new ConcurrentLinkedQueue[(String, String, Long)]
+  private val compactions =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+
+  private def recordError(name: String, e: Throwable): Unit = {
+    errors.add(name -> e)
+    recent.add((name, Option(e.getMessage).getOrElse(e.getClass.getName),
+      System.currentTimeMillis()))
+    while (recent.size > 32) recent.poll() // bounded: a wedged target must not grow the ring forever
+  }
+
+  private def compactOne(t: Maintenance.Target): Unit = {
+    t.compact()
+    compactions.put(t.name,
+      (GenDirs.layoutStats(t.root).gen, System.currentTimeMillis()))
+  }
 
   /** True when `root`'s current generation breaches a threshold. */
   private def due(root: Path): Boolean = {
@@ -48,7 +68,7 @@ final class Maintenance(
     * API want the failure; the daemon wraps this and keeps going.
     */
   def runOnce(): Seq[String] =
-    targets.filter(t => due(t.root)).map { t => t.compact(); t.name }
+    targets.filter(t => due(t.root)).map { t => compactOne(t); t.name }
 
   /** Start the daemon: one policy pass every `periodMs` until [[stop]].
     * A failing target is recorded (see [[lastErrors]]) and retried
@@ -64,8 +84,8 @@ final class Maintenance(
       while (!stopFlag.get()) {
         targets.foreach { t =>
           if (!stopFlag.get()) {
-            try { if (due(t.root)) t.compact() }
-            catch { case e: Throwable => errors.add(t.name -> e); () }
+            try { if (due(t.root)) compactOne(t) }
+            catch { case e: Throwable => recordError(t.name, e); () }
           }
         }
         var slept = 0L
@@ -90,6 +110,28 @@ final class Maintenance(
     while (e != null) { out += e; e = errors.poll() }
     out.result()
   }
+
+  /** Non-destructive ops telemetry for `/admin/stats`: the last ≤32
+    * swallowed failures as (target, message, at_ms), oldest first.
+    * Unlike [[lastErrors]] this never clears — a stats poll must not
+    * eat errors a programmatic consumer is waiting to drain.
+    */
+  def recentErrors(): Seq[(String, String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    recent.iterator().asScala.toSeq
+  }
+
+  /** Last successful compaction per target: name → (generation the
+    * compact published, wall ms). Targets never compacted are absent.
+    */
+  def lastCompactions(): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    compactions.asScala.toMap
+  }
+
+  def targetNames: Seq[String] = targets.map(_.name)
+
+  def isRunning: Boolean = synchronized { runner != null && runner.isAlive }
 }
 
 object Maintenance {

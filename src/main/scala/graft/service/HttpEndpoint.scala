@@ -35,7 +35,19 @@ final class HttpEndpoint(
     /** maintained-index roots (GenDirs layouts) to include in
       * `/admin/stats` — LSH / posting / ANN / dhash / cell stores live
       * under caller-chosen dirs the endpoint cannot discover itself */
-    indexDirs: Map[String, String] = Map.empty) {
+    indexDirs: Map[String, String] = Map.empty,
+    /** opt-in unattended maintenance: a [[graft.model.Maintenance]]
+      * daemon whose lifecycle is BOUND to the endpoint's — started by
+      * [[start]], stopped by [[stop]] — so a serving process compacts
+      * its breached stores without any admin call, the way the
+      * reference's epoch reaper runs with the graph rather than on
+      * request (transactions.lisp:408-599). Its per-target
+      * last-compaction marks and swallowed errors surface through
+      * `/admin/stats` (an unattended actor whose failures are
+      * invisible is worse than no actor). The one-pass
+      * `/admin/maintain` verb remains the cron/manual tier for
+      * processes that opt out. */
+    maintenance: Option[graft.model.Maintenance] = None) {
 
   private var server: HttpServer = _
 
@@ -81,10 +93,12 @@ final class HttpEndpoint(
     server.createContext("/", handle _)
     server.setExecutor(pool)
     server.start()
+    maintenance.foreach(_.start()) // serve ⇒ the unattended compactor runs too
     server.getAddress.getPort
   }
 
   def stop(): Unit = {
+    maintenance.foreach(_.stop()) // before the pool: a mid-compact publish finishes or is swept, never orphaned mid-serve
     if (server != null) server.stop(0)
     if (pool != null) { pool.shutdownNow(); () }
   }
@@ -383,6 +397,28 @@ final class HttpEndpoint(
             s""""slice": ${r.getLong(2)}}"""
         }.mkString(""", "ingest": [""", ",", "]")
     }
+    // the bound maintenance daemon's health: whether it runs, when each
+    // target last compacted (generation + wall ms; never = null), and
+    // the failures it swallowed — the unattended tier must be auditable
+    // from the same poll that shows the layout stats driving it
+    val maint = maintenance.map { m =>
+      val comps = m.lastCompactions()
+      val targets = m.targetNames.sorted.map { n =>
+        comps.get(n) match {
+          case Some((gen, at)) =>
+            s"""{"name": "$n", "last_compaction_gen": $gen, "last_compaction_at_ms": $at}"""
+          case None =>
+            s"""{"name": "$n", "last_compaction_gen": null, "last_compaction_at_ms": null}"""
+        }
+      }
+      val errs = m.recentErrors().map { case (n, msg, at) =>
+        s"""{"target": "$n", "error": "${msg.replace("\\", "\\\\")
+          .replace("\"", "\\\"").replace("\n", " ")}", "at_ms": $at}"""
+      }
+      s""", "maintenance": {"running": ${m.isRunning}, """ +
+        s""""targets": [${targets.mkString(",")}], """ +
+        s""""errors": [${errs.mkString(",")}]}"""
+    }.getOrElse("")
     // trailing-minute rates (stats.lisp:51's avg-writes/reads-per-
     // second): both use the inclusive 61-sample window the reference
     // loops over; writes come from the log's own commit timestamps
@@ -394,7 +430,7 @@ final class HttpEndpoint(
         f""""avg_writes_per_sec": ${recentCommits / 61.0}%.4f, """ +
         f""""avg_reads_per_sec": ${readStats.lastAvg(60)}%.4f, """ +
         s""""tables": [${tables.mkString(",")}], """ +
-        s""""stores": [${(viewStats ++ indexStats).mkString(",")}]$ingest$series}""")
+        s""""stores": [${(viewStats ++ indexStats).mkString(",")}]$maint$ingest$series}""")
   }
 
   /** `POST /admin/chart` — the chart.lisp dashboard: a self-contained

@@ -46,6 +46,38 @@ class BenchSpec extends AnyFunSuite {
       "requalified reading must sit at the quiet floor")
   }
 
+  test("benchVerdict: a synthetic hot probe flips bench_valid to false with a " +
+      "named reason; a still-breaching requalified reading also invalidates; " +
+      "a clean run stays valid") {
+    val floors = Map("q1" -> 0.10, "q2" -> 0.20)
+    // clean run: probes at floor, no requalifications → valid, no reasons
+    val (okValid, okReasons) = Bench.benchVerdict(0.26, 0.27, Some(0.25),
+      Nil, Map("q1" -> 0.11), floors)
+    assert(okValid && okReasons.isEmpty)
+    // hot probe AFTER the sweep (the BENCH_r11 shape: 1.325 s vs the
+    // 0.251 s probe floor): invalid, and the reason names the probe
+    val (hotValid, hotReasons) = Bench.benchVerdict(0.26, 1.325, Some(0.25),
+      Nil, Map.empty, floors)
+    assert(!hotValid && hotReasons.size == 1 &&
+      hotReasons.head.startsWith("probe_after 1.325 >= 2x probe floor"))
+    // quiet probes but a requalified reading STILL >=2x its floor
+    // (BENCH_r11's q193: requalified 2.840 vs floor 0.933): invalid
+    val (rqValid, rqReasons) = Bench.benchVerdict(0.26, 0.27, Some(0.25),
+      Seq("q2" -> 0.55), Map("q2" -> 0.60), floors)
+    assert(!rqValid && rqReasons == Seq("q2 requalified 0.550 >= 2x floor 0.200"))
+    // a requalified reading that CLEARED (under 2x floor) does not invalidate
+    assert(Bench.benchVerdict(0.26, 0.27, Some(0.25),
+      Seq("q2" -> 0.30), Map("q2" -> 0.60), floors)._1)
+    // a failed requalification run falls back to the sweep reading as evidence
+    val (failValid, failReasons) = Bench.benchVerdict(0.26, 0.27, Some(0.25),
+      Seq("q2" -> -1.0), Map("q2" -> 0.60), floors)
+    assert(!failValid && failReasons.head.contains("requalify failed; sweep 0.600"))
+    // no probe floor on record: probes unjudgeable, requal breaches still gate
+    assert(Bench.benchVerdict(9.9, 9.9, None, Nil, Map.empty, floors)._1)
+    assert(!Bench.benchVerdict(9.9, 9.9, None,
+      Seq("q1" -> 0.95), Map.empty, floors)._1)
+  }
+
   test("updateFloors writes floors.json and regenerates the BENCHNOTES table " +
       "in the same call — values cannot drift") {
     val dir = Files.createTempDirectory(Paths.get("target"), "benchspec")

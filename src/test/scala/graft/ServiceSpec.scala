@@ -833,6 +833,76 @@ class ServiceSpec extends SparkSpec {
     } finally { ep.stop(); bare.stop(); readOnly.stop() }
   }
 
+  test("maintenance daemon bound to the endpoint lifecycle: a view breaching " +
+      "thresholds mid-serve compacts with NO admin call; compaction marks and " +
+      "swallowed errors surface in /admin/stats; stop() stops the daemon") {
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("acct", "id", Seq("seg", "bal")).build()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "http-maint").toString
+    val gs = new graft.model.GraphStore(spark, schema, dir)
+    gs.txn().createVertices("acct",
+      Seq((1L, "gold", 10.0), (2L, "iron", 5.0)).toDF("id", "seg", "bal")).commit()
+    val cat = new graft.views.ViewCatalog(spark, gs, dir)
+    cat.register(graft.views.ViewDef("by_seg", "acct",
+      df => df.select(col("seg").as("key"), col("id"), col("bal").as("value")),
+      reduceAgg = Some(sum(col("value")))))
+    cat.bindTo(gs)
+    cat.regenerate("by_seg") // clean slate: dueness below comes only from new commits
+    // the daemon's target list: a deliberately-broken target FIRST
+    // (same root → due whenever the view is; compact always throws) so
+    // one failing target provably does not stop the real view's
+    // maintenance, and its failure lands in the stats report
+    val boom = graft.model.Maintenance.Target("boom",
+      cat.rootOf("by_seg"), () => sys.error("injected compact failure"))
+    val m = new graft.model.Maintenance(
+      boom +: graft.model.Maintenance.forViews(cat),
+      deltaEpochsHigh = 2, deltaBytesHigh = 1L << 40, periodMs = 100L)
+    val ep = new graft.service.HttpEndpoint(service, store = Some(gs),
+      allowWrites = true, views = Some(cat), maintenance = Some(m))
+    val port = ep.start()
+    val client = HttpClient.newHttpClient()
+    def stats(): String =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/admin/stats"))
+        .POST(HttpRequest.BodyPublishers.ofString("")).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+    try {
+      assert(m.isRunning, "serve must start the bound daemon")
+      assert(stats().contains(""""maintenance": {"running": true"""))
+      // never compacted yet: the target reports with null marks
+      assert(stats().contains(
+        """{"name": "view:by_seg", "last_compaction_gen": null"""), stats())
+      // breach the epoch threshold mid-serve (3 commits > high=2)...
+      (0 until 3).foreach { i =>
+        gs.txn().createVertices("acct",
+          Seq((600L + i, "m", 1.0)).toDF("id", "seg", "bal")).commit()
+      }
+      // ...and the daemon compacts with NO admin call. Steady state is
+      // BELOW-THRESHOLD, not zero deltas: a commit can land between
+      // breach and regenerate (the MaintenanceSpec contract), so the
+      // evidence is the compaction mark plus sub-threshold deltas
+      val deadline = System.currentTimeMillis() + 30000L
+      while ((m.lastCompactions().get("view:by_seg").isEmpty ||
+          graft.model.GenDirs.layoutStats(cat.rootOf("by_seg")).deltaEpochs >= 2)
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      assert(m.lastCompactions().contains("view:by_seg") &&
+        graft.model.GenDirs.layoutStats(cat.rootOf("by_seg")).deltaEpochs < 2,
+        "daemon must regenerate the breached view unattended")
+      val s = stats()
+      assert("""\{"name": "view:by_seg", "last_compaction_gen": \d+, "last_compaction_at_ms": \d+\}"""
+        .r.findFirstIn(s).isDefined, s"compaction mark missing: $s")
+      assert(s.contains(""""target": "boom", "error": "injected compact failure""""),
+        s"swallowed error must be visible in stats: $s")
+      // the compacted view still answers correctly (2 seed + 3 fuel)
+      assert(cat.lookup("by_seg", "m").select(sum(col("value"))).head.getDouble(0) == 3.0)
+      // a stats poll is non-destructive: the error is still there
+      assert(stats().contains(""""target": "boom""""))
+    } finally ep.stop()
+    assert(!m.isRunning, "endpoint stop must stop the bound daemon")
+  }
+
   test("query admission control: saturated slots answer 429 immediately " +
       "while admin stays responsive on the bounded worker pool") {
     import spark.implicits._
