@@ -140,6 +140,116 @@ class TwoProcessReplicationSpec extends SparkSpec {
     }
   }
 
+  test("disaster recovery end-to-end: incremental backup chain -> follower " +
+      "hard-killed mid-stream and its storage lost -> point-in-time restore " +
+      "from the chain -> a NEW follower process tails the live log from the " +
+      "restored pointer -> full parity (restore-then-replay as one flow)") {
+    val masterDir = tmp("dr-m")
+    val slaveDir = tmp("dr-s")
+    val idxDir = tmp("dr-idx")
+    val broot = tmp("dr-backup").toString
+    val all = "lon >= -200.0" // DR replicates everything; subset is the other test's concern
+    val gs = new GraphStore(spark, ReplicaFollowerMain.harnessSchema,
+      masterDir.toString)
+    def backup(): Long = graft.model.Backup.incremental(gs.store, Seq("v_doc"), broot)
+
+    gs.txn().createVertices("doc", frameOf(0L until 40L, 0)).commit() // epoch 1
+    assert(backup() == 1L)
+
+    // fork follower #1 and let it tail live commits
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    def fork(slave: Path, idx: Path, ready: Path, stop: Path, done: Path) =
+      new ProcessBuilder((Seq(javaBin, "-Xmx3g") ++ ReplicaFollowerMain.jvmOpens ++
+        Seq("-cp", cp, "graft.tools.ReplicaFollowerMain",
+          masterDir.toString, slave.toString, idx.toString, all,
+          ready.toString, stop.toString, done.toString)): _*)
+        .redirectErrorStream(true)
+        .redirectOutput(masterDir.resolve(s"${ready.getFileName}.log").toFile).start()
+    val ready1 = masterDir.resolve("_READY1")
+    val p1 = fork(slaveDir, idxDir, ready1,
+      masterDir.resolve("_STOP1"), masterDir.resolve("_DONE1"))
+    var pit = 0L // the point-in-time restore target, set mid-run
+    try {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!Files.exists(ready1) && p1.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      assert(Files.exists(ready1), "follower #1 never became ready; log tail:\n" +
+        tail(masterDir.resolve("_READY1.log").toFile))
+      gs.txn().createVertices("doc", frameOf(100L until 140L, 0)).commit() // epoch 2
+      pit = gs.store.currentEpoch
+      gs.txn().updateVertices("doc", frameOf(100L until 110L, 1)).commit() // epoch 3
+      gs.txn().deleteVertices("doc", (130L until 140L).toDF("id")).commit() // epoch 4
+      // cron'd backup AFTER pit: pit falls MID-increment (inc_1_4), so
+      // the restore must filter rows above it inside one increment
+      assert(backup() == 4L)
+      // DISASTER: hard-kill the follower mid-stream, then lose its disk
+      p1.destroyForcibly()
+      assert(p1.waitFor(60, TimeUnit.SECONDS), "killed follower must exit")
+    } finally if (p1.isAlive) p1.destroyForcibly()
+    graft.model.Dirs.rmTree(slaveDir)
+    graft.model.Dirs.rmTree(idxDir)
+
+    // the master keeps committing while the replica is gone
+    gs.txn().createVertices("doc", frameOf(200L until 230L, 0)).commit() // epoch 5
+    assert(backup() == 5L)
+
+    // RESTORE from the chain to the point in time (mid-chain epoch):
+    // exactly the rows committed through pit, pointer standing at pit
+    val restoredDir = tmp("dr-restored")
+    val restored = graft.model.Backup.restoreChain(spark, broot,
+      restoredDir.toString, upTo = pit)
+    assert(restored.currentEpoch == pit, "restore must stand at the PIT epoch")
+    def keyRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "rev", "text").as[(Long, Long, String)].collect().toSet
+    assert(keyRows(restored.read("v_doc")) ==
+      keyRows(gs.store.read("v_doc", asOf = Some(pit))),
+      "restored store must equal the master's as-of-PIT snapshot")
+    assert(restored.read("v_doc").count() == 80L) // 40 seed + 40 created, pre-update/delete
+
+    // TAIL: a NEW follower process adopts the restored store and
+    // catches up to the live master through the commit log — the
+    // reference's restore-then-replay, across a process boundary
+    val ready2 = masterDir.resolve("_READY2")
+    val stop2 = masterDir.resolve("_STOP2")
+    val done2 = masterDir.resolve("_DONE2")
+    val idxDir2 = tmp("dr-idx2")
+    val p2 = fork(restoredDir, idxDir2, ready2, stop2, done2)
+    try {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!Files.exists(ready2) && p2.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      assert(Files.exists(ready2), "follower #2 never became ready; log tail:\n" +
+        tail(masterDir.resolve("_READY2.log").toFile))
+      // live commits land on the recovered follower too
+      gs.txn().createVertices("doc", frameOf(300L until 310L, 0)).commit() // epoch 6
+      Files.write(stop2, Array.emptyByteArray)
+      assert(p2.waitFor(240, TimeUnit.SECONDS), "follower #2 did not exit; log tail:\n" +
+        tail(masterDir.resolve("_READY2.log").toFile))
+      assert(p2.exitValue() == 0, s"follower #2 exited ${p2.exitValue()}; log tail:\n" +
+        tail(masterDir.resolve("_READY2.log").toFile))
+      assert(Files.exists(done2))
+    } finally if (p2.isAlive) p2.destroyForcibly()
+
+    // PARITY, from the files the exited follower left behind: cursor,
+    // live rows, full history, and the as-of-PIT snapshot all converge
+    val recovered = new VersionedStore(spark, restoredDir.toString)
+    assert(recovered.currentEpoch == gs.store.currentEpoch,
+      "recovered follower must reach cursor parity with the live master")
+    assert(keyRows(recovered.read("v_doc")) == keyRows(gs.store.read("v_doc")),
+      "live-row parity after catch-up")
+    assert(keyRows(recovered.read("v_doc", asOf = Some(pit))) ==
+      keyRows(gs.store.read("v_doc", asOf = Some(pit))),
+      "the recovered store must preserve point-in-time reads below the PIT")
+    assert(recovered.history("v_doc").count() == gs.store.history("v_doc").count(),
+      "full version-history parity (every epoch's rows, incl. tombstones)")
+    // the catch-up really happened through the log, not a re-restore:
+    // the update (epoch 3) and delete (epoch 4) are visible
+    val live = recovered.read("v_doc").select("id").as[Long].collect().toSet
+    assert((130L until 140L).forall(id => !live.contains(id)), "deletes replayed")
+    assert(live.contains(300L), "post-recovery live commit replayed")
+  }
+
   private def tail(f: java.io.File): String =
     if (!f.exists()) "(no log)"
     else {
