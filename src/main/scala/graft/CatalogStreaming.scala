@@ -598,6 +598,59 @@ object CatalogStreaming {
              |  FROM documents ORDER BY rank LIMIT 64)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Streaming POINT-IN-TIME read: q121's as-of semantics driven
+    // WHILE a transactional ingest is mid-stream. The even docs are
+    // committed as a batch seed, the epoch is pinned, then the odd
+    // docs stream through the exactly-once sink — and on EVERY durable
+    // streamed commit a read pinned to the pre-stream epoch runs in
+    // the ingest's own call stack and must still see exactly the seed
+    // (epoch-partition pruning makes that read O(seed), untouched by
+    // the commits landing around it). The final result is the pinned
+    // read after the stream: precisely the seed rows at rev 1, with
+    // guard columns proving the stream really landed (every doc live,
+    // epochs advanced) and that every mid-stream pinned read held.
+    // MVCC isolation against a LIVE writer is the property q121's
+    // static two-epoch store cannot express (reference mvcc-tests +
+    // the snapshot contract, transactions.lisp epoch pinning).
+    QueryDef("q200_stream_asof",
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+          "graft-streamasof").toString
+        val schema = graft.model.GraphSchema.builder()
+          .vertex("doc", "id", Seq("lang", "n_chars")).build()
+        val gs = new graft.model.GraphStore(s, schema, dir)
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        gs.txn().createVertices("doc", docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"), col("lang"), col("n_chars"))).commit()
+        val pin = gs.store.currentEpoch
+        val seedCount = gs.store.read("v_doc").count()
+        val midstreamPinned = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val sink = graft.streaming.TransactionalIngest.vertexSink(
+          gs, "doc", sinkId = "q200-asof", slices = 2,
+          onCommit = (_, _, _) =>
+            if (gs.store.read("v_doc", asOf = Some(pin)).count() != seedCount)
+              midstreamPinned.set(false))
+        val src = streamTable(s, d, "documents.parquet")
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("id"), col("lang"), col("n_chars"))
+        val sq = src.writeStream.foreachBatch(sink)
+          .trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        recordRun(sq) // the plan is stateless; the state under test is the STORE
+        val streamLanded = gs.store.currentEpoch > pin &&
+          gs.graph().vertices("doc").count() == docs.count()
+        gs.store.read("v_doc", asOf = Some(pin))
+          .select(col("id"), col("rev"), col("lang"), col("n_chars"),
+            lit(streamLanded).as("stream_landed"),
+            lit(midstreamPinned.get()).as("midstream_pinned"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, CAST(1 AS BIGINT) AS rev, lang, n_chars,
+             |  true AS stream_landed, true AS midstream_pinned
+             |FROM documents WHERE doc_id % 2 = 0 ORDER BY id""".stripMargin)),
+
     QueryDef("q126_stream_stream_join",
       (s, d) => {
         val views = streamEvents(s, d)

@@ -681,6 +681,152 @@ class ConcurrentStormSpec extends SparkSpec {
     } finally { stop.set(true); regen.join() }
   }
 
+  test("maintenance storm: the unattended daemon compacts views + sig index " +
+      "on thresholds while writers commit, a follower tails the same commit " +
+      "log, and lease-holding readers probe — quiescent parity everywhere, " +
+      "follower at cursor parity") {
+    // The three background subsystems (GenDirs generation sweeps via
+    // regenerate/rebuild, Replicator tailing, the Maintenance daemon)
+    // interacting in ONE run: the daemon decides WHEN to compact from
+    // layout stats while writers breach them, readers pin generations
+    // mid-publish, and the follower replicates the same epochs the
+    // hooks are maintaining. Each pair is storm-proven elsewhere; this
+    // is the three-way.
+    val dir = tmp("storm-maint")
+    val schema = GraphSchema.builder()
+      .vertex("doc", "id", Seq("text", "seg")).build()
+    val gs = new GraphStore(spark, schema, dir)
+    val seedDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id").as("id"), col("text"),
+        (col("doc_id") % 4).cast("string").as("seg"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    gs.txn().createVertices("doc", seedDocs.toDF("id", "text", "seg")).commit()
+    val sig = new SignatureIndex(gs, "doc", "text", dir)
+    sig.rebuild(); sig.bind()
+    val cat = new ViewCatalog(spark, gs, dir)
+    cat.register(ViewDef("by_seg", "doc",
+      df => df.select(col("seg").as("key"), col("id"),
+        length(col("text")).cast("double").as("value")),
+      reduceAgg = Some(sum(col("value")))))
+    cat.regenerate("by_seg"); cat.bindTo(gs)
+    val viewRoot = cat.rootOf("by_seg")
+    val sigRoot = Paths.get(dir, "sigindex", "doc")
+
+    // NO manual compactor thread: compaction authority is the DAEMON,
+    // firing only when the writers' deltas breach the (tiny) thresholds
+    val daemon = new graft.model.Maintenance(
+      graft.model.Maintenance.forViews(cat) :+
+        graft.model.Maintenance.Target("sig:doc", sigRoot, () => sig.rebuild()),
+      deltaEpochsHigh = 3, deltaBytesHigh = 1L << 40, periodMs = 50L)
+    daemon.start()
+
+    val writersDone = new AtomicBoolean(false)
+    val sideErrors = new ConcurrentLinkedQueue[Throwable]
+    // follower tails the commit log while hooks + daemon churn the store
+    val slave = new VersionedStore(spark, tmp("storm-maint-slave"))
+    val repl = new Replicator(gs.store, slave, Seq("v_doc"))
+    val follower = new Thread(() => {
+      try while (!writersDone.get()) { repl.sync(); Thread.sleep(30) }
+      catch { case t: Throwable => sideErrors.add(t) }
+    }, "maint-follower")
+    val probes = new AtomicInteger
+    val readers = (0 until 2).map { i =>
+      new Thread(() => {
+        try while (!writersDone.get()) {
+          // every read pins a generation lease internally; the daemon
+          // publishes fresh generations underneath throughout
+          sig.nearDups().count()
+          cat.reducedView("by_seg").count()
+          probes.incrementAndGet()
+        } catch { case t: Throwable => sideErrors.add(t) }
+      }, s"maint-reader-$i")
+    }
+    // one SLOW reader: builds a plan, holds it across daemon publishes
+    // (gen must advance underneath), then executes — the lease grace +
+    // sweep discipline is what keeps its files alive
+    val slowReaderRan = new AtomicBoolean(false)
+    val slow = new Thread(() => {
+      try {
+        val gen0 = graft.model.GenDirs.layoutStats(viewRoot).gen
+        val plan = cat.reducedView("by_seg")
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (graft.model.GenDirs.layoutStats(viewRoot).gen < gen0 + 1 &&
+            !writersDone.get() && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(plan.count() >= 0L)
+        slowReaderRan.set(true)
+      } catch { case t: Throwable => sideErrors.add(t) }
+    }, "maint-slow-reader")
+    follower.start(); readers.foreach(_.start()); slow.start()
+
+    // 3 writers × (2 creates + update + delete) on disjoint ranges,
+    // paced so breaches happen MID-storm, not in one burst at the end
+    val twin = seedDocs.head._2
+    inThreads(3) { w =>
+      val base = 2000L + w * 100
+      (0 until 2).foreach { c =>
+        gs.txn().createVertices("doc",
+          (0 until 3).map(j => (base + c * 10 + j,
+            s"maint storm writer $w commit $c row $j " + twin,
+            (w % 4).toString)).toDF("id", "text", "seg")).commit()
+        Thread.sleep(100)
+      }
+      gs.txn().updateVertices("doc",
+        Seq((base, twin, (w % 4).toString)).toDF("id", "text", "seg")).commit()
+      gs.txn().deleteVertices("doc", Seq(base + 1).toDF("id")).commit()
+    }
+    // let the daemon see the final deltas before quiescing it
+    val drainDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while ((graft.model.GenDirs.layoutStats(viewRoot).deltaEpochs >= 3 ||
+        graft.model.GenDirs.layoutStats(sigRoot).deltaEpochs >= 3) &&
+        System.nanoTime() < drainDeadline)
+      Thread.sleep(100)
+    writersDone.set(true)
+    follower.join(); readers.foreach(_.join()); slow.join()
+    daemon.stop()
+    if (!sideErrors.isEmpty) throw sideErrors.peek()
+    assert(probes.get() > 0, "readers must have completed probes mid-storm")
+    assert(slowReaderRan.get(), "the slow lease-holding reader must have executed")
+
+    // the daemon actually ran and swallowed nothing: both targets
+    // compacted at least once, zero errors across every pass
+    val comps = daemon.lastCompactions()
+    assert(comps.contains("view:by_seg") && comps.contains("sig:doc"),
+      s"daemon must have compacted both targets mid-storm: $comps")
+    assert(daemon.recentErrors().isEmpty,
+      s"daemon swallowed failures under the storm: ${daemon.recentErrors()}")
+    assert(graft.model.GenDirs.layoutStats(viewRoot).deltaEpochs < 3 &&
+      graft.model.GenDirs.layoutStats(sigRoot).deltaEpochs < 3,
+      "steady state must be below the daemon's thresholds")
+
+    // quiescent parity on every maintained surface vs from-scratch
+    val docs = gs.graph().vertices("doc")
+    val sigGot = sig.nearDups().select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigWant = Dedup.minhashNearDups(docs, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sigGot == sigWant,
+      "signature index must equal from-scratch recompute after daemon churn")
+    assert(sigWant.exists(p => p._1 == seedDocs.head._1 && p._2 >= 2000L),
+      "fixture must actually plant cross-thread twins")
+    val viewGot = cat.reducedView("by_seg").select("key", "value")
+      .as[(String, Double)].collect().toMap
+    val viewWant = docs.groupBy("seg")
+      .agg(sum(length(col("text")).cast("double")).as("v"))
+      .as[(String, Double)].collect().toMap
+    assert(viewGot == viewWant,
+      "daemon-compacted view must equal from-scratch recompute")
+
+    // follower at cursor parity: one final tail converges rows, revs
+    // and the epoch pointer with the post-storm master
+    repl.sync()
+    assert(slave.currentEpoch == gs.store.currentEpoch,
+      "follower must reach cursor parity")
+    def rows(s: VersionedStore) = s.read("v_doc")
+      .select("id", "rev", "text").as[(Long, Long, String)].collect().toSet
+    assert(rows(slave) == rows(gs.store), "follower live-row parity")
+  }
+
   test("ingest storm: two crash-replaying exactly-once sinks, a direct " +
       "writer, a compactor and a reader run concurrently — every row lands " +
       "once, the epoch count is exact, the bound view recomputes clean") {
