@@ -483,20 +483,25 @@ final class HttpEndpoint(
     }.getOrElse(Map.empty)
   }
 
+  /** Both delivery shapes drain through the SAME clamped eager drain
+    * ([[QueryService.ndjson]] — maxLimit-bounded by policy, collected
+    * before the first socket byte): the ndjson branch streams the
+    * lines, the array branch joins them. One drain, one compaction-
+    * grace story, no second collect path to audit.
+    */
   private def respondRows(ex: HttpExchange, df: org.apache.spark.sql.DataFrame,
-      stream: Boolean): Unit =
+      stream: Boolean): Unit = {
+    val lines = service.ndjson(df)
     if (stream) {
       ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
       ex.sendResponseHeaders(200, 0)
       val os = ex.getResponseBody
-      service.ndjson(df).foreach { line =>
+      lines.foreach { line =>
         os.write(line.getBytes(StandardCharsets.UTF_8)); os.write('\n')
       }
       os.close()
-    } else {
-      val rows = df.toJSON.collect().mkString("[", ",", "]")
-      reply(ex, 200, rows)
-    }
+    } else reply(ex, 200, lines.mkString("[", ",", "]"))
+  }
 
   private def err(msg: String): String =
     "{\"error\": \"" + Option(msg).getOrElse("unknown").replace("\\", "\\\\")

@@ -62,6 +62,12 @@ object TransactionalIngest {
   /** Last applied (batchId, slice) for `sinkId`, or None before the
     * sink's first commit. Public for ops introspection and for
     * resetting decisions ("is this checkpoint ahead of the store?").
+    *
+    * Cost note: this (and [[currentRev]]) is a driver `collect()` over
+    * the one-row-per-sink reserved cursor table, paid once per COMMIT
+    * (slice), never per row — at any corpus size the table holds one
+    * live row per sink, so do not "optimize" it into a join against
+    * the batch.
     */
   def cursor(store: VersionedStore, sinkId: String): Option[(Long, Long)] = {
     val df = store.read(cursorTable)

@@ -81,6 +81,77 @@ class BackupChainSpec extends SparkSpec {
       "the epoch-3 delete must not reach an upTo=2 restore")
   }
 
+  test("vacuum between increments: live state converges, and the chain " +
+      "PRESERVES point-in-time fidelity retention destroys in the source") {
+    // Retention (vacuum keep=1) drops superseded revisions in place,
+    // keeping survivors at their original commit_epoch. The contract
+    // with the chain is asymmetric, and deliberately so: LIVE state
+    // always converges (the newest revision of every id survives both
+    // sides), but an increment dumped BEFORE the vacuum carries rows
+    // retention later drops — so the restored store answers asOf
+    // exactly as the original unvacuumed store would for every epoch
+    // the pre-vacuum increments cover, while the vacuumed source has
+    // irreversibly degraded those answers. Backups are the PIT archive
+    // the reaper cannot reach (the reference archives txns OUT of the
+    // store the same way, transactions.lisp:408-599); what vacuum
+    // drops before any increment captured it is gone from both sides
+    // equally. Backup.replay's OCC-replay caveat does not apply to the
+    // chain, which installs verbatim.
+    val (gs, tables) = mkStore()
+    val root = tmp("bchain-vac-root")
+    gs.txn().createVertices("doc",
+      (0L until 10L).map(i => (i, i)).toDF("id", "score")).commit() // e1
+    assert(Backup.incremental(gs.store, tables, root) == 1L)
+    // unbacked window with churn: rev 2 and rev 3 of the same ids land
+    // AFTER the last increment...
+    gs.txn().updateVertices("doc",
+      (0L until 4L).map(i => (i, 100L + i)).toDF("id", "score")).commit() // e2
+    gs.txn().updateVertices("doc",
+      (0L until 4L).map(i => (i, 200L + i)).toDF("id", "score")).commit() // e3
+    gs.txn().deleteVertices("doc", Seq(9L).toDF("id")).commit() // e4
+    // ...and vacuum drops the superseded rev-2 rows before the next one
+    gs.store.vacuum("v_doc", keep = 1)
+    assert(Backup.incremental(gs.store, tables, root) == 4L)
+    gs.txn().createVertices("doc", Seq((50L, 5L)).toDF("id", "score")).commit() // e5
+    assert(Backup.incremental(gs.store, tables, root) == 5L)
+
+    val restored = Backup.restoreChain(spark, root, tmp("bchain-vac-restore"))
+    assert(restored.currentEpoch == 5L)
+    // LIVE parity always holds: keep>=1 never drops an id's newest rev
+    // (v_tag is never written in this fixture — vacuum churn is v_doc's)
+    assert(sortedRows(restored, "v_doc") == sortedRows(gs.store, "v_doc"),
+      "v_doc live rows drifted")
+    // the restored store answers asOf(1) as the ORIGINAL store did:
+    // all ten rev-1 rows, dumped by the pre-vacuum increment...
+    def asOfIds(s: VersionedStore, e: Long): Seq[Long] =
+      s.read("v_doc", asOf = Some(e)).select("id").as[Long].collect().sorted.toSeq
+    assert(asOfIds(restored, 1L) == (0L until 10L),
+      "chain restore must preserve the pre-vacuum epoch-1 snapshot verbatim")
+    // ...while the vacuumed source has degraded that answer (rev 1 of
+    // the since-updated ids 0-3 and since-deleted id 9 are gone)
+    assert(asOfIds(gs.store, 1L) == (4L until 9L),
+      "fixture: vacuum must actually have degraded the source's asOf(1)")
+    // history: restored ⊇ source, and the difference is EXACTLY the
+    // backed-up rows vacuum dropped (never more, never resurrection)
+    def hist(s: VersionedStore) = s.history("v_doc")
+      .select("id", "rev").as[(Long, Long)].collect().toSet
+    assert(hist(gs.store).subsetOf(hist(restored)),
+      "the chain must carry everything the source still has")
+    assert(hist(restored) -- hist(gs.store) ==
+      ((0L until 4L).map(_ -> 1L) :+ (9L -> 1L)).toSet,
+      "restored-minus-source must be exactly the pre-vacuum dumped rows")
+    // what vacuum dropped BEFORE any increment captured it (the rev-2
+    // slice landed and was superseded inside one backup window) is
+    // gone from both sides equally — backups cannot archive what they
+    // never saw
+    assert(gs.store.history("v_doc").filter(col("rev") === 2L)
+      .filter(col("deleted") === false).count() == 0,
+      "fixture: vacuum must actually have dropped the rev-2 updates")
+    assert(restored.history("v_doc").filter(col("rev") === 2L)
+      .filter(col("deleted") === false).count() == 0,
+      "the chain must not resurrect rows vacuum dropped before any dump")
+  }
+
   test("gapped chains refuse loudly; manifest-less increments are " +
       "invisible (crash discipline)") {
     val (gs, tables) = mkStore()
