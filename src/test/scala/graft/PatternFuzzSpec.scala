@@ -143,7 +143,10 @@ class PatternFuzzSpec extends SparkSpec {
     withSeg <- Gen.oneOf(true, false)
     // expand / anti-join / two-hop chain (Catalyst join reorder) /
     // Or over GENERATOR branches (union of two edge streams) / neither
-    shape <- Gen.oneOf("plain", "edge", "noedge", "twohop", "orEdge")
+    // / the NESTED combinators (r11 grammar gap): Or inside Not, Not
+    // inside Or branches, Not inside Not
+    shape <- Gen.oneOf("plain", "edge", "noedge", "twohop", "orEdge",
+      "notOr", "orNot", "notNot")
     useRegex <- Gen.oneOf(true, false)
     regexPat <- Gen.oneOf(regexPats)
     useBind <- Gen.oneOf(true, false)
@@ -169,6 +172,21 @@ class PatternFuzzSpec extends SparkSpec {
       case "orEdge" => base :+ ((Or(Seq(
         Seq(EdgeGoal("placed", "a", "o", Some("w"))),
         Seq(EdgeGoal("knows", "a", "o", Some("w"))))), Option.empty[FC]))
+      // customers with NEITHER edge kind: Or unions inside the
+      // anti-joined subpattern
+      case "notOr" => base :+ ((Not(Seq(Or(Seq(
+        Seq(EdgeGoal("placed", "a", "o2")),
+        Seq(EdgeGoal("knows", "a", "o2")))))), Option.empty[FC]))
+      // MULTISET union of two anti-joins: a customer lacking both edge
+      // kinds must appear twice (branches bind no new vars)
+      case "orNot" => base :+ ((Or(Seq(
+        Seq(Not(Seq(EdgeGoal("placed", "a", "o2")))),
+        Seq(Not(Seq(EdgeGoal("knows", "a", "o2")))))), Option.empty[FC]))
+      // double negation: "no order of a lacks a contains edge" — the
+      // inner Not anti-joins within the outer Not's own subcompile
+      case "notNot" => base :+ ((Not(Seq(
+        EdgeGoal("placed", "a", "o2"),
+        Not(Seq(EdgeGoal("contains", "o2", "p2"))))), Option.empty[FC]))
       case _ => base
     }
     // filters/regex/bind only over vars the shape actually bound
