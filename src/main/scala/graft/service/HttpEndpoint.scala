@@ -60,6 +60,10 @@ final class HttpEndpoint(
 
   private var pool: java.util.concurrent.ExecutorService = _
   private var queryGate: java.util.concurrent.Semaphore = _
+  private var querySlots: Int = 0
+  // admission-control telemetry: how often saturation turned callers
+  // away — the number an operator reads BEFORE raising the slot count
+  private val rejected429 = new java.util.concurrent.atomic.AtomicLong
 
   /** Serve on a BOUNDED worker pool with query admission control — the
     * reference serves each REST request on a pooled connection thread
@@ -82,6 +86,7 @@ final class HttpEndpoint(
       s"need 1 <= maxConcurrentQueries ($maxConcurrentQueries) < workerThreads " +
         s"($workerThreads) so admin lanes survive query saturation")
     queryGate = new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
+    querySlots = maxConcurrentQueries
     val n = new java.util.concurrent.atomic.AtomicInteger
     pool = java.util.concurrent.Executors.newFixedThreadPool(workerThreads,
       (r: Runnable) => {
@@ -128,6 +133,7 @@ final class HttpEndpoint(
         if (!queryGate.tryAcquire()) {
           // admission, not queueing: the caller learns NOW that every
           // query slot is held and retries with backoff
+          rejected429.incrementAndGet()
           ex.getResponseHeaders.set("Retry-After", "1")
           reply(ex, 429, err("query concurrency limit reached, retry"))
         } else try {
@@ -397,6 +403,16 @@ final class HttpEndpoint(
             s""""slice": ${r.getLong(2)}}"""
         }.mkString(""", "ingest": [""", ",", "]")
     }
+    // service admission health alongside the store stats: slots in
+    // flight vs configured, and how many callers saturation turned
+    // away since start (the stats route itself bypasses the gate, so
+    // this is readable exactly when it matters — under saturation)
+    val service_ = {
+      val inFlight = if (queryGate == null) 0 else querySlots - queryGate.availablePermits()
+      s""", "service": {"query_slots": $querySlots, """ +
+        s""""queries_in_flight": $inFlight, """ +
+        s""""rejected_429": ${rejected429.get()}}"""
+    }
     // the bound maintenance daemon's health: whether it runs, when each
     // target last compacted (generation + wall ms; never = null), and
     // the failures it swallowed — the unattended tier must be auditable
@@ -430,7 +446,7 @@ final class HttpEndpoint(
         f""""avg_writes_per_sec": ${recentCommits / 61.0}%.4f, """ +
         f""""avg_reads_per_sec": ${readStats.lastAvg(60)}%.4f, """ +
         s""""tables": [${tables.mkString(",")}], """ +
-        s""""stores": [${(viewStats ++ indexStats).mkString(",")}]$maint$ingest$series}""")
+        s""""stores": [${(viewStats ++ indexStats).mkString(",")}]$service_$maint$ingest$series}""")
   }
 
   /** `POST /admin/chart` — the chart.lisp dashboard: a self-contained

@@ -936,8 +936,14 @@ class ServiceSpec extends SparkSpec {
       // /pattern shares the same admission gate
       assert(send("/pattern").statusCode() == 429)
       // admin keeps its lanes while EVERY query slot is held —
-      // monitoring a saturated server is when stats matter
-      assert(send("/admin/stats").statusCode() == 200)
+      // monitoring a saturated server is when stats matter; and the
+      // stats taken AT saturation report it: both slots in flight,
+      // the two rejections counted
+      val satStats = send("/admin/stats")
+      assert(satStats.statusCode() == 200)
+      assert(satStats.body().contains(
+        """"service": {"query_slots": 2, "queries_in_flight": 2, "rejected_429": 2}"""),
+        s"saturation must be visible in stats: ${satStats.body()}")
       gate.countDown()
       assert(f1.get(30, java.util.concurrent.TimeUnit.SECONDS).statusCode() == 200)
       assert(f2.get(30, java.util.concurrent.TimeUnit.SECONDS).statusCode() == 200)
