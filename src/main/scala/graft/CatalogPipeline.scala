@@ -723,6 +723,56 @@ object CatalogPipeline {
              |    GROUP BY pair))
              |WHERE rank <= 30 ORDER BY rank""".stripMargin)),
 
+    // BPE merge TRAINING (the loop q98's statistic feeds): three
+    // deterministic merge rounds over the word-frequency table — each
+    // round's winning pair (count desc, pair asc) and its summed
+    // count. The oracle unrolls the three rounds as materialized CTE
+    // stages (pair counts → argmax → literal replace with the same
+    // sentinel padding), so a divergence in tie-breaks, weighting, or
+    // the left-to-right non-overlapping merge application would
+    // hash-mismatch. Symbols ride space-separated strings in BOTH
+    // engines: merge application is plain string replace, identical
+    // semantics by construction.
+    QueryDef("q201_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis.bpeMerges(Tpch.table(s, d, "documents"), "text", rounds = 3)
+          ._1.toDF("step", "pair", "n_occurrences").orderBy("step")
+      },
+      Some("""WITH w0 AS MATERIALIZED (
+             |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym,
+             |    count(*) AS n
+             |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+             |        FROM documents)
+             |  WHERE length(w) > 0 GROUP BY 1),
+             |p1 AS (SELECT l[i] || ' ' || l[i+1] AS p, sum(n) AS cnt FROM (
+             |    SELECT l, n, unnest(range(1, len(l))) AS i FROM (
+             |      SELECT string_split(trim(sym), ' ') AS l, n FROM w0))
+             |  GROUP BY 1),
+             |m1 AS MATERIALIZED (SELECT p, cnt FROM p1 ORDER BY cnt DESC, p LIMIT 1),
+             |w1 AS MATERIALIZED (SELECT replace(sym,
+             |    ' ' || (SELECT p FROM m1) || ' ',
+             |    ' ' || (SELECT replace(p, ' ', '') FROM m1) || ' ') AS sym, n FROM w0),
+             |p2 AS (SELECT l[i] || ' ' || l[i+1] AS p, sum(n) AS cnt FROM (
+             |    SELECT l, n, unnest(range(1, len(l))) AS i FROM (
+             |      SELECT string_split(trim(sym), ' ') AS l, n FROM w1))
+             |  GROUP BY 1),
+             |m2 AS MATERIALIZED (SELECT p, cnt FROM p2 ORDER BY cnt DESC, p LIMIT 1),
+             |w2 AS MATERIALIZED (SELECT replace(sym,
+             |    ' ' || (SELECT p FROM m2) || ' ',
+             |    ' ' || (SELECT replace(p, ' ', '') FROM m2) || ' ') AS sym, n FROM w1),
+             |p3 AS (SELECT l[i] || ' ' || l[i+1] AS p, sum(n) AS cnt FROM (
+             |    SELECT l, n, unnest(range(1, len(l))) AS i FROM (
+             |      SELECT string_split(trim(sym), ' ') AS l, n FROM w2))
+             |  GROUP BY 1),
+             |m3 AS MATERIALIZED (SELECT p, cnt FROM p3 ORDER BY cnt DESC, p LIMIT 1)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS INTEGER) AS step, p AS pair,
+             |    CAST(cnt AS BIGINT) AS n_occurrences FROM m1
+             |  UNION ALL SELECT CAST(2 AS INTEGER), p, CAST(cnt AS BIGINT) FROM m2
+             |  UNION ALL SELECT CAST(3 AS INTEGER), p, CAST(cnt AS BIGINT) FROM m3)
+             |ORDER BY step""".stripMargin)),
+
     QueryDef("q104_dup_spans",
       // exact substring-duplication load per document (the
       // suffix-array window-dedup statistic): every 8-token window

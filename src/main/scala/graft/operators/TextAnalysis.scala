@@ -116,6 +116,74 @@ object TextAnalysis {
         Window.orderBy(col("n_occurrences").desc, col("pair"))).cast("long"))
   }
 
+  /** Distributed BPE merge TRAINING — the iterative loop [[bpePairCounts]]
+    * is one statistic of: `rounds` times, count adjacent symbol pairs
+    * across the corpus, pick the most frequent (count desc, pair asc —
+    * a total order, so training is deterministic), and merge it into a
+    * single symbol everywhere. The canonical "train a tokenizer on the
+    * corpus" job.
+    *
+    * Scale design: ONE corpus-sized aggregation builds the word
+    * frequency table (the classic BPE training input); every merge
+    * round after that runs over the VOCABULARY-sized table — pair
+    * counting is an explode+sum over distinct words weighted by
+    * frequency (map-side partials), and applying a merge is one
+    * narrow, codegen'd `replace` over the symbol strings (symbols ride
+    * a space-separated string with sentinel padding, so a merge is
+    * plain left-to-right non-overlapping string replacement —
+    * identical semantics in Spark and the SQL oracle, no UDF). Only
+    * the winning (pair, count) row reaches the driver per round — the
+    * ivfTrain codebook discipline.
+    *
+    * Variant notes (documented deviations from reference BPE
+    * implementations): symbols are the [a-z] characters of lowercased
+    * alphabetic words (no end-of-word marker), and a merge applies
+    * left-to-right non-overlapping within each word — "aaa" under
+    * merge "a a" becomes ("aa", "a"), the greedy scan order.
+    *
+    * Returns the merge table (step, pair, summed count) — fewer than
+    * `rounds` rows when the corpus runs out of pairs — and the final
+    * per-word symbol strings (sym, n) for vocabulary inspection.
+    */
+  def bpeMerges(df: DataFrame, textCol: String,
+      rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {
+    require(rounds >= 1, "need at least one merge round")
+    var words = df
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      // " h e l l o " — leading/trailing sentinels make every pair
+      // occurrence the exact string ' a b ', boundary-safe to replace
+      .select(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("n"))
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var exhausted = false
+    for (step <- 1 to rounds if !exhausted) {
+      val top = words
+        .select(col("n"), split(trim(col("sym")), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(a)-2), i -> concat(a[i], ' ', a[i+1]))")).as("p"))
+        .groupBy("p").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc)
+        .limit(1).collect().headOption
+      top match {
+        case Some(r) =>
+          val pair = r.getString(0)
+          merges += ((step, pair, r.getLong(1)))
+          words = words.withColumn("sym",
+            regexp_replace(col("sym"),
+              // literal (quoted) pattern: symbols are [a-z]+ but \Q\E
+              // keeps the contract honest if that ever widens
+              lit(java.util.regex.Pattern.quote(s" $pair ")),
+              lit(" " + pair.replace(" ", "") + " ")))
+        case None => exhausted = true // no pairs left anywhere
+      }
+    }
+    (merges.result(), words)
+  }
+
   /** Sliding-window document chunking — the retrieval-indexing
     * primitive (a RAG/embedding pipeline chunks every document into
     * overlapping token windows before embedding): windows of

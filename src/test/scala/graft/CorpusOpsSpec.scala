@@ -353,6 +353,29 @@ class CorpusOpsSpec extends SparkSpec {
       .as[Long].collect().toSet === Set(1L, 2L, 257L))
   }
 
+  test("bpeMerges: deterministic merge order, frequency weighting, " +
+      "left-to-right non-overlapping application, pair exhaustion") {
+    // "aa"×2 + "aaa"×1 + "ab"×1: round 1 counts 'a a' = 2·1 (from aa)
+    // + 1·2 (TWO occurrences inside aaa) = 4, beating 'a b' = 1.
+    // Applying it left-to-right: "a a a" -> "aa a" (greedy, no
+    // overlap), "a a" -> "aa". Round 2: 'a b'=1 vs 'aa a'=1 — the
+    // lexicographic tie-break picks 'a b'. Round 3: 'aa a' merges.
+    // Round 4 finds nothing: fewer rows than rounds.
+    val docs = Seq((1L, "aa aa. aaa! ab"), (2L, "")).toDF("doc_id", "text")
+    val (merges, words) =
+      TextAnalysis.bpeMerges(docs, "text", rounds = 4)
+    assert(merges == Seq((1, "a a", 4L), (2, "a b", 1L), (3, "aa a", 1L)),
+      s"merge table drifted: $merges")
+    val syms = words.orderBy("sym").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(syms == Seq((" aa ", 2L), (" aaa ", 1L), (" ab ", 1L)),
+      s"final symbols drifted: $syms")
+    // case folding + non-letter splitting: "Low-Low" = two 'low' words
+    val (m2, _) = TextAnalysis.bpeMerges(
+      Seq((1L, "Low-Low lo")).toDF("doc_id", "text"), "text", rounds = 1)
+    assert(m2 == Seq((1, "l o", 3L)), s"fold/split drifted: $m2")
+  }
+
   test("vocabGrowth: first-seen accounting at quantile checkpoints") {
     // firsts: a→1, b→1, c→2, d→4 → nf = d1:2, d2:1, d3:0, d4:1
     // 2 buckets: median boundary 2.5 → (2 docs, vocab 3); end → (4, 4)
