@@ -773,6 +773,63 @@ object CatalogPipeline {
              |  UNION ALL SELECT CAST(3 AS INTEGER), p, CAST(cnt AS BIGINT) FROM m3)
              |ORDER BY step""".stripMargin)),
 
+    // The trained merges APPLIED — tokenizer evaluation: after q201's
+    // three rounds, total token count and the compression ratio
+    // (per-myriad integer division, fp-free). Computed at VOCABULARY
+    // grain (the final per-word symbol strings × corpus frequency),
+    // which equals the corpus totals for alphabetic tokens without a
+    // second corpus pass. The oracle extends q201's CTE chain one
+    // stage (apply merge 3) and re-derives the totals.
+    QueryDef("q202_bpe_apply",
+      (s, d) => {
+        val (_, words) = TextAnalysis.bpeMerges(
+          Tpch.table(s, d, "documents"), "text", rounds = 3)
+        words.select(col("n"),
+            length(regexp_replace(col("sym"), " ", "")).as("chars"),
+            size(split(trim(col("sym")), " ")).as("toks"))
+          .agg(sum(col("n")).cast("long").as("n_words"),
+            sum(col("n") * col("chars")).cast("long").as("tokens_before"),
+            sum(col("n") * col("toks")).cast("long").as("tokens_after"))
+          .withColumn("compression_pm",
+            expr("tokens_after * 10000 div tokens_before"))
+      },
+      Some("""WITH w0 AS MATERIALIZED (
+             |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym,
+             |    count(*) AS n
+             |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+             |        FROM documents)
+             |  WHERE length(w) > 0 GROUP BY 1),
+             |p1 AS (SELECT l[i] || ' ' || l[i+1] AS p, sum(n) AS cnt FROM (
+             |    SELECT l, n, unnest(range(1, len(l))) AS i FROM (
+             |      SELECT string_split(trim(sym), ' ') AS l, n FROM w0))
+             |  GROUP BY 1),
+             |m1 AS MATERIALIZED (SELECT p, cnt FROM p1 ORDER BY cnt DESC, p LIMIT 1),
+             |w1 AS MATERIALIZED (SELECT replace(sym,
+             |    ' ' || (SELECT p FROM m1) || ' ',
+             |    ' ' || (SELECT replace(p, ' ', '') FROM m1) || ' ') AS sym, n FROM w0),
+             |p2 AS (SELECT l[i] || ' ' || l[i+1] AS p, sum(n) AS cnt FROM (
+             |    SELECT l, n, unnest(range(1, len(l))) AS i FROM (
+             |      SELECT string_split(trim(sym), ' ') AS l, n FROM w1))
+             |  GROUP BY 1),
+             |m2 AS MATERIALIZED (SELECT p, cnt FROM p2 ORDER BY cnt DESC, p LIMIT 1),
+             |w2 AS MATERIALIZED (SELECT replace(sym,
+             |    ' ' || (SELECT p FROM m2) || ' ',
+             |    ' ' || (SELECT replace(p, ' ', '') FROM m2) || ' ') AS sym, n FROM w1),
+             |p3 AS (SELECT l[i] || ' ' || l[i+1] AS p, sum(n) AS cnt FROM (
+             |    SELECT l, n, unnest(range(1, len(l))) AS i FROM (
+             |      SELECT string_split(trim(sym), ' ') AS l, n FROM w2))
+             |  GROUP BY 1),
+             |m3 AS MATERIALIZED (SELECT p, cnt FROM p3 ORDER BY cnt DESC, p LIMIT 1),
+             |w3 AS MATERIALIZED (SELECT replace(sym,
+             |    ' ' || (SELECT p FROM m3) || ' ',
+             |    ' ' || (SELECT replace(p, ' ', '') FROM m3) || ' ') AS sym, n FROM w2)
+             |SELECT n_words, tokens_before, tokens_after,
+             |  tokens_after * 10000 // tokens_before AS compression_pm
+             |FROM (SELECT CAST(sum(n) AS BIGINT) AS n_words,
+             |    CAST(sum(n * length(replace(sym, ' ', ''))) AS BIGINT) AS tokens_before,
+             |    CAST(sum(n * len(string_split(trim(sym), ' '))) AS BIGINT) AS tokens_after
+             |  FROM w3)""".stripMargin)),
+
     QueryDef("q104_dup_spans",
       // exact substring-duplication load per document (the
       // suffix-array window-dedup statistic): every 8-token window
