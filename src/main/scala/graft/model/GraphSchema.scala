@@ -52,6 +52,54 @@ final class GraphSchema private (
 }
 
 object GraphSchema {
+
+  /** Canonical JSON of the declared types — the persisted node-type
+    * table (reference schema.lisp:38-49), so a store can be REOPENED
+    * by location alone ([[GraphStore.open]], the `open-graph` analog)
+    * without re-declaring the schema in code. Vertices emit in
+    * inheritance order (parents before children — the Builder's own
+    * precondition), then labels sorted, so equal schemas serialize
+    * byte-identically. `check` predicates (satisfies-type Columns) are
+    * CODE, not data — they do not persist, exactly as the reference's
+    * `:satisfies` names a function the loading image must define; a
+    * reopened store re-attaches them by constructing with the explicit
+    * code-side schema.
+    */
+  def toJson(s: GraphSchema): String = {
+    def esc(x: String) =
+      x.replace("\\", "\\\\").replace("\"", "\\\"")
+    def arr(xs: Seq[String]) = xs.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
+    val vs = s.vertexTypes.values.toSeq
+      .sortBy(v => (s.ancestors(v.label).size, v.label))
+      .map(v => s"""{"label": "${esc(v.label)}", "parent": ${
+        v.parent.fold("null")(p => "\"" + esc(p) + "\"")}, """ +
+        s""""id": "${esc(v.idCol)}", "props": ${arr(v.props)}}""")
+    val es = s.edgeTypes.values.toSeq.sortBy(_.label)
+      .map(e => s"""{"label": "${esc(e.label)}", "src": "${esc(e.srcLabel)}", """ +
+        s""""dst": "${esc(e.dstLabel)}", "props": ${arr(e.props)}}""")
+    s"""{"version": 1, "vertices": [${vs.mkString(",")}], "edges": [${es.mkString(",")}]}"""
+  }
+
+  def fromJson(json: String): GraphSchema = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(root.path("version").asInt(0) == 1,
+      s"unsupported schema version: ${root.path("version")}")
+    val b = builder()
+    root.path("vertices").forEach { v =>
+      val props = Seq.newBuilder[String]
+      v.path("props").forEach(p => props += p.asText())
+      b.vertex(v.path("label").asText(), v.path("id").asText(), props.result(),
+        parent = Option(v.get("parent")).filterNot(_.isNull).map(_.asText()))
+    }
+    root.path("edges").forEach { e =>
+      val props = Seq.newBuilder[String]
+      e.path("props").forEach(p => props += p.asText())
+      b.edge(e.path("label").asText(), e.path("src").asText(),
+        e.path("dst").asText(), props.result())
+    }
+    b.build()
+  }
+
   final class Builder {
     private var vts = Map.empty[String, VertexType]
     private var ets = Map.empty[String, EdgeType]

@@ -19,6 +19,30 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
 
   val store = new VersionedStore(spark, dir)
 
+  // persist the declared types beside the data (the reference's
+  // node-type table, schema.lisp:38-49) so [[GraphStore.open]] can
+  // reopen this store by location alone. Written atomically (tmp +
+  // move) and only when the canonical JSON changed — schema evolution
+  // through a widened code-side declaration updates the file; plain
+  // reopens are no-ops.
+  locally {
+    val json = GraphSchema.toJson(schema)
+    val p = java.nio.file.Paths.get(dir, "_schema.json")
+    val current =
+      if (!java.nio.file.Files.exists(p)) None
+      else Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+    if (!current.contains(json)) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = java.nio.file.Paths.get(dir, s"_schema.json.tmp.${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   private def vTable(label: String) = s"v_$label"
   private def eTable(label: String) = s"e_$label"
 
@@ -335,4 +359,24 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
   }
 
   def txn(): Txn = new Txn
+}
+
+object GraphStore {
+  /** Reopen an existing store by LOCATION alone — the reference's
+    * `open-graph` (it never re-declares types at open; the schema is
+    * store state). The persisted `_schema.json` (written by every
+    * GraphStore construction) supplies the types; `check` predicates
+    * are code, not data, so satisfies-type enforcement on a store
+    * opened this way requires constructing with the explicit code-side
+    * schema instead (documented at [[GraphSchema.toJson]]).
+    */
+  def open(spark: SparkSession, dir: String): GraphStore = {
+    val p = java.nio.file.Paths.get(dir, "_schema.json")
+    require(java.nio.file.Files.exists(p),
+      s"no persisted schema at $p — not a graph store (or pre-schema-persistence; " +
+        "open it once with the explicit schema to stamp it)")
+    val schema = GraphSchema.fromJson(new String(
+      java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+    new GraphStore(spark, schema, dir)
+  }
 }

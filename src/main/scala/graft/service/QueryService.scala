@@ -59,6 +59,14 @@ final class QueryService(
   private var registry = Map.empty[String, RegisteredQuery]
   private var pipelines = Map.empty[String, PipelineQuery]
 
+  // Live-store serving: pattern queries resolve the graph per REQUEST,
+  // not per service construction — a server over a GraphStore binds
+  // `() => gs.graph()` here so every query sees the current committed
+  // epoch (the constructor's static graph remains the default for
+  // file-backed graphs, where the frames never move underneath).
+  @volatile private var graphFn: () => PropertyGraph = () => graph
+  def bindLiveGraph(fn: () => PropertyGraph): Unit = graphFn = fn
+
   def register(q: RegisteredQuery): Unit = registry += q.name -> q
   def register(q: PipelineQuery): Unit = pipelines += q.name -> q
 
@@ -93,7 +101,7 @@ final class QueryService(
           throw new ForbiddenException(s"query $name requires the write effect")
         checkParams(rq.params, rawParams)
         val coerced = rq.params.flatMap(p => coerce(p, rawParams.get(p.name))).toMap
-        PatternCompiler.run(graph, bounded(rq.build(coerced)))
+        PatternCompiler.run(graphFn(), bounded(rq.build(coerced)))
       case None => pipelines.get(name) match {
         case Some(pq) =>
           if (pq.writes && !allowWrites)
@@ -114,7 +122,7 @@ final class QueryService(
     val q =
       try JsonQuery.parse(json, params)
       catch { case e: JsonQuery.BadQueryException => throw new BadRequestException(e.getMessage) }
-    try PatternCompiler.run(graph, bounded(q))
+    try PatternCompiler.run(graphFn(), bounded(q))
     catch { case e: IllegalArgumentException => throw new BadRequestException(e.getMessage) }
   }
 

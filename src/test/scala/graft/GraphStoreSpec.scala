@@ -205,6 +205,47 @@ class GraphStoreSpec extends SparkSpec {
     assert(gs.graph().vertexFrame("person").count() == 2)
   }
 
+  test("open-graph by location: the schema persists with the store, open() " +
+      "reopens without code-side types, evolution updates the stamp") {
+    val dir = tmp("gs-open")
+    val gs = new GraphStore(spark, schema, dir)
+    gs.txn().createVertices("person",
+      Seq((1L, "ada", 36L), (2L, "bob", 41L)).toDF("id", "name", "age")).commit()
+    gs.txn().createEdges("knows", Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight")).commit()
+    // the persisted types round-trip byte-identically
+    val p = java.nio.file.Paths.get(dir, "_schema.json")
+    assert(java.nio.file.Files.exists(p), "construction must stamp _schema.json")
+    val json = java.nio.file.Files.readString(p)
+    assert(GraphSchema.toJson(GraphSchema.fromJson(json)) == json)
+    // reopen by LOCATION alone: types come from the store, reads and
+    // writes work, inheritance metadata intact
+    val reopened = GraphStore.open(spark, dir)
+    assert(reopened.schema.vertexTypes.keySet == Set("person"))
+    assert(reopened.schema.edgeTypes("knows").srcLabel == "person")
+    assert(reopened.graph().vertices("person").count() == 2L)
+    reopened.txn().createVertices("person",
+      Seq((3L, "eve", 29L)).toDF("id", "name", "age")).commit()
+    assert(gs.graph().vertices("person").count() == 3L,
+      "both handles see the same store state")
+    // inheritance order survives the round trip (parents first)
+    val kids = GraphSchema.builder()
+      .vertex("base", "id", Seq("x"))
+      .vertex("child", "id", Seq("x", "y"), parent = Some("base"))
+      .build()
+    val j2 = GraphSchema.toJson(kids)
+    assert(GraphSchema.fromJson(j2).descendants("base").toSet == Set("base", "child"))
+    // schema evolution through a widened declaration updates the file
+    val widened = GraphSchema.builder()
+      .vertex("person", "id", Seq("name", "age", "city"))
+      .edge("knows", "person", "person")
+      .build()
+    new GraphStore(spark, widened, dir)
+    assert(GraphStore.open(spark, dir).schema
+      .requireVertex("person").props.contains("city"))
+    // not-a-store dirs refuse loudly
+    intercept[IllegalArgumentException](GraphStore.open(spark, tmp("gs-empty")))
+  }
+
   test("restore refuses an interrupted (manifest-less or partial) backup") {
     val gs = new GraphStore(spark, schema, tmp("gs-bk"))
     gs.txn().createVertices("person", Seq((1L, "ann", 30)).toDF("id", "name", "age"))

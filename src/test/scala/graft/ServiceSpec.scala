@@ -833,6 +833,72 @@ class ServiceSpec extends SparkSpec {
     } finally { ep.stop(); bare.stop(); readOnly.stop() }
   }
 
+  test("ServeMain: a forked server process opens the store by location alone " +
+      "and serves LIVE queries — rows committed after open are queryable; " +
+      "read-only in-process start drops the write effect") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "servemain").toString
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("acct", "id", Seq("seg", "bal")).build()
+    val gs = new graft.model.GraphStore(spark, schema, dir)
+    gs.txn().createVertices("acct",
+      Seq((1L, "gold", 10.0), (2L, "iron", 5.0)).toDF("id", "seg", "bal")).commit()
+    // fork the real main: no schema argument anywhere — open-graph
+    val readyFile = java.nio.file.Paths.get(dir, "_PORT")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cmd = Seq(javaBin, "-Xmx3g") ++ graft.tools.ReplicaFollowerMain.jvmOpens ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.tools.ServeMain",
+        dir, "--cpus", "4", "--ready-file", readyFile.toString)
+    val log = java.nio.file.Paths.get(dir, "serve.log").toFile
+    val p = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true).redirectOutput(log).start()
+    try {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!java.nio.file.Files.exists(readyFile) && p.isAlive &&
+          System.nanoTime() < deadline) Thread.sleep(250)
+      assert(java.nio.file.Files.exists(readyFile), "server never became ready; log:\n" +
+        scala.io.Source.fromFile(log).getLines().toSeq.takeRight(20).mkString("\n"))
+      val port = java.nio.file.Files.readString(readyFile).trim.toInt
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // ad-hoc pattern over the opened store
+      val q = """{"match":[{"vertex":"a","type":"acct"}],"select":["a"]}"""
+      assert(post("/pattern", q).body().count(_ == '{') == 2)
+      // a mutation THROUGH the server, then the same query sees it —
+      // the live-graph binding (a snapshot-bound service would not)
+      assert(post("/mutate/vertex/acct",
+        """{"rows":[{"id":3,"seg":"m","bal":1.0}]}""").statusCode() == 200)
+      assert(post("/pattern", q).body().count(_ == '{') == 3,
+        "server must serve the CURRENT epoch, not its open-time snapshot")
+      // ...and a commit from THIS process (shared storage) is visible too
+      gs.txn().createVertices("acct",
+        Seq((4L, "m", 2.0)).toDF("id", "seg", "bal")).commit()
+      assert(post("/pattern", q).body().count(_ == '{') == 4)
+      assert(post("/admin/stats", "").statusCode() == 200)
+    } finally { p.destroyForcibly(); p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS); () }
+    // read-only config drops the write effect (in-process start)
+    val (ro, roPort) = graft.tools.ServeMain.start(spark,
+      graft.tools.ServeMain.Config(dir, readOnly = true))
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$roPort$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      assert(post("/mutate/vertex/acct",
+        """{"rows":[{"id":9,"seg":"x","bal":0.0}]}""").statusCode() == 403)
+      assert(post("/pattern",
+        """{"match":[{"vertex":"a","type":"acct"}],"select":["a"]}""").statusCode() == 200)
+      intercept[IllegalArgumentException](
+        graft.tools.ServeMain.parse(Array(dir, "--bogus")))
+    } finally ro.stop()
+  }
+
   test("maintenance daemon bound to the endpoint lifecycle: a view breaching " +
       "thresholds mid-serve compacts with NO admin call; compaction marks and " +
       "swallowed errors surface in /admin/stats; stop() stops the daemon") {
