@@ -122,5 +122,29 @@ object CatalogMvcc {
              |UNION ALL
              |SELECT doc_id, CAST(2 AS BIGINT), TRUE, CAST(2 AS BIGINT)
              |FROM documents WHERE doc_id % 14 = 0 AND doc_id % 10 <> 0
-             |ORDER BY id""".stripMargin)))
+             |ORDER BY id""".stripMargin)),
+
+    // Drift BETWEEN EPOCHS of the live store — the "did this commit
+    // shift the corpus?" monitor (Drift.scala composed with the MVCC
+    // snapshot reads): population A is the epoch-1 world, population B
+    // the current state, feature n_chars. Both sides are epoch-pruned
+    // snapshot scans; the summary is the q203 machinery verbatim. The
+    // oracle re-derives both populations from the commit script (A =
+    // even ids; B = all but the tombstoned; updates rewrite `source`
+    // only, so n_chars passes through).
+    QueryDef("q205_mvcc_drift",
+      (s, d) => {
+        val st = new VersionedStore(s, ensureMvccStore(s, d))
+        graft.operators.Drift.numericDrift(
+          st.read("docs", asOf = Some(1L)), st.read("docs"),
+          "n_chars", nBins = 12)
+      },
+      Some(s"""WITH u AS (
+             |  SELECT CAST(n_chars AS DOUBLE) AS v, 'a' AS side
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT CAST(n_chars AS DOUBLE) AS v, 'b' AS side
+             |  FROM documents
+             |  WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)),
+             |${OracleFragments.driftSummarySql(12)}""".stripMargin)))
 }

@@ -830,6 +830,75 @@ object CatalogPipeline {
              |    CAST(sum(n * len(string_split(trim(sym), ' '))) AS BIGINT) AS tokens_after
              |  FROM w3)""".stripMargin)),
 
+    // Distribution drift between two corpus populations (sources
+    // src0-src9 as "yesterday's crawl" vs src10+ as "today's") — the
+    // data-quality gate between snapshots. Bin edges are FIXED-WIDTH
+    // over the union's exact [min, max], not quantile sketches, so the
+    // metric is deterministic under any re-partitioning (a flapping
+    // gate is no gate; see Drift.scala design notes). PSI/JS leave as
+    // round-half-up ppm BIGINTs (absorbing last-ulp ln differences);
+    // the oracle mirrors the expression tree operation for operation.
+    QueryDef("q203_drift_psi",
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val isA = expr("cast(substring(source, 4) as int) < 10")
+        graft.operators.Drift.numericDrift(
+          docs.filter(isA), docs.filter(!isA), "n_chars", nBins = 12)
+      },
+      Some(s"""WITH u AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+             |    CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+             |         THEN 'a' ELSE 'b' END AS side FROM documents),
+             |${OracleFragments.driftSummarySql(12)}""".stripMargin)),
+
+    // Embedding-space drift: the same gate over a VECTOR corpus. The
+    // monitored feature is the per-row L2 norm — computed as the same
+    // ordered left-to-right fold in both engines (float elements cast
+    // to double element-wise, squared, summed in list order, sqrt), so
+    // the doubles entering the binning are bit-identical. Populations
+    // split by label parity.
+    QueryDef("q206_drift_embed",
+      (s, d) => {
+        val emb = Tpch.table(s, d, "embeddings")
+          .withColumn("v", sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))))
+        val isA = col("label") % 2 === 0
+        graft.operators.Drift.numericDrift(
+          emb.filter(isA), emb.filter(!isA), "v", nBins = 16)
+      },
+      Some(s"""WITH u AS (SELECT
+             |    sqrt(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS v,
+             |    CASE WHEN label % 2 = 0 THEN 'a' ELSE 'b' END AS side
+             |  FROM embeddings),
+             |${OracleFragments.driftSummarySql(16)}""".stripMargin)),
+
+    // Categorical drift (language mix) between the same two
+    // populations — all-integer ppm by integer division, so the row
+    // set hash-compares exactly with no rounding concerns at all.
+    QueryDef("q204_drift_lang",
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val isA = expr("cast(substring(source, 4) as int) < 10")
+        graft.operators.Drift.categoricalDrift(
+            docs.filter(isA), docs.filter(!isA), "lang")
+          .withColumnRenamed("key", "lang")
+          .orderBy("lang")
+      },
+      Some("""WITH u AS (SELECT lang AS key,
+             |    CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+             |         THEN 'a' ELSE 'b' END AS side FROM documents),
+             |c AS (SELECT key,
+             |    CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             |    CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+             |  FROM u GROUP BY 1),
+             |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+             |    CAST(sum(c_b) AS BIGINT) AS n_b FROM c)
+             |SELECT key AS lang, c_a, c_b,
+             |  CAST((c_a * 1000000) // n_a AS BIGINT) AS p_a_ppm,
+             |  CAST((c_b * 1000000) // n_b AS BIGINT) AS p_b_ppm,
+             |  CAST(abs((c_a * 1000000) // n_a - (c_b * 1000000) // n_b) AS BIGINT) AS dp_ppm
+             |FROM c CROSS JOIN t ORDER BY lang""".stripMargin)),
+
     QueryDef("q104_dup_spans",
       // exact substring-duplication load per document (the
       // suffix-array window-dedup statistic): every 8-token window

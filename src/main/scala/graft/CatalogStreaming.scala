@@ -651,6 +651,56 @@ object CatalogStreaming {
              |  true AS stream_landed, true AS midstream_pinned
              |FROM documents WHERE doc_id % 2 = 0 ORDER BY id""".stripMargin)),
 
+    // ONLINE distribution-drift monitor (q203's gate run as a stream):
+    // the reference population's histogram edges are pinned BEFORE the
+    // stream starts — an online monitor cannot know the arriving
+    // range, so out-of-range arrivals clamp into the edge bins
+    // (Drift.binExpr) — then the arriving population bins through a
+    // STREAMING aggregation whose state is <= nBins rows at ANY corpus
+    // size (the whole monitor's footprint is one histogram), and the
+    // drained counts join the reference histogram into the shared
+    // summary. The oracle restates pinned-edge binning + clamp over
+    // the same populations; the two scalar edges are the only
+    // driver-side values, collected once at monitor start.
+    QueryDef("q207_stream_drift",
+      (s, d) => {
+        val nBins = 12
+        val docs = Tpch.table(s, d, "documents")
+        val isA = expr("cast(substring(source, 4) as int) < 10")
+        val ref = docs.filter(isA).select(col("n_chars").cast("double").as("v"))
+        val edges = ref.agg(min("v").as("lo"), max("v").as("hi")).head
+        val (lo, hi) = (edges.getDouble(0), edges.getDouble(1))
+        val refCounts = ref
+          .groupBy(graft.operators.Drift
+            .binExpr(col("v"), lit(lo), lit(hi), nBins).as("bin"))
+          .agg(count(lit(1)).as("c_a"))
+        val arriving = streamDocuments(s, d).filter(!isA)
+          .groupBy(graft.operators.Drift
+            .binExpr(col("n_chars").cast("double"), lit(lo), lit(hi), nBins).as("bin"))
+          .agg(count(lit(1)).as("c_b"))
+        val streamed = runToMemory(s, arriving, "complete")
+        val binned = s.range(nBins).select(col("id").as("bin"))
+          .join(refCounts, Seq("bin"), "left")
+          .join(streamed, Seq("bin"), "left")
+          .na.fill(0L, Seq("c_a", "c_b"))
+        graft.operators.Drift.summarize(binned, nBins)
+      },
+      Some(s"""WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE CAST(substr(source, 4) AS INTEGER) < 10),
+             |b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE CAST(substr(source, 4) AS INTEGER) >= 10),
+             |st AS (SELECT min(v) AS lo, max(v) AS hi FROM a),
+             |ca AS (SELECT CASE WHEN hi = lo THEN 0
+             |      ELSE greatest(0, least(11, CAST(floor((v - lo) * 12 / (hi - lo)) AS BIGINT))) END AS bin,
+             |    count(*) AS c_a FROM a CROSS JOIN st GROUP BY 1),
+             |cb AS (SELECT CASE WHEN hi = lo THEN 0
+             |      ELSE greatest(0, least(11, CAST(floor((v - lo) * 12 / (hi - lo)) AS BIGINT))) END AS bin,
+             |    count(*) AS c_b FROM b CROSS JOIN st GROUP BY 1),
+             |f AS (SELECT bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+             |  FROM (SELECT unnest(range(12)) AS bin)
+             |  LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+             |${OracleFragments.driftTailSql(12)}""".stripMargin)),
+
     QueryDef("q126_stream_stream_join",
       (s, d) => {
         val views = streamEvents(s, d)

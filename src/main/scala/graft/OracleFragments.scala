@@ -94,6 +94,49 @@ private[graft] object OracleFragments {
        |FROM g JOIN r USING (doc_id)$tail
        |ORDER BY g.doc_id""".stripMargin
 
+  // --- distribution drift (the q203 family) --------------------------
+
+  /** The drift-summary tail shared by q203/q205/q206: expects a
+    * preceding CTE `u(v DOUBLE, side IN ('a','b'))` holding both
+    * tagged populations, and mirrors
+    * [[graft.operators.Drift.numericDrift]]'s expression tree
+    * operation for operation (fixed-width bins over the union's exact
+    * [min, max]; Laplace-smoothed PSI/JS; raw-proportion TVD; ppm
+    * rounding — see Drift.scala's determinism notes). Callers prepend
+    * `WITH u AS (...),` and append nothing.
+    */
+  def driftSummarySql(nBins: Int): String = {
+    val top = nBins - 1
+    s"""st AS (SELECT min(v) AS lo, max(v) AS hi FROM u),
+       |c0 AS (SELECT CASE WHEN hi = lo THEN 0
+       |      ELSE least($top, CAST(floor((v - lo) * $nBins / (hi - lo)) AS BIGINT)) END AS bin,
+       |    sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS c_a,
+       |    sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS c_b
+       |  FROM u CROSS JOIN st GROUP BY 1),
+       |f AS (SELECT bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+       |  FROM (SELECT unnest(range($nBins)) AS bin) LEFT JOIN c0 USING (bin)),
+       |${driftTailSql(nBins)}""".stripMargin
+  }
+
+  /** The summary tail alone, from a prepared `f(bin, c_a, c_b)` CTE
+    * covering every bin — for rows whose binning differs from the
+    * union-edges default (q207 pins the edges to the REFERENCE
+    * population and clamps arrivals, mirroring Drift.binExpr).
+    */
+  def driftTailSql(nBins: Int): String =
+    s"""t AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM f),
+       |p AS (SELECT c_a, c_b, n_a, n_b,
+       |    CAST(c_a + 1 AS DOUBLE) / CAST(n_a + $nBins AS DOUBLE) AS pa,
+       |    CAST(c_b + 1 AS DOUBLE) / CAST(n_b + $nBins AS DOUBLE) AS pb
+       |  FROM f CROSS JOIN t)
+       |SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       |  CAST(round(sum((pa - pb) * ln(pa / pb)) * 1000000, 0) AS BIGINT) AS psi_ppm,
+       |  CAST(round(sum(pa * ln(pa / ((pa + pb) / 2.0)) * 0.5
+       |    + pb * ln(pb / ((pa + pb) / 2.0)) * 0.5) * 1000000, 0) AS BIGINT) AS js_ppm,
+       |  CAST(round(sum(abs(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |    - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))) * 500000, 0) AS BIGINT) AS tvd_ppm
+       |FROM p""".stripMargin
+
   // --- audio fingerprint arithmetic (q189's generator replay) --------
 
   /** `b` + `bits`: the pattern waveform's 65 amplitude steps and the
