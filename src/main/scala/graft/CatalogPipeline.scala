@@ -93,6 +93,63 @@ object CatalogPipeline {
         .select(col("id"), col("lon"), col("lat")),
       "lon", "lat", d, "customer", custStorePrecision)
 
+  /** The q208 gate-distillation surface. `gateBasis` is a redundant
+    * threshold GRID over the four gate statistics — it contains the
+    * gate's true literals (>=10 tokens, mean length in [300,1000]
+    * centi-units, punctuation <=1000 per-myriad, >=2 stopwords) among
+    * distractor thresholds, so the concept is linearly separable (an
+    * AND of literals is a threshold over them) but the trainer has to
+    * FIND the combination. Stats restate filterGate's default rules
+    * (same expressions, same thresholds — TextAnalysis.filterGate);
+    * integer divisions are over non-negative operands so Spark `div`
+    * and the oracle's `//` agree.
+    */
+  private val gateBasis: Seq[graft.operators.Classify.Indicator] = {
+    import graft.operators.Classify.Indicator
+    Seq(
+      Indicator("t5", "ntok", geq = true, 5), Indicator("t10", "ntok", geq = true, 10),
+      Indicator("t20", "ntok", geq = true, 20),
+      Indicator("m200", "mlen", geq = true, 200), Indicator("m300", "mlen", geq = true, 300),
+      Indicator("mle1000", "mlen", geq = false, 1000), Indicator("mle700", "mlen", geq = false, 700),
+      Indicator("ple500", "pr", geq = false, 500), Indicator("ple1000", "pr", geq = false, 1000),
+      Indicator("ple2000", "pr", geq = false, 2000),
+      Indicator("s1", "nstop", geq = true, 1), Indicator("s2", "nstop", geq = true, 2),
+      Indicator("s4", "nstop", geq = true, 4))
+  }
+  private val gateFeatureCols = gateBasis.map(_.featName)
+  private val gateRounds = 16
+  /** The pocket model's margin over `f`'s feature columns — shared by
+    * the q209/q210 oracles (`pk` from perceptronPocketCte).
+    */
+  private val pocketMarginSql: String =
+    ("wb" +: gateFeatureCols.zipWithIndex.map { case (f, i) => s"w${i + 1}*$f" })
+      .mkString(" + ")
+
+  private def gateFeatures(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val toks = TextAnalysis.tokens(text)
+    val stats = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long").as("n_punct"),
+      size(filter(toks, t => t.isInCollection(TextAnalysis.englishStopwords)))
+        .cast("long").as("n_stop"),
+      length(text).cast("long").as("n_text"))
+    val reasons =
+      when(col("n_tokens") < 10, 1L).otherwise(0L) +
+        when(col("n_tokens") > 0 && (col("sum_token_len") < col("n_tokens") * 3 ||
+          col("sum_token_len") > col("n_tokens") * 10), 2L).otherwise(0L) +
+        when(col("n_punct") * 10 > col("n_text"), 4L).otherwise(0L) +
+        when(col("n_stop") < 2, 8L).otherwise(0L)
+    val derived = stats.select(col("doc_id"),
+      col("n_tokens").as("ntok"),
+      expr("(sum_token_len * 100) div greatest(n_tokens, 1)").as("mlen"),
+      expr("(n_punct * 10000) div greatest(n_text, 1)").as("pr"),
+      col("n_stop").as("nstop"),
+      when(reasons === 0, 1L).otherwise(0L).as("y"))
+    graft.operators.Classify.thresholdIndicators(derived, gateBasis, Seq("doc_id", "y"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- 2.8 spatial ---------------------------------------------------
@@ -898,6 +955,90 @@ object CatalogPipeline {
              |  CAST((c_b * 1000000) // n_b AS BIGINT) AS p_b_ppm,
              |  CAST(abs((c_a * 1000000) // n_a - (c_b * 1000000) // n_b) AS BIGINT) AS dp_ppm
              |FROM c CROSS JOIN t ORDER BY lang""".stripMargin)),
+
+    // Distributed quality-classifier TRAINING: distill the q97 rule
+    // gate into a linear model with a batch perceptron over the
+    // threshold-indicator basis — pure integer math end to end
+    // (sign-test predictions, {-1,0,1} errors, exact Σ err·x updates),
+    // so the trained weights hash-compare across engines. Each round
+    // is ONE map-side-combined aggregation over the corpus; only d+2
+    // longs reach the driver; weights return as plan literals — the
+    // corpus is never shuffled. The oracle unrolls all 16 rounds as
+    // CTE stages (q201's BPE-unroll technique).
+    QueryDef("q208_train_gate",
+      (s, d) => graft.operators.Classify.perceptronTrain(
+        gateFeatures(Tpch.table(s, d, "documents")),
+        gateFeatureCols, "y", rounds = gateRounds).orderBy("iter"),
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+             |${OracleFragments.classifierFeaturesCte(gateBasis)},
+             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols)}
+             |${OracleFragments.perceptronRoundsSelect(gateRounds, gateFeatureCols)}""".stripMargin)),
+
+    // Scoring the corpus with the trained POCKET model (the
+    // best-evaluated weights across q208's rounds — monotone in
+    // rounds even where the full-batch perceptron cycles): per-doc
+    // margin + verdict + agreement with the rule gate it distilled,
+    // on a deterministic id sample. The only driver-side values are
+    // the d+1 pocket weights; scoring itself is a pure column
+    // expression over one scan.
+    QueryDef("q209_score_gate",
+      (s, d) => {
+        val feats = gateFeatures(Tpch.table(s, d, "documents"))
+        val trained = graft.operators.Classify.perceptronTrain(
+          feats, gateFeatureCols, "y", rounds = gateRounds)
+        val w = graft.operators.Classify.pocketWeights(trained, gateFeatureCols)
+        graft.operators.Classify.score(feats, w, gateFeatureCols)
+          .filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), col("margin"), col("pred"), col("y"),
+            (col("pred") === col("y")).as("agree"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+             |${OracleFragments.classifierFeaturesCte(gateBasis)},
+             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols)},
+             |${OracleFragments.perceptronPocketCte(gateRounds, gateFeatureCols)}
+             |SELECT doc_id, margin, pred, y, pred = y AS agree FROM (
+             |  SELECT f.doc_id, f.y,
+             |    CAST(${pocketMarginSql} AS BIGINT) AS margin,
+             |    CAST(CASE WHEN ${pocketMarginSql} > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+             |  FROM f CROSS JOIN pk)
+             |WHERE doc_id % 17 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // Model evaluation closing the training tier (train q208 → score
+    // q209 → evaluate): confusion counts over the WHOLE corpus plus
+    // accuracy/precision/recall/F1 as exact integer-division ppm (F1
+    // derived from the ppm integers, zero denominators guarded to 0).
+    // One aggregation; one output row at any corpus size.
+    QueryDef("q210_eval_gate",
+      (s, d) => {
+        val feats = gateFeatures(Tpch.table(s, d, "documents"))
+        val trained = graft.operators.Classify.perceptronTrain(
+          feats, gateFeatureCols, "y", rounds = gateRounds)
+        val w = graft.operators.Classify.pocketWeights(trained, gateFeatureCols)
+        graft.operators.Classify.confusion(
+          graft.operators.Classify.score(feats, w, gateFeatureCols))
+      },
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+             |${OracleFragments.classifierFeaturesCte(gateBasis)},
+             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols)},
+             |${OracleFragments.perceptronPocketCte(gateRounds, gateFeatureCols)},
+             |sc AS (SELECT y,
+             |    CASE WHEN ${pocketMarginSql} > 0 THEN 1 ELSE 0 END AS pred
+             |  FROM f CROSS JOIN pk),
+             |c AS (SELECT
+             |    CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             |    CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+             |  FROM sc),
+             |m AS (SELECT tp, fp, tn, fn,
+             |    CAST(((tp + tn) * 1000000) // greatest(tp + fp + tn + fn, 1) AS BIGINT) AS accuracy_ppm,
+             |    CAST((tp * 1000000) // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
+             |    CAST((tp * 1000000) // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm
+             |  FROM c)
+             |SELECT tp, fp, tn, fn, accuracy_ppm, precision_ppm, recall_ppm,
+             |  CAST((2 * precision_ppm * recall_ppm) // greatest(precision_ppm + recall_ppm, 1) AS BIGINT) AS f1_ppm
+             |FROM m""".stripMargin)),
 
     QueryDef("q104_dup_spans",
       // exact substring-duplication load per document (the

@@ -94,6 +94,86 @@ private[graft] object OracleFragments {
        |FROM g JOIN r USING (doc_id)$tail
        |ORDER BY g.doc_id""".stripMargin
 
+  // --- quality-classifier training (the q208 family) -----------------
+
+  /** `f`: the classifier's 0/1 step-indicator features per document
+    * from `q` (tokenStatsCte) — the basis's SQL rendered by
+    * [[graft.operators.Classify.Indicator.sql]] over integer stats
+    * (mean token length centi-units, punctuation per-myriad; all
+    * operands non-negative, so DuckDB `//` and Spark `div` agree) —
+    * plus the gate verdict as the 0/1 label. Mirrors the q208
+    * QueryDef's gateStats/thresholdIndicators chain exactly.
+    */
+  def classifierFeaturesCte(basis: Seq[graft.operators.Classify.Indicator]): String =
+    s"""f AS MATERIALIZED (SELECT doc_id,
+       |    ${basis.map(i => s"${i.sql} AS ${i.featName}").mkString(",\n    ")},
+       |    CAST(CASE WHEN ($gateMaskSql) = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM (SELECT doc_id, text, n_tokens, sum_token_len, n_punct, n_stop,
+       |      n_tokens AS ntok,
+       |      (sum_token_len * 100) // greatest(n_tokens, 1) AS mlen,
+       |      (n_punct * 10000) // greatest(length(text), 1) AS pr,
+       |      n_stop AS nstop
+       |    FROM q))""".stripMargin
+
+  /** Batch-perceptron training unrolled to `rounds` CTE stages (the
+    * q201 BPE-unroll technique): `w0` is the zero model; each round
+    * crosses the 1-row weight CTE into the feature frame, takes the
+    * sign-test prediction, and sums exact integer error gradients into
+    * the next weight CTE. Matches
+    * [[graft.operators.Classify.perceptronTrain]] row for row.
+    * Expects `f` from [[classifierFeaturesCte]]; callers append
+    * [[perceptronRoundsSelect]] (the per-round rows) or compose
+    * [[perceptronPocketCte]] (the best-evaluated model).
+    */
+  def perceptronRoundsCte(rounds: Int, feats: Seq[String]): String = {
+    val d = feats.size
+    val wCols = "wb" +: (1 to d).map(i => s"w$i")
+    val margin = ("wb" +: feats.zipWithIndex.map { case (f, i) => s"w${i + 1}*$f" })
+      .mkString(" + ")
+    val w0 = s"w0 AS MATERIALIZED (SELECT ${wCols.map(w => s"CAST(0 AS BIGINT) AS $w").mkString(", ")})"
+    val steps = (1 to rounds).map { t =>
+      val grads = s"CAST(sum(y - pred) AS BIGINT) AS g0" +:
+        feats.zipWithIndex.map { case (f, i) =>
+          s"CAST(sum((y - pred) * $f) AS BIGINT) AS g${i + 1}"
+        }
+      s"""r$t AS MATERIALIZED (SELECT
+         |    CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |    ${grads.mkString(",\n    ")}
+         |  FROM (SELECT ${(("y" +: feats).map(c => s"f.$c")).mkString(", ")},
+         |      CASE WHEN $margin > 0 THEN 1 ELSE 0 END AS pred
+         |    FROM f CROSS JOIN w${t - 1})),
+         |w$t AS MATERIALIZED (SELECT ${wCols.zipWithIndex.map { case (w, i) => s"w.$w + r.g$i AS $w" }.mkString(", ")}
+         |  FROM w${t - 1} w CROSS JOIN r$t r)""".stripMargin
+    }
+    (w0 +: steps).mkString(",\n")
+  }
+
+  /** The per-round result rows from [[perceptronRoundsCte]]'s stages:
+    * weights AFTER each round's update, n_correct of the weights the
+    * round STARTED with.
+    */
+  def perceptronRoundsSelect(rounds: Int, feats: Seq[String]): String =
+    (1 to rounds).map { t =>
+      val ws = "wb AS w_bias" +:
+        feats.zipWithIndex.map { case (f, i) => s"w${i + 1} AS w_$f" }
+      s"""SELECT CAST($t AS BIGINT) AS iter, ${ws.mkString(", ")}, n_correct
+         |FROM w$t CROSS JOIN r$t""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY iter"
+
+  /** `pk`: the pocket model — among the weight vectors the rounds
+    * evaluated (round t scores w_{t-1}), the one with the highest
+    * n_correct, earliest round on ties. Mirrors
+    * [[graft.operators.Classify.pocketWeights]].
+    */
+  def perceptronPocketCte(rounds: Int, feats: Seq[String]): String = {
+    val wCols = ("wb" +: feats.indices.map(i => s"w${i + 1}")).mkString(", ")
+    val cands = (1 to rounds).map { t =>
+      s"SELECT $t AS t, $wCols, n_correct FROM w${t - 1} CROSS JOIN r$t"
+    }
+    s"""cand AS MATERIALIZED (${cands.mkString("\n  UNION ALL\n  ")}),
+       |pk AS (SELECT * FROM cand ORDER BY n_correct DESC, t LIMIT 1)""".stripMargin
+  }
+
   // --- distribution drift (the q203 family) --------------------------
 
   /** The drift-summary tail shared by q203/q205/q206: expects a

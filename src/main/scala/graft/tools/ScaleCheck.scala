@@ -83,7 +83,11 @@ object ScaleCheck {
     "q191_audio_curate",        // curation + audio keep-list: fingerprint-grain agg ×N
     "q192_curate_mix",          // curate → quota → epoch-mix: gate/dedup/rank/explode ×N
     "q193_mix_pack",            // mixed stream → packed sequences: bucketed prefix sum ×N
-    "q198_stream_sample")       // streaming bottom-k sample: scan ×N, state fixed at shards×k
+    "q198_stream_sample",       // streaming bottom-k sample: scan ×N, state fixed at shards×k
+    "q203_drift_psi",           // drift gate: 2 scans + nBins-row shuffle ×N
+    "q206_drift_embed",         // embedding-norm drift: one fold pass ×N
+    "q207_stream_drift",        // online drift: scan ×N, state fixed at nBins rows
+    "q210_eval_gate")           // classifier train+score+eval: 18 scans ×N, d+2 longs/round to driver
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)
