@@ -1040,6 +1040,41 @@ object CatalogPipeline {
              |  CAST((2 * precision_ppm * recall_ppm) // greatest(precision_ppm + recall_ppm, 1) AS BIGINT) AS f1_ppm
              |FROM m""".stripMargin)),
 
+    // Classifier-GUIDED soft curation closing the loop (train q208 →
+    // score → sample): instead of a hard gate, each doc keeps with
+    // probability proportional to its quality margin — clamped to
+    // [0,1000] per-mille — realized DETERMINISTICALLY by the md5
+    // bucket of its id (the q77 split hash), so the kept set is a
+    // pure function of the data: any engine, partitioning, or
+    // backfill re-derives it. High-margin docs always survive,
+    // boundary docs thin out proportionally, junk drops to zero.
+    QueryDef("q211_soft_curate",
+      (s, d) => {
+        val feats = gateFeatures(Tpch.table(s, d, "documents"))
+        val trained = graft.operators.Classify.perceptronTrain(
+          feats, gateFeatureCols, "y", rounds = gateRounds)
+        val w = graft.operators.Classify.pocketWeights(trained, gateFeatureCols)
+        graft.operators.Classify.score(feats, w, gateFeatureCols)
+          .withColumn("keep_permille",
+            least(lit(1000L), greatest(lit(0L), lit(500L) + col("margin"))))
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 1000)
+            < col("keep_permille"))
+          .select("doc_id", "margin", "keep_permille")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+             |${OracleFragments.classifierFeaturesCte(gateBasis)},
+             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols)},
+             |${OracleFragments.perceptronPocketCte(gateRounds, gateFeatureCols)}
+             |SELECT doc_id, margin, keep_permille FROM (
+             |  SELECT doc_id, margin,
+             |    least(1000, greatest(0, 500 + margin)) AS keep_permille
+             |  FROM (SELECT f.doc_id,
+             |      CAST(${pocketMarginSql} AS BIGINT) AS margin
+             |    FROM f CROSS JOIN pk))
+             |WHERE ${OracleFragments.md5Bucket("doc_id")} < keep_permille
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q104_dup_spans",
       // exact substring-duplication load per document (the
       // suffix-array window-dedup statistic): every 8-token window
