@@ -65,6 +65,49 @@ object CatalogMvcc {
     path
   }
 
+  private[graft] def statsStorePath(sfDir: String): String =
+    s"${StorePaths.root}/${StorePaths.key(sfDir)}/stats_docs_v1"
+
+  private val statsEdges = (0.0, 2000.0, 16) // pinned monitor edges
+
+  /** Build-if-absent GraphStore with a BOUND MaintainedStatsIndex and a
+    * reference snapshot pinned after epoch 1 — the q213 fixture. The
+    * commit script is pure doc_id arithmetic (the ensureMvccStore
+    * discipline) with a value-MOVING update so the signed-delta path
+    * is actually exercised: epoch 1 evens, snapshot, epoch 2 odds,
+    * epoch 3 n_chars+500 for ids divisible by 10, epoch 4 tombstones
+    * (÷14, not ÷10).
+    */
+  private[graft] def ensureStatsStore(spark: SparkSession, sfDir: String): String = {
+    val path = statsStorePath(sfDir)
+    val fp = StorePaths.fingerprint(s"$sfDir/documents.parquet")
+    def current = StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
+        Dirs.rmTree(Paths.get(path))
+        val schema = graft.model.GraphSchema.builder()
+          .vertex("doc", "id", Seq("n_chars")).build()
+        val gs = new graft.model.GraphStore(spark, schema, path)
+        val (lo, hi, nBins) = statsEdges
+        val idx = new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "n_chars", lo, hi, nBins, path)
+        idx.rebuild(); idx.bind()
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").as("id"), col("n_chars"))
+        gs.txn().createVertices("doc", docs.filter(col("id") % 2 === 0)).commit()
+        idx.snapshot("ref")
+        gs.txn().createVertices("doc", docs.filter(col("id") % 2 === 1)).commit()
+        gs.txn().updateVertices("doc", docs.filter(col("id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 500)).commit()
+        gs.txn().deleteVertices("doc",
+          docs.filter(col("id") % 14 === 0 && col("id") % 10 =!= 0).select("id"))
+          .commit()
+        StorePaths.stamp(path, fp)
+      }
+    }
+    path
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Snapshot read pinned to epoch 1: the world before the second
@@ -146,5 +189,39 @@ object CatalogMvcc {
              |  SELECT CAST(n_chars AS DOUBLE) AS v, 'b' AS side
              |  FROM documents
              |  WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)),
-             |${OracleFragments.driftSummarySql(12)}""".stripMargin)))
+             |${OracleFragments.driftSummarySql(12)}""".stripMargin)),
+
+    // q205's monitor served from MAINTAINED state: the commit-bound
+    // histogram (MaintainedStatsIndex — signed per-commit deltas, the
+    // maintained-index discipline applied to aggregate state) answers
+    // the same drift question from O(nBins) rows instead of two corpus
+    // scans. Edges are PINNED at monitor creation (q207's philosophy;
+    // out-of-range n_chars clamps), the reference snapshot at epoch 1.
+    // The oracle re-derives both histograms from the commit script —
+    // including the value-MOVING +500 update the delta path must net
+    // correctly — with the same pinned-edge clamp binning.
+    QueryDef("q213_stats_drift",
+      (s, d) => {
+        val path = ensureStatsStore(s, d)
+        val gs = graft.model.GraphStore.open(s, path)
+        val (lo, hi, nBins) = statsEdges
+        new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "n_chars", lo, hi, nBins, path)
+          .driftVsSnapshot("ref")
+      },
+      Some(s"""WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |b AS (SELECT CAST(n_chars +
+             |    CASE WHEN doc_id % 10 = 0 THEN 500 ELSE 0 END AS DOUBLE) AS v
+             |  FROM documents WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)),
+             |ca AS (SELECT greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_a FROM a GROUP BY 1),
+             |cb AS (SELECT greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_b FROM b GROUP BY 1),
+             |f AS (SELECT bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+             |  FROM (SELECT unnest(range(16)) AS bin)
+             |  LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+             |${OracleFragments.driftTailSql(16)}""".stripMargin)))
 }

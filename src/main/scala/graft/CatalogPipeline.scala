@@ -104,7 +104,7 @@ object CatalogPipeline {
     * integer divisions are over non-negative operands so Spark `div`
     * and the oracle's `//` agree.
     */
-  private val gateBasis: Seq[graft.operators.Classify.Indicator] = {
+  private[graft] val gateBasis: Seq[graft.operators.Classify.Indicator] = {
     import graft.operators.Classify.Indicator
     Seq(
       Indicator("t5", "ntok", geq = true, 5), Indicator("t10", "ntok", geq = true, 10),
@@ -116,16 +116,16 @@ object CatalogPipeline {
       Indicator("s1", "nstop", geq = true, 1), Indicator("s2", "nstop", geq = true, 2),
       Indicator("s4", "nstop", geq = true, 4))
   }
-  private val gateFeatureCols = gateBasis.map(_.featName)
-  private val gateRounds = 16
+  private[graft] val gateFeatureCols = gateBasis.map(_.featName)
+  private[graft] val gateRounds = 16
   /** The pocket model's margin over `f`'s feature columns — shared by
     * the q209/q210 oracles (`pk` from perceptronPocketCte).
     */
-  private val pocketMarginSql: String =
+  private[graft] val pocketMarginSql: String =
     ("wb" +: gateFeatureCols.zipWithIndex.map { case (f, i) => s"w${i + 1}*$f" })
       .mkString(" + ")
 
-  private def gateFeatures(docs: DataFrame): DataFrame = {
+  private[graft] def gateFeatures(docs: DataFrame): DataFrame = {
     val text = col("text")
     val toks = TextAnalysis.tokens(text)
     val stats = docs.select(col("doc_id"),

@@ -701,6 +701,39 @@ object CatalogStreaming {
              |  LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
              |${OracleFragments.driftTailSql(12)}""".stripMargin)),
 
+    // ONLINE model serving: the q208 classifier (trained batch-side on
+    // the reference corpus, the pocket weights collected once) scores
+    // an arriving document stream STATELESSLY — margins are plan
+    // literals, featurization is row-local column expressions, so the
+    // scoring stream holds zero state at any corpus size and stays in
+    // whole-stage codegen. The oracle replays batch scoring: a
+    // stateless stream must answer exactly what the batch plan does.
+    QueryDef("q212_stream_score",
+      (s, d) => {
+        val feats = CatalogPipeline.gateFeatures(Tpch.table(s, d, "documents"))
+        val trained = graft.operators.Classify.perceptronTrain(
+          feats, CatalogPipeline.gateFeatureCols, "y", CatalogPipeline.gateRounds)
+        val w = graft.operators.Classify.pocketWeights(
+          trained, CatalogPipeline.gateFeatureCols)
+        val scored = graft.operators.Classify.score(
+          CatalogPipeline.gateFeatures(streamDocuments(s, d)),
+          w, CatalogPipeline.gateFeatureCols)
+          .filter(col("doc_id") % 13 === 0)
+          .select("doc_id", "margin", "pred", "y")
+        runToMemory(s, scored, "append").orderBy("doc_id")
+      },
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+             |${OracleFragments.classifierFeaturesCte(CatalogPipeline.gateBasis)},
+             |${OracleFragments.perceptronRoundsCte(CatalogPipeline.gateRounds, CatalogPipeline.gateFeatureCols)},
+             |${OracleFragments.perceptronPocketCte(CatalogPipeline.gateRounds, CatalogPipeline.gateFeatureCols)}
+             |SELECT doc_id, margin, pred, y FROM (
+             |  SELECT f.doc_id, f.y,
+             |    CAST(${CatalogPipeline.pocketMarginSql} AS BIGINT) AS margin,
+             |    CAST(CASE WHEN ${CatalogPipeline.pocketMarginSql} > 0
+             |         THEN 1 ELSE 0 END AS BIGINT) AS pred
+             |  FROM f CROSS JOIN pk)
+             |WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q126_stream_stream_join",
       (s, d) => {
         val views = streamEvents(s, d)

@@ -108,7 +108,7 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   /** Existence check that first completes any interrupted vacuum swap —
     * mid-swap the table dir is briefly absent though the data is safe.
     */
-  private def tableExists(label: String): Boolean = {
+  private[graft] def tableExists(label: String): Boolean = {
     healVacuum(label)
     Files.exists(Paths.get(labelDir(label)))
   }

@@ -68,7 +68,10 @@ class PlanQualitySpec extends SparkSpec {
       // (n_a, n_b) totals into the nBins-row summary — q87's scalar
       // shape twice; everything between is hash-aggregated on `bin`
       "q203_drift_psi", "q204_drift_lang", "q205_mvcc_drift",
-      "q206_drift_embed", "q207_stream_drift")
+      "q206_drift_embed", "q207_stream_drift",
+      // q213 reads two nBins-row maintained histograms; the only cross
+      // is Drift.summarize's 1-row totals broadcast — same shape
+      "q213_stats_drift")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")

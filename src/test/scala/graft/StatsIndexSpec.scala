@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{GraphSchema, GraphStore}
+import graft.operators.{Drift, MaintainedStatsIndex}
+
+/** Contracts of the commit-maintained histogram tier
+  * (MaintainedStatsIndex): delta-exactness against from-scratch
+  * recompute across creates/updates/deletes, the bound-before-built
+  * skip + rebuild catch-up, compaction invariance, and the O(bins)
+  * drift monitor against a pinned snapshot.
+  */
+class StatsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(Paths.get("target"), prefix).toString
+
+  private val (lo, hi, nBins) = (0.0, 1000.0, 10)
+
+  private def mk(): (GraphStore, MaintainedStatsIndex, String) = {
+    val dir = tmp("statsidx")
+    val gs = new GraphStore(spark,
+      GraphSchema.builder().vertex("doc", "id", Seq("len")).build(), dir)
+    val idx = new MaintainedStatsIndex(gs, "v_doc", "len", lo, hi, nBins, dir)
+    (gs, idx, dir)
+  }
+
+  /** From-scratch truth: current live rows binned with the same edges. */
+  private def expected(gs: GraphStore): Seq[(Long, Long)] = {
+    val live = gs.store.read("v_doc")
+      .select(Drift.binExpr(col("len").cast("double"), lit(lo), lit(hi), nBins).as("bin"))
+      .groupBy("bin").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until nBins.toLong).map(b => (b, live.getOrElse(b, 0L)))
+  }
+
+  private def got(idx: MaintainedStatsIndex): Seq[(Long, Long)] =
+    idx.histogram().orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("maintained histogram equals from-scratch recompute across " +
+      "creates, updates (bin moves), deletes, and out-of-range clamps") {
+    val (gs, idx, _) = mk()
+    idx.rebuild() // zero base on the empty store
+    idx.bind()
+    // epoch 1: creates across bins, incl. clamped outliers (-50, 4000)
+    gs.txn().createVertices("doc",
+      (Seq((1L, 50L), (2L, 150L), (3L, 150L), (4L, 999L), (5L, -50L), (6L, 4000L)))
+        .toDF("id", "len")).commit()
+    assert(got(idx) == expected(gs), "after creates")
+    // epoch 2: an update that MOVES a row between bins
+    gs.txn().updateVertices("doc", Seq((2L, 850L)).toDF("id", "len")).commit()
+    assert(got(idx) == expected(gs), "after bin-moving update")
+    // epoch 3: an update that stays in its bin (delta nets to zero)
+    gs.txn().updateVertices("doc", Seq((3L, 160L)).toDF("id", "len")).commit()
+    assert(got(idx) == expected(gs), "after same-bin update")
+    // epoch 4: deletes, including a clamped outlier
+    gs.txn().deleteVertices("doc", Seq(1L, 6L).toDF("id")).commit()
+    assert(got(idx) == expected(gs), "after deletes")
+    assert(got(idx).map(_._2).sum == 4L, "live row count via histogram")
+  }
+
+  test("bound before built: commits are skipped, rebuild() catches up " +
+      "to the committed state exactly; rebuild also compacts deltas away") {
+    val (gs, idx, _) = mk()
+    idx.bind() // NO rebuild first
+    gs.txn().createVertices("doc",
+      (1L to 20L).map(i => (i, i * 40L)).toDF("id", "len")).commit()
+    intercept[IllegalArgumentException](idx.histogram())
+    idx.rebuild()
+    assert(got(idx) == expected(gs), "rebuild reads committed state")
+    // more commits through the delta path, then compaction
+    gs.txn().updateVertices("doc", Seq((7L, 999L)).toDF("id", "len")).commit()
+    gs.txn().deleteVertices("doc", Seq(3L).toDF("id")).commit()
+    val before = got(idx)
+    assert(before == expected(gs))
+    idx.rebuild() // compaction: fold deltas into base
+    assert(got(idx) == before, "compaction must not change the histogram")
+  }
+
+  test("O(bins) drift monitor: pin a reference snapshot, land a shifted " +
+      "commit, psi flags it; a fresh snapshot self-drifts to zero") {
+    val (gs, idx, _) = mk()
+    idx.rebuild(); idx.bind()
+    gs.txn().createVertices("doc",
+      (1L to 100L).map(i => (i, 100L + i % 100)).toDF("id", "len")).commit()
+    idx.snapshot("monitor_start")
+    // the shifted batch (all in high bins)
+    gs.txn().createVertices("doc",
+      (101L to 160L).map(i => (i, 800L + i % 100)).toDF("id", "len")).commit()
+    val drift = idx.driftVsSnapshot("monitor_start").head
+    assert(drift.getLong(0) == 100L && drift.getLong(1) == 160L)
+    assert(drift.getLong(2) > 250000L, // past the 0.25 "shifted" PSI gate
+      s"shifted commit not flagged: psi_ppm=${drift.getLong(2)}")
+    idx.snapshot("now")
+    val self = idx.driftVsSnapshot("now").head
+    assert((self.getLong(2), self.getLong(3), self.getLong(4)) == ((0L, 0L, 0L)))
+  }
+}
