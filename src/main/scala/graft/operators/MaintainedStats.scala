@@ -41,7 +41,10 @@ final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String
 
   private val root = Paths.get(dir, s"stats_${label}_$valueCol")
   private val basePath = root.resolve("base")
-  private val deltaPath = root.resolve("deltas")
+
+  /** The layout root for Maintenance.Target / GenDirs.layoutStats. */
+  def statsRoot: java.nio.file.Path = root
+  private val deltaPath = root.resolve("delta")
   private def baseTmp = root.resolve("__base_tmp")
   private val spark = gs.spark
 
@@ -79,13 +82,17 @@ final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String
       .join(staged.select("id").distinct(), Seq("id"), "left_semi")
       .select(binOf(col(valueCol)).as("bin"))
       .groupBy("bin").agg((-count(lit(1))).as("c"))
-    // epoch=N partition dirs: the read below discovers them without a
-    // path glob (a glob read trips Spark's streaming-sink metadata
-    // probe into logging a spurious AnalysisException trace per read)
+    // commit_epoch=N partition dirs: the read below discovers them
+    // without a path glob (a glob read trips Spark's streaming-sink
+    // metadata probe into logging spurious AnalysisException traces),
+    // and the base/ + delta/commit_epoch=N shape is exactly what
+    // GenDirs.layoutStats reads — so the index plugs into the
+    // Maintenance daemon and /admin/stats telemetry as-is (root =
+    // statsRoot, compact = rebuild)
     adds.unionByName(superseded).groupBy("bin").agg(sum("c").as("c"))
       .filter(col("c") =!= 0L)
       .coalesce(1).write.mode("overwrite")
-      .parquet(deltaPath.resolve(s"epoch=$epoch").toString)
+      .parquet(deltaPath.resolve(s"commit_epoch=$epoch").toString)
   }
 
   /** Wire into the store's write path. */

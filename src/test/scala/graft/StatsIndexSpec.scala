@@ -82,6 +82,57 @@ class StatsIndexSpec extends SparkSpec {
     assert(got(idx) == before, "compaction must not change the histogram")
   }
 
+  test("the index is a Maintenance target AS-IS (base/ + delta/commit_epoch=N " +
+      "is the layoutStats shape): an epoch breach rebuilds, histogram invariant") {
+    val (gs, idx, _) = mk()
+    idx.rebuild(); idx.bind()
+    (1 to 6).foreach { i =>
+      gs.txn().createVertices("doc", Seq((i.toLong, i * 100L)).toDF("id", "len")).commit()
+    }
+    assert(graft.model.GenDirs.layoutStats(idx.statsRoot).deltaEpochs == 6L)
+    val m = new graft.model.Maintenance(
+      Seq(graft.model.Maintenance.Target("stats:v_doc.len", idx.statsRoot, () => idx.rebuild())),
+      deltaEpochsHigh = 4, deltaBytesHigh = Long.MaxValue, periodMs = 60000L)
+    val before = got(idx)
+    assert(m.runOnce() == Seq("stats:v_doc.len"))
+    assert(graft.model.GenDirs.layoutStats(idx.statsRoot).deltaEpochs == 0L)
+    assert(got(idx) == before, "compaction by the daemon must not change the histogram")
+    assert(m.runOnce().isEmpty, "below threshold after compaction")
+  }
+
+  test("storm: 3 concurrent disjoint-range writers (creates, bin-moving " +
+      "updates, deletes) keep the maintained histogram at from-scratch parity") {
+    val (gs, idx, _) = mk()
+    idx.rebuild(); idx.bind()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (0 until 3).map { t =>
+      new Thread(() => {
+        try {
+          val base = t * 1000L
+          def retry(body: => Unit): Unit = {
+            var done = false
+            var attempts = 0
+            while (!done) {
+              attempts += 1
+              assert(attempts <= 40, "retry budget exhausted")
+              try { body; done = true }
+              catch { case _: gs.store.ConflictException => () }
+            }
+          }
+          retry(gs.txn().createVertices("doc",
+            (base until base + 8L).map(i => (i, (i % 11) * 90L)).toDF("id", "len")).commit())
+          retry(gs.txn().updateVertices("doc",
+            Seq((base + 2L, 950L)).toDF("id", "len")).commit())
+          retry(gs.txn().deleteVertices("doc", Seq(base + 5L).toDF("id")).commit())
+        } catch { case e: Throwable => errors.add(e) }
+      }, s"stats-storm-$t")
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!errors.isEmpty) throw errors.peek()
+    assert(got(idx) == expected(gs), "quiescent histogram parity after the storm")
+    assert(got(idx).map(_._2).sum == 21L) // 3 × (8 created − 1 deleted)
+  }
+
   test("O(bins) drift monitor: pin a reference snapshot, land a shifted " +
       "commit, psi flags it; a fresh snapshot self-drifts to zero") {
     val (gs, idx, _) = mk()
