@@ -124,6 +124,9 @@ final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String
     p.toString
   }
 
+  def hasSnapshot(name: String): Boolean =
+    Files.exists(root.resolve(s"ref_$name"))
+
   /** Drift summary ([[Drift.summarize]]: psi/js/tvd ppm) of the CURRENT
     * corpus against a pinned reference snapshot — O(nBins) input rows,
     * no corpus scan.

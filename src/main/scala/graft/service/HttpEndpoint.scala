@@ -47,7 +47,14 @@ final class HttpEndpoint(
       * invisible is worse than no actor). The one-pass
       * `/admin/maintain` verb remains the cron/manual tier for
       * processes that opt out. */
-    maintenance: Option[graft.model.Maintenance] = None) {
+    maintenance: Option[graft.model.Maintenance] = None,
+    /** commit-maintained statistics (MaintainedStatsIndex) to expose as
+      * the drift-monitor tier: `POST /admin/snapshot_stats` pins a
+      * reference, `POST /admin/drift` answers "did the corpus shift
+      * since that reference?" from O(nBins) maintained rows — the
+      * dashboard tick that must never cost a corpus scan. Their
+      * layout roots belong in `indexDirs` too for footprint telemetry. */
+    statsIndexes: Map[String, graft.operators.MaintainedStatsIndex] = Map.empty) {
 
   private var server: HttpServer = _
 
@@ -238,6 +245,7 @@ final class HttpEndpoint(
     // the auth token like all routes
     if (op == "stats") { stats(ex, body); return }
     if (op == "chart") { chart(ex, body); return }
+    if (op == "drift") { drift(ex, body); return } // read-only monitor tier
     if (!allowWrites) {
       reply(ex, 403, err("write effect not allowed on this endpoint")); return
     }
@@ -318,7 +326,48 @@ final class HttpEndpoint(
         // see StorePaths.gcStores; never touches anything else)
         val gced = graft.model.StorePaths.gcStores()
         reply(ex, 200, s"""{"compacted": "$label", "stores_gced": $gced}""")
+      case "snapshot_stats" =>
+        // pin the CURRENT maintained histogram as a named drift
+        // reference — the monitor-start step; a later /admin/drift
+        // against this name answers at O(nBins)
+        val name = field("index").getOrElse(
+          throw new QueryService.BadRequestException("'index' required"))
+        val snap = field("name").getOrElse(
+          throw new QueryService.BadRequestException("'name' required"))
+        statsIndexes.get(name) match {
+          case None => reply(ex, 404, err(s"no such stats index: $name"))
+          case Some(idx) =>
+            idx.snapshot(snap)
+            reply(ex, 200, s"""{"index": "$name", "snapshot": "$snap"}""")
+        }
       case other => reply(ex, 404, err(s"no such admin route: $other"))
+    }
+  }
+
+  /** `POST /admin/drift` `{"index": n, "ref": r}` — the drift summary
+    * (psi/js/tvd ppm + both population sizes) of the index's CURRENT
+    * maintained histogram against the pinned reference `r`. Read-only
+    * (monitoring must not require the write effect); O(nBins) input
+    * rows by construction, never a corpus scan.
+    */
+  private def drift(ex: HttpExchange, body: String): Unit = {
+    val root = parseBody(body)
+    def field(k: String): Option[String] =
+      Option(root.get(k)).filterNot(_.isNull).map(_.asText())
+    val name = field("index").getOrElse(
+      throw new QueryService.BadRequestException("'index' required"))
+    val ref = field("ref").getOrElse(
+      throw new QueryService.BadRequestException("'ref' required"))
+    statsIndexes.get(name) match {
+      case None => reply(ex, 404, err(s"no such stats index: $name"))
+      case Some(idx) if !idx.hasSnapshot(ref) =>
+        reply(ex, 404, err(s"no such reference snapshot: $ref"))
+      case Some(idx) =>
+        val r = idx.driftVsSnapshot(ref).head
+        reply(ex, 200,
+          s"""{"index": "$name", "ref": "$ref", "n_a": ${r.getLong(0)}, """ +
+            s""""n_b": ${r.getLong(1)}, "psi_ppm": ${r.getLong(2)}, """ +
+            s""""js_ppm": ${r.getLong(3)}, "tvd_ppm": ${r.getLong(4)}}""")
     }
   }
 

@@ -1162,4 +1162,49 @@ class ServiceSpec extends SparkSpec {
     assert(viaMotif.collect().toSeq == viaMatch.collect().toSeq)
     intercept[BadRequestException] { service.runAdHoc("""{"motif": "(a-bad", "select":["a"]}""") }
   }
+
+  test("drift monitor over REST: snapshot_stats pins a reference, a shifted " +
+      "commit flags through read-only /admin/drift; missing index/ref are 404") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "http-drift").toString
+    val gs = new graft.model.GraphStore(spark, graft.model.GraphSchema.builder()
+      .vertex("doc", "id", Seq("len")).build(), dir)
+    val idx = new graft.operators.MaintainedStatsIndex(
+      gs, "v_doc", "len", 0.0, 1000.0, 8, dir)
+    idx.rebuild(); idx.bind()
+    import spark.implicits._
+    gs.txn().createVertices("doc",
+      (1L to 80L).map(i => (i, 100L + i % 100)).toDF("id", "len")).commit()
+    val writable = new graft.service.HttpEndpoint(service, store = Some(gs),
+      allowWrites = true, statsIndexes = Map("doc_len" -> idx))
+    val readOnly = new graft.service.HttpEndpoint(service, store = Some(gs),
+      statsIndexes = Map("doc_len" -> idx))
+    val wPort = writable.start(); val rPort = readOnly.start()
+    val client = HttpClient.newHttpClient()
+    def post(port: Int, path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // pin the monitor reference (a write -> 403 on the read-only tier)
+      assert(post(rPort, "/admin/snapshot_stats",
+        """{"index":"doc_len","name":"m0"}""").statusCode() == 403)
+      assert(post(wPort, "/admin/snapshot_stats",
+        """{"index":"doc_len","name":"m0"}""").statusCode() == 200)
+      // before any new commit: self-drift is zero, readable WITHOUT writes
+      val flat = post(rPort, "/admin/drift", """{"index":"doc_len","ref":"m0"}""")
+      assert(flat.statusCode() == 200 && flat.body().contains("\"psi_ppm\": 0"))
+      // a shifted commit lands; the monitor must flag it at O(nBins)
+      gs.txn().createVertices("doc",
+        (81L to 140L).map(i => (i, 850L + i % 100)).toDF("id", "len")).commit()
+      val shifted = post(rPort, "/admin/drift", """{"index":"doc_len","ref":"m0"}""")
+      assert(shifted.statusCode() == 200)
+      val psi = "\"psi_ppm\": (-?\\d+)".r.findFirstMatchIn(shifted.body()).get.group(1).toLong
+      assert(psi > 250000L, s"shifted commit not flagged over REST: $psi")
+      // error taxonomy: unknown index / unknown reference are 404s
+      assert(post(rPort, "/admin/drift", """{"index":"nope","ref":"m0"}""").statusCode() == 404)
+      assert(post(rPort, "/admin/drift", """{"index":"doc_len","ref":"nope"}""").statusCode() == 404)
+    } finally { writable.stop(); readOnly.stop() }
+  }
 }
