@@ -78,7 +78,7 @@ object WriteBench {
       return
     }
     val ischema = GraphSchema.builder()
-      .vertex("doc", "id", Seq("text", "lang"))
+      .vertex("doc", "id", Seq("text", "lang", "n_chars"))
       .vertex("emb", "id", Seq("v"))
       .vertex("image", "id", Seq("bytes"))
       .build()
@@ -86,7 +86,7 @@ object WriteBench {
       java.nio.file.Paths.get("target"), "writebench-idx").toString
     val igs = new GraphStore(spark, ischema, idir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select($"doc_id".as("id"), $"text", $"lang")
+      .select($"doc_id".as("id"), $"text", $"lang", $"n_chars")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id".as("id"), $"embedding".as("v"))
     def third(df: org.apache.spark.sql.DataFrame, r: Int) =
@@ -109,6 +109,12 @@ object WriteBench {
     sig.rebuild(); sig.bind()
     val post = new graft.operators.MaintainedPostingIndex(igs, "doc", "text", idir)
     post.rebuild(); post.bind()
+    // the stats tier rides the doc commit too: one tiny aggregation +
+    // an id-pruned asOf join per commit is the claimed overhead, and
+    // this measurement is where that claim gets a number
+    val stats = new graft.operators.MaintainedStatsIndex(
+      igs, "v_doc", "n_chars", 0.0, 4000.0, 16, idir)
+    stats.rebuild(); stats.bind()
     val dim = embsC.select(size($"v")).head().getInt(0)
     val ann = new graft.operators.MaintainedAnnStore(igs, "emb", "v", idir,
       dim, nBits = 4, nTables = 8)

@@ -92,6 +92,14 @@ class DrFuzzSpec extends SparkSpec {
           List(Dump, RestorePit(0.83))
         val schema = GraphSchema.builder().vertex("doc", "id", Seq("score")).build()
         val gs = new GraphStore(spark, schema, tmp("drfuzz-store"))
+        // a commit-maintained histogram rides the same random walk: its
+        // signed-delta math (adds + superseded-value subtractions, the
+        // asOf(epoch-1) read) must survive every interleaving with
+        // vacuum — retention keeps exactly the pre-commit live values
+        // the hook reads, and this is where that claim gets stormed
+        val stats = new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "score", 0.0, 2000.0, 8, tmp("drfuzz-stats"))
+        stats.rebuild(); stats.bind()
         val root = tmp("drfuzz-chain")
         var source = Vector.empty[V]      // versions alive in the source
         var chain = Vector.empty[V]       // versions captured by the chain
@@ -169,6 +177,17 @@ class DrFuzzSpec extends SparkSpec {
         }
         assert(gs.store.history("v_doc").count() == source.size.toLong,
           s"history size drifted after $ops")
+        // the maintained histogram must equal the model's live set
+        // binned with the same pinned edges, whatever the interleaving
+        val wantHist = modelRead(source, Long.MaxValue).toSeq
+          .map { case (_, sc) =>
+            math.max(0L, math.min(7L, math.floor(sc.toDouble * 8 / 2000.0).toLong))
+          }
+          .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+        val gotHist = stats.histogram().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 != 0L).toMap
+        assert(gotHist == wantHist,
+          s"maintained histogram drifted after $ops: got=$gotHist want=$wantHist")
         }
       }
       seed = org.scalacheck.rng.Seed(20260821L + 7919L * ran)
