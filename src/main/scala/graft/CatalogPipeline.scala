@@ -956,6 +956,28 @@ object CatalogPipeline {
              |  CAST(abs((c_a * 1000000) // n_a - (c_b * 1000000) // n_b) AS BIGINT) AS dp_ppm
              |FROM c CROSS JOIN t ORDER BY lang""".stripMargin)),
 
+    // STRATIFIED drift — the per-language monitor rows a production
+    // gate actually reports (an aggregate PSI can read flat while one
+    // language collapses): q203's crawl-vs-crawl populations, one
+    // summary row per lang with per-stratum union edges. Every join is
+    // EQUI on the group key (no scalar crosses); bins materialize per
+    // group via a generate, not a cross join.
+    QueryDef("q214_drift_by_lang",
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val isA = expr("cast(substring(source, 4) as int) < 10")
+        graft.operators.Drift.groupedNumericDrift(
+            docs.filter(isA), docs.filter(!isA), "lang", "n_chars", nBins = 12)
+          .withColumnRenamed("g", "lang")
+          .orderBy("lang")
+      },
+      Some(s"""WITH u AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
+             |    CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+             |         THEN 'a' ELSE 'b' END AS side FROM documents),
+             |${OracleFragments.driftGroupedSql(12)}
+             |SELECT g AS lang, n_a, n_b, psi_ppm, js_ppm, tvd_ppm
+             |FROM gp ORDER BY lang""".stripMargin)),
+
     // Distributed quality-classifier TRAINING: distill the q97 rule
     // gate into a linear model with a batch perceptron over the
     // threshold-indicator basis — pure integer math end to end

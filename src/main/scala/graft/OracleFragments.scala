@@ -198,6 +198,38 @@ private[graft] object OracleFragments {
        |${driftTailSql(nBins)}""".stripMargin
   }
 
+  /** Stratified drift (q214): expects `u(g, v DOUBLE, side)` and
+    * mirrors [[graft.operators.Drift.groupedNumericDrift]] — per-group
+    * union-[min,max] edges, per-group bins materialized, per-group
+    * Laplace-smoothed summaries. Callers prepend `WITH u AS (...),`,
+    * then select from `gp` (one row per `g`).
+    */
+  def driftGroupedSql(nBins: Int): String = {
+    val top = nBins - 1
+    s"""st AS (SELECT g, min(v) AS lo, max(v) AS hi FROM u GROUP BY g),
+       |c0 AS (SELECT u.g, CASE WHEN hi = lo THEN 0
+       |      ELSE least($top, CAST(floor((v - lo) * $nBins / (hi - lo)) AS BIGINT)) END AS bin,
+       |    sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS c_a,
+       |    sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS c_b
+       |  FROM u JOIN st USING (g) GROUP BY 1, 2),
+       |f AS (SELECT g, bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+       |  FROM (SELECT g, unnest(range($nBins)) AS bin FROM st)
+       |  LEFT JOIN c0 USING (g, bin)),
+       |t AS (SELECT g, sum(c_a) AS n_a, sum(c_b) AS n_b FROM f GROUP BY g),
+       |p AS (SELECT f.g, c_a, c_b, n_a, n_b,
+       |    CAST(c_a + 1 AS DOUBLE) / CAST(n_a + $nBins AS DOUBLE) AS pa,
+       |    CAST(c_b + 1 AS DOUBLE) / CAST(n_b + $nBins AS DOUBLE) AS pb
+       |  FROM f JOIN t USING (g)),
+       |gp AS (SELECT g,
+       |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       |  CAST(round(sum((pa - pb) * ln(pa / pb)) * 1000000, 0) AS BIGINT) AS psi_ppm,
+       |  CAST(round(sum(pa * ln(pa / ((pa + pb) / 2.0)) * 0.5
+       |    + pb * ln(pb / ((pa + pb) / 2.0)) * 0.5) * 1000000, 0) AS BIGINT) AS js_ppm,
+       |  CAST(round(sum(abs(CAST(c_a AS DOUBLE) / CAST(greatest(n_a, 1) AS DOUBLE)
+       |    - CAST(c_b AS DOUBLE) / CAST(greatest(n_b, 1) AS DOUBLE))) * 500000, 0) AS BIGINT) AS tvd_ppm
+       |FROM p GROUP BY g)""".stripMargin
+  }
+
   /** The summary tail alone, from a prepared `f(bin, c_a, c_b)` CTE
     * covering every bin — for rows whose binning differs from the
     * union-edges default (q207 pins the edges to the REFERENCE
@@ -213,8 +245,8 @@ private[graft] object OracleFragments {
        |  CAST(round(sum((pa - pb) * ln(pa / pb)) * 1000000, 0) AS BIGINT) AS psi_ppm,
        |  CAST(round(sum(pa * ln(pa / ((pa + pb) / 2.0)) * 0.5
        |    + pb * ln(pb / ((pa + pb) / 2.0)) * 0.5) * 1000000, 0) AS BIGINT) AS js_ppm,
-       |  CAST(round(sum(abs(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-       |    - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))) * 500000, 0) AS BIGINT) AS tvd_ppm
+       |  CAST(round(sum(abs(CAST(c_a AS DOUBLE) / CAST(greatest(n_a, 1) AS DOUBLE)
+       |    - CAST(c_b AS DOUBLE) / CAST(greatest(n_b, 1) AS DOUBLE))) * 500000, 0) AS BIGINT) AS tvd_ppm
        |FROM p""".stripMargin
 
   // --- audio fingerprint arithmetic (q189's generator replay) --------

@@ -94,8 +94,55 @@ object Drift {
         round(sum((pA - pB) * log(pA / pB)) * 1000000.0, 0).cast("long").as("psi_ppm"),
         round(sum(pA * log(pA / m) * 0.5 + pB * log(pB / m) * 0.5) * 1000000.0, 0)
           .cast("long").as("js_ppm"),
-        round(sum(abs(col("c_a").cast("double") / col("n_a").cast("double")
-            - col("c_b").cast("double") / col("n_b").cast("double"))) * 500000.0, 0)
+        round(sum(abs(col("c_a").cast("double") / greatest(col("n_a"), lit(1L)).cast("double")
+            - col("c_b").cast("double") / greatest(col("n_b"), lit(1L)).cast("double"))) * 500000.0, 0)
+          .cast("long").as("tvd_ppm"))
+  }
+
+  /** STRATIFIED drift: one [[numericDrift]] summary row PER GROUP
+    * (language, source, shard...) — what a production monitor actually
+    * reports, because an aggregate PSI can read flat while one
+    * language's distribution collapses. Bin edges are per-group
+    * union-[min,max] (each stratum is its own monitor), so every row
+    * equals `numericDrift(a.filter(g), b.filter(g))` exactly — the
+    * DriftSpec contract.
+    *
+    * Scale shape: the group key makes every join EQUI (stats join,
+    * totals join — no scalar crosses at all, unlike the single-group
+    * path's one-row broadcasts); bins materialize per group via a
+    * generate (explode(sequence)), not a cross join; output
+    * cardinality = |groups|. One tagged scan, two grouped
+    * aggregations, one groups×nBins-row join.
+    */
+  def groupedNumericDrift(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, nBins: Int): DataFrame = {
+    val tagged = a.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
+      lit("a").as("side"))
+      .unionByName(b.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"), lit("b").as("side")))
+    val stats = tagged.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"))
+    val counts = tagged.join(broadcast(stats), Seq("g"))
+      .withColumn("bin", binExpr(col("v"), col("lo"), col("hi"), nBins))
+      .groupBy("g", "bin")
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("c_b"))
+    val full = stats
+      .select(col("g"), explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+      .join(counts, Seq("g", "bin"), "left")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    val totals = full.groupBy("g").agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    val pA = (col("c_a") + 1).cast("double") / (col("n_a") + nBins).cast("double")
+    val pB = (col("c_b") + 1).cast("double") / (col("n_b") + nBins).cast("double")
+    val m = (pA + pB) / 2.0
+    full.join(broadcast(totals), Seq("g"))
+      .groupBy("g")
+      .agg(
+        max("n_a").as("n_a"), max("n_b").as("n_b"),
+        round(sum((pA - pB) * log(pA / pB)) * 1000000.0, 0).cast("long").as("psi_ppm"),
+        round(sum(pA * log(pA / m) * 0.5 + pB * log(pB / m) * 0.5) * 1000000.0, 0)
+          .cast("long").as("js_ppm"),
+        round(sum(abs(col("c_a").cast("double") / greatest(col("n_a"), lit(1L)).cast("double")
+            - col("c_b").cast("double") / greatest(col("n_b"), lit(1L)).cast("double"))) * 500000.0, 0)
           .cast("long").as("tvd_ppm"))
   }
 

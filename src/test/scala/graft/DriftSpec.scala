@@ -66,6 +66,26 @@ class DriftSpec extends SparkSpec {
     assert(Drift.numericDrift(mild, base, "v", 10).head.getLong(2) == psiMild)
   }
 
+  test("groupedNumericDrift: every stratum row equals numericDrift run " +
+      "on that stratum alone (per-group edges, per-group smoothing), " +
+      "including a group present in only one population") {
+    val a = Seq(("en", 10L), ("en", 20L), ("en", 90L), ("de", 5L), ("de", 7L),
+      ("zh", 50L)).toDF("lang", "len")
+    val b = Seq(("en", 15L), ("en", 85L), ("de", 900L)).toDF("lang", "len")
+    // zh exists only in population A — smoothing must keep it finite
+    val grouped = Drift.groupedNumericDrift(a, b, "lang", "len", nBins = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(grouped.keySet == Set("en", "de", "zh"))
+    for (g <- Seq("en", "de", "zh")) {
+      val one = Drift.numericDrift(
+        a.filter($"lang" === g), b.filter($"lang" === g), "len", nBins = 6).head
+      assert(grouped(g) == ((one.getLong(0), one.getLong(1), one.getLong(2),
+        one.getLong(3), one.getLong(4))),
+        s"stratum $g diverges from its single-group run")
+    }
+  }
+
   test("MVCC composition: drift between two as-of epochs of a live store " +
       "flags the commit that shifted the corpus; self-drift stays zero") {
     val dir = java.nio.file.Files.createTempDirectory(
