@@ -951,9 +951,10 @@ object CatalogPipeline {
              |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
              |    CAST(sum(c_b) AS BIGINT) AS n_b FROM c)
              |SELECT key AS lang, c_a, c_b,
-             |  CAST((c_a * 1000000) // n_a AS BIGINT) AS p_a_ppm,
-             |  CAST((c_b * 1000000) // n_b AS BIGINT) AS p_b_ppm,
-             |  CAST(abs((c_a * 1000000) // n_a - (c_b * 1000000) // n_b) AS BIGINT) AS dp_ppm
+             |  CAST((c_a * 1000000) // greatest(n_a, 1) AS BIGINT) AS p_a_ppm,
+             |  CAST((c_b * 1000000) // greatest(n_b, 1) AS BIGINT) AS p_b_ppm,
+             |  CAST(abs((c_a * 1000000) // greatest(n_a, 1)
+             |    - (c_b * 1000000) // greatest(n_b, 1)) AS BIGINT) AS dp_ppm
              |FROM c CROSS JOIN t ORDER BY lang""".stripMargin)),
 
     // STRATIFIED drift — the per-language monitor rows a production

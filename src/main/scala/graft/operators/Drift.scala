@@ -17,9 +17,8 @@ import org.apache.spark.sql.functions._
   *    metric itself flap under re-partitioning — useless as a GATE. The
   *    edges here are fixed-width over the union's exact [min, max]: one
   *    all-map-side min/max pass, then one binning pass with map-side
-  *    combine into at most `nBins` groups. Two scans, a one-row
-  *    broadcast, an nBins-row shuffle — nothing driver-side, nothing
-  *    order-dependent.
+  *    combine into at most `nBins` groups. Two scans, an nBins-row
+  *    shuffle — nothing order-dependent.
   *  - Metrics leave as integer parts-per-million (categorical: exact
   *    integer division; numeric PSI/JS: rounded at ppm grain, which
   *    absorbs last-ulp `ln` differences between engines) so results
@@ -28,6 +27,16 @@ import org.apache.spark.sql.functions._
   *    bin's term finite without an epsilon knob, and stays in integer
   *    numerators/denominators so both engines produce identical
   *    doubles before the single rounding.
+  *  - ZERO joins after the binning pass (since round 13): the
+  *    single-group [lo, hi] edges inline as plan literals (a 2-scalar
+  *    driver fetch from the all-map-side min/max pass — the q207
+  *    pinned-edges shape; a constant-key equi join would constant-fold
+  *    into a nested-loop cross), and the summary computes in ONE
+  *    grouped aggregation whose collect_list is bounded at nBins
+  *    elements per group by construction. The engine-wide "no BNLJ"
+  *    plan gate therefore needs NO drift allowlist entries (round-12
+  *    verdict, next-round #3). The grouped path's edges join stays —
+  *    it is a real broadcast HASH join on the group key.
   */
 object Drift {
 
@@ -47,15 +56,22 @@ object Drift {
     * [min, max] of the UNION of both populations — shared deterministic
     * edges. Every bin appears, including empty ones (the smoothed
     * metrics need them: an empty-empty bin still contributes when the
-    * population sizes differ).
+    * population sizes differ). The edges are fetched to the driver as
+    * two scalars and inlined as literals: the min/max pass is its own
+    * scan either way, and literal edges keep the binning scan join-free.
     */
   def numericBinned(a: DataFrame, b: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     val spark = a.sparkSession
     val tagged = a.select(col(valueCol).cast("double").as("v"), lit("a").as("side"))
       .unionByName(b.select(col(valueCol).cast("double").as("v"), lit("b").as("side")))
-    val stats = tagged.agg(min("v").as("lo"), max("v").as("hi"))
-    val counts = tagged.crossJoin(broadcast(stats))
-      .withColumn("bin", binExpr(col("v"), col("lo"), col("hi"), nBins))
+    val edges = tagged.agg(min("v").as("lo"), max("v").as("hi")).head
+    // an empty union yields null edges: binExpr propagates them to a
+    // null bin, the left join below fills zeros — the summary contract
+    // stays "one row of zeros", never zero rows
+    def edge(i: Int): Column =
+      if (edges.isNullAt(i)) lit(null).cast("double") else lit(edges.getDouble(i))
+    val counts = tagged
+      .withColumn("bin", binExpr(col("v"), edge(0), edge(1), nBins))
       .groupBy("bin")
       .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("c_a"),
         sum(when(col("side") === "b", 1L).otherwise(0L)).as("c_b"))
@@ -81,22 +97,46 @@ object Drift {
   /** The drift summary from an already-binned (bin, c_a, c_b) frame
     * covering all `nBins` bins — shared by [[numericDrift]] and the
     * streaming monitor, whose `c_b` column arrives from a streaming
-    * aggregation over pinned reference edges.
+    * aggregation over pinned reference edges. The single-group case of
+    * [[summarizeGrouped]].
     */
-  def summarize(binned: DataFrame, nBins: Int): DataFrame = {
-    val totals = binned.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
-    val pA = (col("c_a") + 1).cast("double") / (col("n_a") + nBins).cast("double")
-    val pB = (col("c_b") + 1).cast("double") / (col("n_b") + nBins).cast("double")
-    val m = (pA + pB) / 2.0
-    binned.crossJoin(broadcast(totals))
-      .agg(
-        max("n_a").as("n_a"), max("n_b").as("n_b"),
-        round(sum((pA - pB) * log(pA / pB)) * 1000000.0, 0).cast("long").as("psi_ppm"),
-        round(sum(pA * log(pA / m) * 0.5 + pB * log(pB / m) * 0.5) * 1000000.0, 0)
-          .cast("long").as("js_ppm"),
-        round(sum(abs(col("c_a").cast("double") / greatest(col("n_a"), lit(1L)).cast("double")
-            - col("c_b").cast("double") / greatest(col("n_b"), lit(1L)).cast("double"))) * 500000.0, 0)
-          .cast("long").as("tvd_ppm"))
+  def summarize(binned: DataFrame, nBins: Int): DataFrame =
+    summarizeGrouped(binned.withColumn("g", lit(0L)), nBins).drop("g")
+
+  /** The per-group drift summary from a (g, bin, c_a, c_b) frame
+    * covering every (group, bin) pair: one
+    * (g, n_a, n_b, psi_ppm, js_ppm, tvd_ppm) row per group, computed
+    * in ONE grouped aggregation — the nBins (bin, c_a, c_b) triples
+    * collect into a bin-sorted array alongside the (n_a, n_b) sums,
+    * and the metrics fold over that array with higher-order
+    * `aggregate`. No join, no window; collect_list is bounded at
+    * nBins elements per group by construction, and the bin-sorted
+    * fold makes even the double-summation ORDER deterministic
+    * (stricter than the partial-aggregation order the ppm rounding
+    * already absorbs).
+    */
+  def summarizeGrouped(binned: DataFrame, nBins: Int): DataFrame = {
+    val packed = binned.groupBy("g").agg(
+      sum("c_a").as("n_a"), sum("c_b").as("n_b"),
+      sort_array(collect_list(struct(col("bin"), col("c_a"), col("c_b")))).as("bs"))
+    def pA(x: Column) = (x.getField("c_a") + 1).cast("double") /
+      (col("n_a") + nBins).cast("double")
+    def pB(x: Column) = (x.getField("c_b") + 1).cast("double") /
+      (col("n_b") + nBins).cast("double")
+    def m(x: Column) = (pA(x) + pB(x)) / 2.0
+    def fold(term: Column => Column): Column =
+      aggregate(col("bs"), lit(0.0d), (acc, x) => acc + term(x))
+    packed.select(col("g"), col("n_a"), col("n_b"),
+      round(fold(x => (pA(x) - pB(x)) * log(pA(x) / pB(x))) * 1000000.0, 0)
+        .cast("long").as("psi_ppm"),
+      round(fold(x => pA(x) * log(pA(x) / m(x)) * 0.5
+          + pB(x) * log(pB(x) / m(x)) * 0.5) * 1000000.0, 0)
+        .cast("long").as("js_ppm"),
+      round(fold(x =>
+          abs(x.getField("c_a").cast("double") / greatest(col("n_a"), lit(1L)).cast("double")
+            - x.getField("c_b").cast("double") / greatest(col("n_b"), lit(1L)).cast("double")))
+          * 500000.0, 0)
+        .cast("long").as("tvd_ppm"))
   }
 
   /** STRATIFIED drift: one [[numericDrift]] summary row PER GROUP
@@ -107,12 +147,11 @@ object Drift {
     * equals `numericDrift(a.filter(g), b.filter(g))` exactly — the
     * DriftSpec contract.
     *
-    * Scale shape: the group key makes every join EQUI (stats join,
-    * totals join — no scalar crosses at all, unlike the single-group
-    * path's one-row broadcasts); bins materialize per group via a
-    * generate (explode(sequence)), not a cross join; output
-    * cardinality = |groups|. One tagged scan, two grouped
-    * aggregations, one groups×nBins-row join.
+    * Scale shape: the group key makes the edges join EQUI (a broadcast
+    * hash join on `g`); bins materialize per group via a generate
+    * (explode(sequence)); totals ride the [[summarizeGrouped]] window.
+    * One tagged scan, two grouped aggregations, one groups×nBins-row
+    * frame downstream.
     */
   def groupedNumericDrift(a: DataFrame, b: DataFrame, groupCol: String,
       valueCol: String, nBins: Int): DataFrame = {
@@ -130,27 +169,23 @@ object Drift {
       .select(col("g"), explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
       .join(counts, Seq("g", "bin"), "left")
       .na.fill(0L, Seq("c_a", "c_b"))
-    val totals = full.groupBy("g").agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
-    val pA = (col("c_a") + 1).cast("double") / (col("n_a") + nBins).cast("double")
-    val pB = (col("c_b") + 1).cast("double") / (col("n_b") + nBins).cast("double")
-    val m = (pA + pB) / 2.0
-    full.join(broadcast(totals), Seq("g"))
-      .groupBy("g")
-      .agg(
-        max("n_a").as("n_a"), max("n_b").as("n_b"),
-        round(sum((pA - pB) * log(pA / pB)) * 1000000.0, 0).cast("long").as("psi_ppm"),
-        round(sum(pA * log(pA / m) * 0.5 + pB * log(pB / m) * 0.5) * 1000000.0, 0)
-          .cast("long").as("js_ppm"),
-        round(sum(abs(col("c_a").cast("double") / greatest(col("n_a"), lit(1L)).cast("double")
-            - col("c_b").cast("double") / greatest(col("n_b"), lit(1L)).cast("double"))) * 500000.0, 0)
-          .cast("long").as("tvd_ppm"))
+    summarizeGrouped(full, nBins)
   }
 
   /** Per-category frequency drift over a key column — all-integer
     * (exact ppm by integer division), one row per key present in
     * EITHER population: (key, c_a, c_b, p_a_ppm, p_b_ppm, dp_ppm).
-    * One grouped count with map-side combine + a one-row broadcast;
-    * output cardinality = |distinct keys|.
+    * One grouped count with map-side combine, then the per-key rows
+    * and their totals assemble in a second global aggregation
+    * (collect + explode — no join, no window): the collected array is
+    * |distinct keys| elements, and category keys are LOW-CARDINALITY
+    * by contract (language, source, shard — the monitor's strata);
+    * drift over a high-cardinality key space (token vocabularies) is
+    * q138's token-drift path, whose plan is shaped for that. Empty
+    * populations guard their denominator to 1 (0 ppm everywhere), the
+    * same greatest(n, 1) convention as the TVD term — integer div by
+    * zero would otherwise NULL the ppm columns, breaking the
+    * "exact ppm" contract (r12 advice).
     */
   def categoricalDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
     val tagged = a.select(col(keyCol).as("key"), lit("a").as("side"))
@@ -158,12 +193,14 @@ object Drift {
     val counts = tagged.groupBy("key")
       .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("c_a"),
         sum(when(col("side") === "b", 1L).otherwise(0L)).as("c_b"))
-    val totals = counts.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
-    counts.crossJoin(broadcast(totals))
-      .select(col("key"), col("c_a"), col("c_b"),
-        expr("(c_a * 1000000) div n_a").as("p_a_ppm"),
-        expr("(c_b * 1000000) div n_b").as("p_b_ppm"),
-        abs(expr("(c_a * 1000000) div n_a") - expr("(c_b * 1000000) div n_b"))
-          .as("dp_ppm"))
+    counts
+      .agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"),
+        collect_list(struct(col("key"), col("c_a"), col("c_b"))).as("ks"))
+      .select(explode(col("ks")).as("k"), col("n_a"), col("n_b"))
+      .select(col("k.key").as("key"), col("k.c_a").as("c_a"), col("k.c_b").as("c_b"),
+        expr("(k.c_a * 1000000) div greatest(n_a, 1)").as("p_a_ppm"),
+        expr("(k.c_b * 1000000) div greatest(n_b, 1)").as("p_b_ppm"),
+        abs(expr("(k.c_a * 1000000) div greatest(n_a, 1)")
+          - expr("(k.c_b * 1000000) div greatest(n_b, 1)")).as("dp_ppm"))
   }
 }

@@ -86,6 +86,38 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("empty population: categorical ppm columns guard to 0, never NULL, " +
+      "and numericDrift keeps its one-row contract (r12 advice: div-by-zero)") {
+    val a = Seq("en", "en", "de").toDF("k")
+    val none = spark.emptyDataFrame.select(lit("x").as("k")).filter(lit(false))
+    val rows = Drift.categoricalDrift(a, none, "k").orderBy("key").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(!r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5), s"NULL ppm in $r")
+      assert(r.getLong(4) == 0L) // empty side reads 0 ppm everywhere
+    }
+    val av = Seq(1L, 2L, 3L).toDF("v")
+    val bn = av.filter(lit(false))
+    val d = Drift.numericDrift(av, bn, "v", nBins = 4).collect()
+    assert(d.length == 1 && d.head.getLong(0) == 3L && d.head.getLong(1) == 0L)
+    // both sides empty: still one summary row of zeros, not zero rows
+    val dd = Drift.numericDrift(bn.withColumnRenamed("v", "v"), bn, "v", 4).collect()
+    assert(dd.length == 1 && dd.head.getLong(0) == 0L && dd.head.getLong(1) == 0L)
+  }
+
+  test("single-group path is BNLJ/cartesian-free (the plan-gate allowlist " +
+      "no longer carries drift entries — r12 next-round #3)") {
+    val a = (1 to 50).map(_.toLong).toDF("v")
+    val b = (20 to 90).map(_.toLong).toDF("v")
+    for (df <- Seq(Drift.numericDrift(a, b, "v", 8),
+        Drift.categoricalDrift(a.withColumn("k", $"v" % 3), b.withColumn("k", $"v" % 3), "k"))) {
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"BNLJ in drift plan:\n$s")
+      assert(!s.contains("CartesianProduct"), s"cartesian in drift plan:\n$s")
+    }
+  }
+
   test("MVCC composition: drift between two as-of epochs of a live store " +
       "flags the commit that shifted the corpus; self-drift stays zero") {
     val dir = java.nio.file.Files.createTempDirectory(

@@ -62,16 +62,11 @@ class PlanQualitySpec extends SparkSpec {
       "q178_class_weights", "q179_hot_keys",
       // q183 assembles THREE 1-row audit counts into one row — the
       // same deliberate scalar-broadcast shape
-      "q183_edge_integrity",
-      // the drift family broadcasts two deliberate 1-row frames: the
-      // union's [min,max] bin edges into the binning pass, and the
-      // (n_a, n_b) totals into the nBins-row summary — q87's scalar
-      // shape twice; everything between is hash-aggregated on `bin`
-      "q203_drift_psi", "q204_drift_lang", "q205_mvcc_drift",
-      "q206_drift_embed", "q207_stream_drift",
-      // q213 reads two nBins-row maintained histograms; the only cross
-      // is Drift.summarize's 1-row totals broadcast — same shape
-      "q213_stats_drift")
+      "q183_edge_integrity")
+    // NOTE the drift family (q203–q207, q213–q215) carries NO entries:
+    // since round 13 every drift join — bin edges, totals — is a
+    // broadcast HASH join on the (possibly constant) group key, so the
+    // whole tier rides the default no-BNLJ assertion below
     SparkEntry.queries.keys.toSeq.sorted.filterNot(salted).foreach { name =>
       val s = executedString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name has a CartesianProduct")
