@@ -108,6 +108,43 @@ object CatalogMvcc {
     path
   }
 
+  private[graft] def groupedStatsStorePath(sfDir: String): String =
+    s"${StorePaths.root}/${StorePaths.key(sfDir)}/stats_docs_lang_v1"
+
+  /** q213's fixture STRATIFIED: the same commit script over a store
+    * whose docs carry `lang`, with a per-language MaintainedStatsIndex
+    * bound — the q215 monitor's data.
+    */
+  private[graft] def ensureGroupedStatsStore(spark: SparkSession, sfDir: String): String = {
+    val path = groupedStatsStorePath(sfDir)
+    val fp = StorePaths.fingerprint(s"$sfDir/documents.parquet")
+    def current = StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
+        Dirs.rmTree(Paths.get(path))
+        val schema = graft.model.GraphSchema.builder()
+          .vertex("doc", "id", Seq("n_chars", "lang")).build()
+        val gs = new graft.model.GraphStore(spark, schema, path)
+        val (lo, hi, nBins) = statsEdges
+        val idx = new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "n_chars", lo, hi, nBins, path, groupCol = Some("lang"))
+        idx.rebuild(); idx.bind()
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").as("id"), col("n_chars"), col("lang"))
+        gs.txn().createVertices("doc", docs.filter(col("id") % 2 === 0)).commit()
+        idx.snapshot("ref")
+        gs.txn().createVertices("doc", docs.filter(col("id") % 2 === 1)).commit()
+        gs.txn().updateVertices("doc", docs.filter(col("id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 500)).commit()
+        gs.txn().deleteVertices("doc",
+          docs.filter(col("id") % 14 === 0 && col("id") % 10 =!= 0).select("id"))
+          .commit()
+        StorePaths.stamp(path, fp)
+      }
+    }
+    path
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Snapshot read pinned to epoch 1: the world before the second
@@ -223,5 +260,42 @@ object CatalogMvcc {
              |f AS (SELECT bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
              |  FROM (SELECT unnest(range(16)) AS bin)
              |  LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
-             |${OracleFragments.driftTailSql(16)}""".stripMargin)))
+             |${OracleFragments.driftTailSql(16)}""".stripMargin)),
+
+    // q213's commit-maintained drift monitor STRATIFIED by language —
+    // q214's per-language report served from maintained state: one
+    // summary row per lang at O(nBins·langs) input rows, NO corpus
+    // rescan, pinned edges, signed per-(lang, bin) commit deltas. The
+    // oracle re-derives both per-language histograms from the commit
+    // script (the +500 value-moving update included) with the same
+    // pinned-edge clamp, then the shared grouped summary tail.
+    QueryDef("q215_stats_drift_by_lang",
+      (s, d) => {
+        val path = ensureGroupedStatsStore(s, d)
+        val gs = graft.model.GraphStore.open(s, path)
+        val (lo, hi, nBins) = statsEdges
+        new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "n_chars", lo, hi, nBins, path, groupCol = Some("lang"))
+          .driftVsSnapshot("ref")
+          .withColumnRenamed("g", "lang")
+          .orderBy("lang")
+      },
+      Some(s"""WITH a AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |b AS (SELECT lang AS g, CAST(n_chars +
+             |    CASE WHEN doc_id % 10 = 0 THEN 500 ELSE 0 END AS DOUBLE) AS v
+             |  FROM documents WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)),
+             |ca AS (SELECT g, greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_a FROM a GROUP BY 1, 2),
+             |cb AS (SELECT g, greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_b FROM b GROUP BY 1, 2),
+             |gl AS (SELECT g FROM ca UNION SELECT g FROM cb),
+             |f AS (SELECT g, bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+             |  FROM (SELECT g, unnest(range(16)) AS bin FROM gl)
+             |  LEFT JOIN ca USING (g, bin) LEFT JOIN cb USING (g, bin)),
+             |${OracleFragments.driftGroupedTailSql(16)}
+             |SELECT g AS lang, n_a, n_b, psi_ppm, js_ppm, tvd_ppm
+             |FROM gp ORDER BY lang""".stripMargin)))
 }

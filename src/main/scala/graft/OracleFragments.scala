@@ -215,7 +215,18 @@ private[graft] object OracleFragments {
        |f AS (SELECT g, bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
        |  FROM (SELECT g, unnest(range($nBins)) AS bin FROM st)
        |  LEFT JOIN c0 USING (g, bin)),
-       |t AS (SELECT g, sum(c_a) AS n_a, sum(c_b) AS n_b FROM f GROUP BY g),
+       |${driftGroupedTailSql(nBins)}""".stripMargin
+  }
+
+  /** The grouped summary tail alone, from a prepared `f(g, bin, c_a,
+    * c_b)` CTE covering every (group, bin) pair — for rows whose
+    * binning differs from the per-group union-edges default (q215 pins
+    * the edges to the maintained monitor's construction-time
+    * configuration and clamps, mirroring the stratified
+    * MaintainedStatsIndex). Yields `gp` (one row per `g`).
+    */
+  def driftGroupedTailSql(nBins: Int): String =
+    s"""t AS (SELECT g, sum(c_a) AS n_a, sum(c_b) AS n_b FROM f GROUP BY g),
        |p AS (SELECT f.g, c_a, c_b, n_a, n_b,
        |    CAST(c_a + 1 AS DOUBLE) / CAST(n_a + $nBins AS DOUBLE) AS pa,
        |    CAST(c_b + 1 AS DOUBLE) / CAST(n_b + $nBins AS DOUBLE) AS pb
@@ -228,7 +239,6 @@ private[graft] object OracleFragments {
        |  CAST(round(sum(abs(CAST(c_a AS DOUBLE) / CAST(greatest(n_a, 1) AS DOUBLE)
        |    - CAST(c_b AS DOUBLE) / CAST(greatest(n_b, 1) AS DOUBLE))) * 500000, 0) AS BIGINT) AS tvd_ppm
        |FROM p GROUP BY g)""".stripMargin
-  }
 
   /** The summary tail alone, from a prepared `f(bin, c_a, c_b)` CTE
     * covering every bin — for rows whose binning differs from the

@@ -65,10 +65,29 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
   // replication stream inside the transaction's apply phase
   // (transactions.lisp:601-744, 1005-1425); here subscribers get the
   // committed epoch plus the materialized staged frames per table.
-  private val commitListeners =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, DataFrame]) => Unit]
+  private val commitListeners = scala.collection.mutable.ArrayBuffer
+    .empty[(Long, Map[String, DataFrame], Map[String, DataFrame]) => Unit]
   def onCommit(f: (Long, Map[String, DataFrame]) => Unit): Unit =
+    commitListeners.synchronized { commitListeners += ((e, fr, _) => f(e, fr)) }
+
+  // tables whose PRE-commit live rows some listener needs captured
+  // under the commit lock (VersionedStore.commitCaptures)
+  private val prevCaptureTables = scala.collection.mutable.Set.empty[String]
+
+  /** Like [[onCommit]], but the listener's third argument carries —
+    * for `table`, when this commit staged rows there — the PRE-commit
+    * live values of the staged ids, captured and materialized while
+    * the commit still held the store's write lock. The hook for a
+    * maintained aggregate (signed histogram deltas) consumes these
+    * instead of an asOf(epoch−1) read, which a concurrent
+    * `vacuum(keep=1)` could starve of the superseded revisions (see
+    * [[VersionedStore.commitCaptures]]).
+    */
+  def onCommitWithPrev(table: String)(
+      f: (Long, Map[String, DataFrame], Map[String, DataFrame]) => Unit): Unit = {
+    prevCaptureTables.synchronized { prevCaptureTables += table }
     commitListeners.synchronized { commitListeners += f }
+  }
 
   /** A commit hook failed AFTER the transaction became durable: the
     * data IS committed (retrying the transaction would conflict); only
@@ -314,11 +333,12 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
     }
 
     def commit(): Long = {
-      val (epoch, frames) = store.commitWithFrames(writes)
+      val capture = prevCaptureTables.synchronized { prevCaptureTables.toSet }
+      val (epoch, frames, prev) = store.commitCaptures(writes, capture)
       // every listener runs even if an earlier one fails — a broken
       // view hook must not starve the replication hook of an epoch
       val failures = commitListeners.synchronized { commitListeners.toSeq }.flatMap { f =>
-        try { f(epoch, frames); None } catch { case e: Exception => Some(e) }
+        try { f(epoch, frames, prev); None } catch { case e: Exception => Some(e) }
       }
       if (failures.nonEmpty) throw new CommitHookException(epoch, failures)
       epoch

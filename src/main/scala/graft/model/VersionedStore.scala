@@ -496,7 +496,28 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * rev-derivation reads would resolve against the NEW epoch after
     * the pointer bump and recompute different revisions.
     */
-  def commitWithFrames(writes0: Map[String, DataFrame]): (Long, Map[String, DataFrame]) = withWriteLock {
+  def commitWithFrames(writes0: Map[String, DataFrame]): (Long, Map[String, DataFrame]) = {
+    val (epoch, frames, _) = commitCaptures(writes0, Set.empty)
+    (epoch, frames)
+  }
+
+  /** [[commitWithFrames]], additionally returning — for the requested
+    * tables — the PRE-commit live rows of every staged id, captured
+    * and MATERIALIZED (localCheckpoint) while the write lock is still
+    * held. Commit hooks that need superseded values (the maintained
+    * statistics tier's signed deltas) consume THESE instead of an
+    * asOf(epoch−1) read at hook time: hooks run after the lock is
+    * released, so a concurrent `vacuum(keep=1)` — which keeps only
+    * each id's newest revision, post-bump the just-committed one —
+    * could destroy the superseded revisions between the pointer bump
+    * and the hook's read. A frame captured under the lock is immune:
+    * vacuum also takes the write lock, and once materialized the
+    * frame no longer reads the table's files at all. Cost: one
+    * id-pruned current-state read per captured table per commit —
+    * commit-sized, never corpus-sized.
+    */
+  def commitCaptures(writes0: Map[String, DataFrame],
+      capturePrev: Set[String]): (Long, Map[String, DataFrame], Map[String, DataFrame]) = withWriteLock {
     val base = currentEpoch
     val next = base + 1
     // materialize each staged frame ONCE: staged plans typically embed
@@ -536,6 +557,15 @@ final class VersionedStore(spark: SparkSession, dir: String) {
         throw new ConflictException(s"$label: $nBad stale/invalid revisions ($sample)")
       }
     }
+    // capture pre-commit live values of the staged ids BEFORE any epoch
+    // dir is written: still under the lock, pointer still at `base`, so
+    // read() resolves the exact state this commit supersedes
+    val prev = writes.collect {
+      case (label, df) if capturePrev(label) && Files.exists(Paths.get(labelDir(label))) =>
+        label -> read(label)
+          .join(df.select("id").distinct(), Seq("id"), "left_semi")
+          .localCheckpoint(eager = true)
+    }
     writes.foreach { case (label, df) =>
       // clear any half-written epoch dirs from crashed commits first:
       // we hold the write lock, and anything above `base` is invisible
@@ -559,7 +589,7 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     // leaves the marker behind, which readers overlay-heal)
     if (curEnabled)
       writes.keys.foreach(l => if (Files.exists(curRoot(l))) appendCurrentDelta(l, next))
-    (next, writes)
+    (next, writes, prev)
   }
 
   /** The commit-log tail for one table: every version row committed in

@@ -149,9 +149,9 @@ object Drift {
     *
     * Scale shape: the group key makes the edges join EQUI (a broadcast
     * hash join on `g`); bins materialize per group via a generate
-    * (explode(sequence)); totals ride the [[summarizeGrouped]] window.
-    * One tagged scan, two grouped aggregations, one groups×nBins-row
-    * frame downstream.
+    * (explode(sequence)); the summary is [[summarizeGrouped]]'s single
+    * aggregation. One tagged scan, two grouped aggregations, one
+    * groups×nBins-row frame downstream.
     */
   def groupedNumericDrift(a: DataFrame, b: DataFrame, groupCol: String,
       valueCol: String, nBins: Int): DataFrame = {

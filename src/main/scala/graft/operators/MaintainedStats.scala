@@ -1,19 +1,20 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.model.{Dirs, GraphStore}
+import graft.model.{Dirs, GenDirs, GraphStore}
 
 /** Commit-maintained corpus STATISTICS: a fixed-edge histogram of a
-  * numeric column over the live rows of a store label, refreshed
-  * inside every commit's call stack — the maintained-index discipline
-  * (reference transactions.lisp:601-744: indexes update in the apply
-  * phase) applied to aggregate state instead of row lookup. With it,
-  * the "did this commit shift the corpus?" monitor (q205's drift) is
-  * answered from O(nBins × epochs-since-compaction) rows instead of a
+  * numeric column over the live rows of a store label — optionally
+  * stratified by a group column — refreshed inside every commit's call
+  * stack: the maintained-index discipline (reference
+  * transactions.lisp:601-744: indexes update in the apply phase)
+  * applied to aggregate state instead of row lookup. With it, the "did
+  * this commit shift the corpus?" monitor (q205's drift) is answered
+  * from O(nBins × groups × epochs-since-compaction) rows instead of a
   * corpus rescan — at 100 TB the difference between a dashboard tick
   * and a full scan.
   *
@@ -24,100 +25,196 @@ import graft.model.{Dirs, GraphStore}
   *    out-of-range values clamp into the edge bins ([[Drift.binExpr]]).
   *  - Each commit appends one signed delta file: +1 rows for staged
   *    live revisions, −1 rows for the superseded PRE-commit values of
-  *    the touched ids (read via an asOf(epoch−1) snapshot joined to
-  *    the staged ids — epoch-partition-pruned, id-pruned; cost scales
-  *    with the COMMIT, never the corpus). `vacuum(keep=1)` is safe
-  *    concurrently: the hook only ever reads pre-commit LIVE values,
-  *    which retention preserves.
-  *  - Reads sum base + deltas — at most nBins×(2×epochs) tiny rows —
-  *    and [[rebuild]] folds deltas back into the base (a natural
+  *    the touched ids. Those pre-commit values arrive from the commit
+  *    itself ([[GraphStore.onCommitWithPrev]]: captured and
+  *    MATERIALIZED under the store's write lock, before the pointer
+  *    bump), NOT from an asOf(epoch−1) read at hook time — the hook
+  *    runs after the write lock is released, so a `vacuum(keep=1)`
+  *    landing in that window would have already destroyed the
+  *    superseded revisions an asOf read needs, silently dropping the
+  *    −1 side and overcounting until rebuild (r12 advice). Cost scales
+  *    with the COMMIT, never the corpus.
+  *  - Reads sum base + deltas — at most nBins×groups×(1 + epochs) tiny
+  *    rows — and [[rebuild]] folds deltas back into the base (a natural
   *    Maintenance-daemon target, like every other maintained tier).
+  *  - The base publishes through [[GenDirs.publish]] (atomic generation
+  *    swap with reader grace, like every maintained store): a reader in
+  *    ANOTHER instance — q213's per-call QueryDef instance, the HTTP
+  *    tier — can race a rebuild without ever seeing a missing base or
+  *    an old base against a cleared delta log (r12 advice; the old
+  *    rmTree+move swap had a no-base window).
+  *  - Replay cursor: [[rebuild]] records the store epoch read BEFORE
+  *    materializing, and [[applyCommit]] skips epochs at or below it —
+  *    the [[PartitionedDeltaLog.appliedThrough]] discipline, closing
+  *    the race where a Maintenance-daemon rebuild folds a
+  *    durable-but-not-yet-applied commit into the base and then also
+  *    accepts its delta, double-counting until compaction (r12 advice).
   *  - Bound-before-built commits are skipped; the eventual [[rebuild]]
   *    reads committed state, so nothing is lost (the MaintainedIvfStore
-  *    contract).
+  *    contract). [[bind]] claims the exclusive `_BINDER_LOCK`
+  *    (single-writer contract, see [[MaintainedIndexes]]).
+  *  - STRATIFIED mode (`groupCol = Some(...)`): one histogram per
+  *    group value (cast to string — strata are languages/sources/
+  *    shards by contract), frames carry a leading `g` column, and
+  *    [[driftVsSnapshot]] reports one summary row per group — q214's
+  *    per-language monitor served at O(nBins·groups) per commit with
+  *    NO corpus rescan. Groups appear and disappear freely: bins
+  *    materialize per group present, and drift full-outer-joins the
+  *    reference and current group sets.
   */
 final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String,
-    lo: Double, hi: Double, nBins: Int, dir: String) {
+    lo: Double, hi: Double, nBins: Int, dir: String,
+    val groupCol: Option[String] = None) {
 
-  private val root = Paths.get(dir, s"stats_${label}_$valueCol")
-  private val basePath = root.resolve("base")
+  private val root = Paths.get(dir,
+    groupCol.fold(s"stats_${label}_$valueCol")(g => s"stats_${label}_${valueCol}_by_$g"))
 
   /** The layout root for Maintenance.Target / GenDirs.layoutStats. */
   def statsRoot: java.nio.file.Path = root
-  private val deltaPath = root.resolve("delta")
-  private def baseTmp = root.resolve("__base_tmp")
   private val spark = gs.spark
+  private val maintLock = new Object // see MaintainedIndexes concurrency contract
+  private var binderLock: java.nio.channels.FileChannel = _
+
+  private def keyCols: Seq[String] = groupCol.fold(Seq("bin"))(_ => Seq("g", "bin"))
 
   private def binOf(v: Column): Column =
     Drift.binExpr(v.cast("double"), lit(lo), lit(hi), nBins)
 
-  private def fullBins(counts: DataFrame): DataFrame =
-    spark.range(nBins).select(col("id").as("bin"))
-      .join(counts, Seq("bin"), "left").na.fill(0L, Seq("c"))
+  /** (g?, bin, c) counts of `rows` under the pinned edges. */
+  private def binned(rows: DataFrame): DataFrame = {
+    val keyed = groupCol match {
+      case None => rows.select(binOf(col(valueCol)).as("bin"))
+      case Some(gc) => rows.select(col(gc).cast("string").as("g"),
+        binOf(col(valueCol)).as("bin"))
+    }
+    keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+  }
+
+  /** Every bin materialized: ungrouped over range(nBins); grouped per
+    * group PRESENT in `counts` (the group universe is data, not
+    * configuration).
+    */
+  private def fullBins(counts: DataFrame): DataFrame = groupCol match {
+    case None =>
+      spark.range(nBins).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left").na.fill(0L, Seq("c"))
+    case Some(_) =>
+      counts.select("g").distinct()
+        .select(col("g"), explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+        .join(counts, Seq("g", "bin"), "left").na.fill(0L, Seq("c"))
+  }
+
+  // --- replay cursor (the PartitionedDeltaLog.appliedThrough shape) ---
+  private def appliedThroughFile = root.resolve("_APPLIED_THROUGH")
+
+  private def appliedThrough: Long =
+    try {
+      if (Files.exists(appliedThroughFile))
+        new String(Files.readAllBytes(appliedThroughFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else 0L
+    } catch { case _: NumberFormatException => 0L }
+
+  private def recordApplied(epoch: Long): Unit =
+    if (epoch > appliedThrough) {
+      Files.createDirectories(root)
+      Files.write(appliedThroughFile, epoch.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
 
   /** Recompute the base histogram from the store's current live rows
     * and retire every delta — compaction AND first build share this.
+    * The cursor records the epoch read BEFORE materializing: a commit
+    * racing the rebuild lands an epoch above it and its delta applies;
+    * a commit already folded into the base reads at or below it and
+    * its delta is skipped (never double-counted).
     */
-  def rebuild(): Unit = synchronized {
+  def rebuild(): Unit = maintLock.synchronized {
+    val through = gs.store.currentEpoch
     val counts =
-      if (!gs.store.tableExists(label)) spark.range(0).select(col("id").as("bin"), col("id").as("c"))
-      else gs.store.read(label)
-        .groupBy(binOf(col(valueCol)).as("bin")).agg(count(lit(1)).as("c"))
-    Dirs.rmTree(baseTmp)
-    fullBins(counts).coalesce(1).write.parquet(baseTmp.toString)
-    Dirs.rmTree(basePath)
-    Files.move(baseTmp, basePath, StandardCopyOption.ATOMIC_MOVE)
-    Dirs.rmTree(deltaPath)
+      if (!gs.store.tableExists(label)) {
+        val e = spark.range(0)
+        groupCol.fold(e.select(col("id").as("bin"), col("id").as("c")))(_ =>
+          e.select(col("id").cast("string").as("g"), col("id").as("bin"),
+            col("id").as("c")))
+      } else binned(gs.store.read(label))
+    GenDirs.publish(root) { g =>
+      fullBins(counts).coalesce(1).write.parquet(g.resolve("base").toString)
+    }
+    recordApplied(through)
   }
 
-  /** Apply one commit's staged revisions as a signed histogram delta —
-    * shared by [[bind]] and replica-side application.
+  /** Apply one commit's staged revisions as a signed histogram delta.
+    * `prevLive` is the PRE-commit live state of the staged ids,
+    * captured under the commit's write lock ([[bind]] wires it from
+    * [[GraphStore.onCommitWithPrev]]) — vacuum-immune by construction.
+    * The `None` fallback reads asOf(epoch−1) instead: correct ONLY for
+    * replaying retained history (a replica applier, a test harness) —
+    * a live master-side binding must supply the captured frame.
     */
-  def applyCommit(epoch: Long, staged: DataFrame): Unit = synchronized {
-    if (!Files.exists(basePath)) return // bound before built: rebuild() catches up
-    val adds = staged.filter(!col("deleted"))
-      .select(binOf(col(valueCol)).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("c"))
-    val superseded = gs.store.read(label, asOf = Some(epoch - 1))
-      .join(staged.select("id").distinct(), Seq("id"), "left_semi")
-      .select(binOf(col(valueCol)).as("bin"))
-      .groupBy("bin").agg((-count(lit(1))).as("c"))
+  def applyCommit(epoch: Long, staged: DataFrame,
+      prevLive: Option[DataFrame] = None): Unit = maintLock.synchronized {
+    if (epoch <= appliedThrough) return // replayed/compacted history
+    val gen = GenDirs.current(root)
+    if (!Files.exists(gen.resolve("base"))) return // bound before built: rebuild() catches up
+    val adds = binned(staged.filter(!col("deleted")))
+    val prev = prevLive.getOrElse(
+      gs.store.read(label, asOf = Some(epoch - 1))
+        .join(staged.select("id").distinct(), Seq("id"), "left_semi"))
+    val superseded = binned(prev).withColumn("c", -col("c"))
     // commit_epoch=N partition dirs: the read below discovers them
     // without a path glob (a glob read trips Spark's streaming-sink
     // metadata probe into logging spurious AnalysisException traces),
-    // and the base/ + delta/commit_epoch=N shape is exactly what
-    // GenDirs.layoutStats reads — so the index plugs into the
-    // Maintenance daemon and /admin/stats telemetry as-is (root =
-    // statsRoot, compact = rebuild)
-    adds.unionByName(superseded).groupBy("bin").agg(sum("c").as("c"))
+    // and the base/ + delta/commit_epoch=N shape inside the current
+    // generation is exactly what GenDirs.layoutStats reads — so the
+    // index plugs into the Maintenance daemon and /admin/stats
+    // telemetry as-is (root = statsRoot, compact = rebuild).
+    // OVERWRITE per epoch: a replayed epoch rewrites its delta.
+    adds.unionByName(superseded)
+      .groupBy(keyCols.map(col): _*).agg(sum("c").as("c"))
       .filter(col("c") =!= 0L)
       .coalesce(1).write.mode("overwrite")
-      .parquet(deltaPath.resolve(s"commit_epoch=$epoch").toString)
+      .parquet(gen.resolve("delta").resolve(s"commit_epoch=$epoch").toString)
+    recordApplied(epoch)
   }
 
-  /** Wire into the store's write path. */
-  def bind(): Unit = gs.onCommit { (epoch, frames) =>
-    frames.get(label).foreach(applyCommit(epoch, _))
-  }
-
-  /** The live histogram — every bin materialized, base + deltas summed.
-    * At most nBins × (1 + 2·epochs-since-rebuild) input rows.
+  /** Wire into the store's write path, claiming the directory's
+    * exclusive binder lock (single-writer contract). Pre-commit values
+    * of every staged id arrive captured from under the commit lock.
     */
-  def histogram(): DataFrame = synchronized {
-    require(Files.exists(basePath), s"stats index for $label.$valueCol not built — call rebuild()")
+  def bind(): Unit = {
+    binderLock = MaintainedIndexes.acquireBinderLock(root)
+    gs.onCommitWithPrev(label) { (epoch, frames, prev) =>
+      frames.get(label).foreach(applyCommit(epoch, _, prev.get(label)))
+    }
+  }
+
+  /** The live histogram — every bin materialized (per group present,
+    * when stratified), base + deltas summed. At most
+    * nBins×groups×(1 + epochs-since-rebuild) input rows. The
+    * generation resolves ONCE, so the read never straddles a
+    * concurrent compaction (GenDirs reader grace — no lock taken).
+    */
+  def histogram(): DataFrame = {
+    val gen = GenDirs.current(root)
+    val basePath = gen.resolve("base")
+    val deltaPath = gen.resolve("delta")
+    require(Files.exists(basePath),
+      s"stats index for $label.$valueCol not built — call rebuild()")
     val base = spark.read.parquet(basePath.toString)
     val all =
-      if (!Files.exists(deltaPath)) base
+      if (!Dirs.hasReadableDeltaFiles(deltaPath)) base
       else base.unionByName(
-        spark.read.parquet(deltaPath.toString).select("bin", "c"))
-    fullBins(all.groupBy("bin").agg(sum("c").as("c")))
+        spark.read.parquet(deltaPath.toString).select((keyCols :+ "c").map(col): _*))
+    fullBins(all.groupBy(keyCols.map(col): _*).agg(sum("c").as("c")))
   }
 
   /** Persist the current histogram as a named reference snapshot (the
     * drift monitor's "pin the reference at monitor start" step) and
-    * return its path.
+    * return its path. Snapshots live beside the generations (they
+    * reference no generation files, so compaction never sweeps them).
     */
-  def snapshot(name: String): String = synchronized {
+  def snapshot(name: String): String = maintLock.synchronized {
     val p = root.resolve(s"ref_$name")
     Dirs.rmTree(p)
     histogram().coalesce(1).write.parquet(p.toString)
@@ -128,13 +225,19 @@ final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String
     Files.exists(root.resolve(s"ref_$name"))
 
   /** Drift summary ([[Drift.summarize]]: psi/js/tvd ppm) of the CURRENT
-    * corpus against a pinned reference snapshot — O(nBins) input rows,
-    * no corpus scan.
+    * corpus against a pinned reference snapshot — O(nBins × groups)
+    * input rows, no corpus scan. Stratified indexes return one row per
+    * group present in EITHER side (full-outer: a stratum may be born
+    * after, or die before, the snapshot).
     */
   def driftVsSnapshot(name: String): DataFrame = {
     val ref = spark.read.parquet(root.resolve(s"ref_$name").toString)
       .withColumnRenamed("c", "c_a")
     val cur = histogram().withColumnRenamed("c", "c_b")
-    Drift.summarize(ref.join(cur, Seq("bin")), nBins)
+    groupCol match {
+      case None => Drift.summarize(ref.join(cur, Seq("bin")), nBins)
+      case Some(_) => Drift.summarizeGrouped(
+        ref.join(cur, keyCols, "full_outer").na.fill(0L, Seq("c_a", "c_b")), nBins)
+    }
   }
 }

@@ -347,8 +347,14 @@ final class HttpEndpoint(
   /** `POST /admin/drift` `{"index": n, "ref": r}` — the drift summary
     * (psi/js/tvd ppm + both population sizes) of the index's CURRENT
     * maintained histogram against the pinned reference `r`. Read-only
-    * (monitoring must not require the write effect); O(nBins) input
-    * rows by construction, never a corpus scan.
+    * (monitoring must not require the write effect); O(nBins × groups)
+    * input rows by construction, never a corpus scan.
+    *
+    * Stratified indexes (a `groupCol`-bearing MaintainedStatsIndex)
+    * return `"strata": [{"group": g, …}, …]` — one summary per group,
+    * sorted — or, with an optional `"group": g` field, that stratum's
+    * summary alone (404 when the stratum exists in neither side).
+    * `"group"` against an unstratified index is a 400.
     */
   private def drift(ex: HttpExchange, body: String): Unit = {
     val root = parseBody(body)
@@ -358,16 +364,44 @@ final class HttpEndpoint(
       throw new QueryService.BadRequestException("'index' required"))
     val ref = field("ref").getOrElse(
       throw new QueryService.BadRequestException("'ref' required"))
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def metrics(r: org.apache.spark.sql.Row, off: Int): String =
+      s""""n_a": ${r.getLong(off)}, "n_b": ${r.getLong(off + 1)}, """ +
+        s""""psi_ppm": ${r.getLong(off + 2)}, "js_ppm": ${r.getLong(off + 3)}, """ +
+        s""""tvd_ppm": ${r.getLong(off + 4)}"""
     statsIndexes.get(name) match {
       case None => reply(ex, 404, err(s"no such stats index: $name"))
       case Some(idx) if !idx.hasSnapshot(ref) =>
         reply(ex, 404, err(s"no such reference snapshot: $ref"))
-      case Some(idx) =>
-        val r = idx.driftVsSnapshot(ref).head
-        reply(ex, 200,
-          s"""{"index": "$name", "ref": "$ref", "n_a": ${r.getLong(0)}, """ +
-            s""""n_b": ${r.getLong(1)}, "psi_ppm": ${r.getLong(2)}, """ +
-            s""""js_ppm": ${r.getLong(3)}, "tvd_ppm": ${r.getLong(4)}}""")
+      case Some(idx) => (idx.groupCol, field("group")) match {
+        case (None, Some(_)) =>
+          throw new QueryService.BadRequestException(
+            s"stats index '$name' is not stratified — drop the 'group' field")
+        case (None, None) =>
+          val r = idx.driftVsSnapshot(ref).head
+          reply(ex, 200,
+            s"""{"index": "$name", "ref": "$ref", ${metrics(r, 0)}}""")
+        case (Some(_), want) =>
+          val all = idx.driftVsSnapshot(ref)
+          want match {
+            case Some(g) =>
+              val rows = all.filter(org.apache.spark.sql.functions.col("g") === g)
+                .collect()
+              if (rows.isEmpty) reply(ex, 404, err(s"no such stratum: $g"))
+              else reply(ex, 200, s"""{"index": "$name", "ref": "$ref", """ +
+                s""""group": ${jstr(g)}, ${metrics(rows.head, 1)}}""")
+            case None =>
+              val rows = all.orderBy("g").collect().map(r =>
+                s"""{"group": ${jstr(r.getString(0))}, ${metrics(r, 1)}}""")
+              reply(ex, 200, s"""{"index": "$name", "ref": "$ref", """ +
+                s""""strata": [${rows.mkString(", ")}]}""")
+          }
+      }
     }
   }
 

@@ -109,9 +109,9 @@ object WriteBench {
     sig.rebuild(); sig.bind()
     val post = new graft.operators.MaintainedPostingIndex(igs, "doc", "text", idir)
     post.rebuild(); post.bind()
-    // the stats tier rides the doc commit too: one tiny aggregation +
-    // an id-pruned asOf join per commit is the claimed overhead, and
-    // this measurement is where that claim gets a number
+    // the stats tier rides the doc commit too: one tiny aggregation
+    // over the lock-captured pre-commit frame per commit is the
+    // claimed overhead, and this measurement is where it gets a number
     val stats = new graft.operators.MaintainedStatsIndex(
       igs, "v_doc", "n_chars", 0.0, 4000.0, 16, idir)
     stats.rebuild(); stats.bind()

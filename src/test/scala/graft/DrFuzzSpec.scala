@@ -93,10 +93,10 @@ class DrFuzzSpec extends SparkSpec {
         val schema = GraphSchema.builder().vertex("doc", "id", Seq("score")).build()
         val gs = new GraphStore(spark, schema, tmp("drfuzz-store"))
         // a commit-maintained histogram rides the same random walk: its
-        // signed-delta math (adds + superseded-value subtractions, the
-        // asOf(epoch-1) read) must survive every interleaving with
-        // vacuum — retention keeps exactly the pre-commit live values
-        // the hook reads, and this is where that claim gets stormed
+        // signed-delta math (adds + superseded-value subtractions from
+        // the pre-commit frames captured under the commit lock) must
+        // survive every interleaving with vacuum and restore, and this
+        // is where that claim gets stormed
         val stats = new graft.operators.MaintainedStatsIndex(
           gs, "v_doc", "score", 0.0, 2000.0, 8, tmp("drfuzz-stats"))
         stats.rebuild(); stats.bind()

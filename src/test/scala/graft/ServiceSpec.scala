@@ -1205,6 +1205,52 @@ class ServiceSpec extends SparkSpec {
       // error taxonomy: unknown index / unknown reference are 404s
       assert(post(rPort, "/admin/drift", """{"index":"nope","ref":"m0"}""").statusCode() == 404)
       assert(post(rPort, "/admin/drift", """{"index":"doc_len","ref":"nope"}""").statusCode() == 404)
+      // 'group' against an unstratified index is a 400
+      assert(post(rPort, "/admin/drift",
+        """{"index":"doc_len","ref":"m0","group":"en"}""").statusCode() == 400)
     } finally { writable.stop(); readOnly.stop() }
+  }
+
+  test("stratified drift over REST: /admin/drift returns per-group strata, " +
+      "a 'group' field narrows to one stratum, unknown stratum is 404") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "http-gdrift").toString
+    val gs = new graft.model.GraphStore(spark, graft.model.GraphSchema.builder()
+      .vertex("doc", "id", Seq("len", "lang")).build(), dir)
+    val idx = new graft.operators.MaintainedStatsIndex(
+      gs, "v_doc", "len", 0.0, 1000.0, 8, dir, groupCol = Some("lang"))
+    idx.rebuild(); idx.bind()
+    import spark.implicits._
+    gs.txn().createVertices("doc",
+      (1L to 60L).map(i => (i, 100L + i % 100, if (i % 2 == 0) "en" else "de"))
+        .toDF("id", "len", "lang")).commit()
+    val ep = new graft.service.HttpEndpoint(service, store = Some(gs),
+      allowWrites = true, statsIndexes = Map("doc_len" -> idx))
+    val port = ep.start()
+    val client = HttpClient.newHttpClient()
+    def post(path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(post("/admin/snapshot_stats",
+        """{"index":"doc_len","name":"m0"}""").statusCode() == 200)
+      // only the en stratum shifts
+      gs.txn().createVertices("doc",
+        (61L to 120L).map(i => (i, 850L + i % 100, "en")).toDF("id", "len", "lang"))
+        .commit()
+      val all = post("/admin/drift", """{"index":"doc_len","ref":"m0"}""")
+      assert(all.statusCode() == 200 && all.body().contains("\"strata\""))
+      val psis = "\"group\": \"(\\w+)\"[^}]*\"psi_ppm\": (-?\\d+)".r
+        .findAllMatchIn(all.body()).map(m => m.group(1) -> m.group(2).toLong).toMap
+      assert(psis.keySet == Set("en", "de"))
+      assert(psis("en") > 250000L, s"shifted stratum not flagged: ${psis("en")}")
+      assert(psis("de") == 0L, s"unshifted stratum must read zero: ${psis("de")}")
+      val one = post("/admin/drift", """{"index":"doc_len","ref":"m0","group":"en"}""")
+      assert(one.statusCode() == 200 && one.body().contains("\"group\": \"en\"")
+        && !one.body().contains("strata"))
+      assert(post("/admin/drift",
+        """{"index":"doc_len","ref":"m0","group":"zz"}""").statusCode() == 404)
+    } finally ep.stop()
   }
 }

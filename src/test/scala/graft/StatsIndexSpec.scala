@@ -133,6 +133,116 @@ class StatsIndexSpec extends SparkSpec {
     assert(got(idx).map(_._2).sum == 21L) // 3 × (8 created − 1 deleted)
   }
 
+  test("vacuum(keep=1) firing BETWEEN the commit and the stats hook cannot " +
+      "drop the superseded side: pre-commit values are captured under the " +
+      "commit lock, not read asOf at hook time (r12 advice)") {
+    val (gs, idx, _) = mk()
+    // register the hostile listener FIRST: listeners run in
+    // registration order, so this vacuum executes after the commit is
+    // durable but BEFORE the stats hook — exactly the window where the
+    // old asOf(epoch-1) read found the superseded revisions already
+    // destroyed (vacuum keeps only each id's newest revision, which
+    // post-bump is the just-committed value)
+    gs.onCommit { (_, _) => gs.store.vacuum("v_doc", keep = 1) }
+    idx.rebuild(); idx.bind()
+    gs.txn().createVertices("doc",
+      Seq((1L, 100L), (2L, 100L), (3L, 900L)).toDF("id", "len")).commit()
+    assert(got(idx) == expected(gs), "after creates under eager vacuum")
+    // the bin-MOVING update is the case that overcounts without the -1
+    // side: bin(100) keeps a ghost and bin(900) gains a real row
+    gs.txn().updateVertices("doc", Seq((1L, 900L)).toDF("id", "len")).commit()
+    assert(got(idx) == expected(gs), "bin-moving update under eager vacuum")
+    gs.txn().deleteVertices("doc", Seq(2L).toDF("id")).commit()
+    assert(got(idx) == expected(gs), "delete under eager vacuum")
+    assert(got(idx).map(_._2).sum == 2L)
+  }
+
+  test("replay cursor: a delta replayed at or below the rebuild's epoch is " +
+      "skipped, so a daemon rebuild racing a durable commit cannot " +
+      "double-count it (r12 advice)") {
+    val (gs, idx, _) = mk()
+    idx.rebuild(); idx.bind()
+    gs.txn().createVertices("doc",
+      Seq((1L, 100L), (2L, 500L)).toDF("id", "len")).commit()
+    val staged = gs.store.read("v_doc") // the epoch-1 rows, re-presented
+    val before = got(idx)
+    // the race, made deterministic: rebuild folds epoch 1 into the
+    // base, then epoch 1's delta arrives again (a hook that lost the
+    // scheduling race, a replica replay) — it must be a no-op
+    idx.rebuild()
+    idx.applyCommit(1L, staged.withColumn("deleted", lit(false)))
+    assert(got(idx) == before, "replayed epoch below the cursor must not re-apply")
+    assert(got(idx) == expected(gs))
+    // and an epoch ABOVE the cursor still applies normally
+    gs.txn().createVertices("doc", Seq((3L, 900L)).toDF("id", "len")).commit()
+    assert(got(idx) == expected(gs), "fresh commits still apply after the replay")
+  }
+
+  test("a reader in ANOTHER instance rides out a concurrent rebuild: the " +
+      "base publishes as a GenDirs generation, never an rmTree window " +
+      "(r12 advice)") {
+    val (gs, idx, dir) = mk()
+    idx.rebuild(); idx.bind()
+    gs.txn().createVertices("doc",
+      (1L to 30L).map(i => (i, i * 30L)).toDF("id", "len")).commit()
+    // a second instance over the same directory (q213's QueryDef shape)
+    val reader = new MaintainedStatsIndex(gs, "v_doc", "len", lo, hi, nBins, dir)
+    val plan = reader.histogram() // plan built against the current generation
+    idx.rebuild() // publishes gen+1; the old generation survives one more publish
+    assert(plan.orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == expected(gs), "pre-rebuild plan must still read intact files")
+    assert(reader.histogram().orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == expected(gs))
+  }
+
+  test("stratified: per-group maintained histograms track from-scratch " +
+      "parity across grouped creates, bin-moving updates, and deletes; " +
+      "drift reports strata born after the snapshot") {
+    val dir = tmp("statsidxg")
+    val gs = new GraphStore(spark,
+      GraphSchema.builder().vertex("doc", "id", Seq("len", "lang")).build(), dir)
+    val idx = new MaintainedStatsIndex(gs, "v_doc", "len", lo, hi, nBins, dir,
+      groupCol = Some("lang"))
+    idx.rebuild(); idx.bind()
+    def expectedG(): Set[(String, Long, Long)] = {
+      val live = gs.store.read("v_doc")
+        .select(col("lang"),
+          Drift.binExpr(col("len").cast("double"), lit(lo), lit(hi), nBins).as("bin"))
+        .groupBy("lang", "bin").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val langs = live.keys.map(_._1).toSet
+      for (l <- langs; b <- 0L until nBins.toLong)
+        yield (l, b, live.getOrElse((l, b), 0L))
+    }
+    def gotG(): Set[(String, Long, Long)] =
+      idx.histogram().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    gs.txn().createVertices("doc",
+      Seq((1L, 100L, "en"), (2L, 150L, "en"), (3L, 100L, "de"), (4L, 4000L, "de"))
+        .toDF("id", "len", "lang")).commit()
+    assert(gotG() == expectedG(), "after grouped creates (clamp included)")
+    idx.snapshot("m0")
+    // a bin-moving update in one stratum, a delete in the other
+    gs.txn().updateVertices("doc", Seq((1L, 900L, "en")).toDF("id", "len", "lang")).commit()
+    assert(gotG() == expectedG(), "after grouped bin-moving update")
+    gs.txn().deleteVertices("doc", Seq(3L).toDF("id")).commit()
+    assert(gotG() == expectedG(), "after grouped delete")
+    // a stratum BORN after the snapshot
+    gs.txn().createVertices("doc",
+      (10L to 19L).map(i => (i, 950L, "zh")).toDF("id", "len", "lang")).commit()
+    assert(gotG() == expectedG(), "after a new stratum appears")
+    val drift = idx.driftVsSnapshot("m0").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(drift.keySet == Set("en", "de", "zh"),
+      s"full-outer strata expected, got ${drift.keySet}")
+    assert(drift("zh")._1 == 0L && drift("zh")._2 == 10L) // born after m0
+    assert(drift("en")._3 > 0L, "the en bin move must register as drift")
+    // grouped rebuild compacts without changing the histogram
+    val before = gotG()
+    idx.rebuild()
+    assert(gotG() == before, "grouped compaction is invariant")
+  }
+
   test("O(bins) drift monitor: pin a reference snapshot, land a shifted " +
       "commit, psi flags it; a fresh snapshot self-drifts to zero") {
     val (gs, idx, _) = mk()
