@@ -118,6 +118,19 @@ object CatalogPipeline {
   }
   private[graft] val gateFeatureCols = gateBasis.map(_.featName)
   private[graft] val gateRounds = 16
+
+  /** Training happens on the deterministic md5-bucket sample, not the
+    * corpus (r12 next-round #2): 16 rounds × a full-corpus aggregation
+    * is the wrong 100 TB plan when the gate is learnable from a slice
+    * — the sampled features materialize once and every round
+    * aggregates sample-sized state; only the final evaluation/scoring
+    * passes (q209–q211) touch the full frame, once each. 30% keeps the
+    * sf0.001 fixture's slice large enough that the pocket still
+    * separates the gate concept.
+    */
+  private[graft] val gateTrainFrac = 0.3
+  private[graft] val gateSample: Option[(String, Double)] =
+    Some(("doc_id", gateTrainFrac))
   /** The pocket model's margin over `f`'s feature columns — shared by
     * the q209/q210 oracles (`pk` from perceptronPocketCte).
     */
@@ -983,18 +996,23 @@ object CatalogPipeline {
     // gate into a linear model with a batch perceptron over the
     // threshold-indicator basis — pure integer math end to end
     // (sign-test predictions, {-1,0,1} errors, exact Σ err·x updates),
-    // so the trained weights hash-compare across engines. Each round
-    // is ONE map-side-combined aggregation over the corpus; only d+2
-    // longs reach the driver; weights return as plan literals — the
-    // corpus is never shuffled. The oracle unrolls all 16 rounds as
-    // CTE stages (q201's BPE-unroll technique).
+    // so the trained weights hash-compare across engines. Training
+    // runs on the deterministic md5-bucket SAMPLE (gateTrainFrac),
+    // materialized once: the corpus is scanned a single time and each
+    // round is ONE map-side-combined aggregation over sample-sized
+    // state; only d+2 longs reach the driver; weights return as plan
+    // literals. The oracle restates the same slice (a pure function of
+    // doc ids) and unrolls all 16 rounds as CTE stages (q201's
+    // BPE-unroll technique).
     QueryDef("q208_train_gate",
       (s, d) => graft.operators.Classify.perceptronTrain(
         gateFeatures(Tpch.table(s, d, "documents")),
-        gateFeatureCols, "y", rounds = gateRounds).orderBy("iter"),
+        gateFeatureCols, "y", rounds = gateRounds, sample = gateSample)
+        .orderBy("iter"),
       Some(s"""WITH ${OracleFragments.tokenStatsCte},
              |${OracleFragments.classifierFeaturesCte(gateBasis)},
-             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols)}
+             |${OracleFragments.classifierTrainSliceCte(gateTrainFrac)},
+             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols, from = "ftr")}
              |${OracleFragments.perceptronRoundsSelect(gateRounds, gateFeatureCols)}""".stripMargin)),
 
     // Scoring the corpus with the trained POCKET model (the
@@ -1008,7 +1026,7 @@ object CatalogPipeline {
       (s, d) => {
         val feats = gateFeatures(Tpch.table(s, d, "documents"))
         val trained = graft.operators.Classify.perceptronTrain(
-          feats, gateFeatureCols, "y", rounds = gateRounds)
+          feats, gateFeatureCols, "y", rounds = gateRounds, sample = gateSample)
         val w = graft.operators.Classify.pocketWeights(trained, gateFeatureCols)
         graft.operators.Classify.score(feats, w, gateFeatureCols)
           .filter(col("doc_id") % 17 === 0)
@@ -1018,7 +1036,8 @@ object CatalogPipeline {
       },
       Some(s"""WITH ${OracleFragments.tokenStatsCte},
              |${OracleFragments.classifierFeaturesCte(gateBasis)},
-             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols)},
+             |${OracleFragments.classifierTrainSliceCte(gateTrainFrac)},
+             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols, from = "ftr")},
              |${OracleFragments.perceptronPocketCte(gateRounds, gateFeatureCols)}
              |SELECT doc_id, margin, pred, y, pred = y AS agree FROM (
              |  SELECT f.doc_id, f.y,
@@ -1036,14 +1055,15 @@ object CatalogPipeline {
       (s, d) => {
         val feats = gateFeatures(Tpch.table(s, d, "documents"))
         val trained = graft.operators.Classify.perceptronTrain(
-          feats, gateFeatureCols, "y", rounds = gateRounds)
+          feats, gateFeatureCols, "y", rounds = gateRounds, sample = gateSample)
         val w = graft.operators.Classify.pocketWeights(trained, gateFeatureCols)
         graft.operators.Classify.confusion(
           graft.operators.Classify.score(feats, w, gateFeatureCols))
       },
       Some(s"""WITH ${OracleFragments.tokenStatsCte},
              |${OracleFragments.classifierFeaturesCte(gateBasis)},
-             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols)},
+             |${OracleFragments.classifierTrainSliceCte(gateTrainFrac)},
+             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols, from = "ftr")},
              |${OracleFragments.perceptronPocketCte(gateRounds, gateFeatureCols)},
              |sc AS (SELECT y,
              |    CASE WHEN ${pocketMarginSql} > 0 THEN 1 ELSE 0 END AS pred
@@ -1075,7 +1095,7 @@ object CatalogPipeline {
       (s, d) => {
         val feats = gateFeatures(Tpch.table(s, d, "documents"))
         val trained = graft.operators.Classify.perceptronTrain(
-          feats, gateFeatureCols, "y", rounds = gateRounds)
+          feats, gateFeatureCols, "y", rounds = gateRounds, sample = gateSample)
         val w = graft.operators.Classify.pocketWeights(trained, gateFeatureCols)
         graft.operators.Classify.score(feats, w, gateFeatureCols)
           .withColumn("keep_permille",
@@ -1087,7 +1107,8 @@ object CatalogPipeline {
       },
       Some(s"""WITH ${OracleFragments.tokenStatsCte},
              |${OracleFragments.classifierFeaturesCte(gateBasis)},
-             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols)},
+             |${OracleFragments.classifierTrainSliceCte(gateTrainFrac)},
+             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols, from = "ftr")},
              |${OracleFragments.perceptronPocketCte(gateRounds, gateFeatureCols)}
              |SELECT doc_id, margin, keep_permille FROM (
              |  SELECT doc_id, margin,

@@ -712,7 +712,8 @@ object CatalogStreaming {
       (s, d) => {
         val feats = CatalogPipeline.gateFeatures(Tpch.table(s, d, "documents"))
         val trained = graft.operators.Classify.perceptronTrain(
-          feats, CatalogPipeline.gateFeatureCols, "y", CatalogPipeline.gateRounds)
+          feats, CatalogPipeline.gateFeatureCols, "y", CatalogPipeline.gateRounds,
+          sample = CatalogPipeline.gateSample)
         val w = graft.operators.Classify.pocketWeights(
           trained, CatalogPipeline.gateFeatureCols)
         val scored = graft.operators.Classify.score(
@@ -724,7 +725,8 @@ object CatalogStreaming {
       },
       Some(s"""WITH ${OracleFragments.tokenStatsCte},
              |${OracleFragments.classifierFeaturesCte(CatalogPipeline.gateBasis)},
-             |${OracleFragments.perceptronRoundsCte(CatalogPipeline.gateRounds, CatalogPipeline.gateFeatureCols)},
+             |${OracleFragments.classifierTrainSliceCte(CatalogPipeline.gateTrainFrac)},
+             |${OracleFragments.perceptronRoundsCte(CatalogPipeline.gateRounds, CatalogPipeline.gateFeatureCols, from = "ftr")},
              |${OracleFragments.perceptronPocketCte(CatalogPipeline.gateRounds, CatalogPipeline.gateFeatureCols)}
              |SELECT doc_id, margin, pred, y FROM (
              |  SELECT f.doc_id, f.y,

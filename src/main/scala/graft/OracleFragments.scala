@@ -125,7 +125,8 @@ private[graft] object OracleFragments {
     * [[perceptronRoundsSelect]] (the per-round rows) or compose
     * [[perceptronPocketCte]] (the best-evaluated model).
     */
-  def perceptronRoundsCte(rounds: Int, feats: Seq[String]): String = {
+  def perceptronRoundsCte(rounds: Int, feats: Seq[String],
+      from: String = "f"): String = {
     val d = feats.size
     val wCols = "wb" +: (1 to d).map(i => s"w$i")
     val margin = ("wb" +: feats.zipWithIndex.map { case (f, i) => s"w${i + 1}*$f" })
@@ -139,14 +140,24 @@ private[graft] object OracleFragments {
       s"""r$t AS MATERIALIZED (SELECT
          |    CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          |    ${grads.mkString(",\n    ")}
-         |  FROM (SELECT ${(("y" +: feats).map(c => s"f.$c")).mkString(", ")},
+         |  FROM (SELECT ${(("y" +: feats).map(c => s"$from.$c")).mkString(", ")},
          |      CASE WHEN $margin > 0 THEN 1 ELSE 0 END AS pred
-         |    FROM f CROSS JOIN w${t - 1})),
+         |    FROM $from CROSS JOIN w${t - 1})),
          |w$t AS MATERIALIZED (SELECT ${wCols.zipWithIndex.map { case (w, i) => s"w.$w + r.g$i AS $w" }.mkString(", ")}
          |  FROM w${t - 1} w CROSS JOIN r$t r)""".stripMargin
     }
     (w0 +: steps).mkString(",\n")
   }
+
+  /** `ftr`: the deterministic md5-bucket TRAINING slice of `f` — the
+    * q77 split hash at `frac`, mirroring the `sample` option of
+    * [[graft.operators.Classify.perceptronTrain]] (a pure function of
+    * doc ids, so both engines draw the identical training set). The
+    * rounds then run `FROM ftr`; scoring/evaluation stay on `f`.
+    */
+  def classifierTrainSliceCte(frac: Double): String =
+    s"""ftr AS MATERIALIZED (SELECT * FROM f
+       |  WHERE ${md5Bucket("doc_id")} < ${math.round(frac * 1000)})""".stripMargin
 
   /** The per-round result rows from [[perceptronRoundsCte]]'s stages:
     * weights AFTER each round's update, n_correct of the weights the

@@ -68,11 +68,31 @@ object Classify {
     * the weights the round STARTED with (so row 1 documents the
     * all-zero model's baseline and the last row's weights are the
     * trained model).
+    *
+    * `sample = Some((idCol, frac))` trains on the deterministic md5
+    * hash-bucket slice of the corpus (the q77 split hash —
+    * [[Sampling.hashBucket]] < frac·1000, a pure function of the ids,
+    * so any engine, partitioning, or backfill re-derives the exact
+    * training set). This is the 100 TB shape (r12 next-round #2):
+    * `rounds` full-corpus passes to distill a gate is the wrong plan —
+    * the sampled features materialize ONCE (localCheckpoint; training
+    * is already eager, each round collects d+2 longs), so the corpus
+    * is scanned once and every round aggregates sample-sized state.
+    * n_correct and the pocket then score the SAMPLE; evaluate the
+    * chosen model on the full frame with [[score]]+[[confusion]],
+    * which stay one full pass regardless.
     */
   def perceptronTrain(feats: DataFrame, xCols: Seq[String], yCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, sample: Option[(String, Double)] = None): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = feats.sparkSession
+    val train = sample match {
+      case None => feats
+      case Some((idCol, frac)) =>
+        require(frac > 0.0 && frac <= 1.0, s"train fraction out of (0, 1]: $frac")
+        feats.filter(Sampling.hashBucket(col(idCol), 1000)
+          < math.round(frac * 1000)).localCheckpoint(true)
+    }
     var w: Seq[Long] = Seq.fill(xCols.size + 1)(0L)
     val out = Seq.newBuilder[(Long, Seq[Long], Long)]
     for (t <- 1 to rounds) {
@@ -83,7 +103,7 @@ object Classify {
         sum(when(col(yCol) === pred, 1L).otherwise(0L)).as("n_correct") +:
           sum(err).as("g0") +:
           xCols.zipWithIndex.map { case (c, i) => sum(err * col(c)).as(s"g${i + 1}") }
-      val row = feats.agg(aggCols.head, aggCols.tail: _*).head
+      val row = train.agg(aggCols.head, aggCols.tail: _*).head
       // empty frame: sums are null — train to the zero model, 0 correct
       def g(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
       w = w.zipWithIndex.map { case (wi, i) => wi + g(i + 1) }

@@ -118,6 +118,52 @@ class ClassifySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L, 1L), (2L, 1L, 1L), (3L, 1L, 0L)))
   }
 
+  test("sampled training is the md5-slice restated: training on " +
+      "sample=(id, frac) equals training on the pre-filtered slice, " +
+      "and the slice is a pure function of the ids (r12 next-round #2)") {
+    val rows = (1L to 400L).map(i =>
+      (i, i % 13, i % 5, if ((i % 13) + (i % 5) > 9) 1L else 0L))
+    val df = rows.toDF("id", "a", "b", "y")
+    val slice = df.filter(
+      graft.operators.Sampling.hashBucket(col("id"), 1000) < 300)
+    val viaSample = Classify.perceptronTrain(df, xCols, "y", 6,
+      sample = Some(("id", 0.3))).orderBy("iter").collect().map(_.toSeq).toSeq
+    val viaFilter = Classify.perceptronTrain(slice, xCols, "y", 6)
+      .orderBy("iter").collect().map(_.toSeq).toSeq
+    assert(viaSample == viaFilter, "sample option must equal the explicit slice")
+    // determinism: re-deriving the sample (any partitioning) re-draws it
+    val again = Classify.perceptronTrain(df.repartition(7), xCols, "y", 6,
+      sample = Some(("id", 0.3))).orderBy("iter").collect().map(_.toSeq).toSeq
+    assert(again == viaSample)
+    // n_correct counts SAMPLE rows, not the corpus
+    val nSample = slice.count()
+    assert(viaSample.forall(_.last.asInstanceOf[Long] <= nSample))
+  }
+
+  test("sample-vs-full pocket parity on the separable fixture: the " +
+      "slice-trained pocket generalizes — full-frame confusion equals " +
+      "the full-trained pocket's (both perfect)") {
+    // the gate concept is an AND of indicator literals (separable);
+    // a 30% deterministic slice still exposes every concept region,
+    // so the pocket trained on it must classify the FULL frame exactly
+    // as the full-trained pocket does — the q208/q210 design claim
+    val rows = for {
+      id <- 1L to 240L
+      a = id % 2; b = (id / 2) % 2
+    } yield (id, a, b, if (a == 1L && b == 1L) 1L else 0L)
+    val df = rows.toDF("id", "a", "b", "y")
+    def pocketConfusion(sample: Option[(String, Double)]): Seq[Long] = {
+      val trained = Classify.perceptronTrain(df, xCols, "y", 10, sample = sample)
+      val w = Classify.pocketWeights(trained, xCols)
+      Classify.confusion(Classify.score(df, w, xCols)).head.toSeq
+        .take(4).map(_.asInstanceOf[Long])
+    }
+    val full = pocketConfusion(None)
+    val sampled = pocketConfusion(Some(("id", 0.3)))
+    assert(full == sampled, s"full $full vs sampled $sampled")
+    assert(full(1) == 0L && full(3) == 0L, "separable fixture must be perfect")
+  }
+
   test("empty frame trains to the zero model with 0 correct") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("a", "b", "y")
     val out = Classify.perceptronTrain(empty, xCols, "y", 2).orderBy("iter").collect()
