@@ -83,16 +83,30 @@ object Bench {
     * calibration probe's own floor under `__probe`, and a run only
     * updates query floors when its probe reading is within 10% of
     * that floor — a loaded machine can never LOWER a floor it
-    * contends on, and the probe floor itself only ratchets down.
+    * contends on, and the probe floor itself only ratchets down
+    * when the run's two bracketing probes AGREE (within 20%): a lone
+    * anomalously-fast probe reading is a scheduling transient, and
+    * ratcheting on it would poison the ledger — every subsequent
+    * honest run would read ≥2× the phantom floor and self-invalidate
+    * (observed live in round 13: a 0.085 s probe_after against a
+    * 0.182 s probe_before nearly halved the 0.214 s floor).
     *
     * The SAME update rewrites BENCHNOTES.md's floor table (between
     * the FLOORS_TABLE markers) from the merged ledger, so the
     * human-readable table and the file can never drift apart again.
     */
-  def updateFloors(results: Seq[(String, Double)], probe: Double): Unit = {
-    val path = java.nio.file.Paths.get("floors.json")
+  def updateFloors(results: Seq[(String, Double)], probeBefore: Double,
+      probeAfter: Double,
+      path: java.nio.file.Path = java.nio.file.Paths.get("floors.json"),
+      notes: java.nio.file.Path = java.nio.file.Paths.get("BENCHNOTES.md")): Unit = {
     val old = readFloors(path)
-    val probeFloor = old.get("__probe").fold(probe)(math.min(_, probe))
+    val probe = math.min(probeBefore, probeAfter)
+    val probesAgree = math.max(probeBefore, probeAfter) <=
+      math.min(probeBefore, probeAfter) * 1.2
+    val probeFloor = old.get("__probe") match {
+      case Some(pf) => if (probesAgree) math.min(pf, probe) else pf
+      case None => probe
+    }
     val quiet = probe <= probeFloor * 1.1
     val merged: Map[String, Double] =
       if (!quiet) old + ("__probe" -> probeFloor)
@@ -103,7 +117,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     java.nio.file.Files.write(path,
       (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    syncFloorsTable(merged)
+    syncFloorsTable(merged, notes)
   }
 
   /** Regenerate BENCHNOTES.md's quiet-floor table from the ledger, in
@@ -143,21 +157,22 @@ object Bench {
 
   /** Which queries need a post-sweep REQUALIFICATION run: the round-9
     * lesson (a co-tenant load spike mid-sweep read as a 2× across-the-
-    * board regression) made mechanical. A reading ≥2× its quiet floor
-    * is suspect on any run; when the calibration probes bracketing the
-    * sweep disagree by >20% — direct evidence the machine's load
-    * changed mid-sweep — the bar drops to 1.5×. Requalified queries
-    * re-run once after the sweep and BOTH readings land in the JSON,
-    * so a contended artifact carries its own correction.
+    * board regression) made mechanical. Any reading ≥1.5× its quiet
+    * floor re-runs once after the sweep and BOTH readings land in the
+    * JSON, so the artifact carries its own correction. The bar was
+    * 2× on quiet runs until round 13 (1.5× only under probe
+    * disagreement), which let BENCH_r12's q58 record 1.59× with no
+    * second reading and nothing to adjudicate it (r12 what's-wrong
+    * #1) — a 1.5–2× drift is exactly the band where a second reading
+    * settles "lucky floor vs real regression", so it always re-runs
+    * now. Only a ≥2× breach that SURVIVES requalification invalidates
+    * the artifact ([[benchVerdict]]); a 1.5–2× reading is recorded
+    * evidence, not an alarm.
     */
-  def requalifyNeeded(best: Seq[(String, Double)], floors: Map[String, Double],
-      probeBefore: Double, probeAfter: Double): Seq[String] = {
-    val disagree = math.max(probeBefore, probeAfter) >
-      math.min(probeBefore, probeAfter) * 1.2
-    val factor = if (disagree) 1.5 else 2.0
+  def requalifyNeeded(best: Seq[(String, Double)],
+      floors: Map[String, Double]): Seq[String] =
     best.collect { case (n, t)
-      if t > 0 && floors.get(n).exists(f => t >= factor * f) => n }
-  }
+      if t > 0 && floors.get(n).exists(f => t >= 1.5 * f) => n }
 
   /** Self-gating verdict for the run artifact — the round-11 lesson: a
     * sweep whose own calibration probes prove heavy external contention
@@ -257,7 +272,7 @@ object Bench {
     // load spike cannot masquerade as a code regression in the artifact
     val floors = readFloors()
     val requal = requalifyNeeded(results.map { case (n, (mn, _)) => n -> mn },
-      floors, probeBefore, probeAfter)
+      floors)
       .map { name =>
         name -> (try timeQuery(once(name), math.max(2, warmRuns / 2))._1
         catch { case _: Throwable => -1.0 })
@@ -290,7 +305,7 @@ object Bench {
     if (sfDir.endsWith("sf0.1"))
       updateFloors(results.map { case (n, (mn, _)) =>
         n -> requalMap.get(n).filter(r => r > 0 && (mn <= 0 || r < mn)).getOrElse(mn)
-      }, math.min(probeBefore, probeAfter))
+      }, probeBefore, probeAfter)
     spark.stop()
   }
 }

@@ -15,16 +15,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("requalifyNeeded flags >=2x-floor readings; probe disagreement lowers " +
-      "the bar to 1.5x; unknown queries and failures never flag") {
-    val floors = Map("q1" -> 0.10, "q2" -> 0.20, "q3" -> 0.50)
-    val best = Seq("q1" -> 0.25, "q2" -> 0.35, "q3" -> -1.0, "q9" -> 9.9)
-    // quiet probes: only the >=2x reading (q1: 0.25 >= 0.20) flags;
-    // q2 at 1.75x does not; q3 failed; q9 has no floor
-    assert(Bench.requalifyNeeded(best, floors, 0.25, 0.26) == Seq("q1"))
-    // probes disagreeing by >20% drop the bar to 1.5x: q2 now flags too
-    assert(Bench.requalifyNeeded(best, floors, 0.25, 0.40) == Seq("q1", "q2"))
-    assert(Bench.requalifyNeeded(best, Map.empty, 0.25, 0.40).isEmpty)
+  test("requalifyNeeded flags every >=1.5x-floor reading — quiet runs " +
+      "included (the r12 q58 gap); sub-1.5x readings, failures, and " +
+      "unknown queries never flag") {
+    val floors = Map("q1" -> 0.10, "q2" -> 0.20, "q3" -> 0.50, "q4" -> 0.10)
+    // the r12 what's-wrong #1 shape: q4 reads 1.6x its floor on a QUIET
+    // run — it must now carry its own second reading, exactly as
+    // contended runs always did
+    val best = Seq("q1" -> 0.25, "q2" -> 0.35, "q3" -> -1.0,
+      "q4" -> 0.16, "q9" -> 9.9)
+    assert(Bench.requalifyNeeded(best, floors) == Seq("q1", "q2", "q4"))
+    // under 1.5x never flags; no floors, nothing to compare
+    assert(Bench.requalifyNeeded(Seq("q1" -> 0.149), floors).isEmpty)
+    assert(Bench.requalifyNeeded(best, Map.empty).isEmpty)
   }
 
   test("synthetic load mid-sweep: the contended reading flags, the post-sweep " +
@@ -38,7 +41,7 @@ class BenchSpec extends AnyFunSuite {
     val (contendedBest, _) = Bench.timeQuery(() => runner(), warmRuns = 5)
     assert(contendedBest == 0.31)
     val flagged = Bench.requalifyNeeded(Seq("q" -> contendedBest),
-      Map("q" -> floor), probeBefore = 0.38, probeAfter = 0.26)
+      Map("q" -> floor))
     assert(flagged == Seq("q"))
     // the requalification runs AFTER the load subsided: at floor
     val (requal, _) = Bench.timeQuery(() => runner(), warmRuns = 2)
@@ -106,6 +109,32 @@ class BenchSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(notesPath), "UTF-8") == notes)
     assert(prevCwd == System.getProperty("user.dir"))
     Files.deleteIfExists(floorsPath)
+  }
+
+  test("the probe floor never ratchets on DISAGREEING bracketing probes: a " +
+      "lone anomalously-fast probe is a transient, not a floor (r13 live find)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "benchspec-pf")
+    val floors = dir.resolve("floors.json")
+    val notes = dir.resolve("BENCHNOTES.md") // absent: sync is a no-op
+    Files.write(floors, """{"__probe":0.214,"q1":0.100}""".getBytes("UTF-8"))
+    // the observed shape: probe_before 0.182, probe_after 0.085 — they
+    // disagree by >20%, so 0.085 must NOT become the floor (it would
+    // make every subsequent honest ~0.2s probe read as >=2x and
+    // self-invalidate the artifact)
+    Bench.updateFloors(Seq("q1" -> 0.095), 0.182, 0.085, floors, notes)
+    val after = Bench.readFloors(floors)
+    assert(after("__probe") == 0.214, s"outlier ratchet: ${after("__probe")}")
+    // the run still counts as quiet (min probe 0.085 <= 1.1x the kept
+    // floor), so query floors may update
+    assert(after("q1") == 0.095)
+    // AGREEING probes ratchet as before
+    Bench.updateFloors(Seq("q1" -> 0.200), 0.190, 0.200, floors, notes)
+    assert(Bench.readFloors(floors)("__probe") == 0.190)
+    // and a loaded run (agreeing but high probes) still cannot touch
+    // query floors — only the unchanged probe floor is rewritten
+    Bench.updateFloors(Seq("q1" -> 0.050), 0.500, 0.520, floors, notes)
+    val loaded = Bench.readFloors(floors)
+    assert(loaded("q1") == 0.095 && loaded("__probe") == 0.190)
   }
 
   test("the committed BENCHNOTES table agrees with the committed floors.json " +
