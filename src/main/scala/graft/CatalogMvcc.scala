@@ -297,5 +297,49 @@ object CatalogMvcc {
              |  LEFT JOIN ca USING (g, bin) LEFT JOIN cb USING (g, bin)),
              |${OracleFragments.driftGroupedTailSql(16)}
              |SELECT g AS lang, n_a, n_b, psi_ppm, js_ppm, tvd_ppm
-             |FROM gp ORDER BY lang""".stripMargin)))
+             |FROM gp ORDER BY lang""".stripMargin)),
+
+    // DRIFT-GATED INGEST arithmetic (the q213 monitor as an ADMISSION
+    // gate): the PSI the corpus WOULD read vs the pinned reference if
+    // a candidate batch (every doc_id%3 doc, shifted +800) were
+    // committed — hypothetical histogram = maintained histogram + the
+    // batch's binned counts, O(nBins) + one batch pass, no corpus
+    // rescan. `admitted` applies the 0.25 industry PSI gate; a gated
+    // commit (MaintainedStatsIndex.gatedCreate) refuses with the OCC
+    // ConflictException (HTTP 409) when this reads false — the
+    // refusal-under-storm behavior is StatsIndexSpec's, the
+    // arithmetic is pinned here against DuckDB.
+    QueryDef("q216_drift_gate",
+      (s, d) => {
+        import s.implicits._
+        val path = ensureStatsStore(s, d)
+        val gs = graft.model.GraphStore.open(s, path)
+        val (lo, hi, nBins) = statsEdges
+        val idx = new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "n_chars", lo, hi, nBins, path)
+        val batch = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") % 3 === 0)
+          .select((col("n_chars") + 800).as("n_chars"))
+        val psi = idx.admissionPsiPpm("ref", batch)
+        Seq((psi, psi <= 250000L)).toDF("psi_ppm", "admitted")
+      },
+      Some(s"""SELECT psi_ppm, psi_ppm <= 250000 AS admitted FROM (
+             |WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |b AS (SELECT CAST(n_chars +
+             |    CASE WHEN doc_id % 10 = 0 THEN 500 ELSE 0 END AS DOUBLE) AS v
+             |  FROM documents WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)
+             |  UNION ALL
+             |  SELECT CAST(n_chars + 800 AS DOUBLE) AS v FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |ca AS (SELECT greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_a FROM a GROUP BY 1),
+             |cb AS (SELECT greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_b FROM b GROUP BY 1),
+             |f AS (SELECT bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+             |  FROM (SELECT unnest(range(16)) AS bin)
+             |  LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+             |${OracleFragments.driftTailSql(16)})""".stripMargin)))
 }

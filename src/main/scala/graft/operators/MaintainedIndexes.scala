@@ -179,6 +179,11 @@ final class SignatureIndex(gs: GraphStore, label: String, textCol: String,
     * (compacts away) any accumulated deltas.
     */
   def rebuild(): Unit = maintLock.synchronized {
+    // a store with no committed table yet has nothing to index: a
+    // rebuild before the first commit is a graceful no-op (the
+    // bound-before-built contract covers catch-up), not an empty-frame
+    // crash in the graph read (found by IndexFuzzSpec's random walks)
+    if (!gs.store.tableExists(table)) return
     // read the pointer BEFORE materializing: a commit racing the
     // rebuild lands an epoch above this and its delta re-applies
     val through = gs.store.currentEpoch
@@ -489,6 +494,11 @@ final class MaintainedPostingIndex(gs: GraphStore, label: String,
     * the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    // a store with no committed table yet has nothing to index: a
+    // rebuild before the first commit is a graceful no-op (the
+    // bound-before-built contract covers catch-up), not an empty-frame
+    // crash in the graph read (found by IndexFuzzSpec's random walks)
+    if (!gs.store.tableExists(table)) return
     val through = gs.store.currentEpoch // before materializing — see appliedThrough
     log.writeBase(postings(
       gs.graph().vertices(label).select(col("id"), col(textCol))))
@@ -597,6 +607,11 @@ final class MaintainedAnnStore(gs: GraphStore, label: String, vecCol: String,
     * the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    // a store with no committed table yet has nothing to index: a
+    // rebuild before the first commit is a graceful no-op (the
+    // bound-before-built contract covers catch-up), not an empty-frame
+    // crash in the graph read (found by IndexFuzzSpec's random walks)
+    if (!gs.store.tableExists(table)) return
     val through = gs.store.currentEpoch // before materializing — see appliedThrough
     log.writeBase(bucketed(gs.graph().vertices(label).select(col("id"), col(vecCol))))
     log.recordApplied(through)
@@ -702,6 +717,11 @@ final class MaintainedPqStore(gs: GraphStore, label: String, vecCol: String,
     * the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    // a store with no committed table yet has nothing to index: a
+    // rebuild before the first commit is a graceful no-op (the
+    // bound-before-built contract covers catch-up), not an empty-frame
+    // crash in the graph read (found by IndexFuzzSpec's random walks)
+    if (!gs.store.tableExists(table)) return
     val through = gs.store.currentEpoch // before materializing — see appliedThrough
     val vecs = gs.graph().vertices(label).select(col("id"), col(vecCol))
       .localCheckpoint(true)
@@ -803,6 +823,11 @@ final class MaintainedIvfPqStore(gs: GraphStore, label: String, vecCol: String,
     * clears the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    // a store with no committed table yet has nothing to index: a
+    // rebuild before the first commit is a graceful no-op (the
+    // bound-before-built contract covers catch-up), not an empty-frame
+    // crash in the graph read (found by IndexFuzzSpec's random walks)
+    if (!gs.store.tableExists(table)) return
     val through = gs.store.currentEpoch // before materializing — see appliedThrough
     val staged = gs.graph().vertices(label)
       .select(col("id") +: col(vecCol) +:
@@ -945,6 +970,11 @@ final class MaintainedIvfStore(gs: GraphStore, label: String, vecCol: String,
     * clears the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    // a store with no committed table yet has nothing to index: a
+    // rebuild before the first commit is a graceful no-op (the
+    // bound-before-built contract covers catch-up), not an empty-frame
+    // crash in the graph read (found by IndexFuzzSpec's random walks)
+    if (!gs.store.tableExists(table)) return
     val through = gs.store.currentEpoch // before materializing — see appliedThrough
     val vecs = normalized(gs.graph().vertices(label).select(col("id"), col(vecCol)))
       .localCheckpoint(true)
@@ -1048,6 +1078,11 @@ sealed abstract class MaintainedBandedMediaIndex(gs: GraphStore,
     * the delta and tombstone logs (compaction).
     */
   def rebuild(): Unit = log.locked {
+    // a store with no committed table yet has nothing to index: a
+    // rebuild before the first commit is a graceful no-op (the
+    // bound-before-built contract covers catch-up), not an empty-frame
+    // crash in the graph read (found by IndexFuzzSpec's random walks)
+    if (!gs.store.tableExists(table)) return
     val through = gs.store.currentEpoch
     log.writeBase(banded(gs.graph().vertices(label).select(col("id"), col(bytesCol))))
     log.recordApplied(through)
@@ -1126,6 +1161,11 @@ final class MaintainedCellIndex(gs: GraphStore, label: String,
     * (spatial-query.lisp:174-200).
     */
   def rebuild(): Unit = log.locked {
+    // a store with no committed table yet has nothing to index: a
+    // rebuild before the first commit is a graceful no-op (the
+    // bound-before-built contract covers catch-up), not an empty-frame
+    // crash in the graph read (found by IndexFuzzSpec's random walks)
+    if (!gs.store.tableExists(table)) return
     val through = gs.store.currentEpoch // before materializing — see appliedThrough
     log.writeBase(celled(
       gs.graph().vertices(label).select(col("id"), col(lonCol), col(latCol))))

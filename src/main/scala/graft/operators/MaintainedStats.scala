@@ -224,6 +224,55 @@ final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String
   def hasSnapshot(name: String): Boolean =
     Files.exists(root.resolve(s"ref_$name"))
 
+  /** The PSI (ppm) the corpus WOULD read against snapshot `ref` if
+    * `batch` (rows carrying `valueCol`) were committed as creates —
+    * the admission arithmetic of the drift GATE: hypothetical
+    * histogram = maintained histogram + the batch's binned counts,
+    * summarized against the pinned reference. O(nBins) maintained rows
+    * + one batch-sized binning pass; the corpus is never scanned.
+    * Defined on the aggregate (unstratified) monitor.
+    */
+  def admissionPsiPpm(ref: String, batch: DataFrame): Long = {
+    require(groupCol.isEmpty, "admission gating runs on the aggregate monitor")
+    val refHist = spark.read.parquet(root.resolve(s"ref_$ref").toString)
+      .withColumnRenamed("c", "c_a")
+    val hyp = fullBins(
+      histogram().unionByName(binned(batch))
+        .groupBy("bin").agg(sum("c").as("c")))
+      .withColumnRenamed("c", "c_b")
+    Drift.summarize(refHist.join(hyp, Seq("bin")), nBins).head.getLong(2)
+  }
+
+  /** Admission check: throw the store's ConflictException (the REST
+    * tier maps it to 409, like an OCC conflict) when committing
+    * `batch` would push the corpus PSI vs `ref` beyond
+    * `psiLimitPpm`. Composable into any Txn the caller builds —
+    * check, then stage and commit; [[gatedCreate]] is the serialized
+    * convenience for plain batch ingest.
+    */
+  def admit(ref: String, batch: DataFrame, psiLimitPpm: Long): Unit = {
+    val psi = admissionPsiPpm(ref, batch)
+    if (psi > psiLimitPpm)
+      throw new gs.store.ConflictException(
+        s"drift gate: admitting this batch would read psi_ppm=$psi > " +
+          s"$psiLimitPpm vs reference '$ref'")
+  }
+
+  /** Drift-gated INGEST: admit `rows` against `ref`, then commit them
+    * as creates of `vertexLabel` — refused batches leave NOTHING
+    * behind (the check runs before any staging, so a 409 is a clean
+    * no-op, exactly like an OCC conflict). The admit + commit pair is
+    * serialized under the index's maintenance monitor so two gated
+    * writers cannot both pass a limit only one of them fits under;
+    * ungated writers bypass the gate by definition (it is an ingest
+    * policy, not a store invariant).
+    */
+  def gatedCreate(vertexLabel: String, rows: DataFrame, ref: String,
+      psiLimitPpm: Long): Long = maintLock.synchronized {
+    admit(ref, rows, psiLimitPpm)
+    gs.txn().createVertices(vertexLabel, rows).commit()
+  }
+
   /** Drift summary ([[Drift.summarize]]: psi/js/tvd ppm) of the CURRENT
     * corpus against a pinned reference snapshot — O(nBins × groups)
     * input rows, no corpus scan. Stratified indexes return one row per

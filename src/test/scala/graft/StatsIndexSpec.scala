@@ -243,6 +243,79 @@ class StatsIndexSpec extends SparkSpec {
     assert(gotG() == before, "grouped compaction is invariant")
   }
 
+  test("drift-gated ingest under storm: aligned batches land, shifted " +
+      "batches refuse with the 409 conflict and leave NOTHING behind, " +
+      "and the surviving corpus stays inside the gate") {
+    val (gs, idx, _) = mk()
+    idx.rebuild(); idx.bind()
+    // reference corpus: uniform lengths, pinned as the monitor start
+    gs.txn().createVertices("doc",
+      (1L to 200L).map(i => (i, i % 10 * 100L)).toDF("id", "len")).commit()
+    idx.snapshot("gate0")
+    val limit = 250000L // the 0.25 industry PSI gate, in ppm
+    val refused = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]
+    val shiftedAdmitted = new java.util.concurrent.atomic.AtomicInteger
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (0 until 3).map { t =>
+      new Thread(() => {
+        try {
+          val base = 1000L + t * 1000L
+          (0 until 4).foreach { b =>
+            val aligned = (t + b) % 2 == 0
+            // a shifted batch must be big enough to actually MOVE the
+            // monitor (60 rows of top-bin mass against the ~200-row
+            // reference reads PSI ≈ 0.29 > the 0.25 gate); aligned
+            // batches stay small and uniform
+            val n = if (aligned) 8L else 60L
+            val ids = (base + b * 100L) until (base + b * 100L + n)
+            val rows =
+              if (aligned) // same uniform mix as the reference
+                ids.map(i => (i, i % 10 * 100L)).toDF("id", "len")
+              else // all mass clamped into the top bin
+                ids.map(i => (i, 5000L)).toDF("id", "len")
+            try {
+              idx.gatedCreate("doc", rows, "gate0", limit)
+              admitted.add(ids)
+              if (!aligned) shiftedAdmitted.incrementAndGet()
+            } catch {
+              case _: gs.store.ConflictException => refused.add(ids)
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      }, s"gate-storm-$t")
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (!errors.isEmpty) throw errors.peek()
+    import scala.jdk.CollectionConverters._
+    // the first shifted batch may legitimately FIT under the limit
+    // (aligned admissions grow the denominator), but the gate must slam
+    // before the mass accumulates: most shifted batches refuse
+    assert(refused.size() > 0, "shifted batches must refuse")
+    assert(shiftedAdmitted.get() <= 1,
+      s"the gate let ${shiftedAdmitted.get()} shifted batches through")
+    assert(admitted.size() > 0, "aligned batches must land")
+    // a refused batch leaves NOTHING behind; every admitted one landed
+    val liveIds = gs.store.read("v_doc").select("id")
+      .collect().map(_.getLong(0)).toSet
+    refused.asScala.flatten.foreach(id =>
+      assert(!liveIds(id), s"409-refused id $id left behind"))
+    admitted.asScala.flatten.foreach(id =>
+      assert(liveIds(id), s"admitted id $id missing"))
+    // the maintained histogram still matches from-scratch, and the
+    // surviving corpus sits inside the gate it was admitted under
+    assert(got(idx) == expected(gs), "histogram parity after the gate storm")
+    val psiNow = idx.driftVsSnapshot("gate0").head.getLong(2)
+    assert(psiNow <= limit, s"gated corpus drifted past the limit: $psiNow")
+    // and the admission arithmetic agrees with committing then asking:
+    // admitting an aligned batch reads the same psi the corpus shows
+    val probe = (9000L to 9007L).map(i => (i, i % 10 * 100L)).toDF("id", "len")
+    val wouldBe = idx.admissionPsiPpm("gate0", probe)
+    idx.gatedCreate("doc", probe, "gate0", limit)
+    assert(idx.driftVsSnapshot("gate0").head.getLong(2) == wouldBe,
+      "admission psi must equal the post-commit monitor reading")
+  }
+
   test("O(bins) drift monitor: pin a reference snapshot, land a shifted " +
       "commit, psi flags it; a fresh snapshot self-drifts to zero") {
     val (gs, idx, _) = mk()
