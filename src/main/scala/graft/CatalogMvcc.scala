@@ -341,5 +341,45 @@ object CatalogMvcc {
              |f AS (SELECT bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
              |  FROM (SELECT unnest(range(16)) AS bin)
              |  LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+             |${OracleFragments.driftTailSql(16)})""".stripMargin)),
+
+    // The gate's ADMIT branch (q216 pins the refusal): an ALIGNED
+    // batch — every doc_id%5==1 doc at its unchanged n_chars, the same
+    // mix the reference was pinned on — leaves the hypothetical PSI
+    // essentially where the corpus already sits, under the (looser)
+    // 0.5 limit this monitor runs at. Both decisions of the admission
+    // arithmetic are now oracle-pinned end to end.
+    QueryDef("q217_drift_gate_admit",
+      (s, d) => {
+        import s.implicits._
+        val path = ensureStatsStore(s, d)
+        val gs = graft.model.GraphStore.open(s, path)
+        val (lo, hi, nBins) = statsEdges
+        val idx = new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "n_chars", lo, hi, nBins, path)
+        val batch = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") % 5 === 1)
+          .select(col("n_chars"))
+        val psi = idx.admissionPsiPpm("ref", batch)
+        Seq((psi, psi <= 500000L)).toDF("psi_ppm", "admitted")
+      },
+      Some(s"""SELECT psi_ppm, psi_ppm <= 500000 AS admitted FROM (
+             |WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |b AS (SELECT CAST(n_chars +
+             |    CASE WHEN doc_id % 10 = 0 THEN 500 ELSE 0 END AS DOUBLE) AS v
+             |  FROM documents WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)
+             |  UNION ALL
+             |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE doc_id % 5 = 1),
+             |ca AS (SELECT greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_a FROM a GROUP BY 1),
+             |cb AS (SELECT greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_b FROM b GROUP BY 1),
+             |f AS (SELECT bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+             |  FROM (SELECT unnest(range(16)) AS bin)
+             |  LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
              |${OracleFragments.driftTailSql(16)})""".stripMargin)))
 }
