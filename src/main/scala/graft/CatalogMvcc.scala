@@ -381,5 +381,50 @@ object CatalogMvcc {
              |f AS (SELECT bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
              |  FROM (SELECT unnest(range(16)) AS bin)
              |  LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
-             |${OracleFragments.driftTailSql(16)})""".stripMargin)))
+             |${OracleFragments.driftTailSql(16)})""".stripMargin)),
+
+    // STRATIFIED admission (the aggregate gate's blind spot, closed):
+    // a batch that shifts ONLY the zh stratum (+900) reads per-stratum
+    // hypothetical PSI through the grouped maintained monitor — zh
+    // explodes past the 0.4 limit while every other language sits at
+    // its standing drift, so a per-language gate refuses what an
+    // aggregate gate might wave through. One row per stratum; the
+    // oracle re-derives every per-language hypothetical histogram from
+    // the commit script + the batch.
+    QueryDef("q218_gate_by_lang",
+      (s, d) => {
+        val path = ensureGroupedStatsStore(s, d)
+        val gs = graft.model.GraphStore.open(s, path)
+        val (lo, hi, nBins) = statsEdges
+        val idx = new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "n_chars", lo, hi, nBins, path, groupCol = Some("lang"))
+        val batch = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("lang") === "zh")
+          .select((col("n_chars") + 900).as("n_chars"), col("lang"))
+        idx.admissionPsiByGroup("ref", batch)
+          .withColumnRenamed("g", "lang")
+          .withColumn("admitted", col("psi_ppm") <= 400000L)
+          .orderBy("lang")
+      },
+      Some(s"""WITH a AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |b AS (SELECT lang AS g, CAST(n_chars +
+             |    CASE WHEN doc_id % 10 = 0 THEN 500 ELSE 0 END AS DOUBLE) AS v
+             |  FROM documents WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)
+             |  UNION ALL
+             |  SELECT lang AS g, CAST(n_chars + 900 AS DOUBLE) AS v
+             |  FROM documents WHERE lang = 'zh'),
+             |ca AS (SELECT g, greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_a FROM a GROUP BY 1, 2),
+             |cb AS (SELECT g, greatest(0, least(15,
+             |      CAST(floor(((v - 0.0) * 16) / (2000.0 - 0.0)) AS BIGINT))) AS bin,
+             |    count(*) AS c_b FROM b GROUP BY 1, 2),
+             |gl AS (SELECT g FROM ca UNION SELECT g FROM cb),
+             |f AS (SELECT g, bin, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+             |  FROM (SELECT g, unnest(range(16)) AS bin FROM gl)
+             |  LEFT JOIN ca USING (g, bin) LEFT JOIN cb USING (g, bin)),
+             |${OracleFragments.driftGroupedTailSql(16)}
+             |SELECT g AS lang, psi_ppm, psi_ppm <= 400000 AS admitted
+             |FROM gp ORDER BY lang""".stripMargin)))
 }

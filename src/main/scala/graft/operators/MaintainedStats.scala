@@ -243,19 +243,51 @@ final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String
     Drift.summarize(refHist.join(hyp, Seq("bin")), nBins).head.getLong(2)
   }
 
+  /** The STRATIFIED admission arithmetic: one (g, psi_ppm) row per
+    * stratum present in the reference OR in the hypothetical
+    * post-commit corpus — the per-language gate q218 pins. The
+    * aggregate gate's blind spot is exactly this: a batch can keep the
+    * corpus-wide PSI flat while one small stratum collapses, so a
+    * stratified monitor gates each stratum on its OWN hypothetical
+    * drift. Same cost shape as [[admissionPsiPpm]], per group.
+    */
+  def admissionPsiByGroup(ref: String, batch: DataFrame): DataFrame = {
+    require(groupCol.isDefined, "per-stratum gating needs a stratified monitor")
+    val refHist = spark.read.parquet(root.resolve(s"ref_$ref").toString)
+      .withColumnRenamed("c", "c_a")
+    val hyp = fullBins(
+      histogram().unionByName(binned(batch))
+        .groupBy("g", "bin").agg(sum("c").as("c")))
+      .withColumnRenamed("c", "c_b")
+    Drift.summarizeGrouped(
+      refHist.join(hyp, keyCols, "full_outer").na.fill(0L, Seq("c_a", "c_b")),
+      nBins).select(col("g"), col("psi_ppm"))
+  }
+
   /** Admission check: throw the store's ConflictException (the REST
     * tier maps it to 409, like an OCC conflict) when committing
-    * `batch` would push the corpus PSI vs `ref` beyond
-    * `psiLimitPpm`. Composable into any Txn the caller builds —
-    * check, then stage and commit; [[gatedCreate]] is the serialized
-    * convenience for plain batch ingest.
+    * `batch` would push the corpus PSI vs `ref` beyond `psiLimitPpm` —
+    * for a stratified monitor, when ANY stratum's own hypothetical PSI
+    * would (the refusal names the worst stratum). Composable into any
+    * Txn the caller builds — check, then stage and commit;
+    * [[gatedCreate]] is the serialized convenience for plain batch
+    * ingest.
     */
-  def admit(ref: String, batch: DataFrame, psiLimitPpm: Long): Unit = {
-    val psi = admissionPsiPpm(ref, batch)
-    if (psi > psiLimitPpm)
-      throw new gs.store.ConflictException(
-        s"drift gate: admitting this batch would read psi_ppm=$psi > " +
-          s"$psiLimitPpm vs reference '$ref'")
+  def admit(ref: String, batch: DataFrame, psiLimitPpm: Long): Unit = groupCol match {
+    case None =>
+      val psi = admissionPsiPpm(ref, batch)
+      if (psi > psiLimitPpm)
+        throw new gs.store.ConflictException(
+          s"drift gate: admitting this batch would read psi_ppm=$psi > " +
+            s"$psiLimitPpm vs reference '$ref'")
+    case Some(_) =>
+      val worst = admissionPsiByGroup(ref, batch)
+        .orderBy(col("psi_ppm").desc).limit(1).collect()
+      worst.headOption.filter(_.getLong(1) > psiLimitPpm).foreach { r =>
+        throw new gs.store.ConflictException(
+          s"drift gate: admitting this batch would read psi_ppm=${r.getLong(1)} > " +
+            s"$psiLimitPpm on stratum '${r.getString(0)}' vs reference '$ref'")
+      }
   }
 
   /** Drift-gated INGEST: admit `rows` against `ref`, then commit them

@@ -316,6 +316,48 @@ class StatsIndexSpec extends SparkSpec {
       "admission psi must equal the post-commit monitor reading")
   }
 
+  test("stratified gate closes the aggregate blind spot: a batch collapsing " +
+      "one SMALL stratum refuses per-stratum while the aggregate admission " +
+      "would wave it through") {
+    val dir = tmp("statsgate-g")
+    val gs = new GraphStore(spark,
+      GraphSchema.builder().vertex("doc", "id", Seq("len", "lang")).build(), dir)
+    val idx = new MaintainedStatsIndex(gs, "v_doc", "len", lo, hi, nBins, dir,
+      groupCol = Some("lang"))
+    idx.rebuild(); idx.bind()
+    // en dominates (200 uniform rows), zh is the small stratum (20)
+    gs.txn().createVertices("doc",
+      ((1L to 200L).map(i => (i, i % 10 * 100L, "en")) ++
+        (201L to 220L).map(i => (i, i % 10 * 100L, "zh")))
+        .toDF("id", "len", "lang")).commit()
+    idx.snapshot("m0")
+    // an AGGREGATE twin monitor over the same store, same edges
+    val agg = new MaintainedStatsIndex(gs, "v_doc", "len", lo, hi, nBins,
+      tmp("statsgate-a"))
+    agg.rebuild(); agg.snapshot("m0")
+    // the hostile batch: zh-only, all mass clamped into the top bin —
+    // 20 rows against a 220-row corpus barely moves the aggregate
+    val batch = (500L to 519L).map(i => (i, 5000L, "zh")).toDF("id", "len", "lang")
+    val limit = 250000L
+    val aggPsi = agg.admissionPsiPpm("m0", batch)
+    assert(aggPsi <= limit,
+      s"fixture broken: the aggregate view must admit this batch ($aggPsi)")
+    val byLang = idx.admissionPsiByGroup("m0", batch).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") > limit, s"zh stratum must breach: ${byLang("zh")}")
+    assert(byLang("en") <= limit, s"en stratum must not: ${byLang("en")}")
+    val e = intercept[gs.store.ConflictException](
+      idx.gatedCreate("doc", batch, "m0", limit))
+    assert(e.getMessage.contains("'zh'"), s"refusal must name the stratum: $e")
+    assert(gs.store.read("v_doc").filter(col("id") >= 500L).count() == 0L,
+      "the refused batch must leave nothing behind")
+    // and an aligned zh batch still lands through the stratified gate
+    idx.gatedCreate("doc",
+      (600L to 607L).map(i => (i, i % 10 * 100L, "zh")).toDF("id", "len", "lang"),
+      "m0", limit)
+    assert(gs.store.read("v_doc").filter(col("id") >= 600L).count() == 8L)
+  }
+
   test("O(bins) drift monitor: pin a reference snapshot, land a shifted " +
       "commit, psi flags it; a fresh snapshot self-drifts to zero") {
     val (gs, idx, _) = mk()
