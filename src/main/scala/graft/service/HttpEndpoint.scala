@@ -52,8 +52,12 @@ final class HttpEndpoint(
       * the drift-monitor tier: `POST /admin/snapshot_stats` pins a
       * reference, `POST /admin/drift` answers "did the corpus shift
       * since that reference?" from O(nBins) maintained rows — the
-      * dashboard tick that must never cost a corpus scan. Their
-      * layout roots belong in `indexDirs` too for footprint telemetry. */
+      * dashboard tick that must never cost a corpus scan — and
+      * `POST /mutate/vertex/{label}` accepts an optional `"gate"`
+      * field routing the create through the named monitor's
+      * drift-gated admission (409 on breach, nothing committed; the
+      * monitor's own store must be this endpoint's). Their layout
+      * roots belong in `indexDirs` too for footprint telemetry. */
     statsIndexes: Map[String, graft.operators.MaintainedStatsIndex] = Map.empty) {
 
   private var server: HttpServer = _
@@ -197,7 +201,25 @@ final class HttpEndpoint(
           try gs.conformVertices(label, df)
           catch { case e: IllegalArgumentException =>
             throw new QueryService.BadRequestException(e.getMessage) }
-        val epoch = gs.txn().createVertices(label, conformed).commit()
+        // optional drift-gated admission: {"gate": {"index": n, "ref":
+        // r, "psi_limit_ppm": L}} routes the create through the named
+        // maintained monitor's gatedCreate — a breach surfaces as the
+        // OCC 409 (ConflictException) and commits NOTHING, per-stratum
+        // on a stratified monitor
+        val epoch = Option(root.get("gate")).filterNot(_.isNull) match {
+          case None => gs.txn().createVertices(label, conformed).commit()
+          case Some(g) =>
+            def gf(k: String) = Option(g.get(k)).filterNot(_.isNull).getOrElse(
+              throw new QueryService.BadRequestException(s"gate.'$k' required"))
+            val idxName = gf("index").asText()
+            val refName = gf("ref").asText()
+            val limit = gf("psi_limit_ppm").asLong()
+            val idx = statsIndexes.getOrElse(idxName, {
+              reply(ex, 404, err(s"no such stats index: $idxName")); return })
+            if (!idx.hasSnapshot(refName)) {
+              reply(ex, 404, err(s"no such reference snapshot: $refName")); return }
+            idx.gatedCreate(label, conformed, refName, limit)
+        }
         reply(ex, 200, s"""{"epoch": $epoch, "created": ${lines.size}}""")
       case Array("edge", label) =>
         val rowsNode = Option(root.get("rows")).filter(_.isArray).getOrElse(

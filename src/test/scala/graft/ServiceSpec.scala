@@ -1251,6 +1251,38 @@ class ServiceSpec extends SparkSpec {
         && !one.body().contains("strata"))
       assert(post("/admin/drift",
         """{"index":"doc_len","ref":"m0","group":"zz"}""").statusCode() == 404)
+      // drift-GATED ingest over REST: pin a FRESH reference (the en
+      // shift above is already-accepted history), then an aligned
+      // batch lands (200) while a stratum-collapsing one refuses with
+      // the OCC 409 and commits NOTHING; unknown gate index/ref are
+      // 404s
+      assert(post("/admin/snapshot_stats",
+        """{"index":"doc_len","name":"m1"}""").statusCode() == 200)
+      def rows(ids: Range, len: Long => Long, lang: String) = ids.map(i =>
+        s"""{"id": $i, "len": ${len(i.toLong)}, "lang": "$lang"}""").mkString(",")
+      val gate = """"gate": {"index":"doc_len","ref":"m1","psi_limit_ppm":250000}"""
+      // aligned: the de stratum's own current mix (len 100 + i%100)
+      val ok = post("/mutate/vertex/doc",
+        s"""{"rows": [${rows(700 until 708, i => 100L + i % 100, "de")}], $gate}""")
+      assert(ok.statusCode() == 200 && ok.body().contains("\"created\": 8"), ok.body())
+      val bad = post("/mutate/vertex/doc",
+        s"""{"rows": [${rows(800 until 870, _ => 5000L, "de")}], $gate}""")
+      assert(bad.statusCode() == 409, s"${bad.statusCode()} ${bad.body()}")
+      assert(bad.body().contains("'de'"), s"refusal names the stratum: ${bad.body()}")
+      assert(post("/mutate/vertex/doc",
+        s"""{"rows": [${rows(900 until 901, _ => 100L, "de")}],
+           | "gate": {"index":"nope","ref":"m1","psi_limit_ppm":1}}""".stripMargin)
+        .statusCode() == 404)
+      assert(post("/mutate/vertex/doc",
+        s"""{"rows": [${rows(901 until 902, _ => 100L, "de")}],
+           | "gate": {"index":"doc_len","ref":"nope","psi_limit_ppm":1}}""".stripMargin)
+        .statusCode() == 404)
+      // the refused batch left nothing; the admitted one is all there
+      val live = gs.store.read("v_doc").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert((700L until 708L).forall(live), "gated-admitted rows must land")
+      assert((800L until 870L).forall(id => !live(id)),
+        "a 409-refused REST batch must commit nothing")
     } finally ep.stop()
   }
 }
