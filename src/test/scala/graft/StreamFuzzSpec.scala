@@ -255,6 +255,88 @@ class StreamFuzzSpec extends SparkSpec {
     assert(ran >= 22)
   }
 
+  test("22 random doc streams x random splits: dedupStreamBounded equals a " +
+      "driver-side watermark-state model — late rows drop, horizon-aged " +
+      "state evicts, a past-horizon duplicate re-emits (the documented " +
+      "bounded-state trade)") {
+    // delay 75 s against minute-grain event times: every ts-vs-watermark
+    // and expiry-vs-watermark comparison sits 15+ s from a tie, so the
+    // model never straddles a boundary whose strictness Spark owns
+    val delayMs = 75000L
+    var seed = org.scalacheck.rng.Seed(20260908L)
+    var ran = 0
+    while (ran < 22) {
+      val gen = for {
+        nTexts <- Gen.choose(2, 5)
+        n <- Gen.choose(12, 40)
+        picks <- Gen.listOfN(n, Gen.choose(0, nTexts - 1))
+        lateMin <- Gen.listOfN(n, Gen.choose(0L, 30L))
+        nBatches <- Gen.choose(1, 5)
+        assign <- Gen.listOfN(n, Gen.choose(0, nBatches - 1))
+      } yield (picks, lateMin, assign, nBatches)
+      gen.apply(params, seed).foreach { case (picks, lateMin, assign, nBatches) =>
+        ran += 1
+        var frontier = baseMs
+        val rows = picks.zip(lateMin).map { case (p, late) =>
+          frontier += 60000L
+          (new Timestamp(frontier - late * 60000L), s"t_$p")
+        }
+        // place each row in its assigned batch, bumping forward so one
+        // TEXT never appears twice in one micro-batch: within-batch
+        // duplicates are deduped either way, but WHICH ts records the
+        // state expiry would then depend on partition order — the one
+        // nondeterminism a cross-engine model cannot mirror
+        val batches = Array.fill(nBatches + picks.length)(
+          scala.collection.mutable.ListBuffer.empty[(Timestamp, String)])
+        rows.zip(assign).foreach { case (r, a) =>
+          var b = a
+          while (batches(b).exists(_._2 == r._2)) b += 1
+          batches(b) += r
+        }
+        val fed = batches.map(_.toList).filter(_.nonEmpty).toSeq
+        // the model: per-batch — late rows (ts < watermark) drop; a
+        // text with LIVE state suppresses; otherwise emit and record
+        // expiry ts+delay. Batch end: watermark advances to
+        // max-event-time-seen − delay (late rows included — the
+        // watermark tracks observed event time); state whose expiry
+        // fell below the watermark evicts.
+        var wm = 0L
+        val state = scala.collection.mutable.Map.empty[String, Long]
+        val expected = scala.collection.mutable.ListBuffer.empty[String]
+        for (b <- fed) {
+          var maxTs = Long.MinValue
+          for ((ts, text) <- b) {
+            maxTs = math.max(maxTs, ts.getTime)
+            if (ts.getTime >= wm && !state.contains(text)) {
+              expected += text
+              state(text) = ts.getTime + delayMs
+            }
+          }
+          if (maxTs != Long.MinValue) wm = math.max(wm, maxTs - delayMs)
+          state.filterInPlace((_, exp) => exp >= wm)
+        }
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val input = MemoryStream[(Timestamp, String)]
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[String]
+        val q = Streams.dedupStreamBounded(input.toDF().toDF("ts", "text"),
+            "ts", "text", watermark = "75 seconds").select("text")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(r => got.add(r.getString(0))); ()
+          }.start()
+        try fed.foreach { b => input.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        import scala.jdk.CollectionConverters._
+        val emitted = got.asScala.toSeq.sorted
+        assert(emitted == expected.sorted,
+          s"bounded-dedup model drift (batches=${fed.map(_.size)}): " +
+            s"emitted=$emitted expected=${expected.sorted}")
+      }
+      seed = seed.next
+    }
+    assert(ran >= 22)
+  }
+
   test("12 random shard streams x random splits x replayed batches: " +
       "bottomKSampleStream's per-shard finals equal the batch bottom-k " +
       "(a pure function of the id set)") {
