@@ -1370,6 +1370,41 @@ object CatalogPipeline {
            |FROM p ORDER BY pack_id""".stripMargin
       }),
 
+    QueryDef("q219_curate_audit",
+      // the curation chain's PROVENANCE view: one row per raw-corpus
+      // document with what the pipeline did to it and why — gate
+      // bitmask, exact-dup class representative, final status, split.
+      // "Why did doc X disappear from the training set?" answered by
+      // ONE declarative frame (the same gate scan + hash aggregation
+      // q110 pays, joins widened to LEFT), not a re-run with printf.
+      // Dropped docs' dup_of/split coalesce to sentinels (-1 /
+      // 'dropped') so the driver's stringified hash never compares
+      // engine-specific null renderings
+      (s, d) => graft.operators.Curate.audit(
+          Tpch.table(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("reasons"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"), col("status"),
+          coalesce(col("split"), lit("dropped")).as("split"),
+          col("n_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+           |a AS (SELECT doc_id, text, n_tokens,
+           |    CAST(${OracleFragments.gateMaskSql} AS BIGINT) AS reasons
+           |  FROM q),
+           |reps AS (SELECT md5(text) AS h, min(doc_id) AS rep
+           |  FROM a WHERE reasons = 0 GROUP BY 1),
+           |j AS (SELECT a.doc_id, a.reasons, a.n_tokens, r.rep AS dup_of
+           |  FROM a LEFT JOIN reps r ON a.reasons = 0 AND md5(a.text) = r.h)
+           |SELECT doc_id, reasons, coalesce(dup_of, -1) AS dup_of,
+           |  CASE WHEN reasons <> 0 THEN 'gate'
+           |       WHEN dup_of <> doc_id THEN 'exact_dup'
+           |       ELSE 'kept' END AS status,
+           |  CASE WHEN reasons = 0 AND dup_of = doc_id
+           |    THEN ${OracleFragments.splitExpr("doc_id")}
+           |    ELSE 'dropped' END AS split,
+           |  n_tokens
+           |FROM j ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q116_nn_graph",
       // near-neighbor GRAPH join (the SemDeDup inspection step): for
       // EVERY vector, its cosine ≥ 0.999 neighbors ranked and capped at

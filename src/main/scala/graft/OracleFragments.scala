@@ -73,14 +73,19 @@ private[graft] object OracleFragments {
   def md5Bucket(id: String): String =
     s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8))::BIGINT % 1000"
 
-  /** train/val/test split (900/50/50) of an id expression, aliased
-    * `split`.
+  /** train/val/test split (900/50/50) of an id expression, unaliased
+    * (the audit row wraps it in a kept-only CASE).
     */
-  def splitCase(id: String): String =
+  def splitExpr(id: String): String =
     s"""CASE WHEN ${md5Bucket(id)} < 900
        |    THEN 'train'
        |    WHEN ${md5Bucket(id)} < 950
-       |    THEN 'val' ELSE 'test' END AS split""".stripMargin
+       |    THEN 'val' ELSE 'test' END""".stripMargin
+
+  /** train/val/test split (900/50/50) of an id expression, aliased
+    * `split`.
+    */
+  def splitCase(id: String): String = s"${splitExpr(id)} AS split"
 
   /** The shared final SELECT of the curated-set rows (doc_id, split,
     * n_tokens from gate ⋈ exact-dedup reps): `tail` carries the row's

@@ -177,6 +177,42 @@ class CorpusOpsSpec extends SparkSpec {
       s"near-dup twin must drop through the keep-list: $composed")
   }
 
+  test("Curate.audit: every doc gets a status, kept slice ≡ Curate") {
+    import graft.operators.Curate
+    val base = "the cat sat on the mat and the dog ran to the big red barn today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),             // exact twin of 1 -> exact_dup, dup_of 1
+      (3L, base + " extra"),  // near-dup of 1 (distinct hash)
+      (4L, "a quick brown fox jumps over the lazy dog and it runs far away now"),
+      (5L, "x y z"))          // gate-failed: too short
+      .toDF("doc_id", "text")
+    val keep = Seq(1L, 4L).toDF("doc_id") // a near-dup pass kept min ids
+    val audit = Curate.audit(docs, "doc_id", "text", nearDupKeep = Some(keep))
+      .orderBy("doc_id").collect()
+    val byId = audit.map(r => r.getLong(0) ->
+      (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getString(3), Option(r.getString(4)))).toMap
+    assert(audit.length == 5, "one audit row per raw doc")
+    assert(byId(1L)._3 == "kept" && byId(1L)._2 == Some(1L) && byId(1L)._4.isDefined)
+    assert(byId(2L)._3 == "exact_dup" && byId(2L)._2 == Some(1L) && byId(2L)._4.isEmpty)
+    assert(byId(3L)._3 == "near_dup" && byId(3L)._2 == Some(3L) && byId(3L)._4.isEmpty)
+    assert(byId(4L)._3 == "kept")
+    assert(byId(5L)._3 == "gate" && byId(5L)._1 != 0L && byId(5L)._2.isEmpty,
+      "gate-failed docs carry a non-zero bitmask and no dup class")
+    // the kept slice IS the curated set — the two surfaces cannot drift
+    val keptSlice = Curate.audit(docs, "doc_id", "text", nearDupKeep = Some(keep))
+      .filter(col("status") === "kept")
+      .select("doc_id", "split", "n_tokens")
+    val curated = Curate(docs, "doc_id", "text", nearDupKeep = Some(keep))
+    assert(keptSlice.exceptAll(curated).isEmpty && curated.exceptAll(keptSlice).isEmpty,
+      "audit(status=kept) must equal Curate row-for-row")
+    // and with no keep-list there is no near_dup status at all
+    val plain = Curate.audit(docs, "doc_id", "text")
+      .select("status").as[String].collect()
+    assert(!plain.contains("near_dup"))
+  }
+
   test("pmiCollocations: exact-rational lift, minCount floor, tie-stable ranking") {
     val docs = Seq(
       (1L, "a b a b a b"),     // bigrams: (a,b)x3, (b,a)x2
