@@ -228,6 +228,27 @@ object CatalogMvcc {
              |  WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)),
              |${OracleFragments.driftSummarySql(12)}""".stripMargin)),
 
+    // the MVCC chain's AUDIT view: what did the commits after epoch 1
+    // do to the table? One row per id whose visible state changed,
+    // classified added/updated/deleted. Candidates come from the
+    // epoch-dir-pruned commit-log tail (O(window commits), never a
+    // table scan), endpoint snapshots are semi-pruned to them. The
+    // oracle re-derives every verdict from the commit script: odds
+    // added, ÷10 updated (source revised), ÷14-not-÷10 tombstoned
+    QueryDef("q220_epoch_diff",
+      (s, d) => {
+        val st = new VersionedStore(s, ensureMvccStore(s, d))
+        st.diff("docs", 1L, st.currentEpoch).orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, 'added' AS change FROM documents
+             |WHERE doc_id % 2 = 1
+             |UNION ALL
+             |SELECT doc_id, 'updated' FROM documents WHERE doc_id % 10 = 0
+             |UNION ALL
+             |SELECT doc_id, 'deleted' FROM documents
+             |WHERE doc_id % 14 = 0 AND doc_id % 10 <> 0
+             |ORDER BY id""".stripMargin)),
+
     // q205's monitor served from MAINTAINED state: the commit-bound
     // histogram (MaintainedStatsIndex — signed per-commit deltas, the
     // maintained-index discipline applied to aggregate state) answers

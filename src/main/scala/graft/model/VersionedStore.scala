@@ -604,6 +604,44 @@ final class VersionedStore(spark: SparkSession, dir: String) {
       .filter(col("commit_epoch") > fromExclusive && col("commit_epoch") <= toInclusive)
   }
 
+  /** Snapshot delta between two epochs: one row per id whose VISIBLE
+    * state differs between `fromEpoch` and `toEpoch`, classified
+    * `added` / `updated` / `deleted` ("what did this range of commits
+    * do to the table?" — the audit view of the MVCC chain, the
+    * reference's transaction-log inspection re-expressed as a frame).
+    * `updated` means a version row landed in the window for an id
+    * visible at both endpoints — rev-level semantics, consistent with
+    * [[read]]`(asOf)` over the SURVIVING history (vacuum-destroyed
+    * revisions are invisible to both surfaces, so diff and asOf can
+    * never disagree). An id created and tombstoned inside the window
+    * nets out: absent at both endpoints, no row.
+    *
+    * Scale shape: candidates come from the commit-log tail
+    * ([[changesSince]] — epoch-dir pruned, O(window commits), never a
+    * table scan at candidate discovery); both endpoint snapshots are
+    * left-semi pruned to the candidate ids before the classification
+    * join, so the expensive part is bounded by change volume, not two
+    * full snapshot materializations.
+    */
+  def diff(label: String, fromEpoch: Long, toEpoch: Long): DataFrame = {
+    require(fromEpoch <= toEpoch,
+      s"diff range inverted: $fromEpoch > $toEpoch")
+    if (!tableExists(label)) return spark.emptyDataFrame
+    val changed = changesSince(label, fromEpoch, toEpoch)
+      .select("id").distinct()
+    val before = read(label, asOf = Some(fromEpoch))
+      .join(changed, Seq("id"), "left_semi")
+      .select(col("id"), lit(true).as("__before"))
+    val after = read(label, asOf = Some(toEpoch))
+      .join(changed, Seq("id"), "left_semi")
+      .select(col("id"), lit(true).as("__after"))
+    before.join(after, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__before").isNull, lit("added"))
+          .when(col("__after").isNull, lit("deleted"))
+          .otherwise(lit("updated")).as("change"))
+  }
+
   /** Replica apply: install already-committed version rows verbatim at
     * their original epochs and advance the pointer to `toEpoch` — the
     * slave side of the reference's transaction streaming

@@ -177,6 +177,27 @@ class DrFuzzSpec extends SparkSpec {
         }
         assert(gs.store.history("v_doc").count() == source.size.toLong,
           s"history size drifted after $ops")
+        // the epoch-diff audit rides the same walk: over the SURVIVING
+        // history (vacuum included), diff(mid, now) must classify
+        // exactly the ids whose model visibility changed
+        if (epoch > 1) {
+          val from = epoch / 2
+          val windowIds = source
+            .filter(v => v.epoch > from && v.epoch <= epoch).map(_.id).toSet
+          val beforeIds = modelRead(source, from).map(_._1)
+          val afterIds = modelRead(source, Long.MaxValue).map(_._1)
+          val wantDiff = windowIds.flatMap { id =>
+            (beforeIds(id), afterIds(id)) match {
+              case (false, true) => Some(id -> "added")
+              case (true, false) => Some(id -> "deleted")
+              case (true, true)  => Some(id -> "updated")
+              case _             => None
+            }
+          }.toMap
+          val gotDiff = gs.store.diff("v_doc", from, epoch)
+            .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+          assert(gotDiff == wantDiff, s"diff($from, $epoch) drifted after $ops")
+        }
         // the maintained histogram must equal the model's live set
         // binned with the same pinned edges, whatever the interleaving
         val wantHist = modelRead(source, Long.MaxValue).toSeq

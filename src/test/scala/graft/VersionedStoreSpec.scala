@@ -113,6 +113,47 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.read("v").select("name").as[String].head() == "d")
   }
 
+  test("diff classifies added/updated/deleted; window-internal churn nets out") {
+    val st = freshStore
+    val e1 = st.commit(Map("v" ->
+      Seq((1L, 1L, false, "a"), (2L, 1L, false, "b"), (3L, 1L, false, "c"))
+        .toDF("id", "rev", "deleted", "name")))
+    val e2 = st.commit(Map("v" ->
+      Seq((2L, 2L, false, "b2"),   // update
+        (4L, 1L, false, "d"),      // add
+        (3L, 2L, true, "c"))       // delete
+        .toDF("id", "rev", "deleted", "name")))
+    val e3 = st.commit(Map("v" ->
+      Seq((5L, 1L, false, "e"),    // added then deleted inside the window
+        (1L, 2L, true, "a"))       // delete of an e1 row
+        .toDF("id", "rev", "deleted", "name")))
+    val e4 = st.commit(Map("v" ->
+      Seq((5L, 2L, true, "e")).toDF("id", "rev", "deleted", "name")))
+    def d(from: Long, to: Long) =
+      st.diff("v", from, to).as[(Long, String)].collect().toMap
+    assert(d(e1, e2) == Map(2L -> "updated", 4L -> "added", 3L -> "deleted"))
+    // 5 nets out (added then tombstoned inside the window); 1 deleted
+    assert(d(e1, e4) == Map(2L -> "updated", 4L -> "added",
+      3L -> "deleted", 1L -> "deleted"))
+    // identical endpoints -> empty; full range from the empty epoch
+    assert(d(e4, e4).isEmpty)
+    assert(d(0L, e1) == Map(1L -> "added", 2L -> "added", 3L -> "added"))
+    // tombstone-then-recreate inside the window reads as updated
+    val e5 = st.commit(Map("v" ->
+      Seq((2L, 3L, true, "b2")).toDF("id", "rev", "deleted", "name")))
+    val e6 = st.commit(Map("v" ->
+      Seq((2L, 4L, false, "b3")).toDF("id", "rev", "deleted", "name")))
+    assert(d(e4, e6) == Map(2L -> "updated"))
+    assert(d(e4, e5) == Map(2L -> "deleted"))
+    // diff stays consistent with asOf over the SURVIVING history:
+    // vacuum(keep=1) destroys every e1-visible revision, so asOf(e1)
+    // now reads empty and the live rows (2, 4) classify as added —
+    // exactly what read(asOf) answers, never a stale pre-vacuum memory
+    st.vacuum("v", keep = 1)
+    assert(st.read("v", asOf = Some(e1)).count() == 0)
+    assert(d(e1, e6) == Map(2L -> "added", 4L -> "added"))
+  }
+
   test("crashed commit leaves no trace: orphan epoch dirs are cleared before writing") {
     import java.nio.file.{Files => F, Paths}
     val dir = F.createTempDirectory(java.nio.file.Paths.get("target"), "vstore").toString
