@@ -48,7 +48,8 @@ object Bench {
     "q191_audio_curate",    // curation + audio-fingerprint keep-list (round 9)
     "q192_curate_mix",      // curate -> quota -> epoch-mix flagship (round 9)
     "q193_mix_pack",        // mixed stream packed into sequences (round 9)
-    "q203_drift_psi")       // snapshot drift gate, two-pass histogram (round 12)
+    "q203_drift_psi",       // snapshot drift gate, two-pass histogram (round 12)
+    "q221_dsir_select")     // DSIR importance selection, hashed-ngram model (round 13)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

@@ -1405,6 +1405,67 @@ object CatalogPipeline {
            |  n_tokens
            |FROM j ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q221_dsir_select",
+      // DSIR data selection (importance resampling toward a target
+      // distribution, Xie et al. 2023): hashed unigram+bigram buckets,
+      // add-one-smoothed target/raw ratio per bucket in exact integer
+      // ppm (driver BigInt over the ≤4096-row model ≡ oracle HUGEINT),
+      // per-doc score = integer mean of its features' ratios, selection
+      // realized deterministically by the q211 md5-bucket gate. Target
+      // = the gate-clean 'val' split (the held-out quality sample a
+      // real run would curate by hand)
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val target = TextAnalysis.filterGate(docs, "doc_id", "text")
+          .filter(col("keep"))
+          .filter(Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
+          .select("doc_id").join(docs, Seq("doc_id"))
+        TextAnalysis.dsirScore(docs, target, "doc_id", "text")
+          .withColumn("keep_permille",
+            least(lit(1000L), expr("dsir_ppm div 1000")))
+          .withColumn("kept",
+            Sampling.hashBucket(col("doc_id"), 1000) < col("keep_permille"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+           |${OracleFragments.gateCte},
+           |tgt AS (SELECT doc_id FROM g
+           |  WHERE ${OracleFragments.md5Bucket("doc_id")} >= 900
+           |    AND ${OracleFragments.md5Bucket("doc_id")} < 950),
+           |t0 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+           |  FROM documents),
+           |fr AS (SELECT doc_id,
+           |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+           |  FROM (SELECT doc_id, unnest(tk) AS f FROM t0
+           |        UNION ALL
+           |        SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+           |        FROM (SELECT doc_id, tk,
+           |                unnest(generate_series(1, len(tk) - 1)) AS i
+           |              FROM t0 WHERE len(tk) >= 2))),
+           |ct AS (SELECT bucket, count(*) AS c_tgt
+           |  FROM fr JOIN tgt USING (doc_id) GROUP BY 1),
+           |cr AS (SELECT bucket, count(*) AS c_raw FROM fr GROUP BY 1),
+           |cc AS (SELECT bucket, coalesce(c_tgt, 0) AS c_tgt,
+           |    coalesce(c_raw, 0) AS c_raw
+           |  FROM ct FULL JOIN cr USING (bucket)),
+           |tot AS (SELECT coalesce(sum(c_tgt), 0) + 4096 AS n_tgt,
+           |    coalesce(sum(c_raw), 0) + 4096 AS n_raw FROM cc),
+           |w AS (SELECT bucket, CAST(least(
+           |    ((CAST(c_tgt AS HUGEINT) + 1) * n_raw * 1000000)
+           |      // ((CAST(c_raw AS HUGEINT) + 1) * n_tgt),
+           |    1000000000) AS BIGINT) AS r_ppm
+           |  FROM cc CROSS JOIN tot),
+           |sc AS (SELECT doc_id, count(*) AS n_feats,
+           |    CAST(sum(r_ppm) // count(*) AS BIGINT) AS dsir_ppm
+           |  FROM fr JOIN w USING (bucket) GROUP BY 1)
+           |SELECT doc_id, n_feats, dsir_ppm,
+           |  least(1000, dsir_ppm // 1000) AS keep_permille,
+           |  ${OracleFragments.md5Bucket("doc_id")} < least(1000, dsir_ppm // 1000)
+           |    AS kept
+           |FROM sc ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q116_nn_graph",
       // near-neighbor GRAPH join (the SemDeDup inspection step): for
       // EVERY vector, its cosine ≥ 0.999 neighbors ranked and capped at

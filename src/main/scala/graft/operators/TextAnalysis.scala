@@ -750,5 +750,96 @@ object TextAnalysis {
       when(size(ex) > 0, best("n").cast("long")).otherwise(0L).as("top_n"),
       (size(ex) >= blockAt).as("blocked"))
   }
+
+  /** Hashed n-gram features for DSIR scoring: lowercased whitespace
+    * unigrams + adjacent bigrams, each md5-bucketed into [0, nBuckets)
+    * with the q77 split hash so any engine re-derives the same bucket.
+    * One narrow pass: the feature array is built per row and exploded
+    * once — no second corpus scan for the bigrams.
+    */
+  private def hashedNgramBuckets(df: DataFrame, idCols: Seq[String],
+      textCol: String, nBuckets: Int): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(idCols.map(col) :+ explode(concat(toks, bi)).as("__f"): _*)
+      .select(idCols.map(col) :+
+        Sampling.hashBucket(col("__f"), nBuckets).as("bucket"): _*)
+  }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): per hashed-n-gram-bucket ratio of the TARGET
+    * distribution to the RAW distribution, add-one smoothed, as integer
+    * ppm —
+    *
+    *   r_ppm(b) = ⌊(c_tgt(b)+1)·(n_raw+B)·10⁶ / ((c_raw(b)+1)·(n_tgt+B))⌋
+    *
+    * clamped at `maxRatioPpm` (the standard importance-weight clip:
+    * unclipped ratios on buckets the raw corpus barely touches explode
+    * the selection variance, and the clamp also keeps every downstream
+    * per-doc sum inside BIGINT). Smoothed counts never divide by zero.
+    *
+    * Exactness: the per-bucket products overflow 64-bit at corpus
+    * scale, so the arithmetic runs in arbitrary-precision integers on
+    * the collected bucket table — legitimately driver-side, because the
+    * model IS ≤ nBuckets rows by construction (the same bound that
+    * makes the weight table broadcastable); a DuckDB oracle re-derives
+    * it exactly in HUGEINT. Identity fixpoint: target ≡ raw gives every
+    * bucket exactly 1_000_000.
+    *
+    * Scale shape: one scan per corpus reducing to a ≤ nBuckets-row
+    * aggregate (map-side combined); only those 2·nBuckets longs reach
+    * the driver.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      nBuckets: Int = 4096, maxRatioPpm: Long = 1000000000L): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(maxRatioPpm >= 1000000L, "maxRatioPpm must be >= 1e6")
+    def bucketCounts(df: DataFrame, as: String) =
+      hashedNgramBuckets(df, Seq.empty, textCol, nBuckets)
+        .groupBy("bucket").agg(count(lit(1)).as(as))
+    val counts = bucketCounts(target, "c_tgt")
+      .join(bucketCounts(raw, "c_raw"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw"))
+      .collect() // ≤ nBuckets rows — the model itself, by construction
+    val bB = BigInt(nBuckets)
+    val nTgt = BigInt(counts.map(_.getLong(1)).sum) + bB
+    val nRaw = BigInt(counts.map(_.getLong(2)).sum) + bB
+    val rows = counts.toSeq.map { r =>
+      val ratio = (BigInt(r.getLong(1)) + 1) * nRaw * 1000000 /
+        ((BigInt(r.getLong(2)) + 1) * nTgt)
+      (r.getLong(0), ratio.min(BigInt(maxRatioPpm)).toLong)
+    }
+    raw.sparkSession.createDataFrame(rows).toDF("bucket", "r_ppm")
+  }
+
+  /** DSIR document scores over the raw corpus: each doc's importance is
+    * the integer MEAN of its features' bucket ratios,
+    * `dsir_ppm = ⌊Σ r_ppm / n_feats⌋` — 10⁶ means "distributed like the
+    * target", higher means over-represented in the target relative to
+    * the raw corpus. Selection composes downstream exactly like the
+    * q211 soft gate: keep iff hashBucket(id) falls under the score, a
+    * deterministic realization of DSIR's sample-proportional-to-weight.
+    * Docs with zero tokens have no features and drop from the output
+    * (mirrors [[bigramLmScore]] dropping <2-token docs).
+    *
+    * Scale shape: the weight table is ≤ nBuckets rows and BROADCAST;
+    * scoring is one corpus scan + one doc-keyed aggregation. Nothing
+    * corpus-sized is collected.
+    */
+  def dsirScore(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 4096,
+      maxRatioPpm: Long = 1000000000L): DataFrame = {
+    val w = dsirWeights(raw, target, textCol, nBuckets, maxRatioPpm)
+    hashedNgramBuckets(raw, Seq(idCol), textCol, nBuckets)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"),
+        expr("sum(r_ppm) div count(1)").as("dsir_ppm"))
+  }
 }
 

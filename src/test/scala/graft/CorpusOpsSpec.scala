@@ -213,6 +213,74 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plain.contains("near_dup"))
   }
 
+  test("dsirScore: identity fixpoint, driver-model differential, clamp") {
+    // identity fixpoint: target ≡ raw makes every bucket ratio exactly
+    // 1e6 — so every doc scores exactly 1e6, regardless of content
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a quick brown fox jumps"),
+      (3L, "numbers 1 2 3 4 5 here"),
+      (4L, "")).toDF("doc_id", "text")
+    val self = TextAnalysis.dsirScore(docs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(self.keySet === Set(1L, 2L, 3L), "zero-token docs drop")
+    assert(self.values.forall(_ == 1000000L), s"identity must score 1e6: $self")
+
+    // driver-model differential: recompute buckets/ratios/scores with
+    // plain JVM md5 + BigInt and require exact equality
+    val raw = Seq(
+      (10L, "alpha beta gamma alpha"),
+      (11L, "beta beta delta"),
+      (12L, "epsilon zeta"),
+      (13L, "alpha beta")).toDF("doc_id", "text")
+    val tgt = Seq((20L, "alpha beta alpha"), (21L, "gamma"),
+      (22L, "gamma gamma gamma gamma gamma gamma gamma gamma")).toDF("doc_id", "text")
+    val nB = 64
+    def bucketOf(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % nB
+    }
+    def feats(text: String): Seq[String] = {
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val rawDocs = Seq(10L -> "alpha beta gamma alpha", 11L -> "beta beta delta",
+      12L -> "epsilon zeta", 13L -> "alpha beta")
+    val tgtDocs = Seq(20L -> "alpha beta alpha", 21L -> "gamma",
+      22L -> "gamma gamma gamma gamma gamma gamma gamma gamma")
+    val cRaw = rawDocs.flatMap(d => feats(d._2)).groupBy(bucketOf).map { case (b, fs) => b -> fs.size }
+    val cTgt = tgtDocs.flatMap(d => feats(d._2)).groupBy(bucketOf).map { case (b, fs) => b -> fs.size }
+    val nRaw = BigInt(cRaw.values.sum + nB)
+    val nTgt = BigInt(cTgt.values.sum + nB)
+    def rPpm(b: Long, cap: Long): BigInt =
+      ((BigInt(cTgt.getOrElse(b, 0)) + 1) * nRaw * 1000000 /
+        ((BigInt(cRaw.getOrElse(b, 0)) + 1) * nTgt)).min(BigInt(cap))
+    def modelScore(text: String, cap: Long): (Long, Long) = {
+      val bs = feats(text).map(bucketOf)
+      (bs.size.toLong, (bs.map(rPpm(_, cap)).sum / bs.size).toLong)
+    }
+    val got = TextAnalysis.dsirScore(raw, tgt, "doc_id", "text", nBuckets = nB)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((id, text) <- rawDocs)
+      assert(got(id) === modelScore(text, 1000000000L), s"doc $id")
+    // docs made of target-frequent features must outscore docs the
+    // target never touches
+    assert(got(13L)._2 > got(12L)._2,
+      s"on-target doc must outscore off-target: $got")
+
+    // clamp: with a tight cap the same model (cap applied per bucket)
+    // still matches exactly, and at least one bucket actually hits it
+    val capped = TextAnalysis.dsirScore(raw, tgt, "doc_id", "text",
+        nBuckets = nB, maxRatioPpm = 1200000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((id, text) <- rawDocs)
+      assert(capped(id) === modelScore(text, 1200000L), s"capped doc $id")
+    val anyCapHit = rawDocs.flatMap(d => feats(d._2)).map(bucketOf)
+      .exists(b => rPpm(b, 1000000000L) > 1200000L)
+    assert(anyCapHit, "fixture must exercise the clamp")
+  }
+
   test("pmiCollocations: exact-rational lift, minCount floor, tie-stable ranking") {
     val docs = Seq(
       (1L, "a b a b a b"),     // bigrams: (a,b)x3, (b,a)x2
