@@ -1466,6 +1466,51 @@ object CatalogPipeline {
            |    AS kept
            |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q222_budget_plan",
+      // token-budget mix planning: per-source keep fraction + realized
+      // selection to hit a 30k-token budget at 50/30/15/5 weights. The
+      // 5% share names a source the corpus doesn't have (srcX) — the
+      // plan must REPORT the hole (avail 0, deficit = target, kept 0),
+      // not silently drop it. All-integer arithmetic; the realized set
+      // is the deterministic md5 gate, so both engines re-derive it
+      (s, d) => Sampling.budgetPlan(Tpch.table(s, d, "documents"),
+          col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          Seq("src1" -> 500000L, "src2" -> 300000L, "src3" -> 150000L,
+            "srcX" -> 50000L),
+          budgetTokens = 30000L)
+        .orderBy("source"),
+      Some("""WITH d AS (SELECT doc_id, source,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS t
+           |  FROM documents),
+           |w(source, weight_ppm) AS (VALUES ('src1', 500000),
+           |  ('src2', 300000), ('src3', 150000), ('srcX', 50000)),
+           |a AS (SELECT source, count(*) AS avail_docs,
+           |    sum(t) AS avail_tokens FROM d GROUP BY 1),
+           |p AS (SELECT source, CAST(weight_ppm AS BIGINT) AS weight_ppm,
+           |    coalesce(avail_docs, 0) AS avail_docs,
+           |    CAST(coalesce(avail_tokens, 0) AS BIGINT) AS avail_tokens,
+           |    CAST((30000 * CAST(weight_ppm AS BIGINT)) // 1000000 AS BIGINT)
+           |      AS target_tokens
+           |  FROM w LEFT JOIN a USING (source)),
+           |p2 AS (SELECT *,
+           |    CAST(least(1000000, (target_tokens * 1000000)
+           |      // greatest(avail_tokens, 1)) AS BIGINT) AS keep_ppm,
+           |    greatest(0, target_tokens - avail_tokens) AS deficit_tokens
+           |  FROM p),
+           |k AS (SELECT source, count(*) AS kept_docs, sum(t) AS kept_tokens
+           |  FROM d JOIN p2 USING (source)
+           |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |    % 1000000 < keep_ppm
+           |  GROUP BY 1)
+           |SELECT source, weight_ppm, avail_docs, avail_tokens,
+           |  target_tokens, keep_ppm, deficit_tokens,
+           |  coalesce(kept_docs, 0) AS kept_docs,
+           |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+           |FROM p2 LEFT JOIN k USING (source)
+           |ORDER BY source""".stripMargin)),
+
     QueryDef("q116_nn_graph",
       // near-neighbor GRAPH join (the SemDeDup inspection step): for
       // EVERY vector, its cosine ≥ 0.999 neighbors ranked and capped at

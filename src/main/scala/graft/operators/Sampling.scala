@@ -147,4 +147,66 @@ object Sampling {
       .select(col(labelCol), col("n"),
         expr("__total * 1000000 div (__k * n)").as("weight_micro"))
   }
+
+  /** Token-budget mix planner — the question a training run asks before
+    * any mixing job starts: "to hit `budgetTokens` at these source
+    * weights, what fraction of each source do I keep, and where does
+    * the plan fall short?" One per-source row with the full arithmetic:
+    *
+    *   target_tokens  = budget·weight_ppm div 10⁶
+    *   keep_ppm       = least(10⁶, target·10⁶ div greatest(avail, 1))
+    *   deficit_tokens = greatest(0, target − avail)
+    *
+    * plus the REALIZED selection (kept_docs / kept_tokens) under the
+    * deterministic md5-bucket gate — the same pure-function-of-ids
+    * discipline as [[hashSample]]/[[hashSplit]], so the plan's kept set
+    * is re-derivable by any engine and stable under re-partitioning.
+    * Sources named in `weightsPpm` but absent from the corpus still
+    * report (avail 0, deficit = target, kept 0): a plan that silently
+    * dropped a requested source would hide exactly the failure it
+    * exists to surface. Corpus sources without a weight are excluded
+    * (weight 0 ≡ not in the mix). All-integer; exact while
+    * budget·weight_ppm < 2⁶³ (≈9 tera-tokens at full weight — plan in
+    * larger units beyond that).
+    *
+    * Scale shape: one source-grain aggregation over the corpus
+    * (map-side combined), the |weights|-row plan broadcast back for
+    * the realized pass, one more source-grain aggregation. Nothing
+    * corpus-sized moves; skew lands on the gate filter, not a window.
+    */
+  def budgetPlan(df: DataFrame, sourceCol: Column, key: Column,
+      tokensCol: Column, weightsPpm: Seq[(String, Long)],
+      budgetTokens: Long): DataFrame = {
+    require(weightsPpm.nonEmpty, "weightsPpm must be non-empty")
+    require(weightsPpm.forall(_._2 >= 0), "weights must be >= 0")
+    require(weightsPpm.map(_._2).sum <= 1000000L, "weights must sum to <= 1e6 ppm")
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val w = df.sparkSession.createDataFrame(weightsPpm)
+      .toDF("source", "weight_ppm")
+    val base = df.select(sourceCol.cast("string").as("source"),
+      key.as("__k"), tokensCol.cast("long").as("__t"))
+    val avail = base.groupBy("source")
+      .agg(count(lit(1)).as("avail_docs"), sum("__t").as("avail_tokens"))
+    val plan = broadcast(w).join(avail, Seq("source"), "left")
+      .select(col("source"), col("weight_ppm"),
+        coalesce(col("avail_docs"), lit(0L)).as("avail_docs"),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * weight_ppm) div 1000000"))
+      .withColumn("keep_ppm", least(lit(1000000L),
+        expr("(target_tokens * 1000000) div greatest(avail_tokens, 1)")))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), expr("target_tokens - avail_tokens")))
+    val kept = base
+      .join(broadcast(plan.select("source", "keep_ppm")), Seq("source"))
+      .filter(hashBucket(col("__k"), 1000000) < col("keep_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum("__t").as("kept_tokens"))
+    plan.join(kept, Seq("source"), "left")
+      .select(col("source"), col("weight_ppm"), col("avail_docs"),
+        col("avail_tokens"), col("target_tokens"), col("keep_ppm"),
+        col("deficit_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
 }

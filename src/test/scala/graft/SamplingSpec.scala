@@ -87,6 +87,36 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.except(mixed7).isEmpty && mixed7.except(mixed).isEmpty)
   }
 
+  test("budgetPlan: clamp, partial keep, absent source, deterministic realization") {
+    // src a: plenty of tokens (partial keep); src b: too few (deficit,
+    // keep-all); src c: named but absent (reported hole). Tokens are
+    // per-doc so the realized sums are hand-checkable via the gate.
+    val docs = (0L until 100L).map(i => (i, "a", 10L)) ++
+      Seq((1000L, "b", 5L), (1001L, "b", 7L))
+    val df = docs.toDF("id", "src", "toks")
+    val out = Sampling.budgetPlan(df, $"src", $"id", $"toks",
+        Seq("a" -> 400000L, "b" -> 400000L, "c" -> 200000L),
+        budgetTokens = 1000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    // a: avail 100 docs / 1000 toks, target 400 -> keep_ppm 400000
+    val a = out(0)
+    assert((a._1, a._2, a._3, a._4, a._5, a._6) ===
+      ("a" , 100L, 1000L, 400L, 400000L, 0L))
+    // realized set = exactly the ids whose md5 bucket < 400000
+    val expectKept = df.filter($"src" === "a")
+      .filter(Sampling.hashBucket($"id", 1000000) < 400000L)
+      .agg(count(lit(1)), coalesce(sum("toks"), lit(0L)))
+      .head()
+    assert((a._7, a._8) === (expectKept.getLong(0), expectKept.getLong(1)))
+    assert(a._7 > 20 && a._7 < 60, s"~40% of 100 docs expected, got ${a._7}")
+    // b: avail 12 < target 400 -> clamped keep-all, deficit reported
+    assert(out(1) === ("b", 2L, 12L, 400L, 1000000L, 388L, 2L, 12L))
+    // c: absent source still reports its row
+    assert(out(2) === ("c", 0L, 0L, 200L, 1000000L, 200L, 0L, 0L))
+  }
+
   test("classWeights: inverse-frequency micro weights, uniform lands at 1e6") {
     // labels 0×6, 1×3, 2×1: total 10, k 3 →
     //   w(0) = 10e6 div 18 = 555555; w(1) = 10e6 div 9 = 1111111;
