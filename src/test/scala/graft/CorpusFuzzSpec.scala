@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curate, Sampling, TextAnalysis}
+
+/** Differential fuzzing for the curation/mixing tier — the harness
+  * discipline the pattern/traversal/rules/streaming/durability tiers
+  * already run (and which found the round-11 Or-branch drop and the
+  * round-12 drift divide-by-zero): random corpora × random parameters
+  * through Curate / Curate.audit / quotaCap / epochMix / budgetPlan /
+  * dsirScore, each compared row-for-row against a Spark-free driver
+  * model that restates the documented semantics (gate bitmask rules,
+  * md5 bucketing, min-id representatives, salted epoch hash, exact
+  * integer plan arithmetic). The sf-level DuckDB oracles already pin
+  * one corpus per query; this pins the OPERATORS across hundreds of
+  * corpus shapes oracles never see — empty docs, all-dup batches,
+  * sources the plan doesn't name, quota larger than the group.
+  */
+class CorpusFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val programs = 48
+
+  // --- driver-side restatements of the documented semantics ---------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucket(s: String, b: Int): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16) % b
+
+  private def toks(text: String): Seq[String] =
+    if (text.trim.isEmpty) Nil else text.trim.split("\\s+").toSeq
+
+  /** The q97 gate bitmask at its defaults. */
+  private def gateReasons(text: String): Long = {
+    val tk = toks(text)
+    val n = tk.size.toLong
+    val sumLen = tk.map(_.length.toLong).sum
+    val nPunct = text.replaceAll("[a-zA-Z0-9\\s]", "").length.toLong
+    val nStop = tk.count(TextAnalysis.englishStopwords.contains).toLong
+    (if (n < 10) 1L else 0L) +
+      (if (n > 0 && (sumLen < 3 * n || sumLen > 10 * n)) 2L else 0L) +
+      (if (nPunct * 10 > text.length) 4L else 0L) +
+      (if (nStop < 2) 8L else 0L)
+  }
+
+  private def splitOf(id: Long): String = {
+    val b = bucket(id.toString, 1000)
+    if (b < 900) "train" else if (b < 950) "val" else "test"
+  }
+
+  /** Curate model: gate → min-id rep per exact text → optional near-dup
+    * keep-list → (id, split, n_tokens).
+    */
+  private def curateModel(docs: Seq[(Long, String)],
+      nearKeep: Option[Set[Long]]): Set[(Long, String, Long)] = {
+    val kept = docs.filter { case (_, t) => gateReasons(t) == 0L }
+    val reps = kept.groupBy(d => md5Hex(d._2)).values.map(_.map(_._1).min).toSet
+    kept.filter(d => reps(d._1))
+      .filter(d => nearKeep.forall(_.contains(d._1)))
+      .map(d => (d._1, splitOf(d._1), toks(d._2).size.toLong)).toSet
+  }
+
+  /** Curate.audit model: one row per doc with reasons/dup_of/status/
+    * split (null-coalesced the way q219 renders them).
+    */
+  private def auditModel(docs: Seq[(Long, String)],
+      nearKeep: Option[Set[Long]]): Set[(Long, Long, Long, String, String, Long)] = {
+    val byHash = docs.filter(d => gateReasons(d._2) == 0L)
+      .groupBy(d => md5Hex(d._2)).map { case (h, ds) => h -> ds.map(_._1).min }
+    docs.map { case (id, t) =>
+      val reasons = gateReasons(t)
+      val dupOf = if (reasons == 0L) byHash.get(md5Hex(t)) else None
+      val status =
+        if (reasons != 0L) "gate"
+        else if (dupOf.get != id) "exact_dup"
+        else if (!nearKeep.forall(_.contains(id))) "near_dup"
+        else "kept"
+      val split = if (status == "kept") splitOf(id) else "dropped"
+      (id, reasons, dupOf.getOrElse(-1L), status, split, toks(t).size.toLong)
+    }.toSet
+  }
+
+  /** quotaCap model: per group, (md5(key), key) ascending, first N. */
+  private def quotaModel(rows: Seq[(Long, String)], quota: Int): Set[Long] =
+    rows.groupBy(_._2).values.flatMap { g =>
+      g.map(_._1).sortBy(k => (md5Hex(k.toString), k.toString)).take(quota)
+    }.toSet
+
+  /** epochMix model: floor(w) copies + one more when the SALTED hash
+    * falls under the fractional threshold.
+    */
+  private def epochModel(rows: Seq[(Long, String)], weights: Map[String, Double],
+      default: Double): Set[(Long, Long)] =
+    rows.flatMap { case (id, src) =>
+      val w = weights.getOrElse(src, default)
+      val whole = math.floor(w).toLong
+      val thr = math.round((w - whole) * 1000000)
+      val salted = bucket(id.toString + ":epoch", 1000000)
+      val copies = whole + (if (salted < thr) 1L else 0L)
+      (0L until copies).map(c => (id, c))
+    }.toSet
+
+  /** budgetPlan model: the documented integer arithmetic + md5 gate. */
+  private def budgetModel(rows: Seq[(Long, String, Long)],
+      weightsPpm: Seq[(String, Long)], budget: Long)
+      : Set[(String, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    val bySrc = rows.groupBy(_._2)
+    weightsPpm.map { case (src, w) =>
+      val g = bySrc.getOrElse(src, Seq.empty)
+      val availDocs = g.size.toLong
+      val availToks = g.map(_._3).sum
+      val target = budget * w / 1000000
+      val keepPpm = math.min(1000000L, target * 1000000 / math.max(availToks, 1L))
+      val deficit = math.max(0L, target - availToks)
+      val kept = g.filter(r => bucket(r._1.toString, 1000000) < keepPpm)
+      (src, w, availDocs, availToks, target, keepPpm, deficit,
+        kept.size.toLong, kept.map(_._3).sum)
+    }.toSet
+  }
+
+  /** dsirScore model: hashed uni+bigram buckets, BigInt ratio, clamp. */
+  private def dsirModel(raw: Seq[(Long, String)], tgt: Seq[(Long, String)],
+      nB: Int, cap: Long): Set[(Long, Long, Long)] = {
+    def feats(t: String): Seq[String] = {
+      val tk = toks(t.toLowerCase)
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val cRaw = raw.flatMap(d => feats(d._2)).groupBy(f => bucket(f, nB))
+      .map { case (b, fs) => b -> fs.size }
+    val cTgt = tgt.flatMap(d => feats(d._2)).groupBy(f => bucket(f, nB))
+      .map { case (b, fs) => b -> fs.size }
+    val nRaw = BigInt(cRaw.values.sum + nB)
+    val nTgt = BigInt(cTgt.values.sum + nB)
+    def rPpm(b: Long): BigInt =
+      ((BigInt(cTgt.getOrElse(b, 0)) + 1) * nRaw * 1000000 /
+        ((BigInt(cRaw.getOrElse(b, 0)) + 1) * nTgt)).min(BigInt(cap))
+    raw.filter(d => feats(d._2).nonEmpty).map { case (id, t) =>
+      val bs = feats(t).map(bucket(_, nB))
+      (id, bs.size.toLong, (bs.map(rPpm).sum / bs.size).toLong)
+    }.toSet
+  }
+
+  // --- corpus generator ----------------------------------------------
+
+  private val wordPool = TextAnalysis.englishStopwords ++ Seq(
+    "cat", "dog", "run", "blue", "stone", "river", "quick", "brown",
+    "alpha", "beta", "gamma", "zzzzzzzzzzzzzz", "x", "42", "!!", "#?;",
+    "word,", "mat.")
+
+  private def genCorpus(rnd: scala.util.Random): Seq[(Long, String, String)] = {
+    val nDocs = 8 + rnd.nextInt(40)
+    val sources = (0 until 2 + rnd.nextInt(3)).map(i => s"s$i")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    for (i <- 0 until nDocs) {
+      val id = i.toLong * (1 + rnd.nextInt(7)) + i // unique, gappy
+      val src = sources(rnd.nextInt(sources.size))
+      val text =
+        if (out.nonEmpty && rnd.nextInt(4) == 0) out(rnd.nextInt(out.size))._2
+        else if (rnd.nextInt(10) == 0) ""
+        else (0 until rnd.nextInt(25)).map(_ => wordPool(rnd.nextInt(wordPool.size)))
+          .mkString(" ")
+      out += ((id, text, src))
+    }
+    // ids must be unique for the sampler contracts
+    out.groupBy(_._1).values.map(_.head).toSeq.sortBy(_._1)
+  }
+
+  test(s"curation/mixing tier: $programs random corpora ≡ driver models") {
+    for (p <- 0 until programs) {
+      val rnd = new scala.util.Random(0xC0FFEE + p)
+      val corpus = genCorpus(rnd)
+      val docs = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+      val sourced = corpus.toDF("doc_id", "text", "source")
+      val ids = corpus.map(_._1)
+
+      // 1) Curate, with a random near-dup keep-list half the time
+      val nearKeep = if (rnd.nextBoolean())
+        Some(ids.filter(_ => rnd.nextInt(3) > 0).toSet) else None
+      val keepDf = nearKeep.map(k =>
+        k.toSeq.toDF("doc_id"))
+      val curated = Curate(docs, "doc_id", "text", nearDupKeep = keepDf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(curated === curateModel(corpus.map(c => (c._1, c._2)), nearKeep),
+        s"Curate mismatch in program $p")
+
+      // 2) audit: every doc classified; kept slice ≡ Curate
+      val audit = Curate.audit(docs, "doc_id", "text", nearDupKeep = keepDf)
+        .select(col("doc_id"), col("reasons"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"), col("status"),
+          coalesce(col("split"), lit("dropped")).as("split"), col("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getLong(5))).toSet
+      assert(audit === auditModel(corpus.map(c => (c._1, c._2)), nearKeep),
+        s"audit mismatch in program $p")
+
+      // 3) quotaCap by source
+      val quota = 1 + rnd.nextInt(5)
+      val capped = Sampling.quotaCap(sourced, Seq(col("source")), col("doc_id"), quota)
+        .select("doc_id").as[Long].collect().toSet
+      assert(capped === quotaModel(corpus.map(c => (c._1, c._3)), quota),
+        s"quotaCap mismatch in program $p (quota $quota)")
+
+      // 4) epochMix with random weights (incl. 0-drop and >1 repeats)
+      val srcNames = corpus.map(_._3).distinct
+      val weights = srcNames.filter(_ => rnd.nextBoolean())
+        .map(s => s -> Seq(0.0, 0.4, 1.0, 2.5, rnd.nextDouble() * 3)(rnd.nextInt(5)))
+        .toMap
+      val default = Seq(0.0, 1.0, 1.5)(rnd.nextInt(3))
+      val mixed = Sampling.epochMix(sourced, col("source"), col("doc_id"),
+          weights, default)
+        .select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet
+      assert(mixed === epochModel(corpus.map(c => (c._1, c._3)), weights, default),
+        s"epochMix mismatch in program $p (weights $weights default $default)")
+
+      // 5) budgetPlan with a named-but-absent source in the plan
+      val wPlan = (srcNames.take(2) :+ "ghost").distinct
+        .map(s => s -> (50000L + rnd.nextInt(300000).toLong))
+      val budget = rnd.nextInt(2000).toLong
+      val toksBySrc = corpus.map(c => (c._1, c._3, toks(c._2).size.toLong))
+      val plan = Sampling.budgetPlan(sourced, col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long"), wPlan, budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8))).toSet
+      assert(plan === budgetModel(toksBySrc, wPlan, budget),
+        s"budgetPlan mismatch in program $p (budget $budget)")
+
+      // 6) dsirScore against a random target slice
+      val tgt = corpus.filter(_ => rnd.nextInt(3) == 0).map(c => (c._1, c._2))
+      if (tgt.nonEmpty) {
+        val nB = Seq(16, 64, 256)(rnd.nextInt(3))
+        val cap = Seq(1000000L, 2000000L, 1000000000L)(rnd.nextInt(3))
+        val scored = TextAnalysis.dsirScore(docs, tgt.toDF("doc_id", "text"),
+            "doc_id", "text", nBuckets = nB, maxRatioPpm = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(scored === dsirModel(corpus.map(c => (c._1, c._2)), tgt, nB, cap),
+          s"dsirScore mismatch in program $p (nB $nB cap $cap)")
+      }
+    }
+  }
+}
