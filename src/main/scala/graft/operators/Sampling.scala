@@ -202,7 +202,9 @@ object Sampling {
       .filter(hashBucket(col("__k"), 1000000) < col("keep_ppm"))
       .groupBy("source")
       .agg(count(lit(1)).as("kept_docs"), sum("__t").as("kept_tokens"))
-    plan.join(kept, Seq("source"), "left")
+    // kept is source-grain and the plan only names |weights| sources —
+    // both sides are tiny; broadcast keeps the recorded plan shuffle-free
+    plan.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("weight_ppm"), col("avail_docs"),
         col("avail_tokens"), col("target_tokens"), col("keep_ppm"),
         col("deficit_tokens"),
