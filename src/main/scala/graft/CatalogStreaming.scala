@@ -736,6 +736,60 @@ object CatalogStreaming {
              |  FROM f CROSS JOIN pk)
              |WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q223_stream_dsir",
+      // ONLINE DSIR scoring (the q212 serving discipline applied to the
+      // q221 model): the dense bucket→ratio array is trained batch-side
+      // and PINNED before the stream starts, then arriving documents
+      // score through row-local featurization + array lookup + integer
+      // mean — zero streaming state at any corpus size, whole-stage
+      // codegen. The oracle replays batch scoring: a stateless stream
+      // must answer exactly what the batch plan does
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val target = TextAnalysis.filterGate(docs, "doc_id", "text")
+          .filter(col("keep"))
+          .filter(graft.operators.Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
+          .select("doc_id").join(docs, Seq("doc_id"))
+        val w = TextAnalysis.dsirWeightsDense(docs, target, "text")
+        val scored = TextAnalysis.dsirScoreStateless(
+          streamDocuments(s, d), "doc_id", "text", w)
+        runToMemory(s, scored, "append").orderBy("doc_id")
+      },
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+           |${OracleFragments.gateCte},
+           |tgt AS (SELECT doc_id FROM g
+           |  WHERE ${OracleFragments.md5Bucket("doc_id")} >= 900
+           |    AND ${OracleFragments.md5Bucket("doc_id")} < 950),
+           |t0 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+           |  FROM documents),
+           |fr AS (SELECT doc_id,
+           |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+           |  FROM (SELECT doc_id, unnest(tk) AS f FROM t0
+           |        UNION ALL
+           |        SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+           |        FROM (SELECT doc_id, tk,
+           |                unnest(generate_series(1, len(tk) - 1)) AS i
+           |              FROM t0 WHERE len(tk) >= 2))),
+           |ct AS (SELECT bucket, count(*) AS c_tgt
+           |  FROM fr JOIN tgt USING (doc_id) GROUP BY 1),
+           |cr AS (SELECT bucket, count(*) AS c_raw FROM fr GROUP BY 1),
+           |cc AS (SELECT bucket, coalesce(c_tgt, 0) AS c_tgt,
+           |    coalesce(c_raw, 0) AS c_raw
+           |  FROM ct FULL JOIN cr USING (bucket)),
+           |tot AS (SELECT coalesce(sum(c_tgt), 0) + 4096 AS n_tgt,
+           |    coalesce(sum(c_raw), 0) + 4096 AS n_raw FROM cc),
+           |w AS (SELECT bucket, CAST(least(
+           |    ((CAST(c_tgt AS HUGEINT) + 1) * n_raw * 1000000)
+           |      // ((CAST(c_raw AS HUGEINT) + 1) * n_tgt),
+           |    1000000000) AS BIGINT) AS r_ppm
+           |  FROM cc CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_feats,
+           |    CAST(sum(r_ppm) // count(*) AS BIGINT) AS dsir_ppm
+           |  FROM fr JOIN w USING (bucket) GROUP BY 1
+           |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q126_stream_stream_join",
       (s, d) => {
         val views = streamEvents(s, d)

@@ -795,6 +795,17 @@ object TextAnalysis {
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
       nBuckets: Int = 4096, maxRatioPpm: Long = 1000000000L): DataFrame = {
+    val (observed, _) = dsirBucketRatios(raw, target, textCol, nBuckets, maxRatioPpm)
+    raw.sparkSession.createDataFrame(observed).toDF("bucket", "r_ppm")
+  }
+
+  /** The observed (bucket, r_ppm) pairs plus the fully-smoothed DEFAULT
+    * ratio for buckets neither corpus touched (c_tgt = c_raw = 0) — a
+    * batch score never needs it, but a STREAM can carry novel features.
+    */
+  private def dsirBucketRatios(raw: DataFrame, target: DataFrame,
+      textCol: String, nBuckets: Int, maxRatioPpm: Long)
+      : (Seq[(Long, Long)], Long) = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(maxRatioPpm >= 1000000L, "maxRatioPpm must be >= 1e6")
     def bucketCounts(df: DataFrame, as: String) =
@@ -809,12 +820,53 @@ object TextAnalysis {
     val bB = BigInt(nBuckets)
     val nTgt = BigInt(counts.map(_.getLong(1)).sum) + bB
     val nRaw = BigInt(counts.map(_.getLong(2)).sum) + bB
-    val rows = counts.toSeq.map { r =>
-      val ratio = (BigInt(r.getLong(1)) + 1) * nRaw * 1000000 /
-        ((BigInt(r.getLong(2)) + 1) * nTgt)
-      (r.getLong(0), ratio.min(BigInt(maxRatioPpm)).toLong)
-    }
-    raw.sparkSession.createDataFrame(rows).toDF("bucket", "r_ppm")
+    def ratio(cTgt: Long, cRaw: Long): Long =
+      ((BigInt(cTgt) + 1) * nRaw * 1000000 / ((BigInt(cRaw) + 1) * nTgt))
+        .min(BigInt(maxRatioPpm)).toLong
+    (counts.toSeq.map(r => (r.getLong(0), ratio(r.getLong(1), r.getLong(2)))),
+      ratio(0L, 0L))
+  }
+
+  /** The [[dsirWeights]] model as a DENSE array indexed by bucket —
+    * unobserved buckets carry the fully-smoothed default. This is the
+    * model shape a stateless scorer embeds as a plan literal.
+    */
+  def dsirWeightsDense(raw: DataFrame, target: DataFrame, textCol: String,
+      nBuckets: Int = 4096, maxRatioPpm: Long = 1000000000L): Array[Long] = {
+    val (observed, default) =
+      dsirBucketRatios(raw, target, textCol, nBuckets, maxRatioPpm)
+    val arr = Array.fill(nBuckets)(default)
+    observed.foreach { case (b, r) => arr(b.toInt) = r }
+    arr
+  }
+
+  /** ROW-LOCAL DSIR scoring against a trained dense weight array — the
+    * streaming-serving shape (the q212 discipline): featurization,
+    * bucket lookup and the integer mean all happen inside the row, so
+    * the scorer carries ZERO streaming state at any corpus size and the
+    * whole computation stays in codegen. Bit-identical to [[dsirScore]]
+    * on the same model (fuzz-pinned): the per-doc mean over a feature
+    * multiset doesn't care whether ratios arrive by join or by array
+    * index. Tradeoff vs the join path: the model rides every task as an
+    * nBuckets-long literal — exactly the broadcast the batch path does,
+    * minus the shuffle-side aggregation.
+    */
+  def dsirScoreStateless(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val nB = weights.length
+    val toksC = tokens(lower(col(textCol)))
+    val bi = when(size(toksC) >= 2,
+      transform(sequence(lit(1), size(toksC) - 1),
+        i => concat(element_at(toksC, i), lit(" "), element_at(toksC, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val ratios = transform(concat(toksC, bi),
+      f => element_at(lit(weights),
+        (Sampling.hashBucket(f, nB) + 1).cast("int")))
+    df.select(col(idCol), ratios.as("__r"))
+      .filter(size(col("__r")) > 0)
+      .select(col(idCol), size(col("__r")).cast("long").as("n_feats"),
+        expr("aggregate(__r, 0L, (a, x) -> a + x) div size(__r)").as("dsir_ppm"))
   }
 
   /** DSIR document scores over the raw corpus: each doc's importance is

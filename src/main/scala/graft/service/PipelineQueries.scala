@@ -106,6 +106,65 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"), col("copy_idx"))
       }))
 
+    // "source:ppm,source:ppm" — budget_plan's integer mix weights
+    def parseWeightsPpm(spec: String): Seq[(String, Long)] = {
+      val parsed = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+        kv.split(":") match {
+          case Array(s, w) =>
+            val ppm = try w.trim.toLong catch {
+              case _: NumberFormatException =>
+                throw new BadRequestException(s"bad weight ppm: '$kv'")
+            }
+            if (ppm < 0) throw new BadRequestException("weights must be >= 0 ppm")
+            s.trim -> ppm
+          case _ => throw new BadRequestException(
+            s"'weights' entries must be source:ppm, got '$kv'")
+        }
+      }
+      if (parsed.isEmpty)
+        throw new BadRequestException("'weights' must list at least one source")
+      if (parsed.map(_._2).sum > 1000000L)
+        throw new BadRequestException("'weights' must sum to <= 1000000 ppm")
+      parsed
+    }
+
+    service.register(PipelineQuery("budget_plan",
+      // the q222 surface: per-source keep fraction + realized selection
+      // to hit a token budget at the given mix weights; sources named
+      // in the weights but absent from the corpus still report their
+      // deficit row
+      Seq(ParamSpec("budget", "long"),
+        ParamSpec("weights", "string")),
+      ps => {
+        val budget = ps("budget").asInstanceOf[Long]
+        if (budget < 0) throw new BadRequestException("'budget' must be >= 0")
+        Sampling.budgetPlan(docs, col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          parseWeightsPpm(ps("weights").asInstanceOf[String]), budget)
+          .orderBy("source")
+      }))
+
+    service.register(PipelineQuery("dsir_select",
+      // the q221 surface: DSIR importance scores toward the gate-clean
+      // 'val' split, with the deterministic md5 keep gate realized
+      Seq(ParamSpec("buckets", "long", required = false, default = Some(4096L)),
+        ParamSpec("kept_only", "boolean", required = false, default = Some(false))),
+      ps => {
+        val nB = intParam(ps, "buckets")
+        val d = docs
+        val target = TextAnalysis.filterGate(d, "doc_id", "text")
+          .filter(col("keep"))
+          .filter(Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
+          .select("doc_id").join(d, Seq("doc_id"))
+        val out = TextAnalysis.dsirScore(d, target, "doc_id", "text", nBuckets = nB)
+          .withColumn("keep_permille",
+            least(lit(1000L), expr("dsir_ppm div 1000")))
+          .withColumn("kept",
+            Sampling.hashBucket(col("doc_id"), 1000) < col("keep_permille"))
+        if (ps("kept_only").asInstanceOf[Boolean]) out.filter(col("kept")) else out
+      }))
+
     service.register(PipelineQuery("curate_mix",
       // the q192 end-to-end training-mix surface: curate (gate → exact
       // dedup → split) → train only → per-source quota → epoch-weighted

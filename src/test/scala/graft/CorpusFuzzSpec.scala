@@ -239,6 +239,14 @@ class CorpusFuzzSpec extends SparkSpec {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         assert(scored === dsirModel(corpus.map(c => (c._1, c._2)), tgt, nB, cap),
           s"dsirScore mismatch in program $p (nB $nB cap $cap)")
+        // the stateless row-local scorer (q223's serving path) must be
+        // bit-identical to the join path on the same model
+        val dense = TextAnalysis.dsirWeightsDense(docs,
+          tgt.toDF("doc_id", "text"), "text", nB, cap)
+        val stateless = TextAnalysis.dsirScoreStateless(docs, "doc_id", "text", dense)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(stateless === scored,
+          s"stateless/join scorer divergence in program $p (nB $nB cap $cap)")
       }
     }
   }

@@ -315,6 +315,40 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("mix_pack", shardParams + ("shard" -> "3"))
     }
+    // token-budget planning (the q222 surface): per-source arithmetic,
+    // an absent source reports its deficit, malformed weights are 400s
+    val bplan = service.runRegistered("budget_plan",
+      Map("budget" -> "500", "weights" -> "src0:400000, src1:300000, ghost:100000"))
+    assert(bplan.columns.sameElements(Array("source", "weight_ppm", "avail_docs",
+      "avail_tokens", "target_tokens", "keep_ppm", "deficit_tokens",
+      "kept_docs", "kept_tokens")))
+    assert(bplan.count() == 3)
+    val ghost = bplan.filter(col("source") === "ghost").head()
+    assert(ghost.getLong(2) == 0L && ghost.getLong(6) == ghost.getLong(4),
+      "an absent source must report deficit = target")
+    intercept[BadRequestException] {
+      service.runRegistered("budget_plan",
+        Map("budget" -> "500", "weights" -> "src0:900000, src1:200000"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("budget_plan",
+        Map("budget" -> "500", "weights" -> "src0"))
+    }
+    // DSIR selection (the q221 surface): identity-ish scores around 1e6,
+    // kept_only filters to the md5 gate's survivors
+    val dsel = service.runRegistered("dsir_select", Map("buckets" -> "256"))
+    assert(dsel.columns.sameElements(
+      Array("doc_id", "n_feats", "dsir_ppm", "keep_permille", "kept")))
+    assert(dsel.count() > 0)
+    val dselKept = service.runRegistered("dsir_select",
+      Map("buckets" -> "256", "kept_only" -> "true"))
+    // the service clamps frames to maxLimit, so compare PROPERTIES, not
+    // counts across two clamped runs
+    assert(dselKept.count() > 0 && dselKept.filter(!col("kept")).count() == 0,
+      "kept_only must return only gate survivors")
+    intercept[BadRequestException] {
+      service.runRegistered("dsir_select", Map("buckets" -> "0"))
+    }
     // audio near-dup profile (the q189 banding surface)
     val an = service.runRegistered("audio_neardups", Map("pairs" -> "true"))
     assert(an.columns.sameElements(
