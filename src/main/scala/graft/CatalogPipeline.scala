@@ -1511,6 +1511,63 @@ object CatalogPipeline {
            |FROM p2 LEFT JOIN k USING (source)
            |ORDER BY source""".stripMargin)),
 
+    QueryDef("q224_decontaminated_mix",
+      // the q192 training-mix flagship with the stage a REAL production
+      // chain must not skip: benchmark decontamination between curation
+      // and mixing. Raw corpus → gate → exact dedup → train split →
+      // DROP docs whose 5-gram overlap with the held-out test slice
+      // breaches 20% (q79's leakage check, eval grams broadcast) →
+      // per-source quota → epoch-weighted repetition. At sf0.01 the
+      // decontamination stage genuinely bites (3 train docs leak the
+      // test slice and vanish from the mix)
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val train = graft.operators.Curate(docs, "doc_id", "text")
+          .filter(col("split") === "train")
+          .join(docs.select("doc_id", "source", "text"), Seq("doc_id"))
+        val evalSlice = docs.filter(Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "test")
+        val flags = Decontaminate.evalOverlap(train, evalSlice,
+          "doc_id", "text", n = 5, flagAtPct = 20)
+        val clean = train.join(
+          flags.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+        val capped = Sampling.quotaCap(clean, Seq(col("source")),
+          col("doc_id"), quota = 30)
+        Sampling.epochMix(capped, col("source"), col("doc_id"),
+            Map("src0" -> 2.5, "src1" -> 0.4))
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("copy_idx"))
+          .orderBy("doc_id", "copy_idx")
+      },
+      // q192's composed oracle with the q79 leakage CTEs spliced
+      // between the curated-train slice and the quota rank
+      Some(s"""WITH ${OracleFragments.curatePrefix},
+           |c AS (SELECT g.doc_id, g.text, g.n_tokens, d2.source
+           |  FROM g JOIN r USING (doc_id) JOIN documents d2 USING (doc_id)
+           |  WHERE ${OracleFragments.md5Bucket("g.doc_id")} < 900),
+           |tg AS (SELECT doc_id, unnest(CASE WHEN len(tok) < 5
+           |    THEN [array_to_string(tok, ' ')]
+           |    ELSE list_distinct(list_transform(range(len(tok)-4),
+           |      i -> array_to_string(tok[i+1:i+5], ' '))) END) AS gh
+           |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok
+           |        FROM c)),
+           |eg AS (SELECT DISTINCT unnest(CASE WHEN len(tok) < 5
+           |    THEN [array_to_string(tok, ' ')]
+           |    ELSE list_distinct(list_transform(range(len(tok)-4),
+           |      i -> array_to_string(tok[i+1:i+5], ' '))) END) AS gh
+           |  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS tok
+           |        FROM documents
+           |        WHERE ${OracleFragments.md5Bucket("doc_id")} >= 950)),
+           |cl AS (SELECT tg.doc_id FROM tg LEFT JOIN eg ON tg.gh = eg.gh
+           |  GROUP BY 1 HAVING count(eg.gh) * 100 < count(*) * 20),
+           |k AS (SELECT doc_id, n_tokens, source, row_number() OVER (
+           |    PARTITION BY source
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk
+           |  FROM c JOIN cl USING (doc_id))
+           |SELECT k.doc_id, k.source, k.n_tokens, r2.range AS copy_idx
+           |FROM k, range(3) r2
+           |WHERE k.rk <= 30 AND ${OracleFragments.epochCopyPredicate}
+           |ORDER BY doc_id, copy_idx""".stripMargin)),
+
     QueryDef("q116_nn_graph",
       // near-neighbor GRAPH join (the SemDeDup inspection step): for
       // EVERY vector, its cosine ≥ 0.999 neighbors ranked and capped at
