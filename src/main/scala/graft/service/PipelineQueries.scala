@@ -171,13 +171,26 @@ object PipelineQueries {
       // repetition. `epochs` is "source:weight,source:weight" pairs;
       // unlisted sources weigh 1.0
       Seq(ParamSpec("quota", "long", required = false, default = Some(30L)),
-        ParamSpec("epochs", "string", required = false, default = Some(""))),
+        ParamSpec("epochs", "string", required = false, default = Some("")),
+        // the q224 stage: drop train docs whose 5-gram overlap with the
+        // held-out test slice breaches 20% before the quota rank
+        ParamSpec("decontaminate", "boolean", required = false,
+          default = Some(false))),
       ps => {
         val quota = intParam(ps, "quota")
         val weights = parseEpochWeights(ps("epochs").asInstanceOf[String])
-        val train = graft.operators.Curate(docs, "doc_id", "text")
+        val trainBase = graft.operators.Curate(docs, "doc_id", "text")
           .filter(col("split") === "train")
           .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val train = if (ps("decontaminate").asInstanceOf[Boolean]) {
+          val evalSlice = docs.filter(Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "test")
+          val flags = graft.operators.Decontaminate.evalOverlap(
+            trainBase.join(docs.select("doc_id", "text"), Seq("doc_id")),
+            evalSlice, "doc_id", "text", n = 5, flagAtPct = 20)
+          trainBase.join(flags.filter(!col("contaminated")).select("doc_id"),
+            Seq("doc_id"))
+        } else trainBase
         Sampling.epochMix(
             Sampling.quotaCap(train, Seq(col("source")), col("doc_id"), quota),
             col("source"), col("doc_id"), weights)

@@ -144,6 +144,27 @@ class CorpusFuzzSpec extends SparkSpec {
     }.toSet
   }
 
+  /** evalOverlap model: distinct word-n-grams per doc (whole token run
+    * when shorter than n — Dedup.shinglesOfTokens semantics; an empty
+    * doc carries the single empty gram), hit-counted against the eval
+    * side's distinct-gram union.
+    */
+  private def gramsOf(text: String, n: Int): Set[String] = {
+    val tk = toks(text.toLowerCase)
+    if (tk.size < n) Set(tk.mkString(" "))
+    else tk.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def deconModel(train: Seq[(Long, String)], eval: Seq[(Long, String)],
+      n: Int, flagAtPct: Int): Set[(Long, Long, Long, Boolean)] = {
+    val eg = eval.flatMap(d => gramsOf(d._2, n)).toSet
+    train.map { case (id, t) =>
+      val g = gramsOf(t, n)
+      val hit = g.count(eg.contains).toLong
+      (id, g.size.toLong, hit, hit * 100 >= g.size.toLong * flagAtPct)
+    }.toSet
+  }
+
   // --- corpus generator ----------------------------------------------
 
   private val wordPool = TextAnalysis.englishStopwords ++ Seq(
@@ -247,6 +268,21 @@ class CorpusFuzzSpec extends SparkSpec {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         assert(stateless === scored,
           s"stateless/join scorer divergence in program $p (nB $nB cap $cap)")
+      }
+
+      // 7) evalOverlap decontamination against a random eval slice —
+      // the generator's exact-dup rate guarantees real overlap hits
+      val evalDocs = corpus.filter(_ => rnd.nextInt(4) == 0).map(c => (c._1, c._2))
+      if (evalDocs.nonEmpty) {
+        val n = Seq(2, 3, 5)(rnd.nextInt(3))
+        val pct = Seq(0, 20, 50, 100)(rnd.nextInt(4))
+        val got = graft.operators.Decontaminate.evalOverlap(docs,
+            evalDocs.toDF("doc_id", "text"), "doc_id", "text", n, pct)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .toSet
+        assert(got === deconModel(corpus.map(c => (c._1, c._2)), evalDocs, n, pct),
+          s"evalOverlap mismatch in program $p (n $n pct $pct)")
       }
     }
   }

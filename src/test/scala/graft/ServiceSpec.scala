@@ -282,6 +282,22 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("curate_mix", Map("epochs" -> "src0:fast"))
     }
+    // the q224 decontamination stage: no contaminated doc may reach the
+    // mix (NOT a subset check — dropping a contaminated doc can promote
+    // a previously over-quota doc into the rank window)
+    val cmDecon = service.runRegistered("curate_mix",
+      Map("quota" -> "10", "epochs" -> "src0:2.0, src1:0",
+        "decontaminate" -> "true"))
+    val deconIds = cmDecon.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(deconIds.nonEmpty)
+    val docsAll = graft.model.Tpch.table(spark, sf, "documents")
+    val testSlice = docsAll.filter(graft.operators.Sampling.hashSplit(col("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "test")
+    val contaminatedIds = graft.operators.Decontaminate.evalOverlap(
+        docsAll, testSlice, "doc_id", "text", n = 5, flagAtPct = 20)
+      .filter(col("contaminated")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deconIds.intersect(contaminatedIds).isEmpty,
+      "no contaminated doc may survive the decontaminated mix")
     // packed continuation (q193 surface): offsets are the exclusive
     // prefix sum over the dense (doc, copy) key order
     val mp = service.runRegistered("mix_pack",
