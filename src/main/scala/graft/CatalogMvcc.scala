@@ -145,6 +145,45 @@ object CatalogMvcc {
     path
   }
 
+  private[graft] def dsirStorePath(sfDir: String): String =
+    s"${StorePaths.root}/${StorePaths.key(sfDir)}/dsir_docs_v1"
+
+  private val dsirBuckets = 4096
+
+  /** q225's fixture: the q213 commit script applied to TEXT — a live
+    * doc store with a FEATURE-HASH MaintainedStatsIndex bound, so the
+    * DSIR raw-side bucket counts are maintained inside every commit.
+    * The epoch-3 update rewrites text (appends " extra tail"), moving
+    * real feature mass through the signed-delta path.
+    */
+  private[graft] def ensureDsirStore(spark: SparkSession, sfDir: String): String = {
+    val path = dsirStorePath(sfDir)
+    val fp = StorePaths.fingerprint(s"$sfDir/documents.parquet")
+    def current = StorePaths.isCurrent(path, fp)
+    if (!current) buildLock.synchronized {
+      if (!current) {
+        Dirs.rmTree(Paths.get(path))
+        val schema = graft.model.GraphSchema.builder()
+          .vertex("doc", "id", Seq("text")).build()
+        val gs = new graft.model.GraphStore(spark, schema, path)
+        val idx = new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "text", 0.0, 1.0, dsirBuckets, path, featureHash = true)
+        idx.rebuild(); idx.bind()
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").as("id"), col("text"))
+        gs.txn().createVertices("doc", docs.filter(col("id") % 2 === 0)).commit()
+        gs.txn().createVertices("doc", docs.filter(col("id") % 2 === 1)).commit()
+        gs.txn().updateVertices("doc", docs.filter(col("id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" extra tail")))).commit()
+        gs.txn().deleteVertices("doc",
+          docs.filter(col("id") % 14 === 0 && col("id") % 10 =!= 0).select("id"))
+          .commit()
+        StorePaths.stamp(path, fp)
+      }
+    }
+    path
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Snapshot read pinned to epoch 1: the world before the second
@@ -330,6 +369,83 @@ object CatalogMvcc {
     // ConflictException (HTTP 409) when this reads false — the
     // refusal-under-storm behavior is StatsIndexSpec's, the
     // arithmetic is pinned here against DuckDB.
+    // the commit-MAINTAINED DSIR deployment: the raw-side hashed-ngram
+    // bucket counts live in a feature-hash stats index refreshed inside
+    // every commit (creates, a text-REWRITING update, deletes), so
+    // selection weights derive at O(nBuckets) from the histogram with
+    // NO corpus rescan; only the small target slice is featurized at
+    // query time, and the live corpus scores through the stateless
+    // row-local path. The oracle re-derives the live corpus from the
+    // commit script and restates the whole model in HUGEINT.
+    QueryDef("q225_maintained_dsir",
+      (s, d) => {
+        val path = ensureDsirStore(s, d)
+        val gs = graft.model.GraphStore.open(s, path)
+        val idx = new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "text", 0.0, 1.0, dsirBuckets, path, featureHash = true)
+        val rawCounts = idx.histogram().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val docsTable = graft.model.Tpch.table(s, d, "documents")
+        val target = graft.operators.TextAnalysis
+          .filterGate(docsTable, "doc_id", "text").filter(col("keep"))
+          .filter(graft.operators.Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
+          .select("doc_id").join(docsTable, Seq("doc_id"))
+        val w = graft.operators.TextAnalysis.dsirWeightsDenseFromCounts(
+          rawCounts, target, "text", dsirBuckets)
+        graft.operators.TextAnalysis.dsirScoreStateless(
+            gs.store.read("v_doc"), "id", "text", w)
+          .select(col("id").as("doc_id"), col("n_feats"), col("dsir_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+           |${OracleFragments.gateCte},
+           |tgt AS (SELECT doc_id FROM g
+           |  WHERE ${OracleFragments.md5Bucket("doc_id")} >= 900
+           |    AND ${OracleFragments.md5Bucket("doc_id")} < 950),
+           |live AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+           |    THEN text || ' extra tail' ELSE text END AS text
+           |  FROM documents
+           |  WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)),
+           |t0r AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+           |  FROM live),
+           |frr AS (SELECT doc_id,
+           |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+           |  FROM (SELECT doc_id, unnest(tk) AS f FROM t0r
+           |        UNION ALL
+           |        SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+           |        FROM (SELECT doc_id, tk,
+           |                unnest(generate_series(1, len(tk) - 1)) AS i
+           |              FROM t0r WHERE len(tk) >= 2))),
+           |t0t AS (SELECT d.doc_id, CASE WHEN length(trim(d.text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(d.text)), '\\s+') END AS tk
+           |  FROM documents d JOIN tgt USING (doc_id)),
+           |ftt AS (SELECT
+           |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+           |  FROM (SELECT doc_id, unnest(tk) AS f FROM t0t
+           |        UNION ALL
+           |        SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+           |        FROM (SELECT doc_id, tk,
+           |                unnest(generate_series(1, len(tk) - 1)) AS i
+           |              FROM t0t WHERE len(tk) >= 2))),
+           |ct AS (SELECT bucket, count(*) AS c_tgt FROM ftt GROUP BY 1),
+           |cr AS (SELECT bucket, count(*) AS c_raw FROM frr GROUP BY 1),
+           |cc AS (SELECT bucket, coalesce(c_tgt, 0) AS c_tgt,
+           |    coalesce(c_raw, 0) AS c_raw
+           |  FROM ct FULL JOIN cr USING (bucket)),
+           |tot AS (SELECT coalesce(sum(c_tgt), 0) + 4096 AS n_tgt,
+           |    coalesce(sum(c_raw), 0) + 4096 AS n_raw FROM cc),
+           |w AS (SELECT bucket, CAST(least(
+           |    ((CAST(c_tgt AS HUGEINT) + 1) * n_raw * 1000000)
+           |      // ((CAST(c_raw AS HUGEINT) + 1) * n_tgt),
+           |    1000000000) AS BIGINT) AS r_ppm
+           |  FROM cc CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_feats,
+           |    CAST(sum(r_ppm) // count(*) AS BIGINT) AS dsir_ppm
+           |  FROM frr JOIN w USING (bucket) GROUP BY 1
+           |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q216_drift_gate",
       (s, d) => {
         import s.implicits._

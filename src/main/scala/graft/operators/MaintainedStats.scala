@@ -64,10 +64,14 @@ import graft.model.{Dirs, GenDirs, GraphStore}
   */
 final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String,
     lo: Double, hi: Double, nBins: Int, dir: String,
-    val groupCol: Option[String] = None) {
+    val groupCol: Option[String] = None,
+    val featureHash: Boolean = false) {
 
-  private val root = Paths.get(dir,
-    groupCol.fold(s"stats_${label}_$valueCol")(g => s"stats_${label}_${valueCol}_by_$g"))
+  private val root = {
+    val base = groupCol.fold(s"stats_${label}_$valueCol")(g =>
+      s"stats_${label}_${valueCol}_by_$g")
+    Paths.get(dir, if (featureHash) s"${base}_ngrams" else base)
+  }
 
   /** The layout root for Maintenance.Target / GenDirs.layoutStats. */
   def statsRoot: java.nio.file.Path = root
@@ -80,13 +84,37 @@ final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String
   private def binOf(v: Column): Column =
     Drift.binExpr(v.cast("double"), lit(lo), lit(hi), nBins)
 
-  /** (g?, bin, c) counts of `rows` under the pinned edges. */
+  /** (g?, bin, c) counts of `rows`.
+    *
+    * Scalar mode (default): one row per input row, `bin` = the pinned
+    * fixed-width edge bin of the numeric `valueCol`.
+    *
+    * FEATURE-HASH mode (`featureHash = true`): `valueCol` is TEXT and
+    * each row contributes one count per hashed unigram+bigram feature
+    * instance (`bin` = the q221 md5 bucket in [0, nBins); lo/hi are
+    * unused) — the DSIR importance model's raw-side bucket counts as
+    * commit-maintained aggregate state: selection weights refresh after
+    * any commit at O(nBins) from [[histogram]] via
+    * [[TextAnalysis.dsirWeightsDenseFromCounts]], with NO corpus
+    * rescan. Per-commit cost scales with the commit's own feature
+    * count; zero-token docs contribute nothing (matching the scorer,
+    * which drops them).
+    */
   private def binned(rows: DataFrame): DataFrame = {
-    val keyed = groupCol match {
-      case None => rows.select(binOf(col(valueCol)).as("bin"))
-      case Some(gc) => rows.select(col(gc).cast("string").as("g"),
-        binOf(col(valueCol)).as("bin"))
-    }
+    val keyed =
+      if (featureHash) {
+        val feat = explode(TextAnalysis.hashedNgramFeatures(col(valueCol)))
+        groupCol match {
+          case None => rows.select(feat.as("__f"))
+            .select(Sampling.hashBucket(col("__f"), nBins).as("bin"))
+          case Some(gc) => rows.select(col(gc).cast("string").as("g"), feat.as("__f"))
+            .select(col("g"), Sampling.hashBucket(col("__f"), nBins).as("bin"))
+        }
+      } else groupCol match {
+        case None => rows.select(binOf(col(valueCol)).as("bin"))
+        case Some(gc) => rows.select(col(gc).cast("string").as("g"),
+          binOf(col(valueCol)).as("bin"))
+      }
     keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
   }
 

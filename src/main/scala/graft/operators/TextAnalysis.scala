@@ -780,7 +780,7 @@ object TextAnalysis {
     * number of times. The zip pads the final pair with null; concat
     * propagates it and the filter drops it.
     */
-  private def hashedNgramFeatures(text: Column): Column = {
+  private[graft] def hashedNgramFeatures(text: Column): Column = {
     val toks = tokens(lower(text))
     val bi = filter(
       zip_with(toks, slice(toks, lit(2), size(toks)),
@@ -858,6 +858,35 @@ object TextAnalysis {
     val arr = Array.fill(nBuckets)(default)
     observed.foreach { case (b, r) => arr(b.toInt) = r }
     arr
+  }
+
+  /** Dense DSIR weights from PRE-AGGREGATED raw-side bucket counts —
+    * the commit-MAINTAINED deployment: the raw corpus is never
+    * rescanned; its per-bucket feature counts arrive as ≤ nBuckets rows
+    * from a [[MaintainedStatsIndex]] in feature-hash mode (refreshed
+    * inside every commit), and only the small target corpus is
+    * featurized here. Same arithmetic as [[dsirWeightsDense]] (BigInt
+    * exact, add-one smoothed, clamped), so weights from maintained
+    * counts are bit-identical to a from-scratch scan of the same live
+    * corpus (spec-pinned).
+    */
+  def dsirWeightsDenseFromCounts(rawCounts: Seq[(Long, Long)],
+      target: DataFrame, textCol: String, nBuckets: Int,
+      maxRatioPpm: Long = 1000000000L): Array[Long] = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(maxRatioPpm >= 1000000L, "maxRatioPpm must be >= 1e6")
+    val tgt = hashedNgramBuckets(target, Seq.empty, textCol, nBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = rawCounts.toMap
+    val bB = BigInt(nBuckets)
+    val nTgt = BigInt(tgt.values.sum) + bB
+    val nRaw = BigInt(raw.values.sum) + bB
+    Array.tabulate(nBuckets) { b =>
+      ((BigInt(tgt.getOrElse(b.toLong, 0L)) + 1) * nRaw * 1000000 /
+        ((BigInt(raw.getOrElse(b.toLong, 0L)) + 1) * nTgt))
+        .min(BigInt(maxRatioPpm)).toLong
+    }
   }
 
   /** ROW-LOCAL DSIR scoring against a trained dense weight array — the

@@ -64,6 +64,54 @@ class StatsIndexSpec extends SparkSpec {
     assert(got(idx).map(_._2).sum == 4L, "live row count via histogram")
   }
 
+  test("FEATURE-HASH mode: maintained ngram-bucket counts equal a " +
+      "from-scratch featurize across creates, text-rewriting updates, " +
+      "deletes, and rebuild; DSIR weights from the histogram are " +
+      "bit-identical to a corpus-scan derivation") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val nB = 64
+    val dir = tmp("statsngram")
+    val gs = new GraphStore(spark,
+      GraphSchema.builder().vertex("doc", "id", Seq("text")).build(), dir)
+    val idx = new MaintainedStatsIndex(gs, "v_doc", "text", 0.0, 1.0, nB, dir,
+      featureHash = true)
+    idx.rebuild(); idx.bind()
+    def expectedNgram(): Seq[(Long, Long)] = {
+      val live = gs.store.read("v_doc")
+        .select(explode(TextAnalysis.hashedNgramFeatures(col("text"))).as("f"))
+        .select(Sampling.hashBucket(col("f"), nB).as("bin"))
+        .groupBy("bin").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until nB.toLong).map(b => (b, live.getOrElse(b, 0L)))
+    }
+    gs.txn().createVertices("doc", Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a quick brown fox"),
+      (3L, ""),                        // zero features
+      (4L, "the cat sat on the mat")). // exact twin: counts double
+      toDF("id", "text")).commit()
+    assert(got(idx) == expectedNgram(), "after creates")
+    // text REWRITE moves feature mass through the signed-delta path
+    gs.txn().updateVertices("doc",
+      Seq((2L, "a quick brown fox jumps far")).toDF("id", "text")).commit()
+    assert(got(idx) == expectedNgram(), "after text-rewriting update")
+    gs.txn().deleteVertices("doc", Seq(4L).toDF("id")).commit()
+    assert(got(idx) == expectedNgram(), "after delete")
+    // DSIR weights: maintained counts vs a from-scratch scan of the
+    // same live corpus must be bit-identical
+    val target = Seq((100L, "the cat jumps")).toDF("doc_id", "text")
+    val fromMaintained = TextAnalysis.dsirWeightsDenseFromCounts(
+      got(idx), target, "text", nB)
+    val fromScan = TextAnalysis.dsirWeightsDense(
+      gs.store.read("v_doc").select(col("id").as("doc_id"), col("text")),
+      target, "text", nB)
+    assert(fromMaintained.toSeq == fromScan.toSeq,
+      "maintained-counts weights must equal corpus-scan weights")
+    // rebuild compacts the deltas and answers identically
+    idx.rebuild()
+    assert(got(idx) == expectedNgram(), "after compaction")
+  }
+
   test("bound before built: commits are skipped, rebuild() catches up " +
       "to the committed state exactly; rebuild also compacts deltas away") {
     val (gs, idx, _) = mk()
