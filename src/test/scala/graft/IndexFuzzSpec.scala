@@ -226,4 +226,51 @@ class IndexFuzzSpec extends SparkSpec {
     }
     assert(ran >= 12)
   }
+
+  test("12 random walks: the FEATURE-HASH stats histogram (the q225 " +
+      "maintained DSIR model) equals a from-scratch featurize of the " +
+      "live rows, after every op — vacuum and rebuild included") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val nB = 32
+    val pool = Seq("the", "cat", "sat", "mat", "fox", "runs", "a", "of",
+      "blue", "stone", "42", "!!")
+    var seed = org.scalacheck.rng.Seed(20260915L)
+    var ran = 0
+    while (ran < 12) {
+      walkGen.apply(params, seed).foreach { ops =>
+        ran += 1
+        val dir = tmp("idxfz-ngram")
+        val gs = new GraphStore(spark,
+          GraphSchema.builder().vertex("doc", "id", Seq("text")).build(), dir)
+        val idx = new MaintainedStatsIndex(gs, "v_doc", "text", 0.0, 1.0, nB, dir,
+          featureHash = true)
+        idx.rebuild(); idx.bind()
+        def mkRows(ids: Seq[Long], v: Long) =
+          ids.map { id =>
+            val n = ((id * 13 + v * 7) % 9).toInt // 0..8 tokens (0 = no features)
+            (id, (0 until n)
+              .map(j => pool(((id * 31 + v * 17 + j * 5) % pool.size).toInt))
+              .mkString(" "))
+          }.toDF("id", "text")
+        drive(ops, gs, mkRows, "v_doc", () => idx.rebuild(), { tag =>
+          val expected =
+            if (!gs.store.tableExists("v_doc"))
+              (0L until nB.toLong).map((_, 0L))
+            else {
+              val live = gs.store.read("v_doc")
+                .select(explode(TextAnalysis.hashedNgramFeatures(col("text"))).as("f"))
+                .select(Sampling.hashBucket(col("f"), nB).as("bin"))
+                .groupBy("bin").count()
+                .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+              (0L until nB.toLong).map(b => (b, live.getOrElse(b, 0L)))
+            }
+          val got = idx.histogram().orderBy("bin").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq
+          assert(got == expected, s"ngram stats drift at $tag")
+        })
+      }
+      seed = seed.next
+    }
+    assert(ran >= 12)
+  }
 }
