@@ -1261,6 +1261,54 @@ class ServiceSpec extends SparkSpec {
     } finally { writable.stop(); readOnly.stop() }
   }
 
+  test("VOCABULARY drift over REST: a feature-hash stats index (the q225 " +
+      "maintained DSIR model) serves the same snapshot_stats/drift verbs — " +
+      "a token-shifting commit flags, a same-distribution commit stays low") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "http-vdrift").toString
+    val gs = new graft.model.GraphStore(spark, graft.model.GraphSchema.builder()
+      .vertex("doc", "id", Seq("text")).build(), dir)
+    val idx = new graft.operators.MaintainedStatsIndex(
+      gs, "v_doc", "text", 0.0, 1.0, 64, dir, featureHash = true)
+    idx.rebuild(); idx.bind()
+    import spark.implicits._
+    def corpus(ids: Range, words: Seq[String]) =
+      ids.map(i => (i.toLong,
+        (0 until 8).map(j => words((i + j) % words.size)).mkString(" "))).toDF("id", "text")
+    val english = Seq("the", "cat", "sat", "on", "mat", "a", "dog", "ran")
+    gs.txn().createVertices("doc", corpus(1 to 60, english)).commit()
+    val ep = new graft.service.HttpEndpoint(service, store = Some(gs),
+      allowWrites = true, statsIndexes = Map("doc_vocab" -> idx))
+    val port = ep.start()
+    val client = HttpClient.newHttpClient()
+    def post(path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    def psiOf(r: HttpResponse[String]): Long =
+      "\"psi_ppm\": (-?\\d+)".r.findFirstMatchIn(r.body()).get.group(1).toLong
+    try {
+      assert(post("/admin/snapshot_stats",
+        """{"index":"doc_vocab","name":"v0"}""").statusCode() == 200)
+      // a same-vocabulary commit: feature distribution barely moves
+      gs.txn().createVertices("doc", corpus(100 to 130, english)).commit()
+      val low = post("/admin/drift", """{"index":"doc_vocab","ref":"v0"}""")
+      assert(low.statusCode() == 200)
+      val lowPsi = psiOf(low)
+      // a vocabulary-SHIFTING commit: disjoint tokens, the monitor flags
+      gs.txn().createVertices("doc", corpus(200 to 320,
+        Seq("zork", "blix", "quux", "fnord", "grue", "plugh"))).commit()
+      val high = post("/admin/drift", """{"index":"doc_vocab","ref":"v0"}""")
+      assert(high.statusCode() == 200)
+      val highPsi = psiOf(high)
+      assert(lowPsi < 100000L,
+        s"same-vocabulary commit must read low: $lowPsi")
+      assert(highPsi > 250000L && highPsi > 3 * lowPsi,
+        s"vocabulary shift not flagged over REST: $highPsi vs $lowPsi")
+    } finally ep.stop()
+  }
+
   test("stratified drift over REST: /admin/drift returns per-group strata, " +
       "a 'group' field narrows to one stratum, unknown stratum is 404") {
     val dir = java.nio.file.Files.createTempDirectory(
