@@ -88,7 +88,8 @@ object ScaleCheck {
     "q206_drift_embed",         // embedding-norm drift: one fold pass ×N
     "q207_stream_drift",        // online drift: scan ×N, state fixed at nBins rows
     "q210_eval_gate",           // classifier train+score+eval: 18 scans ×N, d+2 longs/round to driver
-    "q221_dsir_select")         // DSIR selection: 2 feature scans ×N, model fixed at nBuckets rows
+    "q221_dsir_select",         // DSIR selection: 2 feature scans ×N, model fixed at nBuckets rows
+    "q224_decontaminated_mix")  // curate -> decon -> quota -> mix: eval-gram broadcast ×N
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)
