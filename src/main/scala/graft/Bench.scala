@@ -64,33 +64,85 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Parse the quiet-floor ledger (empty map if absent). */
-  def readFloors(path: java.nio.file.Path =
-      java.nio.file.Paths.get("floors.json")): Map[String, Double] =
+  /** Readings kept per query in the rolling floor window. Five quiet
+    * sweeps ≈ five rounds: long enough that one noisy sweep cannot
+    * move a floor, short enough that a single lucky scheduling window
+    * stops doing invalidation work within a handful of rounds.
+    */
+  val floorWindowK = 5
+
+  /** Parse the quiet-floor ledger into per-query reading windows
+    * (oldest first, at most [[floorWindowK]] entries of
+    * `(epochMillis, seconds)`). Accepts BOTH formats: the current
+    * windowed one and the pre-round-14 flat `{"q":0.123}` ledger,
+    * whose all-time minima are migrated as one-reading windows
+    * stamped 0 — they count as a reading until [[floorWindowK]]
+    * newer quiet readings age them out.
+    */
+  def readLedger(path: java.nio.file.Path =
+      java.nio.file.Paths.get("floors.json")): Map[String, Seq[(Long, Double)]] =
     if (!java.nio.file.Files.exists(path)) Map.empty
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(path),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (txt.contains("\"window\"")) {
+        val entry =
+          """"([^"]+)"\s*:\s*\{"floor":[0-9.]+,"window":\[((?:\[\d+,[0-9.]+\],?)*)\]\}""".r
+        val reading = """\[(\d+),([0-9.]+)\]""".r
+        entry.findAllMatchIn(txt).map { m =>
+          m.group(1) -> reading.findAllMatchIn(m.group(2))
+            .map(r => r.group(1).toLong -> r.group(2).toDouble).toSeq
+        }.toMap
+      } else
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> Seq(0L -> m.group(2).toDouble)).toMap
     }
 
+  /** Effective quiet floors: per query the MINIMUM over its rolling
+    * window (the probe floor rides under `__probe`). This is what the
+    * verdict/requalification tier compares against.
+    */
+  def readFloors(path: java.nio.file.Path =
+      java.nio.file.Paths.get("floors.json")): Map[String, Double] =
+    readLedger(path).collect { case (k, w) if w.nonEmpty => k -> w.map(_._2).min }
+
+  /** Serialize the ledger: one entry per line (git-diff-friendly),
+    * each carrying its derived floor for human readers — the floor is
+    * always recomputed from the window on read, so the two cannot
+    * disagree.
+    */
+  def writeLedger(ledger: Map[String, Seq[(Long, Double)]],
+      path: java.nio.file.Path): Unit = {
+    val body = ledger.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map { case (k, w) =>
+      val window = w.map { case (ts, v) => f"[$ts,$v%.3f]" }.mkString(",")
+      "\"" + k + f"""":{"floor":${w.map(_._2).min}%.3f,"window":[$window]}"""
+    }.mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.write(path,
+      (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Machine-readable quiet-floor ledger (`floors.json` in the
-    * working dir): per-query minimum wall-time ever observed on a
-    * QUIET run, so future rounds diff a bench reading against its
-    * floor mechanically instead of re-litigating load noise in prose
-    * (BENCHNOTES carries the narrative; this file carries the
-    * numbers). Quietness is self-calibrating: the ledger tracks the
-    * calibration probe's own floor under `__probe`, and a run only
-    * updates query floors when its probe reading is within 10% of
-    * that floor — a loaded machine can never LOWER a floor it
-    * contends on, and the probe floor itself only ratchets down
-    * when the run's two bracketing probes AGREE (within 20%): a lone
-    * anomalously-fast probe reading is a scheduling transient, and
-    * ratcheting on it would poison the ledger — every subsequent
-    * honest run would read ≥2× the phantom floor and self-invalidate
-    * (observed live in round 13: a 0.085 s probe_after against a
-    * 0.182 s probe_before nearly halved the 0.214 s floor).
+    * working dir): per-query the last [[floorWindowK]] QUIET-run
+    * readings, so the effective floor is the min over a rolling
+    * window rather than the all-time minimum. The all-time ratchet
+    * was round 13's one red signal: a single exceptionally-quiet
+    * q203 reading (0.178 s) became a permanent floor that every
+    * honest future ~0.25 s reading carried 40% JVM variance against,
+    * invalidating an otherwise-clean artifact. Under the window, a
+    * lucky one-off expires after [[floorWindowK]] subsequent quiet
+    * readings; a genuine regression still trips the 2× verdict gate
+    * the moment it lands, because the verdict always compares against
+    * the CURRENT floor (pre-update).
+    *
+    * Quietness is self-calibrating: the ledger tracks the calibration
+    * probe's own window under `__probe`, and a run only appends query
+    * readings when its probe reading is within 10% of the probe
+    * floor. The probe window only admits a reading when the run's two
+    * bracketing probes AGREE (within 20% — a lone anomalously-fast
+    * probe is a scheduling transient; observed live in round 13) AND
+    * the reading is ≤1.5× the current probe floor (a loaded run's
+    * probes must never enter the window, or the floor would drift up
+    * and loaded runs would start classifying as quiet).
     *
     * The SAME update rewrites BENCHNOTES.md's floor table (between
     * the FLOORS_TABLE markers) from the merged ledger, so the
@@ -99,26 +151,39 @@ object Bench {
   def updateFloors(results: Seq[(String, Double)], probeBefore: Double,
       probeAfter: Double,
       path: java.nio.file.Path = java.nio.file.Paths.get("floors.json"),
-      notes: java.nio.file.Path = java.nio.file.Paths.get("BENCHNOTES.md")): Unit = {
-    val old = readFloors(path)
+      notes: java.nio.file.Path = java.nio.file.Paths.get("BENCHNOTES.md"),
+      nowMillis: Long = System.currentTimeMillis()): Unit = {
+    val old = readLedger(path)
+    def floorOf(w: Seq[(Long, Double)]): Double = w.map(_._2).min
+    def append(w: Seq[(Long, Double)], v: Double): Seq[(Long, Double)] =
+      (w :+ (nowMillis -> v)).takeRight(floorWindowK)
     val probe = math.min(probeBefore, probeAfter)
     val probesAgree = math.max(probeBefore, probeAfter) <=
       math.min(probeBefore, probeAfter) * 1.2
-    val probeFloor = old.get("__probe") match {
-      case Some(pf) => if (probesAgree) math.min(pf, probe) else pf
-      case None => probe
-    }
-    val quiet = probe <= probeFloor * 1.1
-    val merged: Map[String, Double] =
-      if (!quiet) old + ("__probe" -> probeFloor)
-      else old ++ results.collect { case (n, t) if t > 0 =>
-        n -> old.get(n).fold(t)(math.min(_, t))
-      } + ("__probe" -> probeFloor)
-    val body = merged.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    java.nio.file.Files.write(path,
-      (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    syncFloorsTable(merged, notes)
+    val oldProbe = old.getOrElse("__probe", Nil)
+    val probeWindow =
+      if (oldProbe.isEmpty) { if (probesAgree) Seq(nowMillis -> probe) else Nil }
+      else if (probesAgree && probe <= floorOf(oldProbe) * 1.5) append(oldProbe, probe)
+      else oldProbe
+    // quiet means BOTH bracketing probes sit within 10% of the probe
+    // floor: under the all-time-min ledger, judging on the faster probe
+    // was harmless (a contended reading could never lower a min), but a
+    // window APPENDS readings — one fast probe amid load would let a
+    // contended reading enter and later age honest floors out (observed
+    // live in round 14's first loaded subset run: probes 0.425/0.107,
+    // q203's 0.410 contended reading landed in the window)
+    val quiet = probeWindow.nonEmpty &&
+      math.max(probeBefore, probeAfter) <= floorOf(probeWindow) * 1.1
+    val base = if (probeWindow.nonEmpty) old + ("__probe" -> probeWindow) else old
+    val merged: Map[String, Seq[(Long, Double)]] =
+      if (!quiet) base
+      else results.foldLeft(base) {
+        case (acc, (n, t)) if t > 0 => acc + (n -> append(acc.getOrElse(n, Nil), t))
+        case (acc, _) => acc
+      }
+    writeLedger(merged, path)
+    syncFloorsTable(merged.collect { case (k, w) if w.nonEmpty => k -> floorOf(w) },
+      notes)
   }
 
   /** Regenerate BENCHNOTES.md's quiet-floor table from the ledger, in

@@ -626,7 +626,17 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   def diff(label: String, fromEpoch: Long, toEpoch: Long): DataFrame = {
     require(fromEpoch <= toEpoch,
       s"diff range inverted: $fromEpoch > $toEpoch")
-    if (!tableExists(label)) return spark.emptyDataFrame
+    // contract is an (id, change) frame even for a missing table — a
+    // zero-column emptyDataFrame would make callers that select/orderBy
+    // those columns (q220 does .orderBy("id")) throw AnalysisException
+    if (!tableExists(label))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("change",
+            org.apache.spark.sql.types.StringType))))
     val changed = changesSince(label, fromEpoch, toEpoch)
       .select("id").distinct()
     val before = read(label, asOf = Some(fromEpoch))

@@ -178,6 +178,10 @@ object Sampling {
       tokensCol: Column, weightsPpm: Seq[(String, Long)],
       budgetTokens: Long): DataFrame = {
     require(weightsPpm.nonEmpty, "weightsPpm must be non-empty")
+    // a duplicated source emits two plan rows; the realized join then
+    // double-counts that source's kept_docs/kept_tokens in BOTH rows
+    require(weightsPpm.map(_._1).distinct.size == weightsPpm.size,
+      "weightsPpm names a source more than once")
     require(weightsPpm.forall(_._2 >= 0), "weights must be >= 0")
     require(weightsPpm.map(_._2).sum <= 1000000L, "weights must sum to <= 1e6 ppm")
     require(budgetTokens >= 0, "budgetTokens must be >= 0")

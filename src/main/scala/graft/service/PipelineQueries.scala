@@ -123,6 +123,13 @@ object PipelineQueries {
       }
       if (parsed.isEmpty)
         throw new BadRequestException("'weights' must list at least one source")
+      // a duplicated source would emit two plan rows; the realized pass
+      // joins every doc of that source against BOTH, double-counting
+      // kept_docs/kept_tokens — silently wrong output on an accepted input
+      val dups = parsed.groupBy(_._1).collect { case (s, vs) if vs.size > 1 => s }
+      if (dups.nonEmpty)
+        throw new BadRequestException(
+          s"'weights' lists a source more than once: ${dups.toSeq.sorted.mkString(", ")}")
       if (parsed.map(_._2).sum > 1000000L)
         throw new BadRequestException("'weights' must sum to <= 1000000 ppm")
       parsed

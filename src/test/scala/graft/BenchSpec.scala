@@ -137,6 +137,73 @@ class BenchSpec extends AnyFunSuite {
     assert(loaded("q1") == 0.095 && loaded("__probe") == 0.190)
   }
 
+  test("rolling floor window: a lucky one-off floor expires after K quiet " +
+      "readings, the legacy flat ledger migrates as a one-reading window, " +
+      "and windows cap at floorWindowK (r13 what's-wrong #2)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "benchspec-win")
+    val floors = dir.resolve("floors.json")
+    val notes = dir.resolve("BENCHNOTES.md") // absent: sync is a no-op
+    // the r13 shape: q203's 0.178 was a single exceptionally-quiet
+    // reading; every honest subsequent reading sits near 0.25
+    Files.write(floors, """{"__probe":0.214,"q203":0.178}""".getBytes("UTF-8"))
+    // legacy flat format migrates on read: one reading stamped 0
+    assert(Bench.readLedger(floors) ==
+      Map("__probe" -> Seq(0L -> 0.214), "q203" -> Seq(0L -> 0.178)))
+    assert(Bench.readFloors(floors) == Map("__probe" -> 0.214, "q203" -> 0.178))
+    val honest = Seq(0.251, 0.243, 0.258, 0.249, 0.246)
+    honest.zipWithIndex.foreach { case (t, i) =>
+      Bench.updateFloors(Seq("q203" -> t), 0.210, 0.215, floors, notes,
+        nowMillis = 1000L + i)
+    }
+    val ledger = Bench.readLedger(floors)
+    // five quiet readings later the lucky 0.178 has aged out of the
+    // window (capped at floorWindowK) and the floor is the honest min
+    assert(ledger("q203").size == Bench.floorWindowK)
+    assert(ledger("q203").map(_._2) == honest)
+    assert(Bench.readFloors(floors)("q203") == honest.min)
+    // an honest 0.25 reading no longer carries invalidation risk...
+    assert(Bench.requalifyNeeded(Seq("q203" -> 0.251),
+      Bench.readFloors(floors)).isEmpty)
+    // ...while a genuine 2x regression still trips the verdict gate
+    val f = Bench.readFloors(floors)
+    val (valid, reasons) = Bench.benchVerdict(0.210, 0.215, f.get("__probe"),
+      Seq("q203" -> 0.55), Map("q203" -> 0.60), f)
+    assert(!valid && reasons.head.startsWith("q203 requalified 0.550 >= 2x floor"))
+    // the probe window ages the same way and never exceeds the cap
+    assert(ledger("__probe").size <= Bench.floorWindowK)
+    assert(Bench.readFloors(floors)("__probe") == 0.210)
+  }
+
+  test("a loaded run's probes never enter the probe window (the floor cannot " +
+      "drift up until loaded runs classify as quiet)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "benchspec-load")
+    val floors = dir.resolve("floors.json")
+    val notes = dir.resolve("BENCHNOTES.md")
+    Files.write(floors,
+      """{"__probe":{"floor":0.200,"window":[[1,0.200]]}}""".getBytes("UTF-8"))
+    // five agreeing-but-hot sweeps (>1.5x the probe floor): none enter
+    (1 to 5).foreach { i =>
+      Bench.updateFloors(Seq("q" -> 0.1), 0.500, 0.510, floors, notes,
+        nowMillis = 2000L + i)
+    }
+    val ledger = Bench.readLedger(floors)
+    assert(ledger("__probe") == Seq(1L -> 0.200),
+      "hot probes must not enter the window")
+    assert(!ledger.contains("q"), "a loaded run must not seed query floors")
+    // the round-14 live find: ONE fast probe amid load (0.425/0.107 —
+    // disagreeing, min under the floor) must not classify the run
+    // quiet; under the old min-probe rule a contended q203 reading
+    // entered the window and would later have aged honest floors out
+    Bench.updateFloors(Seq("q" -> 0.410), 0.425, 0.107, floors, notes,
+      nowMillis = 2500L)
+    assert(!Bench.readLedger(floors).contains("q"),
+      "a disagreeing-probe run must not seed query windows")
+    // near-floor probe readings (<=1.5x) DO enter, so the window ages
+    Bench.updateFloors(Seq("q" -> 0.1), 0.230, 0.240, floors, notes,
+      nowMillis = 3000L)
+    assert(Bench.readLedger(floors)("__probe").map(_._2) == Seq(0.200, 0.230))
+  }
+
   test("the committed BENCHNOTES table agrees with the committed floors.json " +
       "(regression gate for the r9 drift)") {
     val floors = Bench.readFloors(Paths.get("floors.json"))
