@@ -133,6 +133,74 @@ class PlanQualitySpec extends SparkSpec {
       s"quotaCap should shuffle exactly once on the group key:\n$s")
   }
 
+  test("headline plans hold their pinned shuffle-exchange ceilings (a plan " +
+      "that gains a shuffle fails here, not as a bench mystery — r13 #2)") {
+    // Materialized shuffle-exchange nodes in the AQE-final plan, per
+    // headline query, harvested under this spec's exact environment by
+    // `sbt "runMain graft.tools.ExchangeCounts"`. CEILINGS, not exact
+    // pins: AQE legitimately drops an exchange at runtime when a
+    // measured size crosses the broadcast threshold (q192 reads 3 or 4
+    // run-to-run), but it can never ADD one — a count above its
+    // ceiling is a real plan regression (lost broadcast, lost
+    // partitioning reuse, a new wide op). When a plan change is
+    // intentional, re-run the harvester and update the entry here; the
+    // diff in this map is the reviewable allowlisted delta.
+    val ceilings = Map(
+      "q01_scan_vertices" -> 1,
+      "q02_lookup_vertex" -> 0,
+      "q10_pattern_flagship" -> 1,
+      "q11_two_hop_join" -> 3,
+      "q20_agg_pricing" -> 2,
+      "q21_view_group" -> 2,
+      "q26_topk" -> 0,
+      "q31_bfs" -> 1,
+      "q32_transitive_closure" -> 1,
+      "q41_spatial_knn" -> 0,
+      "q54_dedup_exact" -> 2,
+      "q55_ngram_jaccard" -> 1,
+      "q56_minhash_lsh" -> 2,
+      "q58_cosine_topk" -> 0,
+      "q59_ann_lsh" -> 0,
+      "q60_window_agg" -> 2,
+      "q61_sessionize" -> 2,
+      "q64_asof_join" -> 2,
+      "q104_dup_spans" -> 3,
+      "q106_posting_probe" -> 1,
+      "q108_semantic_dedup" -> 1,
+      "q111_bm25_stored" -> 1,
+      "q112_ivfpq_ann" -> 0,
+      "q115_phrase_search" -> 0,
+      "q116_nn_graph" -> 4,
+      "q127_fuzzy_decontaminate" -> 4,
+      "q131_kmeans" -> 1,
+      "q135_hybrid_rrf" -> 8,
+      "q146_hybrid_stored" -> 1,
+      "q137_novelty" -> 4,
+      "q140_funnel" -> 6,
+      "q162_session_records" -> 2,
+      "q167_dhash_neardups" -> 5,
+      "q190_ivfpq_filtered" -> 0,
+      "q191_audio_curate" -> 4, // AQE flips a borderline join 3<->4
+      "q192_curate_mix" -> 4, // AQE flips a borderline join 3<->4
+      "q193_mix_pack" -> 8,
+      "q203_drift_psi" -> 2,
+      "q221_dsir_select" -> 2)
+    // the pin set must track the headline set — a new headline query
+    // without a recorded ceiling fails here, not silently unpinned
+    assert(ceilings.keySet == Bench.headline.toSet,
+      s"ceilings out of sync with Bench.headline: " +
+        s"unpinned=${Bench.headline.toSet -- ceilings.keySet} " +
+        s"stale=${ceilings.keySet -- Bench.headline.toSet}")
+    val breaches = Bench.headline.flatMap { name =>
+      val n = tools.ExchangeCounts.count(executedString(q(name)))
+      if (n > ceilings(name)) Some(s"$name has $n shuffle exchanges, ceiling " +
+        s"${ceilings(name)} — the plan gained a shuffle; if intentional, " +
+        "re-harvest with sbt \"runMain graft.tools.ExchangeCounts\"")
+      else None
+    }
+    assert(breaches.isEmpty, breaches.mkString("\n"))
+  }
+
   test("PLANS.md covers the whole catalog (drift guard, r10 #3)") {
     // the committed plan artifact must track catalog growth: a new
     // QueryDef without a regenerated PLANS.md fails CI here instead of
