@@ -604,24 +604,28 @@ final class HttpEndpoint(
     }.getOrElse(Map.empty)
   }
 
-  /** Both delivery shapes drain through the SAME clamped eager drain
-    * ([[QueryService.ndjson]] — maxLimit-bounded by policy, collected
-    * before the first socket byte): the ndjson branch streams the
-    * lines, the array branch joins them. One drain, one compaction-
-    * grace story, no second collect path to audit.
+  /** Both delivery shapes drain through the SAME clamped lazy drain
+    * ([[QueryService.ndjson]] — maxLimit-bounded by policy, computed
+    * into persisted blocks before the first socket byte, served one
+    * partition at a time): the ndjson branch streams the lines, the
+    * array branch joins them. One drain, one compaction-grace story,
+    * no second collect path to audit. The finally-close frees the
+    * buffer blocks even when the client disconnects mid-stream.
     */
   private def respondRows(ex: HttpExchange, df: org.apache.spark.sql.DataFrame,
       stream: Boolean): Unit = {
     val lines = service.ndjson(df)
-    if (stream) {
-      ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
-      ex.sendResponseHeaders(200, 0)
-      val os = ex.getResponseBody
-      lines.foreach { line =>
-        os.write(line.getBytes(StandardCharsets.UTF_8)); os.write('\n')
-      }
-      os.close()
-    } else reply(ex, 200, lines.mkString("[", ",", "]"))
+    try {
+      if (stream) {
+        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        lines.foreach { line =>
+          os.write(line.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+        }
+        os.close()
+      } else reply(ex, 200, lines.mkString("[", ",", "]"))
+    } finally lines.close()
   }
 
   private def err(msg: String): String =

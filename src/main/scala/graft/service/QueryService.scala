@@ -48,6 +48,35 @@ object QueryService {
       params: Seq[ParamSpec],
       build: Map[String, Any] => DataFrame,
       writes: Boolean = false)
+
+  /** The ndjson response buffer (see [[QueryService.ndjson]]): the
+    * clamped frame is computed ONCE, eagerly, into identity-scoped
+    * persisted RDD blocks (detached from the store's files, so a
+    * compaction storm mid-response cannot strand the drain), then
+    * drained to the socket one partition at a time. `close()` frees
+    * the blocks and is idempotent; exhausting the iterator closes it
+    * too, so the explicit call only matters on abandoned responses
+    * (client disconnect mid-stream).
+    */
+  final class NdjsonDrain(df: DataFrame)
+      extends Iterator[String] with AutoCloseable {
+    private val blocks = df.toJSON.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blocks.count() // materialize now, inside the request's grace window
+    private val it = blocks.toLocalIterator
+    @volatile private var closed = false
+    override def hasNext: Boolean = {
+      val h = !closed && it.hasNext
+      if (!h) close()
+      h
+    }
+    override def next(): String =
+      if (closed) Iterator.empty.next() else it.next()
+    override def close(): Unit = if (!closed) {
+      closed = true
+      blocks.unpersist(blocking = false)
+    }
+  }
 }
 
 final class QueryService(
@@ -156,21 +185,26 @@ final class QueryService(
   }
 
   /** Streaming row delivery — the `:callback` / ndjson contract
-    * (rest.lisp:564-589): rows as an iterator of JSON lines.
+    * (rest.lisp:564-589): rows as a lazily-drained iterator of JSON
+    * lines that must be [[NdjsonDrain.close closed]] when the
+    * response ends.
     *
-    * The PLAN is drained eagerly; only the SOCKET streams. Every
-    * service frame is already clamped to `maxLimit` rows (the
-    * rest.lisp:31-36 budget applied in [[bounded]]/[[runRegistered]]),
-    * so the buffer is bounded by policy — and draining before the
-    * first byte means a slow HTTP consumer (the ndjson contract's
-    * whole point) never holds a lazy plan's file listings across the
-    * store's compaction grace window. The alternative
-    * (toLocalIterator at the consumer's pace) strands exactly like
-    * the un-leased control in the slow-reader storm: auto-compaction
-    * rides the write path, and a client that reads for minutes spans
-    * many publishes. SURVEY §7.5 sanctions the buffered shape for the
-    * clamped service tier; unclamped analytical exports go through
-    * the leased `withPinnedRead` surfaces instead.
+    * The COMPUTE is eager; the DRIVER drain is lazy. The clamped
+    * result (every service frame is limited to `maxLimit` rows — the
+    * rest.lisp:31-36 budget applied in [[bounded]]/[[runRegistered]])
+    * is materialized into persisted RDD blocks in ONE job issued
+    * while the request's file listings are still inside the store's
+    * compaction grace window; the driver then serves the socket one
+    * partition at a time via `toLocalIterator`. A slow HTTP consumer
+    * (the ndjson contract's whole point) therefore never holds a lazy
+    * PLAN open across compaction publishes — the blocks are detached
+    * from the store's files — and the driver never holds the whole
+    * response either (the pre-r14 `toJSON.collect()` did: bounded by
+    * the clamp, but an eager drain a streaming surface doesn't need).
+    * RDD persistence is object-identity-scoped, so concurrent
+    * identical requests can never share (or unpersist) each other's
+    * buffers the way a CacheManager-level persist would.
     */
-  def ndjson(df: DataFrame): Iterator[String] = df.toJSON.collect().iterator
+  def ndjson(df: DataFrame): QueryService.NdjsonDrain =
+    new QueryService.NdjsonDrain(df)
 }

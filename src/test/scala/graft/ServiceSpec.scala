@@ -688,7 +688,8 @@ class ServiceSpec extends SparkSpec {
   }
 
   test("ndjson to a SLOW consumer survives aggressive store compaction: the " +
-      "plan drains before the first byte, only the socket streams (r10 #2)") {
+      "compute lands in persisted blocks before the first byte, the driver " +
+      "drain is lazy (r10 #2, drain made lazy in r14 per r13 #6)") {
     import spark.implicits._
     val schema = graft.model.GraphSchema.builder()
       .vertex("acct", "id", Seq("pad")).build()
@@ -740,6 +741,42 @@ class ServiceSpec extends SparkSpec {
       // order, none of the mid-response commits leaking in
       assert(ids.size == 1000 && ids.toSeq == (0L until 1000L))
     } finally ep.stop()
+  }
+
+  test("ndjson AT the clamp boundary: more rows than maxLimit stream exactly " +
+      "maxLimit lines through the lazy drain, and the drain frees its buffer " +
+      "blocks when exhausted (r13 #6)") {
+    import spark.implicits._
+    val schema = graft.model.GraphSchema.builder()
+      .vertex("acct", "id", Seq("pad")).build()
+    val gs = new graft.model.GraphStore(spark, schema,
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "ndjson-clamp").toString)
+    val pad = "x" * 256
+    // 1500 committed vs a 1000-row clamp: the drain must stop at the
+    // policy bound, not the table bound
+    gs.txn().createVertices("acct",
+      (0L until 1500L).map(i => (i, pad)).toDF("id", "pad")).commit()
+    val svc = new QueryService(gs.graph(), maxLimit = 1000)
+    svc.register(RegisteredQuery("all_accts", Seq.empty,
+      _ => PatternQuery(goals = Seq(IsA("a", "acct"), Slot("a", "pad", "p")),
+        select = Seq("a" -> "id", "p" -> "p"), orderBy = Seq(col("id")))))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val drain = svc.ndjson(svc.runRegistered("all_accts", Map.empty))
+    val ours = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(ours.nonEmpty, "the drain must hold persisted buffer blocks")
+    val lines = drain.toList
+    assert(lines.size == 1000, s"clamp must bound the stream: ${lines.size}")
+    assert(lines.forall(_.contains("\"id\":")))
+    // exhaustion closes: the buffer blocks are unpersisted (async), and
+    // further next() calls fail cleanly instead of re-running the plan
+    intercept[NoSuchElementException](drain.next())
+    val deadline = System.nanoTime() + 10e9.toLong
+    def stillOurs = spark.sparkContext.getPersistentRDDs.keySet.intersect(ours)
+    while (stillOurs.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(stillOurs.isEmpty, "exhausting the drain must free its persisted buffer")
+    // close() is idempotent
+    drain.close(); drain.close()
   }
 
   test("HTTP endpoint: 200/400/403/401/404 + ndjson streaming") {
