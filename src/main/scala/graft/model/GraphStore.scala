@@ -277,6 +277,9 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
 
     /** mark-deleted: tombstone revision. */
     def deleteVertices(label: String, ids: DataFrame): Txn = {
+      // validate like create/update: an unknown label must be the
+      // taxonomy's 400, not a zero-column read blowing up downstream
+      schema.requireVertex(label)
       val cur = store.read(vTable(label), Some(snapshotEpoch))
       stage(vTable(label), cur.join(ids.select(col("id")), Seq("id"), "left_semi")
         .withColumn("rev", col("rev") + 1)
@@ -309,6 +312,7 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
 
     /** Tombstone edges by id (delete-edge, edge.lisp:269-273). */
     def deleteEdges(label: String, ids: DataFrame): Txn = {
+      schema.requireEdge(label)
       val cur = store.read(eTable(label), Some(snapshotEpoch))
       stage(eTable(label), cur.join(ids.select(col("id")), Seq("id"), "left_semi")
         .withColumn("rev", col("rev") + 1)
