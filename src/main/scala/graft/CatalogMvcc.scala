@@ -446,6 +446,99 @@ object CatalogMvcc {
            |  FROM frr JOIN w USING (bucket) GROUP BY 1
            |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q228_dsir_admission",
+      // SELECTION-AWARE admission (q225 ∘ q216 — the closed loop
+      // ingest → gate → maintained model → selection): an INCOMING
+      // batch (doc_id % 7 = 3 of the raw table — data that has not
+      // been committed) scores against the commit-MAINTAINED DSIR
+      // model toward the gate-clean val target, with the q221 md5
+      // keep gate realizing the per-doc verdict selection would
+      // reach. The raw-side counts come from the maintained index's
+      // ≤nBuckets histogram rows (no corpus rescan), so "would
+      // selection keep this batch?" is answered at dashboard cost —
+      // the admission quantity selectionGatedCreate refuses on
+      // (refusal atomicity + the loop-closing model refresh are
+      // spec-pinned in StatsIndexSpec; this row pins the arithmetic)
+      (s, d) => {
+        val path = ensureDsirStore(s, d)
+        val gs = graft.model.GraphStore.open(s, path)
+        val idx = new graft.operators.MaintainedStatsIndex(
+          gs, "v_doc", "text", 0.0, 1.0, dsirBuckets, path, featureHash = true)
+        val docsTable = graft.model.Tpch.table(s, d, "documents")
+        val target = graft.operators.TextAnalysis
+          .filterGate(docsTable, "doc_id", "text").filter(col("keep"))
+          .filter(graft.operators.Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
+          .select("doc_id").join(docsTable, Seq("doc_id"))
+        val batch = docsTable.filter(col("doc_id") % 7 === 3)
+          .select("doc_id", "text")
+        idx.dsirBatchScores(batch, "doc_id", "text", target, "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+           |${OracleFragments.gateCte},
+           |tgt AS (SELECT doc_id FROM g
+           |  WHERE ${OracleFragments.md5Bucket("doc_id")} >= 900
+           |    AND ${OracleFragments.md5Bucket("doc_id")} < 950),
+           |live AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+           |    THEN text || ' extra tail' ELSE text END AS text
+           |  FROM documents
+           |  WHERE NOT (doc_id % 14 = 0 AND doc_id % 10 <> 0)),
+           |t0r AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+           |  FROM live),
+           |frr AS (SELECT doc_id,
+           |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+           |  FROM (SELECT doc_id, unnest(tk) AS f FROM t0r
+           |        UNION ALL
+           |        SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+           |        FROM (SELECT doc_id, tk,
+           |                unnest(generate_series(1, len(tk) - 1)) AS i
+           |              FROM t0r WHERE len(tk) >= 2))),
+           |t0t AS (SELECT d.doc_id, CASE WHEN length(trim(d.text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(d.text)), '\\s+') END AS tk
+           |  FROM documents d JOIN tgt USING (doc_id)),
+           |ftt AS (SELECT
+           |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+           |  FROM (SELECT doc_id, unnest(tk) AS f FROM t0t
+           |        UNION ALL
+           |        SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+           |        FROM (SELECT doc_id, tk,
+           |                unnest(generate_series(1, len(tk) - 1)) AS i
+           |              FROM t0t WHERE len(tk) >= 2))),
+           |ct AS (SELECT bucket, count(*) AS c_tgt FROM ftt GROUP BY 1),
+           |cr AS (SELECT bucket, count(*) AS c_raw FROM frr GROUP BY 1),
+           |cc AS (SELECT bucket, coalesce(c_tgt, 0) AS c_tgt,
+           |    coalesce(c_raw, 0) AS c_raw
+           |  FROM ct FULL JOIN cr USING (bucket)),
+           |tot AS (SELECT coalesce(sum(c_tgt), 0) + 4096 AS n_tgt,
+           |    coalesce(sum(c_raw), 0) + 4096 AS n_raw FROM cc),
+           |w AS (SELECT bucket, CAST(least(
+           |    ((CAST(c_tgt AS HUGEINT) + 1) * n_raw * 1000000)
+           |      // ((CAST(c_raw AS HUGEINT) + 1) * n_tgt),
+           |    1000000000) AS BIGINT) AS r_ppm
+           |  FROM cc CROSS JOIN tot),
+           |bt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
+           |t0b AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+           |  FROM bt),
+           |frb AS (SELECT doc_id,
+           |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+           |  FROM (SELECT doc_id, unnest(tk) AS f FROM t0b
+           |        UNION ALL
+           |        SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+           |        FROM (SELECT doc_id, tk,
+           |                unnest(generate_series(1, len(tk) - 1)) AS i
+           |              FROM t0b WHERE len(tk) >= 2))),
+           |sc AS (SELECT doc_id, count(*) AS n_feats,
+           |    CAST(sum(r_ppm) // count(*) AS BIGINT) AS dsir_ppm
+           |  FROM frb JOIN w USING (bucket) GROUP BY 1)
+           |SELECT doc_id, n_feats, dsir_ppm,
+           |  least(1000, dsir_ppm // 1000) AS keep_permille,
+           |  ${OracleFragments.md5Bucket("doc_id")} <
+           |    least(1000, dsir_ppm // 1000) AS kept
+           |FROM sc ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q216_drift_gate",
       (s, d) => {
         import s.implicits._

@@ -1568,6 +1568,75 @@ object CatalogPipeline {
            |WHERE k.rk <= 30 AND ${OracleFragments.epochCopyPredicate}
            |ORDER BY doc_id, copy_idx""".stripMargin)),
 
+    QueryDef("q226_lm_curate_audit",
+      // the q219 provenance audit with the per-source bigram-LM
+      // fluency stage folded into the gate (the CCNet/Gopher
+      // perplexity filter — the last classic LLM-curation stage, now
+      // composed end-to-end): bit 16 of the reasons bitmask flags a
+      // document whose q107-model fluency reads below 94% of its own
+      // source's mean clean score, and "why did doc X disappear?"
+      // answers "lm" exactly the way it answers "too short". The LM
+      // trains on the corpus's own q97-clean slice; dedup
+      // representatives compute over the shrunken survivor set, so a
+      // low-fluency doc can never anchor a dedup class
+      (s, d) => graft.operators.Curate.audit(
+          Tpch.table(s, d, "documents"), "doc_id", "text",
+          lmGate = Some(("source", 940000L)))
+        .select(col("doc_id"), col("reasons"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"), col("status"),
+          coalesce(col("split"), lit("dropped")).as("split"),
+          col("n_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+           |a0 AS (SELECT doc_id, text, n_tokens,
+           |    CAST(${OracleFragments.gateMaskSql} AS BIGINT) AS r97
+           |  FROM q),
+           |g0 AS (SELECT doc_id, text, n_tokens FROM a0 WHERE r97 = 0),
+           |${OracleFragments.lmCtes(940000L, "g0")},
+           |a AS (SELECT a0.doc_id, a0.text, a0.n_tokens,
+           |    a0.r97 + CASE WHEN lml.lm_low THEN 16 ELSE 0 END AS reasons
+           |  FROM a0 JOIN lml USING (doc_id)),
+           |reps AS (SELECT md5(text) AS h, min(doc_id) AS rep
+           |  FROM a WHERE reasons = 0 GROUP BY 1),
+           |j AS (SELECT a.doc_id, a.reasons, a.n_tokens, r.rep AS dup_of
+           |  FROM a LEFT JOIN reps r ON a.reasons = 0 AND md5(a.text) = r.h)
+           |SELECT doc_id, reasons, coalesce(dup_of, -1) AS dup_of,
+           |  CASE WHEN reasons <> 0 THEN 'gate'
+           |       WHEN dup_of <> doc_id THEN 'exact_dup'
+           |       ELSE 'kept' END AS status,
+           |  CASE WHEN reasons = 0 AND dup_of = doc_id
+           |    THEN ${OracleFragments.splitExpr("doc_id")}
+           |    ELSE 'dropped' END AS split,
+           |  n_tokens
+           |FROM j ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q227_lm_curate_mix",
+      // the q192 training-mix flagship with the LM fluency gate in the
+      // chain: raw corpus → q97 gate → per-source LM perplexity gate
+      // (q107's model trained on the clean slice, relPpm 940000) →
+      // exact dedup → train split → quota 30 → epoch mix. The oracle
+      // composes the LM-gated curate prefix with the UNCHANGED quota/
+      // epoch fragments — the same one-definition discipline as q192
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        val train = graft.operators.Curate(docs, "doc_id", "text",
+            lmGate = Some(("source", 940000L)))
+          .filter(col("split") === "train")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val capped = Sampling.quotaCap(train, Seq(col("source")),
+          col("doc_id"), quota = 30)
+        Sampling.epochMix(capped, col("source"), col("doc_id"),
+            Map("src0" -> 2.5, "src1" -> 0.4))
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("copy_idx"))
+          .orderBy("doc_id", "copy_idx")
+      },
+      Some(s"""WITH ${OracleFragments.lmCuratePrefix(940000L)},
+           |${OracleFragments.quotaRankCtes}
+           |SELECT k.doc_id, k.source, k.n_tokens, r2.range AS copy_idx
+           |FROM k, range(3) r2
+           |WHERE k.rk <= 30 AND ${OracleFragments.epochCopyPredicate}
+           |ORDER BY doc_id, copy_idx""".stripMargin)),
+
     QueryDef("q116_nn_graph",
       // near-neighbor GRAPH join (the SemDeDup inspection step): for
       // EVERY vector, its cosine ≥ 0.999 neighbors ranked and capped at

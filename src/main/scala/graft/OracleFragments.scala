@@ -67,6 +67,69 @@ private[graft] object OracleFragments {
   val curatePrefix: String =
     s"$tokenStatsCte,\n$gateCte,\n$exactDedupCte"
 
+  // --- per-source LM fluency gate (the q107 model as a curation
+  //     stage — q226/q227) ---------------------------------------------
+
+  /** The bigram-LM fluency CTE chain behind
+    * [[graft.operators.Curate.lmLowFlags]]: the LM trains on the
+    * clean slice named by `cleanCte` (a CTE with `doc_id`), every
+    * document scores against it, and `lml` flags docs reading below
+    * `relPpm` of their source's mean clean score. Expects `documents`;
+    * produces `t0a` (tokenized corpus), `lmc1`/`lmc2`/`lmv` (the
+    * model), `lmsc` (per-doc integer score), `lmsm` (per-source
+    * integer mean over the clean slice), `lml` (doc_id, lm_low).
+    * Mirrors q107's scoring CTEs with train = the clean slice and
+    * test = the whole corpus.
+    */
+  def lmCtes(relPpm: Long, cleanCte: String = "g"): String =
+    s"""t0a AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |lmc1 AS (SELECT w, count(*) AS c1 FROM (
+       |    SELECT unnest(tk) AS w FROM t0a JOIN $cleanCte USING (doc_id))
+       |  GROUP BY 1),
+       |lmc2 AS (SELECT w1, w2, count(*) AS c2 FROM (
+       |    SELECT tk[i] AS w1, tk[i+1] AS w2
+       |    FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+       |          FROM t0a JOIN $cleanCte USING (doc_id) WHERE len(tk) >= 2))
+       |  GROUP BY 1, 2),
+       |lmv AS (SELECT count(*) AS v FROM lmc1),
+       |lmb AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+       |        FROM t0a WHERE len(tk) >= 2)),
+       |lmsc AS (SELECT doc_id, CAST(sum(
+       |      ((coalesce(lmc2.c2, 0) + 1) * 1000000)
+       |        // greatest(coalesce(lmc1.c1, 0) + lmv.v, 1)
+       |    ) // count(*) AS BIGINT) AS score_ppm
+       |  FROM lmb LEFT JOIN lmc2 USING (w1, w2)
+       |    LEFT JOIN lmc1 ON lmb.w1 = lmc1.w CROSS JOIN lmv
+       |  GROUP BY 1),
+       |lmsm AS (SELECT d.source AS src,
+       |    CAST(sum(s.score_ppm) // count(*) AS BIGINT) AS mean_ppm
+       |  FROM lmsc s JOIN $cleanCte USING (doc_id)
+       |    JOIN documents d USING (doc_id)
+       |  GROUP BY 1),
+       |lml AS (SELECT d.doc_id,
+       |    coalesce(s.score_ppm * 1000000 < $relPpm * m.mean_ppm, FALSE) AS lm_low
+       |  FROM documents d LEFT JOIN lmsc s USING (doc_id)
+       |    LEFT JOIN lmsm m ON m.src = d.source)""".stripMargin
+
+  /** [[curatePrefix]] with the per-source LM fluency stage folded into
+    * the gate: `g0` is the q97-clean slice (the LM's training data),
+    * `g` shrinks to the LM survivors, and `r` (the exact-dedup reps)
+    * computes over the shrunken `g` — so every downstream fragment
+    * (quotaRankCtes, curatedSelect) composes over the LM-gated chain
+    * UNCHANGED, exactly as the Scala side's `Curate(lmGate = ...)`
+    * composes.
+    */
+  def lmCuratePrefix(relPpm: Long): String =
+    s"""$tokenStatsCte,
+       |${gateCte.replace("g AS ", "g0 AS ")},
+       |${lmCtes(relPpm, "g0")},
+       |g AS (SELECT g0.doc_id, g0.text, g0.n_tokens
+       |  FROM g0 JOIN lml USING (doc_id) WHERE NOT lm_low),
+       |$exactDedupCte""".stripMargin
+
   // --- deterministic split (q77's md5 bucketing) ---------------------
 
   /** The 0..999 md5 hash bucket of an id expression. */

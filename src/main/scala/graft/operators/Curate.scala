@@ -12,6 +12,52 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Per-source bigram-LM fluency gate — the CCNet/Gopher perplexity
+    * filter as a curation stage: a count-based bigram LM
+    * ([[TextAnalysis.bigramLmScore]] — add-one smoothing, exact
+    * integer ppm) trains on the corpus's own q97-gate-clean slice,
+    * every document scores against it, and a document flags `lm_low`
+    * when its fluency reads below `relPpm` (parts-per-million) of its
+    * own SOURCE's mean clean score. Per-source because fluency
+    * distributions differ by source — a code-heavy source scores
+    * lower than news against the same LM, so one absolute threshold
+    * would gut one source while passing another's gibberish; gating
+    * each document against its source's own clean mean normalizes
+    * that away with integer arithmetic both engines reproduce
+    * exactly (`score_ppm · 10⁶ < relPpm · mean_ppm`, all int64 —
+    * operands are ≤10⁶ so the products stay ≤10¹²).
+    *
+    * Documents with no score (under 2 tokens — gate fodder anyway)
+    * and sources with no clean documents flag `false` (the
+    * comparison's NULL coalesces): the LM gate only ever REMOVES
+    * docs it affirmatively scored as outliers.
+    *
+    * Scale shape: the LM is two token-keyed count tables
+    * (vocabulary-grain shuffles, q107's shape), the per-source means
+    * are a sources-row aggregate broadcast back; nothing corpus-sized
+    * moves and nothing is collected.
+    */
+  def lmLowFlags(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, relPpm: Long): DataFrame = {
+    require(relPpm >= 0, "relPpm must be >= 0")
+    val cleanIds = TextAnalysis.filterGate(docs, idCol, textCol)
+      .filter(col("keep")).select(idCol)
+    val clean = cleanIds.join(docs, Seq(idCol))
+    val scores = TextAnalysis.bigramLmScore(clean, docs, idCol, textCol)
+      .select(col(idCol), col("score_ppm"))
+    val srcMean = scores.join(cleanIds, Seq(idCol), "left_semi")
+      .join(docs.select(col(idCol), col(srcCol).cast("string").as("__src")),
+        Seq(idCol))
+      .groupBy("__src")
+      .agg(expr("sum(score_ppm) div count(1)").as("__mean"))
+    docs.select(col(idCol), col(srcCol).cast("string").as("__src"))
+      .join(scores, Seq(idCol), "left")
+      .join(broadcast(srcMean), Seq("__src"), "left")
+      .select(col(idCol),
+        coalesce(col("score_ppm") * lit(1000000L) < lit(relPpm) * col("__mean"),
+          lit(false)).as("lm_low"))
+  }
+
   /** `nearDupKeep`: an optional NEAR-duplicate keep-list — the first
     * column holds the ids a fuzzy/semantic dedup pass retained (e.g.
     * [[Similarity.semanticDedup]]'s `keep` rows, a SignatureIndex
@@ -19,14 +65,25 @@ object Curate {
     * representative step as a left-semi join (ids only — the list
     * never widens the rows), so the curated set composes gate → exact
     * dedup → near dedup → split, the chain a production pipeline runs.
+    *
+    * `lmGate`: an optional `(sourceColumn, relPpm)` routing the chain
+    * through [[lmLowFlags]] — the per-source LM fluency stage runs as
+    * part of the QUALITY GATE (before dedup, so a low-fluency doc
+    * can't become a dedup-class representative), exactly where a
+    * production perplexity filter sits.
     */
   def apply(docs: DataFrame, idCol: String, textCol: String,
       weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05),
       rest: String = "test",
-      nearDupKeep: Option[DataFrame] = None): DataFrame = {
-    val kept = TextAnalysis.filterGate(docs, idCol, textCol)
+      nearDupKeep: Option[DataFrame] = None,
+      lmGate: Option[(String, Long)] = None): DataFrame = {
+    val clean97 = TextAnalysis.filterGate(docs, idCol, textCol)
       .filter(col("keep")).select(idCol)
-      .join(docs, Seq(idCol))
+    val cleanIds = lmGate.fold(clean97) { case (srcCol, relPpm) =>
+      clean97.join(lmLowFlags(docs, idCol, textCol, srcCol, relPpm)
+        .filter(!col("lm_low")).select(idCol), Seq(idCol), "left_semi")
+    }
+    val kept = cleanIds.join(docs, Seq(idCol))
     val reps = kept.groupBy(md5(col(textCol)).as("__h"))
       .agg(min(idCol).as(idCol)).select(idCol)
     val exact = kept.join(reps, Seq(idCol))
@@ -59,9 +116,21 @@ object Curate {
   def audit(docs: DataFrame, idCol: String, textCol: String,
       weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05),
       rest: String = "test",
-      nearDupKeep: Option[DataFrame] = None): DataFrame = {
-    val stats = TextAnalysis.filterGate(docs, idCol, textCol)
+      nearDupKeep: Option[DataFrame] = None,
+      lmGate: Option[(String, Long)] = None): DataFrame = {
+    val stats97 = TextAnalysis.filterGate(docs, idCol, textCol)
       .select(col(idCol), col("reasons"), col("n_tokens"), col("keep"))
+    // the LM stage rides the bitmask: bit 16 = low per-source fluency
+    // (provenance — "why did doc X disappear?" answers "lm" the same
+    // way it answers "too short"), and keep folds it in so every
+    // downstream status/dedup step sees one gate verdict
+    val stats = lmGate.fold(stats97) { case (srcCol, relPpm) =>
+      stats97.join(lmLowFlags(docs, idCol, textCol, srcCol, relPpm), Seq(idCol))
+        .select(col(idCol),
+          (col("reasons") + when(col("lm_low"), 16L).otherwise(0L)).as("reasons"),
+          col("n_tokens"),
+          (col("keep") && !col("lm_low")).as("keep"))
+    }
     val gHash = stats.filter(col("keep")).select(idCol)
       .join(docs, Seq(idCol))
       .select(col(idCol), md5(col(textCol)).as("__h"))

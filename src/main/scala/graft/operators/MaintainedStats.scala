@@ -333,6 +333,76 @@ final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String
     gs.txn().createVertices(vertexLabel, rows).commit()
   }
 
+  /** SELECTION-AWARE batch scoring (the q225 ∘ q216 closed loop,
+    * r13 next-round #7): score an INCOMING batch against the
+    * commit-MAINTAINED raw-side DSIR model toward `target`, with no
+    * corpus rescan — the selection weights come from [[histogram]]'s
+    * ≤nBins maintained rows
+    * ([[TextAnalysis.dsirWeightsDenseFromCounts]], BigInt-exact and
+    * bit-identical to a from-scratch scan of the same live corpus),
+    * the batch scores row-locally
+    * ([[TextAnalysis.dsirScoreStateless]]), and the q221 keep gate
+    * realizes the per-doc verdict: `kept` iff the doc's deterministic
+    * md5 bucket falls under `min(1000, dsir_ppm div 1000)`. Feature-
+    * hash mode only. Docs with zero features drop from the output
+    * (they cannot be scored — [[dsirKeptPpm]] counts them NOT kept).
+    */
+  def dsirBatchScores(batch: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String): DataFrame = {
+    require(featureHash, "selection-aware scoring needs a feature-hash index")
+    require(groupCol.isEmpty, "selection-aware scoring runs on the aggregate index")
+    val counts = histogram().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val w = TextAnalysis.dsirWeightsDenseFromCounts(
+      counts, target, targetTextCol, nBins)
+    TextAnalysis.dsirScoreStateless(batch, idCol, textCol, w)
+      .withColumn("keep_permille",
+        least(lit(1000L), expr("dsir_ppm div 1000")))
+      .withColumn("kept",
+        Sampling.hashBucket(col(idCol), 1000) < col("keep_permille"))
+  }
+
+  /** The admission quantity of the selection gate: what fraction (ppm)
+    * of `batch` would DSIR selection keep, under the maintained model?
+    * Featureless docs count against the batch (selection can never
+    * keep what it cannot score); an empty batch keeps vacuously
+    * (10⁶ ppm — there is nothing to refuse).
+    */
+  def dsirKeptPpm(batch: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String): Long = {
+    val n = batch.count()
+    if (n == 0L) return 1000000L
+    val kept = dsirBatchScores(batch, idCol, textCol, target, targetTextCol)
+      .filter(col("kept")).count()
+    kept * 1000000L / n
+  }
+
+  /** SELECTION-GATED ingest — the full closed loop (ingest → gate →
+    * maintained model → selection): refuse the commit, with the
+    * store's ConflictException (REST's 409), when the maintained DSIR
+    * model says selection toward `target` would keep less than
+    * `minKeptPpm` of the batch — data that selection would immediately
+    * throw away is refused at the door, naming the number, and a
+    * refusal commits NOTHING. Serialized under the maintenance
+    * monitor like [[gatedCreate]], so the model the verdict used
+    * cannot be concurrently rewritten by another gated writer; an
+    * ADMITTED commit then refreshes the maintained model in-commit,
+    * so the next verdict already sees this batch's feature mass —
+    * that is what closes the loop.
+    */
+  def selectionGatedCreate(vertexLabel: String, rows: DataFrame,
+      idCol: String, textCol: String, target: DataFrame,
+      targetTextCol: String, minKeptPpm: Long): Long = maintLock.synchronized {
+    require(minKeptPpm >= 0 && minKeptPpm <= 1000000L,
+      s"minKeptPpm must be in [0, 1e6], got $minKeptPpm")
+    val ppm = dsirKeptPpm(rows, idCol, textCol, target, targetTextCol)
+    if (ppm < minKeptPpm)
+      throw new gs.store.ConflictException(
+        s"selection gate: the maintained DSIR model keeps only $ppm ppm of " +
+          s"this batch (< $minKeptPpm) toward the target — refused")
+    gs.txn().createVertices(vertexLabel, rows).commit()
+  }
+
   /** Drift summary ([[Drift.summarize]]: psi/js/tvd ppm) of the CURRENT
     * corpus against a pinned reference snapshot — O(nBins × groups)
     * input rows, no corpus scan. Stratified indexes return one row per

@@ -55,9 +55,49 @@ class CorpusFuzzSpec extends SparkSpec {
   /** Curate model: gate → min-id rep per exact text → optional near-dup
     * keep-list → (id, split, n_tokens).
     */
+  /** The q226 per-source LM fluency flag: bigram LM trained on the
+    * gate-clean slice (add-one smoothing, integer ppm — the q107
+    * model), per-source integer mean over the clean scores, flag when
+    * score·10⁶ < relPpm·mean. Mirrors [[Curate.lmLowFlags]].
+    */
+  private def lmLowModel(docs: Seq[(Long, String, String)],
+      relPpm: Long): Map[Long, Boolean] = {
+    val clean = docs.filter(d => gateReasons(d._2) == 0L)
+    def lowToks(t: String): Seq[String] = toks(t.toLowerCase)
+    val c1 = clean.flatMap(d => lowToks(d._2)).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val c2 = clean.flatMap(d => lowToks(d._2).sliding(2).filter(_.size == 2)
+        .map(_.toList)).toSeq
+      .groupBy(identity).map { case (b, bs) => b -> bs.size.toLong }
+    val v = c1.size.toLong
+    def score(t: String): Option[Long] = {
+      val tk = lowToks(t)
+      if (tk.size < 2) None
+      else {
+        val ps = tk.sliding(2).filter(_.size == 2).map { bg =>
+          ((c2.getOrElse(bg.toList, 0L) + 1) * 1000000L) /
+            math.max(c1.getOrElse(bg.head, 0L) + v, 1L)
+        }.toSeq
+        Some(ps.sum / ps.size)
+      }
+    }
+    val meanBySrc: Map[String, Long] = clean.groupBy(_._3).flatMap {
+      case (src, ds) =>
+        val ss = ds.flatMap(d => score(d._2))
+        if (ss.isEmpty) None else Some(src -> ss.sum / ss.size)
+    }
+    docs.map { case (id, t, src) =>
+      id -> ((score(t), meanBySrc.get(src)) match {
+        case (Some(s), Some(m)) => s * 1000000L < relPpm * m
+        case _ => false
+      })
+    }.toMap
+  }
+
   private def curateModel(docs: Seq[(Long, String)],
-      nearKeep: Option[Set[Long]]): Set[(Long, String, Long)] = {
-    val kept = docs.filter { case (_, t) => gateReasons(t) == 0L }
+      nearKeep: Option[Set[Long]],
+      lmLow: Long => Boolean = _ => false): Set[(Long, String, Long)] = {
+    val kept = docs.filter { case (id, t) => gateReasons(t) == 0L && !lmLow(id) }
     val reps = kept.groupBy(d => md5Hex(d._2)).values.map(_.map(_._1).min).toSet
     kept.filter(d => reps(d._1))
       .filter(d => nearKeep.forall(_.contains(d._1)))
@@ -68,11 +108,12 @@ class CorpusFuzzSpec extends SparkSpec {
     * split (null-coalesced the way q219 renders them).
     */
   private def auditModel(docs: Seq[(Long, String)],
-      nearKeep: Option[Set[Long]]): Set[(Long, Long, Long, String, String, Long)] = {
-    val byHash = docs.filter(d => gateReasons(d._2) == 0L)
+      nearKeep: Option[Set[Long]],
+      lmLow: Long => Boolean = _ => false): Set[(Long, Long, Long, String, String, Long)] = {
+    val byHash = docs.filter(d => gateReasons(d._2) == 0L && !lmLow(d._1))
       .groupBy(d => md5Hex(d._2)).map { case (h, ds) => h -> ds.map(_._1).min }
     docs.map { case (id, t) =>
-      val reasons = gateReasons(t)
+      val reasons = gateReasons(t) + (if (lmLow(id)) 16L else 0L)
       val dupOf = if (reasons == 0L) byHash.get(md5Hex(t)) else None
       val status =
         if (reasons != 0L) "gate"
@@ -217,6 +258,29 @@ class CorpusFuzzSpec extends SparkSpec {
           r.getString(3), r.getString(4), r.getLong(5))).toSet
       assert(audit === auditModel(corpus.map(c => (c._1, c._2)), nearKeep),
         s"audit mismatch in program $p")
+
+      // 2b) the per-source LM fluency stage (q226/q227): flags, the
+      // lm-gated curate, and the audit's bit-16 provenance, all vs the
+      // driver LM model — relPpm sweeps from never-flags to most-flags
+      val relPpm = Seq(0L, 500000L, 940000L, 1000000L, 1200000L)(rnd.nextInt(5))
+      val lmLow = lmLowModel(corpus, relPpm)
+      val lmFlags = Curate.lmLowFlags(sourced, "doc_id", "text", "source", relPpm)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(lmFlags === lmLow, s"lmLowFlags mismatch in program $p (rel $relPpm)")
+      val lmCurated = Curate(sourced, "doc_id", "text",
+          lmGate = Some(("source", relPpm)))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(lmCurated === curateModel(corpus.map(c => (c._1, c._2)), None, lmLow),
+        s"lm-gated Curate mismatch in program $p (rel $relPpm)")
+      val lmAudit = Curate.audit(sourced, "doc_id", "text",
+          lmGate = Some(("source", relPpm)))
+        .select(col("doc_id"), col("reasons"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"), col("status"),
+          coalesce(col("split"), lit("dropped")).as("split"), col("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getLong(5))).toSet
+      assert(lmAudit === auditModel(corpus.map(c => (c._1, c._2)), None, lmLow),
+        s"lm-gated audit mismatch in program $p (rel $relPpm)")
 
       // 3) quotaCap by source
       val quota = 1 + rnd.nextInt(5)

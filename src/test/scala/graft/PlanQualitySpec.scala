@@ -62,7 +62,11 @@ class PlanQualitySpec extends SparkSpec {
       "q178_class_weights", "q179_hot_keys",
       // q183 assembles THREE 1-row audit counts into one row — the
       // same deliberate scalar-broadcast shape
-      "q183_edge_integrity")
+      "q183_edge_integrity",
+      // q226/q227 embed q107's bigram LM (the per-source fluency
+      // gate), inheriting its deliberate 1-row vocabulary-size (V)
+      // scalar broadcast
+      "q226_lm_curate_audit", "q227_lm_curate_mix")
     // NOTE the drift family (q203–q207, q213–q215) carries NO entries:
     // since round 13 every drift join — bin edges, totals — is a
     // broadcast HASH join on the (possibly constant) group key, so the

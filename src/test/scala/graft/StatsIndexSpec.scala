@@ -424,4 +424,53 @@ class StatsIndexSpec extends SparkSpec {
     val self = idx.driftVsSnapshot("now").head
     assert((self.getLong(2), self.getLong(3), self.getLong(4)) == ((0L, 0L, 0L)))
   }
+
+  test("selection-gated ingest (q228, r13 #7): the maintained DSIR model " +
+      "refuses a batch selection would discard (409-shaped, atomic), admits " +
+      "a target-like batch, and the admitted mass immediately lowers the " +
+      "next verdict — the closed loop") {
+    val dir = tmp("selgate")
+    val gs = new GraphStore(spark,
+      GraphSchema.builder().vertex("doc", "id", Seq("text")).build(), dir)
+    val idx = new MaintainedStatsIndex(gs, "v_doc", "text", 0.0, 1.0, 512, dir,
+      featureHash = true)
+    idx.rebuild(); idx.bind()
+    // the standing corpus is junk-dominated; the curated target is prose:
+    // junk features are common-in-raw / absent-in-target (low DSIR
+    // ratio), prose features the opposite (clamped-high ratio)
+    val junk = "junk spam noise blather drivel filler churn sludge"
+    val prose = "good clean prose reads well and trains the model better"
+    gs.txn().createVertices("doc",
+      (0L until 40L).map(i => (i, junk)).toDF("id", "text")).commit()
+    val target = (0L until 3L).map(i => (i, prose)).toDF("doc_id", "text")
+    val bad = (100L until 120L).map(i => (i, junk)).toDF("id", "text")
+    val good = (200L until 220L).map(i => (i, prose)).toDF("id", "text")
+    val before = gs.store.read("v_doc").count()
+    val badPpm = idx.dsirKeptPpm(bad, "id", "text", target, "text")
+    assert(badPpm < 200000L, s"junk batch must score unkeepable: $badPpm")
+    val e = intercept[RuntimeException](idx.selectionGatedCreate(
+      "doc", bad, "id", "text", target, "text", minKeptPpm = 500000L))
+    assert(e.getClass.getSimpleName == "ConflictException" &&
+      e.getMessage.contains("selection gate"), e.getMessage)
+    assert(gs.store.read("v_doc").count() == before,
+      "a refused batch must commit NOTHING")
+    // target-like batch: every doc clamps to keep_permille 1000 → kept
+    val goodBefore = idx.dsirBatchScores(good, "id", "text", target, "text")
+    assert(goodBefore.filter(!col("kept")).count() == 0)
+    val scoreBefore = goodBefore.agg(expr("sum(dsir_ppm) div count(1)"))
+      .head.getLong(0)
+    idx.selectionGatedCreate("doc", good, "id", "text", target, "text",
+      minKeptPpm = 500000L)
+    assert(gs.store.read("v_doc").count() == before + 20)
+    // the loop closes: the admitted commit refreshed the maintained
+    // model in-commit, so the same shape is less "rare in raw" and the
+    // next verdict's scores drop — no corpus rescan anywhere
+    val scoreAfter = idx.dsirBatchScores(good, "id", "text", target, "text")
+      .agg(expr("sum(dsir_ppm) div count(1)")).head.getLong(0)
+    assert(scoreAfter < scoreBefore,
+      s"admitted mass must lower the next verdict: $scoreBefore -> $scoreAfter")
+    // an empty batch admits vacuously (nothing to refuse)
+    assert(idx.dsirKeptPpm(good.limit(0), "id", "text", target, "text")
+      == 1000000L)
+  }
 }
