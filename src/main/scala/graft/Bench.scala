@@ -49,7 +49,9 @@ object Bench {
     "q192_curate_mix",      // curate -> quota -> epoch-mix flagship (round 9)
     "q193_mix_pack",        // mixed stream packed into sequences (round 9)
     "q203_drift_psi",       // snapshot drift gate, two-pass histogram (round 12)
-    "q221_dsir_select")     // DSIR importance selection, hashed-ngram model (round 13)
+    "q221_dsir_select",     // DSIR importance selection, hashed-ngram model (round 13)
+    "q227_lm_curate_mix",   // mix flagship + per-source LM fluency gate (round 14)
+    "q228_dsir_admission")  // selection-aware admission vs the maintained model (round 14)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

@@ -89,7 +89,9 @@ object ScaleCheck {
     "q207_stream_drift",        // online drift: scan ×N, state fixed at nBins rows
     "q210_eval_gate",           // classifier train+score+eval: 18 scans ×N, d+2 longs/round to driver
     "q221_dsir_select",         // DSIR selection: 2 feature scans ×N, model fixed at nBuckets rows
-    "q224_decontaminated_mix")  // curate -> decon -> quota -> mix: eval-gram broadcast ×N
+    "q224_decontaminated_mix",  // curate -> decon -> quota -> mix: eval-gram broadcast ×N
+    "q227_lm_curate_mix",       // LM-gated mix: vocab-grain LM joins + source-row means ×N
+    "q228_dsir_admission")      // batch scoring vs maintained model: nBuckets weights, batch scan ×N
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)

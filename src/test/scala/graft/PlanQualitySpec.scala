@@ -188,7 +188,15 @@ class PlanQualitySpec extends SparkSpec {
       "q192_curate_mix" -> 4, // AQE flips a borderline join 3<->4
       "q193_mix_pack" -> 8,
       "q203_drift_psi" -> 2,
-      "q221_dsir_select" -> 2)
+      "q221_dsir_select" -> 2,
+      // the LM stage is the q107 shape (two vocabulary-grain count
+      // aggregations + their scoring joins + the per-source mean) on
+      // top of q192's gate/dedup/quota/mix chain — all key-correct,
+      // vocabulary- or source-grain shuffles
+      // harvested 16; ceiling 18 because AQE flips 1-2 borderline
+      // joins run-to-run in this 16-exchange chain (observed once)
+      "q227_lm_curate_mix" -> 18,
+      "q228_dsir_admission" -> 1)
     // the pin set must track the headline set — a new headline query
     // without a recorded ceiling fails here, not silently unpinned
     assert(ceilings.keySet == Bench.headline.toSet,
