@@ -91,10 +91,19 @@ object Bench {
         val entry =
           """"([^"]+)"\s*:\s*\{"floor":[0-9.]+,"window":\[((?:\[\d+,[0-9.]+\],?)*)\]\}""".r
         val reading = """\[(\d+),([0-9.]+)\]""".r
-        entry.findAllMatchIn(txt).map { m =>
+        val parsed = entry.findAllMatchIn(txt).map { m =>
           m.group(1) -> reading.findAllMatchIn(m.group(2))
             .map(r => r.group(1).toLong -> r.group(2).toDouble).toSeq
         }.toMap
+        // Fail loudly on shape drift: a hand-edited or locale-mangled
+        // entry that the strict regex skips would otherwise silently
+        // erase that query's floor history on the next writeLedger.
+        val declared = "\"floor\"".r.findAllMatchIn(txt).size
+        if (declared != parsed.size)
+          System.err.println(s"[bench] floors.json: $declared entries declared, " +
+            s"${parsed.size} parsed — ${declared - parsed.size} malformed entr" +
+            "ies SKIPPED (their floor history will be lost on next write)")
+        parsed
       } else
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> Seq(0L -> m.group(2).toDouble)).toMap
@@ -113,11 +122,19 @@ object Bench {
     * always recomputed from the window on read, so the two cannot
     * disagree.
     */
+  /** Locale-pinned 3-decimal format: the default-locale `f"%.3f"`
+    * interpolator writes comma decimals on comma-locale JVMs, which
+    * [[readLedger]]'s regexes then silently drop — floors lost with
+    * no error. Locale.ROOT makes the ledger byte-identical everywhere.
+    */
+  private def num3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def writeLedger(ledger: Map[String, Seq[(Long, Double)]],
       path: java.nio.file.Path): Unit = {
     val body = ledger.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map { case (k, w) =>
-      val window = w.map { case (ts, v) => f"[$ts,$v%.3f]" }.mkString(",")
-      "\"" + k + f"""":{"floor":${w.map(_._2).min}%.3f,"window":[$window]}"""
+      val window = w.map { case (ts, v) => s"[$ts,${num3(v)}]" }.mkString(",")
+      "\"" + k + s"""":{"floor":${num3(w.map(_._2).min)},"window":[$window]}"""
     }.mkString("{\n", ",\n", "\n}")
     java.nio.file.Files.write(path,
       (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -39,7 +39,12 @@ object Curate {
     */
   def lmLowFlags(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, relPpm: Long): DataFrame = {
-    require(relPpm >= 0, "relPpm must be >= 0")
+    // relPpm is parts-per-million of the source mean: the documented
+    // int64-exact domain is [0, 10⁶] (both products then stay ≤10¹²).
+    // A caller value above ~9.2e12 would overflow relPpm·mean and
+    // silently INVERT the verdict — reject outside the domain instead.
+    require(relPpm >= 0 && relPpm <= 1000000L,
+      s"relPpm must be in [0, 1000000] (ppm of the source mean), got $relPpm")
     val cleanIds = TextAnalysis.filterGate(docs, idCol, textCol)
       .filter(col("keep")).select(idCol)
     val clean = cleanIds.join(docs, Seq(idCol))

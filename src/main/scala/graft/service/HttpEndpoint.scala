@@ -127,6 +127,7 @@ final class HttpEndpoint(
       case e: IllegalArgumentException => reply(ex, 400, err(e.getMessage))
       case e: RuntimeException if e.getClass.getSimpleName == "ConflictException" =>
         reply(ex, 409, err(e.getMessage))
+      case _: HttpEndpoint.MidStreamFailure => () // 200 already committed; in-band marker sent
       case e: Throwable => reply(ex, 500, err(e.getMessage))
     } finally ex.close()
 
@@ -619,18 +620,12 @@ final class HttpEndpoint(
       if (stream) {
         ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
         ex.sendResponseHeaders(200, 0)
-        val os = ex.getResponseBody
-        lines.foreach { line =>
-          os.write(line.getBytes(StandardCharsets.UTF_8)); os.write('\n')
-        }
-        os.close()
+        HttpEndpoint.drainNdjson(ex.getResponseBody, lines)
       } else reply(ex, 200, lines.mkString("[", ",", "]"))
     } finally lines.close()
   }
 
-  private def err(msg: String): String =
-    "{\"error\": \"" + Option(msg).getOrElse("unknown").replace("\\", "\\\\")
-      .replace("\"", "\\\"").replace("\n", " ") + "\"}"
+  private def err(msg: String): String = HttpEndpoint.err(msg)
 
   private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -638,5 +633,47 @@ final class HttpEndpoint(
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.getResponseBody.close()
+  }
+}
+
+object HttpEndpoint {
+  /** A drain failure AFTER `sendResponseHeaders(200, 0)` — the status
+    * line is already on the wire, so the 4xx/5xx tier cannot speak.
+    * [[HttpEndpoint.handle]] swallows it (the in-band marker written by
+    * [[drainNdjson]] is the client-visible signal) instead of
+    * attempting a second status line on a committed exchange.
+    */
+  private[graft] final class MidStreamFailure(cause: Throwable)
+      extends RuntimeException(cause)
+
+  private[graft] def err(msg: String): String =
+    "{\"error\": \"" + Option(msg).getOrElse("unknown").replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", " ") + "\"}"
+
+  /** Stream ndjson lines to `os`, one `line\n` per row. The buffer is
+    * materialized into persisted blocks BEFORE the 200 header goes out
+    * (NdjsonDrain's constructor), so a mid-stream failure is rare —
+    * a persisted block evicted AND its store files compacted away, or
+    * executor loss — but when it happens the client has already seen
+    * `HTTP 200`. The truncation contract: on failure the drain writes
+    * one in-band `{"error": ...}` object with NO trailing newline and
+    * aborts. A complete response is complete JSON lines each ending in
+    * `\n`; a final line that is an error object, or any line missing
+    * its terminator, means truncation — clients can distinguish the
+    * two without trusting chunked-encoding framing.
+    */
+  private[graft] def drainNdjson(os: java.io.OutputStream,
+      lines: Iterator[String]): Unit = {
+    try {
+      lines.foreach { line =>
+        os.write(line.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+      }
+      os.close()
+    } catch {
+      case t: Throwable =>
+        try os.write(err(t.getMessage).getBytes(StandardCharsets.UTF_8))
+        catch { case _: java.io.IOException => () } // socket already gone
+        throw new MidStreamFailure(t)
+    }
   }
 }

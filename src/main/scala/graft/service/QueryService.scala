@@ -62,7 +62,13 @@ object QueryService {
       extends Iterator[String] with AutoCloseable {
     private val blocks = df.toJSON.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    blocks.count() // materialize now, inside the request's grace window
+    // Materialize now, inside the request's grace window. If the job
+    // itself fails (bad expression, store race) the constructor throws
+    // before any caller holds a handle to close() — unpersist the
+    // partial blocks HERE or repeated failing requests would leak
+    // persisted storage in the service tier.
+    try blocks.count()
+    catch { case t: Throwable => blocks.unpersist(blocking = false); throw t }
     private val it = blocks.toLocalIterator
     @volatile private var closed = false
     override def hasNext: Boolean = {

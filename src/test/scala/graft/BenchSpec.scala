@@ -222,4 +222,42 @@ class BenchSpec extends AnyFunSuite {
         s"only-in-file=${fromFile.keySet -- rows.keySet} " +
         s"diffs=${rows.collect { case (k, v) if fromFile.get(k).exists(_ != v) => k }}")
   }
+
+  test("writeLedger is locale-pinned: a comma-decimal default locale still " +
+      "writes dot decimals, so the ledger round-trips (r14 advice #3)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "benchspec-loc")
+    val floors = dir.resolve("floors.json")
+    val ledger = Map("q1" -> Seq(10L -> 1234.178, 20L -> 0.251))
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE) // 0,178 locale
+      Bench.writeLedger(ledger, floors)
+    } finally java.util.Locale.setDefault(saved)
+    val txt = new String(Files.readAllBytes(floors), "UTF-8")
+    assert(txt.contains("1234.178") && txt.contains("0.251"),
+      s"dot decimals must survive a comma locale: $txt")
+    assert(Bench.readLedger(floors) ==
+      Map("q1" -> Seq(10L -> 1234.178, 20L -> 0.251)),
+      "the comma-locale write must round-trip losslessly")
+  }
+
+  test("readLedger warns LOUDLY when a malformed entry is skipped instead of " +
+      "silently erasing its floor history (r14 advice #3)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "benchspec-mal")
+    val floors = dir.resolve("floors.json")
+    // q_bad hand-edited with whitespace the strict regex rejects
+    Files.write(floors,
+      ("""{"q_ok":{"floor":0.100,"window":[[1,0.100]]},""" + "\n" +
+       """"q_bad": {"floor": 0.2, "window": [[2, 0.200]]}}""").getBytes("UTF-8"))
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val savedErr = System.err
+    val ledger = try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      Bench.readLedger(floors)
+    } finally System.setErr(savedErr)
+    assert(ledger == Map("q_ok" -> Seq(1L -> 0.100)))
+    val warned = errBuf.toString("UTF-8")
+    assert(warned.contains("malformed") && warned.contains("SKIPPED"),
+      s"skipping must be loud, stderr was: '$warned'")
+  }
 }

@@ -547,4 +547,20 @@ class CorpusOpsSpec extends SparkSpec {
       (4L, 0L, 0L, None, 0L, false),
       (5L, 0L, 0L, None, 0L, false)))
   }
+
+  test("lmLowFlags rejects relPpm outside [0, 10^6]: beyond the documented " +
+      "ppm domain the int64 gate product would overflow and silently invert " +
+      "the verdict (r14 advice #4)") {
+    import graft.operators.Curate
+    val docs = Seq((1L, "the quick brown fox", "a")).toDF("doc_id", "text", "src")
+    intercept[IllegalArgumentException](
+      Curate.lmLowFlags(docs, "doc_id", "text", "src", -1L))
+    intercept[IllegalArgumentException](
+      Curate.lmLowFlags(docs, "doc_id", "text", "src", 1000001L))
+    intercept[IllegalArgumentException](
+      Curate.lmLowFlags(docs, "doc_id", "text", "src", 9300000000000L))
+    // the boundary itself (100% of the source mean) is in-domain
+    assert(Curate.lmLowFlags(docs, "doc_id", "text", "src", 1000000L)
+      .columns.toSeq == Seq("doc_id", "lm_low"))
+  }
 }

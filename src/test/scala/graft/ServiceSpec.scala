@@ -1420,4 +1420,57 @@ class ServiceSpec extends SparkSpec {
         "a 409-refused REST batch must commit nothing")
     } finally ep.stop()
   }
+
+  test("NdjsonDrain whose materialization job FAILS unpersists its partial " +
+      "buffer blocks before rethrowing — repeated failing requests must not " +
+      "leak persisted storage (r14 advice #1)") {
+    import spark.implicits._
+    val boom = org.apache.spark.sql.functions.udf((i: Long) =>
+      if (i > 5) throw new RuntimeException("injected materialization failure")
+      else i)
+    val df = (0L until 32L).toDF("i").repartition(4)
+      .select(boom(org.apache.spark.sql.functions.col("i")).as("j"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // three consecutive failing requests: each must clean up after itself
+    (1 to 3).foreach { _ =>
+      intercept[Exception](new QueryService.NdjsonDrain(df))
+    }
+    val deadline = System.nanoTime() + 10e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty,
+      s"failed-constructor drains must unpersist their blocks, leaked: $leaked")
+  }
+
+  test("drainNdjson truncation contract: a mid-stream failure writes ONE " +
+      "in-band error object with NO trailing newline and aborts with " +
+      "MidStreamFailure; a clean drain ends every line with \\n (r14 advice #2)") {
+    import graft.service.HttpEndpoint
+    // clean drain: N lines, each terminated — completion is machine-checkable
+    val ok = new java.io.ByteArrayOutputStream()
+    HttpEndpoint.drainNdjson(ok, Iterator("{\"a\":1}", "{\"a\":2}"))
+    val okTxt = ok.toString("UTF-8")
+    assert(okTxt == "{\"a\":1}\n{\"a\":2}\n")
+    // failing drain: two good lines land, then the in-band marker with no
+    // terminator — a client sees an unterminated {"error": ...} final line
+    // and KNOWS the stream was truncated rather than complete
+    val bad = new java.io.ByteArrayOutputStream()
+    val lines: Iterator[String] = new Iterator[String] {
+      private var n = 0
+      def hasNext = true
+      def next(): String = {
+        n += 1
+        if (n > 2) throw new RuntimeException("evicted block recompute failed")
+        s"""{"a":$n}"""
+      }
+    }
+    val thrown = intercept[HttpEndpoint.MidStreamFailure](
+      HttpEndpoint.drainNdjson(bad, lines))
+    assert(thrown.getCause.getMessage.contains("evicted block"))
+    val badTxt = bad.toString("UTF-8")
+    assert(badTxt.startsWith("{\"a\":1}\n{\"a\":2}\n"), badTxt)
+    val last = badTxt.linesIterator.toSeq.last
+    assert(last.contains("\"error\"") && !badTxt.endsWith("\n"),
+      s"truncation must be in-band and unterminated, got: $badTxt")
+  }
 }
