@@ -117,11 +117,6 @@ object Bench {
       java.nio.file.Paths.get("floors.json")): Map[String, Double] =
     readLedger(path).collect { case (k, w) if w.nonEmpty => k -> w.map(_._2).min }
 
-  /** Serialize the ledger: one entry per line (git-diff-friendly),
-    * each carrying its derived floor for human readers — the floor is
-    * always recomputed from the window on read, so the two cannot
-    * disagree.
-    */
   /** Locale-pinned 3-decimal format: the default-locale `f"%.3f"`
     * interpolator writes comma decimals on comma-locale JVMs, which
     * [[readLedger]]'s regexes then silently drop — floors lost with
@@ -130,6 +125,11 @@ object Bench {
   private def num3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Serialize the ledger: one entry per line (git-diff-friendly),
+    * each carrying its derived floor for human readers — the floor is
+    * always recomputed from the window on read, so the two cannot
+    * disagree.
+    */
   def writeLedger(ledger: Map[String, Seq[(Long, Double)]],
       path: java.nio.file.Path): Unit = {
     val body = ledger.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map { case (k, w) =>
@@ -171,7 +171,16 @@ object Bench {
       probeAfter: Double,
       path: java.nio.file.Path = java.nio.file.Paths.get("floors.json"),
       notes: java.nio.file.Path = java.nio.file.Paths.get("BENCHNOTES.md"),
-      nowMillis: Long = System.currentTimeMillis()): Unit = {
+      nowMillis: Long = System.currentTimeMillis(),
+      /** Readings that carry their OWN quiet certification — each was
+        * bracketed by its own at-floor probes during requalification —
+        * so they enter the window even when the sweep's run-level
+        * probes were hot. Without this, a contended sweep contributes
+        * nothing and stale windows never age on a busy machine (the
+        * r13–r15 invalidation loop: floors from one exceptionally
+        * quiet epoch judging every honest reading of a noisier one).
+        */
+      certified: Seq[(String, Double)] = Nil): Unit = {
     val old = readLedger(path)
     def floorOf(w: Seq[(Long, Double)]): Double = w.map(_._2).min
     def append(w: Seq[(Long, Double)], v: Double): Seq[(Long, Double)] =
@@ -194,11 +203,16 @@ object Bench {
     val quiet = probeWindow.nonEmpty &&
       math.max(probeBefore, probeAfter) <= floorOf(probeWindow) * 1.1
     val base = if (probeWindow.nonEmpty) old + ("__probe" -> probeWindow) else old
+    // one appended reading per query per run: the sweep reading when
+    // the RUN was quiet, a certified requalification reading always,
+    // the min when both exist
+    val eligible: Map[String, Double] =
+      ((if (quiet) results else Nil) ++ certified)
+        .filter(_._2 > 0).groupBy(_._1)
+        .map { case (n, ts) => n -> ts.map(_._2).min }
     val merged: Map[String, Seq[(Long, Double)]] =
-      if (!quiet) base
-      else results.foldLeft(base) {
-        case (acc, (n, t)) if t > 0 => acc + (n -> append(acc.getOrElse(n, Nil), t))
-        case (acc, _) => acc
+      eligible.foldLeft(base) {
+        case (acc, (n, t)) => acc + (n -> append(acc.getOrElse(n, Nil), t))
       }
     writeLedger(merged, path)
     syncFloorsTable(merged.collect { case (k, w) if w.nonEmpty => k -> floorOf(w) },
@@ -221,9 +235,9 @@ object Bench {
     val head = txt.substring(0, b)
     val tailPart = txt.substring(e + end.length)
     val table = floors.toSeq.filter(_._1 != "__probe").sortBy(_._1)
-      .map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")
+      .map { case (k, v) => s"| $k | ${num3(v)} |" }.mkString("\n")
     val probeLine = floors.get("__probe")
-      .map(p => f"\n(probe floor: $p%.3f s)\n").getOrElse("\n")
+      .map(p => s"\n(probe floor: ${num3(p)} s)\n").getOrElse("\n")
     val block = begin + " (generated by graft.Bench.updateFloors from " +
       "floors.json — do not hand-edit) -->\n" +
       "| query | quiet floor (s) |\n|---|---|\n" + table + "\n" + probeLine + end
@@ -286,15 +300,57 @@ object Bench {
       }
     }
     val requalReasons = requalified.flatMap { case (name, r) =>
-      val reading = if (r > 0) r else sweepBest.getOrElse(name, -1.0)
+      // adjudicate on the BEST honest reading of the run: a regression
+      // cannot produce a fast reading, so a sweep best that clears the
+      // gate clears the query even when the (best-of-2, late-JVM,
+      // GC-pressured) requalification reads worse — observed live in
+      // round 15: q137 swept 0.175 (under gate) then requalified 0.510
+      val sweep = sweepBest.getOrElse(name, -1.0)
+      val reading = Seq(r, sweep).filter(_ > 0) match {
+        case Nil => -1.0
+        case rs => rs.min
+      }
       floors.get(name).collect {
         case f if reading > 0 && reading >= 2.0 * f =>
-          val tag = if (r > 0) "requalified" else "requalify failed; sweep"
+          val tag =
+            if (r > 0) f"min(sweep $sweep%.3f, requal $r%.3f)"
+            else "requalify failed; sweep"
           f"$name $tag $reading%.3f >= 2x floor $f%.3f"
       }
     }
     val reasons = probeReasons ++ requalReasons
     (reasons.isEmpty, reasons)
+  }
+
+  /** Wait (bounded) for a QUIET measurement window: re-run the probe
+    * until it reads within `tol`× of the quiet probe floor, sleeping
+    * between attempts, giving up when the budget would be exceeded.
+    * Rounds 13 and 14 both recorded contention-invalidated sweeps
+    * (probes 1.8–2.5× floor, co-tenant load decaying over minutes):
+    * the verdict tier correctly refused to trust them, but refusing is
+    * strictly worse than waiting out a transient spike and measuring
+    * clean. Returns `(lastProbe, waitedSec, attempts)` — the caller
+    * records the wait in the calibration block so a waited-out run is
+    * distinguishable from an immediately-quiet one. With no probe
+    * floor on record (first run on a machine) the first probe is
+    * accepted: there is nothing to judge quietness against.
+    */
+  def awaitQuiet(probeFn: () => Double, probeFloor: Option[Double],
+      budgetSec: Int, tol: Double = 1.15,
+      sleepMs: Long = 15000L): (Double, Int, Int) = {
+    val t0 = System.nanoTime()
+    def elapsedSec = ((System.nanoTime() - t0) / 1e9).toInt
+    var probe = probeFn()
+    var attempts = 1
+    probeFloor.foreach { pf =>
+      while (probe > pf * tol &&
+          elapsedSec + math.ceil(sleepMs / 1000.0).toInt <= budgetSec) {
+        Thread.sleep(sleepMs)
+        probe = probeFn()
+        attempts += 1
+      }
+    }
+    (probe, elapsedSec, attempts)
   }
 
   /** 1-minute load average from /proc/loadavg (NaN if unreadable). */
@@ -339,7 +395,13 @@ object Bench {
     // execution pays ~0.7 s of whole-stage codegen, which would inflate
     // probe_before against probe_after and read as phantom contention
     calibrationProbe(spark)
-    val probeBefore = calibrationProbe(spark)
+    val floors = readFloors()
+    // bounded wait-for-quiet: a sweep started under a transient load
+    // spike (the r13/r14 invalidation cause) sleeps it out instead of
+    // measuring garbage the verdict tier then has to refuse
+    val quietBudget = intEnv("SPARK_GRAFT_QUIET_WAIT_SEC", 300, 0)
+    val (probeBefore, waitedBefore, _) =
+      awaitQuiet(() => calibrationProbe(spark), floors.get("__probe"), quietBudget)
     def once(name: String)(): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -354,14 +416,40 @@ object Bench {
     val loadAfter = loadAvg()
     // post-sweep requalification: suspects re-measure AFTER the sweep
     // (and after the probe that evidences the contention) so a mid-run
-    // load spike cannot masquerade as a code regression in the artifact
-    val floors = readFloors()
-    val requal = requalifyNeeded(results.map { case (n, (mn, _)) => n -> mn },
-      floors)
-      .map { name =>
-        name -> (try timeQuery(once(name), math.max(2, warmRuns / 2))._1
-        catch { case _: Throwable => -1.0 })
+    // load spike cannot masquerade as a code regression in the artifact.
+    // Each suspect re-measures inside its OWN probe bracket and retries
+    // (bounded) until the bracket is quiet: contention here fluctuates
+    // faster than a sweep (r15 observation — probe at floor, then 2.7×
+    // floor two minutes later), so one pre-requalification quiet check
+    // certifies nothing about the Nth suspect's reading. A reading whose
+    // bracket was quiet is `certified` and enters the floor window even
+    // when the sweep's run-level probes were hot.
+    val requalNames = requalifyNeeded(
+      results.map { case (n, (mn, _)) => n -> mn }, floors)
+    val requalBudget = intEnv("SPARK_GRAFT_REQUAL_BUDGET_SEC", 600, 0)
+    val requalDeadline = System.nanoTime() + requalBudget * 1000000000L
+    var waitedRequal = 0
+    val probeFloor = floors.get("__probe")
+    val requalCertified = scala.collection.mutable.Map.empty[String, Double]
+    val requal = requalNames.map { name =>
+      var best = -1.0
+      var certified = false
+      var attempts = 0
+      while (!certified && attempts < 3 &&
+          (attempts == 0 || System.nanoTime() < requalDeadline)) {
+        attempts += 1
+        val (pb, w, _) = awaitQuiet(() => calibrationProbe(spark), probeFloor,
+          budgetSec = math.min(60, quietBudget))
+        waitedRequal += w
+        val r = try timeQuery(once(name), math.max(2, warmRuns / 2))._1
+        catch { case _: Throwable => -1.0 }
+        val pa = calibrationProbe(spark)
+        if (r > 0 && (best < 0 || r < best)) best = r
+        certified = r > 0 && probeFloor.forall(pf => math.max(pb, pa) <= pf * 1.15)
       }
+      if (certified && best > 0) requalCertified(name) = best
+      name -> best
+    }
     val requalMap = requal.toMap
     val qs = results.map { case (k, (mn, _)) => "\"" + k + f"\":$mn%.3f" }
       .mkString("{", ",", "}")
@@ -369,11 +457,13 @@ object Bench {
       .mkString("{", ",", "}")
     val rq = requal.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val rqCert = requalCertified.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // NaN (unreadable /proc/loadavg) must render as JSON null, not a
     // bare NaN token that breaks the one-line-JSON output contract
     def jnum(d: Double) = if (d.isNaN) "null" else f"$d%.2f"
-    val cal = f""""calibration":{"probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"load_avg_before":${jnum(loadBefore)},"load_avg_after":${jnum(loadAfter)},"runs_per_query":$warmRuns}"""
+    val cal = f""""calibration":{"probe_before_sec":$probeBefore%.3f,"probe_after_sec":$probeAfter%.3f,"load_avg_before":${jnum(loadBefore)},"load_avg_after":${jnum(loadAfter)},"runs_per_query":$warmRuns,"quiet_wait_before_sec":$waitedBefore,"quiet_wait_requal_sec":$waitedRequal}"""
     // the artifact judges itself: a contaminated run must never be
     // distinguishable from a clean one only by a human reading the
     // calibration block (round-11 lesson — see benchVerdict)
@@ -382,7 +472,7 @@ object Bench {
       results.map { case (n, (mn, _)) => n -> mn }.toMap, floors)
     val gate = s""""bench_valid":$benchValid,"bench_invalid_reasons":[${
       invalidReasons.map("\"" + _ + "\"").mkString(",")}]"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"requalified":$rq,$gate,"sf":"$sfDir",$cal}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"requalified":$rq,"requalified_certified":$rqCert,$gate,"sf":"$sfDir",$cal}""")
     // floors ratchet only at the driver's bench scale — a subset run
     // (BENCH_ONLY) still updates just the queries it measured; a
     // requalified reading (measured after the contention the probe
@@ -390,7 +480,8 @@ object Bench {
     if (sfDir.endsWith("sf0.1"))
       updateFloors(results.map { case (n, (mn, _)) =>
         n -> requalMap.get(n).filter(r => r > 0 && (mn <= 0 || r < mn)).getOrElse(mn)
-      }, probeBefore, probeAfter)
+      }, probeBefore, probeAfter,
+        certified = requalCertified.toSeq.sortBy(_._1))
     spark.stop()
   }
 }

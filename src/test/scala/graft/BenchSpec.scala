@@ -67,10 +67,21 @@ class BenchSpec extends AnyFunSuite {
     // (BENCH_r11's q193: requalified 2.840 vs floor 0.933): invalid
     val (rqValid, rqReasons) = Bench.benchVerdict(0.26, 0.27, Some(0.25),
       Seq("q2" -> 0.55), Map("q2" -> 0.60), floors)
-    assert(!rqValid && rqReasons == Seq("q2 requalified 0.550 >= 2x floor 0.200"))
+    assert(!rqValid && rqReasons ==
+      Seq("q2 min(sweep 0.600, requal 0.550) 0.550 >= 2x floor 0.200"))
     // a requalified reading that CLEARED (under 2x floor) does not invalidate
     assert(Bench.benchVerdict(0.26, 0.27, Some(0.25),
       Seq("q2" -> 0.30), Map("q2" -> 0.60), floors)._1)
+    // a requalification that reads WORSE than a sweep best already under
+    // the gate cannot indict: regressions never produce fast readings, so
+    // the run adjudicates on the MIN of its honest measurements (observed
+    // live in round 15: q137 swept 0.175 then requalified 0.510 under
+    // late-JVM GC pressure — floor 0.103, sweep under gate)
+    assert(Bench.benchVerdict(0.26, 0.27, Some(0.25),
+      Seq("q1" -> 0.51), Map("q1" -> 0.175), Map("q1" -> 0.103))._1)
+    // ...but when BOTH readings breach, the query is genuinely suspect
+    assert(!Bench.benchVerdict(0.26, 0.27, Some(0.25),
+      Seq("q1" -> 0.51), Map("q1" -> 0.48), Map("q1" -> 0.103))._1)
     // a failed requalification run falls back to the sweep reading as evidence
     val (failValid, failReasons) = Bench.benchVerdict(0.26, 0.27, Some(0.25),
       Seq("q2" -> -1.0), Map("q2" -> 0.60), floors)
@@ -168,7 +179,8 @@ class BenchSpec extends AnyFunSuite {
     val f = Bench.readFloors(floors)
     val (valid, reasons) = Bench.benchVerdict(0.210, 0.215, f.get("__probe"),
       Seq("q203" -> 0.55), Map("q203" -> 0.60), f)
-    assert(!valid && reasons.head.startsWith("q203 requalified 0.550 >= 2x floor"))
+    assert(!valid &&
+      reasons.head.startsWith("q203 min(sweep 0.600, requal 0.550) 0.550 >= 2x floor"))
     // the probe window ages the same way and never exceeds the cap
     assert(ledger("__probe").size <= Bench.floorWindowK)
     assert(Bench.readFloors(floors)("__probe") == 0.210)
@@ -259,5 +271,59 @@ class BenchSpec extends AnyFunSuite {
     val warned = errBuf.toString("UTF-8")
     assert(warned.contains("malformed") && warned.contains("SKIPPED"),
       s"skipping must be loud, stderr was: '$warned'")
+  }
+
+  test("awaitQuiet sleeps out a transient load spike and stops at the first " +
+      "quiet probe; exhausts its budget under sustained load; accepts the " +
+      "first probe when no floor exists (r13/r14 invalid-sweep fix)") {
+    def scripted(readings: Double*): () => Double = {
+      val it = readings.iterator
+      () => if (it.hasNext) it.next() else readings.last
+    }
+    // transient spike: two hot probes, then quiet — returns the quiet one
+    val (p1, _, tries1) = Bench.awaitQuiet(
+      scripted(0.50, 0.45, 0.21), Some(0.20), budgetSec = 60, sleepMs = 1L)
+    assert(p1 == 0.21 && tries1 == 3)
+    // sustained load: the budget bounds the wait, last reading returned
+    val (p2, _, tries2) = Bench.awaitQuiet(
+      scripted(0.50), Some(0.20), budgetSec = 0, sleepMs = 1L)
+    assert(p2 == 0.50 && tries2 == 1, "zero budget must probe exactly once")
+    // no floor on record: nothing to judge against, first probe accepted
+    val (p3, _, tries3) = Bench.awaitQuiet(
+      scripted(0.50, 0.10), None, budgetSec = 60, sleepMs = 1L)
+    assert(p3 == 0.50 && tries3 == 1)
+    // already quiet: no sleep at all
+    val (p4, _, tries4) = Bench.awaitQuiet(
+      scripted(0.205), Some(0.20), budgetSec = 60, sleepMs = 1L)
+    assert(p4 == 0.205 && tries4 == 1)
+  }
+
+  test("certified requalification readings enter the floor window even when " +
+      "the sweep's run-level probes were hot — stale windows age on a busy " +
+      "machine; min taken when both sweep and certified readings qualify") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "benchspec-cert")
+    val floors = dir.resolve("floors.json")
+    val notes = dir.resolve("BENCHNOTES.md")
+    Files.write(floors,
+      ("""{"__probe":{"floor":0.200,"window":[[1,0.200]]},""" +
+       """"q":{"floor":0.100,"window":[[1,0.100]]}}""").getBytes("UTF-8"))
+    // HOT run (probes 2.5x floor): the sweep reading must NOT enter,
+    // but the certified requalification reading (own quiet bracket) must
+    Bench.updateFloors(Seq("q" -> 0.900, "other" -> 0.500), 0.50, 0.52,
+      floors, notes, nowMillis = 100L, certified = Seq("q" -> 0.240))
+    val hot = Bench.readLedger(floors)
+    assert(hot("q").map(_._2) == Seq(0.100, 0.240),
+      s"certified reading must append under a hot run: ${hot("q")}")
+    assert(!hot.contains("other"), "uncertified sweep readings stay out")
+    assert(hot("__probe") == Seq(1L -> 0.200), "hot probes stay out")
+    // QUIET run where the same query also has a certified reading: ONE
+    // appended entry, the min of the two
+    Bench.updateFloors(Seq("q" -> 0.260), 0.205, 0.210,
+      floors, notes, nowMillis = 200L, certified = Seq("q" -> 0.230))
+    assert(Bench.readLedger(floors)("q").map(_._2) == Seq(0.100, 0.240, 0.230))
+    // a certified reading of a failed run (-1) never enters
+    Bench.updateFloors(Nil, 0.50, 0.52, floors, notes, nowMillis = 300L,
+      certified = Seq("q" -> -1.0))
+    assert(Bench.readLedger(floors)("q").size == 3)
   }
 }
