@@ -3271,5 +3271,104 @@ object CatalogPipeline {
              |tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1)
              |SELECT from_type, to_type, n, CAST(n * 10000 // tot AS BIGINT) AS p_pm
              |FROM tr JOIN tot USING (from_type)
-             |ORDER BY from_type, to_type""".stripMargin)))
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    QueryDef("q230_temperature_mix",
+      // temperature-scaled source mixing (UniMax-style α = 0.5 via
+      // integer sqrt — the one sub-linear power family both engines
+      // reproduce bit-exactly; see Sampling.temperatureWeights): one
+      // source-grain aggregation, a 1-row total broadcast back, and a
+      // 1M-token budget allocated by flattened share with per-source
+      // deficits. Head sources stop drowning tail sources without
+      // inverting the order
+      (s, d) => Sampling.temperatureWeights(
+          Tpch.table(s, d, "documents").withColumn("n_tokens",
+            TextAnalysis.tokenCount(col("text")).cast("long")),
+          col("source"), col("n_tokens"), budgetTokens = 1000000L)
+        .orderBy("source"),
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+             |a AS (SELECT d.source, count(*) AS avail_docs,
+             |    CAST(sum(q.n_tokens) AS BIGINT) AS avail_tokens
+             |  FROM documents d JOIN q ON d.doc_id = q.doc_id GROUP BY 1),
+             |w AS (SELECT source, avail_docs, avail_tokens,
+             |    CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT) AS w
+             |  FROM a),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w)
+             |SELECT source, avail_docs, avail_tokens, w,
+             |  CAST((w * 1000000) // greatest(w_total, 1) AS BIGINT) AS weight_ppm,
+             |  CAST(w * (1000000 // greatest(w_total, 1)) +
+             |    (w * (1000000 % greatest(w_total, 1))) // greatest(w_total, 1)
+             |    AS BIGINT) AS target_tokens,
+             |  CAST(greatest(0, w * (1000000 // greatest(w_total, 1)) +
+             |    (w * (1000000 % greatest(w_total, 1))) // greatest(w_total, 1)
+             |    - avail_tokens) AS BIGINT) AS deficit_tokens
+             |FROM w CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    QueryDef("q231_vocab_coverage",
+      // per-source vocabulary coverage under the global top-50 vocab
+      // (q96's vocabulary): occurrence coverage (fertility proxy) and
+      // distinct-type coverage (OOV breadth), both exact integer ppm.
+      // The tokenizer-evaluation audit a mixed corpus runs before
+      // training fragments its tail sources
+      (s, d) => TextAnalysis.vocabCoverage(Tpch.table(s, d, "documents"),
+          "doc_id", "text", "source", topK = 50)
+        .orderBy("source"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents WHERE trim(text) <> ''),
+             |v AS (SELECT token FROM (
+             |  SELECT token, count(*) AS n,
+             |    row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+             |  FROM tk GROUP BY token) WHERE rank <= 50),
+             |st AS (SELECT d.source, tk.token,
+             |    (tk.token IN (SELECT token FROM v)) AS in_v
+             |  FROM tk JOIN documents d USING (doc_id))
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_occurrences,
+             |  CAST(sum(CASE WHEN in_v THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |  CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+             |  CAST(count(DISTINCT CASE WHEN in_v THEN token END) AS BIGINT)
+             |    AS n_types_covered,
+             |  CAST((sum(CASE WHEN in_v THEN 1 ELSE 0 END) * 1000000)
+             |    // greatest(count(*), 1) AS BIGINT) AS coverage_ppm,
+             |  CAST((count(DISTINCT CASE WHEN in_v THEN token END) * 1000000)
+             |    // greatest(count(DISTINCT token), 1) AS BIGINT)
+             |    AS type_coverage_ppm
+             |FROM st GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef("q232_gate_calibration",
+      // calibration curve of the distilled quality gate (q208's
+      // hash-sample-trained pocket perceptron scored over the WHOLE
+      // corpus): margins in 12 fixed-width integer bins over the exact
+      // [min, max] span — the drift tier's deterministic-binning
+      // discipline — each bin's observed clean rate in exact ppm. A
+      // monotone curve means the margin ranks quality and q211's
+      // soft-curation thresholds can be placed by rate
+      (s, d) => {
+        val feats = gateFeatures(Tpch.table(s, d, "documents"))
+        val trained = graft.operators.Classify.perceptronTrain(
+          feats, gateFeatureCols, "y", rounds = gateRounds, sample = gateSample)
+        val w = graft.operators.Classify.pocketWeights(trained, gateFeatureCols)
+        graft.operators.Classify.calibration(
+            graft.operators.Classify.score(feats, w, gateFeatureCols),
+            nBins = 12)
+          .orderBy("bin")
+      },
+      Some(s"""WITH ${OracleFragments.tokenStatsCte},
+             |${OracleFragments.classifierFeaturesCte(gateBasis)},
+             |${OracleFragments.classifierTrainSliceCte(gateTrainFrac)},
+             |${OracleFragments.perceptronRoundsCte(gateRounds, gateFeatureCols, from = "ftr")},
+             |${OracleFragments.perceptronPocketCte(gateRounds, gateFeatureCols)},
+             |sc AS (SELECT f.doc_id, f.y,
+             |    CAST(${pocketMarginSql} AS BIGINT) AS margin
+             |  FROM f CROSS JOIN pk),
+             |sp AS (SELECT min(margin) AS mn, max(margin) AS mx FROM sc)
+             |SELECT ((margin - mn) * 12) // (mx - mn + 1) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |  CAST(min(margin) AS BIGINT) AS margin_lo,
+             |  CAST(max(margin) AS BIGINT) AS margin_hi,
+             |  CAST((sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000)
+             |    // count(*) AS BIGINT) AS pos_rate_ppm
+             |FROM sc CROSS JOIN sp GROUP BY 1 ORDER BY bin""".stripMargin)))
 }

@@ -85,6 +85,18 @@ object CatalogSearch {
         "doc_id", "text", searchTerms, k = 20),
       Some(Search.bm25OracleSql("documents", "doc_id", "text", searchTerms, k = 20))),
 
+    QueryDef("q229_hard_negatives",
+      // hard-negative mining for retrieval-model training: the top-20
+      // BM25 scorers that match SOME but not ALL query terms (full
+      // matches are presumed positives and excluded) — the
+      // contrastive-training negatives a random sample can't supply.
+      // Same integer-exact scoring as q87; one extra HAVING on the
+      // same per-doc aggregation, no second corpus pass
+      (s, d) => Search.hardNegatives(Tpch.table(s, d, "documents"),
+        "doc_id", "text", searchTerms, k = 20),
+      Some(Search.hardNegativesOracleSql("documents", "doc_id", "text",
+        searchTerms, k = 20))),
+
     QueryDef("q105_tfidf_keywords",
       // per-doc TF-IDF keyword extraction: top-3 terms per document
       // under the integer-exact weighting contract (Search scaladoc);

@@ -188,4 +188,36 @@ object Classify {
       .withColumn("f1_ppm",
         expr("(2 * precision_ppm * recall_ppm) div greatest(precision_ppm + recall_ppm, 1)"))
   }
+
+  /** Calibration curve of a scored frame: margins bucketed into
+    * `nBins` FIXED-WIDTH integer bins over the corpus's exact
+    * [min, max] margin span (the drift tier's deterministic-binning
+    * discipline — quantile sketches would flap under repartitioning),
+    * each bin reporting its observed positive rate in exact ppm. A
+    * monotone pos_rate_ppm over bins means the margin actually ranks
+    * quality and soft-curation thresholds (q211) can be placed by
+    * rate; a flat or folded curve means the gate should not be trusted
+    * away from its 0 threshold. `bin = ((margin − mn) · nBins) div
+    * (mx − mn + 1)` — all int64, exact in any engine, and the product
+    * stays in range for any |margin| ≤ ~5·10¹⁷/nBins.
+    *
+    * Scale shape: one 1-row (min, max) aggregate broadcast back, one
+    * bin-grain aggregation with map-side combine; output is nBins
+    * rows regardless of corpus size.
+    */
+  def calibration(scored: DataFrame, nBins: Int, yCol: String = "y",
+      marginCol: String = "margin"): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val span = scored.agg(min(col(marginCol)).as("__mn"),
+      max(col(marginCol)).as("__mx"))
+    scored.select(col(marginCol).as("__m"), col(yCol).as("__y"))
+      .crossJoin(broadcast(span))
+      .withColumn("bin",
+        expr(s"((__m - __mn) * $nBins) div (__mx - __mn + 1)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        min("__m").as("margin_lo"), max("__m").as("margin_hi"))
+      .withColumn("pos_rate_ppm", expr("(n_pos * 1000000) div n"))
+  }
 }

@@ -215,4 +215,61 @@ object Sampling {
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
+
+  /** Temperature-scaled source mixing — the multilingual/multi-source
+    * rebalancing stage (UniMax / "sampling with temperature" in the
+    * multilingual-LM literature): natural source proportions get
+    * flattened by raising counts to a power α < 1, so head sources
+    * stop drowning tail sources without inverting the order. α is
+    * expressed as `0.5^sqrtApplications` (1 → √n, the common T = 2;
+    * 2 → n^¼) because integer `floor(sqrt(·))` chains are the one
+    * power family BOTH engines reproduce bit-exactly: `sqrt` of an
+    * exact integer is correctly rounded in IEEE-754 everywhere,
+    * `floor` lands it back in int64, and every division afterwards is
+    * integer — no libm `pow` (whose last ulp differs across
+    * implementations) anywhere in the plan.
+    *
+    * Output, one row per source: available docs/tokens, the flattened
+    * weight `w = isqrt^k(avail_tokens)`, its share in ppm, the token
+    * allocation of `budgetTokens` by that share, and the deficit where
+    * the allocation exceeds what the source has (tail sources get
+    * upsampled shares — the epoch-mix/repetition stage consumes the
+    * deficit column to decide repetition factors).
+    *
+    * Scale shape: ONE source-grain aggregation over the corpus; the
+    * share denominator is a 1-row aggregate of that (broadcast, no
+    * second corpus pass); everything after is per-source arithmetic on
+    * |sources| rows.
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: Column, tokensCol: Column,
+      budgetTokens: Long, sqrtApplications: Int = 1): DataFrame = {
+    require(sqrtApplications >= 1 && sqrtApplications <= 4,
+      s"sqrtApplications must be in [1, 4], got $sqrtApplications")
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val avail = df.select(sourceCol.cast("string").as("source"),
+        tokensCol.cast("long").as("__t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("avail_docs"), sum("__t").as("avail_tokens"))
+    val wExpr = (1 to sqrtApplications).foldLeft("cast(avail_tokens as double)") {
+      (e, _) => s"floor(sqrt($e))"
+    }
+    val weighted = avail.withColumn("w", expr(s"cast($wExpr as long)"))
+    val total = weighted.agg(sum("w").as("w_total"))
+    weighted.crossJoin(broadcast(total))
+      .withColumn("weight_ppm",
+        expr("(w * 1000000) div greatest(w_total, 1)"))
+      // (budget · w) div total computed as w·(budget div total) +
+      // (w·(budget mod total)) div total — algebraically identical
+      // (budget = q·total + r), but the largest intermediate is
+      // w·(total−1) instead of budget·w, so a 100 TB-scale token
+      // budget times a large source weight cannot overflow int64
+      .withColumn("target_tokens",
+        expr(s"w * (${budgetTokens}L div greatest(w_total, 1)) + " +
+          s"(w * (${budgetTokens}L % greatest(w_total, 1))) div greatest(w_total, 1)"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), expr("target_tokens - avail_tokens")))
+      .select(col("source"), col("avail_docs"), col("avail_tokens"),
+        col("w"), col("weight_ppm"), col("target_tokens"),
+        col("deficit_tokens"))
+  }
 }

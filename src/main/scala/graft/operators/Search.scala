@@ -391,6 +391,64 @@ object Search {
       .limit(topK)
   }
 
+  /** Hard-negative mining for retrieval-model training — the
+    * contrastive-training data stage: candidates that score HIGH on
+    * the lexical ranker yet are not full matches make the best
+    * negatives (random negatives are trivially separable; BM25-top
+    * near-misses force the embedding model to learn fine
+    * distinctions). Positives are defined lexically here: a document
+    * matching ALL query terms is a presumed positive and excluded;
+    * everything else competes by the same integer-exact BM25 contract
+    * as [[bm25TopK]], and the top `k` (score desc, id asc) emit with
+    * their matched-term count.
+    *
+    * Scale shape: identical to [[bm25TopK]] — one explode, two
+    * grouped aggregations, broadcast term stats, TakeOrdered top-k;
+    * the positive-exclusion is a HAVING on the same per-doc
+    * aggregation (no second corpus pass, no join against a positives
+    * table).
+    */
+  def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val (tf, dl) = termFrequencies(docs, idCol, textCol, terms)
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum("dl").as("total")))
+      .select(col("n"), expr("total div n").as("avgdl"))
+    val df_ = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq("__id"))
+      .join(broadcast(df_), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        expr("((n * 10000) div df) * ((tf * 20000 * avgdl) div (tf * avgdl + dl))"))
+      .groupBy("__id")
+      .agg(sum("contrib").as("score"),
+        count(lit(1)).cast("long").as("n_terms_matched"))
+      .filter(col("n_terms_matched") < terms.size)
+      .select(col("__id").as(idCol), col("score"), col("n_terms_matched"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+  }
+
+  def hardNegativesOracleSql(tableName: String, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT $idCol AS id, unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS t
+       |  FROM $tableName WHERE length(trim($textCol)) > 0),
+       |dl AS (SELECT id, count(*) AS dl FROM tk GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM $tableName) AS n,
+       |              (SELECT sum(dl) FROM dl) // (SELECT count(*) FROM $tableName) AS avgdl),
+       |tf AS (SELECT id, t, count(*) AS tf FROM tk WHERE t IN ($termList) GROUP BY 1, 2),
+       |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT tf.id AS $idCol,
+       |  CAST(sum(((st.n * 10000) // df.df) *
+       |           ((tf.tf * 20000 * st.avgdl) // (tf.tf * st.avgdl + dl.dl))) AS BIGINT) AS score,
+       |  CAST(count(*) AS BIGINT) AS n_terms_matched
+       |FROM tf JOIN df USING (t) JOIN dl USING (id) CROSS JOIN st
+       |GROUP BY 1 HAVING count(*) < ${terms.size}
+       |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+
   def bm25OracleSql(tableName: String, idCol: String, textCol: String,
       terms: Seq[String], k: Int): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")

@@ -92,6 +92,41 @@ object TextAnalysis {
         Window.orderBy(col("n_occurrences").desc, col("token"))).cast("long"))
   }
 
+  /** Per-source vocabulary coverage under a global top-K vocabulary —
+    * the tokenizer-evaluation stage of a training-data pipeline: a
+    * tokenizer (or vocab) trained on the whole mix covers its head
+    * sources well and fragments the tail ones; this audit quantifies
+    * that per source BEFORE training burns compute on it. Two rates
+    * per source, both exact integer ppm: occurrence coverage (what
+    * fraction of token OCCURRENCES are in-vocabulary — the fertility
+    * proxy) and type coverage (what fraction of DISTINCT tokens are —
+    * the OOV-breadth proxy).
+    *
+    * Scale shape: the vocabulary is [[vocab]]'s top-K rows (bounded,
+    * broadcast); the corpus is exploded ONCE and aggregated at source
+    * grain with map-side combine; the distinct-type counts ride the
+    * same aggregation. Nothing corpus-sized shuffles beyond the one
+    * (source, token)-keyed partial aggregate.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, topK: Int): DataFrame = {
+    val v = vocab(df, idCol, textCol, topK).select(col("token"))
+      .withColumn("__in_vocab", lit(1L))
+    df.select(col(srcCol).cast("string").as("source"),
+        explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_occurrences"),
+        sum(coalesce(col("__in_vocab"), lit(0L))).as("n_covered"),
+        countDistinct(col("token")).as("n_types"),
+        countDistinct(when(col("__in_vocab") === 1L, col("token")))
+          .as("n_types_covered"))
+      .withColumn("coverage_ppm",
+        expr("(n_covered * 1000000) div greatest(n_occurrences, 1)"))
+      .withColumn("type_coverage_ppm",
+        expr("(n_types_covered * 1000000) div greatest(n_types, 1)"))
+  }
+
   /** One BPE-training merge statistic: adjacent character-pair counts
     * over the corpus, weighted by word frequency — the quantity a
     * byte-pair-encoding trainer maximizes each merge round. Computed

@@ -59,6 +59,44 @@ object PipelineQueries {
         Search.bm25TopK(docs, "doc_id", "text", terms, intParam(ps, "k"))
       }))
 
+    service.register(PipelineQuery("hard_negatives",
+      // the q229 surface: BM25-top candidates matching SOME but not
+      // ALL terms — contrastive-training negatives for retrieval models
+      Seq(ParamSpec("terms", "string"),
+        ParamSpec("k", "long", required = false, default = Some(10L))),
+      ps => {
+        val terms = ps("terms").asInstanceOf[String].split(",")
+          .toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
+        if (terms.isEmpty)
+          throw new BadRequestException("'terms' must list at least one term")
+        Search.hardNegatives(docs, "doc_id", "text", terms, intParam(ps, "k"))
+      }))
+
+    service.register(PipelineQuery("temperature_mix",
+      // the q230 surface: UniMax-style temperature-flattened source
+      // shares (α = 0.5^sqrts via exact integer sqrt) allocating a
+      // token budget with per-source deficits
+      Seq(ParamSpec("budget", "long"),
+        ParamSpec("sqrts", "long", required = false, default = Some(1L))),
+      ps => {
+        val budget = ps("budget").asInstanceOf[Long]
+        if (budget < 0) throw new BadRequestException("'budget' must be >= 0")
+        val sqrts = intParam(ps, "sqrts")
+        if (sqrts < 1 || sqrts > 4)
+          throw new BadRequestException("'sqrts' must be in [1, 4]")
+        Sampling.temperatureWeights(docs, col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long"), budget, sqrts)
+          .orderBy("source")
+      }))
+
+    service.register(PipelineQuery("vocab_coverage",
+      // the q231 surface: per-source occurrence/type coverage under
+      // the global top-K vocabulary — the tokenizer-evaluation audit
+      Seq(ParamSpec("top_k", "long", required = false, default = Some(50L))),
+      ps => TextAnalysis.vocabCoverage(docs, "doc_id", "text", "source",
+          intParam(ps, "top_k"))
+        .orderBy("source")))
+
     service.register(PipelineQuery("dedup_clusters",
       Seq(ParamSpec("threshold", "double", required = false, default = Some(0.5)),
         ParamSpec("only_dups", "boolean", required = false, default = Some(false))),

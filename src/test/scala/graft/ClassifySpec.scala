@@ -187,4 +187,32 @@ class ClassifySpec extends SparkSpec {
       assert(r.getLong(4) == (if (m > 0) 1L else 0L), "pred mismatch")
     }
   }
+
+  test("calibration: fixed-width integer bins over the exact margin span, " +
+      "per-bin positive rate in exact ppm, empty bins absent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // margins 0..9 (span 10, 2 bins of width 5); y = 1 iff margin >= 8
+    val scored = (0L until 10L).map(m => (m, if (m >= 8) 1L else 0L))
+      .toDF("margin", "y")
+    val out = Classify.calibration(scored, nBins = 2)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "margin_lo", "margin_hi", "pos_rate_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == (0L, 5L, 0L, 0L, 4L, 0L))
+    assert(out(1) == (1L, 5L, 2L, 5L, 9L, 400000L))
+    // negative margins: the span shift keeps bins nonnegative and exact
+    val neg = Seq((-10L, 0L), (-1L, 0L), (5L, 1L)).toDF("margin", "y")
+    val nb = Classify.calibration(neg, nBins = 4).orderBy("bin")
+      .select("bin", "n").as[(Long, Long)].collect()
+    // span = -10..5 (width 16): -10 → bin 0, -1 → (9*4)/16 = 2, 5 → 3;
+    // bin 1 is EMPTY and therefore absent, not zero-padded
+    assert(nb sameElements Array((0L, 1L), (2L, 1L), (3L, 1L)))
+    // monotone-quality sanity: a margin that ranks y yields a
+    // non-decreasing positive rate over bins
+    val rates = Classify.calibration(scored, nBins = 5)
+      .orderBy("bin").select("pos_rate_ppm").as[Long].collect()
+    assert(rates.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    intercept[IllegalArgumentException](Classify.calibration(scored, nBins = 1))
+  }
 }

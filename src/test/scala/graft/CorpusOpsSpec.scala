@@ -563,4 +563,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Curate.lmLowFlags(docs, "doc_id", "text", "src", 1000000L)
       .columns.toSeq == Seq("doc_id", "lm_low"))
   }
+
+  test("vocabCoverage: per-source occurrence and type coverage under the " +
+      "global top-K vocab, exact ppm, hand-counted") {
+    // global counts: the×3, cat×2, dog×2, emu×1, fox×1 → top-3 vocab
+    // (count desc, token asc) = {the, cat, dog}
+    val docs = Seq(
+      (1L, "the cat the dog", "a"), // a: 4 occ, 4 in-vocab
+      (2L, "the cat", "a"),         // a: +2 occ, +2 in-vocab
+      (3L, "dog emu fox", "b"),     // b: 3 occ, 1 in-vocab (dog)
+      (4L, "   ", "c")              // empty: contributes nothing
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", "source",
+        topK = 3)
+      .orderBy("source")
+      .select("source", "n_occurrences", "n_covered", "n_types",
+        "n_types_covered", "coverage_ppm", "type_coverage_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // a: occurrences the,cat,the,dog,the,cat = 6, all in vocab;
+    //    types {the, cat, dog} = 3, all covered
+    assert(out(0) == ("a", 6L, 6L, 3L, 3L, 1000000L, 1000000L))
+    // b: 3 occurrences, dog covered → 333333 ppm; types {dog, emu,
+    //    fox} → 1 of 3 covered
+    assert(out(1) == ("b", 3L, 1L, 3L, 1L, 333333L, 333333L))
+    // c (all-empty docs) is absent: no token evidence either way
+    assert(out.length == 2)
+  }
 }

@@ -66,7 +66,16 @@ class PlanQualitySpec extends SparkSpec {
       // q226/q227 embed q107's bigram LM (the per-source fluency
       // gate), inheriting its deliberate 1-row vocabulary-size (V)
       // scalar broadcast
-      "q226_lm_curate_audit", "q227_lm_curate_mix")
+      "q226_lm_curate_audit", "q227_lm_curate_mix",
+      // q229 embeds q87's BM25 scorer (hard-negative mining is the
+      // same scoring with a HAVING), inheriting the 1-row (N, avgdl)
+      // corpus-stats broadcast; q230's temperature weights crossJoin
+      // the 1-row Σw total into a |sources|-row frame — q178's shape;
+      // q232's calibration crossJoins the 1-row (min, max) margin
+      // span into the binning — the drift tier's two-pass-histogram
+      // scalar, deliberately per-row here because the bin expression
+      // consumes both bounds
+      "q229_hard_negatives", "q230_temperature_mix", "q232_gate_calibration")
     // NOTE the drift family (q203–q207, q213–q215) carries NO entries:
     // since round 13 every drift join — bin edges, totals — is a
     // broadcast HASH join on the (possibly constant) group key, so the

@@ -131,4 +131,47 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.classWeights(even, "label").select("weight_micro")
       .as[Long].collect().forall(_ == 1000000L))
   }
+
+  test("temperatureWeights: isqrt flattening, exact integer shares, " +
+      "overflow-safe allocation, deficit on upsampled tail") {
+    import org.apache.spark.sql.functions._
+    // head source 90k tokens, tail source 100: natural ratio 900:1,
+    // sqrt-flattened ratio 300:10 = 30:1
+    val docs = Seq(
+      ("head", 45000L), ("head", 45000L), ("tail", 100L)
+    ).toDF("source", "n_tokens")
+    val out = Sampling.temperatureWeights(docs, col("source"),
+        col("n_tokens"), budgetTokens = 31000L)
+      .orderBy("source")
+      .select("source", "avail_docs", "avail_tokens", "w", "weight_ppm",
+        "target_tokens", "deficit_tokens")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // isqrt(90000) = 300, isqrt(100) = 10, total 310
+    assert(out(0) == ("head", 2L, 90000L, 300L,
+      300L * 1000000L / 310L, 300L * 31000L / 310L, 0L))
+    // tail: target 1000 > available 100 → deficit 900 (the repetition
+    // stage's input)
+    assert(out(1) == ("tail", 1L, 100L, 10L,
+      10L * 1000000L / 310L, 1000L, 900L))
+    // α = 0.25 (two sqrt applications) flattens harder: 90000^¼ ≈ 17
+    val quarter = Sampling.temperatureWeights(docs, col("source"),
+        col("n_tokens"), budgetTokens = 0L, sqrtApplications = 2)
+      .orderBy("source").select("w").as[Long].collect()
+    assert(quarter sameElements Array(17L, 3L)) // isqrt(300)=17, isqrt(10)=3
+    // a 100 TB-scale budget times a large weight: the decomposed
+    // allocation stays exact where naive budget*w would overflow int64
+    val big = Seq(("a", 4000000000000000000L), ("b", 1000000L))
+      .toDF("source", "n_tokens")
+    val alloc = Sampling.temperatureWeights(big, col("source"),
+        col("n_tokens"), budgetTokens = 5000000000000000000L)
+      .orderBy("source").select("w", "target_tokens")
+      .as[(Long, Long)].collect()
+    val wa = alloc(0)._1; val wb = alloc(1)._1
+    val total = wa + wb
+    def exact(w: Long): Long = { // BigInt ground truth
+      (BigInt(5000000000000000000L) * w / total).toLong
+    }
+    assert(alloc(0)._2 == exact(wa) && alloc(1)._2 == exact(wb),
+      s"decomposed allocation must equal bignum truth: $alloc")
+  }
 }

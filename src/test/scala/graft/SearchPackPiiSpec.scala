@@ -32,6 +32,36 @@ class SearchPackPiiSpec extends SparkSpec {
     assert(out.length == 3) // docs without query terms never appear
   }
 
+  test("hardNegatives: full-term matches are presumed positives and " +
+      "excluded; partial matches rank by the same BM25 contract") {
+    val docs = Seq(
+      (1L, "spark merge fast"),        // matches BOTH terms → positive, excluded
+      (2L, "spark spark spark slow"),  // spark only: the hard negative
+      (3L, "merge here"),              // merge only
+      (4L, "nothing at all"),          // no terms: not a candidate
+      (5L, "spark merge spark merge")  // both terms → excluded
+    ).toDF("doc_id", "text")
+    val out = Search.hardNegatives(docs, "doc_id", "text",
+        Seq("spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!out.map(_._1).toSet.contains(1L) &&
+      !out.map(_._1).toSet.contains(5L), "full matches must be excluded")
+    assert(out.map(_._1).toSet == Set(2L, 3L))
+    assert(out.forall(_._3 == 1L), "each candidate matched exactly 1 of 2 terms")
+    // scores follow the q87 contract: n=5, total tokens 3+4+2+3+4=16,
+    // avgdl = 16 div 5 = 3; df(spark)=3, df(merge)=3 (docs 1,3,5)
+    // doc2: tf=3 dl=4 -> idf 50000 div 3 = 16666;
+    //       tfc (3*20000*3) div (3*3+4) = 180000 div 13 = 13846
+    assert(out.find(_._1 == 2L).get._2 == 16666L * 13846L)
+    // doc3: tf=1 dl=2 -> (1*20000*3) div (1*3+2) = 60000 div 5 = 12000
+    assert(out.find(_._1 == 3L).get._2 == 16666L * 12000L)
+    // k bounds the emitted negatives
+    assert(Search.hardNegatives(docs, "doc_id", "text",
+      Seq("spark", "merge"), k = 1).count() == 1L)
+    intercept[IllegalArgumentException](
+      Search.hardNegatives(docs, "doc_id", "text", Nil, k = 5))
+  }
+
   test("concatChunk: offsets, spans, and bucket-boundary correctness") {
     // seqLen 10; force multiple buckets with bucketSize=4
     val docs = Seq(

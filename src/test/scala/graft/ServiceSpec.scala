@@ -86,6 +86,30 @@ class ServiceSpec extends SparkSpec {
     intercept[ForbiddenException] {
       service.runRegistered("pii_redact_store", Map("path" -> "target/nope"))
     }
+    // round-15 surfaces: hard negatives exclude full matches; the
+    // temperature mix emits one row per source with exact shares; the
+    // vocab-coverage audit bounds its ppm columns
+    val hn = service.runRegistered("hard_negatives",
+      Map("terms" -> "spark, merge", "k" -> "5"))
+    assert(hn.columns.sameElements(Array("doc_id", "score", "n_terms_matched")))
+    assert(hn.filter(col("n_terms_matched") >= 2).count() == 0)
+    val tm = service.runRegistered("temperature_mix", Map("budget" -> "100000"))
+    assert(tm.columns.contains("weight_ppm") &&
+      tm.agg(org.apache.spark.sql.functions.sum("weight_ppm")).head.getLong(0)
+        <= 1000000L)
+    intercept[BadRequestException] {
+      service.runRegistered("temperature_mix",
+        Map("budget" -> "100", "sqrts" -> "5"))
+    }
+    intercept[BadRequestException] {
+      service.runRegistered("temperature_mix", Map("budget" -> "-1"))
+    }
+    val vc = service.runRegistered("vocab_coverage", Map("top_k" -> "10"))
+    assert(vc.filter(col("coverage_ppm") > 1000000L ||
+      col("type_coverage_ppm") > 1000000L).count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("vocab_coverage", Map("top_k" -> "0"))
+    }
     // mixture/chunking samplers: coerced params, domain checks
     val qs = service.runRegistered("quota_sample", Map("quota" -> "3"))
     assert(qs.columns.sameElements(Array("doc_id", "source", "lang")))
