@@ -262,7 +262,10 @@ class CorpusFuzzSpec extends SparkSpec {
       // 2b) the per-source LM fluency stage (q226/q227): flags, the
       // lm-gated curate, and the audit's bit-16 provenance, all vs the
       // driver LM model — relPpm sweeps from never-flags to most-flags
-      val relPpm = Seq(0L, 500000L, 940000L, 1000000L, 1200000L)(rnd.nextInt(5))
+      // the sweep stays inside lmLowFlags' [0, 10⁶] domain (r14 advice
+      // #4 tightened it — beyond 10⁶ the int64 gate product could
+      // overflow, so the operator now rejects rather than computes)
+      val relPpm = Seq(0L, 500000L, 940000L, 999999L, 1000000L)(rnd.nextInt(5))
       val lmLow = lmLowModel(corpus, relPpm)
       val lmFlags = Curate.lmLowFlags(sourced, "doc_id", "text", "source", relPpm)
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
@@ -348,6 +351,127 @@ class CorpusFuzzSpec extends SparkSpec {
         assert(got === deconModel(corpus.map(c => (c._1, c._2)), evalDocs, n, pct),
           s"evalOverlap mismatch in program $p (n $n pct $pct)")
       }
+    }
+  }
+
+  // --- round-15 operators: temperature mix, vocab coverage, hard
+  //     negatives, calibration ----------------------------------------
+
+  private def isqrtChain(n: Long, k: Int): Long =
+    (1 to k).foldLeft(n.toDouble)((v, _) => math.floor(math.sqrt(v))).toLong
+
+  private def temperatureModel(bySrc: Seq[(String, Long)], budget: Long,
+      k: Int): Set[(String, Long, Long, Long, Long, Long, Long)] = {
+    val agg = bySrc.groupBy(_._1).map { case (s, ds) =>
+      (s, ds.size.toLong, ds.map(_._2).sum) }.toSeq
+    val ws = agg.map { case (s, d, t) => (s, d, t, isqrtChain(t, k)) }
+    val total = math.max(ws.map(_._4).sum, 1L)
+    ws.map { case (s, d, t, w) =>
+      val ppm = w * 1000000L / total
+      val target = (BigInt(budget) * w / total).toLong
+      (s, d, t, w, ppm, target, math.max(0L, target - t))
+    }.toSet
+  }
+
+  private def coverageModel(corpus: Seq[(Long, String, String)], topK: Int)
+      : Set[(String, Long, Long, Long, Long, Long, Long)] = {
+    val all = corpus.flatMap(c => toks(c._2))
+    val vocab = all.groupBy(identity).map { case (t, ts) => t -> ts.size }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(topK).map(_._1).toSet
+    corpus.flatMap(c => toks(c._2).map(t => (c._3, t)))
+      .groupBy(_._1).map { case (src, occ) =>
+        val n = occ.size.toLong
+        val cov = occ.count(o => vocab(o._2)).toLong
+        val types = occ.map(_._2).distinct.size.toLong
+        val typesCov = occ.map(_._2).distinct.count(vocab).toLong
+        (src, n, cov, types, typesCov,
+          cov * 1000000L / math.max(n, 1L),
+          typesCov * 1000000L / math.max(types, 1L))
+      }.toSet
+  }
+
+  private def hardNegativesModel(docs: Seq[(Long, String)],
+      terms: Seq[String], k: Int): Seq[(Long, Long, Long)] = {
+    val low = docs.map { case (id, t) => (id, toks(t.toLowerCase)) }
+    val n = docs.size.toLong
+    val dl = low.map { case (id, tk) => id -> tk.size.toLong }.toMap
+    val avgdl = dl.values.sum / math.max(n, 1L)
+    val tf = low.flatMap { case (id, tk) =>
+      tk.filter(terms.contains).groupBy(identity)
+        .map { case (t, ts) => (id, t, ts.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, rs) => t -> rs.size.toLong }
+    tf.groupBy(_._1).toSeq.map { case (id, rs) =>
+      val score = rs.map { case (_, t, f) =>
+        ((n * 10000) / df(t)) * ((f * 20000 * avgdl) / (f * avgdl + dl(id)))
+      }.sum
+      (id, score, rs.size.toLong)
+    }.filter(_._3 < terms.size)
+      .sortBy { case (id, s, _) => (-s, id) }.take(k)
+  }
+
+  private def calibrationModel(rows: Seq[(Long, Long)], nBins: Int)
+      : Set[(Long, Long, Long, Long, Long, Long)] = {
+    val mn = rows.map(_._1).min; val mx = rows.map(_._1).max
+    rows.groupBy { case (m, _) => (m - mn) * nBins / (mx - mn + 1) }
+      .map { case (bin, rs) =>
+        val n = rs.size.toLong
+        val pos = rs.count(_._2 == 1L).toLong
+        (bin, n, pos, rs.map(_._1).min, rs.map(_._1).max, pos * 1000000L / n)
+      }.toSet
+  }
+
+  test("round-15 operators: 32 random corpora ≡ driver models " +
+      "(temperature mix, vocab coverage, hard negatives, calibration)") {
+    for (p <- 0 until 32) {
+      val rnd = new scala.util.Random(0xBEEF15 + p)
+      val corpus = genCorpus(rnd)
+      val docs = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+      val sourced = corpus.toDF("doc_id", "text", "source")
+
+      // 1) temperatureWeights: random budget and sqrt depth
+      val budget = rnd.nextInt(100000).toLong
+      val kSqrt = 1 + rnd.nextInt(3)
+      val tw = Sampling.temperatureWeights(sourced, col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long"), budget, kSqrt)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      val bySrc = corpus.map(c => (c._3, toks(c._2).size.toLong))
+      assert(tw === temperatureModel(bySrc, budget, kSqrt),
+        s"temperatureWeights mismatch in program $p (budget $budget k $kSqrt)")
+
+      // 2) vocabCoverage at a random top-K (sometimes > |vocab|)
+      val topK = Seq(1, 3, 10, 500)(rnd.nextInt(4))
+      val vc = TextAnalysis.vocabCoverage(sourced, "doc_id", "text",
+          "source", topK)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      assert(vc === coverageModel(corpus, topK),
+        s"vocabCoverage mismatch in program $p (topK $topK)")
+
+      // 3) hardNegatives with random query terms from the pool (the
+      // generator's dup rate yields docs matching all, some, and none)
+      val terms = rnd.shuffle(wordPool.toSeq).take(1 + rnd.nextInt(3))
+        .map(_.toLowerCase).distinct
+      val k = 1 + rnd.nextInt(10)
+      val hn = graft.operators.Search.hardNegatives(docs, "doc_id", "text",
+          terms, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(hn == hardNegativesModel(corpus.map(c => (c._1, c._2)), terms, k),
+        s"hardNegatives mismatch in program $p (terms $terms k $k)")
+
+      // 4) calibration on a random scored frame (negative margins,
+      // ties, single-value spans)
+      val rows = (0 until 3 + rnd.nextInt(40)).map { _ =>
+        (rnd.nextInt(2001).toLong - 1000L, rnd.nextInt(2).toLong)
+      }
+      val nBins = Seq(2, 4, 12)(rnd.nextInt(3))
+      val cal = graft.operators.Classify.calibration(
+          rows.toDF("margin", "y"), nBins)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(cal === calibrationModel(rows, nBins),
+        s"calibration mismatch in program $p (nBins $nBins)")
     }
   }
 }
