@@ -51,7 +51,9 @@ object Bench {
     "q203_drift_psi",       // snapshot drift gate, two-pass histogram (round 12)
     "q221_dsir_select",     // DSIR importance selection, hashed-ngram model (round 13)
     "q227_lm_curate_mix",   // mix flagship + per-source LM fluency gate (round 14)
-    "q228_dsir_admission")  // selection-aware admission vs the maintained model (round 14)
+    "q228_dsir_admission",  // selection-aware admission vs the maintained model (round 14)
+    "q229_hard_negatives",  // BM25 hard-negative mining, q87's scan shape (round 15)
+    "q230_temperature_mix") // isqrt temperature shares + budget allocation (round 15)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

@@ -2466,6 +2466,91 @@ object CatalogPipeline {
              |FROM tg LEFT JOIN eg ON tg.g = eg.g
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q233_decontaminate_by_set",
+      // per-BENCHMARK contamination attribution: the eval slice splits
+      // into three deterministic "benchmarks" (doc_id % 3), and every
+      // (train doc, benchmark) pair with at least one shared 5-gram
+      // reports its hit count and per-set flag — the removal-list
+      // grain a multi-benchmark pipeline actually consumes. Sparse
+      // long form: output is |actual leaks|, never |docs| × |sets|
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents").withColumn("split",
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05),
+            rest = "test"))
+        Decontaminate.evalOverlapBySet(
+          docs.filter(col("split") === "train"),
+          docs.filter(col("split") === "test")
+            .withColumn("bench", concat(lit("bench"), col("doc_id") % 3)),
+          "doc_id", "text", "bench", n = 5, flagAtPct = 20)
+          .orderBy("doc_id", "eval_set")
+      },
+      Some("""WITH s AS (SELECT doc_id, text,
+             |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, text,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |    FROM documents)),
+             |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok
+             |  FROM s WHERE split = 'train'),
+             |e AS (SELECT 'bench' || CAST(doc_id % 3 AS VARCHAR) AS eval_set,
+             |    string_split_regex(trim(lower(text)), '\s+') AS tok
+             |  FROM s WHERE split = 'test'),
+             |tg AS (SELECT doc_id, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+             |  ELSE list_distinct(list_transform(range(len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' '))) END) AS g FROM t),
+             |eg AS (SELECT DISTINCT eval_set, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+             |  ELSE list_distinct(list_transform(range(len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' '))) END) AS g FROM e),
+             |tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1)
+             |SELECT tg.doc_id, eg.eval_set, tot.n_grams,
+             |  CAST(count(*) AS BIGINT) AS n_hit,
+             |  (count(*) * 100 >= tot.n_grams * 20) AS contaminated
+             |FROM tg JOIN eg ON tg.g = eg.g JOIN tot ON tg.doc_id = tot.doc_id
+             |GROUP BY 1, 2, 3 ORDER BY tg.doc_id, eval_set""".stripMargin)),
+
+    QueryDef("q234_contamination_scorecard",
+      // per-(source, benchmark) governance rollup of q233: flagged-doc
+      // counts and exact ppm of each source — the "drop source X for
+      // this benchmark family" table, sparse over pairs with flags
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents").withColumn("split",
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05),
+            rest = "test"))
+        Decontaminate.contaminationBySource(
+          docs.filter(col("split") === "train"),
+          docs.filter(col("split") === "test")
+            .withColumn("bench", concat(lit("bench"), col("doc_id") % 3)),
+          "doc_id", "text", "source", "bench", n = 5, flagAtPct = 20)
+          .orderBy("source", "eval_set")
+      },
+      Some("""WITH s AS (SELECT doc_id, text, source,
+             |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, text, source,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |    FROM documents)),
+             |t AS (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS tok
+             |  FROM s WHERE split = 'train'),
+             |e AS (SELECT 'bench' || CAST(doc_id % 3 AS VARCHAR) AS eval_set,
+             |    string_split_regex(trim(lower(text)), '\s+') AS tok
+             |  FROM s WHERE split = 'test'),
+             |tg AS (SELECT doc_id, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+             |  ELSE list_distinct(list_transform(range(len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' '))) END) AS g FROM t),
+             |eg AS (SELECT DISTINCT eval_set, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+             |  ELSE list_distinct(list_transform(range(len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' '))) END) AS g FROM e),
+             |tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+             |fl AS (SELECT tg.doc_id, eg.eval_set
+             |  FROM tg JOIN eg ON tg.g = eg.g JOIN tot ON tg.doc_id = tot.doc_id
+             |  GROUP BY 1, 2, tot.n_grams HAVING count(*) * 100 >= tot.n_grams * 20),
+             |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM t GROUP BY 1)
+             |SELECT td.source, fl.eval_set, ps.n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_flagged,
+             |  CAST((count(*) * 1000000) // ps.n_docs AS BIGINT) AS flagged_ppm
+             |FROM fl JOIN (SELECT DISTINCT doc_id, source FROM t) td USING (doc_id)
+             |JOIN ps USING (source)
+             |GROUP BY 1, 2, 3 ORDER BY source, eval_set""".stripMargin)),
+
     QueryDef("q124_bloom_decontaminate",
       // q79's report through the UNBOUNDED-eval plan: no broadcast —
       // a bloom sketch of the eval n-gram hashes (built executor-side,

@@ -60,6 +60,72 @@ object Decontaminate {
         (col("n_hit") * 100 >= col("n_grams") * flagAtPct).as("contaminated"))
   }
 
+  /** Per-BENCHMARK contamination attribution: production pipelines
+    * decontaminate against MANY eval sets at once and need to know
+    * WHICH benchmark leaked into which training document — one
+    * aggregate verdict ([[evalOverlap]]) can't drive per-benchmark
+    * removal lists or report "source X is dirty against GSM-style
+    * sets but clean against code sets". `evals` carries a `setCol`
+    * label; output is one row per (train doc, eval set) WITH at least
+    * one shared n-gram: `(id, eval_set, n_grams, n_hit, contaminated)`,
+    * the flag firing per set at `flagAtPct`% of the doc's distinct
+    * grams. Sparse long form by design — at scale the output is
+    * |actual leaks|, never |docs| × |sets|.
+    *
+    * Scale shape: the per-set gram table is (set, gh)-distinct over
+    * the benchmark corpora (benchmarks are MBs — broadcast), the train
+    * corpus is shingled ONCE, and both the per-set hit counts and the
+    * per-doc gram totals are map-side-combined aggregations.
+    */
+  def evalOverlapBySet(train: DataFrame, evals: DataFrame, idCol: String,
+      textCol: String, setCol: String, n: Int = 5,
+      flagAtPct: Int = 20): DataFrame = {
+    require(flagAtPct >= 0 && flagAtPct <= 100, "flagAtPct in [0,100]")
+    val evalSets = evals.select(col(idCol).as("__eid"),
+      col(setCol).cast("string").as("eval_set"))
+    val setGrams = docNgramHashes(evals, idCol, textCol, n)
+      .join(evalSets, col("__id") === col("__eid"))
+      .select(col("eval_set"), col("gh")).distinct()
+    val trainGrams = docNgramHashes(train, idCol, textCol, n)
+    val totals = trainGrams.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    trainGrams.join(broadcast(setGrams), Seq("gh"))
+      .groupBy(col("__id"), col("eval_set"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(totals, Seq("__id"))
+      .select(col("__id").as(idCol), col("eval_set"), col("n_grams"),
+        col("n_hit"),
+        (col("n_hit") * 100 >= col("n_grams") * flagAtPct).as("contaminated"))
+  }
+
+  /** Per-(source, benchmark) contamination scorecard — the governance
+    * rollup of [[evalOverlapBySet]]: for every training source and
+    * every eval set, how many of the source's documents flag, as a
+    * count and exact ppm of the source. The table a data owner reads
+    * to decide "drop source X for this benchmark family" — and the
+    * drift-dashboard quantity to watch as new crawls land. Sources
+    * with no flagged docs against a set emit no row (sparse, like the
+    * attribution itself).
+    *
+    * Scale shape: the attribution's cost plus a source-grain
+    * aggregation; the per-source totals frame is |sources| rows,
+    * broadcast back.
+    */
+  def contaminationBySource(train: DataFrame, evals: DataFrame,
+      idCol: String, textCol: String, srcCol: String, setCol: String,
+      n: Int = 5, flagAtPct: Int = 20): DataFrame = {
+    val flagged = evalOverlapBySet(train, evals, idCol, textCol, setCol,
+      n, flagAtPct).filter(col("contaminated"))
+    val srcs = train.select(col(idCol), col(srcCol).cast("string").as("source"))
+    val perSrc = srcs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    flagged.join(srcs, Seq(idCol))
+      .groupBy(col("source"), col("eval_set"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .join(broadcast(perSrc), Seq("source"))
+      .select(col("source"), col("eval_set"), col("n_docs"),
+        col("n_flagged"),
+        expr("(n_flagged * 1000000) div n_docs").as("flagged_ppm"))
+  }
+
   /** FUZZY decontamination — flag training documents that are
     * NEAR-duplicates of any evaluation document (word-k-shingle Jaccard
     * at `threshold`), the paraphrase-leakage check exact n-gram overlap

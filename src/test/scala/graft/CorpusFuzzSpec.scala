@@ -410,6 +410,38 @@ class CorpusFuzzSpec extends SparkSpec {
       .sortBy { case (id, s, _) => (-s, id) }.take(k)
   }
 
+  /** evalOverlapBySet model: per (train doc, eval set) with ≥1 shared
+    * gram — sparse long form, flag at pct per set.
+    */
+  private def bySetModel(train: Seq[(Long, String)],
+      evals: Seq[(Long, String, String)], n: Int, pct: Int)
+      : Set[(Long, String, Long, Long, Boolean)] = {
+    val setGrams: Map[String, Set[String]] = evals.groupBy(_._3)
+      .map { case (s, ds) => s -> ds.flatMap(d => gramsOf(d._2, n)).toSet }
+    train.flatMap { case (id, t) =>
+      val g = gramsOf(t, n)
+      setGrams.toSeq.flatMap { case (set, eg) =>
+        val hit = g.count(eg.contains).toLong
+        if (hit > 0)
+          Some((id, set, g.size.toLong, hit, hit * 100 >= g.size.toLong * pct))
+        else None
+      }
+    }.toSet
+  }
+
+  private def scorecardModel(train: Seq[(Long, String, String)],
+      evals: Seq[(Long, String, String)], n: Int, pct: Int)
+      : Set[(String, String, Long, Long, Long)] = {
+    val flags = bySetModel(train.map(c => (c._1, c._2)), evals, n, pct)
+      .filter(_._5)
+    val srcOf = train.map(c => c._1 -> c._3).toMap
+    val nDocs = train.groupBy(_._3).map { case (s, ds) => s -> ds.size.toLong }
+    flags.groupBy(f => (srcOf(f._1), f._2)).map { case ((src, set), fs) =>
+      (src, set, nDocs(src), fs.size.toLong,
+        fs.size.toLong * 1000000L / nDocs(src))
+    }.toSet
+  }
+
   private def calibrationModel(rows: Seq[(Long, Long)], nBins: Int)
       : Set[(Long, Long, Long, Long, Long, Long)] = {
     val mn = rows.map(_._1).min; val mx = rows.map(_._1).max
@@ -472,6 +504,28 @@ class CorpusFuzzSpec extends SparkSpec {
           r.getLong(3), r.getLong(4), r.getLong(5))).toSet
       assert(cal === calibrationModel(rows, nBins),
         s"calibration mismatch in program $p (nBins $nBins)")
+
+      // 5) per-set decontamination attribution + the source scorecard
+      // (random eval slice split into two labeled "benchmarks")
+      val evalSets = corpus.filter(_ => rnd.nextInt(4) == 0)
+        .map(c => (c._1, c._2, s"b${c._1 % 2}"))
+      if (evalSets.nonEmpty) {
+        val n = Seq(2, 3, 5)(rnd.nextInt(3))
+        val pct = Seq(0, 20, 50, 100)(rnd.nextInt(4))
+        val evalDf = evalSets.toDF("doc_id", "text", "bench")
+        val bySet = graft.operators.Decontaminate.evalOverlapBySet(docs,
+            evalDf, "doc_id", "text", "bench", n, pct)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4))).toSet
+        assert(bySet === bySetModel(corpus.map(c => (c._1, c._2)), evalSets, n, pct),
+          s"evalOverlapBySet mismatch in program $p (n $n pct $pct)")
+        val sc = graft.operators.Decontaminate.contaminationBySource(sourced,
+            evalDf, "doc_id", "text", "source", "bench", n, pct)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        assert(sc === scorecardModel(corpus, evalSets, n, pct),
+          s"contaminationBySource mismatch in program $p (n $n pct $pct)")
+      }
     }
   }
 }

@@ -205,7 +205,13 @@ class PlanQualitySpec extends SparkSpec {
       // harvested 16; ceiling 18 because AQE flips 1-2 borderline
       // joins run-to-run in this 16-exchange chain (observed once)
       "q227_lm_curate_mix" -> 18,
-      "q228_dsir_admission" -> 1)
+      "q228_dsir_admission" -> 1,
+      // q229: q87's scan shape — tokenize explode, (doc, term) and
+      // doc-length aggregations, df agg, final per-doc agg; harvested 8
+      "q229_hard_negatives" -> 8,
+      // q230: one source-grain aggregation + the 1-row Σw total +
+      // final sort; harvested 4
+      "q230_temperature_mix" -> 4)
     // the pin set must track the headline set — a new headline query
     // without a recorded ceiling fails here, not silently unpinned
     assert(ceilings.keySet == Bench.headline.toSet,
