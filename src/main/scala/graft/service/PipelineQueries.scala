@@ -210,6 +210,47 @@ object PipelineQueries {
         if (ps("kept_only").asInstanceOf[Boolean]) out.filter(col("kept")) else out
       }))
 
+    service.register(PipelineQuery("decontaminate_by_set",
+      // the q233 surface: per-(train doc, benchmark) attribution —
+      // the eval slice splits into `sets` labeled benchmarks by id
+      // modulus; output is sparse over actual leaks
+      Seq(ParamSpec("sets", "long", required = false, default = Some(3L)),
+        ParamSpec("n", "long", required = false, default = Some(5L)),
+        ParamSpec("flag_at_pct", "long", required = false, default = Some(20L))),
+      ps => {
+        val sets = intParam(ps, "sets")
+        val pct = intParam(ps, "flag_at_pct", min = 0)
+        if (pct > 100) throw new BadRequestException("'flag_at_pct' must be <= 100")
+        val split = Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05), rest = "test")
+        graft.operators.Decontaminate.evalOverlapBySet(
+          docs.filter(split === "train"),
+          docs.filter(split === "test")
+            .withColumn("bench", concat(lit("bench"), col("doc_id") % sets)),
+          "doc_id", "text", "bench", intParam(ps, "n"), pct)
+          .orderBy("doc_id", "eval_set")
+      }))
+
+    service.register(PipelineQuery("contamination_scorecard",
+      // the q234 surface: flagged-doc ppm per (source, benchmark) —
+      // the governance rollup of decontaminate_by_set
+      Seq(ParamSpec("sets", "long", required = false, default = Some(3L)),
+        ParamSpec("n", "long", required = false, default = Some(5L)),
+        ParamSpec("flag_at_pct", "long", required = false, default = Some(20L))),
+      ps => {
+        val sets = intParam(ps, "sets")
+        val pct = intParam(ps, "flag_at_pct", min = 0)
+        if (pct > 100) throw new BadRequestException("'flag_at_pct' must be <= 100")
+        val split = Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05), rest = "test")
+        graft.operators.Decontaminate.contaminationBySource(
+          docs.filter(split === "train"),
+          docs.filter(split === "test")
+            .withColumn("bench", concat(lit("bench"), col("doc_id") % sets)),
+          "doc_id", "text", "source", "bench", intParam(ps, "n"), pct)
+          .orderBy("source", "eval_set")
+      }))
+
     service.register(PipelineQuery("curate_mix",
       // the q192 end-to-end training-mix surface: curate (gate → exact
       // dedup → split) → train only → per-source quota → epoch-weighted

@@ -91,7 +91,11 @@ object ScaleCheck {
     "q221_dsir_select",         // DSIR selection: 2 feature scans ×N, model fixed at nBuckets rows
     "q224_decontaminated_mix",  // curate -> decon -> quota -> mix: eval-gram broadcast ×N
     "q227_lm_curate_mix",       // LM-gated mix: vocab-grain LM joins + source-row means ×N
-    "q228_dsir_admission")      // batch scoring vs maintained model: nBuckets weights, batch scan ×N
+    "q228_dsir_admission",      // batch scoring vs maintained model: nBuckets weights, batch scan ×N
+    "q229_hard_negatives",      // BM25 mining: q87's explode + doc-grain aggs ×N
+    "q230_temperature_mix",     // source-grain agg + 1-row total ×N
+    "q231_vocab_coverage",      // vocab broadcast + (source, token) partial agg ×N
+    "q233_decontaminate_by_set") // per-set gram broadcast, train shingled once ×N
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)

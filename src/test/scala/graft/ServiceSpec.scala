@@ -110,6 +110,19 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("vocab_coverage", Map("top_k" -> "0"))
     }
+    // per-benchmark attribution: sparse rows, hits bounded by grams,
+    // scorecard ppm bounded; pct domain enforced
+    val dbs = service.runRegistered("decontaminate_by_set",
+      Map("sets" -> "2", "flag_at_pct" -> "0"))
+    assert(dbs.columns.sameElements(
+      Array("doc_id", "eval_set", "n_grams", "n_hit", "contaminated")))
+    assert(dbs.filter(col("n_hit") > col("n_grams") || col("n_hit") < 1).count() == 0)
+    val csc = service.runRegistered("contamination_scorecard", Map("sets" -> "2"))
+    assert(csc.filter(col("flagged_ppm") > 1000000L ||
+      col("n_flagged") > col("n_docs")).count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("decontaminate_by_set", Map("flag_at_pct" -> "101"))
+    }
     // mixture/chunking samplers: coerced params, domain checks
     val qs = service.runRegistered("quota_sample", Map("quota" -> "3"))
     assert(qs.columns.sameElements(Array("doc_id", "source", "lang")))
