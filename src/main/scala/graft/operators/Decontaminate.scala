@@ -79,16 +79,21 @@ object Decontaminate {
     */
   def evalOverlapBySet(train: DataFrame, evals: DataFrame, idCol: String,
       textCol: String, setCol: String, n: Int = 5,
-      flagAtPct: Int = 20): DataFrame = {
+      flagAtPct: Int = 20, broadcastEval: Boolean = true): DataFrame = {
     require(flagAtPct >= 0 && flagAtPct <= 100, "flagAtPct in [0,100]")
     val evalSets = evals.select(col(idCol).as("__eid"),
       col(setCol).cast("string").as("eval_set"))
-    val setGrams = docNgramHashes(evals, idCol, textCol, n)
+    val setGrams0 = docNgramHashes(evals, idCol, textCol, n)
       .join(evalSets, col("__id") === col("__eid"))
       .select(col("eval_set"), col("gh")).distinct()
+    // `broadcastEval` (default true) asserts the per-set gram table is
+    // benchmark-sized; pass false when `evals` is a corpus-proportional
+    // slice that would not fit an executor (r15 advice #2 — matches
+    // evalOverlap's escape hatch)
+    val setGrams = if (broadcastEval) broadcast(setGrams0) else setGrams0
     val trainGrams = docNgramHashes(train, idCol, textCol, n)
     val totals = trainGrams.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
-    trainGrams.join(broadcast(setGrams), Seq("gh"))
+    trainGrams.join(setGrams, Seq("gh"))
       .groupBy(col("__id"), col("eval_set"))
       .agg(count(lit(1)).as("n_hit"))
       .join(totals, Seq("__id"))
@@ -112,9 +117,10 @@ object Decontaminate {
     */
   def contaminationBySource(train: DataFrame, evals: DataFrame,
       idCol: String, textCol: String, srcCol: String, setCol: String,
-      n: Int = 5, flagAtPct: Int = 20): DataFrame = {
+      n: Int = 5, flagAtPct: Int = 20,
+      broadcastEval: Boolean = true): DataFrame = {
     val flagged = evalOverlapBySet(train, evals, idCol, textCol, setCol,
-      n, flagAtPct).filter(col("contaminated"))
+      n, flagAtPct, broadcastEval).filter(col("contaminated"))
     val srcs = train.select(col(idCol), col(srcCol).cast("string").as("source"))
     val perSrc = srcs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     flagged.join(srcs, Seq(idCol))

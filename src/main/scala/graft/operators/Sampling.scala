@@ -222,12 +222,19 @@ object Sampling {
     * flattened by raising counts to a power α < 1, so head sources
     * stop drowning tail sources without inverting the order. α is
     * expressed as `0.5^sqrtApplications` (1 → √n, the common T = 2;
-    * 2 → n^¼) because integer `floor(sqrt(·))` chains are the one
-    * power family BOTH engines reproduce bit-exactly: `sqrt` of an
-    * exact integer is correctly rounded in IEEE-754 everywhere,
-    * `floor` lands it back in int64, and every division afterwards is
+    * 2 → n^¼) because integer `floor(sqrt(cast(· as double)))` chains
+    * are a power family both engines reproduce identically: the
+    * int64→double cast is the same IEEE-754 rounding everywhere,
+    * `sqrt` of a double is correctly rounded everywhere, `floor`
+    * lands it back in int64, and every division afterwards is
     * integer — no libm `pow` (whose last ulp differs across
-    * implementations) anywhere in the plan.
+    * implementations) anywhere in the plan. Domain note: for
+    * `avail_tokens` ≤ 2^53 per source this IS true integer sqrt; above
+    * that the shared initial cast is lossy, so the result can differ
+    * from exact isqrt by an ulp — cross-engine agreement still holds
+    * (all implementations share the cast), but treat per-source token
+    * counts beyond 2^53 (~9e15 — thousands of TB of text) as outside
+    * the exactness contract.
     *
     * Output, one row per source: available docs/tokens, the flattened
     * weight `w = isqrt^k(avail_tokens)`, its share in ppm, the token
@@ -260,9 +267,12 @@ object Sampling {
         expr("(w * 1000000) div greatest(w_total, 1)"))
       // (budget · w) div total computed as w·(budget div total) +
       // (w·(budget mod total)) div total — algebraically identical
-      // (budget = q·total + r), but the largest intermediate is
-      // w·(total−1) instead of budget·w, so a 100 TB-scale token
-      // budget times a large source weight cannot overflow int64
+      // (budget = q·total + r), and the largest intermediate drops
+      // from budget·w to w·(total−1), so a 100 TB-scale token budget
+      // times a large source weight stays inside int64. Domain note:
+      // w·w_total itself can reach ~1.2× the corpus's total tokens,
+      // so int64 safety holds for corpora up to ~7.6e18 total tokens
+      // (millions of TB) — not unconditionally (r15 advice #3)
       .withColumn("target_tokens",
         expr(s"w * (${budgetTokens}L div greatest(w_total, 1)) + " +
           s"(w * (${budgetTokens}L % greatest(w_total, 1))) div greatest(w_total, 1)"))

@@ -410,8 +410,14 @@ object Search {
     */
   def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
-    val (tf, dl) = termFrequencies(docs, idCol, textCol, terms)
+    // n_terms_matched counts DISTINCT matched terms, so the
+    // all-terms-matched exclusion must compare against the DISTINCT
+    // query size — dedupe here so every caller (REST included, which
+    // passes user input verbatim) gets the documented contract even
+    // when the query repeats a term (r15 advice #1)
+    val ts = terms.distinct
+    require(ts.nonEmpty, "terms must be non-empty")
+    val (tf, dl) = termFrequencies(docs, idCol, textCol, ts)
     val stats = docs.agg(count(lit(1)).as("n"))
       .crossJoin(dl.agg(sum("dl").as("total")))
       .select(col("n"), expr("total div n").as("avgdl"))
@@ -424,14 +430,15 @@ object Search {
       .groupBy("__id")
       .agg(sum("contrib").as("score"),
         count(lit(1)).cast("long").as("n_terms_matched"))
-      .filter(col("n_terms_matched") < terms.size)
+      .filter(col("n_terms_matched") < ts.size)
       .select(col("__id").as(idCol), col("score"), col("n_terms_matched"))
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }
 
   def hardNegativesOracleSql(tableName: String, idCol: String, textCol: String,
       terms: Seq[String], k: Int): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val ts = terms.distinct // mirror the operator's dedupe (r15 advice #1)
+    val termList = ts.map(t => s"'$t'").mkString(", ")
     s"""WITH tk AS (
        |  SELECT $idCol AS id, unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS t
        |  FROM $tableName WHERE length(trim($textCol)) > 0),
@@ -445,7 +452,7 @@ object Search {
        |           ((tf.tf * 20000 * st.avgdl) // (tf.tf * st.avgdl + dl.dl))) AS BIGINT) AS score,
        |  CAST(count(*) AS BIGINT) AS n_terms_matched
        |FROM tf JOIN df USING (t) JOIN dl USING (id) CROSS JOIN st
-       |GROUP BY 1 HAVING count(*) < ${terms.size}
+       |GROUP BY 1 HAVING count(*) < ${ts.size}
        |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
   }
 

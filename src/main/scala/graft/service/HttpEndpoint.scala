@@ -655,24 +655,32 @@ object HttpEndpoint {
     * (NdjsonDrain's constructor), so a mid-stream failure is rare —
     * a persisted block evicted AND its store files compacted away, or
     * executor loss — but when it happens the client has already seen
-    * `HTTP 200`. The truncation contract: on failure the drain writes
-    * one in-band `{"error": ...}` object with NO trailing newline and
-    * aborts. A complete response is complete JSON lines each ending in
-    * `\n`; a final line that is an error object, or any line missing
-    * its terminator, means truncation — clients can distinguish the
-    * two without trusting chunked-encoding framing.
+    * `HTTP 200`. The truncation contract: a complete response is
+    * complete JSON lines each ending in `\n`. On failure AT a line
+    * boundary the drain writes one in-band `{"error": ...}` object
+    * with NO trailing newline and aborts; on failure MID-line it
+    * writes nothing more (appending the marker there would
+    * concatenate onto the partial line and malform both — r15 advice
+    * #4), so the partial unterminated line is itself the signal. A
+    * client therefore checks ONE thing — does the body end in `\n`? —
+    * and, when it does not, may find a well-formed error object in
+    * the final line explaining why.
     */
   private[graft] def drainNdjson(os: java.io.OutputStream,
       lines: Iterator[String]): Unit = {
+    var atBoundary = true // no partial line on the wire yet
     try {
       lines.foreach { line =>
+        atBoundary = false
         os.write(line.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+        atBoundary = true
       }
       os.close()
     } catch {
       case t: Throwable =>
-        try os.write(err(t.getMessage).getBytes(StandardCharsets.UTF_8))
-        catch { case _: java.io.IOException => () } // socket already gone
+        if (atBoundary)
+          try os.write(err(t.getMessage).getBytes(StandardCharsets.UTF_8))
+          catch { case _: java.io.IOException => () } // socket already gone
         throw new MidStreamFailure(t)
     }
   }

@@ -406,7 +406,7 @@ class CorpusFuzzSpec extends SparkSpec {
         ((n * 10000) / df(t)) * ((f * 20000 * avgdl) / (f * avgdl + dl(id)))
       }.sum
       (id, score, rs.size.toLong)
-    }.filter(_._3 < terms.size)
+    }.filter(_._3 < terms.distinct.size) // operator dedupes (r15 advice #1)
       .sortBy { case (id, s, _) => (-s, id) }.take(k)
   }
 
@@ -482,9 +482,13 @@ class CorpusFuzzSpec extends SparkSpec {
         s"vocabCoverage mismatch in program $p (topK $topK)")
 
       // 3) hardNegatives with random query terms from the pool (the
-      // generator's dup rate yields docs matching all, some, and none)
-      val terms = rnd.shuffle(wordPool.toSeq).take(1 + rnd.nextInt(3))
+      // generator's dup rate yields docs matching all, some, and none);
+      // half the programs REPEAT a term — the operator must dedupe so the
+      // all-terms-matched exclusion still fires (r15 advice #1)
+      val baseTerms = rnd.shuffle(wordPool.toSeq).take(1 + rnd.nextInt(3))
         .map(_.toLowerCase).distinct
+      val terms =
+        if (rnd.nextBoolean()) baseTerms ++ baseTerms.take(1) else baseTerms
       val k = 1 + rnd.nextInt(10)
       val hn = graft.operators.Search.hardNegatives(docs, "doc_id", "text",
           terms, k)

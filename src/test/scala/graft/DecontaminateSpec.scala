@@ -61,6 +61,48 @@ class DecontaminateSpec extends SparkSpec {
     assert(x === y)
   }
 
+  test("evalOverlapBySet broadcastEval=false is bit-identical to the " +
+      "broadcast path and its plan carries no BroadcastHashJoin on the " +
+      "gram probe (r15 advice #2: the escape hatch for corpus-sized evals)") {
+    val evalSets = eval_.union(Seq((11L, "p q r s t u")).toDF("doc_id", "text"))
+      .withColumn("eval_set",
+        when($"doc_id" === 10L, "gsm").otherwise("code"))
+    val a = Decontaminate.evalOverlapBySet(train, evalSets, "doc_id", "text",
+      "eval_set", n = 5, flagAtPct = 20).orderBy("doc_id", "eval_set").collect()
+    val b = Decontaminate.evalOverlapBySet(train, evalSets, "doc_id", "text",
+      "eval_set", n = 5, flagAtPct = 20, broadcastEval = false)
+      .orderBy("doc_id", "eval_set").collect()
+    assert(a === b)
+    assert(a.nonEmpty)
+    // the hatch must actually disengage the broadcast hint: with AQE off
+    // and the auto-broadcast threshold disabled, the non-broadcast plan's
+    // gram-probe join is shuffle-based
+    val conf = spark.conf
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Decontaminate.evalOverlapBySet(train, evalSets, "doc_id",
+        "text", "eval_set", n = 5, broadcastEval = false)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcastEval=false must not hint a broadcast, plan:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // contaminationBySource threads the hatch through
+    val srcTrain = train.withColumn("source", lit("crawl"))
+    val s1 = Decontaminate.contaminationBySource(srcTrain, evalSets, "doc_id",
+      "text", "source", "eval_set", n = 5, flagAtPct = 20)
+      .orderBy("source", "eval_set").collect()
+    val s2 = Decontaminate.contaminationBySource(srcTrain, evalSets, "doc_id",
+      "text", "source", "eval_set", n = 5, flagAtPct = 20,
+      broadcastEval = false).orderBy("source", "eval_set").collect()
+    assert(s1 === s2)
+  }
+
   test("bloom path: empty eval corpus yields zero hits, not a crash") {
     val out = Decontaminate.evalOverlapBloom(train, eval_.limit(0),
       "doc_id", "text", n = 5, flagAtPct = 20).orderBy("doc_id")

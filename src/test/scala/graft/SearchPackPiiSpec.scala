@@ -60,6 +60,19 @@ class SearchPackPiiSpec extends SparkSpec {
       Seq("spark", "merge"), k = 1).count() == 1L)
     intercept[IllegalArgumentException](
       Search.hardNegatives(docs, "doc_id", "text", Nil, k = 5))
+    // duplicate query terms are deduped, so the positive exclusion still
+    // fires (r15 advice #1: before the fix, terms=[spark,spark,merge] made
+    // the < terms.size threshold unreachable and full matches leaked out)
+    val dup = Search.hardNegatives(docs, "doc_id", "text",
+        Seq("spark", "spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dup.toSeq == out.toSeq,
+      "duplicated terms must behave exactly like the deduped query")
+    assert(Search.hardNegativesOracleSql("documents", "doc_id", "text",
+        Seq("spark", "spark", "merge"), 10) ==
+      Search.hardNegativesOracleSql("documents", "doc_id", "text",
+        Seq("spark", "merge"), 10),
+      "the oracle must mirror the operator's dedupe")
   }
 
   test("concatChunk: offsets, spans, and bucket-boundary correctness") {

@@ -1510,4 +1510,30 @@ class ServiceSpec extends SparkSpec {
     assert(last.contains("\"error\"") && !badTxt.endsWith("\n"),
       s"truncation must be in-band and unterminated, got: $badTxt")
   }
+
+  test("drainNdjson mid-line failure: when the line bytes landed but the " +
+      "terminator write failed, NO marker is appended (it would concatenate " +
+      "onto the partial line) — the unterminated data line is the signal " +
+      "(r15 advice #4)") {
+    import graft.service.HttpEndpoint
+    // an OutputStream that accepts line bytes but dies on the '\n' write
+    val sink = new java.io.ByteArrayOutputStream()
+    val flaky = new java.io.OutputStream {
+      override def write(b: Int): Unit = {
+        if (b == '\n'.toInt && sink.size() > 8) // second line's terminator
+          throw new java.io.IOException("socket reset mid-line")
+        sink.write(b)
+      }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        sink.write(b, off, len)
+    }
+    val thrown = intercept[HttpEndpoint.MidStreamFailure](
+      HttpEndpoint.drainNdjson(flaky, Iterator("{\"a\":1}", "{\"a\":2}")))
+    assert(thrown.getCause.getMessage.contains("mid-line"))
+    val txt = sink.toString("UTF-8")
+    // first line complete, second line partial, and crucially NOT followed
+    // by a concatenated {"error": ...} object
+    assert(txt == "{\"a\":1}\n{\"a\":2}",
+      s"mid-line failure must leave the partial line bare, got: $txt")
+  }
 }
