@@ -326,4 +326,49 @@ class BenchSpec extends AnyFunSuite {
       certified = Seq("q" -> -1.0))
     assert(Bench.readLedger(floors)("q").size == 3)
   }
+
+  test("window admission cap: a reading above 3x the query's window floor " +
+      "never enters — even probe-certified (BENCH_r15: q191 requalified at " +
+      "9.459 s, 19x floor, inside a quiet CPU-probe bracket; memory-bandwidth " +
+      "contention is invisible to the arithmetic probe). Honest 1-1.5x " +
+      "readings still age stale floors; first readings always enter") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "benchspec-cap")
+    val floors = dir.resolve("floors.json")
+    val notes = dir.resolve("BENCHNOTES.md")
+    Files.write(floors,
+      ("""{"__probe":{"floor":0.200,"window":[[1,0.200]]},""" +
+       """"q":{"floor":0.500,"window":[[1,0.500]]}}""").getBytes("UTF-8"))
+    // the r15 shape: certified requal reading at 19x floor — rejected
+    Bench.updateFloors(Nil, 0.205, 0.210, floors, notes, nowMillis = 100L,
+      certified = Seq("q" -> 9.459))
+    assert(Bench.readLedger(floors)("q").map(_._2) == Seq(0.500),
+      "a 19x-floor reading must not enter the window")
+    // quiet-sweep reading at 3.2x floor — also rejected (same cap: the
+    // 2x verdict gate reports regressions; the floor never rises to meet one)
+    Bench.updateFloors(Seq("q" -> 1.620), 0.205, 0.210, floors, notes,
+      nowMillis = 150L)
+    assert(Bench.readLedger(floors)("q").map(_._2) == Seq(0.500))
+    // honest daily variance (1.4x) enters and can later age the floor out
+    Bench.updateFloors(Seq("q" -> 0.700), 0.205, 0.210, floors, notes,
+      nowMillis = 200L)
+    assert(Bench.readLedger(floors)("q").map(_._2) == Seq(0.500, 0.700))
+    // a query with NO window yet always admits its first reading
+    Bench.updateFloors(Seq("fresh" -> 4.000), 0.205, 0.210, floors, notes,
+      nowMillis = 300L)
+    assert(Bench.readLedger(floors)("fresh").map(_._2) == Seq(4.000))
+    // the cap keys on the WINDOW floor, not the all-time value: once the
+    // lucky 0.500 ages out, the cap follows the honest window
+    (1 to Bench.floorWindowK).foreach { i =>
+      Bench.updateFloors(Seq("q" -> 0.700), 0.205, 0.210, floors, notes,
+        nowMillis = 300L + i)
+    }
+    val aged = Bench.readLedger(floors)("q")
+    assert(aged.map(_._2).forall(_ == 0.700) &&
+      aged.size == Bench.floorWindowK,
+      s"lucky floor must age out under the cap: $aged")
+    Bench.updateFloors(Seq("q" -> 2.000), 0.205, 0.210, floors, notes,
+      nowMillis = 400L)
+    assert(Bench.readLedger(floors)("q").map(_._2).last == 2.000,
+      "2.9x the aged floor is admissible once the window is honest")
+  }
 }
