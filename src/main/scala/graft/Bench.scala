@@ -53,7 +53,11 @@ object Bench {
     "q227_lm_curate_mix",   // mix flagship + per-source LM fluency gate (round 14)
     "q228_dsir_admission",  // selection-aware admission vs the maintained model (round 14)
     "q229_hard_negatives",  // BM25 hard-negative mining, q87's scan shape (round 15)
-    "q230_temperature_mix") // isqrt temperature shares + budget allocation (round 15)
+    "q230_temperature_mix", // isqrt temperature shares + budget allocation (round 15)
+    "q235_dedup_span_removal", // keep-first exact-substring excision (round 16)
+    "q236_lm_tiers",        // CCNet per-language LM head/middle/tail (round 16)
+    "q237_curriculum",      // staged curriculum schedule, two-level prefix (round 16)
+    "q238_contrastive_pairs") // near-dup positives + exact jaccard (round 16)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

@@ -3455,5 +3455,163 @@ object CatalogPipeline {
              |  CAST(max(margin) AS BIGINT) AS margin_hi,
              |  CAST((sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000)
              |    // count(*) AS BIGINT) AS pos_rate_ppm
-             |FROM sc CROSS JOIN sp GROUP BY 1 ORDER BY bin""".stripMargin)))
+             |FROM sc CROSS JOIN sp GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    QueryDef("q235_dedup_span_removal",
+      // exact-substring duplicate-span REMOVAL (Lee et al. 2022,
+      // keep-first): every 8-token window also present in a LOWER-id
+      // doc marks its positions covered; covered tokens are excised
+      // and the cleaned text is certified via md5 — the oracle
+      // re-derives coverage from window TEXT, so a hash match also
+      // certifies the digest path collision-free AND the HOF excision
+      // arithmetic against an independent position-join formulation
+      (s, d) => Dedup.removeDupSpans(Tpch.table(s, d, "documents"),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH d0 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+             |    ELSE string_split_regex(trim(text), '\s+') END AS tk FROM documents),
+             |w AS (SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS win
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+             |        FROM d0 WHERE len(tk) >= 8)),
+             |own AS (SELECT win, min(doc_id) AS owner FROM w GROUP BY 1),
+             |cov AS (SELECT DISTINCT doc_id, j FROM (
+             |  SELECT w.doc_id, unnest(generate_series(w.i, w.i + 7)) AS j
+             |  FROM w JOIN own USING (win) WHERE w.doc_id > own.owner)),
+             |pos AS (SELECT doc_id, j, tk[j] AS tok
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS j
+             |        FROM d0 WHERE len(tk) >= 1)),
+             |kept AS (SELECT p.doc_id, p.j, p.tok FROM pos p
+             |  LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.j = c.j
+             |  WHERE c.j IS NULL),
+             |ag AS (SELECT doc_id, count(*) AS n_kept,
+             |  string_agg(tok, ' ' ORDER BY j) AS cleaned FROM kept GROUP BY 1)
+             |SELECT d0.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             |  CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+             |  CAST((len(tk) - coalesce(n_kept, 0)) * 10000
+             |    // greatest(len(tk), 1) AS BIGINT) AS removed_pm,
+             |  md5(coalesce(cleaned, '')) AS cleaned_fp
+             |FROM d0 LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q236_lm_tiers",
+      // CCNet-style per-language LM tiering: the q107 bigram model
+      // (trained on the same md5 hash-split 'train' slice) scores
+      // EVERY scoreable doc, and ntile(3) per language over the
+      // deterministic (score desc, id) order labels head/middle/tail
+      // — the relative-per-language cut CCNet uses instead of a global
+      // absolute gate. Integer scores make the tiling engine-exact
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents").withColumn("split",
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05),
+            rest = "test"))
+        TextAnalysis.lmTiers(docs.filter(col("split") === "train"), docs,
+          "doc_id", "text", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, text,
+             |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, text,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |    FROM documents)),
+             |t0 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+             |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk, split FROM s),
+             |c1 AS (SELECT w, count(*) AS c1
+             |  FROM (SELECT unnest(tk) AS w FROM t0 WHERE split = 'train') GROUP BY 1),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM (
+             |    SELECT tk[i] AS w1, tk[i+1] AS w2
+             |    FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+             |          FROM t0 WHERE split = 'train' AND len(tk) >= 2))
+             |  GROUP BY 1, 2),
+             |v AS (SELECT count(*) AS v FROM c1),
+             |ab AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+             |        FROM t0 WHERE len(tk) >= 2)),
+             |p AS (SELECT doc_id,
+             |    ((coalesce(c2.c2, 0) + 1) * 1000000) // greatest(coalesce(c1.c1, 0) + v.v, 1) AS p_ppm
+             |  FROM ab LEFT JOIN c2 USING (w1, w2)
+             |    LEFT JOIN c1 ON ab.w1 = c1.w CROSS JOIN v),
+             |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS score_ppm
+             |  FROM p GROUP BY 1),
+             |tiered AS (SELECT sc.doc_id, d.lang, sc.n_bigrams, sc.score_ppm,
+             |  CAST(ntile(3) OVER (PARTITION BY d.lang
+             |    ORDER BY sc.score_ppm DESC, sc.doc_id) AS BIGINT) AS bucket
+             |  FROM sc JOIN documents d USING (doc_id))
+             |SELECT doc_id, lang, n_bigrams, score_ppm, bucket,
+             |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+             |       ELSE 'middle' END AS tier
+             |FROM tiered ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q237_curriculum",
+      // deterministic curriculum schedule: equal-width difficulty
+      // stages over n_chars, md5 within-stage shuffle (q77's bucket
+      // machinery), exclusive token prefix sum over the full
+      // (stage, shuffle, id) order, optimizer step at 2000 tokens per
+      // step. The Spark side computes the prefix as the Packing
+      // two-level bucketed cumsum; the oracle states the single
+      // global window it must equal
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        Sampling.curriculumSchedule(docs, "doc_id", col("n_chars"),
+            TextAnalysis.tokenCount(col("text")),
+            nStages = 4, tokensPerStep = 2000L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d0 AS (SELECT doc_id, n_chars AS difficulty,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS h
+             |  FROM documents),
+             |b AS (SELECT min(difficulty) AS lo, max(difficulty) AS hi FROM d0),
+             |st AS (SELECT doc_id, difficulty, n_tokens, h,
+             |    1 + (difficulty - lo) * 4 // (hi - lo + 1) AS stage
+             |  FROM d0 CROSS JOIN b),
+             |off AS (SELECT doc_id, difficulty, stage, h AS shuffle_key, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY stage, h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS start_offset
+             |  FROM st)
+             |SELECT doc_id, CAST(difficulty AS BIGINT) AS difficulty,
+             |  CAST(stage AS BIGINT) AS stage,
+             |  CAST(shuffle_key AS BIGINT) AS shuffle_key,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens, start_offset,
+             |  start_offset // 2000 AS step
+             |FROM off ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q238_contrastive_pairs",
+      // contrastive positive-pair mining: q76's near-dup clusters as
+      // free positives — every non-canonical member pairs with its
+      // cluster rep (min id), scored by EXACT k-shingle Jaccard in
+      // per-myriad integers (the anchor→rep edge may be transitive,
+      // so the score is computed, not inherited from the LSH pair).
+      // The oracle recomputes clusters exhaustively (O(n²) + recursive
+      // min-propagation) and the pair scores from raw shingle sets
+      (s, d) => Dedup.contrastivePairs(Tpch.table(s, d, "documents"),
+          "doc_id", "text", k = 3, numHashes = 24, bands = 8,
+          threshold = 0.5, sigs = Some(docSignatures(s, d, 3, 24)))
+        .orderBy("anchor_id"),
+      Some(s"""WITH RECURSIVE s AS ($shingleSql),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p
+           |  UNION ALL SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+           |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep
+           |  FROM reach GROUP BY id),
+           |an AS (SELECT doc_id AS anchor_id, rep AS positive_id
+           |  FROM comp WHERE doc_id <> rep)
+           |SELECT an.anchor_id, an.positive_id,
+           |  CAST(len(list_intersect(sa.sh, sp.sh)) AS BIGINT) AS n_inter,
+           |  CAST(len(sa.sh) + len(sp.sh) - len(list_intersect(sa.sh, sp.sh))
+           |    AS BIGINT) AS n_union,
+           |  CAST(len(list_intersect(sa.sh, sp.sh)) * 10000
+           |    // greatest(len(sa.sh) + len(sp.sh) - len(list_intersect(sa.sh, sp.sh)), 1)
+           |    AS BIGINT) AS jaccard_pm
+           |FROM an JOIN s sa ON sa.doc_id = an.anchor_id
+           |  JOIN s sp ON sp.doc_id = an.positive_id
+           |ORDER BY anchor_id""".stripMargin)))
 }

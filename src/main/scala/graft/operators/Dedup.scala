@@ -376,6 +376,122 @@ object Dedup {
         expr("n_novel * 10000 div greatest(n_windows, 1)"))
   }
 
+  /** Contrastive POSITIVE-pair mining for retrieval/embedding-model
+    * training — the complement of [[graft.operators.Search]]'s
+    * hard-negative stage: near-duplicate clusters are free positives
+    * (two crawls of the same page, a lightly-edited repost, a
+    * re-wrapped document SHOULD embed close), so every non-canonical
+    * cluster member pairs with its cluster representative (min id,
+    * same canonicalization as the dedup keep-list) as
+    * `(anchor_id, positive_id)`. The pair ships with its EXACT
+    * k-shingle Jaccard in per-myriad integers — the anchor→rep edge
+    * may be transitive (A~B~C with A~C below threshold), and training
+    * pipelines weight or floor pairs by this score.
+    *
+    * Clusters come from [[minhashNearDups]] candidates + connected
+    * components ([[GraphAnalytics.connectedComponents]]), exactly the
+    * q76 dedup-cluster chain; singleton documents produce no pair.
+    *
+    * Returns `(anchor_id, positive_id, n_inter, n_union, jaccard_pm)`
+    * — integer set sizes, so the score is bit-exact on any engine.
+    *
+    * Scale shape: the LSH chain is banded equi-joins (never
+    * all-pairs); components iterate shuffle-bounded; the pair scoring
+    * is [[jaccardForPairs]]'s two hash joins, linear in the pair
+    * count, and pairs are |non-canonical cluster members| — a small
+    * fraction of the corpus by construction.
+    */
+  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 24, bands: Int = 8,
+      threshold: Double = 0.5, sigs: Option[DataFrame] = None): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, k, numHashes, bands,
+      threshold, sigs)
+    val comps = GraphAnalytics.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      df.select(col(idCol).as("id")))
+    val anchors = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as("anchor_id"), col("component").as("positive_id"))
+    val sh = df.select(col(idCol).as("__sid"),
+      array_distinct(shingles(col(textCol), k)).as("__sh"))
+    anchors
+      .join(sh.select(col("__sid").as("anchor_id"), col("__sh").as("__sha")),
+        Seq("anchor_id"))
+      .join(sh.select(col("__sid").as("positive_id"), col("__sh").as("__shp")),
+        Seq("positive_id"))
+      .select(col("anchor_id"), col("positive_id"),
+        size(array_intersect(col("__sha"), col("__shp"))).cast("long")
+          .as("n_inter"),
+        size(array_union(col("__sha"), col("__shp"))).cast("long")
+          .as("n_union"))
+      .withColumn("jaccard_pm",
+        expr("n_inter * 10000 div greatest(n_union, 1)"))
+  }
+
+  /** Exact-substring duplicate-span REMOVAL — the cleanup stage the
+    * span statistics ([[dupSpans]]) and the novelty audit
+    * ([[noveltyScores]]) feed: excise every RECYCLED k-token window
+    * from each document's text, keep-first semantics (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * adapted from byte-suffix-arrays to the engine's token-window
+    * digest machinery). A window is recycled in document D when the
+    * same k tokens appear in ANY lower-id document (id order = arrival
+    * order, as in [[noveltyScores]]); every token position covered by
+    * at least one recycled window is removed, and the surviving tokens
+    * re-join in order. The first appearance always keeps its text —
+    * boilerplate is cut from every COPY, never from the original — and
+    * a within-document repeat of a window the document itself owns is
+    * kept (directional semantics, same as the novelty audit).
+    *
+    * Returns `(id, n_tokens, n_removed, removed_pm, cleaned_fp)` for
+    * EVERY document — `cleaned_fp` is md5 of the space-joined kept
+    * tokens (md5("") when everything was cut), so an oracle certifies
+    * the exact reconstructed text without shipping it.
+    *
+    * Scale shape: the [[dupSpans]] digest discipline — window text
+    * reduces map-side to a 16-byte md5, one groupBy(digest) computes
+    * the min owner, and only RECYCLED (digest, position) rows join
+    * back. Each document's covered-start list is then a row-local
+    * array (bounded by the document's own window count), and the
+    * excision is pure higher-order column arithmetic over the
+    * materialized token array — no second corpus explode, nothing
+    * collects to the driver.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "window size must be positive")
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val w = base.filter(size(col("__tk")) >= k)
+      .select(col("__id"), col("__tk"),
+        explode(sequence(lit(1), size(col("__tk")) - k + 1)).as("__i"))
+      .select(col("__id"), col("__i"),
+        unhex(md5(concat_ws(" ", slice(col("__tk"), col("__i"), lit(k))))).as("__wh"))
+    val owners = w.groupBy("__wh").agg(min(col("__id")).as("__owner"))
+    val starts = w.join(owners, Seq("__wh"))
+      .filter(col("__id") > col("__owner"))
+      .groupBy("__id").agg(sort_array(collect_set(col("__i"))).as("__starts"))
+    base.join(starts, Seq("__id"), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      // kept positions: 1..n minus every [s, s+k-1] covered range.
+      // sequence(1, 0) would generate DESCENDING [1, 0] — guard the
+      // empty-document case explicitly
+      .withColumn("__kept",
+        when(size(col("__tk")) === 0, array().cast("array<int>"))
+          .otherwise(filter(
+            sequence(lit(1), size(col("__tk"))),
+            j => !exists(col("__starts"),
+              s => j >= s && j <= s + lit(k - 1)))))
+      .select(col("__id").as(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long").as("n_removed"),
+        expr(s"CAST((size(__tk) - size(__kept)) * 10000 " +
+          "div greatest(size(__tk), 1) AS BIGINT)").as("removed_pm"),
+        md5(concat_ws(" ",
+          transform(col("__kept"), j => element_at(col("__tk"), j)))
+          .cast("binary")).as("cleaned_fp"))
+  }
+
   /** Winnowing document fingerprints (the MOSS scheme, Schleimer et
     * al. 2003): hash every char `k`-gram, slide a window of `w`
     * consecutive hashes, select each window's minimum (rightmost on

@@ -282,4 +282,66 @@ object Sampling {
         col("w"), col("weight_ppm"), col("target_tokens"),
         col("deficit_tokens"))
   }
+
+  /** Deterministic CURRICULUM schedule — the training-order manifest
+    * for difficulty-staged pretraining (curriculum learning: feed
+    * easier documents first, harden over the run): documents bin into
+    * `nStages` equal-WIDTH difficulty stages, shuffle deterministically
+    * within each stage (the [[hashBucket]] md5 key — partitioning- and
+    * engine-stable, unlike `rand(seed)`), and the exclusive token
+    * prefix sum over the full (stage, shuffle_key, id) order assigns
+    * every document its `start_offset` and optimizer `step` at
+    * `tokensPerStep` tokens per step. Equal-width binning (not ntile)
+    * keeps the stage a pure per-row function of (difficulty, corpus
+    * min/max): no global sort decides membership, ties share a stage,
+    * and appending documents never reshuffles existing stages unless
+    * the min/max moves.
+    *
+    * Returns `(id, difficulty, stage, shuffle_key, n_tokens,
+    * start_offset, step)`; global training order = ORDER BY
+    * (stage, shuffle_key, id).
+    *
+    * Scale shape: the min/max bounds are a broadcast 1-row aggregate;
+    * the prefix sum is the [[Packing]] two-level bucketed cumsum —
+    * local windows over (stage, shuffle-bucket) partitions plus a
+    * broadcast bases frame of |stages| × |shuffle buckets ÷ 4096|
+    * rows — never one global window. Because the shuffle-bucket
+    * coarsening `shuffle_key div 4096` is monotone in `shuffle_key`,
+    * the two-level sum equals the single global-window prefix an
+    * oracle states.
+    */
+  def curriculumSchedule(df: DataFrame, idCol: String, difficulty: Column,
+      nTokens: Column, nStages: Int, tokensPerStep: Long,
+      shuffleBuckets: Int = 1000000): DataFrame = {
+    require(nStages >= 1, "nStages must be >= 1")
+    require(tokensPerStep > 0, "tokensPerStep must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      difficulty.cast("long").as("difficulty"),
+      nTokens.cast("long").as("n_tokens"))
+    val bounds = base.agg(min("difficulty").as("__lo"),
+      max("difficulty").as("__hi"))
+    val staged = base.crossJoin(broadcast(bounds))
+      // (d - lo) spans [0, hi - lo] < (hi - lo + 1), so the quotient
+      // lands in [0, nStages) and every stage is the same width
+      .withColumn("stage",
+        expr(s"1 + (difficulty - __lo) * $nStages div (__hi - __lo + 1)"))
+      .withColumn("shuffle_key", hashBucket(col("__id"), shuffleBuckets))
+      .withColumn("__hb", expr("shuffle_key div 4096"))
+    val inBucket = Window.partitionBy("stage", "__hb")
+      .orderBy("shuffle_key", "__id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = staged.withColumn("__local",
+      coalesce(sum("n_tokens").over(inBucket), lit(0L)))
+    val totals = staged.groupBy("stage", "__hb").agg(sum("n_tokens").as("__bt"))
+    val overBuckets = Window.orderBy("stage", "__hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = totals.withColumn("__base",
+      coalesce(sum("__bt").over(overBuckets), lit(0L))).drop("__bt")
+    withLocal.join(broadcast(bases), Seq("stage", "__hb"))
+      .withColumn("start_offset", col("__base") + col("__local"))
+      .select(col("__id").as(idCol), col("difficulty"), col("stage"),
+        col("shuffle_key"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div ${tokensPerStep}L").as("step"))
+  }
 }

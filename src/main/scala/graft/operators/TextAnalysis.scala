@@ -415,6 +415,51 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_bigrams"), col("score_ppm"))
   }
 
+  /** CCNet-style per-language LM tiering (Wenzek et al. 2020): rank
+    * every scoreable document within its language by the
+    * [[bigramLmScore]] fluency score and cut the ranking into `tiers`
+    * equal-depth buckets — head / middle / tail for the classic
+    * tiers = 3, the split CCNet uses to keep head+middle and drop the
+    * tail per language. Tiering is RELATIVE per language (an absolute
+    * fluency gate — [[graft.operators.Curate]]'s lm stage — would
+    * judge low-resource languages against high-resource fluency),
+    * which is exactly why CCNet buckets per language instead of
+    * thresholding globally.
+    *
+    * Ranking is fully deterministic: integer `score_ppm` descending,
+    * id ascending, `ntile` over that total order — any engine assigns
+    * identical buckets. Only documents with ≥ 1 bigram appear (the
+    * score is undefined on shorter docs; gate those with
+    * [[filterGate]] upstream). `bucket` is 1-based; `tier` labels
+    * bucket 1 "head", bucket `tiers` "tail", everything between
+    * "middle".
+    *
+    * Scale shape: the LM cost is [[bigramLmScore]]'s (vocabulary-grain
+    * count tables, one scoring pass); the tiering is one window sort
+    * PER LANGUAGE — acceptable when language cardinality spreads the
+    * corpus, and the documented 100 TB escape hatch is the sampled
+    * variant (estimate per-language cutoff scores on a hash-sample,
+    * broadcast the |langs| × (tiers−1) cutoff frame, assign by
+    * comparison — no global sort; the exact ntile here doubles as its
+    * correctness oracle at test scale).
+    */
+  def lmTiers(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, tiers: Int = 3): DataFrame = {
+    require(tiers >= 2, "tiers must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(train, docs, idCol, textCol)
+    val langs = docs.select(col(idCol), col(langCol).cast("string").as("lang"))
+    val w = Window.partitionBy("lang").orderBy(col("score_ppm").desc, col(idCol))
+    scored.join(langs, Seq(idCol))
+      .withColumn("bucket", ntile(tiers).over(w).cast("long"))
+      .withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === tiers, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col("lang"), col("n_bigrams"), col("score_ppm"),
+        col("bucket"), col("tier"))
+  }
+
   /** PMI-ranked collocation mining — the corpus-statistics pass that
     * surfaces multi-word terms ("new york", "machine learning") for
     * tokenizer vocab curation and quality auditing. Association is

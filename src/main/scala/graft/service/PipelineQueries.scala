@@ -97,6 +97,56 @@ object PipelineQueries {
           intParam(ps, "top_k"))
         .orderBy("source")))
 
+    service.register(PipelineQuery("dedup_span_removal",
+      // the q235 surface: keep-first excision of k-token windows
+      // already present in a lower-id document (Lee et al.-style
+      // exact-substring dedup) — cleaned text certified by md5
+      Seq(ParamSpec("k", "long", required = false, default = Some(8L))),
+      ps => Dedup.removeDupSpans(docs, "doc_id", "text", intParam(ps, "k"))))
+
+    service.register(PipelineQuery("lm_tiers",
+      // the q236 surface: CCNet-style per-language head/middle/tail
+      // by bigram-LM fluency rank; the LM trains on the q77 md5
+      // 'train' slice of the same corpus
+      Seq(ParamSpec("tiers", "long", required = false, default = Some(3L))),
+      ps => {
+        val tiers = intParam(ps, "tiers")
+        if (tiers < 2) throw new BadRequestException("'tiers' must be >= 2")
+        val split = docs.withColumn("split", Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05), rest = "test"))
+        TextAnalysis.lmTiers(split.filter(col("split") === "train"), split,
+          "doc_id", "text", "lang", tiers)
+      }))
+
+    service.register(PipelineQuery("curriculum",
+      // the q237 surface: equal-width difficulty stages over n_chars,
+      // md5 in-stage shuffle, exclusive token prefix sum → optimizer
+      // step manifest
+      Seq(ParamSpec("stages", "long", required = false, default = Some(4L)),
+        ParamSpec("tokens_per_step", "long", required = false,
+          default = Some(2000L))),
+      ps => {
+        val tps = ps("tokens_per_step").asInstanceOf[Long]
+        if (tps < 1)
+          throw new BadRequestException("'tokens_per_step' must be >= 1")
+        Sampling.curriculumSchedule(docs, "doc_id", col("n_chars"),
+          TextAnalysis.tokenCount(col("text")), intParam(ps, "stages"), tps)
+      }))
+
+    service.register(PipelineQuery("contrastive_pairs",
+      // the q238 surface: near-dup cluster members paired with their
+      // min-id cluster rep as contrastive-training positives, scored
+      // by exact k-shingle jaccard in per-myriad integers
+      Seq(ParamSpec("threshold", "double", required = false,
+        default = Some(0.5))),
+      ps => {
+        val threshold = ps("threshold").asInstanceOf[Double]
+        if (threshold <= 0 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in (0, 1]")
+        Dedup.contrastivePairs(docs, "doc_id", "text", k = 3,
+          numHashes = 24, bands = 8, threshold = threshold)
+      }))
+
     service.register(PipelineQuery("dedup_clusters",
       Seq(ParamSpec("threshold", "double", required = false, default = Some(0.5)),
         ParamSpec("only_dups", "boolean", required = false, default = Some(false))),

@@ -453,6 +453,134 @@ class CorpusFuzzSpec extends SparkSpec {
       }.toSet
   }
 
+  /** removeDupSpans model: window text → min owner, keep-first union
+    * coverage, md5 of the space-joined survivors.
+    */
+  private def removeSpansModel(docs: Seq[(Long, String)], k: Int)
+      : Seq[(Long, Long, Long, Long, String)] = {
+    val wins = docs.flatMap { case (id, t) =>
+      val w = toks(t)
+      if (w.size >= k)
+        (1 to w.size - k + 1).map(i => (id, i, w.slice(i - 1, i - 1 + k).mkString(" ")))
+      else Nil
+    }
+    val owner = wins.groupBy(_._3).map { case (w, ws) => w -> ws.map(_._1).min }
+    docs.sortBy(_._1).map { case (id, t) =>
+      val w = toks(t)
+      val covered = wins.filter(x => x._1 == id && owner(x._3) < id)
+        .flatMap(x => x._2 until x._2 + k).toSet
+      val kept = (1 to w.size).filterNot(covered)
+      val cleaned = kept.map(j => w(j - 1)).mkString(" ")
+      val nRem = w.size.toLong - kept.size
+      (id, w.size.toLong, nRem, nRem * 10000L / math.max(w.size, 1),
+        md5Hex(cleaned))
+    }
+  }
+
+  /** curriculumSchedule model: equal-width stage, md5 shuffle key,
+    * global exclusive prefix sum over (stage, key, id), step div.
+    */
+  private def curriculumModel(rows: Seq[(Long, Long, Long)], nStages: Int,
+      tps: Long): Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+    val lo = rows.map(_._2).min; val hi = rows.map(_._2).max
+    val st = rows.map { case (id, d, n) =>
+      (id, d, 1L + (d - lo) * nStages / (hi - lo + 1),
+        bucket(id.toString, 1000000), n)
+    }
+    var acc = 0L
+    st.sortBy { case (id, _, stg, h, _) => (stg, h, id) }
+      .map { case (id, d, stg, h, n) =>
+        val off = acc; acc += n
+        (id, d, stg, h, n, off, off / tps)
+      }.sortBy(_._1)
+  }
+
+  /** lmTiers model: q107 bigram arithmetic over the given train slice,
+    * per-lang ntile over (score desc, id) with SQL ntile fill (first
+    * n mod k buckets take the extra row).
+    */
+  private def lmTiersModel(train: Seq[(Long, String)],
+      docs: Seq[(Long, String, String)], tiers: Int)
+      : Set[(Long, String, Long, Long, Long, String)] = {
+    def lowToks(t: String) = toks(t.toLowerCase)
+    val c1 = train.flatMap(d => lowToks(d._2)).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val c2 = train.flatMap(d => lowToks(d._2).sliding(2).filter(_.size == 2)
+      .map(_.toList)).groupBy(identity).map { case (b, bs) => b -> bs.size.toLong }
+    val v = c1.size.toLong
+    val scored = docs.flatMap { case (id, t, lang) =>
+      val tk = lowToks(t)
+      if (tk.size < 2) None
+      else {
+        val ps = tk.sliding(2).filter(_.size == 2).map { bg =>
+          ((c2.getOrElse(bg.toList, 0L) + 1) * 1000000L) /
+            math.max(c1.getOrElse(bg.head, 0L) + v, 1L)
+        }.toSeq
+        Some((id, lang, ps.size.toLong, ps.sum / ps.size))
+      }
+    }
+    scored.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (-r._4, r._1))
+      val n = ordered.size; val base = n / tiers; val extra = n % tiers
+      val buckets = (1 to tiers).flatMap(b =>
+        Seq.fill(base + (if (b <= extra) 1 else 0))(b.toLong))
+      ordered.zip(buckets).map { case ((id, lang, nb, sc), b) =>
+        val tier = if (b == 1) "head" else if (b == tiers) "tail" else "middle"
+        (id, lang, nb, sc, b, tier)
+      }
+    }.toSet
+  }
+
+  test("round-16 operators: 32 random corpora ≡ driver models " +
+      "(dup-span removal, curriculum schedule, LM tiers)") {
+    import graft.operators.Dedup
+    for (p <- 0 until 32) {
+      val rnd = new scala.util.Random(0x16F00D + p)
+      val corpus = genCorpus(rnd)
+      val docs = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+
+      // 1) removeDupSpans at a random window size (genCorpus plants
+      // exact-copy texts 1-in-4, so recycled windows are common)
+      val k = 2 + rnd.nextInt(4)
+      val rm = Dedup.removeDupSpans(docs, "doc_id", "text", k)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSeq
+      assert(rm == removeSpansModel(corpus.map(c => (c._1, c._2)), k),
+        s"removeDupSpans mismatch in program $p (k $k)")
+
+      // 2) curriculumSchedule: text length as difficulty (ties common),
+      // token count as weight, random stages and step size
+      val rows = corpus.map(c => (c._1, c._2.length.toLong,
+        toks(c._2).size.toLong))
+      val nStages = 1 + rnd.nextInt(5)
+      val tps = 1L + rnd.nextInt(50)
+      val cs = Sampling.curriculumSchedule(
+          rows.toDF("id", "diff", "toksn"), "id", col("diff"), col("toksn"),
+          nStages, tps)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      assert(cs == curriculumModel(rows, nStages, tps),
+        s"curriculumSchedule mismatch in program $p (stages $nStages tps $tps)")
+
+      // 3) lmTiers: train = a ~half md5 slice (sometimes empty — the
+      // v=0 uniform-score path), source column doubles as language
+      val train = corpus.filter(c => bucket(c._1.toString, 2) == 0)
+        .map(c => (c._1, c._2))
+      val tiers = 2 + rnd.nextInt(3)
+      val lt = TextAnalysis.lmTiers(
+          train.toDF("doc_id", "text"),
+          corpus.toDF("doc_id", "text", "lang"),
+          "doc_id", "text", "lang", tiers)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5))).toSet
+      assert(lt == lmTiersModel(train, corpus, tiers),
+        s"lmTiers mismatch in program $p (tiers $tiers)")
+    }
+  }
+
   test("round-15 operators: 32 random corpora ≡ driver models " +
       "(temperature mix, vocab coverage, hard negatives, calibration)") {
     for (p <- 0 until 32) {

@@ -589,4 +589,35 @@ class CorpusOpsSpec extends SparkSpec {
     // c (all-empty docs) is absent: no token evidence either way
     assert(out.length == 2)
   }
+
+  test("lmTiers: per-language head/middle/tail by fluency rank, ntile depth " +
+      "semantics, short docs absent, deterministic tie order") {
+    // train slice: "a b" bigram seen twice, "a c" once → vocabulary {a,b,c}
+    val train = Seq((100L, "a b a b"), (101L, "a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b a b a b", "en"), // every bigram high-prob → best en score
+      (2L, "a c a c", "en"),     // mixes seen-once bigrams → middle (305555)
+      (3L, "a z a z", "en"),     // head word into junk: (a,z) divides by
+                                 // c1(a)+V → 222221, BELOW the uniform
+                                 // unseen score 333333 → tail
+      (4L, "a b", "fr"),         // fr: 2 docs over 3 tiers → no middle
+      (5L, "z q", "fr"),
+      (6L, "solo", "fr")         // 1 token → no bigram → absent
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lmTiers(train, docs, "doc_id", "text", "lang")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, String)].collect()
+    assert(out.map(r => (r._1, r._2, r._5, r._6)) === Array(
+      (1L, "en", 1L, "head"),
+      (2L, "en", 2L, "middle"),
+      (3L, "en", 3L, "tail"),
+      (4L, "fr", 1L, "head"),
+      (5L, "fr", 2L, "middle") // ntile(3) over 2 rows fills buckets 1,2
+    ))
+    // scores are the q107 integer contract and strictly ordered here
+    val en = out.filter(_._2 == "en").map(_._4)
+    assert(en(0) > en(1) && en(1) > en(2), en.toSeq.toString)
+    intercept[IllegalArgumentException](
+      TextAnalysis.lmTiers(train, docs, "doc_id", "text", "lang", tiers = 1))
+  }
 }

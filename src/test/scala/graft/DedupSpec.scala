@@ -221,6 +221,63 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((10L, 1L, 1L, 10000L), (20L, 1L, 0L, 0L)))
   }
 
+  test("removeDupSpans: keep-first excision — copies lose covered tokens, " +
+      "the original keeps its text, within-doc repeats owned by the doc stay") {
+    import spark.implicits._
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "x y z p q r"),   // owner of every window it has → untouched
+      (2L, "x y z n o"),     // "x y z" recycled from doc 1 → "n o" remains
+      (3L, "x y z"),         // single window, recycled → everything cut
+      (4L, "a a a a"),       // within-doc repeat, doc 4 OWNS "a a a" → kept
+      (5L, "q r x y z w"),   // two recycled windows? "q r x"/"r x y"/"x y z"
+                             // only "x y z" (doc1) recycled → covers 3..5 → "q r w"
+      (6L, ""),              // empty doc
+      (7L, "y z p q r s")    // "y z p"(1),"z p q"(1),"p q r"(1) recycled →
+                             // covers 1..5 → "s" remains
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (1L, 6L, 0L, 0L, fp("x y z p q r")),
+      (2L, 5L, 3L, 6000L, fp("n o")),
+      (3L, 3L, 3L, 10000L, fp("")),
+      (4L, 4L, 0L, 0L, fp("a a a a")),
+      (5L, 6L, 3L, 5000L, fp("q r w")),
+      (6L, 0L, 0L, 0L, fp("")),
+      (7L, 6L, 5L, 8333L, fp("s"))))
+    // partitioning invariance: the digest/ownership chain is hash-based
+    val re = Dedup.removeDupSpans(docs.repartition(7), "doc_id", "text", k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect()
+    assert(re === out)
+    intercept[IllegalArgumentException](
+      Dedup.removeDupSpans(docs, "doc_id", "text", k = 0))
+  }
+
+  test("contrastivePairs: cluster members pair with the min-id rep, exact " +
+      "shingle jaccard rides along, singletons emit nothing, transitive " +
+      "members still score their own (possibly low) rep overlap") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                                    // rep of the cluster
+      (2L, base),                                    // exact dup → jaccard 10000
+      (3L, base + " lambda mu"),                     // near dup of 1
+      (9L, "totally different words only here now")  // singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.contrastivePairs(docs, "doc_id", "text",
+        k = 3, numHashes = 24, bands = 8, threshold = 0.5)
+      .orderBy("anchor_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc1 tokens→8 shingles (k=3, 10 tokens); doc3 has 10 shingles;
+    // shared = doc1's 8 → union 10
+    assert(out === Array(
+      (2L, 1L, 8L, 8L, 10000L),
+      (3L, 1L, 8L, 10L, 8000L)))
+  }
+
   test("winnowFingerprints: guarantee — offset-shifted shared substring collides") {
     import spark.implicits._
     // the winnowing guarantee: any shared substring of length >= w+k-1

@@ -75,7 +75,14 @@ class PlanQualitySpec extends SparkSpec {
       // span into the binning — the drift tier's two-pass-histogram
       // scalar, deliberately per-row here because the bin expression
       // consumes both bounds
-      "q229_hard_negatives", "q230_temperature_mix", "q232_gate_calibration")
+      "q229_hard_negatives", "q230_temperature_mix", "q232_gate_calibration",
+      // q236 embeds q107's bigram LM (CCNet tiering is that scoring
+      // plus a per-lang ntile window), inheriting the same 1-row
+      // vocabulary-size (V) scalar broadcast as q226/q227; q237
+      // crossJoins the 1-row (min, max) difficulty bounds into the
+      // equal-width stage expression — q232's two-pass-histogram
+      // scalar shape (the expression consumes both bounds per row)
+      "q236_lm_tiers", "q237_curriculum")
     // NOTE the drift family (q203–q207, q213–q215) carries NO entries:
     // since round 13 every drift join — bin edges, totals — is a
     // broadcast HASH join on the (possibly constant) group key, so the
@@ -211,7 +218,20 @@ class PlanQualitySpec extends SparkSpec {
       "q229_hard_negatives" -> 8,
       // q230: one source-grain aggregation + the 1-row Σw total +
       // final sort; harvested 4
-      "q230_temperature_mix" -> 4)
+      "q230_temperature_mix" -> 4,
+      // q235: the q104 digest chain (window agg + recycled join-back +
+      // per-doc starts agg) + the base re-join; harvested 3
+      "q235_dedup_span_removal" -> 3,
+      // q236: q107's LM shape (two vocab-grain count aggs, scoring
+      // joins) + the per-lang ntile window + final sort; harvested 7
+      "q236_lm_tiers" -> 7,
+      // q237: two-level prefix sum — in-bucket window, bucket-totals
+      // agg, tiny bases window — + final sort; harvested 5
+      "q237_curriculum" -> 5,
+      // q238: LSH bucket self-join + CC iterations are checkpointed
+      // RDD work; the frame tail is the pair/shingle hash joins;
+      // harvested 1
+      "q238_contrastive_pairs" -> 1)
     // the pin set must track the headline set — a new headline query
     // without a recorded ceiling fails here, not silently unpinned
     assert(ceilings.keySet == Bench.headline.toSet,

@@ -174,4 +174,49 @@ class SamplingSpec extends SparkSpec {
     assert(alloc(0)._2 == exact(wa) && alloc(1)._2 == exact(wb),
       s"decomposed allocation must equal bignum truth: $alloc")
   }
+
+  test("curriculumSchedule: equal-width stages, md5 in-stage shuffle, and a " +
+      "two-level prefix sum that equals the single global window; " +
+      "partitioning-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    // difficulty 0..99 over 4 stages of width 25; tokens = difficulty+1
+    val docs = spark.range(0, 100)
+      .select($"id", ($"id" % 100).as("diff"), ($"id" % 7 + 1).as("toks"))
+    val out = Sampling.curriculumSchedule(docs, "id", col("diff"),
+      col("toks"), nStages = 4, tokensPerStep = 10L)
+    val rows = out.orderBy("id")
+      .select("id", "difficulty", "stage", "shuffle_key", "n_tokens",
+        "start_offset", "step")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // stage = equal-width bin: 1 + diff*4 div 100
+    assert(rows.forall { case (id, d, st, _, _, _, _) =>
+      st == 1 + d * 4 / 100 })
+    // shuffle key is the q77 md5 bucket — engine/partitioning stable
+    val h = docs.select($"id", Sampling.hashBucket($"id", 1000000).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.forall { case (id, _, _, sk, _, _, _) => sk == h(id) })
+    // the bucketed two-level prefix must equal ONE global window
+    val truth = out.withColumn("expect",
+        coalesce(sum("n_tokens").over(
+          Window.orderBy("stage", "shuffle_key", "id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("start_offset") =!= col("expect")).count()
+    assert(truth == 0L, "two-level prefix sum diverged from the global window")
+    // step accounting
+    assert(rows.forall { case (_, _, _, _, _, off, step) => step == off / 10 })
+    // deterministic under repartitioning
+    val re = Sampling.curriculumSchedule(docs.repartition(13), "id",
+        col("diff"), col("toks"), nStages = 4, tokensPerStep = 10L)
+      .orderBy("id")
+      .select("id", "difficulty", "stage", "shuffle_key", "n_tokens",
+        "start_offset", "step")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(re === rows)
+    intercept[IllegalArgumentException](
+      Sampling.curriculumSchedule(docs, "id", col("diff"), col("toks"),
+        nStages = 0, tokensPerStep = 10L))
+    intercept[IllegalArgumentException](
+      Sampling.curriculumSchedule(docs, "id", col("diff"), col("toks"),
+        nStages = 4, tokensPerStep = 0L))
+  }
 }

@@ -123,6 +123,34 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("decontaminate_by_set", Map("flag_at_pct" -> "101"))
     }
+    // round-16 surfaces: span removal keeps counts consistent; lm
+    // tiers label head/middle/tail per language; curriculum stages
+    // bound and steps monotone in offsets; contrastive pairs never
+    // anchor a doc to itself
+    val spanRm = service.runRegistered("dedup_span_removal", Map("k" -> "8"))
+    assert(spanRm.columns.sameElements(Array("doc_id", "n_tokens", "n_removed",
+      "removed_pm", "cleaned_fp")))
+    assert(spanRm.filter(col("n_removed") > col("n_tokens") ||
+      col("removed_pm") > 10000L).count() == 0)
+    val lt = service.runRegistered("lm_tiers", Map.empty)
+    assert(lt.columns.sameElements(Array("doc_id", "lang", "n_bigrams",
+      "score_ppm", "bucket", "tier")))
+    assert(lt.filter(!col("tier").isin("head", "middle", "tail")).count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("lm_tiers", Map("tiers" -> "1"))
+    }
+    val curr = service.runRegistered("curriculum",
+      Map("stages" -> "4", "tokens_per_step" -> "500"))
+    assert(curr.filter(col("stage") < 1 || col("stage") > 4).count() == 0)
+    assert(curr.filter(col("step") =!= expr("start_offset div 500")).count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("curriculum", Map("tokens_per_step" -> "0"))
+    }
+    val cpairs = service.runRegistered("contrastive_pairs", Map("threshold" -> "0.5"))
+    assert(cpairs.columns.sameElements(Array("anchor_id", "positive_id",
+      "n_inter", "n_union", "jaccard_pm")))
+    assert(cpairs.filter(col("anchor_id") === col("positive_id") ||
+      col("jaccard_pm") > 10000L).count() == 0)
     // mixture/chunking samplers: coerced params, domain checks
     val qs = service.runRegistered("quota_sample", Map("quota" -> "3"))
     assert(qs.columns.sameElements(Array("doc_id", "source", "lang")))
