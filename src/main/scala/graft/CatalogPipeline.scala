@@ -3468,29 +3468,7 @@ object CatalogPipeline {
       (s, d) => Dedup.removeDupSpans(Tpch.table(s, d, "documents"),
           "doc_id", "text", k = 8)
         .orderBy("doc_id"),
-      Some("""WITH d0 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-             |    ELSE string_split_regex(trim(text), '\s+') END AS tk FROM documents),
-             |w AS (SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS win
-             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
-             |        FROM d0 WHERE len(tk) >= 8)),
-             |own AS (SELECT win, min(doc_id) AS owner FROM w GROUP BY 1),
-             |cov AS (SELECT DISTINCT doc_id, j FROM (
-             |  SELECT w.doc_id, unnest(generate_series(w.i, w.i + 7)) AS j
-             |  FROM w JOIN own USING (win) WHERE w.doc_id > own.owner)),
-             |pos AS (SELECT doc_id, j, tk[j] AS tok
-             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS j
-             |        FROM d0 WHERE len(tk) >= 1)),
-             |kept AS (SELECT p.doc_id, p.j, p.tok FROM pos p
-             |  LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.j = c.j
-             |  WHERE c.j IS NULL),
-             |ag AS (SELECT doc_id, count(*) AS n_kept,
-             |  string_agg(tok, ' ' ORDER BY j) AS cleaned FROM kept GROUP BY 1)
-             |SELECT d0.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-             |  CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
-             |  CAST((len(tk) - coalesce(n_kept, 0)) * 10000
-             |    // greatest(len(tk), 1) AS BIGINT) AS removed_pm,
-             |  md5(coalesce(cleaned, '')) AS cleaned_fp
-             |FROM d0 LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin)),
+      Some(OracleFragments.spanRemovalSql(8))),
 
     QueryDef("q236_lm_tiers",
       // CCNet-style per-language LM tiering: the q107 bigram model

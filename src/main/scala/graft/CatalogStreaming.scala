@@ -818,5 +818,26 @@ object CatalogStreaming {
              |FROM events v JOIN events c ON v.user_id = c.user_id
              |  AND v.event_type = 'view' AND c.event_type = 'click'
              |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
-             |ORDER BY user_id, view_id, click_id""".stripMargin)))
+             |ORDER BY user_id, view_id, click_id""".stripMargin)),
+
+    QueryDef("q239_stream_span_removal",
+      // the q235 excision fed by STREAMING verdicts: documents stream
+      // through the keep-first span stage (flatMapGroupsWithState,
+      // one long of state per window digest), the recycled starts
+      // collect in the memory sink, and the batch excision reproduces
+      // the batch operator bit-for-bit — same oracle as q235. The
+      // AvailableNow drain processes the whole table as ordered
+      // batches, the documented "id order = arrival order" contract
+      (s, d) => {
+        val verdicts = runToMemory(s,
+          Streams.dupSpanVerdictStream(
+            streamDocuments(s, d), "doc_id", "text", k = 8).toDF(),
+          "update")
+        Dedup.removeSpansByStarts(Tpch.table(s, d, "documents"),
+            "doc_id", "text", k = 8,
+            verdicts.filter(col("recycled"))
+              .select(col("doc_id"), col("start")))
+          .orderBy("doc_id")
+      },
+      Some(graft.OracleFragments.spanRemovalSql(8))))
 }

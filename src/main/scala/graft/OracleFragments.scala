@@ -400,4 +400,38 @@ private[graft] object OracleFragments {
       |  ELSE list_distinct(list_transform(range(1, len(w)-1),
       |         i -> array_to_string(w[i:i+2], ' '))) END AS sh
       |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)""".stripMargin
+
+  /** Keep-first exact-substring span removal over k-token windows —
+    * coverage re-derived from window TEXT, excision restated as a
+    * position anti-join + ordered string_agg. Mirrors
+    * Dedup.removeDupSpans; shared by the batch row (q235) and its
+    * streaming verdict twin (q239), whose outputs are identical by
+    * construction.
+    */
+  def spanRemovalSql(k: Int): String = {
+    val km1 = k - 1
+    s"""WITH d0 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |    ELSE string_split_regex(trim(text), '\\s+') END AS tk FROM documents),
+       |w AS (SELECT doc_id, i, array_to_string(tk[i:i+$km1], ' ') AS win
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - $km1)) AS i
+       |        FROM d0 WHERE len(tk) >= $k)),
+       |own AS (SELECT win, min(doc_id) AS owner FROM w GROUP BY 1),
+       |cov AS (SELECT DISTINCT doc_id, j FROM (
+       |  SELECT w.doc_id, unnest(generate_series(w.i, w.i + $km1)) AS j
+       |  FROM w JOIN own USING (win) WHERE w.doc_id > own.owner)),
+       |pos AS (SELECT doc_id, j, tk[j] AS tok
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS j
+       |        FROM d0 WHERE len(tk) >= 1)),
+       |kept AS (SELECT p.doc_id, p.j, p.tok FROM pos p
+       |  LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.j = c.j
+       |  WHERE c.j IS NULL),
+       |ag AS (SELECT doc_id, count(*) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY j) AS cleaned FROM kept GROUP BY 1)
+       |SELECT d0.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |  CAST((len(tk) - coalesce(n_kept, 0)) * 10000
+       |    // greatest(len(tk), 1) AS BIGINT) AS removed_pm,
+       |  md5(coalesce(cleaned, '')) AS cleaned_fp
+       |FROM d0 LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 }

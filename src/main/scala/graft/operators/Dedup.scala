@@ -467,8 +467,25 @@ object Dedup {
       .select(col("__id"), col("__i"),
         unhex(md5(concat_ws(" ", slice(col("__tk"), col("__i"), lit(k))))).as("__wh"))
     val owners = w.groupBy("__wh").agg(min(col("__id")).as("__owner"))
-    val starts = w.join(owners, Seq("__wh"))
+    val recycled = w.join(owners, Seq("__wh"))
       .filter(col("__id") > col("__owner"))
+      .select(col("__id").as(idCol), col("__i").as("start"))
+    removeSpansByStarts(df, idCol, textCol, k, recycled)
+  }
+
+  /** The excision half of [[removeDupSpans]], factored out so a
+    * streaming verdict source ([[graft.streaming.Streams]]'s
+    * keep-first span stream) can feed the same arithmetic: `recycled`
+    * is `(idCol, start)` rows naming the covered window starts; output
+    * schema and semantics are exactly [[removeDupSpans]]'s.
+    */
+  def removeSpansByStarts(df: DataFrame, idCol: String, textCol: String,
+      k: Int, recycled: DataFrame): DataFrame = {
+    require(k > 0, "window size must be positive")
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val starts = recycled
+      .select(col(idCol).as("__id"), col("start").cast("int").as("__i"))
       .groupBy("__id").agg(sort_array(collect_set(col("__i"))).as("__starts"))
     base.join(starts, Seq("__id"), "left")
       .withColumn("__starts",

@@ -97,6 +97,56 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  final case class SpanOcc(doc_id: Long, start: Int, wh: String)
+  final case class SpanVerdict(doc_id: Long, start: Int, recycled: Boolean)
+
+  /** Streaming keep-first duplicate-span verdicts — the ingest twin of
+    * [[graft.operators.Dedup.removeDupSpans]]: each arriving document
+    * explodes STATELESSLY into its k-token window digests (text never
+    * enters state; the per-digest state is ONE long — the smallest id
+    * seen owning that window), and `flatMapGroupsWithState` emits one
+    * `(doc_id, start, recycled)` verdict per window occurrence, where
+    * recycled = a LOWER id already owns the digest. Feeding the
+    * recycled starts to [[graft.operators.Dedup.removeSpansByStarts]]
+    * reproduces the batch excision bit-for-bit.
+    *
+    * Equivalence contract: within a micro-batch the owner is the MIN
+    * id over state + the whole batch group (arrival order inside a
+    * batch cannot perturb the verdict); across batches it requires ids
+    * to arrive non-decreasing — the same "id order = arrival order"
+    * contract the novelty audit and the batch operator document. A
+    * document arriving LATER than a higher-id batch is the streaming-
+    * dedup late-data case: its own windows judge against the ids seen
+    * so far, and already-emitted verdicts are not retracted.
+    *
+    * Scale shape: state is |distinct window digests| × one long —
+    * the same cardinality the batch groupBy shuffles, held instead in
+    * the state store; the emitted rows are narrow (id, int, bool).
+    */
+  def dupSpanVerdictStream(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): Dataset[SpanVerdict] = {
+    require(k > 0, "window size must be positive")
+    import docs.sparkSession.implicits._
+    val occ = docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(col("doc_id"), col("__tk"),
+        explode(sequence(lit(1), size(col("__tk")) - k + 1)).as("__i"))
+      .select(col("doc_id"), col("__i").cast("int").as("start"),
+        md5(concat_ws(" ", slice(col("__tk"), col("__i"), lit(k)))).as("wh"))
+      .as[SpanOcc]
+    occ.groupByKey(_.wh)
+      .flatMapGroupsWithState[Long, SpanVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SpanOcc], state: GroupState[Long]) =>
+          val rs = rows.toList
+          val owner = math.min(state.getOption.getOrElse(Long.MaxValue),
+            rs.map(_.doc_id).min)
+          state.update(owner)
+          rs.iterator.map(r => SpanVerdict(r.doc_id, r.start, r.doc_id > owner))
+      }
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, startMs: Long, endMs: Long, n_events: Int)

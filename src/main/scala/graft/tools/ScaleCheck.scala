@@ -95,7 +95,11 @@ object ScaleCheck {
     "q229_hard_negatives",      // BM25 mining: q87's explode + doc-grain aggs ×N
     "q230_temperature_mix",     // source-grain agg + 1-row total ×N
     "q231_vocab_coverage",      // vocab broadcast + (source, token) partial agg ×N
-    "q233_decontaminate_by_set") // per-set gram broadcast, train shingled once ×N
+    "q233_decontaminate_by_set", // per-set gram broadcast, train shingled once ×N
+    "q235_dedup_span_removal",  // q104 digest chain + row-local HOF excision ×N
+    "q236_lm_tiers",            // q107 LM + per-lang ntile window ×N
+    "q237_curriculum",          // two-level prefix sum, broadcast bases ×N
+    "q238_contrastive_pairs")   // LSH + CC + pair-linear shingle joins ×N
 
   private def rekey(idCol: String, factor: Int, i: Int) =
     (col(idCol) * factor + i).as(idCol)

@@ -201,6 +201,82 @@ class StreamFuzzSpec extends SparkSpec {
     assert(ran >= 22)
   }
 
+  test("16 random doc streams x id-ordered splits: dupSpanVerdictStream " +
+      "verdicts equal the batch keep-first model under WITHIN-batch shuffle, " +
+      "and removeSpansByStarts over them reproduces removeDupSpans exactly") {
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    var seed = org.scalacheck.rng.Seed(20260817L)
+    var ran = 0
+    while (ran < 16) {
+      val gen = for {
+        n <- Gen.choose(4, 20)
+        k <- Gen.choose(2, 4)
+        lens <- Gen.listOfN(n, Gen.choose(0, 12))
+      } yield (n, k, lens)
+      gen.apply(params, seed).foreach { case (n, k, lens) =>
+        ran += 1
+        val rnd = new scala.util.Random(ran * 7919)
+        var nextId = 0L
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        for (i <- 0 until n) {
+          nextId += 1 + rnd.nextInt(3)
+          val text =
+            if (buf.nonEmpty && rnd.nextInt(3) == 0) // replant an earlier
+              buf(rnd.nextInt(buf.size))._2           // text verbatim
+            else (0 until lens(i)).map(_ => pool(rnd.nextInt(pool.size)))
+              .mkString(" ")
+          buf += ((nextId, text))
+        }
+        val docs = buf.toSeq
+        // batch keep-first model: window → min owner; recycled iff id > owner
+        def wins(t: String): Seq[(Int, String)] = {
+          val tk = if (t.trim.isEmpty) Nil else t.trim.split("\\s+").toSeq
+          if (tk.size < k) Nil
+          else (1 to tk.size - k + 1).map(i =>
+            i -> tk.slice(i - 1, i - 1 + k).mkString(" "))
+        }
+        val all = docs.flatMap { case (id, t) =>
+          wins(t).map { case (s, w) => (id, s, w) } }
+        val owner = all.groupBy(_._3).map { case (w, os) => w -> os.map(_._1).min }
+        val model = all.map { case (id, s, w) => (id, s, id > owner(w)) }.toSet
+        splitGen(docs, 4).apply(params, seed.next).foreach { batches0 =>
+          val batches = batches0.map(b => rnd.shuffle(b))
+          implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+          val input = MemoryStream[(Long, String)]
+          val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Boolean)]
+          val q = Streams.dupSpanVerdictStream(
+              input.toDS().toDF("doc_id", "text"), "doc_id", "text", k)
+            .writeStream.outputMode("update")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[Streams.SpanVerdict], _: Long) =>
+                b.collect().foreach(v =>
+                  got.add((v.doc_id, v.start, v.recycled))); ()
+            }.start()
+          try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+          finally q.stop()
+          import scala.jdk.CollectionConverters._
+          val verdicts = got.asScala.toSeq
+          assert(verdicts.size == all.size && verdicts.toSet == model,
+            s"span verdict mismatch in program $ran (k $k)")
+          // end-to-end: stream-fed excision == batch operator
+          val docsDf = docs.toDF("doc_id", "text")
+          val recycled = verdicts.filter(_._3).map(v => (v._1, v._2))
+            .toDF("doc_id", "start")
+          val streamed = graft.operators.Dedup.removeSpansByStarts(
+              docsDf, "doc_id", "text", k, recycled)
+            .orderBy("doc_id").collect().toSeq
+          val batch = graft.operators.Dedup.removeDupSpans(
+              docsDf, "doc_id", "text", k)
+            .orderBy("doc_id").collect().toSeq
+          assert(streamed == batch,
+            s"stream-fed excision diverged from batch in program $ran (k $k)")
+        }
+      }
+      seed = seed.next
+    }
+  }
+
   test("22 random doc streams x random splits: dedupStream emits exactly " +
       "one row per distinct content — late and replayed duplicates " +
       "included — matching the batch exact-dedup universe") {
