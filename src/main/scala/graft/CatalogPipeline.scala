@@ -3591,5 +3591,64 @@ object CatalogPipeline {
            |    AS BIGINT) AS jaccard_pm
            |FROM an JOIN s sa ON sa.doc_id = an.anchor_id
            |  JOIN s sp ON sp.doc_id = an.positive_id
-           |ORDER BY anchor_id""".stripMargin)))
+           |ORDER BY anchor_id""".stripMargin)),
+
+    QueryDef("q240_contrastive_triplets",
+      // the contrastive-training flagship: q238's cluster positives
+      // joined with a deterministic hard negative per anchor — the
+      // highest-jaccard NON-cluster partner below the dup threshold,
+      // reachable through a rare (df ≤ 20) shared shingle. Scoring is
+      // integer per-myriad end-to-end, so the exhaustive oracle
+      // (O(n²) clusters + rare-shingle blocked candidates) reproduces
+      // the triplet table bit-for-bit
+      (s, d) => Dedup.contrastiveTriplets(Tpch.table(s, d, "documents"),
+          "doc_id", "text", k = 3, numHashes = 24, bands = 8,
+          threshold = 0.5, maxDf = 20, negFloorPm = 1,
+          sigs = Some(docSignatures(s, d, 3, 24)))
+        .orderBy("anchor_id"),
+      Some(s"""WITH RECURSIVE s AS ($shingleSql),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p
+           |  UNION ALL SELECT id_b, id_a FROM p),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+           |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep
+           |  FROM reach GROUP BY id),
+           |an AS (SELECT doc_id AS anchor_id, rep AS positive_id
+           |  FROM comp WHERE doc_id <> rep),
+           |posj AS (SELECT an.anchor_id, an.positive_id,
+           |  CAST(len(list_intersect(sa.sh, sp.sh)) * 10000
+           |    // greatest(len(sa.sh) + len(sp.sh) - len(list_intersect(sa.sh, sp.sh)), 1)
+           |    AS BIGINT) AS pos_pm
+           |  FROM an JOIN s sa ON sa.doc_id = an.anchor_id
+           |    JOIN s sp ON sp.doc_id = an.positive_id),
+           |x AS (SELECT doc_id AS id, unnest(sh) AS g FROM s),
+           |rg AS (SELECT g FROM x GROUP BY g HAVING count(*) <= 20),
+           |r AS (SELECT id, g FROM x JOIN rg USING (g)),
+           |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM r a JOIN r b ON a.g = b.g AND a.id < b.id),
+           |sc AS (SELECT id_a, id_b,
+           |  CAST(len(list_intersect(sa.sh, sb.sh)) * 10000
+           |    // greatest(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)), 1)
+           |    AS BIGINT) AS pm
+           |  FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+           |    JOIN s sb ON sb.doc_id = cand.id_b),
+           |n0 AS (SELECT id_a AS anchor_id, id_b AS negative_id, pm FROM sc
+           |  UNION ALL SELECT id_b, id_a, pm FROM sc),
+           |nf AS (SELECT n0.* FROM n0
+           |  JOIN comp ca ON ca.doc_id = n0.anchor_id
+           |  JOIN comp cb ON cb.doc_id = n0.negative_id
+           |  WHERE ca.rep <> cb.rep AND n0.pm >= 1 AND n0.pm < 5000),
+           |best AS (SELECT anchor_id, negative_id, pm,
+           |  row_number() OVER (PARTITION BY anchor_id
+           |    ORDER BY pm DESC, negative_id) AS rn FROM nf)
+           |SELECT posj.anchor_id, posj.positive_id, b.negative_id,
+           |  posj.pos_pm, b.pm AS neg_pm
+           |FROM posj JOIN best b ON b.anchor_id = posj.anchor_id AND b.rn = 1
+           |ORDER BY posj.anchor_id""".stripMargin)))
 }

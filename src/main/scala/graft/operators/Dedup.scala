@@ -401,14 +401,24 @@ object Dedup {
     * count, and pairs are |non-canonical cluster members| — a small
     * fraction of the corpus by construction.
     */
-  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+  /** Near-dup cluster components (id, component) — the q76 chain:
+    * LSH candidates + connected components over the whole id universe.
+    */
+  def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 24, bands: Int = 8,
       threshold: Double = 0.5, sigs: Option[DataFrame] = None): DataFrame = {
     val pairs = minhashNearDups(df, idCol, textCol, k, numHashes, bands,
       threshold, sigs)
-    val comps = GraphAnalytics.connectedComponents(
+    GraphAnalytics.connectedComponents(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       df.select(col(idCol).as("id")))
+  }
+
+  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 24, bands: Int = 8,
+      threshold: Double = 0.5, sigs: Option[DataFrame] = None): DataFrame = {
+    val comps = nearDupComponents(df, idCol, textCol, k, numHashes, bands,
+      threshold, sigs)
     val anchors = comps.filter(col("id") =!= col("component"))
       .select(col("id").as("anchor_id"), col("component").as("positive_id"))
     val sh = df.select(col(idCol).as("__sid"),
@@ -425,6 +435,91 @@ object Dedup {
           .as("n_union"))
       .withColumn("jaccard_pm",
         expr("n_inter * 10000 div greatest(n_union, 1)"))
+  }
+
+  /** Contrastive TRIPLET mining — [[contrastivePairs]]'s positives
+    * joined with a deterministic hard NEGATIVE per anchor: the
+    * highest-Jaccard partner that is (a) NOT in the anchor's near-dup
+    * cluster, (b) BELOW the dup threshold (a near-miss — random
+    * negatives are trivially separable; sub-threshold neighbors force
+    * the embedding model to learn the dup boundary itself), and
+    * (c) reachable through a RARE shared shingle (document frequency
+    * ≤ `maxDf`): the blocking is df-bounded — a boilerplate shingle
+    * shared by half the corpus never generates pairs — and a shared
+    * rare shingle is exactly what makes a negative "hard" rather than
+    * random. Ties break (jaccard_pm desc, partner id asc); anchors
+    * with no qualifying negative emit nothing.
+    *
+    * All scoring is integer per-myriad over exact shingle-set sizes
+    * (pm < threshold·10⁴ ⟺ double jaccard < threshold on this domain
+    * — both sides reduce to 2·|∩| vs |∪| integer comparisons), so an
+    * exhaustive SQL oracle reproduces the triplet table bit-for-bit.
+    *
+    * Returns `(anchor_id, positive_id, negative_id, pos_pm, neg_pm)`.
+    *
+    * Scale shape: the positive side is [[contrastivePairs]]; the
+    * negative side is a df-bounded shingle equi-join (≤ maxDf² pairs
+    * per rare shingle, never all-pairs), two hash joins for the set
+    * scores, and a per-anchor rank window. The components frame is
+    * computed ONCE and shared by both sides.
+    */
+  def contrastiveTriplets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 24, bands: Int = 8,
+      threshold: Double = 0.5, maxDf: Int = 20, negFloorPm: Int = 1,
+      sigs: Option[DataFrame] = None): DataFrame = {
+    require(maxDf >= 2, "maxDf must be >= 2 (a pair needs two docs)")
+    require(negFloorPm >= 0, "negFloorPm must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val thresholdPm = math.round(threshold * 10000).toInt
+    val comps = nearDupComponents(df, idCol, textCol, k, numHashes, bands,
+      threshold, sigs)
+    val sh = df.select(col(idCol).as("__sid"),
+      array_distinct(shingles(col(textCol), k)).as("__sh"))
+    // positives: non-canonical members → their cluster rep, exact pm
+    val pos = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as("anchor_id"), col("component").as("positive_id"))
+      .join(sh.select(col("__sid").as("anchor_id"), col("__sh").as("__sha")),
+        Seq("anchor_id"))
+      .join(sh.select(col("__sid").as("positive_id"), col("__sh").as("__shp")),
+        Seq("positive_id"))
+      .select(col("anchor_id"), col("positive_id"),
+        expr("CAST(size(array_intersect(__sha, __shp)) AS BIGINT) * 10000 " +
+          "div greatest(size(array_union(__sha, __shp)), 1)").as("pos_pm"))
+    // negatives: rare-shingle blocked sub-threshold partners
+    val x = sh.select(col("__sid").as("id"), explode(col("__sh")).as("g"))
+    val rareG = x.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("g")
+    val rare = x.join(rareG, Seq("g"))
+    val cand = rare.as("a").join(rare.as("b"), Seq("g"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val scored = cand
+      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")),
+        Seq("id_a"))
+      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("__shb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(size(array_intersect(__sha, __shb)) AS BIGINT) * 10000 " +
+          "div greatest(size(array_union(__sha, __shb)), 1)").as("pm"))
+    val neg0 = scored.select(col("id_a").as("anchor_id"),
+        col("id_b").as("negative_id"), col("pm"))
+      .union(scored.select(col("id_b").as("anchor_id"),
+        col("id_a").as("negative_id"), col("pm")))
+      .filter(col("pm") >= negFloorPm && col("pm") < thresholdPm)
+    val negf = neg0
+      .join(comps.select(col("id").as("anchor_id"), col("component").as("__ca")),
+        Seq("anchor_id"))
+      .join(comps.select(col("id").as("negative_id"), col("component").as("__cb")),
+        Seq("negative_id"))
+      .filter(col("__ca") =!= col("__cb"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("pm").desc, col("negative_id"))
+    val best = negf.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("anchor_id"), col("negative_id"), col("pm").as("neg_pm"))
+    pos.join(best, Seq("anchor_id"))
+      .select(col("anchor_id"), col("positive_id"), col("negative_id"),
+        col("pos_pm"), col("neg_pm"))
   }
 
   /** Exact-substring duplicate-span REMOVAL — the cleanup stage the

@@ -147,6 +147,21 @@ object PipelineQueries {
           numHashes = 24, bands = 8, threshold = threshold)
       }))
 
+    service.register(PipelineQuery("contrastive_triplets",
+      // the q240 surface: (anchor, cluster-rep positive, best rare-
+      // shingle sub-threshold negative) — contrastive training rows
+      Seq(ParamSpec("threshold", "double", required = false,
+          default = Some(0.5)),
+        ParamSpec("max_df", "long", required = false, default = Some(20L))),
+      ps => {
+        val threshold = ps("threshold").asInstanceOf[Double]
+        if (threshold <= 0 || threshold > 1)
+          throw new BadRequestException("'threshold' must be in (0, 1]")
+        val maxDf = intParam(ps, "max_df", min = 2)
+        Dedup.contrastiveTriplets(docs, "doc_id", "text", k = 3,
+          numHashes = 24, bands = 8, threshold = threshold, maxDf = maxDf)
+      }))
+
     service.register(PipelineQuery("dedup_clusters",
       Seq(ParamSpec("threshold", "double", required = false, default = Some(0.5)),
         ParamSpec("only_dups", "boolean", required = false, default = Some(false))),

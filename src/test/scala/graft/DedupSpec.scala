@@ -278,6 +278,32 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 8L, 10L, 8000L)))
   }
 
+  test("contrastiveTriplets: hard negative = best sub-threshold NON-cluster " +
+      "partner via a rare shared shingle; ties break to the lower id; " +
+      "cluster-mates never serve as negatives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), // cluster {1,2}, rep 1
+      (2L, "a b c d e f"),
+      (3L, "a b c x y z"), // vs 1/2: inter {abc} of 7 → pm 1428
+      (4L, "p q r s"),     // shares nothing → never a candidate
+      (5L, "a b c d x y"), // cluster {5,6}; vs 1/2: inter {abc,bcd}/6 → 3333
+      (6L, "a b c d x y")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contrastiveTriplets(docs, "doc_id", "text",
+        k = 3, numHashes = 24, bands = 8, threshold = 0.5)
+      .orderBy("anchor_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // anchor 2: negatives 3 (1428), 5 (3333), 6 (3333) → tie → id 5;
+    // anchor 6: negatives 1 (3333), 2 (3333), 3 (1428) → tie → id 1;
+    // 5 and 6 are cluster-mates so neither negatives the other
+    assert(out === Array(
+      (2L, 1L, 5L, 10000L, 3333L),
+      (6L, 5L, 1L, 10000L, 3333L)))
+    intercept[IllegalArgumentException](
+      Dedup.contrastiveTriplets(docs, "doc_id", "text", maxDf = 1))
+  }
+
   test("winnowFingerprints: guarantee — offset-shifted shared substring collides") {
     import spark.implicits._
     // the winnowing guarantee: any shared substring of length >= w+k-1

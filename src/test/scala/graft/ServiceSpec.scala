@@ -151,6 +151,16 @@ class ServiceSpec extends SparkSpec {
       "n_inter", "n_union", "jaccard_pm")))
     assert(cpairs.filter(col("anchor_id") === col("positive_id") ||
       col("jaccard_pm") > 10000L).count() == 0)
+    val ct = service.runRegistered("contrastive_triplets",
+      Map("threshold" -> "0.5"))
+    assert(ct.columns.sameElements(Array("anchor_id", "positive_id",
+      "negative_id", "pos_pm", "neg_pm")))
+    assert(ct.filter(col("neg_pm") >= 5000L ||
+      col("negative_id") === col("positive_id") ||
+      col("negative_id") === col("anchor_id")).count() == 0)
+    intercept[BadRequestException] {
+      service.runRegistered("contrastive_triplets", Map("max_df" -> "1"))
+    }
     // mixture/chunking samplers: coerced params, domain checks
     val qs = service.runRegistered("quota_sample", Map("quota" -> "3"))
     assert(qs.columns.sameElements(Array("doc_id", "source", "lang")))
