@@ -3650,5 +3650,69 @@ object CatalogPipeline {
            |SELECT posj.anchor_id, posj.positive_id, b.negative_id,
            |  posj.pos_pm, b.pm AS neg_pm
            |FROM posj JOIN best b ON b.anchor_id = posj.anchor_id AND b.rn = 1
-           |ORDER BY posj.anchor_id""".stripMargin)))
+           |ORDER BY posj.anchor_id""".stripMargin)),
+
+    QueryDef("q241_tokenizer_fertility",
+      // tokenizer fertility per (lang, source): BPE-ish pre-tokens
+      // per 1000 chars (sequence-length cost of each language) and
+      // per whitespace word in ppm (fragmentation) — the vocabulary-
+      // rebalancing audit, exact integer ratios over q50/q73's
+      // already-oracle-checked token counts
+      (s, d) => TextAnalysis.tokenizerFertility(
+          Tpch.table(s, d, "documents"), "text", "lang", "source")
+        .orderBy("lang", "source"),
+      Some(s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+             |  CAST(sum(ch) AS BIGINT) AS chars,
+             |  CAST(sum(bpe) * 1000 // greatest(sum(ch), 1) AS BIGINT)
+             |    AS bpe_per_kchar,
+             |  CAST(sum(bpe) * 1000000 // greatest(sum(ws), 1) AS BIGINT)
+             |    AS bpe_per_ws_ppm
+             |FROM (SELECT lang, source,
+             |  CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws,
+             |  len(list_filter(regexp_extract_all(text, '${TextAnalysis.bpeIshPattern}'),
+             |    t -> NOT regexp_matches(t, '^\\s+$$'))) AS bpe,
+             |  length(text) AS ch FROM documents)
+             |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin)),
+
+    QueryDef("q242_curriculum_pack",
+      // the q237 schedule composed with q88's span arithmetic:
+      // curriculum-ordered fixed-length sequence packing — which
+      // training sequences does each document fill, where does it
+      // start, and how many does it span. Same stages/shuffle as
+      // q237 with seqLen 512
+      (s, d) => {
+        val docs = Tpch.table(s, d, "documents")
+        Sampling.curriculumPack(docs, "doc_id", col("n_chars"),
+            TextAnalysis.tokenCount(col("text")),
+            nStages = 4, seqLen = 512L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d0 AS (SELECT doc_id, n_chars AS difficulty,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS h
+             |  FROM documents),
+             |b AS (SELECT min(difficulty) AS lo, max(difficulty) AS hi FROM d0),
+             |st AS (SELECT doc_id, difficulty, n_tokens, h,
+             |    1 + (difficulty - lo) * 4 // (hi - lo + 1) AS stage
+             |  FROM d0 CROSS JOIN b),
+             |off AS (SELECT doc_id, difficulty, stage, h AS shuffle_key, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY stage, h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS start_offset
+             |  FROM st)
+             |SELECT doc_id, CAST(difficulty AS BIGINT) AS difficulty,
+             |  CAST(stage AS BIGINT) AS stage,
+             |  CAST(shuffle_key AS BIGINT) AS shuffle_key,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens, start_offset,
+             |  start_offset // 512 AS first_seq,
+             |  CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+             |       ELSE start_offset // 512 END AS last_seq,
+             |  start_offset % 512 AS offset_in_seq,
+             |  (CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+             |        ELSE start_offset // 512 END) - start_offset // 512 + 1 AS n_seqs
+             |FROM off ORDER BY doc_id""".stripMargin)))
 }

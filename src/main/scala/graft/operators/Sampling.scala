@@ -344,4 +344,33 @@ object Sampling {
         col("shuffle_key"), col("n_tokens"), col("start_offset"),
         expr(s"start_offset div ${tokensPerStep}L").as("step"))
   }
+
+  /** Curriculum-ordered sequence-PACKING manifest — the
+    * [[curriculumSchedule]] composed with the [[Packing]] span
+    * arithmetic: lay every document's tokens on the curriculum number
+    * line and read off which fixed-length training sequences it fills
+    * (`first_seq`..`last_seq`, spanning documents split across
+    * sequence boundaries exactly as [[Packing.concatChunk]] does, but
+    * in CURRICULUM order instead of id order — easy stages pack into
+    * the run's first sequences). `offset_in_seq` is where the
+    * document's first token lands inside its first sequence.
+    *
+    * Scale shape: [[curriculumSchedule]]'s (two-level prefix sum,
+    * broadcast bases) plus pure per-row arithmetic.
+    */
+  def curriculumPack(df: DataFrame, idCol: String, difficulty: Column,
+      nTokens: Column, nStages: Int, seqLen: Long,
+      shuffleBuckets: Int = 1000000): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    curriculumSchedule(df, idCol, difficulty, nTokens, nStages, seqLen,
+        shuffleBuckets)
+      .select(col(idCol), col("difficulty"), col("stage"),
+        col("shuffle_key"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div ${seqLen}L").as("first_seq"),
+        expr(s"CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) " +
+          s"div ${seqLen}L ELSE start_offset div ${seqLen}L END")
+          .as("last_seq"),
+        expr(s"start_offset % ${seqLen}L").as("offset_in_seq"))
+      .withColumn("n_seqs", expr("last_seq - first_seq + 1"))
+  }
 }

@@ -460,6 +460,36 @@ object TextAnalysis {
         col("bucket"), col("tier"))
   }
 
+  /** Tokenizer FERTILITY audit per (lang, source) — the
+    * tokenizer-evaluation table multilingual-LM work reads before
+    * fixing a vocabulary: how many BPE-style pre-tokens does a
+    * character of each language cost (`bpe_per_kchar`, tokens per
+    * 1000 chars), and how badly does pre-tokenization fragment
+    * whitespace words (`bpe_per_ws_ppm` — 10⁶ means one BPE token per
+    * word; higher = punctuation/digit splitting). Languages with high
+    * fertility burn sequence length and train slower — the classic
+    * argument for vocabulary rebalancing, and the denominator side of
+    * the [[vocabCoverage]] audit. Exact integer ratios.
+    *
+    * Scale shape: one per-row codegen projection (both token counts
+    * are column expressions) into one (lang, source)-grain hash
+    * aggregation with map-side partials; output is |langs × sources|.
+    */
+  def tokenizerFertility(df: DataFrame, textCol: String, langCol: String,
+      srcCol: String): DataFrame =
+    df.select(col(langCol).cast("string").as("lang"),
+        col(srcCol).cast("string").as("source"),
+        tokenCount(col(textCol)).cast("long").as("__ws"),
+        bpeIshTokenCount(col(textCol)).cast("long").as("__bpe"),
+        length(col(textCol)).cast("long").as("__ch"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("__ws").as("ws_tokens"),
+        sum("__bpe").as("bpe_tokens"), sum("__ch").as("chars"))
+      .withColumn("bpe_per_kchar",
+        expr("bpe_tokens * 1000 div greatest(chars, 1)"))
+      .withColumn("bpe_per_ws_ppm",
+        expr("bpe_tokens * 1000000 div greatest(ws_tokens, 1)"))
+
   /** PMI-ranked collocation mining — the corpus-statistics pass that
     * surfaces multi-word terms ("new york", "machine learning") for
     * tokenizer vocab curation and quality auditing. Association is

@@ -147,6 +147,13 @@ object PipelineQueries {
           numHashes = 24, bands = 8, threshold = threshold)
       }))
 
+    service.register(PipelineQuery("tokenizer_fertility",
+      // the q241 surface: BPE-ish tokens per kchar / per whitespace
+      // word, per (lang, source) — the vocabulary-rebalancing audit
+      Seq.empty,
+      _ => TextAnalysis.tokenizerFertility(docs, "text", "lang", "source")
+        .orderBy("lang", "source")))
+
     service.register(PipelineQuery("contrastive_triplets",
       // the q240 surface: (anchor, cluster-rep positive, best rare-
       // shingle sub-threshold negative) — contrastive training rows

@@ -590,6 +590,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("tokenizerFertility: hand-counted BPE/whitespace/char ratios per " +
+      "(lang, source); punctuation-heavy text reads higher fertility") {
+    val docs = Seq(
+      // "ab cd." → ws 2; bpe: "ab"," cd","." → 3; chars 6
+      (1L, "ab cd.", "en", "a"),
+      // "x1!" → ws 1; bpe: "x","1","!" → 3; chars 3
+      (2L, "x1!", "en", "a"),
+      // plain words: "aa bb" → ws 2; bpe 2; chars 5
+      (3L, "aa bb", "fr", "a"),
+      (4L, "", "fr", "a") // empty: 0/0/0 but still counted as a doc
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.tokenizerFertility(docs, "text", "lang", "source")
+      .orderBy("lang", "source")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      // en/a: 2 docs, ws 3, bpe 6, chars 9 → 6000/9=666, 6e6/3=2000000
+      ("en", "a", 2L, 3L, 6L, 9L, 666L, 2000000L),
+      // fr/a: 2 docs, ws 2, bpe 2, chars 5 → 2000/5=400, 1000000
+      ("fr", "a", 2L, 2L, 2L, 5L, 400L, 1000000L)))
+  }
+
   test("lmTiers: per-language head/middle/tail by fluency rank, ntile depth " +
       "semantics, short docs absent, deterministic tie order") {
     // train slice: "a b" bigram seen twice, "a c" once → vocabulary {a,b,c}

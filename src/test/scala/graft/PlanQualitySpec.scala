@@ -82,7 +82,8 @@ class PlanQualitySpec extends SparkSpec {
       // crossJoins the 1-row (min, max) difficulty bounds into the
       // equal-width stage expression — q232's two-pass-histogram
       // scalar shape (the expression consumes both bounds per row)
-      "q236_lm_tiers", "q237_curriculum")
+      // q242 composes q237, inheriting the same bounds scalar
+      "q236_lm_tiers", "q237_curriculum", "q242_curriculum_pack")
     // NOTE the drift family (q203–q207, q213–q215) carries NO entries:
     // since round 13 every drift join — bin edges, totals — is a
     // broadcast HASH join on the (possibly constant) group key, so the

@@ -219,4 +219,31 @@ class SamplingSpec extends SparkSpec {
       Sampling.curriculumSchedule(docs, "id", col("diff"), col("toks"),
         nStages = 4, tokensPerStep = 0L))
   }
+
+  test("curriculumPack: span arithmetic over the schedule — boundary-exact " +
+      "first/last sequence, empty docs span their containing sequence only") {
+    val docs = spark.range(0, 60)
+      .select($"id", ($"id" % 10).as("diff"), ($"id" % 5 * 3).as("toks"))
+    val out = Sampling.curriculumPack(docs, "id", col("diff"), col("toks"),
+        nStages = 3, seqLen = 7L)
+      .select("id", "n_tokens", "start_offset", "first_seq", "last_seq",
+        "offset_in_seq", "n_seqs")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    out.foreach { case (id, n, off, fs, ls, o, ns) =>
+      assert(fs == off / 7, s"doc $id first_seq")
+      assert(o == off % 7, s"doc $id offset")
+      val expLs = if (n > 0) (off + n - 1) / 7 else off / 7
+      assert(ls == expLs && ns == expLs - fs + 1, s"doc $id span")
+    }
+    // a doc ending exactly at a boundary stays in its first sequence
+    val one = Seq((1L, 0L, 7L)).toDF("id", "diff", "toks")
+    val row = Sampling.curriculumPack(one, "id", col("diff"), col("toks"),
+        nStages = 1, seqLen = 7L)
+      .select("first_seq", "last_seq", "n_seqs")
+      .as[(Long, Long, Long)].head()
+    assert(row == ((0L, 0L, 1L)))
+    intercept[IllegalArgumentException](
+      Sampling.curriculumPack(one, "id", col("diff"), col("toks"),
+        nStages = 1, seqLen = 0L))
+  }
 }

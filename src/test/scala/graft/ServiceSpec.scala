@@ -161,6 +161,11 @@ class ServiceSpec extends SparkSpec {
     intercept[BadRequestException] {
       service.runRegistered("contrastive_triplets", Map("max_df" -> "1"))
     }
+    val tf = service.runRegistered("tokenizer_fertility", Map.empty)
+    assert(tf.columns.sameElements(Array("lang", "source", "n_docs",
+      "ws_tokens", "bpe_tokens", "chars", "bpe_per_kchar", "bpe_per_ws_ppm")))
+    assert(tf.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0,
+      "BPE pre-tokens can only split whitespace words, never merge them")
     // mixture/chunking samplers: coerced params, domain checks
     val qs = service.runRegistered("quota_sample", Map("quota" -> "3"))
     assert(qs.columns.sameElements(Array("doc_id", "source", "lang")))
