@@ -386,11 +386,10 @@ object CatalogMvcc {
         val rawCounts = idx.histogram().collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq
         val docsTable = graft.model.Tpch.table(s, d, "documents")
-        val target = graft.operators.TextAnalysis
-          .filterGate(docsTable, "doc_id", "text").filter(col("keep"))
+        val target = docsTable
+          .filter(graft.operators.TextAnalysis.gateKeep(col("text")))
           .filter(graft.operators.Sampling.hashSplit(col("doc_id"),
             Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
-          .select("doc_id").join(docsTable, Seq("doc_id"))
         val w = graft.operators.TextAnalysis.dsirWeightsDenseFromCounts(
           rawCounts, target, "text", dsirBuckets)
         graft.operators.TextAnalysis.dsirScoreStateless(
@@ -465,11 +464,10 @@ object CatalogMvcc {
         val idx = new graft.operators.MaintainedStatsIndex(
           gs, "v_doc", "text", 0.0, 1.0, dsirBuckets, path, featureHash = true)
         val docsTable = graft.model.Tpch.table(s, d, "documents")
-        val target = graft.operators.TextAnalysis
-          .filterGate(docsTable, "doc_id", "text").filter(col("keep"))
+        val target = docsTable
+          .filter(graft.operators.TextAnalysis.gateKeep(col("text")))
           .filter(graft.operators.Sampling.hashSplit(col("doc_id"),
             Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
-          .select("doc_id").join(docsTable, Seq("doc_id"))
         val batch = docsTable.filter(col("doc_id") % 7 === 3)
           .select("doc_id", "text")
         idx.dsirBatchScores(batch, "doc_id", "text", target, "text")

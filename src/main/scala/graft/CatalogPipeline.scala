@@ -1416,11 +1416,13 @@ object CatalogPipeline {
       // real run would curate by hand)
       (s, d) => {
         val docs = Tpch.table(s, d, "documents")
-        val target = TextAnalysis.filterGate(docs, "doc_id", "text")
-          .filter(col("keep"))
+        // gate + split are row-local predicates: filter the corpus at
+        // the scan instead of deriving ids and joining the corpus back
+        // to itself (r16: one shuffle join removed — guide §2.4)
+        val target = docs
+          .filter(TextAnalysis.gateKeep(col("text")))
           .filter(Sampling.hashSplit(col("doc_id"),
             Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
-          .select("doc_id").join(docs, Seq("doc_id"))
         TextAnalysis.dsirScore(docs, target, "doc_id", "text")
           .withColumn("keep_permille",
             least(lit(1000L), expr("dsir_ppm div 1000")))

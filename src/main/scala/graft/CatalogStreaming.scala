@@ -746,11 +746,10 @@ object CatalogStreaming {
       // must answer exactly what the batch plan does
       (s, d) => {
         val docs = Tpch.table(s, d, "documents")
-        val target = TextAnalysis.filterGate(docs, "doc_id", "text")
-          .filter(col("keep"))
+        val target = docs
+          .filter(TextAnalysis.gateKeep(col("text")))
           .filter(graft.operators.Sampling.hashSplit(col("doc_id"),
             Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
-          .select("doc_id").join(docs, Seq("doc_id"))
         val w = TextAnalysis.dsirWeightsDense(docs, target, "text")
         val scored = TextAnalysis.dsirScoreStateless(
           streamDocuments(s, d), "doc_id", "text", w)

@@ -38,25 +38,42 @@ object Curate {
     * moves and nothing is collected.
     */
   def lmLowFlags(docs: DataFrame, idCol: String, textCol: String,
-      srcCol: String, relPpm: Long): DataFrame = {
+      srcCol: String, relPpm: Long, onlyClean: Boolean = false): DataFrame = {
     // relPpm is parts-per-million of the source mean: the documented
     // int64-exact domain is [0, 10⁶] (both products then stay ≤10¹²).
     // A caller value above ~9.2e12 would overflow relPpm·mean and
     // silently INVERT the verdict — reject outside the domain instead.
     require(relPpm >= 0 && relPpm <= 1000000L,
       s"relPpm must be in [0, 1000000] (ppm of the source mean), got $relPpm")
-    val cleanIds = TextAnalysis.filterGate(docs, idCol, textCol)
-      .filter(col("keep")).select(idCol)
-    val clean = cleanIds.join(docs, Seq(idCol))
-    val scores = TextAnalysis.bigramLmScore(clean, docs, idCol, textCol)
-      .select(col(idCol), col("score_ppm"))
-    val srcMean = scores.join(cleanIds, Seq(idCol), "left_semi")
-      .join(docs.select(col(idCol), col(srcCol).cast("string").as("__src")),
-        Seq(idCol))
+    // gate verdict is a row-local predicate: filter the corpus inline
+    // instead of deriving clean ids and joining them back (two corpus
+    // self-joins removed — guide §2.4)
+    val keepE = TextAnalysis.gateKeep(col(textCol))
+    val clean = docs.filter(keepE)
+    // `onlyClean` scores just the gate-clean slice (the curated-set
+    // path, where gate-failed docs are already out); the audit path
+    // scores everything so bit 16 is defined for every row. The flags
+    // are identical on the shared rows: the per-source mean only ever
+    // aggregates clean scored docs.
+    val toScore = if (onlyClean) clean else docs
+    // scored once, REUSED twice (per-source mean + per-doc compare).
+    // Without the checkpoint the whole LM subtree — two vocabulary
+    // count tables, their scoring joins, the per-doc rollup — executes
+    // once per reference (DataFrame reuse duplicates the subtree; no
+    // CSE across branches). The checkpointed frame is (id, src, clean,
+    // score) — ~30 bytes/doc, corpus-COUNT-sized not corpus-sized, the
+    // standard decision-pass/payload-pass split of guide §8.
+    val scored = toScore
+      .select(col(idCol), col(srcCol).cast("string").as("__src"),
+        keepE.as("__clean"))
+      .join(TextAnalysis.bigramLmScore(clean, toScore, idCol, textCol)
+          .select(col(idCol), col("score_ppm")),
+        Seq(idCol), "left")
+      .localCheckpoint(eager = false)
+    val srcMean = scored.filter(col("__clean") && col("score_ppm").isNotNull)
       .groupBy("__src")
       .agg(expr("sum(score_ppm) div count(1)").as("__mean"))
-    docs.select(col(idCol), col(srcCol).cast("string").as("__src"))
-      .join(scores, Seq(idCol), "left")
+    scored
       .join(broadcast(srcMean), Seq("__src"), "left")
       .select(col(idCol),
         coalesce(col("score_ppm") * lit(1000000L) < lit(relPpm) * col("__mean"),
@@ -82,16 +99,25 @@ object Curate {
       rest: String = "test",
       nearDupKeep: Option[DataFrame] = None,
       lmGate: Option[(String, Long)] = None): DataFrame = {
-    val clean97 = TextAnalysis.filterGate(docs, idCol, textCol)
-      .filter(col("keep")).select(idCol)
-    val cleanIds = lmGate.fold(clean97) { case (srcCol, relPpm) =>
-      clean97.join(lmLowFlags(docs, idCol, textCol, srcCol, relPpm)
+    import org.apache.spark.sql.expressions.Window
+    // the q97 gate is a row-local predicate — filter at the scan, never
+    // derive ids and re-join the corpus to itself (guide §2.4). The LM
+    // stage is id-keyed (its flags come off an aggregation), so it
+    // alone keeps a semi-join — over the gate-clean slice only.
+    val clean = docs.filter(TextAnalysis.gateKeep(col(textCol)))
+    val kept = lmGate.fold(clean) { case (srcCol, relPpm) =>
+      clean.join(lmLowFlags(docs, idCol, textCol, srcCol, relPpm,
+          onlyClean = true)
         .filter(!col("lm_low")).select(idCol), Seq(idCol), "left_semi")
     }
-    val kept = cleanIds.join(docs, Seq(idCol))
-    val reps = kept.groupBy(md5(col(textCol)).as("__h"))
-      .agg(min(idCol).as(idCol)).select(idCol)
-    val exact = kept.join(reps, Seq(idCol))
+    // exact-dedup representative via ONE window over the content hash:
+    // the r15 shape (groupBy(h).agg(min(id)) then join back by id)
+    // paid the hash shuffle PLUS an id-keyed join that re-executed the
+    // whole `kept` subtree a second time
+    val exact = kept
+      .withColumn("__rep", min(col(idCol)).over(
+        Window.partitionBy(md5(col(textCol)))))
+      .filter(col(idCol) === col("__rep")).drop("__rep")
     val deduped = nearDupKeep.fold(exact) { klist =>
       exact.join(klist.select(col(klist.columns.head).as(idCol)),
         Seq(idCol), "left_semi")
@@ -123,24 +149,39 @@ object Curate {
       rest: String = "test",
       nearDupKeep: Option[DataFrame] = None,
       lmGate: Option[(String, Long)] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val stats97 = TextAnalysis.filterGate(docs, idCol, textCol)
       .select(col(idCol), col("reasons"), col("n_tokens"), col("keep"))
     // the LM stage rides the bitmask: bit 16 = low per-source fluency
     // (provenance — "why did doc X disappear?" answers "lm" the same
     // way it answers "too short"), and keep folds it in so every
-    // downstream status/dedup step sees one gate verdict
+    // downstream status/dedup step sees one gate verdict. The joined
+    // frame is checkpointed because BOTH the dedup branch and the
+    // final assembly reference it — without it the LM-flag join (and
+    // the gate scan under it) executes once per reference.
     val stats = lmGate.fold(stats97) { case (srcCol, relPpm) =>
       stats97.join(lmLowFlags(docs, idCol, textCol, srcCol, relPpm), Seq(idCol))
         .select(col(idCol),
           (col("reasons") + when(col("lm_low"), 16L).otherwise(0L)).as("reasons"),
           col("n_tokens"),
           (col("keep") && !col("lm_low")).as("keep"))
+        .localCheckpoint(eager = false)
     }
-    val gHash = stats.filter(col("keep")).select(idCol)
-      .join(docs, Seq(idCol))
-      .select(col(idCol), md5(col(textCol)).as("__h"))
-    val reps = gHash.groupBy("__h").agg(min(idCol).as("__rep"))
-    val withRep = gHash.join(reps, Seq("__h")).select(col(idCol), col("__rep"))
+    // survivors' content hashes: with a row-local keep (no LM stage)
+    // this is a pure scan — no id derivation, no corpus self-join;
+    // with the LM stage only the (id, 16-byte hash) projection joins
+    // the id-keyed verdict, never the text
+    val gHash = lmGate.fold(
+      docs.filter(TextAnalysis.gateKeep(col(textCol)))
+        .select(col(idCol), md5(col(textCol)).as("__h"))) { _ =>
+      stats.filter(col("keep")).select(idCol)
+        .join(docs.select(col(idCol), md5(col(textCol)).as("__h")), Seq(idCol))
+    }
+    // representative via ONE window over the hash (the groupBy+join-
+    // back shape re-executed gHash and paid an extra id-keyed shuffle)
+    val withRep = gHash
+      .withColumn("__rep", min(col(idCol)).over(Window.partitionBy("__h")))
+      .select(col(idCol), col("__rep"))
     // near-dup keep flag: only meaningful for exact representatives
     // (apply()'s semi-join runs after the exact tier); absent list =
     // everything near-kept

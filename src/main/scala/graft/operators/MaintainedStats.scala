@@ -103,12 +103,14 @@ final class MaintainedStatsIndex(gs: GraphStore, label: String, valueCol: String
   private def binned(rows: DataFrame): DataFrame = {
     val keyed =
       if (featureHash) {
-        val feat = explode(TextAnalysis.hashedNgramFeatures(col(valueCol)))
+        // r16: one native featurize+hash expression per row (see
+        // HashedNgramExpression) — the explode moves bucket longs, not
+        // feature strings; bins identical by construction
+        val bin = explode(graft.functions.HashedNgramExpression
+          .hashed_ngram_buckets(col(valueCol), nBins))
         groupCol match {
-          case None => rows.select(feat.as("__f"))
-            .select(Sampling.hashBucket(col("__f"), nBins).as("bin"))
-          case Some(gc) => rows.select(col(gc).cast("string").as("g"), feat.as("__f"))
-            .select(col("g"), Sampling.hashBucket(col("__f"), nBins).as("bin"))
+          case None => rows.select(bin.as("bin"))
+          case Some(gc) => rows.select(col(gc).cast("string").as("g"), bin.as("bin"))
         }
       } else groupCol match {
         case None => rows.select(binOf(col(valueCol)).as("bin"))

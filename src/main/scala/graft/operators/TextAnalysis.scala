@@ -58,16 +58,40 @@ object TextAnalysis {
     val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
     val nStop = size(filter(toks, t => t.isInCollection(englishStopwords)))
       .cast("long")
-    val reasons =
-      when(nTok < minTokens, 1L).otherwise(0L) +
-      when(nTok > 0 && (sumLen < nTok * minMeanLen || sumLen > nTok * maxMeanLen), 2L)
-        .otherwise(0L) +
-      when(nPunct * 10 > length(text), 4L).otherwise(0L) +
-      when(nStop < minStopwords, 8L).otherwise(0L)
+    val reasons = gateReasons(text, minTokens, minMeanLen, maxMeanLen, minStopwords)
     df.select(col(idCol), nTok.as("n_tokens"), sumLen.as("sum_token_len"),
       nPunct.as("n_punct"), nStop.as("n_stop"), reasons.as("reasons"),
       (reasons === 0).as("keep"))
   }
+
+  /** The [[filterGate]] reasons bitmask as a ROW-LOCAL column over the
+    * text — the same expressions filterGate selects, exposed so callers
+    * that only FILTER on the verdict evaluate it inline at the scan.
+    * The r15 chains derived gate-clean ids via
+    * `filterGate(docs).filter(keep).select(id).join(docs)` — a shuffle
+    * join of the corpus with ITSELF to re-attach the text the gate
+    * dropped, twice per Curate chain (guide §2.4: remove shuffles
+    * outright). A per-row predicate needs no ids and no join.
+    */
+  def gateReasons(text: Column, minTokens: Int = 10, minMeanLen: Int = 3,
+      maxMeanLen: Int = 10, minStopwords: Int = 2): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
+    val nStop = size(filter(toks, t => t.isInCollection(englishStopwords)))
+      .cast("long")
+    when(nTok < minTokens, 1L).otherwise(0L) +
+      when(nTok > 0 && (sumLen < nTok * minMeanLen || sumLen > nTok * maxMeanLen), 2L)
+        .otherwise(0L) +
+      when(nPunct * 10 > length(text), 4L).otherwise(0L) +
+      when(nStop < minStopwords, 8L).otherwise(0L)
+  }
+
+  /** `keep` verdict of the default gate as a row-local predicate. */
+  def gateKeep(text: Column, minTokens: Int = 10, minMeanLen: Int = 3,
+      maxMeanLen: Int = 10, minStopwords: Int = 2): Column =
+    gateReasons(text, minTokens, minMeanLen, maxMeanLen, minStopwords) === 0
 
   /** Corpus vocabulary induction — the tokenizer-training primitive:
     * the `topK` most frequent tokens with occurrence and document
@@ -876,10 +900,14 @@ object TextAnalysis {
     */
   private def hashedNgramBuckets(df: DataFrame, idCols: Seq[String],
       textCol: String, nBuckets: Int): DataFrame = {
+    // r16: featurize + hash in ONE native per-row expression (see
+    // HashedNgramExpression — bit-identical to exploding the string
+    // features and md5-bucketing each; the explode now moves longs,
+    // not feature strings, and the md5 chain runs compiled, not as a
+    // per-element interpreted tree)
     df.select(idCols.map(col) :+
-        explode(hashedNgramFeatures(col(textCol))).as("__f"): _*)
-      .select(idCols.map(col) :+
-        Sampling.hashBucket(col("__f"), nBuckets).as("bucket"): _*)
+      explode(graft.functions.HashedNgramExpression
+        .hashed_ngram_buckets(col(textCol), nBuckets)).as("bucket"): _*)
   }
 
   /** Unigram + adjacent-bigram feature array of a text column. The
@@ -1014,9 +1042,12 @@ object TextAnalysis {
       weights: Array[Long]): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     val nB = weights.length
-    val ratios = transform(hashedNgramFeatures(col(textCol)),
-      f => element_at(lit(weights),
-        (Sampling.hashBucket(f, nB) + 1).cast("int")))
+    // r16: the native featurizer emits bucket ids directly (longs), so
+    // the remaining lambda work is an array index + add per feature —
+    // the md5/tokenize cost runs compiled once per row
+    val ratios = transform(graft.functions.HashedNgramExpression
+        .hashed_ngram_buckets(col(textCol), nB),
+      b => element_at(lit(weights), (b + 1).cast("int")))
     df.select(col(idCol), ratios.as("__r"))
       .filter(size(col("__r")) > 0)
       .select(col(idCol), size(col("__r")).cast("long").as("n_feats"),
@@ -1040,12 +1071,16 @@ object TextAnalysis {
   def dsirScore(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 4096,
       maxRatioPpm: Long = 1000000000L): DataFrame = {
-    val w = dsirWeights(raw, target, textCol, nBuckets, maxRatioPpm)
-    hashedNgramBuckets(raw, Seq(idCol), textCol, nBuckets)
-      .join(broadcast(w), Seq("bucket"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_feats"),
-        expr("sum(r_ppm) div count(1)").as("dsir_ppm"))
+    // r16: score ROW-LOCALLY against the dense weight array (the
+    // stateless-serving shape, fuzz-pinned bit-identical to the old
+    // explode→broadcast-join→groupBy path). The join path shuffled one
+    // row PER FEATURE (corpus-token-count rows) back to doc grain; the
+    // dense lookup keeps featurization, weight lookup and the integer
+    // mean inside the row — zero exchanges in the scoring pass, the
+    // model rides as the same ≤nBuckets-long broadcast-sized literal
+    // the join path collected anyway (guide §2.4).
+    dsirScoreStateless(raw, idCol, textCol,
+      dsirWeightsDense(raw, target, textCol, nBuckets, maxRatioPpm))
   }
 }
 

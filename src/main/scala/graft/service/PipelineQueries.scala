@@ -269,11 +269,10 @@ object PipelineQueries {
       ps => {
         val nB = intParam(ps, "buckets")
         val d = docs
-        val target = TextAnalysis.filterGate(d, "doc_id", "text")
-          .filter(col("keep"))
+        val target = d
+          .filter(TextAnalysis.gateKeep(col("text")))
           .filter(Sampling.hashSplit(col("doc_id"),
             Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
-          .select("doc_id").join(d, Seq("doc_id"))
         val out = TextAnalysis.dsirScore(d, target, "doc_id", "text", nBuckets = nB)
           .withColumn("keep_permille",
             least(lit(1000L), expr("dsir_ppm div 1000")))

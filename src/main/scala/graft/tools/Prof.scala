@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.model.Tpch
+
+/** Ad-hoc stage profiler for the optimization rounds: times named
+  * sub-frames of the expensive catalog queries with the noop sink
+  * (guide §1.4) so a query's cost decomposes into its passes. Each
+  * piece runs twice (JIT/footer warm-up discarded) and prints the
+  * second reading. Usage: runMain graft.tools.Prof <sfDir> <case>
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = args.lift(1).getOrElse("q221")
+    val spark = graft.GraftSession.get(32)
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): Unit = {
+      f // warm-up
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $name%-42s best ${runs.min}%6.3f  med ${runs.sorted.apply(1)}%6.3f")
+    }
+    val docs = Tpch.table(spark, sfDir, "documents")
+
+    which match {
+      case "q221" =>
+        val target = docs
+          .filter(TextAnalysis.gateKeep(col("text")))
+          .filter(Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05), rest = "test") === "val")
+        time("docs count")(docs.count())
+        time("gate filter count")(docs.filter(TextAnalysis.gateKeep(col("text"))).count())
+        time("dsirWeightsDense (model build)")(
+          TextAnalysis.dsirWeightsDense(docs, target, "text"))
+        val w = TextAnalysis.dsirWeightsDense(docs, target, "text")
+        time("dsirScoreStateless noop")(
+          noop(TextAnalysis.dsirScoreStateless(docs, "doc_id", "text", w)))
+        time("q221 full count")(
+          graft.SparkEntry.queries("q221_dsir_select")(spark, sfDir).count())
+      case "q227" =>
+        val clean = docs.filter(TextAnalysis.gateKeep(col("text")))
+        time("clean filter count")(clean.count())
+        time("bigramLmScore(clean, docs) noop")(
+          noop(TextAnalysis.bigramLmScore(clean, docs, "doc_id", "text")))
+        time("lmLowFlags onlyClean noop")(
+          noop(Curate.lmLowFlags(docs, "doc_id", "text", "source", 940000L,
+            onlyClean = true)))
+        time("Curate.apply(lmGate) noop")(
+          noop(Curate(docs, "doc_id", "text",
+            lmGate = Some(("source", 940000L)))))
+        time("q227 full count")(
+          graft.SparkEntry.queries("q227_lm_curate_mix")(spark, sfDir).count())
+      case "q108" =>
+        time("q108 full count")(
+          graft.SparkEntry.queries("q108_semantic_dedup")(spark, sfDir).count())
+      case name =>
+        time(s"$name full count")(
+          graft.SparkEntry.queries(name)(spark, sfDir).count())
+    }
+    spark.stop()
+  }
+}
