@@ -51,42 +51,33 @@ object TextAnalysis {
   def filterGate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 10, minMeanLen: Int = 3, maxMeanLen: Int = 10,
       minStopwords: Int = 2): DataFrame = {
-    val text = col(textCol)
-    val toks = tokens(text)
-    val nTok = size(toks).cast("long")
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
-    val nStop = size(filter(toks, t => t.isInCollection(englishStopwords)))
-      .cast("long")
-    val reasons = gateReasons(text, minTokens, minMeanLen, maxMeanLen, minStopwords)
-    df.select(col(idCol), nTok.as("n_tokens"), sumLen.as("sum_token_len"),
-      nPunct.as("n_punct"), nStop.as("n_stop"), reasons.as("reasons"),
-      (reasons === 0).as("keep"))
+    // r16: all five signals come from ONE native per-row expression
+    // (GateStatsExpression — bit-identical to the old column chain,
+    // which ran two interpreted HOFs and a regexp_replace per row);
+    // codegen subexpression elimination collapses the field reads to a
+    // single evaluation
+    val g = graft.functions.GateStatsExpression.gate_stats(col(textCol),
+      minTokens, minMeanLen, maxMeanLen, minStopwords)
+    df.select(col(idCol), g.getField("n_tokens").as("n_tokens"),
+      g.getField("sum_token_len").as("sum_token_len"),
+      g.getField("n_punct").as("n_punct"), g.getField("n_stop").as("n_stop"),
+      g.getField("reasons").as("reasons"),
+      (g.getField("reasons") === 0).as("keep"))
   }
 
   /** The [[filterGate]] reasons bitmask as a ROW-LOCAL column over the
-    * text — the same expressions filterGate selects, exposed so callers
-    * that only FILTER on the verdict evaluate it inline at the scan.
-    * The r15 chains derived gate-clean ids via
+    * text — the same native expression filterGate selects from, exposed
+    * so callers that only FILTER on the verdict evaluate it inline at
+    * the scan. The r15 chains derived gate-clean ids via
     * `filterGate(docs).filter(keep).select(id).join(docs)` — a shuffle
     * join of the corpus with ITSELF to re-attach the text the gate
     * dropped, twice per Curate chain (guide §2.4: remove shuffles
     * outright). A per-row predicate needs no ids and no join.
     */
   def gateReasons(text: Column, minTokens: Int = 10, minMeanLen: Int = 3,
-      maxMeanLen: Int = 10, minStopwords: Int = 2): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("long")
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
-    val nStop = size(filter(toks, t => t.isInCollection(englishStopwords)))
-      .cast("long")
-    when(nTok < minTokens, 1L).otherwise(0L) +
-      when(nTok > 0 && (sumLen < nTok * minMeanLen || sumLen > nTok * maxMeanLen), 2L)
-        .otherwise(0L) +
-      when(nPunct * 10 > length(text), 4L).otherwise(0L) +
-      when(nStop < minStopwords, 8L).otherwise(0L)
-  }
+      maxMeanLen: Int = 10, minStopwords: Int = 2): Column =
+    graft.functions.GateStatsExpression.gate_stats(text,
+      minTokens, minMeanLen, maxMeanLen, minStopwords).getField("reasons")
 
   /** `keep` verdict of the default gate as a row-local predicate. */
   def gateKeep(text: Column, minTokens: Int = 10, minMeanLen: Int = 3,
@@ -420,9 +411,28 @@ object TextAnalysis {
         col("__toks"))
       .select(col("__id"), element_at(col("__toks"), col("__i")).as("w1"),
         element_at(col("__toks"), col("__i") + 1).as("w2"))
-    val trainToks = toks(train).select(explode(col("__toks")).as("w"))
-    val c1 = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    // r16 (guide §2.3/§2.4): the bigram table is built ONCE and
+    // checkpointed — it feeds both the scoring join and the derived
+    // unigram counts, and without the checkpoint each reference
+    // re-ran the full train-side tokenize+explode+aggregate (the old
+    // shape executed the c1 corpus pass twice: once under the V
+    // scalar, once under the scoring join). The unigram counts now
+    // DERIVE from the bigram table instead of a second corpus explode:
+    // every token instance is either the w1 of its bigram or its
+    // document's LAST token, so c1(w) = Σ_w2 c2(w, w2) + #(last = w)
+    // — one corpus-grain scan for the last tokens replaces the full
+    // unigram explode+shuffle. Both count tables are vocabulary-grain,
+    // so the checkpoints are model-sized, never corpus-sized.
     val c2 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = false)
+    val lastTok = toks(train).filter(size(col("__toks")) >= 1)
+      .select(element_at(col("__toks"), -1).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__cl"))
+    val c1 = c2.groupBy(col("w1").as("w")).agg(sum("c2").as("__cb"))
+      .join(lastTok, Seq("w"), "full")
+      .select(col("w"),
+        (coalesce(col("__cb"), lit(0L)) + coalesce(col("__cl"), lit(0L))).as("c1"))
+      .localCheckpoint(eager = false)
     val v = c1.agg(count(lit(1)).as("v"))
     bigrams(test)
       .join(c2, Seq("w1", "w2"), "left")

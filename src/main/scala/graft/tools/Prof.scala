@@ -56,6 +56,26 @@ object Prof {
             lmGate = Some(("source", 940000L)))))
         time("q227 full count")(
           graft.SparkEntry.queries("q227_lm_curate_mix")(spark, sfDir).count())
+      case "lm" =>
+        val clean = docs.filter(TextAnalysis.gateKeep(col("text")))
+        def toks(df: DataFrame) = df.select(col("doc_id").as("__id"),
+          TextAnalysis.tokens(lower(col("text"))).as("__toks"))
+        def bigrams(df: DataFrame) = toks(df)
+          .filter(size(col("__toks")) >= 2)
+          .select(col("__id"),
+            explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"),
+            col("__toks"))
+          .select(col("__id"), element_at(col("__toks"), col("__i")).as("w1"),
+            element_at(col("__toks"), col("__i") + 1).as("w2"))
+        time("tokenize clean noop")(noop(toks(clean)))
+        time("c1 unigram agg noop")(noop(toks(clean)
+          .select(explode(col("__toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))))
+        time("c2 bigram agg noop")(noop(bigrams(clean)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))))
+        time("bigrams(docs) noop")(noop(bigrams(docs)))
+        time("bigramLmScore full noop")(
+          noop(TextAnalysis.bigramLmScore(clean, docs, "doc_id", "text")))
       case "q108" =>
         time("q108 full count")(
           graft.SparkEntry.queries("q108_semantic_dedup")(spark, sfDir).count())
