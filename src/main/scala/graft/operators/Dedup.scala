@@ -21,16 +21,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
-  /** Word k-shingles of a text column as an array of strings.
-    *
-    * PERF: pass an already-materialized token ARRAY column via
-    * [[shinglesOfTokens]] wherever possible. This convenience overload
-    * embeds the tokenizer inside the per-position lambda, and Catalyst
-    * evaluates the lambda body per element — the regex split would run
-    * once per shingle position (measured ~10µs × positions per doc).
+  /** Word k-shingles of a text column as an array of strings — r16: a
+    * native per-row expression ([[graft.functions.WordShinglesExpression]],
+    * bit-identical to `shinglesOfTokens(tokens(text), k)`). The old
+    * convenience overload embedded the tokenizer inside the
+    * per-position lambda, and Catalyst evaluates a lambda body per
+    * element — the regex split ran once per shingle position (O(n²)
+    * per row; measured 7.5 s per corpus pass at sf0.1 on the
+    * contrastive chain, which evaluated it four times).
     */
   def shingles(text: Column, k: Int): Column =
-    shinglesOfTokens(TextAnalysis.tokens(text), k)
+    graft.functions.WordShinglesExpression.word_shingles(text, k)
 
   /** Word k-shingles from a token-array column (ideally a bound
     * attribute, so per-position slices are cheap in-memory array ops).
@@ -414,6 +415,29 @@ object Dedup {
       df.select(col(idCol).as("id")))
   }
 
+  /** The contrastive tier's shared scoring frame — r16: the SAME
+    * 64-bit-hashed shingle sets the LSH tier verifies with (reused from
+    * the caller's checkpointed signature frame when provided), sorted
+    * once at document grain so per-pair intersection is ONE native
+    * allocation-free merge ([[graft.functions
+    * .SortedIntersectCountExpression]]). The r15 shape recomputed
+    * STRING shingle sets per join side (the O(n²) in-lambda tokenizer,
+    * ~7.5 s per corpus pass at sf0.1) and ran hash-set
+    * intersect/union builtins per candidate pair. Hashed-set counts
+    * equal string-set counts absent 64-bit collisions — the
+    * minhash-verify discipline, certified collision-free by the
+    * exhaustive text-level oracles (q238/q240).
+    */
+  private def sortedHashedSets(df: DataFrame, idCol: String, textCol: String,
+      k: Int, sigs: Option[DataFrame]): DataFrame =
+    sigs.getOrElse(hashedShingleFrame(df, idCol, textCol, k))
+      .select(col("doc").as("__sid"), sort_array(col("hsh")).as("__sh"),
+        size(col("hsh")).cast("long").as("__sz"))
+
+  private def pairScorePm(a: String, b: String): Column =
+    graft.functions.SortedIntersectCountExpression
+      .sorted_intersect_count(col(a), col(b))
+
   def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 24, bands: Int = 8,
       threshold: Double = 0.5, sigs: Option[DataFrame] = None): DataFrame = {
@@ -421,18 +445,15 @@ object Dedup {
       threshold, sigs)
     val anchors = comps.filter(col("id") =!= col("component"))
       .select(col("id").as("anchor_id"), col("component").as("positive_id"))
-    val sh = df.select(col(idCol).as("__sid"),
-      array_distinct(shingles(col(textCol), k)).as("__sh"))
+    val sh = sortedHashedSets(df, idCol, textCol, k, sigs)
     anchors
-      .join(sh.select(col("__sid").as("anchor_id"), col("__sh").as("__sha")),
-        Seq("anchor_id"))
-      .join(sh.select(col("__sid").as("positive_id"), col("__sh").as("__shp")),
-        Seq("positive_id"))
-      .select(col("anchor_id"), col("positive_id"),
-        size(array_intersect(col("__sha"), col("__shp"))).cast("long")
-          .as("n_inter"),
-        size(array_union(col("__sha"), col("__shp"))).cast("long")
-          .as("n_union"))
+      .join(sh.select(col("__sid").as("anchor_id"), col("__sh").as("__sha"),
+        col("__sz").as("__sza")), Seq("anchor_id"))
+      .join(sh.select(col("__sid").as("positive_id"), col("__sh").as("__shp"),
+        col("__sz").as("__szp")), Seq("positive_id"))
+      .withColumn("n_inter", pairScorePm("__sha", "__shp"))
+      .select(col("anchor_id"), col("positive_id"), col("n_inter"),
+        (col("__sza") + col("__szp") - col("n_inter")).as("n_union"))
       .withColumn("jaccard_pm",
         expr("n_inter * 10000 div greatest(n_union, 1)"))
   }
@@ -473,34 +494,50 @@ object Dedup {
     val thresholdPm = math.round(threshold * 10000).toInt
     val comps = nearDupComponents(df, idCol, textCol, k, numHashes, bands,
       threshold, sigs)
-    val sh = df.select(col(idCol).as("__sid"),
-      array_distinct(shingles(col(textCol), k)).as("__sh"))
+    // r16: ONE sorted hashed-set frame serves the positive scores, the
+    // rare-shingle blocking AND the negative scores (see
+    // sortedHashedSets — the r15 shape rebuilt string shingle sets for
+    // each of its four references)
+    val sh = sortedHashedSets(df, idCol, textCol, k, sigs)
     // positives: non-canonical members → their cluster rep, exact pm
     val pos = comps.filter(col("id") =!= col("component"))
       .select(col("id").as("anchor_id"), col("component").as("positive_id"))
-      .join(sh.select(col("__sid").as("anchor_id"), col("__sh").as("__sha")),
-        Seq("anchor_id"))
-      .join(sh.select(col("__sid").as("positive_id"), col("__sh").as("__shp")),
-        Seq("positive_id"))
+      .join(sh.select(col("__sid").as("anchor_id"), col("__sh").as("__sha"),
+        col("__sz").as("__sza")), Seq("anchor_id"))
+      .join(sh.select(col("__sid").as("positive_id"), col("__sh").as("__shp"),
+        col("__sz").as("__szp")), Seq("positive_id"))
+      .withColumn("__ni", pairScorePm("__sha", "__shp"))
       .select(col("anchor_id"), col("positive_id"),
-        expr("CAST(size(array_intersect(__sha, __shp)) AS BIGINT) * 10000 " +
-          "div greatest(size(array_union(__sha, __shp)), 1)").as("pos_pm"))
-    // negatives: rare-shingle blocked sub-threshold partners
+        expr("__ni * 10000 div greatest(__sza + __szp - __ni, 1)").as("pos_pm"))
+    // negatives: rare-shingle blocked sub-threshold partners (blocking
+    // keys are the hashed shingles — same df counts as the strings).
+    // r16: only pairs touching an ANCHOR can reach the output (the
+    // rank window groups by anchor_id and the final join keeps anchor
+    // rows only), so the candidate self-join carries an is-anchor flag
+    // and drops anchor-free pairs BEFORE the distinct + scoring joins —
+    // at sf0.1 that is ~80% of the 1.1M blocked pairs
+    val anchorIds = comps.filter(col("id") =!= col("component"))
+      .select(col("id")).withColumn("__anch", lit(true))
     val x = sh.select(col("__sid").as("id"), explode(col("__sh")).as("g"))
     val rareG = x.groupBy("g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("g")
+    // (no broadcast hint: anchors are cluster members — small here,
+    // but corpus-fraction-sized in the worst case; AQE broadcasts when
+    // the measured size allows)
     val rare = x.join(rareG, Seq("g"))
+      .join(anchorIds, Seq("id"), "left")
     val cand = rare.as("a").join(rare.as("b"), Seq("g"))
-      .filter(col("a.id") < col("b.id"))
+      .filter(col("a.id") < col("b.id") &&
+        (col("a.__anch") || col("b.__anch")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val scored = cand
-      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")),
-        Seq("id_a"))
-      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("__shb")),
-        Seq("id_b"))
+      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha"),
+        col("__sz").as("__sza")), Seq("id_a"))
+      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("__shb"),
+        col("__sz").as("__szb")), Seq("id_b"))
+      .withColumn("__ni", pairScorePm("__sha", "__shb"))
       .select(col("id_a"), col("id_b"),
-        expr("CAST(size(array_intersect(__sha, __shb)) AS BIGINT) * 10000 " +
-          "div greatest(size(array_union(__sha, __shb)), 1)").as("pm"))
+        expr("__ni * 10000 div greatest(__sza + __szb - __ni, 1)").as("pm"))
     val neg0 = scored.select(col("id_a").as("anchor_id"),
         col("id_b").as("negative_id"), col("pm"))
       .union(scored.select(col("id_b").as("anchor_id"),

@@ -76,12 +76,36 @@ object Prof {
         time("bigrams(docs) noop")(noop(bigrams(docs)))
         time("bigramLmScore full noop")(
           noop(TextAnalysis.bigramLmScore(clean, docs, "doc_id", "text")))
+      case "q240parts" =>
+        val sh = docs.select(col("doc_id").as("__sid"),
+          array_distinct(Dedup.shingles(col("text"), 3)).as("__sh"))
+        val x = sh.select(col("__sid").as("id"), explode(col("__sh")).as("g"))
+        time("x count")(println("  x rows: " + x.count()))
+        val rareG = x.groupBy("g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= 20).select("g")
+        time("rareG count")(println("  rare shingles: " + rareG.count()))
+        val rare = x.join(rareG, Seq("g"))
+        val cand = rare.as("a").join(rare.as("b"), Seq("g"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+        time("cand count")(println("  cand pairs: " + cand.count()))
+        val scored = cand
+          .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")),
+            Seq("id_a"))
+          .join(sh.select(col("__sid").as("id_b"), col("__sh").as("__shb")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            expr("CAST(size(array_intersect(__sha, __shb)) AS BIGINT) * 10000 " +
+              "div greatest(size(array_union(__sha, __shb)), 1)").as("pm"))
+        time("scored noop")(noop(scored))
       case "q108" =>
         time("q108 full count")(
           graft.SparkEntry.queries("q108_semantic_dedup")(spark, sfDir).count())
-      case name =>
-        time(s"$name full count")(
-          graft.SparkEntry.queries(name)(spark, sfDir).count())
+      case names =>
+        names.split(',').foreach { name =>
+          time(s"$name full count")(
+            graft.SparkEntry.queries(name)(spark, sfDir).count())
+        }
     }
     spark.stop()
   }
