@@ -712,35 +712,16 @@ object Dedup {
   private def winnowArray(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k > 0 && w > 0, "k-gram size and window must be positive")
-    // k-grams slice the RAW text (positions over length(text)) and
-    // lowercase AFTER slicing: `lower(substr(text, i, k))` costs O(k)
-    // per element no matter how Catalyst inlines it, where
-    // `substr(lower(text), i, k)` costs O(len) per element the moment
-    // CollapseProject inlines the lowered string into the per-element
-    // lambda (measured: a 300-char corpus went from seconds to
-    // unbounded — the same lazy-inline trap ivfAssignCosine documents).
-    // The hash array is additionally staged behind a checkpoint: every
-    // window start references it, and a re-evaluation per start would
-    // be O(m²·k) md5 calls per document.
-    val m = greatest(length(col(textCol)) - k + 1, lit(0))
-    val hs = when(m >= 1, transform(sequence(lit(1), m),
-        i => conv(substring(md5(lower(col(textCol).substr(i, lit(k))).cast("binary")),
-          1, 8), 16, 10).cast("long")))
-      .otherwise(array().cast("array<bigint>"))
-    val hashed = df.select(col(idCol), hs.as("__hs"))
-      .localCheckpoint(eager = false)
-    val mm = size(col("__hs"))
-    val fps = when(mm >= 1, array_distinct(
-        transform(sequence(lit(1), greatest(mm - w + 1, lit(1))), p => {
-          val win = slice(col("__hs"), p, lit(w))
-          val minv = array_min(win)
-          // rightmost index of the window minimum (1-based within win)
-          val rel = aggregate(sequence(lit(1), size(win)), lit(0),
-            (acc, j) => when(element_at(win, j) === minv, j).otherwise(acc))
-          struct((p + rel - 1).as("pos"), minv.as("hv"))
-        })))
-      .otherwise(array().cast("array<struct<pos:int,hv:bigint>>"))
-    hashed.select(col(idCol), fps.as("__fps"))
+    // r16: hashing + window selection run as ONE native per-row
+    // expression (graft.functions.WinnowExpression — bit-identical by
+    // construction, see its scaladoc). The r15 column form evaluated an
+    // interpreted md5→hex→conv tree per CHARACTER and a per-window
+    // slice + fold per start — 110 s cold for q156 at sf0.1; the
+    // native rolling scan reads ~1 s. No checkpoint needed: it is one
+    // compiled pass.
+    df.select(col(idCol),
+      graft.functions.WinnowExpression.winnow_fps(col(textCol), k, w)
+        .as("__fps"))
   }
 
   /** Asymmetric shingle CONTAINMENT for an explicit candidate-pair

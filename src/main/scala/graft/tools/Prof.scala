@@ -76,6 +76,50 @@ object Prof {
         time("bigrams(docs) noop")(noop(bigrams(docs)))
         time("bigramLmScore full noop")(
           noop(TextAnalysis.bigramLmScore(clean, docs, "doc_id", "text")))
+      case "all" =>
+        // one COLD run per catalog query (plan compile included) —
+        // outlier triage, not steady-state measurement
+        val times = graft.SparkEntry.queries.keys.toSeq.sorted.map { name =>
+          val t0 = System.nanoTime()
+          val t = try {
+            graft.SparkEntry.queries(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            println(s"[prof] $name ERROR ${e.getClass.getSimpleName}"); -1.0 }
+          name -> t
+        }
+        times.sortBy(-_._2).foreach { case (n, t) =>
+          println(f"[prof] $n%-42s cold $t%7.3f")
+        }
+      case "winnowparts" =>
+        import graft.functions.WinnowExpression.winnow_fps
+        time("winnow array noop")(
+          noop(docs.select(col("doc_id"), winnow_fps(col("text"), 8, 4).as("__fps"))))
+        time("winnow size count")(
+          println("  total fps: " + docs.select(
+            sum(size(winnow_fps(col("text"), 8, 4)))).head().getLong(0)))
+        time("winnow explode count")(
+          println("  exploded: " + docs.select(col("doc_id"),
+            explode(winnow_fps(col("text"), 8, 4)).as("__f")).count()))
+        time("winnow explode noop")(
+          noop(docs.select(col("doc_id"),
+              explode(winnow_fps(col("text"), 8, 4)).as("__f"))
+            .select(col("doc_id"), col("__f.pos").as("pos"), col("__f.hv").as("hv"))))
+      case "q156parts" =>
+        val fp0 = Dedup.winnowFingerprintFrame(docs, "doc_id", "text", 8, 4)
+        time("fp frame noop")(noop(fp0))
+        val fp = fp0.select(col("doc_id").as("__id"), col("hv")).distinct()
+        time("fp distinct noop")(noop(fp))
+        val rare = fp.groupBy("hv").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= 4).select("hv")
+        time("rare noop")(noop(rare))
+        val fpr = fp.join(rare, Seq("hv"))
+        val pairs = fpr.select(col("hv"), col("__id").as("id_a"))
+          .join(fpr.select(col("hv"), col("__id").as("id_b")), Seq("hv"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+        time("pairs noop")(noop(pairs))
       case "q240parts" =>
         val sh = docs.select(col("doc_id").as("__sid"),
           array_distinct(Dedup.shingles(col("text"), 3)).as("__sh"))
