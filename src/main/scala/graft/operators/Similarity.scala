@@ -1063,16 +1063,22 @@ object Similarity {
     * propagation.
     */
   /** The occupancy-bounded signature width for a corpus of n vectors:
-    * `max(4, ceil(log2(n / 16)))` — expected bucket occupancy ~16 per
-    * table, so candidate volume stays linear in n while the verify
-    * pass (the measured dominant cost — ~14 µs per interpreted-HOF
-    * cosine) touches 4× fewer pairs than the previous ~64-occupancy
-    * width. Recall stays astronomically safe for the near-identical
-    * regime: at cos ≥ 0.999 a pair survives a b-bit table w.p. ≥
-    * 0.992^b, so even b=16 across 8 tables misses with p < 1e-5.
+    * `max(4, ceil(log2(n / 2)))` — expected bucket occupancy ~2 per
+    * table, so candidate volume stays linear in n. r16 tightened the
+    * target from ~16 (measured at sf0.1: occupancy 16 yielded 144k
+    * candidate pairs for 5.1k vectors — 28 verifies per vector where
+    * true near-dup families average ~1 — and the bucket self-join +
+    * verify dominated q108/q116). Recall stays astronomically safe for
+    * the near-identical regime these callers (semanticDedup,
+    * nnTopKJoin at 0.999) operate in: a cos ≥ 0.999 pair flips any
+    * sign bit w.p. ≤ 1.5%, so even b=16 across 8 independent tables
+    * misses with p < 1e-5 — and exactly-scaled copies share every
+    * signature by construction (recall 1 on planted structure). The
+    * exhaustive O(n²) oracles of q108/q116 re-certify recall AND
+    * precision at every run.
     */
   def autoSignatureBits(n: Long): Int =
-    math.max(4, (math.log(math.max(n / 16.0, 1.0)) / math.log(2.0)).ceil.toInt)
+    math.max(4, (math.log(math.max(n / 2.0, 1.0)) / math.log(2.0)).ceil.toInt)
 
   /** Near-neighbor GRAPH join: for EVERY vector, its neighbors at
     * cosine ≥ `threshold`, ranked (cos desc, neighbor id) and capped at

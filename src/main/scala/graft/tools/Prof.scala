@@ -91,6 +91,36 @@ object Prof {
         times.sortBy(-_._2).foreach { case (n, t) =>
           println(f"[prof] $n%-42s cold $t%7.3f")
         }
+      case "q108parts" =>
+        val emb = Tpch.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+        val copies = emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
+              .as("embedding"))
+        val aug = emb.unionAll(copies)
+        val n = aug.count()
+        val dim = aug.select(size(col("embedding"))).head().getInt(0)
+        val bits = Similarity.autoSignatureBits(n)
+        val path = Similarity.ensureDedupSigStore(aug, "embedding", "vec_id", sfDir,
+          dim, bits, nTables = 8, seed = 4201L,
+          fpSource = s"$sfDir/embeddings.parquet")
+        time("aug count")(aug.count())
+        time("vecs checkpoint")(
+          aug.select(col("vec_id").as("id"), col("embedding").as("v"))
+            .localCheckpoint(true).count())
+        val store = spark.read.parquet(path)
+        time("bucket pairs count") {
+          val b = store.select(col("id"), col("table"), col("bucket"))
+          println("  pairs: " + b.as("a").join(b.as("b"), Seq("table", "bucket"))
+            .filter(col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct().count())
+        }
+        time("cosineNearDups noop")(
+          noop(Similarity.cosineNearDups(aug, "vec_id", "embedding", 0.999,
+            prebuilt = Some(store))))
+        time("semanticDedup full noop")(
+          noop(Similarity.semanticDedup(aug, "vec_id", "embedding",
+            threshold = 0.999, buckets = Some(store), knownCount = Some(n))))
       case "winnowparts" =>
         import graft.functions.WinnowExpression.winnow_fps
         time("winnow array noop")(
