@@ -282,13 +282,24 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   /** Persist one commit's rows (plus any crash-missed epochs) into the
     * index. Caller holds the write lock.
     */
-  private def appendCurrentDelta(label: String, toEpoch: Long): Unit = {
+  private def appendCurrentDelta(label: String, toEpoch: Long,
+      staged: Option[DataFrame] = None): Unit = {
     val marker = curMarker(label)
     if (marker >= toEpoch) return
     Files.createDirectories(curRoot(label))
     val parts = spark.conf.get("graft.commit.maxFiles", "8").toInt
-    changesSince(label, marker, toEpoch)
-      .coalesce(parts)
+    // r16: the common case (marker exactly one behind — no crash-missed
+    // epochs) feeds the index from the commit's already-materialized
+    // staged frame instead of re-listing and re-reading the table dir
+    // it was just written to; the rows are identical by construction
+    // (the staged frame IS the source of the table write). Catch-up
+    // after a crash still reads from disk.
+    val rows = staged match {
+      case Some(df) if marker == toEpoch - 1 =>
+        df.withColumn("commit_epoch", lit(toEpoch))
+      case _ => changesSince(label, marker, toEpoch)
+    }
+    rows.coalesce(parts)
       .write.mode("append").partitionBy("commit_epoch")
       .parquet(curDelta(label).toString)
     writeMarker(curRoot(label).resolve("_epoch"), toEpoch)
@@ -532,13 +543,6 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     writes.foreach { case (label, df) =>
       require(Set("id", "rev", "deleted").subsetOf(df.columns.toSet),
         s"$label commit frame needs (id, rev, deleted)")
-      // a txn may touch each row once: two staged versions of one id
-      // would both pass rev validation and commit duplicate revisions
-      val dups = df.groupBy("id").count().filter(col("count") > 1)
-      if (!dups.isEmpty) {
-        val sample = dups.limit(5).collect().map(_.get(0)).mkString(", ")
-        throw new ConflictException(s"$label: same id staged twice in one commit ($sample)")
-      }
       // OCC validation needs the latest rev per id — index-backed when
       // opted in (O(current+delta)), else a full-history aggregate
       val latest =
@@ -547,14 +551,31 @@ final class VersionedStore(spark: SparkSession, dir: String) {
         else if (curEnabled && Files.exists(curRoot(label)))
           currentVersions(label).select(col("id"), col("rev").as("cur_rev"))
         else versions(label, base).groupBy("id").agg(max("rev").as("cur_rev"))
-      val bad = df.select(col("id"), col("rev"))
+      // ONE validation job per table (r16 — was two: a dup-staging
+      // isEmpty probe plus an OCC count; each Spark action on the
+      // micro-commit path pays the full local job-scheduling floor, so
+      // the tiny-commit latency is mostly a count of actions):
+      // duplicate staging (a txn may touch each row once — two staged
+      // versions of one id would both pass rev validation and commit
+      // duplicate revisions) and stale/invalid revs surface from the
+      // same grouped pass
+      val probs = df.select(col("id"), col("rev"))
         .join(latest, Seq("id"), "left")
-        .filter(!(col("cur_rev").isNull && col("rev") === 1L) &&
-          !(col("cur_rev").isNotNull && col("rev") === col("cur_rev") + 1L))
-      val nBad = bad.count()
-      if (nBad > 0) {
-        val sample = bad.limit(5).collect().map(r => s"id=${r.get(0)} rev=${r.get(1)}").mkString(", ")
-        throw new ConflictException(s"$label: $nBad stale/invalid revisions ($sample)")
+        .withColumn("__ok",
+          (col("cur_rev").isNull && col("rev") === 1L) ||
+            (col("cur_rev").isNotNull && col("rev") === col("cur_rev") + 1L))
+        .groupBy("id")
+        .agg(count(lit(1)).as("__n"), min(col("__ok").cast("int")).as("__allok"),
+          first(col("rev")).as("__rev"))
+        .filter(col("__n") > 1 || col("__allok") === 0)
+        .limit(6).collect()
+      if (probs.nonEmpty) {
+        val dupIds = probs.filter(_.getLong(1) > 1).map(_.get(0))
+        if (dupIds.nonEmpty)
+          throw new ConflictException(
+            s"$label: same id staged twice in one commit (${dupIds.mkString(", ")})")
+        val sample = probs.map(r => s"id=${r.get(0)} rev=${r.get(2)}").mkString(", ")
+        throw new ConflictException(s"$label: stale/invalid revisions ($sample)")
       }
     }
     // capture pre-commit live values of the staged ids BEFORE any epoch
@@ -588,7 +609,8 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     // index rows never describe an uncommitted epoch; a crash here only
     // leaves the marker behind, which readers overlay-heal)
     if (curEnabled)
-      writes.keys.foreach(l => if (Files.exists(curRoot(l))) appendCurrentDelta(l, next))
+      writes.foreach { case (l, df) =>
+        if (Files.exists(curRoot(l))) appendCurrentDelta(l, next, Some(df)) }
     (next, writes, prev)
   }
 
