@@ -205,14 +205,14 @@ class PlanQualitySpec extends SparkSpec {
       "q192_curate_mix" -> 4, // AQE flips a borderline join 3<->4
       "q193_mix_pack" -> 8,
       "q203_drift_psi" -> 2,
-      "q221_dsir_select" -> 2,
-      // the LM stage is the q107 shape (two vocabulary-grain count
-      // aggregations + their scoring joins + the per-source mean) on
-      // top of q192's gate/dedup/quota/mix chain — all key-correct,
-      // vocabulary- or source-grain shuffles
-      // harvested 16; ceiling 18 because AQE flips 1-2 borderline
-      // joins run-to-run in this 16-exchange chain (observed once)
-      "q227_lm_curate_mix" -> 18,
+      "q221_dsir_select" -> 1, // r16: row-local scoring, model agg is the one exchange
+      // the LM stage is the q107 shape (vocabulary-grain count
+      // aggregations + scoring joins + the per-source mean) on top of
+      // q192's gate/dedup/quota/mix chain. r16 harvested 8 (was 16):
+      // the duplicated LM/gate subtrees are gone (scores checkpointed,
+      // row-local gate, window dedup); ceiling 9 keeps one borderline-
+      // join flip of slack
+      "q227_lm_curate_mix" -> 9,
       "q228_dsir_admission" -> 1,
       // q229: q87's scan shape — tokenize explode, (doc, term) and
       // doc-length aggregations, df agg, final per-doc agg; harvested 8
@@ -223,9 +223,10 @@ class PlanQualitySpec extends SparkSpec {
       // q235: the q104 digest chain (window agg + recycled join-back +
       // per-doc starts agg) + the base re-join; harvested 3
       "q235_dedup_span_removal" -> 3,
-      // q236: q107's LM shape (two vocab-grain count aggs, scoring
-      // joins) + the per-lang ntile window + final sort; harvested 7
-      "q236_lm_tiers" -> 7,
+      // q236: q107's LM shape (vocab-grain count aggs, scoring joins)
+      // + the per-lang ntile window + final sort; r16 harvested 4
+      // (c1 derives from the checkpointed c2 table)
+      "q236_lm_tiers" -> 4,
       // q237: two-level prefix sum — in-bucket window, bucket-totals
       // agg, tiny bases window — + final sort; harvested 5
       "q237_curriculum" -> 5,
