@@ -86,7 +86,13 @@ private[graft] object GenDirs {
     while (attempts < 10) {
       val gen = currentGen(root)
       val d = dir(root, gen)
-      Files.createDirectories(d)
+      // racing a sweep, createDirectories can throw a spurious
+      // FileAlreadyExistsException (JDK createAndCheckIsDirectory: the
+      // dir vanishes between its failed createDirectory and its
+      // isDirectory re-check). Treat it like the pin-write race below:
+      // the pin write then fails or the pointer re-check retries.
+      try Files.createDirectories(d)
+      catch { case _: java.io.IOException => () }
       val pin = d.resolve("_PIN." + java.util.UUID.randomUUID().toString.take(12))
       try Files.write(pin, Array.emptyByteArray)
       catch { case _: java.io.IOException => () } // dir swept mid-write — retry

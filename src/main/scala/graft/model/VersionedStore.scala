@@ -7,6 +7,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Versioned, snapshot-readable graph storage — the Spark rebuild of
   * the reference's MVCC + OCC transaction machinery (reference
@@ -281,27 +282,45 @@ final class VersionedStore(spark: SparkSession, dir: String) {
 
   /** Persist one commit's rows (plus any crash-missed epochs) into the
     * index. Caller holds the write lock.
+    *
+    * r17 (guide §1.2 — the micro-commit latency is a count of Spark
+    * actions): the index delta is no longer a SECOND parquet write of
+    * the same rows. A table epoch dir and its index delta epoch dir
+    * hold byte-identical data files by construction — both are the
+    * staged frame's columns, with `commit_epoch` living in the
+    * directory name — so the delta log is populated by HARD-LINKING
+    * the data files the commit just wrote (zero Spark jobs, one inode
+    * per file). This also covers crash catch-up: every missed epoch in
+    * `(marker, toEpoch]` links from its table epoch dir. An epoch
+    * whose files already landed in the delta (crash between delta
+    * append and marker bump) links idempotently — same file name, same
+    * content, skipped. A mid-linking crash leaves only COMPLETE
+    * parquet files (links are atomic per file), whose rows the
+    * catch-up overlay duplicates until the marker bumps; the
+    * latest-(epoch, rev) window dedups them, exactly as it already
+    * dedups a torn delta write.
     */
-  private def appendCurrentDelta(label: String, toEpoch: Long,
-      staged: Option[DataFrame] = None): Unit = {
+  private def appendCurrentDelta(label: String, toEpoch: Long): Unit = {
     val marker = curMarker(label)
     if (marker >= toEpoch) return
     Files.createDirectories(curRoot(label))
-    val parts = spark.conf.get("graft.commit.maxFiles", "8").toInt
-    // r16: the common case (marker exactly one behind — no crash-missed
-    // epochs) feeds the index from the commit's already-materialized
-    // staged frame instead of re-listing and re-reading the table dir
-    // it was just written to; the rows are identical by construction
-    // (the staged frame IS the source of the table write). Catch-up
-    // after a crash still reads from disk.
-    val rows = staged match {
-      case Some(df) if marker == toEpoch - 1 =>
-        df.withColumn("commit_epoch", lit(toEpoch))
-      case _ => changesSince(label, marker, toEpoch)
+    ((marker + 1) to toEpoch).foreach { e =>
+      val src = Paths.get(labelDir(label), s"commit_epoch=$e")
+      if (Files.isDirectory(src)) {
+        val dst = curDelta(label).resolve(s"commit_epoch=$e")
+        Files.createDirectories(dst)
+        Dirs.childNames(src).filter(_.endsWith(".parquet")).foreach { f =>
+          try Files.createLink(dst.resolve(f), src.resolve(f))
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => // idempotent
+            case _: UnsupportedOperationException =>
+              // cross-device or linkless filesystem: plain copy
+              Files.copy(src.resolve(f), dst.resolve(f),
+                StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
     }
-    rows.coalesce(parts)
-      .write.mode("append").partitionBy("commit_epoch")
-      .parquet(curDelta(label).toString)
     writeMarker(curRoot(label).resolve("_epoch"), toEpoch)
     // bound the read-side merge: fold deltas into base when they pile up
     if (curDeltaEpochs(label).count(_ > curBaseEpoch(label)) >= 32) compactCurrent(label)
@@ -537,29 +556,58 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     // write — three table scans per commit instead of one
     // strip any stale commit_epoch data column (delete/update staging
     // reads carry it): the partition dir is the one source of truth
+    //
+    // r17: the checkpoint is LAZY — the validation job below is the
+    // materializing action, fusing what were two Spark actions per
+    // table (eager-checkpoint count + validation collect) into one
+    // (guide §1.2: the micro-commit latency floor is a count of
+    // actions). Correctness is unchanged: LocalRDDCheckpointData
+    // persists every partition the first action computes and runs a
+    // fill-in job for any the action skipped, all BEFORE the pointer
+    // bump — so by the time the staged plan's embedded table reads
+    // could resolve against the new epoch, the lineage is already
+    // truncated onto the materialized blocks.
+    //
+    // Everything commit-internal executes under a dedicated child
+    // session with AQE OFF (VersionedStore.commitSession): the staged
+    // and validation frames are DELTA-sized by design (micro-batch
+    // commits against the O(current+delta) index), and under AQE every
+    // materialized exchange of the rev-derivation/validation plan is
+    // its own scheduled job — measured 13 jobs ≈ 1.0 s per tiny commit
+    // at the local job floor, vs 6 jobs ≈ 0.5 s with one non-adaptive
+    // job spanning all stages. That per-stage driver round-trip is
+    // latency on ANY cluster, not a local[32] artifact; a deployment
+    // committing genuinely huge frames can flip `graft.commit.adaptive`
+    // back on. Frames handed to hooks are re-rooted to the caller's
+    // session below, so only the commit's own jobs run non-adaptive.
+    val cs = commitSession()
     val writes = writes0.map { case (l, df) =>
-      l -> df.drop("commit_epoch").localCheckpoint(eager = true) }
+      l -> Bridge.inSession(cs, df.drop("commit_epoch"))
+        .localCheckpoint(eager = false) }
     // validate all tables before writing any (atomicity of the commit)
-    writes.foreach { case (label, df) =>
+    //
+    // ONE validation job for the WHOLE commit (r17 — was one per table,
+    // r15 had two per table; each Spark action on the micro-commit path
+    // pays the full local job-scheduling floor, so tiny-commit latency
+    // is mostly a count of actions — guide §1.2). Per table the grouped
+    // pass surfaces BOTH conflict classes: duplicate staging (a txn may
+    // touch each row once — two staged versions of one id would both
+    // pass rev validation and commit duplicate revisions) and
+    // stale/invalid revs. The per-table samples union under a label tag
+    // into a single collect, which is ALSO the action that materializes
+    // every staged frame's lazy checkpoint.
+    val probFrames = writes.map { case (label, df) =>
       require(Set("id", "rev", "deleted").subsetOf(df.columns.toSet),
         s"$label commit frame needs (id, rev, deleted)")
       // OCC validation needs the latest rev per id — index-backed when
       // opted in (O(current+delta)), else a full-history aggregate
-      val latest =
+      val latest = Bridge.inSession(cs,
         if (!Files.exists(Paths.get(labelDir(label))))
           spark.range(0).select(col("id"), lit(0L).as("cur_rev"))
         else if (curEnabled && Files.exists(curRoot(label)))
           currentVersions(label).select(col("id"), col("rev").as("cur_rev"))
-        else versions(label, base).groupBy("id").agg(max("rev").as("cur_rev"))
-      // ONE validation job per table (r16 — was two: a dup-staging
-      // isEmpty probe plus an OCC count; each Spark action on the
-      // micro-commit path pays the full local job-scheduling floor, so
-      // the tiny-commit latency is mostly a count of actions):
-      // duplicate staging (a txn may touch each row once — two staged
-      // versions of one id would both pass rev validation and commit
-      // duplicate revisions) and stale/invalid revs surface from the
-      // same grouped pass
-      val probs = df.select(col("id"), col("rev"))
+        else versions(label, base).groupBy("id").agg(max("rev").as("cur_rev")))
+      df.select(col("id"), col("rev"))
         .join(latest, Seq("id"), "left")
         .withColumn("__ok",
           (col("cur_rev").isNull && col("rev") === 1L) ||
@@ -568,13 +616,27 @@ final class VersionedStore(spark: SparkSession, dir: String) {
         .agg(count(lit(1)).as("__n"), min(col("__ok").cast("int")).as("__allok"),
           first(col("rev")).as("__rev"))
         .filter(col("__n") > 1 || col("__allok") === 0)
-        .limit(6).collect()
-      if (probs.nonEmpty) {
-        val dupIds = probs.filter(_.getLong(1) > 1).map(_.get(0))
+        // duplicate-staged ids sort FIRST: with >6 problems a bounded
+        // sample must still classify the conflict as duplicate staging
+        // when any exists (it is the more actionable error), not
+        // whichever class happened to land in the sample
+        .orderBy(col("__n").desc, col("id"))
+        .limit(6)
+        .select(lit(label).as("__label"), col("id"), col("__n"), col("__rev"))
+    }
+    val probs = probFrames.reduceOption(_ unionByName _)
+      .map(_.collect()).getOrElse(Array.empty)
+    if (probs.nonEmpty) {
+      // report for the FIRST staged table with problems (writes
+      // iteration order), matching the per-table loop's behavior
+      val byLabel = probs.groupBy(_.getString(0))
+      writes.keys.find(byLabel.contains).foreach { label =>
+        val rows = byLabel(label)
+        val dupIds = rows.filter(_.getLong(2) > 1).map(_.get(1))
         if (dupIds.nonEmpty)
           throw new ConflictException(
             s"$label: same id staged twice in one commit (${dupIds.mkString(", ")})")
-        val sample = probs.map(r => s"id=${r.get(0)} rev=${r.get(2)}").mkString(", ")
+        val sample = rows.map(r => s"id=${r.get(1)} rev=${r.get(3)}").mkString(", ")
         throw new ConflictException(s"$label: stale/invalid revisions ($sample)")
       }
     }
@@ -583,11 +645,11 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     // read() resolves the exact state this commit supersedes
     val prev = writes.collect {
       case (label, df) if capturePrev(label) && Files.exists(Paths.get(labelDir(label))) =>
-        label -> read(label)
+        label -> Bridge.inSession(cs, read(label))
           .join(df.select("id").distinct(), Seq("id"), "left_semi")
           .localCheckpoint(eager = true)
     }
-    writes.foreach { case (label, df) =>
+    def writeOne(label: String, df: DataFrame): Unit = {
       // clear any half-written epoch dirs from crashed commits first:
       // we hold the write lock, and anything above `base` is invisible
       dropOrphanEpochs(label, base)
@@ -600,6 +662,21 @@ final class VersionedStore(spark: SparkSession, dir: String) {
       df.coalesce(parts).write.mode("append")
         .parquet(s"${labelDir(label)}/commit_epoch=$next")
     }
+    writes.toSeq match {
+      case Seq((l, df)) => writeOne(l, df)
+      case many =>
+        // independent per-table epoch-dir writes OVERLAP (guide §2.6:
+        // actions are only sequential because the driver calls them
+        // sequentially): each writes its own directory from its own
+        // materialized frame, and nothing is visible until the pointer
+        // bump below regardless of landing order. A failure anywhere
+        // aborts the commit pre-bump; stray epoch dirs from the other
+        // writes are invisible orphans that dropOrphanEpochs reclaims.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fs = many.map { case (l, df) => Future(writeOne(l, df)) }
+        fs.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    }
     // pointer bump last: temp + atomic rename makes the commit visible
     val tmp = Paths.get(dir, s"_epoch.tmp.$next")
     Files.writeString(tmp, next.toString)
@@ -609,10 +686,40 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     // index rows never describe an uncommitted epoch; a crash here only
     // leaves the marker behind, which readers overlay-heal)
     if (curEnabled)
-      writes.foreach { case (l, df) =>
-        if (Files.exists(curRoot(l))) appendCurrentDelta(l, next, Some(df)) }
-    (next, writes, prev)
+      writes.keys.foreach { l =>
+        if (Files.exists(curRoot(l))) appendCurrentDelta(l, next) }
+    // hand the (already materialized) frames back under the CALLER's
+    // session, so commit hooks plan their own work under the caller's
+    // conf (AQE on) — only the commit's internal jobs ran non-adaptive
+    (next, writes.map { case (l, df) => l -> Bridge.inSession(spark, df) },
+      prev.map { case (l, df) => l -> Bridge.inSession(spark, df) })
   }
+
+  /** Child session for commit-internal execution: AQE off (delta-sized
+    * frames gain nothing from adaptivity, and each materialized AQE
+    * exchange is its own scheduled job — pure latency on the
+    * transactional path), shuffle parallelism from the context.
+    * Opt out with `graft.commit.adaptive=true` on the caller session
+    * (deployments committing genuinely huge frames).
+    */
+  private def commitSession(): SparkSession =
+    if (spark.conf.get("graft.commit.adaptive", "false").toBoolean) spark
+    else VersionedStore.commitSessions.getOrElseUpdate(
+      spark.sparkContext.applicationId + "#" + System.identityHashCode(spark), {
+        val ns = spark.newSession()
+        ns.conf.set("spark.sql.adaptive.enabled", "false")
+        ns.conf.set("spark.sql.shuffle.partitions",
+          math.max(spark.sparkContext.defaultParallelism, 4).toString)
+        // semantics-bearing settings mirror the caller at creation;
+        // commits run under the store's write lock, so per-commit
+        // re-mirroring below keeps a long-lived session honest
+        VersionedStore.mirrorConfs(spark, ns)
+        ns
+      }) match {
+      case s =>
+        VersionedStore.mirrorConfs(spark, s)
+        s
+    }
 
   /** The commit-log tail for one table: every version row committed in
     * epochs `(fromExclusive, toInclusive]`, commit_epoch column
@@ -757,6 +864,17 @@ final class VersionedStore(spark: SparkSession, dir: String) {
 }
 
 object VersionedStore {
+
+  private[model] val commitSessions =
+    scala.collection.concurrent.TrieMap.empty[String, SparkSession]
+
+  private[model] def mirrorConfs(from: SparkSession, to: SparkSession): Unit =
+    Seq("spark.sql.session.timeZone", "spark.sql.ansi.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").foreach { k =>
+      from.conf.getOption(k).foreach { v =>
+        if (!to.conf.getOption(k).contains(v)) to.conf.set(k, v)
+      }
+    }
 
   /** Current on-disk layout: epoch-partitioned version dirs
     * (`<label>/commit_epoch=<e>/part-*.parquet`) + `_epoch` pointer.

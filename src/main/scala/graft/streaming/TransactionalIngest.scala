@@ -177,15 +177,35 @@ object TransactionalIngest {
     val key = sinkKey(sinkId)
     var rev = -1L // lazily seeded: the store may gain commits before the stream starts
     var curIndexed = false
+    // the cursor rides the same in-memory discipline as `rev`: this
+    // closure is the sink's only legitimate writer (a concurrent writer
+    // on one sinkId is a documented misconfiguration surfacing as OCC
+    // conflict), so after the first store read the cursor advances in
+    // memory with each durable commit — one store read per closure
+    // lifetime instead of one per micro-batch (each read is a
+    // current-index scan + collect, pure latency on the ingest path).
+    // `null` = unknown (first use, or any failure since the last
+    // durable commit): re-read from the store, which stays the source
+    // of truth across crash/replay.
+    var applied: Option[(Long, Long)] = null
     (batch: DataFrame, batchId: Long) => {
       val spark = gs.spark
       import spark.implicits._
       if (rev < 0L) rev = currentRev(gs.store, key)
-      val applied = cursor(gs.store, sinkId)
+      if (applied == null) applied = cursor(gs.store, sinkId)
       def isApplied(m: Long): Boolean =
         applied.exists { case (b, s) => b > batchId || (b == batchId && s >= m) }
       val rows = batch.persist()
       try {
+        // ONE per-batch count action decides every slice's emptiness
+        // (was one isEmpty probe per slice — the micro-commit latency
+        // floor is a count of Spark actions, guide §1.2); skipped
+        // entirely when replay already applied the whole batch
+        val pending = (0L until slices.toLong).filterNot(isApplied)
+        val sliceRows: Map[Long, Long] =
+          if (pending.isEmpty) Map.empty
+          else rows.groupBy(pmod(sliceKey, lit(slices)).cast("long").as("__m"))
+            .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         (0L until slices.toLong).foreach { m =>
           if (!isApplied(m)) {
             beforeSlice(batchId, m)
@@ -193,9 +213,12 @@ object TransactionalIngest {
               .toDF("id", "rev", "deleted", "sink_id", "batch_id", "slice")
             val txn = gs.txn()
             val part = rows.filter(pmod(sliceKey, lit(slices)) === m)
-            if (!part.isEmpty) stagePart(txn, part)
-            val epoch = txn.stageRaw(cursorTable, cur).commit()
+            if (sliceRows.getOrElse(m, 0L) > 0L) stagePart(txn, part)
+            val epoch =
+              try txn.stageRaw(cursorTable, cur).commit()
+              catch { case e: Throwable => applied = null; throw e }
             rev += 1L
+            applied = Some((batchId, m))
             // opt the cursor table into the current-state index after
             // this closure's first commit (compactCurrent no-ops for a
             // not-yet-created table, so it can't run up front): the
