@@ -99,7 +99,6 @@ object Curate {
       rest: String = "test",
       nearDupKeep: Option[DataFrame] = None,
       lmGate: Option[(String, Long)] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the q97 gate is a row-local predicate — filter at the scan, never
     // derive ids and re-join the corpus to itself (guide §2.4). The LM
     // stage is id-keyed (its flags come off an aggregation), so it
@@ -110,21 +109,30 @@ object Curate {
           onlyClean = true)
         .filter(!col("lm_low")).select(idCol), Seq(idCol), "left_semi")
     }
-    // exact-dedup representative via ONE window over the content hash:
-    // the r15 shape (groupBy(h).agg(min(id)) then join back by id)
-    // paid the hash shuffle PLUS an id-keyed join that re-executed the
-    // whole `kept` subtree a second time
+    // exact-dedup representative via ONE map-side-combined aggregation
+    // over a NARROW (id, md5, n_tokens) projection. Everything the
+    // output needs is class-invariant or derived from the rep id:
+    // every member of a content-hash class has IDENTICAL text, so
+    // n_tokens is the same for all of them and min() selects the rep's
+    // own value — no join-back, no window. The r16 shape (min(id) over
+    // a window partitioned by md5(text)) shuffled every kept row, TEXT
+    // INCLUDED, keyed by content hash with no map-side combine: at
+    // 100 TB a hot duplicate family (boilerplate duplicated 10⁷×)
+    // lands on ONE task's window sort (guide §2.5 skew). Here the
+    // exchange carries ~32 bytes/doc, partial aggregation collapses
+    // hot classes map-side, and the sort is gone.
     val exact = kept
-      .withColumn("__rep", min(col(idCol)).over(
-        Window.partitionBy(md5(col(textCol)))))
-      .filter(col(idCol) === col("__rep")).drop("__rep")
+      .select(col(idCol), md5(col(textCol)).as("__h"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .groupBy("__h")
+      .agg(min(col(idCol)).as(idCol), min(col("n_tokens")).as("n_tokens"))
     val deduped = nearDupKeep.fold(exact) { klist =>
       exact.join(klist.select(col(klist.columns.head).as(idCol)),
         Seq(idCol), "left_semi")
     }
     deduped.select(col(idCol),
       Sampling.hashSplit(col(idCol), weights, rest).as("split"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      col("n_tokens"))
   }
 
   /** Provenance audit of the SAME chain: one row for EVERY document in
@@ -149,7 +157,6 @@ object Curate {
       rest: String = "test",
       nearDupKeep: Option[DataFrame] = None,
       lmGate: Option[(String, Long)] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val stats97 = TextAnalysis.filterGate(docs, idCol, textCol)
       .select(col(idCol), col("reasons"), col("n_tokens"), col("keep"))
     // the LM stage rides the bitmask: bit 16 = low per-source fluency
@@ -177,10 +184,19 @@ object Curate {
       stats.filter(col("keep")).select(idCol)
         .join(docs.select(col(idCol), md5(col(textCol)).as("__h")), Seq(idCol))
     }
-    // representative via ONE window over the hash (the groupBy+join-
-    // back shape re-executed gHash and paid an extra id-keyed shuffle)
-    val withRep = gHash
-      .withColumn("__rep", min(col(idCol)).over(Window.partitionBy("__h")))
+    // representative via groupBy + hash-keyed join-back over the
+    // CHECKPOINTED narrow projection. The r16 window (min(id) over
+    // partition by __h) shuffled with no map-side combine and sorted a
+    // hot content class on one task (guide §2.5 skew); the aggregation
+    // combines hot classes map-side and AQE's skew-join can split the
+    // join-back's oversized partitions — neither is true of a window.
+    // The checkpoint keeps r16's no-subtree-reexecution win (gHash is
+    // referenced by both the aggregation and the join-back) and is
+    // (id, 16-byte hash) — corpus-COUNT-sized, ~24 B/doc, recompute =
+    // one gate-filtered corpus scan (see BENCHNOTES checkpoint audit).
+    val gH = gHash.localCheckpoint(eager = false)
+    val withRep = gH
+      .join(gH.groupBy("__h").agg(min(col(idCol)).as("__rep")), Seq("__h"))
       .select(col(idCol), col("__rep"))
     // near-dup keep flag: only meaningful for exact representatives
     // (apply()'s semi-join runs after the exact tier); absent list =

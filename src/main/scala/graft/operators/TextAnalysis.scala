@@ -398,19 +398,20 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     def toks(df: DataFrame) = df.select(col(idCol).as("__id"),
       tokens(lower(col(textCol))).as("__toks"))
-    // element_at over the MATERIALIZED __toks attribute is safe here:
-    // the Generate (explode) boundary pins the tokenization to the
-    // pre-explode projection, so split() runs once per doc — unlike the
-    // q221 featurizer's in-lambda references, which re-evaluated it per
-    // element (A/B-measured: this shape also beats a zip_with rewrite
-    // by ~15% on short docs, the struct explode costing more than two
-    // attribute lookups)
-    def bigrams(df: DataFrame) = toks(df)
-      .filter(size(col("__toks")) >= 2)
-      .select(col("__id"), explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"),
-        col("__toks"))
-      .select(col("__id"), element_at(col("__toks"), col("__i")).as("w1"),
-        element_at(col("__toks"), col("__i") + 1).as("w2"))
+    // r17: pairs come from ONE native expression (word_kgrams — strict
+    // k=2: empty under 2 tokens, so explode drops short docs and the
+    // size filter is gone). The r16 shape exploded position indices
+    // with the WHOLE token array carried per output row — O(n²) bytes
+    // per document through the Generate's unsafe-row writer; here the
+    // Generate emits only the "w1 w2" pair strings, O(n) per doc, and
+    // substring_index recovers the words exactly (tokens are
+    // whitespace-split, so the single space is a reliable separator).
+    def bigrams(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.WordShinglesExpression
+          .word_kgrams(lower(col(textCol)), 2)).as("__g"))
+      .select(col("__id"), substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
     // r16 (guide §2.3/§2.4): the bigram table is built ONCE and
     // checkpointed — it feeds both the scoring join and the derived
     // unigram counts, and without the checkpoint each reference
@@ -555,11 +556,13 @@ object TextAnalysis {
     val toksDf = df.select(tokens(lower(col(textCol))).as("__toks"))
     val c1 = toksDf.select(explode(col("__toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val c2 = toksDf.filter(size(col("__toks")) >= 2)
-      .select(explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"),
-        col("__toks"))
-      .select(element_at(col("__toks"), col("__i")).as("w1"),
-        element_at(col("__toks"), col("__i") + 1).as("w2"))
+    // pair emission via the strict native k-gram expression — the same
+    // O(n²)-bytes-per-doc Generate fix as bigramLmScore (r17)
+    val c2 = df
+      .select(explode(graft.functions.WordShinglesExpression
+        .word_kgrams(lower(col(textCol)), 2)).as("__g"))
+      .select(substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val stats = c1.agg(sum(col("c1")).as("n_uni"))
       .crossJoin(c2.agg(sum(col("c2")).as("n_bi")))

@@ -641,4 +641,38 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.lmTiers(train, docs, "doc_id", "text", "lang", tiers = 1))
   }
+
+  test("word_kgrams: strict k-grams equal the column composition over " +
+      "tokens(); short/empty/whitespace docs yield EMPTY (r17 pair emitter)") {
+    // the r17 bigram emitter's contract: exactly the n−k+1 space-joined
+    // k-grams for n ≥ k tokens, [] otherwise — the strict twin of
+    // word_shingles (which emits the whole run as one short shingle)
+    val texts = Seq("", "   ", "solo", "a b", " a  b\tc ", "x y z w",
+      "héllo wörld déjà", "a a a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val toks = TextAnalysis.tokens(col("text"))
+      val reference = when(size(toks) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+      val got = df.select(col("id"),
+          graft.functions.WordShinglesExpression.word_kgrams(col("text"), k).as("g"))
+        .orderBy("id").as[(Long, Seq[String])].collect()
+      val want = df.select(col("id"), reference.as("g"))
+        .orderBy("id").as[(Long, Seq[String])].collect()
+      assert(got === want, s"k=$k")
+    }
+    // explode over the strict bigrams = the LM tier's (w1, w2) pairs
+    val pairs = df.select(col("id"),
+        explode(graft.functions.WordShinglesExpression.word_kgrams(
+          lower(col("text")), 2)).as("g"))
+      .select(col("id"), substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+      .orderBy("id", "w1", "w2").as[(Long, String, String)].collect()
+    assert(pairs.toSeq === Seq((3L, "a", "b"), (4L, "a", "b"), (4L, "b", "c"),
+      (5L, "x", "y"), (5L, "y", "z"), (5L, "z", "w"),
+      (6L, "héllo", "wörld"), (6L, "wörld", "déjà"),
+      (7L, "a", "a"), (7L, "a", "a")).sortBy(p => (p._1, p._2, p._3)))
+  }
 }
