@@ -239,14 +239,19 @@ object Dedup {
       maxDf: Int, minSim: Double): DataFrame = {
     require(maxDf >= 1, "maxDf must be positive")
     require(minSim > 0 && minSim <= 1, "minSim must be in (0, 1]")
+    // DISTINCT trigrams per name from ONE native expression (r17):
+    // ids are unique, so per-row dedup inside char_trigrams IS the old
+    // frame-level `.distinct()` — whose only job was within-row dedup,
+    // paid as a corpus-grain shuffle of (id, name, trigram) rows with
+    // the full name carried through the exchange (guide §2.4: remove
+    // shuffles outright). The per-position substr (O(n²) code-point
+    // re-seeks) and the under-3-chars filter fold into the same pass
+    // (short names yield an empty array; explode drops them).
     val tg = df
       .select(col(idCol).as("__id"), col(nameCol).as("__name"))
-      .filter(length(col("__name")) >= 3)
       .select(col("__id"), col("__name"),
-        explode(sequence(lit(1), length(col("__name")) - 2)).as("__i"))
-      .select(col("__id"), col("__name"),
-        col("__name").substr(col("__i"), lit(3)).as("__tg"))
-      .distinct()
+        explode(graft.functions.CharTrigramsExpression
+          .char_trigrams(col("__name"))).as("__tg"))
     val rare = tg.groupBy("__tg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select("__tg")

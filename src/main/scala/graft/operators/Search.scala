@@ -36,10 +36,18 @@ object Search {
     */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): (DataFrame, DataFrame) = {
-    val toks = docs.select(col(idCol).as("__id"),
-      explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
-    val dl = toks.groupBy("__id").agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("t").isInCollection(terms))
+    // dl is ROW-LOCAL (r17): a document's token length needs no
+    // explode and no doc-keyed exchange — the r16 shape paid a full
+    // corpus-grain shuffle (explode → groupBy(id).count) to compute a
+    // per-row integer. Only docs with ≥1 token appear, matching the
+    // explode-derived frame exactly.
+    val dl = docs
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    val tf = docs.select(col(idCol).as("__id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .filter(col("t").isInCollection(terms))
       .groupBy("__id", "t").agg(count(lit(1)).as("tf"))
     (tf, dl)
   }
@@ -85,9 +93,15 @@ object Search {
       topPerDoc: Int): DataFrame = {
     require(topPerDoc > 0, "topPerDoc must be positive")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("__id"),
-      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    // per-doc term frequencies from ONE native expression (r17):
+    // within-doc counting needs no cross-row state, so the (id, term)
+    // corpus-token-grain exchange of the wordcount head is gone, and
+    // the Generate emits one row per DISTINCT term per doc instead of
+    // one per occurrence (guide §2.4).
+    val tf = docs.select(col(idCol).as("__id"),
+        explode(graft.functions.TokenCountsExpression
+          .token_counts(lower(col(textCol)))).as("__tc"))
+      .select(col("__id"), col("__tc.term").as("term"), col("__tc.tf").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, Seq("term"))

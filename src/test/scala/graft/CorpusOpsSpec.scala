@@ -675,4 +675,42 @@ class CorpusOpsSpec extends SparkSpec {
       (6L, "héllo", "wörld"), (6L, "wörld", "déjà"),
       (7L, "a", "a"), (7L, "a", "a")).sortBy(p => (p._1, p._2, p._3)))
   }
+
+  test("char_trigrams: distinct code-point trigrams equal the substr " +
+      "composition; short names empty (r17 q149 blocking key)") {
+    val names = Seq("", "ab", "abc", "abcd", "banana", "ααβγδ", "aaaa")
+    val df = names.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "name")
+    // the r16 composition: one row per position, substr(i, 3), distinct
+    val want = df.filter(length(col("name")) >= 3)
+      .select(col("id"),
+        explode(sequence(lit(1), length(col("name")) - 2)).as("i"),
+        col("name"))
+      .select(col("id"), col("name").substr(col("i"), lit(3)).as("tg"))
+      .distinct().orderBy("id", "tg").as[(Long, String)].collect()
+    val got = df.select(col("id"),
+        explode(graft.functions.CharTrigramsExpression
+          .char_trigrams(col("name"))).as("tg"))
+      .orderBy("id", "tg").as[(Long, String)].collect()
+    assert(got === want)
+    // distinctness within a row: "aaaa" has one distinct trigram
+    assert(got.count(_._1 == 6L) == 1)
+  }
+
+  test("token_counts: per-doc term frequencies equal the explode+groupBy " +
+      "wordcount; empty/whitespace docs emit nothing (r17 q105 head)") {
+    val docs = Seq((1L, "a b a  c b a"), (2L, ""), (3L, "   "),
+      (4L, "x"), (5L, "Héllo héllo HÉLLO")).toDF("doc_id", "text")
+    val want = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "term").as[(Long, String, Long)].collect()
+    val got = docs.select(col("doc_id"),
+        explode(graft.functions.TokenCountsExpression
+          .token_counts(lower(col("text")))).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+      .orderBy("doc_id", "term").as[(Long, String, Long)].collect()
+    assert(got === want)
+    assert(got.exists(r => r._1 == 1L && r._2 == "a" && r._3 == 3L))
+  }
 }
