@@ -44,7 +44,7 @@ object Fixpoint {
         // cache), so concurrent queries on the caller's session never
         // see it — mutating the shared conf would race against them.
         val caller = base.sparkSession
-        val loop = loopSession(caller, n)
+        val loop = loopSession(caller, n, adaptive = false)
         val result = semiNaiveLoop(
           org.apache.spark.sql.graftbridge.Bridge.inSession(loop, base), keyCols, budget)(step)
         // hand the (already materialized) result back under the
@@ -62,11 +62,20 @@ object Fixpoint {
     "spark.sql.session.timeZone", "spark.sql.ansi.enabled",
     "spark.sql.autoBroadcastJoinThreshold")
   private val loopSessions =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), org.apache.spark.sql.SparkSession]
-  private[graft] def loopSession(caller: org.apache.spark.sql.SparkSession, parts: Int) = {
-    val s = loopSessions.getOrElseUpdate((caller.sparkContext.applicationId, parts), {
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Boolean), org.apache.spark.sql.SparkSession]
+  /** `adaptive = false` additionally turns AQE off in the loop session:
+    * a fixpoint that schedules delta-sized rounds back to back pays one
+    * scheduled job PER MATERIALIZED AQE EXCHANGE per round — pure
+    * driver latency when the round's frames are small by construction
+    * (the r17 commit-session observation, applied to loops).
+    */
+  private[graft] def loopSession(caller: org.apache.spark.sql.SparkSession,
+      parts: Int, adaptive: Boolean = true) = {
+    val s = loopSessions.getOrElseUpdate(
+      (caller.sparkContext.applicationId, parts, adaptive), {
       val ns = caller.newSession()
       ns.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      if (!adaptive) ns.conf.set("spark.sql.adaptive.enabled", "false")
       ns
     })
     mirroredConfs.foreach { k =>
@@ -148,7 +157,7 @@ object Fixpoint {
     // materializes eagerly, before the loop) — both run in one child
     // session so the caller's conf is never touched.
     val caller = sources.sparkSession
-    val loop = shufflePartitions.map(loopSession(caller, _))
+    val loop = shufflePartitions.map(loopSession(caller, _, adaptive = false))
     def reroot(df: DataFrame) =
       loop.map(org.apache.spark.sql.graftbridge.Bridge.inSession(_, df)).getOrElse(df)
     val step = reroot(compressedStep.map(_.select("from", "to")).getOrElse {
