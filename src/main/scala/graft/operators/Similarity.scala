@@ -1077,8 +1077,31 @@ object Similarity {
     * exhaustive O(n²) oracles of q108/q116 re-certify recall AND
     * precision at every run.
     */
-  def autoSignatureBits(n: Long): Int =
-    math.max(4, (math.log(math.max(n / 2.0, 1.0)) / math.log(2.0)).ceil.toInt)
+  /** r17 (ADVICE): the width is additionally RECALL-CAPPED by the
+    * caller's threshold. Occupancy sizing assumed the near-identical
+    * regime (cos ≥ 0.999); a caller at the service tier's accepted
+    * minimum 0.99 inherits a ~1.3% true-pair miss at n = 10⁶ from the
+    * 3 extra occupancy bits. The cap is the widest signature whose
+    * `nTables`-table miss probability stays ≤ 10⁻⁴ at the caller's
+    * threshold (sign-LSH: a ≥ threshold pair flips a given bit w.p.
+    * arccos(threshold)/π): solve (1−(1−p)^b)^T ≤ 10⁻⁴ for b. At 0.999
+    * the cap is 26 — above every occupancy width the catalog reaches,
+    * so existing callers' widths (and their written signature stores)
+    * are unchanged; at 0.99 the cap is 8, trading candidate volume for
+    * the recall the threshold demands.
+    */
+  def autoSignatureBits(n: Long, threshold: Double = 0.999,
+      nTables: Int = 8): Int = {
+    val occupancy =
+      math.max(4, (math.log(math.max(n / 2.0, 1.0)) / math.log(2.0)).ceil.toInt)
+    val p = math.acos(math.max(-1.0, math.min(threshold, 1.0))) / math.Pi
+    if (p <= 0) occupancy
+    else {
+      val cap = math.max(4,
+        (math.log(1.0 - math.pow(1e-4, 1.0 / nTables)) / math.log1p(-p)).floor.toInt)
+      math.min(occupancy, cap)
+    }
+  }
 
   /** Near-neighbor GRAPH join: for EVERY vector, its neighbors at
     * cosine ≥ `threshold`, ranked (cos desc, neighbor id) and capped at
@@ -1102,7 +1125,7 @@ object Similarity {
     require(k > 0, "k must be positive")
     val bits =
       if (nBits > 0) nBits
-      else autoSignatureBits(knownCount.getOrElse(df.count()))
+      else autoSignatureBits(knownCount.getOrElse(df.count()), threshold, nTables)
     val pairs = cosineNearDups(df, idCol, vecCol, threshold, bits, nTables,
       seed, prebuilt = buckets)
     val directed = pairs
@@ -1121,7 +1144,7 @@ object Similarity {
       knownCount: Option[Long] = None): DataFrame = {
     val bits =
       if (nBits > 0) nBits
-      else autoSignatureBits(knownCount.getOrElse(df.count()))
+      else autoSignatureBits(knownCount.getOrElse(df.count()), threshold, nTables)
     val pairs = cosineNearDups(df, idCol, vecCol, threshold, bits, nTables, seed,
       prebuilt = buckets)
     val comps = GraphAnalytics.connectedComponents(

@@ -676,6 +676,22 @@ class CorpusOpsSpec extends SparkSpec {
       (7L, "a", "a"), (7L, "a", "a")).sortBy(p => (p._1, p._2, p._3)))
   }
 
+  test("autoSignatureBits: occupancy width is RECALL-CAPPED by the caller's " +
+      "threshold (a 0.99 caller no longer inherits the 0.999 envelope)") {
+    import graft.operators.Similarity.autoSignatureBits
+    // near-identical regime: occupancy sizing rules, cap (26) never binds
+    assert(autoSignatureBits(5100L, 0.999) == 12)
+    assert(autoSignatureBits(1000000L, 0.999) == 19)
+    // moderate threshold: the 10^-4 miss-probability cap binds — the
+    // ADVICE scenario (n = 1e6, threshold 0.99, 8 tables) read ~1.3%
+    // true-pair miss at the uncapped 19 bits; capped width is 8
+    assert(autoSignatureBits(1000000L, 0.99) == 8)
+    // the cap scales with the threshold, and never under the 4-bit floor
+    assert(autoSignatureBits(1000000L, 0.95) == 4)
+    // tiny corpora keep the floor regardless
+    assert(autoSignatureBits(10L, 0.99) == 4)
+  }
+
   test("char_trigrams: distinct code-point trigrams equal the substr " +
       "composition; short names empty (r17 q149 blocking key)") {
     val names = Seq("", "ab", "abc", "abcd", "banana", "ααβγδ", "aaaa")
