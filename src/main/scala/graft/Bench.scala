@@ -57,7 +57,13 @@ object Bench {
     "q235_dedup_span_removal", // keep-first exact-substring excision (round 16)
     "q236_lm_tiers",        // CCNet per-language LM head/middle/tail (round 16)
     "q237_curriculum",      // staged curriculum schedule, two-level prefix (round 16)
-    "q238_contrastive_pairs") // near-dup positives + exact jaccard (round 16)
+    "q238_contrastive_pairs", // near-dup positives + exact jaccard (round 16)
+    // r17 additions (VERDICT #10): the r16 round's biggest absolute
+    // wins join the headline set so any future regression on them is
+    // driver-visible. Additions only — the comparison stays valid.
+    "q156_winnow_matches",    // winnowing fingerprint match join (44x in r16)
+    "q226_lm_curate_audit",   // LM-gated audit, the dedup'd LM subtree
+    "q240_contrastive_triplets") // rare-shingle hard negatives (17x in r16)
 
   /** Fixed CPU-bound probe whose cost is independent of the query set:
     * a long-range sum through whole-stage codegen. Run before and after

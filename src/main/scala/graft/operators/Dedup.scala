@@ -433,6 +433,17 @@ object Dedup {
     * minhash-verify discipline, certified collision-free by the
     * exhaustive text-level oracles (q238/q240).
     */
+  /** NOTE (pinned contract, r16/r17): [[contrastivePairs]] and
+    * [[contrastiveTriplets]] score Jaccard over 64-BIT-HASHED shingle
+    * sets with n_union = |A| + |B| − n_inter, so a 64-bit collision
+    * WITHIN one document's shingle set would shift jaccard_pm /
+    * pos_pm / neg_pm relative to string-set semantics. Collision odds
+    * are ~m²/2⁶⁵ per document (negligible at any realistic shingle
+    * count), and the exactness contract is CERTIFIED, not assumed:
+    * the q238/q240 oracles recompute both tables from text-level
+    * string sets on every verify run — keep that oracle coverage
+    * mandatory when touching this path.
+    */
   private def sortedHashedSets(df: DataFrame, idCol: String, textCol: String,
       k: Int, sigs: Option[DataFrame]): DataFrame =
     sigs.getOrElse(hashedShingleFrame(df, idCol, textCol, k))

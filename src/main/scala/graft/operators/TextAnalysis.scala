@@ -79,7 +79,19 @@ object TextAnalysis {
     graft.functions.GateStatsExpression.gate_stats(text,
       minTokens, minMeanLen, maxMeanLen, minStopwords).getField("reasons")
 
-  /** `keep` verdict of the default gate as a row-local predicate. */
+  /** `keep` verdict of the default gate as a row-local predicate.
+    *
+    * NULL-text semantics (pinned r17, ADVICE): `gate_stats` null-
+    * propagates (UnaryExpression), so a NULL text yields keep = NULL
+    * and every gate-filtering chain DROPS the row. This is the
+    * intended contract — a null document is not trainable text and
+    * must not pass a quality gate — and it is a deliberate change from
+    * the r15 column chain, whose when/otherwise collapsed null signals
+    * to reasons = 0 (null rows silently PASSED). Pinned by a
+    * CorpusOpsSpec case; callers that want the legacy behavior
+    * coalesce(text, '') explicitly (an empty doc fails the gate with
+    * reasons set, rather than passing).
+    */
   def gateKeep(text: Column, minTokens: Int = 10, minMeanLen: Int = 3,
       maxMeanLen: Int = 10, minStopwords: Int = 2): Column =
     gateReasons(text, minTokens, minMeanLen, maxMeanLen, minStopwords) === 0

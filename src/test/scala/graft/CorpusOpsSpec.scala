@@ -676,6 +676,21 @@ class CorpusOpsSpec extends SparkSpec {
       (7L, "a", "a"), (7L, "a", "a")).sortBy(p => (p._1, p._2, p._3)))
   }
 
+  test("gate NULL-text contract: a null document DROPS through every " +
+      "gate-filtering chain (keep is null, not true — pinned r17)") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, null.asInstanceOf[String]), (3L, "")).toDF("doc_id", "text")
+    val kept = docs.filter(TextAnalysis.gateKeep(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(2L), "null text must not pass the gate")
+    assert(!kept.contains(3L), "empty text must not pass the gate")
+    // filterGate's frame keeps the row but with NULL stats — the audit
+    // surface still answers for the doc; only keep-filters drop it
+    val stats = TextAnalysis.filterGate(docs, "doc_id", "text")
+    assert(stats.count() == 3)
+    assert(stats.filter(col("doc_id") === 2L).select("keep").head().isNullAt(0))
+  }
+
   test("autoSignatureBits: occupancy width is RECALL-CAPPED by the caller's " +
       "threshold (a 0.99 caller no longer inherits the 0.999 envelope)") {
     import graft.operators.Similarity.autoSignatureBits

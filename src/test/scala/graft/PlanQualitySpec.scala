@@ -19,9 +19,28 @@ class PlanQualitySpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
     }
+    reclaim()
     p.toString
   }
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  /** The round-16 red signal: the whole-catalog harvest executes every
+    * query in ONE shared session, and each query's transient
+    * `localCheckpoint` frames pin block-manager storage until the
+    * driver GC's their RDD handles and the ContextCleaner's weak-ref
+    * queue drains — across ~25k jobs the un-collected handles
+    * accumulated until the context died mid-harvest (VERIFY_r16:
+    * "Job 25852 cancelled because SparkContext was shut down").
+    * Session-scoped fixture frames stay referenced by their TrieMap
+    * caches and are never touched; an explicit GC every few queries
+    * just lets the cleaner reclaim what is already garbage, bounding
+    * the harvest's block footprint to a handful of queries' worth.
+    */
+  private var harvested = 0
+  private def reclaim(): Unit = {
+    harvested += 1
+    if (harvested % 8 == 0) System.gc()
+  }
 
   test("no cartesian products or nested-loop joins in any catalog query plan") {
     // q69's salt-table replication is a DELIBERATE broadcast cross join
@@ -233,7 +252,19 @@ class PlanQualitySpec extends SparkSpec {
       // q238: LSH bucket self-join + CC iterations are checkpointed
       // RDD work; the frame tail is the pair/shingle hash joins;
       // harvested 1
-      "q238_contrastive_pairs" -> 1)
+      "q238_contrastive_pairs" -> 1,
+      // r17 headline additions (VERDICT #10), harvested post-change:
+      // q156: fingerprint-grain aggregation + match join + per-doc
+      // rollup over the winnow_fps sets; harvested 6
+      "q156_winnow_matches" -> 6,
+      // q226: the q219 audit chain + the LM flag join (scores
+      // checkpointed once, window dedup replaced by groupBy+join-back
+      // this round); harvested 5
+      "q226_lm_curate_audit" -> 5,
+      // q240: contrastive pairs' shape + the rare-shingle negative
+      // join + per-anchor rank window; harvested 9 (one slack over the
+      // borderline AQE join flip)
+      "q240_contrastive_triplets" -> 10)
     // the pin set must track the headline set — a new headline query
     // without a recorded ceiling fails here, not silently unpinned
     assert(ceilings.keySet == Bench.headline.toSet,
