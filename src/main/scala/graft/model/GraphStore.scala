@@ -214,10 +214,27 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
     // (transactions.lisp validate 236-246: revisions are checked
     // against the txn's read snapshot, not the staging instant)
     private val snapshotEpoch = store.currentEpoch
-    private var writes = Map.empty[String, DataFrame]
+    // staged as BUILD THUNKS, not DataFrames (r17): a path-based
+    // parquet read captures its FILE LISTING when the plan is built,
+    // so a rev-derivation frame built at staging time and executed
+    // under the commit lock raced any vacuum that swapped the table
+    // dir in between (FAILED_READ_FILE on the REST write path —
+    // reproduced by ServiceFuzzSpec's compaction storm). The thunks
+    // evaluate inside commitCaptures' write lock (commitCaptures takes
+    // the map by-name), where vacuum — which takes the same lock —
+    // cannot interleave. Caller-visible validation (schema and
+    // satisfies-check) stays EAGER at staging, where the specs pin it;
+    // the snapshot epoch stays pinned at txn creation, so OCC
+    // semantics are unchanged.
+    private var writes = Map.empty[String, Seq[() => DataFrame]]
 
-    private def stage(table: String, rows: DataFrame): Unit =
-      writes += table -> writes.get(table).map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows)
+    private def stage(table: String, build: () => DataFrame): Unit =
+      writes += table -> (writes.getOrElse(table, Seq.empty) :+ build)
+
+    private def stagedFrames(): Map[String, DataFrame] =
+      writes.map { case (t, builds) =>
+        t -> builds.map(_()).reduce(_.unionByName(_, allowMissingColumns = true))
+      }
 
     /** Successor revision for new/replacement rows, derived from the
       * latest revision INCLUDING tombstones: a deleted id's next
@@ -260,7 +277,8 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       */
     def createVertices(label: String, rows: DataFrame): Txn = {
       schema.requireVertex(label)
-      stage(vTable(label), withNextRev(vTable(label), enforceCheck(label, rows), conflictOnLive = true))
+      val checked = enforceCheck(label, rows)
+      stage(vTable(label), () => withNextRev(vTable(label), checked, conflictOnLive = true))
       this
     }
 
@@ -271,7 +289,8 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       */
     def updateVertices(label: String, rows: DataFrame): Txn = {
       schema.requireVertex(label)
-      stage(vTable(label), withNextRev(vTable(label), enforceCheck(label, rows), conflictOnLive = false))
+      val checked = enforceCheck(label, rows)
+      stage(vTable(label), () => withNextRev(vTable(label), checked, conflictOnLive = false))
       this
     }
 
@@ -280,10 +299,11 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       // validate like create/update: an unknown label must be the
       // taxonomy's 400, not a zero-column read blowing up downstream
       schema.requireVertex(label)
-      val cur = store.read(vTable(label), Some(snapshotEpoch))
-      stage(vTable(label), cur.join(ids.select(col("id")), Seq("id"), "left_semi")
-        .withColumn("rev", col("rev") + 1)
-        .withColumn("deleted", lit(true)))
+      stage(vTable(label), () =>
+        store.read(vTable(label), Some(snapshotEpoch))
+          .join(ids.select(col("id")), Seq("id"), "left_semi")
+          .withColumn("rev", col("rev") + 1)
+          .withColumn("deleted", lit(true)))
       this
     }
 
@@ -296,7 +316,7 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       val withId = if (rows.columns.contains("id")) rows
         else rows.withColumn("id",
           xxhash64(lit(label), col("src"), col("dst"), monotonically_increasing_id()))
-      stage(eTable(label), withNextRev(eTable(label), withId, conflictOnLive = true))
+      stage(eTable(label), () => withNextRev(eTable(label), withId, conflictOnLive = true))
       this
     }
 
@@ -306,17 +326,18 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       */
     def updateEdges(label: String, rows: DataFrame): Txn = {
       require(rows.columns.contains("id"), "edge updates need the edge id")
-      stage(eTable(label), withNextRev(eTable(label), rows, conflictOnLive = false))
+      stage(eTable(label), () => withNextRev(eTable(label), rows, conflictOnLive = false))
       this
     }
 
     /** Tombstone edges by id (delete-edge, edge.lisp:269-273). */
     def deleteEdges(label: String, ids: DataFrame): Txn = {
       schema.requireEdge(label)
-      val cur = store.read(eTable(label), Some(snapshotEpoch))
-      stage(eTable(label), cur.join(ids.select(col("id")), Seq("id"), "left_semi")
-        .withColumn("rev", col("rev") + 1)
-        .withColumn("deleted", lit(true)))
+      stage(eTable(label), () =>
+        store.read(eTable(label), Some(snapshotEpoch))
+          .join(ids.select(col("id")), Seq("id"), "left_semi")
+          .withColumn("rev", col("rev") + 1)
+          .withColumn("deleted", lit(true)))
       this
     }
 
@@ -332,13 +353,16 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
     private[graft] def stageRaw(table: String, rows: DataFrame): Txn = {
       require(table.startsWith("_"),
         s"raw staging is for '_'-prefixed bookkeeping tables, got: $table")
-      stage(table, rows)
+      stage(table, () => rows)
       this
     }
 
     def commit(): Long = {
       val capture = prevCaptureTables.synchronized { prevCaptureTables.toSet }
-      val (epoch, frames, prev) = store.commitCaptures(writes, capture)
+      // stagedFrames() evaluates INSIDE commitCaptures' write lock
+      // (by-name parameter): rev-derivation reads list their files
+      // where no vacuum can swap the table dir under them
+      val (epoch, frames, prev) = store.commitCaptures(stagedFrames(), capture)
       // every listener runs even if an earlier one fails — a broken
       // view hook must not starve the replication hook of an epoch
       val failures = commitListeners.synchronized { commitListeners.toSeq }.flatMap { f =>
@@ -355,8 +379,9 @@ final class GraphStore(val spark: SparkSession, val schema: GraphSchema, dir: St
       * through the txn's write set first).
       */
     def graphView(): PropertyGraph = {
+      val stagedNow = stagedFrames()
       def overlay(table: String, committed: DataFrame): DataFrame =
-        writes.get(table) match {
+        stagedNow.get(table) match {
           case None => committed
           case Some(staged) =>
             // latest staged version per id wins; tombstones hide rows

@@ -186,6 +186,9 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     val committed = currentEpoch
     val tables = Dirs.childNames(Paths.get(dir))
       .filter(n => !n.startsWith("_") && !n.endsWith("__cur") &&
+        // crashed-vacuum leftovers keep their epoch dirs until the next
+        // vacuum reaps them (healVacuum no longer reaps on reads — r17)
+        !n.endsWith("__vacuum_tmp") && !n.endsWith("__vacuum_old") &&
         Files.isDirectory(Paths.get(labelDir(n))) &&
         Dirs.childNames(Paths.get(labelDir(n))).exists(_.startsWith("commit_epoch=")))
       .sorted
@@ -517,7 +520,7 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * update/delete of an existing id; anything else → ConflictException
     * (OCC validation). Returns the new epoch.
     */
-  def commit(writes0: Map[String, DataFrame]): Long = commitWithFrames(writes0)._1
+  def commit(writes0: => Map[String, DataFrame]): Long = commitWithFrames(writes0)._1
 
   /** [[commit]], also returning the materialized staged frames — the
     * per-table `(id, rev, deleted, props…)` versions exactly as
@@ -526,7 +529,7 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * rev-derivation reads would resolve against the NEW epoch after
     * the pointer bump and recompute different revisions.
     */
-  def commitWithFrames(writes0: Map[String, DataFrame]): (Long, Map[String, DataFrame]) = {
+  def commitWithFrames(writes0: => Map[String, DataFrame]): (Long, Map[String, DataFrame]) = {
     val (epoch, frames, _) = commitCaptures(writes0, Set.empty)
     (epoch, frames)
   }
@@ -546,8 +549,12 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     * id-pruned current-state read per captured table per commit —
     * commit-sized, never corpus-sized.
     */
-  def commitCaptures(writes0: Map[String, DataFrame],
+  def commitCaptures(writes0: => Map[String, DataFrame],
       capturePrev: Set[String]): (Long, Map[String, DataFrame], Map[String, DataFrame]) = withWriteLock {
+    // by-name (r17): staged plans build INSIDE the write lock, so a
+    // path-based read's file listing can never be invalidated by a
+    // concurrent vacuum's table-dir swap (vacuum takes the same lock)
+    val w0 = writes0
     val base = currentEpoch
     val next = base + 1
     // materialize each staged frame ONCE: staged plans typically embed
@@ -581,7 +588,7 @@ final class VersionedStore(spark: SparkSession, dir: String) {
     // back on. Frames handed to hooks are re-rooted to the caller's
     // session below, so only the commit's own jobs run non-adaptive.
     val cs = commitSession()
-    val writes = writes0.map { case (l, df) =>
+    val writes = w0.map { case (l, df) =>
       l -> Bridge.inSession(cs, df.drop("commit_epoch"))
         .localCheckpoint(eager = false) }
     // validate all tables before writing any (atomicity of the commit)
@@ -819,11 +826,22 @@ final class VersionedStore(spark: SparkSession, dir: String) {
   private def vacuumTmp(label: String) = Paths.get(s"${labelDir(label)}__vacuum_tmp")
   private def vacuumOld(label: String) = Paths.get(s"${labelDir(label)}__vacuum_old")
 
-  /** Finish or roll back an interrupted [[vacuum]] swap. States:
-    *   - label dir present            → nothing mid-swap; drop leftovers
-    *   - label dir gone, _old present → crashed between the two renames;
-    *     restore the original (both copies are complete, original is
-    *     the conservative choice)
+  /** Finish an interrupted [[vacuum]] swap: label dir gone with `_old`
+    * present means a crash between the two renames — restore the
+    * original (both copies are complete, original is the conservative
+    * choice).
+    *
+    * r17: healVacuum no longer REAPS leftover `__vacuum_tmp`/`__old`
+    * dirs when the table dir is intact. It runs lock-free on every
+    * read path (`tableExists`), and that reap raced a concurrent
+    * vacuum's in-flight write INTO `__vacuum_tmp` — the write task's
+    * attempt dir vanished under it (TASK_WRITE_FAILED "chmod: cannot
+    * access ..._temporary/attempt_...", reproduced 5/5 by
+    * ServiceFuzzSpec's compaction storm once the r17 commit path made
+    * readers fast enough to hit the window). Leftovers from a crashed
+    * vacuum are invisible to every read surface and are reaped by the
+    * NEXT vacuum, which clears both dirs under the write lock before
+    * writing.
     */
   private def healVacuum(label: String): Unit = {
     val lab = Paths.get(labelDir(label))
@@ -831,7 +849,6 @@ final class VersionedStore(spark: SparkSession, dir: String) {
       if (!Files.exists(lab) && Files.exists(vacuumOld(label)))
         Files.move(vacuumOld(label), lab, StandardCopyOption.ATOMIC_MOVE)
     }
-    if (Files.exists(lab)) { rmTree(vacuumOld(label)); rmTree(vacuumTmp(label)) }
   }
 
   /** Retention: rewrite a table keeping only the newest `keep`
@@ -897,7 +914,9 @@ object VersionedStore {
     val dest = new VersionedStore(spark, destDir)
     require(dest.currentEpoch == 0, s"migration target $destDir is not empty")
     val labels = Dirs.childNames(src).filter { n =>
-      !n.startsWith("_") && Files.isDirectory(src.resolve(n))
+      !n.startsWith("_") && !n.endsWith("__cur") &&
+        !n.endsWith("__vacuum_tmp") && !n.endsWith("__vacuum_old") &&
+        Files.isDirectory(src.resolve(n))
     }
     val frames = labels.map { l =>
       val df0 = spark.read.parquet(s"$legacyDir/$l")

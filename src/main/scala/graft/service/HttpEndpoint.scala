@@ -156,7 +156,7 @@ final class HttpEndpoint(
           respondRows(ex, df, stream)
         } finally queryGate.release()
       case p if p.startsWith("/mutate/") =>
-        mutate(ex, p.stripPrefix("/mutate/"), body)
+        withReadRaceRetry(mutate(ex, p.stripPrefix("/mutate/"), body))
       case p if p.startsWith("/admin/") =>
         admin(ex, p.stripPrefix("/admin/"), body)
       case _ => reply(ex, 404, err(s"no such route: $path"))
@@ -180,6 +180,35 @@ final class HttpEndpoint(
     try mapper.readTree(body)
     catch { case e: Exception =>
       throw new QueryService.BadRequestException(s"malformed JSON body: ${e.getMessage}") }
+  }
+
+  /** A path-based parquet read captures its file listing when the plan
+    * is built; a mutate request's LOCK-FREE pre-commit reads (schema
+    * conformance, drift-gate admission) can therefore race a
+    * concurrent vacuum's table-dir swap and die with a
+    * FileNotFoundException-rooted SparkException — a purely TRANSIENT
+    * condition (re-planning re-lists the live files). Retry the op a
+    * bounded number of times on exactly that signature. Safe by
+    * construction: every exception a mutate can throw before its reply
+    * proves NOTHING durable happened — commit() returns (no throw)
+    * once the epoch pointer lands — except CommitHookException, which
+    * IS durable and is never retried. Staging itself is side-effect-
+    * free (rev-derivation plans are thunks built under the commit
+    * lock).
+    */
+  private def isReadRace(t: Throwable): Boolean =
+    t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+      isReadRace(t.getCause))
+  private def withReadRaceRetry(body: => Unit): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try { body; done = true }
+      catch {
+        case e: graft.model.GraphStore#CommitHookException => throw e
+        case e: Throwable if attempts < 2 && isReadRace(e) => attempts += 1
+      }
+    }
   }
 
   private def mutate(ex: HttpExchange, op: String, body: String): Unit = {
